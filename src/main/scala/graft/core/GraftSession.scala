@@ -1,0 +1,31 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for tests and standalone mains.
+  *
+  * Mirrors the settings the reference fixes at
+  * `src/spark/jobs/spark_stream_processor.py:35-43` (graceful shutdown,
+  * explicit shuffle parallelism) but scaled for the target: AQE on,
+  * shuffle partitions sized to cores instead of the reference's
+  * hard-coded 2, ANSI off for arithmetic parity with the reference's
+  * Spark 3.4 defaults (division-by-zero -> null, lenient casts), and a
+  * UTC session timezone so timestamp semantics match the DuckDB oracle.
+  */
+object GraftSession {
+  def apply(appName: String = "graft", cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.streaming.stopGracefullyOnShutdown", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

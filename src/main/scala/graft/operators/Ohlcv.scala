@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Daily OHLCV rollup.
+  *
+  * Reference semantics: spark_batch_processor.py:89-101 computes
+  * first(open)/max(high)/min(low)/sum(volume)/last(close) over
+  * `Window.partitionBy(symbol, date)` — an *unordered* partition
+  * window, so first/last are file-order artifacts (it happens to be
+  * degenerate there because dedup guarantees one row per key). This
+  * engine implements the intended rollup deterministically: open/close
+  * are the value at the min/max of an explicit event ordering.
+  *
+  * Physical shape: one shuffle on the grouping keys. The window
+  * (row_number) form sorts within partitions; the groupBy collapses in
+  * the same stage. Deterministic and 100 TB-safe (no skew beyond the
+  * natural key distribution; salt upstream if one key dominates).
+  */
+object Ohlcv {
+
+  /** Roll `df` up to one row per `keys`: open/high/low/close over
+    * `valueCol`, ordered by `order` (must be a total order per key for
+    * determinism — e.g. Seq(col("ts"), col("event_id"))), plus
+    * sum(volume)=`volSum` when provided and an event count.
+    *
+    * Output columns: keys ++ (open, high, low, close, volume?, n).
+    */
+  def rollup(
+      df: DataFrame,
+      keys: Seq[Column],
+      keyNames: Seq[String],
+      valueCol: Column,
+      order: Seq[Column],
+      volCol: Option[Column] = None
+  ): DataFrame = {
+    val keyed = df.withColumns(keyNames.zip(keys).toMap)
+    val wAsc  = Window.partitionBy(keyNames.map(col): _*).orderBy(order: _*)
+    val wDesc = Window.partitionBy(keyNames.map(col): _*).orderBy(order.map(_.desc): _*)
+    val withRn = keyed
+      .withColumn("__v", valueCol)
+      .withColumn("__rn_a", row_number().over(wAsc))
+      .withColumn("__rn_d", row_number().over(wDesc))
+    val aggs = Seq(
+      max(when(col("__rn_a") === 1, col("__v"))).as("open"),
+      max(col("__v")).as("high"),
+      min(col("__v")).as("low"),
+      max(when(col("__rn_d") === 1, col("__v"))).as("close")
+    ) ++ volCol.map(v => sum(v).as("volume")).toSeq :+ count(lit(1)).as("n")
+    withRn.groupBy(keyNames.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Strict-parity mode: the reference's unordered-window
+    * first/last (nondeterministic when >1 row per key — documented
+    * artifact, SURVEY.md §2 A5). */
+  def rollupParity(df: DataFrame, keyNames: Seq[String], valueCol: Column, volCol: Option[Column]): DataFrame = {
+    val w = Window.partitionBy(keyNames.map(col): _*)
+    val base = df
+      .withColumn("daily_open", first(valueCol).over(w))
+      .withColumn("daily_high", max(valueCol).over(w))
+      .withColumn("daily_low", min(valueCol).over(w))
+      .withColumn("daily_close", last(valueCol).over(w))
+    val withVol = volCol.fold(base)(v => base.withColumn("daily_volume", sum(v).over(w)))
+    withVol.dropDuplicates(keyNames)
+  }
+
+  /** daily_change = (close - open) / open * 100
+    * (spark_batch_processor.py:101; null on zero open with ANSI off). */
+  def dailyChange(openCol: Column, closeCol: Column): Column =
+    (closeCol - openCol) / openCol * lit(100)
+}

@@ -1,0 +1,336 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Dedup, MergeUpsert, Ohlcv, SlidingWindows}
+
+/** Reference-parity operator suite (SURVEY.md §2), one oracle-checked
+  * query per operator family, all over the driver testdata. Reference
+  * sites are cited per query; the DuckDB SQL in `oracleSql` is the
+  * semantic contract.
+  */
+object ParityQueries {
+
+  private def ev(s: SparkSession, dir: String) = Tables.events(s, dir)
+  private def li(s: SparkSession, dir: String) = Tables.lineitem(s, dir)
+
+  // q01 — ingest cleaning: casts P7-P10 + JSON decode P12
+  // (spark_stream_processor.py:129-137, consumers' json.loads).
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).select(
+      col("event_id"),
+      // P7 string->timestamp round-trip (second precision)
+      to_timestamp(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")).cast("long").as("ts_sec"),
+      // P10 `%`-suffix strip + P8 cast->double (change_percent cleaning)
+      regexp_replace(concat(col("value").cast("string"), lit("%")), "%", "").cast("double").as("price_clean"),
+      // P9 string->long (volume cast; engine uses long, SURVEY §1.3)
+      col("user_id").cast("string").cast("long").as("vol"),
+      // P12 JSON field decode
+      get_json_object(col("props"), "$.k").cast("long").as("k")
+    )
+
+  // q02 — scan + filter + projection (P1/P6; pushdown-eligible).
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp")
+        && col("l_returnflag").isNotNull && col("l_returnflag") =!= "")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+  // q03 — derived arithmetic columns (P2/P5). Per-row IEEE arithmetic
+  // is bitwise identical cross-engine; no rounding.
+  private def q03(s: SparkSession, dir: String): DataFrame =
+    li(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("net_price"),
+      (col("l_discount") * lit(100)).as("disc_pct")
+    )
+
+  // q04/q05 — deterministic dedup first/last (A1/A2).
+  private def dedupCols(df: DataFrame) =
+    df.select(col("user_id"), col("event_type"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"), col("value"))
+  private def q04(s: SparkSession, dir: String): DataFrame =
+    dedupCols(Dedup.keepFirst(ev(s, dir), Seq("user_id", "event_type"), Seq(col("ts"), col("event_id"))))
+  private def q05(s: SparkSession, dir: String): DataFrame =
+    dedupCols(Dedup.keepLast(ev(s, dir), Seq("user_id", "event_type"), Seq(col("ts"), col("event_id"))))
+
+  // q06 — daily OHLCV rollup + daily_change (A5/P5/P13,
+  // spark_batch_processor.py:89-101), deterministic open/close.
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    Ohlcv.rollup(
+      ev(s, dir),
+      keys = Seq(col("event_type"), date_format(col("ts"), "yyyy-MM-dd")),
+      keyNames = Seq("event_type", "d"),
+      valueCol = col("value"),
+      order = Seq(col("ts"), col("event_id")),
+      volCol = Some(col("value"))
+    ).select(
+      col("event_type"), col("d"), col("open"), col("high"), col("low"), col("close"),
+      r4(col("volume")).as("volume"), col("n"),
+      when(col("open") === 0, lit(null)).otherwise(r4(Ohlcv.dailyChange(col("open"), col("close")))).as("daily_change")
+    )
+
+  // q07/q08 — sliding-window metrics (A3/T2,
+  // spark_stream_processor.py:164-195), batch form.
+  private def windowMetrics(s: SparkSession, dir: String, dur: String, slide: String, sfx: String): DataFrame =
+    SlidingWindows.metrics(ev(s, dir), col("event_type"), "event_type", col("ts"), col("value"), dur, slide, sfx)
+      .select(
+        col("event_type"), col("window_start"), col(s"window_end$sfx"),
+        r4(col(s"avg_value$sfx")).as(s"avg_value$sfx"),
+        r4(col(s"volatility$sfx")).as(s"volatility$sfx"),
+        r4(col(s"sum_value$sfx")).as(s"sum_value$sfx"),
+        col(s"n_events$sfx")
+      )
+  private def q07(s: SparkSession, dir: String): DataFrame =
+    windowMetrics(s, dir, "15 minutes", "5 minutes", "_15m")
+  private def q08(s: SparkSession, dir: String): DataFrame =
+    windowMetrics(s, dir, "1 hour", "10 minutes", "_1h")
+
+  // q09 — the windowed-metrics join (J1,
+  // spark_stream_processor.py:197-221): 15m ⋈ 1h on (key, window_start).
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    val j = SlidingWindows.joined(ev(s, dir), col("event_type"), "event_type", col("ts"), col("value"))
+    j.select(
+      col("event_type"), col("window_start"), col("window_15m_end"), col("window_1h_end"),
+      r4(col("moving_avg_price_15m")).as("moving_avg_price_15m"),
+      r4(col("moving_avg_price_1h")).as("moving_avg_price_1h"),
+      r4(col("price_volatility_15m")).as("price_volatility_15m"),
+      r4(col("price_volatility_1h")).as("price_volatility_1h"),
+      r4(col("total_volume_15m")).as("total_volume_15m"),
+      r4(col("total_volume_1h")).as("total_volume_1h")
+    )
+  }
+
+  // q10 — union-all (J2, pd.concat at load_to_snowflake.py:152).
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    val l = li(s, dir)
+    val hi = l.filter(col("l_extendedprice") > 5000)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), lit("hi").as("bucket"))
+    val lo = l.filter(col("l_extendedprice") <= 500)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), lit("lo").as("bucket"))
+    hi.unionByName(lo)
+  }
+
+  // q11 — keyed MERGE upsert snapshot (J3,
+  // load_to_snowflake.py:220-241) via full-outer rewrite.
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val target = e.filter(col("event_id") % 3 =!= 0)
+      .select(col("event_id"), col("value").as("v"), lit("old").as("src"))
+    val source = e.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), (col("value") * 2).as("v"), lit("new").as("src"))
+    MergeUpsert.upsert(target, source, Seq("event_id"))
+  }
+
+  // q12 — deterministic top-N (P15 generalized to a real orderBy/limit).
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  // q13 — TPC-H Q1-style pricing summary (grouped agg battery: A3's
+  // avg/sum/count + stddev-free path; bench headliner).
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        r2(sum("l_quantity")).as("sum_qty"),
+        r2(sum("l_extendedprice")).as("sum_base_price"),
+        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+        r4(avg("l_quantity")).as("avg_qty"),
+        r4(avg("l_extendedprice")).as("avg_price"),
+        r4(avg("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+
+  // q14 — multi-way join + agg: customer ⋈ orders ⋈ lineitem ⋈
+  // broadcast(nation) revenue rollup (bench headliner; J1-family
+  // equi-join at scale with explicit small-dim broadcast).
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val l = li(s, dir)
+    val n = Tables.nation(s, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_rows")
+      )
+  }
+
+  // q15 — analytic window lag: per-entity price change (the tick
+  // producer's `change` field, stream_data_producer.py:99-108,
+  // recomputed relationally).
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev(s, dir)
+      .withColumn("prev", lag("value", 1).over(w))
+      .select(col("event_id"), col("user_id"), (col("value") - col("prev")).as("change"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_ingest_clean" -> q01 _,
+    "q02_filter_project" -> q02 _,
+    "q03_derived_arith" -> q03 _,
+    "q04_dedup_first" -> q04 _,
+    "q05_dedup_keeplast" -> q05 _,
+    "q06_ohlcv_daily" -> q06 _,
+    "q07_window_15m" -> q07 _,
+    "q08_window_1h" -> q08 _,
+    "q09_windowed_join" -> q09 _,
+    "q10_union_all" -> q10 _,
+    "q11_merge_upsert" -> q11 _,
+    "q12_topn" -> q12 _,
+    "q13_tpch_q1" -> q13 _,
+    "q14_join_agg" -> q14 _,
+    "q15_lag_change" -> q15 _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_ingest_clean" ->
+      """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+        |SELECT event_id,
+        |  epoch(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S'))::BIGINT AS ts_sec,
+        |  regexp_replace(value::VARCHAR || '%', '%', '')::DOUBLE AS price_clean,
+        |  (user_id::VARCHAR)::BIGINT AS vol,
+        |  json_extract_string(props, '$.k')::BIGINT AS k
+        |FROM ev""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_returnflag IS NOT NULL AND l_returnflag <> ''""".stripMargin,
+    "q03_derived_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS net_price,
+        |  l_discount * 100 AS disc_pct
+        |FROM lineitem""".stripMargin,
+    "q04_dedup_first" ->
+      """SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
+        |FROM (SELECT e.*, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |      FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) e)
+        |WHERE rn = 1""".stripMargin,
+    "q05_dedup_keeplast" ->
+      """SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
+        |FROM (SELECT e.*, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) e)
+        |WHERE rn = 1""".stripMargin,
+    "q06_ohlcv_daily" ->
+      """WITH e AS (
+        |  SELECT event_type, strftime(ts::TIMESTAMP, '%Y-%m-%d') AS d, value, ts::TIMESTAMP AS ts, event_id FROM events
+        |), r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, d ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, d ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM e
+        |)
+        |SELECT event_type, d,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high,
+        |  min(value) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  floor(sum(value)*10000 + 0.5)/10000 AS volume,
+        |  count(*) AS n,
+        |  CASE WHEN max(CASE WHEN rn_a = 1 THEN value END) = 0 THEN NULL
+        |       ELSE floor((max(CASE WHEN rn_d = 1 THEN value END) - max(CASE WHEN rn_a = 1 THEN value END))
+        |            / max(CASE WHEN rn_a = 1 THEN value END) * 100 * 10000 + 0.5)/10000 END AS daily_change
+        |FROM r GROUP BY 1, 2""".stripMargin,
+    "q07_window_15m" ->
+      """WITH w AS (
+        |  SELECT e.event_type, e.value,
+        |    (floor(epoch(e.ts::TIMESTAMP)/300)*300)::BIGINT - k.k*300 AS window_start
+        |  FROM events e, generate_series(0, 2) k(k)
+        |)
+        |SELECT event_type, window_start, window_start + 900 AS window_end_15m,
+        |  floor(avg(value)*10000 + 0.5)/10000 AS avg_value_15m,
+        |  floor(stddev_samp(value)*10000 + 0.5)/10000 AS volatility_15m,
+        |  floor(sum(value)*10000 + 0.5)/10000 AS sum_value_15m,
+        |  count(*) AS n_events_15m
+        |FROM w GROUP BY 1, 2""".stripMargin,
+    "q08_window_1h" ->
+      """WITH w AS (
+        |  SELECT e.event_type, e.value,
+        |    (floor(epoch(e.ts::TIMESTAMP)/600)*600)::BIGINT - k.k*600 AS window_start
+        |  FROM events e, generate_series(0, 5) k(k)
+        |)
+        |SELECT event_type, window_start, window_start + 3600 AS window_end_1h,
+        |  floor(avg(value)*10000 + 0.5)/10000 AS avg_value_1h,
+        |  floor(stddev_samp(value)*10000 + 0.5)/10000 AS volatility_1h,
+        |  floor(sum(value)*10000 + 0.5)/10000 AS sum_value_1h,
+        |  count(*) AS n_events_1h
+        |FROM w GROUP BY 1, 2""".stripMargin,
+    "q09_windowed_join" ->
+      """WITH w15 AS (
+        |  SELECT event_type, window_start,
+        |    avg(value) AS a, stddev_samp(value) AS s, sum(value) AS v
+        |  FROM (SELECT e.event_type, e.value,
+        |          (floor(epoch(e.ts::TIMESTAMP)/300)*300)::BIGINT - k.k*300 AS window_start
+        |        FROM events e, generate_series(0, 2) k(k))
+        |  GROUP BY 1, 2
+        |), w1h AS (
+        |  SELECT event_type, window_start,
+        |    avg(value) AS a, stddev_samp(value) AS s, sum(value) AS v
+        |  FROM (SELECT e.event_type, e.value,
+        |          (floor(epoch(e.ts::TIMESTAMP)/600)*600)::BIGINT - k.k*600 AS window_start
+        |        FROM events e, generate_series(0, 5) k(k))
+        |  GROUP BY 1, 2
+        |)
+        |SELECT w15.event_type, w15.window_start,
+        |  w15.window_start + 900 AS window_15m_end,
+        |  w1h.window_start + 3600 AS window_1h_end,
+        |  floor(w15.a*10000 + 0.5)/10000 AS moving_avg_price_15m,
+        |  floor(w1h.a*10000 + 0.5)/10000 AS moving_avg_price_1h,
+        |  floor(w15.s*10000 + 0.5)/10000 AS price_volatility_15m,
+        |  floor(w1h.s*10000 + 0.5)/10000 AS price_volatility_1h,
+        |  floor(w15.v*10000 + 0.5)/10000 AS total_volume_15m,
+        |  floor(w1h.v*10000 + 0.5)/10000 AS total_volume_1h
+        |FROM w15 JOIN w1h ON w15.event_type = w1h.event_type AND w15.window_start = w1h.window_start""".stripMargin,
+    "q10_union_all" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, 'hi' AS bucket FROM lineitem WHERE l_extendedprice > 5000
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_extendedprice, 'lo' AS bucket FROM lineitem WHERE l_extendedprice <= 500""".stripMargin,
+    "q11_merge_upsert" ->
+      """WITH t AS (SELECT event_id, value AS v, 'old' AS src FROM events WHERE event_id % 3 <> 0),
+        |s AS (SELECT event_id, value * 2 AS v, 'new' AS src FROM events WHERE event_id % 2 = 0)
+        |SELECT coalesce(s.event_id, t.event_id) AS event_id,
+        |  CASE WHEN s.event_id IS NOT NULL THEN s.v ELSE t.v END AS v,
+        |  CASE WHEN s.event_id IS NOT NULL THEN s.src ELSE t.src END AS src
+        |FROM t FULL OUTER JOIN s ON t.event_id = s.event_id""".stripMargin,
+    "q12_topn" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q13_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  floor(sum(l_quantity)*100 + 0.5)/100 AS sum_qty,
+        |  floor(sum(l_extendedprice)*100 + 0.5)/100 AS sum_base_price,
+        |  floor(sum(l_extendedprice * (1 - l_discount))*100 + 0.5)/100 AS sum_disc_price,
+        |  floor(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))*100 + 0.5)/100 AS sum_charge,
+        |  floor(avg(l_quantity)*10000 + 0.5)/10000 AS avg_qty,
+        |  floor(avg(l_extendedprice)*10000 + 0.5)/10000 AS avg_price,
+        |  floor(avg(l_discount)*10000 + 0.5)/10000 AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q14_join_agg" ->
+      """SELECT n_name,
+        |  floor(sum(l_extendedprice * (1 - l_discount))*100 + 0.5)/100 AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q15_lag_change" ->
+      """SELECT event_id, user_id,
+        |  value - lag(value) OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id) AS change
+        |FROM events""".stripMargin
+  )
+}
