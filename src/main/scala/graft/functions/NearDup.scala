@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for large-scale corpus curation: exact
+  * (hash-groupBy), pairwise n-gram/token Jaccard (the quadratic
+  * baseline), MinHash+LSH (the linear-ish scale path), and SimHash
+  * with banded Hamming join.
+  *
+  * Everything is built from codegen'd built-ins (xxhash64, HOFs) — no
+  * UDFs — so signatures compute map-side with no shuffle until the
+  * bucket groupBy. North-star extension; no reference counterpart.
+  */
+object NearDup {
+
+  /** Exact dedup by content hash: one survivor (min id) per distinct
+    * hash key; dupe count kept for audit. Pass `md5(text)` for raw
+    * exact dedup or `TextAnalysis.fingerprint` for normalized dedup. */
+  def exactByHash(df: DataFrame, idCol: Column, hashCol: Column): DataFrame =
+    df.groupBy(hashCol.as("content_hash"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dupes"))
+
+  /** Distinct-token-set Jaccard similarity between two token arrays.
+    * Integer-count ratio — bitwise deterministic cross-engine. */
+  def jaccard(a: Column, b: Column): Column = {
+    val ad = array_distinct(a)
+    val bd = array_distinct(b)
+    val inter = size(array_intersect(ad, bd)).cast("double")
+    inter / (size(ad) + size(bd) - size(array_intersect(ad, bd)))
+  }
+
+  /** Quadratic candidate generation within `blockCol` blocks (e.g.
+    * language): all (a<b) pairs with token-set Jaccard >= threshold.
+    * The honest baseline — O(n²) per block; use minHashPairs at scale. */
+  def jaccardPairs(df: DataFrame, idCol: String, tokens: Column, blockCol: String, threshold: Double): DataFrame = {
+    val t = df.select(col(idCol).as("id"), col(blockCol).as("blk"), array_distinct(tokens).as("toks"))
+    val a = t.select(col("id").as("id_a"), col("blk"), col("toks").as("toks_a"))
+    val b = t.select(col("id").as("id_b"), col("blk"), col("toks").as("toks_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signature: `numHashes` permutations approximated by
+    * seeded xxhash64 over each distinct token; sig[i] = min hash.
+    * Computed entirely map-side with HOFs. */
+  def minHashSignature(tokens: Column, numHashes: Int): Column = {
+    val distinctToks = array_distinct(tokens)
+    array((0 until numHashes).map { i =>
+      array_min(transform(distinctToks, t => xxhash64(lit(i), t)))
+    }: _*)
+  }
+
+  /** MinHash + LSH banding: signature of `numHashes` minhashes split
+    * into `bands` bands; docs sharing any band key become candidates;
+    * candidates are verified with exact token-set Jaccard.
+    *
+    * Scale shape: map-side signature -> explode(bands) (xB rows) ->
+    * shuffle on band key -> per-bucket pairing (buckets are tiny for
+    * non-pathological corpora) -> verify join. No driver state; the
+    * only quadratic term is within a single LSH bucket.
+    */
+  def minHashPairs(df: DataFrame, idCol: String, tokensCol: Column,
+                   numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val t = df.select(col(idCol).as("id"), array_distinct(tokensCol).as("toks"))
+      .withColumn("sig", minHashSignature(col("toks"), numHashes))
+    val banded = t.select(
+      col("id"), col("toks"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+      }: _*))
+    ).select(col("id"), col("toks"), col("pos").as("band"), col("col").as("band_key"))
+    val a = banded.select(col("band"), col("band_key"), col("id").as("id_a"), col("toks").as("toks_a"))
+    val b = banded.select(col("band"), col("band_key"), col("id").as("id_b"), col("toks").as("toks_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("toks_a"), col("toks_b"))
+      .distinct() // a pair can collide in several bands
+      .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over the token multiset: bit j of the hash is the
+    * sign of sum_t (bit_j(xxhash64(t)) ? +1 : -1). */
+  def simHash(df: DataFrame, idCol: String, tokensCol: Column): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), explode(tokensCol).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    toks
+      .select(col("id"), posexplode(array((0 until 64).map { j =>
+        when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, lit(1)).otherwise(lit(-1))
+      }: _*)))
+      .groupBy(col("id"), col("pos"))
+      .agg(sum(col("col")).as("bit_sum"))
+      .groupBy(col("id"))
+      // assemble the 64-bit value: sum of 2^pos for positive bit sums
+      // (distinct powers -> exact; bit 63 lands in the sign bit, which
+      // is fine — simhash is a bit pattern, not a magnitude)
+      .agg(sum(when(col("bit_sum") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos AS INT))")).otherwise(lit(0L))).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance <= maxDist, using
+    * 4x16-bit band join (pigeonhole: hd<=3 implies at least one equal
+    * 16-bit chunk) instead of an all-pairs scan. */
+  def simHashPairs(sim: DataFrame, maxDist: Int = 3): DataFrame = {
+    val banded = sim.select(
+      col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+    ).select(col("id"), col("simhash"), col("pos").as("band"), col("col").as("chunk"))
+    val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("simhash").as("sim_a"))
+    val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an embedding column (array<float>).
+  *
+  * Two paths, as a scale-out story:
+  *  - `cosineTopK`: brute-force exact top-k — broadcast the (small)
+  *    query set against all candidates; per-row HOF dot products stay
+  *    map-side, one shuffle for the per-query top-k window.
+  *  - `bucketedTopK`: IVF-style pruned search — candidates are
+  *    pre-assigned to coarse buckets (here the corpus `label`; in a
+  *    full IVF build, the nearest-centroid id); each query only scans
+  *    its bucket. Same output schema, ~(1/nBuckets) the work, with the
+  *    usual approximate-recall tradeoff at bucket boundaries.
+  *
+  * All arithmetic is double (arrays cast element-wise) with sequential
+  * HOF summation — deterministic and bitwise-reproducible.
+  */
+object Similarity {
+
+  /** Sequential-order dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** All (query, candidate) cosine scores, self excluded — the exact
+    * brute-force scan. The query set is broadcast; scoring is
+    * map-side. Output: query_id, neighbor_id, cos. */
+  def scoreAll(queries: DataFrame, candidates: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Bucket-pruned scoring: only candidates sharing `bucketCol` with
+    * the query are scanned (inverted-file pattern). At 100 TB the
+    * bucket column comes from a trained coarse quantizer and is the
+    * partition key of the vector table, so a query touches one
+    * partition instead of the full corpus. Output adds `bucket`. */
+  def scoreBucketed(queries: DataFrame, candidates: DataFrame, idCol: String, vecCol: String,
+                    bucketCol: String): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(bucketCol).as("bucket"), asDouble(col(vecCol)).as("qv"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(bucketCol).as("bucket"), asDouble(col(vecCol)).as("cv"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .select(col("query_id"), col("bucket"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Per-query top-k over a scored frame: rank by `scoreCol` desc with
+    * neighbor_id tiebreak. One shuffle on query_id. */
+  def topK(scored: DataFrame, k: Int, scoreCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(scoreCol.desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+  }
+
+  /** Exact brute-force cosine top-k (convenience composition). */
+  def cosineTopK(queries: DataFrame, candidates: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    topK(scoreAll(queries, candidates, idCol, vecCol), k, col("cos"))
+
+  /** Sign-random-projection LSH bucket id from `nBits` seeded
+    * hyperplanes: bit i = sign(<v, h_i>) where h_i components are
+    * derived deterministically from xxhash64(i, dim) — a data-free
+    * stand-in for trained planes, giving a 2^nBits-bucket ANN index
+    * with no external state. */
+  def srpBucket(vec: Column, nBits: Int, dim: Int): Column = {
+    val v = asDouble(vec)
+    val bits = (0 until nBits).map { i =>
+      // deterministic pseudo-random +-1 plane: sign of xxhash64(i, j)
+      val proj = (0 until dim).map { j =>
+        val sign = if (((scala.util.hashing.MurmurHash3.productHash((i, j)) >> 1) & 1) == 0) 1d else -1d
+        element_at(v, j + 1) * lit(sign)
+      }.reduce(_ + _)
+      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristic, document
+  * fingerprinting. Pure `org.apache.spark.sql.functions` compositions
+  * (codegen'd, no UDFs) so everything stays inside whole-stage codegen
+  * and is pushdown/prune-friendly at 100 TB.
+  *
+  * North-star extension (SURVEY.md §2.7/§7 step 6); no reference
+  * counterpart — the reference has no text operators.
+  */
+object TextAnalysis {
+
+  /** Lowercased word tokens: maximal [a-z0-9]+ runs. */
+  def wordTokens(text: Column): Column =
+    call_function("regexp_extract_all", lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** Whitespace-delimited tokens (raw token count basis). */
+  def wsTokens(text: Column): Column =
+    call_function("regexp_extract_all", text, lit("\\S+"), lit(0))
+
+  /** BPE-ish subword token estimate: letter runs, single digits, and
+    * single punctuation marks each count as one token — a cheap,
+    * deterministic stand-in for a real BPE vocab. */
+  def bpeishTokens(text: Column): Column =
+    call_function("regexp_extract_all", lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))
+
+  private val stopwords =
+    Seq("the", "a", "an", "of", "to", "and", "in", "is", "for", "on", "with", "that", "as", "at", "by")
+
+  /** Count of stopword tokens (not distinct — frequency matters for
+    * quality scoring). */
+  def stopwordCount(tokens: Column): Column =
+    size(filter(tokens, t => array_contains(array(stopwords.map(lit): _*), t))).cast("long")
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    size(call_function("regexp_extract_all", text, lit("[.,;:!?'\"()\\[\\]{}]"), lit(0))).cast("long")
+
+  /** Sum of token lengths (for avg token length). */
+  def totalTokenLen(tokens: Column): Column =
+    aggregate(tokens, lit(0L), (acc, t) => acc + length(t).cast("long"))
+
+  /** Composite quality score in the C4/Gopher style: rewards token
+    * mass, penalizes punctuation soup and stopword stuffing.
+    * score = ln(1 + n_tokens) * (1 - punct_ratio) * (1 - stop_ratio). */
+  def qualityScore(nTokens: Column, punctRatio: Column, stopRatio: Column): Column =
+    log(lit(1d) + nTokens) * (lit(1d) - punctRatio) * (lit(1d) - stopRatio)
+
+  /** n-gram-free language-ID heuristic: CJK codepoint presence wins
+    * for zh; otherwise the largest marker-stopword hit count wins with
+    * a fixed priority order (en > de > fr > es) for determinism, and
+    * 'und' (undetermined) when no marker hits at all. The DuckDB
+    * oracle replicates this decision tree verbatim. */
+  def langId(text: Column): Column = {
+    val toks = wordTokens(text)
+    def hits(markers: Seq[String]): Column =
+      size(filter(toks, t => array_contains(array(markers.map(lit): _*), t)))
+    val zh = size(call_function("regexp_extract_all", text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+    val en = hits(Seq("the", "a", "is", "and", "of"))
+    val de = hits(Seq("der", "die", "das", "und", "ist"))
+    val fr = hits(Seq("le", "la", "les", "et", "est"))
+    val es = hits(Seq("el", "los", "las", "y", "es"))
+    when(zh > 0, lit("zh"))
+      .when((en >= de) && (en >= fr) && (en >= es) && (en > 0), lit("en"))
+      .when((de >= fr) && (de >= es) && (de > 0), lit("de"))
+      .when((fr >= es) && (fr > 0), lit("fr"))
+      .when(es > 0, lit("es"))
+      .otherwise(lit("und"))
+  }
+
+  /** Canonical fingerprint: md5 of whitespace-collapsed, lowercased,
+    * trimmed text. Exact-dup detection that survives formatting noise. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Content-defined rolling-hash fingerprint (custom codegen'd
+    * Catalyst expression — see RollingHash.scala). Not SQL-portable;
+    * used by the Scala API + tests. */
+  def rollingFingerprint(text: Column): Column = RollingHash.column(text)
+}

@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.{Multimodal, NearDup, Similarity, TextAnalysis}
+
+/** North-star training-data-pipeline extensions (builder prompt +
+  * SURVEY.md §2.7/§7 step 6): dedup suite, similarity search, text
+  * analysis, multimodal plumbing. Oracle SQL provided wherever DuckDB
+  * can express the same computation; the hash-based ops (MinHash,
+  * SimHash, rolling hash) get rows-only checks since xxhash64 seeds
+  * are engine-specific.
+  */
+object ExtensionQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+  private def emb(s: SparkSession, dir: String)  = Tables.embeddings(s, dir)
+
+  // q20 — exact dedup via hash-groupBy (raw content hash).
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    NearDup.exactByHash(docs(s, dir), col("doc_id"), md5(col("text")))
+
+  // q21 — pairwise token-set Jaccard near-dup (quadratic baseline,
+  // language-blocked, sampled).
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    NearDup.jaccardPairs(
+      docs(s, dir).filter(col("doc_id") % 5 === 0),
+      "doc_id", TextAnalysis.wordTokens(col("text")), "lang", threshold = 0.8)
+
+  // q22 — MinHash+LSH near-dup candidates (scale path; rows-only).
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    NearDup.minHashPairs(docs(s, dir), "doc_id", TextAnalysis.wordTokens(col("text")),
+      numHashes = 32, bands = 8, threshold = 0.8)
+      .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
+
+  // q23 — SimHash near-dup pairs (banded Hamming join; rows-only).
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    val sim = NearDup.simHash(docs(s, dir), "doc_id", TextAnalysis.wordTokens(col("text")))
+    NearDup.simHashPairs(sim, maxDist = 3)
+  }
+
+  // q24 — text quality scoring.
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.wordTokens(col("text"))
+    docs(s, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_m"),
+      size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_ws_tokens"),
+      size(toks).cast("long").as("n_word_tokens"),
+      r4(TextAnalysis.totalTokenLen(toks).cast("double") / nullif(size(toks), lit(0))).as("avg_token_len"),
+      r4(TextAnalysis.punctCount(col("text")).cast("double") / nullif(length(col("text")), lit(0))).as("punct_ratio"),
+      r4(TextAnalysis.stopwordCount(toks).cast("double") / nullif(size(toks), lit(0))).as("stop_ratio"),
+      r4(TextAnalysis.qualityScore(
+        size(toks).cast("double"),
+        TextAnalysis.punctCount(col("text")).cast("double") / nullif(length(col("text")), lit(0)),
+        TextAnalysis.stopwordCount(toks).cast("double") / nullif(size(toks), lit(0)))).as("quality")
+    )
+  }
+
+  // q25 — language-ID heuristic vs the labeled lang column.
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.langId(col("text")).as("pred_lang"),
+      col("lang"),
+      (TextAnalysis.langId(col("text")) === col("lang")).as("is_match")
+    )
+
+  // q26 — token counting: whitespace, BPE-ish regex, chars/4 estimate.
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_ws"),
+      size(TextAnalysis.bpeishTokens(col("text"))).cast("long").as("n_bpeish"),
+      expr("n_chars DIV 4").as("n_chars_div4")
+    )
+
+  // q27 — normalized document fingerprint + dupe grouping.
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    NearDup.exactByHash(docs(s, dir), col("doc_id"), TextAnalysis.fingerprint(col("text")))
+
+  // q28 — brute-force cosine top-k (exact ANN baseline). Rank over the
+  // ROUNDED cosine (ties then broken by neighbor_id) so cross-engine
+  // 1-ulp summation differences cannot flip ranks.
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val scored = Similarity.scoreAll(e.filter(col("vec_id") < 10), e, "vec_id", "embedding")
+      .withColumn("cos_r", r4(col("cos"))).drop("cos")
+    Similarity.topK(scored, 5, col("cos_r"))
+  }
+
+  // q29 — bucket-pruned ANN (IVF pattern over the label column).
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val scored = Similarity.scoreBucketed(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", "label")
+      .withColumn("cos_r", r4(col("cos"))).drop("cos")
+    Similarity.topK(scored, 5, col("cos_r"))
+  }
+
+  // q30 — multimodal metadata extraction (binary payload conventions).
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    Multimodal.fromDocuments(docs(s, dir)).select(
+      col("media_id"), col("kind"), col("n_bytes"),
+      md5(col("bytes")).as("content_md5")
+    )
+
+  // q31 — multimodal decode stub: partition-batched feature extraction
+  // over binary payloads (rows-only; deterministic fake features).
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeStub(s, Multimodal.fromDocuments(docs(s, dir))).toDF()
+
+  // q32 — rolling-hash fingerprint via the custom codegen'd Catalyst
+  // expression (rows-only).
+  private def q32(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("rhash"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_dedup_hash" -> q20 _,
+    "q21_jaccard_pairs" -> q21 _,
+    "q22_minhash_pairs" -> q22 _,
+    "q23_simhash_pairs" -> q23 _,
+    "q24_text_quality" -> q24 _,
+    "q25_lang_id" -> q25 _,
+    "q26_token_count" -> q26 _,
+    "q27_fingerprint" -> q27 _,
+    "q28_cosine_topk" -> q28 _,
+    "q29_ann_bucketed" -> q29 _,
+    "q30_multimodal_meta" -> q30 _,
+    "q31_multimodal_decode" -> q31 _,
+    "q32_rolling_fp" -> q32 _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q20_dedup_hash" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dupes
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q21_jaccard_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
+        |  FROM documents WHERE doc_id % 5 = 0
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.toks, b.toks))::DOUBLE
+        |      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8""".stripMargin,
+    "q24_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+        |    regexp_extract_all(text, '\S+') AS ws,
+        |    regexp_extract_all(text, '[.,;:!?''"()\[\]{}]') AS punct
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    length(text)::BIGINT AS n_chars_m,
+        |    len(ws)::BIGINT AS n_ws_tokens,
+        |    len(toks)::BIGINT AS n_word_tokens,
+        |    list_sum(list_transform(toks, x -> strlen(x)))::DOUBLE / nullif(len(toks), 0) AS atl,
+        |    len(list_filter(toks, x -> list_contains(['the','a','an','of','to','and','in','is','for','on','with','that','as','at','by'], x)))::DOUBLE
+        |      / nullif(len(toks), 0) AS stop_ratio,
+        |    len(punct)::DOUBLE / nullif(length(text), 0) AS punct_ratio
+        |  FROM t
+        |)
+        |SELECT doc_id, n_chars_m, n_ws_tokens, n_word_tokens,
+        |  floor(atl*10000 + 0.5)/10000 AS avg_token_len,
+        |  floor(punct_ratio*10000 + 0.5)/10000 AS punct_ratio,
+        |  floor(stop_ratio*10000 + 0.5)/10000 AS stop_ratio,
+        |  floor(ln(1 + n_word_tokens) * (1 - punct_ratio) * (1 - stop_ratio)*10000 + 0.5)/10000 AS quality
+        |FROM m""".stripMargin,
+    "q25_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, lang, zh,
+        |    len(list_filter(toks, x -> list_contains(['the','a','is','and','of'], x))) AS en,
+        |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS de,
+        |    len(list_filter(toks, x -> list_contains(['le','la','les','et','est'], x))) AS fr,
+        |    len(list_filter(toks, x -> list_contains(['el','los','las','y','es'], x))) AS es
+        |  FROM t
+        |), p AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN zh > 0 THEN 'zh'
+        |         WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+        |         WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+        |         WHEN fr >= es AND fr > 0 THEN 'fr'
+        |         WHEN es > 0 THEN 'es'
+        |         ELSE 'und' END AS pred_lang
+        |  FROM h
+        |)
+        |SELECT doc_id, pred_lang, lang, pred_lang = lang AS is_match FROM p""".stripMargin,
+    "q26_token_count" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '\S+'))::BIGINT AS n_ws,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))::BIGINT AS n_bpeish,
+        |  n_chars // 4 AS n_chars_div4
+        |FROM documents""".stripMargin,
+    "q27_fingerprint" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+        |  min(doc_id) AS keep_id, count(*) AS n_dupes
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q28_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |s AS (
+        |  SELECT query_id, neighbor_id,
+        |    floor(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))*10000 + 0.5)/10000 AS cos_r
+        |  FROM c, q WHERE query_id <> neighbor_id
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rnk FROM s
+        |)
+        |SELECT query_id, neighbor_id, cos_r, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "q29_ann_bucketed" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS bucket, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, label, embedding::DOUBLE[] AS cv FROM embeddings),
+        |s AS (
+        |  SELECT query_id, bucket, neighbor_id,
+        |    floor(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))*10000 + 0.5)/10000 AS cos_r
+        |  FROM c JOIN q ON c.label = q.bucket WHERE query_id <> neighbor_id
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rnk FROM s
+        |)
+        |SELECT query_id, bucket, neighbor_id, cos_r, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "q30_multimodal_meta" ->
+      """SELECT doc_id AS media_id, 'text/plain' AS kind,
+        |  strlen(text)::BIGINT AS n_bytes, md5(text) AS content_md5
+        |FROM documents""".stripMargin
+  )
+}
