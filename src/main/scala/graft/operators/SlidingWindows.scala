@@ -28,14 +28,23 @@ object SlidingWindows {
 
   /** Sliding-window metrics over `valueCol` keyed by `keyCol`.
     * Output: key, window_start (epoch sec), avg_value, volatility
-    * (sample stddev, null for 1-row windows), sum_value, n_events. */
+    * (sample stddev, null for 1-row windows), sum_value, n_events.
+    *
+    * Money exactness: sum and avg run through fixed-point decimal
+    * (scale 2 — tick prices are cents), so they are EXACT and
+    * independent of partitioning/summation order — a distributed run
+    * reproduces bit-for-bit on any cluster size. Double sums would
+    * drift in the last ulp with partition count, which matters both
+    * for reproducibility at 100 TB and for oracle comparison.
+    * Volatility keeps double Welford stddev (its true value is
+    * irrational; order noise cannot sit on a decimal boundary). */
   def metrics(df: DataFrame, keyCol: Column, keyName: String, tsCol: Column, valueCol: Column,
               duration: String, slide: String, suffix: String): DataFrame =
     df.groupBy(keyCol.as(keyName), window(tsCol, duration, slide).as("__w"))
       .agg(
-        avg(valueCol).as(s"avg_value$suffix"),
+        (sum(valueCol.cast("decimal(18,2)")).cast("double") / count(lit(1))).as(s"avg_value$suffix"),
         stddev(valueCol).as(s"volatility$suffix"),
-        sum(valueCol).as(s"sum_value$suffix"),
+        sum(valueCol.cast("decimal(18,2)")).cast("double").as(s"sum_value$suffix"),
         count(lit(1)).as(s"n_events$suffix")
       )
       .withColumn("window_start", col("__w.start").cast("long"))

@@ -66,10 +66,10 @@ object ParityQueries {
       keyNames = Seq("event_type", "d"),
       valueCol = col("value"),
       order = Seq(col("ts"), col("event_id")),
-      volCol = Some(col("value"))
+      volCol = Some(col("value").cast("decimal(18,2)"))
     ).select(
       col("event_type"), col("d"), col("open"), col("high"), col("low"), col("close"),
-      r4(col("volume")).as("volume"), col("n"),
+      r4(col("volume").cast("double")).as("volume"), col("n"),
       when(col("open") === 0, lit(null)).otherwise(r4(Ohlcv.dailyChange(col("open"), col("close")))).as("daily_change")
     )
 
@@ -139,13 +139,13 @@ object ParityQueries {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        r2(sum("l_quantity")).as("sum_qty"),
-        r2(sum("l_extendedprice")).as("sum_base_price"),
-        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
-        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
-        r4(avg("l_quantity")).as("avg_qty"),
-        r4(avg("l_extendedprice")).as("avg_price"),
-        r4(avg("l_discount")).as("avg_disc"),
+        r2(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")).as("sum_qty"),
+        r2(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")).as("sum_base_price"),
+        r2(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(28,4)")).cast("double")).as("sum_disc_price"),
+        r2(sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).cast("decimal(28,6)")).cast("double")).as("sum_charge"),
+        r4(sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_qty"),
+        r4(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_price"),
+        r4(sum(col("l_discount").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order")
       )
 
@@ -162,7 +162,7 @@ object ParityQueries {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+        r2(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(28,4)")).cast("double")).as("revenue"),
         count(lit(1)).as("n_rows")
       )
   }
@@ -177,7 +177,29 @@ object ParityQueries {
       .select(col("event_id"), col("user_id"), (col("value") - col("prev")).as("change"))
   }
 
+  // q16 — the legal streaming design under the oracle: 5-min bucket
+  // partials (count/sum/sum²/min/max — the mergeable state the
+  // streaming leg checkpoints) -> both sliding grids derived in one
+  // aggregation -> inner-join semantics (SURVEY.md §7 step 4a). This
+  // pins the exact partial-combine algebra the stream uses.
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(
+      col("event_type").as("symbol"), col("ts").as("timestamp"),
+      col("value").as("price"), col("user_id").as("volume"))
+    val m = graft.streaming.StreamPipeline.windowedMetrics(
+      graft.streaming.StreamPipeline.bucketAgg(e))
+    m.select(
+      col("symbol"), col("window_start"), col("window_15m_end"), col("window_1h_end"),
+      r4(col("moving_avg_price_15m")).as("moving_avg_price_15m"),
+      r4(col("moving_avg_price_1h")).as("moving_avg_price_1h"),
+      r4(col("price_volatility_15m")).as("price_volatility_15m"),
+      r4(col("price_volatility_1h")).as("price_volatility_1h"),
+      col("total_volume_15m"), col("total_volume_1h")
+    )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_partial_windows" -> q16 _,
     "q01_ingest_clean" -> q01 _,
     "q02_filter_project" -> q02 _,
     "q03_derived_arith" -> q03 _,
@@ -196,6 +218,38 @@ object ParityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q16_partial_windows" ->
+      """WITH e AS (
+        |  SELECT event_type AS symbol, ts::TIMESTAMP AS timestamp, value AS price, user_id AS volume FROM events
+        |), b AS (
+        |  SELECT symbol, (floor(epoch(timestamp)/300)*300)::BIGINT AS bucket_start,
+        |    count(*)::BIGINT AS n, sum(price::DECIMAL(18,2)) AS s, sum((price*price)::DECIMAL(28,4)) AS s2, sum(volume)::BIGINT AS vol
+        |  FROM e GROUP BY 1, 2
+        |), a AS (
+        |  SELECT symbol, bucket_start, n, s, s2, vol, '15m' AS grid, 900 AS dur,
+        |         bucket_start - (bucket_start % 300) - k.k*300 AS window_start
+        |  FROM b, generate_series(0, 2) k(k)
+        |  UNION ALL
+        |  SELECT symbol, bucket_start, n, s, s2, vol, '1h', 3600,
+        |         bucket_start - (bucket_start % 600) - k.k*600
+        |  FROM b, generate_series(0, 5) k(k)
+        |), m AS (
+        |  SELECT symbol, window_start,
+        |    sum(CASE WHEN grid='15m' THEN n END)::BIGINT AS n15, sum(CASE WHEN grid='15m' THEN s END) AS s15,
+        |    sum(CASE WHEN grid='15m' THEN s2 END) AS s215, sum(CASE WHEN grid='15m' THEN vol END)::BIGINT AS v15,
+        |    sum(CASE WHEN grid='1h' THEN n END)::BIGINT AS n1h, sum(CASE WHEN grid='1h' THEN s END) AS s1h,
+        |    sum(CASE WHEN grid='1h' THEN s2 END) AS s21h, sum(CASE WHEN grid='1h' THEN vol END)::BIGINT AS v1h
+        |  FROM a WHERE bucket_start >= window_start AND bucket_start < window_start + dur
+        |  GROUP BY 1, 2
+        |)
+        |SELECT symbol, window_start,
+        |  window_start + 900 AS window_15m_end, window_start + 3600 AS window_1h_end,
+        |  floor((s15::DOUBLE/n15)*10000 + 0.5)/10000 AS moving_avg_price_15m,
+        |  floor((s1h::DOUBLE/n1h)*10000 + 0.5)/10000 AS moving_avg_price_1h,
+        |  CASE WHEN n15 > 1 THEN floor(sqrt(greatest((s215::DOUBLE - s15::DOUBLE*s15::DOUBLE/n15)/(n15-1), 0))*10000 + 0.5)/10000 END AS price_volatility_15m,
+        |  CASE WHEN n1h > 1 THEN floor(sqrt(greatest((s21h::DOUBLE - s1h::DOUBLE*s1h::DOUBLE/n1h)/(n1h-1), 0))*10000 + 0.5)/10000 END AS price_volatility_1h,
+        |  v15 AS total_volume_15m, v1h AS total_volume_1h
+        |FROM m WHERE n15 IS NOT NULL AND n1h IS NOT NULL""".stripMargin,
     "q01_ingest_clean" ->
       """WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
         |SELECT event_id,
@@ -237,7 +291,7 @@ object ParityQueries {
         |  max(value) AS high,
         |  min(value) AS low,
         |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
-        |  floor(sum(value)*10000 + 0.5)/10000 AS volume,
+        |  floor(sum(value::DECIMAL(18,2))::DOUBLE*10000 + 0.5)/10000 AS volume,
         |  count(*) AS n,
         |  CASE WHEN max(CASE WHEN rn_a = 1 THEN value END) = 0 THEN NULL
         |       ELSE floor((max(CASE WHEN rn_d = 1 THEN value END) - max(CASE WHEN rn_a = 1 THEN value END))
@@ -250,9 +304,9 @@ object ParityQueries {
         |  FROM events e, generate_series(0, 2) k(k)
         |)
         |SELECT event_type, window_start, window_start + 900 AS window_end_15m,
-        |  floor(avg(value)*10000 + 0.5)/10000 AS avg_value_15m,
+        |  floor((sum(value::DECIMAL(18,2))::DOUBLE / count(*))*10000 + 0.5)/10000 AS avg_value_15m,
         |  floor(stddev_samp(value)*10000 + 0.5)/10000 AS volatility_15m,
-        |  floor(sum(value)*10000 + 0.5)/10000 AS sum_value_15m,
+        |  floor(sum(value::DECIMAL(18,2))::DOUBLE*10000 + 0.5)/10000 AS sum_value_15m,
         |  count(*) AS n_events_15m
         |FROM w GROUP BY 1, 2""".stripMargin,
     "q08_window_1h" ->
@@ -262,22 +316,22 @@ object ParityQueries {
         |  FROM events e, generate_series(0, 5) k(k)
         |)
         |SELECT event_type, window_start, window_start + 3600 AS window_end_1h,
-        |  floor(avg(value)*10000 + 0.5)/10000 AS avg_value_1h,
+        |  floor((sum(value::DECIMAL(18,2))::DOUBLE / count(*))*10000 + 0.5)/10000 AS avg_value_1h,
         |  floor(stddev_samp(value)*10000 + 0.5)/10000 AS volatility_1h,
-        |  floor(sum(value)*10000 + 0.5)/10000 AS sum_value_1h,
+        |  floor(sum(value::DECIMAL(18,2))::DOUBLE*10000 + 0.5)/10000 AS sum_value_1h,
         |  count(*) AS n_events_1h
         |FROM w GROUP BY 1, 2""".stripMargin,
     "q09_windowed_join" ->
       """WITH w15 AS (
         |  SELECT event_type, window_start,
-        |    avg(value) AS a, stddev_samp(value) AS s, sum(value) AS v
+        |    sum(value::DECIMAL(18,2))::DOUBLE / count(*) AS a, stddev_samp(value) AS s, sum(value::DECIMAL(18,2))::DOUBLE AS v
         |  FROM (SELECT e.event_type, e.value,
         |          (floor(epoch(e.ts::TIMESTAMP)/300)*300)::BIGINT - k.k*300 AS window_start
         |        FROM events e, generate_series(0, 2) k(k))
         |  GROUP BY 1, 2
         |), w1h AS (
         |  SELECT event_type, window_start,
-        |    avg(value) AS a, stddev_samp(value) AS s, sum(value) AS v
+        |    sum(value::DECIMAL(18,2))::DOUBLE / count(*) AS a, stddev_samp(value) AS s, sum(value::DECIMAL(18,2))::DOUBLE AS v
         |  FROM (SELECT e.event_type, e.value,
         |          (floor(epoch(e.ts::TIMESTAMP)/600)*600)::BIGINT - k.k*600 AS window_start
         |        FROM events e, generate_series(0, 5) k(k))
@@ -309,19 +363,19 @@ object ParityQueries {
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
     "q13_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
-        |  floor(sum(l_quantity)*100 + 0.5)/100 AS sum_qty,
-        |  floor(sum(l_extendedprice)*100 + 0.5)/100 AS sum_base_price,
-        |  floor(sum(l_extendedprice * (1 - l_discount))*100 + 0.5)/100 AS sum_disc_price,
-        |  floor(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))*100 + 0.5)/100 AS sum_charge,
-        |  floor(avg(l_quantity)*10000 + 0.5)/10000 AS avg_qty,
-        |  floor(avg(l_extendedprice)*10000 + 0.5)/10000 AS avg_price,
-        |  floor(avg(l_discount)*10000 + 0.5)/10000 AS avg_disc,
+        |  floor(sum(l_quantity::DECIMAL(18,2))::DOUBLE*100 + 0.5)/100 AS sum_qty,
+        |  floor(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE*100 + 0.5)/100 AS sum_base_price,
+        |  floor(sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,4))::DOUBLE*100 + 0.5)/100 AS sum_disc_price,
+        |  floor(sum((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(28,6))::DOUBLE*100 + 0.5)/100 AS sum_charge,
+        |  floor((sum(l_quantity::DECIMAL(18,2))::DOUBLE / count(*))*10000 + 0.5)/10000 AS avg_qty,
+        |  floor((sum(l_extendedprice::DECIMAL(18,2))::DOUBLE / count(*))*10000 + 0.5)/10000 AS avg_price,
+        |  floor((sum(l_discount::DECIMAL(18,2))::DOUBLE / count(*))*10000 + 0.5)/10000 AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q14_join_agg" ->
       """SELECT n_name,
-        |  floor(sum(l_extendedprice * (1 - l_discount))*100 + 0.5)/100 AS revenue,
+        |  floor(sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,4))::DOUBLE*100 + 0.5)/100 AS revenue,
         |  count(*) AS n_rows
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey

@@ -1,0 +1,173 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The streaming windowed-metrics pipeline — the *legal* form of the
+  * reference's core query.
+  *
+  * The reference (spark_stream_processor.py:164-221) joins two
+  * *streaming* sliding-window aggregates, which Spark's
+  * UnsupportedOperationChecker rejects at start() — the script as
+  * written cannot run. Its declared output contract (the :205-220
+  * projection / the Snowflake DDL) is the real spec, and this module
+  * meets it with a single legal streaming aggregation:
+  *
+  *   raw ticks -> watermark 1 min (T1) -> ONE streaming groupBy
+  *   (symbol, 5-min tumbling bucket): count / sum / sum-of-squares /
+  *   min / max partials (all algebraic & mergeable) -> append mode
+  *   emits each finalized bucket exactly once after the watermark
+  *   passes (T3) -> bucket store (append-only parquet, partitioned)
+  *
+  * Both 15m/5m and 1h/10m sliding windows are then *derived* from the
+  * buckets (every window start in either grid is a multiple of 300 s,
+  * so buckets tile both window sets exactly): avg = sum/n, sample
+  * stddev = sqrt((sum2 - sum^2/n)/(n-1)), total volume = sum. This is
+  * the classic partial-aggregation design: per-key streaming state is
+  * one row per live 5-min bucket (vs 3+6 overlapping windows per key
+  * in the naive form), windows of any grid are batch-derivable later,
+  * and the whole thing scales linearly — state size is O(keys), the
+  * derive step is a map-side explode + one shuffle per grid.
+  *
+  * Exactly-once: foreachBatch is at-least-once, so bucket files carry
+  * the micro-batch id and reads drop replayed duplicates by
+  * (symbol, bucket_start) — same idempotency trick as the reference's
+  * Snowflake MERGE on PK (J3, load_to_snowflake.py:220-241).
+  */
+object StreamPipeline {
+
+  /** Streaming 5-min bucket partials over cleaned ticks: the single
+    * streaming aggregation. Append mode ⇒ finalized buckets only. */
+  def bucketPartials(cleaned: DataFrame, watermark: String = "1 minute"): DataFrame =
+    bucketAgg(cleaned.withWatermark("timestamp", watermark))
+
+  /** The bucket aggregation itself (shared by the streaming leg and
+    * batch backfills — same code path, same semantics). */
+  def bucketAgg(cleaned: DataFrame): DataFrame =
+    cleaned
+      .groupBy(col("symbol"), window(col("timestamp"), "5 minutes").as("__w"))
+      .agg(
+        count(lit(1)).as("n"),
+        // fixed-point decimal partials: EXACT and order-independent, so
+        // merged window metrics reproduce bit-for-bit on any cluster
+        // size (prices are cents; squares are 4-decimal)
+        sum(col("price").cast("decimal(18,2)")).as("price_sum"),
+        sum((col("price") * col("price")).cast("decimal(28,4)")).as("price_sum2"),
+        min(col("price")).as("price_min"),
+        max(col("price")).as("price_max"),
+        sum(col("volume")).as("vol_sum")
+      )
+      .withColumn("bucket_start", col("__w.start").cast("long"))
+      .drop("__w")
+
+  /** Derive one sliding-window grid's metrics from bucket partials.
+    * durationSec/slideSec must both be multiples of 300. */
+  def windowsFromBuckets(buckets: DataFrame, durationSec: Int, slideSec: Int, suffix: String): DataFrame = {
+    require(durationSec % 300 == 0 && slideSec % 300 == 0, "grid must align to 5-min buckets")
+    val nWindows = durationSec / slideSec
+    // a bucket at start b belongs to windows starting at
+    // floor(b/slide)*slide - k*slide, k in [0, nWindows)
+    val merged = buckets
+      .withColumn("__k", explode(array((0 until nWindows).map(lit): _*)))
+      .withColumn("window_start",
+        (col("bucket_start") - pmod(col("bucket_start"), lit(slideSec.toLong))) - col("__k") * slideSec)
+      .filter(col("bucket_start") < col("window_start") + durationSec
+        && col("bucket_start") >= col("window_start"))
+      .groupBy(col("symbol"), col("window_start"))
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("price_sum")).as("s"),
+        sum(col("price_sum2")).as("s2"),
+        min(col("price_min")).as("price_min"),
+        max(col("price_max")).as("price_max"),
+        sum(col("vol_sum")).as("v")
+      )
+    merged.select(
+      col("symbol"),
+      col("window_start"),
+      (col("window_start") + durationSec).as(s"window_end$suffix"),
+      (col("s").cast("double") / col("n")).as(s"moving_avg_price$suffix"),
+      when(col("n") > 1,
+        sqrt(greatest((col("s2").cast("double") - col("s").cast("double") * col("s").cast("double") / col("n")) / (col("n") - 1), lit(0d))))
+        .otherwise(lit(null)).as(s"price_volatility$suffix"),
+      col("v").as(s"total_volume$suffix"),
+      col("price_min").as(s"low$suffix"),
+      col("price_max").as(s"high$suffix"),
+      col("n").as(s"n_ticks$suffix")
+    )
+  }
+
+  /** The reference's J1 output contract: 15m ⋈ 1h windowed metrics per
+    * (symbol, window_start), derived from bucket partials.
+    *
+    * Both grids are computed in ONE aggregation: every bucket explodes
+    * to its (grid, window_start) assignments, a single shuffle groups
+    * by (symbol, window_start), and conditional sums split the grids.
+    * Keeping only rows where both grids have data reproduces the
+    * reference's inner join without a join — one shuffle total,
+    * instead of two aggregates + a join (and it sidesteps the
+    * self-join ambiguity of joining two frames derived from the same
+    * source). */
+  def windowedMetrics(buckets: DataFrame): DataFrame = {
+    val assigns = (0 until 3).map { k =>
+      struct(lit("15m").as("grid"), lit(900).as("dur"),
+        ((col("bucket_start") - pmod(col("bucket_start"), lit(300L))) - k * 300L).as("ws"))
+    } ++ (0 until 6).map { k =>
+      struct(lit("1h").as("grid"), lit(3600).as("dur"),
+        ((col("bucket_start") - pmod(col("bucket_start"), lit(600L))) - k * 600L).as("ws"))
+    }
+    def gridSum(grid: String, c: String) = sum(when(col("grid") === grid, col(c)))
+    val merged = buckets
+      .withColumn("__a", explode(array(assigns: _*)))
+      .select(col("*"), col("__a.grid").as("grid"), col("__a.ws").as("window_start"), col("__a.dur").as("dur"))
+      .filter(col("bucket_start") >= col("window_start")
+        && col("bucket_start") < col("window_start") + col("dur"))
+      .groupBy(col("symbol"), col("window_start"))
+      .agg(
+        gridSum("15m", "n").as("n15"), gridSum("15m", "price_sum").as("s15"),
+        gridSum("15m", "price_sum2").as("s215"), gridSum("15m", "vol_sum").as("v15"),
+        gridSum("1h", "n").as("n1h"), gridSum("1h", "price_sum").as("s1h"),
+        gridSum("1h", "price_sum2").as("s21h"), gridSum("1h", "vol_sum").as("v1h")
+      )
+      .filter(col("n15").isNotNull && col("n1h").isNotNull) // inner-join semantics
+    def stddevOf(n: Column, sd: Column, s2d: Column): Column = {
+      val (s, s2) = (sd.cast("double"), s2d.cast("double"))
+      when(n > 1, sqrt(greatest((s2 - s * s / n) / (n - 1), lit(0d)))).otherwise(lit(null))
+    }
+    merged.select(
+      col("symbol"), col("window_start"),
+      (col("window_start") + 900).as("window_15m_end"),
+      (col("window_start") + 3600).as("window_1h_end"),
+      (col("s15").cast("double") / col("n15")).as("moving_avg_price_15m"),
+      (col("s1h").cast("double") / col("n1h")).as("moving_avg_price_1h"),
+      stddevOf(col("n15"), col("s15"), col("s215")).as("price_volatility_15m"),
+      stddevOf(col("n1h"), col("s1h"), col("s21h")).as("price_volatility_1h"),
+      col("v15").as("total_volume_15m"),
+      col("v1h").as("total_volume_1h")
+    )
+  }
+
+  /** Run the streaming leg: cleaned ticks -> bucket partials ->
+    * append-only parquet bucket store (partitioned by symbol, S8),
+    * batch id stamped for replay dedup. */
+  def run(cleaned: DataFrame, bucketPath: String, checkpoint: String,
+          trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    bucketPartials(cleaned).writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").partitionBy("symbol").parquet(bucketPath)
+      }
+      .start()
+
+  /** Read the bucket store exactly-once: replayed micro-batches are
+    * dropped by keeping the min batch_id per (symbol, bucket_start). */
+  def readBuckets(spark: SparkSession, bucketPath: String): DataFrame =
+    graft.operators.Dedup.keepFirst(
+      spark.read.parquet(bucketPath),
+      Seq("symbol", "bucket_start"), Seq(col("batch_id")))
+      .drop("batch_id")
+}

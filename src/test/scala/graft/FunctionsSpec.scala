@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{NearDup, RollingHash, Similarity, TextAnalysis}
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("text tokens / fingerprint normalize whitespace and case") {
+    val df = Seq(
+      (1L, "The quick  brown fox"),
+      (2L, "the QUICK brown\tfox"),
+      (3L, "something else")
+    ).toDF("id", "text")
+    val fp = df.select($"id", TextAnalysis.fingerprint($"text").as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
+    val toks = df.filter($"id" === 1).select(TextAnalysis.wordTokens($"text")).as[Seq[String]].head()
+    assert(toks == Seq("the", "quick", "brown", "fox"))
+  }
+
+  test("rolling hash: codegen'd expression matches a reference fold") {
+    val df = Seq("abc", "", "the quick brown fox", "ü-utf8").toDF("s")
+    val got = df.select(TextAnalysis.rollingFingerprint($"s")).as[Long].collect()
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * RollingHash.Base + (b & 0xff)) % RollingHash.Mod)
+    val want = Seq("abc", "", "the quick brown fox", "ü-utf8").map(ref)
+    assert(got.toSeq == want)
+  }
+
+  test("exact dedup by hash groups identical content") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val g = NearDup.exactByHash(df, col("doc_id"), md5(col("text"))).collect()
+    val byKeep = g.map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_dupes")).toMap
+    assert(byKeep(1L) == 2L && byKeep(3L) == 1L)
+  }
+
+  test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val near = base + " nu" // high jaccard
+    val far = "one two three four five six seven eight nine ten eleven twelve"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = NearDup.minHashPairs(df, "doc_id", TextAnalysis.wordTokens(col("text")),
+      numHashes = 32, bands = 8, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs distance 0, near docs small distance") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val df = Seq((1L, base), (2L, base), (3L, "unrelated corpus words entirely different domain")).toDF("doc_id", "text")
+    val sim = NearDup.simHash(df, "doc_id", TextAnalysis.wordTokens(col("text")))
+    val m = sim.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    assert(m(1L) == m(2L))
+    assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) > 3)
+    val pairs = NearDup.simHashPairs(sim, maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("cosine top-k matches a driver-side brute force on sf0.001") {
+    val e = graft.core.Tables.embeddings(spark, sf())
+    val topk = Similarity.cosineTopK(e.filter($"vec_id" < 3), e, "vec_id", "embedding", 4)
+      .select("query_id", "neighbor_id", "rnk").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+
+    val all = e.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    for (qid <- 0L until 3L) {
+      val qv = all.find(_._1 == qid).get._2
+      val want = all.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(4).map(_._1).toSeq
+      assert(topk(qid) == want, s"query $qid")
+    }
+  }
+
+  test("bucketed ANN only scans same-bucket candidates") {
+    val e = graft.core.Tables.embeddings(spark, sf())
+    val res = Similarity.topK(
+      Similarity.scoreBucketed(e.filter($"vec_id" < 5), e, "vec_id", "embedding", "label"), 3, col("cos"))
+    val labels = e.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    res.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .foreach { case (q, n) => assert(labels(q.toInt) == labels(n.toInt)) }
+  }
+
+  test("language id is deterministic and marks CJK as zh") {
+    val df = Seq((1L, "the cat is on the mat"), (2L, "der hund und die katze ist"), (3L, "你好世界"))
+      .toDF("id", "text")
+    val got = df.select($"id", TextAnalysis.langId($"text").as("l")).as[(Long, String)].collect().toMap
+    assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "zh")
+  }
+}

@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.SlidingWindows
+import graft.streaming.{Ingest, StreamPipeline, TickSource}
+
+/** Raw wire-shape tick for MemoryStream replay. */
+case class RawTick(symbol: String, price: Double, change: Double, percent_change: String,
+                   volume: String, today_low: Double, today_high: Double, timestamp: String)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def isoPlus(baseSec: Long, off: Long): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(baseSec + off))
+
+  private val base = 1704067200L // 2024-01-01T00:00:00Z
+
+  test("tick source is deterministic, seeded, and wire-shaped") {
+    val a = TickSource.ticks(spark, 50).collect()
+    val b = TickSource.ticks(spark, 50).collect()
+    assert(a.sameElements(b))
+    assert(TickSource.ticks(spark, 10, seed = 7).collect().toSet !=
+      TickSource.ticks(spark, 10, seed = 8).collect().toSet)
+    val df = TickSource.ticks(spark, 20)
+    assert(df.columns.toSeq == Seq("symbol", "price", "change", "percent_change",
+      "volume", "today_low", "today_high", "timestamp"))
+    // running low/high bound the price; percent string carries a %
+    val bad = Ingest.clean(df).filter(!($"today_low" <= $"price" && $"price" <= $"today_high"))
+    assert(bad.isEmpty)
+    assert(df.filter(!$"percent_change".endsWith("%")).isEmpty)
+  }
+
+  test("ingest clean: rename, % strip, casts, null-symbol filter") {
+    val raw = Seq(
+      RawTick("AAPL", 10.5, 0.5, "1.25%", "123", 10.0, 11.0, "2024-01-01T00:00:10"),
+      RawTick("", 1.0, 0.0, "0%", "1", 1.0, 1.0, "2024-01-01T00:00:12")
+    ).toDF()
+    val c = Ingest.clean(raw)
+    assert(c.columns.contains("change_percent") && !c.columns.contains("percent_change"))
+    val r = c.head()
+    assert(r.getAs[Double]("change_percent") == 1.25)
+    assert(r.getAs[Long]("volume") == 123L)
+    assert(r.getAs[java.sql.Timestamp]("timestamp").toInstant.getEpochSecond == base + 10)
+    assert(c.count() == 1) // empty symbol dropped (P6)
+  }
+
+  test("streaming bucket partials + derived windows == batch sliding windows") {
+    val ticks = TickSource.ticks(spark, 400, startEpochSec = base, intervalSec = 2).collect().toSeq
+    val stream = MemoryStream[RawTick](spark)
+    val q = StreamPipeline.bucketPartials(Ingest.clean(stream.toDF()), watermark = "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("buckets").start()
+    try {
+      stream.addData(ticks.map(r => RawTick(r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getString(3), r.getString(4), r.getDouble(5), r.getDouble(6), r.getString(7))))
+      q.processAllAvailable()
+      // flush ticks push the watermark past every real bucket
+      stream.addData(Seq(RawTick("FLUSH", 1.0, 0, "0%", "1", 1, 1, isoPlus(base, 7200))))
+      q.processAllAvailable()
+      stream.addData(Seq(RawTick("FLUSH", 1.0, 0, "0%", "1", 1, 1, isoPlus(base, 7500))))
+      q.processAllAvailable()
+
+      val buckets = spark.table("buckets").filter($"symbol" =!= "FLUSH")
+      val streamed = StreamPipeline.windowedMetrics(buckets)
+
+      val cleanedBatch = Ingest.clean(TickSource.ticks(spark, 400, startEpochSec = base, intervalSec = 2))
+      val batch = SlidingWindows.joined(cleanedBatch, col("symbol"), "symbol", col("timestamp"), col("price"))
+
+      val j = streamed.alias("s").join(batch.alias("b"), Seq("symbol", "window_start"), "full_outer")
+      assert(j.filter($"s.moving_avg_price_15m".isNull || $"b.moving_avg_price_15m".isNull).isEmpty,
+        "window sets differ")
+      val maxDiff = j.select(
+        greatest(
+          abs($"s.moving_avg_price_15m" - $"b.moving_avg_price_15m"),
+          abs($"s.moving_avg_price_1h" - $"b.moving_avg_price_1h"),
+          abs(coalesce($"s.price_volatility_15m", lit(0)) - coalesce($"b.price_volatility_15m", lit(0))),
+          abs(coalesce($"s.price_volatility_1h", lit(0)) - coalesce($"b.price_volatility_1h", lit(0)))
+        ).as("d")).agg(max($"d")).as[Double].head()
+      assert(maxDiff < 1e-6, s"metric drift $maxDiff")
+      // volume: streamed sums the volume column; compare against a
+      // batch sliding-window sum over the same column
+      val batchVol = SlidingWindows.metrics(cleanedBatch, col("symbol"), "symbol",
+        col("timestamp"), col("volume"), "15 minutes", "5 minutes", "_15m")
+        .select($"symbol", $"window_start", $"sum_value_15m")
+      val jv = streamed.join(batchVol, Seq("symbol", "window_start"))
+      val volDiff = jv.select(max(abs($"total_volume_15m" - $"sum_value_15m"))).as[Double].head()
+      assert(volDiff < 1e-6)
+    } finally q.stop()
+  }
+
+  test("late data beyond the watermark is dropped from finalized buckets") {
+    val stream = MemoryStream[RawTick](spark)
+    val q = StreamPipeline.bucketPartials(Ingest.clean(stream.toDF()), watermark = "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("late_buckets").start()
+    try {
+      def tick(sym: String, off: Long): RawTick =
+        RawTick(sym, 10.0, 0, "0%", "1", 10, 10, isoPlus(base, off))
+      stream.addData(Seq(tick("A", 0), tick("A", 60))) // bucket [0,300)
+      q.processAllAvailable()
+      stream.addData(Seq(tick("A", 3600))) // watermark -> 3540
+      q.processAllAvailable()
+      stream.addData(Seq(tick("A", 10))) // LATE: before watermark, dropped
+      stream.addData(Seq(tick("A", 7200), tick("A", 7500))) // flush
+      q.processAllAvailable()
+      val n = spark.table("late_buckets").filter($"bucket_start" === base).select($"n").as[Long].head()
+      assert(n == 2L, "late tick must not be counted")
+    } finally q.stop()
+  }
+
+  test("foreachBatch bucket store: replay-safe read via batch_id dedup") {
+    val dir = Files.createTempDirectory("graft_buckets").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val stream = MemoryStream[RawTick](spark)
+    val q = StreamPipeline.run(Ingest.clean(stream.toDF()), dir, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      def tick(off: Long): RawTick = RawTick("A", 10.0, 0, "0%", "1", 10, 10, isoPlus(base, off))
+      stream.addData((0 until 10).map(i => tick(i * 30L)))
+      q.processAllAvailable()
+      stream.addData(Seq(tick(7200), tick(7500)))
+      q.processAllAvailable()
+      val buckets = StreamPipeline.readBuckets(spark, dir).filter($"symbol" === "A")
+      assert(buckets.count() == buckets.select("symbol", "bucket_start").distinct().count())
+      assert(buckets.agg(sum($"n")).as[Long].head() == 10L)
+      // simulate a replayed micro-batch: duplicate files with a higher batch_id
+      spark.read.parquet(dir).withColumn("batch_id", lit(99L))
+        .write.mode("append").partitionBy("symbol").parquet(dir)
+      val reread = StreamPipeline.readBuckets(spark, dir).filter($"symbol" === "A")
+      assert(reread.agg(sum($"n")).as[Long].head() == 10L, "replay must not double-count")
+    } finally q.stop()
+  }
+}
