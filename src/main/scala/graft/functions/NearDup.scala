@@ -21,13 +21,12 @@ object NearDup {
     df.groupBy(hashCol.as("content_hash"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dupes"))
 
-  /** Distinct-token-set Jaccard similarity between two token arrays.
-    * Integer-count ratio — bitwise deterministic cross-engine. */
+  /** Distinct-token-set Jaccard similarity between two already-distinct
+    * token arrays. Integer-count ratio — bitwise deterministic
+    * cross-engine. */
   def jaccard(a: Column, b: Column): Column = {
-    val ad = array_distinct(a)
-    val bd = array_distinct(b)
-    val inter = size(array_intersect(ad, bd)).cast("double")
-    inter / (size(ad) + size(bd) - size(array_intersect(ad, bd)))
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b)))
   }
 
   /** Quadratic candidate generation within `blockCol` blocks (e.g.
@@ -58,32 +57,69 @@ object NearDup {
     * into `bands` bands; docs sharing any band key become candidates;
     * candidates are verified with exact token-set Jaccard.
     *
-    * Scale shape: map-side signature -> explode(bands) (xB rows) ->
-    * shuffle on band key -> per-bucket pairing (buckets are tiny for
-    * non-pathological corpora) -> verify join. No driver state; the
-    * only quadratic term is within a single LSH bucket.
+    * Scale design (each step exists to kill a quadratic blow-up):
+    *  1. CANONICALIZE: docs are grouped by exact (sorted distinct)
+    *     token set first. Identical sets pair at jaccard 1.0 without
+    *     ever entering LSH — exact-dup mass is the worst LSH
+    *     pathology, and corpora at 100 TB always carry it.
+    *  2. LSH runs over unique sets only: map-side HOF signatures ->
+    *     explode(bands) -> shuffle on band key -> within-bucket
+    *     pairing of bare int ids (no token arrays in the shuffle) ->
+    *     distinct on the int pair.
+    *  3. VERIFY: token arrays are attached back via a join and exact
+    *     Jaccard filters false positives.
+    *  4. EXPAND: surviving set pairs multiply out to doc pairs.
     */
   def minHashPairs(df: DataFrame, idCol: String, tokensCol: Column,
                    numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val t = df.select(col(idCol).as("id"), array_distinct(tokensCol).as("toks"))
+    val t = df.select(col(idCol).as("id"), array_sort(array_distinct(tokensCol)).as("toks"))
+    val sets = t.groupBy(col("toks"))
+      .agg(min(col("id")).as("set_id"), sort_array(collect_list(col("id"))).as("ids"))
+
+    // 1. identical-set doc pairs: jaccard exactly 1.0
+    val dupPairs = sets
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, x -> transform(filter(ids, y -> y > x), " +
+          "y -> named_struct('id_a', x, 'id_b', y))))")).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), lit(1.0).as("jaccard"))
+
+    // 2. LSH over unique sets, int-only candidate pairs
+    val sigs = sets.select(col("set_id"), col("toks"))
       .withColumn("sig", minHashSignature(col("toks"), numHashes))
-    val banded = t.select(
-      col("id"), col("toks"),
+    val banded = sigs.select(
+      col("set_id"),
       posexplode(array((0 until bands).map { b =>
         xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
       }: _*))
-    ).select(col("id"), col("toks"), col("pos").as("band"), col("col").as("band_key"))
-    val a = banded.select(col("band"), col("band_key"), col("id").as("id_a"), col("toks").as("toks_a"))
-    val b = banded.select(col("band"), col("band_key"), col("id").as("id_b"), col("toks").as("toks_b"))
-    a.join(b, Seq("band", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("toks_a"), col("toks_b"))
+    ).select(col("set_id"), col("pos").as("band"), col("col").as("band_key"))
+    val candidates = banded.select(col("band"), col("band_key"), col("set_id").as("set_a"))
+      .join(banded.select(col("band"), col("band_key"), col("set_id").as("set_b")), Seq("band", "band_key"))
+      .filter(col("set_a") < col("set_b"))
+      .select(col("set_a"), col("set_b"))
       .distinct() // a pair can collide in several bands
+
+    // 3. verify with exact jaccard (token arrays re-attached)
+    val toksBySet = sets.select(col("set_id"), col("toks"))
+    val verified = candidates
+      .join(toksBySet.select(col("set_id").as("set_a"), col("toks").as("toks_a")), Seq("set_a"))
+      .join(toksBySet.select(col("set_id").as("set_b"), col("toks").as("toks_b")), Seq("set_b"))
       .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("set_a"), col("set_b"), col("jaccard"))
+
+    // 4. expand set pairs to doc pairs
+    val idsBySet = sets.select(col("set_id"), col("ids"))
+    val expanded = verified
+      .join(idsBySet.select(col("set_id").as("set_a"), col("ids").as("ids_a")), Seq("set_a"))
+      .join(idsBySet.select(col("set_id").as("set_b"), col("ids").as("ids_b")), Seq("set_b"))
+      .select(explode(col("ids_a")).as("x"), col("ids_b"), col("jaccard"))
+      .select(col("x"), explode(col("ids_b")).as("y"), col("jaccard"))
+      .select(least(col("x"), col("y")).as("id_a"), greatest(col("x"), col("y")).as("id_b"), col("jaccard"))
+
+    dupPairs.unionByName(expanded)
   }
 
   /** 64-bit SimHash over the token multiset: bit j of the hash is the
