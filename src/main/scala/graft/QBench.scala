@@ -6,9 +6,12 @@ object QBench {
     val spark = core.GraftSession("qbench", 32)
     val name = args(0); val dir = args(1)
     val fn = SparkEntry.queries(name)
-    val t0 = System.nanoTime()
-    val n = fn(spark, dir).count()
-    println(f"[qbench] $name rows=$n time=${(System.nanoTime()-t0)/1e9}%.2f s")
+    // run twice: first includes JVM/scan warmup, second is the steady state
+    (1 to 2).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, dir).count()
+      println(f"[qbench] $name run$i rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }

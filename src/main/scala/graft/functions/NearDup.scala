@@ -123,22 +123,27 @@ object NearDup {
   }
 
   /** 64-bit SimHash over the token multiset: bit j of the hash is the
-    * sign of sum_t (bit_j(xxhash64(t)) ? +1 : -1). */
+    * sign of sum_t (bit_j(xxhash64(t)) ? +1 : -1).
+    *
+    * Shape: one explode to token rows, then 64 conditional sums in a
+    * single hash aggregate — partial aggregation keeps the shuffle at
+    * one 64-column row per doc (vs exploding tokens x 64 bit rows,
+    * which shuffles 64x the data). */
   def simHash(df: DataFrame, idCol: String, tokensCol: Column): DataFrame = {
     val toks = df.select(col(idCol).as("id"), explode(tokensCol).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    toks
-      .select(col("id"), posexplode(array((0 until 64).map { j =>
-        when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, lit(1)).otherwise(lit(-1))
-      }: _*)))
-      .groupBy(col("id"), col("pos"))
-      .agg(sum(col("col")).as("bit_sum"))
-      .groupBy(col("id"))
-      // assemble the 64-bit value: sum of 2^pos for positive bit sums
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, lit(1)).otherwise(lit(-1))).as(s"b$j")
+    }
+    toks.groupBy(col("id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      // assemble the 64-bit value: sum of 2^j for positive bit sums
       // (distinct powers -> exact; bit 63 lands in the sign bit, which
       // is fine — simhash is a bit pattern, not a magnitude)
-      .agg(sum(when(col("bit_sum") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos AS INT))")).otherwise(lit(0L))).as("simhash"))
+      .select(col("id"),
+        (0 until 64).map { j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
   }
 
   /** Near-dup pairs by SimHash Hamming distance <= maxDist, using

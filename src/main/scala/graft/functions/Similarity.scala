@@ -33,13 +33,18 @@ object Similarity {
 
   /** All (query, candidate) cosine scores, self excluded — the exact
     * brute-force scan. The query set is broadcast; scoring is
-    * map-side. Output: query_id, neighbor_id, cos. */
+    * map-side. Norms are computed ONCE per side before the cross join
+    * (not per pair — with k queries that is a k-fold saving on the
+    * candidate norm, the dominant term). Output: query_id,
+    * neighbor_id, cos. */
   def scoreAll(queries: DataFrame, candidates: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
     val c = candidates.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
     c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .select(col("query_id"), col("neighbor_id"), col("cos"))
   }
 
@@ -51,10 +56,12 @@ object Similarity {
   def scoreBucketed(queries: DataFrame, candidates: DataFrame, idCol: String, vecCol: String,
                     bucketCol: String): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(bucketCol).as("bucket"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
     val c = candidates.select(col(idCol).as("neighbor_id"), col(bucketCol).as("bucket"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .select(col("query_id"), col("bucket"), col("neighbor_id"), col("cos"))
   }
 
