@@ -1,0 +1,62 @@
+package graft.batch
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, MergeUpsert}
+
+/** The warehouse-loader jobs (load_to_snowflake.py /
+  * realtime_load_to_snowflake.py) re-expressed engine-side: scan the
+  * processed prefix (S12), recover the partition column (Spark does
+  * this natively — the reference re-parses `symbol=` out of object
+  * keys by hand at load_to_snowflake.py:123-131), filter null keys
+  * (P6), dedup keep-last (A2), stamp last_updated (T9), and MERGE into
+  * the target on the primary key (S13/J3).
+  *
+  * The reference's cadence is a full prefix re-scan per run; `load`
+  * keeps that parity mode. Incrementally, the same merge runs
+  * per-micro-batch from foreachBatch (StreamPipeline) — at 100 TB the
+  * full-rescan mode is only for backfills.
+  *
+  * The target is a parquet snapshot directory; the merge rewrites it
+  * atomically via write-to-temp + swap. (With a Delta/Iceberg table
+  * the same call maps onto MERGE INTO; no warehouse here.)
+  */
+object WarehouseLoader {
+
+  /** One full-rescan load: returns the post-merge snapshot (pure —
+    * callers persist via `writeSnapshot`). `orderCol` pins the
+    * keep-last survivor (the reference's pandas file order is
+    * nondeterministic — SURVEY.md §2 A2) and is dropped after dedup,
+    * so `source` = target value columns + orderCol. */
+  def load(target: DataFrame, source: DataFrame, keys: Seq[String],
+           orderCol: String, loadTs: java.sql.Timestamp): DataFrame = {
+    val cleaned = keys.foldLeft(source) { (d, k) =>
+      d.filter(col(k).isNotNull && col(k).cast("string") =!= "")
+    }
+    val deduped = Dedup.keepLast(cleaned, keys, Seq(col(orderCol))).drop(orderCol)
+    MergeUpsert.upsertStamped(target, deduped, keys, loadTs)
+  }
+
+  /** Atomic snapshot swap: write to `<path>.tmp`, then move into
+    * place. Readers see either the old or the new snapshot, never a
+    * partial write. */
+  def writeSnapshot(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + ".tmp")
+    val dst = new Path(path)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.rename(tmp, dst)
+  }
+
+  /** Read the current snapshot, or an empty frame with `schema` when
+    * the target does not exist yet (first run). */
+  def readSnapshot(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(path))) spark.read.parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+}

