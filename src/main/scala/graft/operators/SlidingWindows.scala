@@ -39,17 +39,25 @@ object SlidingWindows {
     * Volatility keeps double Welford stddev (its true value is
     * irrational; order noise cannot sit on a decimal boundary). */
   def metrics(df: DataFrame, keyCol: Column, keyName: String, tsCol: Column, valueCol: Column,
-              duration: String, slide: String, suffix: String): DataFrame =
+              duration: String, slide: String, suffix: String,
+              includeMinMax: Boolean = false): DataFrame = {
+    val base = Seq(
+      (sum(valueCol.cast("decimal(18,2)")).cast("double") / count(lit(1))).as(s"avg_value$suffix"),
+      stddev(valueCol).as(s"volatility$suffix"),
+      sum(valueCol.cast("decimal(18,2)")).cast("double").as(s"sum_value$suffix"),
+      count(lit(1)).as(s"n_events$suffix")
+    ) ++ (if (includeMinMax)
+      // A4: the reference declares then comments out per-window
+      // min(today_low)/max(today_high) (spark_stream_processor.py:
+      // 174-175) — available behind this flag
+      Seq(min(valueCol).as(s"min_value$suffix"), max(valueCol).as(s"max_value$suffix"))
+    else Nil)
     df.groupBy(keyCol.as(keyName), window(tsCol, duration, slide).as("__w"))
-      .agg(
-        (sum(valueCol.cast("decimal(18,2)")).cast("double") / count(lit(1))).as(s"avg_value$suffix"),
-        stddev(valueCol).as(s"volatility$suffix"),
-        sum(valueCol.cast("decimal(18,2)")).cast("double").as(s"sum_value$suffix"),
-        count(lit(1)).as(s"n_events$suffix")
-      )
+      .agg(base.head, base.tail: _*)
       .withColumn("window_start", col("__w.start").cast("long"))
       .withColumn(s"window_end$suffix", col("__w.end").cast("long"))
       .drop("__w")
+  }
 
   /** The J1 join: short-window metrics ⋈ long-window metrics on
     * (key, window_start). Only window starts on both slide grids

@@ -148,12 +148,25 @@ object StreamPipeline {
     )
   }
 
+  /** Observability split: rows older than `watermarkTs` are the ones
+    * the windowed aggregation will drop (T6) — side-output them for
+    * dead-lettering instead of losing them silently. Callers inside
+    * foreachBatch read the current watermark from
+    * `query.lastProgress.eventTime.get("watermark")`. */
+  def splitLate(cleaned: DataFrame, watermarkTs: java.sql.Timestamp): (DataFrame, DataFrame) =
+    (cleaned.filter(col("timestamp") >= lit(watermarkTs)),
+      cleaned.filter(col("timestamp") < lit(watermarkTs)))
+
   /** Run the streaming leg: cleaned ticks -> bucket partials ->
     * append-only parquet bucket store (partitioned by symbol, S8),
-    * batch id stamped for replay dedup. */
+    * batch id stamped for replay dedup. Ingest metrics travel via
+    * `observe` (replacing the reference's per-batch collect()+count()
+    * debug sink, spark_stream_processor.py:75-90 — zero extra jobs). */
   def run(cleaned: DataFrame, bucketPath: String, checkpoint: String,
           trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
-    bucketPartials(cleaned).writeStream
+    bucketPartials(
+      cleaned.observe("graft_ingest", count(lit(1)).as("rows"), sum(col("volume")).as("volume"))
+    ).writeStream
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
