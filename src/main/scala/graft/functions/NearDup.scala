@@ -86,18 +86,23 @@ object NearDup {
           "y -> named_struct('id_a', x, 'id_b', y))))")).as("p"))
       .select(col("p.id_a"), col("p.id_b"), lit(1.0).as("jaccard"))
 
-    // 2. LSH over unique sets, int-only candidate pairs
-    val sigs = sets.select(col("set_id"), col("toks"))
+    // 2. LSH over unique sets, int-only candidate pairs. The set SIZE
+    // rides along: jaccard >= t forces |A|/|B| in [t, 1/t] (J <=
+    // min/max), so mismatched-size pairs are pruned before the
+    // distinct — the size filter from the PPJoin family, and the
+    // cheapest cut against LSH false positives.
+    val sigs = sets.select(col("set_id"), size(col("toks")).as("sz"), col("toks"))
       .withColumn("sig", minHashSignature(col("toks"), numHashes))
     val banded = sigs.select(
-      col("set_id"),
+      col("set_id"), col("sz"),
       posexplode(array((0 until bands).map { b =>
         xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
       }: _*))
-    ).select(col("set_id"), col("pos").as("band"), col("col").as("band_key"))
-    val candidates = banded.select(col("band"), col("band_key"), col("set_id").as("set_a"))
-      .join(banded.select(col("band"), col("band_key"), col("set_id").as("set_b")), Seq("band", "band_key"))
-      .filter(col("set_a") < col("set_b"))
+    ).select(col("set_id"), col("sz"), col("pos").as("band"), col("col").as("band_key"))
+    val candidates = banded.select(col("band"), col("band_key"), col("set_id").as("set_a"), col("sz").as("sz_a"))
+      .join(banded.select(col("band"), col("band_key"), col("set_id").as("set_b"), col("sz").as("sz_b")), Seq("band", "band_key"))
+      .filter(col("set_a") < col("set_b")
+        && col("sz_a") >= col("sz_b") * threshold && col("sz_b") >= col("sz_a") * threshold)
       .select(col("set_a"), col("set_b"))
       .distinct() // a pair can collide in several bands
 

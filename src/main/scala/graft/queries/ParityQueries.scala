@@ -198,8 +198,25 @@ object ParityQueries {
     )
   }
 
+  // q17 — as-of (point-in-time) join: every event gets the latest
+  // "quote" (every-10th event) at or before its timestamp, per
+  // user — the canonical tick⋈quote operator, cross-checked against
+  // DuckDB's native ASOF JOIN.
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val left = e.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val quotes = Dedup.keepLast(
+      e.filter(col("event_id") % 10 === 0)
+        .select(col("user_id"), col("ts").as("qts"), col("event_id").as("qid"), col("value").as("qvalue")),
+      Seq("user_id", "qts"), Seq(col("qid")))
+    graft.operators.AsOfJoin.asOf(left, quotes, Seq("user_id"), "ts", "qts")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"),
+        col("qid"), col("qvalue"), unix_micros(col("qts")).as("qts_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_partial_windows" -> q16 _,
+    "q17_asof_join" -> q17 _,
     "q01_ingest_clean" -> q01 _,
     "q02_filter_project" -> q02 _,
     "q03_derived_arith" -> q03 _,
@@ -218,6 +235,16 @@ object ParityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q17_asof_join" ->
+      """WITH e AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
+        |l AS (SELECT user_id, ts, event_id, value FROM e),
+        |q0 AS (SELECT user_id, ts AS qts, event_id AS qid, value AS qvalue FROM e WHERE event_id % 10 = 0),
+        |q AS (SELECT user_id, qts, qid, qvalue FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY user_id, qts ORDER BY qid DESC) AS rn FROM q0)
+        |      WHERE rn = 1)
+        |SELECT l.user_id, l.event_id, epoch_us(l.ts) AS ts_us, l.value,
+        |       q.qid, q.qvalue, epoch_us(q.qts) AS qts_us
+        |FROM l ASOF LEFT JOIN q ON l.user_id = q.user_id AND q.qts <= l.ts""".stripMargin,
     "q16_partial_windows" ->
       """WITH e AS (
         |  SELECT event_type AS symbol, ts::TIMESTAMP AS timestamp, value AS price, user_id AS volume FROM events
