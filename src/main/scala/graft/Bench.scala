@@ -13,6 +13,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the JVM/codegen/scan path once so per-query numbers measure
+    // the engine, not first-touch JIT + parquet footer reads
+    try {
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      SparkEntry.queries.get("q13_tpch_q1").foreach(f => f(spark, sfDir).count())
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling/splitting for training-data
+  * pipelines. Everything is a pure function of row content — no
+  * rand() — so splits are reproducible across runs, partitionings and
+  * engines (the oracle recomputes them exactly).
+  */
+object Sampling {
+
+  /** Knuth multiplicative hash bucket in [0, buckets): reproducible,
+    * well-mixed, and expressible in any engine with 64-bit integer
+    * arithmetic (unlike engine-specific hash functions). */
+  def hashBucket(id: Column, buckets: Int): Column =
+    pmod((id * lit(2654435761L)) % lit(4294967296L), lit(buckets.toLong))
+
+  /** Deterministic train/validation/test split by id hash:
+    * label column with the split name. Fractions in percent. */
+  def split(df: DataFrame, idCol: Column, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val b = hashBucket(idCol, 100)
+    df.withColumn("split",
+      when(b < trainPct, lit("train"))
+        .when(b < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** Per-group quota sampling: keep at most `quota` rows per group,
+    * best-first under `order` (e.g. quality score desc) — domain
+    * balancing for web corpora. One shuffle on the group key. */
+  def quotaPerGroup(df: DataFrame, groupCol: Column, order: Seq[Column], quota: Int): DataFrame =
+    df.withColumn("__rn", row_number().over(Window.partitionBy(groupCol).orderBy(order: _*)))
+      .filter(col("__rn") <= quota)
+      .drop("__rn")
+}

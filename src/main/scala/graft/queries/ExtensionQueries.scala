@@ -116,7 +116,39 @@ object ExtensionQueries {
   private def q32(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("rhash"))
 
+  // q33 — deterministic train/val/test split (multiplicative hash of
+  // the id — reproducible across runs/partitionings/engines; note ids
+  // must stay below ~2^33: DuckDB BIGINT overflow is checked, Spark
+  // with ANSI off wraps).
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sampling.split(docs(s, dir), col("doc_id"))
+      .select(col("doc_id"), col("split"))
+
+  // q34 — per-source quota sampling (domain balancing): top-5 docs per
+  // source by (n_chars desc, doc_id).
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sampling.quotaPerGroup(
+      docs(s, dir), col("source"), Seq(col("n_chars").desc, col("doc_id")), quota = 5)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+
+  // q35 — exact order statistics: interpolated quartiles of integer
+  // quantities (dyadic interpolation of ints is float-exact in both
+  // engines) + exact distinct count per group.
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("q25"),
+        expr("percentile(l_quantity, 0.5)").as("q50"),
+        expr("percentile(l_quantity, 0.75)").as("q75"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows")
+      )
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_split" -> q33 _,
+    "q34_quota_sample" -> q34 _,
+    "q35_percentiles" -> q35 _,
     "q20_dedup_hash" -> q20 _,
     "q21_jaccard_pairs" -> q21 _,
     "q22_minhash_pairs" -> q22 _,
@@ -133,6 +165,26 @@ object ExtensionQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q33_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+        |       WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "q34_quota_sample" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5""".stripMargin,
+    "q35_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q25,
+        |  quantile_cont(l_quantity, 0.5) AS q50,
+        |  quantile_cont(l_quantity, 0.75) AS q75,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q20_dedup_hash" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dupes
         |FROM documents GROUP BY 1""".stripMargin,
