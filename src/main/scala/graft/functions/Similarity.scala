@@ -76,6 +76,41 @@ object Similarity {
   def cosineTopK(queries: DataFrame, candidates: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
     topK(scoreAll(queries, candidates, idCol, vecCol), k, col("cos"))
 
+  /** IVF coarse-quantizer build: per-bucket centroid as the
+    * element-wise mean vector. One narrow shuffle of (bucket, dim)
+    * partial sums; output is tiny (nBuckets rows) and broadcastable.
+    * With k-means this would iterate assign->recompute; one step over
+    * pre-labeled data demonstrates the index-build dataflow. */
+  def centroids(candidates: DataFrame, vecCol: String, bucketCol: String): DataFrame =
+    candidates
+      .select(col(bucketCol).as("bucket"), posexplode(asDouble(col(vecCol))).as(Seq("dim", "x")))
+      .groupBy(col("bucket"), col("dim"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("bucket"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("__s"))
+      .select(col("bucket"), transform(col("__s"), s => s.getField("m")).as("centroid"))
+
+  /** Assign each query vector to its nearest centroid (cosine), then
+    * search only that bucket — the full IVF(nprobe=1) flow. */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, idCol: String, vecCol: String,
+              bucketCol: String, k: Int): DataFrame = {
+    val cents = centroids(candidates, vecCol, bucketCol)
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val assigned = q.crossJoin(broadcast(cents))
+      .withColumn("sim", cosine(col("qv"), col("centroid")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("bucket"))))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("bucket"), col("qv"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(bucketCol).as("bucket"),
+      asDouble(col(vecCol)).as("cv")).withColumn("cn", l2norm(col("cv")))
+    val scored = c.join(broadcast(assigned), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (l2norm(col("qv")) * col("cn")))
+      .select(col("query_id"), col("bucket"), col("neighbor_id"), col("cos"))
+    topK(scored, k, col("cos"))
+  }
+
   /** Sign-random-projection LSH bucket id from `nBits` seeded
     * hyperplanes: bit i = sign(<v, h_i>) where h_i components are
     * derived deterministically from xxhash64(i, dim) — a data-free

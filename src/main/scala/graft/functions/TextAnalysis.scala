@@ -81,4 +81,18 @@ object TextAnalysis {
     * Catalyst expression — see RollingHash.scala). Not SQL-portable;
     * used by the Scala API + tests. */
   def rollingFingerprint(text: Column): Column = RollingHash.column(text)
+
+  /** Fixed-size character chunks with overlap (context-window prep):
+    * chunk i covers [i*(size-overlap), i*(size-overlap)+size); the
+    * last chunk may be shorter. Returns an array; pair with
+    * posexplode for (chunk_id, chunk) rows. `nChars` passed in (often
+    * a stored column) to avoid recomputing length. */
+  def chunks(text: Column, nChars: Column, size: Int, overlap: Int): Column = {
+    require(overlap >= 0 && overlap < size, "need 0 <= overlap < size")
+    val stride = size - overlap
+    val lastIdx = greatest(
+      ceil((nChars - lit(overlap)).cast("double") / lit(stride)).cast("int") - 1, lit(0))
+    transform(sequence(lit(0), lastIdx),
+      i => call_function("substring", text, i * stride + 1, lit(size)))
+  }
 }

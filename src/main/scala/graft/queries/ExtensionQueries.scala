@@ -145,7 +145,26 @@ object ExtensionQueries {
         count(lit(1)).as("n_rows")
       )
 
+  // q36 — fixed-size overlapping chunks (context-window prep):
+  // size 256, overlap 56 (stride 200).
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      posexplode(TextAnalysis.chunks(col("text"), col("n_chars"), size = 256, overlap = 56)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"), col("col").as("chunk"),
+        length(col("col")).cast("long").as("chunk_chars"))
+
+  // q37 — IVF top-k with computed centroids (nprobe=1; rows-only:
+  // centroid float math is engine-internal).
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", "label", k = 5)
+      .select(col("query_id"), col("bucket"), col("neighbor_id"), col("rnk"), r4(col("cos")).as("cos_r"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_chunks" -> q36 _,
+    "q37_ivf_topk" -> q37 _,
     "q33_split" -> q33 _,
     "q34_quota_sample" -> q34 _,
     "q35_percentiles" -> q35 _,
@@ -165,6 +184,12 @@ object ExtensionQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q36_chunks" ->
+      """SELECT doc_id, g.k AS chunk_id,
+        |  substring(text, (g.k*200 + 1)::INT, 256) AS chunk,
+        |  length(substring(text, (g.k*200 + 1)::INT, 256))::BIGINT AS chunk_chars
+        |FROM documents, generate_series(0, 1000) g(k)
+        |WHERE g.k <= greatest(ceil((n_chars - 56)::DOUBLE / 200)::BIGINT - 1, 0)""".stripMargin,
     "q33_split" ->
       """SELECT doc_id,
         |  CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train'

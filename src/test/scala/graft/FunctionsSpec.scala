@@ -90,6 +90,33 @@ class FunctionsSpec extends SparkSpec {
       .foreach { case (q, n) => assert(labels(q.toInt) == labels(n.toInt)) }
   }
 
+  test("chunking: coverage with overlap, last chunk short, tiny doc = one chunk") {
+    val df = Seq((1L, "a" * 500), (2L, "xy")).toDF("doc_id", "text")
+      .withColumn("n_chars", length($"text").cast("long"))
+    val chunks = df.select($"doc_id",
+        posexplode(TextAnalysis.chunks($"text", $"n_chars", size = 256, overlap = 56)))
+      .select($"doc_id", $"pos", $"col".as("chunk"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val d1 = chunks.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    assert(d1.length == 3) // strides at 0,200,400 over 500 chars
+    assert(d1(0).length == 256 && d1(1).length == 256 && d1(2).length == 100)
+    // consecutive chunks overlap by 56 chars
+    assert(d1(0).takeRight(56) == d1(1).take(56))
+    assert(chunks.count(_._1 == 2L) == 1 && chunks.find(_._1 == 2L).get._3 == "xy")
+  }
+
+  test("IVF with computed centroids: assigns to nearest centroid, searches one bucket") {
+    // two tight clusters far apart; queries must land in their own cluster
+    def vec(base: Double): Seq[Float] = Seq.tabulate(4)(i => (base + i * 0.01).toFloat)
+    val rows = (0 until 6).map(i => (i.toLong, vec(1.0 + i * 0.001), 0)) ++
+      (6 until 12).map(i => (i.toLong, vec(-1.0 - i * 0.001).map(x => (-x).abs * -1), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val res = Similarity.ivfTopK(df.filter($"vec_id".isin(0L, 6L)), df, "vec_id", "embedding", "label", 3)
+    val byQ = res.select("query_id", "neighbor_id").as[(Long, Long)].collect().groupBy(_._1)
+    assert(byQ(0L).map(_._2).forall(_ < 6), "query 0 searches cluster-0 bucket only")
+    assert(byQ(6L).map(_._2).forall(n => n >= 6 && n < 12), "query 6 searches cluster-1 bucket only")
+  }
+
   test("language id is deterministic and marks CJK as zh") {
     val df = Seq((1L, "the cat is on the mat"), (2L, "der hund und die katze ist"), (3L, "你好世界"))
       .toDF("id", "text")
