@@ -214,9 +214,42 @@ object ParityQueries {
         col("qid"), col("qvalue"), unix_micros(col("qts")).as("qts_us"))
   }
 
+  // q18 — session windows (gap-based sessionization; beyond the
+  // reference, SURVEY §2.7): per-user sessions closed after a 30-min
+  // quiet gap. Spark's session_window vs the oracle's lag+cumsum
+  // session-id rewrite — same semantics, cross-checked.
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("__w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        r4(sum(col("value").cast("decimal(18,2)")).cast("double")).as("sum_value")
+      )
+      .select(
+        col("user_id"),
+        col("__w.start").cast("long").as("session_start"),
+        col("__w.end").cast("long").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  // q19 — range (non-equi) join: price-band classification. The band
+  // table is tiny -> broadcast nested loop; at scale bands stay
+  // broadcastable by construction (it's a dimension).
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.createDataFrame(Seq(
+      (0.0, 5.0, "low"), (5.0, 12.0, "mid"), (12.0, 1e9, "high")
+    )).toDF("lo", "hi", "band")
+    ev(s, dir)
+      .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"), "left")
+      .groupBy(col("event_type"), col("band"))
+      .agg(count(lit(1)).as("n"),
+        r4(sum(col("value").cast("decimal(18,2)")).cast("double")).as("sum_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_partial_windows" -> q16 _,
     "q17_asof_join" -> q17 _,
+    "q18_session_window" -> q18 _,
+    "q19_range_join" -> q19 _,
     "q01_ingest_clean" -> q01 _,
     "q02_filter_project" -> q02 _,
     "q03_derived_arith" -> q03 _,
@@ -235,6 +268,29 @@ object ParityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q18_session_window" ->
+      """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events),
+        |m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e
+        |), s AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m
+        |)
+        |SELECT user_id,
+        |  floor(epoch(min(ts)))::BIGINT AS session_start,
+        |  floor(epoch(max(ts)) + 1800)::BIGINT AS session_end,
+        |  count(*)::BIGINT AS n_events,
+        |  floor(sum(value::DECIMAL(18,2))::DOUBLE*10000 + 0.5)/10000 AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q19_range_join" ->
+      """WITH bands(lo, hi, band) AS (VALUES (0.0, 5.0, 'low'), (5.0, 12.0, 'mid'), (12.0, 1e9, 'high'))
+        |SELECT event_type, band, count(*)::BIGINT AS n,
+        |  floor(sum(value::DECIMAL(18,2))::DOUBLE*10000 + 0.5)/10000 AS sum_value
+        |FROM events LEFT JOIN bands ON value >= lo AND value < hi
+        |GROUP BY 1, 2""".stripMargin,
     "q17_asof_join" ->
       """WITH e AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
         |l AS (SELECT user_id, ts, event_id, value FROM e),
