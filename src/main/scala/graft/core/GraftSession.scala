@@ -13,8 +13,9 @@ import org.apache.spark.sql.SparkSession
   * UTC session timezone so timestamp semantics match the DuckDB oracle.
   */
 object GraftSession {
-  def apply(appName: String = "graft", cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
-    val spark = SparkSession
+  def apply(appName: String = "graft", cores: Int = Runtime.getRuntime.availableProcessors(),
+            rocksDbState: Boolean = false): SparkSession = {
+    val b = SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
@@ -24,7 +25,15 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.streaming.stopGracefullyOnShutdown", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // long-running streaming state at scale: RocksDB keeps state off
+    // the executor heap and incremental-checkpoints (SURVEY §7
+    // known-hard #5); the HDFS-backed default is fine for tests
+    val withState = if (rocksDbState)
+      b.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    else b
+    val spark = withState.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

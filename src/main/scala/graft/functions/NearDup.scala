@@ -151,6 +151,41 @@ object NearDup {
         }.reduce(_ + _).as("simhash"))
   }
 
+  /** Embedding-cosine near-duplicates: all (a<b) pairs with cosine >=
+    * threshold. The exact quadratic baseline — use for candidate
+    * verification and small corpora; `embeddingPairsLsh` is the scale
+    * path. Norms precomputed per row; double HOF arithmetic is
+    * bitwise-deterministic (oracle-comparable). */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val t = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", sqrt(Similarity.dot(col("v"), col("v"))))
+    val a = t.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+    val b = t.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Scale path: sign-random-projection LSH buckets prune the
+    * quadratic pair space — only same-bucket pairs are scored. High
+    * thresholds keep recall high (similar vectors agree on most
+    * hyperplane signs); nBits trades recall vs bucket size. */
+  def embeddingPairsLsh(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+                        nBits: Int = 8, dim: Int = 64): DataFrame = {
+    val t = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bkt", Similarity.srpBucket(col("v"), nBits, dim))
+      .withColumn("n", sqrt(Similarity.dot(col("v"), col("v"))))
+    val a = t.select(col("bkt"), col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+    val b = t.select(col("bkt"), col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
+    a.join(b, Seq("bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** Near-dup pairs by SimHash Hamming distance <= maxDist, using
     * 4x16-bit band join (pigeonhole: hd<=3 implies at least one equal
     * 16-bit chunk) instead of an all-pairs scan. */

@@ -162,7 +162,20 @@ object ExtensionQueries {
       .select(col("query_id"), col("bucket"), col("neighbor_id"), col("rnk"), r4(col("cos")).as("cos_r"))
   }
 
+  // q38 — embedding-cosine near-dup pairs (exact quadratic baseline).
+  private def q38(s: SparkSession, dir: String): DataFrame =
+    NearDup.embeddingPairs(emb(s, dir), "vec_id", "embedding", threshold = 0.3)
+      .select(col("id_a"), col("id_b"), r4(col("cos")).as("cos"))
+
+  // q39 — embedding near-dup via SRP-LSH bucket pruning (scale path;
+  // rows-only: bucket assignment is engine-internal hashing).
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    NearDup.embeddingPairsLsh(emb(s, dir), "vec_id", "embedding", threshold = 0.3)
+      .select(col("id_a"), col("id_b"), r4(col("cos")).as("cos"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_embed_neardup" -> q38 _,
+    "q39_embed_neardup_lsh" -> q39 _,
     "q36_chunks" -> q36 _,
     "q37_ivf_topk" -> q37 _,
     "q33_split" -> q33 _,
@@ -184,6 +197,13 @@ object ExtensionQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q38_embed_neardup" ->
+      """WITH t AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nn FROM t)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  floor((list_dot_product(a.v, b.v)/(a.nn*b.nn))*10000 + 0.5)/10000 AS cos
+        |FROM n a JOIN n b ON a.id < b.id
+        |WHERE list_dot_product(a.v, b.v)/(a.nn*b.nn) >= 0.3""".stripMargin,
     "q36_chunks" ->
       """SELECT doc_id, g.k AS chunk_id,
         |  substring(text, (g.k*200 + 1)::INT, 256) AS chunk,
