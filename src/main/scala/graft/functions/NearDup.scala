@@ -168,19 +168,27 @@ object NearDup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
-  /** Scale path: sign-random-projection LSH buckets prune the
-    * quadratic pair space — only same-bucket pairs are scored. High
-    * thresholds keep recall high (similar vectors agree on most
-    * hyperplane signs); nBits trades recall vs bucket size. */
+  /** Scale path: multi-table sign-random-projection LSH. Each of
+    * `tables` independent SRP hash tables buckets the vectors; a pair
+    * is a candidate if it collides in ANY table (recall compounds as
+    * 1-(1-p^nBits)^tables), candidates dedupe as int pairs, and exact
+    * cosine verifies. nBits trades bucket size vs per-table recall;
+    * more tables buys recall linearly in cost. */
   def embeddingPairsLsh(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-                        nBits: Int = 8, dim: Int = 64): DataFrame = {
+                        nBits: Int = 8, dim: Int = 64, tables: Int = 4): DataFrame = {
     val t = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("bkt", Similarity.srpBucket(col("v"), nBits, dim))
       .withColumn("n", sqrt(Similarity.dot(col("v"), col("v"))))
-    val a = t.select(col("bkt"), col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
-    val b = t.select(col("bkt"), col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
-    a.join(b, Seq("bkt"))
+    val banded = t.select(col("id"),
+      posexplode(array((0 until tables).map(tb => Similarity.srpBucket(col("v"), nBits, dim, seed = tb)): _*)))
+      .select(col("id"), col("pos").as("tbl"), col("col").as("bkt"))
+    val candidates = banded.select(col("tbl"), col("bkt"), col("id").as("id_a"))
+      .join(banded.select(col("tbl"), col("bkt"), col("id").as("id_b")), Seq("tbl", "bkt"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    candidates
+      .join(t.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na")), Seq("id_a"))
+      .join(t.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb")), Seq("id_b"))
       .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))

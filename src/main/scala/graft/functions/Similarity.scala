@@ -112,19 +112,19 @@ object Similarity {
   }
 
   /** Sign-random-projection LSH bucket id from `nBits` seeded
-    * hyperplanes: bit i = sign(<v, h_i>) where h_i components are
-    * derived deterministically from xxhash64(i, dim) — a data-free
-    * stand-in for trained planes, giving a 2^nBits-bucket ANN index
-    * with no external state. */
-  def srpBucket(vec: Column, nBits: Int, dim: Int): Column = {
+    * hyperplanes: bit i = sign(<v, h_i>) where h_i is a deterministic
+    * ±1 plane derived from (seed, i, j) — a data-free stand-in for
+    * trained planes, giving a 2^nBits-bucket ANN index with no
+    * external state. Planes are array literals dotted with zip_with —
+    * codegen stays small regardless of dim. */
+  def srpBucket(vec: Column, nBits: Int, dim: Int, seed: Int = 0): Column = {
+    import org.apache.spark.sql.functions.typedlit
     val v = asDouble(vec)
     val bits = (0 until nBits).map { i =>
-      // deterministic pseudo-random +-1 plane: sign of xxhash64(i, j)
-      val proj = (0 until dim).map { j =>
-        val sign = if (((scala.util.hashing.MurmurHash3.productHash((i, j)) >> 1) & 1) == 0) 1d else -1d
-        element_at(v, j + 1) * lit(sign)
-      }.reduce(_ + _)
-      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
+      val plane: Seq[Double] = (0 until dim).map { j =>
+        if (((scala.util.hashing.MurmurHash3.productHash((seed, i, j)) >> 1) & 1) == 0) 1d else -1d
+      }
+      when(dot(v, typedlit(plane)) > 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }

@@ -168,7 +168,11 @@ object ExtensionQueries {
       .select(col("id_a"), col("id_b"), r4(col("cos")).as("cos"))
 
   // q39 — embedding near-dup via SRP-LSH bucket pruning (scale path;
-  // rows-only: bucket assignment is engine-internal hashing).
+  // rows-only: bucket assignment is engine-internal hashing). NOTE:
+  // SRP recall is a function of similarity (P[bit agree] = 1-θ/π);
+  // at the true near-dup regime (cos>=0.85) recall is high, while at
+  // this demo threshold (0.3 — this corpus has no real near-dup
+  // embeddings) it is honestly low. The exact baseline is q38.
   private def q39(s: SparkSession, dir: String): DataFrame =
     NearDup.embeddingPairsLsh(emb(s, dir), "vec_id", "embedding", threshold = 0.3)
       .select(col("id_a"), col("id_b"), r4(col("cos")).as("cos"))

@@ -117,6 +117,21 @@ class FunctionsSpec extends SparkSpec {
     assert(byQ(6L).map(_._2).forall(n => n >= 6 && n < 12), "query 6 searches cluster-1 bucket only")
   }
 
+  test("embedding near-dup: exact finds planted dup; LSH always finds identical vectors") {
+    val base = Seq.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val near = base.updated(0, base.head + 1e-4f)
+    val far = Seq.tabulate(16)(i => math.cos(3 * i + 2).toFloat)
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("vec_id", "embedding")
+    val exact = NearDup.embeddingPairs(df, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact == Set((1L, 2L)))
+    // near-identical vectors agree on every hyperplane sign -> collide
+    // in every SRP table -> always found
+    val lsh = NearDup.embeddingPairsLsh(df, "vec_id", "embedding", 0.99, nBits = 8, dim = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == Set((1L, 2L)))
+  }
+
   test("language id is deterministic and marks CJK as zh") {
     val df = Seq((1L, "the cat is on the mat"), (2L, "der hund und die katze ist"), (3L, "你好世界"))
       .toDF("id", "text")
