@@ -21,9 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-order dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+  /** Sequential-order dot product of two array<double> columns —
+    * a native codegen'd expression (see DotProduct.scala); bitwise
+    * identical to the HOF `aggregate(zip_with(...))` formulation it
+    * replaced, minus the per-row intermediate array. */
+  def dot(a: Column, b: Column): Column = DotProduct.column(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
