@@ -245,11 +245,49 @@ object ParityQueries {
         r4(sum(col("value").cast("decimal(18,2)")).cast("double")).as("sum_value"))
   }
 
+  // q40 — TPC-H Q3 shape (shipping priority): segment-filtered 3-way
+  // join, per-order revenue, deterministic top-10.
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = li(s, dir).filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"), col("o_orderpriority"))
+      .agg(r2(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(28,4)")).cast("double")).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  // q41 — TPC-H Q5 shape (local supplier volume): six-way join where
+  // the customer and supplier share a nation, revenue per nation in
+  // one region. Dims broadcast; facts shuffle on their join keys.
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, dir)
+    val c = Tables.customer(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = li(s, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(sup, l("l_suppkey") === sup("s_suppkey") && c("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(r2(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(28,4)")).cast("double")).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_partial_windows" -> q16 _,
     "q17_asof_join" -> q17 _,
     "q18_session_window" -> q18 _,
     "q19_range_join" -> q19 _,
+    "q40_tpch_q3" -> q40 _,
+    "q41_tpch_q5" -> q41 _,
     "q01_ingest_clean" -> q01 _,
     "q02_filter_project" -> q02 _,
     "q03_derived_arith" -> q03 _,
@@ -268,6 +306,30 @@ object ParityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q40_tpch_q3" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority,
+        |  floor(sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,4))::DOUBLE*100 + 0.5)/100 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q41_tpch_q5" ->
+      """SELECT n_name,
+        |  floor(sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,4))::DOUBLE*100 + 0.5)/100 AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
     "q18_session_window" ->
       """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events),
         |m AS (
