@@ -74,7 +74,13 @@ object NearDup {
                    numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val t = df.select(col(idCol).as("id"), array_sort(array_distinct(tokensCol)).as("toks"))
+    // tokens hash to sorted long arrays up front: cheaper shuffle key
+    // for canonicalization, cheaper minhash (long rehash, not string),
+    // and verification becomes a sorted-merge count (IntersectCount).
+    // Jaccard over hashed tokens equals string jaccard up to 64-bit
+    // collisions (negligible).
+    val t = df.select(col(idCol).as("id"),
+      array_sort(transform(array_distinct(tokensCol), tk => xxhash64(tk))).as("toks"))
     val sets = t.groupBy(col("toks"))
       .agg(min(col("id")).as("set_id"), sort_array(collect_list(col("id"))).as("ids"))
 
@@ -111,7 +117,8 @@ object NearDup {
     val verified = candidates
       .join(toksBySet.select(col("set_id").as("set_a"), col("toks").as("toks_a")), Seq("set_a"))
       .join(toksBySet.select(col("set_id").as("set_b"), col("toks").as("toks_b")), Seq("set_b"))
-      .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
+      .withColumn("__i", IntersectCount.column(col("toks_a"), col("toks_b")).cast("double"))
+      .withColumn("jaccard", col("__i") / (size(col("toks_a")) + size(col("toks_b")) - col("__i")))
       .filter(col("jaccard") >= threshold)
       .select(col("set_a"), col("set_b"), col("jaccard"))
 
