@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale probe: replicates sf0.1 facts 10x (~6M lineitem rows, ~100k
+  * events... x10) in /tmp parquet and re-runs the headline aggregate/
+  * join shapes, to observe how wall-clock scales with input size on
+  * the same plans (evidence for the would-it-survive-100x question;
+  * ids are offset per replica so key cardinality scales too).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = core.GraftSession("scaleprobe", 32)
+    val src = "/root/testdata/sf0.1"
+    val dst = "/tmp/graft_sf1"
+    val reps = 10
+
+    def replicate(table: String, idCols: Seq[String], offset: Long): Unit = {
+      val base = core.Tables(spark, src, table)
+      val out = (0 until reps).map { r =>
+        idCols.foldLeft(base)((d, c) => d.withColumn(c, col(c) + lit(r * offset)))
+      }.reduce(_ unionByName _)
+      out.write.mode("overwrite").parquet(s"$dst/$table.parquet")
+    }
+    val t0 = System.nanoTime()
+    replicate("lineitem", Seq("l_orderkey"), 100000000L)
+    replicate("orders", Seq("o_orderkey"), 100000000L) // o_custkey stays -> joins fan out per replica
+    replicate("events", Seq("event_id"), 100000000L)
+    println(f"[scale] replicate ${(System.nanoTime()-t0)/1e9}%.1f s")
+
+    def time(label: String)(f: => Long): Unit = {
+      val t = System.nanoTime(); val n = f
+      println(f"[scale] $label rows=$n time=${(System.nanoTime()-t)/1e9}%.2f s")
+    }
+    // q13 shape at 10x
+    time("q13_tpch_q1@10x") {
+      SparkEntry.queries("q13_tpch_q1")(spark, dst).count()
+    }
+    // q07 sliding windows at 10x events
+    time("q07_window_15m@10x") {
+      SparkEntry.queries("q07_window_15m")(spark, dst).count()
+    }
+    // join+agg: lineitem(6M) x orders(1.5M) with dims from sf0.1
+    val l = spark.read.parquet(s"$dst/lineitem.parquet")
+    val o = spark.read.parquet(s"$dst/orders.parquet")
+    val c = core.Tables.customer(spark, src)
+    val n = core.Tables.nation(spark, src)
+    time("q14_join_agg@10x") {
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"), count(lit(1)))
+        .count()
+    }
+    spark.stop()
+  }
+}
