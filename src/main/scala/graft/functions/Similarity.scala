@@ -68,8 +68,29 @@ object Similarity {
   }
 
   /** Per-query top-k over a scored frame: rank by `scoreCol` desc with
-    * neighbor_id tiebreak. One shuffle on query_id. */
+    * neighbor_id tiebreak.
+    *
+    * Runs on the bounded-heap aggregate (BoundedTopK), NOT a
+    * row_number window: partial aggregation reduces every map
+    * partition to <= k rows per query before the exchange, so the
+    * shuffle carries O(partitions * k) rows per query instead of the
+    * whole scored corpus, and no single reducer ever sorts
+    * |corpus|-sized data. Output rows and order are identical to the
+    * window form (the (score desc, neighbor_id) key is total). */
   def topK(scored: DataFrame, k: Int, scoreCol: Column): DataFrame = {
+    val cols = scored.columns.toSeq
+    val key = struct(negate(scoreCol), col("neighbor_id"))
+    val payload = struct(cols.map(col): _*)
+    scored.groupBy(col("query_id"))
+      .agg(BoundedTopK.column(key, payload, k).as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__pos", "__p")))
+      .select(cols.map(c => col("__p").getField(c).as(c)) :+ (col("__pos") + 1).cast("long").as("rnk"): _*)
+  }
+
+  /** The window formulation topK replaced — kept as the semantic
+    * reference for the equivalence spec. Scale hazard: one reducer
+    * partition per query sorts the entire scored set. */
+  private[graft] def topKWindow(scored: DataFrame, k: Int, scoreCol: Column): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(scoreCol.desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
   }
