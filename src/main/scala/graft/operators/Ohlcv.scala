@@ -36,20 +36,20 @@ object Ohlcv {
       order: Seq[Column],
       volCol: Option[Column] = None
   ): DataFrame = {
+    // open/close = value at the min/max of the (ascending) order key —
+    // min_by/max_by carry the argmin/argmax through the SAME hash
+    // aggregate as high/low/volume: one shuffle, NO window sort. The
+    // previous formulation paid two full per-key sorts (asc + desc
+    // row_number) before the groupBy; at 100 TB those sorts dominate.
     val keyed = df.withColumns(keyNames.zip(keys).toMap)
-    val wAsc  = Window.partitionBy(keyNames.map(col): _*).orderBy(order: _*)
-    val wDesc = Window.partitionBy(keyNames.map(col): _*).orderBy(order.map(_.desc): _*)
-    val withRn = keyed
-      .withColumn("__v", valueCol)
-      .withColumn("__rn_a", row_number().over(wAsc))
-      .withColumn("__rn_d", row_number().over(wDesc))
+    val ordKey = struct(order: _*)
     val aggs = Seq(
-      max(when(col("__rn_a") === 1, col("__v"))).as("open"),
-      max(col("__v")).as("high"),
-      min(col("__v")).as("low"),
-      max(when(col("__rn_d") === 1, col("__v"))).as("close")
+      min_by(valueCol, ordKey).as("open"),
+      max(valueCol).as("high"),
+      min(valueCol).as("low"),
+      max_by(valueCol, ordKey).as("close")
     ) ++ volCol.map(v => sum(v).as("volume")).toSeq :+ count(lit(1)).as("n")
-    withRn.groupBy(keyNames.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    keyed.groupBy(keyNames.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Strict-parity mode: the reference's unordered-window

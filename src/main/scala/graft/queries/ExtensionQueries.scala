@@ -134,16 +134,23 @@ object ExtensionQueries {
   // q35 — exact order statistics: interpolated quartiles of integer
   // quantities (dyadic interpolation of ints is float-exact in both
   // engines) + exact distinct count per group.
-  private def q35(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        expr("percentile(l_quantity, 0.25)").as("q25"),
-        expr("percentile(l_quantity, 0.5)").as("q50"),
-        expr("percentile(l_quantity, 0.75)").as("q75"),
-        countDistinct(col("l_orderkey")).as("n_orders"),
-        count(lit(1)).as("n_rows")
-      )
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    // Two small aggregations joined on the tiny group key instead of
+    // one: mixing countDistinct with other aggregates forces an
+    // Expand (row duplication) through every buffer; separated, the
+    // percentile buffer sees each row once (one buffer serves all
+    // three quantiles) and the distinct count is a plain two-level agg.
+    val pct = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("__qs"),
+        count(lit(1)).as("n_rows"))
+    val dst = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    pct.join(dst, Seq("l_returnflag"))
+      .select(col("l_returnflag"),
+        col("__qs")(0).as("q25"), col("__qs")(1).as("q50"), col("__qs")(2).as("q75"),
+        col("n_orders"), col("n_rows"))
+  }
 
   // q36 — fixed-size overlapping chunks (context-window prep):
   // size 256, overlap 56 (stride 200).
