@@ -59,30 +59,52 @@ object NearDup {
     *
     * Scale design (each step exists to kill a quadratic blow-up):
     *  1. CANONICALIZE: docs are grouped by exact (sorted distinct)
-    *     token set first. Identical sets pair at jaccard 1.0 without
-    *     ever entering LSH — exact-dup mass is the worst LSH
-    *     pathology, and corpora at 100 TB always carry it.
+    *     token set first — keyed on a 128-bit FINGERPRINT of the set
+    *     (two independent xxhash64 views), so the exchange key is 16
+    *     bytes, never the token array itself. Identical sets pair at
+    *     jaccard 1.0 without ever entering LSH — exact-dup mass is
+    *     the worst LSH pathology, and corpora at 100 TB always carry
+    *     it. Token arrays live in exactly ONE table (`sets`), joined
+    *     downstream by int `set_id`.
     *  2. LSH runs over unique sets only: map-side HOF signatures ->
     *     explode(bands) -> shuffle on band key -> within-bucket
     *     pairing of bare int ids (no token arrays in the shuffle) ->
-    *     distinct on the int pair.
+    *     distinct on the int pair. Buckets larger than
+    *     `maxBucketSize` are DROPPED before pairing: a band key
+    *     shared by that many sets is a stop-word band whose pairs
+    *     cost O(n^2) while any genuinely similar pair it contains
+    *     collides again in one of the other bands; without the cap a
+    *     single degenerate band key goes quadratic at scale.
     *  3. VERIFY: token arrays are attached back via a join and exact
     *     Jaccard filters false positives.
     *  4. EXPAND: surviving set pairs multiply out to doc pairs.
     */
   def minHashPairs(df: DataFrame, idCol: String, tokensCol: Column,
-                   numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.8): DataFrame = {
+                   numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.8,
+                   maxBucketSize: Int = 4096): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    // tokens hash to sorted long arrays up front: cheaper shuffle key
-    // for canonicalization, cheaper minhash (long rehash, not string),
-    // and verification becomes a sorted-merge count (IntersectCount).
-    // Jaccard over hashed tokens equals string jaccard up to 64-bit
-    // collisions (negligible).
+    // tokens hash to sorted long arrays up front: cheaper minhash
+    // (long rehash, not string), and verification becomes a
+    // sorted-merge count (IntersectCount). Jaccard over hashed tokens
+    // equals string jaccard up to 64-bit collisions (negligible).
     val t = df.select(col(idCol).as("id"),
       array_sort(transform(array_distinct(tokensCol), tk => xxhash64(tk))).as("toks"))
-    val sets = t.groupBy(col("toks"))
-      .agg(min(col("id")).as("set_id"), sort_array(collect_list(col("id"))).as("ids"))
+      .withColumn("fp1", xxhash64(col("toks")))
+      .withColumn("fp2", xxhash64(lit(0x9e3779b9L), col("toks")))
+    // `sets` and `banded` are each consumed by several downstream
+    // branches. Catalyst prunes different column subsets into each
+    // branch, the canonicalized subplans stop being equal, exchange
+    // reuse never fires, and the whole scan+tokenize+hash (and 96-way
+    // minhash) pipeline re-executes once PER BRANCH (9 scans in the
+    // unpersisted plan). Persisting the two working tables — the same
+    // move Spark ML's LSH/ALS make — computes each once;
+    // MEMORY_AND_DISK spills rather than OOMs at scale.
+    val sets = t.groupBy(col("fp1"), col("fp2"))
+      .agg(min(col("id")).as("set_id"), sort_array(collect_list(col("id"))).as("ids"),
+        first(col("toks")).as("toks"))
+      .select(col("set_id"), col("ids"), col("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 1. identical-set doc pairs: jaccard exactly 1.0
     val dupPairs = sets
@@ -105,8 +127,17 @@ object NearDup {
         xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
       }: _*))
     ).select(col("set_id"), col("sz"), col("pos").as("band"), col("col").as("band_key"))
-    val candidates = banded.select(col("band"), col("band_key"), col("set_id").as("set_a"), col("sz").as("sz_a"))
-      .join(banded.select(col("band"), col("band_key"), col("set_id").as("set_b"), col("sz").as("sz_b")), Seq("band", "band_key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bucket-size cap: count per (band, band_key) is a map-side
+    // partial agg of int keys; oversized (stop-word) buckets are
+    // dropped before the quadratic within-bucket pairing
+    val kept = banded.join(
+      banded.groupBy(col("band"), col("band_key")).agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") <= maxBucketSize)
+        .select(col("band"), col("band_key")),
+      Seq("band", "band_key"))
+    val candidates = kept.select(col("band"), col("band_key"), col("set_id").as("set_a"), col("sz").as("sz_a"))
+      .join(kept.select(col("band"), col("band_key"), col("set_id").as("set_b"), col("sz").as("sz_b")), Seq("band", "band_key"))
       .filter(col("set_a") < col("set_b")
         && col("sz_a") >= col("sz_b") * threshold && col("sz_b") >= col("sz_a") * threshold)
       .select(col("set_a"), col("set_b"))

@@ -29,10 +29,15 @@ object ExtensionQueries {
       docs(s, dir).filter(col("doc_id") % 5 === 0),
       "doc_id", TextAnalysis.wordTokens(col("text")), "lang", threshold = 0.8)
 
-  // q22 — MinHash+LSH near-dup candidates (scale path; rows-only).
+  // q22 — MinHash+LSH near-dup pairs (scale path). At 96 hashes / 24
+  // bands the deterministic detection probability at j>=0.8 is high
+  // enough that the LSH output EQUALS the exact all-pairs result on
+  // this corpus (verified by graft.tools.LshRecallCheck: 0 missing /
+  // 0 spurious), so the query carries a strict DuckDB equality oracle
+  // computed by brute force — the oracle knows nothing about MinHash.
   private def q22(s: SparkSession, dir: String): DataFrame =
     NearDup.minHashPairs(docs(s, dir), "doc_id", TextAnalysis.wordTokens(col("text")),
-      numHashes = 32, bands = 8, threshold = 0.8)
+      numHashes = 96, bands = 24, threshold = 0.8)
       .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
 
   // q23 — SimHash near-dup pairs (banded Hamming join; rows-only).
@@ -244,6 +249,18 @@ object ExtensionQueries {
     "q20_dedup_hash" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dupes
         |FROM documents GROUP BY 1""".stripMargin,
+    "q22_minhash_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
+        |  FROM documents
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.toks, b.toks))::DOUBLE
+        |      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b, floor(jaccard*10000 + 0.5)/10000 AS jaccard
+        |FROM p WHERE jaccard >= 0.8""".stripMargin,
     "q21_jaccard_pairs" ->
       """WITH d AS (
         |  SELECT doc_id, lang, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
