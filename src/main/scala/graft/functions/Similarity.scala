@@ -113,26 +113,35 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("__s"))
       .select(col("bucket"), transform(col("__s"), s => s.getField("m")).as("centroid"))
 
-  /** Assign each query vector to its nearest centroid (cosine), then
-    * search only that bucket — the full IVF(nprobe=1) flow. */
-  def ivfTopK(queries: DataFrame, candidates: DataFrame, idCol: String, vecCol: String,
-              bucketCol: String, k: Int): DataFrame = {
+  /** Assign each query vector to its nearest centroid and score its
+    * bucket — the IVF(nprobe=1) scoring flow. The nearest-centroid
+    * rank uses the 1e-4-ROUNDED similarity (bucket-id tiebreak):
+    * centroid means are float sums whose low bits vary with partition
+    * layout/engine, and rounding makes the assignment reproducible
+    * across both. Output: query_id, bucket, neighbor_id, cos. */
+  def ivfScore(queries: DataFrame, candidates: DataFrame, idCol: String, vecCol: String,
+               bucketCol: String): DataFrame = {
     val cents = centroids(candidates, vecCol, bucketCol)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     val assigned = q.crossJoin(broadcast(cents))
       .withColumn("sim", cosine(col("qv"), col("centroid")))
+      .withColumn("__simr", floor(col("sim") * lit(1e4) + lit(0.5)) / lit(1e4))
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("bucket"))))
+        Window.partitionBy(col("query_id")).orderBy(col("__simr").desc, col("bucket"))))
       .filter(col("__rn") === 1)
       .select(col("query_id"), col("bucket"), col("qv"))
     val c = candidates.select(col(idCol).as("neighbor_id"), col(bucketCol).as("bucket"),
       asDouble(col(vecCol)).as("cv")).withColumn("cn", l2norm(col("cv")))
-    val scored = c.join(broadcast(assigned), Seq("bucket"))
+    c.join(broadcast(assigned), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (l2norm(col("qv")) * col("cn")))
       .select(col("query_id"), col("bucket"), col("neighbor_id"), col("cos"))
-    topK(scored, k, col("cos"))
   }
+
+  /** Full IVF(nprobe=1) top-k: ivfScore + bounded-heap topK. */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, idCol: String, vecCol: String,
+              bucketCol: String, k: Int): DataFrame =
+    topK(ivfScore(queries, candidates, idCol, vecCol, bucketCol), k, col("cos"))
 
   /** Sign-random-projection LSH bucket id from `nBits` seeded
     * hyperplanes: bit i = sign(<v, h_i>) where h_i is a deterministic

@@ -166,12 +166,16 @@ object ExtensionQueries {
       .select(col("doc_id"), col("pos").cast("long").as("chunk_id"), col("col").as("chunk"),
         length(col("col")).cast("long").as("chunk_chars"))
 
-  // q37 — IVF top-k with computed centroids (nprobe=1; rows-only:
-  // centroid float math is engine-internal).
+  // q37 — IVF top-k with computed centroids (nprobe=1). Oracle-checked:
+  // the centroid assignment ranks on ROUNDED similarity (bucket
+  // tiebreak) and the final rank on ROUNDED cos, so engine-side ulp
+  // noise in the float sums cannot flip either ranking.
   private def q37(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", "label", k = 5)
-      .select(col("query_id"), col("bucket"), col("neighbor_id"), col("rnk"), r4(col("cos")).as("cos_r"))
+    val scored = Similarity.ivfScore(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", "label")
+      .withColumn("cos_r", r4(col("cos"))).drop("cos")
+    Similarity.topK(scored, 5, col("cos_r"))
+      .select(col("query_id"), col("bucket"), col("neighbor_id"), col("rnk"), col("cos_r"))
   }
 
   // q38 — embedding-cosine near-dup pairs (exact quadratic baseline).
@@ -351,6 +355,52 @@ object ExtensionQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rnk FROM s
         |)
         |SELECT query_id, bucket, neighbor_id, cos_r, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "q32_rolling_fp" ->
+      """WITH rh AS (
+        |  SELECT doc_id, regexp_extract_all(hex(encode(text)), '..') AS hx FROM documents
+        |)
+        |SELECT doc_id,
+        |  list_reduce(list_transform(hx, p -> (strpos('123456789ABCDEF', p[1])*16 + strpos('123456789ABCDEF', p[2]))::BIGINT),
+        |              (a, x) -> (a*257 + x) % 1000000007)::BIGINT AS rhash
+        |FROM rh""".stripMargin,
+    "q31_multimodal_decode" ->
+      """WITH h AS (
+        |  SELECT doc_id AS media_id, 'text/plain' AS kind, strlen(text)::BIGINT AS n_bytes,
+        |    regexp_extract_all(hex(encode(text)), '..') AS hx
+        |  FROM documents
+        |), b AS (
+        |  SELECT media_id, kind, n_bytes,
+        |    list_transform(hx, p -> (strpos('123456789ABCDEF', p[1])*16 + strpos('123456789ABCDEF', p[2]))::BIGINT) AS bytes
+        |  FROM h
+        |)
+        |SELECT media_id, kind, n_bytes,
+        |  list_sum(bytes)::BIGINT AS byte_sum,
+        |  list_sum(bytes)::DOUBLE / n_bytes AS byte_mean,
+        |  list_reduce(bytes[1:least(4, n_bytes)::INT], (a, x) -> a*256 + x)::BIGINT AS head_word
+        |FROM b""".stripMargin,
+    "q37_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (
+        |  SELECT label AS bucket, g.i AS dim, avg(v[g.i]) AS m
+        |  FROM e, generate_series(1, 64) g(i)
+        |  GROUP BY 1, 2
+        |), cent AS (SELECT bucket, list(m ORDER BY dim) AS centroid FROM c GROUP BY 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |asn AS (
+        |  SELECT query_id, bucket, qv,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY
+        |      floor((list_dot_product(qv, centroid)/(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(centroid, centroid))))*10000 + 0.5)/10000 DESC,
+        |      bucket) AS rn
+        |  FROM q, cent
+        |), s AS (
+        |  SELECT a.query_id, a.bucket, e.vec_id AS neighbor_id,
+        |    floor((list_dot_product(a.qv, e.v)/(sqrt(list_dot_product(a.qv, a.qv))*sqrt(list_dot_product(e.v, e.v))))*10000 + 0.5)/10000 AS cos_r
+        |  FROM asn a JOIN e ON e.label = a.bucket AND e.vec_id <> a.query_id
+        |  WHERE a.rn = 1
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rnk FROM s
+        |)
+        |SELECT query_id, bucket, neighbor_id, rnk::BIGINT AS rnk, cos_r FROM r WHERE rnk <= 5""".stripMargin,
     "q30_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'text/plain' AS kind,
         |  strlen(text)::BIGINT AS n_bytes, md5(text) AS content_md5
