@@ -281,7 +281,36 @@ object ParityQueries {
         count(lit(1)).as("n_rows"))
   }
 
+  // q42 — TPC-H Q4 shape: EXISTS as a left_semi join. Orders having at
+  // least one returned lineitem; the semi join carries only the probe
+  // side through (no row multiplication, no lineitem columns), then a
+  // partial-agg count/sum per priority. At scale: both facts shuffle
+  // on orderkey once; AQE broadcasts the filtered build side when it
+  // fits.
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val ret = li(s, dir).filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+    o.join(ret, o("o_orderkey") === ret("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"),
+        r2(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")).as("total_price"))
+  }
+
+  // q43 — TPC-H Q22 shape: NOT EXISTS as a left_anti join (orders with
+  // no returned lineitem). Same physical shape as q42; q42+q43 counts
+  // partition the orders table (spec-pinned).
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val ret = li(s, dir).filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+    o.join(ret, o("o_orderkey") === ret("l_orderkey"), "left_anti")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"),
+        r2(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")).as("total_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_semi_join" -> q42 _,
+    "q43_anti_join" -> q43 _,
     "q16_partial_windows" -> q16 _,
     "q17_asof_join" -> q17 _,
     "q18_session_window" -> q18 _,
@@ -306,6 +335,18 @@ object ParityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q42_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS order_count,
+        |  floor(sum(o_totalprice::DECIMAL(18,2))::DOUBLE*100 + 0.5)/100 AS total_price
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+    "q43_anti_join" ->
+      """SELECT o_orderpriority, count(*) AS order_count,
+        |  floor(sum(o_totalprice::DECIMAL(18,2))::DOUBLE*100 + 0.5)/100 AS total_price
+        |FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
     "q40_tpch_q3" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority,
         |  floor(sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,4))::DOUBLE*100 + 0.5)/100 AS revenue

@@ -77,4 +77,17 @@ class OperatorsSpec extends SparkSpec {
     val m = MergeUpsert.upsert(target, source, Seq("id")).head()
     assert(m.isNullAt(m.fieldIndex("v")) && m.getAs[String]("src") == "new")
   }
+
+  test("semi/anti joins: plans use LeftSemi/LeftAnti and partition the probe side") {
+    val dir = sf("sf0.001")
+    val semi = graft.SparkEntry.queries("q42_semi_join")(spark, dir)
+    val anti = graft.SparkEntry.queries("q43_anti_join")(spark, dir)
+    assert(semi.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    assert(anti.queryExecution.executedPlan.toString.contains("LeftAnti"))
+    // EXISTS + NOT EXISTS over the same predicate partition orders
+    val total = graft.core.Tables.orders(spark, dir).count()
+    val semiN = semi.agg(sum("order_count")).as[Long].head()
+    val antiN = anti.agg(sum("order_count")).as[Long].head()
+    assert(semiN + antiN == total && semiN > 0 && antiN > 0)
+  }
 }
