@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.types.StructType
 
 /** Kafka wire-format shaping (S2/S3/S4/S7).
@@ -37,4 +38,30 @@ object KafkaIO {
     kafka
       .select(from_json(col("value").cast("string"), schema).as("r"))
       .select(col("r.*"))
+
+  /** Live Kafka source attachment (S4/S7,
+    * stream_data_producer.py:112-142 consumer side): subscribes and
+    * returns the raw (key, value, topic, partition, offset, ...) frame
+    * — compose with `fromWire` for decoded rows. Requires the
+    * spark-sql-kafka connector jar on the cluster classpath (it ships
+    * with real clusters; this sandbox has none, so the spec drives
+    * this to the connector-lookup boundary and documents the skip). */
+  def readStream(spark: SparkSession, servers: String, topic: String,
+                 startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+
+  /** Live Kafka sink attachment (S2/S3): `wire` must already be in
+    * (key, value) shape — compose as `writeStream(toWire(df, key), …)
+    * .start()`. Exactly-once to Kafka is transactional on real
+    * clusters; the checkpoint carries the replay cursor. */
+  def writeStream(wire: DataFrame, servers: String, topic: String,
+                  checkpoint: String): DataStreamWriter[Row] =
+    wire.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
 }
