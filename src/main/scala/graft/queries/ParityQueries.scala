@@ -214,6 +214,22 @@ object ParityQueries {
         col("qid"), col("qvalue"), unix_micros(col("qts")).as("qts_us"))
   }
 
+  // q44 — the skew-safe bucketed as-of join: same semantics (and same
+  // DuckDB native-ASOF oracle) as q17, but the per-event sort runs per
+  // (key, 15-min bucket) with a carry table, so a degenerate key
+  // cannot funnel the whole stream through one reducer.
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val left = e.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val quotes = Dedup.keepLast(
+      e.filter(col("event_id") % 10 === 0)
+        .select(col("user_id"), col("ts").as("qts"), col("event_id").as("qid"), col("value").as("qvalue")),
+      Seq("user_id", "qts"), Seq(col("qid")))
+    graft.operators.AsOfJoin.asOfBucketed(left, quotes, Seq("user_id"), "ts", "qts", bucketSec = 900L)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"),
+        col("qid"), col("qvalue"), unix_micros(col("qts")).as("qts_us"))
+  }
+
   // q18 — session windows (gap-based sessionization; beyond the
   // reference, SURVEY §2.7): per-user sessions closed after a 30-min
   // quiet gap. Spark's session_window vs the oracle's lag+cumsum
@@ -311,6 +327,7 @@ object ParityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_semi_join" -> q42 _,
     "q43_anti_join" -> q43 _,
+    "q44_asof_bucketed" -> q44 _,
     "q16_partial_windows" -> q16 _,
     "q17_asof_join" -> q17 _,
     "q18_session_window" -> q18 _,
@@ -395,6 +412,18 @@ object ParityQueries {
         |FROM events LEFT JOIN bands ON value >= lo AND value < hi
         |GROUP BY 1, 2""".stripMargin,
     "q17_asof_join" ->
+      """WITH e AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
+        |l AS (SELECT user_id, ts, event_id, value FROM e),
+        |q0 AS (SELECT user_id, ts AS qts, event_id AS qid, value AS qvalue FROM e WHERE event_id % 10 = 0),
+        |q AS (SELECT user_id, qts, qid, qvalue FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY user_id, qts ORDER BY qid DESC) AS rn FROM q0)
+        |      WHERE rn = 1)
+        |SELECT l.user_id, l.event_id, epoch_us(l.ts) AS ts_us, l.value,
+        |       q.qid, q.qvalue, epoch_us(q.qts) AS qts_us
+        |FROM l ASOF LEFT JOIN q ON l.user_id = q.user_id AND q.qts <= l.ts""".stripMargin,
+    // q44 computes the SAME contract through the bucketed skew-safe
+    // path, so it shares q17's native-ASOF oracle verbatim
+    "q44_asof_bucketed" ->
       """WITH e AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
         |l AS (SELECT user_id, ts, event_id, value FROM e),
         |q0 AS (SELECT user_id, ts AS qts, event_id AS qid, value AS qvalue FROM e WHERE event_id % 10 = 0),

@@ -33,4 +33,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(row.getAs[String]("tag") == "y" && row.isNullAt(row.fieldIndex("q")))
     assert(row.getAs[Long]("rt") == 20L)
   }
+
+  test("bucketed as-of == plain as-of under a 90% hot key") {
+    // HOT holds 90% of left rows and most quotes; sparse keys cross
+    // empty buckets (carry-forward), COLD has no quotes at all (nulls)
+    val left = spark.range(5000).select(
+      when($"id" % 10 === 0, lit("RARE")).otherwise(lit("HOT")).as("k"),
+      ($"id" * 7L % 40000L).as("t"),
+      $"id".as("ev"))
+      .unionByName(Seq(("COLD", 100L, -1L), ("COLD", 39999L, -2L)).toDF("k", "t", "ev"))
+    val right = spark.range(300).select(
+      when($"id" % 20 === 0, lit("RARE")).otherwise(lit("HOT")).as("k"),
+      ($"id" * 131L % 40000L).as("rt"),
+      ($"id" + 1000L).as("qid"))
+      .groupBy("k", "rt").agg(max("qid").as("qid")) // unique per (k, rt)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"k", $"t", $"ev", $"qid", $"rt")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)), Option(r.get(4)))).toSet
+    val plain = canon(AsOfJoin.asOf(left, right, Seq("k"), "t", "rt"))
+    // bucket width far smaller than the time range -> many buckets,
+    // real carry traffic
+    val bucketed = canon(AsOfJoin.asOfBucketed(left, right, Seq("k"), "t", "rt", bucketSec = 500L))
+    assert(bucketed == plain)
+    assert(plain.exists(_._4.isEmpty) && plain.exists(_._4.nonEmpty)) // both regimes exercised
+  }
 }
