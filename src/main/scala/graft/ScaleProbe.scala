@@ -28,18 +28,19 @@ object ScaleProbe {
     replicate("events", Seq("event_id"), 100000000L)
     println(f"[scale] replicate ${(System.nanoTime()-t0)/1e9}%.1f s")
 
-    def time(label: String)(f: => Long): Unit = {
-      val t = System.nanoTime(); val n = f
-      println(f"[scale] $label rows=$n time=${(System.nanoTime()-t)/1e9}%.2f s")
+    // noop sink: full materialization, no column pruning of the
+    // aggregates under measurement (same action as Bench)
+    def time(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val t = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"[scale] $label time=${(System.nanoTime()-t)/1e9}%.2f s")
     }
     // q13 shape at 10x
-    time("q13_tpch_q1@10x") {
-      SparkEntry.queries("q13_tpch_q1")(spark, dst).count()
-    }
+    time("q13_tpch_q1@10x") { SparkEntry.queries("q13_tpch_q1")(spark, dst) }
     // q07 sliding windows at 10x events
-    time("q07_window_15m@10x") {
-      SparkEntry.queries("q07_window_15m")(spark, dst).count()
-    }
+    time("q07_window_15m@10x") { SparkEntry.queries("q07_window_15m")(spark, dst) }
+    // q06 OHLCV rollup (min_by/max_by single-aggregate plan) at 10x
+    time("q06_ohlcv_daily@10x") { SparkEntry.queries("q06_ohlcv_daily")(spark, dst) }
     // join+agg: lineitem(6M) x orders(1.5M) with dims from sf0.1
     val l = spark.read.parquet(s"$dst/lineitem.parquet")
     val o = spark.read.parquet(s"$dst/orders.parquet")
@@ -51,7 +52,6 @@ object ScaleProbe {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"), count(lit(1)))
-        .count()
     }
     spark.stop()
   }
