@@ -29,7 +29,15 @@ object Sampling {
 
   /** Per-group quota sampling: keep at most `quota` rows per group,
     * best-first under `order` (e.g. quality score desc) — domain
-    * balancing for web corpora. One shuffle on the group key. */
+    * balancing for web corpora.
+    *
+    * Scale shape: the `row_number() <= quota` filter sits DIRECTLY on
+    * the untouched int rank attribute, which keeps Catalyst's
+    * InferWindowGroupLimit rule eligible — the physical plan gets a
+    * PARTIAL WindowGroupLimit before the exchange, so every map task
+    * ships at most `quota` rows per group (pinned by SamplingPlanSpec;
+    * wrapping the rank in a cast silently disables the rule and
+    * reverts to a full per-group sort on one reducer). */
   def quotaPerGroup(df: DataFrame, groupCol: Column, order: Seq[Column], quota: Int): DataFrame =
     df.withColumn("__rn", row_number().over(Window.partitionBy(groupCol).orderBy(order: _*)))
       .filter(col("__rn") <= quota)

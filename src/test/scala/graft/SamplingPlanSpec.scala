@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Sampling
+
+/** quotaPerGroup must keep Catalyst's InferWindowGroupLimit rule
+  * eligible: with a low-cardinality group column the difference is a
+  * map-side <=quota rows/group pre-reduce vs the whole table sorting
+  * through a handful of reducers. */
+class SamplingPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quotaPerGroup plan carries a Partial WindowGroupLimit before the exchange") {
+    val df = spark.range(10000).select(
+      (col("id") % 3).cast("string").as("grp"), col("id").as("v"))
+    val plan = Sampling.quotaPerGroup(df, col("grp"), Seq(col("v").desc), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"rule did not fire:\n$plan")
+    assert(plan.contains("Partial"), s"no partial (map-side) group limit:\n$plan")
+  }
+
+  test("quotaPerGroup keeps exactly quota best rows per group") {
+    val df = spark.range(1000).select((col("id") % 4).as("grp"), col("id").as("v"))
+    val got = Sampling.quotaPerGroup(df, col("grp"), Seq(col("v").desc), 3)
+      .select("grp", "v").as[(Long, Long)].collect().toSet
+    val want = (0L until 4L).flatMap(g => (0L until 1000L).filter(_ % 4 == g).sorted.reverse.take(3).map(g -> _)).toSet
+    assert(got == want)
+  }
+}
