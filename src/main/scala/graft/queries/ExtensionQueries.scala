@@ -178,6 +178,16 @@ object ExtensionQueries {
       .select(col("query_id"), col("bucket"), col("neighbor_id"), col("rnk"), col("cos_r"))
   }
 
+  // q45 — IVF multi-probe (nprobe=2): each query scans its two nearest
+  // centroid buckets; same rounded-assignment determinism as q37.
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val scored = Similarity.ivfScore(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", "label", nprobe = 2)
+      .withColumn("cos_r", r4(col("cos"))).drop("cos")
+    Similarity.topK(scored, 5, col("cos_r"))
+      .select(col("query_id"), col("bucket"), col("neighbor_id"), col("rnk"), col("cos_r"))
+  }
+
   // q38 — embedding-cosine near-dup pairs (exact quadratic baseline).
   private def q38(s: SparkSession, dir: String): DataFrame =
     NearDup.embeddingPairs(emb(s, dir), "vec_id", "embedding", threshold = 0.3)
@@ -198,6 +208,7 @@ object ExtensionQueries {
     "q39_embed_neardup_lsh" -> q39 _,
     "q36_chunks" -> q36 _,
     "q37_ivf_topk" -> q37 _,
+    "q45_ivf_nprobe2" -> q45 _,
     "q33_split" -> q33 _,
     "q34_quota_sample" -> q34 _,
     "q35_percentiles" -> q35 _,
@@ -397,6 +408,29 @@ object ExtensionQueries {
         |    floor((list_dot_product(a.qv, e.v)/(sqrt(list_dot_product(a.qv, a.qv))*sqrt(list_dot_product(e.v, e.v))))*10000 + 0.5)/10000 AS cos_r
         |  FROM asn a JOIN e ON e.label = a.bucket AND e.vec_id <> a.query_id
         |  WHERE a.rn = 1
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rnk FROM s
+        |)
+        |SELECT query_id, bucket, neighbor_id, rnk::BIGINT AS rnk, cos_r FROM r WHERE rnk <= 5""".stripMargin,
+    "q45_ivf_nprobe2" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (
+        |  SELECT label AS bucket, g.i AS dim, avg(v[g.i]) AS m
+        |  FROM e, generate_series(1, 64) g(i)
+        |  GROUP BY 1, 2
+        |), cent AS (SELECT bucket, list(m ORDER BY dim) AS centroid FROM c GROUP BY 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |asn AS (
+        |  SELECT query_id, bucket, qv,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY
+        |      floor((list_dot_product(qv, centroid)/(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(centroid, centroid))))*10000 + 0.5)/10000 DESC,
+        |      bucket) AS rn
+        |  FROM q, cent
+        |), s AS (
+        |  SELECT a.query_id, a.bucket, e.vec_id AS neighbor_id,
+        |    floor((list_dot_product(a.qv, e.v)/(sqrt(list_dot_product(a.qv, a.qv))*sqrt(list_dot_product(e.v, e.v))))*10000 + 0.5)/10000 AS cos_r
+        |  FROM asn a JOIN e ON e.label = a.bucket AND e.vec_id <> a.query_id
+        |  WHERE a.rn <= 2
         |), r AS (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rnk FROM s
         |)

@@ -117,6 +117,21 @@ class FunctionsSpec extends SparkSpec {
     assert(byQ(6L).map(_._2).forall(n => n >= 6 && n < 12), "query 6 searches cluster-1 bucket only")
   }
 
+  test("IVF multi-probe recall dominates single-probe vs brute force") {
+    val e = graft.core.Tables.embeddings(spark, sf("sf0.001"))
+    val q = e.filter($"vec_id" < 5)
+    def topkSet(scored: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Similarity.topK(scored.withColumn("cos_r", graft.queries.r4($"cos")).drop("cos"), 5, $"cos_r")
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = topkSet(Similarity.scoreAll(q, e, "vec_id", "embedding"))
+    val p1 = topkSet(Similarity.ivfScore(q, e, "vec_id", "embedding", "label", nprobe = 1))
+    val p2 = topkSet(Similarity.ivfScore(q, e, "vec_id", "embedding", "label", nprobe = 2))
+    val r1 = (p1 & exact).size
+    val r2 = (p2 & exact).size
+    assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 recall $r1")
+    assert(p1.subsetOf(p2) || r2 >= r1) // more probes never hurt the hit count
+  }
+
   test("embedding near-dup: exact finds planted dup; LSH always finds identical vectors") {
     val base = Seq.tabulate(16)(i => math.sin(i + 1).toFloat)
     val near = base.updated(0, base.head + 1e-4f)
