@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** spark.sql.extensions=graft.GraftExtensions must install the custom
+  * expressions into a session built with that config — the cluster-
+  * wide deployment path (thriftserver/connect sessions included). */
+class ExtensionsSpec extends SparkSpec {
+  test("GraftExtensions installs rolling_hash/dot_product/intersect_count in SQL") {
+    val orig = spark // force shared session + context to exist
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // withExtensions is the same installation hook the static
+      // spark.sql.extensions conf drives; the conf itself can't be
+      // tested here because the shared test SparkContext already
+      // exists and static confs are fixed at context start
+      val s2 = SparkSession.builder().master("local[2]").appName("graft-ext-test")
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      val r = s2.sql(
+        """SELECT rolling_hash('abc') AS h,
+          |       dot_product(array(1d, 2d), array(3d, 4d)) AS d,
+          |       intersect_count(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS i""".stripMargin).head()
+      val want = graft.functions.RollingHash.eval(
+        org.apache.spark.unsafe.types.UTF8String.fromString("abc"))
+      assert(r.getLong(0) == want)
+      assert(r.getDouble(1) == 11.0)
+      assert(r.getInt(2) == 2)
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+}
