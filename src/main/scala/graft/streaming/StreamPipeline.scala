@@ -183,4 +183,28 @@ object StreamPipeline {
       spark.read.parquet(bucketPath),
       Seq("symbol", "bucket_start"), Seq(col("batch_id")))
       .drop("batch_id")
+
+  /** Stream-stream time-bounded enrichment: every tick joins the
+    * quotes for its symbol from the trailing `joinWindow` (tick
+    * INTERVAL-bounded inner join) — Spark's one legal stream⋈stream
+    * form. Both sides carry watermarks so the join state is bounded:
+    * a buffered quote can be dropped once the tick watermark passes
+    * `qts + joinWindow` (state is O(keys × window), not unbounded).
+    * True as-of (latest-only) semantics stay a batch/bucket concern
+    * (`AsOfJoin`); this operator is the streaming-legal superset —
+    * downstream keeps last per (symbol, timestamp) if needed.
+    *
+    * `quotes` columns must be pre-renamed to avoid overlap:
+    * (qsymbol, qts, + payload). */
+  def enrichWithQuotes(ticks: DataFrame, quotes: DataFrame,
+                       joinWindow: String = "10 minutes",
+                       watermark: String = "1 minute"): DataFrame = {
+    val t = ticks.withWatermark("timestamp", watermark)
+    val q = quotes.withWatermark("qts", watermark)
+    t.join(q,
+      t("symbol") === q("qsymbol")
+        && q("qts") <= t("timestamp")
+        && q("qts") >= t("timestamp") - expr(s"INTERVAL $joinWindow"),
+      "inner").drop("qsymbol")
+  }
 }

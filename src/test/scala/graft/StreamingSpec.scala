@@ -135,4 +135,30 @@ class StreamingSpec extends SparkSpec {
       assert(reread.agg(sum($"n")).as[Long].head() == 10L, "replay must not double-count")
     } finally q.stop()
   }
+
+  test("stream-stream enrichment: time-bounded tick x quote inner join") {
+    case class Quote(qsymbol: String, qts: java.sql.Timestamp, bid: Double)
+    def ts(off: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(base + off))
+    val ticks = MemoryStream[RawTick](spark)
+    val quotes = MemoryStream[(String, java.sql.Timestamp, Double)](spark)
+    val enriched = StreamPipeline.enrichWithQuotes(
+      Ingest.clean(ticks.toDF()),
+      quotes.toDF().toDF("qsymbol", "qts", "bid"),
+      joinWindow = "10 minutes")
+    val q = enriched.writeStream.outputMode("append").format("memory").queryName("enriched").start()
+    try {
+      def tick(sym: String, off: Long): RawTick =
+        RawTick(sym, 10.0, 0, "0%", "1", 10, 10, isoPlus(base, off))
+      // quote 100s before the tick (in window), quote 700s before
+      // (j > 10min, out), quote after the tick (out), other symbol (out)
+      quotes.addData(Seq(("A", ts(500), 1.0), ("A", ts(-100), 2.0), ("A", ts(700), 3.0), ("B", ts(550), 4.0)))
+      ticks.addData(Seq(tick("A", 600)))
+      q.processAllAvailable()
+      val got = spark.table("enriched").select($"symbol", $"bid").as[(String, Double)].collect().toSet
+      assert(got == Set(("A", 1.0)), s"got $got")
+      // late flush so the suite leaves no lingering state pressure
+      ticks.addData(Seq(tick("A", 7200)))
+      q.processAllAvailable()
+    } finally q.stop()
+  }
 }
