@@ -178,6 +178,17 @@ object ExtensionQueries {
       .select(col("query_id"), col("bucket"), col("neighbor_id"), col("rnk"), col("cos_r"))
   }
 
+  // q46 — content-defined chunking (rows-only: the per-byte rolling
+  // window recurrence is not expressible in DuckDB SQL at reasonable
+  // cost; semantics are pinned by CdcChunksSpec: lossless concat,
+  // size bounds, edit-stability).
+  private def q46(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      posexplode(graft.functions.CdcChunks.column(col("text"))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"), col("col").as("chunk"),
+        length(col("col")).cast("long").as("chunk_chars"))
+
   // q45 — IVF multi-probe (nprobe=2): each query scans its two nearest
   // centroid buckets; same rounded-assignment determinism as q37.
   private def q45(s: SparkSession, dir: String): DataFrame = {
@@ -209,6 +220,7 @@ object ExtensionQueries {
     "q36_chunks" -> q36 _,
     "q37_ivf_topk" -> q37 _,
     "q45_ivf_nprobe2" -> q45 _,
+    "q46_cdc_chunks" -> q46 _,
     "q33_split" -> q33 _,
     "q34_quota_sample" -> q34 _,
     "q35_percentiles" -> q35 _,
