@@ -1,0 +1,49 @@
+package graft
+
+/** Pins the plan properties the engine's 100 TB story depends on:
+  * filters reach the parquet scan, projections prune the read schema,
+  * aggregates are partial+final, small dimensions broadcast, and the
+  * bounded-heap top-k stays a partial object-hash aggregate. A
+  * regression in any of these silently multiplies scan or shuffle
+  * volume long before it breaks correctness. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+
+  test("q02 filter+project: predicate pushdown reaches the scan") {
+    val p = plan("q02_filter_project")
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined, s"no pushed filters:\n$p")
+  }
+
+  test("q03 projection: read schema is pruned to used columns") {
+    val p = plan("q03_derived_arith")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    // lineitem has 11 columns; the derived-arithmetic query needs 5 —
+    // unused ones (flags, dates) must not reach the scan
+    assert(read.nonEmpty && read.split(",").length <= 5, s"unpruned scan: $read")
+    assert(!read.contains("l_returnflag") && !read.contains("l_shipdate"), s"unpruned scan: $read")
+  }
+
+  test("q13 TPC-H Q1: partial + final hash aggregation around one exchange") {
+    val p = plan("q13_tpch_q1")
+    assert(p.contains("HashAggregate"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
+  test("q14/q40 join queries broadcast the small build side") {
+    assert(plan("q14_join_agg").contains("BroadcastHashJoin"))
+    assert(plan("q40_tpch_q3").contains("Broadcast"), "Q3 should broadcast a filtered side at sf0.001")
+  }
+
+  test("q28 top-k: partial bounded-heap aggregate, no Window") {
+    val p = plan("q28_cosine_topk")
+    assert(p.toLowerCase.contains("partial_bounded_top_k"), s"no partial heap:\n$p")
+    assert(!p.contains("Window "), s"window crept back:\n$p")
+  }
+
+  test("q04 dedup: partial WindowGroupLimit ships <=1 row per key per map task") {
+    val p = plan("q04_dedup_first")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), s"no partial group limit:\n$p")
+  }
+}
