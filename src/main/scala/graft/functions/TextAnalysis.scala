@@ -22,6 +22,21 @@ object TextAnalysis {
   def wsTokens(text: Column): Column =
     call_function("regexp_extract_all", text, lit("\\S+"), lit(0))
 
+  /** Word n-gram shingles over a token array: overlapping windows of
+    * `n` tokens joined by a space — the standard MinHash unit for
+    * near-dup detection (shingle → minhash → band): word-level
+    * paraphrase reshuffles survive word-set jaccard but not shingle
+    * jaccard, so shingles discriminate rewrites from true near-dups.
+    * Documents shorter than `n` tokens yield their whole token string
+    * as one shingle. Pure HOFs — computed map-side. */
+  def shingles(tokens: Column, n: Int): Column = {
+    require(n >= 1, s"shingle size must be >= 1, got $n")
+    when(size(tokens) <= n, array(array_join(tokens, " ")))
+      .otherwise(transform(
+        sequence(lit(0), size(tokens) - n),
+        i => array_join(slice(tokens, i + 1, lit(n)), " ")))
+  }
+
   /** BPE-ish subword token estimate: letter runs, single digits, and
     * single punctuation marks each count as one token — a cheap,
     * deterministic stand-in for a real BPE vocab. */

@@ -40,6 +40,15 @@ object ExtensionQueries {
       numHashes = 96, bands = 24, threshold = 0.8)
       .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
 
+  // q47 — MinHash+LSH over 3-gram word SHINGLES (the standard
+  // near-dup unit: word-order rewrites don't survive shingle
+  // jaccard). Same strict brute-force equality oracle as q22.
+  private def q47(s: SparkSession, dir: String): DataFrame =
+    NearDup.minHashPairs(docs(s, dir), "doc_id",
+      TextAnalysis.shingles(TextAnalysis.wordTokens(col("text")), 3),
+      numHashes = 96, bands = 24, threshold = 0.8)
+      .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
+
   // q23 — SimHash near-dup pairs (banded Hamming join; rows-only).
   private def q23(s: SparkSession, dir: String): DataFrame = {
     val sim = NearDup.simHash(docs(s, dir), "doc_id", TextAnalysis.wordTokens(col("text")))
@@ -221,6 +230,7 @@ object ExtensionQueries {
     "q37_ivf_topk" -> q37 _,
     "q45_ivf_nprobe2" -> q45 _,
     "q46_cdc_chunks" -> q46 _,
+    "q47_shingle_minhash" -> q47 _,
     "q33_split" -> q33 _,
     "q34_quota_sample" -> q34 _,
     "q35_percentiles" -> q35 _,
@@ -276,6 +286,22 @@ object ExtensionQueries {
     "q20_dedup_hash" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dupes
         |FROM documents GROUP BY 1""".stripMargin,
+    "q47_shingle_minhash" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |  FROM d
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b, floor(jaccard*10000 + 0.5)/10000 AS jaccard
+        |FROM p WHERE jaccard >= 0.8""".stripMargin,
     "q22_minhash_pairs" ->
       """WITH d AS (
         |  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks

@@ -117,6 +117,16 @@ class FunctionsSpec extends SparkSpec {
     assert(byQ(6L).map(_._2).forall(n => n >= 6 && n < 12), "query 6 searches cluster-1 bucket only")
   }
 
+  test("shingles: overlapping n-grams, short-doc collapse, rewrite discrimination") {
+    val df = Seq((1L, "the quick brown fox jumps"), (2L, "fox brown quick the jumps"), (3L, "hi")).toDF("doc_id", "text")
+    val sh = df.select($"doc_id", TextAnalysis.shingles(TextAnalysis.wordTokens($"text"), 3).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L) == Seq("the quick brown", "quick brown fox", "brown fox jumps"))
+    assert(sh(3L) == Seq("hi"))
+    // same word SET, different order: word jaccard 1.0, shingle jaccard 0
+    assert(sh(1L).toSet.intersect(sh(2L).toSet).isEmpty)
+  }
+
   test("IVF multi-probe recall dominates single-probe vs brute force") {
     val e = graft.core.Tables.embeddings(spark, sf("sf0.001"))
     val q = e.filter($"vec_id" < 5)
