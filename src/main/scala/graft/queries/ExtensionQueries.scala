@@ -49,6 +49,19 @@ object ExtensionQueries {
       numHashes = 96, bands = 24, threshold = 0.8)
       .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
 
+  // q48 — near-dup CLUSTERS: connected components over the verified
+  // MinHash pairs -> every doc assigned its cluster (min-id
+  // canonical), cluster size, survivor flag — the step that turns
+  // pair lists into an actual dedup decision. Oracle recomputes the
+  // components with a recursive label-propagation CTE over the exact
+  // brute-force pairs.
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val pairs = NearDup.minHashPairs(docs(s, dir), "doc_id", TextAnalysis.wordTokens(col("text")),
+      numHashes = 96, bands = 24, threshold = 0.8)
+      .select(col("id_a"), col("id_b"))
+    graft.operators.ConnectedComponents.dedupAssignment(docs(s, dir), "doc_id", pairs)
+  }
+
   // q23 — SimHash near-dup pairs (banded Hamming join; rows-only).
   private def q23(s: SparkSession, dir: String): DataFrame = {
     val sim = NearDup.simHash(docs(s, dir), "doc_id", TextAnalysis.wordTokens(col("text")))
@@ -231,6 +244,7 @@ object ExtensionQueries {
     "q45_ivf_nprobe2" -> q45 _,
     "q46_cdc_chunks" -> q46 _,
     "q47_shingle_minhash" -> q47 _,
+    "q48_dedup_clusters" -> q48 _,
     "q33_split" -> q33 _,
     "q34_quota_sample" -> q34 _,
     "q35_percentiles" -> q35 _,
@@ -286,6 +300,30 @@ object ExtensionQueries {
     "q20_dedup_hash" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dupes
         |FROM documents GROUP BY 1""".stripMargin,
+    "q48_dedup_clusters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks FROM documents
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+        |      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+        |), e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b AS src, id_a AS dst FROM p
+        |), lbl(id, l) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.dst, lbl.l FROM lbl JOIN e ON lbl.id = e.src
+        |), cc AS (
+        |  SELECT id, min(l) AS cluster_id FROM lbl GROUP BY id
+        |), assigned AS (
+        |  SELECT doc_id, coalesce(cc.cluster_id, doc_id) AS cluster_id
+        |  FROM documents LEFT JOIN cc ON doc_id = cc.id
+        |), sizes AS (
+        |  SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM assigned GROUP BY 1
+        |)
+        |SELECT a.doc_id, a.cluster_id, s.cluster_size, a.doc_id = a.cluster_id AS is_canonical
+        |FROM assigned a JOIN sizes s USING (cluster_id)""".stripMargin,
     "q47_shingle_minhash" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents

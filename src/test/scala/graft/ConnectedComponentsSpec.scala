@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ConnectedComponents
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("components: chains, cliques, singletons-by-absence") {
+    // chain 1-2-3-4 (diameter 3), clique 10-11-12, isolated pair 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val got = ConnectedComponents.run(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dedupAssignment: every doc labeled; singletons canonical; sizes sum to corpus") {
+    val docs = (1L to 8L).toDF("doc_id")
+    val pairs = Seq((2L, 5L), (5L, 7L)).toDF("id_a", "id_b")
+    val a = ConnectedComponents.dedupAssignment(docs, "doc_id", pairs)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(a.count(_._4) == 6) // 5 singletons + 1 cluster survivor
+    assert(a.filter(r => Set(2L, 5L, 7L)(r._1)).forall(r => r._2 == 2L && r._3 == 3L))
+    assert(a.map(_._1).size == 8)
+  }
+
+  test("long chain converges (diameter-bound iterations)") {
+    val n = 15
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val got = ConnectedComponents.run(edges).as[(Long, Long)].collect()
+    assert(got.forall(_._2 == 1L) && got.length == n)
+  }
+}
