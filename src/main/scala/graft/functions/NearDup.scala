@@ -79,9 +79,15 @@ object NearDup {
     *     Jaccard filters false positives.
     *  4. EXPAND: surviving set pairs multiply out to doc pairs.
     */
-  def minHashPairs(df: DataFrame, idCol: String, tokensCol: Column,
-                   numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.8,
-                   maxBucketSize: Int = 4096): DataFrame = {
+  /** Set-granular form of [[minHashPairs]]: returns (sets, verified
+    * set pairs) BEFORE doc expansion — identical docs are one node.
+    * This is the right input for clustering (ConnectedComponents):
+    * a k-document identical set contributes one node instead of
+    * k(k-1)/2 expanded edges. `sets` columns: set_id, ids, toks;
+    * `pairs` columns: set_a, set_b, jaccard (distinct sets only). */
+  def minHashSetPairs(df: DataFrame, idCol: String, tokensCol: Column,
+                      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.8,
+                      maxBucketSize: Int = 4096): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
     // tokens hash to sorted long arrays up front: cheaper minhash
@@ -105,14 +111,6 @@ object NearDup {
         first(col("toks")).as("toks"))
       .select(col("set_id"), col("ids"), col("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // 1. identical-set doc pairs: jaccard exactly 1.0
-    val dupPairs = sets
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        "flatten(transform(ids, x -> transform(filter(ids, y -> y > x), " +
-          "y -> named_struct('id_a', x, 'id_b', y))))")).as("p"))
-      .select(col("p.id_a"), col("p.id_b"), lit(1.0).as("jaccard"))
 
     // 2. LSH over unique sets, int-only candidate pairs. The set SIZE
     // rides along: jaccard >= t forces |A|/|B| in [t, 1/t] (J <=
@@ -152,8 +150,26 @@ object NearDup {
       .withColumn("jaccard", col("__i") / (size(col("toks_a")) + size(col("toks_b")) - col("__i")))
       .filter(col("jaccard") >= threshold)
       .select(col("set_a"), col("set_b"), col("jaccard"))
+    (sets, verified)
+  }
 
-    // 4. expand set pairs to doc pairs
+  /** MinHash near-dup DOC pairs (see minHashSetPairs for the steps):
+    * identical-set doc pairs at jaccard 1.0 plus the verified distinct
+    * set pairs expanded to doc granularity. */
+  def minHashPairs(df: DataFrame, idCol: String, tokensCol: Column,
+                   numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.8,
+                   maxBucketSize: Int = 4096): DataFrame = {
+    val (sets, verified) = minHashSetPairs(df, idCol, tokensCol, numHashes, bands, threshold, maxBucketSize)
+
+    // identical-set doc pairs: jaccard exactly 1.0
+    val dupPairs = sets
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, x -> transform(filter(ids, y -> y > x), " +
+          "y -> named_struct('id_a', x, 'id_b', y))))")).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), lit(1.0).as("jaccard"))
+
+    // expand set pairs to doc pairs
     val idsBySet = sets.select(col("set_id"), col("ids"))
     val expanded = verified
       .join(idsBySet.select(col("set_id").as("set_a"), col("ids").as("ids_a")), Seq("set_a"))

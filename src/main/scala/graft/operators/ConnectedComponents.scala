@@ -33,10 +33,12 @@ object ConnectedComponents {
     val both = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // localCheckpoint each round: materializes the new labels AND
-    // truncates lineage — without it the logical plan doubles per
-    // iteration and planning itself OOMs on long chains (the classic
-    // iterative-Spark failure; GraphX checkpoints for the same reason)
+    // Lineage management: the plan doubles per iteration, so planning
+    // itself OOMs on long chains without truncation (the classic
+    // iterative-Spark failure; GraphX checkpoints for the same
+    // reason). Hot path persists (AQE-planned, fast); every 4th round
+    // localCheckpoints to cut lineage — plan depth stays bounded at
+    // ~2^4 of the base while most rounds avoid the checkpoint copy.
     var labels = both.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint()
@@ -46,10 +48,28 @@ object ConnectedComponents {
     while (!converged && it < maxIter) {
       val prop = both.join(labels, both("src") === labels("id"))
         .select(col("dst").as("id"), col("lbl"))
-      val next = labels.unionByName(prop)
+      // persisted: the self-join below reads it twice; lazy — blocks
+      // fill during the one materializing action of this round
+      val merged = labels.unionByName(prop)
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // pointer jumping: follow the current label's OWN label
+      // (labels are node ids, min-labels are monotone, so
+      // lbl(lbl(id)) <= lbl(id)). Halves the remaining distance to
+      // the component minimum each round -> O(log diameter) rounds
+      // instead of O(diameter) — near-dup drift chains have linear
+      // diameter, which this turns from ~20 rounds into ~5.
+      val next = merged.as("x")
+        .join(merged.select(col("id").as("pid"), col("lbl").as("plbl")),
+          col("x.lbl") === col("pid"))
+        .select(col("x.id").as("id"), col("plbl").as("lbl"))
+        .localCheckpoint(false) // lineage cut; materialized by the sum below
       val s = next.agg(sum(col("lbl"))).head().getLong(0)
+      // next is checkpointed, so its inputs can be released eagerly —
+      // leaked cache entries otherwise accumulate across rounds and
+      // every later plan pays CacheManager lookup over all of them
+      merged.unpersist()
+      labels.unpersist()
       labels = next
       converged = s == prevSum
       prevSum = s
@@ -67,6 +87,24 @@ object ConnectedComponents {
     val assigned = docs.select(col(idCol).cast("long").as("doc"))
       .join(cc, col("doc") === cc("id"), "left")
       .select(col("doc").as("doc_id"), coalesce(col("cluster_id"), col("doc")).as("cluster_id"))
+    withSizes(assigned)
+  }
+
+  /** Set-granular dedup assignment: components run over canonical-SET
+    * pairs (NearDup.minHashSetPairs) — a k-document identical set is
+    * ONE node instead of k(k-1)/2 expanded edges, so the iteration
+    * cost scales with unique content, not duplicate mass. Every doc
+    * inherits its set's component; set_id = min doc id of the set, so
+    * the component label is the corpus-wide min doc id. */
+  def dedupAssignmentBySets(sets: DataFrame, setPairs: DataFrame): DataFrame = {
+    val cc = run(setPairs.select(col("set_a"), col("set_b")))
+    val membership = sets.select(explode(col("ids")).as("doc_id"), col("set_id"))
+    val assigned = membership.join(cc, membership("set_id") === cc("id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("set_id")).as("cluster_id"))
+    withSizes(assigned)
+  }
+
+  private def withSizes(assigned: DataFrame): DataFrame = {
     val sizes = assigned.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
     assigned.join(sizes, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),

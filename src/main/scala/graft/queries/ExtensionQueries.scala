@@ -56,10 +56,9 @@ object ExtensionQueries {
   // components with a recursive label-propagation CTE over the exact
   // brute-force pairs.
   private def q48(s: SparkSession, dir: String): DataFrame = {
-    val pairs = NearDup.minHashPairs(docs(s, dir), "doc_id", TextAnalysis.wordTokens(col("text")),
-      numHashes = 96, bands = 24, threshold = 0.8)
-      .select(col("id_a"), col("id_b"))
-    graft.operators.ConnectedComponents.dedupAssignment(docs(s, dir), "doc_id", pairs)
+    val (sets, setPairs) = NearDup.minHashSetPairs(docs(s, dir), "doc_id",
+      TextAnalysis.wordTokens(col("text")), numHashes = 96, bands = 24, threshold = 0.8)
+    graft.operators.ConnectedComponents.dedupAssignmentBySets(sets, setPairs)
   }
 
   // q23 — SimHash near-dup pairs (banded Hamming join; rows-only).
