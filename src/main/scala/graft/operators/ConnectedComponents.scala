@@ -42,11 +42,18 @@ object ConnectedComponents {
     var labels = both.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint()
+    // checkpointed frames are RDD-backed with UNKNOWN size stats, so
+    // the planner will never choose a broadcast join on its own and
+    // every round would sort-merge the full edge table. When the node
+    // count is provably broadcast-sized, hint it explicitly; beyond
+    // that the shuffle join is the correct plan anyway.
+    val nNodes = labels.count()
+    def maybeBcast(df: DataFrame): DataFrame = if (nNodes <= 5000000L) broadcast(df) else df
     var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val prop = both.join(labels, both("src") === labels("id"))
+      val prop = both.join(maybeBcast(labels), both("src") === labels("id"))
         .select(col("dst").as("id"), col("lbl"))
       // persisted: the self-join below reads it twice; lazy — blocks
       // fill during the one materializing action of this round
@@ -60,7 +67,7 @@ object ConnectedComponents {
       // instead of O(diameter) — near-dup drift chains have linear
       // diameter, which this turns from ~20 rounds into ~5.
       val next = merged.as("x")
-        .join(merged.select(col("id").as("pid"), col("lbl").as("plbl")),
+        .join(maybeBcast(merged.select(col("id").as("pid"), col("lbl").as("plbl"))),
           col("x.lbl") === col("pid"))
         .select(col("x.id").as("id"), col("plbl").as("lbl"))
         .localCheckpoint(false) // lineage cut; materialized by the sum below
