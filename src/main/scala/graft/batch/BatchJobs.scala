@@ -1,6 +1,6 @@
 package graft.batch
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Ohlcv}
@@ -55,4 +55,38 @@ object BatchJobs {
   /** S8: append parquet partitioned by symbol. */
   def writeProcessed(df: DataFrame, path: String): Unit =
     df.write.mode("append").partitionBy("symbol").parquet(path)
+
+  /** Bucket-store compaction — the operational answer to streaming's
+    * small-files problem: foreachBatch appends one file per partition
+    * per micro-batch, which at 100 TB is millions of files whose
+    * listing alone dominates reads. Compaction folds replayed
+    * micro-batches (StreamPipeline.readBuckets dedup), rewrites the
+    * store coalesced to `targetFileRows`-sized files per symbol
+    * partition, and swaps atomically (write-temp + rename, same as
+    * WarehouseLoader.writeSnapshot) so concurrent readers see either
+    * the old or the new layout. Run it on a cadence; the streaming
+    * writer keeps appending to the swapped-in store because the path
+    * is unchanged. Returns (filesBefore, filesAfter). */
+  def compactBuckets(spark: SparkSession, bucketPath: String,
+                     targetFileRows: Long = 4000000L): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    def countFiles(p: String): Long = {
+      val fs = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new Path(p), true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val before = countFiles(bucketPath)
+    val deduped = graft.streaming.StreamPipeline.readBuckets(spark, bucketPath)
+      .withColumn("batch_id", lit(-1L)) // compacted rows predate any replay
+    val rows = deduped.count()
+    val nFiles = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)
+    val tmp = bucketPath + ".compact"
+    deduped.repartition(nFiles).write.mode("overwrite").partitionBy("symbol").parquet(tmp)
+    val fs = new Path(bucketPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(bucketPath), true)
+    fs.rename(new Path(tmp), new Path(bucketPath))
+    (before, countFiles(bucketPath))
+  }
 }

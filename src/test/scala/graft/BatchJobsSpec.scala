@@ -50,4 +50,28 @@ class BatchJobsSpec extends SparkSpec {
     assert(twice.orderBy("symbol").collect().toSeq == once.orderBy("symbol").collect().toSeq)
     assert(once.filter($"symbol" === "AAPL").head().getAs[Double]("daily_close") == 2.0)
   }
+
+  test("bucket-store compaction: fewer files, identical data, replay dedup folded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    // simulate many micro-batches, incl. a replayed one (same bucket,
+    // higher batch_id — must be dropped by compaction, not doubled)
+    (0 until 6).foreach { b =>
+      Seq(("A", 1704067200L + b * 300L, 5L, b.toLong))
+        .toDF("symbol", "bucket_start", "n", "batch_id")
+        .write.mode("append").partitionBy("symbol").parquet(dir)
+    }
+    Seq(("A", 1704067200L, 5L, 99L)).toDF("symbol", "bucket_start", "n", "batch_id")
+      .write.mode("append").partitionBy("symbol").parquet(dir)
+    val want = graft.streaming.StreamPipeline.readBuckets(spark, dir)
+      .select("symbol", "bucket_start", "n").collect().map(_.toString).sorted.toSeq
+    val (before, after) = BatchJobs.compactBuckets(spark, dir)
+    assert(after < before, s"no compaction: $before -> $after")
+    val got = graft.streaming.StreamPipeline.readBuckets(spark, dir)
+      .select("symbol", "bucket_start", "n").collect().map(_.toString).sorted.toSeq
+    assert(got == want, "compaction changed the logical content")
+    // the store keeps accepting streamed appends after the swap
+    Seq(("A", 1704069000L, 2L, 7L)).toDF("symbol", "bucket_start", "n", "batch_id")
+      .write.mode("append").partitionBy("symbol").parquet(dir)
+    assert(graft.streaming.StreamPipeline.readBuckets(spark, dir).count() == want.size + 1)
+  }
 }
