@@ -23,9 +23,17 @@ object Graft {
       Tables(spark, dir, t).createOrReplaceTempView(t)
     }
 
-  /** Register custom expressions for SQL:
-    *  - rolling_hash(str): the codegen'd polynomial fingerprint. */
-  def registerFunctions(spark: SparkSession): Unit =
+  /** Register the engine's custom expressions for SQL — the same set
+    * GraftExtensions installs cluster-wide via spark.sql.extensions:
+    * rolling_hash, dot_product, intersect_count, cdc_chunks. */
+  def registerFunctions(spark: SparkSession): Unit = {
     GraftFunctionRegistry.registerTemp(spark, "rolling_hash",
       exprs => RollingHashExpr(exprs.head))
+    GraftFunctionRegistry.registerTemp(spark, "dot_product",
+      exprs => graft.functions.DotProductExpr(exprs(0), exprs(1)))
+    GraftFunctionRegistry.registerTemp(spark, "intersect_count",
+      exprs => graft.functions.IntersectCountExpr(exprs(0), exprs(1)))
+    GraftFunctionRegistry.registerTemp(spark, "cdc_chunks",
+      exprs => GraftExtensions.cdcChunks(exprs))
+  }
 }

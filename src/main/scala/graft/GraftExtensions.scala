@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductExpr, IntersectCountExpr, RollingHashExpr}
+import graft.functions.{CdcChunksExpr, DotProductExpr, IntersectCountExpr, RollingHashExpr}
 
 /** Cluster-wide installation of the engine's custom Catalyst
   * expressions — the idiomatic Spark deployment path:
@@ -33,5 +33,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("intersect_count"),
       info("intersect_count", "intersect_count(a, b) - |A ∩ B| of two SORTED distinct arrays (merge scan)"),
       (exprs: Seq[Expression]) => IntersectCountExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("cdc_chunks"),
+      info("cdc_chunks", "cdc_chunks(str[, window, modulus, minSize, maxSize]) - content-defined chunks (Rabin rolling window)"),
+      (exprs: Seq[Expression]) => GraftExtensions.cdcChunks(exprs)))
+  }
+}
+
+object GraftExtensions {
+  private def intArg(e: Expression, name: String): Int = e.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case s: Short => s.toInt
+    case b: Byte => b.toInt
+    case other => throw new IllegalArgumentException(s"cdc_chunks: $name must be an integer literal, got $other")
+  }
+
+  /** Shared builder for the SQL surface: string + optional int-literal
+    * params (window, modulus, minSize, maxSize). */
+  def cdcChunks(exprs: Seq[Expression]): CdcChunksExpr = {
+    require(exprs.size == 1 || exprs.size == 5,
+      s"cdc_chunks takes 1 or 5 arguments, got ${exprs.size}")
+    if (exprs.size == 1) CdcChunksExpr(exprs.head, 16, 64, 32, 256)
+    else CdcChunksExpr(exprs.head,
+      intArg(exprs(1), "window"), intArg(exprs(2), "modulus"),
+      intArg(exprs(3), "minSize"), intArg(exprs(4), "maxSize"))
   }
 }

@@ -21,12 +21,14 @@ class ExtensionsSpec extends SparkSpec {
       val r = s2.sql(
         """SELECT rolling_hash('abc') AS h,
           |       dot_product(array(1d, 2d), array(3d, 4d)) AS d,
-          |       intersect_count(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS i""".stripMargin).head()
+          |       intersect_count(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS i,
+          |       cdc_chunks(repeat('xyz abc ', 40), 16, 64, 32, 128) AS c""".stripMargin).head()
       val want = graft.functions.RollingHash.eval(
         org.apache.spark.unsafe.types.UTF8String.fromString("abc"))
       assert(r.getLong(0) == want)
       assert(r.getDouble(1) == 11.0)
       assert(r.getInt(2) == 2)
+      assert(r.getSeq[String](3).mkString == "xyz abc " * 40)
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)
