@@ -40,8 +40,24 @@ object Ingest {
       .select(from_json(col("value").cast("string"), rawSchema).as("t"))
       .select(col("t.*"))
 
+  /** Rows `clean` will lose: empty/null symbol (filtered explicitly)
+    * or unparseable event time (window() later drops null timestamps
+    * SILENTLY — at 100 TB silent loss is an incident, so pipelines
+    * side-output these to a dead-letter sink instead). Returns the
+    * RAW rows, unmodified, for replay after a parser fix. */
+  def deadLetters(raw: DataFrame): DataFrame = {
+    val named =
+      if (raw.columns.contains("percent_change"))
+        raw.withColumnRenamed("percent_change", "change_percent")
+      else raw
+    named.filter(col("symbol").isNull || col("symbol") === ""
+      || to_timestamp(col("timestamp")).isNull)
+  }
+
   /** P7-P10 cleaning: normalize names, parse event time, strip `%`,
-    * cast numerics. Works on both batch and streaming frames. */
+    * cast numerics. Works on both batch and streaming frames. Rows
+    * with unparseable timestamps keep flowing with a null event time
+    * (captured by `deadLetters`; dropped by the windowed aggregate). */
   def clean(raw: DataFrame): DataFrame = {
     val named =
       if (raw.columns.contains("percent_change"))

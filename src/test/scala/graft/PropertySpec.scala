@@ -76,4 +76,43 @@ class PropertySpec extends AnyFunSuite {
       wire.stripSuffix("%").toDouble == pct
     })
   }
+
+  test("CDC chunks: lossless and codepoint-safe for arbitrary unicode") {
+    // mixed ASCII / 2-byte / 3-byte / 4-byte codepoints — the cut
+    // snapping must never split a codepoint, and concat must restore
+    // the document byte-for-byte
+    val uniChar = Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString), Gen.const(" "),
+      Gen.const("é"), Gen.const("ü"), Gen.const("中"), Gen.const("🙂"), Gen.const("𝔘"))
+    val uniStr = Gen.chooseNum(0, 400).flatMap(n => Gen.listOfN(n, uniChar).map(_.mkString))
+    check(Prop.forAll(uniStr) { s =>
+      val arr = graft.functions.CdcChunks.eval(UTF8String.fromString(s), 8, 16, 12, 64)
+      val chunks = (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+      val lossless = chunks.mkString == s
+      val bounded = chunks.dropRight(1).forall { c =>
+        val b = c.getBytes("UTF-8").length; b >= 12 && b <= 64 + 3
+      }
+      lossless && bounded
+    })
+  }
+
+  test("CDC chunks: boundaries resynchronize after an edit (suffix stability)") {
+    val word = Gen.chooseNum(0, 999999).map(n => s"w$n")
+    val gen = for {
+      ws <- Gen.listOfN(150, word)
+      ins <- Gen.alphaNumStr
+    } yield (ws.mkString(" "), ins)
+    check(Prop.forAll(gen) { case (base, ins) =>
+      val edited = ins + base
+      def chunks(s: String) = {
+        val a = graft.functions.CdcChunks.eval(UTF8String.fromString(s), 16, 32, 24, 512)
+        (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+      }
+      val (a, b) = (chunks(base), chunks(edited))
+      // a common trailing chunk exists once both streams pass a shared
+      // content-defined cut — guaranteed here because content cuts
+      // occur well before the 512-byte cap on 1k-char docs
+      a.isEmpty || b.isEmpty || a.last == b.last || a.mkString.length < 600
+    })
+  }
 }

@@ -136,6 +136,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dead letters capture null-symbol and unparseable-timestamp rows") {
+    val raw = Seq(
+      RawTick("AAPL", 10.0, 0, "1%", "5", 9, 11, "2024-01-01T00:00:10"),
+      RawTick("MSFT", 10.0, 0, "1%", "5", 9, 11, "not-a-timestamp"),
+      RawTick("", 10.0, 0, "1%", "5", 9, 11, "2024-01-01T00:00:12")
+    ).toDF()
+    val dead = Ingest.deadLetters(raw)
+    assert(dead.count() == 2)
+    assert(dead.select("timestamp").as[String].collect().toSet ==
+      Set("not-a-timestamp", "2024-01-01T00:00:12")) // raw values preserved for replay
+    // clean + dead partition the input: nothing silently lost
+    val cleanedOk = Ingest.clean(raw).filter($"timestamp".isNotNull && $"symbol" =!= "")
+    assert(cleanedOk.count() + dead.count() == 3)
+    // and the windowed aggregate only ever sees the clean rows
+    val buckets = StreamPipeline.bucketAgg(Ingest.clean(raw))
+    assert(buckets.filter($"bucket_start".isNull).isEmpty)
+    assert(buckets.agg(sum($"n")).as[Long].head() == 1L)
+  }
+
   test("bucket partials run on the RocksDB state store (100 TB state path)") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
