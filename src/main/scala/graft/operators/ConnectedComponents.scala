@@ -48,6 +48,10 @@ object ConnectedComponents {
     // count is provably broadcast-sized, hint it explicitly; beyond
     // that the shuffle join is the correct plan anyway.
     val nNodes = labels.count()
+    if (nNodes == 0) { // no edges -> no clustered nodes (sum() below would be null)
+      both.unpersist()
+      return labels.select(col("id"), col("lbl").as("cluster_id"))
+    }
     def maybeBcast(df: DataFrame): DataFrame = if (nNodes <= 5000000L) broadcast(df) else df
     var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
     var converged = false

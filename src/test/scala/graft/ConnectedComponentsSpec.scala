@@ -27,6 +27,14 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(a.map(_._1).size == 8)
   }
 
+  test("empty pair list: all docs become singleton canonicals (no NPE)") {
+    val docs = (1L to 4L).toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val a = ConnectedComponents.dedupAssignment(docs, "doc_id", noPairs)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(a == (1L to 4L).map(d => (d, d, 1L, true)).toSet)
+  }
+
   test("long chain converges (diameter-bound iterations)") {
     val n = 15
     val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
