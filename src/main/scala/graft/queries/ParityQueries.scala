@@ -230,6 +230,31 @@ object ParityQueries {
         col("qid"), col("qvalue"), unix_micros(col("qts")).as("qts_us"))
   }
 
+  // q49 — ROLLUP grouping sets (SURVEY §2.7 explicit negative):
+  // per-(returnflag, linestatus) aggregates plus subtotals and grand
+  // total in ONE aggregation pass; grouping_id disambiguates real
+  // NULLs from subtotal rows. Decimal money sums keep the subtotal
+  // rows partition-invariant.
+  private def q49(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_rows"),
+        r2(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")).as("sum_price"),
+        r2(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")).as("sum_qty"))
+
+  // q50 — INTERSECT / EXCEPT set semantics (SURVEY §2.7 explicit
+  // negative): urgent-order customers vs big-spender customers, both
+  // distinct-set ops, tagged and unioned into one result.
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val big = o.filter(col("o_totalprice") > 250000.0).select(col("o_custkey"))
+    urgent.intersect(big).withColumn("op", lit("urgent_and_big"))
+      .unionByName(urgent.except(big).withColumn("op", lit("urgent_only")))
+  }
+
   // q18 — session windows (gap-based sessionization; beyond the
   // reference, SURVEY §2.7): per-user sessions closed after a 30-min
   // quiet gap. Spark's session_window vs the oracle's lag+cumsum
@@ -328,6 +353,8 @@ object ParityQueries {
     "q42_semi_join" -> q42 _,
     "q43_anti_join" -> q43 _,
     "q44_asof_bucketed" -> q44 _,
+    "q49_rollup_sets" -> q49 _,
+    "q50_set_ops" -> q50 _,
     "q16_partial_windows" -> q16 _,
     "q17_asof_join" -> q17 _,
     "q18_session_window" -> q18 _,
@@ -352,6 +379,24 @@ object ParityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q49_rollup_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  grouping(l_returnflag, l_linestatus)::BIGINT AS gid,
+        |  count(*) AS n_rows,
+        |  floor(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE*100 + 0.5)/100 AS sum_price,
+        |  floor(sum(l_quantity::DECIMAL(18,2))::DOUBLE*100 + 0.5)/100 AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q50_set_ops" ->
+      """SELECT o_custkey, 'urgent_and_big' AS op FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 250000.0)
+        |UNION ALL
+        |SELECT o_custkey, 'urgent_only' AS op FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 250000.0)""".stripMargin,
     "q42_semi_join" ->
       """SELECT o_orderpriority, count(*) AS order_count,
         |  floor(sum(o_totalprice::DECIMAL(18,2))::DOUBLE*100 + 0.5)/100 AS total_price
