@@ -29,7 +29,12 @@ object Bench {
       try { run(fn(spark, sfDir)) } catch { case _: Throwable => }
       val t0 = System.nanoTime()
       try { run(fn(spark, sfDir)) } catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // isolate measurements: operators that persist working tables
+      // (MinHash, CC) would otherwise leave cache entries that evict /
+      // collide with later queries' storage and skew their numbers
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

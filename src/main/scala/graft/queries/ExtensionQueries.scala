@@ -50,14 +50,18 @@ object ExtensionQueries {
       .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
 
   // q48 — near-dup CLUSTERS: connected components over the verified
-  // MinHash pairs -> every doc assigned its cluster (min-id
+  // shingle-MinHash pairs -> every doc assigned its cluster (min-id
   // canonical), cluster size, survivor flag — the step that turns
-  // pair lists into an actual dedup decision. Oracle recomputes the
-  // components with a recursive label-propagation CTE over the exact
-  // brute-force pairs.
+  // pair lists into an actual dedup decision. Shingle jaccard is the
+  // production near-dup definition (word-SET jaccard marks word-order
+  // rewrites as duplicates — see q47); identical docs still cluster
+  // via the canonical-set nodes. Oracle recomputes the components
+  // with a recursive label-propagation CTE over the exact brute-force
+  // shingle pairs.
   private def q48(s: SparkSession, dir: String): DataFrame = {
     val (sets, setPairs) = NearDup.minHashSetPairs(docs(s, dir), "doc_id",
-      TextAnalysis.wordTokens(col("text")), numHashes = 96, bands = 24, threshold = 0.8)
+      TextAnalysis.shingles(TextAnalysis.wordTokens(col("text")), 3),
+      numHashes = 96, bands = 24, threshold = 0.8)
     graft.operators.ConnectedComponents.dedupAssignmentBySets(sets, setPairs)
   }
 
@@ -301,10 +305,15 @@ object ExtensionQueries {
         |FROM documents GROUP BY 1""".stripMargin,
     "q48_dedup_clusters" ->
       """WITH RECURSIVE d AS (
-        |  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks FROM documents
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS toks
+        |  FROM d
         |), p AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
         |      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
         |), e AS (
