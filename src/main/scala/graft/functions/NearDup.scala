@@ -77,14 +77,15 @@ object NearDup {
     *     single degenerate band key goes quadratic at scale.
     *  3. VERIFY: token arrays are attached back via a join and exact
     *     Jaccard filters false positives.
-    *  4. EXPAND: surviving set pairs multiply out to doc pairs.
-    */
-  /** Set-granular form of [[minHashPairs]]: returns (sets, verified
-    * set pairs) BEFORE doc expansion — identical docs are one node.
-    * This is the right input for clustering (ConnectedComponents):
-    * a k-document identical set contributes one node instead of
-    * k(k-1)/2 expanded edges. `sets` columns: set_id, ids, toks;
-    * `pairs` columns: set_a, set_b, jaccard (distinct sets only). */
+    *  4. EXPAND: surviving set pairs multiply out to doc pairs
+    *     (minHashPairs only).
+    *
+    * This set-granular form returns (sets, verified set pairs) BEFORE
+    * doc expansion — identical docs are one node. It is the right
+    * input for clustering (ConnectedComponents): a k-document
+    * identical set contributes one node instead of k(k-1)/2 expanded
+    * edges. `sets` columns: set_id, ids, toks; `pairs` columns:
+    * set_a, set_b, jaccard (distinct sets only). */
   def minHashSetPairs(df: DataFrame, idCol: String, tokensCol: Column,
                       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.8,
                       maxBucketSize: Int = 4096): (DataFrame, DataFrame) = {
