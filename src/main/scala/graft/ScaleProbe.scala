@@ -41,6 +41,10 @@ object ScaleProbe {
     time("q07_window_15m@10x") { SparkEntry.queries("q07_window_15m")(spark, dst) }
     // q06 OHLCV rollup (min_by/max_by single-aggregate plan) at 10x
     time("q06_ohlcv_daily@10x") { SparkEntry.queries("q06_ohlcv_daily")(spark, dst) }
+    // semi join fact x fact at 10x (both sides replicated)
+    time("q42_semi_join@10x") { SparkEntry.queries("q42_semi_join")(spark, dst) }
+    // ROLLUP grouping sets at 10x (subtotal grid in one pass)
+    time("q49_rollup_sets@10x") { SparkEntry.queries("q49_rollup_sets")(spark, dst) }
     // join+agg: lineitem(6M) x orders(1.5M) with dims from sf0.1
     val l = spark.read.parquet(s"$dst/lineitem.parquet")
     val o = spark.read.parquet(s"$dst/orders.parquet")
