@@ -81,7 +81,10 @@ object Demo {
       q.processAllAvailable()
     } finally q.stop()
 
-    // 3. replay-safe bucket read -> windowed metrics (streaming leg)
+    // 3. compact the bucket store (the operational small-files step),
+    // then replay-safe read -> windowed metrics (streaming leg)
+    val (filesBefore, filesAfter) = graft.batch.BatchJobs.compactBuckets(spark, bucketPath)
+    require(filesAfter <= filesBefore, s"compaction grew the store: $filesBefore -> $filesAfter")
     val streamed = StreamPipeline.windowedMetrics(
       StreamPipeline.readBuckets(spark, bucketPath).filter(col("symbol") =!= "FLUSH"))
 
