@@ -84,9 +84,7 @@ object BatchJobs {
     val nFiles = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)
     val tmp = bucketPath + ".compact"
     deduped.repartition(nFiles).write.mode("overwrite").partitionBy("symbol").parquet(tmp)
-    val fs = new Path(bucketPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(bucketPath), true)
-    fs.rename(new Path(tmp), new Path(bucketPath))
+    AtomicSwap.swapInto(spark.sparkContext.hadoopConfiguration, tmp, bucketPath)
     (before, countFiles(bucketPath))
   }
 }

@@ -38,17 +38,14 @@ object WarehouseLoader {
     MergeUpsert.upsertStamped(target, deduped, keys, loadTs)
   }
 
-  /** Atomic snapshot swap: write to `<path>.tmp`, then move into
-    * place. Readers see either the old or the new snapshot, never a
-    * partial write. */
+  /** Atomic snapshot swap: write to `<path>.tmp`, then swap into place
+    * via [[AtomicSwap]] (live path set aside before the new one lands,
+    * every rename checked). Readers see either the old or the new
+    * snapshot, never a partial write or a missing store. */
   def writeSnapshot(spark: SparkSession, df: DataFrame, path: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(path + ".tmp")
-    val dst = new Path(path)
-    df.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    fs.rename(tmp, dst)
+    val tmp = path + ".tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    AtomicSwap.swapInto(spark.sparkContext.hadoopConfiguration, tmp, path)
   }
 
   /** Read the current snapshot, or an empty frame with `schema` when

@@ -29,6 +29,14 @@ import org.apache.spark.sql.types._
   * Determinism: callers must make `key` a total order (e.g. include an
   * id tiebreak); with a total order the surviving set and its output
   * order are partitioning-invariant.
+  *
+  * Null keys are DROPPED (like aggregate inputs, unlike a ranking
+  * window): `row_number() ... ORDER BY key` ranks null-key rows last
+  * and would still emit them when a group has fewer than k non-null
+  * rows, so "identical to the window form" holds only for non-null
+  * keys. The internal callers (Similarity.topK) build non-nullable
+  * struct keys; general callers wanting window parity must coalesce
+  * nulls to a sentinel that sorts last.
   */
 case class BoundedTopKAgg(
     key: Expression,

@@ -85,7 +85,11 @@ object NearDup {
     * input for clustering (ConnectedComponents): a k-document
     * identical set contributes one node instead of k(k-1)/2 expanded
     * edges. `sets` columns: set_id, ids, toks; `pairs` columns:
-    * set_a, set_b, jaccard (distinct sets only). */
+    * set_a, set_b, jaccard (distinct sets only).
+    *
+    * Both returned frames are persisted (MEMORY_AND_DISK) and `pairs`
+    * is already materialized; callers own unpersisting them when done.
+    * Internal working tables are unpersisted before returning. */
   def minHashSetPairs(df: DataFrame, idCol: String, tokensCol: Column,
                       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.8,
                       maxBucketSize: Int = 4096): (DataFrame, DataFrame) = {
@@ -151,6 +155,15 @@ object NearDup {
       .withColumn("jaccard", col("__i") / (size(col("toks_a")) + size(col("toks_b")) - col("__i")))
       .filter(col("jaccard") >= threshold)
       .select(col("set_a"), col("set_b"), col("jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize `verified` NOW so the internal `banded` cache (two
+    // consumers: the bucket-size count and the self-join) can be
+    // dropped before returning — otherwise every call leaked a cache
+    // entry unreachable by callers for the session lifetime. The two
+    // RETURNED frames stay persisted: callers own unpersisting them
+    // (or spark.catalog.clearCache()) when done.
+    verified.count()
+    banded.unpersist(blocking = false)
     (sets, verified)
   }
 

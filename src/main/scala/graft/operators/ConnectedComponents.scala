@@ -26,19 +26,43 @@ import org.apache.spark.storage.StorageLevel
 object ConnectedComponents {
 
   /** `edges`: two long columns (first two are used), undirected pairs.
-    * Returns (id, cluster_id) for every node appearing in any edge. */
-  def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    * Returns (id, cluster_id) for every node appearing in any
+    * non-self-loop edge (degenerate x-x pairs carry no connectivity;
+    * the dedupAssignment* callers coalesce absent ids to themselves).
+    *
+    * Hybrid execution: near-dup pair lists are usually orders of
+    * magnitude smaller than the corpus that produced them, and the
+    * distributed loop costs ~5 scheduler round-trips per iteration —
+    * pure overhead on a small graph. When the (distinct, undirected)
+    * edge count is at most `driverMaxEdges` the edges are collected
+    * and solved with a driver-side union-find (exact same min-label
+    * components, zero iterations) — the same regime call as a
+    * broadcast join, with the same kind of size guard. Above the
+    * threshold the iterative min-label-propagation + pointer-jumping
+    * loop runs fully distributed. */
+  def run(edges: DataFrame, maxIter: Int = 20, driverMaxEdges: Long = 1000000L): DataFrame = {
     val cols = edges.columns
     val e = edges.select(col(cols(0)).cast("long").as("src"), col(cols(1)).cast("long").as("dst"))
-    val both = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val eDist = e.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = eDist.count()
+    if (nEdges <= driverMaxEdges) {
+      val out = runOnDriver(edges.sparkSession, eDist.collect().map(r => (r.getLong(0), r.getLong(1))))
+      eDist.unpersist(blocking = false)
+      return out
+    }
+    val both = eDist.unionByName(eDist.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Lineage management: the plan doubles per iteration, so planning
     // itself OOMs on long chains without truncation (the classic
     // iterative-Spark failure; GraphX checkpoints for the same
-    // reason). Hot path persists (AQE-planned, fast); every 4th round
-    // localCheckpoints to cut lineage — plan depth stays bounded at
-    // ~2^4 of the base while most rounds avoid the checkpoint copy.
+    // reason). Hot path persists (AQE-planned, fast); every round
+    // localCheckpoints to cut lineage, and the per-round checkpoint
+    // BLOCKS are released eagerly via GraftRddShim (DataFrame
+    // .unpersist never sees them — they'd stack one dead block set
+    // per iteration otherwise).
     var labels = both.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint()
@@ -47,11 +71,8 @@ object ConnectedComponents {
     // every round would sort-merge the full edge table. When the node
     // count is provably broadcast-sized, hint it explicitly; beyond
     // that the shuffle join is the correct plan anyway.
-    val nNodes = labels.count()
-    if (nNodes == 0) { // no edges -> no clustered nodes (sum() below would be null)
-      both.unpersist()
-      return labels.select(col("id"), col("lbl").as("cluster_id"))
-    }
+    val nNodes = labels.count() // also materializes `both`
+    eDist.unpersist(blocking = false)
     def maybeBcast(df: DataFrame): DataFrame = if (nNodes <= 5000000L) broadcast(df) else df
     var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
     var converged = false
@@ -78,9 +99,11 @@ object ConnectedComponents {
       val s = next.agg(sum(col("lbl"))).head().getLong(0)
       // next is checkpointed, so its inputs can be released eagerly —
       // leaked cache entries otherwise accumulate across rounds and
-      // every later plan pays CacheManager lookup over all of them
+      // every later plan pays CacheManager lookup over all of them.
+      // The outgoing labels frame is checkpoint-backed: its blocks
+      // live OUTSIDE CacheManager and need the shim to free.
       merged.unpersist()
-      labels.unpersist()
+      org.apache.spark.sql.GraftRddShim.releaseCheckpointBlocks(labels)
       labels = next
       converged = s == prevSum
       prevSum = s
@@ -88,6 +111,40 @@ object ConnectedComponents {
     }
     both.unpersist()
     labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Exact min-label components on the driver: path-halving union-find
+    * with the smaller id absorbing the larger, so every root IS the
+    * component minimum — identical output to the distributed loop.
+    * Near-linear in edges; only called under `driverMaxEdges`. */
+  private def runOnDriver(spark: org.apache.spark.sql.SparkSession,
+                          pairs: Array[(Long, Long)]): DataFrame = {
+    val parent = new java.util.HashMap[Long, java.lang.Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.get(x).longValue()
+      while (p != x) {
+        val gp = parent.get(p).longValue()
+        parent.put(x, gp) // path halving
+        x = gp
+        p = parent.get(x).longValue()
+      }
+      x
+    }
+    pairs.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a)
+      parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+    val it = parent.keySet().iterator()
+    while (it.hasNext) { val id = it.next().longValue(); rows.add(org.apache.spark.sql.Row(id, find(id))) }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster_id", org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(rows, schema)
   }
 
   /** Full dedup assignment over a corpus: every document gets its

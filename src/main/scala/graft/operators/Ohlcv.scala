@@ -36,6 +36,15 @@ object Ohlcv {
       order: Seq[Column],
       volCol: Option[Column] = None
   ): DataFrame = {
+    // min_by/max_by consume the order columns as a STRUCT ordering
+    // key, which is ascending by construction — a SortOrder input like
+    // col("ts").desc (legal in the old row_number formulation) would
+    // silently invert open/close, so reject it loudly.
+    order.foreach { c =>
+      require(!org.apache.spark.sql.GraftColumnShim.expression(c)
+          .isInstanceOf[org.apache.spark.sql.catalyst.expressions.SortOrder],
+        s"Ohlcv.rollup order columns must be plain ascending columns, got sort expression: $c")
+    }
     // open/close = value at the min/max of the (ascending) order key —
     // min_by/max_by carry the argmin/argmax through the SAME hash
     // aggregate as high/low/volume: one shuffle, NO window sort. The
