@@ -43,6 +43,57 @@ object NearDup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Edit-distance (Levenshtein) fuzzy pairs within blocks — the
+    * dedup notion Jaccard misses: small in-place character edits
+    * (typos, OCR noise) barely move the edit distance while renaming
+    * enough tokens to sink set overlap. Levenshtein is O(len²) PER
+    * PAIR, so it is strictly a verify step: block first (`blockCols`,
+    * e.g. language + length bucket — edit distance >= length gap, so
+    * a length bucket is a sound-ish cut), compare a bounded
+    * `prefixLen` of the text, and at scale put an LSH/fingerprint
+    * candidate generator in front and reserve this as the verifier.
+    * NOTE: pass ASCII-normalized text when the oracle matters —
+    * DuckDB's levenshtein counts BYTES, Spark's counts codepoints. */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: Column,
+                        blockCols: Seq[Column], maxDist: Int, prefixLen: Int = 80): DataFrame = {
+    val blkNames = blockCols.indices.map(i => s"__blk$i")
+    val blk = blockCols.zip(blkNames).map { case (c, n) => c.as(n) }
+    val t = df.select(col(idCol).as("id") +: substring(textCol, 1, prefixLen).as("pfx") +: blk: _*)
+    val candidates = t.select(col("id").as("id_a") +: col("pfx").as("pfx_a") +: blkNames.map(col): _*)
+      .join(t.select(col("id").as("id_b") +: col("pfx").as("pfx_b") +: blkNames.map(col): _*), blkNames)
+      .filter(col("id_a") < col("id_b"))
+      // cheap length cut before the quadratic DP: |len(a)-len(b)| is a
+      // lower bound on edit distance
+      .filter(abs(length(col("pfx_a")) - length(col("pfx_b"))) <= maxDist)
+      // The candidate table is BYTE-small but the DP is CPU-heavy:
+      // size-based planning is the wrong cost model, so AQE coalesces
+      // the join output to ~1 partition and — worse — Catalyst pushes
+      // a declarative `levenshtein <= d` filter INTO the join
+      // condition, serializing the whole DP there (32s at sf0.1).
+      // Explicit partition count pins CPU parallelism...
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id_a"), col("id_b"), col("pfx_a"), col("pfx_b"))
+    // ...and the typed boundary is a real optimizer fence: no filter
+    // or project crosses mapPartitions, so the DP provably runs in
+    // the repartitioned stage. Inside, Spark's own banded DP
+    // (UTF8String.levenshteinDistance with threshold — what SQL
+    // levenshtein(l, r, t) compiles to) gives O(len*maxDist) with
+    // early abandon instead of O(len²), and -1 signals "exceeded".
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.unsafe.types.UTF8String
+    val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING, Encoders.STRING)
+    val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    candidates.as(inEnc).mapPartitions { it =>
+      it.flatMap { case (a, b, pa, pb) =>
+        if (pa == null || pb == null) Iterator.empty
+        else {
+          val d = UTF8String.fromString(pa).levenshteinDistance(UTF8String.fromString(pb), maxDist)
+          if (d >= 0) Iterator.single((a, b, d.toLong)) else Iterator.empty
+        }
+      }
+    }(outEnc).toDF("id_a", "id_b", "dist")
+  }
+
   /** MinHash signature: `numHashes` permutations approximated by
     * seeded xxhash64 over each distinct token; sig[i] = min hash.
     * Computed entirely map-side with HOFs. */

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.GapFill
+
+/** Round-3 analytics surface: reshaping (pivot/unpivot/CUBE), the
+  * ranking-window battery, regular-grid resampling with LOCF, and
+  * edit-distance fuzzy dedup. All oracle-checked against DuckDB.
+  */
+object AnalyticsQueries {
+
+  private def li(s: SparkSession, dir: String) = Tables.lineitem(s, dir)
+  private def ev(s: SparkSession, dir: String) = Tables.events(s, dir)
+
+  // q51 — pivot: long->wide per returnflag over the two linestatus
+  // values. Explicit value list keeps the output schema static (a
+  // discovery pivot would scan once just to learn the columns — at
+  // 100 TB always pass the values). Decimal sums: partition-invariant.
+  private def q51(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .withColumn("qty", col("l_quantity").cast("decimal(18,2)"))
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("qty")))
+      .select(col("l_returnflag"), col("F").as("qty_f"), col("O").as("qty_o"))
+
+  // q52 — unpivot (wide->long melt): one row per (id, measure). The
+  // generated Expand is map-side only — no shuffle at any scale.
+  private def q52(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "val")
+
+  // q53 — CUBE grouping sets: all four (flag, status) grouping
+  // combinations in one aggregation pass; grouping_id disambiguates
+  // subtotal NULLs from data NULLs (same contract as q49's ROLLUP).
+  private def q53(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_rows"),
+        r2(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")).as("sum_price"))
+
+  // q54 — ranking-window battery: ntile / percent_rank / cume_dist /
+  // nth_value / lead / lag over a per-key total order. percent_rank
+  // and cume_dist are integer-ratio doubles — bitwise identical
+  // cross-engine, no rounding needed. Explicit ROWS frame on
+  // nth_value: the default RANGE frame is equivalent here only
+  // because the order key is unique — pin it anyway.
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, dir).select(
+      col("event_id"), col("event_type"),
+      ntile(4).over(w).as("quartile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cdist"),
+      nth_value(col("value"), 3).over(wRows).as("third_val"),
+      lead(col("value"), 1).over(w).as("next_val"),
+      lag(col("value"), 1).over(w).as("prev_val"))
+  }
+
+  // q55 — regular-grid resample + LOCF gap-fill (GapFill.locf): every
+  // (event_type, minute) between each key's first and last observed
+  // minute, value carried forward, observation flag kept. No
+  // arithmetic on value — LOCF copies bits, so no rounding.
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    GapFill.locf(ev(s, dir), col("event_type"), "event_type", col("ts"),
+      col("value"), Seq(col("ts"), col("event_id")), unit = "minute")
+      .select(col("event_type"), unix_micros(col("bin")).as("bin_us"),
+        col("value"), col("is_observed"))
+
+  // q56 — edit-distance fuzzy near-dup (NearDup.editDistancePairs):
+  // blocked on (language, 50-char length bucket), ASCII-normalized
+  // prefix (DuckDB levenshtein counts bytes, Spark codepoints — on
+  // [a-z0-9 ] they agree), threshold 10. The verify-step cost model
+  // is documented on the operator.
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    graft.functions.NearDup.editDistancePairs(
+      Tables.documents(s, dir),
+      "doc_id", regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+      Seq(col("lang"), expr("n_chars DIV 50")), maxDist = 10, prefixLen = 80)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_pivot" -> q51 _,
+    "q52_unpivot" -> q52 _,
+    "q53_cube" -> q53 _,
+    "q54_window_battery" -> q54 _,
+    "q55_gapfill_locf" -> q55 _,
+    "q56_fuzzy_editdist" -> q56 _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q51_pivot" ->
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity::DECIMAL(18,2) END) AS qty_f,
+        |  sum(CASE WHEN l_linestatus = 'O' THEN l_quantity::DECIMAL(18,2) END) AS qty_o
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q52_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""".stripMargin,
+    "q53_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  grouping(l_returnflag, l_linestatus)::BIGINT AS gid,
+        |  count(*) AS n_rows,
+        |  floor(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE*100 + 0.5)/100 AS sum_price
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q54_window_battery" ->
+      """SELECT event_id, event_type,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist,
+        |  nth_value(value, 3) OVER (PARTITION BY event_type ORDER BY ts::TIMESTAMP, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_val,
+        |  lead(value, 1) OVER w AS next_val,
+        |  lag(value, 1) OVER w AS prev_val
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts::TIMESTAMP, event_id)""".stripMargin,
+    "q55_gapfill_locf" ->
+      """WITH pb AS (
+        |  SELECT event_type, bin, value AS v_obs FROM (
+        |    SELECT event_type, date_trunc('minute', ts::TIMESTAMP) AS bin, value,
+        |      row_number() OVER (PARTITION BY event_type, date_trunc('minute', ts::TIMESTAMP)
+        |        ORDER BY ts::TIMESTAMP DESC, event_id DESC) AS rn
+        |    FROM events WHERE value IS NOT NULL)
+        |  WHERE rn = 1
+        |), sp AS (
+        |  SELECT event_type, min(bin) AS t0, max(bin) AS t1 FROM pb GROUP BY 1
+        |), grid AS (
+        |  SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 MINUTE)) AS bin FROM sp
+        |)
+        |SELECT g.event_type, epoch_us(g.bin) AS bin_us,
+        |  last_value(pb.v_obs IGNORE NULLS) OVER (PARTITION BY g.event_type ORDER BY g.bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  pb.v_obs IS NOT NULL AS is_observed
+        |FROM grid g LEFT JOIN pb ON g.event_type = pb.event_type AND g.bin = pb.bin""".stripMargin,
+    "q56_fuzzy_editdist" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, n_chars // 50 AS lb,
+        |    substring(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 80) AS pfx
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  levenshtein(a.pfx, b.pfx)::BIGINT AS dist
+        |FROM t a JOIN t b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        |WHERE abs(length(a.pfx) - length(b.pfx)) <= 10
+        |  AND levenshtein(a.pfx, b.pfx) <= 10""".stripMargin
+  )
+}

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.batch.AtomicSwap
+
+class AtomicSwapSpec extends SparkSpec {
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+  private def mkDir(base: String, name: String, marker: String): String = {
+    val d = new java.io.File(base, name)
+    d.mkdirs()
+    Files.writeString(new java.io.File(d, "data.txt").toPath, marker)
+    d.getAbsolutePath
+  }
+  private def markerOf(path: String): String =
+    Files.readString(new java.io.File(path, "data.txt").toPath)
+
+  test("swap replaces live with tmp; old layout is cleaned up") {
+    val base = Files.createTempDirectory("swap").toString
+    val live = mkDir(base, "store", "OLD")
+    val tmp = mkDir(base, "store.tmp", "NEW")
+    AtomicSwap.swapInto(conf, tmp, live)
+    assert(markerOf(live) == "NEW")
+    assert(!new java.io.File(tmp).exists())
+    assert(!new java.io.File(live + ".old").exists())
+  }
+
+  test("swap into an absent live path (first write)") {
+    val base = Files.createTempDirectory("swap").toString
+    val tmp = mkDir(base, "store.tmp", "NEW")
+    val live = s"$base/store"
+    AtomicSwap.swapInto(conf, tmp, live)
+    assert(markerOf(live) == "NEW")
+  }
+
+  test("missing tmp throws and leaves live untouched") {
+    val base = Files.createTempDirectory("swap").toString
+    val live = mkDir(base, "store", "OLD")
+    intercept[java.io.IOException] {
+      AtomicSwap.swapInto(conf, s"$base/nope", live)
+    }
+    assert(markerOf(live) == "OLD")
+  }
+
+  test("crash healing: leftover .old restored when live vanished, dropped when live exists") {
+    // crash between steps 1 and 2: only .old remains
+    val base1 = Files.createTempDirectory("swap").toString
+    mkDir(base1, "store.old", "SURVIVOR")
+    val tmp1 = mkDir(base1, "store.tmp", "NEW")
+    AtomicSwap.swapInto(conf, tmp1, s"$base1/store")
+    // healed first (restored), then swapped: NEW wins, nothing lost mid-way
+    assert(markerOf(s"$base1/store") == "NEW")
+    // stale .old next to an intact live store is discarded
+    val base2 = Files.createTempDirectory("swap").toString
+    mkDir(base2, "store.old", "STALE")
+    mkDir(base2, "store", "LIVE")
+    val tmp2 = mkDir(base2, "store.tmp", "NEW")
+    AtomicSwap.swapInto(conf, tmp2, s"$base2/store")
+    assert(markerOf(s"$base2/store") == "NEW")
+    assert(!new java.io.File(s"$base2/store.old").exists())
+  }
+}

@@ -41,4 +41,25 @@ class ConnectedComponentsSpec extends SparkSpec {
     val got = ConnectedComponents.run(edges).as[(Long, Long)].collect()
     assert(got.forall(_._2 == 1L) && got.length == n)
   }
+
+  test("distributed path ≡ driver union-find on the same graph") {
+    // mixed shapes: two chains, a clique, crossing edge, reversed dirs
+    val edges = (Seq((1L, 2L), (3L, 2L), (3L, 4L), (9L, 8L), (8L, 7L),
+      (30L, 31L), (31L, 32L), (30L, 32L), (4L, 7L)) ++
+      (100L to 140L).map(i => (i, i + 1))).toDF("a", "b")
+    val viaDriver = ConnectedComponents.run(edges).as[(Long, Long)].collect().toMap
+    val viaCluster = ConnectedComponents.run(edges, driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver == viaCluster)
+    assert(viaDriver(7L) == 1L && viaDriver(30L) == 30L && viaDriver(141L) == 100L)
+  }
+
+  test("self-loop-only nodes are dropped by run, healed by dedupAssignment") {
+    val edges = Seq((5L, 5L), (1L, 2L)).toDF("a", "b")
+    val got = ConnectedComponents.run(edges).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L)) // 5 carries no connectivity
+    val a = ConnectedComponents.dedupAssignment((1L to 5L).toDF("doc_id"), "doc_id", edges)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(a.exists(r => r._1 == 5L && r._2 == 5L && r._4)) // singleton again
+  }
 }
