@@ -203,10 +203,14 @@ object ExtensionQueries {
       .select(col("query_id"), col("bucket"), col("neighbor_id"), col("rnk"), col("cos_r"))
   }
 
-  // q46 — content-defined chunking (rows-only: the per-byte rolling
-  // window recurrence is not expressible in DuckDB SQL at reasonable
-  // cost; semantics are pinned by CdcChunksSpec: lossless concat,
-  // size bounds, edit-stability).
+  // q46 — content-defined chunking. Oracle-checked: the hash cut only
+  // fires once the window is FULL, so the cut predicate is a
+  // start-independent property of each byte position (windowed
+  // polynomial hash) — the oracle precomputes cut/snap flags per
+  // position with window functions and walks boundaries with a
+  // recursive CTE + next-cut suffix-min lookups. Edit-stability and
+  // concat-lossless invariants are additionally pinned by
+  // CdcChunksSpec.
   private def q46(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"),
@@ -332,6 +336,73 @@ object ExtensionQueries {
         |)
         |SELECT a.doc_id, a.cluster_id, s.cluster_size, a.doc_id = a.cluster_id AS is_canonical
         |FROM assigned a JOIN sizes s USING (cluster_id)""".stripMargin,
+    "q46_cdc_chunks" ->
+      """WITH byt AS (
+        |  SELECT doc_id, text, g.i AS p, bytes[g.i] AS byte, len(bytes) AS n
+        |  FROM (SELECT doc_id, text,
+        |          list_transform(regexp_extract_all(hex(encode(text)), '..'),
+        |            q -> (strpos('123456789ABCDEF', q[1])*16 + strpos('123456789ABCDEF', q[2]))) AS bytes
+        |        FROM documents),
+        |       generate_series(1, 2000) g(i)
+        |  WHERE g.i <= len(bytes)
+        |), pw(k, f) AS (
+        |  VALUES (0, 1::BIGINT), (1, 257::BIGINT), (2, 66049::BIGINT), (3, 16974593::BIGINT),
+        |         (4, 362470373::BIGINT), (5, 154885210::BIGINT), (6, 805498697::BIGINT),
+        |         (7, 13163680::BIGINT), (8, 383065739::BIGINT), (9, 447894237::BIGINT),
+        |         (10, 108818104::BIGINT), (11, 966252539::BIGINT), (12, 326900787::BIGINT),
+        |         (13, 13501671::BIGINT), (14, 469929426::BIGINT), (15, 771861642::BIGINT)
+        |), hw AS (
+        |  SELECT a.doc_id, a.p,
+        |    (sum(w.byte * pw.f) % 1000000007) AS h
+        |  FROM byt a JOIN byt w ON w.doc_id = a.doc_id AND w.p BETWEEN a.p - 15 AND a.p
+        |  JOIN pw ON pw.k = a.p - w.p
+        |  WHERE a.p >= 16
+        |  GROUP BY 1, 2
+        |), flags AS (
+        |  SELECT b.doc_id, b.p, b.n, b.byte,
+        |    (b.p = b.n OR NOT (lead(b.byte) OVER (PARTITION BY b.doc_id ORDER BY b.p) BETWEEN 128 AND 191)) AS snap,
+        |    (b.p >= 16 AND hw.h % 64 = 0) AS cut
+        |  FROM byt b LEFT JOIN hw ON hw.doc_id = b.doc_id AND hw.p = b.p
+        |), pos AS (
+        |  SELECT doc_id, p, n,
+        |    sum(CASE WHEN byte BETWEEN 128 AND 191 THEN 0 ELSE 1 END)
+        |      OVER (PARTITION BY doc_id ORDER BY p) AS cpos,
+        |    min(CASE WHEN snap AND cut THEN p END)
+        |      OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc,
+        |    min(CASE WHEN snap THEN p END)
+        |      OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ns
+        |  FROM flags
+        |), dn AS (
+        |  SELECT DISTINCT doc_id, n FROM pos
+        |), starts AS (
+        |  WITH RECURSIVE st(doc_id, cid, s) AS (
+        |    SELECT doc_id, 0, 1 FROM dn WHERE n >= 1
+        |    UNION ALL
+        |    SELECT doc_id, cid + 1, e + 1 FROM (
+        |      SELECT st.doc_id, st.cid,
+        |        CASE WHEN a.nc IS NOT NULL AND a.nc <= st.s + 254 THEN a.nc
+        |             WHEN b2.ns IS NOT NULL THEN b2.ns END AS e,
+        |        dn.n
+        |      FROM st
+        |      JOIN dn ON dn.doc_id = st.doc_id
+        |      LEFT JOIN pos a ON a.doc_id = st.doc_id AND a.p = st.s + 31
+        |      LEFT JOIN pos b2 ON b2.doc_id = st.doc_id AND b2.p = st.s + 255
+        |    ) WHERE e IS NOT NULL AND e < n
+        |  )
+        |  SELECT * FROM st
+        |)
+        |SELECT s.doc_id, s.cid::BIGINT AS chunk_id,
+        |  substring(d.text, ps.cpos::INT, (pe.cpos - ps.cpos + 1)::INT) AS chunk,
+        |  (pe.cpos - ps.cpos + 1)::BIGINT AS chunk_chars
+        |FROM starts s
+        |JOIN documents d ON d.doc_id = s.doc_id
+        |JOIN dn ON dn.doc_id = s.doc_id
+        |LEFT JOIN pos a ON a.doc_id = s.doc_id AND a.p = s.s + 31
+        |LEFT JOIN pos b2 ON b2.doc_id = s.doc_id AND b2.p = s.s + 255
+        |JOIN pos ps ON ps.doc_id = s.doc_id AND ps.p = s.s
+        |JOIN pos pe ON pe.doc_id = s.doc_id AND pe.p = coalesce(
+        |  CASE WHEN a.nc IS NOT NULL AND a.nc <= s.s + 254 THEN a.nc
+        |       WHEN b2.ns IS NOT NULL THEN b2.ns END, dn.n)""".stripMargin,
     "q47_shingle_minhash" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
