@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column functions for training-data pipelines:
@@ -109,5 +109,34 @@ object TextAnalysis {
       ceil((nChars - lit(overlap)).cast("double") / lit(stride)).cast("int") - 1, lit(0))
     transform(sequence(lit(0), lastIdx),
       i => call_function("substring", text, i * stride + 1, lit(size)))
+  }
+
+  /** TF-IDF term weights per document: tf = term count / doc token
+    * count, idf = ln((N+1)/(df+1)) + 1 (smoothed, sklearn-style), one
+    * row per (doc, term). Docs with zero tokens vanish (no terms to
+    * weight).
+    *
+    * Scale shape: explode -> one (doc, term) partial-agg shuffle is
+    * the only pass over the raw corpus; doc lengths reduce off that
+    * table keyed by doc, document frequencies keyed by term (both
+    * narrow), and N arrives via a broadcast one-row cross join — kept
+    * declarative so the whole thing is one job with no driver action.
+    * The term-keyed df join is the skew point at 100 TB (stop words);
+    * it is a join of two AGGREGATED tables (one row per (doc,term) /
+    * per term), so the hot term fans out only as wide as its true
+    * document frequency — AQE skew-join splits handle the rest. */
+  def tfIdf(df: DataFrame, idCol: Column, tokensCol: Column): DataFrame = {
+    val terms = df.select(idCol.as("doc_id"), explode(tokensCol).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("n"))
+    val dlen = tf.groupBy(col("doc_id")).agg(sum(col("n")).as("dlen"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(dlen, Seq("doc_id"))
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("n"), col("df"),
+        (col("n").cast("double") / col("dlen")).as("tf"),
+        (log((col("n_docs") + lit(1)).cast("double") / (col("df") + lit(1))) + lit(1)).as("idf"))
+      .withColumn("tfidf", col("tf") * col("idf"))
   }
 }

@@ -88,7 +88,40 @@ object AnalyticsQueries {
       "doc_id", regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
       Seq(col("lang"), expr("n_chars DIV 50")), maxDist = 10, prefixLen = 80)
 
+  // q57 — TF-IDF top-5 terms per document (TextAnalysis.tfIdf). Rank
+  // on the ROUNDED weight (term tiebreak) so cross-engine ulp noise in
+  // ln/÷ cannot flip ranks; the raw-int rank filter keeps
+  // InferWindowGroupLimit eligible (map-side top-k before the
+  // exchange).
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val w = graft.functions.TextAnalysis.tfIdf(
+      docs, col("doc_id"), graft.functions.TextAnalysis.wordTokens(col("text")))
+      .withColumn("tfidf_r", r4(col("tfidf")))
+    val rnk = row_number().over(
+      Window.partitionBy(col("doc_id")).orderBy(col("tfidf_r").desc, col("term")))
+    w.withColumn("rnk", rnk).filter(col("rnk") <= 5)
+      .select(col("doc_id"), col("term"), col("n"), col("df"), col("tfidf_r"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
+  // q58 — corpus vocabulary: top-100 terms by document frequency
+  // (term tiebreak) with occurrence totals — the heavy-hitter scan a
+  // tokenizer build starts from. orderBy+limit plans as TakeOrdered
+  // (per-partition top-100, no global sort).
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    docs.select(col("doc_id"),
+      explode(graft.functions.TextAnalysis.wordTokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("total_n"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_tfidf_topterms" -> q57 _,
+    "q58_vocab_top100" -> q58 _,
     "q51_pivot" -> q51 _,
     "q52_unpivot" -> q52 _,
     "q53_cube" -> q53 _,
@@ -98,6 +131,32 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q57_tfidf_topterms" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS n FROM t GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, sum(n) AS dlen FROM tf GROUP BY 1
+        |), dfq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), nd AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term, tf.n, dfq.df,
+        |    floor((tf.n::DOUBLE / dl.dlen) * (ln((nd.n_docs + 1)::DOUBLE / (dfq.df + 1)) + 1)*10000 + 0.5)/10000 AS tfidf_r
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN nd
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_r DESC, term) AS rnk FROM s
+        |)
+        |SELECT doc_id, term, n, df, tfidf_r, rnk::BIGINT AS rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "q58_vocab_top100" ->
+      """SELECT term, count(DISTINCT doc_id) AS df, count(*) AS total_n
+        |FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |      FROM documents)
+        |GROUP BY term
+        |ORDER BY df DESC, term
+        |LIMIT 100""".stripMargin,
     "q51_pivot" ->
       """SELECT l_returnflag,
         |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity::DECIMAL(18,2) END) AS qty_f,
