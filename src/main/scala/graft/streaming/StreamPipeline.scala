@@ -184,6 +184,19 @@ object StreamPipeline {
       Seq("symbol", "bucket_start"), Seq(col("batch_id")))
       .drop("batch_id")
 
+  /** Streaming exactly-once event dedup with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` keeps a key's dedup state only
+    * until the watermark passes its event time + `delay`, so state is
+    * O(keys arriving within one watermark horizon) — the plain
+    * streaming `dropDuplicates` keeps every key forever and OOMs on an
+    * unbounded id space (exactly the wire-replay dedup case: the same
+    * tick redelivered by an at-least-once source arrives within
+    * seconds, not days). Batch parity: `Dedup.exact`. */
+  def dedupEvents(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                  delay: String = "10 minutes"): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Stream-stream time-bounded enrichment: every tick joins the
     * quotes for its symbol from the trailing `joinWindow` (tick
     * INTERVAL-bounded inner join) — Spark's one legal stream⋈stream
@@ -195,16 +208,23 @@ object StreamPipeline {
     * downstream keeps last per (symbol, timestamp) if needed.
     *
     * `quotes` columns must be pre-renamed to avoid overlap:
-    * (qsymbol, qts, + payload). */
+    * (qsymbol, qts, + payload).
+    *
+    * `joinType` may be "left_outer": ticks with NO quote in their
+    * window still emit (null quote columns) — but only once the
+    * watermark proves no matching quote can still arrive, so outer
+    * results trail the watermark by the join window (same state
+    * bound; emission latency is the price of the null guarantee). */
   def enrichWithQuotes(ticks: DataFrame, quotes: DataFrame,
                        joinWindow: String = "10 minutes",
-                       watermark: String = "1 minute"): DataFrame = {
+                       watermark: String = "1 minute",
+                       joinType: String = "inner"): DataFrame = {
     val t = ticks.withWatermark("timestamp", watermark)
     val q = quotes.withWatermark("qts", watermark)
     t.join(q,
       t("symbol") === q("qsymbol")
         && q("qts") <= t("timestamp")
         && q("qts") >= t("timestamp") - expr(s"INTERVAL $joinWindow"),
-      "inner").drop("qsymbol")
+      joinType).drop("qsymbol")
   }
 }

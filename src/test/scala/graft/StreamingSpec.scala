@@ -234,4 +234,55 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
   }
+
+  test("stream-stream LEFT OUTER enrichment: unmatched ticks emit nulls after watermark") {
+    def ts(off: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(base + off))
+    val ticks = MemoryStream[RawTick](spark)
+    val quotes = MemoryStream[(String, java.sql.Timestamp, Double)](spark)
+    val enriched = StreamPipeline.enrichWithQuotes(
+      Ingest.clean(ticks.toDF()),
+      quotes.toDF().toDF("qsymbol", "qts", "bid"),
+      joinWindow = "10 minutes", joinType = "left_outer")
+    val q = enriched.writeStream.outputMode("append").format("memory").queryName("enriched_lo").start()
+    try {
+      def tick(sym: String, off: Long): RawTick =
+        RawTick(sym, 10.0, 0, "0%", "1", 10, 10, isoPlus(base, off))
+      // A has a quote in-window; B has none at all
+      quotes.addData(Seq(("A", ts(500), 1.0)))
+      ticks.addData(Seq(tick("A", 600), tick("B", 600)))
+      q.processAllAvailable()
+      // B's null row may only emit once the watermark proves no quote
+      // can still arrive — push both watermarks far past 600+10m
+      quotes.addData(Seq(("Z", ts(7200), 9.0)))
+      ticks.addData(Seq(tick("Z", 7200)))
+      q.processAllAvailable()
+      quotes.addData(Seq(("Z", ts(7800), 9.0)))
+      ticks.addData(Seq(tick("Z", 7800)))
+      q.processAllAvailable()
+      val got = spark.table("enriched_lo").filter($"symbol".isin("A", "B"))
+        .select($"symbol", $"bid").as[(String, Option[Double])].collect().toSet
+      assert(got == Set(("A", Some(1.0)), ("B", None)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark: redelivered keys collapse, state stays bounded") {
+    val ticks = MemoryStream[RawTick](spark)
+    // key = (symbol, timestamp): the wire-replay identity of a tick
+    val deduped = StreamPipeline.dedupEvents(
+      Ingest.clean(ticks.toDF()), Seq("symbol", "timestamp"), "timestamp", delay = "10 minutes")
+    val q = deduped.writeStream.outputMode("append").format("memory").queryName("dedup_ev").start()
+    try {
+      def tick(sym: String, off: Long, price: Double): RawTick =
+        RawTick(sym, price, 0, "0%", "1", price, price, isoPlus(base, off))
+      // same key three times in one batch (price differs: first wins)
+      ticks.addData(Seq(tick("A", 0, 1.0), tick("A", 0, 2.0), tick("B", 0, 3.0)))
+      q.processAllAvailable()
+      // same key again in a later batch, still within the horizon
+      ticks.addData(Seq(tick("A", 0, 4.0), tick("A", 60, 5.0)))
+      q.processAllAvailable()
+      val got = spark.table("dedup_ev").groupBy($"symbol").count()
+        .as[(String, Long)].collect().toMap
+      assert(got == Map("A" -> 2L, "B" -> 1L), s"got $got") // A@0 once, A@60 once
+    } finally q.stop()
+  }
 }
