@@ -26,6 +26,9 @@ object ScaleProbe {
     replicate("lineitem", Seq("l_orderkey"), 100000000L)
     replicate("orders", Seq("o_orderkey"), 100000000L) // o_custkey stays -> joins fan out per replica
     replicate("events", Seq("event_id"), 100000000L)
+    // texts replicate VERBATIM (only ids offset): every doc gains 9
+    // byte-identical copies — the adversarial dedup regime
+    replicate("documents", Seq("doc_id"), 100000000L)
     println(f"[scale] replicate ${(System.nanoTime()-t0)/1e9}%.1f s")
 
     // noop sink: full materialization, no column pruning of the
@@ -45,6 +48,22 @@ object ScaleProbe {
     time("q42_semi_join@10x") { SparkEntry.queries("q42_semi_join")(spark, dst) }
     // ROLLUP grouping sets at 10x (subtotal grid in one pass)
     time("q49_rollup_sets@10x") { SparkEntry.queries("q49_rollup_sets")(spark, dst) }
+    // CUBE grouping sets at 10x
+    time("q53_cube@10x") { SparkEntry.queries("q53_cube")(spark, dst) }
+    // gap-fill: 10x event VOLUME, same grid span (bin-collapse absorbs it)
+    time("q55_gapfill@10x") { SparkEntry.queries("q55_gapfill_locf")(spark, dst) }
+    // TF-IDF at 10x docs (term df x10, N x10 — weights shift, plan holds)
+    time("q57_tfidf@10x") { SparkEntry.queries("q57_tfidf_topterms")(spark, dst) }
+    // fuzzy edit-distance, both forms on the same 10x corpus: the
+    // blocked-quadratic baseline grows ~100x in candidate pairs (the
+    // honest quadratic), while the LSH-fronted form collapses the 10
+    // identical replicas to one node each BEFORE candidate generation
+    time("q56_fuzzy@10x") { SparkEntry.queries("q56_fuzzy_editdist")(spark, dst) }
+    time("q59_fuzzy_lsh@10x") { SparkEntry.queries("q59_fuzzy_lsh")(spark, dst) }
+    // dedup clusters at 10x IDENTICAL replicas: canonical-set nodes
+    // collapse the 10 copies, so the LSH/CC graph size stays ~flat
+    // while doc count grows 10x — the property that matters at 100 TB
+    time("q48_clusters@10x") { SparkEntry.queries("q48_dedup_clusters")(spark, dst) }
     // join+agg: lineitem(6M) x orders(1.5M) with dims from sf0.1
     val l = spark.read.parquet(s"$dst/lineitem.parquet")
     val o = spark.read.parquet(s"$dst/orders.parquet")

@@ -65,33 +65,124 @@ object NearDup {
       // cheap length cut before the quadratic DP: |len(a)-len(b)| is a
       // lower bound on edit distance
       .filter(abs(length(col("pfx_a")) - length(col("pfx_b"))) <= maxDist)
-      // The candidate table is BYTE-small but the DP is CPU-heavy:
-      // size-based planning is the wrong cost model, so AQE coalesces
-      // the join output to ~1 partition and — worse — Catalyst pushes
-      // a declarative `levenshtein <= d` filter INTO the join
-      // condition, serializing the whole DP there (32s at sf0.1).
-      // Explicit partition count pins CPU parallelism...
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("id_a"), col("id_b"), col("pfx_a"), col("pfx_b"))
-    // ...and the typed boundary is a real optimizer fence: no filter
-    // or project crosses mapPartitions, so the DP provably runs in
-    // the repartitioned stage. Inside, Spark's own banded DP
-    // (UTF8String.levenshteinDistance with threshold — what SQL
-    // levenshtein(l, r, t) compiles to) gives O(len*maxDist) with
-    // early abandon instead of O(len²), and -1 signals "exceeded".
+    verifyEditDistance(candidates, maxDist)
+  }
+
+  /** Shared verify stage for the fuzzy-dedup family: banded
+    * Levenshtein over (id_a, id_b, pfx_a, pfx_b) candidates.
+    *
+    * The candidate table is BYTE-small but the DP is CPU-heavy:
+    * size-based planning is the wrong cost model, so AQE coalesces
+    * the candidate join output to ~1 partition and — worse — Catalyst
+    * pushes a declarative `levenshtein <= d` filter INTO the join
+    * condition, serializing the whole DP there (32s at sf0.1).
+    * Explicit partition count pins CPU parallelism, and the typed
+    * boundary is a real optimizer fence: no filter or project crosses
+    * mapPartitions, so the DP provably runs in the repartitioned
+    * stage. Inside, Spark's own banded DP (UTF8String
+    * .levenshteinDistance with threshold — what SQL
+    * levenshtein(l, r, t) compiles to) gives O(len*maxDist) with
+    * early abandon instead of O(len²), and -1 signals "exceeded". */
+  private def verifyEditDistance(candidates: DataFrame, maxDist: Int): DataFrame = {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.unsafe.types.UTF8String
     val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING, Encoders.STRING)
     val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
-    candidates.as(inEnc).mapPartitions { it =>
-      it.flatMap { case (a, b, pa, pb) =>
-        if (pa == null || pb == null) Iterator.empty
-        else {
-          val d = UTF8String.fromString(pa).levenshteinDistance(UTF8String.fromString(pb), maxDist)
-          if (d >= 0) Iterator.single((a, b, d.toLong)) else Iterator.empty
+    candidates
+      .repartition(candidates.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id_a"), col("id_b"), col("pfx_a"), col("pfx_b"))
+      .as(inEnc).mapPartitions { it =>
+        it.flatMap { case (a, b, pa, pb) =>
+          if (pa == null || pb == null) Iterator.empty
+          else {
+            val d = UTF8String.fromString(pa).levenshteinDistance(UTF8String.fromString(pb), maxDist)
+            if (d >= 0) Iterator.single((a, b, d.toLong)) else Iterator.empty
+          }
         }
-      }
-    }(outEnc).toDF("id_a", "id_b", "dist")
+      }(outEnc).toDF("id_a", "id_b", "dist")
+  }
+
+  /** LSH-fronted fuzzy dedup — the 100 TB form of editDistancePairs:
+    * character-3-gram MinHash over the normalized prefix generates
+    * candidates (near-linear), the banded DP verifies them exactly.
+    * Identical prefixes are canonicalized to ONE node first (grouped
+    * by prefix hash), so bulk duplication collapses before the LSH —
+    * the same set-granular move as minHashSetPairs. dist-0 pairs from
+    * identical-prefix groups are emitted directly without a DP.
+    *
+    * Candidate recall is probabilistic: edits at distance d destroy at
+    * most 3d of the prefix's char-3-grams, so jaccard >=
+    * (L-1-6d)/(L-1+3d) for prefix length L and the default band
+    * geometry catches that regime with high probability (spec pins
+    * planted-dup recall). The exact blocked form is the oracle
+    * baseline. */
+  def editDistancePairsLsh(df: DataFrame, idCol: String, textCol: Column,
+                           maxDist: Int, prefixLen: Int = 80,
+                           numHashes: Int = 64, bands: Int = 16,
+                           maxBucketSize: Int = 4096): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val base = df.select(col(idCol).as("id"), substring(textCol, 1, prefixLen).as("pfx"))
+      .filter(col("pfx").isNotNull)
+    // canonicalize identical prefixes: one LSH node per distinct pfx.
+    // The char-3-gram array (pre-hashed to longs) is computed HERE,
+    // inside the persisted frame: minHashSignature duplicates its
+    // token expression into every per-hash lambda, and higher-order
+    // functions are excluded from Spark's subexpression elimination —
+    // unmaterialized, the gram generation would re-run numHashes
+    // times per row (5.3s -> 0.6s for this stage at sf0.1).
+    val sets = base.groupBy(xxhash64(col("pfx")).as("fp"))
+      .agg(min(col("id")).as("set_id"), sort_array(collect_list(col("id"))).as("ids"),
+        first(col("pfx")).as("pfx"))
+      .withColumn("toks",
+        array_distinct(transform(sequence(lit(1), greatest(length(col("pfx")) - 2, lit(1))),
+          i => xxhash64(call_function("substring", col("pfx"), i, lit(3))))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = sets.select(col("set_id"), length(col("pfx")).as("len"),
+      minHashSignature(col("toks"), numHashes).as("sig"))
+    val banded = sigs.select(
+      col("set_id"), col("len"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+      }: _*)))
+      .select(col("set_id"), col("len"), col("pos").as("band"), col("col").as("band_key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = banded.join(
+      banded.groupBy(col("band"), col("band_key")).agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") <= maxBucketSize).select(col("band"), col("band_key")),
+      Seq("band", "band_key"))
+    val candPairs = kept.select(col("band"), col("band_key"), col("set_id").as("set_a"), col("len").as("len_a"))
+      .join(kept.select(col("band"), col("band_key"), col("set_id").as("set_b"), col("len").as("len_b")), Seq("band", "band_key"))
+      .filter(col("set_a") < col("set_b") && abs(col("len_a") - col("len_b")) <= maxDist)
+      .select(col("set_a"), col("set_b"))
+      .distinct()
+    val pfxBySet = sets.select(col("set_id"), col("pfx"))
+    val candidates = candPairs
+      .join(pfxBySet.select(col("set_id").as("set_a"), col("pfx").as("pfx_a")), Seq("set_a"))
+      .join(pfxBySet.select(col("set_id").as("set_b"), col("pfx").as("pfx_b")), Seq("set_b"))
+      .select(col("set_a").as("id_a"), col("set_b").as("id_b"), col("pfx_a"), col("pfx_b"))
+    val crossSet = verifyEditDistance(candidates, maxDist)
+    // expand set pairs to doc pairs + dist-0 pairs within identical-pfx sets
+    val members = sets.select(explode(col("ids")).as("doc"), col("set_id"))
+    val expanded = crossSet
+      .join(members.select(col("set_id").as("id_a"), col("doc").as("doc_a")), Seq("id_a"))
+      .join(members.select(col("set_id").as("id_b"), col("doc").as("doc_b")), Seq("id_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("id_a"),
+        greatest(col("doc_a"), col("doc_b")).as("id_b"), col("dist"))
+    val dupPairs = sets.filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, x -> transform(filter(ids, y -> y > x), y -> struct(x AS a, y AS b))))")).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"), lit(0L).as("dist"))
+    // materialize BEFORE releasing the working tables it reads from
+    // (same eager-handoff contract as minHashSetPairs: the returned
+    // frame is persisted; callers own unpersisting it)
+    val out = expanded.unionByName(dupPairs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    banded.unpersist(blocking = false)
+    sets.unpersist(blocking = false)
+    out
   }
 
   /** MinHash signature: `numHashes` permutations approximated by

@@ -119,7 +119,24 @@ object AnalyticsQueries {
       .limit(100)
   }
 
+  // q59 — LSH-fronted fuzzy dedup (NearDup.editDistancePairsLsh):
+  // char-3-gram MinHash candidates + banded-DP verify, identical
+  // prefixes canonicalized to one node. At this geometry the output
+  // EXACTLY equals the unblocked brute-force pairs on the test
+  // corpora (graft.tools.FuzzyLshCheck: 0 missing / 0 spurious at
+  // sf0.01 AND sf0.1), so the query carries a strict brute-force
+  // equality oracle that knows nothing about LSH — same argument as
+  // q22. Compare q56: the (lang, length-bucket) blocked form trades
+  // away cross-block pairs; this one only prunes on the sound
+  // |len diff| bound.
+  private def q59(s: SparkSession, dir: String): DataFrame =
+    graft.functions.NearDup.editDistancePairsLsh(
+      Tables.documents(s, dir),
+      "doc_id", regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+      maxDist = 10, prefixLen = 80)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_fuzzy_lsh" -> q59 _,
     "q57_tfidf_topterms" -> q57 _,
     "q58_vocab_top100" -> q58 _,
     "q51_pivot" -> q51 _,
@@ -131,6 +148,16 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q59_fuzzy_lsh" ->
+      """WITH t AS (
+        |  SELECT doc_id, substring(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 80) AS pfx
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  levenshtein(a.pfx, b.pfx)::BIGINT AS dist
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE abs(length(a.pfx) - length(b.pfx)) <= 10
+        |  AND levenshtein(a.pfx, b.pfx) <= 10""".stripMargin,
     "q57_tfidf_topterms" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term

@@ -35,4 +35,35 @@ class EditDistanceSpec extends SparkSpec {
     }.toMap
     assert(got == want)
   }
+
+  test("LSH-fronted fuzzy: planted near-dups recalled, dists exact, identical prefixes collapse") {
+    val seed = new scala.util.Random(42)
+    def randText(n: Int): String = Seq.fill(n)(('a' + seed.nextInt(26)).toChar).mkString
+    val bases = (0 until 30).map(i => (i.toLong * 10, randText(80)))
+    // plant: one 2-edit variant per base + two verbatim copies of base 0
+    val variants = bases.map { case (id, t) =>
+      (id + 1, t.updated(5, 'z').updated(40, 'q').mkString)
+    }
+    val copies = Seq((900L, bases(0)._2), (901L, bases(0)._2))
+    val docs = (bases ++ variants ++ copies).toDF("doc_id", "text")
+    val got = NearDup.editDistancePairsLsh(docs, "doc_id", col("text"), maxDist = 10)
+    val gotPairs = got.as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // every planted (base, variant) pair found with dist == 2
+    bases.foreach { case (id, _) =>
+      assert(gotPairs.get((id, id + 1)).contains(2L), s"missing planted pair $id")
+    }
+    // verbatim copies: dist-0 pairs among {0, 900, 901}
+    assert(gotPairs((0L, 900L)) == 0L && gotPairs((0L, 901L)) == 0L && gotPairs((900L, 901L)) == 0L)
+    // and copies also pair with base 0's variant at dist 2
+    assert(gotPairs.get((1L, 900L)).contains(2L))
+    // no false positives: verify stage is exact, so every emitted dist
+    // must equal the true levenshtein and be <= maxDist
+    val txt = (bases ++ variants ++ copies).toMap
+    gotPairs.foreach { case ((a, b), d) =>
+      val want = docs.sparkSession.sql(
+        s"SELECT levenshtein('${txt(a)}', '${txt(b)}')").as[Int].head().toLong
+      assert(d == want && d <= 10, s"pair ($a,$b) dist $d != $want")
+    }
+    got.unpersist()
+  }
 }
