@@ -19,14 +19,19 @@ object AnalyticsQueries {
   // q51 — pivot: long->wide per returnflag over the two linestatus
   // values. Explicit value list keeps the output schema static (a
   // discovery pivot would scan once just to learn the columns — at
-  // 100 TB always pass the values). Decimal sums: partition-invariant.
+  // 100 TB always pass the values). Decimal sums: partition-invariant;
+  // emitted as double (exact-decimal→double is bitwise identical
+  // cross-engine, and a raw decimal output column stringifies
+  // differently per reader: "253942.00" vs "253942.0").
   private def q51(s: SparkSession, dir: String): DataFrame =
     li(s, dir)
       .withColumn("qty", col("l_quantity").cast("decimal(18,2)"))
       .groupBy(col("l_returnflag"))
       .pivot("l_linestatus", Seq("F", "O"))
       .agg(sum(col("qty")))
-      .select(col("l_returnflag"), col("F").as("qty_f"), col("O").as("qty_o"))
+      .select(col("l_returnflag"),
+        col("F").cast("double").as("qty_f"),
+        col("O").cast("double").as("qty_o"))
 
   // q52 — unpivot (wide->long melt): one row per (id, measure). The
   // generated Expand is map-side only — no shuffle at any scale.
@@ -186,8 +191,8 @@ object AnalyticsQueries {
         |LIMIT 100""".stripMargin,
     "q51_pivot" ->
       """SELECT l_returnflag,
-        |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity::DECIMAL(18,2) END) AS qty_f,
-        |  sum(CASE WHEN l_linestatus = 'O' THEN l_quantity::DECIMAL(18,2) END) AS qty_o
+        |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity::DECIMAL(18,2) END)::DOUBLE AS qty_f,
+        |  sum(CASE WHEN l_linestatus = 'O' THEN l_quantity::DECIMAL(18,2) END)::DOUBLE AS qty_o
         |FROM lineitem GROUP BY 1""".stripMargin,
     "q52_unpivot" ->
       """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem

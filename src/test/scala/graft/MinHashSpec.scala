@@ -62,6 +62,30 @@ class MinHashSpec extends SparkSpec {
     assert(uncapped > 1000L, s"uncapped run produced only $uncapped pairs")
   }
 
+  test("MinHashSigExpr is bitwise identical to the HOF formulation") {
+    // random-length pre-hashed token arrays incl. empty and duplicate
+    // tokens; the codegen'd one-pass signature must equal the
+    // array(array_min(transform(...))) reference element-for-element
+    val rows = (0L until 200L).map { d =>
+      val n = (d % 17L).toInt // includes 0-length arrays
+      d -> (0 until n).map(j => (d * 31L + j * 7L) % 13L).toArray // duplicates guaranteed
+    }
+    val df = rows.toDF("id", "raw")
+      .withColumn("toks", transform(col("raw"), t => xxhash64(t)))
+    val both = df.select(
+      NearDup.minHashSignature(col("toks"), 16).as("fast"),
+      NearDup.minHashSignatureHof(col("toks"), 16).as("ref"))
+    assert(both.filter(not(col("fast") <=> col("ref"))).count() == 0L)
+    // null input array → array of n nulls on both paths (array() over
+    // null array_mins is non-null)
+    val nulls = Seq(Tuple1(Option.empty[Array[Long]])).toDF("toks")
+    val nb = nulls.select(
+      NearDup.minHashSignature(col("toks"), 4).as("fast"),
+      NearDup.minHashSignatureHof(col("toks"), 4).as("ref"))
+    assert(nb.filter(not(col("fast") <=> col("ref"))).count() == 0L)
+    assert(nb.filter(col("fast").isNull).count() == 0L)
+  }
+
   test("identical sets still pair at jaccard 1.0 regardless of cap") {
     val df = Seq((1L, "same words here"), (2L, "same words here"), (3L, "other thing entirely"))
       .toDF("doc_id", "text")
