@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, ExtensionQueries, ParityQueries}
+import graft.queries.{AnalyticsQueries, CurationQueries, ExtensionQueries, ParityQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,8 +20,10 @@ object SparkEntry {
     queries("q09_windowed_join")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries ++ ExtensionQueries.queries ++ AnalyticsQueries.queries
+    ParityQueries.queries ++ ExtensionQueries.queries ++ AnalyticsQueries.queries ++
+      CurationQueries.queries
 
   def oracleSql: Map[String, String] =
-    ParityQueries.oracleSql ++ ExtensionQueries.oracleSql ++ AnalyticsQueries.oracleSql
+    ParityQueries.oracleSql ++ ExtensionQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
+      CurationQueries.oracleSql
 }

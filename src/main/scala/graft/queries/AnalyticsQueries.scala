@@ -43,15 +43,21 @@ object AnalyticsQueries {
         "measure", "val")
 
   // q53 — CUBE grouping sets: all four (flag, status) grouping
-  // combinations in one aggregation pass; grouping_id disambiguates
-  // subtotal NULLs from data NULLs (same contract as q49's ROLLUP).
+  // combinations; grouping_id disambiguates subtotal NULLs from data
+  // NULLs (same contract as q49's ROLLUP). Two-phase like q49: the
+  // finest-group pre-aggregate feeds the cube, so Expand ×4 touches
+  // |groups| rows instead of every input row.
   private def q53(s: SparkSession, dir: String): DataFrame =
     li(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("pn"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("pp"))
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(
         grouping_id().cast("long").as("gid"),
-        count(lit(1)).as("n_rows"),
-        r2(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")).as("sum_price"))
+        sum(col("pn")).as("n_rows"),
+        r2(sum(col("pp")).cast("double")).as("sum_price"))
 
   // q54 — ranking-window battery: ntile / percent_rank / cume_dist /
   // nth_value / lead / lag over a per-key total order. percent_rank

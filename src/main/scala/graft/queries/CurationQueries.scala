@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextAnalysis
+
+/** Round-4 data-curation surface: benchmark-contamination checking,
+  * PII redaction, corpus-mixture statistics, and bigram language-model
+  * scoring — the remaining ops a training-data pipeline runs between
+  * dedup and export. All oracle-checked against DuckDB.
+  */
+object CurationQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+
+  /** Word 8-grams of `words`, distinct, space-joined; empty when the
+    * doc has fewer than 8 words (sequence(1,0) would count DOWN in
+    * Spark, so the guard is explicit). `words` MUST be a materialized
+    * attribute, not the tokenizer expression: an outer expression
+    * referenced inside a HOF lambda re-evaluates per element (HOFs are
+    * excluded from subexpression elimination), turning tokenization
+    * O(n) into O(n²) per document. */
+  private def ngrams(words: Column, k: Int): Column = {
+    val idx = when(size(words) >= k, sequence(lit(1), size(words) - lit(k - 1)))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(transform(idx, i => concat_ws(" ", slice(words, i, lit(k)))))
+  }
+
+  // q60 — benchmark-contamination check: every candidate document is
+  // scored by how many of its distinct word-8-grams appear anywhere in
+  // a "benchmark" set (docs with doc_id % 97 == 0 stand in for a
+  // held-out eval set). The benchmark gram set is orders of magnitude
+  // smaller than the corpus — BROADCAST it, so the scan-side work is
+  // an in-memory hash probe per gram and the only shuffle is the
+  // per-doc count aggregation. At 100 TB the gram strings would ride
+  // as xxhash64 longs instead (same plan shape); strings are kept here
+  // for oracle parity.
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir)
+      .select(col("doc_id"), TextAnalysis.wordTokens(col("text")).as("words"))
+      .select(col("doc_id"), explode(ngrams(col("words"), 8)).as("gram"))
+    val bench = grams.filter(col("doc_id") % 97 === 0).select(col("gram")).distinct()
+    grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench.withColumn("hit", lit(1))), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+      .withColumn("ratio", col("n_hit").cast("double") / col("n_grams"))
+  }
+
+  // q61 — PII detection + redaction: e-mail / phone patterns counted
+  // and replaced, the redacted text fingerprinted (md5 — identical
+  // hex on both engines) so the oracle verifies the full redacted
+  // string without hauling it through the compare. The corpus is
+  // synthetic and PII-free, so deterministic PII is injected first
+  // (every 7th doc an e-mail, every 11th a phone) — the operator is
+  // exercised on known ground truth. Pure per-row codegen'd column
+  // ops: no shuffle at any scale.
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    val injected = concat(
+      col("text"),
+      when(col("doc_id") % 7 === 0, concat(lit(" contact u"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, concat(lit(" call 555-"), lpad(col("doc_id") % 10000, 4, "0"))).otherwise(lit("")))
+    val emailPat = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+    val phonePat = "[0-9]{3}-[0-9]{4}"
+    val redacted = regexp_replace(regexp_replace(injected, emailPat, "<EMAIL>"), phonePat, "<PHONE>")
+    docs(s, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(injected, lit(emailPat), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(injected, lit(phonePat), lit(0))).cast("long").as("n_phones"),
+      length(redacted).cast("long").as("n_chars_redacted"),
+      md5(redacted).as("redacted_fp"))
+  }
+
+  // q62 — corpus-mixture statistics: per (lang, source) document and
+  // token totals plus corpus share and cumulative share in token-count
+  // order — the table a data-mixing decision reads. One partial-agg
+  // shuffle to ~|lang|×|source| rows; the windows run on the tiny
+  // aggregate. Shares are integer-ratio doubles (bitwise identical
+  // cross-engine, no rounding needed).
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    val agg = docs(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.wordTokens(col("text"))).cast("long")).as("n_tokens"))
+    val ord = Window.orderBy(col("n_tokens").desc, col("lang"), col("source"))
+    agg
+      .withColumn("total", sum(col("n_tokens")).over(Window.partitionBy()))
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("total")).as("share"),
+        (col("cum_tokens").cast("double") / col("total")).as("cum_share"))
+  }
+
+  // q63 — bigram language model: corpus bigram counts, context counts
+  // derived from the SAME bigram table (sum over w1 — no second corpus
+  // pass), conditional probability, top-50. The heavy stage is one
+  // explode + partial-agg shuffle keyed on the bigram; TakeOrdered
+  // handles the top-k without a global sort.
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val words = col("words") // materialized attribute — see ngrams() note
+    val idx = when(size(words) >= 2, sequence(lit(1), size(words) - lit(1)))
+      .otherwise(array().cast("array<int>"))
+    val bigram = docs(s, dir)
+      .select(TextAnalysis.wordTokens(col("text")).as("words"))
+      .select(explode(
+        transform(idx, i => struct(element_at(words, i).as("w1"), element_at(words, i + 1).as("w2")))).as("b"))
+    val counts = bigram.groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    counts
+      .withColumn("c1", sum(col("c2")).over(Window.partitionBy(col("w1"))))
+      .withColumn("p", col("c2").cast("double") / col("c1"))
+      .orderBy(col("c2").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_contamination" -> q60 _,
+    "q61_pii_redact" -> q61 _,
+    "q62_mixture_stats" -> q62 _,
+    "q63_bigram_lm" -> q63 _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q60_contamination" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id, array_to_string(words[i:i+7], ' ') AS gram
+        |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(words) - 7)) AS i) u
+        |  WHERE len(words) >= 8
+        |), bg AS (
+        |  SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+        |)
+        |SELECT g.doc_id, count(*) AS n_grams, count(bg.gram) AS n_hit,
+        |  count(bg.gram)::DOUBLE / count(*) AS ratio
+        |FROM g LEFT JOIN bg ON g.gram = bg.gram
+        |WHERE g.doc_id % 97 <> 0
+        |GROUP BY g.doc_id""".stripMargin,
+    "q61_pii_redact" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' contact u' || doc_id || '@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+        |    AS t
+        |  FROM documents
+        |), red AS (
+        |  SELECT doc_id, t,
+        |    regexp_replace(regexp_replace(t, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z][a-z]+', '<EMAIL>', 'g'),
+        |      '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS r
+        |  FROM inj
+        |)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z][a-z]+'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(t, '[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones,
+        |  length(r)::BIGINT AS n_chars_redacted,
+        |  md5(r) AS redacted_fp
+        |FROM red""".stripMargin,
+    "q62_mixture_stats" ->
+      """WITH a AS (
+        |  SELECT lang, source, count(*) AS n_docs,
+        |    sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY 1, 2
+        |)
+        |SELECT lang, source, n_docs, n_tokens,
+        |  n_tokens::DOUBLE / sum(n_tokens) OVER () AS share,
+        |  (sum(n_tokens) OVER (ORDER BY n_tokens DESC, lang, source
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+        |    / sum(n_tokens) OVER () AS cum_share
+        |FROM a""".stripMargin,
+    "q63_bigram_lm" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words FROM documents
+        |), b AS (
+        |  SELECT words[i] AS w1, words[i+1] AS w2
+        |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(words) - 1)) AS i) u
+        |  WHERE len(words) >= 2
+        |), c AS (
+        |  SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2
+        |)
+        |SELECT w1, w2, c2, (sum(c2) OVER (PARTITION BY w1))::BIGINT AS c1,
+        |  c2::DOUBLE / (sum(c2) OVER (PARTITION BY w1))::BIGINT AS p
+        |FROM c
+        |ORDER BY c2 DESC, w1, w2 LIMIT 50""".stripMargin
+  )
+}

@@ -151,19 +151,29 @@ object ParityQueries {
 
   // q14 — multi-way join + agg: customer ⋈ orders ⋈ lineitem ⋈
   // broadcast(nation) revenue rollup (bench headliner; J1-family
-  // equi-join at scale with explicit small-dim broadcast).
+  // equi-join at scale with explicit small-dim broadcast). Lineitem is
+  // pre-aggregated to one row per order BEFORE the join — a manual
+  // aggregate pushdown Catalyst does not perform: the fact⋈fact
+  // shuffle join then moves |orders| rows instead of |lineitem|
+  // (4× fewer at TPC-H shape), and the final per-nation rollup sums
+  // exact decimal partials (associative, so results are bitwise
+  // unchanged).
   private def q14(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
     val o = Tables.orders(s, dir)
-    val l = li(s, dir)
     val n = Tables.nation(s, dir)
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
+    val lByOrder = li(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(28,4)")).as("prev"),
+        count(lit(1)).as("pn"))
+    lByOrder.join(o, lByOrder("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        r2(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(28,4)")).cast("double")).as("revenue"),
-        count(lit(1)).as("n_rows")
+        r2(sum(col("prev")).cast("double")).as("revenue"),
+        sum(col("pn")).as("n_rows")
       )
   }
 
@@ -232,17 +242,26 @@ object ParityQueries {
 
   // q49 — ROLLUP grouping sets (SURVEY §2.7 explicit negative):
   // per-(returnflag, linestatus) aggregates plus subtotals and grand
-  // total in ONE aggregation pass; grouping_id disambiguates real
-  // NULLs from subtotal rows. Decimal money sums keep the subtotal
-  // rows partition-invariant.
+  // total; grouping_id disambiguates real NULLs from subtotal rows.
+  // Two-phase: aggregate to the finest grouping FIRST, then roll up
+  // the tiny pre-aggregate (sums of sums, sum of counts — exact
+  // decimal partials make this associative-safe). A direct rollup
+  // sends every input row through Expand ×3; at 100 TB that triples
+  // the shuffle input, while the pre-aggregate is one q13-shaped pass
+  // and the Expand touches only |groups| rows.
   private def q49(s: SparkSession, dir: String): DataFrame =
     li(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("pn"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("pp"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("pq"))
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
         grouping_id().cast("long").as("gid"),
-        count(lit(1)).as("n_rows"),
-        r2(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")).as("sum_price"),
-        r2(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")).as("sum_qty"))
+        sum(col("pn")).as("n_rows"),
+        r2(sum(col("pp")).cast("double")).as("sum_price"),
+        r2(sum(col("pq")).cast("double")).as("sum_qty"))
 
   // q50 — INTERSECT / EXCEPT set semantics (SURVEY §2.7 explicit
   // negative): urgent-order customers vs big-spender customers, both
