@@ -60,6 +60,11 @@ object ScaleProbe {
     // identical replicas to one node each BEFORE candidate generation
     time("q56_fuzzy@10x") { SparkEntry.queries("q56_fuzzy_editdist")(spark, dst) }
     time("q59_fuzzy_lsh@10x") { SparkEntry.queries("q59_fuzzy_lsh")(spark, dst) }
+    // contamination at 10x docs: benchmark gram set grows 10x but
+    // stays broadcast-sized; candidate side is a linear scan
+    time("q60_contamination@10x") { SparkEntry.queries("q60_contamination")(spark, dst) }
+    // bigram LM at 10x: counts x10, same distinct-bigram keyspace
+    time("q63_bigram_lm@10x") { SparkEntry.queries("q63_bigram_lm")(spark, dst) }
     // dedup clusters at 10x IDENTICAL replicas: canonical-set nodes
     // collapse the 10 copies, so the LSH/CC graph size stays ~flat
     // while doc count grows 10x — the property that matters at 100 TB

@@ -66,6 +66,11 @@ object NearDup {
       .select(col("p.set_a"), col("p.set_b"))
       .distinct() // a pair can collide in several bands
 
+  /** Test-only visibility for [[bucketPairs]] (plan-shape audit). */
+  private[graft] def bucketPairsForTest(banded: DataFrame, payload: String,
+                                        maxBucketSize: Int, pairCond: String): DataFrame =
+    bucketPairs(banded, payload, maxBucketSize, pairCond)
+
   /** Edit-distance (Levenshtein) fuzzy pairs within blocks — the
     * dedup notion Jaccard misses: small in-place character edits
     * (typos, OCR noise) barely move the edit distance while renaming

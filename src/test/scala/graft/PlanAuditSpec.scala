@@ -46,4 +46,47 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q04_dedup_first")
     assert(p.contains("WindowGroupLimit") && p.contains("Partial"), s"no partial group limit:\n$p")
   }
+
+  test("q49 rollup: Expand sits ABOVE the finest-group pre-aggregate") {
+    // two-phase grouping sets: the x3 row duplication must touch the
+    // tiny pre-aggregate, not the raw scan — i.e. at least one
+    // HashAggregate (the pre-agg) appears BELOW the Expand
+    val p = plan("q49_rollup_sets")
+    val expandIdx = p.indexOf("Expand")
+    assert(expandIdx >= 0, s"no Expand:\n$p")
+    assert(p.indexOf("HashAggregate", expandIdx) >= 0,
+      s"no pre-aggregate under Expand (raw rows are being tripled):\n$p")
+  }
+
+  test("q14 join+agg: lineitem pre-aggregates below the orders join") {
+    // manual aggregate pushdown: a HashAggregate keyed on l_orderkey
+    // must run before the first join, so the fact-fact shuffle moves
+    // |orders| rows, not |lineitem|
+    val p = plan("q14_join_agg")
+    val firstJoin = "Join|ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin".r
+      .findFirstMatchIn(p).map(_.start).getOrElse(-1)
+    val aggBelow = p.indexOf("HashAggregate", math.max(firstJoin, 0))
+    assert(firstJoin >= 0 && aggBelow >= 0 && p.substring(aggBelow).contains("l_orderkey"),
+      s"no per-order pre-aggregate under the join:\n$p")
+  }
+
+  test("q60 contamination: benchmark gram set is broadcast") {
+    val p = plan("q60_contamination")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark set not broadcast:\n$p")
+  }
+
+  test("LSH candidate generation: single groupBy, no banded self-join") {
+    // bucketPairs replaces the banded x banded self-join with one
+    // collect_list groupBy + map-side pair expansion: the candidate
+    // plan must aggregate (ObjectHashAggregate carries collect_list)
+    // and must contain NO join at all before the verify stage
+    import org.apache.spark.sql.functions._
+    val banded = spark.range(100).select(
+      (col("id") % 10).cast("int").as("band"), (col("id") % 7).as("band_key"),
+      col("id").as("set_id"), (col("id") % 13).as("len"))
+    val p = graft.functions.NearDup.bucketPairsForTest(banded, "len", 64, "abs(a.len - b.len) <= 5")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), s"no collect_list aggregate:\n$p")
+    assert(!p.toLowerCase.contains("join"), s"self-join crept back into candidate generation:\n$p")
+  }
 }
