@@ -117,11 +117,63 @@ object CurationQueries {
       .limit(50)
   }
 
+  // q64 — repetition quality signals (the Gopher-style filters): per
+  // doc, the fraction of word-2-grams that are repeats and the mass of
+  // the single most frequent word. The 2-gram fraction is pure
+  // map-side array arithmetic; the top-word pass is one explode +
+  // partial-agg shuffle keyed on (doc, word) then a min_by per doc
+  // (ordering key struct(-count, word): largest count, smallest word
+  // on ties — no window, no sort). Integer-ratio doubles throughout.
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    val words = col("words")
+    val idx = when(size(words) >= 2, sequence(lit(1), size(words) - lit(1)))
+      .otherwise(array().cast("array<int>"))
+    val base = docs(s, dir)
+      .select(col("doc_id"), TextAnalysis.wordTokens(col("text")).as("words"))
+      .filter(size(col("words")) >= 2)
+      .withColumn("grams", transform(idx, i => concat_ws(" ", slice(words, i, lit(2)))))
+    val perDoc = base.select(col("doc_id"), size(col("words")).cast("long").as("n_words"),
+      ((size(col("grams")) - size(array_distinct(col("grams")))).cast("double")
+        / size(col("grams"))).as("dup_2gram_frac"))
+    val topWord = base
+      .select(col("doc_id"), explode(col("words")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(min_by(struct(col("w"), col("c")), struct((-col("c")).as("nc"), col("w"))).as("t"))
+      .select(col("doc_id"), col("t.w").as("top_word"), col("t.c").as("top_word_n"))
+    perDoc.join(topWord, Seq("doc_id"))
+      .withColumn("top_word_frac", col("top_word_n").cast("double") / col("n_words"))
+  }
+
+  // q65 — cross-document repeated blocks: 64-char aligned windows of
+  // every document, fingerprinted (md5), kept where the same block
+  // text appears in more than one document — the aligned-block
+  // approximation of substring-level dedup (exact suffix-array dedup
+  // is the full version; aligned blocks catch bulk copy-paste mass at
+  // a fraction of the cost). Two-level aggregation — (fp, doc) partial
+  // then fp — keeps countDistinct out of the heavy pass (a mixed
+  // distinct aggregate would force an Expand over every block row).
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    val nBlocks = floor(length(col("text")) / lit(64)).cast("int")
+    val blocks = docs(s, dir)
+      .select(col("doc_id"), col("text"),
+        explode(when(nBlocks >= 1, sequence(lit(0), nBlocks - 1))
+          .otherwise(array().cast("array<int>"))).as("k"))
+      .select(col("doc_id"),
+        md5(call_function("substring", col("text"), (col("k") * 64 + 1).cast("int"), lit(64))).as("block_fp"))
+    blocks.groupBy(col("block_fp"), col("doc_id")).agg(count(lit(1)).as("occ"))
+      .groupBy(col("block_fp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occ"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_contamination" -> q60 _,
     "q61_pii_redact" -> q61 _,
     "q62_mixture_stats" -> q62 _,
-    "q63_bigram_lm" -> q63 _
+    "q63_bigram_lm" -> q63 _,
+    "q64_repetition" -> q64 _,
+    "q65_repeated_blocks" -> q65 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -171,6 +223,40 @@ object CurationQueries {
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
         |    / sum(n_tokens) OVER () AS cum_share
         |FROM a""".stripMargin,
+    "q64_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words FROM documents
+        |), w2 AS (
+        |  SELECT doc_id, words, len(words) AS n FROM w WHERE len(words) >= 2
+        |), g AS (
+        |  SELECT doc_id, n, list_transform(range(1, n), i -> words[i] || ' ' || words[i+1]) AS grams
+        |  FROM w2
+        |), pd AS (
+        |  SELECT doc_id, n::BIGINT AS n_words,
+        |    (len(grams) - len(list_distinct(grams)))::DOUBLE / len(grams) AS dup_2gram_frac
+        |  FROM g
+        |), wc AS (
+        |  SELECT doc_id, unnest(words) AS w FROM w2
+        |), c AS (
+        |  SELECT doc_id, w, count(*) AS c FROM wc GROUP BY 1, 2
+        |), t AS (
+        |  SELECT doc_id, w AS top_word, c AS top_word_n FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, w) AS rn FROM c)
+        |  WHERE rn = 1
+        |)
+        |SELECT pd.doc_id, pd.n_words, pd.dup_2gram_frac, t.top_word, t.top_word_n,
+        |  t.top_word_n::DOUBLE / pd.n_words AS top_word_frac
+        |FROM pd JOIN t USING (doc_id)""".stripMargin,
+    "q65_repeated_blocks" ->
+      """WITH b AS (
+        |  SELECT doc_id, md5(substring(text, (u.k*64 + 1)::INT, 64)) AS block_fp
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(0, (length(text) // 64) - 1)) AS k) u
+        |  WHERE length(text) >= 64
+        |), pb AS (
+        |  SELECT block_fp, doc_id, count(*) AS occ FROM b GROUP BY 1, 2
+        |)
+        |SELECT block_fp, count(*) AS n_docs, sum(occ)::BIGINT AS n_occ, min(doc_id) AS first_doc
+        |FROM pb GROUP BY 1 HAVING count(*) > 1""".stripMargin,
     "q63_bigram_lm" ->
       """WITH w AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words FROM documents
