@@ -55,16 +55,24 @@ object NearDup {
     * cost. `pairCond` sees structs `a`/`b` with fields (set_id,
     * `payload`); `a.set_id < b.set_id` is always applied. */
   private def bucketPairs(banded: DataFrame, payload: String, maxBucketSize: Int,
-                          pairCond: String): DataFrame =
+                          pairCond: String, carryPayload: Boolean = false): DataFrame = {
+    val emit =
+      if (carryPayload)
+        s"struct(a.set_id AS set_a, b.set_id AS set_b, a.$payload AS pay_a, b.$payload AS pay_b)"
+      else "struct(a.set_id AS set_a, b.set_id AS set_b)"
+    val outCols =
+      if (carryPayload) Seq(col("p.set_a"), col("p.set_b"), col("p.pay_a"), col("p.pay_b"))
+      else Seq(col("p.set_a"), col("p.set_b"))
     banded.groupBy(col("band"), col("band_key"))
       .agg(collect_list(struct(col("set_id"), col(payload))).as("ms"))
       .filter(size(col("ms")).between(2, maxBucketSize))
       .select(explode(expr(
         "flatten(transform(ms, a -> transform(" +
           s"filter(ms, b -> b.set_id > a.set_id AND ($pairCond)), " +
-          "b -> struct(a.set_id AS set_a, b.set_id AS set_b))))")).as("p"))
-      .select(col("p.set_a"), col("p.set_b"))
+          s"b -> $emit)))")).as("p"))
+      .select(outCols: _*)
       .distinct() // a pair can collide in several bands
+  }
 
   /** Test-only visibility for [[bucketPairs]] (plan-shape audit). */
   private[graft] def bucketPairsForTest(banded: DataFrame, payload: String,
@@ -365,7 +373,17 @@ object NearDup {
     * single hash aggregate — partial aggregation keeps the shuffle at
     * one 64-column row per doc (vs exploding tokens x 64 bit rows,
     * which shuffles 64x the data). */
-  def simHash(df: DataFrame, idCol: String, tokensCol: Column): DataFrame = {
+  def simHash(df: DataFrame, idCol: String, tokensCol: Column): DataFrame =
+    df.select(col(idCol).as("id"), explode(tokensCol).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+      .groupBy(col("id"))
+      .agg(SimHashAgg.column(col("h")).as("simhash"))
+
+  /** Reference 64-aggregate formulation of [[simHash]] — kept as the
+    * equivalence-spec baseline for [[SimHashAgg]] (64 separate
+    * `sum(when(bit, +1, -1))` buffers; multi-second codegen compile
+    * and a 64-buffer update per row, but trivially auditable). */
+  def simHashWide(df: DataFrame, idCol: String, tokensCol: Column): DataFrame = {
     val toks = df.select(col(idCol).as("id"), explode(tokensCol).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums = (0 until 64).map { j =>
@@ -429,19 +447,19 @@ object NearDup {
     * 4x16-bit band join (pigeonhole: hd<=3 implies at least one equal
     * 16-bit chunk) instead of an all-pairs scan. */
   def simHashPairs(sim: DataFrame, maxDist: Int = 3): DataFrame = {
+    // pigeonhole banding: hamming <= 3 over 64 bits forces at least
+    // one of the four 16-bit chunks to match exactly. Candidate
+    // generation is the same single-shuffle bucketPairs as the MinHash
+    // family; the hamming filter runs INSIDE the bucket expansion, so
+    // only true near-pairs reach the distinct.
     val banded = sim.select(
-      col("id"), col("simhash"),
+      col("id").as("set_id"), col("simhash").as("sim"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
-    ).select(col("id"), col("simhash"), col("pos").as("band"), col("col").as("chunk"))
-    val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("simhash").as("sim_a"))
-    val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("simhash").as("sim_b"))
-    a.join(b, Seq("band", "chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
-      .filter(col("hamming") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+    ).select(col("set_id"), col("sim"), col("pos").as("band"), col("col").as("band_key"))
+    bucketPairs(banded, "sim", Int.MaxValue,
+      s"bit_count(a.sim ^ b.sim) <= $maxDist", carryPayload = true)
+      .select(col("set_a").as("id_a"), col("set_b").as("id_b"),
+        bit_count(col("pay_a").bitwiseXOR(col("pay_b"))).cast("int").as("hamming"))
   }
 }

@@ -13,25 +13,16 @@ object TmpProfile {
       r
     }
     val docs = graft.core.Tables.documents(spark, dir)
-    t("docs.count warm0")(docs.count())
-    t("docs.count warm1")(docs.count())
-    val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
-    val base = docs.select(col("doc_id").as("id"), substring(norm, 1, 80).as("pfx"))
-      .filter(col("pfx").isNotNull)
-    t("base count")(base.count())
-    val grouped = base.groupBy(xxhash64(col("pfx")).as("fp"))
-      .agg(min(col("id")).as("set_id"), sort_array(collect_list(col("id"))).as("ids"),
-        first(col("pfx")).as("pfx"))
-    t("grouped count")(grouped.count())
-    val withToks = grouped.withColumn("toks",
-      array_distinct(transform(sequence(lit(1), greatest(length(col("pfx")) - 2, lit(1))),
-        i => xxhash64(call_function("substring", col("pfx"), i, lit(3))))))
-    t("withToks noop")(withToks.write.format("noop").mode("overwrite").save())
-    t("withToks noop again")(withToks.write.format("noop").mode("overwrite").save())
-    val sig = withToks.select(col("set_id"),
-      graft.functions.NearDup.minHashSignature(col("toks"), 64).as("sig"))
-    t("sig noop")(sig.write.format("noop").mode("overwrite").save())
-    t("sig noop again")(sig.write.format("noop").mode("overwrite").save())
+    docs.count()
+    val sim = graft.functions.NearDup.simHash(docs, "doc_id",
+      graft.functions.TextAnalysis.wordTokens(col("text")))
+    t("simhash build (64-way agg)")(sim.write.format("noop").mode("overwrite").save())
+    t("simhash build again")(sim.write.format("noop").mode("overwrite").save())
+    val simP = sim.persist()
+    simP.count()
+    val pairs = graft.functions.NearDup.simHashPairs(simP, maxDist = 3)
+    t("pairs from cached sim")(pairs.write.format("noop").mode("overwrite").save())
+    t("pairs again")(pairs.write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }

@@ -60,6 +60,22 @@ class FunctionsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("SimHashAgg is bitwise identical to the 64-aggregate formulation") {
+    val docs = graft.core.Tables.documents(spark, sf())
+    val toks = TextAnalysis.wordTokens(col("text"))
+    val fast = NearDup.simHash(docs, "doc_id", toks)
+    val wide = NearDup.simHashWide(docs, "doc_id", toks)
+    assert(fast.join(wide.withColumnRenamed("simhash", "ref"), Seq("id"))
+      .filter(not(col("simhash") <=> col("ref"))).count() == 0L)
+    // empty token array: no rows after explode, so the doc is absent
+    // from BOTH (group never forms) — and a doc with one token gets
+    // that token's hash verbatim on both paths
+    val one = Seq((1L, "solo")).toDF("doc_id", "text")
+    val f1 = NearDup.simHash(one, "doc_id", TextAnalysis.wordTokens(col("text"))).collect()(0).getLong(1)
+    val w1 = NearDup.simHashWide(one, "doc_id", TextAnalysis.wordTokens(col("text"))).collect()(0).getLong(1)
+    assert(f1 == w1)
+  }
+
   test("cosine top-k matches a driver-side brute force on sf0.001") {
     val e = graft.core.Tables.embeddings(spark, sf())
     val topk = Similarity.cosineTopK(e.filter($"vec_id" < 3), e, "vec_id", "embedding", 4)
