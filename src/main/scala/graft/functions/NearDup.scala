@@ -338,6 +338,62 @@ object NearDup {
     (sets, verified)
   }
 
+  /** Incremental near-dup: pairs between a PROBE batch and an existing
+    * CORPUS, never pairing corpus docs among themselves — the shape a
+    * continuously-ingesting pipeline runs per batch. The corpus is
+    * banded once (in production the band table is maintained
+    * incrementally as a keyed table, not recomputed), the probe batch
+    * is banded with the same geometry, candidates are the int-only
+    * probe⋈corpus bucket collisions with the PPJoin size cut, and
+    * exact jaccard verifies with token arrays re-attached from the
+    * two (persisted) token tables. Work scales with
+    * |probe| × bucket-collision rate — no corpus×corpus term, which is
+    * what makes per-batch dedup affordable against a 100 TB corpus.
+    * Default geometry 128 hashes / 32 bands (r=4): at threshold 0.8
+    * the per-pair miss probability is (1-0.8⁴)³² ≈ 5e-8, low enough
+    * that the probe output is measured EXACT against brute force even
+    * on the sf0.1 corpus with ~530k boundary-heavy true pairs (24
+    * bands missed one). The returned frame is persisted and
+    * materialized; callers own unpersisting it. */
+  def minHashProbePairs(corpus: DataFrame, probe: DataFrame, idCol: String, tokensCol: Column,
+                        numHashes: Int = 128, bands: Int = 32,
+                        threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    def prep(df: DataFrame): DataFrame = df.select(col(idCol).as("id"),
+      array_sort(transform(array_distinct(tokensCol), tk => xxhash64(tk))).as("toks"))
+      .withColumn("sz", size(col("toks")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def band(df: DataFrame): DataFrame = df
+      .withColumn("sig", minHashSignature(col("toks"), numHashes))
+      .select(col("id"), col("sz"),
+        posexplode(array((0 until bands).map { b =>
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+        }: _*)))
+      .select(col("id"), col("sz"), col("pos").as("band"), col("col").as("band_key"))
+    val c = prep(corpus)
+    val p = prep(probe)
+    val candidates = band(p)
+      .select(col("band"), col("band_key"), col("id").as("probe_id"), col("sz").as("sz_p"))
+      .join(band(c).select(col("band"), col("band_key"), col("id").as("corpus_id"), col("sz").as("sz_c")),
+        Seq("band", "band_key"))
+      .filter(col("sz_p") >= col("sz_c") * threshold && col("sz_c") >= col("sz_p") * threshold)
+      .select(col("probe_id"), col("corpus_id"))
+      .distinct()
+    val out = candidates
+      .join(p.select(col("id").as("probe_id"), col("toks").as("toks_p")), Seq("probe_id"))
+      .join(c.select(col("id").as("corpus_id"), col("toks").as("toks_c")), Seq("corpus_id"))
+      .withColumn("__i", IntersectCount.column(col("toks_p"), col("toks_c")).cast("double"))
+      .withColumn("jaccard", col("__i") / (size(col("toks_p")) + size(col("toks_c")) - col("__i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("probe_id"), col("corpus_id"), col("jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    p.unpersist(blocking = false)
+    c.unpersist(blocking = false)
+    out
+  }
+
   /** MinHash near-dup DOC pairs (see minHashSetPairs for the steps):
     * identical-set doc pairs at jaccard 1.0 plus the verified distinct
     * set pairs expanded to doc granularity. */

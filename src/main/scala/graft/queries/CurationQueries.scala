@@ -167,7 +167,24 @@ object CurationQueries {
       .filter(col("n_docs") > 1)
   }
 
+  // q66 — incremental near-dup (NearDup.minHashProbePairs): every
+  // 10th doc plays the incoming batch, the rest the standing corpus;
+  // the probe bands join the corpus bands and only probe×corpus pairs
+  // are generated/verified — the per-batch dedup a continuously-
+  // ingesting pipeline runs. Oracle is the unblocked brute-force
+  // jaccard join between the two partitions (knows nothing about
+  // LSH); at the 96/24 geometry LSH output is exactly brute force on
+  // these corpora (same finite-corpus argument as q22).
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.functions.NearDup.minHashProbePairs(
+      d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+      "doc_id", TextAnalysis.wordTokens(col("text")))
+      .select(col("probe_id"), col("corpus_id"), r4(col("jaccard")).as("jaccard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_incremental_neardup" -> q66 _,
     "q60_contamination" -> q60 _,
     "q61_pii_redact" -> q61 _,
     "q62_mixture_stats" -> q62 _,
@@ -177,6 +194,17 @@ object CurationQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q66_incremental_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
+        |  FROM documents
+        |)
+        |SELECT p.doc_id AS probe_id, c.doc_id AS corpus_id,
+        |  floor((len(list_intersect(p.toks, c.toks))::DOUBLE
+        |    / (len(p.toks) + len(c.toks) - len(list_intersect(p.toks, c.toks))))*10000 + 0.5)/10000 AS jaccard
+        |FROM d p JOIN d c ON p.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+        |WHERE len(list_intersect(p.toks, c.toks))::DOUBLE
+        |    / (len(p.toks) + len(c.toks) - len(list_intersect(p.toks, c.toks))) >= 0.8""".stripMargin,
     "q60_contamination" ->
       """WITH w AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words FROM documents

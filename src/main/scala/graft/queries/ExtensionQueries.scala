@@ -29,15 +29,17 @@ object ExtensionQueries {
       docs(s, dir).filter(col("doc_id") % 5 === 0),
       "doc_id", TextAnalysis.wordTokens(col("text")), "lang", threshold = 0.8)
 
-  // q22 — MinHash+LSH near-dup pairs (scale path). At 96 hashes / 24
+  // q22 — MinHash+LSH near-dup pairs (scale path). At 128 hashes / 32
   // bands the deterministic detection probability at j>=0.8 is high
   // enough that the LSH output EQUALS the exact all-pairs result on
-  // this corpus (verified by graft.tools.LshRecallCheck: 0 missing /
-  // 0 spurious), so the query carries a strict DuckDB equality oracle
-  // computed by brute force — the oracle knows nothing about MinHash.
+  // BOTH test corpora including sf0.1's ~3M boundary-heavy pairs
+  // (verified by graft.tools.LshRecallCheck: 0 missing / 0 spurious;
+  // the previous 96/24 missed 2 of 2,968,398 at sf0.1), so the query
+  // carries a strict DuckDB equality oracle computed by brute force —
+  // the oracle knows nothing about MinHash.
   private def q22(s: SparkSession, dir: String): DataFrame =
     NearDup.minHashPairs(docs(s, dir), "doc_id", TextAnalysis.wordTokens(col("text")),
-      numHashes = 96, bands = 24, threshold = 0.8)
+      numHashes = 128, bands = 32, threshold = 0.8)
       .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
 
   // q47 — MinHash+LSH over 3-gram word SHINGLES (the standard
@@ -46,7 +48,7 @@ object ExtensionQueries {
   private def q47(s: SparkSession, dir: String): DataFrame =
     NearDup.minHashPairs(docs(s, dir), "doc_id",
       TextAnalysis.shingles(TextAnalysis.wordTokens(col("text")), 3),
-      numHashes = 96, bands = 24, threshold = 0.8)
+      numHashes = 128, bands = 32, threshold = 0.8)
       .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
 
   // q48 — near-dup CLUSTERS: connected components over the verified
@@ -61,7 +63,7 @@ object ExtensionQueries {
   private def q48(s: SparkSession, dir: String): DataFrame = {
     val (sets, setPairs) = NearDup.minHashSetPairs(docs(s, dir), "doc_id",
       TextAnalysis.shingles(TextAnalysis.wordTokens(col("text")), 3),
-      numHashes = 96, bands = 24, threshold = 0.8)
+      numHashes = 128, bands = 32, threshold = 0.8)
     graft.operators.ConnectedComponents.dedupAssignmentBySets(sets, setPairs)
   }
 
