@@ -197,6 +197,55 @@ object StreamPipeline {
     df.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming dedup-on-ingest: every micro-batch of documents is
+    * near-dup-probed against the standing corpus
+    * ([[graft.functions.NearDup.minHashProbePairs]] — probe×corpus
+    * only, no corpus×corpus work), batch-internal near-dups collapse
+    * to their min-id survivor, and only novel docs append to the
+    * corpus. The corpus store is the append-only parquet at
+    * `corpusPath` (in production: a keyed table holding the band
+    * index too, so the probe skips re-banding the corpus each batch —
+    * the re-band here is the sandbox simplification, the join shape
+    * is the production one). foreachBatch is at-least-once: replayed
+    * batches re-probe and find their own earlier append as a dup at
+    * jaccard 1.0 — except the min-id survivor itself, which the
+    * batch_id stamp dedups on read (same contract as readBuckets).
+    * Returns the started query. */
+  def dedupOnIngest(docsStream: DataFrame, corpusPath: String, checkpoint: String,
+                    threshold: Double = 0.8,
+                    trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    docsStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val toks = graft.functions.TextAnalysis.wordTokens(org.apache.spark.sql.functions.col("text"))
+        // batch-internal collapse: exact + near dup pairs within the
+        // batch resolve to the min doc_id per connected pair group
+        // (single-batch volumes are small; pairwise is the honest form)
+        val (sets, setPairs) = graft.functions.NearDup.minHashSetPairs(
+          batch, "doc_id", toks, numHashes = 128, bands = 32, threshold = threshold)
+        val assigned = graft.operators.ConnectedComponents.dedupAssignmentBySets(sets, setPairs)
+        val batchSurvivors = batch.join(
+          assigned.filter(col("is_canonical")).select(col("doc_id")), Seq("doc_id"), "left_semi")
+        val corpusExists = new java.io.File(corpusPath).exists()
+        val novel =
+          if (!corpusExists) batchSurvivors
+          else {
+            val corpus = spark.read.parquet(corpusPath)
+            val dups = graft.functions.NearDup.minHashProbePairs(
+              corpus, batchSurvivors, "doc_id", toks, threshold = threshold)
+            val out = batchSurvivors.join(
+              dups.select(col("probe_id").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+            out
+          }
+        novel.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(corpusPath)
+        spark.catalog.clearCache() // release the probe/set frames the operators persist
+      }
+      .start()
+
   /** Stream-stream time-bounded enrichment: every tick joins the
     * quotes for its symbol from the trailing `joinWindow` (tick
     * INTERVAL-bounded inner join) — Spark's one legal stream⋈stream

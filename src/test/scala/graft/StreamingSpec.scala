@@ -51,6 +51,32 @@ class StreamingSpec extends SparkSpec {
     assert(c.count() == 1) // empty symbol dropped (P6)
   }
 
+  test("dedup-on-ingest: batch-internal dups collapse, cross-batch near-dups rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_dedup").toString
+    val words = (0 until 10).map(i => s"word$i")
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = StreamPipeline.dedupOnIngest(
+      stream.toDF().toDF("doc_id", "text"), s"$dir/corpus", s"$dir/ck",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      // batch 1: 1 and 2 are exact dups (min-id 1 survives), 3 novel
+      stream.addData(Seq(
+        (1L, words.mkString(" ")),
+        (2L, words.mkString(" ")),
+        (3L, "entirely different content here")))
+      q.processAllAvailable()
+      // batch 2: 10 is a near-dup of corpus doc 1 (9/10 words shared +
+      // one new -> jaccard 9/11 = 0.818 >= 0.8), 11 is novel
+      stream.addData(Seq(
+        (10L, (words.take(9) :+ "fresh").mkString(" ")),
+        (11L, "completely unrelated novel document body")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val corpus = spark.read.parquet(s"$dir/corpus")
+    assert(corpus.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 11L))
+    spark.catalog.clearCache()
+  }
+
   test("streaming bucket partials + derived windows == batch sliding windows") {
     val ticks = TickSource.ticks(spark, 400, startEpochSec = base, intervalSec = 2).collect().toSeq
     val stream = MemoryStream[RawTick](spark)
