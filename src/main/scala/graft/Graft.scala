@@ -25,7 +25,8 @@ object Graft {
 
   /** Register the engine's custom expressions for SQL — the same set
     * GraftExtensions installs cluster-wide via spark.sql.extensions:
-    * rolling_hash, dot_product, intersect_count, cdc_chunks. */
+    * rolling_hash, dot_product, intersect_count, cdc_chunks,
+    * minhash_sig, simhash_agg. */
   def registerFunctions(spark: SparkSession): Unit = {
     GraftFunctionRegistry.registerTemp(spark, "rolling_hash",
       exprs => RollingHashExpr(exprs.head))
@@ -35,5 +36,9 @@ object Graft {
       exprs => graft.functions.IntersectCountExpr(exprs(0), exprs(1)))
     GraftFunctionRegistry.registerTemp(spark, "cdc_chunks",
       exprs => GraftExtensions.cdcChunks(exprs))
+    GraftFunctionRegistry.registerTemp(spark, "minhash_sig",
+      exprs => GraftExtensions.minHashSig(exprs))
+    GraftFunctionRegistry.registerTemp(spark, "simhash_agg",
+      exprs => graft.functions.SimHashAgg(exprs.head))
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CdcChunksExpr, DotProductExpr, IntersectCountExpr, RollingHashExpr}
+import graft.functions.{CdcChunksExpr, DotProductExpr, IntersectCountExpr, MinHashSigExpr, RollingHashExpr, SimHashAgg}
 
 /** Cluster-wide installation of the engine's custom Catalyst
   * expressions — the idiomatic Spark deployment path:
@@ -37,6 +37,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cdc_chunks"),
       info("cdc_chunks", "cdc_chunks(str[, window, modulus, minSize, maxSize]) - content-defined chunks (Rabin rolling window)"),
       (exprs: Seq[Expression]) => GraftExtensions.cdcChunks(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(tokens, n) - one-pass n-permutation MinHash signature of an array<bigint>"),
+      (exprs: Seq[Expression]) => GraftExtensions.minHashSig(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_agg"),
+      info("simhash_agg", "simhash_agg(hash) - aggregate: 64-bit SimHash of a column of token hashes"),
+      (exprs: Seq[Expression]) => SimHashAgg(exprs.head)))
   }
 }
 
@@ -47,6 +55,13 @@ object GraftExtensions {
     case s: Short => s.toInt
     case b: Byte => b.toInt
     case other => throw new IllegalArgumentException(s"cdc_chunks: $name must be an integer literal, got $other")
+  }
+
+  /** Shared builder for the SQL surface: tokens + int-literal hash
+    * count. */
+  def minHashSig(exprs: Seq[Expression]): MinHashSigExpr = {
+    require(exprs.size == 2, s"minhash_sig takes 2 arguments, got ${exprs.size}")
+    MinHashSigExpr(exprs.head, intArg(exprs(1), "numHashes"))
   }
 
   /** Shared builder for the SQL surface: string + optional int-literal

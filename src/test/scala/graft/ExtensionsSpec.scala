@@ -22,13 +22,20 @@ class ExtensionsSpec extends SparkSpec {
         """SELECT rolling_hash('abc') AS h,
           |       dot_product(array(1d, 2d), array(3d, 4d)) AS d,
           |       intersect_count(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS i,
-          |       cdc_chunks(repeat('xyz abc ', 40), 16, 64, 32, 128) AS c""".stripMargin).head()
+          |       cdc_chunks(repeat('xyz abc ', 40), 16, 64, 32, 128) AS c,
+          |       minhash_sig(array(xxhash64('a'), xxhash64('b')), 4) AS ms""".stripMargin).head()
       val want = graft.functions.RollingHash.eval(
         org.apache.spark.unsafe.types.UTF8String.fromString("abc"))
       assert(r.getLong(0) == want)
       assert(r.getDouble(1) == 11.0)
       assert(r.getInt(2) == 2)
       assert(r.getSeq[String](3).mkString == "xyz abc " * 40)
+      assert(r.getSeq[Long](4).length == 4)
+      // simhash_agg: aggregate over one hash == that hash's bit pattern
+      val agg = s2.sql(
+        "SELECT simhash_agg(h) AS sh FROM (SELECT xxhash64('tok') AS h)").head()
+      val sqlCtx = s2.sql("SELECT xxhash64('tok') AS h").head().getLong(0)
+      assert(agg.getLong(0) == sqlCtx)
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)

@@ -120,6 +120,11 @@ class SourcesSpec extends SparkSpec {
     val h = spark.sql("SELECT rolling_hash('abc') AS h").as[Long].head()
     assert(h == graft.functions.RollingHash.eval(
       org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
+    // per-session registration of the round-4 functions too
+    assert(spark.sql("SELECT size(minhash_sig(array(xxhash64('a')), 8)) AS n")
+      .as[Int].head() == 8)
+    assert(spark.sql("SELECT simhash_agg(h) = any_value(h) FROM (SELECT xxhash64('t') AS h)")
+      .as[Boolean].head())
     // the full windowed-join semantics, straight from SQL over views
     val joined = spark.sql(
       """SELECT e.event_type, count(*) AS n FROM events e GROUP BY 1""").count()
