@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted, incrementally-maintained MinHash-LSH band index.
+  *
+  * [[NearDup.minHashProbePairs]] is the right *dataflow* for per-batch
+  * dedup against a standing corpus (probe×corpus only, never
+  * corpus×corpus), but it re-tokenizes, re-signs and re-bands the
+  * WHOLE corpus on every call. At 100 TB that per-batch corpus pass is
+  * the dominant cost — the index must be materialized once and
+  * appended to, not recomputed. This object is that materialization:
+  *
+  * {{{
+  *   <path>/toks   (id, sz, toks array<long>)   — verification table
+  *   <path>/bands  (band, band_key, id, sz)     — LSH candidate table
+  * }}}
+  *
+  * `build` writes both tables once; `append` adds the rows for a
+  * batch of novel documents (an O(|batch|) map-side job); `probePairs`
+  * bands ONLY the probe batch and joins it against the stored band
+  * table. The probe side is a small batch, so Spark broadcasts it:
+  * the corpus band scan stays map-side with zero corpus shuffle, and
+  * the verify join attaches corpus token arrays only for the
+  * candidate ids. Work per batch is O(|batch| + bucket collisions),
+  * independent of corpus size except for the (parallel, map-side)
+  * band-table scan — on a real cluster the bands table would
+  * additionally be bucketed by `band_key` so the scan prunes to the
+  * probed buckets; plain parquet keeps the demo portable.
+  *
+  * Geometry must match between build/append and probe; the default
+  * (128 hashes / 32 bands, r=4) is the measured-exact geometry for
+  * word-token sets on this corpus at threshold 0.8 (see
+  * [[NearDup.minHashProbePairs]]).
+  *
+  * Replay note: an at-least-once writer (foreachBatch) that re-appends
+  * a batch produces duplicate index rows. Candidates are `distinct`ed
+  * before verification, so duplicates cost probe-side work but never
+  * change `probePairs` output; `compact` rewrites the index
+  * deduplicated when the slack matters.
+  */
+object BandIndex {
+
+  val DefaultNumHashes = 128
+  val DefaultBands = 32
+
+  private def toksPath(path: String) = path + "/toks"
+  private def bandsPath(path: String) = path + "/bands"
+
+  /** True when `build`/`append` has written this index. */
+  def exists(path: String): Boolean = new java.io.File(bandsPath(path)).exists()
+
+  /** (id, sz, toks): tokens pre-hashed to sorted distinct longs — the
+    * same canonical form minHashProbePairs uses, so exact-jaccard
+    * verification is a sorted-merge IntersectCount. */
+  private def prep(df: DataFrame, idCol: String, tokensCol: org.apache.spark.sql.Column): DataFrame =
+    df.select(col(idCol).as("id"),
+      array_sort(transform(array_distinct(tokensCol), tk => xxhash64(tk))).as("toks"))
+      .withColumn("sz", size(col("toks")))
+
+  private def band(prepped: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    prepped
+      .withColumn("sig", NearDup.minHashSignature(col("toks"), numHashes))
+      .select(col("id"), col("sz"),
+        posexplode(array((0 until bands).map { b =>
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+        }: _*)))
+      .select(col("pos").as("band"), col("col").as("band_key"), col("id"), col("sz"))
+  }
+
+  private def writeBatch(df: DataFrame, idCol: String, tokensCol: org.apache.spark.sql.Column,
+                         path: String, numHashes: Int, bands: Int, mode: String): Unit = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    // one pass over the batch feeds both tables; the batch is small
+    // (that is the point of an incremental index), so persist is cheap
+    val p = prep(df, idCol, tokensCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.write.mode(mode).parquet(toksPath(path))
+    band(p, numHashes, bands).write.mode(mode).parquet(bandsPath(path))
+    p.unpersist(blocking = false)
+  }
+
+  /** Create (overwrite) the index from a corpus. */
+  def build(df: DataFrame, idCol: String, tokensCol: org.apache.spark.sql.Column, path: String,
+            numHashes: Int = DefaultNumHashes, bands: Int = DefaultBands): Unit =
+    writeBatch(df, idCol, tokensCol, path, numHashes, bands, mode = "overwrite")
+
+  /** Append a batch of (novel) documents to the index. */
+  def append(df: DataFrame, idCol: String, tokensCol: org.apache.spark.sql.Column, path: String,
+             numHashes: Int = DefaultNumHashes, bands: Int = DefaultBands): Unit =
+    writeBatch(df, idCol, tokensCol, path, numHashes, bands, mode = "append")
+
+  /** Rewrite the index with replay-duplicate rows collapsed (an
+    * at-least-once writer appends the same id twice; see class doc). */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val t = spark.read.parquet(toksPath(path)).dropDuplicates("id")
+    t.write.mode("overwrite").parquet(toksPath(path) + ".compact")
+    graft.batch.AtomicSwap.swapInto(conf, toksPath(path) + ".compact", toksPath(path))
+    val b = spark.read.parquet(bandsPath(path)).dropDuplicates("id", "band")
+    b.write.mode("overwrite").parquet(bandsPath(path) + ".compact")
+    graft.batch.AtomicSwap.swapInto(conf, bandsPath(path) + ".compact", bandsPath(path))
+  }
+
+  /** Near-dup pairs between `probe` and the INDEXED corpus — same
+    * output contract as [[NearDup.minHashProbePairs]] (probe_id,
+    * corpus_id, jaccard; persisted + materialized, caller unpersists)
+    * but the corpus side comes entirely from the stored tables. */
+  def probePairs(spark: SparkSession, path: String, probe: DataFrame, idCol: String,
+                 tokensCol: org.apache.spark.sql.Column, threshold: Double = 0.8,
+                 numHashes: Int = DefaultNumHashes, bands: Int = DefaultBands): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val p = prep(probe, idCol, tokensCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probeBands = band(p, numHashes, bands)
+      .select(col("band"), col("band_key"), col("id").as("probe_id"), col("sz").as("sz_p"))
+    val corpusBands = spark.read.parquet(bandsPath(path))
+      .select(col("band"), col("band_key"), col("id").as("corpus_id"), col("sz").as("sz_c"))
+    // probe side broadcast: the corpus band scan joins map-side, and
+    // the PPJoin size cut kills mismatched pairs before the distinct
+    val candidates = corpusBands
+      .join(broadcast(probeBands), Seq("band", "band_key"))
+      .filter(col("sz_p") >= col("sz_c") * threshold && col("sz_c") >= col("sz_p") * threshold)
+      .select(col("probe_id"), col("corpus_id"))
+      .distinct()
+    val corpusToks = spark.read.parquet(toksPath(path))
+      .select(col("id").as("corpus_id"), col("toks").as("toks_c"))
+    val out = candidates
+      .join(p.select(col("id").as("probe_id"), col("toks").as("toks_p")), Seq("probe_id"))
+      .join(corpusToks, Seq("corpus_id"))
+      .withColumn("__i", IntersectCount.column(col("toks_p"), col("toks_c")).cast("double"))
+      .withColumn("jaccard", col("__i") / (size(col("toks_p")) + size(col("toks_c")) - col("__i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("probe_id"), col("corpus_id"), col("jaccard"))
+      .dropDuplicates("probe_id", "corpus_id") // replayed appends duplicate index rows
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    p.unpersist(blocking = false)
+    out
+  }
+}

@@ -203,17 +203,27 @@ object StreamPipeline {
     * only, no corpus×corpus work), batch-internal near-dups collapse
     * to their min-id survivor, and only novel docs append to the
     * corpus. The corpus store is the append-only parquet at
-    * `corpusPath` (in production: a keyed table holding the band
-    * index too, so the probe skips re-banding the corpus each batch —
-    * the re-band here is the sandbox simplification, the join shape
-    * is the production one). foreachBatch is at-least-once: replayed
+    * `corpusPath`.
+    *
+    * With `indexPath` set, the probe runs against the PERSISTED
+    * [[graft.functions.BandIndex]] maintained there — novel docs
+    * append their band/token rows incrementally, so each batch costs
+    * O(batch + collisions) instead of a full corpus re-tokenize +
+    * re-band (the term that dominates at 100 TB). Without it, each
+    * batch re-bands the corpus (minHashProbePairs) — same join shape,
+    * affordable only at demo scale.
+    *
+    * foreachBatch is at-least-once: replayed
     * batches re-probe and find their own earlier append as a dup at
     * jaccard 1.0 — except the min-id survivor itself, which the
     * batch_id stamp dedups on read (same contract as readBuckets).
-    * Returns the started query. */
+    * Replayed index appends duplicate index rows, which never change
+    * probe output (candidates are distinct'ed; BandIndex.compact
+    * reclaims the space). Returns the started query. */
   def dedupOnIngest(docsStream: DataFrame, corpusPath: String, checkpoint: String,
                     threshold: Double = 0.8,
-                    trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+                    trigger: Trigger = Trigger.ProcessingTime("1 minute"),
+                    indexPath: Option[String] = None): StreamingQuery =
     docsStream.writeStream
       .outputMode("append")
       .trigger(trigger)
@@ -229,19 +239,34 @@ object StreamPipeline {
         val assigned = graft.operators.ConnectedComponents.dedupAssignmentBySets(sets, setPairs)
         val batchSurvivors = batch.join(
           assigned.filter(col("is_canonical")).select(col("doc_id")), Seq("doc_id"), "left_semi")
-        val corpusExists = new java.io.File(corpusPath).exists()
+        val indexed = indexPath.filter(graft.functions.BandIndex.exists)
+        val corpusExists = indexed.isDefined || new java.io.File(corpusPath).exists()
         val novel =
           if (!corpusExists) batchSurvivors
           else {
-            val corpus = spark.read.parquet(corpusPath)
-            val dups = graft.functions.NearDup.minHashProbePairs(
-              corpus, batchSurvivors, "doc_id", toks, threshold = threshold)
-            val out = batchSurvivors.join(
+            val dups = indexed match {
+              case Some(ix) =>
+                graft.functions.BandIndex.probePairs(
+                  spark, ix, batchSurvivors, "doc_id", toks, threshold = threshold)
+              case None =>
+                graft.functions.NearDup.minHashProbePairs(
+                  spark.read.parquet(corpusPath), batchSurvivors, "doc_id", toks,
+                  threshold = threshold)
+            }
+            batchSurvivors.join(
               dups.select(col("probe_id").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-            out
           }
-        novel.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(corpusPath)
+        // materialize novel ONCE (it is consumed by the corpus append
+        // and, when indexed, the index append — recomputing it would
+        // re-run the whole probe)
+        val novelOut = novel.withColumn("batch_id", lit(batchId))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        novelOut.write.mode("append").parquet(corpusPath)
+        indexPath.foreach { ix =>
+          if (graft.functions.BandIndex.exists(ix))
+            graft.functions.BandIndex.append(novelOut, "doc_id", toks, ix)
+          else graft.functions.BandIndex.build(novelOut, "doc_id", toks, ix)
+        }
         spark.catalog.clearCache() // release the probe/set frames the operators persist
       }
       .start()
