@@ -50,10 +50,22 @@ object Bench {
       System.gc()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Human/archive line first: full query names, full precision.
+    val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""BENCH_FULL {"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}""")
+    // Canonical machine line LAST and COMPACT: the driver keeps only
+    // the final ~2000 chars of output, so the parseable line must fit
+    // in that window together with sbt's trailing [success] line. Full
+    // names at nanosecond precision are ~2.7k chars for 66 queries and
+    // get head-truncated (BENCH_r03/r04 recorded parsed:null). Short
+    // qNN keys (BASELINE.md's own naming) at millisecond precision
+    // keep the line under ~1k chars with room to grow.
+    def r3(v: Double): Double = math.floor(v * 1000d + 0.5d) / 1000d
+    val qs = results.map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

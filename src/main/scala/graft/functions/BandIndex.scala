@@ -48,8 +48,14 @@ object BandIndex {
   private def toksPath(path: String) = path + "/toks"
   private def bandsPath(path: String) = path + "/bands"
 
-  /** True when `build`/`append` has written this index. */
-  def exists(path: String): Boolean = new java.io.File(bandsPath(path)).exists()
+  /** True when `build`/`append` has written this index. Resolved via
+    * the session's Hadoop filesystem (not java.io.File) so the check
+    * agrees with where build/append/compact actually write — local,
+    * HDFS, or s3a — matching [[graft.batch.AtomicSwap]]. */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(bandsPath(path))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   /** (id, sz, toks): tokens pre-hashed to sorted distinct longs — the
     * same canonical form minHashProbePairs uses, so exact-jaccard

@@ -502,20 +502,46 @@ object NearDup {
   /** Near-dup pairs by SimHash Hamming distance <= maxDist, using
     * 4x16-bit band join (pigeonhole: hd<=3 implies at least one equal
     * 16-bit chunk) instead of an all-pairs scan. */
-  def simHashPairs(sim: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simHashPairs(sim: DataFrame, maxDist: Int = 3, maxBucketSize: Int = 4096): DataFrame = {
     // pigeonhole banding: hamming <= 3 over 64 bits forces at least
     // one of the four 16-bit chunks to match exactly. Candidate
     // generation is the same single-shuffle bucketPairs as the MinHash
     // family; the hamming filter runs INSIDE the bucket expansion, so
     // only true near-pairs reach the distinct.
+    //
+    // Unlike the MinHash paths, an oversized bucket cannot simply be
+    // DROPPED: with only 4 chunks there is no redundancy guarantee
+    // that a dropped bucket's pairs collide elsewhere, and with 65536
+    // values per chunk hot buckets grow linearly with corpus size —
+    // an uncapped collect_list is a single unspillable ObjectHash
+    // buffer (executor OOM at scale). Buckets over `maxBucketSize`
+    // therefore fall back to a shuffle-join self-pairing: identical
+    // pairs, streamed through SortMergeJoin instead of buffered. The
+    // split itself is cheap — bucket sizes live in a <=4x65536-row
+    // aggregate, broadcast onto the banded table.
     val banded = sim.select(
       col("id").as("set_id"), col("simhash").as("sim"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
     ).select(col("set_id"), col("sim"), col("pos").as("band"), col("col").as("band_key"))
-    bucketPairs(banded, "sim", Int.MaxValue,
+    val sizes = banded.groupBy(col("band"), col("band_key")).agg(count(lit(1)).as("__n"))
+    val withN = banded.join(broadcast(sizes), Seq("band", "band_key"))
+    val small = withN.filter(col("__n") <= maxBucketSize).drop("__n")
+    val big = withN.filter(col("__n") > maxBucketSize).drop("__n")
+    val smallPairs = bucketPairs(small, "sim", maxBucketSize,
       s"bit_count(a.sim ^ b.sim) <= $maxDist", carryPayload = true)
       .select(col("set_a").as("id_a"), col("set_b").as("id_b"),
         bit_count(col("pay_a").bitwiseXOR(col("pay_b"))).cast("int").as("hamming"))
+    val bigPairs = big
+      .select(col("band"), col("band_key"), col("set_id").as("id_a"), col("sim").as("sim_a"))
+      .join(big.select(col("band"), col("band_key"),
+        col("set_id").as("id_b"), col("sim").as("sim_b")), Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b")
+        && bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int").as("hamming"))
+    // a pair can collide in a small bucket on one chunk and a big one
+    // on another — dedup across the union, not just within each path
+    smallPairs.unionByName(bigPairs).distinct()
   }
 }

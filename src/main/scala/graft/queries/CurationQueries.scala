@@ -173,8 +173,10 @@ object CurationQueries {
   // are generated/verified — the per-batch dedup a continuously-
   // ingesting pipeline runs. Oracle is the unblocked brute-force
   // jaccard join between the two partitions (knows nothing about
-  // LSH); at the 96/24 geometry LSH output is exactly brute force on
-  // these corpora (same finite-corpus argument as q22).
+  // LSH); at the default 128/32 geometry (the q22 geometry — 96/24
+  // missed a pair at sf0.1, which is why 128/32 was adopted) LSH
+  // output is exactly brute force on these corpora (same
+  // finite-corpus argument as q22).
   private def q66(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     graft.functions.NearDup.minHashProbePairs(

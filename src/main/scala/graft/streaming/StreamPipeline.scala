@@ -239,23 +239,36 @@ object StreamPipeline {
         val assigned = graft.operators.ConnectedComponents.dedupAssignmentBySets(sets, setPairs)
         val batchSurvivors = batch.join(
           assigned.filter(col("is_canonical")).select(col("doc_id")), Seq("doc_id"), "left_semi")
-        val indexed = indexPath.filter(graft.functions.BandIndex.exists)
-        val corpusExists = indexed.isDefined || new java.io.File(corpusPath).exists()
-        val novel =
-          if (!corpusExists) batchSurvivors
-          else {
-            val dups = indexed match {
-              case Some(ix) =>
-                graft.functions.BandIndex.probePairs(
-                  spark, ix, batchSurvivors, "doc_id", toks, threshold = threshold)
-              case None =>
-                graft.functions.NearDup.minHashProbePairs(
-                  spark.read.parquet(corpusPath), batchSurvivors, "doc_id", toks,
-                  threshold = threshold)
-            }
-            batchSurvivors.join(
-              dups.select(col("probe_id").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-          }
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val corpusExists = {
+          val p = new org.apache.hadoop.fs.Path(corpusPath)
+          p.getFileSystem(hconf).exists(p)
+        }
+        // A PRE-EXISTING corpus must be in the index before the first
+        // probe: building the index from this batch's novel docs alone
+        // would leave every standing-corpus doc invisible to later
+        // batches' probes (they probe the index only), silently
+        // re-admitting their near-dups. One-time cost, then O(batch).
+        indexPath.foreach { ix =>
+          if (corpusExists && !graft.functions.BandIndex.exists(spark, ix))
+            graft.functions.BandIndex.build(spark.read.parquet(corpusPath), "doc_id", toks, ix)
+        }
+        val indexed = indexPath.filter(ix => graft.functions.BandIndex.exists(spark, ix))
+        val dupsOpt = indexed match {
+          case Some(ix) =>
+            Some(graft.functions.BandIndex.probePairs(
+              spark, ix, batchSurvivors, "doc_id", toks, threshold = threshold))
+          case None if corpusExists =>
+            Some(graft.functions.NearDup.minHashProbePairs(
+              spark.read.parquet(corpusPath), batchSurvivors, "doc_id", toks,
+              threshold = threshold))
+          case None => None
+        }
+        val novel = dupsOpt match {
+          case Some(dups) => batchSurvivors.join(
+            dups.select(col("probe_id").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+          case None => batchSurvivors
+        }
         // materialize novel ONCE (it is consumed by the corpus append
         // and, when indexed, the index append — recomputing it would
         // re-run the whole probe)
@@ -263,11 +276,18 @@ object StreamPipeline {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         novelOut.write.mode("append").parquet(corpusPath)
         indexPath.foreach { ix =>
-          if (graft.functions.BandIndex.exists(ix))
+          if (graft.functions.BandIndex.exists(spark, ix))
             graft.functions.BandIndex.append(novelOut, "doc_id", toks, ix)
           else graft.functions.BandIndex.build(novelOut, "doc_id", toks, ix)
         }
-        spark.catalog.clearCache() // release the probe/set frames the operators persist
+        // release ONLY the frames this batch persisted — a session-wide
+        // clearCache would also drop caches owned by concurrent batch
+        // jobs or other streams sharing the session
+        dupsOpt.foreach(_.unpersist(blocking = false))
+        sets.unpersist(blocking = false)
+        setPairs.unpersist(blocking = false)
+        novelOut.unpersist(blocking = false)
+        ()
       }
       .start()
 

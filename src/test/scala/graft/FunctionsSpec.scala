@@ -60,6 +60,24 @@ class FunctionsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("simHashPairs big-bucket join fallback emits the same pairs as the HOF path") {
+    // maxBucketSize=1 forces EVERY bucket through the self-join
+    // fallback (a bucket needs >=2 members to pair at all); output
+    // must be identical to the collect_list+HOF path on a corpus with
+    // plenty of real near-pairs.
+    val docs = graft.core.Tables.documents(spark, sf())
+    val sim = NearDup.simHash(docs, "doc_id", TextAnalysis.wordTokens(col("text")))
+      .persist()
+    try {
+      val hof = NearDup.simHashPairs(sim, maxDist = 3)
+        .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+      val joined = NearDup.simHashPairs(sim, maxDist = 3, maxBucketSize = 1)
+        .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+      assert(hof.nonEmpty, "corpus should contain simhash near-pairs")
+      assert(joined == hof)
+    } finally sim.unpersist()
+  }
+
   test("SimHashAgg is bitwise identical to the 64-aggregate formulation") {
     val docs = graft.core.Tables.documents(spark, sf())
     val toks = TextAnalysis.wordTokens(col("text"))

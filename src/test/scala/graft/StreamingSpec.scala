@@ -77,6 +77,43 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("dedup-on-ingest bootstraps the band index from a PRE-EXISTING corpus") {
+    // The failure this pins: with indexPath set over a standing corpus
+    // and no index yet, the index must be built from the CORPUS before
+    // the first probe — if it were built from batch-1's novel docs
+    // only, every later batch (which probes the index alone) would
+    // silently re-admit near-dups of pre-existing corpus documents.
+    val dir = Files.createTempDirectory("graft_ingest_dedup_ix").toString
+    val words = (0 until 10).map(i => s"word$i")
+    Seq((1L, words.mkString(" "), -1L), (3L, "entirely different content here", -1L))
+      .toDF("doc_id", "text", "batch_id").write.parquet(s"$dir/corpus")
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = StreamPipeline.dedupOnIngest(
+      stream.toDF().toDF("doc_id", "text"), s"$dir/corpus", s"$dir/ck",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      indexPath = Some(s"$dir/index"))
+    try {
+      // batch 1: 10 near-dups corpus doc 1 (9/10 shared + 1 new ->
+      // jaccard 9/11 >= 0.8) -> rejected via the bootstrapped index;
+      // 11 novel -> admitted + appended to the index
+      stream.addData(Seq(
+        (10L, (words.take(9) :+ "fresh").mkString(" ")),
+        (11L, "completely unrelated novel document body")))
+      q.processAllAvailable()
+      // batch 2 probes the INDEX only: 20 near-dups PRE-EXISTING doc 1
+      // (re-admitted before the fix), 21 near-dups batch-1 novel 11,
+      // 22 novel
+      stream.addData(Seq(
+        (20L, (words.take(9) :+ "another").mkString(" ")),
+        (21L, "completely unrelated novel document body extra"),
+        (22L, "third thing wholly distinct from all others")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val corpus = spark.read.parquet(s"$dir/corpus")
+    assert(corpus.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 11L, 22L))
+    spark.catalog.clearCache()
+  }
+
   test("streaming bucket partials + derived windows == batch sliding windows") {
     val ticks = TickSource.ticks(spark, 400, startEpochSec = base, intervalSec = 2).collect().toSeq
     val stream = MemoryStream[RawTick](spark)
