@@ -23,7 +23,7 @@ object CurationQueries {
     * referenced inside a HOF lambda re-evaluates per element (HOFs are
     * excluded from subexpression elimination), turning tokenization
     * O(n) into O(n²) per document. */
-  private def ngrams(words: Column, k: Int): Column = {
+  private[queries] def ngrams(words: Column, k: Int): Column = {
     val idx = when(size(words) >= k, sequence(lit(1), size(words) - lit(k - 1)))
       .otherwise(array().cast("array<int>"))
     array_distinct(transform(idx, i => concat_ws(" ", slice(words, i, lit(k)))))

@@ -1,0 +1,278 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.{NearDup, Similarity, TextAnalysis}
+
+/** Round-5 pipeline-output surface: the queries that MATERIALIZE the
+  * decisions earlier operators compute — the deduplicated corpus, the
+  * decontaminated corpus, the quality-gated corpus, token-budget shard
+  * assignments, and a k-means refinement step over the embedding
+  * index. Together with the round-4 curation surface these are the
+  * last mile of a training-data build: not "which docs are dups /
+  * contaminated / low-quality" but the surviving corpus itself.
+  * All oracle-checked against DuckDB.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+  private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
+
+  // q67 — the DEDUPLICATED CORPUS: shingle-MinHash near-dup clusters
+  // (q48's LSH + connected components) reduced to their min-id
+  // canonical survivor, joined back to the document table — the frame
+  // a pipeline actually writes out after dedup. Same plan as q48 plus
+  // one broadcast-eligible semi-join; the oracle recomputes the
+  // clusters from exact brute-force shingle pairs with a recursive
+  // label-propagation CTE and keeps cluster representatives.
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val (sets, setPairs) = NearDup.minHashSetPairs(docs(s, dir), "doc_id",
+      TextAnalysis.shingles(TextAnalysis.wordTokens(col("text")), 3),
+      numHashes = 128, bands = 32, threshold = 0.8)
+    val assigned = graft.operators.ConnectedComponents.dedupAssignmentBySets(sets, setPairs)
+    docs(s, dir)
+      .join(assigned.filter(col("is_canonical")).select(col("doc_id"), col("cluster_size")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("cluster_size"))
+  }
+
+  /** Planted benchmark passage for q68 — out-of-vocabulary words so
+    * its 8-grams cannot occur naturally in the synthetic corpus. */
+  private[queries] val BenchPassage =
+    "zulu yankee xray whiskey victor uniform tango sierra romeo quebec papa oscar"
+
+  // q68 — the DECONTAMINATED CORPUS: drop every candidate doc sharing
+  // ANY distinct word-8-gram with the benchmark set (docs with
+  // doc_id % 97 == 0) — the remove-on-overlap rule evaluation suites
+  // apply. The raw corpus has zero natural 8-gram overlap (verified at
+  // sf0.01), so contamination is PLANTED deterministically: docs with
+  // doc_id % 13 == 0 get a fixed out-of-vocab passage appended, and
+  // doc 0 (both % 13 and % 97) carries it into the benchmark gram set
+  // — ground truth is known on both engines. Plan shape is q60's:
+  // benchmark grams broadcast, corpus-side probe map-side, one per-doc
+  // count shuffle, then a broadcast-eligible join back to documents.
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    val injected = when(col("doc_id") % 13 === 0,
+      concat(col("text"), lit(" " + BenchPassage))).otherwise(col("text"))
+    val grams = docs(s, dir)
+      .select(col("doc_id"), TextAnalysis.wordTokens(injected).as("words"))
+      .select(col("doc_id"), explode(CurationQueries.ngrams(col("words"), 8)).as("gram"))
+    val bench = grams.filter(col("doc_id") % 97 === 0).select(col("gram")).distinct()
+    val scored = grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench.withColumn("hit", lit(1))), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+    // left join + coalesce: a doc with < 8 words has NO grams and must
+    // survive (nothing to overlap), not vanish from the output
+    docs(s, dir).filter(col("doc_id") % 97 =!= 0)
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("lang"), col("n_chars"))
+      .filter(col("n_hit") === 0)
+      .drop("n_hit")
+  }
+
+  // q69 — the QUALITY GATE: Gopher-style keep/drop decision per doc
+  // from three repetition/length signals — token count in range,
+  // duplicate-2-gram fraction, top-word mass. Signals are integer
+  // ratios (bitwise identical cross-engine; threshold compares are
+  // exact, no rounding needed). The only shuffle is the per-(doc,word)
+  // partial count agg for the top word; everything else is map-side
+  // array arithmetic. Thresholds chosen so every signal discriminates
+  // on this corpus (sf0.01: 457/491/409 pass individually, 389 keep).
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val words = col("words") // materialized attribute — see CurationQueries.ngrams note
+    val idx = when(size(words) >= 2, sequence(lit(1), size(words) - lit(1)))
+      .otherwise(array().cast("array<int>"))
+    val base = docs(s, dir)
+      .select(col("doc_id"), TextAnalysis.wordTokens(col("text")).as("words"))
+      .filter(size(col("words")) >= 2)
+      .withColumn("grams", transform(idx, i => concat_ws(" ", slice(words, i, lit(2)))))
+    val perDoc = base.select(col("doc_id"), size(col("words")).cast("long").as("n_tokens"),
+      ((size(col("grams")) - size(array_distinct(col("grams")))).cast("double")
+        / size(col("grams"))).as("dup2"))
+    val topWord = base
+      .select(col("doc_id"), explode(col("words")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("mc"))
+    perDoc.join(topWord, Seq("doc_id"))
+      .withColumn("twf", col("mc").cast("double") / col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") >= 20).as("len_ok"),
+        (col("dup2") <= 0.10).as("rep_ok"),
+        (col("twf") <= 0.12).as("top_ok"),
+        (col("n_tokens") >= 20 && col("dup2") <= 0.10 && col("twf") <= 0.12).as("keep"))
+  }
+
+  // q70 — TOKEN-BUDGET SHARD PACKING: docs in doc_id order are packed
+  // into shards of ~20k tokens — the step that turns a curated corpus
+  // into training shards. A global running sum is inherently
+  // sequential, so the scalable form is the TWO-LEVEL prefix sum:
+  // per-range-bucket token totals (one tiny aggregate), exclusive
+  // prefix over the bucket totals (a window over |buckets| rows, not
+  // |docs|), broadcast back, and a per-bucket running sum that
+  // parallelizes across buckets. No stage ever sorts more than one
+  // bucket on one task — the pattern that survives 100 TB, vs. the
+  // single-reducer global window the oracle is free to use.
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    val budget = 20000L
+    val bucketWidth = 256L
+    val d = docs(s, dir).select(col("doc_id"),
+      size(TextAnalysis.wordTokens(col("text"))).cast("long").as("n_tokens"))
+    val b = d.withColumn("bkt", floor(col("doc_id") / bucketWidth).cast("long"))
+    val offs = b.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("bt"))
+      .withColumn("off", coalesce(sum(col("bt")).over(
+        Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("off"))
+    b.join(broadcast(offs), Seq("bkt"))
+      .withColumn("cum_tokens", col("off") + sum(col("n_tokens")).over(
+        Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // a doc belongs to the shard its FIRST token lands in
+      .withColumn("shard_id",
+        floor((col("cum_tokens") - col("n_tokens")).cast("double") / budget).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"), col("shard_id"))
+  }
+
+  // q71 — K-MEANS REFINEMENT STEP over the embedding index: start from
+  // the per-label centroids (q37's coarse quantizer), reassign every
+  // vector to its nearest centroid by ROUNDED cosine (the q37 trick —
+  // centroid means are float sums whose low bits vary with partition
+  // layout/engine; 1e-4 rounding with bucket-id tiebreak makes the
+  // argmin reproducible), and report the migration. Centroids are
+  // broadcast; the argmin is a min_by partial agg (map-side, no
+  // window) — the Lloyd-iteration dataflow at 100 TB where only the
+  // tiny centroid table ever crosses the cluster.
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    val cents = Similarity.centroids(emb(s, dir), "embedding", "label")
+    val v = emb(s, dir).select(col("vec_id"), col("label").cast("long").as("old_bucket"),
+      col("embedding").cast("array<double>").as("qv"))
+    v.crossJoin(broadcast(cents))
+      .withColumn("simr", r4(Similarity.cosine(col("qv"), col("centroid"))))
+      .groupBy(col("vec_id"), col("old_bucket"))
+      .agg(min_by(struct(col("bucket"), col("simr")),
+        struct((-col("simr")).as("ns"), col("bucket"))).as("t"))
+      .select(col("vec_id"), col("old_bucket"),
+        col("t.bucket").cast("long").as("new_bucket"),
+        (col("t.bucket") =!= col("old_bucket")).as("moved"),
+        col("t.simr").as("sim"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_dedup_corpus" -> q67 _,
+    "q68_decontaminated" -> q68 _,
+    "q69_quality_gate" -> q69 _,
+    "q70_token_shards" -> q70 _,
+    "q71_kmeans_step" -> q71 _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q67_dedup_corpus" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS toks
+        |  FROM d
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+        |      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+        |), e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b AS src, id_a AS dst FROM p
+        |), lbl(id, l) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.dst, lbl.l FROM lbl JOIN e ON lbl.id = e.src
+        |), cc AS (
+        |  SELECT id, min(l) AS cluster_id FROM lbl GROUP BY id
+        |), assigned AS (
+        |  SELECT doc_id, coalesce(cc.cluster_id, doc_id) AS cluster_id
+        |  FROM documents LEFT JOIN cc ON doc_id = cc.id
+        |), sizes AS (
+        |  SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM assigned GROUP BY 1
+        |)
+        |SELECT a.doc_id, doc.lang, doc.source, doc.n_chars, s.cluster_size
+        |FROM assigned a JOIN sizes s USING (cluster_id) JOIN documents doc USING (doc_id)
+        |WHERE a.doc_id = a.cluster_id""".stripMargin,
+    "q68_decontaminated" ->
+      ("""WITH t AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' BP' ELSE text END AS text
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words FROM t
+        |), g AS (
+        |  SELECT DISTINCT doc_id, array_to_string(words[i:i+7], ' ') AS gram
+        |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(words) - 7)) AS i) u
+        |  WHERE len(words) >= 8
+        |), bg AS (
+        |  SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+        |), sc AS (
+        |  SELECT g.doc_id, count(*) AS n_grams, count(bg.gram) AS n_hit
+        |  FROM g LEFT JOIN bg ON g.gram = bg.gram
+        |  WHERE g.doc_id % 97 <> 0
+        |  GROUP BY g.doc_id
+        |)
+        |SELECT d.doc_id, coalesce(sc.n_grams, 0)::BIGINT AS n_grams, d.lang, d.n_chars
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |WHERE d.doc_id % 97 <> 0 AND coalesce(sc.n_hit, 0) = 0""".stripMargin
+        .replace("' BP'", "' " + BenchPassage + "'")),
+    "q69_quality_gate" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words FROM documents
+        |), w2 AS (
+        |  SELECT doc_id, words, len(words) AS n FROM w WHERE len(words) >= 2
+        |), g AS (
+        |  SELECT doc_id, n, list_transform(range(1, n), i -> words[i] || ' ' || words[i+1]) AS grams
+        |  FROM w2
+        |), pd AS (
+        |  SELECT doc_id, n::BIGINT AS n_tokens,
+        |    (len(grams) - len(list_distinct(grams)))::DOUBLE / len(grams) AS dup2
+        |  FROM g
+        |), c AS (
+        |  SELECT doc_id, w, count(*) AS c FROM (SELECT doc_id, unnest(words) AS w FROM w2) GROUP BY 1, 2
+        |), t AS (
+        |  SELECT doc_id, max(c) AS mc FROM c GROUP BY 1
+        |)
+        |SELECT pd.doc_id, pd.n_tokens,
+        |  pd.n_tokens >= 20 AS len_ok,
+        |  pd.dup2 <= 0.10 AS rep_ok,
+        |  t.mc::DOUBLE / pd.n_tokens <= 0.12 AS top_ok,
+        |  (pd.n_tokens >= 20 AND pd.dup2 <= 0.10 AND t.mc::DOUBLE / pd.n_tokens <= 0.12) AS keep
+        |FROM pd JOIN t USING (doc_id)""".stripMargin,
+    "q70_token_shards" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_tokens,
+        |  (sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens,
+        |  ((sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 20000)::BIGINT AS shard_id
+        |FROM d""".stripMargin,
+    "q71_kmeans_step" ->
+      """WITH e AS (
+        |  SELECT vec_id, label::BIGINT AS old_bucket, embedding::DOUBLE[] AS v FROM embeddings
+        |), x AS (
+        |  SELECT e.old_bucket AS bucket, u.i AS dim, avg(e.v[u.i]) AS m
+        |  FROM e, LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS i) u
+        |  GROUP BY 1, 2
+        |), c AS (
+        |  SELECT bucket, list(m ORDER BY dim) AS centroid FROM x GROUP BY 1
+        |), s AS (
+        |  SELECT e.vec_id, e.old_bucket, c.bucket,
+        |    floor((list_dot_product(e.v, c.centroid)
+        |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centroid, c.centroid))))*10000 + 0.5)/10000 AS simr
+        |  FROM e CROSS JOIN c
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY simr DESC, bucket) AS rn FROM s
+        |)
+        |SELECT vec_id, old_bucket, bucket AS new_bucket, bucket <> old_bucket AS moved, simr AS sim
+        |FROM r WHERE rn = 1""".stripMargin
+  )
+}

@@ -75,6 +75,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"benchmark set not broadcast:\n$p")
   }
 
+  test("q70 shard packing: doc-side window is bucket-partitioned, offsets broadcast") {
+    // the two-level prefix sum only scales if the window over the DOC
+    // table is partitioned by range bucket (parallel per bucket) and
+    // the per-bucket offsets come back via broadcast — a global-order
+    // window over the docs would serialize the whole table through
+    // one task at 100 TB
+    val p = plan("q70_token_shards")
+    assert(p.contains("windowspecdefinition(bkt#"), s"doc window not bucket-partitioned:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"bucket offsets not broadcast:\n$p")
+  }
+
+  test("q71 k-means step: centroids broadcast, argmin is a partial agg, no window") {
+    val p = plan("q71_kmeans_step")
+    assert(p.contains("Broadcast"), s"centroid table not broadcast:\n$p")
+    assert(p.contains("min_by"), s"argmin not a min_by aggregate:\n$p")
+    assert(!p.contains("Window "), s"argmin fell back to a window:\n$p")
+  }
+
+  test("q68 decontamination: benchmark gram set is broadcast") {
+    val p = plan("q68_decontaminated")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark set not broadcast:\n$p")
+  }
+
   test("LSH candidate generation: single groupBy, no banded self-join") {
     // bucketPairs replaces the banded x banded self-join with one
     // collect_list groupBy + map-side pair expansion: the candidate
