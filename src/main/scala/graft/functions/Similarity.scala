@@ -147,6 +147,60 @@ object Similarity {
               bucketCol: String, k: Int): DataFrame =
     topK(ivfScore(queries, candidates, idCol, vecCol, bucketCol), k, col("cos"))
 
+  /** One Lloyd (k-means) reassignment step: centroids are the
+    * element-wise means of the CURRENT `bucketCol` assignment, and
+    * every vector moves to its nearest centroid by 1e-4-ROUNDED
+    * cosine with bucket-id tiebreak (centroid means are float sums
+    * whose low bits vary with partition layout/engine; rounding makes
+    * the argmin reproducible). Centroids broadcast, argmin is a
+    * min_by partial aggregate — map-side, no window, no shuffle of
+    * the vector table beyond the final per-id agg. Output:
+    * (id, old_bucket, bucket, sim). */
+  def lloydStep(vectors: DataFrame, idCol: String, vecCol: String, bucketCol: String): DataFrame = {
+    val cents = centroids(vectors, vecCol, bucketCol)
+    vectors.select(col(idCol).as("id"), col(bucketCol).cast("long").as("old_bucket"),
+      asDouble(col(vecCol)).as("qv"))
+      .crossJoin(broadcast(cents.withColumnRenamed("bucket", "cb")))
+      .withColumn("simr", floor(cosine(col("qv"), col("centroid")) * lit(1e4) + lit(0.5)) / lit(1e4))
+      .groupBy(col("id"), col("old_bucket"))
+      .agg(min_by(struct(col("cb"), col("simr")), struct((-col("simr")).as("ns"), col("cb"))).as("t"))
+      .select(col("id"), col("old_bucket"), col("t.cb").cast("long").as("bucket"), col("t.simr").as("sim"))
+  }
+
+  /** `iters` Lloyd steps from the `initBucketCol` seeding — the full
+    * k-means refinement loop. Each iteration materializes (persists)
+    * its assignment and drops the previous one, so the lineage stays
+    * one step deep and each step is exactly one broadcast + one
+    * partial agg over the vector table — the only cross-cluster
+    * traffic at 100 TB is the tiny centroid table, per iteration.
+    * Returns the final (id, bucket, sim), persisted; caller owns
+    * unpersisting it. */
+  def lloydIterate(vectors: DataFrame, idCol: String, vecCol: String, initBucketCol: String,
+                   iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    var cur = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+      col(initBucketCol).cast("long").as("bucket"), lit(null).cast("double").as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to iters) {
+      val cents = centroids(cur, "v", "bucket")
+      // the vector rides the per-id aggregate as first(v) — carrying
+      // it through the one unavoidable exchange instead of paying a
+      // second id-to-id join to re-attach it each iteration
+      val next = cur.select(col("id"), col("v"))
+        .crossJoin(broadcast(cents.withColumnRenamed("bucket", "cb")))
+        .withColumn("simr", floor(cosine(col("v"), col("centroid")) * lit(1e4) + lit(0.5)) / lit(1e4))
+        .groupBy(col("id"))
+        .agg(first(col("v")).as("v"),
+          min_by(struct(col("cb"), col("simr")), struct((-col("simr")).as("ns"), col("cb"))).as("t"))
+        .select(col("id"), col("v"), col("t.cb").cast("long").as("bucket"), col("t.simr").as("sim"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      cur.unpersist(blocking = false)
+      cur = next
+    }
+    cur.select(col("id"), col("bucket"), col("sim"))
+  }
+
   /** Sign-random-projection LSH bucket id from `nBits` seeded
     * hyperplanes: bit i = sign(<v, h_i>) where h_i is a deterministic
     * ±1 plane derived from (seed, i, j) — a data-free stand-in for

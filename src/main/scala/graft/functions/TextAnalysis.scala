@@ -37,6 +37,21 @@ object TextAnalysis {
         i => array_join(slice(tokens, i + 1, lit(n)), " ")))
   }
 
+  /** Distinct word `k`-grams over a token array, space-joined; EMPTY
+    * for docs with fewer than `k` tokens — the contamination-check
+    * unit (nothing to overlap), in contrast to [[shingles]] which
+    * collapses short docs to one whole-string shingle for minhash.
+    * `words` MUST be a materialized attribute, not the tokenizer
+    * expression: an outer expression referenced inside a HOF lambda
+    * re-evaluates per element (HOFs are excluded from subexpression
+    * elimination), turning tokenization O(n) into O(n²) per doc. */
+  def distinctNgrams(words: Column, k: Int): Column = {
+    require(k >= 1, s"ngram size must be >= 1, got $k")
+    val idx = when(size(words) >= k, sequence(lit(1), size(words) - lit(k - 1)))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(transform(idx, i => concat_ws(" ", slice(words, i, lit(k)))))
+  }
+
   /** BPE-ish subword token estimate: letter runs, single digits, and
     * single punctuation marks each count as one token — a cheap,
     * deterministic stand-in for a real BPE vocab. */

@@ -16,18 +16,10 @@ object CurationQueries {
 
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
 
-  /** Word 8-grams of `words`, distinct, space-joined; empty when the
-    * doc has fewer than 8 words (sequence(1,0) would count DOWN in
-    * Spark, so the guard is explicit). `words` MUST be a materialized
-    * attribute, not the tokenizer expression: an outer expression
-    * referenced inside a HOF lambda re-evaluates per element (HOFs are
-    * excluded from subexpression elimination), turning tokenization
-    * O(n) into O(n²) per document. */
-  private[queries] def ngrams(words: Column, k: Int): Column = {
-    val idx = when(size(words) >= k, sequence(lit(1), size(words) - lit(k - 1)))
-      .otherwise(array().cast("array<int>"))
-    array_distinct(transform(idx, i => concat_ws(" ", slice(words, i, lit(k)))))
-  }
+  /** See [[TextAnalysis.distinctNgrams]] (moved there in round 5 so
+    * the streaming contamination gate can share it). */
+  private[queries] def ngrams(words: Column, k: Int): Column =
+    TextAnalysis.distinctNgrams(words, k)
 
   // q60 — benchmark-contamination check: every candidate document is
   // scored by how many of its distinct word-8-grams appear anywhere in

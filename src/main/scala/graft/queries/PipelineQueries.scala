@@ -146,19 +146,26 @@ object PipelineQueries {
   // broadcast; the argmin is a min_by partial agg (map-side, no
   // window) — the Lloyd-iteration dataflow at 100 TB where only the
   // tiny centroid table ever crosses the cluster.
-  private def q71(s: SparkSession, dir: String): DataFrame = {
-    val cents = Similarity.centroids(emb(s, dir), "embedding", "label")
-    val v = emb(s, dir).select(col("vec_id"), col("label").cast("long").as("old_bucket"),
-      col("embedding").cast("array<double>").as("qv"))
-    v.crossJoin(broadcast(cents))
-      .withColumn("simr", r4(Similarity.cosine(col("qv"), col("centroid"))))
-      .groupBy(col("vec_id"), col("old_bucket"))
-      .agg(min_by(struct(col("bucket"), col("simr")),
-        struct((-col("simr")).as("ns"), col("bucket"))).as("t"))
-      .select(col("vec_id"), col("old_bucket"),
-        col("t.bucket").cast("long").as("new_bucket"),
-        (col("t.bucket") =!= col("old_bucket")).as("moved"),
-        col("t.simr").as("sim"))
+  private def q71(s: SparkSession, dir: String): DataFrame =
+    Similarity.lloydStep(emb(s, dir), "vec_id", "embedding", "label")
+      .select(col("id").as("vec_id"), col("old_bucket"), col("bucket").as("new_bucket"),
+        (col("bucket") =!= col("old_bucket")).as("moved"), col("sim"))
+
+  // q72 — CLUSTER EXEMPLARS: after the Lloyd reassignment, the 5
+  // vectors nearest each refined centroid — the per-cluster
+  // representatives a curation pipeline inspects (or samples around).
+  // The per-cluster top-k runs on the bounded-heap aggregate keyed by
+  // CLUSTER (same partial-agg property as the query-keyed top-k: each
+  // map partition reduces to <= k rows per cluster before the
+  // exchange — no cluster's full membership ever sorts on one task).
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    val a = Similarity.lloydStep(emb(s, dir), "vec_id", "embedding", "label")
+    a.groupBy(col("bucket"))
+      .agg(graft.functions.BoundedTopK.column(
+        struct((-col("sim")).as("ns"), col("id")), struct(col("id"), col("sim")), 5).as("__top"))
+      .select(col("bucket"), posexplode(col("__top")).as(Seq("__pos", "__p")))
+      .select(col("bucket"), col("__p.id").as("vec_id"), col("__p.sim").as("sim"),
+        (col("__pos") + 1).cast("long").as("rnk"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -166,7 +173,8 @@ object PipelineQueries {
     "q68_decontaminated" -> q68 _,
     "q69_quality_gate" -> q69 _,
     "q70_token_shards" -> q70 _,
-    "q71_kmeans_step" -> q71 _
+    "q71_kmeans_step" -> q71 _,
+    "q72_cluster_exemplars" -> q72 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -273,6 +281,29 @@ object PipelineQueries {
         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY simr DESC, bucket) AS rn FROM s
         |)
         |SELECT vec_id, old_bucket, bucket AS new_bucket, bucket <> old_bucket AS moved, simr AS sim
-        |FROM r WHERE rn = 1""".stripMargin
+        |FROM r WHERE rn = 1""".stripMargin,
+    "q72_cluster_exemplars" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), x AS (
+        |  SELECT label::BIGINT AS bucket, u.i AS dim, avg(w.v[u.i]) AS m
+        |  FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings) w,
+        |       LATERAL (SELECT unnest(generate_series(1, len(w.v))) AS i) u
+        |  GROUP BY 1, 2
+        |), c AS (
+        |  SELECT bucket, list(m ORDER BY dim) AS centroid FROM x GROUP BY 1
+        |), s AS (
+        |  SELECT e.vec_id, c.bucket,
+        |    floor((list_dot_product(e.v, c.centroid)
+        |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centroid, c.centroid))))*10000 + 0.5)/10000 AS simr
+        |  FROM e CROSS JOIN c
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY simr DESC, bucket) AS rn FROM s
+        |), a AS (
+        |  SELECT vec_id, bucket, simr FROM r WHERE rn = 1
+        |), t AS (
+        |  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY simr DESC, vec_id) AS rnk FROM a
+        |)
+        |SELECT bucket, vec_id, simr AS sim, rnk::BIGINT AS rnk FROM t WHERE rnk <= 5""".stripMargin
   )
 }

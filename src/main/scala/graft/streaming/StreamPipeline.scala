@@ -291,6 +291,46 @@ object StreamPipeline {
       }
       .start()
 
+  /** Streaming decontamination gate: every micro-batch of documents
+    * is probed for word-8-gram overlap against a STATIC benchmark
+    * gram table (the streaming form of the q68 batch rule — any
+    * shared distinct 8-gram flags the doc). The benchmark set is
+    * orders of magnitude smaller than the stream, so it broadcasts:
+    * the probe is a map-side hash lookup per gram, the only shuffle
+    * is the per-doc distinct of hit ids. Clean docs append to
+    * `cleanPath`, flagged docs to `flaggedPath` (audit trail — a
+    * curation pipeline reviews flags, it doesn't silently drop).
+    * Both writes stamp batch_id, so at-least-once replays dedup on
+    * read (same contract as readBuckets). `benchGrams` needs a
+    * `gram` string column; build it once with
+    * [[graft.functions.TextAnalysis.distinctNgrams]] over the
+    * benchmark corpus and keep it materialized. */
+  def contaminationGate(docsStream: DataFrame, benchGrams: DataFrame,
+                        cleanPath: String, flaggedPath: String, checkpoint: String,
+                        trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    docsStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t = graft.functions.TextAnalysis
+        val hits = batch
+          .select(col("doc_id"), t.wordTokens(col("text")).as("words"))
+          .select(col("doc_id"), explode(t.distinctNgrams(col("words"), 8)).as("gram"))
+          .join(broadcast(benchGrams.select(col("gram")).distinct()), Seq("gram"))
+          .select(col("doc_id")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        batch.join(hits, Seq("doc_id"), "left_semi")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(flaggedPath)
+        batch.join(hits, Seq("doc_id"), "left_anti")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(cleanPath)
+        hits.unpersist(blocking = false)
+        ()
+      }
+      .start()
+
   /** Stream-stream time-bounded enrichment: every tick joins the
     * quotes for its symbol from the trailing `joinWindow` (tick
     * INTERVAL-bounded inner join) — Spark's one legal stream⋈stream

@@ -94,6 +94,27 @@ class FunctionsSpec extends SparkSpec {
     assert(f1 == w1)
   }
 
+  test("lloydIterate: one iteration equals lloydStep; more iterations stay valid and improve fit") {
+    val e = graft.core.Tables.embeddings(spark, sf())
+    val step = Similarity.lloydStep(e, "vec_id", "embedding", "label")
+      .select(col("id"), col("bucket")).as[(Long, Long)].collect().toMap
+    val one = Similarity.lloydIterate(e, "vec_id", "embedding", "label", iters = 1)
+    val oneMap = one.select(col("id"), col("bucket")).as[(Long, Long)].collect().toMap
+    assert(oneMap == step)
+    val meanSim1 = one.agg(avg(col("sim"))).as[Double].head()
+    one.unpersist()
+    val three = Similarity.lloydIterate(e, "vec_id", "embedding", "label", iters = 3)
+    val rows = three.select(col("id"), col("bucket")).as[(Long, Long)].collect()
+    assert(rows.length == e.count() && rows.map(_._1).distinct.length == rows.length,
+      "every vector assigned exactly once")
+    val meanSim3 = three.agg(avg(col("sim"))).as[Double].head()
+    three.unpersist()
+    // Lloyd with mean centroids + cosine assignment is not a strict
+    // monotone descent (means aren't the exact spherical update, and
+    // sims are 1e-4-rounded), but fit must not get WORSE materially
+    assert(meanSim3 >= meanSim1 - 1e-3, s"fit degraded: $meanSim1 -> $meanSim3")
+  }
+
   test("cosine top-k matches a driver-side brute force on sf0.001") {
     val e = graft.core.Tables.embeddings(spark, sf())
     val topk = Similarity.cosineTopK(e.filter($"vec_id" < 3), e, "vec_id", "embedding", 4)

@@ -114,6 +114,31 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("streaming contamination gate routes overlapping docs to the flagged sink") {
+    val dir = Files.createTempDirectory("graft_contam_gate").toString
+    val passage = (1 to 10).map(i => s"bench$i").mkString(" ") // 10 words -> 3 distinct 8-grams
+    val bench = Seq(passage).toDF("text")
+      .select(graft.functions.TextAnalysis.wordTokens(col("text")).as("words"))
+      .select(explode(graft.functions.TextAnalysis.distinctNgrams(col("words"), 8)).as("gram"))
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = StreamPipeline.contaminationGate(
+      stream.toDF().toDF("doc_id", "text"), bench,
+      s"$dir/clean", s"$dir/flagged", s"$dir/ck",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      stream.addData(Seq(
+        (1L, "wholly clean document body with many distinct words one two three"),
+        (2L, s"evil doc quoting the benchmark $passage verbatim"), // contains all its 8-grams
+        (3L, "short doc"),                                         // < 8 words: no grams, clean
+        (4L, (1 to 7).map(i => s"bench$i").mkString(" "))))        // 7-word prefix: no full 8-gram
+      q.processAllAvailable()
+    } finally q.stop()
+    val clean = spark.read.parquet(s"$dir/clean").select("doc_id").as[Long].collect().sorted.toSeq
+    val flagged = spark.read.parquet(s"$dir/flagged").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(clean == Seq(1L, 3L, 4L), s"clean=$clean")
+    assert(flagged == Seq(2L), s"flagged=$flagged")
+  }
+
   test("streaming bucket partials + derived windows == batch sliding windows") {
     val ticks = TickSource.ticks(spark, 400, startEpochSec = base, intervalSec = 2).collect().toSeq
     val stream = MemoryStream[RawTick](spark)
