@@ -69,6 +69,12 @@ object ScaleProbe {
     // collapse the 10 copies, so the LSH/CC graph size stays ~flat
     // while doc count grows 10x — the property that matters at 100 TB
     time("q48_clusters@10x") { SparkEntry.queries("q48_dedup_clusters")(spark, dst) }
+    // token shards at 10x: the two-level prefix sum's heavy stages
+    // (bucket totals, per-bucket running sums) parallelize with the
+    // bucket count (~10x buckets); only the tiny offset window grows
+    time("q70_token_shards@10x") { SparkEntry.queries("q70_token_shards")(spark, dst) }
+    // quality gate at 10x: per-row signals + one (doc,word) partial agg
+    time("q69_quality_gate@10x") { SparkEntry.queries("q69_quality_gate")(spark, dst) }
     // join+agg: lineitem(6M) x orders(1.5M) with dims from sf0.1
     val l = spark.read.parquet(s"$dst/lineitem.parquet")
     val o = spark.read.parquet(s"$dst/orders.parquet")
