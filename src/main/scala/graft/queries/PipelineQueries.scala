@@ -168,13 +168,63 @@ object PipelineQueries {
         (col("__pos") + 1).cast("long").as("rnk"))
   }
 
+  // q73 — WINNOWING FINGERPRINTS (Schleimer et al., the MOSS
+  // algorithm): per doc, hash every char-8-gram (md5 — identical hex
+  // cross-engine), slide a 4-hash window and keep each window's MIN —
+  // a position-robust fingerprint subset that two documents sharing
+  // any sufficiently long substring are GUARANTEED to sample
+  // identically (contrast q65's 64-char aligned blocks, which an
+  // insertion anywhere upstream shifts out of alignment). Cross-doc
+  // repeated fingerprints then localize shared substrings. All
+  // map-side HOF arithmetic + the same two-level (fp, doc) -> fp
+  // aggregation as q65.
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    val w = 4
+    val n = length(col("text"))
+    val grams = when(n >= 8,
+      transform(sequence(lit(1), n - lit(7)),
+        i => md5(call_function("substring", col("text"), i, lit(8)))))
+      .otherwise(array().cast("array<string>"))
+    val fps = when(size(col("grams")) >= w,
+      array_distinct(transform(sequence(lit(1), size(col("grams")) - lit(w - 1)),
+        j => array_min(slice(col("grams"), j, lit(w))))))
+      .otherwise(when(size(col("grams")) > 0, array(array_min(col("grams"))))
+        .otherwise(array().cast("array<string>")))
+    docs(s, dir)
+      .select(col("doc_id"), grams.as("grams"))
+      .select(col("doc_id"), explode(fps).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+  }
+
+  // q74 — MIXTURE SAMPLING to a per-source token budget: docs in
+  // doc_id order per source accumulate tokens until the source's
+  // budget is reached (kept while the running total BEFORE the doc is
+  // under budget — every source gets at least one doc). The running
+  // sum is a window partitioned by SOURCE, so it parallelizes across
+  // sources — per-group sequential scan is the correct scale shape
+  // (groups are the parallelism unit; no global order exists).
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    val budget = 1000L
+    docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.wordTokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_dedup_corpus" -> q67 _,
     "q68_decontaminated" -> q68 _,
     "q69_quality_gate" -> q69 _,
     "q70_token_shards" -> q70 _,
     "q71_kmeans_step" -> q71 _,
-    "q72_cluster_exemplars" -> q72 _
+    "q72_cluster_exemplars" -> q72 _,
+    "q73_winnow_fps" -> q73 _,
+    "q74_mixture_sample" -> q74 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -304,6 +354,38 @@ object PipelineQueries {
         |), t AS (
         |  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY simr DESC, vec_id) AS rnk FROM a
         |)
-        |SELECT bucket, vec_id, simr AS sim, rnk::BIGINT AS rnk FROM t WHERE rnk <= 5""".stripMargin
+        |SELECT bucket, vec_id, simr AS sim, rnk::BIGINT AS rnk FROM t WHERE rnk <= 5""".stripMargin,
+    "q73_winnow_fps" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) >= 8
+        |      THEN list_transform(range(1, length(text) - 6), i -> md5(substring(text, i, 8)))
+        |      ELSE []::VARCHAR[] END AS grams
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(grams) >= 4
+        |      THEN list_distinct(list_transform(range(1, len(grams) - 2), j -> list_min(grams[j:j+3])))
+        |      WHEN len(grams) > 0 THEN [list_min(grams)]
+        |      ELSE []::VARCHAR[] END AS fps
+        |  FROM g
+        |), e AS (
+        |  SELECT doc_id, unnest(fps) AS fp FROM f
+        |)
+        |SELECT fp, count(*)::BIGINT AS n_docs, min(doc_id) AS first_doc
+        |FROM e GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "q74_mixture_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens
+        |  FROM d
+        |)
+        |SELECT doc_id, source, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens - n_tokens < 1000""".stripMargin
   )
 }
