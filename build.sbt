@@ -31,5 +31,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g: the cache-persisting queries (MinHash working tables, CC
+  // iteration state) GC-thrash under the JVM default sizing when the
+  // machine is otherwise loaded; the box has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 74 queries x 2 runs of whole-stage-codegen classes overflow the
+  // 240m JDK17 default; once the code cache fills, the JIT disables
+  // itself and every later query in the suite runs interpreted.
+  "-XX:ReservedCodeCacheSize=512m",
 )

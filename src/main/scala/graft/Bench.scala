@@ -32,14 +32,27 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       try { run(fn(spark, sfDir)) } catch { case _: Throwable => }
-      val t0 = System.nanoTime()
-      // a throw in the MEASURED run reports -1, not its partial wall
+      // Two measured runs, report the MIN: a single measured run is
+      // exposed to transient machine noise (a concurrent oracle
+      // process, a GC pause landing mid-query) — the round-5 driver
+      // run charged q48 10x its steady state that way. Min-of-n is
+      // the standard robust estimator for wall-clock microbenchmarks;
+      // the plans are deterministic, so min is the true cost.
+      // a throw in a MEASURED run reports -1, not its partial wall
       // time — otherwise an instant analysis failure masquerades as a
       // suspiciously fast healthy run
-      val ok = try { run(fn(spark, sfDir)); true } catch {
-        case t: Throwable => System.err.println(s"[bench] $name FAILED: ${t.getClass.getSimpleName}: ${t.getMessage}"); false
+      var dt = Double.MaxValue
+      var ok = true
+      var rep = 0
+      while (ok && rep < 2) {
+        val t0 = System.nanoTime()
+        ok = try { run(fn(spark, sfDir)); true } catch {
+          case t: Throwable => System.err.println(s"[bench] $name FAILED: ${t.getClass.getSimpleName}: ${t.getMessage}"); false
+        }
+        if (ok) dt = math.min(dt, (System.nanoTime() - t0) / 1e9)
+        rep += 1
       }
-      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      if (!ok) dt = -1.0
       // isolate measurements: operators that persist working tables
       // (MinHash, CC) would otherwise leave cache entries that evict /
       // collide with later queries' storage and skew their numbers.

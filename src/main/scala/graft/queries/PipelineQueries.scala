@@ -169,34 +169,25 @@ object PipelineQueries {
   }
 
   // q73 — WINNOWING FINGERPRINTS (Schleimer et al., the MOSS
-  // algorithm): per doc, hash every char-8-gram (md5 — identical hex
-  // cross-engine), slide a 4-hash window and keep each window's MIN —
-  // a position-robust fingerprint subset that two documents sharing
-  // any sufficiently long substring are GUARANTEED to sample
-  // identically (contrast q65's 64-char aligned blocks, which an
-  // insertion anywhere upstream shifts out of alignment). Cross-doc
-  // repeated fingerprints then localize shared substrings. All
-  // map-side HOF arithmetic + the same two-level (fp, doc) -> fp
-  // aggregation as q65.
-  private def q73(s: SparkSession, dir: String): DataFrame = {
-    val w = 4
-    val n = length(col("text"))
-    val grams = when(n >= 8,
-      transform(sequence(lit(1), n - lit(7)),
-        i => md5(call_function("substring", col("text"), i, lit(8)))))
-      .otherwise(array().cast("array<string>"))
-    val fps = when(size(col("grams")) >= w,
-      array_distinct(transform(sequence(lit(1), size(col("grams")) - lit(w - 1)),
-        j => array_min(slice(col("grams"), j, lit(w))))))
-      .otherwise(when(size(col("grams")) > 0, array(array_min(col("grams"))))
-        .otherwise(array().cast("array<string>")))
+  // algorithm): per doc, polynomial-hash every 8-byte gram, slide a
+  // 4-hash window and keep each window's MIN — a position-robust
+  // fingerprint subset that two documents sharing any sufficiently
+  // long substring are GUARANTEED to sample identically (contrast
+  // q65's 64-char aligned blocks, which an insertion anywhere
+  // upstream shifts out of alignment). Cross-doc repeated
+  // fingerprints then localize shared substrings. The
+  // hash+window-min+distinct chain is ONE codegen'd expression
+  // (graft.functions.Winnow) — a single O(n) long-arithmetic pass,
+  // replacing the earlier per-position md5 + hex-string array_min
+  // HOFs (the fold h=(h*257+byte)%1e9+7 stays DuckDB-expressible via
+  // list_reduce, so the oracle remains strict).
+  private def q73(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("doc_id"), grams.as("grams"))
-      .select(col("doc_id"), explode(fps).as("fp"))
+      .select(col("doc_id"),
+        explode(graft.functions.Winnow.column(col("text"), gramBytes = 8, window = 4)).as("fp"))
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") > 1)
-  }
 
   // q74 — MIXTURE SAMPLING to a per-source token budget: docs in
   // doc_id order per source accumulate tokens until the source's
@@ -356,18 +347,29 @@ object PipelineQueries {
         |)
         |SELECT bucket, vec_id, simr AS sim, rnk::BIGINT AS rnk FROM t WHERE rnk <= 5""".stripMargin,
     "q73_winnow_fps" ->
-      """WITH g AS (
+      // byte-exact parity with the engine's UTF-8-byte gram hash:
+      // decode bytes from hex(encode(text)) two nibbles at a time,
+      // then fold each 8-byte gram with the same h=(h*257+b)%1e9+7
+      // (fold-from-first == fold-from-zero since byte0 < mod).
+      """WITH b AS (
         |  SELECT doc_id,
-        |    CASE WHEN length(text) >= 8
-        |      THEN list_transform(range(1, length(text) - 6), i -> md5(substring(text, i, 8)))
-        |      ELSE []::VARCHAR[] END AS grams
+        |    list_transform(regexp_extract_all(hex(encode(text)), '..'),
+        |      h -> (strpos('0123456789ABCDEF', h[1]) - 1) * 16
+        |         + (strpos('0123456789ABCDEF', h[2]) - 1)) AS bs
         |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(bs) >= 8
+        |      THEN list_transform(range(1, len(bs) - 6),
+        |             i -> list_reduce(bs[i:i+7], (a, x) -> (a * 257 + x) % 1000000007))
+        |      ELSE []::BIGINT[] END AS grams
+        |  FROM b
         |), f AS (
         |  SELECT doc_id,
         |    CASE WHEN len(grams) >= 4
         |      THEN list_distinct(list_transform(range(1, len(grams) - 2), j -> list_min(grams[j:j+3])))
         |      WHEN len(grams) > 0 THEN [list_min(grams)]
-        |      ELSE []::VARCHAR[] END AS fps
+        |      ELSE []::BIGINT[] END AS fps
         |  FROM g
         |), e AS (
         |  SELECT doc_id, unnest(fps) AS fp FROM f
