@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** TPC-H-shaped relational battery, round 6: the four classic shapes
+  * the existing suite (Q1/Q3/Q5/Q4-semi/Q22-anti) didn't cover —
+  * bidirectional nation-pair volume (Q7), returned-item customer
+  * ranking (Q10), HAVING-gated large orders (Q18), and disjunctive
+  * multi-predicate join pruning (Q19). Adapted to the driver schema
+  * (no partsupp/shipmode/commitdate columns). Money sums go through
+  * fixed-point decimal before the final double cast so results are
+  * partition-count-invariant (see graft-oracle-parity rules).
+  */
+object RelationalQueries {
+
+  private def li(s: SparkSession, dir: String) = Tables.lineitem(s, dir)
+
+  // q75 — TPC-H Q7 shape (volume shipping): revenue flowing between
+  // two specific nations, in both directions, by ship year. Customer
+  // nation comes through orders, supplier nation through lineitem;
+  // the nation dim broadcasts twice under different aliases. At
+  // scale: lineitem/orders shuffle once on orderkey, the
+  // customer/supplier joins are broadcast-eligible dims.
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(s, dir).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val n2 = Tables.nation(s, dir).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val c = Tables.customer(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val o = Tables.orders(s, dir)
+    li(s, dir)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+      .filter((col("cust_nation") === "NATION_3" && col("supp_nation") === "NATION_7")
+        || (col("cust_nation") === "NATION_7" && col("supp_nation") === "NATION_3"))
+      .groupBy(col("cust_nation"), col("supp_nation"), year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(r2(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(28,4)")).cast("double")).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  // q76 — TPC-H Q10 shape (returned-item reporting): customers ranked
+  // by revenue they generated on RETURNED lineitems in a half-year
+  // order window; deterministic top-20 (revenue desc, custkey). The
+  // per-customer aggregate is partial (map-side combine) and the
+  // top-20 is a WindowGroupLimit-free global sort of an
+  // already-small aggregate.
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val n = Tables.nation(s, dir)
+    li(s, dir).filter(col("l_returnflag") === "R")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"),
+        r2(col("c_acctbal")).as("acctbal"))
+      .agg(r2(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(28,4)")).cast("double")).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  // q77 — TPC-H Q18 shape (large-volume orders): orders whose total
+  // quantity exceeds the threshold, with customer attribution. The
+  // HAVING gate runs on the lineitem pre-aggregate BEFORE the
+  // customer/orders joins — at scale the join input shrinks from
+  // |lineitem| to |qualifying orders| (same manual-pushdown shape as
+  // q14). Quantity sums are decimal so the gate is exact.
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    val big = li(s, dir).groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("__q"))
+      .filter(col("__q") > 280)
+    val o = Tables.orders(s, dir)
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        r2(col("o_totalprice")).as("total_price"),
+        col("__q").cast("double").as("sum_qty"))
+      .orderBy(col("total_price").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  // q78 — TPC-H Q19 shape (disjunctive predicate join): three
+  // brand/size/quantity conjunctions OR'd together across the
+  // lineitem⋈part join. Exercises CNF conversion: Catalyst extracts
+  // the common `p_partkey = l_partkey` equi-condition so the join
+  // stays a hash join with the disjunction as residual, and pushes
+  // the derivable size/brand disjunction down to the part scan.
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    li(s, dir).join(p, col("l_partkey") === col("p_partkey")
+      && ((col("p_brand") === "Brand#11" && col("p_size").between(1, 15) && col("l_quantity").between(1, 21))
+        || (col("p_brand") === "Brand#22" && col("p_size").between(1, 25) && col("l_quantity").between(5, 35))
+        || (col("p_brand") === "Brand#33" && col("p_size").between(1, 35) && col("l_quantity").between(10, 50))))
+      .agg(r2(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(28,4)")).cast("double")).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_tpch_q7" -> q75 _,
+    "q76_tpch_q10" -> q76 _,
+    "q77_tpch_q18" -> q77 _,
+    "q78_tpch_q19" -> q78 _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q75_tpch_q7" ->
+      """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+        |  year(l_shipdate)::BIGINT AS l_year,
+        |  floor(sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,4))::DOUBLE*100 + 0.5)/100 AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q76_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  floor(c_acctbal::DOUBLE*100 + 0.5)/100 AS acctbal,
+        |  floor(sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,4))::DOUBLE*100 + 0.5)/100 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q77_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity::DECIMAL(18,2)) AS q
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity::DECIMAL(18,2)) > 280
+        |)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |  floor(o_totalprice::DOUBLE*100 + 0.5)/100 AS total_price,
+        |  q::DOUBLE AS sum_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_price DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q78_tpch_q19" ->
+      """SELECT
+        |  floor(sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,4))::DOUBLE*100 + 0.5)/100 AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+        |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 5 AND 35)
+        |   OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 10 AND 50)""".stripMargin
+  )
+}

@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextAnalysis
+
+/** Deterministic sketch + model-scoring queries, round 6.
+  *
+  * The classic engine sketches (HLL, theta) are engine-internal and
+  * can't be oracle-checked; these use EXPLICIT universal hashing
+  * (h(k) = (a*k + b) mod P mod w with fixed odd constants), so the
+  * whole sketch — not just its answers — is reproducible in ANSI SQL
+  * and strictly hash-checked against DuckDB. The estimate-vs-truth
+  * columns double as a self-audit: CMS estimates are provably >=
+  * truth, Bloom hits are provably a superset of membership.
+  */
+object SketchQueries {
+
+  private def li(s: SparkSession, dir: String) = Tables.lineitem(s, dir)
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+
+  private val P = 2147483647L // Mersenne prime 2^31-1
+  private val CmsA = Seq(1299721L, 15485863L, 32452843L, 49979687L)
+  private val CmsB = Seq(7L, 101L, 1009L, 10007L)
+
+  private def slot(key: Column, d: Int, width: Long): Column =
+    (key * CmsA(d) + CmsB(d)) % P % width
+
+  // q79 — COUNT-MIN SKETCH heavy hitters: a d=4 x w=1024 CMS over
+  // lineitem part keys, then the top-10 true heavy hitters with their
+  // CMS point estimates (min over the 4 rows). est_n >= true_n by
+  // construction; the gap is the collision mass. Scale shape: the
+  // sketch is built from the per-key PRE-aggregate (one partial-agg
+  // shuffle of |keys| rows, then 4x|keys| -> 4096 cells — the classic
+  // mergeable-summary property; cells, not raw rows, cross the wire).
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    val w = 1024L
+    val counts = li(s, dir).groupBy(col("l_partkey")).agg(count(lit(1)).as("true_n"))
+    val cells = counts.select(col("true_n"),
+      posexplode(array((0 until 4).map(d => slot(col("l_partkey"), d, w)): _*)))
+      .groupBy(col("pos").as("depth"), col("col").as("cslot"))
+      .agg(sum(col("true_n")).as("cell_n"))
+    val top = counts.orderBy(col("true_n").desc, col("l_partkey")).limit(10)
+    top.select(col("l_partkey"), col("true_n"),
+      posexplode(array((0 until 4).map(d => slot(col("l_partkey"), d, w)): _*)))
+      .join(cells, col("pos") === col("depth") && col("col") === col("cslot"))
+      .groupBy(col("l_partkey"), col("true_n"))
+      .agg(min(col("cell_n")).as("est_n"))
+  }
+
+  // q80 — BLOOM FILTER membership audit: k=3 bit positions over an
+  // m=4096-bit filter built from the urgent-order customer set; every
+  // customer is probed and reported with its bloom verdict AND ground
+  // truth. bloom_hit ⊇ actual (no false negatives — spec-pinned);
+  // false positives are the deterministic collision pattern of the
+  // fixed hash family. Scale shape: the filter is |set|x3 -> <=4096
+  // distinct ints (broadcast-sized regardless of corpus), the probe
+  // is a broadcast join — membership for a 100 TB key stream without
+  // shuffling it.
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    val m = 4096L
+    val urgent = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+    val bits = urgent.select(
+      explode(array((0 until 3).map(j => slot(col("o_custkey"), j, m)): _*)).as("bit"))
+      .distinct()
+    val probes = Tables.customer(s, dir).select(col("c_custkey"),
+      posexplode(array((0 until 3).map(j => slot(col("c_custkey"), j, m)): _*)))
+      .join(broadcast(bits), col("col") === col("bit"), "left")
+      .groupBy(col("c_custkey"))
+      .agg((count(col("bit")) === 3).as("bloom_hit"))
+    probes.join(urgent, probes("c_custkey") === urgent("o_custkey"), "left")
+      .select(col("c_custkey"), col("bloom_hit"), col("o_custkey").isNotNull.as("actual"))
+  }
+
+  // q81 — BIGRAM-LM DOCUMENT SCORING (the LM-quality filter of a
+  // curation pipeline): every document scored by its mean negative
+  // log2-probability (bits per bigram) under the corpus's own
+  // add-one-smoothed bigram model — low-probability documents are
+  // the incoherent/boilerplate tail a quality gate drops. Parity is
+  // exact-by-construction: each term's log2 is rounded to 1e-6 BEFORE
+  // summation (fixed-point longs), so the per-doc sum is
+  // order/partition-invariant. Scale shape: bigram explode is
+  // map-side; the model join shuffles on the bigram key (both sides
+  // partial-agg'd); V is a scalar aggregate cross-joined in.
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), TextAnalysis.wordTokens(col("text")).as("w"))
+    val bigr = toks.filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) as w1, element_at(w, i + 1) as w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bigr.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val v = toks.select(explode(col("w")).as("t")).agg(countDistinct(col("t")).as("v"))
+    val model = c2.join(c1, "w1").crossJoin(v)
+      .select(col("w1"), col("w2"),
+        // fixed-point per-term bits: floor(log2(p)*1e6+0.5) as a long
+        floor(log(2.0, (col("c2") + 1).cast("double") / (col("c1") + col("v")).cast("double")) * 1e6 + 0.5)
+          .cast("long").as("term_fp"))
+    bigr.join(model, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("term_fp")).as("fp_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        r4(-col("fp_sum").cast("double") / (col("n_bigrams") * 1e6)).as("bits_per_bigram"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_countmin_hh" -> q79 _,
+    "q80_bloom_member" -> q80 _,
+    "q81_lm_score" -> q81 _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q79_countmin_hh" ->
+      """WITH counts AS (
+        |  SELECT l_partkey, count(*)::BIGINT AS true_n FROM lineitem GROUP BY 1
+        |), hashes AS (
+        |  SELECT l_partkey, true_n, d.depth,
+        |    CASE d.depth
+        |      WHEN 0 THEN (l_partkey * 1299721 + 7) % 2147483647 % 1024
+        |      WHEN 1 THEN (l_partkey * 15485863 + 101) % 2147483647 % 1024
+        |      WHEN 2 THEN (l_partkey * 32452843 + 1009) % 2147483647 % 1024
+        |      ELSE (l_partkey * 49979687 + 10007) % 2147483647 % 1024 END AS cslot
+        |  FROM counts CROSS JOIN (SELECT unnest([0,1,2,3]) AS depth) d
+        |), cells AS (
+        |  SELECT depth, cslot, sum(true_n)::BIGINT AS cell_n FROM hashes GROUP BY 1, 2
+        |), top AS (
+        |  SELECT l_partkey, true_n FROM counts ORDER BY true_n DESC, l_partkey LIMIT 10
+        |)
+        |SELECT t.l_partkey, t.true_n, min(c.cell_n)::BIGINT AS est_n
+        |FROM top t JOIN hashes h ON t.l_partkey = h.l_partkey
+        |JOIN cells c ON h.depth = c.depth AND h.cslot = c.cslot
+        |GROUP BY 1, 2""".stripMargin,
+    "q80_bloom_member" ->
+      """WITH urgent AS (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |), bits AS (
+        |  SELECT DISTINCT CASE j
+        |    WHEN 0 THEN (o_custkey * 1299721 + 7) % 2147483647 % 4096
+        |    WHEN 1 THEN (o_custkey * 15485863 + 101) % 2147483647 % 4096
+        |    ELSE (o_custkey * 32452843 + 1009) % 2147483647 % 4096 END AS bit
+        |  FROM urgent CROSS JOIN (SELECT unnest([0,1,2]) AS j) d
+        |), probes AS (
+        |  SELECT c_custkey, CASE j
+        |    WHEN 0 THEN (c_custkey * 1299721 + 7) % 2147483647 % 4096
+        |    WHEN 1 THEN (c_custkey * 15485863 + 101) % 2147483647 % 4096
+        |    ELSE (c_custkey * 32452843 + 1009) % 2147483647 % 4096 END AS pbit
+        |  FROM customer CROSS JOIN (SELECT unnest([0,1,2]) AS j) d
+        |), verdict AS (
+        |  SELECT p.c_custkey, count(b.bit) = 3 AS bloom_hit
+        |  FROM probes p LEFT JOIN bits b ON p.pbit = b.bit
+        |  GROUP BY 1
+        |)
+        |SELECT v.c_custkey, v.bloom_hit, u.o_custkey IS NOT NULL AS actual
+        |FROM verdict v LEFT JOIN urgent u ON v.c_custkey = u.o_custkey""".stripMargin,
+    "q81_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+        |), bigr AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
+        |  FROM toks WHERE len(w) >= 2
+        |), bg AS (
+        |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bigr
+        |), c2 AS (
+        |  SELECT w1, w2, count(*)::BIGINT AS c2 FROM bg GROUP BY 1, 2
+        |), c1 AS (
+        |  SELECT w1, sum(c2)::BIGINT AS c1 FROM c2 GROUP BY 1
+        |), vv AS (
+        |  SELECT count(DISTINCT t)::BIGINT AS v FROM (SELECT unnest(w) AS t FROM toks)
+        |), model AS (
+        |  SELECT w1, w2,
+        |    floor(log2((c2 + 1)::DOUBLE / (c1 + v)::DOUBLE) * 1e6 + 0.5)::BIGINT AS term_fp
+        |  FROM c2 JOIN c1 USING (w1) CROSS JOIN vv
+        |)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  floor((-sum(term_fp)::DOUBLE / (count(*) * 1e6)) * 10000 + 0.5)/10000 AS bits_per_bigram
+        |FROM bg JOIN model USING (w1, w2)
+        |GROUP BY 1""".stripMargin
+  )
+}

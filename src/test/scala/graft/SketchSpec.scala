@@ -27,4 +27,28 @@ class SketchSpec extends SparkSpec {
     // approximate median lands within one unit of the exact one
     assert(math.abs(approx - exact) <= 1.0, s"approx $approx vs exact $exact")
   }
+
+  test("q79 count-min: estimates dominate truth and top keys survive") {
+    val out = SparkEntry.queries("q79_countmin_hh")(spark, sf("sf0.01")).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      assert(r.getAs[Long]("est_n") >= r.getAs[Long]("true_n"),
+        s"CMS estimate below truth for key ${r.getAs[Long]("l_partkey")}")
+    }
+  }
+
+  test("q80 bloom: zero false negatives; false positives are the collision tail") {
+    val out = SparkEntry.queries("q80_bloom_member")(spark, sf("sf0.01"))
+    assert(out.filter(col("actual") && !col("bloom_hit")).count() == 0,
+      "bloom filter produced a false negative")
+    // the filter must actually discriminate: misses exist
+    assert(out.filter(!col("bloom_hit")).count() > 0)
+  }
+
+  test("q81 lm scoring: every multi-token doc scored, bits positive") {
+    val out = SparkEntry.queries("q81_lm_score")(spark, sf("sf0.01"))
+    assert(out.count() > 0)
+    assert(out.filter(col("bits_per_bigram") <= 0).count() == 0,
+      "log2 probabilities must be negative => bits positive")
+  }
 }
