@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.TextAnalysis
+import graft.functions.{Sketches, TextAnalysis}
 
 /** Deterministic sketch + model-scoring queries, round 6.
   *
@@ -21,33 +21,21 @@ object SketchQueries {
   private def li(s: SparkSession, dir: String) = Tables.lineitem(s, dir)
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
 
-  private val P = 2147483647L // Mersenne prime 2^31-1
-  private val CmsA = Seq(1299721L, 15485863L, 32452843L, 49979687L)
-  private val CmsB = Seq(7L, 101L, 1009L, 10007L)
-
-  private def slot(key: Column, d: Int, width: Long): Column =
-    (key * CmsA(d) + CmsB(d)) % P % width
-
   // q79 — COUNT-MIN SKETCH heavy hitters: a d=4 x w=1024 CMS over
   // lineitem part keys, then the top-10 true heavy hitters with their
   // CMS point estimates (min over the 4 rows). est_n >= true_n by
   // construction; the gap is the collision mass. Scale shape: the
   // sketch is built from the per-key PRE-aggregate (one partial-agg
   // shuffle of |keys| rows, then 4x|keys| -> 4096 cells — the classic
-  // mergeable-summary property; cells, not raw rows, cross the wire).
+  // mergeable-summary property; cells, not raw rows, cross the wire;
+  // per-batch partials merge by cell-wise sum, see StreamingSketchSpec).
   private def q79(s: SparkSession, dir: String): DataFrame = {
-    val w = 1024L
     val counts = li(s, dir).groupBy(col("l_partkey")).agg(count(lit(1)).as("true_n"))
-    val cells = counts.select(col("true_n"),
-      posexplode(array((0 until 4).map(d => slot(col("l_partkey"), d, w)): _*)))
-      .groupBy(col("pos").as("depth"), col("col").as("cslot"))
-      .agg(sum(col("true_n")).as("cell_n"))
+    val cells = Sketches.countMinCells(li(s, dir), col("l_partkey"))
     val top = counts.orderBy(col("true_n").desc, col("l_partkey")).limit(10)
-    top.select(col("l_partkey"), col("true_n"),
-      posexplode(array((0 until 4).map(d => slot(col("l_partkey"), d, w)): _*)))
-      .join(cells, col("pos") === col("depth") && col("col") === col("cslot"))
-      .groupBy(col("l_partkey"), col("true_n"))
-      .agg(min(col("cell_n")).as("est_n"))
+    Sketches.cmsEstimate(cells, top, col("l_partkey"))
+      .join(top, col("key") === col("l_partkey"))
+      .select(col("l_partkey"), col("true_n"), col("est_n"))
   }
 
   // q80 — BLOOM FILTER membership audit: k=3 bit positions over an
@@ -60,18 +48,12 @@ object SketchQueries {
   // is a broadcast join — membership for a 100 TB key stream without
   // shuffling it.
   private def q80(s: SparkSession, dir: String): DataFrame = {
-    val m = 4096L
     val urgent = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_custkey")).distinct()
-    val bits = urgent.select(
-      explode(array((0 until 3).map(j => slot(col("o_custkey"), j, m)): _*)).as("bit"))
-      .distinct()
-    val probes = Tables.customer(s, dir).select(col("c_custkey"),
-      posexplode(array((0 until 3).map(j => slot(col("c_custkey"), j, m)): _*)))
-      .join(broadcast(bits), col("col") === col("bit"), "left")
-      .groupBy(col("c_custkey"))
-      .agg((count(col("bit")) === 3).as("bloom_hit"))
-    probes.join(urgent, probes("c_custkey") === urgent("o_custkey"), "left")
+    val bits = Sketches.bloomBits(urgent, col("o_custkey"))
+    val verdict = Sketches.bloomProbe(bits, Tables.customer(s, dir), col("c_custkey"))
+      .withColumnRenamed("key", "c_custkey")
+    verdict.join(urgent, verdict("c_custkey") === urgent("o_custkey"), "left")
       .select(col("c_custkey"), col("bloom_hit"), col("o_custkey").isNotNull.as("actual"))
   }
 

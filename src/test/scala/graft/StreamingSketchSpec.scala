@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.functions.Sketches
+
+/** Mergeable-summary property of the explicit-hash sketches: partial
+  * sketches built per slice / per micro-batch combine into EXACTLY
+  * the sketch of the whole — the property that lets a 1000-executor
+  * cluster (or an unbounded stream) sketch without ever co-locating
+  * the raw data. */
+class StreamingSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cellMap(df: DataFrame): Map[(Long, Long), Long] =
+    df.collect().map(r => (r.getAs[Number]("depth").longValue(), r.getAs[Number]("cslot").longValue())
+      -> r.getAs[Number]("cell_n").longValue()).toMap
+
+  test("count-min cells: per-slice partials merge to the exact whole-data sketch") {
+    val whole = graft.core.Tables.lineitem(spark, sf("sf0.001")).select($"l_partkey")
+    val slices = Seq(
+      whole.filter($"l_partkey" % 3 === 0),
+      whole.filter($"l_partkey" % 3 === 1),
+      whole.filter($"l_partkey" % 3 === 2))
+    val merged = Sketches.mergeCells(slices.map(s => Sketches.countMinCells(s, $"l_partkey")): _*)
+    assert(cellMap(merged) == cellMap(Sketches.countMinCells(whole, $"l_partkey")))
+  }
+
+  test("bloom bits: per-slice unions equal the whole-set filter; probe agrees") {
+    val keys = (1L to 400L).toDF("k")
+    val slices = Seq(keys.filter($"k" <= 150), keys.filter($"k" > 150 && $"k" <= 290), keys.filter($"k" > 290))
+    val mergedBits = slices.map(s => Sketches.bloomBits(s, $"k")).reduce(_ unionByName _).distinct()
+    val wholeBits = Sketches.bloomBits(keys, $"k")
+    assert(mergedBits.as[Long].collect().sorted.toSeq == wholeBits.as[Long].collect().sorted.toSeq)
+    // member probes all hit on the merged filter (no false negatives)
+    val hits = Sketches.bloomProbe(mergedBits, keys, $"k")
+    assert(hits.filter(!$"bloom_hit").count() == 0)
+  }
+
+  test("streaming CMS: foreachBatch-maintained cells equal the batch sketch after 3 batches") {
+    val stream = MemoryStream[Long](spark)
+    var acc: Option[DataFrame] = None
+    val q = stream.toDF().toDF("k").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val partial = Sketches.countMinCells(batch, col("k")).persist()
+        partial.count() // materialize before the batch frame goes away
+        acc = Some(acc.fold(partial)(prev => {
+          val m = Sketches.mergeCells(prev, partial).persist()
+          m.count()
+          prev.unpersist(); partial.unpersist()
+          m
+        }))
+        ()
+      }
+      .start()
+    try {
+      val all = (1L to 900L).map(i => i % 57)
+      all.grouped(300).foreach { chunk => stream.addData(chunk); q.processAllAvailable() }
+      val expected = cellMap(Sketches.countMinCells(all.toDF("k"), col("k")))
+      assert(cellMap(acc.get) == expected)
+    } finally q.stop()
+  }
+}
