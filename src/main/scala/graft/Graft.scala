@@ -40,5 +40,7 @@ object Graft {
       exprs => GraftExtensions.minHashSig(exprs))
     GraftFunctionRegistry.registerTemp(spark, "simhash_agg",
       exprs => graft.functions.SimHashAgg(exprs.head))
+    GraftFunctionRegistry.registerTemp(spark, "winnow_fps",
+      exprs => GraftExtensions.winnowFps(exprs))
   }
 }

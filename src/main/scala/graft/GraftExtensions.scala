@@ -45,6 +45,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash_agg"),
       info("simhash_agg", "simhash_agg(hash) - aggregate: 64-bit SimHash of a column of token hashes"),
       (exprs: Seq[Expression]) => SimHashAgg(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      info("winnow_fps", "winnow_fps(str[, gramBytes, window]) - distinct MOSS winnowing fingerprints (poly gram hash + window min)"),
+      (exprs: Seq[Expression]) => GraftExtensions.winnowFps(exprs)))
   }
 }
 
@@ -62,6 +66,16 @@ object GraftExtensions {
   def minHashSig(exprs: Seq[Expression]): MinHashSigExpr = {
     require(exprs.size == 2, s"minhash_sig takes 2 arguments, got ${exprs.size}")
     MinHashSigExpr(exprs.head, intArg(exprs(1), "numHashes"))
+  }
+
+  /** Shared builder for the SQL surface: string + optional int-literal
+    * gram/window sizes. */
+  def winnowFps(exprs: Seq[Expression]): graft.functions.WinnowFpsExpr = {
+    require(exprs.size == 1 || exprs.size == 3,
+      s"winnow_fps takes 1 or 3 arguments, got ${exprs.size}")
+    if (exprs.size == 1) graft.functions.WinnowFpsExpr(exprs.head, 8, 4)
+    else graft.functions.WinnowFpsExpr(exprs.head,
+      intArg(exprs(1), "gramBytes"), intArg(exprs(2), "window"))
   }
 
   /** Shared builder for the SQL surface: string + optional int-literal

@@ -112,4 +112,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), s"no collect_list aggregate:\n$p")
     assert(!p.toLowerCase.contains("join"), s"self-join crept back into candidate generation:\n$p")
   }
+
+  test("q78 disjunctive join: predicate disjunction is CNF-split and pushed to BOTH scans") {
+    val p = plan("q78_tpch_q19")
+    // the quantity disjunction must reach the lineitem scan and the
+    // brand/size disjunction the part scan — without CNF extraction
+    // the whole OR stays a post-join residual and both scans read
+    // every row
+    assert("PushedFilters: \\[[^\\]]*l_quantity".r.findFirstIn(p).isDefined
+      || p.contains("GreaterThanOrEqual(l_quantity"), s"quantity disjunction not pushed:\n$p")
+    assert(p.contains("EqualTo(p_brand"), s"brand disjunction not pushed:\n$p")
+  }
+
+  test("runtime bloom filter prunes the big side of a selective fact-fact join") {
+    // Spark's InjectRuntimeFilter: a selective creation side (filtered
+    // orders) plants a bloom might_contain on the application side's
+    // lineitem scan — rows that can't join are dropped AT THE SCAN,
+    // before the shuffle. This is the built-in complement to the
+    // explicit Sketches.bloomProbe operator: at 100 TB the shuffle
+    // volume tracks the filter's selectivity, not the table size.
+    import org.apache.spark.sql.functions._
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    ).map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val l = graft.core.Tables.lineitem(spark, sf("sf0.01"))
+      val o = graft.core.Tables.orders(spark, sf("sf0.01"))
+        .filter(col("o_totalprice") > 400000.0)
+      val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).count()
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"), s"no runtime bloom filter injected:\n$opt")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(c.unset(k))(c.set(k, _))
+    }
+  }
 }
