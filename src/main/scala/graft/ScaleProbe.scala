@@ -29,6 +29,10 @@ object ScaleProbe {
     // texts replicate VERBATIM (only ids offset): every doc gains 9
     // byte-identical copies — the adversarial dedup regime
     replicate("documents", Seq("doc_id"), 100000000L)
+    // dims copy verbatim: they stay dim-sized at any fact scale
+    Seq("customer", "nation").foreach { t =>
+      core.Tables(spark, src, t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
     println(f"[scale] replicate ${(System.nanoTime()-t0)/1e9}%.1f s")
 
     // noop sink: full materialization, no column pruning of the
@@ -75,6 +79,18 @@ object ScaleProbe {
     time("q70_token_shards@10x") { SparkEntry.queries("q70_token_shards")(spark, dst) }
     // quality gate at 10x: per-row signals + one (doc,word) partial agg
     time("q69_quality_gate@10x") { SparkEntry.queries("q69_quality_gate")(spark, dst) }
+    // winnowing fingerprints at 10x docs: per-doc O(n) expression;
+    // identical replicas multiply n_docs per fp, not the fp keyspace
+    time("q73_winnow@10x") { SparkEntry.queries("q73_winnow_fps")(spark, dst) }
+    // CMS at 10x lineitem: cells stay 4x1024 regardless of volume —
+    // the mergeable-summary property under measurement
+    time("q79_countmin@10x") { SparkEntry.queries("q79_countmin_hh")(spark, dst) }
+    // LM scoring at 10x docs: model keyspace flat (verbatim
+    // replicas), doc-side join scales linearly
+    time("q81_lm_score@10x") { SparkEntry.queries("q81_lm_score")(spark, dst) }
+    // HAVING-gated large orders at 10x: the pre-aggregate below the
+    // joins keeps the join input at |qualifying orders|
+    time("q77_tpch_q18@10x") { SparkEntry.queries("q77_tpch_q18")(spark, dst) }
     // join+agg: lineitem(6M) x orders(1.5M) with dims from sf0.1
     val l = spark.read.parquet(s"$dst/lineitem.parquet")
     val o = spark.read.parquet(s"$dst/orders.parquet")
