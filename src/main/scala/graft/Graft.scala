@@ -42,5 +42,7 @@ object Graft {
       exprs => graft.functions.SimHashAgg(exprs.head))
     GraftFunctionRegistry.registerTemp(spark, "winnow_fps",
       exprs => GraftExtensions.winnowFps(exprs))
+    GraftFunctionRegistry.registerTemp(spark, "ewma",
+      exprs => GraftExtensions.ewma(exprs))
   }
 }

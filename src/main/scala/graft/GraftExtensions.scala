@@ -49,6 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("winnow_fps"),
       info("winnow_fps", "winnow_fps(str[, gramBytes, window]) - distinct MOSS winnowing fingerprints (poly gram hash + window min)"),
       (exprs: Seq[Expression]) => GraftExtensions.winnowFps(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("ewma"),
+      info("ewma", "ewma(array<double>, alpha) - exponentially-weighted moving average over an ordered series (per-element output)"),
+      (exprs: Seq[Expression]) => GraftExtensions.ewma(exprs)))
   }
 }
 
@@ -66,6 +70,23 @@ object GraftExtensions {
   def minHashSig(exprs: Seq[Expression]): MinHashSigExpr = {
     require(exprs.size == 2, s"minhash_sig takes 2 arguments, got ${exprs.size}")
     MinHashSigExpr(exprs.head, intArg(exprs(1), "numHashes"))
+  }
+
+  private def doubleArg(e: Expression, name: String): Double = e.eval(null) match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case i: Int => i.toDouble
+    case l: Long => l.toDouble
+    case d: java.math.BigDecimal => d.doubleValue()
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case other => throw new IllegalArgumentException(s"ewma: $name must be a numeric literal, got $other")
+  }
+
+  /** Shared builder for the SQL surface: array + numeric-literal
+    * smoothing factor. */
+  def ewma(exprs: Seq[Expression]): graft.functions.EwmaExpr = {
+    require(exprs.size == 2, s"ewma takes 2 arguments, got ${exprs.size}")
+    graft.functions.EwmaExpr(exprs.head, doubleArg(exprs(1), "alpha"))
   }
 
   /** Shared builder for the SQL surface: string + optional int-literal

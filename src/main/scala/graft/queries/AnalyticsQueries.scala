@@ -146,7 +146,27 @@ object AnalyticsQueries {
       "doc_id", regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
       maxDist = 10, prefixLen = 80)
 
+  // q82 — per-key EWMA smoothing (alpha=0.2): the canonical
+  // order-dependent recursion no windowed aggregate expresses. Scale
+  // shape: one shuffle groups each user's events; sort_array +
+  // the one-pass codegen Ewma expression run map-side per group (the
+  // group is the parallelism unit — no global order exists). Parity
+  // is exact: the fold performs the identical IEEE op sequence in
+  // both engines (DuckDB replays it with list_reduce prefixes), so
+  // even the r4 rounding is cosmetic.
+  private def q82(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .select(col("user_id"), struct(col("ts"), col("event_id"), col("value")).as("p"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+      .select(col("user_id"), col("ps"),
+        graft.functions.Ewma.column(expr("transform(ps, p -> p.value)"), 0.2).as("ys"))
+      .select(col("user_id"), explode(arrays_zip(col("ps"), col("ys"))).as("z"))
+      .select(col("user_id"), col("z.ps.event_id").as("event_id"),
+        r4(col("z.ps.value")).as("value"), r4(col("z.ys")).as("ewma"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_ewma" -> q82 _,
     "q59_fuzzy_lsh" -> q59 _,
     "q57_tfidf_topterms" -> q57 _,
     "q58_vocab_top100" -> q58 _,
@@ -159,6 +179,25 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q82_ewma" ->
+      // list_reduce over each prefix replays the EXACT IEEE fold the
+      // engine's one-pass expression performs (seed y0 = x0, then
+      // y = 0.2*x + 0.8*y), so values agree bitwise before rounding
+      """WITH s AS (
+        |  SELECT user_id,
+        |    list(event_id ORDER BY ts::TIMESTAMP, event_id) AS ids,
+        |    list(value ORDER BY ts::TIMESTAMP, event_id) AS vals
+        |  FROM events GROUP BY 1
+        |), y AS (
+        |  SELECT user_id, ids, vals,
+        |    list_transform(range(1, len(vals) + 1),
+        |      i -> list_reduce(vals[1:i], (y, x) -> 0.2 * x + 0.8 * y)) AS ys
+        |  FROM s
+        |)
+        |SELECT user_id, unnest(ids) AS event_id,
+        |  floor(unnest(vals) * 10000 + 0.5)/10000 AS value,
+        |  floor(unnest(ys) * 10000 + 0.5)/10000 AS ewma
+        |FROM y""".stripMargin,
     "q59_fuzzy_lsh" ->
       """WITH t AS (
         |  SELECT doc_id, substring(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 80) AS pfx

@@ -24,7 +24,8 @@ class ExtensionsSpec extends SparkSpec {
           |       intersect_count(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS i,
           |       cdc_chunks(repeat('xyz abc ', 40), 16, 64, 32, 128) AS c,
           |       minhash_sig(array(xxhash64('a'), xxhash64('b')), 4) AS ms,
-          |       winnow_fps('the quick brown fox jumps over it') AS wf""".stripMargin).head()
+          |       winnow_fps('the quick brown fox jumps over it') AS wf,
+          |       ewma(array(1d, 2d, 3d), 0.5) AS ew""".stripMargin).head()
       val want = graft.functions.RollingHash.eval(
         org.apache.spark.unsafe.types.UTF8String.fromString("abc"))
       assert(r.getLong(0) == want)
@@ -33,6 +34,7 @@ class ExtensionsSpec extends SparkSpec {
       assert(r.getSeq[String](3).mkString == "xyz abc " * 40)
       assert(r.getSeq[Long](4).length == 4)
       assert(r.getSeq[Long](5).nonEmpty)
+      assert(r.getSeq[Double](6) == Seq(1.0, 1.5, 2.25))
       // simhash_agg: aggregate over one hash == that hash's bit pattern
       val agg = s2.sql(
         "SELECT simhash_agg(h) AS sh FROM (SELECT xxhash64('tok') AS h)").head()
