@@ -44,5 +44,7 @@ object Graft {
       exprs => GraftExtensions.winnowFps(exprs))
     GraftFunctionRegistry.registerTemp(spark, "ewma",
       exprs => GraftExtensions.ewma(exprs))
+    GraftFunctionRegistry.registerTemp(spark, "interleave_bits",
+      exprs => graft.functions.InterleaveBitsExpr(exprs(0), exprs(1)))
   }
 }

@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnShim}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Z-order (Morton) curve utilities for multi-dimensional data
+  * layout: interleaving the bits of two dimension keys gives a single
+  * sort key whose CONSECUTIVE ranges cover small axis-aligned boxes
+  * in BOTH dimensions — so range-partitioned files each carry tight
+  * min/max footer stats on every z-ordered column, and a predicate on
+  * EITHER dimension prunes most files at the scan. A plain
+  * `orderBy(x)` gives perfect x-pruning but every file spans the full
+  * y range; z-order trades a few bits of each for pruning on all.
+  * This is the layout story for 100 TB: clustering is decided at
+  * WRITE time, and the probe-side benefit is free forever after.
+  *
+  * `LayoutSpec` quantifies it: per-bucket bounding boxes under
+  * z-order vs linear order on the same data.
+  */
+case class InterleaveBitsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "interleave_bits"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ZOrder.eval(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ZOrder.eval($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): InterleaveBitsExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object ZOrder {
+  /** Morton-interleave the low 32 bits of two non-negative longs:
+    * bit j of `a` lands at position 2j, bit j of `b` at 2j+1.
+    * Static entry point shared by interpreted eval and codegen. */
+  def eval(a: Long, b: Long): Long = {
+    var z = 0L
+    var j = 0
+    while (j < 32) {
+      z |= ((a >>> j) & 1L) << (2 * j)
+      z |= ((b >>> j) & 1L) << (2 * j + 1)
+      j += 1
+    }
+    z
+  }
+
+  def zvalue(a: Column, b: Column): Column =
+    GraftColumnShim.column(InterleaveBitsExpr(
+      GraftColumnShim.expression(a.cast("long")), GraftColumnShim.expression(b.cast("long"))))
+
+  /** Cluster `df` for multi-dim pruning on (a, b): range-partition by
+    * z-value into `numFiles` partitions and sort within each — the
+    * write-side half of z-order layout (one global range exchange,
+    * the same cost class as any orderBy write; file footers then
+    * carry tight min/max on BOTH columns). */
+  def cluster(df: DataFrame, a: Column, b: Column, numFiles: Int): DataFrame = {
+    val z = zvalue(a, b).as("__z")
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+}

@@ -102,7 +102,33 @@ object RelationalQueries {
         count(lit(1)).as("n_rows"))
   }
 
+  // q83 — Z-ORDER LAYOUT AUDIT: normalize both dimension keys to a
+  // 10-bit range (rank-free integer scaling — real z-order writers
+  // normalize per-column exactly so unequal key widths don't let one
+  // dimension dominate the interleave), Morton-interleave them, cut
+  // the z-ordered row sequence into 16 equal buckets, and report each
+  // bucket's bounding box. The ntile here is the oracle-visible
+  // stand-in for `ZOrder.cluster`'s repartitionByRange: same curve,
+  // same boxes. Tight boxes on BOTH columns are what give min/max
+  // file pruning on either predicate at 100 TB (LayoutSpec asserts
+  // the pruning factor vs a linear layout).
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    val mx = li(s, dir).agg(max(col("l_partkey")).as("mp"), max(col("l_suppkey")).as("ms"))
+    li(s, dir).select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      .crossJoin(broadcast(mx))
+      .withColumn("z", graft.functions.ZOrder.zvalue(
+        expr("(l_partkey * 1024) DIV (mp + 1)"), expr("(l_suppkey * 1024) DIV (ms + 1)")))
+      .withColumn("bucket",
+        ntile(16).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+        min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_zorder" -> q83 _,
     "q75_tpch_q7" -> q75 _,
     "q76_tpch_q10" -> q76 _,
     "q77_tpch_q18" -> q77 _,
@@ -110,6 +136,31 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q83_zorder" ->
+      // Morton interleave reproduced with plain bit arithmetic: bit j
+      // of the normalized partkey lands at position 2j, suppkey at
+      // 2j+1 (10-bit normalized values -> 16 bit-pairs suffice)
+      """WITH mx AS (
+        |  SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms FROM lineitem
+        |), t AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    (l_partkey * 1024) // (mp + 1) AS pn,
+        |    (l_suppkey * 1024) // (ms + 1) AS sn
+        |  FROM lineitem CROSS JOIN mx
+        |), z AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    (SELECT sum((((pn >> j) & 1) << (2*j)) + (((sn >> j) & 1) << (2*j + 1)))
+        |     FROM range(0, 16) r(j))::BIGINT AS zv
+        |  FROM t
+        |), b AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    ntile(16) OVER (ORDER BY zv, l_orderkey, l_linenumber)::BIGINT AS bucket
+        |  FROM z
+        |)
+        |SELECT bucket, count(*)::BIGINT AS n_rows,
+        |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+        |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+        |FROM b GROUP BY 1""".stripMargin,
     "q75_tpch_q7" ->
       """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
         |  year(l_shipdate)::BIGINT AS l_year,
