@@ -57,6 +57,22 @@ object Sketches {
       .agg(min(col("cell_n")).as("est_n"))
   }
 
+  /** Equi-join cardinality estimate from two CMS cell tables over the
+    * SAME hash family: within a depth row, sum(cellA * cellB) equals
+    * the true join size plus non-negative collision mass, so the min
+    * over depths is an upper bound that tightens with width — the
+    * classic sketch inner product (AMS/CMS), the statistic a
+    * cost-based optimizer wants before committing a 100 TB join
+    * strategy. Cost: |cells| work, never touching the fact tables. */
+  def cmsInnerProduct(cellsA: DataFrame, cellsB: DataFrame): DataFrame = {
+    val b = cellsB.select(col("depth").as("depth_b"), col("cslot").as("cslot_b"),
+      col("cell_n").as("cell_b"))
+    cellsA.join(b, col("depth") === col("depth_b") && col("cslot") === col("cslot_b"))
+      .groupBy(col("depth"))
+      .agg(sum(col("cell_n") * col("cell_b")).as("ip"))
+      .agg(min(col("ip")).as("est_pairs"))
+  }
+
   /** Bloom bit positions (distinct) for a long key column — the
     * filter is <= numHashes*|set| distinct ints capped by `bits`,
     * broadcast-sized regardless of input scale; merge across partial

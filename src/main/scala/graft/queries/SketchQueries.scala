@@ -89,13 +89,64 @@ object SketchQueries {
         r4(-col("fp_sum").cast("double") / (col("n_bigrams") * 1e6)).as("bits_per_bigram"))
   }
 
+  // q84 — JOIN-CARDINALITY ESTIMATE via CMS inner product: the
+  // lineitem⋈orders-on-orderkey size predicted from two 4x1024
+  // sketches (per-depth sum of cell products, min over depths — true
+  // size plus non-negative collision mass) next to the true count.
+  // This is what a cost-based optimizer consults before picking a
+  // 100 TB join strategy: the estimate costs |cells| work and never
+  // touches either fact table.
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    // width 65536 (not q79's 1024): inner-product error is
+    // ||a||1*||b||1/w, so width is chosen for the TARGET error — at
+    // 60k x 15k rows, w=64k keeps the collision mass under ~25% of
+    // the true size while 4 x 64k cells stay sketch-sized
+    val cellsL = Sketches.countMinCells(li(s, dir), col("l_orderkey"), width = 65536L)
+    val cellsO = Sketches.countMinCells(Tables.orders(s, dir), col("o_orderkey"), width = 65536L)
+    val truth = li(s, dir).join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("true_pairs"))
+    Sketches.cmsInnerProduct(cellsL, cellsO).crossJoin(truth)
+      .select(col("true_pairs"), col("est_pairs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_join_card" -> q84 _,
     "q79_countmin_hh" -> q79 _,
     "q80_bloom_member" -> q80 _,
     "q81_lm_score" -> q81 _
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q84_join_card" ->
+      """WITH d AS (SELECT unnest([0,1,2,3]) AS depth),
+        |la AS (
+        |  SELECT depth,
+        |    CASE depth
+        |      WHEN 0 THEN (l_orderkey * 1299721 + 7) % 2147483647 % 65536
+        |      WHEN 1 THEN (l_orderkey * 15485863 + 101) % 2147483647 % 65536
+        |      WHEN 2 THEN (l_orderkey * 32452843 + 1009) % 2147483647 % 65536
+        |      ELSE (l_orderkey * 49979687 + 10007) % 2147483647 % 65536 END AS cslot,
+        |    count(*)::BIGINT AS cell_n
+        |  FROM lineitem CROSS JOIN d GROUP BY 1, 2
+        |), ob AS (
+        |  SELECT depth,
+        |    CASE depth
+        |      WHEN 0 THEN (o_orderkey * 1299721 + 7) % 2147483647 % 65536
+        |      WHEN 1 THEN (o_orderkey * 15485863 + 101) % 2147483647 % 65536
+        |      WHEN 2 THEN (o_orderkey * 32452843 + 1009) % 2147483647 % 65536
+        |      ELSE (o_orderkey * 49979687 + 10007) % 2147483647 % 65536 END AS cslot,
+        |    count(*)::BIGINT AS cell_n
+        |  FROM orders CROSS JOIN d GROUP BY 1, 2
+        |), ip AS (
+        |  SELECT la.depth, sum(la.cell_n * ob.cell_n)::BIGINT AS ip
+        |  FROM la JOIN ob ON la.depth = ob.depth AND la.cslot = ob.cslot
+        |  GROUP BY 1
+        |), est AS (SELECT min(ip)::BIGINT AS est_pairs FROM ip),
+        |t AS (
+        |  SELECT count(*)::BIGINT AS true_pairs
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |)
+        |SELECT true_pairs, est_pairs FROM est CROSS JOIN t""".stripMargin,
     "q79_countmin_hh" ->
       """WITH counts AS (
         |  SELECT l_partkey, count(*)::BIGINT AS true_n FROM lineitem GROUP BY 1

@@ -51,4 +51,14 @@ class SketchSpec extends SparkSpec {
     assert(out.filter(col("bits_per_bigram") <= 0).count() == 0,
       "log2 probabilities must be negative => bits positive")
   }
+
+  test("q84 join-cardinality estimate dominates the true join size") {
+    val r = SparkEntry.queries("q84_join_card")(spark, sf("sf0.01")).head()
+    val (truth, est) = (r.getAs[Long]("true_pairs"), r.getAs[Long]("est_pairs"))
+    assert(truth > 0)
+    assert(est >= truth, s"CMS inner product $est below true join size $truth")
+    // sanity: with 1024-wide rows the collision mass should not blow
+    // the estimate out by orders of magnitude
+    assert(est < truth * 2, s"estimate uselessly loose: $est vs $truth")
+  }
 }
