@@ -95,4 +95,103 @@ object Sketches {
       .groupBy(col("key"))
       .agg((count(col("bit")) === numHashes).as("bloom_hit"))
   }
+
+  /** Count-Min cells built WITHOUT the per-key pre-aggregate: each
+    * row fans out to its depth cells map-side (codegen explode) and
+    * the only shuffle is the cell groupBy — map-side partial
+    * aggregation bounds it at depth*width rows PER TASK regardless of
+    * key cardinality. This is the build for streams/corpora whose
+    * distinct-key count is itself fact-sized (the per-key pre-agg in
+    * [[countMinCells]] would shuffle |keys| rows first); cells are
+    * identical to [[countMinCells]] (SketchesSpec pins equality). */
+  def countMinCellsDirect(df: DataFrame, key: Column, depth: Int = 4, width: Long = 1024L): DataFrame = {
+    require(depth >= 1 && depth <= A.length, s"depth must be 1..${A.length}")
+    df.select(posexplode(array((0 until depth).map(d => slot(key, d, width)): _*)))
+      .groupBy(col("pos").as("depth"), col("col").as("cslot"))
+      .agg(count(lit(1)).as("cell_n"))
+  }
+
+  /** Exact heavy hitters behind a Count-Min gate — the two-pass
+    * frequent-items shape that never shuffles the light-key mass.
+    * Pass 1 builds CMS cells with [[countMinCellsDirect]] (shuffle
+    * <= depth*width rows/task). The cells pivot into ONE row of
+    * per-depth lookup maps that broadcasts; pass 2 scores every row's
+    * key map-side (least over depth element_at's) and only rows whose
+    * estimate clears `minCount` reach the exact groupBy. CMS
+    * estimates are >= truth, so the gate has no false negatives and
+    * the post-count HAVING makes the output EXACTLY the keys with
+    * true count >= minCount — oracle-checkable against a plain
+    * GROUP BY/HAVING while shuffling only the heavy-candidate rows
+    * (at a Zipfian 100 TB: a few percent of the stream). */
+  def heavyHitters(df: DataFrame, key: Column, minCount: Long,
+                   depth: Int = 4, width: Long = 1024L): DataFrame = {
+    val cells = countMinCellsDirect(df, key, depth, width)
+    // depth rows -> one row: array indexed by depth of cslot->cell_n maps
+    val lookup = cells
+      .groupBy(col("depth"))
+      .agg(map_from_entries(collect_list(struct(col("cslot"), col("cell_n")))).as("m"))
+      .agg(map_from_entries(collect_list(struct(col("depth"), col("m")))).as("mm"))
+    val est = least((0 until depth).map(d =>
+      coalesce(element_at(element_at(col("mm"), d), slot(key, d, width)), lit(0L))): _*)
+    df.crossJoin(broadcast(lookup))
+      .filter(est >= minCount)
+      .groupBy(key.as("key"))
+      .agg(count(lit(1)).as("true_n"))
+      .filter(col("true_n") >= minCount)
+  }
+
+  /** Quantile-sketch buckets: each value (a NONNEGATIVE integer
+    * column — scale decimals to their minor unit first) rounds DOWN
+    * to `sig` significant digits; the bucket id IS that rounded
+    * integer, so reconstruction needs no side table and every step is
+    * exact integer arithmetic — reproducible bit-for-bit in ANSI SQL,
+    * unlike float log-gamma bucketing (DDSketch) whose libm ulps can
+    * flip boundary buckets across engines. Bucket width is
+    * 10^(digits-sig), so relative error is < 10^(1-sig) (sig=3 →
+    * <1%); bucket count is bounded by 9*10^(sig-1) per decade —
+    * thousands of cells for any 100 TB column. Merge across
+    * partitions / micro-batches / days is bucket-wise SUM
+    * ([[mergeSigBuckets]]): the mergeable-summary property that makes
+    * full-sort percentiles unnecessary at scale. */
+  def sigBuckets(df: DataFrame, intValue: Column, sig: Int = 3): DataFrame = {
+    require(sig >= 1 && sig <= 15)
+    df.select(intValue.cast("long").as("__v"))
+      // p = 10^(digits - sig) in exact integer arithmetic: length() of
+      // the decimal rendering is the digit count (no float log10), and
+      // power(10, k) is exact in double out to 10^22 — beyond long —
+      // so the bigint cast is lossless. DIV is integer division.
+      .withColumn("__p",
+        expr(s"cast(power(10, greatest(length(cast(__v as string)) - $sig, 0)) as bigint)"))
+      .select((expr("__v DIV __p") * col("__p")).as("b_lo"))
+      .groupBy(col("b_lo"))
+      .agg(count(lit(1)).as("bucket_n"))
+  }
+
+  /** Merge partial sig-digit bucket tables (bucket-wise sum). */
+  def mergeSigBuckets(buckets: DataFrame*): DataFrame =
+    buckets.reduce(_ unionByName _)
+      .groupBy(col("b_lo"))
+      .agg(sum(col("bucket_n")).as("bucket_n"))
+
+  /** Discrete quantiles from a bucket table: for each q, the smallest
+    * bucket lower-bound whose cumulative count reaches ceil(q*N) —
+    * the true q-quantile rounded down to the sketch's significant
+    * digits (within its <10^(1-sig) relative bound). The walk runs
+    * over the bucket table only (thousands of rows however large the
+    * input), as a single-partition cumulative window — the correct
+    * shape for a sketch-sized table. */
+  def sigQuantiles(buckets: DataFrame, qs: Seq[Double]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("b_lo"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = buckets
+      .withColumn("cum_n", sum(col("bucket_n")).over(w))
+      .crossJoin(buckets.agg(sum(col("bucket_n")).as("total_n")))
+    val qdf = buckets.sparkSession.range(1)
+      .select(explode(array(qs.map(lit(_)): _*)).as("q"))
+    cum.crossJoin(broadcast(qdf))
+      .filter(col("cum_n") >= ceil(col("q") * col("total_n")))
+      .groupBy(col("q"))
+      .agg(min(col("b_lo")).as("q_lo"))
+  }
 }

@@ -109,14 +109,78 @@ object SketchQueries {
       .select(col("true_pairs"), col("est_pairs"))
   }
 
+  // q85 — QUANTILE SKETCH (significant-digit buckets): the p25/50/75/
+  // 90/99 of l_extendedprice from a mergeable bucket table next to the
+  // exact discrete quantile. Bucketing rounds each value (in cents —
+  // exact integer arithmetic, no libm log whose ulps could flip
+  // boundary buckets across engines) down to 3 significant digits:
+  // relative error < 1%, bucket count bounded by 900/decade however
+  // large the input. The exact side reuses the same cumulative walk at
+  // sig=15 (p=1 → buckets are the raw values), so sketch-vs-truth is
+  // one code path at two resolutions. Scale shape: one partial-agg
+  // shuffle to ~10^3 buckets, the quantile walk runs on the sketch
+  // only; per-day partials merge by bucket-wise sum (StreamingSketchSpec).
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+    // prices are stored double: floor(x*100 + 0.5) pins the cents
+    // conversion to one explicit rounding (a bare bigint cast
+    // TRUNCATES here but ROUNDS in DuckDB — off-by-a-cent at 1-ulp
+    // products like 7919342.9999…)
+    val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+    val sk = Sketches.sigQuantiles(Sketches.sigBuckets(li(s, dir), cents), qs)
+    val exact = Sketches.sigQuantiles(Sketches.sigBuckets(li(s, dir), cents, sig = 15), qs)
+      .withColumnRenamed("q_lo", "true_v")
+    sk.join(exact, Seq("q")).select(col("q"), col("q_lo"), col("true_v"))
+  }
+
+  // q86 — EXACT HEAVY HITTERS behind a Count-Min gate: parts with
+  // >= 40 lineitems and their exact counts. The CMS estimate is >=
+  // truth (no false negatives), so gating rows on est >= 40 before
+  // the exact count changes nothing about the answer — the oracle is
+  // a plain GROUP BY/HAVING that knows nothing about the sketch —
+  // but at scale only heavy-CANDIDATE rows reach the shuffle; the
+  // light-key mass (the bulk of a Zipfian stream) is dropped map-side
+  // against the broadcast cell maps.
+  private def q86(s: SparkSession, dir: String): DataFrame =
+    Sketches.heavyHitters(li(s, dir), col("l_partkey"), minCount = 40L)
+      .withColumnRenamed("key", "l_partkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_join_card" -> q84 _,
+    "q85_sig_quantiles" -> q85 _,
+    "q86_heavy_hitters" -> q86 _,
     "q79_countmin_hh" -> q79 _,
     "q80_bloom_member" -> q80 _,
     "q81_lm_score" -> q81 _
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q85_sig_quantiles" ->
+      """WITH v AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS xc FROM lineitem),
+        |qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99])::DOUBLE AS q),
+        |b AS (
+        |  SELECT (xc // p) * p AS b_lo, count(*)::BIGINT AS n
+        |  FROM (SELECT xc,
+        |    CAST(power(10, greatest(length(CAST(xc AS VARCHAR)) - 3, 0)) AS BIGINT) AS p FROM v)
+        |  GROUP BY 1
+        |), cum AS (
+        |  SELECT b_lo, sum(n) OVER (ORDER BY b_lo)::BIGINT AS cum_n,
+        |    (SELECT sum(n)::BIGINT FROM b) AS total_n FROM b
+        |), sk AS (
+        |  SELECT q, min(b_lo)::BIGINT AS q_lo FROM cum CROSS JOIN qs
+        |  WHERE cum_n >= ceil(q * total_n::DOUBLE) GROUP BY 1
+        |), eb AS (SELECT xc, count(*)::BIGINT AS n FROM v GROUP BY 1),
+        |ecum AS (
+        |  SELECT xc, sum(n) OVER (ORDER BY xc)::BIGINT AS cum_n,
+        |    (SELECT sum(n)::BIGINT FROM eb) AS total_n FROM eb
+        |), tr AS (
+        |  SELECT q, min(xc)::BIGINT AS true_v FROM ecum CROSS JOIN qs
+        |  WHERE cum_n >= ceil(q * total_n::DOUBLE) GROUP BY 1
+        |)
+        |SELECT sk.q, sk.q_lo, tr.true_v FROM sk JOIN tr USING (q)""".stripMargin,
+    "q86_heavy_hitters" ->
+      """SELECT l_partkey, count(*)::BIGINT AS true_n
+        |FROM lineitem GROUP BY 1 HAVING count(*) >= 40""".stripMargin,
     "q84_join_card" ->
       """WITH d AS (SELECT unnest([0,1,2,3]) AS depth),
         |la AS (

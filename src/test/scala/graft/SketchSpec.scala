@@ -52,6 +52,49 @@ class SketchSpec extends SparkSpec {
       "log2 probabilities must be negative => bits positive")
   }
 
+  test("direct CMS build (no per-key pre-agg) produces identical cells") {
+    val li = graft.core.Tables.lineitem(spark, sf("sf0.01"))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue())
+        -> r.getAs[Number](2).longValue()).toMap
+    assert(m(graft.functions.Sketches.countMinCellsDirect(li, $"l_partkey"))
+      == m(graft.functions.Sketches.countMinCells(li, $"l_partkey")))
+  }
+
+  test("sig-digit quantile sketch: merge-invariant, within 1% below exact") {
+    val s = graft.functions.Sketches
+    val li = graft.core.Tables.lineitem(spark, sf("sf0.01"))
+    val cents = floor($"l_extendedprice" * 100 + 0.5).cast("long")
+    val whole = s.sigBuckets(li, cents)
+    // partial builds over arbitrary slices merge to the whole-input sketch
+    val slices = Seq($"l_orderkey" % 3 === 0, $"l_orderkey" % 3 === 1, $"l_orderkey" % 3 === 2)
+      .map(p => s.sigBuckets(li.filter(p), cents))
+    val merged = s.mergeSigBuckets(slices: _*)
+    def bm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bm(merged) == bm(whole), "bucket-wise sum of partials must equal the whole sketch")
+    // sketch quantile is the exact quantile rounded DOWN to 3
+    // significant digits: q_lo <= true < q_lo * 1.01
+    val qs = Seq(0.1, 0.5, 0.9, 0.99)
+    val sk = s.sigQuantiles(whole, qs).collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val ex = s.sigQuantiles(s.sigBuckets(li, cents, sig = 15), qs)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    qs.foreach { q =>
+      assert(sk(q) <= ex(q) && ex(q) < sk(q) * 1.01 + 1,
+        s"q=$q sketch ${sk(q)} vs exact ${ex(q)} outside the 1% bound")
+    }
+  }
+
+  test("heavy hitters behind the CMS gate equal the plain GROUP BY/HAVING") {
+    val li = graft.core.Tables.lineitem(spark, sf("sf0.01"))
+    val gated = graft.functions.Sketches.heavyHitters(li, $"l_partkey", minCount = 40L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = li.groupBy($"l_partkey").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 40).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gated == exact)
+    assert(exact.nonEmpty, "threshold too high — test would be vacuous")
+  }
+
   test("q84 join-cardinality estimate dominates the true join size") {
     val r = SparkEntry.queries("q84_join_card")(spark, sf("sf0.01")).head()
     val (truth, est) = (r.getAs[Long]("true_pairs"), r.getAs[Long]("est_pairs"))

@@ -39,6 +39,36 @@ class StreamingSketchSpec extends SparkSpec {
     assert(hits.filter(!$"bloom_hit").count() == 0)
   }
 
+  test("streaming quantile sketch: per-batch sig-bucket partials merge to the batch sketch") {
+    val stream = MemoryStream[Long](spark)
+    var acc: Option[DataFrame] = None
+    val q = stream.toDF().toDF("v").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val partial = Sketches.sigBuckets(batch, col("v")).persist()
+        partial.count()
+        acc = Some(acc.fold(partial)(prev => {
+          val m = Sketches.mergeSigBuckets(prev, partial).persist()
+          m.count()
+          prev.unpersist(); partial.unpersist()
+          m
+        }))
+        ()
+      }
+      .start()
+    try {
+      val all = (1L to 900L).map(i => i * i % 7919 + 1)
+      all.grouped(300).foreach { chunk => stream.addData(chunk); q.processAllAvailable() }
+      def bm(df: DataFrame) = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(bm(acc.get) == bm(Sketches.sigBuckets(all.toDF("v"), col("v"))))
+      // and the merged sketch answers quantiles like the batch one
+      val qs = Seq(0.5, 0.9)
+      val a = Sketches.sigQuantiles(acc.get, qs).collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+      val b = Sketches.sigQuantiles(Sketches.sigBuckets(all.toDF("v"), col("v")), qs)
+        .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+      assert(a == b)
+    } finally q.stop()
+  }
+
   test("streaming CMS: foreachBatch-maintained cells equal the batch sketch after 3 batches") {
     val stream = MemoryStream[Long](spark)
     var acc: Option[DataFrame] = None
