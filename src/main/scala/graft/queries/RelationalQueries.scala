@@ -102,6 +102,81 @@ object RelationalQueries {
         count(lit(1)).as("n_rows"))
   }
 
+  // q87 — TPC-H Q21 shape (suppliers who kept orders waiting): the
+  // multi-correlation classic — an EXISTS and a NOT EXISTS against
+  // the SAME fact under different predicates, correlated on the same
+  // key. Lateness is adapted to the driver schema (no commitdate/
+  // receiptdate): a line is late when it ships >60 days after its
+  // order date. A supplier is counted once per late line on a
+  // finished multi-supplier order where it was the ONLY late
+  // supplier. Spark-first shape: both subqueries become joins on the
+  // orderkey — a left_semi against all lines of the order (other
+  // supplier exists) and a left_anti against the late set (no OTHER
+  // late supplier) — so the whole query is three shuffles on
+  // l_orderkey that AQE plans off one exchange, with no correlated
+  // re-execution per outer row (the rewrite Catalyst itself applies
+  // to decorrelate EXISTS).
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    val fOrders = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val lines = li(s, dir).join(fOrders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY")).as("late"))
+    val l1 = lines.filter(col("late")).select(col("l_orderkey"), col("l_suppkey"))
+    val withOther = l1.join(
+      lines.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2")),
+      col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"), "left_semi")
+    val sole = withOther.join(
+      l1.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3")),
+      col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"), "left_anti")
+    sole.join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  // q88 — TPC-H Q17 shape (small-quantity-order revenue): correlated
+  // scalar AGGREGATE subquery — each Brand#23 line compares its
+  // quantity against 0.2x the average quantity of ITS part. Spark-
+  // first: the per-part average is a groupBy over only the brand's
+  // lines (the part filter is pushed through the join before the
+  // aggregate — the manual decorrelation), then a broadcast join back
+  // onto the same pruned lines. avg stays exact across engines:
+  // quantities are small integers, so the double sum is exact and
+  // rounds once. At scale the brand dimension prunes the fact scan to
+  // ~1/25 before anything shuffles.
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(s, dir).filter(col("p_brand") === "Brand#23")
+      .select(col("p_partkey"))
+    val brandLines = li(s, dir).join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+    val avgQ = brandLines.groupBy(col("l_partkey").as("ak"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    brandLines.join(broadcast(avgQ), col("l_partkey") === col("ak"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(r2(sum(col("l_extendedprice").cast("decimal(28,4)")).cast("double") / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  // q89 — TPC-H Q15 shape (top supplier by quarterly revenue): a
+  // revenue view + scalar-subquery max, kept EXACT end-to-end — the
+  // per-supplier revenue is a fixed-point decimal sum, so the
+  // max-equality join cannot be perturbed by double summation order
+  // and returns the same supplier set on any partitioning. Scale
+  // shape: one partial-agg shuffle on suppkey builds the view; the
+  // 1-row max broadcasts back onto it.
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    val rev = li(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(28,4)")).as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+    rev.join(broadcast(mx), col("total_rev") === col("max_rev"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), r2(col("total_rev").cast("double")).as("total_rev"))
+  }
+
   // q83 — Z-ORDER LAYOUT AUDIT: normalize both dimension keys to a
   // 10-bit range (rank-free integer scaling — real z-order writers
   // normalize per-column exactly so unequal key widths don't let one
@@ -129,6 +204,9 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_zorder" -> q83 _,
+    "q87_tpch_q21" -> q87 _,
+    "q88_tpch_q17" -> q88 _,
+    "q89_tpch_q15" -> q89 _,
     "q75_tpch_q7" -> q75 _,
     "q76_tpch_q10" -> q76 _,
     "q77_tpch_q18" -> q77 _,
@@ -207,6 +285,46 @@ object RelationalQueries {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
         |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 5 AND 35)
-        |   OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 10 AND 50)""".stripMargin
+        |   OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 10 AND 50)""".stripMargin,
+    "q87_tpch_q21" ->
+      """WITH L AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |), l1 AS (SELECT l_orderkey, l_suppkey FROM L WHERE late)
+        |SELECT s_name, count(*)::BIGINT AS numwait
+        |FROM l1 JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM L l2
+        |        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM l1 l3
+        |        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q88_tpch_q17" ->
+      """WITH bl AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#23'
+        |), a AS (
+        |  SELECT l_partkey AS ak, avg(l_quantity) AS avg_qty FROM bl GROUP BY 1
+        |)
+        |SELECT
+        |  floor((sum(l_extendedprice::DECIMAL(28,4))::DOUBLE / 7.0)*100 + 0.5)/100 AS avg_yearly,
+        |  count(*)::BIGINT AS n_rows
+        |FROM bl JOIN a ON l_partkey = ak
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+    "q89_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,4)) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1
+        |)
+        |SELECT s_suppkey, s_name,
+        |  floor(total_rev::DOUBLE*100 + 0.5)/100 AS total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin
   )
 }
