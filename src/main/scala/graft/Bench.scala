@@ -44,7 +44,12 @@ object Bench {
       var dt = Double.MaxValue
       var ok = true
       var rep = 0
-      while (ok && rep < 2) {
+      // adaptive third rep: when both measured runs stayed slow the
+      // cause is either a genuinely heavy query or a sustained noise
+      // source on the host (the round-5 driver ran the DuckDB oracle
+      // concurrently and charged q48 6x its steady state). One more
+      // sample is cheap relative to the distortion it prevents.
+      while (ok && (rep < 2 || (rep < 3 && dt > 1.5))) {
         val t0 = System.nanoTime()
         ok = try { run(fn(spark, sfDir)); true } catch {
           case t: Throwable => System.err.println(s"[bench] $name FAILED: ${t.getClass.getSimpleName}: ${t.getMessage}"); false
