@@ -47,4 +47,16 @@ object Graft {
     GraftFunctionRegistry.registerTemp(spark, "interleave_bits",
       exprs => graft.functions.InterleaveBitsExpr(exprs(0), exprs(1)))
   }
+
+  /** Enable the binned range-join rewrite on a LIVE session (the
+    * cluster path is `spark.sql.extensions=graft.GraftExtensions` +
+    * the conf key): registers [[graft.plans.BinnedRangeJoin]] in
+    * `experimental.extraOptimizations` and sets its bin width.
+    * Idempotent; `binSize <= 0` disables without unregistering. */
+  def enableRangeJoinRewrite(spark: SparkSession, binSize: Double): Unit = {
+    spark.conf.set(graft.plans.BinnedRangeJoin.BinSizeKey, binSize.toString)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.BinnedRangeJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.BinnedRangeJoin
+  }
 }

@@ -57,6 +57,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("interleave_bits"),
       info("interleave_bits", "interleave_bits(a, b) - Morton z-value: bit j of a at position 2j, of b at 2j+1 (low 32 bits each)"),
       (exprs: Seq[Expression]) => graft.functions.InterleaveBitsExpr(exprs(0), exprs(1))))
+    // optimizer rule: binned range-join rewrite (no-op until
+    // spark.graft.rangeJoin.binSize is set to a positive width)
+    ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoin)
   }
 }
 

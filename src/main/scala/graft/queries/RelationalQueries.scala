@@ -177,6 +177,32 @@ object RelationalQueries {
       .select(col("s_suppkey"), col("s_name"), r2(col("total_rev").cast("double")).as("total_rev"))
   }
 
+  // q90 — BINNED RANGE JOIN via the Catalyst rewrite rule: a
+  // 1000-band price classification written as the NAIVE point-in-
+  // interval join — no manual binning in the query — optimized by
+  // graft.plans.BinnedRangeJoin into an equi-join on the bin key
+  // (RangeJoinRuleSpec pins the plan shape: no nested-loop join
+  // survives). The oracle is the plain range join; the rewrite is
+  // invisible to results by construction. The rule reads its conf at
+  // OPTIMIZATION time, so the query materializes its executedPlan
+  // inside the enabled window and then switches the conf off — the
+  // shared verify session's other range joins (q19's unbounded
+  // catch-all band, which must NOT be binned) plan untouched.
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.range(0, 1000).select(
+      (col("id") * lit(0.5)).as("lo"), ((col("id") + 1) * lit(0.5)).as("hi"),
+      col("id").as("band"))
+    val df = Tables.events(s, dir)
+      .join(bands, col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"),
+        r4(sum(col("value").cast("decimal(18,2)")).cast("double")).as("sum_value"))
+    graft.Graft.enableRangeJoinRewrite(s, 0.5)
+    try df.queryExecution.executedPlan // force optimization under the rule
+    finally s.conf.set(graft.plans.BinnedRangeJoin.BinSizeKey, "0")
+    df
+  }
+
   // q83 — Z-ORDER LAYOUT AUDIT: normalize both dimension keys to a
   // 10-bit range (rank-free integer scaling — real z-order writers
   // normalize per-column exactly so unequal key widths don't let one
@@ -205,6 +231,7 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_zorder" -> q83 _,
     "q87_tpch_q21" -> q87 _,
+    "q90_range_join_binned" -> q90 _,
     "q88_tpch_q17" -> q88 _,
     "q89_tpch_q15" -> q89 _,
     "q75_tpch_q7" -> q75 _,
@@ -313,6 +340,15 @@ object RelationalQueries {
         |  count(*)::BIGINT AS n_rows
         |FROM bl JOIN a ON l_partkey = ak
         |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+    "q90_range_join_binned" ->
+      """WITH bands AS (
+        |  SELECT i * 0.5 AS lo, (i + 1) * 0.5 AS hi, i::BIGINT AS band
+        |  FROM (SELECT unnest(range(0, 1000)) AS i)
+        |)
+        |SELECT band, count(*)::BIGINT AS n,
+        |  floor(sum(value::DECIMAL(18,2))::DOUBLE*10000 + 0.5)/10000 AS sum_value
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY 1""".stripMargin,
     "q89_tpch_q15" ->
       """WITH rev AS (
         |  SELECT l_suppkey,
