@@ -30,7 +30,7 @@ object ScaleProbe {
     // byte-identical copies — the adversarial dedup regime
     replicate("documents", Seq("doc_id"), 100000000L)
     // dims copy verbatim: they stay dim-sized at any fact scale
-    Seq("customer", "nation").foreach { t =>
+    Seq("customer", "nation", "supplier").foreach { t =>
       core.Tables(spark, src, t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
     println(f"[scale] replicate ${(System.nanoTime()-t0)/1e9}%.1f s")
@@ -91,6 +91,22 @@ object ScaleProbe {
     // HAVING-gated large orders at 10x: the pre-aggregate below the
     // joins keeps the join input at |qualifying orders|
     time("q77_tpch_q18@10x") { SparkEntry.queries("q77_tpch_q18")(spark, dst) }
+    // quantile sketch at 10x lineitem: bucket table stays ~10^3 rows
+    // (same value domain), so the walk is volume-independent
+    time("q85_sig_quantiles@10x") { SparkEntry.queries("q85_sig_quantiles")(spark, dst) }
+    // heavy hitters at 10x: every key's count x10 crosses the gate
+    // more often, but the gated shuffle still carries only heavy-
+    // candidate rows; the CMS pass is map-side either way
+    time("q86_heavy_hitters@10x") { SparkEntry.queries("q86_heavy_hitters")(spark, dst) }
+    // binned range join at 10x events: equi-join on the bin key —
+    // added volume is added probe rows, never added comparisons/row
+    time("q90_range_join@10x") { SparkEntry.queries("q90_range_join_binned")(spark, dst) }
+    // boilerplate grams at 10x verbatim replicas: per-gram df x10 but
+    // the gram KEYSPACE is flat, so the df table and its broadcast
+    // stay fixed while the position stream scales linearly
+    time("q91_boilerplate@10x") { SparkEntry.queries("q91_boilerplate")(spark, dst) }
+    // multi-correlated Q21 shape at 10x facts (both joins fact x fact)
+    time("q87_tpch_q21@10x") { SparkEntry.queries("q87_tpch_q21")(spark, dst) }
     // join+agg: lineitem(6M) x orders(1.5M) with dims from sf0.1
     val l = spark.read.parquet(s"$dst/lineitem.parquet")
     val o = spark.read.parquet(s"$dst/orders.parquet")

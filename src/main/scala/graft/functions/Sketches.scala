@@ -173,6 +173,49 @@ object Sketches {
       .groupBy(col("b_lo"))
       .agg(sum(col("bucket_n")).as("bucket_n"))
 
+  /** KMV (k-minimum-values) distinct-count sketch: the k smallest
+    * values of h(key) = (a*key + b) mod P over the distinct keys. The
+    * k-th smallest hash h_k estimates distinct count as
+    * (k-1) * P / h_k (uniform order statistics); the summary is k
+    * longs however large the input, and two sketches merge by
+    * re-taking the k smallest of their union — the mergeable path to
+    * distinct counts per partition / micro-batch / day. Unlike HLL
+    * (engine-internal registers), every value here replays in ANSI
+    * SQL, so the sketch CONTENTS are oracle-checkable. Build shape:
+    * per-key distinct is a partial-agg shuffle; the k-min is a single
+    * sorted limit on the distinct-hash stream (TakeOrdered — no
+    * global sort). */
+  def kmvSketch(df: DataFrame, key: Column, k: Int = 64): DataFrame =
+    df.select(kmvHash(key).as("h")).distinct()
+      .orderBy(col("h")).limit(k)
+
+  /** KMV needs a NONLINEAR hash: the affine family above preserves
+    * key order on domains that don't wrap past P, which makes the
+    * k-th-smallest order statistic (and thus the estimate) garbage on
+    * small/sequential key ranges. Squaring mod P before the affine
+    * step breaks monotonicity while every term stays inside BIGINT on
+    * both engines ((k mod P)^2 < 2^63), so the hash still replays
+    * exactly in ANSI SQL. */
+  def kmvHash(key: Column): Column = {
+    val kp = key % P
+    (kp * kp % P * A(0) + kp * B(0) + 1) % P
+  }
+
+  /** Merge partial KMV sketches: k smallest of the union. */
+  def mergeKmv(k: Int, sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _).distinct().orderBy(col("h")).limit(k)
+
+  /** Distinct-count estimate from a KMV sketch: (k-1)*P/h_k, or the
+    * sketch size itself when the input had fewer than `k` distinct
+    * keys (the sketch then IS the distinct hash set and the count is
+    * exact). */
+  def kmvEstimate(sketch: DataFrame, k: Int = 64): DataFrame =
+    sketch.agg(count(lit(1)).as("kk"), max(col("h")).as("hk"))
+      .select(
+        when(col("kk") < lit(k), col("kk").cast("double"))
+          .otherwise((col("kk") - 1).cast("double") * lit(P.toDouble) / col("hk"))
+          .as("est_distinct"))
+
   /** Discrete quantiles from a bucket table: for each q, the smallest
     * bucket lower-bound whose cumulative count reaches ceil(q*N) —
     * the true q-quantile rounded down to the sketch's significant

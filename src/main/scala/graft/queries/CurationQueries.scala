@@ -177,7 +177,35 @@ object CurationQueries {
       .select(col("probe_id"), col("corpus_id"), r4(col("jaccard")).as("jaccard"))
   }
 
+  // q91 — CROSS-DOCUMENT BOILERPLATE: word-3-grams occurring in >= 5
+  // DISTINCT documents (headers/footers/templates — the shared text a
+  // curation pipeline strips before training) and each doc's
+  // boilerplate load: total 3-gram positions, positions covered by a
+  // boilerplate gram, and the ratio a strip pass would remove. Scale
+  // shape: the gram explode is map-side; ONE (gram, doc) partial-agg
+  // shuffle builds document frequencies; the df >= 5 table is
+  // threshold-pruned to a sliver of the gram space and broadcasts
+  // back onto the position stream, so the 100 TB side is touched
+  // twice map-side and shuffled once on the final per-doc count.
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), TextAnalysis.wordTokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+    val grams = toks.select(col("doc_id"),
+      explode(expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))")).as("gram"))
+    val boiler = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 5)
+    grams
+      .join(broadcast(boiler.select(col("gram"), lit(1).as("hit"))), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_boiler"))
+      .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+        r4(col("n_boiler").cast("double") / col("n_grams")).as("boiler_ratio"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_boilerplate" -> q91 _,
     "q66_incremental_neardup" -> q66 _,
     "q60_contamination" -> q60 _,
     "q61_pii_redact" -> q61 _,
@@ -188,6 +216,23 @@ object CurationQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q91_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 1),
+        |      i -> list_aggr(w[i:i+2], 'string_agg', ' '))) AS gram
+        |  FROM toks WHERE len(w) >= 3
+        |), boiler AS (
+        |  SELECT gram FROM (
+        |    SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY 1
+        |  ) WHERE df >= 5
+        |)
+        |SELECT g.doc_id, count(*)::BIGINT AS n_grams, count(b.gram)::BIGINT AS n_boiler,
+        |  floor((count(b.gram)::DOUBLE / count(*))*10000 + 0.5)/10000 AS boiler_ratio
+        |FROM g LEFT JOIN boiler b ON g.gram = b.gram
+        |GROUP BY 1""".stripMargin,
     "q66_incremental_neardup" ->
       """WITH d AS (
         |  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks

@@ -145,7 +145,23 @@ object SketchQueries {
     Sketches.heavyHitters(li(s, dir), col("l_partkey"), minCount = 40L)
       .withColumnRenamed("key", "l_partkey")
 
+  // q92 — KMV DISTINCT-COUNT SKETCH: |distinct l_orderkey| estimated
+  // from the 64 smallest explicit-hash values next to the exact
+  // count. The sketch is 64 longs whatever the input size and merges
+  // by re-taking the k-min of a union (StreamingSketchSpec); estimate
+  // = (k-1)*P/h_k. k-min plans as TakeOrdered over the distinct-hash
+  // stream — per-partition top-k, no global sort — so the 100 TB
+  // build is one partial-distinct shuffle. Unlike HLL registers,
+  // every sketch value replays in ANSI SQL (strict hash oracle).
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    val sk = Sketches.kmvSketch(li(s, dir), col("l_orderkey"))
+    val truth = li(s, dir).agg(countDistinct(col("l_orderkey")).as("true_n"))
+    Sketches.kmvEstimate(sk).crossJoin(truth)
+      .select(r4(col("est_distinct")).as("est_distinct"), col("true_n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_kmv_distinct" -> q92 _,
     "q84_join_card" -> q84 _,
     "q85_sig_quantiles" -> q85 _,
     "q86_heavy_hitters" -> q86 _,
@@ -155,6 +171,20 @@ object SketchQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q92_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT
+        |    ((l_orderkey % 2147483647) * (l_orderkey % 2147483647) % 2147483647
+        |      * 1299721 + (l_orderkey % 2147483647) * 7 + 1) % 2147483647 AS h
+        |  FROM lineitem
+        |), kmin AS (SELECT h FROM h ORDER BY h LIMIT 64),
+        |e AS (SELECT count(*)::BIGINT AS kk, max(h)::BIGINT AS hk FROM kmin)
+        |SELECT
+        |  floor((CASE WHEN kk < 64 THEN kk::DOUBLE
+        |         ELSE (kk - 1)::DOUBLE * 2147483647.0 / hk END)*10000 + 0.5)/10000
+        |    AS est_distinct,
+        |  (SELECT count(DISTINCT l_orderkey)::BIGINT FROM lineitem) AS true_n
+        |FROM e""".stripMargin,
     "q85_sig_quantiles" ->
       """WITH v AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS xc FROM lineitem),
         |qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99])::DOUBLE AS q),

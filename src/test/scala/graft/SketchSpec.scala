@@ -95,6 +95,31 @@ class SketchSpec extends SparkSpec {
     assert(exact.nonEmpty, "threshold too high — test would be vacuous")
   }
 
+  test("KMV distinct sketch: within order-statistic error; slice merges equal the whole") {
+    val s = graft.functions.Sketches
+    val li = graft.core.Tables.lineitem(spark, sf("sf0.01"))
+    val whole = s.kmvSketch(li, $"l_orderkey")
+    val est = s.kmvEstimate(whole).as[Double].head()
+    val truth = li.select(countDistinct($"l_orderkey")).as[Long].head().toDouble
+    // 3 standard errors at k=64 (stderr ~ truth/sqrt(k-2))
+    assert(math.abs(est - truth) < 3 * truth / math.sqrt(62.0), s"est $est vs true $truth")
+    // k-min of sliced partial sketches == k-min of the whole input
+    val slices = Seq($"l_orderkey" % 3 === 0, $"l_orderkey" % 3 === 1, $"l_orderkey" % 3 === 2)
+      .map(p => s.kmvSketch(li.filter(p), $"l_orderkey"))
+    val merged = s.mergeKmv(64, slices: _*)
+    assert(merged.as[Long].collect().sorted.toSeq == whole.as[Long].collect().sorted.toSeq)
+    // exact-below-k regime: tiny input reports its true distinct count
+    val tiny = s.kmvEstimate(s.kmvSketch(li.filter($"l_orderkey" < 50), $"l_orderkey")).as[Double].head()
+    val tinyTruth = li.filter($"l_orderkey" < 50).select(countDistinct($"l_orderkey")).as[Long].head()
+    assert(tinyTruth < 64, "test needs the below-k regime")
+    assert(tiny == tinyTruth.toDouble)
+    // the nonlinear-hash regression case: a small SEQUENTIAL key range
+    // past k (the affine family preserved order here and estimated 20x)
+    val seqEst = s.kmvEstimate(s.kmvSketch(li.filter($"l_orderkey" < 400), $"l_orderkey")).as[Double].head()
+    val seqTruth = li.filter($"l_orderkey" < 400).select(countDistinct($"l_orderkey")).as[Long].head().toDouble
+    assert(seqTruth > 64 && math.abs(seqEst - seqTruth) < seqTruth, s"seq est $seqEst vs $seqTruth")
+  }
+
   test("q84 join-cardinality estimate dominates the true join size") {
     val r = SparkEntry.queries("q84_join_card")(spark, sf("sf0.01")).head()
     val (truth, est) = (r.getAs[Long]("true_pairs"), r.getAs[Long]("est_pairs"))
