@@ -42,4 +42,22 @@ object Sampling {
     df.withColumn("__rn", row_number().over(Window.partitionBy(groupCol).orderBy(order: _*)))
       .filter(col("__rn") <= quota)
       .drop("__rn")
+
+  /** Deterministic uniform in [0, 1) from an id — the Knuth
+    * multiplicative hash scaled to the unit interval. The same id
+    * always draws the same number, on any engine. */
+  def unitHash(id: Column): Column =
+    pmod((id * lit(2654435761L)) % lit(4294967296L), lit(4294967296L))
+      .cast("double") / lit(4294967296.0)
+
+  /** Deterministic WEIGHTED Bernoulli sampling: keep a row iff
+    * unitHash(id) < weight (a [0,1] column — e.g. a quality score or
+    * a per-source mixture rate joined on). E[kept] = sum(weights),
+    * rows keep independently, and the decision is a pure map-side
+    * filter — no shuffle, no rand(), reproducible across runs /
+    * partitionings / engines. This is the importance-sampling
+    * primitive a mixture build uses to hit target source rates at
+    * 100 TB without a global pass. */
+  def weightedSample(df: DataFrame, idCol: Column, weight: Column): DataFrame =
+    df.filter(unitHash(idCol) < weight)
 }

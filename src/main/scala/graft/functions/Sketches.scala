@@ -216,6 +216,42 @@ object Sketches {
           .otherwise((col("kk") - 1).cast("double") * lit(P.toDouble) / col("hk"))
           .as("est_distinct"))
 
+  /** Per-group sig-digit buckets: one quantile sketch per key —
+    * (group, b_lo, bucket_n). Same exact-integer bucketing as
+    * [[sigBuckets]]; the groupBy carries the group columns, so the
+    * whole build is still ONE partial-agg shuffle and the result is
+    * |groups| * buckets-per-group rows. */
+  def sigBucketsBy(df: DataFrame, group: Column, intValue: Column, sig: Int = 3): DataFrame = {
+    require(sig >= 1 && sig <= 15)
+    df.select(group.as("grp"), intValue.cast("long").as("__v"))
+      .withColumn("__p",
+        expr(s"cast(power(10, greatest(length(cast(__v as string)) - $sig, 0)) as bigint)"))
+      .select(col("grp"), (expr("__v DIV __p") * col("__p")).as("b_lo"))
+      .groupBy(col("grp"), col("b_lo"))
+      .agg(count(lit(1)).as("bucket_n"))
+  }
+
+  /** Per-group discrete quantiles from a [[sigBucketsBy]] table: the
+    * cumulative walk runs per group under a partitioned window (each
+    * group's sketch is thousands of rows at most, so no task ever
+    * sees more than one group's buckets x |qs|). */
+  def sigQuantilesBy(buckets: DataFrame, qs: Seq[Double]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("b_lo"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val totals = buckets.groupBy(col("grp")).agg(sum(col("bucket_n")).as("total_n"))
+    val cum = buckets
+      .withColumn("cum_n", sum(col("bucket_n")).over(w))
+      .join(totals, Seq("grp"))
+    val qdf = buckets.sparkSession.range(1)
+      .select(explode(array(qs.map(lit(_)): _*)).as("q"))
+    cum.crossJoin(broadcast(qdf))
+      .filter(col("cum_n") >= ceil(col("q") * col("total_n")))
+      .groupBy(col("grp"), col("q"))
+      .agg(min(col("b_lo")).as("q_lo"))
+  }
+
   /** Discrete quantiles from a bucket table: for each q, the smallest
     * bucket lower-bound whose cumulative count reaches ceil(q*N) —
     * the true q-quantile rounded down to the sketch's significant

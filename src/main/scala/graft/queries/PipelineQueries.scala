@@ -207,7 +207,24 @@ object PipelineQueries {
       .filter(col("cum_tokens") - col("n_tokens") < budget)
   }
 
+  // q94 — WEIGHTED DETERMINISTIC SAMPLING: each doc keeps with
+  // probability equal to its source's target rate (src0 -> 5% ...
+  // src19 -> 100%), decided by comparing the doc's multiplicative-
+  // hash uniform draw against the rate — no rand(), so the sample is
+  // bitwise reproducible across runs/partitionings/engines, and the
+  // decision is a pure map-side filter (zero shuffle at any scale).
+  // This is the rate-based mixture primitive (q74 is the budget-based
+  // one): hitting per-source token-share targets on a 100 TB corpus
+  // without a global pass.
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("rate",
+      (substring(col("source"), 4, 10).cast("int") + 1).cast("double") / 20.0)
+    graft.functions.Sampling.weightedSample(d, col("doc_id"), col("rate"))
+      .select(col("doc_id"), col("source"), col("rate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_weighted_sample" -> q94 _,
     "q67_dedup_corpus" -> q67 _,
     "q68_decontaminated" -> q68 _,
     "q69_quality_gate" -> q69 _,
@@ -219,6 +236,12 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q94_weighted_sample" ->
+      """SELECT doc_id, source,
+        |  (substr(source, 4)::INT + 1)::DOUBLE / 20.0::DOUBLE AS rate
+        |FROM documents
+        |WHERE ((doc_id * 2654435761) % 4294967296)::DOUBLE / 4294967296.0
+        |    < (substr(source, 4)::INT + 1)::DOUBLE / 20.0::DOUBLE""".stripMargin,
     "q67_dedup_corpus" ->
       """WITH RECURSIVE d AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents

@@ -160,8 +160,28 @@ object SketchQueries {
       .select(r4(col("est_distinct")).as("est_distinct"), col("true_n"))
   }
 
+  // q93 — GROUPED QUANTILE SKETCH: per-event_type p50/p90/p99 of the
+  // value column (in cents) from per-key sig-digit bucket sketches,
+  // next to the exact per-key discrete quantile (same walk at sig=15).
+  // This is the per-key percentile shape a metrics pipeline needs at
+  // 100 TB: ONE (key, bucket) partial-agg shuffle builds every key's
+  // sketch; the quantile walk windows per key over sketch-sized
+  // partitions — no global sort, no per-key full sort.
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val qs = Seq(0.5, 0.9, 0.99)
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val ev = Tables.events(s, dir)
+    val sk = Sketches.sigQuantilesBy(Sketches.sigBucketsBy(ev, col("event_type"), cents), qs)
+    val exact = Sketches.sigQuantilesBy(
+      Sketches.sigBucketsBy(ev, col("event_type"), cents, sig = 15), qs)
+      .withColumnRenamed("q_lo", "true_v")
+    sk.join(exact, Seq("grp", "q"))
+      .select(col("grp").as("event_type"), col("q"), col("q_lo"), col("true_v"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_kmv_distinct" -> q92 _,
+    "q93_grouped_quantiles" -> q93 _,
     "q84_join_card" -> q84 _,
     "q85_sig_quantiles" -> q85 _,
     "q86_heavy_hitters" -> q86 _,
@@ -171,6 +191,33 @@ object SketchQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q93_grouped_quantiles" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS xc FROM events
+        |), qs AS (SELECT unnest([0.5, 0.9, 0.99])::DOUBLE AS q),
+        |b AS (
+        |  SELECT event_type, (xc // p) * p AS b_lo, count(*)::BIGINT AS n
+        |  FROM (SELECT event_type, xc,
+        |    CAST(power(10, greatest(length(CAST(xc AS VARCHAR)) - 3, 0)) AS BIGINT) AS p FROM v)
+        |  GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT event_type, b_lo,
+        |    sum(n) OVER (PARTITION BY event_type ORDER BY b_lo)::BIGINT AS cum_n,
+        |    sum(n) OVER (PARTITION BY event_type)::BIGINT AS total_n FROM b
+        |), sk AS (
+        |  SELECT event_type, q, min(b_lo)::BIGINT AS q_lo FROM cum CROSS JOIN qs
+        |  WHERE cum_n >= ceil(q * total_n::DOUBLE) GROUP BY 1, 2
+        |), eb AS (SELECT event_type, xc, count(*)::BIGINT AS n FROM v GROUP BY 1, 2),
+        |ecum AS (
+        |  SELECT event_type, xc,
+        |    sum(n) OVER (PARTITION BY event_type ORDER BY xc)::BIGINT AS cum_n,
+        |    sum(n) OVER (PARTITION BY event_type)::BIGINT AS total_n FROM eb
+        |), tr AS (
+        |  SELECT event_type, q, min(xc)::BIGINT AS true_v FROM ecum CROSS JOIN qs
+        |  WHERE cum_n >= ceil(q * total_n::DOUBLE) GROUP BY 1, 2
+        |)
+        |SELECT sk.event_type, sk.q, sk.q_lo, tr.true_v
+        |FROM sk JOIN tr USING (event_type, q)""".stripMargin,
     "q92_kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT
