@@ -349,6 +349,62 @@ object StreamPipeline {
     * watermark proves no matching quote can still arrive, so outer
     * results trail the watermark by the join window (same state
     * bound; emission latency is the price of the null guarantee). */
+  /** Maintain DURABLE corpus statistics over a stream: per
+    * micro-batch, build the batch's partial sketches — Count-Min
+    * cells over `keyCol` and sig-digit quantile buckets over
+    * `valueCol` — merge them with the persisted sketch store at
+    * `sketchPath`, and swap the merged store into place atomically
+    * (readers never see a half-written sketch; a crash mid-swap heals
+    * on the next batch — [[graft.batch.AtomicSwap]]).
+    *
+    * This is the live-statistics shape for a 100 TB ingest: each batch
+    * costs O(batch + sketch) regardless of corpus size because both
+    * sketches are mergeable summaries (cell-wise sum / bucket-wise
+    * sum), and the store stays a few thousand rows forever. Replays
+    * of an at-least-once batch double-count into the sketch — the
+    * documented trade of sketch-vs-ledger; exact idempotency needs
+    * the batch-id-stamped bucket store ([[run]]/[[readBuckets]])
+    * which this operator deliberately does not replace. Estimates
+    * (heavy keys, quantiles) read the same store via
+    * [[graft.functions.Sketches]] at any time.
+    */
+  def maintainSketches(events: DataFrame, sketchPath: String, checkpoint: String,
+                       keyCol: String, valueCol: String,
+                       trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val cellsP = s"$sketchPath/cms"
+        val bucketsP = s"$sketchPath/qbuckets"
+        def exists(p: String): Boolean = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(hconf).exists(hp)
+        }
+        val cents = org.apache.spark.sql.functions
+          .floor(col(valueCol) * 100 + org.apache.spark.sql.functions.lit(0.5)).cast("long")
+        val partialCells = graft.functions.Sketches.countMinCellsDirect(batch, col(keyCol))
+        val partialBuckets = graft.functions.Sketches.sigBuckets(batch, cents)
+        val mergedCells =
+          if (exists(cellsP))
+            graft.functions.Sketches.mergeCells(spark.read.parquet(cellsP), partialCells)
+          else partialCells
+        val mergedBuckets =
+          if (exists(bucketsP))
+            graft.functions.Sketches.mergeSigBuckets(spark.read.parquet(bucketsP), partialBuckets)
+          else partialBuckets
+        // write-new-then-swap: the live store is readable at every instant
+        mergedCells.coalesce(1).write.mode("overwrite").parquet(cellsP + ".tmp")
+        mergedBuckets.coalesce(1).write.mode("overwrite").parquet(bucketsP + ".tmp")
+        graft.batch.AtomicSwap.swapInto(hconf, cellsP + ".tmp", cellsP)
+        graft.batch.AtomicSwap.swapInto(hconf, bucketsP + ".tmp", bucketsP)
+        ()
+      }
+      .start()
+
   def enrichWithQuotes(ticks: DataFrame, quotes: DataFrame,
                        joinWindow: String = "10 minutes",
                        watermark: String = "1 minute",

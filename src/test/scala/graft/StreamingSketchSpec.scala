@@ -69,6 +69,32 @@ class StreamingSketchSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maintainSketches: durable store equals batch sketches after 3 batches; swap-safe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sketches").toString
+    val stream = MemoryStream[(Long, Double)](spark)
+    val q = graft.streaming.StreamPipeline.maintainSketches(
+      stream.toDF().toDF("k", "v"), s"$dir/store", s"$dir/ckpt", "k", "v",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      val all = (1L to 900L).map(i => (i % 57, (i % 13 + 1) * 7.5))
+      all.grouped(300).foreach { chunk => stream.addData(chunk); q.processAllAvailable() }
+      val whole = all.toDF("k", "v")
+      val wantCells = cellMap(Sketches.countMinCells(whole, col("k")))
+      val gotCells = cellMap(spark.read.parquet(s"$dir/store/cms"))
+      assert(gotCells == wantCells)
+      val cents = org.apache.spark.sql.functions.floor(col("v") * 100 + lit(0.5)).cast("long")
+      val wantB = Sketches.sigBuckets(whole, cents)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gotB = spark.read.parquet(s"$dir/store/qbuckets")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotB == wantB)
+      // the store answers estimates directly
+      val est = Sketches.cmsEstimate(spark.read.parquet(s"$dir/store/cms"),
+        Seq(5L).toDF("k"), col("k")).collect().head.getLong(1)
+      assert(est >= all.count(_._1 == 5L), "CMS estimate must dominate truth")
+    } finally q.stop()
+  }
+
   test("streaming CMS: foreachBatch-maintained cells equal the batch sketch after 3 batches") {
     val stream = MemoryStream[Long](spark)
     var acc: Option[DataFrame] = None
