@@ -236,14 +236,18 @@ object Sketches {
     * group's sketch is thousands of rows at most, so no task ever
     * sees more than one group's buckets x |qs|). */
   def sigQuantilesBy(buckets: DataFrame, qs: Seq[Double]): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("grp")).orderBy(col("b_lo"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val totals = buckets.groupBy(col("grp")).agg(sum(col("bucket_n")).as("total_n"))
+    val W = org.apache.spark.sql.expressions.Window
+    // cumulative AND total from the SAME per-group window partition:
+    // the bucket table shuffles once and the underlying fact is never
+    // re-scanned for the denominator (a groupBy+join here would
+    // re-derive the whole sketch build a second time)
+    val wCum = W.partitionBy(col("grp")).orderBy(col("b_lo"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wTot = W.partitionBy(col("grp"))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     val cum = buckets
-      .withColumn("cum_n", sum(col("bucket_n")).over(w))
-      .join(totals, Seq("grp"))
+      .withColumn("cum_n", sum(col("bucket_n")).over(wCum))
+      .withColumn("total_n", sum(col("bucket_n")).over(wTot))
     val qdf = buckets.sparkSession.range(1)
       .select(explode(array(qs.map(lit(_)): _*)).as("q"))
     cum.crossJoin(broadcast(qdf))
@@ -260,12 +264,17 @@ object Sketches {
     * input), as a single-partition cumulative window — the correct
     * shape for a sketch-sized table. */
   def sigQuantiles(buckets: DataFrame, qs: Seq[Double]): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("b_lo"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
+    val W = org.apache.spark.sql.expressions.Window
+    // total from a second window over the same single partition (the
+    // sketch is thousands of rows) — an agg+crossJoin would re-run
+    // the whole bucket build, re-scanning the fact table
+    val wCum = W.orderBy(col("b_lo"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wTot = W.partitionBy()
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     val cum = buckets
-      .withColumn("cum_n", sum(col("bucket_n")).over(w))
-      .crossJoin(buckets.agg(sum(col("bucket_n")).as("total_n")))
+      .withColumn("cum_n", sum(col("bucket_n")).over(wCum))
+      .withColumn("total_n", sum(col("bucket_n")).over(wTot))
     val qdf = buckets.sparkSession.range(1)
       .select(explode(array(qs.map(lit(_)): _*)).as("q"))
     cum.crossJoin(broadcast(qdf))

@@ -155,4 +155,36 @@ class PlanAuditSpec extends SparkSpec {
       v.fold(c.unset(k))(c.set(k, _))
     }
   }
+
+  test("q85 quantile sketch: bucket build is partial+final around one exchange") {
+    val p = plan("q85_sig_quantiles")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial bucket agg:\n$p")
+    // the quantile walk must run on the sketch, never re-touch lineitem:
+    // exactly two scans (sketch side + exact side), not four
+    assert("FileScan parquet".r.findAllIn(p).size <= 2 || "Scan parquet".r.findAllIn(p).size <= 2,
+      s"quantile walk re-scans the fact table:\n$p")
+  }
+
+  test("q86 heavy hitters: CMS gate is a broadcast, exact count is gated") {
+    val p = plan("q86_heavy_hitters")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"cell lookup row should broadcast:\n$p")
+    // the gating filter (est >= minCount) must sit BELOW the final
+    // per-key aggregate — light keys die before the shuffle
+    val filterIdx = p.indexOf("Filter")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(filterIdx >= 0 && aggIdx >= 0 && p.lastIndexOf("Filter") > aggIdx,
+      s"no map-side gate below the aggregate:\n$p")
+  }
+
+  test("q91 boilerplate: threshold-pruned gram table broadcasts back onto positions") {
+    val p = plan("q91_boilerplate")
+    assert(p.contains("BroadcastHashJoin"), s"df table should broadcast:\n$p")
+  }
+
+  test("q92 KMV: k-min plans as TakeOrdered, not a global sort") {
+    val p = plan("q92_kmv_distinct")
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$p")
+    assert(!p.contains("Sort ["), s"global sort crept in:\n$p")
+  }
 }
