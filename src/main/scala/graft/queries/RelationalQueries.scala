@@ -177,6 +177,25 @@ object RelationalQueries {
       .select(col("s_suppkey"), col("s_name"), r2(col("total_rev").cast("double")).as("total_rev"))
   }
 
+  // q95 — TPC-H Q13 shape (customer order-count distribution): LEFT
+  // OUTER join so zero-order customers survive with count 0, then a
+  // second aggregation histogramming customers per order count — the
+  // two-level outer-join-aggregate shape. Priority orders are
+  // excluded (the Q13 comment-filter analogue on this schema). Scale:
+  // the outer join shuffles both sides on custkey once; the second
+  // aggregate runs on the |customers| pre-aggregate, and the final
+  // histogram is dozens of rows.
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderpriority") =!= "1-URGENT")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   // q90 — BINNED RANGE JOIN via the Catalyst rewrite rule: a
   // 1000-band price classification written as the NAIVE point-in-
   // interval join — no manual binning in the query — optimized by
@@ -232,6 +251,7 @@ object RelationalQueries {
     "q83_zorder" -> q83 _,
     "q87_tpch_q21" -> q87 _,
     "q90_range_join_binned" -> q90 _,
+    "q95_tpch_q13" -> q95 _,
     "q88_tpch_q17" -> q88 _,
     "q89_tpch_q15" -> q89 _,
     "q75_tpch_q7" -> q75 _,
@@ -340,6 +360,14 @@ object RelationalQueries {
         |  count(*)::BIGINT AS n_rows
         |FROM bl JOIN a ON l_partkey = ak
         |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+    "q95_tpch_q13" ->
+      """SELECT c_count, count(*)::BIGINT AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+        |  FROM customer LEFT JOIN (
+        |    SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT'
+        |  ) o ON c_custkey = o_custkey
+        |  GROUP BY 1
+        |) GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q90_range_join_binned" ->
       """WITH bands AS (
         |  SELECT i * 0.5 AS lo, (i + 1) * 0.5 AS hi, i::BIGINT AS band
