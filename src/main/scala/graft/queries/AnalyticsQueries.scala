@@ -116,6 +116,31 @@ object AnalyticsQueries {
         col("rnk").cast("long").as("rnk"))
   }
 
+  // q96 — INVERTED INDEX materialization: term -> (df, sorted posting
+  // list) for mid-frequency terms (2 <= df <= 0.9*N — the band is
+  // RELATIVE to corpus size so it selects the same vocabulary slice
+  // at any scale factor) — the retrieval index build over a corpus.
+  // Postings serialize as a comma-joined string (sorted numerically
+  // BEFORE the string cast) because cross-engine array renderings
+  // differ; the band excludes hapaxes and every-doc stop-words. Scale
+  // shape: per-doc distinct is map-side (array_distinct before the
+  // explode); one (term) shuffle builds df and postings together. An
+  // uncapped posting list is the honest cost of an inverted index —
+  // a production build shards postings above a length cap.
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    docs.select(col("doc_id"),
+      explode(array_distinct(graft.functions.TextAnalysis.wordTokens(col("text")))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        expr("array_join(transform(sort_array(collect_list(doc_id)), x -> cast(x as string)), ',')")
+          .as("postings"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") >= 2 && col("df").cast("double") <= lit(0.9) * col("n_docs"))
+      .select(col("term"), col("df"), col("postings"))
+  }
+
   // q58 — corpus vocabulary: top-100 terms by document frequency
   // (term tiebreak) with occurrence totals — the heavy-hitter scan a
   // tokenizer build starts from. orderBy+limit plans as TakeOrdered
@@ -167,6 +192,7 @@ object AnalyticsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_ewma" -> q82 _,
+    "q96_inverted_index" -> q96 _,
     "q59_fuzzy_lsh" -> q59 _,
     "q57_tfidf_topterms" -> q57 _,
     "q58_vocab_top100" -> q58 _,
@@ -179,6 +205,17 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q96_inverted_index" ->
+      """WITH t AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents
+        |)
+        |SELECT term, count(*)::BIGINT AS df,
+        |  array_to_string(list_sort(list(doc_id)), ',') AS postings
+        |FROM t GROUP BY 1
+        |HAVING count(*) >= 2
+        |  AND count(*)::DOUBLE <= 0.9 * (SELECT count(*) FROM documents)""".stripMargin,
     "q82_ewma" ->
       // list_reduce over each prefix replays the EXACT IEEE fold the
       // engine's one-pass expression performs (seed y0 = x0, then
