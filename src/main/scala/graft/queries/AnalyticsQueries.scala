@@ -141,6 +141,31 @@ object AnalyticsQueries {
       .select(col("term"), col("df"), col("postings"))
   }
 
+  // q97 — CONJUNCTIVE RETRIEVAL (AND query): documents containing ALL
+  // of the query terms — the universal-quantifier dual of q60's
+  // existential any-gram probe, answered as HAVING count = |terms|
+  // over the distinct (doc, term) relation. The query terms are
+  // chosen deterministically (two lexicographically-first terms of
+  // q96's mid-df band) so the query is self-contained at every scale
+  // factor. Scale shape: the 2-row term set broadcasts; the fact side
+  // is touched map-side and only matching (doc, term) rows reach the
+  // per-doc count shuffle.
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val t = docs.select(col("doc_id"),
+      explode(array_distinct(graft.functions.TextAnalysis.wordTokens(col("text")))).as("term"))
+    val queryTerms = t.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") >= 2 && col("df").cast("double") <= lit(0.9) * col("n_docs"))
+      .orderBy(col("term")).limit(2).select(col("term"))
+    t.join(broadcast(queryTerms), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === 2)
+      .select(col("doc_id"), col("n_hit"))
+  }
+
   // q58 — corpus vocabulary: top-100 terms by document frequency
   // (term tiebreak) with occurrence totals — the heavy-hitter scan a
   // tokenizer build starts from. orderBy+limit plans as TakeOrdered
@@ -193,6 +218,7 @@ object AnalyticsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_ewma" -> q82 _,
     "q96_inverted_index" -> q96 _,
+    "q97_and_query" -> q97 _,
     "q59_fuzzy_lsh" -> q59 _,
     "q57_tfidf_topterms" -> q57 _,
     "q58_vocab_top100" -> q58 _,
@@ -216,6 +242,20 @@ object AnalyticsQueries {
         |FROM t GROUP BY 1
         |HAVING count(*) >= 2
         |  AND count(*)::DOUBLE <= 0.9 * (SELECT count(*) FROM documents)""".stripMargin,
+    "q97_and_query" ->
+      """WITH t AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents
+        |), qt AS (
+        |  SELECT term FROM t GROUP BY 1
+        |  HAVING count(*) >= 2
+        |    AND count(*)::DOUBLE <= 0.9 * (SELECT count(*) FROM documents)
+        |  ORDER BY term LIMIT 2
+        |)
+        |SELECT doc_id, count(*)::BIGINT AS n_hit
+        |FROM t JOIN qt USING (term)
+        |GROUP BY 1 HAVING count(*) = 2""".stripMargin,
     "q82_ewma" ->
       // list_reduce over each prefix replays the EXACT IEEE fold the
       // engine's one-pass expression performs (seed y0 = x0, then
