@@ -202,24 +202,23 @@ object RelationalQueries {
   // graft.plans.BinnedRangeJoin into an equi-join on the bin key
   // (RangeJoinRuleSpec pins the plan shape: no nested-loop join
   // survives). The oracle is the plain range join; the rewrite is
-  // invisible to results by construction. The rule reads its conf at
-  // OPTIMIZATION time, so the query materializes its executedPlan
-  // inside the enabled window and then switches the conf off — the
-  // shared verify session's other range joins (q19's unbounded
-  // catch-all band, which must NOT be binned) plan untouched.
+  // invisible to results by construction. The rule is enabled for
+  // the SESSION (writers re-plan the frame with a fresh
+  // QueryExecution, so a scoped toggle would silently hand them the
+  // naive plan): this is safe because the rule fires only on INNER
+  // joins with a point-in-interval pair and no equi key — q90's join
+  // is the single such plan in the battery (q19's unbounded
+  // catch-all band rides a LEFT join, which the rule never touches).
   private def q90(s: SparkSession, dir: String): DataFrame = {
+    graft.Graft.enableRangeJoinRewrite(s, 0.5)
     val bands = s.range(0, 1000).select(
       (col("id") * lit(0.5)).as("lo"), ((col("id") + 1) * lit(0.5)).as("hi"),
       col("id").as("band"))
-    val df = Tables.events(s, dir)
+    Tables.events(s, dir)
       .join(bands, col("value") >= col("lo") && col("value") < col("hi"))
       .groupBy(col("band"))
       .agg(count(lit(1)).as("n"),
         r4(sum(col("value").cast("decimal(18,2)")).cast("double")).as("sum_value"))
-    graft.Graft.enableRangeJoinRewrite(s, 0.5)
-    try df.queryExecution.executedPlan // force optimization under the rule
-    finally s.conf.set(graft.plans.BinnedRangeJoin.BinSizeKey, "0")
-    df
   }
 
   // q83 — Z-ORDER LAYOUT AUDIT: normalize both dimension keys to a

@@ -37,6 +37,9 @@ class RangeJoinRuleSpec extends SparkSpec {
 
   test("rule turns the nested-loop into an equi join on the bin key") {
     def plan(df: DataFrame) = df.queryExecution.executedPlan.toString
+    // q90 (QueriesSmokeSpec) leaves the rule enabled on the shared
+    // session — pin the baseline's conf explicitly
+    spark.conf.set(graft.plans.BinnedRangeJoin.BinSizeKey, "0")
     val naive = plan(joined)
     assert(naive.contains("BroadcastNestedLoopJoin") || naive.contains("CartesianProduct"),
       s"baseline should be a nested-loop/cartesian plan:\n$naive")
