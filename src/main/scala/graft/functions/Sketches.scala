@@ -216,6 +216,31 @@ object Sketches {
           .otherwise((col("kk") - 1).cast("double") * lit(P.toDouble) / col("hk"))
           .as("est_distinct"))
 
+  /** Per-group KMV: the k smallest hashes PER KEY — one distinct-count
+    * sketch per group, |groups| * k rows total. The per-group k-min
+    * rides the raw `row_number <= k` filter, which keeps Catalyst's
+    * InferWindowGroupLimit eligible: every map task ships at most k
+    * hashes per group before the exchange (the same plan property
+    * SamplingPlanSpec pins for quota sampling) — per-key distinct
+    * estimation over 100 TB without a per-key global sort. */
+  def kmvSketchBy(df: DataFrame, group: Column, key: Column, k: Int = 64): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("h"))
+    df.select(group.as("grp"), kmvHash(key).as("h")).distinct()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("grp"), col("h"))
+  }
+
+  /** Per-group estimates from a [[kmvSketchBy]] table. */
+  def kmvEstimateBy(sketch: DataFrame, k: Int = 64): DataFrame =
+    sketch.groupBy(col("grp"))
+      .agg(count(lit(1)).as("kk"), max(col("h")).as("hk"))
+      .select(col("grp"),
+        when(col("kk") < lit(k), col("kk").cast("double"))
+          .otherwise((col("kk") - 1).cast("double") * lit(P.toDouble) / col("hk"))
+          .as("est_distinct"))
+
   /** Per-group sig-digit buckets: one quantile sketch per key —
     * (group, b_lo, bucket_n). Same exact-integer bucketing as
     * [[sigBuckets]]; the groupBy carries the group columns, so the

@@ -179,8 +179,27 @@ object SketchQueries {
       .select(col("grp").as("event_type"), col("q"), col("q_lo"), col("true_v"))
   }
 
+  // q98 — PER-KEY KMV DISTINCT ESTIMATION: distinct users per
+  // event_type from one 64-hash sketch per key, next to the exact
+  // count. The per-group k-min keeps InferWindowGroupLimit eligible
+  // (<=k hashes per group leave each map task), so the whole build is
+  // one partial-limited shuffle — the per-key cardinality answer a
+  // 100 TB stream summary needs without per-key sorts or HLL's
+  // engine-internal registers (every value replays in the oracle).
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val est = Sketches.kmvEstimateBy(
+      Sketches.kmvSketchBy(ev, col("event_type"), col("user_id")))
+    val truth = ev.groupBy(col("event_type").as("tg"))
+      .agg(countDistinct(col("user_id")).as("true_n"))
+    est.join(truth, col("grp") === col("tg"))
+      .select(col("grp").as("event_type"), r4(col("est_distinct")).as("est_distinct"),
+        col("true_n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_kmv_distinct" -> q92 _,
+    "q98_kmv_by_key" -> q98 _,
     "q93_grouped_quantiles" -> q93 _,
     "q84_join_card" -> q84 _,
     "q85_sig_quantiles" -> q85 _,
@@ -191,6 +210,28 @@ object SketchQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q98_kmv_by_key" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    ((user_id % 2147483647) * (user_id % 2147483647) % 2147483647
+        |      * 1299721 + (user_id % 2147483647) * 7 + 1) % 2147483647 AS h
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h
+        |), s AS (
+        |  SELECT event_type, count(*)::BIGINT AS kk, max(h)::BIGINT AS hk
+        |  FROM r WHERE rn <= 64 GROUP BY 1
+        |), t AS (
+        |  SELECT event_type, count(DISTINCT user_id)::BIGINT AS true_n
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT s.event_type,
+        |  floor((CASE WHEN kk < 64 THEN kk::DOUBLE
+        |         ELSE (kk - 1)::DOUBLE * 2147483647.0 / hk END)*10000 + 0.5)/10000
+        |    AS est_distinct,
+        |  t.true_n
+        |FROM s JOIN t USING (event_type)""".stripMargin,
     "q93_grouped_quantiles" ->
       """WITH v AS (
         |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS xc FROM events

@@ -120,6 +120,19 @@ class SketchSpec extends SparkSpec {
     assert(seqTruth > 64 && math.abs(seqEst - seqTruth) < seqTruth, s"seq est $seqEst vs $seqTruth")
   }
 
+  test("grouped KMV: per-group sketch equals the single-group build; map-side group limit") {
+    val s = graft.functions.Sketches
+    val ev = graft.core.Tables.events(spark, sf("sf0.01"))
+    val by = s.kmvSketchBy(ev, col("event_type"), col("user_id"))
+    val one = s.kmvSketch(ev.filter($"event_type" === "click"), $"user_id")
+    assert(by.filter($"grp" === "click").select("h").as[Long].collect().sorted.toSeq
+      == one.as[Long].collect().sorted.toSeq)
+    // the per-group k-min must pre-reduce map-side (<=k rows/group/task)
+    val p = by.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"no partial group limit in grouped KMV plan:\n$p")
+  }
+
   test("q84 join-cardinality estimate dominates the true join size") {
     val r = SparkEntry.queries("q84_join_card")(spark, sf("sf0.01")).head()
     val (truth, est) = (r.getAs[Long]("true_pairs"), r.getAs[Long]("est_pairs"))
