@@ -177,6 +177,35 @@ object RelationalQueries {
       .select(col("s_suppkey"), col("s_name"), r2(col("total_rev").cast("double")).as("total_rev"))
   }
 
+  // q99 — TPC-H Q8 shape (national market share): one nation's share
+  // of revenue in a part-type segment per order year — the
+  // conditional-aggregate-ratio classic: the share is
+  // sum(CASE nation THEN rev END) / sum(rev) computed in ONE
+  // aggregation over the joined facts (no second pass, no self-join).
+  // Revenue stays exact decimal through both sums; the ratio is the
+  // only double op and rounds once. Scale: part-type filter prunes the
+  // fact scan through the broadcast part dim before either shuffle;
+  // supplier/nation dims broadcast.
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).filter(col("p_type") === "STANDARD").select(col("p_partkey"))
+    val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(28,4)")
+    li(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o2(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        r4((sum(when(col("n_name") === "NATION_3", rev).otherwise(lit(0).cast("decimal(28,4)"))).cast("double")
+          / sum(rev).cast("double"))).as("mkt_share"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  private def o2(s: SparkSession, dir: String) =
+    Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"))
+
   // q95 — TPC-H Q13 shape (customer order-count distribution): LEFT
   // OUTER join so zero-order customers survive with count 0, then a
   // second aggregation histogramming customers per order count — the
@@ -251,6 +280,7 @@ object RelationalQueries {
     "q87_tpch_q21" -> q87 _,
     "q90_range_join_binned" -> q90 _,
     "q95_tpch_q13" -> q95 _,
+    "q99_tpch_q8" -> q99 _,
     "q88_tpch_q17" -> q88 _,
     "q89_tpch_q15" -> q89 _,
     "q75_tpch_q7" -> q75 _,
@@ -359,6 +389,20 @@ object RelationalQueries {
         |  count(*)::BIGINT AS n_rows
         |FROM bl JOIN a ON l_partkey = ak
         |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+    "q99_tpch_q8" ->
+      """SELECT year(o_orderdate)::BIGINT AS o_year,
+        |  floor((sum(CASE WHEN n_name = 'NATION_3'
+        |               THEN (l_extendedprice * (1 - l_discount))::DECIMAL(28,4)
+        |               ELSE 0::DECIMAL(28,4) END)::DOUBLE
+        |         / sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,4))::DOUBLE)*10000 + 0.5)/10000
+        |    AS mkt_share,
+        |  count(*)::BIGINT AS n_rows
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
     "q95_tpch_q13" ->
       """SELECT c_count, count(*)::BIGINT AS custdist FROM (
         |  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
