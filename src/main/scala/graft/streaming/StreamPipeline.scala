@@ -405,6 +405,33 @@ object StreamPipeline {
       }
       .start()
 
+  /** ONLINE SIMILARITY SERVING: a stream of query embeddings answered
+    * per micro-batch with exact cosine top-k against a STATIC corpus
+    * — the serving-path complement of the batch ANN queries. Each
+    * batch is a handful of queries against an arbitrarily large
+    * corpus, so the batch side is the broadcast/probe side by
+    * construction ([[graft.functions.Similarity.cosineTopK]] puts the
+    * queries on the broadcast side of the score join) and the top-k
+    * is the bounded-heap aggregate — per-batch cost is one corpus
+    * scan, no corpus shuffle, results append with the batch id for
+    * at-least-once dedup on read. For larger fleets the corpus scan
+    * amortizes by batching queries via the trigger interval. */
+  def similarityServe(queryStream: DataFrame, corpus: DataFrame, outPath: String,
+                      checkpoint: String, k: Int = 5,
+                      trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    queryStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.functions.Similarity.cosineTopK(batch, corpus, "id", "embedding", k)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+
   def enrichWithQuotes(ticks: DataFrame, quotes: DataFrame,
                        joinWindow: String = "10 minutes",
                        watermark: String = "1 minute",

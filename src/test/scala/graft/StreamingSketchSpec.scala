@@ -95,6 +95,33 @@ class StreamingSketchSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("similarityServe: streamed queries get the exact batch top-k against the corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_serve").toString
+    def vec(seed: Long): Seq[Float] =
+      (0 until 8).map(j => ((seed * 31 + j * 7) % 13 - 6).toFloat)
+    val corpus = (1L to 50L).map(i => (i, vec(i))).toDF("id", "embedding")
+    val stream = MemoryStream[(Long, Seq[Float])](spark)
+    val q = graft.streaming.StreamPipeline.similarityServe(
+      stream.toDF().toDF("id", "embedding"), corpus, s"$dir/out", s"$dir/ckpt", k = 3,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      stream.addData((1001L, vec(3)), (1002L, vec(17)))
+      q.processAllAvailable()
+      stream.addData((1003L, vec(42)))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/out")
+        .select("query_id", "neighbor_id", "rnk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val queries = Seq((1001L, vec(3)), (1002L, vec(17)), (1003L, vec(42)))
+        .toDF("id", "embedding")
+      val want = graft.functions.Similarity.cosineTopK(queries, corpus, "id", "embedding", 3)
+        .select("query_id", "neighbor_id", "rnk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want)
+      assert(got.size == 9, "3 queries x top-3")
+    } finally q.stop()
+  }
+
   test("streaming CMS: foreachBatch-maintained cells equal the batch sketch after 3 batches") {
     val stream = MemoryStream[Long](spark)
     var acc: Option[DataFrame] = None
