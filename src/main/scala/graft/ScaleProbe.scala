@@ -107,6 +107,15 @@ object ScaleProbe {
     time("q91_boilerplate@10x") { SparkEntry.queries("q91_boilerplate")(spark, dst) }
     // multi-correlated Q21 shape at 10x facts (both joins fact x fact)
     time("q87_tpch_q21@10x") { SparkEntry.queries("q87_tpch_q21")(spark, dst) }
+    // KMV sketches at 10x: the sketch is 64 longs whatever the volume;
+    // the build cost is the distinct-hash pass
+    time("q92_kmv@10x") { SparkEntry.queries("q92_kmv_distinct")(spark, dst) }
+    time("q98_kmv_by_key@10x") { SparkEntry.queries("q98_kmv_by_key")(spark, dst) }
+    // per-key quantile sketches at 10x events
+    time("q93_grouped_quantiles@10x") { SparkEntry.queries("q93_grouped_quantiles")(spark, dst) }
+    // inverted index at 10x verbatim replicas: same term keyspace,
+    // every posting list x10 — the honest index-build cost curve
+    time("q96_inverted_index@10x") { SparkEntry.queries("q96_inverted_index")(spark, dst) }
     // join+agg: lineitem(6M) x orders(1.5M) with dims from sf0.1
     val l = spark.read.parquet(s"$dst/lineitem.parquet")
     val o = spark.read.parquet(s"$dst/orders.parquet")

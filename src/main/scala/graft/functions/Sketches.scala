@@ -174,7 +174,7 @@ object Sketches {
       .agg(sum(col("bucket_n")).as("bucket_n"))
 
   /** KMV (k-minimum-values) distinct-count sketch: the k smallest
-    * values of h(key) = (a*key + b) mod P over the distinct keys. The
+    * values of [[kmvHash]] over the distinct keys. The
     * k-th smallest hash h_k estimates distinct count as
     * (k-1) * P / h_k (uniform order statistics); the summary is k
     * longs however large the input, and two sketches merge by
