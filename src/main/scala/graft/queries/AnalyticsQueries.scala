@@ -166,6 +166,34 @@ object AnalyticsQueries {
       .select(col("doc_id"), col("n_hit"))
   }
 
+  // q100 — FUNNEL ANALYSIS: per user, the first view, the first click
+  // STRICTLY AFTER that view, and the first purchase strictly after
+  // that click — the ordered multi-step conversion pattern (event
+  // analytics' sequential-pattern classic; not expressible as plain
+  // per-type mins because each step is anchored to the previous
+  // step's time). Spark-first: each step is a filtered min-aggregate
+  // joined to the previous step's anchor — three narrow shuffles on
+  // user_id that AQE plans off shared exchanges, no window over the
+  // raw event stream, no per-user sort. depth counts completed steps.
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+    val c = e.filter(col("event_type") === "click").join(v, Seq("user_id"))
+      .filter(col("ts") > col("tv"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tc"))
+    val p = e.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+      .filter(col("ts") > col("tc"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tp"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        unix_micros(col("tv")).as("tv_us"),
+        unix_micros(col("tc")).as("tc_us"),
+        unix_micros(col("tp")).as("tp_us"),
+        (lit(1) + when(col("tc").isNotNull, 1).otherwise(0)
+          + when(col("tp").isNotNull, 1).otherwise(0)).cast("long").as("depth"))
+  }
+
   // q58 — corpus vocabulary: top-100 terms by document frequency
   // (term tiebreak) with occurrence totals — the heavy-hitter scan a
   // tokenizer build starts from. orderBy+limit plans as TakeOrdered
@@ -219,6 +247,7 @@ object AnalyticsQueries {
     "q82_ewma" -> q82 _,
     "q96_inverted_index" -> q96 _,
     "q97_and_query" -> q97 _,
+    "q100_funnel" -> q100 _,
     "q59_fuzzy_lsh" -> q59 _,
     "q57_tfidf_topterms" -> q57 _,
     "q58_vocab_top100" -> q58 _,
@@ -242,6 +271,18 @@ object AnalyticsQueries {
         |FROM t GROUP BY 1
         |HAVING count(*) >= 2
         |  AND count(*)::DOUBLE <= 0.9 * (SELECT count(*) FROM documents)""".stripMargin,
+    "q100_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, ts::TIMESTAMP AS ts FROM events),
+        |v AS (SELECT user_id, min(ts) AS tv FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS tc FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS tp FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY 1)
+        |SELECT v.user_id, epoch_us(tv) AS tv_us, epoch_us(tc) AS tc_us,
+        |  epoch_us(tp) AS tp_us,
+        |  (1 + (tc IS NOT NULL)::INT + (tp IS NOT NULL)::INT)::BIGINT AS depth
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
     "q97_and_query" ->
       """WITH t AS (
         |  SELECT DISTINCT doc_id,
