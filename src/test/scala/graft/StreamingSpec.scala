@@ -114,6 +114,41 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("dedup-on-ingest survives a restart: state IS the corpus, no re-admits, no loss") {
+    // the operator's dedup state is the corpus parquet itself (plus
+    // the optional index), not streaming state — so a restarted query
+    // must keep rejecting near-dups of docs admitted BEFORE the stop,
+    // and must not double-append anything, purely from the store +
+    // checkpointed offsets
+    val srcDir = Files.createTempDirectory("graft_dedup_src").toString
+    val dir = Files.createTempDirectory("graft_dedup_restart").toString
+    val words = (0 until 10).map(i => s"word$i")
+    def writeDocs(name: String, docs: Seq[(Long, String)]): Unit =
+      Files.write(java.nio.file.Paths.get(srcDir, name),
+        docs.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }.mkString("\n").getBytes)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING")
+    def startQuery() = StreamPipeline.dedupOnIngest(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(srcDir),
+      s"$dir/corpus", s"$dir/ck",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+
+    writeDocs("b0.json", Seq(
+      (1L, words.mkString(" ")),
+      (3L, "entirely different content here")))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // while down: a near-dup of pre-stop doc 1, a novel doc
+    writeDocs("b1.json", Seq(
+      (10L, (words.take(9) :+ "fresh").mkString(" ")),
+      (11L, "completely unrelated novel document body")))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val corpus = spark.read.parquet(s"$dir/corpus")
+    assert(corpus.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 11L),
+      "near-dup of a pre-restart doc must stay rejected; novel docs exactly once")
+    spark.catalog.clearCache()
+  }
+
   test("streaming contamination gate routes overlapping docs to the flagged sink") {
     val dir = Files.createTempDirectory("graft_contam_gate").toString
     val passage = (1 to 10).map(i => s"bench$i").mkString(" ") // 10 words -> 3 distinct 8-grams
