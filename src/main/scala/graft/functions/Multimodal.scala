@@ -34,6 +34,27 @@ object Multimodal {
       octet_length(col("text")).cast("long").as("n_bytes")
     )
 
+  /** FRAME SAMPLING over the raw payload: a `frameSize`-byte frame
+    * every `stride` bytes — the video-style every-nth-frame access
+    * pattern, expressed on the binary column itself (substring on
+    * binary is codegen'd; no codec needed to LOCATE frames when the
+    * container format is fixed-rate, which is exactly when frame
+    * sampling is cheap). Output: (media_id, frame_idx, frame) with
+    * one row per sampled frame; the final short frame is kept
+    * truncated (substring clamps). Scale shape: pure map-side
+    * explode — a 100 TB payload column never shuffles, and column
+    * pruning keeps un-sampled bytes unread where the source splits
+    * frames across files/row groups. */
+  def sampleFrames(media: DataFrame, frameSize: Int, stride: Int): DataFrame = {
+    require(frameSize > 0 && stride > 0)
+    media
+      .filter(col("n_bytes") > 0)
+      .select(col("media_id"),
+        posexplode(expr(
+          s"transform(sequence(0, int((n_bytes - 1) DIV $stride)), i -> substring(bytes, i * $stride + 1, $frameSize))")))
+      .select(col("media_id"), col("pos").cast("long").as("frame_idx"), col("col").as("frame"))
+  }
+
   /** STUB decode / feature extraction — deterministic fake features
     * (byte histogram stats) in place of a real codec. Runs batched per
     * partition via mapPartitions: the executor-side iteration shape a

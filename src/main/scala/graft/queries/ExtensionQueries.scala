@@ -143,6 +143,17 @@ object ExtensionQueries {
   private def q31(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeStub(s, Multimodal.fromDocuments(docs(s, dir))).toDF()
 
+  // q101 — multimodal FRAME SAMPLING: a 64-byte frame every 256 bytes
+  // of each payload (the every-nth-frame access pattern), emitted as
+  // hex for cross-engine compare. Pure map-side explode over the
+  // binary column — no codec, no shuffle; the oracle replays the
+  // slicing on the VARCHAR side (the corpus is pure ASCII, so byte
+  // and character offsets coincide — checked: octet_length == length
+  // for every doc) and encodes to the same hex.
+  private def q101(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(Multimodal.fromDocuments(docs(s, dir)), frameSize = 64, stride = 256)
+      .select(col("media_id"), col("frame_idx"), hex(col("frame")).as("frame_hex"))
+
   // q32 — rolling-hash fingerprint via the custom codegen'd Catalyst
   // expression (rows-only).
   private def q32(s: SparkSession, dir: String): DataFrame =
@@ -268,6 +279,7 @@ object ExtensionQueries {
     "q28_cosine_topk" -> q28 _,
     "q29_ann_bucketed" -> q29 _,
     "q30_multimodal_meta" -> q30 _,
+    "q101_frame_sample" -> q101 _,
     "q31_multimodal_decode" -> q31 _,
     "q32_rolling_fp" -> q32 _
   )
@@ -595,6 +607,18 @@ object ExtensionQueries {
     "q30_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'text/plain' AS kind,
         |  strlen(text)::BIGINT AS n_bytes, md5(text) AS content_md5
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q101_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text, strlen(text)::BIGINT AS n_bytes
+        |  FROM documents WHERE strlen(text) > 0
+        |), f AS (
+        |  SELECT media_id, text,
+        |    unnest(range(0, ((n_bytes - 1) // 256) + 1)) AS i
+        |  FROM m
+        |)
+        |SELECT media_id, i::BIGINT AS frame_idx,
+        |  hex(encode(substring(text, (i * 256 + 1)::INT, 64))) AS frame_hex
+        |FROM f""".stripMargin
   )
 }
