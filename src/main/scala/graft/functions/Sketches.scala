@@ -173,6 +173,36 @@ object Sketches {
       .groupBy(col("b_lo"))
       .agg(sum(col("bucket_n")).as("bucket_n"))
 
+  /** Inverse quantile (CDF) from a bucket table: for each probe value
+    * (a row with a long `x` column), the fraction of the sketched
+    * input that is <= x, computed as cum_n at the last bucket whose
+    * lower bound <= x over total_n. The answer is exact up to bucket
+    * resolution (the same <10^(1-sig) relative bound as the quantile
+    * direction); the walk again touches only the sketch-sized table.
+    * Together with [[sigQuantiles]] this closes the pair a monitoring
+    * pipeline needs: "what value is p99" AND "what percentile is this
+    * value". */
+  def sigCdf(buckets: DataFrame, probes: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wCum = W.orderBy(col("b_lo"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wTot = W.partitionBy()
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    // sentinel empty bucket at -inf: every probe matches at least one
+    // row, so below-range probes read cdf 0 (and total_n) from it
+    // instead of null — and the sketch is still consumed exactly once
+    val withSentinel = buckets.unionByName(buckets.sparkSession.range(1)
+      .select(lit(Long.MinValue).as("b_lo"), lit(0L).as("bucket_n")))
+    val cum = withSentinel
+      .withColumn("cum_n", sum(col("bucket_n")).over(wCum))
+      .withColumn("total_n", sum(col("bucket_n")).over(wTot))
+    probes.select(col("x"))
+      .join(broadcast(cum), col("b_lo") <= col("x"))
+      .groupBy(col("x"))
+      .agg((max(col("cum_n")).cast("double")
+        / max(col("total_n")).cast("double")).as("cdf"))
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch: the k smallest
     * values of [[kmvHash]] over the distinct keys. The
     * k-th smallest hash h_k estimates distinct count as

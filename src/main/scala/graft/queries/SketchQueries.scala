@@ -197,8 +197,28 @@ object SketchQueries {
         col("true_n"))
   }
 
+  // q102 — INVERSE QUANTILE (CDF) from the sketch: for five fixed
+  // price points, the fraction of lineitems at or below each, read
+  // from the q85 bucket table next to the exact fraction — the "what
+  // percentile is this value" direction that completes the quantile
+  // pair. Sketch answer is exact up to bucket resolution (<1% at
+  // sig=3); both columns replay deterministically in the oracle.
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+    val probes = s.range(1).select(explode(array(
+      Seq(100000L, 3000000L, 6000000L, 9000000L, 12000000L).map(lit(_)): _*)).as("x"))
+    val sk = Sketches.sigCdf(Sketches.sigBuckets(li(s, dir), cents), probes)
+    val exact = li(s, dir).select(cents.as("v")).crossJoin(broadcast(probes))
+      .groupBy(col("x"))
+      .agg((sum(when(col("v") <= col("x"), 1).otherwise(0)).cast("double")
+        / count(lit(1)).cast("double")).as("true_cdf"))
+    sk.join(exact, Seq("x"))
+      .select(col("x"), r4(col("cdf")).as("cdf"), r4(col("true_cdf")).as("true_cdf"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_kmv_distinct" -> q92 _,
+    "q102_sig_cdf" -> q102 _,
     "q98_kmv_by_key" -> q98 _,
     "q93_grouped_quantiles" -> q93 _,
     "q84_join_card" -> q84 _,
@@ -210,6 +230,30 @@ object SketchQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q102_sig_cdf" ->
+      """WITH v AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS xc FROM lineitem),
+        |qs AS (SELECT unnest([100000, 3000000, 6000000, 9000000, 12000000])::BIGINT AS x),
+        |b AS (
+        |  SELECT (xc // p) * p AS b_lo, count(*)::BIGINT AS n
+        |  FROM (SELECT xc,
+        |    CAST(power(10, greatest(length(CAST(xc AS VARCHAR)) - 3, 0)) AS BIGINT) AS p FROM v)
+        |  GROUP BY 1
+        |), sb AS (
+        |  SELECT b_lo, n FROM b
+        |  UNION ALL SELECT -9223372036854775807 - 1, 0
+        |), cum AS (
+        |  SELECT b_lo, sum(n) OVER (ORDER BY b_lo)::BIGINT AS cum_n,
+        |    sum(n) OVER ()::BIGINT AS total_n FROM sb
+        |), sk AS (
+        |  SELECT x, max(cum_n)::DOUBLE / max(total_n)::DOUBLE AS cdf
+        |  FROM qs JOIN cum ON b_lo <= x GROUP BY 1
+        |), tr AS (
+        |  SELECT x, sum(CASE WHEN xc <= x THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS true_cdf
+        |  FROM v CROSS JOIN qs GROUP BY 1
+        |)
+        |SELECT sk.x, floor(cdf*10000 + 0.5)/10000 AS cdf,
+        |  floor(true_cdf*10000 + 0.5)/10000 AS true_cdf
+        |FROM sk JOIN tr USING (x)""".stripMargin,
     "q98_kmv_by_key" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type,
