@@ -423,17 +423,33 @@ object NearDup {
   }
 
   /** 64-bit SimHash over the token multiset: bit j of the hash is the
-    * sign of sum_t (bit_j(xxhash64(t)) ? +1 : -1).
+    * sign of sum_t (bit_j(hashFn(t)) ? +1 : -1).
     *
     * Shape: one explode to token rows, then 64 conditional sums in a
     * single hash aggregate — partial aggregation keeps the shuffle at
     * one 64-column row per doc (vs exploding tokens x 64 bit rows,
-    * which shuffles 64x the data). */
-  def simHash(df: DataFrame, idCol: String, tokensCol: Column): DataFrame =
+    * which shuffles 64x the data).
+    *
+    * `hashFn` defaults to xxhash64 (fastest); pass
+    * [[NearDup.md5TokenHash]] for a token hash every engine computes
+    * identically, which makes the WHOLE simhash pipeline replayable
+    * in ANSI SQL (q23's strict oracle). */
+  def simHash(df: DataFrame, idCol: String, tokensCol: Column,
+              hashFn: Column => Column = xxhash64(_)): DataFrame =
     df.select(col(idCol).as("id"), explode(tokensCol).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", hashFn(col("tok")))
       .groupBy(col("id"))
       .agg(SimHashAgg.column(col("h")).as("simhash"))
+
+  /** Cross-engine-exact 60-bit token hash: the first 15 hex digits of
+    * md5, as a long. md5 is bit-identical in every engine, so unlike
+    * xxhash64 (whose seed/implementation is engine-internal) this
+    * hash — and everything derived from it — replays in SQL:
+    * `('0x' || substr(md5(t), 1, 15))::BIGINT`. The top 4 bits are
+    * constant 0 (a -n vote: those simhash bits read 0 for every doc,
+    * costing nothing in Hamming discrimination). */
+  def md5TokenHash(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
 
   /** Reference 64-aggregate formulation of [[simHash]] — kept as the
     * equivalence-spec baseline for [[SimHashAgg]] (64 separate
@@ -480,11 +496,13 @@ object NearDup {
     * cosine verifies. nBits trades bucket size vs per-table recall;
     * more tables buys recall linearly in cost. */
   def embeddingPairsLsh(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-                        nBits: Int = 8, dim: Int = 64, tables: Int = 4): DataFrame = {
+                        nBits: Int = 8, dim: Int = 64, tables: Int = 4,
+                        bucketFn: (org.apache.spark.sql.Column, Int, Int, Int) => org.apache.spark.sql.Column =
+                          Similarity.srpBucket(_, _, _, _)): DataFrame = {
     val t = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", sqrt(Similarity.dot(col("v"), col("v"))))
     val banded = t.select(col("id"),
-      posexplode(array((0 until tables).map(tb => Similarity.srpBucket(col("v"), nBits, dim, seed = tb)): _*)))
+      posexplode(array((0 until tables).map(tb => bucketFn(col("v"), nBits, dim, tb)): _*)))
       .select(col("id"), col("pos").as("tbl"), col("col").as("bkt"))
     val candidates = banded.select(col("tbl"), col("bkt"), col("id").as("id_a"))
       .join(banded.select(col("tbl"), col("bkt"), col("id").as("id_b")), Seq("tbl", "bkt"))

@@ -218,4 +218,24 @@ object Similarity {
     }
     bits.reduce(_ + _)
   }
+
+  /** [[srpBucket]] with planes from EXPLICIT integer arithmetic
+    * instead of the JVM's MurmurHash3: sign(i, j) = +1 iff
+    * ((seed*97 + i*1299721 + j*15485863) mod (2^31-1)) is even. Same
+    * ±1-plane geometry and recall characteristics, but the planes —
+    * and therefore the buckets, the candidate set, and the whole
+    * LSH output — are reproducible in ANSI SQL, giving the SRP
+    * pipeline a strict cross-engine oracle (q39). */
+  def srpBucketExplicit(vec: Column, nBits: Int, dim: Int, seed: Int = 0): Column = {
+    import org.apache.spark.sql.functions.typedlit
+    val v = asDouble(vec)
+    val bits = (0 until nBits).map { i =>
+      val plane: Seq[Double] = (0 until dim).map { j =>
+        val h = (seed.toLong * 97L + i.toLong * 1299721L + j.toLong * 15485863L) % 2147483647L
+        if (h % 2 == 0) 1d else -1d
+      }
+      when(dot(v, typedlit(plane)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
 }

@@ -8,10 +8,12 @@ import graft.functions.{Multimodal, NearDup, Similarity, TextAnalysis}
 
 /** North-star training-data-pipeline extensions (builder prompt +
   * SURVEY.md §2.7/§7 step 6): dedup suite, similarity search, text
-  * analysis, multimodal plumbing. Oracle SQL provided wherever DuckDB
-  * can express the same computation; the hash-based ops (MinHash,
-  * SimHash, rolling hash) get rows-only checks since xxhash64 seeds
-  * are engine-specific.
+  * analysis, multimodal plumbing. EVERY query carries a strict DuckDB
+  * oracle: the approximate pipelines are checked either against brute
+  * force (MinHash — the LSH output provably equals all-pairs at this
+  * geometry) or by full cross-engine replay over engine-neutral
+  * hashing (SimHash via md5-derived token hashes, SRP-LSH via
+  * explicit-arithmetic planes).
   */
 object ExtensionQueries {
 
@@ -67,9 +69,15 @@ object ExtensionQueries {
     graft.operators.ConnectedComponents.dedupAssignmentBySets(sets, setPairs)
   }
 
-  // q23 — SimHash near-dup pairs (banded Hamming join; rows-only).
+  // q23 — SimHash near-dup pairs (banded Hamming join). The token
+  // hash is md5-derived (NearDup.md5TokenHash) rather than xxhash64,
+  // so the ENTIRE pipeline — 60-bit token hashes, per-bit +1/-1 sums,
+  // simhash assembly, 4x16-bit pigeonhole banding, Hamming<=3 verify —
+  // replays in DuckDB and the query carries a strict hash oracle
+  // (previously rows-only; xxhash64 is engine-internal).
   private def q23(s: SparkSession, dir: String): DataFrame = {
-    val sim = NearDup.simHash(docs(s, dir), "doc_id", TextAnalysis.wordTokens(col("text")))
+    val sim = NearDup.simHash(docs(s, dir), "doc_id",
+      TextAnalysis.wordTokens(col("text")), NearDup.md5TokenHash)
     NearDup.simHashPairs(sim, maxDist = 3)
   }
 
@@ -246,14 +254,19 @@ object ExtensionQueries {
     NearDup.embeddingPairs(emb(s, dir), "vec_id", "embedding", threshold = 0.3)
       .select(col("id_a"), col("id_b"), r4(col("cos")).as("cos"))
 
-  // q39 — embedding near-dup via SRP-LSH bucket pruning (scale path;
-  // rows-only: bucket assignment is engine-internal hashing). NOTE:
-  // SRP recall is a function of similarity (P[bit agree] = 1-θ/π);
-  // at the true near-dup regime (cos>=0.85) recall is high, while at
-  // this demo threshold (0.3 — this corpus has no real near-dup
+  // q39 — embedding near-dup via SRP-LSH bucket pruning (scale path).
+  // Planes come from explicit integer arithmetic
+  // (Similarity.srpBucketExplicit), so the FULL pipeline — plane
+  // signs, per-table bucket ids, candidate collisions, exact-cosine
+  // verify — replays in DuckDB and the query carries a strict hash
+  // oracle (previously rows-only under MurmurHash3 planes). NOTE: SRP
+  // recall is a function of similarity (P[bit agree] = 1-θ/π); at the
+  // true near-dup regime (cos>=0.85) recall is high, while at this
+  // demo threshold (0.3 — this corpus has no real near-dup
   // embeddings) it is honestly low. The exact baseline is q38.
   private def q39(s: SparkSession, dir: String): DataFrame =
-    NearDup.embeddingPairsLsh(emb(s, dir), "vec_id", "embedding", threshold = 0.3)
+    NearDup.embeddingPairsLsh(emb(s, dir), "vec_id", "embedding", threshold = 0.3,
+      bucketFn = Similarity.srpBucketExplicit(_, _, _, _))
       .select(col("id_a"), col("id_b"), r4(col("cos")).as("cos"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -285,6 +298,32 @@ object ExtensionQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q39_embed_neardup_lsh" ->
+      """WITH t AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nn FROM t),
+        |grid AS (
+        |  SELECT tb, i FROM (SELECT unnest(range(0, 4))::INT AS tb)
+        |  CROSS JOIN (SELECT unnest(range(0, 8))::INT AS i)
+        |), planes AS (
+        |  SELECT tb, i,
+        |    list_transform(range(0, 64), j -> CASE
+        |      WHEN ((tb * 97 + i * 1299721 + j * 15485863) % 2147483647) % 2 = 0
+        |      THEN 1.0 ELSE -1.0 END) AS p
+        |  FROM grid
+        |), bits AS (
+        |  SELECT n.id, pl.tb, pl.i,
+        |    CASE WHEN list_dot_product(n.v, pl.p) > 0 THEN (1::BIGINT << pl.i) ELSE 0 END AS bit
+        |  FROM n CROSS JOIN planes pl
+        |), bkt AS (
+        |  SELECT id, tb, sum(bit)::BIGINT AS bucket FROM bits GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bkt a JOIN bkt b ON a.tb = b.tb AND a.bucket = b.bucket AND a.id < b.id
+        |)
+        |SELECT c.id_a, c.id_b,
+        |  floor((list_dot_product(a.v, b.v)/(a.nn*b.nn))*10000 + 0.5)/10000 AS cos
+        |FROM cand c JOIN n a ON c.id_a = a.id JOIN n b ON c.id_b = b.id
+        |WHERE list_dot_product(a.v, b.v)/(a.nn*b.nn) >= 0.3""".stripMargin,
     "q38_embed_neardup" ->
       """WITH t AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nn FROM t)
@@ -604,6 +643,29 @@ object ExtensionQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rnk FROM s
         |)
         |SELECT query_id, bucket, neighbor_id, rnk::BIGINT AS rnk, cos_r FROM r WHERE rnk <= 5""".stripMargin,
+    "q23_simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+        |), bits AS (
+        |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h CROSS JOIN (SELECT unnest(range(0, 60))::INT AS b) GROUP BY 1, 2
+        |), sh AS (
+        |  SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+        |  FROM bits GROUP BY 1
+        |), bands AS (
+        |  SELECT doc_id, simhash, band, (simhash >> (band * 16)) & 65535 AS band_key
+        |  FROM sh CROSS JOIN (SELECT unnest(range(0, 4))::INT AS band)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.simhash AS sa, b.simhash AS sb
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
     "q30_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'text/plain' AS kind,
         |  strlen(text)::BIGINT AS n_bytes, md5(text) AS content_md5
