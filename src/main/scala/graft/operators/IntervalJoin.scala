@@ -24,7 +24,10 @@ object IntervalJoin {
     floor(c.cast("double") / lit(binSize))
 
   /** `a`/`b` need (idA|idB, lo, hi) columns with lo <= hi. Returns
-    * (idA, idB, overlap_lo, overlap_hi) for every overlapping pair. */
+    * (idA, idB, overlap_lo, overlap_hi) for every overlapping pair;
+    * reported overlaps are always non-empty (`overlap_lo < overlap_hi`),
+    * so a zero-width interval [x, x) — empty under half-open semantics —
+    * never pairs, even when the other interval strictly contains x. */
   def overlapJoin(a: DataFrame, b: DataFrame, idA: String, idB: String,
                   binSize: Double): DataFrame = {
     require(binSize > 0, "binSize must be positive")
@@ -33,7 +36,10 @@ object IntervalJoin {
         explode(sequence(bin(col("lo"), binSize).cast("long"),
           bin(col("hi"), binSize).cast("long"))).as("bin"))
     explodeBins(a, idA, "a").join(explodeBins(b, idB, "b"), Seq("bin"))
-      .filter(col("lo_a") < col("hi_b") && col("lo_b") < col("hi_a"))
+      // max(lo) < min(hi) is the pairwise predicate lo_a < hi_b AND
+      // lo_b < hi_a for proper intervals, and additionally rejects
+      // degenerate [x, x) operands whose overlap would be empty
+      .filter(greatest(col("lo_a"), col("lo_b")) < least(col("hi_a"), col("hi_b")))
       // first-shared-bin dedup: both intervals contain max(lo_a, lo_b),
       // so they both cover its bin — and no earlier shared bin exists
       .filter(col("bin") === bin(greatest(col("lo_a"), col("lo_b")), binSize).cast("long"))

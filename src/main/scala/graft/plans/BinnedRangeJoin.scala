@@ -36,20 +36,33 @@ import org.apache.spark.sql.types._
   * `spark.graft.rangeJoin.binSize` and registers the rule in
   * `spark.experimental.extraOptimizations`) or cluster-wide via
   * `spark.sql.extensions=graft.GraftExtensions` plus the conf key.
+  * Once enabled the rule is SESSION-GLOBAL: every later inner
+  * point-in-interval join with no equi key re-plans through it.
   * Choose binSize near the typical interval width: intervals spanning
-  * k bins fan out k rows (a 100 TB interval table with bounded-width
-  * intervals stays a bounded blowup; unbounded intervals — q19's
-  * `1e9` catch-all band — are the case to keep on the nested loop or
-  * cap with a domain-bounded hi).
+  * k bins fan out k rows.
+  *
+  * WIDE-INTERVAL FAIL-SOFT (`spark.graft.rangeJoin.maxBins`, default
+  * 4096): an interval spanning more than maxBins bins — a catch-all
+  * band like q19's `1e9` upper bound — would fan out unboundedly and
+  * can exceed the Sequence array-size limit outright. Instead of
+  * exploding those rows, the rewrite SPLITS the interval side:
+  * intervals within the cap take the binned equi-join, wider ones
+  * keep the original nested-loop join on the (filtered, by
+  * construction tiny) remainder, and the two branches union. Results
+  * are exact either way; a plan with zero wide intervals pays only an
+  * extra scan of the interval side's filter. Set maxBins <= 0 to
+  * disable the split and always explode.
   *
   * Fires only on INNER joins whose condition has a point-in-interval
   * conjunct pair and NO equi conjunct (anything with an equi key
-  * already hash-joins; the rewritten join itself carries one, which
-  * also makes the rule idempotent under fixed-point batches).
+  * already hash-joins; the rewritten binned join itself carries one,
+  * and the wide-fallback join is recognized by its marker filter —
+  * both make the rule idempotent under fixed-point batches).
   */
 object BinnedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
 
   val BinSizeKey = "spark.graft.rangeJoin.binSize"
+  val MaxBinsKey = "spark.graft.rangeJoin.maxBins"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val raw = conf.getConfString(BinSizeKey, "")
@@ -118,29 +131,57 @@ object BinnedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
            hi.references.subsetOf(j.left.outputSet) => (p, lo, hi, false)
     }
 
-    triple.map { case (p, lo, hi, pointOnLeft) =>
-      val (pointPlan0, intervalPlan0) = if (pointOnLeft) (j.left, j.right) else (j.right, j.left)
+    val cap = try conf.getConfString(MaxBinsKey, "4096").toLong
+              catch { case _: NumberFormatException => 4096L }
 
-      val binAlias = Alias(bin(p, binSize), "__graft_bin")()
-      val pointPlan = Project(pointPlan0.output :+ binAlias, pointPlan0)
+    triple.flatMap { case (p, lo, hi, pointOnLeft) =>
+      val (pointPlan0, intervalPlan0) = if (pointOnLeft) (j.left, j.right) else (j.right, j.left)
 
       val loBin = bin(lo, binSize)
       val hiBin = bin(hi, binSize)
-      // Sequence is timezone-aware (for timestamp ranges): an optimizer
-      // rule must hand it the session zone itself or the plan
-      // de-resolves. The If's else branch must match Sequence's exact
-      // array type (containsNull = false) for the same reason.
-      val seq = new Sequence(loBin, hiBin, Literal(1L, LongType))
-        .withTimeZone(conf.sessionLocalTimeZone)
-      val safeSeq = If(LessThanOrEqual(loBin, hiBin), seq,
-        Literal.create(Seq.empty[Long], ArrayType(LongType, containsNull = false)))
-      val ibin = AttributeReference("__graft_ibin", LongType, nullable = false)()
-      val intervalPlan = Generate(Explode(safeSeq), Nil, outer = false, None, Seq(ibin), intervalPlan0)
+      // wide-fallback marker: the filter this rule itself puts under
+      // the nested-loop branch. Seeing it means THIS join is the
+      // fallback of an earlier rewrite — leave it alone (idempotence).
+      val widePred = GreaterThan(Subtract(hiBin, loBin), Literal(cap, LongType))
+      val isWideFallback = cap > 0 && (intervalPlan0 match {
+        case Filter(c, _) => c.semanticEquals(widePred)
+        case _ => false
+      })
+      if (isWideFallback) None
+      else Some {
+        val binAlias = Alias(bin(p, binSize), "__graft_bin")()
+        val pointPlan = Project(pointPlan0.output :+ binAlias, pointPlan0)
 
-      val (newLeft, newRight) =
-        if (pointOnLeft) (pointPlan, intervalPlan) else (intervalPlan, pointPlan)
-      val newCond = And(EqualTo(binAlias.toAttribute, ibin), cond)
-      Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), j.hint))
+        // Sequence is timezone-aware (for timestamp ranges): an optimizer
+        // rule must hand it the session zone itself or the plan
+        // de-resolves. The If's else branch must match Sequence's exact
+        // array type (containsNull = false) for the same reason.
+        val seq = new Sequence(loBin, hiBin, Literal(1L, LongType))
+          .withTimeZone(conf.sessionLocalTimeZone)
+        val safeSeq = If(LessThanOrEqual(loBin, hiBin), seq,
+          Literal.create(Seq.empty[Long], ArrayType(LongType, containsNull = false)))
+        val ibin = AttributeReference("__graft_ibin", LongType, nullable = false)()
+        // NULL bounds fail both branch filters, matching the original
+        // join where a NULL bound satisfies no comparison
+        val narrowSrc =
+          if (cap > 0) Filter(LessThanOrEqual(Subtract(hiBin, loBin), Literal(cap, LongType)), intervalPlan0)
+          else intervalPlan0
+        val intervalPlan = Generate(Explode(safeSeq), Nil, outer = false, None, Seq(ibin), narrowSrc)
+
+        val (newLeft, newRight) =
+          if (pointOnLeft) (pointPlan, intervalPlan) else (intervalPlan, pointPlan)
+        val newCond = And(EqualTo(binAlias.toAttribute, ibin), cond)
+        val binned = Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), j.hint))
+        if (cap <= 0) binned
+        else {
+          // intervals wider than the cap keep the original plan shape
+          // on a filtered remainder; output order matches j.output on
+          // both branches because child orientation is preserved
+          val wideSrc = Filter(widePred, intervalPlan0)
+          val (wl, wr) = if (pointOnLeft) (pointPlan0, wideSrc) else (wideSrc, pointPlan0)
+          Union(Seq(binned, Join(wl, wr, Inner, Some(cond), j.hint)))
+        }
+      }
     }
   }
 }

@@ -237,7 +237,10 @@ object RelationalQueries {
   // naive plan): this is safe because the rule fires only on INNER
   // joins with a point-in-interval pair and no equi key — q90's join
   // is the single such plan in the battery (q19's unbounded
-  // catch-all band rides a LEFT join, which the rule never touches).
+  // catch-all band rides a LEFT join, which the rule never touches;
+  // and an inner catch-all band would fail soft anyway — intervals
+  // wider than spark.graft.rangeJoin.maxBins bins, default 4096, keep
+  // the nested loop on a filtered remainder instead of exploding).
   private def q90(s: SparkSession, dir: String): DataFrame = {
     graft.Graft.enableRangeJoinRewrite(s, 0.5)
     val bands = s.range(0, 1000).select(

@@ -25,9 +25,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    sessions because closure depends on data time, not wall time.
   *
   * Within-batch events are sorted by time before folding (micro-batch
-  * iterators carry no order guarantee); cross-batch late events are
-  * bounded by the input watermark, which must be at least `gap` for
-  * out-of-order events to regroup correctly.
+  * iterators carry no order guarantee); the standing open session and
+  * the batch's events are then merged as intervals — two pieces join
+  * iff they are within `gap` — so a late event disjoint BEFORE the open
+  * session becomes its own (immediately emitted) session instead of
+  * silently widening the open one across a > `gap` void.
+  *
+  * Watermark discipline: with watermark delay <= `gap`, a late event
+  * more than `gap` before the open session's start is always below the
+  * watermark (the session's own events have advanced it past
+  * start - gap) and Spark drops it upstream, so this operator matches
+  * `session_window` exactly. With delay > `gap`, such stragglers DO
+  * reach the operator; they emit as separate earlier sessions when
+  * observed — the right grouping for pieces that never come within
+  * `gap` of each other — though a later bridging event can no longer
+  * re-merge an already-emitted fragment (the price of exactly-once
+  * emission with O(1) state per key).
   */
 object Sessionize {
 
@@ -52,26 +65,30 @@ object Sessionize {
       state.remove()
       Iterator.single(done)
     } else {
-      val sorted = events.toArray.sortBy(_.ts_ms)
-      var completed = List.empty[Session]
-      var open = state.getOption
-      sorted.foreach { e =>
-        open match {
-          case Some(s) if e.ts_ms > s.last_ms + gapMs =>
-            completed ::= close(key, s, gapMs)
-            open = Some(OpenSession(e.ts_ms, e.ts_ms, 1L, e.value))
-          case Some(s) =>
-            open = Some(OpenSession(math.min(s.start_ms, e.ts_ms),
-              math.max(s.last_ms, e.ts_ms), s.n + 1, s.sum + e.value))
-          case None =>
-            open = Some(OpenSession(e.ts_ms, e.ts_ms, 1L, e.value))
+      // standard interval merge: the standing open session and each
+      // event (as a singleton piece), sorted by start, merge iff within
+      // `gap`. Unlike a left-to-right fold against the open session,
+      // this groups stragglers older than the open session correctly.
+      val pieces = (state.getOption.toList ++
+        events.map(e => OpenSession(e.ts_ms, e.ts_ms, 1L, e.value)))
+        .sortBy(_.start_ms)
+      var merged = List.empty[OpenSession] // reverse chronological
+      pieces.foreach { p =>
+        merged match {
+          case h :: t if p.start_ms <= h.last_ms + gapMs =>
+            merged = OpenSession(math.min(h.start_ms, p.start_ms),
+              math.max(h.last_ms, p.last_ms), h.n + p.n, h.sum + p.sum) :: t
+          case _ =>
+            merged = p :: merged
         }
       }
-      open.foreach { s =>
-        state.update(s)
-        state.setTimeoutTimestamp(s.last_ms + gapMs)
+      merged match {
+        case latest :: earlier =>
+          state.update(latest)
+          state.setTimeoutTimestamp(latest.last_ms + gapMs)
+          earlier.reverseIterator.map(close(key, _, gapMs))
+        case Nil => Iterator.empty // no state and an empty batch group
       }
-      completed.reverseIterator
     }
   }
 

@@ -361,10 +361,11 @@ object StreamPipeline {
     * costs O(batch + sketch) regardless of corpus size because both
     * sketches are mergeable summaries (cell-wise sum / bucket-wise
     * sum), and the store stays a few thousand rows forever. Replays
-    * of an at-least-once batch double-count into the sketch — the
-    * documented trade of sketch-vs-ledger; exact idempotency needs
-    * the batch-id-stamped bucket store ([[run]]/[[readBuckets]])
-    * which this operator deliberately does not replace. Estimates
+    * are idempotent per store: each store is stamped with the batch id
+    * it last merged (marker file swapped in with the data), and a
+    * replayed batch skips any store that already carries its stamp —
+    * so a crash BETWEEN the two stores' swaps no longer double-counts
+    * the batch into the already-merged store on recovery. Estimates
     * (heavy keys, quantiles) read the same store via
     * [[graft.functions.Sketches]] at any time.
     */
@@ -375,35 +376,61 @@ object StreamPipeline {
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val hconf = spark.sparkContext.hadoopConfiguration
-        val cellsP = s"$sketchPath/cms"
-        val bucketsP = s"$sketchPath/qbuckets"
-        def exists(p: String): Boolean = {
-          val hp = new org.apache.hadoop.fs.Path(p)
-          hp.getFileSystem(hconf).exists(hp)
-        }
-        val cents = org.apache.spark.sql.functions
-          .floor(col(valueCol) * 100 + org.apache.spark.sql.functions.lit(0.5)).cast("long")
-        val partialCells = graft.functions.Sketches.countMinCellsDirect(batch, col(keyCol))
-        val partialBuckets = graft.functions.Sketches.sigBuckets(batch, cents)
-        val mergedCells =
-          if (exists(cellsP))
-            graft.functions.Sketches.mergeCells(spark.read.parquet(cellsP), partialCells)
-          else partialCells
-        val mergedBuckets =
-          if (exists(bucketsP))
-            graft.functions.Sketches.mergeSigBuckets(spark.read.parquet(bucketsP), partialBuckets)
-          else partialBuckets
-        // write-new-then-swap: the live store is readable at every instant
-        mergedCells.coalesce(1).write.mode("overwrite").parquet(cellsP + ".tmp")
-        mergedBuckets.coalesce(1).write.mode("overwrite").parquet(bucketsP + ".tmp")
-        graft.batch.AtomicSwap.swapInto(hconf, cellsP + ".tmp", cellsP)
-        graft.batch.AtomicSwap.swapInto(hconf, bucketsP + ".tmp", bucketsP)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeSketchBatch(batch, sketchPath, keyCol, valueCol, batchId)
       }
       .start()
+
+  /** One [[maintainSketches]] micro-batch: merge the batch's partial
+    * sketches into the durable stores, idempotently per (store,
+    * batchId).
+    *
+    * Each store carries a `_graft_batch_<id>` marker file (written
+    * into the tmp dir, so it swaps in atomically WITH the data;
+    * parquet readers skip `_`-prefixed files). The two stores swap in
+    * sequence, so a crash between the swaps leaves batch N in one
+    * store but not the other; on the checkpoint's replay of batch N,
+    * a store whose marker already says N is left untouched instead of
+    * double-counting the batch into its already-merged cells. Only
+    * the latest marker survives a swap (the tmp dir is fresh), and
+    * foreachBatch only ever replays the latest batch, so one marker
+    * per store suffices. */
+  private[graft] def mergeSketchBatch(batch: DataFrame, sketchPath: String,
+                                      keyCol: String, valueCol: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val cellsP = s"$sketchPath/cms"
+    val bucketsP = s"$sketchPath/qbuckets"
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).exists(hp)
+    }
+    def applied(p: String): Boolean = exists(s"$p/_graft_batch_$batchId")
+    def writeAndSwap(merged: DataFrame, p: String): Unit = {
+      merged.coalesce(1).write.mode("overwrite").parquet(p + ".tmp")
+      val marker = new org.apache.hadoop.fs.Path(s"$p.tmp/_graft_batch_$batchId")
+      marker.getFileSystem(hconf).create(marker, true).close()
+      graft.batch.AtomicSwap.swapInto(hconf, p + ".tmp", p)
+    }
+    val cents = org.apache.spark.sql.functions
+      .floor(col(valueCol) * 100 + org.apache.spark.sql.functions.lit(0.5)).cast("long")
+    if (!applied(cellsP)) {
+      val partialCells = graft.functions.Sketches.countMinCellsDirect(batch, col(keyCol))
+      val mergedCells =
+        if (exists(cellsP))
+          graft.functions.Sketches.mergeCells(spark.read.parquet(cellsP), partialCells)
+        else partialCells
+      writeAndSwap(mergedCells, cellsP)
+    }
+    if (!applied(bucketsP)) {
+      val partialBuckets = graft.functions.Sketches.sigBuckets(batch, cents)
+      val mergedBuckets =
+        if (exists(bucketsP))
+          graft.functions.Sketches.mergeSigBuckets(spark.read.parquet(bucketsP), partialBuckets)
+        else partialBuckets
+      writeAndSwap(mergedBuckets, bucketsP)
+    }
+  }
 
   /** ONLINE SIMILARITY SERVING: a stream of query embeddings answered
     * per micro-batch with exact cosine top-k against a STATIC corpus

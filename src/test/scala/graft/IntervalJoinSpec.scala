@@ -45,4 +45,15 @@ class IntervalJoinSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"overlap join fell back to a nested loop:\n$p")
   }
+
+  test("zero-width intervals are empty under half-open semantics and never pair") {
+    // [5,5) sits strictly inside [0,10) yet is empty — must not match;
+    // the proper pair [4,6) x [0,10) must still come through
+    val a = Seq((1L, 5.0, 5.0), (2L, 4.0, 6.0)).toDF("id_a", "lo", "hi")
+    val b = Seq((10L, 0.0, 10.0), (11L, 5.0, 5.0)).toDF("id_b", "lo", "hi")
+    val got = IntervalJoin.overlapJoin(a, b, "id_a", "id_b", 2.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 10L)),
+      s"degenerate intervals leaked into the pair set: $got")
+  }
 }

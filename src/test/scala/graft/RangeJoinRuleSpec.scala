@@ -43,11 +43,32 @@ class RangeJoinRuleSpec extends SparkSpec {
     val naive = plan(joined)
     assert(naive.contains("BroadcastNestedLoopJoin") || naive.contains("CartesianProduct"),
       s"baseline should be a nested-loop/cartesian plan:\n$naive")
-    withRule(0.5) {
+    // cap disabled -> single-branch rewrite, the pure equi-join plan
+    spark.conf.set(graft.plans.BinnedRangeJoin.MaxBinsKey, "0")
+    try withRule(0.5) {
       val p = plan(joined)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"rewrite left a nested-loop join in the plan:\n$p")
       assert(p.contains("__graft_bin"), s"bin key missing from plan:\n$p")
+    } finally spark.conf.unset(graft.plans.BinnedRangeJoin.MaxBinsKey)
+  }
+
+  test("catch-all bands beyond maxBins fail soft to the nested loop, exactly") {
+    // one 1e9-wide band (q19's catch-all shape) + the normal grid: the
+    // wide row would explode 2e9 bins without the cap — with it, the
+    // wide row rides a filtered nested-loop branch and results stay
+    // identical to the naive plan
+    val wide = intervals.union(Seq((0.0, 1e9, 9999L)).toDF("lo", "hi", "band"))
+    def q = points.join(wide, $"v" >= $"lo" && $"v" < $"hi")
+      .groupBy($"band").agg(count(lit(1)).as("n"))
+    val expected = q.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    withRule(0.5) {
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("__graft_bin"), s"binned branch missing:\n$p")
+      assert(p.contains("Union"), s"wide-fallback union missing:\n$p")
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == expected, "split plan changed results")
+      assert(got(9999L) == 2000L, "catch-all band must cover every point")
     }
   }
 

@@ -78,4 +78,36 @@ class SessionizeSpec extends SparkSpec {
       assert(r.getAs[Timestamp]("session_end").getTime == t(0).getTime + Gap)
     } finally q.stop()
   }
+
+  test("watermark delay > gap: a straggler disjoint before the open session splits, not merges") {
+    val stream = MemoryStream[(Long, Timestamp, Double)](spark)
+    // delay (120 min) deliberately exceeds gap (30 min) — the regime
+    // where events older than (open-session start - gap) reach the
+    // operator instead of being dropped at the watermark
+    val input = stream.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "120 minutes")
+    val q = Sessionize.sessions(spark, input, Gap)
+      .writeStream.format("memory").queryName("sess_out3").outputMode("append").start()
+    try {
+      stream.addData((7L, t(100), 1.0)) // opens session at min 100
+      q.processAllAvailable()
+      // straggler at min 0 — 100 min before the open session's start,
+      // far beyond gap: it must become its OWN session, and the open
+      // session at min 100 must keep its start
+      stream.addData((7L, t(0), 2.0))
+      q.processAllAvailable()
+      stream.addData((99L, t(10000), 0.0), (99L, t(20000), 0.0)) // advance watermark, fire timeouts
+      q.processAllAvailable()
+      stream.addData((99L, t(30000), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_out3").filter($"user_id" === 7L)
+        .collect().map(r => (r.getAs[Timestamp]("session_start").getTime,
+          r.getAs[Timestamp]("session_end").getTime, r.getAs[Long]("n_events")))
+        .toSet
+      assert(got == Set(
+        (t(0).getTime, t(0).getTime + Gap, 1L),
+        (t(100).getTime, t(100).getTime + Gap, 1L)),
+        s"straggler must split into its own session: $got")
+    } finally q.stop()
+  }
 }

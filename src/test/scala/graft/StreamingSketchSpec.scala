@@ -95,6 +95,37 @@ class StreamingSketchSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maintainSketches replay: a torn cross-store snapshot heals without double-counting") {
+    import graft.streaming.StreamPipeline.mergeSketchBatch
+    val root = java.nio.file.Files.createTempDirectory("graft_torn").toString
+    val store = s"$root/store"
+    val b0 = (1L to 300L).map(i => (i % 57, (i % 13 + 1) * 7.5)).toDF("k", "v")
+    val b1 = (301L to 600L).map(i => (i % 57, (i % 13 + 1) * 7.5)).toDF("k", "v")
+    mergeSketchBatch(b0, store, "k", "v", 0L)
+
+    // crash BETWEEN the two swaps of batch 1: cms has batch 1 merged
+    // (marker and all), qbuckets is still the batch-0 snapshot
+    val qbSnap = java.nio.file.Paths.get(s"$root/qb_snapshot")
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$store/qbuckets"), qbSnap.toFile)
+    mergeSketchBatch(b1, store, "k", "v", 1L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$store/qbuckets"))
+    org.apache.commons.io.FileUtils.copyDirectory(qbSnap.toFile, new java.io.File(s"$store/qbuckets"))
+
+    // checkpoint replay of batch 1: cms must be left untouched (its
+    // marker already says 1), qbuckets must catch up — both stores
+    // then equal the clean two-batch result
+    mergeSketchBatch(b1, store, "k", "v", 1L)
+    val whole = b0.union(b1)
+    assert(cellMap(spark.read.parquet(s"$store/cms")) ==
+      cellMap(Sketches.countMinCells(whole, col("k"))),
+      "replay double-counted batch 1 into the cms store")
+    val cents = org.apache.spark.sql.functions.floor(col("v") * 100 + lit(0.5)).cast("long")
+    assert(spark.read.parquet(s"$store/qbuckets").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Sketches.sigBuckets(whole, cents).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      "qbuckets did not heal to the two-batch sketch")
+  }
+
   test("similarityServe: streamed queries get the exact batch top-k against the corpus") {
     val dir = java.nio.file.Files.createTempDirectory("graft_serve").toString
     def vec(seed: Long): Seq[Float] =
