@@ -1,0 +1,181 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnShim}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Container-format HEADER decode for multimodal binary columns — the
+  * real (non-stub) half of media handling that needs no codec: PNG
+  * IHDR, JPEG SOF marker scan, and RIFF/WAVE fmt+data chunks are pure
+  * byte arithmetic over the payload's first bytes.
+  *
+  * One native codegen expression (`binary -> struct`), so header
+  * extraction over a 100 TB media column stays inside whole-stage
+  * codegen with zero UDF/serialization cost — and, because only
+  * leading bytes are touched, pairs naturally with a source that
+  * stores payloads in their own column chunk: decode dimensions /
+  * sample rates for a trillion files without reading payload bodies.
+  *
+  * Reference behavior target: the pipeline treats media as opaque
+  * blobs with typed metadata (SURVEY.md multimodal north star); this
+  * expression materializes that metadata from the bytes themselves.
+  *
+  * Fields are NULL where the format doesn't define them (e.g.
+  * `sample_rate` for images); unrecognized/truncated payloads parse
+  * as format="unknown" with all fields NULL — malformed bytes in a
+  * web-scale crawl are data, not errors.
+  */
+case class MediaHeaderExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MediaHeader.schema
+  override def prettyName: String = "media_header"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MediaHeader.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MediaHeader.parse($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MediaHeaderExpr =
+    copy(child = newChild)
+}
+
+object MediaHeader {
+
+  val schema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("bit_depth", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("bits_per_sample", IntegerType, nullable = true),
+    StructField("n_frames", LongType, nullable = true)))
+
+  /** `media_header(bytes)` as a Column. */
+  def headerOf(bytes: Column): Column =
+    GraftColumnShim.column(MediaHeaderExpr(GraftColumnShim.expression(bytes)))
+
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def tag(b: Array[Byte], i: Int): Int = be32(b, i) // 4CC compare as BE int
+
+  private def row(format: String, width: java.lang.Integer = null,
+                  height: java.lang.Integer = null, bitDepth: java.lang.Integer = null,
+                  channels: java.lang.Integer = null, sampleRate: java.lang.Integer = null,
+                  bitsPerSample: java.lang.Integer = null, nFrames: java.lang.Long = null): InternalRow =
+    new GenericInternalRow(Array[Any](UTF8String.fromString(format), width, height,
+      bitDepth, channels, sampleRate, bitsPerSample, nFrames))
+
+  private val Unknown = "unknown"
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def parse(b: Array[Byte]): InternalRow = {
+    if (b.length >= 8 &&
+        (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a) parsePng(b)
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) parseJpeg(b)
+    else if (b.length >= 12 && tag(b, 0) == 0x52494646 /* RIFF */ &&
+             tag(b, 8) == 0x57415645 /* WAVE */) parseWav(b)
+    else row(Unknown)
+  }
+
+  /** PNG (RFC 2083): 8-byte signature, then the IHDR chunk — length
+    * (4, BE), "IHDR" (4), width (4, BE), height (4, BE), bit depth
+    * (1), color type (1). Channels derive from the color type. */
+  private def parsePng(b: Array[Byte]): InternalRow = {
+    if (b.length < 26 || tag(b, 12) != 0x49484452 /* IHDR */ ) return row(Unknown)
+    val width = be32(b, 16)
+    val height = be32(b, 20)
+    val bitDepth = b(24) & 0xff
+    val channels: java.lang.Integer = (b(25) & 0xff) match {
+      case 0 => 1 // greyscale
+      case 2 => 3 // truecolor
+      case 3 => 1 // indexed
+      case 4 => 2 // grey + alpha
+      case 6 => 4 // truecolor + alpha
+      case _ => null
+    }
+    if (width <= 0 || height <= 0) row(Unknown)
+    else row("png", width, height, bitDepth, channels)
+  }
+
+  /** JPEG (ITU-T T.81): scan marker segments from after SOI until a
+    * start-of-frame marker (0xC0-0xCF minus the non-frame 0xC4 DHT /
+    * 0xC8 JPG / 0xCC DAC); SOF payload is precision (1), height (2,
+    * BE), width (2, BE), component count (1). Standalone markers
+    * (RSTn/SOI/EOI/TEM) carry no length field and are stepped over;
+    * fill bytes (0xFF padding before a marker) are legal and skipped. */
+  private def parseJpeg(b: Array[Byte]): InternalRow = {
+    var pos = 2
+    while (pos + 1 < b.length) {
+      if ((b(pos) & 0xff) != 0xff) return row(Unknown) // lost marker sync
+      // skip fill bytes: any number of 0xFF may pad before the marker id
+      var p = pos
+      while (p + 1 < b.length && (b(p + 1) & 0xff) == 0xff) p += 1
+      if (p + 1 >= b.length) return row(Unknown)
+      val marker = b(p + 1) & 0xff
+      if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+        if (p + 9 >= b.length) return row(Unknown)
+        val precision = b(p + 4) & 0xff
+        val height = be16(b, p + 5)
+        val width = be16(b, p + 7)
+        val nComp = b(p + 9) & 0xff
+        return if (width <= 0 || height <= 0) row(Unknown)
+               else row("jpeg", width, height, precision, nComp)
+      } else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) {
+        pos = p + 2 // standalone marker: no length field
+      } else {
+        if (p + 3 >= b.length) return row(Unknown)
+        val segLen = be16(b, p + 2)
+        if (segLen < 2) return row(Unknown)
+        pos = p + 2 + segLen
+      }
+    }
+    row(Unknown)
+  }
+
+  /** RIFF/WAVE: chunk walk from offset 12 — each chunk is a 4CC id +
+    * LE32 size + payload (word-aligned). "fmt " gives channels /
+    * sample rate / block align / bits per sample; "data" gives the
+    * payload size, hence frame count = size / block_align. The walk
+    * trusts DECLARED sizes, so a header-only blob (metadata extraction
+    * without fetching the payload body) still parses fully. */
+  private def parseWav(b: Array[Byte]): InternalRow = {
+    var pos = 12
+    var channels: java.lang.Integer = null
+    var sampleRate: java.lang.Integer = null
+    var bits: java.lang.Integer = null
+    var blockAlign = 0
+    var dataSize = -1L
+    while (pos + 8 <= b.length && (channels == null || dataSize < 0)) {
+      val id = tag(b, pos)
+      val size = le32(b, pos + 4).toLong & 0xffffffffL
+      if (id == 0x666d7420 /* "fmt " */ && pos + 8 + 16 <= b.length) {
+        channels = le16(b, pos + 10)
+        sampleRate = le32(b, pos + 12)
+        blockAlign = le16(b, pos + 20)
+        bits = le16(b, pos + 22)
+      } else if (id == 0x64617461 /* "data" */ ) {
+        dataSize = size
+      }
+      pos += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    if (channels == null) row(Unknown)
+    else {
+      val nFrames: java.lang.Long =
+        if (dataSize >= 0 && blockAlign > 0) java.lang.Long.valueOf(dataSize / blockAlign) else null
+      row("wav", channels = channels, sampleRate = sampleRate,
+        bitsPerSample = bits, nFrames = nFrames)
+    }
+  }
+}

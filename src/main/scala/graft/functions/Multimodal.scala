@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column conventions: media payloads travel as opaque
@@ -54,6 +54,84 @@ object Multimodal {
           s"transform(sequence(0, int((n_bytes - 1) DIV $stride)), i -> substring(bytes, i * $stride + 1, $frameSize))")))
       .select(col("media_id"), col("pos").cast("long").as("frame_idx"), col("col").as("frame"))
   }
+
+  // ---- container-header fixtures + decode (REAL, no codec needed) ----
+
+  private def hx(s: String): Column = unhex(lit(s))
+  private def beInt(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+  private def beShort(c: Column): Column = unhex(lpad(hex(c), 4, "0"))
+  private def leInt(c: Column): Column = {
+    val h = lpad(hex(c), 8, "0")
+    unhex(concat(substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2)))
+  }
+  private def leShort(c: Column): Column = {
+    val h = lpad(hex(c), 4, "0")
+    unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+  }
+
+  /** PLANTED media fixtures: real PNG / JPEG / WAV container headers
+    * (correct magics, chunk/segment layouts, endianness) whose field
+    * values derive arithmetically from `doc_id` — so a cross-engine
+    * oracle can predict every parsed field without itself parsing
+    * bytes. Construction is pure SQL byte assembly (hex/unhex/concat —
+    * codegen'd, distributed, no UDF); kind cycles doc_id % 3 over
+    * png/jpeg/wav. The JPEG plants a JFIF APP0 plus a VARIABLE-length
+    * comment segment ahead of SOF0, so decoding must genuinely walk
+    * the marker chain; the WAV declares its data size without
+    * materializing the payload — the header-only regime a metadata
+    * crawl over 100 TB of audio would run in. */
+  def headerFixtures(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    // png: width/height planted from doc_id; 8-bit RGBA
+    val pngBytes = concat(
+      hx("89504E470D0A1A0A"),                    // signature
+      hx("0000000D"), hx("49484452"),            // IHDR length + tag
+      beInt(d % 997 + 1), beInt(d % 491 + 1),    // width, height (BE)
+      hx("0806000000"),                          // depth 8, color 6, comp/filter/interlace
+      hx("00000000"),                            // CRC (not validated)
+      hx("0000000049454E44AE426082"))            // empty IEND
+    // jpeg: SOI, JFIF APP0, variable-length COM, SOF0, EOI
+    val comPayload = expr("repeat('A', int(doc_id % 7 + 1))")
+    val jpegBytes = concat(
+      hx("FFD8"),                                // SOI
+      hx("FFE00010"), hx("4A46494600"),          // APP0 len 16, "JFIF\0"
+      hx("010100004800480000"),                  // v1.1, density 72x72, no thumb
+      hx("FFFE"), beShort(d % 7 + 3),            // COM, len = payload + 2
+      encode(comPayload, "UTF-8"),
+      hx("FFC00011"), hx("08"),                  // SOF0 len 17, precision 8
+      beShort(d % 257 + 1), beShort(d % 509 + 1), // height, width (BE)
+      hx("03"), hx("011100021101031101"),        // 3 components
+      hx("FFD9"))                                // EOI
+    // wav: RIFF/WAVE with fmt + data chunk headers, sizes declared only
+    val ch = d % 2 + 1
+    val rate = d % 5 * 1000 + 8000
+    val blockAlign = ch * 2 // 16-bit PCM
+    val nFrames = d % 1000 + 1
+    val dataSize = blockAlign * nFrames
+    val wavBytes = concat(
+      hx("52494646"), leInt(dataSize + 36), hx("57415645"), // RIFF size WAVE
+      hx("666D7420"), leInt(lit(16)), leShort(lit(1)),      // "fmt " 16 PCM
+      leShort(ch), leInt(rate), leInt(rate * blockAlign),   // channels, rate, byte rate
+      leShort(blockAlign), leShort(lit(16)),                // block align, bits
+      hx("64617461"), leInt(dataSize))                      // "data" + declared size
+    docs.select(
+      d.as("media_id"),
+      when(d % 3 === 0, pngBytes).when(d % 3 === 1, jpegBytes).otherwise(wavBytes).as("bytes"))
+  }
+
+  /** Parse container headers off the binary column —
+    * [[MediaHeader.headerOf]] flattened to typed metadata columns.
+    * All-codegen; touches only leading bytes of each payload. */
+  def decodeHeaders(media: DataFrame): DataFrame =
+    media.withColumn("h", MediaHeader.headerOf(col("bytes")))
+      .select(col("media_id"), col("h.format").as("format"),
+        col("h.width").cast("long").as("width"),
+        col("h.height").cast("long").as("height"),
+        col("h.bit_depth").cast("long").as("bit_depth"),
+        col("h.channels").cast("long").as("channels"),
+        col("h.sample_rate").cast("long").as("sample_rate"),
+        col("h.bits_per_sample").cast("long").as("bits_per_sample"),
+        col("h.n_frames").as("n_frames"))
 
   /** STUB decode / feature extraction — deterministic fake features
     * (byte histogram stats) in place of a real codec. Runs batched per

@@ -167,6 +167,21 @@ object ExtensionQueries {
   private def q32(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("rhash"))
 
+  // q103 — multimodal container-header decode (REAL, no codec): build
+  // planted PNG/JPEG/WAV payloads with correct byte layouts (SQL byte
+  // assembly, distributed), then parse dimensions / bit depth /
+  // channels / sample rate / frame count back out of the BYTES with
+  // the codegen MediaHeaderExpr (PNG IHDR, JPEG SOF marker walk, RIFF
+  // chunk walk). The oracle predicts every field arithmetically from
+  // doc_id — the decode is only correct if the parser actually reads
+  // the planted headers; MediaHeaderSpec additionally pins the parser
+  // against real-file byte vectors so builder and parser can't share
+  // a compensating layout bug. duration_ms = frames/rate is the one
+  // derived float, r4-rounded on both sides.
+  private def q103(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeHeaders(Multimodal.headerFixtures(docs(s, dir)))
+      .withColumn("duration_ms", r4(col("n_frames") * lit(1000.0) / col("sample_rate")))
+
   // q33 — deterministic train/val/test split (multiplicative hash of
   // the id — reproducible across runs/partitionings/engines; note ids
   // must stay below ~2^33: DuckDB BIGINT overflow is checked, Spark
@@ -294,7 +309,8 @@ object ExtensionQueries {
     "q30_multimodal_meta" -> q30 _,
     "q101_frame_sample" -> q101 _,
     "q31_multimodal_decode" -> q31 _,
-    "q32_rolling_fp" -> q32 _
+    "q32_rolling_fp" -> q32 _,
+    "q103_media_headers" -> q103 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -597,6 +613,18 @@ object ExtensionQueries {
         |  list_sum(bytes)::DOUBLE / n_bytes AS byte_mean,
         |  list_reduce(bytes[1:least(4, n_bytes)::INT], (a, x) -> a*256 + x)::BIGINT AS head_word
         |FROM b""".stripMargin,
+    "q103_media_headers" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+        |  (CASE doc_id % 3 WHEN 0 THEN doc_id % 997 + 1 WHEN 1 THEN doc_id % 509 + 1 END)::BIGINT AS width,
+        |  (CASE doc_id % 3 WHEN 0 THEN doc_id % 491 + 1 WHEN 1 THEN doc_id % 257 + 1 END)::BIGINT AS height,
+        |  (CASE WHEN doc_id % 3 < 2 THEN 8 END)::BIGINT AS bit_depth,
+        |  (CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 3 ELSE doc_id % 2 + 1 END)::BIGINT AS channels,
+        |  (CASE WHEN doc_id % 3 = 2 THEN doc_id % 5 * 1000 + 8000 END)::BIGINT AS sample_rate,
+        |  (CASE WHEN doc_id % 3 = 2 THEN 16 END)::BIGINT AS bits_per_sample,
+        |  (CASE WHEN doc_id % 3 = 2 THEN doc_id % 1000 + 1 END)::BIGINT AS n_frames,
+        |  CASE WHEN doc_id % 3 = 2 THEN floor((doc_id % 1000 + 1) * 1000.0 / (doc_id % 5 * 1000 + 8000) * 10000 + 0.5) / 10000 END AS duration_ms
+        |FROM documents""".stripMargin,
     "q37_ivf_topk" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |c AS (

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.functions.{MediaHeader, Multimodal}
+
+/** Container-header decode: known-good real-file byte vectors parse to
+  * their documented fields; planted fixtures round-trip to the
+  * arithmetic the oracle predicts; malformed bytes degrade to
+  * "unknown", never errors. */
+class MediaHeaderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def un(hex: String): Array[Byte] =
+    hex.replaceAll("\\s", "").sliding(2, 2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private def parse(bytes: Array[Byte]): Row =
+    Seq(Tuple1(bytes)).toDF("bytes")
+      .select(MediaHeader.headerOf($"bytes").as("h")).select("h.*").collect().head
+
+  test("PNG: a real 1x1 RGBA8 file's IHDR fields") {
+    // the smallest standard PNG: signature, IHDR(1x1, depth 8, color 6),
+    // IDAT with one zlib-deflated filter byte + RGBA pixel, IEND
+    val png = un(
+      "89504E470D0A1A0A 0000000D 49484452 00000001 00000001 08 06 00 00 00 1F15C489" +
+      "0000000D 49444154 789C626001000000FFFF 03000006 000557BFABD4" +
+      "00000000 49454E44 AE426082")
+    val r = parse(png)
+    assert(r.getString(0) == "png")
+    assert((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)) == ((1, 1, 8, 4)))
+    assert(r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(7), "audio fields must be NULL for png")
+  }
+
+  test("JPEG: SOF0 found behind APP0 and a comment segment; fill bytes legal") {
+    // SOI, JFIF APP0, COM("hi"), fill byte, SOF0(h=2, w=3, 3 components), EOI
+    val jpeg = un(
+      "FFD8" +
+      "FFE00010 4A46494600 0101 00 0048 0048 00 00" +
+      "FFFE0004 6869" +
+      "FF" + // fill byte before next marker
+      "FFC00011 08 0002 0003 03 011100 021101 031101" +
+      "FFD9")
+    val r = parse(jpeg)
+    assert(r.getString(0) == "jpeg")
+    assert((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)) == ((3, 2, 8, 3)))
+  }
+
+  test("WAV: the canonical 44-byte PCM header example") {
+    // 22050 Hz mono 16-bit, 2048 data bytes -> 1024 frames
+    val wav = un(
+      "52494646 24080000 57415645 666D7420 10000000 0100 0100" +
+      "22560000 44AC0000 0200 1000 64617461 00080000")
+    val r = parse(wav)
+    assert(r.getString(0) == "wav")
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3), "image fields must be NULL for wav")
+    assert((r.getInt(4), r.getInt(5), r.getInt(6), r.getLong(7)) == ((1, 22050, 16, 1024L)))
+  }
+
+  test("malformed payloads parse as unknown, never throw") {
+    for (bad <- Seq(
+      Array.empty[Byte],
+      "not media at all".getBytes("UTF-8"),
+      un("89504E470D0A1A0A 0000000D 494844"),     // PNG truncated mid-IHDR tag
+      un("FFD8 FFE000"),                           // JPEG truncated mid-segment
+      un("FFD8 FFE00001"),                         // JPEG segment length < 2
+      un("52494646 00000000 57415645 666D74"))) {  // WAV truncated mid-chunk
+      assert(parse(bad).getString(0) == "unknown", s"bytes ${bad.length}")
+    }
+  }
+
+  test("planted fixtures round-trip to the arithmetic the oracle predicts") {
+    val docs = spark.range(0, 300).select($"id".as("doc_id"))
+    val got = Multimodal.decodeHeaders(Multimodal.headerFixtures(docs))
+      .orderBy("media_id").collect()
+    assert(got.length == 300)
+    got.foreach { r =>
+      val d = r.getLong(0)
+      def L(i: Int): Option[Long] = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      (d % 3) match {
+        case 0 =>
+          assert(r.getString(1) == "png", s"doc $d")
+          assert(L(2) == Some(d % 997 + 1) && L(3) == Some(d % 491 + 1), s"doc $d dims")
+          assert(L(4) == Some(8L) && L(5) == Some(4L), s"doc $d depth/channels")
+          assert(L(6).isEmpty && L(7).isEmpty && L(8).isEmpty, s"doc $d audio fields")
+        case 1 =>
+          assert(r.getString(1) == "jpeg", s"doc $d")
+          assert(L(2) == Some(d % 509 + 1) && L(3) == Some(d % 257 + 1), s"doc $d dims")
+          assert(L(4) == Some(8L) && L(5) == Some(3L), s"doc $d depth/channels")
+        case _ =>
+          assert(r.getString(1) == "wav", s"doc $d")
+          assert(L(2).isEmpty && L(3).isEmpty && L(4).isEmpty, s"doc $d image fields")
+          assert(L(5) == Some(d % 2 + 1), s"doc $d channels")
+          assert(L(6) == Some(d % 5 * 1000 + 8000), s"doc $d rate")
+          assert(L(7) == Some(16L), s"doc $d bits")
+          assert(L(8) == Some(d % 1000 + 1), s"doc $d frames")
+      }
+    }
+  }
+}
