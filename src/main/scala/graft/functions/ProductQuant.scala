@@ -1,0 +1,202 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PRODUCT QUANTIZATION (Jégou, Douze, Schmid — "Product Quantization
+  * for Nearest Neighbor Search", TPAMI 2011): compress unit-normalized
+  * embeddings to one small code per subspace and answer top-k with
+  * asymmetric distance computation (ADC) — the 100 TB embedding-search
+  * memory story, where raw vectors (64 floats = 256 B) become M codes
+  * (M bytes at k <= 256) plus one shared, broadcastable codebook.
+  *
+  * Pipeline (all DataFrame ops, deterministic, DuckDB-replayable):
+  *  1. unit-normalize vectors (cosine becomes plain dot product);
+  *  2. split each vector into M contiguous subspaces of dim/M dims;
+  *  3. per subspace, train a k-cell codebook: seed cells with the
+  *     EXPLICIT-arithmetic sign-random-projection bucket (the q39
+  *     plane family, seeded by subspace index), take element-wise
+  *     means, then run `lloydRounds` reassign/recompute rounds with
+  *     1e-4-ROUNDED L2 scores and code tiebreak (the q37/q71 trick
+  *     that makes float argmins reproducible across engines);
+  *  4. encode: each (vector, subspace) keeps its nearest code —
+  *     the compressed representation;
+  *  5. ADC: per query, one distance table of <q_sub, centroid> per
+  *     (subspace, code) — M*k entries, broadcast — and a candidate's
+  *     approximate cosine is the sum of M table lookups; exact top-k
+  *     machinery (BoundedTopK) runs over the approximate scores.
+  *
+  * Scale shape: training shuffles only (m, cell, dim) partial sums
+  * (M * k * dim rows); encoding is a broadcast join + partial agg; ADC
+  * scoring broadcasts the Q*M*k table and never shuffles candidate
+  * vectors — the full-size embedding column is read ONCE to encode and
+  * never again.
+  */
+object ProductQuant {
+
+  private def r4d(c: Column): Column = floor(c * lit(1e4) + lit(0.5)) / lit(1e4)
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Unit-normalize and split: one row per (id, m, sv) with
+    * sv = the m-th `dim/nSub`-dim slice of v / |v|. */
+  def subspaces(vectors: DataFrame, idCol: String, vecCol: String,
+                nSub: Int, dim: Int): DataFrame = {
+    require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
+    val ds = dim / nSub
+    vectors
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("n", Similarity.l2norm(col("v")))
+      .select(col("id"), explode(sequence(lit(0), lit(nSub - 1))).as("m"),
+        col("v"), col("n"))
+      .select(col("id"), col("m"),
+        transform(slice(col("v"), col("m") * ds + 1, lit(ds)), x => x / col("n")).as("sv"))
+  }
+
+  /** Explicit-arithmetic SRP cell for a subspace row — the q39 plane
+    * family with the SUBSPACE INDEX as the seed, so every subspace
+    * gets independent planes from one closed-form expression that
+    * replays in ANSI SQL: sign(m, i, j) = +1 iff
+    * ((m*97 + i*1299721 + j*15485863) mod (2^31-1)) is even.
+    *
+    * Caveat that motivated the grid seeding below: kBits hyperplanes
+    * through the origin of a ds-dim subspace carve at most
+    * O(kBits^(ds-1)) regions — for the small ds a PQ subspace has,
+    * raising kBits past ~2*ds stops creating populated cells. */
+  private[graft] def srpCell(sv: Column, m: Column, kBits: Int, ds: Int): Column =
+    (0 until kBits).map { i =>
+      val s = (0 until ds).map { j =>
+        element_at(sv, j + 1) *
+          when(((m * 97L + lit(i.toLong * 1299721L + j.toLong * 15485863L)) % 2147483647L) % 2 === 0,
+            lit(1d)).otherwise(lit(-1d))
+      }.reduce(_ + _)
+      when(s > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** RANK-GRID cell seeding: per (subspace, dimension), cut the
+    * corpus into `nbPerDim` equal-frequency buckets (ntile over the
+    * coordinate with id tiebreak — deterministic, and ntile's
+    * remainder rule is identical in Spark and DuckDB, the q83
+    * precedent), and the cell is the mixed-radix digit string of the
+    * per-dim buckets. Per-dim buckets are exactly balanced by
+    * construction, and the product grid keeps gaining populated cells
+    * as nbPerDim^ds grows — where SRP seeding saturates at the ~2*ds
+    * regions its origin-hyperplanes can carve (PQSpec measures both
+    * properties). The rank window is a per-(m,dim) sort of the TRAINING
+    * corpus; at 100 TB the codebook trains on a sample (as all PQ
+    * deployments do), so the sort is sample-sized, not corpus-sized. */
+  private[graft] def gridCells(sub: DataFrame, ds: Int, nbPerDim: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("m"), col("dim")).orderBy(col("x"), col("id"))
+    sub.select(col("id"), col("m"), posexplode(col("sv")).as(Seq("dim", "x")))
+      .withColumn("b", ntile(nbPerDim).over(w) - 1)
+      .groupBy(col("id"), col("m"))
+      .agg(sum(col("b") * pow(lit(nbPerDim), col("dim"))).cast("long").as("cell"))
+  }
+
+  /** Element-wise mean over each (m, cell) group -> codebook rows
+    * (m, code, cent). Input needs (m, cell, sv). */
+  private def means(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("m"), col("cell"), posexplode(col("sv")).as(Seq("dim", "x")))
+      .groupBy(col("m"), col("cell"), col("dim"))
+      .agg(avg(col("x")).as("c"))
+      .groupBy(col("m"), col("cell"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("__s"))
+      .select(col("m"), col("cell").as("code"),
+        transform(col("__s"), s => s.getField("c")).as("cent"))
+
+  /** Rounded L2 objective for assignment: |c|^2 - 2<sv,c> (the |sv|^2
+    * term is constant per row and drops out of the argmin). */
+  private def l2score(sv: Column, cent: Column): Column =
+    r4d(Similarity.dot(cent, cent) - lit(2d) * Similarity.dot(sv, cent))
+
+  /** Nearest code per (id, m) against a broadcast codebook — min_by
+    * partial agg (no window), code tiebreak; carries sv through for
+    * retraining. Output: (id, m, sv, code). */
+  private def assign(sub: DataFrame, book: DataFrame): DataFrame =
+    sub.join(broadcast(book), Seq("m"))
+      .withColumn("d", l2score(col("sv"), col("cent")))
+      .groupBy(col("id"), col("m"))
+      .agg(first(col("sv")).as("sv"),
+        min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+
+  /** Train per-subspace codebooks: SRP-seeded cells -> means ->
+    * `lloydRounds` reassign/recompute rounds. Output: (m, code, cent),
+    * at most nSub * 2^kBits rows — broadcastable by construction. */
+  def trainCodebooks(sub: DataFrame, kBits: Int, ds: Int, lloydRounds: Int): DataFrame = {
+    var book = means(sub.withColumn("cell", srpCell(col("sv"), col("m"), kBits, ds)))
+    for (_ <- 1 to lloydRounds)
+      book = means(assign(sub, book).withColumnRenamed("code", "cell"))
+    book
+  }
+
+  /** [[trainCodebooks]] with the rank-grid seeding — nbPerDim^ds cells
+    * per subspace, all populated. */
+  def trainCodebooksGrid(sub: DataFrame, ds: Int, nbPerDim: Int, lloydRounds: Int): DataFrame = {
+    var book = means(sub.join(gridCells(sub, ds, nbPerDim), Seq("id", "m")))
+    for (_ <- 1 to lloydRounds)
+      book = means(assign(sub, book).withColumnRenamed("code", "cell"))
+    book
+  }
+
+  /** Encode: the compressed (id, m, code) long-form representation —
+    * M small integers per vector (byte-packable at kBits <= 8). */
+  def encode(sub: DataFrame, book: DataFrame): DataFrame =
+    assign(sub, book).select(col("id"), col("m"), col("code"))
+
+  /** ADC scores against a trained codebook: approximate cosine of
+    * (query, candidate) = sum over subspaces of the query's
+    * distance-table entry at the candidate's code. The distance table
+    * (Q * nSub * cells rows) broadcasts; candidates' full vectors are
+    * read once to encode and never shuffle. Output: (query_id,
+    * neighbor_id, approx_cos). */
+  def adcScore(queries: DataFrame, candidates: DataFrame, idCol: String, vecCol: String,
+               nSub: Int, dim: Int, book: DataFrame): DataFrame = {
+    val sub = subspaces(candidates, idCol, vecCol, nSub, dim)
+    val codes = encode(sub, book)
+    val dtable = subspaces(queries, idCol, vecCol, nSub, dim)
+      .withColumnRenamed("id", "query_id").withColumnRenamed("sv", "qsv")
+      .join(broadcast(book), Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        Similarity.dot(col("qsv"), col("cent")).as("part"))
+    codes
+      .join(broadcast(dtable), Seq("m", "code"))
+      .filter(col("query_id") =!= col("id"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(sum(col("part")).as("approx"))
+      .select(col("query_id"), col("neighbor_id"), r4d(col("approx")).as("approx_cos"))
+  }
+
+  /** PQ ADC top-k with grid-seeded codebooks. Output: (query_id,
+    * neighbor_id, approx_cos, rnk). */
+  def pqTopK(queries: DataFrame, candidates: DataFrame, idCol: String, vecCol: String,
+             nSub: Int, dim: Int, nbPerDim: Int, lloydRounds: Int, k: Int): DataFrame = {
+    val ds = dim / nSub
+    val sub = subspaces(candidates, idCol, vecCol, nSub, dim)
+    val book = trainCodebooksGrid(sub, ds, nbPerDim, lloydRounds)
+    Similarity.topK(adcScore(queries, candidates, idCol, vecCol, nSub, dim, book),
+      k, col("approx_cos"))
+  }
+
+  /** The production PQ serving shape: ADC SHORTLIST (cheap, over
+    * codes) then EXACT re-rank of only the shortlist (one more
+    * map-side pass: the tiny shortlist broadcasts against the corpus
+    * — no corpus shuffle, no all-pairs scan). Output: (query_id,
+    * neighbor_id, cos, rnk) with exact 1e-4-rounded cosines. */
+  def pqRerankTopK(queries: DataFrame, candidates: DataFrame, idCol: String, vecCol: String,
+                   nSub: Int, dim: Int, nbPerDim: Int, lloydRounds: Int,
+                   shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val short = pqTopK(queries, candidates, idCol, vecCol, nSub, dim, nbPerDim, lloydRounds, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", Similarity.l2norm(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", Similarity.l2norm(col("qv")))
+    val scored = c.join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        r4d(Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    Similarity.topK(scored, k, col("cos"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.{ProductQuant, Similarity}
+
+/** Product quantization: compression is real (nSub byte-codes from
+  * nbPerDim^ds cells), ADC + exact-rerank recalls the exact top-k,
+  * and the whole pipeline is partition-invariant (the 1000-executor
+  * reproducibility property). Config under test = q104's production
+  * point: 16 subspaces x 256 cells on 64-dim (16 B/vector vs 256 B
+  * raw float32 — 16x). */
+class PQSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def e = Tables.embeddings(spark, dir)
+  private def queries = e.filter(col("vec_id") < 10)
+
+  test("codebook and codes have the promised compressed shape") {
+    val sub = ProductQuant.subspaces(e, "vec_id", "embedding", nSub = 16, dim = 64)
+    val book = ProductQuant.trainCodebooksGrid(sub, ds = 4, nbPerDim = 4, lloydRounds = 1)
+    val nVec = e.count()
+    assert(book.count() <= 16 * 256, "at most nSub * nbPerDim^ds codebook rows")
+    assert(book.select(max(col("code"))).as[Long].head() < 256, "codes fit one byte")
+    val codes = ProductQuant.encode(sub, book)
+    assert(codes.count() == nVec * 16, "exactly nSub codes per vector")
+    assert(codes.groupBy("id").count().filter(col("count") =!= 16).count() == 0)
+  }
+
+  test("grid seeding yields fine cells (the resolution SRP seeding loses in low dims)") {
+    val sub = ProductQuant.subspaces(e, "vec_id", "embedding", nSub = 16, dim = 64)
+    val cells = ProductQuant.gridCells(sub, ds = 4, nbPerDim = 4)
+    // per-dim ntile buckets are exactly balanced by construction; the
+    // PRODUCT cells are populated statistically (~500 vectors over 256
+    // cells leaves a Poisson tail of empties) — the point is the count
+    // scales with nbPerDim^ds instead of saturating at the ~2*ds
+    // origin-hyperplane regions SRP caps out at
+    val cellsPerSub = cells.groupBy("m").agg(countDistinct("cell").as("n"))
+      .select(min(col("n"))).as[Long].head()
+    assert(cellsPerSub >= 150, s"grid cells collapsed: min $cellsPerSub of 256")
+    assert(cells.select(max(col("cell"))).as[Long].head() < 256, "cell ids exceed the 4^4 grid")
+  }
+
+  test("ADC alone recalls most of the exact top-5; with exact rerank, nearly all") {
+    val exact = Similarity.cosineTopK(queries, e, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(exact.size == 50)
+    val adc = ProductQuant.pqTopK(queries, e, "vec_id", "embedding", 16, 64, 4, 1, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val adcRecall = (exact & adc).size.toDouble / exact.size
+    assert(adcRecall >= 0.6, s"ADC recall@5 degraded: $adcRecall (measured 0.74 at sf0.001)")
+    val rr = ProductQuant.pqRerankTopK(queries, e, "vec_id", "embedding", 16, 64, 4, 1,
+      shortlist = 25, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rrRecall = (exact & rr).size.toDouble / exact.size
+    assert(rrRecall >= 0.95, s"rerank recall@5 degraded: $rrRecall (measured 1.0 at sf0.001)")
+  }
+
+  test("approximate scores are close to the exact cosine they stand in for") {
+    val sub = ProductQuant.subspaces(e, "vec_id", "embedding", 16, 64)
+    val book = ProductQuant.trainCodebooksGrid(sub, 4, 4, 1)
+    val exact = Similarity.scoreAll(queries, e, "vec_id", "embedding")
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    val approx = ProductQuant.adcScore(queries, e, "vec_id", "embedding", 16, 64, book)
+    val err = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .select(avg(abs(col("cos") - col("approx_cos"))).as("mae"))
+      .as[Double].head()
+    assert(err < 0.1, s"mean ADC error too large: $err")
+  }
+
+  test("partition layout does not change the ranking") {
+    def run(c: org.apache.spark.sql.DataFrame) =
+      ProductQuant.pqRerankTopK(queries, c, "vec_id", "embedding", 16, 64, 4, 1, 25, 5)
+        .collect().map(_.toString).sorted
+    assert(run(e).sameElements(run(e.repartition(7))), "pqRerankTopK must be partition-invariant")
+  }
+}
