@@ -271,6 +271,68 @@ object Sketches {
           .otherwise((col("kk") - 1).cast("double") * lit(P.toDouble) / col("hk"))
           .as("est_distinct"))
 
+  /** Pairwise SET-OPERATION estimates from a [[kmvSketchBy]] table —
+    * corpus-overlap analytics (how much of source A duplicates source
+    * B) WITHOUT touching the raw data again: every computation below
+    * runs on the k-row-per-group sketch table.
+    *
+    * For each group pair (a < b):
+    *  - `est_a`/`est_b`: the standard KMV distinct estimates;
+    *  - `est_union`: k smallest of the two sketches' union (the k-min
+    *    of a union is always contained in the union of k-mins — exact
+    *    mergeability), estimated the same way;
+    *  - `est_common_theta`: theta-style cut — with theta = min of the
+    *    two k-th-minima, each sketch restricted to h < theta is a
+    *    uniform hash sample of its set at rate theta/P, so common
+    *    hashes below theta scale up by P/theta. Degenerates to the
+    *    EXACT count when both groups have < k distinct keys (theta =
+    *    P: the sketches are the full hash sets);
+    *  - `est_common_ie`: inclusion-exclusion est_a + est_b -
+    *    est_union, clamped at 0 — cheaper, higher variance;
+    *  - `est_jaccard`: est_common_theta / est_union.
+    *
+    * Scale shape: |groups|^2 pairs of k-row sketches; nothing here
+    * re-reads the corpus — the one corpus pass happened in
+    * [[kmvSketchBy]]. Output: (grp_a, grp_b, est_a, est_b, est_union,
+    * est_common_ie, est_common_theta, est_jaccard), estimates
+    * unrounded (round at the query site). */
+  def kmvSetOps(sketchBy: DataFrame, k: Int = 64): DataFrame = {
+    val est = when(col("kk") < k, col("kk").cast("double"))
+      .otherwise((col("kk") - 1).cast("double") * lit(P.toDouble) / col("hk"))
+    val stats = sketchBy.groupBy(col("grp"))
+      .agg(count(lit(1)).as("kk"), max(col("h")).as("hk"))
+      .select(col("grp"), when(col("kk") < k, lit(P)).otherwise(col("hk")).as("theta"),
+        est.as("est"))
+    val pairs = stats.select(col("grp").as("grp_a"), col("theta").as("ta"), col("est").as("est_a"))
+      .join(stats.select(col("grp").as("grp_b"), col("theta").as("tb"), col("est").as("est_b")),
+        col("grp_a") < col("grp_b"))
+      .withColumn("theta", least(col("ta"), col("tb")))
+    // common hashes below the pair's theta cut (left join keeps
+    // zero-overlap pairs in the output)
+    val common = sketchBy.select(col("grp").as("grp_a"), col("h"))
+      .join(sketchBy.select(col("grp").as("grp_b"), col("h")), Seq("h"))
+      .filter(col("grp_a") < col("grp_b"))
+    val withCommon = pairs.join(common, Seq("grp_a", "grp_b"), "left")
+      .groupBy(col("grp_a"), col("grp_b"), col("theta"), col("est_a"), col("est_b"))
+      .agg(sum(when(col("h").isNotNull && col("h") < col("theta"), 1L).otherwise(0L)).as("n_common"))
+    // union sketch per pair: k smallest of the two sketches' hashes
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp_a"), col("grp_b")).orderBy(col("h"))
+    val unionEst = pairs.select(col("grp_a"), col("grp_b"))
+      .join(sketchBy, col("grp") === col("grp_a") || col("grp") === col("grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("h")).distinct()
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .groupBy(col("grp_a"), col("grp_b"))
+      .agg(count(lit(1)).as("kk"), max(col("h")).as("hk"))
+      .select(col("grp_a"), col("grp_b"), est.as("est_union"))
+    withCommon.join(unionEst, Seq("grp_a", "grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("est_a"), col("est_b"), col("est_union"),
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0d)).as("est_common_ie"),
+        (col("n_common").cast("double") * lit(P.toDouble) / col("theta")).as("est_common_theta"),
+        (col("n_common").cast("double") * lit(P.toDouble) / col("theta") / col("est_union"))
+          .as("est_jaccard"))
+  }
+
   /** Per-group sig-digit buckets: one quantile sketch per key —
     * (group, b_lo, bucket_n). Same exact-integer bucketing as
     * [[sigBuckets]]; the groupBy carries the group columns, so the

@@ -216,7 +216,49 @@ object SketchQueries {
       .select(col("x"), r4(col("cdf")).as("cdf"), r4(col("true_cdf")).as("true_cdf"))
   }
 
+  // q105 — KMV SET-OPERATION ESTIMATES: pairwise vocabulary overlap
+  // between document sources (how much of source A's distinct word
+  // set recurs in source B) computed three ways from the k=64
+  // per-source sketches alone — union (k-min mergeability),
+  // theta-style intersection (hash sample below the pair's min
+  // k-th-minimum, scaled by P/theta), inclusion-exclusion — next to
+  // the exact values. The one corpus pass is the sketch build; the
+  // 190 pairwise estimates run on 64-row sketches (the 100 TB
+  // corpus-overlap answer: sketch each source as it lands, compare
+  // any pair later without re-reading either). Every hash replays in
+  // ANSI SQL (md5-derived token hash -> squared-affine KMV hash), so
+  // the oracle re-derives sketches, cuts, and estimates exactly;
+  // SketchSpec pins the estimate error against truth.
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    // 3-gram shingles, not words: the corpus vocabulary is ~30 words
+    // (every source would sketch exactly), while shingle sets run to
+    // thousands per source — the estimation regime the sketch exists
+    // for, with the exact-degenerate path still covered by SketchSpec
+    val dw = docs(s, dir).select(col("source"),
+        explode(TextAnalysis.shingles(TextAnalysis.wordTokens(col("text")), 3)).as("w"))
+      .distinct()
+    val ops = Sketches.kmvSetOps(Sketches.kmvSketchBy(
+      dw, col("source"), graft.functions.NearDup.md5TokenHash(col("w")), 64), 64)
+    val counts = dw.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val tc = dw.select(col("source").as("grp_a"), col("w"))
+      .join(dw.select(col("source").as("grp_b"), col("w")), Seq("w"))
+      .filter(col("grp_a") < col("grp_b"))
+      .groupBy(col("grp_a"), col("grp_b")).agg(count(lit(1)).as("tc"))
+    ops
+      .join(counts.select(col("source").as("grp_a"), col("n").as("na")), Seq("grp_a"))
+      .join(counts.select(col("source").as("grp_b"), col("n").as("nb")), Seq("grp_b"))
+      .join(tc, Seq("grp_a", "grp_b"), "left")
+      .withColumn("true_common", coalesce(col("tc"), lit(0L)))
+      .select(col("grp_a").as("source_a"), col("grp_b").as("source_b"),
+        (col("na") + col("nb") - col("true_common")).as("true_union"), col("true_common"),
+        r4(col("est_union")).as("est_union"),
+        r4(col("est_common_ie")).as("est_common_ie"),
+        r4(col("est_common_theta")).as("est_common_theta"),
+        r4(col("est_jaccard")).as("est_jaccard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_kmv_setops" -> q105 _,
     "q92_kmv_distinct" -> q92 _,
     "q102_sig_cdf" -> q102 _,
     "q98_kmv_by_key" -> q98 _,
@@ -230,6 +272,73 @@ object SketchQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q105_kmv_setops" ->
+      """WITH tk AS (
+        |  SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+        |), wx AS (
+        |  SELECT source, unnest(
+        |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS w
+        |  FROM tk
+        |), dw AS (SELECT DISTINCT source, w FROM wx),
+        |th AS (SELECT DISTINCT source, ('0x' || substr(md5(w), 1, 15))::BIGINT AS t FROM dw),
+        |hh AS (
+        |  SELECT DISTINCT source,
+        |    ((t % 2147483647) * (t % 2147483647) % 2147483647 * 1299721
+        |      + (t % 2147483647) * 7 + 1) % 2147483647 AS h
+        |  FROM th
+        |),
+        |rn AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hh),
+        |sk AS (SELECT source, h FROM rn WHERE rn <= 64),
+        |st AS (SELECT source, count(*)::BIGINT AS kk, max(h)::BIGINT AS hk FROM sk GROUP BY 1),
+        |st2 AS (
+        |  SELECT source, CASE WHEN kk < 64 THEN 2147483647 ELSE hk END AS theta,
+        |    CASE WHEN kk < 64 THEN kk::DOUBLE ELSE (kk-1)::DOUBLE * 2147483647.0 / hk END AS est
+        |  FROM st
+        |),
+        |pairs AS (
+        |  SELECT a.source AS grp_a, b.source AS grp_b, least(a.theta, b.theta) AS theta,
+        |    a.est AS est_a, b.est AS est_b
+        |  FROM st2 a JOIN st2 b ON a.source < b.source
+        |),
+        |cm AS (
+        |  SELECT x.source AS grp_a, y.source AS grp_b, x.h
+        |  FROM sk x JOIN sk y ON x.h = y.h AND x.source < y.source
+        |),
+        |nc AS (
+        |  SELECT p.grp_a, p.grp_b, p.theta, p.est_a, p.est_b,
+        |    sum(CASE WHEN c.h IS NOT NULL AND c.h < p.theta THEN 1 ELSE 0 END)::BIGINT AS n_common
+        |  FROM pairs p LEFT JOIN cm c ON p.grp_a = c.grp_a AND p.grp_b = c.grp_b
+        |  GROUP BY 1, 2, 3, 4, 5
+        |),
+        |ux AS (
+        |  SELECT DISTINCT p.grp_a, p.grp_b, s.h
+        |  FROM pairs p JOIN sk s ON s.source = p.grp_a OR s.source = p.grp_b
+        |),
+        |ur AS (SELECT grp_a, grp_b, h, row_number() OVER (PARTITION BY grp_a, grp_b ORDER BY h) AS rn FROM ux),
+        |us AS (SELECT grp_a, grp_b, count(*)::BIGINT AS kk, max(h)::BIGINT AS hk FROM ur WHERE rn <= 64 GROUP BY 1, 2),
+        |ue AS (
+        |  SELECT grp_a, grp_b,
+        |    CASE WHEN kk < 64 THEN kk::DOUBLE ELSE (kk-1)::DOUBLE * 2147483647.0 / hk END AS est_union
+        |  FROM us
+        |),
+        |tcnt AS (SELECT source, count(*)::BIGINT AS n FROM dw GROUP BY 1),
+        |tc AS (
+        |  SELECT x.source AS grp_a, y.source AS grp_b, count(*)::BIGINT AS true_common
+        |  FROM dw x JOIN dw y ON x.w = y.w AND x.source < y.source GROUP BY 1, 2
+        |)
+        |SELECT n.grp_a AS source_a, n.grp_b AS source_b,
+        |  (ta.n + tb.n - coalesce(tc.true_common, 0))::BIGINT AS true_union,
+        |  coalesce(tc.true_common, 0)::BIGINT AS true_common,
+        |  floor(u.est_union*10000 + 0.5)/10000 AS est_union,
+        |  floor(greatest(n.est_a + n.est_b - u.est_union, 0)*10000 + 0.5)/10000 AS est_common_ie,
+        |  floor((n.n_common::DOUBLE * 2147483647.0 / n.theta)*10000 + 0.5)/10000 AS est_common_theta,
+        |  floor((n.n_common::DOUBLE * 2147483647.0 / n.theta / u.est_union)*10000 + 0.5)/10000 AS est_jaccard
+        |FROM nc n
+        |JOIN ue u ON n.grp_a = u.grp_a AND n.grp_b = u.grp_b
+        |JOIN tcnt ta ON ta.source = n.grp_a
+        |JOIN tcnt tb ON tb.source = n.grp_b
+        |LEFT JOIN tc ON tc.grp_a = n.grp_a AND tc.grp_b = n.grp_b""".stripMargin,
     "q102_sig_cdf" ->
       """WITH v AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS xc FROM lineitem),
         |qs AS (SELECT unnest([100000, 3000000, 6000000, 9000000, 12000000])::BIGINT AS x),

@@ -133,6 +133,38 @@ class SketchSpec extends SparkSpec {
       s"no partial group limit in grouped KMV plan:\n$p")
   }
 
+  test("KMV set operations: planted overlap estimated within order-statistic error") {
+    import graft.functions.Sketches
+    // A = [0, 10000), B = [5000, 15000): union 15000, overlap 5000,
+    // jaccard 1/3 — planted so every estimator has a known target
+    val rows = spark.range(0, 10000).select(lit("a").as("g"), $"id".as("k"))
+      .union(spark.range(5000, 15000).select(lit("b").as("g"), $"id".as("k")))
+    val ops = Sketches.kmvSetOps(Sketches.kmvSketchBy(rows, col("g"), col("k"), 64), 64)
+      .collect().head
+    def rel(est: Double, truth: Double) = math.abs(est - truth) / truth
+    // k=64 order-statistic SE is ~1/sqrt(k-2) = 12.7%; 3-sigma bounds
+    assert(rel(ops.getAs[Double]("est_union"), 15000) < 0.38,
+      s"union estimate off: ${ops.getAs[Double]("est_union")}")
+    assert(rel(ops.getAs[Double]("est_common_theta"), 5000) < 0.6,
+      s"theta intersection off: ${ops.getAs[Double]("est_common_theta")}")
+    val j = ops.getAs[Double]("est_jaccard")
+    assert(j > 0.15 && j < 0.55, s"jaccard estimate off: $j")
+  }
+
+  test("KMV set operations degenerate to EXACT counts below k distinct") {
+    import graft.functions.Sketches
+    // 30 + 30 elements, overlap 10 — both sketches ARE the full hash
+    // sets, so every estimate must equal the truth exactly
+    val rows = spark.range(0, 30).select(lit("a").as("g"), $"id".as("k"))
+      .union(spark.range(20, 50).select(lit("b").as("g"), $"id".as("k")))
+    val ops = Sketches.kmvSetOps(Sketches.kmvSketchBy(rows, col("g"), col("k"), 64), 64)
+      .collect().head
+    assert(ops.getAs[Double]("est_union") == 50d)
+    assert(ops.getAs[Double]("est_common_theta") == 10d)
+    assert(ops.getAs[Double]("est_common_ie") == 10d)
+    assert(ops.getAs[Double]("est_jaccard") == 0.2d)
+  }
+
   test("q84 join-cardinality estimate dominates the true join size") {
     val r = SparkEntry.queries("q84_join_card")(spark, sf("sf0.01")).head()
     val (truth, est) = (r.getAs[Long]("true_pairs"), r.getAs[Long]("est_pairs"))
