@@ -301,7 +301,56 @@ object ExtensionQueries {
       bucketFn = Similarity.srpBucketExplicit(_, _, _, _))
       .select(col("id_a"), col("id_b"), r4(col("cos")).as("cos"))
 
+  // q106 — BPE TOKENIZER TRAINING: 12 merge rounds of the iterative
+  // highest-frequency-pair loop over the word-type table (the
+  // vocabulary-sized collapse of the corpus — the only thing the loop
+  // touches). Deterministic by construction: exact integer pair
+  // counts, lexicographic tiebreaks, and a double-space symbol
+  // encoding that makes plain `replace` reproduce reference BPE's
+  // non-consuming merge semantics identically in Spark and DuckDB —
+  // so the oracle replays ALL 12 training rounds (seed, count, pick,
+  // merge) as chained CTEs and must land on the same merge sequence.
+  private def q106(s: SparkSession, dir: String): DataFrame =
+    graft.functions.BpeTrain.train(s, docs(s, dir), col("text"), merges = 12)
+
+  private def bpeOracleSql(merges: Int): String = {
+    val rounds = (1 to merges).map { r =>
+      // MATERIALIZED is load-bearing: each round references the prior
+      // one several times, and inlined CTEs would re-derive the whole
+      // prefix exponentially (4^12 scans of documents)
+      s"""p$r AS MATERIALIZED (
+         |  SELECT p.a AS a, p.b AS b, sum(wn)::BIGINT AS n FROM (
+         |    SELECT wn, unnest(list_transform(range(1, len(ss)), i -> {'a': ss[i], 'b': ss[i+1]})) AS p
+         |    FROM (SELECT wn, string_split(trim(seq), '  ') AS ss FROM s${r - 1})
+         |  ) GROUP BY 1, 2
+         |),
+         |b$r AS MATERIALIZED (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+         |s$r AS MATERIALIZED (
+         |  SELECT w, wn, replace(seq,
+         |    ' ' || (SELECT a FROM b$r) || '  ' || (SELECT b FROM b$r) || ' ',
+         |    ' ' || (SELECT a || b FROM b$r) || ' ') AS seq
+         |  FROM s${r - 1}
+         |)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to merges).map { r =>
+      s"SELECT $r::BIGINT AS step, a AS sym_a, b AS sym_b, n AS pair_n, a || b AS merged FROM b$r"
+    }.mkString("\nUNION ALL ")
+    s"""WITH wt AS (
+       |  SELECT w, count(*)::BIGINT AS wn
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents)
+       |  GROUP BY 1
+       |),
+       |s0 AS (
+       |  SELECT w, wn,
+       |    '  ' || array_to_string(list_transform(range(1, length(w) + 1), i -> w[i:i]), '  ') || '  </w>  ' AS seq
+       |  FROM wt
+       |),
+       |$rounds
+       |$finals""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_bpe_train" -> q106 _,
     "q38_embed_neardup" -> q38 _,
     "q39_embed_neardup_lsh" -> q39 _,
     "q36_chunks" -> q36 _,
@@ -332,6 +381,7 @@ object ExtensionQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q106_bpe_train" -> bpeOracleSql(12),
     "q39_embed_neardup_lsh" ->
       """WITH t AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nn FROM t),
