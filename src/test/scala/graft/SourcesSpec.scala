@@ -48,6 +48,60 @@ class SourcesSpec extends SparkSpec {
     assert(w != null)
   }
 
+  test("kafka wire contract end-to-end: producer encode -> broker-shaped stream -> exactly-once buckets across restart") {
+    // No Kafka artifact exists anywhere on this sandbox's classpath
+    // (287 Spark jars, zero kafka-*; zero egress to fetch one), so an
+    // embedded broker is impossible. This closes everything EXCEPT the
+    // socket: a replayable stream whose schema is field-for-field the
+    // Kafka source contract — (key binary, value binary, topic,
+    // partition, offset, timestamp, timestampType) — drives
+    // KafkaIO.toWire -> fromWire -> Ingest.clean ->
+    // StreamPipeline.run, with a real stop/restart on one checkpoint
+    // proving the exactly-once property the reference's consumer loop
+    // only approximates (realtime_data_consumer.py commits after
+    // write). On a real cluster only `.format("kafka")` changes.
+    val srcDir = Files.createTempDirectory("graft_kwire_src").toString
+    val bucketDir = Files.createTempDirectory("graft_kwire_buckets").toString
+    val ckpt = Files.createTempDirectory("graft_kwire_ckpt").toString
+    val baseSec = 1704186000L // 2024-01-02T09:00:00Z
+    def iso(plusSec: Long) = // explicit pattern: LocalDateTime.toString drops ":00" seconds
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochSecond(baseSec + plusSec))
+    var nextOffset = 0L
+    def produce(offs: Seq[Long]): Unit = {
+      val ticks = offs.map(o => ("A", 10.0, 0.0, "0%", "1", 10.0, 10.0, iso(o)))
+        .toDF("symbol", "price", "change", "percent_change", "volume",
+          "today_low", "today_high", "timestamp")
+      KafkaIO.toWire(ticks, col("symbol"))
+        .select(col("key").cast("binary").as("key"), col("value").cast("binary").as("value"),
+          lit("ticks").as("topic"), lit(0).as("partition"),
+          (monotonically_increasing_id() + nextOffset).as("offset"),
+          current_timestamp().as("timestamp"), lit(0).as("timestampType"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      nextOffset += offs.size
+    }
+    produce((0 until 5).map(_ * 30L))
+    val wireSchema = spark.read.parquet(srcDir).schema
+    def startQuery() = graft.streaming.StreamPipeline.run(
+      Ingest.clean(KafkaIO.fromWire(
+        spark.readStream.schema(wireSchema).option("maxFilesPerTrigger", "1")
+          .parquet(srcDir), Ingest.rawSchema)),
+      bucketDir, ckpt, trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // while down: more ticks in the same 5-minute bucket, plus a late
+    // batch far ahead to flush the watermark
+    produce((5 until 10).map(_ * 30L))
+    produce(Seq(7200L, 7500L))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val buckets = graft.streaming.StreamPipeline.readBuckets(spark, bucketDir)
+      .filter($"bucket_start" === baseSec)
+    assert(buckets.select(sum($"n")).as[Long].head() == 10L,
+      "each wire record exactly once across the restart")
+  }
+
   test("CSV positional binding parity: producer field name differs from schema name") {
     val dir = Files.createTempDirectory("graft_csv").toString
     // header says percent_change (producer's name); schema declares
