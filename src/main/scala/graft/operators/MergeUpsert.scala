@@ -50,4 +50,47 @@ object MergeUpsert {
   def upsertStamped(target: DataFrame, source: DataFrame, keys: Seq[String], loadTs: java.sql.Timestamp): DataFrame =
     upsert(target, source.withColumn("last_updated", lit(loadTs)),
       keys) // target must already carry last_updated
+
+  /** SCHEMA-EVOLUTION upsert: align source and target BY NAME with an
+    * explicit per-class policy, instead of [[upsert]]'s exact-schema
+    * require (the reference re-creates DDL per run and would silently
+    * start failing when a producer adds a field — at 100 TB scale,
+    * upstream schema drift is an operating condition, not an error):
+    *
+    *  - ADDED source columns extend the output schema; pre-existing
+    *    target rows read NULL there (warehouse ADD COLUMN semantics);
+    *  - DROPPED source columns survive: matched rows KEEP the target
+    *    value (an absent column is "no opinion", NOT an overwrite
+    *    with null — the rule [[upsert]]'s source-wins discriminator
+    *    could not express); fresh inserts read NULL there;
+    *  - RETYPED common columns fail fast with the exact drift listed
+    *    — silent coercion is how a warehouse corrupts quietly;
+    *  - keys must exist on both sides, always.
+    *
+    * Same single-shuffle full-outer plan as [[upsert]]. */
+  def upsertEvolve(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+    val tCols = target.columns.toSeq
+    val sCols = source.columns.toSeq
+    require(keys.forall(tCols.contains) && keys.forall(sCols.contains),
+      s"merge keys ${keys.mkString(",")} must exist on both sides")
+    val retyped = tCols.intersect(sCols).filter(c =>
+      target.schema(c).dataType != source.schema(c).dataType)
+    require(retyped.isEmpty,
+      s"column type drift, refusing to coerce silently: " +
+        retyped.map(c => s"$c ${target.schema(c).dataType.simpleString}->" +
+          source.schema(c).dataType.simpleString).mkString(", "))
+    val added = sCols.filterNot(tCols.contains)
+    val dropped = tCols.filterNot(sCols.contains).filterNot(keys.contains)
+    val commonVals = tCols.filter(sCols.contains).filterNot(keys.contains)
+    val t = target.select(tCols.map(c => col(c).as(s"t_$c")).toIndexedSeq: _*)
+    val s = source.select(sCols.map(c => col(c).as(s"s_$c")).toIndexedSeq: _*)
+    val cond = keys.map(k => t(s"t_$k") === s(s"s_$k")).reduce(_ && _)
+    val srcPresent = col(s"s_${keys.head}").isNotNull
+    val outCols: Seq[Column] =
+      keys.map(k => coalesce(col(s"s_$k"), col(s"t_$k")).as(k)) ++
+        commonVals.map(c => when(srcPresent, col(s"s_$c")).otherwise(col(s"t_$c")).as(c)) ++
+        dropped.map(c => col(s"t_$c").as(c)) ++ // absent from source = no opinion
+        added.map(c => col(s"s_$c").as(c))      // target rows read null
+    t.join(s, cond, "full_outer").select(outCols: _*)
+  }
 }

@@ -71,6 +71,36 @@ class OperatorsSpec extends SparkSpec {
     assert(again.orderBy("id").collect().toSeq == MergeUpsert.upsert(target, source, Seq("id")).orderBy("id").collect().toSeq)
   }
 
+  test("schema evolution: added source column extends the table, target rows read null") {
+    val target = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+    val source = Seq((2L, 99.0, "eu"), (3L, 30.0, "us")).toDF("id", "v", "region")
+    // strict upsert must refuse the drift outright
+    intercept[IllegalArgumentException] { MergeUpsert.upsert(target, source, Seq("id")) }
+    val out = MergeUpsert.upsertEvolve(target, source, Seq("id")).orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSeq ==
+      Seq((1L, 10.0, None), (2L, 99.0, Some("eu")), (3L, 30.0, Some("us"))))
+  }
+
+  test("schema evolution: dropped source column keeps target values on match") {
+    val target = Seq((1L, 10.0, "keep1"), (2L, 20.0, "keep2")).toDF("id", "v", "note")
+    val source = Seq((2L, 99.0), (3L, 30.0)).toDF("id", "v")
+    val out = MergeUpsert.upsertEvolve(target, source, Seq("id")).orderBy("id").collect()
+    // matched row 2: v updates, note SURVIVES (absent column = no
+    // opinion, not an overwrite-with-null); insert row 3: note null
+    assert(out.map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSeq ==
+      Seq((1L, 10.0, Some("keep1")), (2L, 99.0, Some("keep2")), (3L, 30.0, None)))
+  }
+
+  test("schema evolution: retyped column fails fast, naming the drift") {
+    val target = Seq((1L, 10.0)).toDF("id", "v")
+    val source = Seq((1L, "oops")).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      MergeUpsert.upsertEvolve(target, source, Seq("id"))
+    }
+    assert(e.getMessage.contains("v") && e.getMessage.contains("double") &&
+      e.getMessage.contains("string"), s"drift not named: ${e.getMessage}")
+  }
+
   test("merge upsert: null source values still overwrite on match") {
     val target = Seq((1L, Some(10.0), "old")).toDF("id", "v", "src")
     val source = Seq((1L, Option.empty[Double], "new")).toDF("id", "v", "src")

@@ -124,6 +124,59 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("EqualTo(p_brand"), s"brand disjunction not pushed:\n$p")
   }
 
+  test("AQE splits the skewed join partition; results equal the unsplit plan") {
+    // a 90%-hot-key fact join is the shape that strands one reducer
+    // with most of the data at 1000-executor scale; AQE's
+    // OptimizeSkewedJoin must split the hot partition (plan shows
+    // skew=true) and the split must be invisible to results.
+    // Thresholds are lowered to make a test-sized hot partition
+    // (~3 MB) cross the skew bar; broadcast is disabled so the join
+    // actually sort-merges (the skewed regime — a broadcastable side
+    // would dodge the problem, which is the other valid fix).
+    import org.apache.spark.sql.functions._
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled"
+    ).map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+      c.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // 200k facts, 90% on key 0; dim side = one row per key with a
+      // payload, too many bytes to broadcast at threshold -1
+      val fact = spark.range(0, 200000).select(
+        when(col("id") % 10 === 0, col("id") % 100).otherwise(lit(0L)).as("k"),
+        col("id").as("va"))
+      val dim = spark.range(0, 100).select(col("id").as("k"), (col("id") * 7).as("vb"))
+      // GLOBAL aggregate on purpose: its partial phase accepts any
+      // partitioning, so OptimizeSkewedJoin may split freely — a
+      // groupBy on the join key would pin the join's distribution and
+      // AQE (correctly) declines to split rather than add a shuffle
+      def joined = fact.join(dim, "k")
+        .agg(count(lit(1)).as("n"), sum(col("vb") + col("va")).as("s"))
+      val j1 = joined // one instance: collect() finalizes ITS adaptive plan
+      val rows = j1.collect()
+      val plan = j1.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE did not split the skewed partition:\n$plan")
+      // equality vs the unsplit plan
+      c.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val plain = joined.collect()
+      assert(rows.map(_.toString).sorted.sameElements(plain.map(_.toString).sorted),
+        "skew split changed results")
+      assert(rows.head.getAs[Long]("n") == 200000L, "every fact row joins exactly once")
+    } finally saved.foreach { case (k, v) => v.fold(c.unset(k))(c.set(k, _)) }
+  }
+
   test("runtime bloom filter prunes the big side of a selective fact-fact join") {
     // Spark's InjectRuntimeFilter: a selective creation side (filtered
     // orders) plants a bloom might_contain on the application side's
