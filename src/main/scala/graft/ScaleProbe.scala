@@ -1,19 +1,50 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.functions._
 
-/** Scale probe: replicates sf0.1 facts 10x (~6M lineitem rows, ~100k
-  * events... x10) in /tmp parquet and re-runs the headline aggregate/
-  * join shapes, to observe how wall-clock scales with input size on
-  * the same plans (evidence for the would-it-survive-100x question;
-  * ids are offset per replica so key cardinality scales too).
+/** Scale probe: replicates sf0.1 facts `reps`x in /tmp parquet and
+  * re-runs headline aggregate/join shapes on the same plans, printing
+  * wall-clock AND the shuffle economy (bytes written/read, spill) per
+  * query — the evidence for the would-it-survive-100x question.
+  *
+  *   runMain graft.ScaleProbe           # 10x, the broad battery
+  *   runMain graft.ScaleProbe 100       # 100x (~60M lineitem, ~500k
+  *                                      # docs), the shuffle-heavy tail
+  *   runMain graft.ScaleProbe 100 q48_dedup_clusters,q22_minhash_pairs
+  *
+  * Ids offset per replica so key cardinality scales with volume;
+  * document TEXTS replicate verbatim (only ids move) — every doc
+  * gains reps-1 byte-identical copies, the adversarial dedup regime
+  * where candidate pairs grow quadratically in reps unless the
+  * canonical-set collapse does its job.
   */
 object ScaleProbe {
+
+  /** Aggregated across stages between reset() calls. */
+  private final class ShuffleMeter extends SparkListener {
+    val write = new AtomicLong; val read = new AtomicLong; val spill = new AtomicLong
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        spill.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    def reset(): Unit = { write.set(0); read.set(0); spill.set(0) }
+  }
+
   def main(args: Array[String]): Unit = {
+    val reps = args.headOption.map(_.toInt).getOrElse(10)
+    val only = args.drop(1).headOption.map(_.split(",").map(_.trim).toSet)
     val spark = core.GraftSession("scaleprobe", 32)
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
     val src = "/root/testdata/sf0.1"
-    val dst = "/tmp/graft_sf1"
-    val reps = 10
+    val dst = s"/tmp/graft_sfx$reps"
 
     def replicate(table: String, idCols: Seq[String], offset: Long): Unit = {
       val base = core.Tables(spark, src, table)
@@ -26,107 +57,114 @@ object ScaleProbe {
     replicate("lineitem", Seq("l_orderkey"), 100000000L)
     replicate("orders", Seq("o_orderkey"), 100000000L) // o_custkey stays -> joins fan out per replica
     replicate("events", Seq("event_id"), 100000000L)
-    // texts replicate VERBATIM (only ids offset): every doc gains 9
-    // byte-identical copies — the adversarial dedup regime
+    // texts replicate VERBATIM (only ids offset): every doc gains
+    // reps-1 byte-identical copies — the adversarial dedup regime
     replicate("documents", Seq("doc_id"), 100000000L)
+    // SALTED document corpus for the pair-LISTING queries: every 3rd
+    // token is replaced by a replica-specific salt, so EVERY 3-gram
+    // shingle contains a salt and cross-replica jaccard collapses to
+    // ~0 (a 1-in-4 salt leaves 25% of shingles shared — jaccard 0.14,
+    // which is adversarially MORE self-similar than a real corpus and
+    // inflates LSH candidate collisions ~1000x; measured 201 s at
+    // 10x). Within-replica near-dup pairs survive (both members get
+    // the same positional salts) — content genuinely GROWS with
+    // volume and pair density stays ~1x per replica. Verbatim replication is
+    // the right adversary for cluster/survivor queries (their output
+    // stays linear — sets collapse), but it SQUARES the true pair
+    // count of a pair-listing query: sf0.1 already holds ~3M real
+    // near-dup pairs, so 100 verbatim copies make ~30 BILLION correct
+    // output rows — an output-cardinality fact about the question
+    // asked, not a plan defect. (A light salt is not enough either: a
+    // doc plus one appended token is still a 0.94-jaccard near-dup of
+    // its source.)
+    val dstS = s"$dst-salted"
+    locally {
+      val base = core.Tables(spark, src, "documents")
+      (0 until reps).map { r =>
+        base.withColumn("doc_id", col("doc_id") + lit(r * 100000000L))
+          .withColumn("text", expr(
+            s"array_join(transform(regexp_extract_all(lower(text), '[a-z0-9]+', 0), (t, i) -> IF(i % 3 = 0, concat('s$r', 'x', i), t)), ' ')"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dstS/documents.parquet")
+    }
     // dims copy verbatim: they stay dim-sized at any fact scale
-    Seq("customer", "nation", "supplier").foreach { t =>
+    Seq("customer", "nation", "supplier", "part").foreach { t =>
       core.Tables(spark, src, t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
-    println(f"[scale] replicate ${(System.nanoTime()-t0)/1e9}%.1f s")
+    println(f"[scale] replicate x$reps ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
     // noop sink: full materialization, no column pruning of the
     // aggregates under measurement (same action as Bench)
-    def time(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
-      val t = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      println(f"[scale] $label time=${(System.nanoTime()-t)/1e9}%.2f s")
-    }
-    // q13 shape at 10x
-    time("q13_tpch_q1@10x") { SparkEntry.queries("q13_tpch_q1")(spark, dst) }
-    // q07 sliding windows at 10x events
-    time("q07_window_15m@10x") { SparkEntry.queries("q07_window_15m")(spark, dst) }
-    // q06 OHLCV rollup (min_by/max_by single-aggregate plan) at 10x
-    time("q06_ohlcv_daily@10x") { SparkEntry.queries("q06_ohlcv_daily")(spark, dst) }
-    // semi join fact x fact at 10x (both sides replicated)
-    time("q42_semi_join@10x") { SparkEntry.queries("q42_semi_join")(spark, dst) }
-    // ROLLUP grouping sets at 10x (subtotal grid in one pass)
-    time("q49_rollup_sets@10x") { SparkEntry.queries("q49_rollup_sets")(spark, dst) }
-    // CUBE grouping sets at 10x
-    time("q53_cube@10x") { SparkEntry.queries("q53_cube")(spark, dst) }
-    // gap-fill: 10x event VOLUME, same grid span (bin-collapse absorbs it)
-    time("q55_gapfill@10x") { SparkEntry.queries("q55_gapfill_locf")(spark, dst) }
-    // TF-IDF at 10x docs (term df x10, N x10 — weights shift, plan holds)
-    time("q57_tfidf@10x") { SparkEntry.queries("q57_tfidf_topterms")(spark, dst) }
-    // fuzzy edit-distance, both forms on the same 10x corpus: the
-    // blocked-quadratic baseline grows ~100x in candidate pairs (the
-    // honest quadratic), while the LSH-fronted form collapses the 10
-    // identical replicas to one node each BEFORE candidate generation
-    time("q56_fuzzy@10x") { SparkEntry.queries("q56_fuzzy_editdist")(spark, dst) }
-    time("q59_fuzzy_lsh@10x") { SparkEntry.queries("q59_fuzzy_lsh")(spark, dst) }
-    // contamination at 10x docs: benchmark gram set grows 10x but
-    // stays broadcast-sized; candidate side is a linear scan
-    time("q60_contamination@10x") { SparkEntry.queries("q60_contamination")(spark, dst) }
-    // bigram LM at 10x: counts x10, same distinct-bigram keyspace
-    time("q63_bigram_lm@10x") { SparkEntry.queries("q63_bigram_lm")(spark, dst) }
-    // dedup clusters at 10x IDENTICAL replicas: canonical-set nodes
-    // collapse the 10 copies, so the LSH/CC graph size stays ~flat
-    // while doc count grows 10x — the property that matters at 100 TB
-    time("q48_clusters@10x") { SparkEntry.queries("q48_dedup_clusters")(spark, dst) }
-    // token shards at 10x: the two-level prefix sum's heavy stages
-    // (bucket totals, per-bucket running sums) parallelize with the
-    // bucket count (~10x buckets); only the tiny offset window grows
-    time("q70_token_shards@10x") { SparkEntry.queries("q70_token_shards")(spark, dst) }
-    // quality gate at 10x: per-row signals + one (doc,word) partial agg
-    time("q69_quality_gate@10x") { SparkEntry.queries("q69_quality_gate")(spark, dst) }
-    // winnowing fingerprints at 10x docs: per-doc O(n) expression;
-    // identical replicas multiply n_docs per fp, not the fp keyspace
-    time("q73_winnow@10x") { SparkEntry.queries("q73_winnow_fps")(spark, dst) }
-    // CMS at 10x lineitem: cells stay 4x1024 regardless of volume —
-    // the mergeable-summary property under measurement
-    time("q79_countmin@10x") { SparkEntry.queries("q79_countmin_hh")(spark, dst) }
-    // LM scoring at 10x docs: model keyspace flat (verbatim
-    // replicas), doc-side join scales linearly
-    time("q81_lm_score@10x") { SparkEntry.queries("q81_lm_score")(spark, dst) }
-    // HAVING-gated large orders at 10x: the pre-aggregate below the
-    // joins keeps the join input at |qualifying orders|
-    time("q77_tpch_q18@10x") { SparkEntry.queries("q77_tpch_q18")(spark, dst) }
-    // quantile sketch at 10x lineitem: bucket table stays ~10^3 rows
-    // (same value domain), so the walk is volume-independent
-    time("q85_sig_quantiles@10x") { SparkEntry.queries("q85_sig_quantiles")(spark, dst) }
-    // heavy hitters at 10x: every key's count x10 crosses the gate
-    // more often, but the gated shuffle still carries only heavy-
-    // candidate rows; the CMS pass is map-side either way
-    time("q86_heavy_hitters@10x") { SparkEntry.queries("q86_heavy_hitters")(spark, dst) }
-    // binned range join at 10x events: equi-join on the bin key —
-    // added volume is added probe rows, never added comparisons/row
-    time("q90_range_join@10x") { SparkEntry.queries("q90_range_join_binned")(spark, dst) }
-    // boilerplate grams at 10x verbatim replicas: per-gram df x10 but
-    // the gram KEYSPACE is flat, so the df table and its broadcast
-    // stay fixed while the position stream scales linearly
-    time("q91_boilerplate@10x") { SparkEntry.queries("q91_boilerplate")(spark, dst) }
-    // multi-correlated Q21 shape at 10x facts (both joins fact x fact)
-    time("q87_tpch_q21@10x") { SparkEntry.queries("q87_tpch_q21")(spark, dst) }
-    // KMV sketches at 10x: the sketch is 64 longs whatever the volume;
-    // the build cost is the distinct-hash pass
-    time("q92_kmv@10x") { SparkEntry.queries("q92_kmv_distinct")(spark, dst) }
-    time("q98_kmv_by_key@10x") { SparkEntry.queries("q98_kmv_by_key")(spark, dst) }
-    // per-key quantile sketches at 10x events
-    time("q93_grouped_quantiles@10x") { SparkEntry.queries("q93_grouped_quantiles")(spark, dst) }
-    // inverted index at 10x verbatim replicas: same term keyspace,
-    // every posting list x10 — the honest index-build cost curve
-    time("q96_inverted_index@10x") { SparkEntry.queries("q96_inverted_index")(spark, dst) }
-    // join+agg: lineitem(6M) x orders(1.5M) with dims from sf0.1
+    def time(label: String)(df: => org.apache.spark.sql.DataFrame): Unit =
+      if (only.forall(_.exists(label.contains))) {
+        meter.reset()
+        val t = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"[scale] $label@${reps}x time=${(System.nanoTime() - t) / 1e9}%.2f s " +
+          f"shufW=${meter.write.get / 1e6}%.1f MB shufR=${meter.read.get / 1e6}%.1f MB " +
+          f"spill=${meter.spill.get / 1e6}%.1f MB")
+      }
+    def q(name: String)(implicit d: String = dst) = SparkEntry.queries(name)(spark, d)
+
+    // --- the shuffle-heavy tail (the 100x set) ---
+    time("q13_tpch_q1") { q("q13_tpch_q1") }
+    time("q07_window_15m") { q("q07_window_15m") }
+    // 4-way join+agg: lineitem x orders with dims from sf0.1
     val l = spark.read.parquet(s"$dst/lineitem.parquet")
     val o = spark.read.parquet(s"$dst/orders.parquet")
-    val c = core.Tables.customer(spark, src)
-    val n = core.Tables.nation(spark, src)
-    time("q14_join_agg@10x") {
+    val cst = core.Tables.customer(spark, src)
+    val nat = core.Tables.nation(spark, src)
+    time("q14_join_agg") {
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(c, o("o_custkey") === c("c_custkey"))
-        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(cst, o("o_custkey") === cst("c_custkey"))
+        .join(broadcast(nat), cst("c_nationkey") === nat("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"), count(lit(1)))
+    }
+    // pair LISTINGS on the salted (content-growing) corpus — output
+    // scales linearly, like a real corpus; see replicate() comment.
+    // q47 (3-gram-shingle minhash) is the scale representative, NOT
+    // q22: q22 ranks WORD-SET jaccard, and this corpus draws from a
+    // ~30-word vocabulary, so ~25% of ALL doc pairs are true >=0.8
+    // near-dups (2.97M of 12.5M at 1x) and the mass just under the
+    // threshold (j~0.5-0.8) collides in bands at ~0.5^4 x 32 = 86%
+    // per pair — candidate verification is Theta(n^2) because the
+    // ANSWER is Theta(n^2) on this vocabulary (measured: 253 s at a
+    // salted 10x, ~1e9 candidates). Shingle space is rich, so q47
+    // has none of that degeneracy.
+    time("q47_shingle_minhash") { SparkEntry.queries("q47_shingle_minhash")(spark, dstS) }
+    time("q59_fuzzy_lsh") { SparkEntry.queries("q59_fuzzy_lsh")(spark, dstS) }
+    // cluster/survivor queries on the VERBATIM replicas — the
+    // adversarial duplication regime their set-collapse absorbs
+    time("q48_dedup_clusters") { q("q48_dedup_clusters") }
+    time("q67_dedup_corpus") { q("q67_dedup_corpus") }
+    time("q86_heavy_hitters") { q("q86_heavy_hitters") }
+    time("q91_boilerplate") { q("q91_boilerplate") }
+
+    // --- the broader battery (10x runs keep historical coverage) ---
+    if (reps <= 10) {
+      time("q06_ohlcv_daily") { q("q06_ohlcv_daily") }
+      time("q42_semi_join") { q("q42_semi_join") }
+      time("q49_rollup_sets") { q("q49_rollup_sets") }
+      time("q53_cube") { q("q53_cube") }
+      time("q55_gapfill") { q("q55_gapfill_locf") }
+      time("q57_tfidf") { q("q57_tfidf_topterms") }
+      time("q56_fuzzy") { q("q56_fuzzy_editdist") }
+      time("q60_contamination") { q("q60_contamination") }
+      time("q63_bigram_lm") { q("q63_bigram_lm") }
+      time("q70_token_shards") { q("q70_token_shards") }
+      time("q69_quality_gate") { q("q69_quality_gate") }
+      time("q73_winnow") { q("q73_winnow_fps") }
+      time("q79_countmin") { q("q79_countmin_hh") }
+      time("q81_lm_score") { q("q81_lm_score") }
+      time("q77_tpch_q18") { q("q77_tpch_q18") }
+      time("q85_sig_quantiles") { q("q85_sig_quantiles") }
+      time("q90_range_join") { q("q90_range_join_binned") }
+      time("q87_tpch_q21") { q("q87_tpch_q21") }
+      time("q92_kmv") { q("q92_kmv_distinct") }
+      time("q98_kmv_by_key") { q("q98_kmv_by_key") }
+      time("q93_grouped_quantiles") { q("q93_grouped_quantiles") }
+      time("q96_inverted_index") { q("q96_inverted_index") }
     }
     spark.stop()
   }
