@@ -77,11 +77,73 @@ object BpeTrain {
       .agg(sum(col("wn")).as("n"))
 
   /** Train `merges` BPE merge steps. Returns the merge table
-    * (step, sym_a, sym_b, pair_n, merged) in training order. */
-  def train(spark: SparkSession, docs: DataFrame, textCol: Column, merges: Int): DataFrame = {
+    * (step, sym_a, sym_b, pair_n, merged) in training order.
+    *
+    * GUARDED HYBRID (the [[graft.operators.ConnectedComponents]]
+    * regime call): the loop's working set is the word-TYPE table,
+    * which is vocabulary-sized — when it fits comfortably on the
+    * driver (<= `driverMaxTypes` rows) the identical algorithm runs
+    * there in one pass instead of paying 2 Spark jobs per merge round
+    * (a 1,000-word vocabulary does not need a cluster 24 times).
+    * Above the gate, DataFrame rounds with rotating persists — the
+    * 100 TB path, where even a billion-doc corpus yields a word-type
+    * table of merely millions of rows. BpeSpec pins both paths to
+    * identical merge sequences. */
+  def train(spark: SparkSession, docs: DataFrame, textCol: Column, merges: Int,
+            driverMaxTypes: Long = 1000000L): DataFrame = {
     require(merges >= 1)
+    val types = wordTypes(docs, textCol)
+    val learned =
+      if (types.limit(driverMaxTypes.toInt + 1).count() <= driverMaxTypes)
+        trainDriver(types.collect().map(r => (r.getString(0), r.getLong(1))), merges)
+      else trainDistributed(spark, types, merges)
+    import spark.implicits._
+    learned.toSeq.toDF("step", "sym_a", "sym_b", "pair_n")
+      .select(col("step").cast("long").as("step"), col("sym_a"), col("sym_b"),
+        col("pair_n"), concat(col("sym_a"), col("sym_b")).as("merged"))
+  }
+
+  /** Driver-regime training: same sequences, same counts, same
+    * tiebreaks, same greedy replace semantics as the DataFrame path. */
+  private def trainDriver(types: Array[(String, Long)],
+                          merges: Int): Seq[(Int, String, String, Long)] = {
+    var seqs: Array[(Array[String], Long)] =
+      types.map { case (w, wn) => ((1 to w.length).map(i => w.substring(i - 1, i)).toArray :+ "</w>", wn) }
+    val learned = ListBuffer.empty[(Int, String, String, Long)]
+    for (step <- 1 to merges) {
+      val counts = collection.mutable.HashMap.empty[(String, String), Long]
+      seqs.foreach { case (syms, wn) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + wn)
+          i += 1
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((a, b), n) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        learned += ((step, a, b, n))
+        // greedy left-to-right non-overlapping merge — the array form
+        // of the two-space replace
+        seqs = seqs.map { case (syms, wn) =>
+          val out = collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, wn)
+        }
+      }
+    }
+    learned.toSeq
+  }
+
+  private def trainDistributed(spark: SparkSession, types: DataFrame,
+                               merges: Int): Seq[(Int, String, String, Long)] = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var seqs = wordTypes(docs, textCol)
+    var seqs = types
       .select(col("w"), col("wn"), charSeq(col("w")).as("seq"))
       .persist(lvl)
     val learned = ListBuffer.empty[(Int, String, String, Long)]
@@ -100,10 +162,7 @@ object BpeTrain {
         }
       }
     } finally seqs.unpersist(blocking = false)
-    import spark.implicits._
-    learned.toSeq.toDF("step", "sym_a", "sym_b", "pair_n")
-      .select(col("step").cast("long").as("step"), col("sym_a"), col("sym_b"),
-        col("pair_n"), concat(col("sym_a"), col("sym_b")).as("merged"))
+    learned.toSeq
   }
 
   /** Tokenize with a trained merge list: per word, apply every merge

@@ -131,12 +131,19 @@ object ProductQuant {
   }
 
   /** [[trainCodebooks]] with the rank-grid seeding — nbPerDim^ds cells
-    * per subspace, all populated. */
+    * per subspace, all populated. The returned codebook is
+    * MATERIALIZED (collected and re-created as a local frame): it is
+    * at most nSub * nbPerDim^ds rows by construction, every consumer
+    * broadcasts it anyway, and without this the full training lineage
+    * (windows, two rounds of aggregation) re-executes once per
+    * consumer — encode and the distance table would each retrain. */
   def trainCodebooksGrid(sub: DataFrame, ds: Int, nbPerDim: Int, lloydRounds: Int): DataFrame = {
     var book = means(sub.join(gridCells(sub, ds, nbPerDim), Seq("id", "m")))
     for (_ <- 1 to lloydRounds)
       book = means(assign(sub, book).withColumnRenamed("code", "cell"))
-    book
+    val spark = sub.sparkSession
+    spark.createDataFrame(
+      java.util.Arrays.asList(book.collect(): _*), book.schema)
   }
 
   /** Encode: the compressed (id, m, code) long-form representation —

@@ -35,6 +35,14 @@ class BpeSpec extends SparkSpec {
     assert(n == 4, s"expected 4 tokens after merging (a,n) in 'ananan', got $n")
   }
 
+  test("driver and DataFrame training regimes produce identical merge sequences") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    def run(gate: Long) = BpeTrain.train(spark, docs, col("text"), merges = 6, driverMaxTypes = gate)
+      .orderBy("step").select("step", "sym_a", "sym_b", "pair_n")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(run(1000000L) == run(0L), "regime choice must be invisible to the learned merges")
+  }
+
   test("trained merges compress real text and apply deterministically") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val merges = BpeTrain.train(spark, docs, col("text"), merges = 8)
