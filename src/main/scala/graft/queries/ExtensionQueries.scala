@@ -313,11 +313,38 @@ object ExtensionQueries {
   private def q106(s: SparkSession, dir: String): DataFrame =
     graft.functions.BpeTrain.train(s, docs(s, dir), col("text"), merges = 12)
 
+  // q107 — FAITHFUL TOKEN COUNTS under the trained tokenizer: apply
+  // q106's learned merges (in training order — the standard BPE
+  // inference rule) to every word of every document and count the
+  // resulting symbols. This is the count an LLM data pipeline
+  // actually budgets by (vs q26's regex approximation); the oracle
+  // re-trains the 12 merges from scratch AND re-applies them per word
+  // with the same nested-replace semantics.
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    val merges = graft.functions.BpeTrain.train(s, docs(s, dir), col("text"), merges = 12)
+      .orderBy("step").select("sym_a", "sym_b")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    docs(s, dir).select(col("doc_id"),
+      aggregate(TextAnalysis.wordTokens(col("text")), lit(0),
+        (acc, w) => acc + graft.functions.BpeTrain.applyMerges(w, merges))
+        .cast("long").as("n_bpe_tokens"))
+  }
+
   private def bpeOracleSql(merges: Int): String = {
+    val finals = (1 to merges).map { r =>
+      s"SELECT $r::BIGINT AS step, a AS sym_a, b AS sym_b, n AS pair_n, a || b AS merged FROM b$r"
+    }.mkString("\nUNION ALL ")
+    s"""${bpeTrainingCtes(merges)}
+       |$finals""".stripMargin
+  }
+
+  /** The shared WITH-prefix that re-trains the q106 merges: wt, s0,
+    * and `merges` materialized (p_r, b_r, s_r) rounds. MATERIALIZED is
+    * load-bearing: each round references the prior one several times,
+    * and inlined CTEs would re-derive the whole prefix exponentially
+    * (4^12 scans of documents). */
+  private def bpeTrainingCtes(merges: Int): String = {
     val rounds = (1 to merges).map { r =>
-      // MATERIALIZED is load-bearing: each round references the prior
-      // one several times, and inlined CTEs would re-derive the whole
-      // prefix exponentially (4^12 scans of documents)
       s"""p$r AS MATERIALIZED (
          |  SELECT p.a AS a, p.b AS b, sum(wn)::BIGINT AS n FROM (
          |    SELECT wn, unnest(list_transform(range(1, len(ss)), i -> {'a': ss[i], 'b': ss[i+1]})) AS p
@@ -332,9 +359,6 @@ object ExtensionQueries {
          |  FROM s${r - 1}
          |)""".stripMargin
     }.mkString(",\n")
-    val finals = (1 to merges).map { r =>
-      s"SELECT $r::BIGINT AS step, a AS sym_a, b AS sym_b, n AS pair_n, a || b AS merged FROM b$r"
-    }.mkString("\nUNION ALL ")
     s"""WITH wt AS (
        |  SELECT w, count(*)::BIGINT AS wn
        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents)
@@ -345,12 +369,27 @@ object ExtensionQueries {
        |    '  ' || array_to_string(list_transform(range(1, length(w) + 1), i -> w[i:i]), '  ') || '  </w>  ' AS seq
        |  FROM wt
        |),
-       |$rounds
-       |$finals""".stripMargin
+       |$rounds""".stripMargin
+  }
+
+  private def bpeCountOracleSql(merges: Int): String = {
+    val mCols = (1 to merges).map(r =>
+      s"(SELECT a FROM b$r) AS a$r, (SELECT b FROM b$r) AS c$r").mkString(", ")
+    val seed = "'  ' || array_to_string(list_transform(range(1, length(w) + 1), i -> w[i:i]), '  ') || '  </w>  '"
+    val applied = (1 to merges).foldLeft(seed) { (e, r) =>
+      s"replace($e, ' ' || m.a$r || '  ' || m.c$r || ' ', ' ' || m.a$r || m.c$r || ' ')"
+    }
+    s"""${bpeTrainingCtes(merges)},
+       |m AS MATERIALIZED (SELECT $mCols),
+       |d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
+       |SELECT d.doc_id,
+       |  coalesce(list_sum(list_transform(d.toks, w -> len(string_split(trim($applied), '  ')))), 0)::BIGINT AS n_bpe_tokens
+       |FROM d, m""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_bpe_train" -> q106 _,
+    "q107_bpe_token_counts" -> q107 _,
     "q38_embed_neardup" -> q38 _,
     "q39_embed_neardup_lsh" -> q39 _,
     "q36_chunks" -> q36 _,
@@ -382,6 +421,7 @@ object ExtensionQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q106_bpe_train" -> bpeOracleSql(12),
+    "q107_bpe_token_counts" -> bpeCountOracleSql(12),
     "q39_embed_neardup_lsh" ->
       """WITH t AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nn FROM t),

@@ -234,16 +234,23 @@ object SketchQueries {
     // (every source would sketch exactly), while shingle sets run to
     // thousands per source — the estimation regime the sketch exists
     // for, with the exact-degenerate path still covered by SketchSpec
-    val dw = docs(s, dir).select(col("source"),
-        explode(TextAnalysis.shingles(TextAnalysis.wordTokens(col("text")), 3)).as("w"))
-      .distinct()
+    // two corpus passes total: the sketch build (kmvSketchBy dedups
+    // internally) and ONE per-shingle source-set aggregation that
+    // feeds both exact-truth columns — per-source distinct counts
+    // (explode the sets) and pairwise overlaps (map-side pair
+    // expansion over sets bounded by |sources| = 20, instead of a
+    // shingle self-join that would shuffle the corpus twice more)
+    val words = docs(s, dir).select(col("source"),
+      explode(TextAnalysis.shingles(TextAnalysis.wordTokens(col("text")), 3)).as("w"))
     val ops = Sketches.kmvSetOps(Sketches.kmvSketchBy(
-      dw, col("source"), graft.functions.NearDup.md5TokenHash(col("w")), 64), 64)
-    val counts = dw.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val tc = dw.select(col("source").as("grp_a"), col("w"))
-      .join(dw.select(col("source").as("grp_b"), col("w")), Seq("w"))
-      .filter(col("grp_a") < col("grp_b"))
-      .groupBy(col("grp_a"), col("grp_b")).agg(count(lit(1)).as("tc"))
+      words, col("source"), graft.functions.NearDup.md5TokenHash(col("w")), 64), 64)
+    val bySh = words.groupBy(col("w")).agg(sort_array(collect_set(col("source"))).as("ss"))
+    val counts = bySh.select(explode(col("ss")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val tc = bySh
+      .select(explode(expr(
+        "flatten(transform(ss, x -> transform(filter(ss, y -> y > x), y -> struct(x AS a, y AS b))))")).as("p"))
+      .groupBy(col("p.a").as("grp_a"), col("p.b").as("grp_b")).agg(count(lit(1)).as("tc"))
     ops
       .join(counts.select(col("source").as("grp_a"), col("n").as("na")), Seq("grp_a"))
       .join(counts.select(col("source").as("grp_b"), col("n").as("nb")), Seq("grp_b"))
