@@ -18,6 +18,22 @@ object PqProbe {
     import spark.implicits._
     val exact = Similarity.cosineTopK(q, e, "vec_id", "embedding", 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // phase timing at q104's operating point (2 passes; read the 2nd —
+    // the 1st absorbs codegen/broadcast warmup)
+    for (pass <- 1 to 2) {
+      def t[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"PQTIME pass$pass $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      val sub = ProductQuant.subspaces(e, "vec_id", "embedding", 16, 64)
+      val cells = t("gridCells") { val c = ProductQuant.gridCells(sub, 4, 4); c.write.format("noop").mode("overwrite").save(); c }
+      val book = t("train") { ProductQuant.trainCodebooksGrid(sub, 4, 4, 1) }
+      t("encode") { ProductQuant.encode(sub, book).write.format("noop").mode("overwrite").save() }
+      t("adc+rerank") {
+        ProductQuant.pqRerankTopK(q, e, "vec_id", "embedding", 16, 64, 4, 1, 25, 5)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
     // measured on-disk compression at q104's operating point: raw
     // embedding column vs byte-packed codes (+ the shared codebook)
     locally {
