@@ -166,16 +166,25 @@ object ProductQuant {
   def encode(sub: DataFrame, book: DataFrame): DataFrame =
     assign(sub, book).select(col("id"), col("m"), col("code"))
 
-  /** ADC scores against a trained codebook: approximate cosine of
+  /** Build the PQ INDEX for a candidate corpus: the (codes, book)
+    * pair that serving needs — 16 B/vector codes plus the shared
+    * broadcastable codebook. Build once, persist, serve forever; the
+    * raw vector column is read exactly once (here). */
+  def buildIndex(candidates: DataFrame, idCol: String, vecCol: String,
+                 nSub: Int, dim: Int, nbPerDim: Int, lloydRounds: Int): (DataFrame, DataFrame) = {
+    val sub = subspaces(candidates, idCol, vecCol, nSub, dim)
+    val book = trainCodebooksGrid(sub, dim / nSub, nbPerDim, lloydRounds)
+    (encode(sub, book), book)
+  }
+
+  /** ADC scores against a PREBUILT code table: approximate cosine of
     * (query, candidate) = sum over subspaces of the query's
     * distance-table entry at the candidate's code. The distance table
-    * (Q * nSub * cells rows) broadcasts; candidates' full vectors are
-    * read once to encode and never shuffle. Output: (query_id,
-    * neighbor_id, approx_cos). */
-  def adcScore(queries: DataFrame, candidates: DataFrame, idCol: String, vecCol: String,
-               nSub: Int, dim: Int, book: DataFrame): DataFrame = {
-    val sub = subspaces(candidates, idCol, vecCol, nSub, dim)
-    val codes = encode(sub, book)
+    * (Q * nSub * cells rows) broadcasts; only the compressed codes
+    * scan — no raw vector is touched. Output: (query_id, neighbor_id,
+    * approx_cos). */
+  def adcScoreCodes(queries: DataFrame, codes: DataFrame, book: DataFrame,
+                    idCol: String, vecCol: String, nSub: Int, dim: Int): DataFrame = {
     val dtable = subspaces(queries, idCol, vecCol, nSub, dim)
       .withColumnRenamed("id", "query_id").withColumnRenamed("sv", "qsv")
       .join(broadcast(book), Seq("m"))
@@ -187,6 +196,30 @@ object ProductQuant {
       .groupBy(col("query_id"), col("id").as("neighbor_id"))
       .agg(sum(col("part")).as("approx"))
       .select(col("query_id"), col("neighbor_id"), r4d(col("approx")).as("approx_cos"))
+  }
+
+  /** [[adcScoreCodes]] with the index built inline from the raw
+    * candidate corpus. */
+  def adcScore(queries: DataFrame, candidates: DataFrame, idCol: String, vecCol: String,
+               nSub: Int, dim: Int, book: DataFrame): DataFrame =
+    adcScoreCodes(queries, encode(subspaces(candidates, idCol, vecCol, nSub, dim), book),
+      book, idCol, vecCol, nSub, dim)
+
+  /** Exact-cosine rerank of a (query_id, neighbor_id) shortlist: the
+    * tiny shortlist broadcasts against the corpus — one map-side
+    * pass, no corpus shuffle. Output: (query_id, neighbor_id, cos,
+    * rnk), 1e-4-rounded. */
+  def exactRerank(short: DataFrame, queries: DataFrame, candidates: DataFrame,
+                  idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = candidates.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", Similarity.l2norm(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", Similarity.l2norm(col("qv")))
+    val scored = c.join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        r4d(Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    Similarity.topK(scored, k, col("cos"))
   }
 
   /** PQ ADC top-k with grid-seeded codebooks. Output: (query_id,
@@ -211,14 +244,6 @@ object ProductQuant {
     require(shortlist >= k, "shortlist must be at least k")
     val short = pqTopK(queries, candidates, idCol, vecCol, nSub, dim, nbPerDim, lloydRounds, shortlist)
       .select(col("query_id"), col("neighbor_id"))
-    val c = candidates.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", Similarity.l2norm(col("cv")))
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", Similarity.l2norm(col("qv")))
-    val scored = c.join(broadcast(short), Seq("neighbor_id"))
-      .join(broadcast(q), Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        r4d(Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
-    Similarity.topK(scored, k, col("cos"))
+    exactRerank(short, queries, candidates, idCol, vecCol, k)
   }
 }

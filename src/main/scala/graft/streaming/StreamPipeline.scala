@@ -459,6 +459,38 @@ object StreamPipeline {
       }
       .start()
 
+  /** ONLINE PQ SERVING: the compressed-index complement of
+    * [[similarityServe]] — each micro-batch of query embeddings is
+    * answered by ADC against a PREBUILT (codes, book) index
+    * ([[graft.functions.ProductQuant.buildIndex]]) plus an exact
+    * rerank of only the shortlist. Per-batch cost: one scan of the
+    * 16 B/vector CODE table (not the raw corpus) + a broadcast
+    * Q*nSub*cells distance table + a broadcast-shortlist rerank pass
+    * — at 100 TB of embeddings, the serving path's working set is
+    * ~6 TB of codes and the raw vectors are touched only for the
+    * k*shortlist rerank rows. Results append with the batch id for
+    * at-least-once dedup on read. */
+  def pqServe(queryStream: DataFrame, codes: DataFrame, book: DataFrame, corpus: DataFrame,
+              outPath: String, checkpoint: String, idCol: String, vecCol: String,
+              nSub: Int, dim: Int, shortlist: Int, k: Int,
+              trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    queryStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val short = graft.functions.Similarity.topK(
+            graft.functions.ProductQuant.adcScoreCodes(batch, codes, book, idCol, vecCol, nSub, dim),
+            shortlist, col("approx_cos")).select(col("query_id"), col("neighbor_id"))
+          graft.functions.ProductQuant.exactRerank(short, batch, corpus, idCol, vecCol, k)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+        ()
+      }
+      .start()
+
   def enrichWithQuotes(ticks: DataFrame, quotes: DataFrame,
                        joinWindow: String = "10 minutes",
                        watermark: String = "1 minute",

@@ -153,6 +153,45 @@ class StreamingSketchSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pqServe: streamed queries equal the batch ADC+rerank pipeline on the same index") {
+    import graft.functions.ProductQuant
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqserve").toString
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // build the index ONCE, store codes like a real deployment would
+    val (codesDf, book) = ProductQuant.buildIndex(e, "vec_id", "embedding", 16, 64, 4, 1)
+    codesDf.write.mode("overwrite").parquet(s"$dir/codes")
+    val codes = spark.read.parquet(s"$dir/codes")
+    val qIds = Seq(3L, 17L, 42L)
+    val queries = e.filter(col("vec_id").isin(qIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val stream = MemoryStream[(Long, Seq[Float])](spark)
+    val q = graft.streaming.StreamPipeline.pqServe(
+      stream.toDF().toDF("vec_id", "embedding"), codes, book, e,
+      s"$dir/out", s"$dir/ckpt", "vec_id", "embedding",
+      nSub = 16, dim = 64, shortlist = 25, k = 5,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      val qRows = queries.collect().map(r =>
+        (r.getLong(0), r.getSeq[Float](1))).toSeq
+      stream.addData(qRows.take(2))
+      q.processAllAvailable()
+      stream.addData(qRows.drop(2))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/out")
+        .select("query_id", "neighbor_id", "cos", "rnk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      // batch reference: same stored index, same shortlist+rerank
+      val short = graft.functions.Similarity.topK(
+        ProductQuant.adcScoreCodes(queries, codes, book, "vec_id", "embedding", 16, 64),
+        25, col("approx_cos")).select(col("query_id"), col("neighbor_id"))
+      val want = ProductQuant.exactRerank(short, queries, e, "vec_id", "embedding", 5)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(got == want, "served results must equal the batch pipeline on the same index")
+      assert(got.size == 15, "3 queries x top-5")
+    } finally q.stop()
+  }
+
   test("streaming CMS: foreachBatch-maintained cells equal the batch sketch after 3 batches") {
     val stream = MemoryStream[Long](spark)
     var acc: Option[DataFrame] = None
