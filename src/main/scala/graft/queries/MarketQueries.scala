@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Round-7 market-analytics surface — the time-series statistics a
+  * stock pipeline (the reference's domain,
+  * /root/reference/src/spark/spark_stream_processor.py) layers on top
+  * of its OHLCV/sliding-window base: bounded-frame rolling bands
+  * (Bollinger), running-peak drawdown, and a pairwise correlation
+  * matrix over aligned per-minute series. All three are oracle-checked
+  * against DuckDB; every sum that crosses a shuffle or a window frame
+  * goes through fixed-point decimal so results are partition- and
+  * frame-evaluation-order invariant (the graft-oracle-parity rule),
+  * and every double expression is the SAME IEEE op sequence on both
+  * engines, so values agree bitwise before the cosmetic r4.
+  */
+object MarketQueries {
+
+  private def ev(s: SparkSession, dir: String) = Tables.events(s, dir)
+
+  // q108 — BOLLINGER BANDS: trailing 20-row mean / sample stddev per
+  // event_type, the first BOUNDED window frame in the battery (every
+  // prior frame is unbounded-preceding). Variance comes from exact
+  // decimal frame sums (sum v, sum v^2) — a double sliding sum would
+  // make the result depend on the engine's frame-evaluation strategy
+  // (Spark re-scans the buffer, DuckDB uses a segment tree; different
+  // summation orders) — then one double op sequence both engines
+  // replay bitwise. greatest(0, var) guards the classic all-equal
+  // frame, where cancellation can leave var at -1 ulp and sqrt would
+  // NaN. Scale shape: one shuffle on event_type (the partition key),
+  // per-key sort, single pass — the frame adds no second exchange.
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    val fr = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-19, Window.currentRow)
+    val base = ev(s, dir)
+      .withColumn("vd", col("value").cast("decimal(18,4)"))
+      .select(col("event_id"), col("event_type"), col("ts"), col("vd"),
+        count(lit(1)).over(fr).as("n_w"),
+        sum(col("vd")).over(fr).as("s1"),
+        sum(col("vd") * col("vd")).over(fr).as("s2"))
+    val n  = col("n_w").cast("double")
+    val s1 = col("s1").cast("double")
+    val s2 = col("s2").cast("double")
+    val ma = s1 / n
+    val sd = sqrt(greatest(lit(0d), (s2 - (s1 * s1) / n) / (n - lit(1d))))
+    base.select(
+      col("event_id"), col("event_type"), col("n_w"),
+      r4(ma).as("ma"),
+      when(col("n_w") > 1, r4(sd)).as("sd"),
+      when(col("n_w") > 1, r4(ma - lit(2d) * sd)).as("lo_band"),
+      when(col("n_w") > 1, r4(ma + lit(2d) * sd)).as("hi_band"))
+  }
+
+  // q109 — RUNNING-PEAK DRAWDOWN: per event_type, the running maximum
+  // of the series and the relative drop from it, summarized to each
+  // type's maximum drawdown — the risk metric every price pipeline
+  // reports. max() is order-free, so the per-row peak needs no decimal
+  // detour; the per-row ratio is one IEEE division of identical
+  // doubles. The zero-peak guard covers leading all-zero prefixes
+  // (value >= 0 in this feed): drawdown is 0 by convention there on
+  // both engines, instead of an engine-specific 0/0. Scale shape: one
+  // shuffle on event_type, per-key sort, then a map-side re-aggregate
+  // of the 5-row summary.
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val run = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, dir)
+      .select(col("event_type"), col("value"),
+        max(col("value")).over(run).as("peak"))
+      .withColumn("dd",
+        when(col("peak") > 0, (col("peak") - col("value")) / col("peak"))
+          .otherwise(lit(0d)))
+      .groupBy(col("event_type"))
+      .agg(
+        r4(max(col("peak"))).as("max_peak"),
+        r4(max(col("dd"))).as("max_dd"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  // q110 — PAIRWISE CORRELATION MATRIX over minute-binned series: the
+  // cross-asset dependence table (beta/hedging input). Built-in
+  // corr() is a running double recurrence — partition-order dependent
+  // on BOTH engines — so the query quantizes each (type, minute) mean
+  // to integer micro-units (Pearson is invariant under uniform
+  // scaling) and feeds EXACT integer-decimal sums (sx, sy, sxy, sxx,
+  // syy) into one final double formula. Scale shape: the (type ×
+  // minute) pre-aggregate is volume-independent (the bin grid is
+  // fixed by the time range); the self-join on bin pairs types, and
+  // the pair aggregate is |types|² rows. The den > 0 guard covers a
+  // constant-on-shared-bins series, where the formula's denominator
+  // is exactly 0 (exact sums, no ulp noise) and corr is undefined.
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    val m = ev(s, dir)
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("bin"))
+      .agg(sum(col("value").cast("decimal(18,4)")).as("sv"), count(lit(1)).as("n"))
+      .select(col("event_type"), col("bin"),
+        floor(col("sv").cast("double") / col("n") * lit(1000000d) + lit(0.5d))
+          .cast("decimal(18,0)").as("mu"))
+    val a = m.select(col("event_type").as("type_a"), col("bin"), col("mu").as("mua"))
+    val b = m.select(col("event_type").as("type_b"), col("bin"), col("mu").as("mub"))
+    val p = a.join(b, Seq("bin")).filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("mua")).as("sx"), sum(col("mub")).as("sy"),
+        sum(col("mua") * col("mub")).as("sxy"),
+        sum(col("mua") * col("mua")).as("sxx"),
+        sum(col("mub") * col("mub")).as("syy"))
+    def d(c: Column) = c.cast("double")
+    val nb  = d(col("n_bins"))
+    val num = nb * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val den = sqrt(nb * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+      sqrt(nb * d(col("syy")) - d(col("sy")) * d(col("sy")))
+    p.select(col("type_a"), col("type_b"), col("n_bins"),
+      when(den > 0, r4(num / den)).as("corr_r"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_rolling_bands" -> q108 _,
+    "q109_drawdown" -> q109 _,
+    "q110_corr_matrix" -> q110 _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q108_rolling_bands" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, ts::TIMESTAMP AS ts,
+        |    value::DECIMAL(18,4) AS vd
+        |  FROM events
+        |), w AS (
+        |  SELECT event_id, event_type,
+        |    count(*) OVER fr AS n_w,
+        |    sum(vd) OVER fr AS s1,
+        |    sum(vd * vd) OVER fr AS s2
+        |  FROM e
+        |  WINDOW fr AS (PARTITION BY event_type ORDER BY ts, event_id
+        |                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id, event_type, n_w::BIGINT AS n_w,
+        |  floor((s1::DOUBLE / n_w)*10000 + 0.5)/10000 AS ma,
+        |  CASE WHEN n_w > 1 THEN floor(sqrt(greatest(0,
+        |    (s2::DOUBLE - (s1::DOUBLE * s1::DOUBLE) / n_w) / (n_w - 1)))*10000 + 0.5)/10000 END AS sd,
+        |  CASE WHEN n_w > 1 THEN floor((s1::DOUBLE / n_w - 2 * sqrt(greatest(0,
+        |    (s2::DOUBLE - (s1::DOUBLE * s1::DOUBLE) / n_w) / (n_w - 1))))*10000 + 0.5)/10000 END AS lo_band,
+        |  CASE WHEN n_w > 1 THEN floor((s1::DOUBLE / n_w + 2 * sqrt(greatest(0,
+        |    (s2::DOUBLE - (s1::DOUBLE * s1::DOUBLE) / n_w) / (n_w - 1))))*10000 + 0.5)/10000 END AS hi_band
+        |FROM w""".stripMargin,
+    "q109_drawdown" ->
+      """WITH w AS (
+        |  SELECT event_type, value,
+        |    max(value) OVER (PARTITION BY event_type ORDER BY ts::TIMESTAMP, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM events
+        |)
+        |SELECT event_type,
+        |  floor(max(peak)*10000 + 0.5)/10000 AS max_peak,
+        |  floor(max(CASE WHEN peak > 0 THEN (peak - value) / peak ELSE 0 END)*10000 + 0.5)/10000 AS max_dd,
+        |  count(*)::BIGINT AS n_rows
+        |FROM w GROUP BY 1""".stripMargin,
+    "q110_corr_matrix" ->
+      """WITH b AS (
+        |  SELECT event_type, date_trunc('minute', ts::TIMESTAMP) AS bin,
+        |    sum(value::DECIMAL(18,4)) AS sv, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, bin,
+        |    floor(sv::DOUBLE / n * 1000000 + 0.5)::DECIMAL(18,0) AS mu
+        |  FROM b
+        |), p AS (
+        |  SELECT a.event_type AS type_a, c.event_type AS type_b,
+        |    count(*) AS n_bins,
+        |    sum(a.mu) AS sx, sum(c.mu) AS sy,
+        |    sum(a.mu * c.mu) AS sxy,
+        |    sum(a.mu * a.mu) AS sxx,
+        |    sum(c.mu * c.mu) AS syy
+        |  FROM m a JOIN m c ON a.bin = c.bin AND a.event_type < c.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT type_a, type_b, n_bins::BIGINT AS n_bins,
+        |  CASE WHEN sqrt(n_bins::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |          * sqrt(n_bins::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+        |    THEN floor((n_bins::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |       / (sqrt(n_bins::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |        * sqrt(n_bins::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))*10000 + 0.5)/10000
+        |  END AS corr_r
+        |FROM p""".stripMargin
+  )
+}
