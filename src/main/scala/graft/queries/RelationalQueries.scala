@@ -278,7 +278,74 @@ object RelationalQueries {
         min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
   }
 
+  // q111 — TPC-H Q6 (forecasting revenue change): the pure
+  // filter-and-aggregate scan — one year of shipments, a discount
+  // band, a quantity cap, revenue = price × discount. Deliberately the
+  // simplest plan in the battery: zero shuffles (partial agg collapses
+  // map-side), and every predicate reaches the parquet scan as a
+  // PushedFilter — this is the scan-economy anchor the 100× probe uses
+  // to measure raw I/O throughput (q13's cousin with a selective
+  // filter in front).
+  private def q111(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+        && col("l_discount").between(0.05, 0.07)
+        && col("l_quantity") < 24)
+      .agg(r2(sum((col("l_extendedprice") * col("l_discount")).cast("decimal(28,4)")).cast("double")).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  // q112 — TPC-H Q12 shape (shipping-priority audit): the CASE-sum
+  // pivot over a derived category. The driver schema has no
+  // l_shipmode, so the Q12 group key is adapted to the ship-delay
+  // bucket (0–30 / 31–60 / 61+ days after order date) — same plan
+  // shape: one fact⋈fact join on orderkey, then conditional counts of
+  // high- vs low-priority orders per bucket. The join prunes lineitem
+  // to one ship year first, so at scale the exchange carries a
+  // fraction of the fact.
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    val l = li(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      // greatest(0, ·) clamps any ship-before-order artifact so both
+      // engines bucket it as 0 (integer-division-on-negatives rounds
+      // differently across engines); DIV keeps the division integral.
+      .withColumn("delay_bucket",
+        least(expr("greatest(0, datediff(l_shipdate, o_orderdate)) DIV 30"), lit(2L)).cast("long"))
+      .groupBy(col("delay_bucket"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH", 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT" && col("o_orderpriority") =!= "2-HIGH", 1L)
+          .otherwise(0L)).as("low_line_count"))
+  }
+
+  // q113 — TPC-H Q14 (promotion effect): promo revenue share in one
+  // ship month — the conditional-aggregate ratio computed in a single
+  // pass over the joined facts (q99's shape on the part-type axis).
+  // The month filter prunes the fact scan BEFORE the join; the part
+  // dim broadcasts; both CASE branches ride the same exact decimal
+  // sum, and the 100×ratio is the one double op, rounded once.
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(28,4)")
+    li(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        r4((lit(100d) * sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(28,4)"))).cast("double")
+          / sum(rev).cast("double"))).as("promo_revenue_pct"),
+        count(lit(1)).as("n_rows"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_tpch_q6" -> q111 _,
+    "q112_tpch_q12" -> q112 _,
+    "q113_tpch_q14" -> q113 _,
     "q83_zorder" -> q83 _,
     "q87_tpch_q21" -> q87 _,
     "q90_range_join_binned" -> q90 _,
@@ -293,6 +360,31 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q111_tpch_q6" ->
+      """SELECT
+        |  floor(sum((l_extendedprice * l_discount)::DECIMAL(28,4))::DOUBLE*100 + 0.5)/100 AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q112_tpch_q12" ->
+      """SELECT least(greatest(0, l_shipdate::DATE - o_orderdate::DATE) // 30, 2)::BIGINT AS delay_bucket,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
+    "q113_tpch_q14" ->
+      """SELECT
+        |  floor((100 * sum(CASE WHEN p_type = 'PROMO'
+        |             THEN (l_extendedprice * (1 - l_discount))::DECIMAL(28,4)
+        |             ELSE 0::DECIMAL(28,4) END)::DOUBLE
+        |         / sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,4))::DOUBLE)*10000 + 0.5)/10000
+        |    AS promo_revenue_pct,
+        |  count(*)::BIGINT AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
     "q83_zorder" ->
       // Morton interleave reproduced with plain bit arithmetic: bit j
       // of the normalized partkey lands at position 2j, suppkey at
