@@ -54,13 +54,32 @@ object ZOrder {
     GraftColumnShim.column(InterleaveBitsExpr(
       GraftColumnShim.expression(a.cast("long")), GraftColumnShim.expression(b.cast("long"))))
 
-  /** Cluster `df` for multi-dim pruning on (a, b): range-partition by
-    * z-value into `numFiles` partitions and sort within each — the
-    * write-side half of z-order layout (one global range exchange,
-    * the same cost class as any orderBy write; file footers then
-    * carry tight min/max on BOTH columns). */
+  /** Scale a long-castable column from [lo, hi] onto the 10-bit grid
+    * [0, 1023] — the per-column normalization that keeps one wide key
+    * from monopolizing the interleave's high bits (an UN-normalized
+    * curve over an 11-bit key and a 7-bit key sorts almost purely by
+    * the wide key, and the narrow dimension prunes nothing —
+    * StatsCatalogSpec caught exactly that). Double arithmetic is safe
+    * to |key span| ~2^43 (1024 × span must stay under 2^53); the
+    * least() clamp absorbs the top-of-range rounding edge. */
+  def normalized(c: Column, lo: Long, hi: Long): Column =
+    least(lit(1023L), greatest(lit(0L),
+      floor((c.cast("double") - lit(lo.toDouble)) * 1024d / lit((hi - lo + 1).toDouble)).cast("long")))
+
+  /** Cluster `df` for multi-dim pruning on (a, b): normalize both
+    * keys to the shared 10-bit grid (bounds from one write-time
+    * 1-row aggregate), then range-partition by the Morton value into
+    * `numFiles` partitions and sort within each — the write-side half
+    * of z-order layout (one global range exchange, the same cost
+    * class as any orderBy write; file footers then carry tight
+    * min/max on BOTH columns). */
   def cluster(df: DataFrame, a: Column, b: Column, numFiles: Int): DataFrame = {
-    val z = zvalue(a, b).as("__z")
+    val r = df.agg(
+      min(a.cast("long")), max(a.cast("long")),
+      min(b.cast("long")), max(b.cast("long"))).head()
+    if (r.isNullAt(0) || r.isNullAt(2)) return df // empty input: nothing to cluster
+    val z = zvalue(normalized(a, r.getLong(0), r.getLong(1)),
+      normalized(b, r.getLong(2), r.getLong(3))).as("__z")
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level min/max statistics catalog — the Delta/Iceberg-style
+  * data-skipping layer: keep one tiny stats row per data file and
+  * intersect range predicates with the per-file [min, max] interval to
+  * decide which files a query must open AT PLANNING TIME, before any
+  * scan task launches.
+  *
+  * Why this exists on top of parquet's own footer stats: the built-in
+  * reader still lists and opens every footer (a 100 TB table is ~10^6
+  * files — a million S3 HEAD+GET round-trips per query just to learn
+  * nothing matched), while a catalog holds the same information in one
+  * sketch-sized table that a driver reads in milliseconds. Combined
+  * with `ZOrder.cluster` layouts, a predicate on EITHER clustered
+  * dimension prunes most files (LayoutSpec quantifies the bounding
+  * boxes; StatsCatalogSpec asserts the end-to-end file-count drop and
+  * result equality).
+  *
+  * The catalog is built with ONE distributed scan grouped on
+  * `input_file_name()` reading only the stat columns (column pruning
+  * keeps it cheap); a production writer would fold this into the write
+  * itself — same table, zero extra pass. The file list a query selects
+  * is driver-side by design: that is exactly what Spark's own
+  * `InMemoryFileIndex` holds, and the catalog's output is strictly
+  * smaller (the matching subset).
+  */
+object StatsCatalog {
+
+  /** One stats row per data file under `path`: file, n_rows, and
+    * min_c/max_c per requested column (original types preserved —
+    * min/max of timestamps stay timestamps). min/max ignore nulls, so
+    * an all-null file carries null bounds; `pruneFiles` drops such
+    * files, which is sound for range predicates (NULL never satisfies
+    * a range). */
+  def build(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+    val aggs = lit(1).as("_one") +: cols.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+    }
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"), aggs.tail: _*)
+  }
+
+  /** Files whose [min, max] interval intersects the closed predicate
+    * interval [lo, hi] on `column` — the candidate superset a scan of
+    * `column BETWEEN lo AND hi` must open. Collects the FILE LIST
+    * (not data) to the driver, like any file index. */
+  def pruneFiles(stats: DataFrame, column: String, lo: Any, hi: Any): Seq[String] =
+    stats
+      .filter(col(s"max_$column") >= lit(lo) && col(s"min_$column") <= lit(hi))
+      .select(col("file"))
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+
+  /** Read only the files that can contain `column BETWEEN lo AND hi`,
+    * with the predicate re-applied (pruning yields a superset; the
+    * residual filter still reaches the parquet scan of the survivors
+    * as a PushedFilter). Returns an empty frame with the full schema
+    * when nothing survives. */
+  def prunedRead(spark: SparkSession, path: String, stats: DataFrame,
+                 column: String, lo: Any, hi: Any): DataFrame = {
+    val keep = pruneFiles(stats, column, lo, hi)
+    val pred = col(column) >= lit(lo) && col(column) <= lit(hi)
+    if (keep.isEmpty) {
+      val schema = spark.read.parquet(path).schema
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else spark.read.parquet(keep: _*).filter(pred)
+  }
+}

@@ -59,10 +59,15 @@ class LayoutSpec extends SparkSpec {
   test("ZOrder.cluster range-partitions by the curve (file-level boxes match the audit)") {
     val li = graft.core.Tables.lineitem(spark, sf("sf0.01"))
     val clustered = ZOrder.cluster(li, col("l_partkey"), col("l_suppkey"), numFiles = 8)
-    // each output partition must hold a contiguous z-range: partition
-    // boundaries are non-overlapping when sorted by min z
+    // each output partition must hold a contiguous z-range IN THE
+    // NORMALIZED curve cluster() actually partitions by: recompute it
+    // from the same per-column bounds
+    val bounds = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).head()
     val parts = clustered
-      .withColumn("z", ZOrder.zvalue(col("l_partkey"), col("l_suppkey")))
+      .withColumn("z", ZOrder.zvalue(
+        ZOrder.normalized(col("l_partkey"), bounds.getLong(0), bounds.getLong(1)),
+        ZOrder.normalized(col("l_suppkey"), bounds.getLong(2), bounds.getLong(3))))
       .withColumn("pid", spark_partition_id())
       .groupBy($"pid").agg(min($"z").as("z0"), max($"z").as("z1"), count(lit(1)).as("n"))
       .collect().sortBy(_.getAs[Long]("z0"))

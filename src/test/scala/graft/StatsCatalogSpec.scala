@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.ZOrder
+import graft.sources.StatsCatalog
+
+/** File-skipping end to end: write a clustered multi-file layout,
+  * build the per-file min/max catalog, and assert that a range
+  * predicate (a) opens a small fraction of the files and (b) returns
+  * EXACTLY the full-scan answer — the plan-time scan economy a 100 TB
+  * table lives on. */
+class StatsCatalogSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("range-clustered layout: quarter predicate opens few files, result equals full scan") {
+    val dir = tmp("stats_range")
+    Tables.lineitem(spark, sf("sf0.01"))
+      .repartitionByRange(16, col("l_shipdate"))
+      .write.mode("overwrite").parquet(dir)
+
+    val stats = StatsCatalog.build(spark, dir, Seq("l_shipdate", "l_partkey"))
+    assert(stats.count() == 16)
+
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1996-03-31 23:59:59")
+    val keep = StatsCatalog.pruneFiles(stats, "l_shipdate", lo, hi)
+    // ~7 years of shipdates across 16 range-clustered files: one
+    // quarter lands in 1-2 files (+1 boundary slack)
+    assert(keep.nonEmpty && keep.size <= 3, s"expected <=3 of 16 files, got ${keep.size}")
+
+    val pruned = StatsCatalog.prunedRead(spark, dir, stats, "l_shipdate", lo, hi)
+    val full = spark.read.parquet(dir)
+      .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") <= lit(hi))
+    assert(pruned.count() == full.count() && full.count() > 0)
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+  }
+
+  test("z-ordered layout: the catalog prunes on EITHER clustered dimension") {
+    val dir = tmp("stats_zorder")
+    val li = Tables.lineitem(spark, sf("sf0.01"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    ZOrder.cluster(li, col("l_partkey"), col("l_suppkey"), 16)
+      .write.mode("overwrite").parquet(dir)
+
+    val stats = StatsCatalog.build(spark, dir, Seq("l_partkey", "l_suppkey"))
+    val mx = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+    val (mp, ms) = (mx.getLong(0), mx.getLong(1))
+
+    // an octant of either key space touches a strict subset of files —
+    // the property a single-column sort can only deliver for ONE key
+    val onPart = StatsCatalog.pruneFiles(stats, "l_partkey", 0L, mp / 8)
+    val onSupp = StatsCatalog.pruneFiles(stats, "l_suppkey", 0L, ms / 8)
+    assert(onPart.size < 16, s"partkey octant touched all ${onPart.size} files")
+    assert(onSupp.size < 16, s"suppkey octant touched all ${onSupp.size} files")
+
+    val pruned = StatsCatalog.prunedRead(spark, dir, stats, "l_suppkey", 0L, ms / 8)
+    val full = spark.read.parquet(dir)
+      .filter(col("l_suppkey") >= 0L && col("l_suppkey") <= ms / 8)
+    assert(pruned.count() == full.count() && full.count() > 0)
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+  }
+
+  test("empty selection returns an empty frame with the table schema") {
+    val dir = tmp("stats_empty")
+    Tables.lineitem(spark, sf("sf0.001"))
+      .repartitionByRange(4, col("l_partkey"))
+      .write.mode("overwrite").parquet(dir)
+    val stats = StatsCatalog.build(spark, dir, Seq("l_partkey"))
+    val none = StatsCatalog.prunedRead(spark, dir, stats, "l_partkey", -100L, -1L)
+    assert(none.isEmpty)
+    assert(none.schema == spark.read.parquet(dir).schema)
+  }
+}
