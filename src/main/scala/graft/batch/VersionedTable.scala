@@ -1,0 +1,177 @@
+package graft.batch
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.MergeUpsert
+
+/** Manifest-based versioned table — the Delta/Iceberg commit protocol
+  * in its minimal form, on top of immutable parquet files:
+  *
+  * ```
+  * root/
+  *   data/<commit-uuid>/part-*.parquet   immutable, never rewritten
+  *   _manifests/v00000001.txt            one manifest per version
+  * ```
+  *
+  * A manifest lists the COMPLETE file set of its version (header line
+  * + one absolute file path per line). The commit point is a single
+  * atomic file rename of the manifest into its versioned name: readers
+  * resolve `max(vN)` once and then only ever open files that manifest
+  * names, so a reader planned before a concurrent commit keeps its
+  * consistent snapshot (snapshot isolation), time travel is "read an
+  * older manifest", and a torn write is invisible (a `.tmp` manifest
+  * is never resolved).
+  *
+  * Concurrent writers race on the rename: Hadoop's rename-to-existing
+  * fails, the loser re-reads the new head and retries — optimistic
+  * concurrency, no locks. (On S3 the rename must become a conditional
+  * put — If-None-Match — same protocol, different primitive; see
+  * AtomicSwap's object-store note.)
+  *
+  * Contrast `AtomicSwap`/`WarehouseLoader.writeSnapshot`: the swap
+  * keeps exactly one live version and loses history; this keeps every
+  * retained version readable at the cost of a `vacuum` pass to reclaim
+  * unreferenced files. At 100 TB the manifest stays KB-sized per
+  * commit while the data is never copied — append adds files, MERGE
+  * rewrites only via a new complete file set.
+  */
+object VersionedTable {
+
+  private def fs(conf: Configuration, root: String): FileSystem =
+    new Path(root).getFileSystem(conf)
+
+  private def manifestDir(root: String) = new Path(root, "_manifests")
+  private def manifestPath(root: String, v: Long) =
+    new Path(manifestDir(root), f"v$v%08d.txt")
+
+  private val ManifestName = """v(\d{8})\.txt""".r
+
+  /** All committed versions, ascending. */
+  def versions(conf: Configuration, root: String): Seq[Long] = {
+    val dir = manifestDir(root)
+    val f = fs(conf, root)
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).toSeq.flatMap(_.getPath.getName match {
+      case ManifestName(n) => Some(n.toLong)
+      case _               => None
+    }).sorted
+  }
+
+  def latestVersion(conf: Configuration, root: String): Option[Long] =
+    versions(conf, root).lastOption
+
+  /** The complete file set of `version` (header skipped). */
+  private def readManifest(conf: Configuration, root: String, version: Long): Seq[String] = {
+    val f = fs(conf, root)
+    val in = f.open(manifestPath(root, version))
+    try {
+      val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      lines.drop(1).filter(_.nonEmpty)
+    } finally in.close()
+  }
+
+  private def writeManifest(conf: Configuration, root: String, version: Long,
+                            action: String, files: Seq[String]): Boolean = {
+    val f = fs(conf, root)
+    f.mkdirs(manifestDir(root))
+    val tmp = new Path(manifestDir(root), s".tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write((s"version=$version action=$action nFiles=${files.size}\n" +
+      files.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    // THE commit point: rename fails (returns false) when the target
+    // version already exists — a concurrent writer won the race
+    val won = f.rename(tmp, manifestPath(root, version))
+    if (!won) f.delete(tmp, false)
+    won
+  }
+
+  /** Write `df`'s rows as a new immutable file set under data/ and
+    * return their absolute paths. */
+  private def writeData(spark: SparkSession, root: String, df: DataFrame): Seq[String] = {
+    val dir = new Path(new Path(root, "data"), java.util.UUID.randomUUID().toString)
+    df.write.parquet(dir.toString)
+    val f = fs(spark.sparkContext.hadoopConfiguration, root)
+    f.listStatus(dir).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.toString)
+  }
+
+  /** Commit `df` as the next version. `overwrite = false` appends to
+    * the current file set; `true` replaces it. Returns the committed
+    * version. Retries the optimistic race a bounded number of times —
+    * each retry re-reads the NEW head, so an append composes with the
+    * winner's files instead of clobbering them. */
+  def commit(spark: SparkSession, root: String, df: DataFrame,
+             overwrite: Boolean = false): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val newFiles = writeData(spark, root, df)
+    var attempt = 0
+    while (attempt < 10) {
+      val head = latestVersion(conf, root)
+      val base = if (overwrite) Nil else head.map(readManifest(conf, root, _)).getOrElse(Nil)
+      val v = head.getOrElse(0L) + 1
+      if (writeManifest(conf, root, v, if (overwrite) "overwrite" else "append", base ++ newFiles))
+        return v
+      attempt += 1
+    }
+    throw new java.io.IOException(s"lost the commit race 10 times at $root — giving up")
+  }
+
+  /** Read the table at `version` (default: latest). The file list is
+    * resolved HERE — the returned frame keeps this snapshot even if
+    * later commits land before it is materialized. */
+  def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v = version.orElse(latestVersion(conf, root))
+      .getOrElse(throw new java.io.IOException(s"no committed version at $root"))
+    val files = readManifest(conf, root, v)
+    if (files.isEmpty)
+      throw new java.io.IOException(s"version $v of $root is empty")
+    spark.read.parquet(files: _*)
+  }
+
+  /** MERGE `source` into the table on `keys` (keep-source upsert,
+    * `MergeUpsert` semantics) and commit the result as a new
+    * overwrite version. First commit bootstraps from `source`. */
+  def mergeCommit(spark: SparkSession, root: String, source: DataFrame,
+                  keys: Seq[String], loadTs: java.sql.Timestamp): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = latestVersion(conf, root) match {
+      case Some(v) => read(spark, root, Some(v))
+      case None    => // bootstrap: empty target in the stamped shape
+        val stamped = org.apache.spark.sql.types.StructType(source.schema.fields :+
+          org.apache.spark.sql.types.StructField("last_updated", org.apache.spark.sql.types.TimestampType))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stamped)
+    }
+    commit(spark, root, MergeUpsert.upsertStamped(target, source, keys, loadTs), overwrite = true)
+  }
+
+  /** Drop all but the newest `retainLast` versions and delete every
+    * data file no retained manifest references. Returns the deleted
+    * file paths. Safe relative to readers of RETAINED versions only —
+    * that is the retention contract (same as any table format's). */
+  def vacuum(spark: SparkSession, root: String, retainLast: Int): Seq[String] = {
+    require(retainLast >= 1, "must retain at least the latest version")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = fs(conf, root)
+    val all = versions(conf, root)
+    if (all.size <= retainLast) return Nil
+    val (drop, keep) = all.splitAt(all.size - retainLast)
+    val referenced = keep.flatMap(readManifest(conf, root, _)).toSet
+    val doomed = drop.flatMap(readManifest(conf, root, _)).distinct
+      .filterNot(referenced.contains)
+    doomed.foreach(p => f.delete(new Path(p), false))
+    drop.foreach(v => f.delete(manifestPath(root, v), false))
+    // sweep data dirs a commit emptied entirely
+    val dataRoot = new Path(root, "data")
+    if (f.exists(dataRoot))
+      f.listStatus(dataRoot).foreach { st =>
+        if (st.isDirectory && f.listStatus(st.getPath).forall(!_.getPath.getName.endsWith(".parquet")))
+          f.delete(st.getPath, true)
+      }
+    doomed
+  }
+}

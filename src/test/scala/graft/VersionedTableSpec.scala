@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.batch.VersionedTable
+
+/** The manifest commit protocol end to end: append/overwrite versions,
+  * time travel, snapshot isolation against a concurrent commit, MERGE
+  * as a new version, vacuum reclaiming only unreferenced files, and
+  * torn-manifest invisibility. */
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("vtable").toString
+
+  test("append and overwrite commits version; time travel reads any retained version") {
+    val root = tmp()
+    val v1 = VersionedTable.commit(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val v2 = VersionedTable.commit(spark, root, Seq((3L, "c")).toDF("id", "v"))
+    val v3 = VersionedTable.commit(spark, root,
+      Seq((9L, "z")).toDF("id", "v"), overwrite = true)
+    assert((v1, v2, v3) == (1L, 2L, 3L))
+    assert(VersionedTable.read(spark, root).as[(Long, String)].collect().toSet == Set((9L, "z")))
+    assert(VersionedTable.read(spark, root, Some(2L)).count() == 3)
+    assert(VersionedTable.read(spark, root, Some(1L)).count() == 2)
+    assert(VersionedTable.versions(conf, root) == Seq(1L, 2L, 3L))
+  }
+
+  test("snapshot isolation: a frame resolved before a commit keeps its file set") {
+    val root = tmp()
+    VersionedTable.commit(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    val before = VersionedTable.read(spark, root) // resolves v1's files NOW
+    VersionedTable.commit(spark, root, Seq((2L, "b")).toDF("id", "v"), overwrite = true)
+    assert(before.as[(Long, String)].collect().toSet == Set((1L, "a")),
+      "reader planned at v1 must not see v2")
+    assert(VersionedTable.read(spark, root).as[(Long, String)].collect().toSet == Set((2L, "b")))
+  }
+
+  test("mergeCommit: upsert lands as a new version, history intact") {
+    val root = tmp()
+    val ts1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val ts2 = java.sql.Timestamp.valueOf("2026-01-02 00:00:00")
+    VersionedTable.mergeCommit(spark, root, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "px"), Seq("id"), ts1)
+    VersionedTable.mergeCommit(spark, root, Seq((2L, 25.0), (3L, 30.0)).toDF("id", "px"), Seq("id"), ts2)
+    val now = VersionedTable.read(spark, root)
+      .select($"id", $"px").as[(Long, Double)].collect().toSet
+    assert(now == Set((1L, 10.0), (2L, 25.0), (3L, 30.0)))
+    val was = VersionedTable.read(spark, root, Some(1L))
+      .select($"id", $"px").as[(Long, Double)].collect().toSet
+    assert(was == Set((1L, 10.0), (2L, 20.0)))
+    // the stamp discriminates the two loads
+    val stamps = VersionedTable.read(spark, root)
+      .select($"id", $"last_updated".cast("string")).as[(Long, String)].collect().toMap
+    assert(stamps(1L).startsWith("2026-01-01") && stamps(2L).startsWith("2026-01-02"))
+  }
+
+  test("vacuum drops unretained versions' files but never a retained reference") {
+    val root = tmp()
+    VersionedTable.commit(spark, root, Seq((1L, "a")).toDF("id", "v"))           // v1
+    VersionedTable.commit(spark, root, Seq((2L, "b")).toDF("id", "v"))           // v2 = v1 files + new
+    VersionedTable.commit(spark, root, Seq((3L, "c")).toDF("id", "v"), overwrite = true) // v3 fresh
+    val deleted = VersionedTable.vacuum(spark, root, retainLast = 1)
+    // v1's and v2's files are referenced by nothing retained -> gone
+    assert(deleted.nonEmpty)
+    assert(VersionedTable.versions(conf, root) == Seq(3L))
+    assert(VersionedTable.read(spark, root).as[(Long, String)].collect().toSet == Set((3L, "c")))
+
+    // retained references survive: append chain where v_latest still
+    // points at the first commit's files
+    val root2 = tmp()
+    VersionedTable.commit(spark, root2, Seq((1L, "a")).toDF("id", "v"))
+    VersionedTable.commit(spark, root2, Seq((2L, "b")).toDF("id", "v"))
+    val del2 = VersionedTable.vacuum(spark, root2, retainLast = 1)
+    assert(del2.isEmpty, "v2 references v1's files — nothing may be deleted")
+    assert(VersionedTable.read(spark, root2).count() == 2)
+  }
+
+  test("a torn (.tmp) manifest is invisible to readers") {
+    val root = tmp()
+    VersionedTable.commit(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    // simulate a writer that died before its commit-point rename
+    val torn = new java.io.File(s"$root/_manifests/.tmp-dead")
+    java.nio.file.Files.writeString(torn.toPath, "version=99 action=append nFiles=1\n/nope.parquet\n")
+    assert(VersionedTable.versions(conf, root) == Seq(1L))
+    assert(VersionedTable.read(spark, root).count() == 1)
+  }
+}
