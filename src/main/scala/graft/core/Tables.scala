@@ -22,6 +22,13 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Read isAdjustedToUTC=false parquet timestamps as TimestampType
+    // DIRECTLY instead of TIMESTAMP_NTZ + cast: under the UTC session
+    // the values are identical, but the cast-free schema lets every
+    // shipdate/orderdate range predicate reach the parquet scan as a
+    // PushedFilter — with the cast Project in between, NO date filter
+    // in the battery pushed down (PlanAuditSpec q111 caught it).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     val tsFixed = nanosCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
       if (d.schema.fieldNames.contains(c) && d.schema(c).dataType == LongType)

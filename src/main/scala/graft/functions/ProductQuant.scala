@@ -172,9 +172,19 @@ object ProductQuant {
     * raw vector column is read exactly once (here). */
   def buildIndex(candidates: DataFrame, idCol: String, vecCol: String,
                  nSub: Int, dim: Int, nbPerDim: Int, lloydRounds: Int): (DataFrame, DataFrame) = {
-    val sub = subspaces(candidates, idCol, vecCol, nSub, dim)
-    val book = trainCodebooksGrid(sub, dim / nSub, nbPerDim, lloydRounds)
-    (encode(sub, book), book)
+    // The subspace frame is consumed 3 + lloydRounds times (grid
+    // seeding, seed means, each Lloyd reassign, final encode); without
+    // a cache every consumer re-runs the scan + repartition + explode
+    // lineage. Cache it for the BUILD only: the eager localCheckpoint
+    // materializes the codes (the index — the thing production
+    // persists anyway) and truncates their lineage, so the cache can
+    // drop before serving starts instead of squatting on executor
+    // memory for the query's lifetime.
+    val sub = subspaces(candidates, idCol, vecCol, nSub, dim).persist()
+    try {
+      val book = trainCodebooksGrid(sub, dim / nSub, nbPerDim, lloydRounds)
+      (encode(sub, book).localCheckpoint(true), book)
+    } finally sub.unpersist(false)
   }
 
   /** ADC scores against a PREBUILT code table: approximate cosine of
@@ -226,10 +236,8 @@ object ProductQuant {
     * neighbor_id, approx_cos, rnk). */
   def pqTopK(queries: DataFrame, candidates: DataFrame, idCol: String, vecCol: String,
              nSub: Int, dim: Int, nbPerDim: Int, lloydRounds: Int, k: Int): DataFrame = {
-    val ds = dim / nSub
-    val sub = subspaces(candidates, idCol, vecCol, nSub, dim)
-    val book = trainCodebooksGrid(sub, ds, nbPerDim, lloydRounds)
-    Similarity.topK(adcScore(queries, candidates, idCol, vecCol, nSub, dim, book),
+    val (codes, book) = buildIndex(candidates, idCol, vecCol, nSub, dim, nbPerDim, lloydRounds)
+    Similarity.topK(adcScoreCodes(queries, codes, book, idCol, vecCol, nSub, dim),
       k, col("approx_cos"))
   }
 

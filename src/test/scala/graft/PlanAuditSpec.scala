@@ -240,4 +240,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$p")
     assert(!p.contains("Sort ["), s"global sort crept in:\n$p")
   }
+
+  test("q111 TPC-H Q6: every predicate reaches the scan, zero exchanges") {
+    val p = plan("q111_tpch_q6")
+    // the scan line truncates long filter lists without a closing
+    // bracket — scope the check to the line, not a [...] capture
+    val pushed = p.split("\n").find(_.contains("PushedFilters: [")).getOrElse("")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") && pushed.contains("l_quantity"),
+      s"predicates missing from the scan: [$pushed]")
+    // global agg of a filtered scan: partial agg collapses map-side;
+    // the only exchange is the 1-row final-agg gather
+    assert("Exchange".r.findAllIn(p).size <= 1, s"extra shuffle in a pure scan+agg:\n$p")
+  }
+
+  test("q108 rolling bands: ONE exchange (the window partition), no extra sort passes") {
+    val p = plan("q108_rolling_bands")
+    assert("Exchange".r.findAllIn(p).size == 1, s"bounded frame must not add exchanges:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("q110 corr matrix: the pair join runs on the volume-independent bin aggregate") {
+    val p = plan("q110_corr_matrix")
+    // the (type, minute) pre-aggregate must sit BELOW the self-join —
+    // joining raw events would square the fact volume
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0, s"no join:\n$p")
+    assert(p.indexOf("HashAggregate", joinIdx) >= 0,
+      s"no pre-aggregate under the pair join (raw x raw self-join):\n$p")
+  }
 }
