@@ -60,6 +60,7 @@ object ScaleProbe {
     // texts replicate VERBATIM (only ids offset): every doc gains
     // reps-1 byte-identical copies — the adversarial dedup regime
     replicate("documents", Seq("doc_id"), 100000000L)
+    replicate("embeddings", Seq("vec_id"), 100000000L) // queries (vec_id<10) stay 10
     // SALTED document corpus for the pair-LISTING queries: every 3rd
     // token is replaced by a replica-specific salt, so EVERY 3-gram
     // shingle contains a salt and cross-replica jaccard collapses to
@@ -140,6 +141,20 @@ object ScaleProbe {
     time("q67_dedup_corpus") { q("q67_dedup_corpus") }
     time("q86_heavy_hitters") { q("q86_heavy_hitters") }
     time("q91_boilerplate") { q("q91_boilerplate") }
+    // round-7 additions. q108's window partitions on event_type — FIVE
+    // keys here, so at 100x each task sorts ~2M rows: the honest
+    // skew fact about per-instrument windows on a 5-instrument feed (a
+    // real market feed has thousands of symbols = thousands-way
+    // parallelism at the same per-key volume). q110/q105 claim
+    // volume-independent post-shuffle state (fixed bin grid / 64-row
+    // sketches); q111 is the zero-shuffle scan anchor; q104 is the
+    // full PQ train+encode+serve pipeline whose fan-out scales with
+    // corpus x cells.
+    time("q108_rolling_bands") { q("q108_rolling_bands") }
+    time("q110_corr_matrix") { q("q110_corr_matrix") }
+    time("q111_tpch_q6") { q("q111_tpch_q6") }
+    time("q105_kmv_setops") { q("q105_kmv_setops") }
+    time("q104_pq_topk") { q("q104_pq_topk") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

@@ -56,6 +56,36 @@ object StatsCatalog {
       .map(_.getString(0))
       .toSeq
 
+  /** Per-file BLOOM catalog for POINT predicates — the lookup min/max
+    * cannot serve: on a hash-partitioned or unsorted layout every
+    * file spans the full key range, so range stats prune nothing, but
+    * a point probe `key = v` only needs files whose bloom has all of
+    * v's bits (no false negatives; false positives cost one wasted
+    * file open). Size `bits` at ~10x the expected distinct keys per
+    * file (~1% fp); an undersized filter saturates and stops pruning.
+    * One stats row per file: (file, bloom_bits) — the same shape
+    * Delta's bloom index and parquet's own bloom filters persist. */
+  def buildBloom(spark: SparkSession, path: String, column: String,
+                 numHashes: Int = 3, bits: Long = 65536L): DataFrame = {
+    import graft.functions.Sketches
+    spark.read.parquet(path)
+      .select(input_file_name().as("file"),
+        explode(array((0 until numHashes).map(j =>
+          Sketches.slot(col(column), j, bits)): _*)).as("bit"))
+      .groupBy(col("file"))
+      .agg(collect_set(col("bit")).as("bloom_bits"))
+  }
+
+  /** Files whose bloom contains every bit of `value` — the candidate
+    * superset a `column = value` probe must open. */
+  def pruneFilesPoint(bloom: DataFrame, value: Long,
+                      numHashes: Int = 3, bits: Long = 65536L): Seq[String] = {
+    import graft.functions.Sketches
+    bloom.filter((0 until numHashes).map(j =>
+        array_contains(col("bloom_bits"), Sketches.slot(lit(value), j, bits))).reduce(_ && _))
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+  }
+
   /** Read only the files that can contain `column BETWEEN lo AND hi`,
     * with the predicate re-applied (pruning yields a superset; the
     * residual filter still reaches the parquet scan of the survivors

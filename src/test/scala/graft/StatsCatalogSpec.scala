@@ -64,6 +64,31 @@ class StatsCatalogSpec extends SparkSpec {
     assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
   }
 
+  test("bloom catalog prunes point lookups where min/max cannot") {
+    val dir = tmp("stats_bloom")
+    // hash-clustered on the key: every file spans the FULL key range,
+    // so the range catalog is useless here by construction — and a
+    // given orderkey's lines land in exactly one file
+    Tables.lineitem(spark, sf("sf0.01"))
+      .repartition(16, col("l_orderkey"))
+      .write.mode("overwrite").parquet(dir)
+
+    val range = StatsCatalog.build(spark, dir, Seq("l_orderkey"))
+    val someKey = spark.read.parquet(dir).select(col("l_orderkey")).head().getLong(0)
+    assert(StatsCatalog.pruneFiles(range, "l_orderkey", someKey, someKey).size == 16,
+      "range stats should be useless on a hash layout (that is the point)")
+
+    val bloom = StatsCatalog.buildBloom(spark, dir, "l_orderkey")
+    val keep = StatsCatalog.pruneFilesPoint(bloom, someKey)
+    assert(keep.nonEmpty && keep.size <= 4, s"bloom kept ${keep.size} of 16 files")
+    val got = spark.read.parquet(keep: _*).filter(col("l_orderkey") === someKey).count()
+    val want = spark.read.parquet(dir).filter(col("l_orderkey") === someKey).count()
+    assert(got == want && want > 0)
+
+    // an absent key prunes to (almost) nothing — false positives only
+    assert(StatsCatalog.pruneFilesPoint(bloom, -987654321L).size <= 2)
+  }
+
   test("empty selection returns an empty frame with the table schema") {
     val dir = tmp("stats_empty")
     Tables.lineitem(spark, sf("sf0.001"))
