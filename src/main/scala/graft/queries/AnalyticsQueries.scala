@@ -194,6 +194,50 @@ object AnalyticsQueries {
           + when(col("tp").isNotNull, 1).otherwise(0)).cast("long").as("depth"))
   }
 
+  // q115 — BM25 RANKED RETRIEVAL (k1=1.2, b=0.75): the scoring
+  // function completing the q96/q97 retrieval stack (index build →
+  // boolean match → ranked match). Query terms are q97's
+  // deterministic pair; every BM25 input (tf, df, dlen, N, sum dlen)
+  // is an exact integer aggregate, so the one double formula is the
+  // same IEEE op sequence on both engines and ranks on the r4-rounded
+  // score (doc tiebreak) are stable. Scale shape: the 2-row term set
+  // broadcasts onto the (doc, term) relation; doc lengths come from
+  // one partial-agg shuffle; the final ranked list is TakeOrdered.
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    val docsDf = Tables.documents(s, dir)
+    val n = docsDf.agg(count(lit(1)).as("n_docs"))
+    val t = docsDf.select(col("doc_id"),
+      explode(graft.functions.TextAnalysis.wordTokens(col("text"))).as("term"))
+    val tf = t.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val queryTerms = df_.crossJoin(broadcast(n))
+      .filter(col("df") >= 2 && col("df").cast("double") <= lit(0.9) * col("n_docs"))
+      .orderBy(col("term")).limit(2).select(col("term"), col("df"))
+    val totDl = dl.agg(sum(col("dlen")).as("tot_dlen"))
+    // parity bookkeeping: ln is the ONE transcendental — quantized to
+    // 1e-8 right after (the q63/q81 fixed-point-log rule; every other
+    // op is IEEE basic arithmetic on identical inputs, bitwise equal
+    // cross-engine). Constants are written as the SAME literals both
+    // sides (2.2, 1.2, 0.25, 0.75) — never as k1+1 on one side and
+    // 2.2 on the other, which differ in the last ulp. The per-doc sum
+    // has at most |queryTerms| = 2 addends, and two-operand IEEE
+    // addition is commutative, so aggregation order cannot perturb it.
+    val scored = tf.join(broadcast(queryTerms), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(n)).crossJoin(broadcast(totDl))
+      .withColumn("avgdl", col("tot_dlen").cast("double") / col("n_docs"))
+      .withColumn("idf", floor(log(
+        (col("n_docs").cast("double") - col("df") + lit(0.5d)) / (col("df").cast("double") + lit(0.5d)) + lit(1d))
+        * lit(1e8) + lit(0.5d)) / lit(1e8))
+      .withColumn("part", col("idf") * (col("tf").cast("double") * lit(2.2d))
+        / (col("tf").cast("double") + lit(1.2d) * (lit(0.25d) + lit(0.75d) * col("dlen").cast("double") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), r4(sum(col("part"))).as("bm25_r"))
+    scored.orderBy(col("bm25_r").desc, col("doc_id")).limit(20)
+      .select(col("doc_id"), col("n_terms"), col("bm25_r"))
+  }
+
   // q58 — corpus vocabulary: top-100 terms by document frequency
   // (term tiebreak) with occurrence totals — the heavy-hitter scan a
   // tokenizer build starts from. orderBy+limit plans as TakeOrdered
@@ -245,6 +289,7 @@ object AnalyticsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_ewma" -> q82 _,
+    "q115_bm25" -> q115 _,
     "q96_inverted_index" -> q96 _,
     "q97_and_query" -> q97 _,
     "q100_funnel" -> q100 _,
@@ -260,6 +305,32 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q115_bm25" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, sum(tf) AS dlen FROM tf GROUP BY 1
+        |), dfq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), nd AS (SELECT count(*) AS n_docs FROM documents),
+        |tot AS (SELECT sum(dlen) AS tot_dlen FROM dl),
+        |qt AS (
+        |  SELECT term, df FROM dfq CROSS JOIN nd
+        |  WHERE df >= 2 AND df::DOUBLE <= 0.9 * n_docs
+        |  ORDER BY term LIMIT 2
+        |), sc AS (
+        |  SELECT tf.doc_id, count(*) AS n_terms,
+        |    sum((floor(ln((n_docs::DOUBLE - df + 0.5) / (df::DOUBLE + 0.5) + 1) * 100000000 + 0.5) / 100000000)
+        |        * (tf::DOUBLE * 2.2)
+        |        / (tf::DOUBLE + 1.2 * (0.25 + 0.75 * dlen::DOUBLE / (tot_dlen::DOUBLE / n_docs)))) AS s
+        |  FROM tf JOIN qt USING (term) JOIN dl USING (doc_id) CROSS JOIN nd CROSS JOIN tot
+        |  GROUP BY 1
+        |)
+        |SELECT doc_id, n_terms, floor(s * 10000 + 0.5) / 10000 AS bm25_r
+        |FROM sc ORDER BY bm25_r DESC, doc_id LIMIT 20""".stripMargin,
     "q96_inverted_index" ->
       """WITH t AS (
         |  SELECT DISTINCT doc_id,

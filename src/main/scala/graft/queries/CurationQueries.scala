@@ -30,6 +30,32 @@ object CurationQueries {
   // per-doc count aggregation. At 100 TB the gram strings would ride
   // as xxhash64 longs instead (same plan shape); strings are kept here
   // for oracle parity.
+  // q114 — TRAIN/EVAL SPLIT DECONTAMINATION: q60's 8-gram overlap
+  // check, but the reference set is the TRAIN SPLIT of the same
+  // corpus (Sampling.split's deterministic id hash) instead of a
+  // tiny benchmark table — "did any eval document leak into
+  // training" asked the direction an LLM pipeline audits its held-out
+  // sets. Scale shape deliberately differs from q60: the train gram
+  // set is 80% of the corpus, NOT broadcastable, so eval grams (20%)
+  // shuffle-join train grams on the gram key — one exchange each
+  // side, both pruned map-side to distinct (doc, gram) first. Docs
+  // under 8 tokens have no grams and are out of scope on both sides
+  // (q60's contract).
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.functions.Sampling.split(
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.wordTokens(col("text")).as("words")), col("doc_id"))
+    val grams = d.select(col("doc_id"), col("split"),
+      explode(ngrams(col("words"), 8)).as("gram"))
+    val trainGrams = grams.filter(col("split") === "train")
+      .select(col("gram")).distinct().withColumn("hit", lit(1))
+    grams.filter(col("split") =!= "train")
+      .join(trainGrams, Seq("gram"), "left")
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+      .withColumn("leaked", col("n_hit") > 0)
+  }
+
   private def q60(s: SparkSession, dir: String): DataFrame = {
     val grams = docs(s, dir)
       .select(col("doc_id"), TextAnalysis.wordTokens(col("text")).as("words"))
@@ -208,6 +234,7 @@ object CurationQueries {
     "q91_boilerplate" -> q91 _,
     "q66_incremental_neardup" -> q66 _,
     "q60_contamination" -> q60 _,
+    "q114_split_decontam" -> q114 _,
     "q61_pii_redact" -> q61 _,
     "q62_mixture_stats" -> q62 _,
     "q63_bigram_lm" -> q63 _,
@@ -244,6 +271,25 @@ object CurationQueries {
         |FROM d p JOIN d c ON p.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
         |WHERE len(list_intersect(p.toks, c.toks))::DOUBLE
         |    / (len(p.toks) + len(c.toks) - len(list_intersect(p.toks, c.toks))) >= 0.8""".stripMargin,
+    "q114_split_decontam" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words,
+        |    CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+        |         WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id, split, array_to_string(words[i:i+7], ' ') AS gram
+        |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(words) - 7)) AS i) u
+        |  WHERE len(words) >= 8
+        |), tg AS (
+        |  SELECT DISTINCT gram FROM g WHERE split = 'train'
+        |)
+        |SELECT g.doc_id, g.split, count(*) AS n_grams, count(tg.gram) AS n_hit,
+        |  count(tg.gram) > 0 AS leaked
+        |FROM g LEFT JOIN tg ON g.gram = tg.gram
+        |WHERE g.split <> 'train'
+        |GROUP BY 1, 2""".stripMargin,
     "q60_contamination" ->
       """WITH w AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words FROM documents
