@@ -72,14 +72,28 @@ object VersionedTable {
     } finally in.close()
   }
 
+  /** Header key=value pairs of `version`'s manifest (first line). */
+  private def readHeader(conf: Configuration, root: String, version: Long): Map[String, String] = {
+    val f = fs(conf, root)
+    val in = f.open(manifestPath(root, version))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().next()
+      .split(' ').flatMap(_.split("=", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case _           => None
+      }).toMap
+    finally in.close()
+  }
+
   private def writeManifest(conf: Configuration, root: String, version: Long,
-                            action: String, files: Seq[String]): Boolean = {
+                            action: String, files: Seq[String],
+                            extra: Map[String, String] = Map.empty): Boolean = {
     val f = fs(conf, root)
     f.mkdirs(manifestDir(root))
     val tmp = new Path(manifestDir(root), s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
-    try out.write((s"version=$version action=$action nFiles=${files.size}\n" +
-      files.mkString("\n") + "\n").getBytes("UTF-8"))
+    val hdr = (Seq(s"version=$version", s"action=$action", s"nFiles=${files.size}") ++
+      extra.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }).mkString(" ")
+    try out.write((hdr + "\n" + files.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     // THE commit point: rename fails (returns false) when the target
     // version already exists — a concurrent writer won the race
@@ -105,20 +119,33 @@ object VersionedTable {
     * each retry re-reads the NEW head, so an append composes with the
     * winner's files instead of clobbering them. */
   def commit(spark: SparkSession, root: String, df: DataFrame,
-             overwrite: Boolean = false): Long = {
+             overwrite: Boolean = false,
+             extra: Map[String, String] = Map.empty,
+             actionName: String = ""): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val newFiles = writeData(spark, root, df)
+    val action = if (actionName.nonEmpty) actionName else if (overwrite) "overwrite" else "append"
     var attempt = 0
     while (attempt < 10) {
       val head = latestVersion(conf, root)
       val base = if (overwrite) Nil else head.map(readManifest(conf, root, _)).getOrElse(Nil)
       val v = head.getOrElse(0L) + 1
-      if (writeManifest(conf, root, v, if (overwrite) "overwrite" else "append", base ++ newFiles))
+      if (writeManifest(conf, root, v, action, base ++ newFiles, extra))
         return v
       attempt += 1
     }
     throw new java.io.IOException(s"lost the commit race 10 times at $root — giving up")
   }
+
+  /** Rewrite the CURRENT file set into `numFiles` files as a new
+    * version — the small-file compaction an append-heavy table needs
+    * (every streaming micro-batch adds files; a million 100 KB files
+    * read 100x slower than ten thousand 10 MB ones). Pure layout
+    * change: same rows, new version, history intact; the replaced
+    * files stay readable for time travel until `vacuum`. */
+  def compact(spark: SparkSession, root: String, numFiles: Int): Long =
+    commit(spark, root, read(spark, root).repartition(numFiles),
+      overwrite = true, actionName = "compact")
 
   /** Read the table at `version` (default: latest). The file list is
     * resolved HERE — the returned frame keeps this snapshot even if
@@ -135,10 +162,22 @@ object VersionedTable {
 
   /** MERGE `source` into the table on `keys` (keep-source upsert,
     * `MergeUpsert` semantics) and commit the result as a new
-    * overwrite version. First commit bootstraps from `source`. */
+    * overwrite version. First commit bootstraps from `source`.
+    *
+    * `batchId` makes the commit IDEMPOTENT for foreachBatch replay
+    * (the exactly-once contract a crash-recovered streaming query
+    * needs): the id is stamped into the manifest header, and a replay
+    * whose id matches the head manifest returns the head version
+    * untouched instead of double-merging the batch — the same
+    * last-merged-batch stamp the streaming sketch stores use. */
   def mergeCommit(spark: SparkSession, root: String, source: DataFrame,
-                  keys: Seq[String], loadTs: java.sql.Timestamp): Long = {
+                  keys: Seq[String], loadTs: java.sql.Timestamp,
+                  batchId: Option[Long] = None): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
+    latestVersion(conf, root).foreach { head =>
+      if (batchId.exists(b => readHeader(conf, root, head).get("batchId").contains(b.toString)))
+        return head
+    }
     val target = latestVersion(conf, root) match {
       case Some(v) => read(spark, root, Some(v))
       case None    => // bootstrap: empty target in the stamped shape
@@ -146,7 +185,8 @@ object VersionedTable {
           org.apache.spark.sql.types.StructField("last_updated", org.apache.spark.sql.types.TimestampType))
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stamped)
     }
-    commit(spark, root, MergeUpsert.upsertStamped(target, source, keys, loadTs), overwrite = true)
+    commit(spark, root, MergeUpsert.upsertStamped(target, source, keys, loadTs),
+      overwrite = true, extra = batchId.map(b => "batchId" -> b.toString).toMap)
   }
 
   /** Drop all but the newest `retainLast` versions and delete every

@@ -39,6 +39,27 @@ object KafkaIO {
       .select(from_json(col("value").cast("string"), schema).as("r"))
       .select(col("r.*"))
 
+  /** [[fromWire]] with a DEAD-LETTER side output: (decoded, dead).
+    * The reference consumer skips malformed payloads inside
+    * try/except (realtime_data_consumer.py:92) and the original bytes
+    * are gone; here they survive — `dead` keeps the RAW key/value
+    * (plus Kafka coordinates when present) so a fixed parser can
+    * replay them. A row is dead when `requiredCol` decodes null:
+    * that covers unparseable JSON (from_json yields a null struct)
+    * AND well-formed JSON missing the key field (the reference's
+    * KeyError path). Both frames derive from one parse — Spark
+    * evaluates from_json once per branch, map-side, no shuffle. */
+  def fromWireSplit(kafka: DataFrame, schema: StructType,
+                    requiredCol: String): (DataFrame, DataFrame) = {
+    val meta = Seq("topic", "partition", "offset").filter(kafka.columns.contains)
+    val parsed = kafka.withColumn("__r", from_json(col("value").cast("string"), schema))
+    val decoded = parsed.filter(col(s"__r.$requiredCol").isNotNull).select(col("__r.*"))
+    val dead = parsed.filter(col(s"__r.$requiredCol").isNull)
+      .select((Seq(col("key").cast("string").as("key"),
+        col("value").cast("string").as("raw_value")) ++ meta.map(col)): _*)
+    (decoded, dead)
+  }
+
   /** Live Kafka source attachment (S4/S7,
     * stream_data_producer.py:112-142 consumer side): subscribes and
     * returns the raw (key, value, topic, partition, offset, ...) frame

@@ -26,6 +26,20 @@ class SourcesSpec extends SparkSpec {
     assert(KafkaIO.fromWire(bad, Ingest.rawSchema).filter($"symbol".isNotNull).isEmpty)
   }
 
+  test("kafka dead-letter split keeps raw bytes for malformed and keyless payloads") {
+    val ticks = graft.streaming.TickSource.ticks(spark, 3)
+    val good = KafkaIO.toWire(ticks, col("symbol"))
+    val mixed = good
+      .unionByName(Seq(("k1", "{garbage"), ("k2", """{"price": 1.0}""")).toDF("key", "value"))
+      .withColumn("topic", lit("t")).withColumn("partition", lit(0)).withColumn("offset", lit(0L))
+    val (decoded, dead) = KafkaIO.fromWireSplit(mixed, Ingest.rawSchema, "symbol")
+    assert(decoded.count() == ticks.count(), "every well-formed keyed payload decodes")
+    val deadRows = dead.select($"key", $"raw_value").as[(String, String)].collect().toSet
+    assert(deadRows == Set(("k1", "{garbage"), ("k2", """{"price": 1.0}""")),
+      s"raw payloads must survive for replay, got $deadRows")
+    assert(dead.columns.toSeq == Seq("key", "raw_value", "topic", "partition", "offset"))
+  }
+
   test("kafka live wiring reaches the connector boundary (no broker jar in sandbox)") {
     // The wiring is real; the sandbox ships no spark-sql-kafka
     // connector jar, so source attachment must fail ONLY at data-source

@@ -77,6 +77,33 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root2).count() == 2)
   }
 
+  test("batch-stamped mergeCommit is idempotent: a replayed micro-batch commits nothing") {
+    val root = tmp()
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val batch = Seq((1L, 10.0)).toDF("id", "px")
+    val v1 = VersionedTable.mergeCommit(spark, root, batch, Seq("id"), ts, batchId = Some(7L))
+    val v2 = VersionedTable.mergeCommit(spark, root, batch, Seq("id"), ts, batchId = Some(7L)) // replay
+    assert(v1 == v2 && VersionedTable.versions(conf, root) == Seq(v1),
+      "replaying the same batch id must not create a version")
+    val v3 = VersionedTable.mergeCommit(spark, root,
+      Seq((1L, 11.0)).toDF("id", "px"), Seq("id"), ts, batchId = Some(8L))
+    assert(v3 == v1 + 1)
+    assert(VersionedTable.read(spark, root).select($"px").as[Double].head() == 11.0)
+  }
+
+  test("compact rewrites the file set as a new version; rows and history intact") {
+    val root = tmp()
+    (1 to 5).foreach(i =>
+      VersionedTable.commit(spark, root, Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    val filesBefore = VersionedTable.read(spark, root).inputFiles.length
+    assert(filesBefore >= 5, "append chain should have accumulated small files")
+    val cv = VersionedTable.compact(spark, root, numFiles = 1)
+    assert(VersionedTable.read(spark, root).inputFiles.length == 1)
+    assert(VersionedTable.read(spark, root).count() == 5)
+    // pre-compaction version still time-travels to the same rows
+    assert(VersionedTable.read(spark, root, Some(cv - 1)).count() == 5)
+  }
+
   test("a torn (.tmp) manifest is invisible to readers") {
     val root = tmp()
     VersionedTable.commit(spark, root, Seq((1L, "a")).toDF("id", "v"))
