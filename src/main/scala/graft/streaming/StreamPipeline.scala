@@ -176,6 +176,33 @@ object StreamPipeline {
       }
       .start()
 
+  /** Stream into a VERSIONED warehouse table: every micro-batch
+    * keep-last-dedups on `keys` and MERGE-commits as a new table
+    * version, batch-stamped so a crash-replayed batch is a no-op
+    * (VersionedTable.mergeCommit's idempotence) — the reference's
+    * realtime Snowflake MERGE loop (realtime_load_to_snowflake.py:
+    * 225-250) upgraded with time travel and snapshot isolation:
+    * downstream readers resolve a manifest once and never observe a
+    * half-merged batch, and yesterday's table state stays queryable
+    * until vacuum. */
+  def runVersioned(cleaned: DataFrame, tableRoot: String, checkpoint: String,
+                   keys: Seq[String], orderCol: String,
+                   trigger: Trigger = Trigger.ProcessingTime("1 minute"),
+                   loadTsOf: Long => java.sql.Timestamp = b => new java.sql.Timestamp(b)): StreamingQuery =
+    cleaned.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val deduped = graft.operators.Dedup.keepLast(batch, keys, Seq(col(orderCol)))
+        graft.batch.VersionedTable.mergeCommit(
+          batch.sparkSession, tableRoot, deduped, keys,
+          loadTsOf(batchId), // default: batch-derived, so replays stamp identically
+          batchId = Some(batchId))
+        ()
+      }
+      .start()
+
   /** Read the bucket store exactly-once: replayed micro-batches are
     * dropped by keeping the min batch_id per (symbol, bucket_start). */
   def readBuckets(spark: SparkSession, bucketPath: String): DataFrame =

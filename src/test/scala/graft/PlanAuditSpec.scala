@@ -259,6 +259,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("q115 BM25: ranked list plans as TakeOrdered, query terms broadcast") {
+    val p = plan("q115_bm25")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must not be a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the 2-term query set should broadcast:\n$p")
+  }
+
   test("q110 corr matrix: the pair join runs on the volume-independent bin aggregate") {
     val p = plan("q110_corr_matrix")
     // the (type, minute) pre-aggregate must sit BELOW the self-join —
