@@ -238,6 +238,44 @@ object AnalyticsQueries {
       .select(col("doc_id"), col("n_terms"), col("bm25_r"))
   }
 
+  // q116 — COHORT RETENTION: users grouped by first-activity week,
+  // distinct actives per (cohort, week-offset) — the retention matrix
+  // every product-analytics stack reports. Scale shape: one shuffle
+  // builds the per-user cohort (partial-agg min), one more counts
+  // distinct users per (cohort, offset) — the matrix itself is
+  // |weeks|² rows. Week bucketing is date_trunc('week') on BOTH
+  // engines (ISO Monday), and the offset is exact integer day
+  // arithmetic.
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+    val first = e.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+    e.join(first, Seq("user_id"))
+      .groupBy(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+        expr("datediff(w, cw) DIV 7").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
+  // q117 — EVENT-TRANSITION MATRIX: per-user consecutive event pairs
+  // (lag over the user's time-ordered stream) -> transition counts
+  // and conditional probabilities — the Markov-chain view of user
+  // behavior (q63's bigram LM on the event axis). The probability is
+  // one double ratio of exact counts, rounded once. Scale shape: one
+  // shuffle partitions users (lag is per-user), the pair count is a
+  // partial agg; the matrix is |types|² rows.
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = ev(s, dir)
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("prev_type")).agg(sum(col("n")).as("tot"))
+    pairs.join(totals, Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        r4(col("n").cast("double") / col("tot")).as("p"))
+  }
+
   // q58 — corpus vocabulary: top-100 terms by document frequency
   // (term tiebreak) with occurrence totals — the heavy-hitter scan a
   // tokenizer build starts from. orderBy+limit plans as TakeOrdered
@@ -290,6 +328,8 @@ object AnalyticsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_ewma" -> q82 _,
     "q115_bm25" -> q115 _,
+    "q116_cohort_retention" -> q116 _,
+    "q117_event_transitions" -> q117 _,
     "q96_inverted_index" -> q96 _,
     "q97_and_query" -> q97 _,
     "q100_funnel" -> q100 _,
@@ -305,6 +345,31 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q116_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('week', ts::TIMESTAMP) AS w FROM events
+        |), f AS (
+        |  SELECT user_id, min(w) AS cw FROM e GROUP BY 1
+        |)
+        |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+        |  ((w::DATE - cw::DATE) // 7)::BIGINT AS week_offset,
+        |  count(DISTINCT e.user_id)::BIGINT AS n_active
+        |FROM e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
+    "q117_event_transitions" ->
+      """WITH p AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id) AS prev_type
+        |  FROM events
+        |), c AS (
+        |  SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n
+        |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        |), t AS (
+        |  SELECT prev_type, sum(n) AS tot FROM c GROUP BY 1
+        |)
+        |SELECT c.prev_type, c.next_type, c.n,
+        |  floor(c.n::DOUBLE / t.tot * 10000 + 0.5)/10000 AS p
+        |FROM c JOIN t ON c.prev_type = t.prev_type""".stripMargin,
     "q115_bm25" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
