@@ -66,6 +66,42 @@ object ZOrder {
     least(lit(1023L), greatest(lit(0L),
       floor((c.cast("double") - lit(lo.toDouble)) * 1024d / lit((hi - lo + 1).toDouble)).cast("long")))
 
+  /** N-DIMENSIONAL Morton value over 10-bit-normalized inputs: bit j
+    * of dimension d lands at position j*n + d (for n = 2 this is
+    * exactly [[eval]]'s layout — LayoutSpec pins the equivalence).
+    * Built from plain shift/and/add Columns, so the whole interleave
+    * stays inside whole-stage codegen with no custom expression; at
+    * 10 bits x n dims that is 10n three-op terms, folded at codegen
+    * time. 10n must fit a long's 63 value bits -> n <= 6. */
+  def zvalueN(cols: Seq[Column]): Column = {
+    val n = cols.size
+    require(n >= 2 && n <= 6, s"2..6 dimensions (10 bits each), got $n")
+    cols.zipWithIndex.flatMap { case (c, d) =>
+      (0 until 10).map(j =>
+        shiftleft(shiftright(c.cast("long"), j).bitwiseAND(lit(1L)), j * n + d))
+    }.reduce(_ + _)
+  }
+
+  /** [[cluster]] for 2..6 dimensions: every key normalizes onto the
+    * shared 10-bit grid, the curve interleaves them evenly, and a
+    * range predicate on ANY clustered column prunes files
+    * (StatsCatalogSpec asserts it for 3). More dimensions dilute each
+    * one's pruning power (10 bits split n ways per curve prefix) —
+    * the standard z-order trade, worth it up to the handful of
+    * columns queries actually filter on. */
+  def clusterN(df: DataFrame, cols: Seq[Column], numFiles: Int): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(min(c.cast("long")), max(c.cast("long"))))
+    val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+    if (bounds.isNullAt(0)) return df
+    val normed = cols.zipWithIndex.map { case (c, i) =>
+      normalized(c, bounds.getLong(2 * i), bounds.getLong(2 * i + 1))
+    }
+    df.withColumn("__z", zvalueN(normed))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+
   /** Cluster `df` for multi-dim pruning on (a, b): normalize both
     * keys to the shared 10-bit grid (bounds from one write-time
     * 1-row aggregate), then range-partition by the Morton value into

@@ -23,6 +23,10 @@ class LayoutSpec extends SparkSpec {
     val viaExpr = Seq((5L, 9L)).toDF("a", "b")
       .select(ZOrder.zvalue($"a", $"b")).as[Long].head()
     assert(viaExpr == ZOrder.eval(5L, 9L))
+    // zvalueN at n=2 reproduces eval's bit layout on the 10-bit grid
+    val via2 = Seq((5L, 9L)).toDF("a", "b")
+      .select(ZOrder.zvalueN(Seq($"a", $"b"))).as[Long].head()
+    assert(via2 == ZOrder.eval(5L, 9L), "n=2 Morton layout must match the pairwise curve")
   }
 
   test("z-order buckets prune single-dimension predicates that a linear sort cannot") {

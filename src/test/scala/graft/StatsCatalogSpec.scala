@@ -64,6 +64,26 @@ class StatsCatalogSpec extends SparkSpec {
     assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
   }
 
+  test("3-dimensional z-order: the catalog prunes on ANY of the three clustered keys") {
+    val dir = tmp("stats_zorder3")
+    val li = Tables.lineitem(spark, sf("sf0.01"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"), col("l_quantity").cast("long").as("qty"))
+    ZOrder.clusterN(li, Seq(col("l_partkey"), col("l_suppkey"), col("qty")), 16)
+      .write.mode("overwrite").parquet(dir)
+    val stats = StatsCatalog.build(spark, dir, Seq("l_partkey", "l_suppkey", "qty"))
+    val mx = li.agg(max(col("l_partkey")), max(col("l_suppkey")), max(col("qty"))).head()
+    val kept = Seq("l_partkey" -> mx.getLong(0), "l_suppkey" -> mx.getLong(1), "qty" -> mx.getLong(2))
+      .map { case (c, m) => c -> StatsCatalog.pruneFiles(stats, c, 0L, m / 8).size }
+    kept.foreach { case (c, k) =>
+      assert(k < 16, s"octant on $c touched all $k files")
+    }
+    // correctness on one dimension
+    val pruned = StatsCatalog.prunedRead(spark, dir, stats, "qty", 0L, mx.getLong(2) / 8)
+    val full = spark.read.parquet(dir).filter(col("qty").between(0L, mx.getLong(2) / 8))
+    assert(pruned.count() == full.count() && full.count() > 0)
+  }
+
   test("bloom catalog prunes point lookups where min/max cannot") {
     val dir = tmp("stats_bloom")
     // hash-clustered on the key: every file spans the FULL key range,
