@@ -241,6 +241,47 @@ object ProductQuant {
       k, col("approx_cos"))
   }
 
+  /** IVF-PQ — the billion-scale serving architecture, composed from
+    * the two index structures this engine already ships: the IVF
+    * coarse quantizer routes each query to its `nprobe` nearest
+    * bucket centroids, and within the probed buckets candidates are
+    * scored by ADC over their PQ byte codes — so a query touches
+    * ~(nprobe/|buckets|) of the corpus AND never reads a raw vector
+    * until the exact rerank of the final shortlist. At 100 TB this is
+    * the memory story (codes are 16 B/vector) times the scan story
+    * (bucket routing) in one plan: codes shuffle-join their bucket
+    * label once, everything else (centroids, probe table, distance
+    * table, shortlist) broadcasts. Recall is bounded by how well
+    * `bucketCol` clusters similarity — pre-cluster with
+    * `Similarity.lloydIterate` when buckets are arbitrary labels
+    * (PQSpec measures both the routing ceiling and the near-zero
+    * loss the PQ stage adds on top). */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame, idCol: String, vecCol: String,
+                bucketCol: String, nSub: Int, dim: Int, nbPerDim: Int, lloydRounds: Int,
+                nprobe: Int, shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val (codes, book) = buildIndex(candidates, idCol, vecCol, nSub, dim, nbPerDim, lloydRounds)
+    val cents = Similarity.centroids(candidates, vecCol, bucketCol)
+    val probed = Similarity.probeBuckets(queries, cents, idCol, vecCol, nprobe)
+      .select(col("query_id"), col("bucket"))
+    val dtable = subspaces(queries, idCol, vecCol, nSub, dim)
+      .withColumnRenamed("id", "query_id").withColumnRenamed("sv", "qsv")
+      .join(broadcast(book), Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        Similarity.dot(col("qsv"), col("cent")).as("part"))
+    val bucketOf = candidates.select(col(idCol).as("id"), col(bucketCol).as("bucket"))
+    val scored = codes.join(bucketOf, Seq("id"))
+      .join(broadcast(probed), Seq("bucket"))
+      .filter(col("query_id") =!= col("id"))
+      .join(broadcast(dtable), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(sum(col("part")).as("approx"))
+      .select(col("query_id"), col("neighbor_id"), r4d(col("approx")).as("approx_cos"))
+    val short = Similarity.topK(scored, shortlist, col("approx_cos"))
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(short, queries, candidates, idCol, vecCol, k)
+  }
+
   /** The production PQ serving shape: ADC SHORTLIST (cheap, over
     * codes) then EXACT re-rank of only the shortlist (one more
     * map-side pass: the tiny shortlist broadcasts against the corpus

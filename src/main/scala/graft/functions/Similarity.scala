@@ -119,21 +119,27 @@ object Similarity {
     * centroid means are float sums whose low bits vary with partition
     * layout/engine, and rounding makes the assignment reproducible
     * across both. Output: query_id, bucket, neighbor_id, cos. */
-  def ivfScore(queries: DataFrame, candidates: DataFrame, idCol: String, vecCol: String,
-               bucketCol: String, nprobe: Int = 1): DataFrame = {
-    val cents = centroids(candidates, vecCol, bucketCol)
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-    // multi-probe: each query scans its `nprobe` nearest buckets —
-    // the standard IVF recall lever (boundary vectors live in a
-    // neighboring cell); cost scales ~linearly with nprobe, still
-    // ~(nprobe/nBuckets) of a full scan
-    val assigned = q.crossJoin(broadcast(cents))
+  /** Assign each query to its `nprobe` nearest coarse centroids by
+    * 1e-4-ROUNDED cosine (bucket tiebreak — the reproducible-argmin
+    * rule): the multi-probe IVF recall lever, shared by the plain IVF
+    * scorer and the IVF-PQ composition. Output: (query_id, bucket,
+    * qv). The centroid table broadcasts; cost is |queries| x
+    * |buckets| map-side. */
+  def probeBuckets(queries: DataFrame, cents: DataFrame, idCol: String, vecCol: String,
+                   nprobe: Int): DataFrame =
+    queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .crossJoin(broadcast(cents))
       .withColumn("sim", cosine(col("qv"), col("centroid")))
       .withColumn("__simr", floor(col("sim") * lit(1e4) + lit(0.5)) / lit(1e4))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("__simr").desc, col("bucket"))))
       .filter(col("__rn") <= nprobe)
       .select(col("query_id"), col("bucket"), col("qv"))
+
+  def ivfScore(queries: DataFrame, candidates: DataFrame, idCol: String, vecCol: String,
+               bucketCol: String, nprobe: Int = 1): DataFrame = {
+    val cents = centroids(candidates, vecCol, bucketCol)
+    val assigned = probeBuckets(queries, cents, idCol, vecCol, nprobe)
     val c = candidates.select(col(idCol).as("neighbor_id"), col(bucketCol).as("bucket"),
       asDouble(col(vecCol)).as("cv")).withColumn("cn", l2norm(col("cv")))
     c.join(broadcast(assigned), Seq("bucket"))

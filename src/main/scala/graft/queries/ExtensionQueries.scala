@@ -199,6 +199,20 @@ object ExtensionQueries {
       shortlist = 25, k = 5)
   }
 
+  // q118 — IVF-PQ, the composed billion-scale ANN architecture: q37's
+  // coarse bucket routing (nprobe=2) gating q104's ADC-over-byte-codes
+  // scoring, exact rerank of the final shortlist only. The oracle
+  // replays BOTH index builds end-to-end (label centroids + rounded
+  // probe ranks; grid-seeded PQ training) and the bucket-gated ADC —
+  // the composition introduces no new hashing, so full replay comes
+  // from splicing the two proven blocks.
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    graft.functions.ProductQuant.ivfPqTopK(e.filter(col("vec_id") < 10), e,
+      "vec_id", "embedding", "label", nSub = 16, dim = 64, nbPerDim = 4, lloydRounds = 1,
+      nprobe = 2, shortlist = 25, k = 5)
+  }
+
   // q33 — deterministic train/val/test split (multiplicative hash of
   // the id — reproducible across runs/partitionings/engines; note ids
   // must stay below ~2^33: DuckDB BIGINT overflow is checked, Spark
@@ -416,7 +430,8 @@ object ExtensionQueries {
     "q31_multimodal_decode" -> q31 _,
     "q32_rolling_fp" -> q32 _,
     "q103_media_headers" -> q103 _,
-    "q104_pq_topk" -> q104 _
+    "q104_pq_topk" -> q104 _,
+    "q118_ivfpq_topk" -> q118 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -733,6 +748,96 @@ object ExtensionQueries {
         |  (CASE WHEN doc_id % 3 = 2 THEN doc_id % 1000 + 1 END)::BIGINT AS n_frames,
         |  CASE WHEN doc_id % 3 = 2 THEN floor((doc_id % 1000 + 1) * 1000.0 / (doc_id % 5 * 1000 + 8000) * 10000 + 0.5) / 10000 END AS duration_ms
         |FROM documents""".stripMargin,
+    "q118_ivfpq_topk" ->
+      // q37's coarse CTEs (cent/probed) + q104's PQ CTEs (sub..codes/dt)
+      // + the bucket gate in sc — spliced verbatim from the two proven
+      // oracles
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS raw FROM embeddings),
+        |n AS (SELECT vec_id, list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS v FROM e),
+        |sub AS (
+        |  SELECT vec_id, g.m AS m, n.v[g.m*4+1 : g.m*4+4] AS sv
+        |  FROM n, (SELECT unnest(generate_series(0, 15)) AS m) g
+        |),
+        |gx AS (
+        |  SELECT vec_id, m, gj.j AS j, sv[gj.j] AS x
+        |  FROM sub, (SELECT unnest(generate_series(1, 4)) AS j) gj
+        |),
+        |nt AS (
+        |  SELECT vec_id, m, j, ntile(4) OVER (PARTITION BY m, j ORDER BY x, vec_id) AS b
+        |  FROM gx
+        |),
+        |cells AS (SELECT vec_id, m, sum((b-1) * power(4, j-1))::BIGINT AS cell FROM nt GROUP BY 1, 2),
+        |cb0 AS (
+        |  SELECT s.m, c.cell, gj.j, avg(s.sv[gj.j]) AS cj
+        |  FROM sub s JOIN cells c ON s.vec_id = c.vec_id AND s.m = c.m,
+        |       (SELECT unnest(generate_series(1, 4)) AS j) gj
+        |  GROUP BY 1, 2, 3
+        |),
+        |book0 AS (SELECT m, cell AS code, list(cj ORDER BY j) AS cent FROM cb0 GROUP BY 1, 2),
+        |a1 AS (
+        |  SELECT s.vec_id, s.m, b.code,
+        |    floor((list_dot_product(b.cent, b.cent) - 2*list_dot_product(s.sv, b.cent))*10000 + 0.5)/10000 AS d
+        |  FROM sub s JOIN book0 b ON s.m = b.m
+        |),
+        |r1 AS (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn FROM a1),
+        |asn1 AS (SELECT vec_id, m, code AS cell FROM r1 WHERE rn = 1),
+        |cb1 AS (
+        |  SELECT s.m, a.cell, gj.j, avg(s.sv[gj.j]) AS cj
+        |  FROM sub s JOIN asn1 a ON s.vec_id = a.vec_id AND s.m = a.m,
+        |       (SELECT unnest(generate_series(1, 4)) AS j) gj
+        |  GROUP BY 1, 2, 3
+        |),
+        |book1 AS (SELECT m, cell AS code, list(cj ORDER BY j) AS cent FROM cb1 GROUP BY 1, 2),
+        |a2 AS (
+        |  SELECT s.vec_id, s.m, b.code,
+        |    floor((list_dot_product(b.cent, b.cent) - 2*list_dot_product(s.sv, b.cent))*10000 + 0.5)/10000 AS d
+        |  FROM sub s JOIN book1 b ON s.m = b.m
+        |),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn FROM a2),
+        |codes AS (SELECT vec_id, m, code FROM r2 WHERE rn = 1),
+        |cc AS (
+        |  SELECT label AS bucket, g.i AS dim, avg(raw[g.i]) AS m
+        |  FROM e, generate_series(1, 64) g(i)
+        |  GROUP BY 1, 2
+        |), cent AS (SELECT bucket, list(m ORDER BY dim) AS centroid FROM cc GROUP BY 1),
+        |qp AS (SELECT vec_id AS query_id, raw AS qv FROM e WHERE vec_id < 10),
+        |asn AS (
+        |  SELECT query_id, bucket,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY
+        |      floor((list_dot_product(qv, centroid)/(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(centroid, centroid))))*10000 + 0.5)/10000 DESC,
+        |      bucket) AS rn
+        |  FROM qp, cent
+        |),
+        |probed AS (SELECT query_id, bucket FROM asn WHERE rn <= 2),
+        |dt AS (
+        |  SELECT s.vec_id AS query_id, s.m, b.code, list_dot_product(s.sv, b.cent) AS part
+        |  FROM sub s JOIN book1 b ON s.m = b.m
+        |  WHERE s.vec_id < 10
+        |),
+        |sc AS (
+        |  SELECT d.query_id, c.vec_id AS neighbor_id, floor(sum(d.part)*10000 + 0.5)/10000 AS approx_cos
+        |  FROM codes c
+        |  JOIN e ce ON ce.vec_id = c.vec_id
+        |  JOIN probed p ON p.bucket = ce.label
+        |  JOIN dt d ON d.query_id = p.query_id AND c.m = d.m AND c.code = d.code
+        |  WHERE c.vec_id <> p.query_id
+        |  GROUP BY 1, 2
+        |),
+        |sl AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_cos DESC, neighbor_id) AS srnk
+        |  FROM sc
+        |),
+        |short AS (SELECT query_id, neighbor_id FROM sl WHERE srnk <= 25),
+        |rr AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    floor((list_dot_product(qe.raw, ne.raw)
+        |      / (sqrt(list_dot_product(qe.raw, qe.raw)) * sqrt(list_dot_product(ne.raw, ne.raw))))*10000 + 0.5)/10000 AS cos
+        |  FROM short s
+        |  JOIN e qe ON qe.vec_id = s.query_id
+        |  JOIN e ne ON ne.vec_id = s.neighbor_id
+        |),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM rr)
+        |SELECT query_id, neighbor_id, cos, rnk::BIGINT AS rnk FROM rk WHERE rnk <= 5""".stripMargin,
     "q104_pq_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings),
         |n AS (SELECT vec_id, list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS v FROM e),

@@ -58,6 +58,26 @@ class PQSpec extends SparkSpec {
     assert(rrRecall >= 0.95, s"rerank recall@5 degraded: $rrRecall (measured 1.0 at sf0.001)")
   }
 
+  test("IVF-PQ: the PQ stage loses almost nothing beyond the routing ceiling") {
+    // the recall CEILING here is the coarse routing itself: the
+    // driver's `label` buckets are class labels, not similarity
+    // clusters, so nprobe=2 of 10 buckets holds ~0.3 of the exact
+    // top-5 (measured; a lloydIterate-clustered coarse quantizer is
+    // how production lifts that). The claim THIS spec pins is that
+    // the PQ stage adds almost no loss ON TOP of routing: IVF-PQ must
+    // recover nearly everything IVF-with-exact-scoring finds.
+    val ivfExact = Similarity.topK(
+      Similarity.ivfScore(queries, e, "vec_id", "embedding", "label", nprobe = 2)
+        .withColumn("cos_r", expr("floor(cos*10000+0.5)/10000")), 5, col("cos_r"))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfpq = ProductQuant.ivfPqTopK(queries, e, "vec_id", "embedding", "label",
+      16, 64, 4, 1, nprobe = 2, shortlist = 25, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val vsRouting = (ivfExact & ivfpq).size.toDouble / ivfExact.size
+    assert(vsRouting >= 0.9, s"PQ stage lost recall beyond the routing ceiling: $vsRouting")
+    assert(ivfpq.size == ivfExact.size, "k per query must be stable")
+  }
+
   test("approximate scores are close to the exact cosine they stand in for") {
     val sub = ProductQuant.subspaces(e, "vec_id", "embedding", 16, 64)
     val book = ProductQuant.trainCodebooksGrid(sub, 4, 4, 1)
