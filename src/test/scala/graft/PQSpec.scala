@@ -78,6 +78,29 @@ class PQSpec extends SparkSpec {
     assert(ivfpq.size == ivfExact.size, "k per query must be stable")
   }
 
+  test("k-means-clustered coarse buckets lift the IVF routing ceiling over raw labels") {
+    val exact = Similarity.cosineTopK(queries, e, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def routingRecall(corpus: org.apache.spark.sql.DataFrame, bucketCol: String): Double = {
+      val got = Similarity.topK(
+        Similarity.ivfScore(corpus.filter(col("vec_id") < 10), corpus,
+          "vec_id", "embedding", bucketCol, nprobe = 2)
+          .withColumn("cos_r", expr("floor(cos*10000+0.5)/10000")), 5, col("cos_r"))
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val labelRecall = routingRecall(e, "label")
+    val clustered = Similarity.lloydIterate(e, "vec_id", "embedding", "label", iters = 3)
+      .select(col("id").as("vec_id"), col("bucket").as("kbucket"))
+      .join(e, Seq("vec_id"))
+    val kmeansRecall = routingRecall(clustered, "kbucket")
+    // labels are classes, not similarity cells — re-clustering the
+    // same 10 buckets around actual vector geometry must route better
+    assert(kmeansRecall > labelRecall,
+      s"k-means buckets ($kmeansRecall) should beat label buckets ($labelRecall)")
+    assert(kmeansRecall >= 0.38, s"clustered routing recall too low: $kmeansRecall (measured 0.42 vs labels 0.30 at sf0.001)")
+  }
+
   test("approximate scores are close to the exact cosine they stand in for") {
     val sub = ProductQuant.subspaces(e, "vec_id", "embedding", 16, 64)
     val book = ProductQuant.trainCodebooksGrid(sub, 4, 4, 1)
