@@ -276,6 +276,29 @@ object AnalyticsQueries {
         r4(col("n").cast("double") / col("tot")).as("p"))
   }
 
+  // q120 — GAPS AND ISLANDS: per user, maximal runs of consecutive
+  // active minutes (the classic sessionization-by-row-number-delta
+  // SQL pattern: minute − rank is constant exactly within a
+  // consecutive run). Summarized per user: island count, longest
+  // island, total active minutes. Scale shape: one shuffle partitions
+  // users for the rank, the island key is map-side arithmetic, and
+  // both aggregations are partial — no self-join, no lag chain.
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("min_us"))
+    val mins = ev(s, dir)
+      .select(col("user_id"),
+        (unix_micros(date_trunc("minute", col("ts"))) / lit(60000000L)).cast("long").as("min_us"))
+      .distinct()
+    mins
+      .withColumn("isl", col("min_us") - row_number().over(w))
+      .groupBy(col("user_id"), col("isl"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        max(col("run_len")).as("longest_run"),
+        sum(col("run_len")).as("active_minutes"))
+  }
+
   // q58 — corpus vocabulary: top-100 terms by document frequency
   // (term tiebreak) with occurrence totals — the heavy-hitter scan a
   // tokenizer build starts from. orderBy+limit plans as TakeOrdered
@@ -330,6 +353,7 @@ object AnalyticsQueries {
     "q115_bm25" -> q115 _,
     "q116_cohort_retention" -> q116 _,
     "q117_event_transitions" -> q117 _,
+    "q120_gaps_islands" -> q120 _,
     "q96_inverted_index" -> q96 _,
     "q97_and_query" -> q97 _,
     "q100_funnel" -> q100 _,
@@ -345,6 +369,22 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q120_gaps_islands" ->
+      """WITH m AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(date_trunc('minute', ts::TIMESTAMP)) // 60000000 AS min_us
+        |  FROM events
+        |), r AS (
+        |  SELECT user_id, min_us,
+        |    min_us - row_number() OVER (PARTITION BY user_id ORDER BY min_us) AS isl
+        |  FROM m
+        |), runs AS (
+        |  SELECT user_id, isl, count(*) AS run_len FROM r GROUP BY 1, 2
+        |)
+        |SELECT user_id, count(*)::BIGINT AS n_islands,
+        |  max(run_len)::BIGINT AS longest_run,
+        |  sum(run_len)::BIGINT AS active_minutes
+        |FROM runs GROUP BY 1""".stripMargin,
     "q116_cohort_retention" ->
       """WITH e AS (
         |  SELECT user_id, date_trunc('week', ts::TIMESTAMP) AS w FROM events

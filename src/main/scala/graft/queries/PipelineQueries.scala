@@ -223,7 +223,25 @@ object PipelineQueries {
       .select(col("doc_id"), col("source"), col("rate"))
   }
 
+  // q119 — DATA-QUALITY CONSTRAINT REPORT (graft.operators.Checks):
+  // the declarative load gate a warehouse pipeline runs before a
+  // merge — completeness, key uniqueness, ranges, accepted values —
+  // compiled into ONE aggregation pass plus one keyed aggregate for
+  // the uniqueness check. The driver data is clean by construction,
+  // so the report's value here is the CONTRACT (names, counts, pass
+  // flags all oracle-checked); ChecksSpec exercises the violation
+  // paths on planted dirty rows.
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Checks._
+    graft.operators.Checks.report(Tables.lineitem(s, dir), Seq(
+      NotNull("l_orderkey"), NotNull("l_returnflag"),
+      Unique(Seq("l_orderkey", "l_linenumber")),
+      InRange("l_quantity", 1.0, 50.0), InRange("l_discount", 0.0, 0.1),
+      InSet("l_returnflag", Seq("A", "N", "R"))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_quality_checks" -> q119 _,
     "q94_weighted_sample" -> q94 _,
     "q67_dedup_corpus" -> q67 _,
     "q68_decontaminated" -> q68 _,
@@ -236,6 +254,29 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q119_quality_checks" ->
+      """WITH s AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN l_orderkey IS NULL OR l_orderkey::VARCHAR = '' THEN 1 ELSE 0 END) AS v_null_ok,
+        |    sum(CASE WHEN l_returnflag IS NULL OR l_returnflag = '' THEN 1 ELSE 0 END) AS v_null_rf,
+        |    sum(CASE WHEN l_quantity IS NOT NULL AND l_quantity NOT BETWEEN 1.0 AND 50.0 THEN 1 ELSE 0 END) AS v_rng_qty,
+        |    sum(CASE WHEN l_discount IS NOT NULL AND l_discount NOT BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) AS v_rng_disc,
+        |    sum(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS v_set_rf
+        |  FROM lineitem
+        |), u AS (
+        |  SELECT count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS v_uni, count(*) AS n
+        |  FROM lineitem
+        |)
+        |SELECT check_name, violations::BIGINT AS violations, n_rows::BIGINT AS n_rows,
+        |  violations = 0 AS pass
+        |FROM (
+        |  SELECT 'not_null(l_orderkey)' AS check_name, v_null_ok AS violations, n AS n_rows FROM s
+        |  UNION ALL SELECT 'not_null(l_returnflag)', v_null_rf, n FROM s
+        |  UNION ALL SELECT 'in_range(l_quantity,1.0,50.0)', v_rng_qty, n FROM s
+        |  UNION ALL SELECT 'in_range(l_discount,0.0,0.1)', v_rng_disc, n FROM s
+        |  UNION ALL SELECT 'in_set(l_returnflag)', v_set_rf, n FROM s
+        |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', v_uni, n FROM u
+        |)""".stripMargin,
     "q94_weighted_sample" ->
       """SELECT doc_id, source,
         |  (substr(source, 4)::INT + 1)::DOUBLE / 20.0::DOUBLE AS rate
