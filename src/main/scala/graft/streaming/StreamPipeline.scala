@@ -203,6 +203,49 @@ object StreamPipeline {
       }
       .start()
 
+  /** STREAMING ANOMALY ALERTS: flag ticks whose price sits more than
+    * `kSigma` sample-stddevs from the symbol's HISTORY — the
+    * real-time monitoring twin of the q108 batch bands. Per batch the
+    * standing bucket store (exact decimal partials) folds into one
+    * |symbols|-row stats table that BROADCASTS onto the incoming
+    * micro-batch — O(batch) probe work regardless of history size,
+    * the same standing-corpus shape as dedupOnIngest/similarityServe.
+    * The stats deliberately lag by a batch (this batch's ticks join
+    * the store as the bucket writer lands them) — an alert compares
+    * against history, not against itself. */
+  def anomalyAlerts(cleaned: DataFrame, bucketPath: String, checkpoint: String,
+                    outPath: String, kSigma: Double = 2.0,
+                    trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    cleaned.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val hasStore = {
+          val p = new org.apache.hadoop.fs.Path(bucketPath)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+        }
+        if (hasStore) {
+          val stats = readBuckets(spark, bucketPath)
+            .groupBy(col("symbol"))
+            .agg(sum(col("n")).as("hn"),
+              sum(col("price_sum")).as("s1"), sum(col("price_sum2")).as("s2"))
+            .filter(col("hn") > 1)
+            .select(col("symbol"),
+              (col("s1").cast("double") / col("hn")).as("mu"),
+              sqrt(greatest(
+                (col("s2").cast("double") - col("s1").cast("double") * col("s1").cast("double") / col("hn"))
+                  / (col("hn") - lit(1d)), lit(0d))).as("sd"))
+          batch.join(broadcast(stats), Seq("symbol"))
+            .filter(col("sd") > 0 && abs(col("price") - col("mu")) > lit(kSigma) * col("sd"))
+            .select(col("symbol"), col("timestamp"), col("price"), col("mu"), col("sd"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
+      .start()
+
   /** Read the bucket store exactly-once: replayed micro-batches are
     * dropped by keeping the min batch_id per (symbol, bucket_start). */
   def readBuckets(spark: SparkSession, bucketPath: String): DataFrame =

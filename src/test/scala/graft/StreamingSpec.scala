@@ -367,6 +367,44 @@ class StreamingSpec extends SparkSpec {
     assert(v2 == Map("A" -> 10.0, "B" -> 20.0), s"got $v2")
   }
 
+  test("anomaly alerts: only the history-deviant tick fires, stats match batch") {
+    val bucketDir = Files.createTempDirectory("graft_anom_buckets").toString
+    val alertDir = Files.createTempDirectory("graft_anom_alerts").toString + "/out"
+    // standing history: prices 10±1 for A (written via the real bucket path)
+    val hist = MemoryStream[RawTick](spark)
+    def tick(off: Long, price: Double): RawTick =
+      RawTick("A", price, 0, "0%", "1", price, price, isoPlus(base, off))
+    val qh = StreamPipeline.run(Ingest.clean(hist.toDF()), bucketDir,
+      Files.createTempDirectory("graft_anom_ck1").toString,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      hist.addData((0 until 20).map(i => tick(i * 30L, 10.0 + (i % 3) - 1)))
+      hist.addData(Seq(tick(7200L, 10.0))) // flush the watermark
+      qh.processAllAvailable()
+    } finally qh.stop()
+
+    // probe stream: one normal tick, one 5-sigma outlier
+    val probe = MemoryStream[RawTick](spark)
+    val qa = StreamPipeline.anomalyAlerts(Ingest.clean(probe.toDF()), bucketDir,
+      Files.createTempDirectory("graft_anom_ck2").toString, alertDir, kSigma = 2.0,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      probe.addData(Seq(tick(9000L, 10.5), tick(9030L, 25.0)))
+      qa.processAllAvailable()
+    } finally qa.stop()
+
+    val alerts = spark.read.parquet(alertDir).select($"price").as[Double].collect().toSeq
+    assert(alerts == Seq(25.0), s"only the outlier fires, got $alerts")
+    // stats in the alert row equal the batch-side fold of the store
+    val (mu, sd) = spark.read.parquet(alertDir).select($"mu", $"sd").as[(Double, Double)].head()
+    val hb = StreamPipeline.readBuckets(spark, bucketDir)
+      .agg(sum($"n").as("hn"), sum($"price_sum").as("s1"), sum($"price_sum2").as("s2")).head()
+    val (hn, s1, s2) = (hb.getLong(0), hb.getDecimal(1).doubleValue(), hb.getDecimal(2).doubleValue())
+    val muB = s1 / hn
+    val sdB = math.sqrt(((s2 - s1 * s1 / hn) / (hn - 1)).max(0d))
+    assert(math.abs(mu - muB) < 1e-9 && math.abs(sd - sdB) < 1e-9)
+  }
+
   test("stream-stream enrichment: time-bounded tick x quote inner join") {
     case class Quote(qsymbol: String, qts: java.sql.Timestamp, bid: Double)
     def ts(off: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(base + off))
