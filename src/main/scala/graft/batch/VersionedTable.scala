@@ -1,8 +1,9 @@
 package graft.batch
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.operators.MergeUpsert
 
@@ -84,7 +85,7 @@ object VersionedTable {
     finally in.close()
   }
 
-  private def writeManifest(conf: Configuration, root: String, version: Long,
+  private[graft] def writeManifest(conf: Configuration, root: String, version: Long,
                             action: String, files: Seq[String],
                             extra: Map[String, String] = Map.empty): Boolean = {
     val f = fs(conf, root)
@@ -95,12 +96,32 @@ object VersionedTable {
       extra.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }).mkString(" ")
     try out.write((hdr + "\n" + files.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    // THE commit point: rename fails (returns false) when the target
-    // version already exists — a concurrent writer won the race
-    val won = f.rename(tmp, manifestPath(root, version))
+    // THE commit point: FileContext.rename with Rename.NONE raises
+    // FileAlreadyExistsException when the target version exists — a
+    // concurrent writer won the race. FileSystem.rename's boolean is
+    // NOT enough here: RawLocal/ChecksumFileSystem delegate to POSIX
+    // rename(2), which silently REPLACES an existing destination, so
+    // two committers could both "win" v(N) and one file set would be
+    // lost. FileContext does the no-overwrite check itself (the same
+    // primitive Delta's HDFSLogStore commits through); on HDFS the
+    // check is atomic in the NameNode, on the local FS it is
+    // check-then-rename — a vastly narrower window than an
+    // unconditional replace, and the documented local-FS caveat of
+    // every manifest-commit table format.
+    val dst = manifestPath(root, version)
+    val won =
+      try { FileContext.getFileContext(dst.toUri, conf).rename(tmp, dst, Options.Rename.NONE); true }
+      catch { case _: FileAlreadyExistsException => false }
     if (!won) f.delete(tmp, false)
     won
   }
+
+  private def schemaKey = "schema"
+  private def encodeSchema(s: StructType): String =
+    java.util.Base64.getEncoder.encodeToString(s.json.getBytes("UTF-8"))
+  private def decodeSchema(b64: String): StructType =
+    DataType.fromJson(new String(java.util.Base64.getDecoder.decode(b64), "UTF-8"))
+      .asInstanceOf[StructType]
 
   /** Write `df`'s rows as a new immutable file set under data/ and
     * return their absolute paths. */
@@ -125,12 +146,17 @@ object VersionedTable {
     val conf = spark.sparkContext.hadoopConfiguration
     val newFiles = writeData(spark, root, df)
     val action = if (actionName.nonEmpty) actionName else if (overwrite) "overwrite" else "append"
+    // The schema rides in every manifest header so a ZERO-file version
+    // (an empty micro-batch, a merge that deleted every row) stays
+    // readable — read() reconstructs an empty frame from it instead of
+    // wedging the table (and every streaming replay) forever.
+    val stamped = extra + (schemaKey -> encodeSchema(df.schema))
     var attempt = 0
     while (attempt < 10) {
       val head = latestVersion(conf, root)
       val base = if (overwrite) Nil else head.map(readManifest(conf, root, _)).getOrElse(Nil)
       val v = head.getOrElse(0L) + 1
-      if (writeManifest(conf, root, v, action, base ++ newFiles, extra))
+      if (writeManifest(conf, root, v, action, base ++ newFiles, stamped))
         return v
       attempt += 1
     }
@@ -156,8 +182,13 @@ object VersionedTable {
       .getOrElse(throw new java.io.IOException(s"no committed version at $root"))
     val files = readManifest(conf, root, v)
     if (files.isEmpty)
-      throw new java.io.IOException(s"version $v of $root is empty")
-    spark.read.parquet(files: _*)
+      readHeader(conf, root, v).get(schemaKey) match {
+        case Some(b64) =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], decodeSchema(b64))
+        case None => // pre-schema-header manifest: nothing to reconstruct from
+          throw new java.io.IOException(s"version $v of $root is empty and carries no schema header")
+      }
+    else spark.read.parquet(files: _*)
   }
 
   /** MERGE `source` into the table on `keys` (keep-source upsert,
@@ -188,6 +219,30 @@ object VersionedTable {
     commit(spark, root, MergeUpsert.upsertStamped(target, source, keys, loadTs),
       overwrite = true, extra = batchId.map(b => "batchId" -> b.toString).toMap)
   }
+
+  /** Delete every row matching `condition` as a NEW version (action
+    * "delete") — the GDPR-shaped maintenance op: the head version no
+    * longer serves the rows, every retained older version still does
+    * (time travel intact — deletion is a version event, not a rewrite
+    * of history), and the bytes leave disk only when `vacuum` drops
+    * the last manifest referencing their files. Copy-on-write of the
+    * survivors, like `mergeCommit` — at 100 TB you'd add file-level
+    * pruning (only rewrite files whose stats overlap the predicate,
+    * carry the rest forward by reference); the manifest format already
+    * supports that since a commit may mix new and carried-over paths. */
+  def deleteWhere(spark: SparkSession, root: String, condition: Column): Long =
+    commit(spark, root, read(spark, root).filter(!condition),
+      overwrite = true, actionName = "delete")
+
+  /** Keyed delete: drop rows whose `keys` columns match any row of
+    * `doomedKeys` (anti-join — the right-to-be-forgotten shape where
+    * the request arrives as a key list, broadcast when small). */
+  def deleteKeys(spark: SparkSession, root: String, keys: Seq[String],
+                 doomedKeys: DataFrame): Long =
+    commit(spark, root,
+      read(spark, root).join(doomedKeys.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct(),
+        keys, "left_anti"),
+      overwrite = true, actionName = "delete")
 
   /** Drop all but the newest `retainLast` versions and delete every
     * data file no retained manifest references. Returns the deleted

@@ -93,9 +93,17 @@ object BpeTrain {
             driverMaxTypes: Long = 1000000L): DataFrame = {
     require(merges >= 1)
     val types = wordTypes(docs, textCol)
+    // One action decides the regime AND feeds the driver path: collect
+    // at most gate+1 rows — if the cap wasn't hit, that IS the full
+    // word-type table (no second aggregation pass), else fall through
+    // to the distributed loop. The gate clamps so a caller passing a
+    // > Int.MaxValue threshold degrades to "largest collectable" rather
+    // than overflowing limit() into a negative AnalysisException.
+    val gate = math.min(driverMaxTypes, Int.MaxValue - 1L).toInt
+    val sample = types.limit(gate + 1).collect()
     val learned =
-      if (types.limit(driverMaxTypes.toInt + 1).count() <= driverMaxTypes)
-        trainDriver(types.collect().map(r => (r.getString(0), r.getLong(1))), merges)
+      if (sample.length <= gate)
+        trainDriver(sample.map(r => (r.getString(0), r.getLong(1))), merges)
       else trainDistributed(spark, types, merges)
     import spark.implicits._
     learned.toSeq.toDF("step", "sym_a", "sym_b", "pair_n")

@@ -151,24 +151,29 @@ object MediaHeader {
     * trusts DECLARED sizes, so a header-only blob (metadata extraction
     * without fetching the payload body) still parses fully. */
   private def parseWav(b: Array[Byte]): InternalRow = {
-    var pos = 12
+    // Cursor and advance are Long: a declared chunk size is unsigned
+    // 32-bit, so an Int advance can stall (adv truncates to 0) or go
+    // negative on adversarial sizes >= 2^31 — the walk must strictly
+    // advance or stop, never loop or index below 0.
+    var pos = 12L
     var channels: java.lang.Integer = null
     var sampleRate: java.lang.Integer = null
     var bits: java.lang.Integer = null
     var blockAlign = 0
     var dataSize = -1L
     while (pos + 8 <= b.length && (channels == null || dataSize < 0)) {
-      val id = tag(b, pos)
-      val size = le32(b, pos + 4).toLong & 0xffffffffL
-      if (id == 0x666d7420 /* "fmt " */ && pos + 8 + 16 <= b.length) {
-        channels = le16(b, pos + 10)
-        sampleRate = le32(b, pos + 12)
-        blockAlign = le16(b, pos + 20)
-        bits = le16(b, pos + 22)
+      val p = pos.toInt // safe: pos + 8 <= b.length <= Int.MaxValue
+      val id = tag(b, p)
+      val size = le32(b, p + 4).toLong & 0xffffffffL
+      if (id == 0x666d7420 /* "fmt " */ && p + 8 + 16 <= b.length) {
+        channels = le16(b, p + 10)
+        sampleRate = le32(b, p + 12)
+        blockAlign = le16(b, p + 20)
+        bits = le16(b, p + 22)
       } else if (id == 0x64617461 /* "data" */ ) {
         dataSize = size
       }
-      pos += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      pos += 8L + size + (size & 1L) // chunks are word-aligned; always >= 8
     }
     if (channels == null) row(Unknown)
     else {

@@ -41,6 +41,9 @@ class BpeSpec extends SparkSpec {
       .orderBy("step").select("step", "sym_a", "sym_b", "pair_n")
       .as[(Long, String, String, Long)].collect().toSeq
     assert(run(1000000L) == run(0L), "regime choice must be invisible to the learned merges")
+    // a gate beyond Int range must clamp, not overflow limit() into a
+    // negative-argument AnalysisException
+    assert(run(Long.MaxValue) == run(0L), "oversized gate clamps to largest collectable")
   }
 
   test("trained merges compress real text and apply deterministically") {

@@ -69,6 +69,30 @@ class MediaHeaderSpec extends SparkSpec {
     }
   }
 
+  test("WAV with adversarial oversized declared chunk sizes terminates, never throws") {
+    // Declared chunk sizes are UNSIGNED 32-bit and the walk trusts
+    // them: an Int-truncated advance would stall at 0 (infinite loop)
+    // or go negative (ArrayIndexOutOfBounds). The Long cursor must
+    // strictly advance past them instead.
+    // size 0xFFFFFFF8 on an unknown chunk: Int advance would be 0
+    val stall = un("52494646 24080000 57415645 6A756E6B F8FFFFFF 00000000")
+    assert(parse(stall).getString(0) == "unknown")
+    // size 0x80000000: Int advance would drive pos negative
+    val neg = un("52494646 24080000 57415645 6A756E6B 00000080 00000000")
+    assert(parse(neg).getString(0) == "unknown")
+    // fmt parsed first, THEN an oversized data-size declaration: the
+    // walk keeps the fields it has and stops cleanly past the end
+    val fmtThenHuge = un(
+      "52494646 24080000 57415645 666D7420 10000000 0100 0100" +
+      "22560000 44AC0000 0200 1000 64617461 FFFFFFFF")
+    val r = parse(fmtThenHuge)
+    assert(r.getString(0) == "wav")
+    assert((r.getInt(4), r.getInt(5), r.getInt(6)) == ((1, 22050, 16)))
+    // declared data size is taken at face value (header-only contract):
+    // 0xFFFFFFFF / blockAlign 2
+    assert(r.getLong(7) == 0xFFFFFFFFL / 2)
+  }
+
   test("planted fixtures round-trip to the arithmetic the oracle predicts") {
     val docs = spark.range(0, 300).select($"id".as("doc_id"))
     val got = Multimodal.decodeHeaders(Multimodal.headerFixtures(docs))

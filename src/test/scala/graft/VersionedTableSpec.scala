@@ -104,6 +104,60 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root, Some(cv - 1)).count() == 5)
   }
 
+  test("the commit point never replaces an existing version's manifest") {
+    // RawLocal/ChecksumFileSystem rename delegates to POSIX rename(2),
+    // which silently clobbers — the FileContext Rename.NONE commit
+    // must instead report the race lost and leave the winner intact.
+    val root = tmp()
+    VersionedTable.commit(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    val winner = VersionedTable.read(spark, root).inputFiles.toSet
+    val won = VersionedTable.writeManifest(conf, root, 1L, "append", Seq("/loser.parquet"))
+    assert(!won, "writing v1 again must lose, not clobber")
+    assert(VersionedTable.read(spark, root).inputFiles.toSet == winner,
+      "the winning manifest's file set must be untouched")
+    // and no .tmp debris is left behind
+    val leftovers = new java.io.File(s"$root/_manifests").listFiles()
+      .map(_.getName).filter(_.startsWith(".tmp"))
+    assert(leftovers.isEmpty, s"tmp debris: ${leftovers.mkString(",")}")
+  }
+
+  test("a zero-file version reads as an empty frame and never wedges the table") {
+    val root = tmp()
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    VersionedTable.mergeCommit(spark, root, Seq((1L, 10.0)).toDF("id", "px"), Seq("id"), ts)
+    // an overwrite whose frame is empty (e.g. a micro-batch fully
+    // dropped by cleaning) writes NO part files — the manifest's
+    // schema header must carry the reader through
+    val empty = VersionedTable.commit(spark, root,
+      VersionedTable.read(spark, root).limit(0), overwrite = true)
+    val frame = VersionedTable.read(spark, root, Some(empty))
+    assert(frame.count() == 0)
+    assert(frame.columns.toSeq == Seq("id", "px", "last_updated"),
+      "schema survives an empty version")
+    // the table is NOT wedged: the next merge reads the (empty) head fine
+    VersionedTable.mergeCommit(spark, root, Seq((2L, 20.0)).toDF("id", "px"), Seq("id"), ts)
+    assert(VersionedTable.read(spark, root).count() == 1)
+  }
+
+  test("deleteKeys: head stops serving, time travel still serves, vacuum forgets") {
+    val root = tmp()
+    VersionedTable.commit(spark, root,
+      Seq((1L, "keep"), (2L, "gdpr"), (3L, "keep")).toDF("id", "v"))
+    val dv = VersionedTable.deleteKeys(spark, root, Seq("id"), Seq(Tuple1(2L)).toDF("id"))
+    assert(VersionedTable.read(spark, root).select("id").as[Long].collect().toSet == Set(1L, 3L),
+      "head version must no longer serve the deleted key")
+    assert(VersionedTable.read(spark, root, Some(dv - 1))
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L),
+      "pre-delete version still serves it — deletion is a version event")
+    // vacuum to the delete version: the bytes leave disk
+    VersionedTable.vacuum(spark, root, retainLast = 1)
+    assert(VersionedTable.versions(conf, root) == Seq(dv))
+    assert(VersionedTable.read(spark, root).count() == 2)
+    // deleteWhere form
+    VersionedTable.deleteWhere(spark, root, $"id" === 3L)
+    assert(VersionedTable.read(spark, root).select("id").as[Long].collect().toSet == Set(1L))
+  }
+
   test("a torn (.tmp) manifest is invisible to readers") {
     val root = tmp()
     VersionedTable.commit(spark, root, Seq((1L, "a")).toDF("id", "v"))
