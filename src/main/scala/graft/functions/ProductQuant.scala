@@ -27,7 +27,8 @@ import org.apache.spark.sql.functions._
   *     machinery (BoundedTopK) runs over the approximate scores.
   *
   * Scale shape: training shuffles only (m, cell, dim) partial sums
-  * (M * k * dim rows); encoding is a broadcast join + partial agg; ADC
+  * (M * k * dim rows); encoding is ONE codegen map pass (the
+  * [[PqArgminExpr]] kernel — no intermediate rows, no shuffle); ADC
   * scoring broadcasts the Q*M*k table and never shuffles candidate
   * vectors — the full-size embedding column is read ONCE to encode and
   * never again.
@@ -40,12 +41,11 @@ object ProductQuant {
   /** Unit-normalize and split: one row per (id, m, sv) with
     * sv = the m-th `dim/nSub`-dim slice of v / |v|.
     *
-    * Repartitions by id first: the downstream assign step fans each
-    * row out against the whole codebook (|vectors| * nSub * cells
-    * scored rows), so inheriting a single-file parquet's one
-    * partition would run the entire training compute on one task —
-    * the shuffle here is |vectors| rows, the parallelism it buys is
-    * the whole pipeline's. */
+    * Repartitions by id first: downstream training aggregations and
+    * the encode kernel inherit this frame's partitioning, so a
+    * single-file parquet's one partition would otherwise run the
+    * entire pipeline on one task — the shuffle here is |vectors|
+    * rows, the parallelism it buys is the whole pipeline's. */
   def subspaces(vectors: DataFrame, idCol: String, vecCol: String,
                 nSub: Int, dim: Int): DataFrame = {
     require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
@@ -120,15 +120,30 @@ object ProductQuant {
   private def l2score(sv: Column, cent: Column, cc: Column): Column =
     r4d(cc - lit(2d) * Similarity.dot(sv, cent))
 
-  /** Nearest code per (id, m) against a broadcast codebook — min_by
-    * partial agg (no window), code tiebreak; carries sv through for
-    * retraining. The flat fan-out join (|vectors| * nSub * cells
-    * scored rows) deliberately stays: an array-form codebook scanned
-    * by HOF lambdas emits no intermediate rows but runs interpreted
-    * per element (measured 2.8x SLOWER end-to-end than this codegen'd
-    * join + DotProduct + partial-agg shape). Output: (id, m, sv,
-    * code). */
-  private def assign(sub: DataFrame, book: DataFrame): DataFrame =
+  /** Nearest code per (id, m): ONE codegen map pass via
+    * [[PqArgminExpr]] — the codebook collects into the expression
+    * (it is <= nSub * cells rows by construction) and each subspace
+    * row emits its argmin code directly. Zero intermediate rows, zero
+    * shuffle; bitwise-identical codes to [[assignJoin]] (PQSpec pins
+    * it). Carries sv through for retraining. Output: (id, m, sv,
+    * code).
+    *
+    * History of this plan: the first version was [[assignJoin]]'s
+    * fan-out (|vectors| * nSub * cells scored rows — 819 M rows and a
+    * 22 GB spill at the 100x probe); an array-form HOF scan emitted no
+    * rows but ran interpreted per element (measured 2.8x slower than
+    * the join). The codegen kernel is the third option that is both:
+    * compiled AND row-free. */
+  private def assign(sub: DataFrame, book: DataFrame): DataFrame = {
+    val kernel = PqArgmin.fromBook(book)
+    sub.select(col("id"), col("m"), col("sv"),
+      PqArgmin.column(col("sv"), col("m"), kernel).as("code"))
+  }
+
+  /** The join-plan formulation of [[assign]] — kept as the
+    * cross-check oracle for the codegen kernel (PQSpec asserts codes
+    * match bitwise), not used in any serving/training path. */
+  private[graft] def assignJoin(sub: DataFrame, book: DataFrame): DataFrame =
     sub.join(broadcast(book.withColumn("cc", Similarity.dot(col("cent"), col("cent")))), Seq("m"))
       .withColumn("d", l2score(col("sv"), col("cent"), col("cc")))
       .groupBy(col("id"), col("m"))

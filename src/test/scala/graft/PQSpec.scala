@@ -29,6 +29,27 @@ class PQSpec extends SparkSpec {
     assert(codes.groupBy("id").count().filter(col("count") =!= 16).count() == 0)
   }
 
+  test("codegen argmin kernel assigns bitwise-identical codes to the join plan") {
+    // The encode path is PqArgminExpr (one compiled map pass, zero
+    // intermediate rows); assignJoin is the fan-out formulation kept
+    // as its oracle. Same 1e-4-rounded L2 objective, same sequential
+    // dot order, same ascending-code tiebreak -> EXACT equality, for
+    // every (id, m), across both codebook generations.
+    val sub = ProductQuant.subspaces(e, "vec_id", "embedding", nSub = 16, dim = 64).persist()
+    try {
+      val book = ProductQuant.trainCodebooksGrid(sub, ds = 4, nbPerDim = 4, lloydRounds = 1)
+      val viaExpr = ProductQuant.encode(sub, book)
+      val viaJoin = ProductQuant.assignJoin(sub, book).select(col("id"), col("m"), col("code"))
+      assert(viaExpr.count() == viaJoin.count())
+      assert(viaExpr.exceptAll(viaJoin).isEmpty && viaJoin.exceptAll(viaExpr).isEmpty,
+        "kernel and join plan disagree on at least one (id, m) code")
+      // and the kernel's plan is the point: no join, no aggregate, no
+      // exchange between the subspace frame and the codes
+      val plan = viaExpr.queryExecution.executedPlan.toString
+      assert(!plan.toLowerCase.contains("join"), s"encode plan still joins:\n$plan")
+    } finally sub.unpersist(false)
+  }
+
   test("grid seeding yields fine cells (the resolution SRP seeding loses in low dims)") {
     val sub = ProductQuant.subspaces(e, "vec_id", "embedding", nSub = 16, dim = 64)
     val cells = ProductQuant.gridCells(sub, ds = 4, nbPerDim = 4)
