@@ -75,6 +75,41 @@ object Bench {
       System.gc()
       name -> dt
     }
+    def r3(v: Double): Double = math.floor(v * 1000d + 0.5d) / 1000d
+    // ANN build/serve split: q104/q118's oracle queries replay index
+    // TRAINING inside every measured run (that is their correctness
+    // contract — the whole pipeline must be DuckDB-replayable), which
+    // makes them the battery's slowest entries while hiding the number
+    // that matters at 100 TB: serving against a PREBUILT index. Build
+    // once here, measure the steady-state serve path separately.
+    if (only.isEmpty) {
+      import graft.functions.{ProductQuant, Similarity}
+      import org.apache.spark.sql.functions.col
+      val e = graft.core.Tables.embeddings(spark, sfDir)
+      val q = e.filter(col("vec_id") < 10)
+      def time2(f: => Unit): Double = {
+        var dt = Double.MaxValue
+        for (_ <- 1 to 2) { val t0 = System.nanoTime(); f; dt = math.min(dt, (System.nanoTime() - t0) / 1e9) }
+        dt
+      }
+      val tb = System.nanoTime()
+      // buildIndex returns codes eagerly materialized (localCheckpoint)
+      // and a collected codebook — the returned pair IS the persisted
+      // index, so the build wall-clock ends here.
+      val (codes, book) = ProductQuant.buildIndex(e, "vec_id", "embedding", 16, 64, 4, 1)
+      val buildPq = (System.nanoTime() - tb) / 1e9
+      val servePq = time2(run(ProductQuant.serveRerankTopK(
+        q, e, codes, book, "vec_id", "embedding", 16, 64, 25, 5)))
+      val tc = System.nanoTime()
+      val cents = Similarity.centroids(e, "embedding", "label").localCheckpoint(true)
+      val buildIvf = buildPq + (System.nanoTime() - tc) / 1e9
+      val serveIvf = time2(run(ProductQuant.ivfPqServe(
+        q, e, codes, book, cents, "vec_id", "embedding", "label", 16, 64, 2, 25, 5)))
+      println(s"""BENCH_ANN {"q104_build":${r3(buildPq)},"q104_serve":${r3(servePq)},""" +
+        s""""q118_build":${r3(buildIvf)},"q118_serve":${r3(serveIvf)}}""")
+      spark.catalog.clearCache()
+      System.gc()
+    }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Human/archive line first: full query names, full precision.
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -87,7 +122,6 @@ object Bench {
     // get head-truncated (BENCH_r03/r04 recorded parsed:null). Short
     // qNN keys (BASELINE.md's own naming) at millisecond precision
     // keep the line under ~1k chars with room to grow.
-    def r3(v: Double): Double = math.floor(v * 1000d + 0.5d) / 1000d
     val qs = results.map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -274,9 +274,22 @@ object ProductQuant {
   def ivfPqTopK(queries: DataFrame, candidates: DataFrame, idCol: String, vecCol: String,
                 bucketCol: String, nSub: Int, dim: Int, nbPerDim: Int, lloydRounds: Int,
                 nprobe: Int, shortlist: Int, k: Int): DataFrame = {
-    require(shortlist >= k, "shortlist must be at least k")
     val (codes, book) = buildIndex(candidates, idCol, vecCol, nSub, dim, nbPerDim, lloydRounds)
     val cents = Similarity.centroids(candidates, vecCol, bucketCol)
+    ivfPqServe(queries, candidates, codes, book, cents, idCol, vecCol, bucketCol,
+      nSub, dim, nprobe, shortlist, k)
+  }
+
+  /** IVF-PQ SERVING against a prebuilt index — the steady-state
+    * query path a deployment actually pays per request: bucket
+    * routing over broadcast centroids, ADC over the 16 B/vector
+    * codes, exact rerank of the shortlist. No training, no raw-vector
+    * scan outside the rerank. [[ivfPqTopK]] is exactly
+    * build-then-this, so the two stay plan-identical. */
+  def ivfPqServe(queries: DataFrame, candidates: DataFrame, codes: DataFrame, book: DataFrame,
+                 cents: DataFrame, idCol: String, vecCol: String, bucketCol: String,
+                 nSub: Int, dim: Int, nprobe: Int, shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
     val probed = Similarity.probeBuckets(queries, cents, idCol, vecCol, nprobe)
       .select(col("query_id"), col("bucket"))
     val dtable = subspaces(queries, idCol, vecCol, nSub, dim)
@@ -294,6 +307,18 @@ object ProductQuant {
       .select(col("query_id"), col("neighbor_id"), r4d(col("approx")).as("approx_cos"))
     val short = Similarity.topK(scored, shortlist, col("approx_cos"))
       .select(col("query_id"), col("neighbor_id"))
+    exactRerank(short, queries, candidates, idCol, vecCol, k)
+  }
+
+  /** PQ-rerank SERVING against a prebuilt (codes, book) index — the
+    * q104 pipeline minus training/encoding: ADC shortlist over codes,
+    * exact rerank of the shortlist only. */
+  def serveRerankTopK(queries: DataFrame, candidates: DataFrame, codes: DataFrame,
+                      book: DataFrame, idCol: String, vecCol: String, nSub: Int, dim: Int,
+                      shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val short = Similarity.topK(adcScoreCodes(queries, codes, book, idCol, vecCol, nSub, dim),
+      shortlist, col("approx_cos")).select(col("query_id"), col("neighbor_id"))
     exactRerank(short, queries, candidates, idCol, vecCol, k)
   }
 
