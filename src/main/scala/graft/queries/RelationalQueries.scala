@@ -342,7 +342,35 @@ object RelationalQueries {
         count(lit(1)).as("n_rows"))
   }
 
+  // q121 — STATS-CATALOG PRUNED SCAN, end to end through a declared
+  // query: write lineitem into a range-clustered 16-file layout, build
+  // the per-file min/max catalog (`StatsCatalog.build` — one scan,
+  // 16 stats rows), and answer a one-quarter revenue rollup READING
+  // ONLY the files whose [min,max] shipdate interval intersects the
+  // predicate (`prunedRead`; ~2 of 16 files at this clustering — the
+  // files-opened bound is pinned in StatsCatalogSpec). Pruning yields
+  // a superset and the residual predicate still reaches the surviving
+  // parquet scans pushed down, so the answer EQUALS the full scan —
+  // which is exactly what the DuckDB oracle computes over the raw
+  // table. At a million-file table the catalog stays one row per
+  // FILE; keep it as a table and prune with a join (the driver-side
+  // collect here mirrors Spark's own InMemoryFileIndex regime and is
+  // file-count-, not data-sized).
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    val layout = s"/tmp/graft_q121_${new java.io.File(dir).getName}"
+    li(s, dir).repartitionByRange(16, col("l_shipdate"))
+      .write.mode("overwrite").parquet(layout)
+    val stats = graft.sources.StatsCatalog.build(s, layout, Seq("l_shipdate"))
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1996-03-31 23:59:59")
+    graft.sources.StatsCatalog.prunedRead(s, layout, stats, "l_shipdate", lo, hi)
+      .groupBy(col("l_returnflag"))
+      .agg(r2(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(28,4)")).cast("double")).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_stats_pruned_scan" -> q121 _,
     "q111_tpch_q6" -> q111 _,
     "q112_tpch_q12" -> q112 _,
     "q113_tpch_q14" -> q113 _,
@@ -360,6 +388,16 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q121_stats_pruned_scan" ->
+      // the pruned read is a pure scan-economy change: the oracle is
+      // the same predicate + rollup over the raw table
+      """SELECT l_returnflag,
+        |  floor(sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,4))::DOUBLE*100 + 0.5)/100 AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <= TIMESTAMP '1996-03-31 23:59:59'
+        |GROUP BY 1""".stripMargin,
     "q111_tpch_q6" ->
       """SELECT
         |  floor(sum((l_extendedprice * l_discount)::DECIMAL(28,4))::DOUBLE*100 + 0.5)/100 AS revenue,

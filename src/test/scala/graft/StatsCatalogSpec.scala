@@ -109,6 +109,25 @@ class StatsCatalogSpec extends SparkSpec {
     assert(StatsCatalog.pruneFilesPoint(bloom, -987654321L).size <= 2)
   }
 
+  test("declared q121 reads through the catalog: few files actually opened, full-scan answer") {
+    // The end-to-end wiring the oracle checks for correctness, pinned
+    // here for scan economy: the aggregate's input files ARE the
+    // pruned subset — a quarter predicate over a 16-file range
+    // clustering opens at most 3.
+    val df = graft.SparkEntry.queries("q121_stats_pruned_scan")(spark, sf("sf0.01"))
+    val opened = df.inputFiles.filter(_.contains("graft_q121"))
+    assert(opened.nonEmpty && opened.length <= 3,
+      s"q121 opened ${opened.length} of 16 layout files")
+    val full = Tables.lineitem(spark, sf("sf0.01"))
+      .filter(col("l_shipdate").between(
+        lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")),
+        lit(java.sql.Timestamp.valueOf("1996-03-31 23:59:59"))))
+      .groupBy(col("l_returnflag")).count()
+    assert(df.select(col("l_returnflag"), col("n_rows")).exceptAll(
+      full.select(col("l_returnflag"), col("count"))).isEmpty,
+      "pruned rollup must equal the full-scan rollup")
+  }
+
   test("empty selection returns an empty frame with the table schema") {
     val dir = tmp("stats_empty")
     Tables.lineitem(spark, sf("sf0.001"))
