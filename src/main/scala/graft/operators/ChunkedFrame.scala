@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Trailing ROW-frame aggregates without the per-key parallelism
+  * ceiling of a single `Window.partitionBy(key)`.
+  *
+  * A bounded frame like `rowsBetween(-19, current)` evaluated the
+  * direct way sorts each key's ENTIRE history in one task — fine for
+  * thousands of keys, a 2M-rows-per-task wall when a feed has five
+  * event types at 100x volume (the q108 scale-probe finding). This
+  * operator breaks the ceiling with the engine's two-level prefix-sum
+  * idiom (the q70 token-shard pattern):
+  *
+  *  1. rows get a LOCAL rank inside (key, chunk) — chunk is any
+  *     monotonic-in-order bucketing (hour/day of the order column),
+  *     so this window runs keys x chunks tasks wide;
+  *  2. per-(key, chunk) row counts — a chunk-count-sized table —
+  *     take an exclusive running sum per key: each chunk learns how
+  *     many rows precede it. local rank + offset = EXACT global rank,
+  *     no global sort ever happens;
+  *  3. global rank div `blockSize` forms fixed-size row blocks; the
+  *     last `width` rows of each block are duplicated into the NEXT
+  *     block as a marked halo (blocks are full by construction, so
+  *     one block's halo always suffices);
+  *  4. the frame window runs inside (key, block ∪ halo) — body rows
+  *     see exactly the `width` preceding rows the global frame would,
+  *     halo rows contribute and are dropped.
+  *
+  * The frame sums are DECIMAL (exact, associative), so the two-level
+  * evaluation is bit-identical to the single-window plan — the same
+  * reason q108 uses decimal sums for cross-engine parity makes them
+  * re-composition-safe here. Cost: a second full-row shuffle (key,
+  * block) plus `width` halo rows per block, bought against
+  * per-key-unbounded parallelism: tasks scale with volume/blockSize,
+  * not with key count.
+  */
+object ChunkedFrame {
+
+  /** Adds `n_w`, `s1`, `s2` — count, sum(v), sum(v*v) over the
+    * trailing `width+1`-row frame of `valCol` (a decimal column) per
+    * `keyCol`, ordered by `orderCols` — equal to
+    * `count/sum/sum(v*v) over (partitionBy(key) orderBy(order)
+    * rowsBetween(-width, current))` bit for bit.
+    *
+    * `chunk` must be monotonic non-decreasing in the order prefix
+    * (e.g. `date_trunc("hour", ts)` when ordering by (ts, id)): rows
+    * that share order-column values must share a chunk. */
+  def withTrailingDecimalSums(df: DataFrame, keyCol: String, chunk: Column,
+                              orderCols: Seq[String], valCol: String,
+                              width: Int, blockSize: Int = 4096): DataFrame = {
+    require(width >= 1 && blockSize > width,
+      s"blockSize $blockSize must exceed frame width $width")
+    val ord = orderCols.map(col)
+    val k = col(keyCol)
+
+    // 1. local rank, keys x chunks wide
+    val wLocal = Window.partitionBy(k, col("__chunk")).orderBy(ord: _*)
+    val ranked = df.withColumn("__chunk", chunk)
+      .withColumn("__lr", row_number().over(wLocal))
+
+    // 2. exclusive per-key prefix over the tiny (key, chunk) count
+    // table -> exact global rank. The table is one row per nonempty
+    // (key, chunk); its window is chunk-count-sized, never row-sized.
+    val wOffset = Window.partitionBy(col(s"__o_$keyCol")).orderBy(col("__o_chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranked.groupBy(k.as(s"__o_$keyCol"), col("__chunk").as("__o_chunk"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOffset), lit(0L)))
+      .drop("__cnt")
+    val indexed = ranked.join(broadcast(offsets),
+        k === col(s"__o_$keyCol") && col("__chunk") === col("__o_chunk"))
+      .withColumn("__g", col("__off") + col("__lr") - 1)
+      .drop(s"__o_$keyCol", "__o_chunk", "__off", "__lr", "__chunk")
+
+    // 3. fixed-size blocks + halo duplicates into the next block
+    val body = indexed
+      .withColumn("__blk", expr(s"__g DIV $blockSize")) // integer div — `/` on columns is double division
+      .withColumn("__halo", lit(false))
+    val halo = body
+      .filter(col("__g") % blockSize >= blockSize - width)
+      .withColumn("__blk", col("__blk") + 1)
+      .withColumn("__halo", lit(true))
+
+    // 4. the frame, inside (key, block) — body rows' frames are
+    // complete because the halo supplies the cross-boundary prefix
+    val wFrame = Window.partitionBy(k, col("__blk")).orderBy(col("__g"))
+      .rowsBetween(-width, Window.currentRow)
+    val v = col(valCol)
+    body.unionByName(halo)
+      .select(col("*"),
+        count(lit(1)).over(wFrame).as("n_w"),
+        sum(v).over(wFrame).as("s1"),
+        sum(v * v).over(wFrame).as("s2"))
+      .filter(!col("__halo"))
+      .drop("__g", "__blk", "__halo")
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.ChunkedFrame
+
+/** ChunkedFrame's contract: the two-level (chunk -> block + halo)
+  * evaluation equals the direct per-key window BIT FOR BIT, in both
+  * the dense regime (many rows per chunk) and the sparse one (chunks
+  * far smaller than the frame width, where a frame spans many chunk
+  * boundaries and the halo must have composed correctly through the
+  * block assembly). */
+class ChunkedFrameSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def direct(df: org.apache.spark.sql.DataFrame, width: Int) = {
+    val fr = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-width, Window.currentRow)
+    df.select(col("event_id"), col("event_type"), col("ts"), col("vd"),
+      count(lit(1)).over(fr).as("n_w"),
+      sum(col("vd")).over(fr).as("s1"),
+      sum(col("vd") * col("vd")).over(fr).as("s2"))
+  }
+
+  test("chunked trailing sums equal the direct window on real events") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+      .withColumn("vd", col("value").cast("decimal(18,4)"))
+      .select(col("event_id"), col("event_type"), col("ts"), col("vd"))
+    val a = direct(ev, 19)
+    val b = ChunkedFrame.withTrailingDecimalSums(ev, "event_type",
+      date_trunc("hour", col("ts")), Seq("ts", "event_id"), "vd", width = 19)
+      .select(a.columns.map(col): _*)
+    assert(a.count() == b.count() && a.count() > 0)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "chunked evaluation must be bit-identical to the direct window")
+  }
+
+  test("sparse chunks (rows per chunk << width) and tiny blocks still compose exactly") {
+    // 1 row per hour-chunk, width 19, blockSize 25: every frame spans
+    // ~19 chunk boundaries and nearly every block boundary — the
+    // adversarial regime for halo assembly.
+    val ev = spark.range(0, 500).select(
+      col("id").as("event_id"),
+      (col("id") % 3).cast("string").as("event_type"),
+      (lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).cast("long")
+        + col("id") * 3600).cast("timestamp").as("ts"),
+      ((col("id") * 37 % 1000) / lit(10.0)).cast("decimal(18,4)").as("vd"))
+    val a = direct(ev, 19)
+    val b = ChunkedFrame.withTrailingDecimalSums(ev, "event_type",
+      date_trunc("hour", col("ts")), Seq("ts", "event_id"), "vd",
+      width = 19, blockSize = 25)
+      .select(a.columns.map(col): _*)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("the frame window never partitions by the bare key (the parallelism ceiling)") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("vd", col("value").cast("decimal(18,4)"))
+      .select(col("event_id"), col("event_type"), col("ts"), col("vd"))
+    val plan = ChunkedFrame.withTrailingDecimalSums(ev, "event_type",
+      date_trunc("hour", col("ts")), Seq("ts", "event_id"), "vd", width = 19)
+      .queryExecution.optimizedPlan.toString
+    // every Window node must carry a composite partition spec —
+    // (key, chunk) or (key, block) — never event_type alone
+    val windowSpecs = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowSpecs.nonEmpty)
+    windowSpecs.foreach { l =>
+      assert(!l.matches(".*windowspecdefinition\\(event_type#\\d+, [a-z_]+#\\d+L? ASC.*"),
+        s"window partitions by bare key:\n$l")
+    }
+  }
+}
