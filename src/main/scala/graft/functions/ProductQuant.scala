@@ -202,6 +202,47 @@ object ProductQuant {
     } finally sub.unpersist(false)
   }
 
+  /** Append vectors to a PREBUILT index WITHOUT retraining — the
+    * production maintenance path: new batches encode against the
+    * FROZEN codebook (one [[PqArgminExpr]] map pass — no training
+    * jobs, no window, no shuffle) and union into the standing code
+    * table. Appends stay O(batch) forever; the codebook retrains only
+    * when [[quantizationError]] drifts past [[shouldRetrain]]'s
+    * tolerance — the drift contract every deployed PQ system uses
+    * (codebooks age as the corpus distribution walks). */
+  def appendToIndex(codes: DataFrame, book: DataFrame, newVectors: DataFrame,
+                    idCol: String, vecCol: String, nSub: Int, dim: Int): DataFrame =
+    codes.unionByName(encode(subspaces(newVectors, idCol, vecCol, nSub, dim), book))
+
+  /** Codebook drift statistic: mean per-vector quantization error of
+    * `sample` against the frozen codebook — the sum over subspaces of
+    * ||sv - cent(assigned code)||^2. Rises as the live distribution
+    * leaves the one the codebook trained on; compare against the
+    * value recorded at train time. Sample-sized compute: one encode
+    * map pass + a broadcast codebook join. */
+  def quantizationError(sample: DataFrame, book: DataFrame, idCol: String, vecCol: String,
+                        nSub: Int, dim: Int): Double = {
+    val sub = subspaces(sample, idCol, vecCol, nSub, dim)
+    assign(sub, book)
+      .join(broadcast(book), Seq("m", "code"))
+      .select(col("id"),
+        (Similarity.dot(col("sv"), col("sv"))
+          - lit(2d) * Similarity.dot(col("sv"), col("cent"))
+          + Similarity.dot(col("cent"), col("cent"))).as("resid"))
+      .groupBy(col("id")).agg(sum(col("resid")).as("err"))
+      .agg(avg(col("err")).as("mean_err"))
+      .head().getDouble(0)
+  }
+
+  /** The retrain gate: drift is RELATIVE error growth over the
+    * baseline recorded when the codebook was trained. 20% default —
+    * loose enough that sampling noise never triggers a spurious
+    * week-long retrain, tight enough to catch a real distribution
+    * shift. */
+  def shouldRetrain(baselineError: Double, currentError: Double,
+                    tolerance: Double = 0.2): Boolean =
+    currentError > baselineError * (1d + tolerance)
+
   /** ADC scores against a PREBUILT code table: approximate cosine of
     * (query, candidate) = sum over subspaces of the query's
     * distance-table entry at the candidate's code. The distance table

@@ -529,6 +529,45 @@ object StreamPipeline {
       }
       .start()
 
+  /** INCREMENTAL PQ INDEX MAINTENANCE — the missing half of
+    * [[pqServe]]'s static index: production serving appends vectors
+    * continuously WITHOUT retraining. Each micro-batch of new corpus
+    * vectors encodes against the FROZEN codebook (one PqArgmin map
+    * pass — zero training jobs: no ntile seeding, no Lloyd rounds, no
+    * window, the plan is scan→project) and appends (id, m, code,
+    * batch_id) to the standing parquet code index; [[readCodeIndex]]
+    * dedups replays exactly-once, the readBuckets contract. The
+    * RETRAIN TRIGGER is deliberately out-of-band: an offline check of
+    * [[graft.functions.ProductQuant.quantizationError]] on a fresh
+    * sample vs the baseline recorded at train time
+    * ([[graft.functions.ProductQuant.shouldRetrain]]) — drift decides
+    * retraining, not the append path. */
+  def pqIndexMaintain(vectorStream: DataFrame, book: DataFrame, indexPath: String,
+                      checkpoint: String, idCol: String, vecCol: String,
+                      nSub: Int, dim: Int,
+                      trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    vectorStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.functions.ProductQuant.encode(
+              graft.functions.ProductQuant.subspaces(batch, idCol, vecCol, nSub, dim), book)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(indexPath)
+        }
+        ()
+      }
+      .start()
+
+  /** Read the maintained code index exactly-once: replayed
+    * micro-batches drop by keeping the min batch_id per (id, m). */
+  def readCodeIndex(spark: SparkSession, indexPath: String): DataFrame =
+    graft.operators.Dedup.keepFirst(
+      spark.read.parquet(indexPath), Seq("id", "m"), Seq(col("batch_id")))
+      .drop("batch_id")
+
   /** ONLINE PQ SERVING: the compressed-index complement of
     * [[similarityServe]] — each micro-batch of query embeddings is
     * answered by ADC against a PREBUILT (codes, book) index

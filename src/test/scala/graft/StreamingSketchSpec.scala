@@ -192,6 +192,73 @@ class StreamingSketchSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pqIndexMaintain: appended vectors serve without any retraining job") {
+    import graft.functions.ProductQuant
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqmaint").toString
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // train ONCE on the standing corpus; freeze the codebook
+    val (codesDf, book) = ProductQuant.buildIndex(e, "vec_id", "embedding", 16, 64, 4, 1)
+    codesDf.withColumn("batch_id", lit(-1L)).write.mode("overwrite").parquet(s"$dir/index")
+    val baseErr = ProductQuant.quantizationError(e, book, "vec_id", "embedding", 16, 64)
+
+    // two micro-batches of NEW vectors: exact copies of existing ones
+    // under fresh ids, so each new id's nearest neighbor is provably
+    // its source and must surface in served top-k
+    def rowOf(id: Long): Seq[Float] =
+      e.filter(col("vec_id") === id).select(col("embedding").cast("array<float>"))
+        .head().getSeq[Float](0)
+    val stream = MemoryStream[(Long, Seq[Float])](spark)
+    val m = graft.streaming.StreamPipeline.pqIndexMaintain(
+      stream.toDF().toDF("vec_id", "embedding"), book, s"$dir/index", s"$dir/ckpt",
+      "vec_id", "embedding", nSub = 16, dim = 64,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      stream.addData((9001L, rowOf(7L)), (9002L, rowOf(19L)))
+      m.processAllAvailable()
+      stream.addData((9003L, rowOf(33L)))
+      m.processAllAvailable()
+    } finally m.stop()
+
+    val index = graft.streaming.StreamPipeline.readCodeIndex(spark, s"$dir/index")
+    assert(index.count() == (e.count() + 3) * 16, "3 appended vectors x 16 codes each")
+
+    // the appended vectors are SERVABLE: querying with the source
+    // vectors, the clone must appear in the ADC+rerank top-k (its
+    // approx and exact cosine are identical to the source's self-sim)
+    val corpus = e.select(col("vec_id"), col("embedding"))
+      .unionByName(Seq((9001L, rowOf(7L)), (9002L, rowOf(19L)), (9003L, rowOf(33L)))
+        .toDF("vec_id", "embedding").select(col("vec_id"), col("embedding").cast("array<float>")))
+    val queries = e.filter(col("vec_id").isin(7L, 19L, 33L))
+    val served = ProductQuant.serveRerankTopK(queries, corpus, index, book,
+      "vec_id", "embedding", 16, 64, shortlist = 25, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served.contains((7L, 9001L)) && served.contains((19L, 9002L))
+      && served.contains((33L, 9003L)),
+      s"appended clones must serve in top-k, got $served")
+
+    // ZERO retraining jobs in the append path: the encode plan is
+    // scan -> project (PqArgmin), no window (ntile seeding), no
+    // aggregate (means/Lloyd), no join
+    val appendPlan = ProductQuant.appendToIndex(
+      spark.read.parquet(s"$dir/index").drop("batch_id"), book,
+      queries, "vec_id", "embedding", 16, 64)
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!appendPlan.contains("window") && !appendPlan.contains("join"),
+      s"append path must not contain training shapes:\n$appendPlan")
+
+    // drift gate: the unchanged distribution does not trigger retrain
+    val curErr = ProductQuant.quantizationError(corpus, book, "vec_id", "embedding", 16, 64)
+    assert(!ProductQuant.shouldRetrain(baseErr, curErr),
+      s"no-drift corpus must not retrain (base $baseErr, cur $curErr)")
+    // a genuinely shifted distribution does
+    val shifted = e.select(col("vec_id"),
+      expr("transform(cast(embedding as array<double>), x -> x * 40.0 + 25.0)").as("embedding"))
+    val shiftErr = ProductQuant.quantizationError(shifted, book, "vec_id", "embedding", 16, 64)
+    assert(ProductQuant.shouldRetrain(baseErr, shiftErr),
+      s"shifted corpus must trigger retrain (base $baseErr, shifted $shiftErr)")
+  }
+
   test("streaming CMS: foreachBatch-maintained cells equal the batch sketch after 3 batches") {
     val stream = MemoryStream[Long](spark)
     var acc: Option[DataFrame] = None
