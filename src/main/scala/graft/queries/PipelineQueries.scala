@@ -240,7 +240,31 @@ object PipelineQueries {
       InSet("l_returnflag", Seq("A", "N", "R"))))
   }
 
+  // q122 — DISTRIBUTION-DRIFT GATE (Checks.MeanWithin/StddevWithin/
+  // QuantileWithin): the reference half of the event feed snapshots
+  // its value statistics (decimal-exact mean/stddev, rank-selected
+  // median — the Checks.snapshot contract); the second half is
+  // PLANTED with a silent unit shift (value*2 + 5 in exact decimal —
+  // the upstream bug a row-range check waves through). The gate
+  // report must pass the reference frame against its own snapshot and
+  // flag all three statistics on the drifted frame. Everything is
+  // 1e-4-quantized exact arithmetic, so the verdicts replay in DuckDB.
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Checks
+    val ev = Tables.events(s, dir).select(col("ts"), col("value"))
+    val cut = lit("2024-01-16").cast("timestamp")
+    val ref = ev.filter(col("ts") < cut).select(col("value"))
+    val driftedFrame = ev.filter(col("ts") >= cut)
+      .select((col("value").cast("decimal(18,4)") * lit(2) + lit(5)).cast("decimal(18,4)")
+        .cast("double").as("value"))
+    val checks = Checks.driftChecks(Checks.snapshot(ref, Seq("value")), tol = 0.10)
+    Checks.report(ref, checks).withColumn("frame", lit("reference"))
+      .unionByName(Checks.report(driftedFrame, checks).withColumn("frame", lit("drifted")))
+      .select(col("frame"), col("check_name"), col("violations"), col("n_rows"), col("pass"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_drift_gate" -> q122 _,
     "q119_quality_checks" -> q119 _,
     "q94_weighted_sample" -> q94 _,
     "q67_dedup_corpus" -> q67 _,
@@ -254,6 +278,60 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q122_drift_gate" ->
+      """WITH ref AS (
+        |  SELECT value FROM events WHERE ts::TIMESTAMP < TIMESTAMP '2024-01-16'
+        |), dr AS (
+        |  SELECT ((value::DECIMAL(18,4) * 2 + 5)::DECIMAL(18,4))::DOUBLE AS value
+        |  FROM events WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-16'
+        |), rs AS (
+        |  SELECT count(*) AS n, sum(value::DECIMAL(18,4)) AS s1,
+        |         sum(value::DECIMAL(18,4) * value::DECIMAL(18,4)) AS s2
+        |  FROM ref
+        |), ds AS (
+        |  SELECT count(*) AS n, sum(value::DECIMAL(18,4)) AS s1,
+        |         sum(value::DECIMAL(18,4) * value::DECIMAL(18,4)) AS s2
+        |  FROM dr
+        |), rstat AS (
+        |  SELECT n,
+        |    floor((s1::DOUBLE / n)*10000 + 0.5)/10000 AS mean,
+        |    floor(sqrt(greatest(0, (s2::DOUBLE - (s1::DOUBLE * s1::DOUBLE) / n) / (n - 1)))*10000 + 0.5)/10000 AS sd,
+        |    (SELECT value FROM (
+        |       SELECT value, row_number() OVER (ORDER BY value) AS rn, count(*) OVER () AS nn
+        |       FROM ref) WHERE rn = floor(0.5 * (nn - 1))::BIGINT + 1) AS p50
+        |  FROM rs
+        |), dstat AS (
+        |  SELECT n,
+        |    floor((s1::DOUBLE / n)*10000 + 0.5)/10000 AS mean,
+        |    floor(sqrt(greatest(0, (s2::DOUBLE - (s1::DOUBLE * s1::DOUBLE) / n) / (n - 1)))*10000 + 0.5)/10000 AS sd,
+        |    (SELECT value FROM (
+        |       SELECT value, row_number() OVER (ORDER BY value) AS rn, count(*) OVER () AS nn
+        |       FROM dr) WHERE rn = floor(0.5 * (nn - 1))::BIGINT + 1) AS p50
+        |  FROM ds
+        |)
+        |SELECT frame, check_name, violations::BIGINT AS violations,
+        |  n_rows::BIGINT AS n_rows, violations = 0 AS pass
+        |FROM (
+        |  SELECT 'reference' AS frame, 'mean_within(value)' AS check_name,
+        |    CASE WHEN abs(o.mean - r.mean) <= 0.1 * abs(r.mean) THEN 0 ELSE 1 END AS violations,
+        |    o.n AS n_rows
+        |  FROM rstat o, rstat r
+        |  UNION ALL SELECT 'reference', 'stddev_within(value)',
+        |    CASE WHEN abs(o.sd - r.sd) <= 0.1 * abs(r.sd) THEN 0 ELSE 1 END, o.n
+        |  FROM rstat o, rstat r
+        |  UNION ALL SELECT 'reference', 'quantile_within(value,0.5)',
+        |    CASE WHEN abs(o.p50 - r.p50) <= 0.1 * abs(r.p50) THEN 0 ELSE 1 END, o.n
+        |  FROM rstat o, rstat r
+        |  UNION ALL SELECT 'drifted', 'mean_within(value)',
+        |    CASE WHEN abs(o.mean - r.mean) <= 0.1 * abs(r.mean) THEN 0 ELSE 1 END, o.n
+        |  FROM dstat o, rstat r
+        |  UNION ALL SELECT 'drifted', 'stddev_within(value)',
+        |    CASE WHEN abs(o.sd - r.sd) <= 0.1 * abs(r.sd) THEN 0 ELSE 1 END, o.n
+        |  FROM dstat o, rstat r
+        |  UNION ALL SELECT 'drifted', 'quantile_within(value,0.5)',
+        |    CASE WHEN abs(o.p50 - r.p50) <= 0.1 * abs(r.p50) THEN 0 ELSE 1 END, o.n
+        |  FROM dstat o, rstat r
+        |)""".stripMargin,
     "q119_quality_checks" ->
       """WITH s AS (
         |  SELECT count(*) AS n,
