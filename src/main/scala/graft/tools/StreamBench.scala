@@ -1,0 +1,150 @@
+package graft.tools
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.streaming.StreamPipeline
+
+/** STREAMING THROUGHPUT BENCH — the number the batch bench can't
+  * give: sustained rows/sec and per-batch latency of the live-feed
+  * pipelines against a GROWING standing store. Drives each pipeline
+  * with a MemoryStream at a fixed rows/batch for a fixed batch count
+  * (high-rate replay — the same mechanics as the stream ≡ batch
+  * correctness specs, at bench volume) and reports one JSON line:
+  *
+  *   STREAM_BENCH {"pipeline":{"rows_per_sec":N,"batch_ms":{"p50":..,
+  *     "max":..},"batches":B,"rows_per_batch":R,...},...}
+  *
+  *   SPARK_GRAFT_STREAM_ROWS=100000 SPARK_GRAFT_STREAM_BATCHES=20 \
+  *     sbt "runMain graft.tools.StreamBench"
+  *
+  * Pipelines measured: `run` (tick ingest -> watermarked 5-min bucket
+  * partials -> batch-stamped parquet store), `anomalyAlerts` (per
+  * batch: fold the standing bucket store into |symbols| stats rows,
+  * broadcast onto the batch), `dedupOnIngest` (MinHash the batch,
+  * probe the persistent band index, append novel docs + signatures).
+  * Latency per batch is wall-clock around `processAllAvailable` —
+  * ingest transform + state update + sink write, the full cost a
+  * trigger pays. State/store sizes come from the query's own progress
+  * metrics plus the on-disk store footprint.
+  */
+object StreamBench {
+
+  private def timeBatches[A](stream: MemoryStream[A], q: StreamingQuery,
+                             batches: Int, gen: Int => Seq[A]): Seq[Double] = {
+    val lat = ArrayBuffer.empty[Double]
+    for (b <- 0 until batches) {
+      val data = gen(b)
+      stream.addData(data)
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      lat += (System.nanoTime() - t0) / 1e6
+    }
+    lat.toSeq
+  }
+
+  private def p50(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+  private def r1(v: Double): Double = math.floor(v * 10 + 0.5) / 10
+
+  private def dirSizeMb(path: String): Double = {
+    val root = new java.io.File(path)
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+    r1(walk(root) / 1e6)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rows = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "100000").toInt
+    val batches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "20").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.core.GraftSession("streambench", cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("streambench").toString
+    val base = 1704067200L // 2024-01-01T00:00:00Z
+    val nSymbols = 50
+
+    def report(name: String, lats: Seq[Double], rowsPerBatch: Int, extra: String = ""): String = {
+      val totalSec = lats.sum / 1e3
+      s""""$name":{"rows_per_sec":${math.round(rowsPerBatch * lats.size / totalSec)},""" +
+        s""""batch_ms":{"p50":${r1(p50(lats))},"max":${r1(lats.max)}},""" +
+        s""""batches":${lats.size},"rows_per_batch":$rowsPerBatch$extra}"""
+    }
+
+    // ---- 1. bucket ingest (run): cleaned ticks -> watermarked 5-min
+    // partials -> batch-stamped parquet. Each batch advances event
+    // time 10 min so earlier buckets finalize under the watermark.
+    val ticks = MemoryStream[(String, java.sql.Timestamp, Double, Double, Long)](spark)
+    val cleaned = ticks.toDF().toDF("symbol", "timestamp", "price", "change", "volume")
+    val qRun = StreamPipeline.run(cleaned, s"$dir/buckets", s"$dir/ckpt_run",
+      trigger = Trigger.ProcessingTime(0))
+    def genTicks(b: Int): Seq[(String, java.sql.Timestamp, Double, Double, Long)] =
+      (0 until rows).map { i =>
+        val sym = f"S${i % nSymbols}%02d"
+        val ts = new java.sql.Timestamp((base + b * 600L + (i / nSymbols) % 600) * 1000L)
+        val price = 100.0 + ((i * 2654435761L) % 1000) / 100.0
+        (sym, ts, price, 0.0, 100L + i % 7)
+      }
+    val runLats = timeBatches(ticks, qRun, batches, genTicks)
+    val runState = Option(qRun.lastProgress).map(p =>
+      p.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    qRun.stop()
+    val runLine = report("bucket_ingest", runLats, rows,
+      s""","state_rows":$runState,"store_mb":${dirSizeMb(s"$dir/buckets")}""")
+
+    // ---- 2. anomaly alerts against the standing bucket store the
+    // ingest leg just built (it keeps growing while alerts run: each
+    // alert batch is preceded by an ingest batch, the production
+    // interleave).
+    val ticks2 = MemoryStream[(String, java.sql.Timestamp, Double, Double, Long)](spark)
+    val cleaned2 = ticks2.toDF().toDF("symbol", "timestamp", "price", "change", "volume")
+    val qRun2 = StreamPipeline.run(cleaned, s"$dir/buckets", s"$dir/ckpt_run2",
+      trigger = Trigger.ProcessingTime(0))
+    val qAlert = StreamPipeline.anomalyAlerts(cleaned2, s"$dir/buckets", s"$dir/ckpt_alert",
+      s"$dir/alerts", kSigma = 2.0, trigger = Trigger.ProcessingTime(0))
+    val alertLats = ArrayBuffer.empty[Double]
+    for (b <- batches until batches * 2) {
+      ticks.addData(genTicks(b))
+      qRun2.processAllAvailable()
+      ticks2.addData(genTicks(b))
+      val t0 = System.nanoTime()
+      qAlert.processAllAvailable()
+      alertLats += (System.nanoTime() - t0) / 1e6
+    }
+    qRun2.stop(); qAlert.stop()
+    val alertLine = report("anomaly_alerts", alertLats.toSeq, rows,
+      s""","store_mb":${dirSizeMb(s"$dir/buckets")}""")
+
+    // ---- 3. dedup-on-ingest with the persistent band index: docs are
+    // 30-word texts; ~10% duplicate an earlier batch's doc verbatim.
+    val docRows = math.max(rows / 10, 1000)
+    val docs = MemoryStream[(Long, String)](spark)
+    val qDedup = StreamPipeline.dedupOnIngest(docs.toDF().toDF("doc_id", "text"),
+      s"$dir/corpus", s"$dir/ckpt_dedup", threshold = 0.8,
+      trigger = Trigger.ProcessingTime(0), indexPath = Some(s"$dir/bandindex"))
+    // word = hash(seed, j), NOT a sliding window over one global
+    // sequence — windowed construction aliases (docs 1613 apart share
+    // 27/30 words at this multiplier: real near-dups) and the dedup
+    // pipeline rightly collapses the whole corpus
+    def text(seed: Long): String =
+      (0 until 30).map(j => s"w${((seed * 1000003L + j) * 2654435761L) % 50000}").mkString(" ")
+    def genDocs(b: Int): Seq[(Long, String)] =
+      (0 until docRows).map { i =>
+        val id = b.toLong * docRows + i
+        // every 10th doc repeats a doc from the previous batch verbatim
+        val seed = if (i % 10 == 0 && b > 0) (b - 1).toLong * docRows + i else id
+        (id, text(seed))
+      }
+    val dedupLats = timeBatches(docs, qDedup, batches, genDocs)
+    qDedup.stop()
+    val dedupLine = report("dedup_on_ingest", dedupLats, docRows,
+      s""","index_mb":${dirSizeMb(s"$dir/bandindex")},"corpus_mb":${dirSizeMb(s"$dir/corpus")}""")
+
+    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine}")
+    spark.stop()
+  }
+}

@@ -192,6 +192,61 @@ class StreamingSketchSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sustained ingest: per-batch latency stays flat as the standing stores grow") {
+    // The throughput contract behind graft.tools.StreamBench: the
+    // bucket-ingest and dedup-on-ingest pipelines do O(batch) work
+    // against their standing stores, so batch latency must not trend
+    // up as the store accumulates. 12 batches each; compare the
+    // median of the last third to the median of batches 2-4 (skipping
+    // batch 0-1 JIT/plan warmup) with a generous noise bound — a
+    // store-size-proportional pipeline would blow through it.
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_flatlat").toString
+    val nBatches = 12
+
+    val ticks = MemoryStream[(String, java.sql.Timestamp, Double, Double, Long)](spark)
+    val qRun = graft.streaming.StreamPipeline.run(
+      ticks.toDF().toDF("symbol", "timestamp", "price", "change", "volume"),
+      s"$dir/buckets", s"$dir/ckpt_run",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    val runLats = try {
+      (0 until nBatches).map { b =>
+        ticks.addData((0 until 2000).map { i =>
+          (s"S${i % 20}", new java.sql.Timestamp((1704067200L + b * 600L + i / 20) * 1000L),
+            100.0 + i % 50, 0.0, 100L)
+        })
+        val t0 = System.nanoTime(); qRun.processAllAvailable()
+        (System.nanoTime() - t0) / 1e6
+      }
+    } finally qRun.stop()
+    val (runEarly, runLate) = (median(runLats.slice(2, 5)), median(runLats.takeRight(4)))
+    assert(runLate <= runEarly * 4 + 200,
+      s"bucket ingest latency trends up: early $runEarly ms -> late $runLate ms ($runLats)")
+
+    val docs = MemoryStream[(Long, String)](spark)
+    val qDedup = graft.streaming.StreamPipeline.dedupOnIngest(
+      docs.toDF().toDF("doc_id", "text"), s"$dir/corpus", s"$dir/ckpt_dedup",
+      threshold = 0.8, trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      indexPath = Some(s"$dir/bandindex"))
+    // hash-per-(seed, j) words — a windowed generator aliases into
+    // real near-dups (see StreamBench) and collapses the corpus
+    def text(seed: Long): String =
+      (0 until 25).map(j => s"w${((seed * 1000003L + j) * 2654435761L) % 50000}").mkString(" ")
+    val dedupLats = try {
+      (0 until nBatches).map { b =>
+        docs.addData((0 until 300).map { i =>
+          val id = b.toLong * 300 + i
+          (id, text(if (i % 10 == 0 && b > 0) id - 300 else id))
+        })
+        val t0 = System.nanoTime(); qDedup.processAllAvailable()
+        (System.nanoTime() - t0) / 1e6
+      }
+    } finally qDedup.stop()
+    val (dupEarly, dupLate) = (median(dedupLats.slice(2, 5)), median(dedupLats.takeRight(4)))
+    assert(dupLate <= dupEarly * 4 + 200,
+      s"dedup ingest latency trends up: early $dupEarly ms -> late $dupLate ms ($dedupLats)")
+  }
+
   test("pqIndexMaintain: appended vectors serve without any retraining job") {
     import graft.functions.ProductQuant
     val dir = java.nio.file.Files.createTempDirectory("graft_pqmaint").toString
