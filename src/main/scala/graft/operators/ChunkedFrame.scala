@@ -55,18 +55,21 @@ object ChunkedFrame {
       s"blockSize $blockSize must exceed frame width $width")
     val ord = orderCols.map(col)
     val k = col(keyCol)
+    val withChunk = df.withColumn("__chunk", chunk)
 
     // 1. local rank, keys x chunks wide
     val wLocal = Window.partitionBy(k, col("__chunk")).orderBy(ord: _*)
-    val ranked = df.withColumn("__chunk", chunk)
-      .withColumn("__lr", row_number().over(wLocal))
+    val ranked = withChunk.withColumn("__lr", row_number().over(wLocal))
 
     // 2. exclusive per-key prefix over the tiny (key, chunk) count
     // table -> exact global rank. The table is one row per nonempty
     // (key, chunk); its window is chunk-count-sized, never row-sized.
+    // Counts come from the SOURCE, not from `ranked` — this arm's
+    // scan column-prunes to (key, order prefix) and never pays the
+    // rank window twice.
     val wOffset = Window.partitionBy(col(s"__o_$keyCol")).orderBy(col("__o_chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranked.groupBy(k.as(s"__o_$keyCol"), col("__chunk").as("__o_chunk"))
+    val offsets = withChunk.groupBy(k.as(s"__o_$keyCol"), col("__chunk").as("__o_chunk"))
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__off", coalesce(sum(col("__cnt")).over(wOffset), lit(0L)))
       .drop("__cnt")
@@ -75,21 +78,26 @@ object ChunkedFrame {
       .withColumn("__g", col("__off") + col("__lr") - 1)
       .drop(s"__o_$keyCol", "__o_chunk", "__off", "__lr", "__chunk")
 
-    // 3. fixed-size blocks + halo duplicates into the next block
-    val body = indexed
-      .withColumn("__blk", expr(s"__g DIV $blockSize")) // integer div — `/` on columns is double division
-      .withColumn("__halo", lit(false))
-    val halo = body
-      .filter(col("__g") % blockSize >= blockSize - width)
-      .withColumn("__blk", col("__blk") + 1)
-      .withColumn("__halo", lit(true))
+    // 3. fixed-size blocks; a row in the last `width` of its block
+    // ALSO emits a halo copy into the next block — one map-side
+    // explode, not a union (a union's two arms would each re-execute
+    // the whole scan+rank lineage: the documented two-consumer trap)
+    val blk = expr(s"__g DIV $blockSize") // integer div — `/` on columns is double division
+    val assigned = indexed
+      .select(col("*"), explode(
+        when(col("__g") % blockSize >= blockSize - width,
+          array(struct(blk.as("b"), lit(false).as("h")),
+            struct((blk + 1).as("b"), lit(true).as("h"))))
+          .otherwise(array(struct(blk.as("b"), lit(false).as("h"))))).as("__d"))
+      .withColumn("__blk", col("__d.b")).withColumn("__halo", col("__d.h"))
+      .drop("__d")
 
     // 4. the frame, inside (key, block) — body rows' frames are
     // complete because the halo supplies the cross-boundary prefix
     val wFrame = Window.partitionBy(k, col("__blk")).orderBy(col("__g"))
       .rowsBetween(-width, Window.currentRow)
     val v = col(valCol)
-    body.unionByName(halo)
+    assigned
       .select(col("*"),
         count(lit(1)).over(wFrame).as("n_w"),
         sum(v).over(wFrame).as("s1"),

@@ -348,7 +348,71 @@ object AnalyticsQueries {
       .select(col("user_id"), col("z.ps.event_id").as("event_id"),
         r4(col("z.ps.value")).as("value"), r4(col("z.ys")).as("ewma"))
 
+  // q123 — HYBRID RETRIEVAL with RECIPROCAL-RANK FUSION (Cormack &
+  // Clarke SIGIR'09): the standard way production search fuses
+  // heterogeneous rankers without score calibration — each ranker
+  // contributes 1/(60 + rank) for the docs on its list and documents
+  // are re-ranked by the sum. Rankers here are the engine's two
+  // lexical scorers for q97's deterministic query pair: BM25 (q115's
+  // exact scoring — length-normalized, saturating tf) and summed
+  // TF-IDF weight (q57's basis — no length saturation), top-20 lists
+  // each. RRF is rank-arithmetic on small integers, so fusion is
+  // engine-exact by construction; the component ranks inherit the
+  // proven quantized-score + doc-id tiebreaks. At scale the rankers
+  // run over the inverted index (q96) and fuse per query; the ANN
+  // ranker (q104) slots in as a third list the same way — rank in,
+  // 1/(60+r) out.
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    val docsDf = Tables.documents(s, dir)
+    val n = docsDf.agg(count(lit(1)).as("n_docs"))
+    val t = docsDf.select(col("doc_id"),
+      explode(graft.functions.TextAnalysis.wordTokens(col("text"))).as("term"))
+    val tf = t.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val queryTerms = df_.crossJoin(broadcast(n))
+      .filter(col("df") >= 2 && col("df").cast("double") <= lit(0.9) * col("n_docs"))
+      .orderBy(col("term")).limit(2).select(col("term"), col("df"))
+    val totDl = dl.agg(sum(col("dlen")).as("tot_dlen"))
+    // ranker A: BM25 (q115's formula verbatim — same literals, same
+    // 1e-8 ln quantization, same r4 on the summed score)
+    val bm = tf.join(broadcast(queryTerms), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(n)).crossJoin(broadcast(totDl))
+      .withColumn("avgdl", col("tot_dlen").cast("double") / col("n_docs"))
+      .withColumn("idf", floor(log(
+        (col("n_docs").cast("double") - col("df") + lit(0.5d)) / (col("df").cast("double") + lit(0.5d)) + lit(1d))
+        * lit(1e8) + lit(0.5d)) / lit(1e8))
+      .withColumn("part", col("idf") * (col("tf").cast("double") * lit(2.2d))
+        / (col("tf").cast("double") + lit(1.2d) * (lit(0.25d) + lit(0.75d) * col("dlen").cast("double") / col("avgdl"))))
+      .groupBy(col("doc_id")).agg(r4(sum(col("part"))).as("score_a"))
+    val ra = bm.withColumn("rank_bm25",
+        row_number().over(Window.orderBy(col("score_a").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank_bm25") <= 20).select(col("doc_id"), col("rank_bm25"))
+    // ranker B: summed TF-IDF weight (q57's r4-quantized per-term
+    // basis; <= 2 addends, so the sum is order-free)
+    val rbScores = tf.join(dl, Seq("doc_id")).join(df_, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("w", r4((col("tf").cast("double") / col("dlen"))
+        * (log((col("n_docs") + lit(1)).cast("double") / (col("df") + lit(1))) + lit(1))))
+      .join(broadcast(queryTerms.select(col("term"))), Seq("term"))
+      .groupBy(col("doc_id")).agg(r4(sum(col("w"))).as("score_b"))
+    val rb = rbScores.withColumn("rank_tfidf",
+        row_number().over(Window.orderBy(col("score_b").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank_tfidf") <= 20).select(col("doc_id"), col("rank_tfidf"))
+    // fusion: RRF(d) = sum over lists containing d of 1/(60 + rank)
+    ra.join(rb, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_r", floor((
+        coalesce(lit(1.0) / (lit(60) + col("rank_bm25")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("rank_tfidf")), lit(0.0))) * lit(1e8) + lit(0.5d)) / lit(1e8))
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("rrf_r").desc, col("doc_id"))).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select(col("doc_id"), col("rank_bm25"), col("rank_tfidf"), col("rrf_r"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_hybrid_rrf" -> q123 _,
     "q82_ewma" -> q82 _,
     "q115_bm25" -> q115 _,
     "q116_cohort_retention" -> q116 _,
@@ -410,6 +474,52 @@ object AnalyticsQueries {
         |SELECT c.prev_type, c.next_type, c.n,
         |  floor(c.n::DOUBLE / t.tot * 10000 + 0.5)/10000 AS p
         |FROM c JOIN t ON c.prev_type = t.prev_type""".stripMargin,
+    "q123_hybrid_rrf" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, sum(tf) AS dlen FROM tf GROUP BY 1
+        |), dfq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), nd AS (SELECT count(*) AS n_docs FROM documents),
+        |tot AS (SELECT sum(dlen) AS tot_dlen FROM dl),
+        |qt AS (
+        |  SELECT term, df FROM dfq CROSS JOIN nd
+        |  WHERE df >= 2 AND df::DOUBLE <= 0.9 * n_docs
+        |  ORDER BY term LIMIT 2
+        |), bm AS (
+        |  SELECT tf.doc_id,
+        |    floor(sum((floor(ln((n_docs::DOUBLE - qt.df + 0.5) / (qt.df::DOUBLE + 0.5) + 1) * 100000000 + 0.5) / 100000000)
+        |        * (tf::DOUBLE * 2.2)
+        |        / (tf::DOUBLE + 1.2 * (0.25 + 0.75 * dlen::DOUBLE / (tot_dlen::DOUBLE / n_docs)))) * 10000 + 0.5) / 10000 AS score_a
+        |  FROM tf JOIN qt USING (term) JOIN dl USING (doc_id) CROSS JOIN nd CROSS JOIN tot
+        |  GROUP BY 1
+        |), ra AS (
+        |  SELECT doc_id, rank_bm25 FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY score_a DESC, doc_id)::BIGINT AS rank_bm25 FROM bm)
+        |  WHERE rank_bm25 <= 20
+        |), tw AS (
+        |  SELECT tf.doc_id,
+        |    floor(sum(floor((tf::DOUBLE / dlen) * (ln((n_docs + 1)::DOUBLE / (dfq.df + 1)) + 1)*10000 + 0.5)/10000) * 10000 + 0.5)/10000 AS score_b
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN nd
+        |  WHERE term IN (SELECT term FROM qt)
+        |  GROUP BY 1
+        |), rb AS (
+        |  SELECT doc_id, rank_tfidf FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY score_b DESC, doc_id)::BIGINT AS rank_tfidf FROM tw)
+        |  WHERE rank_tfidf <= 20
+        |), f AS (
+        |  SELECT doc_id, rank_bm25, rank_tfidf,
+        |    floor((coalesce(1.0::DOUBLE / (60 + rank_bm25), 0.0::DOUBLE)
+        |         + coalesce(1.0::DOUBLE / (60 + rank_tfidf), 0.0::DOUBLE)) * 100000000 + 0.5) / 100000000 AS rrf_r
+        |  FROM ra FULL JOIN rb USING (doc_id)
+        |)
+        |SELECT doc_id, rank_bm25, rank_tfidf, rrf_r, rnk FROM (
+        |  SELECT *, row_number() OVER (ORDER BY rrf_r DESC, doc_id)::BIGINT AS rnk FROM f)
+        |WHERE rnk <= 10""".stripMargin,
     "q115_bm25" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term

@@ -253,10 +253,30 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 1, s"extra shuffle in a pure scan+agg:\n$p")
   }
 
-  test("q108 rolling bands: ONE exchange (the window partition), no extra sort passes") {
+  test("q108 rolling bands: chunked frame — no bare-key window, block-composite partitioning") {
+    // Round 8 replaced the single per-key window (one exchange, but
+    // one TASK per event type — the 100x parallelism ceiling) with
+    // ChunkedFrame's two-level evaluation: the extra exchanges are
+    // the bought-and-paid-for price of volume-wide parallelism. What
+    // this audit pins instead: (a) the frame window partitions by
+    // (key, block), never by the bare key; (b) per-row work stays
+    // bounded — full-data exchanges are the local-rank shuffle and
+    // the block shuffle, the rest are the chunk-count table and the
+    // broadcast of offsets.
     val p = plan("q108_rolling_bands")
-    assert("Exchange".r.findAllIn(p).size == 1, s"bounded frame must not add exchanges:\n$p")
     assert(p.contains("Window"), p)
+    val frameSpecs = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("RowFrame, -19")).toSeq
+    assert(frameSpecs.nonEmpty, s"no bounded row frame in:\n$p")
+    frameSpecs.foreach { l =>
+      assert(l.contains("__blk"),
+        s"bounded frame must partition by (key, block), not the bare key:\n$l")
+    }
+    assert(p.contains("BroadcastHashJoin"),
+      s"the chunk-offset table should broadcast:\n$p")
+    // exchange budget: local-rank shuffle, block shuffle, chunk-count
+    // aggregate, offset window, broadcast — not a per-row blowup
+    assert("Exchange".r.findAllIn(p).size <= 6, s"exchange blowup:\n$p")
   }
 
   test("q115 BM25: ranked list plans as TakeOrdered, query terms broadcast") {
