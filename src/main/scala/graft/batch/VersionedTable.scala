@@ -142,7 +142,8 @@ object VersionedTable {
   def commit(spark: SparkSession, root: String, df: DataFrame,
              overwrite: Boolean = false,
              extra: Map[String, String] = Map.empty,
-             actionName: String = ""): Long = {
+             actionName: String = "",
+             carryFiles: Seq[String] = Nil): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val newFiles = writeData(spark, root, df)
     val action = if (actionName.nonEmpty) actionName else if (overwrite) "overwrite" else "append"
@@ -156,8 +157,27 @@ object VersionedTable {
       val head = latestVersion(conf, root)
       val base = if (overwrite) Nil else head.map(readManifest(conf, root, _)).getOrElse(Nil)
       val v = head.getOrElse(0L) + 1
-      if (writeManifest(conf, root, v, action, base ++ newFiles, stamped))
+      // carryFiles: paths adopted by reference (copy-on-write file
+      // pruning — a delete that only rewrote the touched files names
+      // the untouched ones here)
+      if (writeManifest(conf, root, v, action, base ++ carryFiles ++ newFiles, stamped))
         return v
+      attempt += 1
+    }
+    throw new java.io.IOException(s"lost the commit race 10 times at $root — giving up")
+  }
+
+  /** Commit a version whose file set is entirely carried by
+    * reference — no data write at all (e.g. a delete that matched
+    * nothing still records its version event). */
+  private def commitManifestOnly(spark: SparkSession, root: String, files: Seq[String],
+                                 action: String, schema: StructType): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stamped = Map(schemaKey -> encodeSchema(schema))
+    var attempt = 0
+    while (attempt < 10) {
+      val v = latestVersion(conf, root).getOrElse(0L) + 1
+      if (writeManifest(conf, root, v, action, files, stamped)) return v
       attempt += 1
     }
     throw new java.io.IOException(s"lost the commit race 10 times at $root — giving up")
@@ -236,13 +256,45 @@ object VersionedTable {
 
   /** Keyed delete: drop rows whose `keys` columns match any row of
     * `doomedKeys` (anti-join — the right-to-be-forgotten shape where
-    * the request arrives as a key list, broadcast when small). */
+    * the request arrives as a key list, broadcast when small).
+    *
+    * COPY-ON-WRITE WITH FILE PRUNING: one column-pruned scan finds
+    * which files actually CONTAIN a doomed key; only those files
+    * rewrite (minus the doomed rows), every untouched file carries
+    * into the new manifest BY REFERENCE — at a 100 TB table a delete
+    * of a handful of keys rewrites a handful of files, not the
+    * table. This is exactly what the manifest format is for: a
+    * version's file set may freely mix carried-over and new paths.
+    * Time travel still serves the old version (its manifest still
+    * names the pre-delete files); vacuum reclaims them after
+    * retention. */
   def deleteKeys(spark: SparkSession, root: String, keys: Seq[String],
-                 doomedKeys: DataFrame): Long =
-    commit(spark, root,
-      read(spark, root).join(doomedKeys.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct(),
-        keys, "left_anti"),
-      overwrite = true, actionName = "delete")
+                 doomedKeys: DataFrame): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val head = latestVersion(conf, root)
+      .getOrElse(throw new java.io.IOException(s"no committed version at $root"))
+    val files = readManifest(conf, root, head)
+    val doomed = doomedKeys.select(keys.map(col): _*).distinct()
+    if (files.isEmpty)
+      return commit(spark, root, read(spark, root, Some(head)), overwrite = true,
+        actionName = "delete")
+    // one scan, pruned to the key columns: which files hold doomed rows?
+    val hit = spark.read.parquet(files: _*)
+      .select(input_file_name().as("__f") +: keys.map(col): _*)
+      .join(broadcast(doomed), keys, "left_semi")
+      .select(col("__f")).distinct().collect().map(_.getString(0)).toSet
+    // input_file_name is URI-shaped; manifest paths may not be — match on either form
+    val (touched, carried) = files.partition(f =>
+      hit.contains(f) || hit.contains(new Path(f).toUri.toString) ||
+        hit.exists(h => new Path(h).toUri.getPath == new Path(f).toUri.getPath))
+    if (touched.isEmpty) // nothing to rewrite: the version IS the old file set
+      return commitManifestOnly(spark, root, files, "delete",
+        spark.read.parquet(files: _*).schema)
+    val survivors = spark.read.parquet(touched: _*).join(doomed, keys, "left_anti")
+    commit(spark, root, survivors, overwrite = true, actionName = "delete",
+      carryFiles = carried)
+  }
 
   /** Drop all but the newest `retainLast` versions and delete every
     * data file no retained manifest references. Returns the deleted

@@ -158,6 +158,31 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).select("id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("deleteKeys rewrites ONLY files containing doomed rows; the rest carry by reference") {
+    val root = tmp()
+    // 4 append commits -> 4+ distinct files, disjoint key ranges
+    (0 until 4).foreach(g =>
+      VersionedTable.commit(spark, root,
+        (g * 10 until g * 10 + 5).map(i => (i.toLong, s"v$i")).toDF("id", "v")))
+    val before = VersionedTable.read(spark, root).inputFiles.toSet
+    assert(before.size >= 4)
+    // delete one key: it lives in exactly one commit's file(s)
+    val dv = VersionedTable.deleteKeys(spark, root, Seq("id"), Seq(Tuple1(12L)).toDF("id"))
+    val after = VersionedTable.read(spark, root).inputFiles.toSet
+    assert(!VersionedTable.read(spark, root).select("id").as[Long].collect().contains(12L))
+    assert(VersionedTable.read(spark, root).count() == 19)
+    val carried = before & after
+    assert(carried.size >= 3,
+      s"untouched files must carry by reference: before ${before.size}, carried ${carried.size}")
+    assert((after -- before).nonEmpty, "the touched file must have been rewritten")
+    // deleting a key that exists nowhere rewrites NOTHING
+    val dv2 = VersionedTable.deleteKeys(spark, root, Seq("id"), Seq(Tuple1(999L)).toDF("id"))
+    assert(dv2 == dv + 1)
+    assert(VersionedTable.read(spark, root).inputFiles.toSet == after,
+      "a no-match delete must carry every file by reference")
+    assert(VersionedTable.read(spark, root).count() == 19)
+  }
+
   test("a torn (.tmp) manifest is invisible to readers") {
     val root = tmp()
     VersionedTable.commit(spark, root, Seq((1L, "a")).toDF("id", "v"))
