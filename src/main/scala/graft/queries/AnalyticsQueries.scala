@@ -386,9 +386,13 @@ object AnalyticsQueries {
       .withColumn("part", col("idf") * (col("tf").cast("double") * lit(2.2d))
         / (col("tf").cast("double") + lit(1.2d) * (lit(0.25d) + lit(0.75d) * col("dlen").cast("double") / col("avgdl"))))
       .groupBy(col("doc_id")).agg(r4(sum(col("part"))).as("score_a"))
-    val ra = bm.withColumn("rank_bm25",
+    // rank = TakeOrdered(20) THEN a 20-row window — identical ranks to
+    // numbering the full ordering and filtering <= 20 (what the oracle
+    // writes), but the plan never single-partitions the full scored set
+    val ra = bm.orderBy(col("score_a").desc, col("doc_id")).limit(20)
+      .withColumn("rank_bm25",
         row_number().over(Window.orderBy(col("score_a").desc, col("doc_id"))).cast("long"))
-      .filter(col("rank_bm25") <= 20).select(col("doc_id"), col("rank_bm25"))
+      .select(col("doc_id"), col("rank_bm25"))
     // ranker B: summed TF-IDF weight (q57's r4-quantized per-term
     // basis; <= 2 addends, so the sum is order-free)
     val rbScores = tf.join(dl, Seq("doc_id")).join(df_, Seq("term"))
@@ -397,9 +401,10 @@ object AnalyticsQueries {
         * (log((col("n_docs") + lit(1)).cast("double") / (col("df") + lit(1))) + lit(1))))
       .join(broadcast(queryTerms.select(col("term"))), Seq("term"))
       .groupBy(col("doc_id")).agg(r4(sum(col("w"))).as("score_b"))
-    val rb = rbScores.withColumn("rank_tfidf",
+    val rb = rbScores.orderBy(col("score_b").desc, col("doc_id")).limit(20)
+      .withColumn("rank_tfidf",
         row_number().over(Window.orderBy(col("score_b").desc, col("doc_id"))).cast("long"))
-      .filter(col("rank_tfidf") <= 20).select(col("doc_id"), col("rank_tfidf"))
+      .select(col("doc_id"), col("rank_tfidf"))
     // fusion: RRF(d) = sum over lists containing d of 1/(60 + rank)
     ra.join(rb, Seq("doc_id"), "full_outer")
       .withColumn("rrf_r", floor((

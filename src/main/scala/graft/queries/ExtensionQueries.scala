@@ -131,6 +131,23 @@ object ExtensionQueries {
     Similarity.topK(scored, 5, col("cos_r"))
   }
 
+  // q124 — HARD-NEGATIVE MINING (contrastive-training data op): per
+  // query, the top-k most-similar candidates BELOW the positive band
+  // (cos < 0.95). Near-duplicates and true positives would poison a
+  // negative set, while random negatives carry no gradient signal —
+  // the hard ones (closest non-positives) are what retrieval/embedding
+  // training mines for (DPR/ANCE recipe). Pure composition: the q28
+  // exact scorer with a band filter ahead of the bounded top-k; at
+  // corpus scale the scorer swaps for IVF-PQ serving (q118) unchanged
+  // — rank lists in, band filter, negatives out.
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val scored = Similarity.scoreAll(e.filter(col("vec_id") < 10), e, "vec_id", "embedding")
+      .withColumn("cos_r", r4(col("cos"))).drop("cos")
+      .filter(col("cos_r") < lit(0.95))
+    Similarity.topK(scored, 5, col("cos_r"))
+  }
+
   // q29 — bucket-pruned ANN (IVF pattern over the label column).
   private def q29(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -424,6 +441,7 @@ object ExtensionQueries {
     "q26_token_count" -> q26 _,
     "q27_fingerprint" -> q27 _,
     "q28_cosine_topk" -> q28 _,
+    "q124_hard_negatives" -> q124 _,
     "q29_ann_bucketed" -> q29 _,
     "q30_multimodal_meta" -> q30 _,
     "q101_frame_sample" -> q101 _,
@@ -691,6 +709,19 @@ object ExtensionQueries {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
         |  min(doc_id) AS keep_id, count(*) AS n_dupes
         |FROM documents GROUP BY 1""".stripMargin,
+    "q124_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |s AS (
+        |  SELECT query_id, neighbor_id,
+        |    floor(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))*10000 + 0.5)/10000 AS cos_r
+        |  FROM c, q WHERE query_id <> neighbor_id
+        |), f AS (
+        |  SELECT * FROM s WHERE cos_r < 0.95::DOUBLE
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rnk FROM f
+        |)
+        |SELECT query_id, neighbor_id, cos_r, rnk FROM r WHERE rnk <= 5""".stripMargin,
     "q28_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
