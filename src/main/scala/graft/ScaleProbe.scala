@@ -155,6 +155,17 @@ object ScaleProbe {
     time("q111_tpch_q6") { q("q111_tpch_q6") }
     time("q105_kmv_setops") { q("q105_kmv_setops") }
     time("q104_pq_topk") { q("q104_pq_topk") }
+    // round-8 additions. q121 includes its own layout write + catalog
+    // build (the pruned READ is the point: files opened stay ~2/16 at
+    // any volume); q122's moment pass is one aggregation, its
+    // quantile a global rank selection; q123 fuses two top-20 rank
+    // lists (rankers scan-bound, fusion O(40)); q124 is the LABELED
+    // brute-force scorer + band filter — linear in corpus x queries,
+    // the q118 serving path replaces it at real scale.
+    time("q121_stats_pruned_scan") { q("q121_stats_pruned_scan") }
+    time("q122_drift_gate") { q("q122_drift_gate") }
+    time("q123_hybrid_rrf") { q("q123_hybrid_rrf") }
+    time("q124_hard_negatives") { q("q124_hard_negatives") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {
