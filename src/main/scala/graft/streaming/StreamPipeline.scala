@@ -401,6 +401,46 @@ object StreamPipeline {
       }
       .start()
 
+  /** STREAMING DISTRIBUTION-DRIFT GATE: the live form of the q122
+    * batch gate — every micro-batch's value distribution is checked
+    * against a REFERENCE SNAPSHOT
+    * ([[graft.operators.Checks.snapshot]]) and the whole batch routes
+    * to `cleanPath` or `flaggedPath` (audit trail, never a silent
+    * drop) with the per-batch constraint report appended to
+    * `reportPath`. Catches the upstream bug row checks wave through —
+    * a feed whose values silently rescaled — AT INGEST, batches
+    * before it reaches the warehouse. Per batch the cost is one
+    * aggregation pass over the batch plus the rank-selected quantile;
+    * the snapshot is collected once at wiring time (it is
+    * columns-sized). Batch-granular verdicts are the point: drift is
+    * a property of a distribution, not a row, and a micro-batch is
+    * the smallest sample worth judging. All writes stamp batch_id for
+    * at-least-once replay dedup (readBuckets contract). */
+  def driftGate(stream: DataFrame, snapshot: DataFrame, tol: Double,
+                cleanPath: String, flaggedPath: String, reportPath: String,
+                checkpoint: String,
+                trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery = {
+    val checks = graft.operators.Checks.driftChecks(snapshot, tol)
+    stream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val report = graft.operators.Checks.report(batch, checks)
+            .withColumn("batch_id", lit(batchId))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          report.write.mode("append").parquet(reportPath)
+          val drifted = report.filter(!col("pass")).limit(1).count() > 0
+          report.unpersist(blocking = false)
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(if (drifted) flaggedPath else cleanPath)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Stream-stream time-bounded enrichment: every tick joins the
     * quotes for its symbol from the trailing `joinWindow` (tick
     * INTERVAL-bounded inner join) — Spark's one legal stream⋈stream

@@ -192,6 +192,44 @@ class StreamingSketchSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("driftGate: in-distribution batches route clean, a shifted batch routes flagged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_driftgate").toString
+    // reference distribution: symmetric around 100
+    def rows(scaleDev: Double, shift: Double, ids: Range): Seq[(Long, Double)] =
+      ids.map(i => (i.toLong, 100.0 + (i % 21 - 10) * scaleDev + shift))
+    val ref = rows(1.0, 0.0, 0 until 2100).toDF("id", "v")
+    val snap = graft.operators.Checks.snapshot(ref, Seq("v"))
+
+    val stream = MemoryStream[(Long, Double)](spark)
+    val q = graft.streaming.StreamPipeline.driftGate(
+      stream.toDF().toDF("id", "v"), snap, tol = 0.05,
+      s"$dir/clean", s"$dir/flagged", s"$dir/report", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      stream.addData(rows(1.0, 0.0, 10000 until 12100))   // in-distribution
+      q.processAllAvailable()
+      stream.addData(rows(2.0, 25.0, 20000 until 22100))  // shifted AND widened
+      q.processAllAvailable()
+      stream.addData(rows(1.02, 0.3, 30000 until 32100))  // wiggle inside tolerance
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val clean = spark.read.parquet(s"$dir/clean")
+    val flagged = spark.read.parquet(s"$dir/flagged")
+    assert(clean.count() == 4200, "batches 0 and 2 must route clean")
+    assert(flagged.count() == 2100, "the shifted batch must route flagged")
+    assert(flagged.select(min($"id")).as[Long].head() >= 20000
+      && flagged.select(max($"id")).as[Long].head() < 22100)
+    // the audit report names what drifted, per batch
+    val rep = spark.read.parquet(s"$dir/report")
+    assert(rep.count() == 9, "3 batches x 3 drift constraints")
+    val failedChecks = rep.filter(!$"pass")
+      .select("check_name").as[String].collect().toSet
+    assert(failedChecks == Set("mean_within(v)", "stddev_within(v)", "quantile_within(v,0.5)"),
+      s"shifted+widened batch must flag all three statistics: $failedChecks")
+    assert(rep.filter(!$"pass").select("batch_id").distinct().as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("sustained ingest: per-batch latency stays flat as the standing stores grow") {
     // The throughput contract behind graft.tools.StreamBench: the
     // bucket-ingest and dedup-on-ingest pipelines do O(batch) work
