@@ -136,6 +136,18 @@ object Similarity {
       .filter(col("__rn") <= nprobe)
       .select(col("query_id"), col("bucket"), col("qv"))
 
+  /** IVF bucket assignment for NEW vectors entering a maintained
+    * index — the WRITE-path twin of [[probeBuckets]]: each appended
+    * vector joins the partition of its nearest coarse centroid
+    * (nprobe=1), so incremental appends compose with IVF-PQ serving
+    * without re-clustering (the [[ProductQuant.appendToIndex]]
+    * frozen-codebook contract, coarse-quantizer side). Output:
+    * (id, bucket). */
+  def assignBuckets(newVectors: DataFrame, cents: DataFrame,
+                    idCol: String, vecCol: String): DataFrame =
+    probeBuckets(newVectors, cents, idCol, vecCol, nprobe = 1)
+      .select(col("query_id").as("id"), col("bucket"))
+
   def ivfScore(queries: DataFrame, candidates: DataFrame, idCol: String, vecCol: String,
                bucketCol: String, nprobe: Int = 1): DataFrame = {
     val cents = centroids(candidates, vecCol, bucketCol)

@@ -50,6 +50,32 @@ class PQSpec extends SparkSpec {
     } finally sub.unpersist(false)
   }
 
+  test("appended vectors join IVF-PQ serving via nearest-centroid bucket assignment") {
+    // the incremental-maintenance loop closed on the COARSE quantizer
+    // side: a new vector encodes against the frozen PQ codebook
+    // (appendToIndex) AND joins the bucket of its nearest centroid
+    // (assignBuckets) — no re-clustering, no retraining — and the
+    // composed IVF-PQ serve finds it. The clone of vector 7 lands in
+    // 7's own nearest bucket, which is exactly the bucket query 7
+    // probes first.
+    val (codes, book) = ProductQuant.buildIndex(e, "vec_id", "embedding", 16, 64, 4, 1)
+    val cents = Similarity.centroids(e, "embedding", "label")
+    val clone = e.filter(col("vec_id") === 7L)
+      .select(lit(9001L).as("vec_id"), col("embedding"))
+    val grownCodes = ProductQuant.appendToIndex(codes, book, clone, "vec_id", "embedding", 16, 64)
+    val cloneCand = clone
+      .join(Similarity.assignBuckets(clone, cents, "vec_id", "embedding")
+        .withColumnRenamed("id", "vec_id"), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("bucket").as("label"))
+    val cand = e.select(col("vec_id"), col("embedding"), col("label")).unionByName(cloneCand)
+    val served = ProductQuant.ivfPqServe(
+      e.filter(col("vec_id") === 7L), cand, grownCodes, book, cents,
+      "vec_id", "embedding", "label", 16, 64, nprobe = 1, shortlist = 25, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(served.contains((7L, 9001L)),
+      s"appended clone must serve through the composed index, got $served")
+  }
+
   test("grid seeding yields fine cells (the resolution SRP seeding loses in low dims)") {
     val sub = ProductQuant.subspaces(e, "vec_id", "embedding", nSub = 16, dim = 64)
     val cells = ProductQuant.gridCells(sub, ds = 4, nbPerDim = 4)
