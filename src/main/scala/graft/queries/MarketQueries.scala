@@ -123,13 +123,58 @@ object MarketQueries {
       when(den > 0, r4(num / den)).as("corr_r"))
   }
 
+  // q125 — TWAP (time-weighted average price) per instrument per day:
+  // the execution-quality benchmark every trading desk reports — each
+  // tick's price is weighted by how long it REMAINED the price
+  // (microseconds until the next tick, day-end capped for the last
+  // one), so a price that held for hours dominates one that flickered
+  // for a second — the property the plain mean (q06's close/avg) has
+  // no notion of. Exact arithmetic end to end: integer microsecond
+  // weights x decimal prices, one double division at the very end
+  // (r4-quantized). Scale shape: one (type, day) window for the lead,
+  // then a partial-agg shuffle on the same key — weight derivation is
+  // a 1-row lookahead, so a skewed instrument parallelizes by day.
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    ev(s, dir)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .withColumn("t_us", unix_micros(col("ts")))
+      .withColumn("end_us", unix_micros(col("day") + expr("INTERVAL 1 DAY")))
+      .withColumn("next_us", coalesce(lead(col("t_us"), 1).over(w), col("end_us")))
+      .withColumn("w_us", col("next_us") - col("t_us"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        r4(sum(col("value").cast("decimal(18,4)") * col("w_us")).cast("double")
+          / sum(col("w_us")).cast("double")).as("twap"),
+        count(lit(1)).as("n_rows"))
+      .select(col("event_type"), col("day").cast("date").as("day"),
+        col("twap"), col("n_rows"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_twap" -> q125 _,
     "q108_rolling_bands" -> q108 _,
     "q109_drawdown" -> q109 _,
     "q110_corr_matrix" -> q110 _
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q125_twap" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, value, ts::TIMESTAMP AS ts,
+        |    date_trunc('day', ts::TIMESTAMP) AS day
+        |  FROM events
+        |), x AS (
+        |  SELECT event_type, day, value,
+        |    coalesce(lead(epoch_us(ts)) OVER (PARTITION BY event_type, day ORDER BY ts, event_id),
+        |             epoch_us(day + INTERVAL 1 DAY)) - epoch_us(ts) AS w_us
+        |  FROM e
+        |)
+        |SELECT event_type, day::DATE AS day,
+        |  floor((sum(value::DECIMAL(18,4) * w_us)::DOUBLE / sum(w_us)::DOUBLE)*10000 + 0.5)/10000 AS twap,
+        |  count(*) AS n_rows
+        |FROM x GROUP BY 1, 2""".stripMargin,
     "q108_rolling_bands" ->
       """WITH e AS (
         |  SELECT event_id, event_type, ts::TIMESTAMP AS ts,
