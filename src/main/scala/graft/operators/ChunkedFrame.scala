@@ -39,20 +39,22 @@ import org.apache.spark.sql.functions._
   */
 object ChunkedFrame {
 
-  /** Adds `n_w`, `s1`, `s2` — count, sum(v), sum(v*v) over the
-    * trailing `width+1`-row frame of `valCol` (a decimal column) per
-    * `keyCol`, ordered by `orderCols` — equal to
-    * `count/sum/sum(v*v) over (partitionBy(key) orderBy(order)
-    * rowsBetween(-width, current))` bit for bit.
+  /** Adds `__g` — the exact 0-based global rank of each row within
+    * `keyCol` under `orderCols` — WITHOUT ever sorting a key's whole
+    * history in one task (steps 1–2 of the class doc): a local rank
+    * inside (key, chunk) runs keys x chunks tasks wide, and an
+    * exclusive prefix sum over the chunk-count-sized (key, chunk)
+    * count table supplies each chunk's offset. `chunk` must be
+    * monotonic non-decreasing in the order prefix (e.g.
+    * `date_trunc("hour", ts)` when ordering by (ts, id)): rows that
+    * share order-column values must share a chunk.
     *
-    * `chunk` must be monotonic non-decreasing in the order prefix
-    * (e.g. `date_trunc("hour", ts)` when ordering by (ts, id)): rows
-    * that share order-column values must share a chunk. */
-  def withTrailingDecimalSums(df: DataFrame, keyCol: String, chunk: Column,
-                              orderCols: Seq[String], valCol: String,
-                              width: Int, blockSize: Int = 4096): DataFrame = {
-    require(width >= 1 && blockSize > width,
-      s"blockSize $blockSize must exceed frame width $width")
+    * This is the scale-correct foundation for every rank-family
+    * window function: row_number IS `__g + 1`, and with the per-key
+    * total (one partial-agg shuffle) percent_rank / cume_dist /
+    * ntile are pure per-row arithmetic over (`__g`, N) — see q127. */
+  def globalRank(df: DataFrame, keyCol: String, chunk: Column,
+                 orderCols: Seq[String]): DataFrame = {
     val ord = orderCols.map(col)
     val k = col(keyCol)
     val withChunk = df.withColumn("__chunk", chunk)
@@ -73,10 +75,28 @@ object ChunkedFrame {
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__off", coalesce(sum(col("__cnt")).over(wOffset), lit(0L)))
       .drop("__cnt")
-    val indexed = ranked.join(broadcast(offsets),
+    ranked.join(broadcast(offsets),
         k === col(s"__o_$keyCol") && col("__chunk") === col("__o_chunk"))
       .withColumn("__g", col("__off") + col("__lr") - 1)
       .drop(s"__o_$keyCol", "__o_chunk", "__off", "__lr", "__chunk")
+  }
+
+  /** Adds `n_w`, `s1`, `s2` — count, sum(v), sum(v*v) over the
+    * trailing `width+1`-row frame of `valCol` (a decimal column) per
+    * `keyCol`, ordered by `orderCols` — equal to
+    * `count/sum/sum(v*v) over (partitionBy(key) orderBy(order)
+    * rowsBetween(-width, current))` bit for bit.
+    *
+    * `chunk` must be monotonic non-decreasing in the order prefix
+    * (e.g. `date_trunc("hour", ts)` when ordering by (ts, id)): rows
+    * that share order-column values must share a chunk. */
+  def withTrailingDecimalSums(df: DataFrame, keyCol: String, chunk: Column,
+                              orderCols: Seq[String], valCol: String,
+                              width: Int, blockSize: Int = 4096): DataFrame = {
+    require(width >= 1 && blockSize > width,
+      s"blockSize $blockSize must exceed frame width $width")
+    val k = col(keyCol)
+    val indexed = globalRank(df, keyCol, chunk, orderCols)
 
     // 3. fixed-size blocks; a row in the last `width` of its block
     // ALSO emits a halo copy into the next block — one map-side

@@ -78,6 +78,43 @@ object AnalyticsQueries {
       lag(col("value"), 1).over(w).as("prev_val"))
   }
 
+  // q127 — DISTRIBUTION FUNCTIONS WITHOUT THE PER-KEY SORT: the same
+  // ntile/percent_rank/cume_dist outputs as q54, computed the way a
+  // five-key feed at 100x has to compute them — q54's single
+  // Window.partitionBy(event_type) sorts each key's ENTIRE history in
+  // one task (the q108 ceiling), while this plan derives every
+  // distribution function from ChunkedFrame.globalRank's two-level
+  // prefix rank (keys x value-buckets tasks wide, no global sort) plus
+  // the per-key total N (one 5-row broadcast):
+  //   percent_rank = g / (N-1)        cume_dist = (g+1) / N
+  //   ntile(n)     = pure arithmetic over (g, N) — the first N%n
+  //                  tiles take ceil(N/n) rows, the rest floor(N/n)
+  // (g = 0-based rank). The oracle runs the NATIVE window functions,
+  // so the green row proves the arithmetic reproduces the SQL
+  // semantics exactly — integer-ratio doubles, bitwise cross-engine.
+  // The value-bucket chunking satisfies globalRank's monotonicity
+  // contract because floor(value) is monotonic in the (value, id)
+  // order prefix.
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val base = ev(s, dir).select(col("event_id"), col("event_type"), col("value"))
+    val ranked = graft.operators.ChunkedFrame.globalRank(
+      base, "event_type", floor(col("value")), Seq("value", "event_id"))
+    val totals = base.groupBy(col("event_type")).agg(count(lit(1)).as("__n"))
+    val q1   = expr("__n DIV 4")        // floor rows per tile
+    val rem  = expr("__n % 4")          // tiles that take one extra row
+    val cut  = (q1 + 1) * rem           // rows covered by the big tiles
+    ranked.join(broadcast(totals), Seq("event_type"))
+      .select(
+        col("event_id"), col("event_type"),
+        when(col("__g") < cut, expr("__g DIV (__n DIV 4 + 1)") + 1)
+          .otherwise(rem + expr("(__g - (__n DIV 4 + 1) * (__n % 4)) DIV (__n DIV 4)") + 1)
+          .cast("long").as("quartile"),
+        when(col("__n") > 1,
+          col("__g").cast("double") / (col("__n") - 1).cast("double"))
+          .otherwise(lit(0d)).as("pct_rank"),
+        ((col("__g") + 1).cast("double") / col("__n").cast("double")).as("cdist"))
+  }
+
   // q55 — regular-grid resample + LOCF gap-fill (GapFill.locf): every
   // (event_type, minute) between each key's first and last observed
   // minute, value carried forward, observation flag kept. No
@@ -433,11 +470,19 @@ object AnalyticsQueries {
     "q52_unpivot" -> q52 _,
     "q53_cube" -> q53 _,
     "q54_window_battery" -> q54 _,
+    "q127_dist_funcs_chunked" -> q127 _,
     "q55_gapfill_locf" -> q55 _,
     "q56_fuzzy_editdist" -> q56 _
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q127_dist_funcs_chunked" ->
+      """SELECT event_id, event_type,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin,
     "q120_gaps_islands" ->
       """WITH m AS (
         |  SELECT DISTINCT user_id,

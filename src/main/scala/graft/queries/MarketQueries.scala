@@ -152,7 +152,69 @@ object MarketQueries {
         col("twap"), col("n_rows"))
   }
 
+  // q126 — VWAP (volume-weighted average price) per instrument per
+  // day, the companion benchmark to q125's TWAP: each tick's price is
+  // weighted by its traded size rather than its hold time. The size
+  // rides in the feed's JSON props blob (`{"k": N}`) — so this query
+  // is also the battery's JSON-path-extraction-into-arithmetic probe
+  // (the reference parses the same shape at ingest,
+  // spark_stream_processor.py's value_json path). Exact arithmetic:
+  // decimal price x integer size, one double division at the end.
+  // Scale shape: get_json_object is a codegen'd per-row expression on
+  // the scan (no shuffle), then ONE partial-agg shuffle on
+  // (type, day) — map-side combine reduces each task to its local
+  // (type, day) partials before anything moves.
+  private def q126(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        sum(col("value").cast("decimal(18,4)") * col("k")).as("pv"),
+        sum(col("k")).as("volume"),
+        count(lit(1)).as("n_rows"))
+      .select(col("event_type"), col("day").cast("date").as("day"),
+        when(col("volume") > 0,
+          r4(col("pv").cast("double") / col("volume").cast("double"))).as("vwap"),
+        col("volume"), col("n_rows"))
+
+  // q129 — RSI-14 (Cutler's SMA variant) per instrument: the
+  // overbought/oversold oscillator. Cutler's form uses simple moving
+  // averages of gains/losses — unlike Wilder's recursive smoothing it
+  // is a pure bounded-frame statistic, so the same exact-decimal
+  // frame-sum discipline as q108 applies: per-tick diffs in decimal
+  // (lag 1), gains/losses split per row, 14-row trailing sums, ONE
+  // double op sequence at the end. Rows emit only once a full 14-diff
+  // frame exists (the warm-up prefix is undefined on every charting
+  // package too). sl = 0 (no losses in the window) is RSI 100 by
+  // convention on both engines — exact decimal sums make the zero
+  // test exact, not ulp-lucky. Scale shape: one shuffle on
+  // event_type; both windows share the same (key, order) sort so the
+  // diff pass and the frame pass plan into a single exchange+sort;
+  // a five-key feed at 100x would route through ChunkedFrame exactly
+  // like q108 (same trailing-frame shape, two value columns).
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val fr = w.rowsBetween(-13, Window.currentRow)
+    val d = ev(s, dir)
+      .withColumn("vd", col("value").cast("decimal(18,4)"))
+      .withColumn("df", col("vd") - lag(col("vd"), 1).over(w))
+      .filter(col("df").isNotNull)
+    d.select(col("event_id"), col("event_type"), col("ts"),
+        sum(when(col("df") > 0, col("df")).otherwise(lit(0))).over(fr).as("sg"),
+        sum(when(col("df") < 0, -col("df")).otherwise(lit(0))).over(fr).as("sl"),
+        count(lit(1)).over(fr).as("n14"))
+      .filter(col("n14") === 14)
+      .select(col("event_id"), col("event_type"),
+        when(col("sl") > 0,
+          r4(lit(100d) - lit(100d) /
+            (lit(1d) + col("sg").cast("double") / col("sl").cast("double"))))
+          .otherwise(lit(100d)).as("rsi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_vwap" -> q126 _,
+    "q129_rsi" -> q129 _,
     "q125_twap" -> q125 _,
     "q108_rolling_bands" -> q108 _,
     "q109_drawdown" -> q109 _,
@@ -160,6 +222,42 @@ object MarketQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q126_vwap" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('day', ts::TIMESTAMP) AS day,
+        |    value::DECIMAL(18,4) AS vd,
+        |    json_extract_string(props, '$.k')::BIGINT AS k
+        |  FROM events
+        |)
+        |SELECT event_type, day::DATE AS day,
+        |  CASE WHEN sum(k) > 0 THEN
+        |    floor((sum(vd * k)::DOUBLE / sum(k)::DOUBLE)*10000 + 0.5)/10000
+        |  END AS vwap,
+        |  sum(k)::BIGINT AS volume, count(*) AS n_rows
+        |FROM e GROUP BY 1, 2""".stripMargin,
+    "q129_rsi" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, ts::TIMESTAMP AS ts,
+        |    value::DECIMAL(18,4) AS vd
+        |  FROM events
+        |), d AS (
+        |  SELECT event_id, event_type, ts,
+        |    vd - lag(vd) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS df
+        |  FROM e
+        |), f AS (
+        |  SELECT event_id, event_type,
+        |    sum(CASE WHEN df > 0 THEN df ELSE 0 END) OVER fr AS sg,
+        |    sum(CASE WHEN df < 0 THEN -df ELSE 0 END) OVER fr AS sl,
+        |    count(*) OVER fr AS n14
+        |  FROM d WHERE df IS NOT NULL
+        |  WINDOW fr AS (PARTITION BY event_type ORDER BY ts, event_id
+        |                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id, event_type,
+        |  CASE WHEN sl > 0 THEN
+        |    floor((100 - 100/(1 + sg::DOUBLE/sl::DOUBLE))*10000 + 0.5)/10000
+        |  ELSE 100 END AS rsi
+        |FROM f WHERE n14 = 14""".stripMargin,
     "q125_twap" ->
       """WITH e AS (
         |  SELECT event_type, event_id, value, ts::TIMESTAMP AS ts,

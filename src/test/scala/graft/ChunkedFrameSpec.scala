@@ -55,6 +55,44 @@ class ChunkedFrameSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("globalRank equals row_number - 1 under the direct per-key window") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val direct = ev.withColumn("g",
+      row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))) - 1)
+      .select(col("event_id"), col("g").cast("long"))
+    val chunked = ChunkedFrame.globalRank(ev, "event_type",
+      floor(col("value")), Seq("value", "event_id"))
+      .select(col("event_id"), col("__g").as("g"))
+    assert(direct.exceptAll(chunked).isEmpty && chunked.exceptAll(direct).isEmpty,
+      "two-level prefix rank must reproduce row_number exactly")
+  }
+
+  test("ntile arithmetic over (g, N) matches native ntile at every small N") {
+    // q127 derives ntile(4) from the global rank instead of sorting
+    // each key wholesale; the uneven-remainder edge (first N%n tiles
+    // take one extra row) is exactly where a naive g*n/N formula
+    // breaks — exercise every N in 1..25 as its own key.
+    val rows = (1 to 25).flatMap(n => (0 until n).map(i => (s"k$n", i.toLong)))
+    val df = rows.toDF("k", "v")
+    val native = df.withColumn("t",
+      ntile(4).over(Window.partitionBy(col("k")).orderBy(col("v"))).cast("long"))
+    val totals = df.groupBy(col("k")).agg(count(lit(1)).as("__n"))
+    val derived = df.join(broadcast(totals), Seq("k"))
+      .withColumn("__g", col("v")) // v IS the 0-based rank by construction
+      .withColumn("t2",
+        when(col("__g") < (expr("__n DIV 4") + 1) * expr("__n % 4"),
+          expr("__g DIV (__n DIV 4 + 1)") + 1)
+          .otherwise(expr("__n % 4") +
+            expr("(__g - (__n DIV 4 + 1) * (__n % 4)) DIV (__n DIV 4)") + 1)
+          .cast("long"))
+    val diff = native.select(col("k"), col("v"), col("t"))
+      .join(derived.select(col("k"), col("v"), col("t2")), Seq("k", "v"))
+      .filter(col("t") =!= col("t2"))
+    assert(diff.isEmpty, "derived ntile must match native ntile for all group sizes")
+  }
+
   test("the frame window never partitions by the bare key (the parallelism ceiling)") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("vd", col("value").cast("decimal(18,4)"))
