@@ -285,6 +285,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"the 2-term query set should broadcast:\n$p")
   }
 
+  test("q126 VWAP: JSON extraction stays map-side, one partial+final agg exchange") {
+    val p = plan("q126_vwap")
+    // get_json_object is a per-row scan-side expression; the only
+    // full-data movement is the (type, day) aggregate exchange, and
+    // partial aggregation combines before it
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, s"extra shuffles:\n$p")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(!read.contains("event_id") && !read.contains("user_id"),
+      s"scan reads columns the query never uses: $read")
+  }
+
+  test("q127 distribution functions: no bare-key window over the full data") {
+    // the whole point of the query: ntile/percent_rank/cume_dist
+    // without sorting a key's entire history in one task. Full-data
+    // windows must carry the (key, chunk) composite partition; the
+    // only bare-key window allowed is the offset prefix over the
+    // chunk-count-sized aggregate (it sits ABOVE a HashAggregate).
+    val p = plan("q127_dist_funcs_chunked")
+    val lines = p.linesIterator.toSeq
+    val rankSpecs = lines.filter(l =>
+      l.contains("windowspecdefinition") && l.contains("row_number"))
+    assert(rankSpecs.nonEmpty, s"no rank window:\n$p")
+    rankSpecs.foreach { l =>
+      assert(l.contains("FLOOR") || l.contains("__chunk"),
+        s"rank window must partition by (key, value-bucket), not the bare key:\n$l")
+    }
+    assert(p.contains("BroadcastHashJoin"), s"offsets/totals should broadcast:\n$p")
+  }
+
+  test("q129 RSI: lag and frame windows share one exchange+sort") {
+    // both windows use the same (event_type; ts, event_id) spec — the
+    // planner must evaluate them over a single shuffle and sort, not
+    // re-partition between the diff pass and the frame pass
+    val p = plan("q129_rsi")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, s"windows re-shuffle:\n$p")
+    assert("Sort ".r.findAllIn(p).size <= 1, s"windows re-sort:\n$p")
+  }
+
   test("q110 corr matrix: the pair join runs on the volume-independent bin aggregate") {
     val p = plan("q110_corr_matrix")
     // the (type, minute) pre-aggregate must sit BELOW the self-join —
