@@ -166,6 +166,15 @@ object ScaleProbe {
     time("q122_drift_gate") { q("q122_drift_gate") }
     time("q123_hybrid_rrf") { q("q123_hybrid_rrf") }
     time("q124_hard_negatives") { q("q124_hard_negatives") }
+    // q126 is one partial-agg shuffle (JSON decode map-side); q127
+    // rides ChunkedFrame.globalRank, so its parallelism comes from
+    // keys x value-buckets, not the 5-key feed; q129's two windows
+    // share one exchange+sort but DO partition on the bare key — the
+    // same per-key ceiling q108 had, with ChunkedFrame as the
+    // documented escape hatch once a feed is skewed.
+    time("q126_vwap") { q("q126_vwap") }
+    time("q127_dist_funcs_chunked") { q("q127_dist_funcs_chunked") }
+    time("q129_rsi") { q("q129_rsi") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {
