@@ -81,6 +81,53 @@ object ChunkedFrame {
       .drop(s"__o_$keyCol", "__o_chunk", "__off", "__lr", "__chunk")
   }
 
+  /** The generic two-level evaluator (steps 3–4 of the class doc):
+    * blocks rows by global rank, duplicates each block's last
+    * `haloWidth` rows into the next block as a marked halo, hands
+    * `build` the assembled frame plus the in-block window base
+    * (partitionBy(key, block) orderBy(global rank)), then drops halo
+    * rows and the internal columns.
+    *
+    * `build`'s contract: every column it adds must be a window
+    * expression over the given base (or a rowsBetween frame of it)
+    * whose value for a BODY row depends on at most `haloWidth`
+    * preceding rows — including through composition (a lag(1) feeding
+    * a -w..0 frame sum needs haloWidth >= w+1, because the earliest
+    * in-frame derived value reaches one row further back). Halo rows
+    * near a partition edge may compute WRONG derived values (their
+    * own lookback is truncated); that is sound exactly because they
+    * are dropped and no body row's frame reaches past the halo. */
+  def withTrailingEval(df: DataFrame, keyCol: String, chunk: Column,
+                       orderCols: Seq[String], haloWidth: Int,
+                       blockSize: Int = 4096)
+                      (build: (DataFrame, org.apache.spark.sql.expressions.WindowSpec) => DataFrame): DataFrame = {
+    require(haloWidth >= 1 && blockSize > haloWidth,
+      s"blockSize $blockSize must exceed halo width $haloWidth")
+    val k = col(keyCol)
+    val indexed = globalRank(df, keyCol, chunk, orderCols)
+
+    // 3. fixed-size blocks; a row in the last `haloWidth` of its block
+    // ALSO emits a halo copy into the next block — one map-side
+    // explode, not a union (a union's two arms would each re-execute
+    // the whole scan+rank lineage: the documented two-consumer trap)
+    val blk = expr(s"__g DIV $blockSize") // integer div — `/` on columns is double division
+    val assigned = indexed
+      .select(col("*"), explode(
+        when(col("__g") % blockSize >= blockSize - haloWidth,
+          array(struct(blk.as("b"), lit(false).as("h")),
+            struct((blk + 1).as("b"), lit(true).as("h"))))
+          .otherwise(array(struct(blk.as("b"), lit(false).as("h"))))).as("__d"))
+      .withColumn("__blk", col("__d.b")).withColumn("__halo", col("__d.h"))
+      .drop("__d")
+
+    // 4. the caller's windows, inside (key, block) — body rows' frames
+    // are complete because the halo supplies the cross-boundary prefix
+    val wBase = Window.partitionBy(k, col("__blk")).orderBy(col("__g"))
+    build(assigned, wBase)
+      .filter(!col("__halo"))
+      .drop("__g", "__blk", "__halo")
+  }
+
   /** Adds `n_w`, `s1`, `s2` — count, sum(v), sum(v*v) over the
     * trailing `width+1`-row frame of `valCol` (a decimal column) per
     * `keyCol`, ordered by `orderCols` — equal to
@@ -92,37 +139,39 @@ object ChunkedFrame {
     * that share order-column values must share a chunk. */
   def withTrailingDecimalSums(df: DataFrame, keyCol: String, chunk: Column,
                               orderCols: Seq[String], valCol: String,
-                              width: Int, blockSize: Int = 4096): DataFrame = {
-    require(width >= 1 && blockSize > width,
-      s"blockSize $blockSize must exceed frame width $width")
-    val k = col(keyCol)
-    val indexed = globalRank(df, keyCol, chunk, orderCols)
-
-    // 3. fixed-size blocks; a row in the last `width` of its block
-    // ALSO emits a halo copy into the next block — one map-side
-    // explode, not a union (a union's two arms would each re-execute
-    // the whole scan+rank lineage: the documented two-consumer trap)
-    val blk = expr(s"__g DIV $blockSize") // integer div — `/` on columns is double division
-    val assigned = indexed
-      .select(col("*"), explode(
-        when(col("__g") % blockSize >= blockSize - width,
-          array(struct(blk.as("b"), lit(false).as("h")),
-            struct((blk + 1).as("b"), lit(true).as("h"))))
-          .otherwise(array(struct(blk.as("b"), lit(false).as("h"))))).as("__d"))
-      .withColumn("__blk", col("__d.b")).withColumn("__halo", col("__d.h"))
-      .drop("__d")
-
-    // 4. the frame, inside (key, block) — body rows' frames are
-    // complete because the halo supplies the cross-boundary prefix
-    val wFrame = Window.partitionBy(k, col("__blk")).orderBy(col("__g"))
-      .rowsBetween(-width, Window.currentRow)
-    val v = col(valCol)
-    assigned
-      .select(col("*"),
+                              width: Int, blockSize: Int = 4096): DataFrame =
+    withTrailingEval(df, keyCol, chunk, orderCols, width, blockSize) { (d, w) =>
+      val wFrame = w.rowsBetween(-width, Window.currentRow)
+      val v = col(valCol)
+      d.select(col("*"),
         count(lit(1)).over(wFrame).as("n_w"),
         sum(v).over(wFrame).as("s1"),
         sum(v * v).over(wFrame).as("s2"))
-      .filter(!col("__halo"))
-      .drop("__g", "__blk", "__halo")
-  }
+    }
+
+  /** Adds `sg`, `sl`, `n_d` — the gain sum, loss sum, and non-null
+    * diff count over the trailing `width+1`-diff frame of the
+    * first-difference series of `valCol` (a decimal column): the
+    * RSI/momentum shape, where the frame statistic is over DERIVED
+    * per-row diffs rather than the values themselves. Equal bit for
+    * bit to lag + CASE-split frame sums under the direct per-key
+    * window. The halo is `width + 1` wide: a body row's frame reaches
+    * `width` diffs back, and the earliest of those needs ITS
+    * predecessor row for the lag. A halo row at the very edge
+    * computes a null diff (no predecessor in the partition) — sound,
+    * because only other halo rows' frames see it and they are
+    * dropped. Keys' global first rows have no predecessor anywhere,
+    * so their diff is null in both plans and `n_d` excludes it. */
+  def withTrailingGainLossSums(df: DataFrame, keyCol: String, chunk: Column,
+                               orderCols: Seq[String], valCol: String,
+                               width: Int, blockSize: Int = 4096): DataFrame =
+    withTrailingEval(df, keyCol, chunk, orderCols, width + 1, blockSize) { (d, w) =>
+      val fr = w.rowsBetween(-width, Window.currentRow)
+      val diffed = d.withColumn("__df", col(valCol) - lag(col(valCol), 1).over(w))
+      diffed.select(col("*"),
+        sum(when(col("__df") > 0, col("__df")).otherwise(lit(0))).over(fr).as("sg"),
+        sum(when(col("__df") < 0, -col("__df")).otherwise(lit(0))).over(fr).as("sl"),
+        count(col("__df")).over(fr).as("n_d"))
+        .drop("__df")
+    }
 }

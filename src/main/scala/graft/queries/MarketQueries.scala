@@ -188,29 +188,27 @@ object MarketQueries {
   // frame exists (the warm-up prefix is undefined on every charting
   // package too). sl = 0 (no losses in the window) is RSI 100 by
   // convention on both engines — exact decimal sums make the zero
-  // test exact, not ulp-lucky. Scale shape: one shuffle on
-  // event_type; both windows share the same (key, order) sort so the
-  // diff pass and the frame pass plan into a single exchange+sort;
-  // a five-key feed at 100x would route through ChunkedFrame exactly
-  // like q108 (same trailing-frame shape, two value columns).
-  private def q129(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
-    val fr = w.rowsBetween(-13, Window.currentRow)
-    val d = ev(s, dir)
-      .withColumn("vd", col("value").cast("decimal(18,4)"))
-      .withColumn("df", col("vd") - lag(col("vd"), 1).over(w))
-      .filter(col("df").isNotNull)
-    d.select(col("event_id"), col("event_type"), col("ts"),
-        sum(when(col("df") > 0, col("df")).otherwise(lit(0))).over(fr).as("sg"),
-        sum(when(col("df") < 0, -col("df")).otherwise(lit(0))).over(fr).as("sl"),
-        count(lit(1)).over(fr).as("n14"))
-      .filter(col("n14") === 14)
+  // test exact, not ulp-lucky. Scale shape: like q108, the frame
+  // evaluates through ChunkedFrame (two-level blocks, width+1 halo so
+  // the earliest in-frame diff still sees its lag predecessor) — a
+  // direct Window.partitionBy(event_type) sorts one task per
+  // instrument, this feed's five-key per-key ceiling at 100x. Exact
+  // decimal diffs/sums make the chunked evaluation bit-identical to
+  // the single window. Each key's global first row has a null diff in
+  // both plans; n_d counts non-null diffs, so the n_d = 14 gate
+  // reproduces the filter-then-frame semantics exactly.
+  private def q129(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ChunkedFrame.withTrailingGainLossSums(
+      ev(s, dir).withColumn("vd", col("value").cast("decimal(18,4)"))
+        .select(col("event_id"), col("event_type"), col("ts"), col("vd")),
+      keyCol = "event_type", chunk = date_trunc("hour", col("ts")),
+      orderCols = Seq("ts", "event_id"), valCol = "vd", width = 13)
+      .filter(col("n_d") === 14)
       .select(col("event_id"), col("event_type"),
         when(col("sl") > 0,
           r4(lit(100d) - lit(100d) /
             (lit(1d) + col("sg").cast("double") / col("sl").cast("double"))))
           .otherwise(lit(100d)).as("rsi"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_vwap" -> q126 _,

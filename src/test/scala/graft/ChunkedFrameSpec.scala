@@ -55,6 +55,48 @@ class ChunkedFrameSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  private def directGainLoss(df: org.apache.spark.sql.DataFrame, width: Int) = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val fr = w.rowsBetween(-width, Window.currentRow)
+    df.withColumn("__df", col("vd") - lag(col("vd"), 1).over(w))
+      .select(col("event_id"), col("event_type"),
+        sum(when(col("__df") > 0, col("__df")).otherwise(lit(0))).over(fr).as("sg"),
+        sum(when(col("__df") < 0, -col("__df")).otherwise(lit(0))).over(fr).as("sl"),
+        count(col("__df")).over(fr).as("n_d"))
+  }
+
+  test("chunked gain/loss diff sums equal the direct lag+frame window") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+      .withColumn("vd", col("value").cast("decimal(18,4)"))
+      .select(col("event_id"), col("event_type"), col("ts"), col("vd"))
+    val a = directGainLoss(ev, 13)
+    val b = ChunkedFrame.withTrailingGainLossSums(ev, "event_type",
+      date_trunc("hour", col("ts")), Seq("ts", "event_id"), "vd", width = 13)
+      .select(a.columns.map(col): _*)
+    assert(a.count() == b.count() && a.count() > 0)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "chunked diff-frame evaluation must be bit-identical to the direct window")
+  }
+
+  test("gain/loss halo composes across tiny blocks (derived-value lookback edge)") {
+    // blockSize 25, width 13: the halo is 14 rows and nearly every
+    // frame crosses a block boundary — if the halo were only `width`
+    // wide, the earliest in-frame diff would lose its lag predecessor
+    // and the first body row of each block would drift.
+    val ev = spark.range(0, 500).select(
+      col("id").as("event_id"),
+      (col("id") % 3).cast("string").as("event_type"),
+      (lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).cast("long")
+        + col("id") * 3600).cast("timestamp").as("ts"),
+      ((col("id") * 37 % 1000) / lit(10.0)).cast("decimal(18,4)").as("vd"))
+    val a = directGainLoss(ev, 13)
+    val b = ChunkedFrame.withTrailingGainLossSums(ev, "event_type",
+      date_trunc("hour", col("ts")), Seq("ts", "event_id"), "vd",
+      width = 13, blockSize = 25)
+      .select(a.columns.map(col): _*)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("globalRank equals row_number - 1 under the direct per-key window") {
     val ev = Tables.events(spark, "/root/testdata/sf0.01")
       .select(col("event_id"), col("event_type"), col("value"))

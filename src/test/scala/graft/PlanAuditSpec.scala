@@ -315,13 +315,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"offsets/totals should broadcast:\n$p")
   }
 
-  test("q129 RSI: lag and frame windows share one exchange+sort") {
-    // both windows use the same (event_type; ts, event_id) spec — the
-    // planner must evaluate them over a single shuffle and sort, not
-    // re-partition between the diff pass and the frame pass
+  test("q129 RSI: chunked frame — no bare-key window, diff+frame share the block sort") {
+    // same contract as q108: the lag pass and the gain/loss frame
+    // evaluate inside (key, block) partitions — never the bare key —
+    // and both ride ONE block shuffle+sort (same window spec)
     val p = plan("q129_rsi")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, s"windows re-shuffle:\n$p")
-    assert("Sort ".r.findAllIn(p).size <= 1, s"windows re-sort:\n$p")
+    val frameSpecs = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("RowFrame, -13")).toSeq
+    assert(frameSpecs.nonEmpty, s"no bounded row frame in:\n$p")
+    frameSpecs.foreach { l =>
+      assert(l.contains("__blk"),
+        s"bounded frame must partition by (key, block), not the bare key:\n$l")
+    }
+    assert(p.contains("BroadcastHashJoin"), s"the chunk-offset table should broadcast:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 6, s"exchange blowup:\n$p")
   }
 
   test("q110 corr matrix: the pair join runs on the volume-independent bin aggregate") {
