@@ -175,6 +175,12 @@ object ScaleProbe {
     time("q126_vwap") { q("q126_vwap") }
     time("q127_dist_funcs_chunked") { q("q127_dist_funcs_chunked") }
     time("q129_rsi") { q("q129_rsi") }
+    // verbatim embedding replicas are q130's adversarial regime: the
+    // label count stays 10, so cluster populations grow reps-x and
+    // the per-cluster pair quadratic grows reps^2-x — at a REAL 100 TB
+    // the paper's rule (k grows with the corpus) keeps populations
+    // flat; this measures the blocked join surviving the squeeze
+    time("q130_semantic_dedup") { q("q130_semantic_dedup") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

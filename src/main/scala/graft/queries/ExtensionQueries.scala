@@ -332,6 +332,44 @@ object ExtensionQueries {
       bucketFn = Similarity.srpBucketExplicit(_, _, _, _))
       .select(col("id_a"), col("id_b"), r4(col("cos")).as("cos"))
 
+  // q130 — SEMANTIC DEDUP, cluster-blocked (the SemDeDup recipe,
+  // Abbas et al. 2023, arXiv:2303.09540): embedding-space near-dup
+  // removal made linear by k-means blocking — vectors are assigned to
+  // their nearest coarse centroid and ONLY within-cluster pairs are
+  // scored, the approximation that lets a 100 TB corpus skip the
+  // all-pairs join entirely (q38 is the exact-quadratic baseline,
+  // q39 the LSH alternative; this is the clustering alternative, and
+  // the three share the survivor contract). Drop rule: vector j is a
+  // duplicate if some i < j in its cluster has cos >= 0.25; the
+  // emitted row carries the blocking cluster, the minimal killer
+  // (dup_of — the deterministic survivor pointer), the strongest
+  // qualifying similarity, and the qualifying-pair count. Assignment
+  // reuses the IVF write path (Similarity.assignBuckets: broadcast
+  // centroids, 1e-4-rounded argmax, bucket tiebreak — reproducible
+  // across engines); pair cosine is over RAW vectors, bitwise
+  // cross-engine like q38. Scale shape: centroid build is one
+  // (bucket, dim) partial-agg shuffle; assignment is map-side against
+  // broadcast centroids; the pair join shuffles on bucket once, and k
+  // grows with the corpus so cluster populations — and the per-task
+  // quadratic — stay bounded (the paper's own scaling argument).
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = Similarity.centroids(e, "embedding", "label")
+    val assigned = Similarity.assignBuckets(e, cents, "vec_id", "embedding")
+    val m = e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .join(assigned, col("vec_id") === col("id")).drop("id")
+      .withColumn("nn", Similarity.l2norm(col("v")))
+    val a = m.select(col("bucket"), col("vec_id").as("i"), col("v").as("va"), col("nn").as("na"))
+    val b = m.select(col("bucket"), col("vec_id").as("j"), col("v").as("vb"), col("nn").as("nb"))
+    a.join(b, Seq("bucket")).filter(col("i") < col("j"))
+      .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.25)
+      .groupBy(col("bucket"), col("j").as("vec_id"))
+      .agg(min(col("i")).as("dup_of"),
+        r4(max(col("cos"))).as("max_cos"),
+        count(lit(1)).as("n_dups"))
+  }
+
   // q106 — BPE TOKENIZER TRAINING: 12 merge rounds of the iterative
   // highest-frequency-pair loop over the word-type table (the
   // vocabulary-sized collapse of the corpus — the only thing the loop
@@ -423,6 +461,7 @@ object ExtensionQueries {
     "q107_bpe_token_counts" -> q107 _,
     "q38_embed_neardup" -> q38 _,
     "q39_embed_neardup_lsh" -> q39 _,
+    "q130_semantic_dedup" -> q130 _,
     "q36_chunks" -> q36 _,
     "q37_ivf_topk" -> q37 _,
     "q45_ivf_nprobe2" -> q45 _,
@@ -481,6 +520,38 @@ object ExtensionQueries {
         |  floor((list_dot_product(a.v, b.v)/(a.nn*b.nn))*10000 + 0.5)/10000 AS cos
         |FROM cand c JOIN n a ON c.id_a = a.id JOIN n b ON c.id_b = b.id
         |WHERE list_dot_product(a.v, b.v)/(a.nn*b.nn) >= 0.3""".stripMargin,
+    "q130_semantic_dedup" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), x AS (
+        |  SELECT label::BIGINT AS bucket, u.i AS dim, avg(w.v[u.i]) AS m
+        |  FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings) w,
+        |       LATERAL (SELECT unnest(generate_series(1, len(w.v))) AS i) u
+        |  GROUP BY 1, 2
+        |), c AS (
+        |  SELECT bucket, list(m ORDER BY dim) AS centroid FROM x GROUP BY 1
+        |), s AS (
+        |  SELECT e.vec_id, c.bucket,
+        |    floor((list_dot_product(e.v, c.centroid)
+        |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centroid, c.centroid))))*10000 + 0.5)/10000 AS simr
+        |  FROM e CROSS JOIN c
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY simr DESC, bucket) AS rn FROM s
+        |), asg AS (
+        |  SELECT vec_id, bucket FROM r WHERE rn = 1
+        |), m2 AS (
+        |  SELECT asg.vec_id, asg.bucket, e.v, sqrt(list_dot_product(e.v, e.v)) AS nn
+        |  FROM asg JOIN e ON asg.vec_id = e.vec_id
+        |), p AS (
+        |  SELECT x2.bucket, x2.vec_id AS i, y2.vec_id AS j,
+        |    list_dot_product(x2.v, y2.v)/(x2.nn*y2.nn) AS cos
+        |  FROM m2 x2 JOIN m2 y2 ON x2.bucket = y2.bucket AND x2.vec_id < y2.vec_id
+        |)
+        |SELECT bucket, j AS vec_id, min(i) AS dup_of,
+        |  floor(max(cos)*10000 + 0.5)/10000 AS max_cos,
+        |  count(*)::BIGINT AS n_dups
+        |FROM p WHERE cos >= 0.25
+        |GROUP BY 1, 2""".stripMargin,
     "q38_embed_neardup" ->
       """WITH t AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nn FROM t)
