@@ -369,7 +369,159 @@ object RelationalQueries {
         count(lit(1)).as("n_rows"))
   }
 
+  // q131 — TPC-H Q2 shape (minimum-cost supplier): for each LARGE
+  // mid-size part, the EUROPE supplier(s) achieving the minimum
+  // supply cost — the correlated-MIN-subquery classic. The oracle
+  // states the correlated form verbatim; the engine decorrelates it
+  // into a per-part min over the region-filtered supply relation plus
+  // an equality join-back, the plan every optimizer targets. The
+  // driver schema has no partsupp, so the supply relation is DERIVED:
+  // min(l_extendedprice) per observed (l_partkey, l_suppkey) pair —
+  // same shape, same decorrelation. Cost stays exact decimal, so the
+  // argmin equality join is decimal = decimal (no ulp roulette).
+  // Scale: one partial-agg shuffle builds the supply relation;
+  // part/supplier/nation/region all broadcast; the join-back joins
+  // the region-filtered supply against a per-part aggregate of
+  // itself (dim-sized at any fact volume).
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .filter(col("p_type") === "LARGE" && col("p_size").between(10, 20))
+      .select(col("p_partkey"), col("p_brand"))
+    val sup = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("s_nationkey"))
+    val n = Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val r = Tables.region(s, dir).filter(col("r_name") === "EUROPE")
+      .select(col("r_regionkey"))
+    val euro = li(s, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice").cast("decimal(18,2)")).as("cost"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val minc = euro.groupBy(col("l_partkey").as("mk")).agg(min(col("cost")).as("min_cost"))
+    euro.join(broadcast(minc),
+        col("l_partkey") === col("mk") && col("cost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"), col("p_brand"),
+        col("cost").cast("double").as("cost"))
+  }
+
+  // q132 — TPC-H Q9 shape (product-type profit): profit by supplier
+  // nation and order year over parts whose NAME matches a LIKE
+  // pattern — the classic multi-fact profit rollup with a
+  // substring-filtered dim pruning the fact scan. No partsupp, so the
+  // cost side is the deterministic proxy p_retailprice * l_quantity
+  // (a per-part list cost — same join shape, same arithmetic
+  // structure as ps_supplycost * l_quantity). Revenue and cost both
+  // run exact decimal through the sum; one r2 at the end. Scale:
+  // the LIKE-filtered part dim broadcasts and prunes lineitem before
+  // the orderkey shuffle; supplier/nation broadcast.
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).filter(col("p_name").like("%gear%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    val amount = (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(28,4)") -
+      (col("p_retailprice").cast("decimal(18,2)") * col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(28,4)")
+    li(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o2(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(r2(sum(amount).cast("double")).as("sum_profit"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  // q133 — TPC-H Q11 shape (important stock): parts whose value,
+  // supplied by ONE nation's suppliers, exceeds a fixed fraction of
+  // that nation's total supplied value — the HAVING-against-a-global-
+  // scalar shape. The scalar total rides a 1-row broadcast cross
+  // join; the fraction compare runs in integer ten-thousandths
+  // ((value*10000)::BIGINT), so the gate is exact integer arithmetic
+  // on both engines — no decimal-width rules, no double drift at the
+  // boundary. Scale: the nation's supplier set broadcasts and prunes
+  // the fact scan; one (partkey) partial-agg shuffle; the total is a
+  // re-aggregate of the part-level aggregate, not a second fact pass.
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val v = li(s, dir)
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(28,4)")).as("val"))
+      .select(col("l_partkey"), col("val"),
+        (col("val") * lit(10000)).cast("long").as("val_u"))
+    val tot = v.agg(sum(col("val_u")).as("total_u"))
+    v.crossJoin(broadcast(tot))
+      .filter(col("val_u") * 1000 > col("total_u"))
+      .select(col("l_partkey").as("p_partkey"),
+        r2(col("val").cast("double")).as("value"))
+  }
+
+  // q134 — TPC-H Q16 shape (supplier count by part attributes): how
+  // many distinct suppliers can furnish each surviving (brand, type,
+  // size) bucket, EXCLUDING a blacklisted supplier set — the
+  // anti-join + COUNT(DISTINCT) shape. The supply relation is the
+  // distinct observed (part, supplier) pair set (no partsupp); the
+  // blacklist (negative-balance suppliers — the schema's analogue of
+  // Q16's complaint scan) anti-joins BEFORE the part join. Scale:
+  // distinct pair build is one shuffle of the two key columns only;
+  // blacklist and filtered part dim broadcast; the count-distinct
+  // groups are bounded by the part dim, not the fact table.
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    val excl = Tables.supplier(s, dir).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    val p = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#1" &&
+        col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    li(s, dir).select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  // q135 — TPC-H Q20 shape (excess-stock suppliers): suppliers of one
+  // nation who DOMINATED some part's supply in a ship-year — the
+  // nested-IN-with-correlated-aggregate-threshold classic. Q20's
+  // `ps_availqty > 0.5 * sum(l_quantity)` becomes, on this schema,
+  // `pair quantity * 2 > part total quantity` within the window —
+  // decorrelated to two aggregates of the SAME filtered scan joined
+  // on partkey. Quantities are integral: they sum as BIGINT, so the
+  // half-share gate is pure integer arithmetic. Scale: one filtered
+  // fact pass feeds both aggregates (partial-agg shuffles on
+  // (part, supp) and (part)); the dominant-supplier set is
+  // supplier-dim-sized and the final semi-join is broadcast.
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    val win = li(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity").cast("long").as("q"))
+    val ps = win.groupBy(col("l_partkey"), col("l_suppkey")).agg(sum(col("q")).as("pq"))
+    val pt = win.groupBy(col("l_partkey").as("tk")).agg(sum(col("q")).as("tq"))
+    val dominant = ps.join(pt, col("l_partkey") === col("tk"))
+      .filter(col("pq") * 2 > col("tq"))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(dominant), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"), col("n_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_tpch_q2" -> q131 _,
+    "q132_tpch_q9" -> q132 _,
+    "q133_tpch_q11" -> q133 _,
+    "q134_tpch_q16" -> q134 _,
+    "q135_tpch_q20" -> q135 _,
     "q121_stats_pruned_scan" -> q121 _,
     "q111_tpch_q6" -> q111 _,
     "q112_tpch_q12" -> q112 _,
@@ -388,6 +540,79 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q131_tpch_q2" ->
+      // the oracle keeps Q2's correlated MIN subquery verbatim; the
+      // engine ships the decorrelated plan — equality is the point
+      """WITH supply AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice::DECIMAL(18,2)) AS cost
+        |  FROM lineitem GROUP BY 1, 2
+        |), euro AS (
+        |  SELECT sp.l_partkey, s_acctbal, s_name, n_name, p_brand, cost
+        |  FROM supply sp
+        |  JOIN supplier ON sp.l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |  JOIN part ON sp.l_partkey = p_partkey
+        |    AND p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+        |)
+        |SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, p_brand,
+        |  cost::DOUBLE AS cost
+        |FROM euro e
+        |WHERE cost = (SELECT min(cost) FROM euro e2 WHERE e2.l_partkey = e.l_partkey)""".stripMargin,
+    "q132_tpch_q9" ->
+      """SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+        |  floor(sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,4)
+        |          - (p_retailprice::DECIMAL(18,2) * l_quantity::DECIMAL(18,2))::DECIMAL(28,4)
+        |        )::DOUBLE*100 + 0.5)/100 AS sum_profit,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%gear%'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q133_tpch_q11" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,4)) AS val
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_7'
+        |  GROUP BY 1
+        |), u AS (
+        |  SELECT l_partkey, val, (val * 10000)::BIGINT AS val_u FROM v
+        |)
+        |SELECT l_partkey AS p_partkey,
+        |  floor(val::DOUBLE*100 + 0.5)/100 AS value
+        |FROM u
+        |WHERE val_u * 1000 > (SELECT sum(val_u) FROM u)""".stripMargin,
+    "q134_tpch_q16" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |)
+        |SELECT p_brand, p_type, p_size::BIGINT AS p_size,
+        |  count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        |FROM pairs
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q135_tpch_q20" ->
+      """WITH w AS (
+        |  SELECT l_partkey, l_suppkey, l_quantity::BIGINT AS q
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |), ps AS (
+        |  SELECT l_partkey, l_suppkey, sum(q) AS pq FROM w GROUP BY 1, 2
+        |), pt AS (
+        |  SELECT l_partkey, sum(q) AS tq FROM w GROUP BY 1
+        |)
+        |SELECT s_name, s_acctbal, n_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        |WHERE s_suppkey IN (
+        |  SELECT ps.l_suppkey FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey
+        |  WHERE ps.pq * 2 > pt.tq)""".stripMargin,
     "q121_stats_pruned_scan" ->
       // the pruned read is a pure scan-economy change: the oracle is
       // the same predicate + rollup over the raw table
