@@ -89,7 +89,7 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$dstS/documents.parquet")
     }
     // dims copy verbatim: they stay dim-sized at any fact scale
-    Seq("customer", "nation", "supplier", "part").foreach { t =>
+    Seq("customer", "nation", "supplier", "part", "region").foreach { t =>
       core.Tables(spark, src, t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
     println(f"[scale] replicate x$reps ${(System.nanoTime() - t0) / 1e9}%.1f s")
@@ -181,6 +181,16 @@ object ScaleProbe {
     // the paper's rule (k grows with the corpus) keeps populations
     // flat; this measures the blocked join surviving the squeeze
     time("q130_semantic_dedup") { q("q130_semantic_dedup") }
+    // TPC-H finishers: q131/q133/q134's supply relations are
+    // (part, supp)-pair aggregates — dim-x-dim sized at any fact
+    // volume once the partial agg collapses the scan; q135 feeds two
+    // aggregates from one filtered pass; q132 is the multi-fact
+    // profit rollup whose LIKE-pruned part dim gates the fact early
+    time("q131_tpch_q2") { q("q131_tpch_q2") }
+    time("q132_tpch_q9") { q("q132_tpch_q9") }
+    time("q133_tpch_q11") { q("q133_tpch_q11") }
+    time("q134_tpch_q16") { q("q134_tpch_q16") }
+    time("q135_tpch_q20") { q("q135_tpch_q20") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

@@ -380,9 +380,12 @@ object RelationalQueries {
   // same shape, same decorrelation. Cost stays exact decimal, so the
   // argmin equality join is decimal = decimal (no ulp roulette).
   // Scale: one partial-agg shuffle builds the supply relation;
-  // part/supplier/nation/region all broadcast; the join-back joins
-  // the region-filtered supply against a per-part aggregate of
-  // itself (dim-sized at any fact volume).
+  // part/supplier/nation/region all broadcast; the per-part min rides
+  // a WINDOW over the filtered supply rather than a second aggregate
+  // + join-back — an aggregate arm would re-execute the whole
+  // supply lineage (the documented two-consumer trap) and its groups
+  // here are per-PART (many, small), so the window has no key
+  // ceiling.
   private def q131(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir)
       .filter(col("p_type") === "LARGE" && col("p_size").between(10, 20))
@@ -400,9 +403,10 @@ object RelationalQueries {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-    val minc = euro.groupBy(col("l_partkey").as("mk")).agg(min(col("cost")).as("min_cost"))
-    euro.join(broadcast(minc),
-        col("l_partkey") === col("mk") && col("cost") === col("min_cost"))
+    euro
+      .withColumn("min_cost", min(col("cost")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))))
+      .filter(col("cost") === col("min_cost"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
         col("l_partkey").as("p_partkey"), col("p_brand"),
         col("cost").cast("double").as("cost"))

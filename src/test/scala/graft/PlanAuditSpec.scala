@@ -331,6 +331,36 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 6, s"exchange blowup:\n$p")
   }
 
+  test("q131 Q2 argmin: supply relation pre-aggregates below broadcast dim joins") {
+    val p = plan("q131_tpch_q2")
+    // the (part, supp) min-cost aggregate must sit UNDER the dim
+    // joins (one fact shuffle), and every dim + the per-part min
+    // join-back must broadcast — no shuffled dim joins
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"a dim join shuffled:\n$p")
+    // one supply-agg exchange + one per-part window exchange — an
+    // aggregate+join-back argmin would re-execute the supply lineage
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"supply lineage re-executed (two-consumer trap):\n$p")
+  }
+
+  test("q134 Q16: blacklist anti-join is broadcast, distinct pairs shuffle only two columns") {
+    val p = plan("q134_tpch_q16")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"blacklist should anti-join via broadcast:\n$p")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.split(",").length <= 2, s"pair build reads more than two fact columns: $read")
+  }
+
+  test("q135 Q20: one filtered fact scan feeds both threshold aggregates") {
+    val p = plan("q135_tpch_q20")
+    // both the (part, supp) and (part) aggregates must read a
+    // shipdate-filtered scan with the predicate pushed down
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p).isDefined,
+      s"window predicate not pushed to the scan:\n$p")
+    assert(p.contains("LeftSemi"), s"supplier gate should be a semi join:\n$p")
+  }
+
   test("q110 corr matrix: the pair join runs on the volume-independent bin aggregate") {
     val p = plan("q110_corr_matrix")
     // the (type, minute) pre-aggregate must sit BELOW the self-join —
