@@ -186,6 +186,9 @@ object ScaleProbe {
     // volume once the partial agg collapses the scan; q135 feeds two
     // aggregates from one filtered pass; q132 is the multi-fact
     // profit rollup whose LIKE-pruned part dim gates the fact early
+    // q136's two medians are rank selections over globalRank — the
+    // keys x value-buckets shape; no per-key sort at any volume
+    time("q136_mad_outliers") { q("q136_mad_outliers") }
     time("q131_tpch_q2") { q("q131_tpch_q2") }
     time("q132_tpch_q9") { q("q132_tpch_q9") }
     time("q133_tpch_q11") { q("q133_tpch_q11") }

@@ -263,7 +263,46 @@ object PipelineQueries {
       .select(col("frame"), col("check_name"), col("violations"), col("n_rows"), col("pass"))
   }
 
+  // q136 — MAD ROBUST OUTLIERS per key: median absolute deviation,
+  // the robust companion to q122's moment checks — mean/stddev gates
+  // are dragged by the very outliers they hunt, while median/MAD have
+  // a 50% breakdown point. Both medians are DISCRETE rank selections
+  // (the element at rank (n+1) DIV 2 under a deterministic total
+  // order — the Checks.QuantileWithin convention), so they are exact
+  // decimal values both engines agree on bitwise; the outlier gate
+  // |x - med| > 3*MAD is exact decimal arithmetic throughout.
+  // Scale shape: NO per-key sort anywhere — both rank selections ride
+  // ChunkedFrame.globalRank (keys x value-buckets parallelism), the
+  // 5-row median/MAD tables broadcast back, and the final pass is one
+  // partial aggregate. A quantile SKETCH (q85) answers the same
+  // question approximately in one pass; this is the exact path.
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ChunkedFrame
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        col("value").cast("decimal(18,4)").as("vd"))
+    val counts = base.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    def rankSelect(df: DataFrame, valCol: String): DataFrame =
+      ChunkedFrame.globalRank(df, "event_type", floor(col(valCol)), Seq(valCol, "event_id"))
+        .join(broadcast(counts), Seq("event_type"))
+        .filter(col("__g") === expr("(cnt + 1) DIV 2 - 1"))
+        .select(col("event_type"), col(valCol))
+    val med = rankSelect(base, "vd").withColumnRenamed("vd", "med")
+    val dev = base.join(broadcast(med), Seq("event_type"))
+      .withColumn("ad", abs(col("vd") - col("med")))
+    val mad = rankSelect(dev.select(col("event_id"), col("event_type"), col("ad")), "ad")
+      .withColumnRenamed("ad", "mad")
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        min(col("med")).cast("double").as("med"),
+        min(col("mad")).cast("double").as("mad"),
+        sum(when(col("ad") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n_rows"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_mad_outliers" -> q136 _,
     "q122_drift_gate" -> q122 _,
     "q119_quality_checks" -> q119 _,
     "q94_weighted_sample" -> q94 _,
@@ -278,6 +317,34 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q136_mad_outliers" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, value::DECIMAL(18,4) AS vd FROM events
+        |), n AS (
+        |  SELECT event_type, count(*) AS cnt FROM e GROUP BY 1
+        |), r1 AS (
+        |  SELECT event_type, vd,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY vd, event_id) AS rn
+        |  FROM e
+        |), med AS (
+        |  SELECT r1.event_type, vd AS med FROM r1 JOIN n USING (event_type)
+        |  WHERE rn = (cnt + 1) // 2
+        |), d AS (
+        |  SELECT e.event_id, e.event_type, abs(e.vd - med) AS ad
+        |  FROM e JOIN med USING (event_type)
+        |), r2 AS (
+        |  SELECT event_type, ad,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ad, event_id) AS rn
+        |  FROM d
+        |), mad AS (
+        |  SELECT r2.event_type, ad AS mad FROM r2 JOIN n USING (event_type)
+        |  WHERE rn = (cnt + 1) // 2
+        |)
+        |SELECT d.event_type, min(med)::DOUBLE AS med, min(mad)::DOUBLE AS mad,
+        |  sum(CASE WHEN ad > mad * 3 THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+        |  count(*) AS n_rows
+        |FROM d JOIN mad USING (event_type) JOIN med USING (event_type)
+        |GROUP BY 1""".stripMargin,
     "q122_drift_gate" ->
       """WITH ref AS (
         |  SELECT value FROM events WHERE ts::TIMESTAMP < TIMESTAMP '2024-01-16'
