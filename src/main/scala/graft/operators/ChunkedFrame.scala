@@ -149,6 +149,68 @@ object ChunkedFrame {
         sum(v * v).over(wFrame).as("s2"))
     }
 
+  /** Adds `outCol` — the RUNNING maximum of `valCol` per `keyCol`
+    * under `orderCols`, equal to `max(valCol) over (partitionBy(key)
+    * orderBy(order) rowsBetween(unboundedPreceding, currentRow))` bit
+    * for bit — WITHOUT the per-key single-task sort that makes the
+    * direct window a ceiling on low-cardinality keys (the q108/q109
+    * finding: five event types at 100x = five ~2M-row sort tasks).
+    *
+    * Running max is associative and order-insensitive within any
+    * prefix split, so the unbounded frame needs NONE of the
+    * block-and-halo machinery of `withTrailingEval`: the prefix
+    * decomposes exactly at chunk boundaries.
+    *
+    *  1. a LOCAL running max inside (key, chunk) runs keys x chunks
+    *     tasks wide — each task sorts one chunk, not one key;
+    *  2. per-(key, chunk) maxes — a chunk-count-sized table — take an
+    *     EXCLUSIVE prefix-max per key: each chunk learns the max of
+    *     everything before it (the `globalRank` offset idiom with max
+    *     in place of sum);
+    *  3. running max = greatest(local, prior-chunk prefix) — pure
+    *     per-row arithmetic after a broadcast join on (key, chunk).
+    *
+    * max over doubles/decimals is EXACT (no summation-order effects),
+    * so chunked ≡ direct needs no decimal detour. Null semantics
+    * match the window's too: `max` ignores nulls and `greatest`
+    * skips null arguments, so a row whose prefix is all-null gets
+    * null in both plans. Running min and running decimal sum follow
+    * the same idiom (least / coalesce+plus in step 3); they get
+    * siblings when a query needs them.
+    *
+    * `chunk` must be monotonic non-decreasing in the order prefix
+    * (rows that share order-column values must share a chunk), same
+    * contract as every entry point here. */
+  def withRunningMax(df: DataFrame, keyCol: String, chunk: Column,
+                     orderCols: Seq[String], valCol: String,
+                     outCol: String): DataFrame = {
+    val k = col(keyCol)
+    val v = col(valCol)
+    val withChunk = df.withColumn("__chunk", chunk)
+
+    // 1. local running max, keys x chunks wide
+    val wLocal = Window.partitionBy(k, col("__chunk"))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = withChunk.withColumn("__lm", max(v).over(wLocal))
+
+    // 2. exclusive per-key prefix-max over the tiny (key, chunk) max
+    // table. Counts come from the SOURCE frame (column-pruned scan),
+    // never from `local` — the two-consumer re-execution trap.
+    val wPrev = Window.partitionBy(col(s"__p_$keyCol")).orderBy(col("__p_chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prior = withChunk.groupBy(k.as(s"__p_$keyCol"), col("__chunk").as("__p_chunk"))
+      .agg(max(v).as("__cm"))
+      .withColumn("__pm", max(col("__cm")).over(wPrev))
+      .drop("__cm")
+
+    // 3. per-row combine; greatest skips the null first-chunk prefix
+    local.join(broadcast(prior),
+        k === col(s"__p_$keyCol") && col("__chunk") === col("__p_chunk"))
+      .withColumn(outCol, greatest(col("__lm"), col("__pm")))
+      .drop(s"__p_$keyCol", "__p_chunk", "__pm", "__lm", "__chunk")
+  }
+
   /** Adds `sg`, `sl`, `n_d` — the gain sum, loss sum, and non-null
     * diff count over the trailing `width+1`-diff frame of the
     * first-difference series of `valCol` (a decimal column): the

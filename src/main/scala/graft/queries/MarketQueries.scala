@@ -66,16 +66,20 @@ object MarketQueries {
   // detour; the per-row ratio is one IEEE division of identical
   // doubles. The zero-peak guard covers leading all-zero prefixes
   // (value >= 0 in this feed): drawdown is 0 by convention there on
-  // both engines, instead of an engine-specific 0/0. Scale shape: one
-  // shuffle on event_type, per-key sort, then a map-side re-aggregate
-  // of the 5-row summary.
+  // both engines, instead of an engine-specific 0/0. Scale shape: the
+  // running peak evaluates through ChunkedFrame.withRunningMax — a
+  // direct Window.partitionBy(event_type) would sort each key's
+  // ENTIRE history in one task (five event types at 100x = five
+  // ~2M-row tasks, the q108 ceiling); the two-level prefix-max keeps
+  // parallelism proportional to volume/chunk. max is exact on
+  // doubles, so chunked ≡ direct bitwise (ChunkedFrameSpec pins it);
+  // the 5-row summary re-aggregates map-side.
   private def q109(s: SparkSession, dir: String): DataFrame = {
-    val run = Window.partitionBy(col("event_type"))
-      .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev(s, dir)
-      .select(col("event_type"), col("value"),
-        max(col("value")).over(run).as("peak"))
+    graft.operators.ChunkedFrame.withRunningMax(
+      ev(s, dir).select(col("event_type"), col("ts"), col("event_id"), col("value")),
+      keyCol = "event_type", chunk = date_trunc("hour", col("ts")),
+      orderCols = Seq("ts", "event_id"), valCol = "value", outCol = "peak")
+      .select(col("event_type"), col("value"), col("peak"))
       .withColumn("dd",
         when(col("peak") > 0, (col("peak") - col("value")) / col("peak"))
           .otherwise(lit(0d)))

@@ -135,6 +135,58 @@ class ChunkedFrameSpec extends SparkSpec {
     assert(diff.isEmpty, "derived ntile must match native ntile for all group sizes")
   }
 
+  test("chunked running max equals the direct unbounded window on real events") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+    val run = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val a = ev.select(col("event_id"), col("event_type"),
+      max(col("value")).over(run).as("peak"))
+    val b = ChunkedFrame.withRunningMax(ev, "event_type",
+      date_trunc("hour", col("ts")), Seq("ts", "event_id"), "value", "peak")
+      .select(a.columns.map(col): _*)
+    assert(a.count() == b.count() && a.count() > 0)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "chunked running max must be bit-identical to the direct window")
+  }
+
+  test("running max: sparse chunks, ties, and null prefixes compose exactly") {
+    // 1 row/hour-chunk (every prefix crosses chunk boundaries), value
+    // ties across chunks, and a leading all-null run per key — the
+    // null-semantics edge where greatest() must reproduce max()'s
+    // ignore-nulls behavior.
+    val ev = spark.range(0, 300).select(
+      col("id").as("event_id"),
+      (col("id") % 3).cast("string").as("event_type"),
+      (lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).cast("long")
+        + col("id") * 3600).cast("timestamp").as("ts"),
+      when(col("id") < 30, lit(null).cast("double"))
+        .otherwise((col("id") * 37 % 100).cast("double")).as("value"))
+    val run = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val a = ev.select(col("event_id"), col("event_type"),
+      max(col("value")).over(run).as("peak"))
+    val b = ChunkedFrame.withRunningMax(ev, "event_type",
+      date_trunc("hour", col("ts")), Seq("ts", "event_id"), "value", "peak")
+      .select(a.columns.map(col): _*)
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("running max never partitions a window by the bare key") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+    val plan = ChunkedFrame.withRunningMax(ev, "event_type",
+      date_trunc("hour", col("ts")), Seq("ts", "event_id"), "value", "peak")
+      .queryExecution.optimizedPlan.toString
+    val windowSpecs = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowSpecs.nonEmpty)
+    windowSpecs.foreach { l =>
+      assert(!l.matches(".*windowspecdefinition\\(event_type#\\d+, [a-z_]+#\\d+L? ASC.*"),
+        s"window partitions by bare key:\n$l")
+    }
+  }
+
   test("the frame window never partitions by the bare key (the parallelism ceiling)") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("vd", col("value").cast("decimal(18,4)"))
