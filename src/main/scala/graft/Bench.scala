@@ -82,7 +82,15 @@ object Bench {
     // makes them the battery's slowest entries while hiding the number
     // that matters at 100 TB: serving against a PREBUILT index. Build
     // once here, measure the steady-state serve path separately.
-    if (only.isEmpty) {
+    // Split lines are MEASURED here but PRINTED after the canonical
+    // compact line: the driver archives only the final ~2k chars of
+    // output, and anything printed before the compact totals can fall
+    // out of that window (BENCH_r08 silently lost the BENCH_ANN line
+    // that way).
+    var splitLines = List.empty[String]
+    // SPARK_GRAFT_SPLIT=1 forces the split block under SPARK_GRAFT_ONLY
+    // (local smoke-testing of the split path without the full battery)
+    if (only.isEmpty || sys.env.contains("SPARK_GRAFT_SPLIT")) {
       import graft.functions.{ProductQuant, Similarity}
       import org.apache.spark.sql.functions.col
       val e = graft.core.Tables.embeddings(spark, sfDir)
@@ -105,8 +113,30 @@ object Bench {
       val buildIvf = buildPq + (System.nanoTime() - tc) / 1e9
       val serveIvf = time2(run(ProductQuant.ivfPqServe(
         q, e, codes, book, cents, "vec_id", "embedding", "label", 16, 64, 2, 25, 5)))
-      println(s"""BENCH_ANN {"q104_build":${r3(buildPq)},"q104_serve":${r3(servePq)},""" +
-        s""""q118_build":${r3(buildIvf)},"q118_serve":${r3(serveIvf)}}""")
+      splitLines :+= s"""BENCH_ANN {"q104_build":${r3(buildPq)},"q104_serve":${r3(servePq)},""" +
+        s""""q118_build":${r3(buildIvf)},"q118_serve":${r3(serveIvf)}}"""
+      spark.catalog.clearCache()
+      System.gc()
+      // q121's measured entry charges the 16-file layout rewrite +
+      // catalog build to every run (its oracle-replay contract); the
+      // number that matters at 100 TB is the PRUNED READ against a
+      // standing layout. Split them the same way as ANN build/serve.
+      import org.apache.spark.sql.functions.{count => fcount, lit => flit, sum => fsum}
+      val layout = "/tmp/graft_bench_q121"
+      val t121 = System.nanoTime()
+      graft.core.Tables.lineitem(spark, sfDir)
+        .repartitionByRange(16, col("l_shipdate"))
+        .write.mode("overwrite").parquet(layout)
+      val stats121 = graft.sources.StatsCatalog.build(spark, layout, Seq("l_shipdate"))
+      val build121 = (System.nanoTime() - t121) / 1e9
+      val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("1996-03-31 23:59:59")
+      val read121 = time2(run(
+        graft.sources.StatsCatalog.prunedRead(spark, layout, stats121, "l_shipdate", lo, hi)
+          .groupBy(col("l_returnflag"))
+          .agg(fsum((col("l_extendedprice") * (flit(1) - col("l_discount"))).cast("decimal(28,4)")).as("revenue"),
+            fcount(flit(1)).as("n_rows"))))
+      splitLines :+= s"""BENCH_Q121 {"q121_build":${r3(build121)},"q121_pruned_read":${r3(read121)}}"""
       spark.catalog.clearCache()
       System.gc()
     }
@@ -125,6 +155,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Split lines AFTER the compact line so they sit inside the
+    // driver's archived tail (they are short; the parseable compact
+    // line above still leads the window).
+    splitLines.foreach(println)
     spark.stop()
   }
 }

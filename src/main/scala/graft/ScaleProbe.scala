@@ -53,7 +53,14 @@ object ScaleProbe {
       }.reduce(_ unionByName _)
       out.write.mode("overwrite").parquet(s"$dst/$table.parquet")
     }
+    // SPARK_GRAFT_REUSE=1: skip replication when the replica dir is
+    // already on disk from a prior probe run (saves ~6 min at 100x
+    // when iterating on query plans, not on the replication itself)
+    val dstS = s"$dst-salted"
+    val reuse = sys.env.contains("SPARK_GRAFT_REUSE") &&
+      new java.io.File(s"$dst/lineitem.parquet").exists()
     val t0 = System.nanoTime()
+    if (!reuse) {
     replicate("lineitem", Seq("l_orderkey"), 100000000L)
     replicate("orders", Seq("o_orderkey"), 100000000L) // o_custkey stays -> joins fan out per replica
     replicate("events", Seq("event_id"), 100000000L)
@@ -78,7 +85,6 @@ object ScaleProbe {
     // asked, not a plan defect. (A light salt is not enough either: a
     // doc plus one appended token is still a 0.94-jaccard near-dup of
     // its source.)
-    val dstS = s"$dst-salted"
     locally {
       val base = core.Tables(spark, src, "documents")
       (0 until reps).map { r =>
@@ -92,7 +98,8 @@ object ScaleProbe {
     Seq("customer", "nation", "supplier", "part", "region").foreach { t =>
       core.Tables(spark, src, t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
-    println(f"[scale] replicate x$reps ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    println(f"[scale] replicate x$reps ${(System.nanoTime() - t0) / 1e9}%.1f s reused=$reuse")
 
     // noop sink: full materialization, no column pruning of the
     // aggregates under measurement (same action as Bench)
@@ -151,6 +158,27 @@ object ScaleProbe {
     // full PQ train+encode+serve pipeline whose fan-out scales with
     // corpus x cells.
     time("q108_rolling_bands") { q("q108_rolling_bands") }
+    // q109 rides ChunkedFrame.withRunningMax since round 9 — the
+    // running peak evaluates keys x hour-chunks wide, not one task
+    // per event type (the pre-fix shape was the q108 ceiling). The
+    // _direct entry measures the PRE-FIX bare-key window on the same
+    // data for the BASELINE.md before/after row.
+    time("q109_drawdown") { q("q109_drawdown") }
+    time("q109_direct_window") {
+      import org.apache.spark.sql.expressions.Window
+      val run = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      core.Tables.events(spark, dst)
+        .select(col("event_type"), col("value"),
+          max(col("value")).over(run).as("peak"))
+        .withColumn("dd",
+          when(col("peak") > 0, (col("peak") - col("value")) / col("peak"))
+            .otherwise(lit(0d)))
+        .groupBy(col("event_type"))
+        .agg(max(col("peak")).as("max_peak"), max(col("dd")).as("max_dd"),
+          count(lit(1)).as("n_rows"))
+    }
     time("q110_corr_matrix") { q("q110_corr_matrix") }
     time("q111_tpch_q6") { q("q111_tpch_q6") }
     time("q105_kmv_setops") { q("q105_kmv_setops") }
@@ -181,6 +209,11 @@ object ScaleProbe {
     // the paper's rule (k grows with the corpus) keeps populations
     // flat; this measures the blocked join surviving the squeeze
     time("q130_semantic_dedup") { q("q130_semantic_dedup") }
+    // q137 is the growing-k answer to q130's fixed-k squeeze: k =
+    // ceil(n/100) scales with the replicated corpus, so cluster
+    // populations — and the per-cluster pair quadratic — stay FLAT;
+    // the n x k assignment stays map-side against broadcast centroids
+    time("q137_semdedup_growk") { q("q137_semdedup_growk") }
     // TPC-H finishers: q131/q133/q134's supply relations are
     // (part, supp)-pair aggregates — dim-x-dim sized at any fact
     // volume once the partial agg collapses the scan; q135 feeds two

@@ -194,24 +194,42 @@ object Similarity {
     * Returns the final (id, bucket, sim), persisted; caller owns
     * unpersisting it. */
   def lloydIterate(vectors: DataFrame, idCol: String, vecCol: String, initBucketCol: String,
-                   iters: Int): DataFrame = {
+                   iters: Int, kernelGate: Long = 1L << 17): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     var cur = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
       col(initBucketCol).cast("long").as("bucket"), lit(null).cast("double").as("sim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Regime gate, decided ONCE on the seed bucket count (assignment
+    // never invents buckets, so k only shrinks across rounds): at
+    // broadcast-sized k the reassignment is the CentroidAssign codegen
+    // kernel — one map pass, zero intermediate rows (the join
+    // formulation materializes |corpus| x k wide rows through a
+    // groupBy and measured a 10 GB spill at the 100x growing-k probe);
+    // past the gate the join plan stands, k-rows-at-a-time
+    // distributed. Both produce bitwise-identical assignments
+    // (FunctionsSpec pins kernel == join on real embeddings).
+    val useKernel = cur.select(col("bucket")).distinct().count() <= kernelGate
     for (_ <- 1 to iters) {
       val cents = centroids(cur, "v", "bucket")
-      // the vector rides the per-id aggregate as first(v) — carrying
-      // it through the one unavoidable exchange instead of paying a
-      // second id-to-id join to re-attach it each iteration
-      val next = cur.select(col("id"), col("v"))
-        .crossJoin(broadcast(cents.withColumnRenamed("bucket", "cb")))
-        .withColumn("simr", floor(cosine(col("v"), col("centroid")) * lit(1e4) + lit(0.5)) / lit(1e4))
-        .groupBy(col("id"))
-        .agg(first(col("v")).as("v"),
-          min_by(struct(col("cb"), col("simr")), struct((-col("simr")).as("ns"), col("cb"))).as("t"))
-        .select(col("id"), col("v"), col("t.cb").cast("long").as("bucket"), col("t.simr").as("sim"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next = (if (useKernel) {
+        val book = CentroidAssign.fromCentroids(cents)
+        cur.select(col("id"), col("v"))
+          .withColumn("__pk", CentroidAssign.column(col("v"), book))
+          .select(col("id"), col("v"),
+            expr("__pk DIV 100000").as("bucket"), // DIV: `/` on columns is double division
+            ((col("__pk") % lit(100000L) - lit(10000L)).cast("double") / lit(1e4)).as("sim"))
+      } else {
+        // the vector rides the per-id aggregate as first(v) — carrying
+        // it through the one unavoidable exchange instead of paying a
+        // second id-to-id join to re-attach it each iteration
+        cur.select(col("id"), col("v"))
+          .crossJoin(broadcast(cents.withColumnRenamed("bucket", "cb")))
+          .withColumn("simr", floor(cosine(col("v"), col("centroid")) * lit(1e4) + lit(0.5)) / lit(1e4))
+          .groupBy(col("id"))
+          .agg(first(col("v")).as("v"),
+            min_by(struct(col("cb"), col("simr")), struct((-col("simr")).as("ns"), col("cb"))).as("t"))
+          .select(col("id"), col("v"), col("t.cb").cast("long").as("bucket"), col("t.simr").as("sim"))
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       next.count()
       cur.unpersist(blocking = false)
       cur = next

@@ -370,6 +370,45 @@ object ExtensionQueries {
         count(lit(1)).as("n_dups"))
   }
 
+  // q137 — GROWING-K SEMANTIC DEDUP: q130 with the SemDeDup paper's
+  // actual scaling rule (Abbas et al. 2023, arXiv:2303.09540 §2: k is
+  // chosen proportional to corpus size, keeping cluster populations —
+  // and the within-cluster pair quadratic — FLAT as the corpus
+  // grows). q130 blocks on the testdata's FIXED label clusters, so
+  // its per-cluster population grows linearly with volume and the
+  // pair work quadratically (the measured 100x squeeze); here
+  // k = ceil(n / 100) derives from the corpus itself and the blocking
+  // is a real 2-round Lloyd k-means (`Similarity.lloydIterate`) from
+  // a deterministic vec_id % k seeding. Every stage is replayed by
+  // the oracle: seed assignment, both centroid recomputations
+  // (per-dim avg), both reassignments (1e-4-rounded cosine, min
+  // bucket tiebreak — the engine-portable argmax rule), and the
+  // within-cluster pair scan with the q130 drop rule. Scale shape:
+  // assignment is n x k map-side work against a broadcast centroid
+  // table (k rows — index-sized at any volume); the pair join
+  // shuffles on bucket once and its per-task quadratic is capped by
+  // the FLAT target population, so total pair work stays linear in n.
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val targetPop = 100L
+    val n = e.count() // one column-pruned count scan; k must be a plan literal
+    val k = math.max(1L, (n + targetPop - 1) / targetPop)
+    val asg = Similarity.lloydIterate(
+      e.withColumn("b0", col("vec_id") % k), "vec_id", "embedding", "b0", iters = 2)
+    val m = e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .join(asg.drop("sim"), col("vec_id") === col("id")).drop("id")
+      .withColumn("nn", Similarity.l2norm(col("v")))
+    val a = m.select(col("bucket"), col("vec_id").as("i"), col("v").as("va"), col("nn").as("na"))
+    val b = m.select(col("bucket"), col("vec_id").as("j"), col("v").as("vb"), col("nn").as("nb"))
+    a.join(b, Seq("bucket")).filter(col("i") < col("j"))
+      .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.25)
+      .groupBy(col("bucket"), col("j").as("vec_id"))
+      .agg(min(col("i")).as("dup_of"),
+        r4(max(col("cos"))).as("max_cos"),
+        count(lit(1)).as("n_dups"))
+  }
+
   // q106 — BPE TOKENIZER TRAINING: 12 merge rounds of the iterative
   // highest-frequency-pair loop over the word-type table (the
   // vocabulary-sized collapse of the corpus — the only thing the loop
@@ -462,6 +501,7 @@ object ExtensionQueries {
     "q38_embed_neardup" -> q38 _,
     "q39_embed_neardup_lsh" -> q39 _,
     "q130_semantic_dedup" -> q130 _,
+    "q137_semdedup_growk" -> q137 _,
     "q36_chunks" -> q36 _,
     "q37_ivf_topk" -> q37 _,
     "q45_ivf_nprobe2" -> q45 _,
@@ -520,6 +560,55 @@ object ExtensionQueries {
         |  floor((list_dot_product(a.v, b.v)/(a.nn*b.nn))*10000 + 0.5)/10000 AS cos
         |FROM cand c JOIN n a ON c.id_a = a.id JOIN n b ON c.id_b = b.id
         |WHERE list_dot_product(a.v, b.v)/(a.nn*b.nn) >= 0.3""".stripMargin,
+    "q137_semdedup_growk" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), kk AS (
+        |  SELECT greatest(ceil(count(*) / 100.0)::BIGINT, 1) AS k FROM e
+        |), a0 AS MATERIALIZED (
+        |  SELECT vec_id, v, vec_id % (SELECT k FROM kk) AS bucket FROM e
+        |), x1 AS (
+        |  SELECT bucket, u.i AS dim, avg(w.v[u.i]) AS m
+        |  FROM a0 w, LATERAL (SELECT unnest(generate_series(1, len(w.v))) AS i) u
+        |  GROUP BY 1, 2
+        |), c1 AS MATERIALIZED (
+        |  SELECT bucket, list(m ORDER BY dim) AS centroid FROM x1 GROUP BY 1
+        |), s1 AS (
+        |  SELECT e.vec_id, e.v, c1.bucket,
+        |    floor((list_dot_product(e.v, c1.centroid)
+        |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c1.centroid, c1.centroid))))*10000 + 0.5)/10000 AS simr
+        |  FROM e CROSS JOIN c1
+        |), a1 AS MATERIALIZED (
+        |  SELECT vec_id, v, bucket FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY simr DESC, bucket) AS rn FROM s1)
+        |  WHERE rn = 1
+        |), x2 AS (
+        |  SELECT bucket, u.i AS dim, avg(w.v[u.i]) AS m
+        |  FROM a1 w, LATERAL (SELECT unnest(generate_series(1, len(w.v))) AS i) u
+        |  GROUP BY 1, 2
+        |), c2 AS MATERIALIZED (
+        |  SELECT bucket, list(m ORDER BY dim) AS centroid FROM x2 GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.vec_id, e.v, c2.bucket,
+        |    floor((list_dot_product(e.v, c2.centroid)
+        |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c2.centroid, c2.centroid))))*10000 + 0.5)/10000 AS simr
+        |  FROM e CROSS JOIN c2
+        |), a2 AS MATERIALIZED (
+        |  SELECT vec_id, v, bucket FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY simr DESC, bucket) AS rn FROM s2)
+        |  WHERE rn = 1
+        |), m2 AS (
+        |  SELECT vec_id, bucket, v, sqrt(list_dot_product(v, v)) AS nn FROM a2
+        |), p AS (
+        |  SELECT pa.bucket, pa.vec_id AS i, pb.vec_id AS j,
+        |    list_dot_product(pa.v, pb.v)/(pa.nn*pb.nn) AS cos
+        |  FROM m2 pa JOIN m2 pb ON pa.bucket = pb.bucket AND pa.vec_id < pb.vec_id
+        |)
+        |SELECT bucket, j AS vec_id, min(i) AS dup_of,
+        |  floor(max(cos)*10000 + 0.5)/10000 AS max_cos,
+        |  count(*)::BIGINT AS n_dups
+        |FROM p WHERE cos >= 0.25
+        |GROUP BY 1, 2""".stripMargin,
     "q130_semantic_dedup" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

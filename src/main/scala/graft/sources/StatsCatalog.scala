@@ -100,4 +100,36 @@ object StatsCatalog {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else spark.read.parquet(keep: _*).filter(pred)
   }
+
+  /** [[prunedRead]] with the MILLION-FILE regime gate (the
+    * BpeTrain/ConnectedComponents pattern): the driver-side survivor
+    * collect is counted — distributed, over the file-count-sized
+    * stats table — before it is paid.
+    *
+    *  - survivors <= `collectGate`: the selective regime — collect
+    *    the survivor paths and scan exactly those files (today's
+    *    [[prunedRead]]). This is the case pruning exists for, and the
+    *    collect is bounded by the gate, not by the table's file count.
+    *  - survivors > `collectGate`: the unselective regime — at a
+    *    million-file table a predicate that keeps most files would
+    *    collect ~10^6 path strings AND hand the DataSource a
+    *    million-entry path list, both driver-bound, to save almost no
+    *    I/O. One whole-path scan with the predicate pushed down is
+    *    strictly better: the driver holds only the listing it would
+    *    hold anyway, and parquet row-group stats still skip inside
+    *    each file.
+    *
+    * Both regimes return identical rows (the predicate is always
+    * re-applied; pruning only ever drops files that cannot match —
+    * StatsCatalogSpec pins regime equality on the 16-file layout). */
+  def prunedReadGated(spark: SparkSession, path: String, stats: DataFrame,
+                      column: String, lo: Any, hi: Any,
+                      collectGate: Long = 100000L): DataFrame = {
+    val nSurvivors = stats
+      .filter(col(s"max_$column") >= lit(lo) && col(s"min_$column") <= lit(hi))
+      .count()
+    if (nSurvivors <= collectGate) prunedRead(spark, path, stats, column, lo, hi)
+    else spark.read.parquet(path)
+      .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
 }

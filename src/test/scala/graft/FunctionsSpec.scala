@@ -115,6 +115,21 @@ class FunctionsSpec extends SparkSpec {
     assert(meanSim3 >= meanSim1 - 1e-3, s"fit degraded: $meanSim1 -> $meanSim3")
   }
 
+  test("lloydIterate kernel regime equals the join regime bitwise (buckets AND sims)") {
+    // kernelGate=0 forces the crossJoin+min_by plan; the default gate
+    // takes the CentroidAssign codegen kernel. Same seeding, same
+    // rounds -> identical (id, bucket, sim) rows, including the
+    // 1e-4-rounded sim doubles (exceptAll compares exact values).
+    val e = graft.core.Tables.embeddings(spark, sf())
+      .withColumn("b0", col("vec_id") % 7)
+    val kernel = Similarity.lloydIterate(e, "vec_id", "embedding", "b0", iters = 2)
+    val joined = Similarity.lloydIterate(e, "vec_id", "embedding", "b0", iters = 2, kernelGate = 0L)
+    assert(kernel.count() == joined.count() && kernel.count() > 0)
+    assert(kernel.exceptAll(joined).isEmpty && joined.exceptAll(kernel).isEmpty,
+      "kernel and join assignment regimes must agree bitwise")
+    kernel.unpersist(); joined.unpersist()
+  }
+
   test("cosine top-k matches a driver-side brute force on sf0.001") {
     val e = graft.core.Tables.embeddings(spark, sf())
     val topk = Similarity.cosineTopK(e.filter($"vec_id" < 3), e, "vec_id", "embedding", 4)

@@ -128,6 +128,28 @@ class StatsCatalogSpec extends SparkSpec {
       "pruned rollup must equal the full-scan rollup")
   }
 
+  test("gated read: collect and whole-scan regimes return identical rows") {
+    val dir = tmp("stats_gated")
+    Tables.lineitem(spark, sf("sf0.01"))
+      .repartitionByRange(16, col("l_shipdate"))
+      .write.mode("overwrite").parquet(dir)
+    val stats = StatsCatalog.build(spark, dir, Seq("l_shipdate"))
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1996-03-31 23:59:59")
+    // default gate -> selective regime (collect survivor paths);
+    // gate=0 -> unselective regime (one whole-path scan, pushed-down
+    // predicate). The two must agree row for row — AND with the plain
+    // prunedRead they both wrap.
+    val collected = StatsCatalog.prunedReadGated(spark, dir, stats, "l_shipdate", lo, hi)
+    val wholeScan = StatsCatalog.prunedReadGated(spark, dir, stats, "l_shipdate", lo, hi,
+      collectGate = 0L)
+    assert(collected.count() == wholeScan.count() && collected.count() > 0)
+    assert(collected.exceptAll(wholeScan).isEmpty && wholeScan.exceptAll(collected).isEmpty)
+    // the selective regime really pruned; the unselective one really scanned all
+    assert(collected.inputFiles.count(_.contains("stats_gated")) <= 3)
+    assert(wholeScan.inputFiles.count(_.contains("stats_gated")) == 16)
+  }
+
   test("empty selection returns an empty frame with the table schema") {
     val dir = tmp("stats_empty")
     Tables.lineitem(spark, sf("sf0.001"))
