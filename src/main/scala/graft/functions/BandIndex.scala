@@ -98,6 +98,58 @@ object BandIndex {
              numHashes: Int = DefaultNumHashes, bands: Int = DefaultBands): Unit =
     writeBatch(df, idCol, tokensCol, path, numHashes, bands, mode = "append")
 
+  /** Write (append or create) index rows that were ALREADY prepped —
+    * the [[MicroDedup]] fast path, where the micro-batch's token
+    * arrays and band keys exist on the driver and re-deriving them
+    * distributed would pay the tokenize + 128-hash signature pass a
+    * third time. Two straight local-relation writes, no compute. */
+  def writePrepped(spark: SparkSession, survivors: Array[MicroDedup.Survivor],
+                   path: String, mode: String): Unit = {
+    import spark.implicits._
+    val toksRows = survivors.toSeq.map(s => (s.id, s.toks.toSeq, s.toks.length))
+      .toDF("id", "toks", "sz") // prep()'s column order — appended files match
+    toksRows.coalesce(1).write.mode(mode).parquet(toksPath(path))
+    val bandRows = survivors.toSeq.flatMap { sv =>
+      sv.bandKeys.zipWithIndex.map { case (k, b) => (b, k, sv.id, sv.toks.length) }
+    }.toDF("band", "band_key", "id", "sz")
+    bandRows.coalesce(1).write.mode(mode).parquet(bandsPath(path))
+  }
+
+  /** The duplicate PROBE IDS of a pre-banded probe batch
+    * ([[MicroDedup]]'s driver-computed signatures) against the stored
+    * index — the [[probePairs]] candidate join + size cut +
+    * exact-jaccard verification collapsed to its streaming consumer's
+    * question ("which probe docs have any dup?") so the whole probe
+    * is ONE action: no intermediate persist, no second collect. The
+    * probe side is a local relation (broadcast); the band and token
+    * scans stay map-side (AQE broadcasts the candidate set into the
+    * verify join at runtime). */
+  def probeDupIdsPrepped(spark: SparkSession, path: String,
+                         survivors: Array[MicroDedup.Survivor],
+                         threshold: Double = 0.8): Array[Long] = {
+    import spark.implicits._
+    val probeBands = survivors.toSeq.flatMap { sv =>
+      sv.bandKeys.zipWithIndex.map { case (k, b) => (b, k, sv.id, sv.toks.length) }
+    }.toDF("band", "band_key", "probe_id", "sz_p")
+    val probeToks = survivors.toSeq.map(s => (s.id, s.toks.toSeq)).toDF("probe_id", "toks_p")
+    val corpusBands = spark.read.parquet(bandsPath(path))
+      .select(col("band"), col("band_key"), col("id").as("corpus_id"), col("sz").as("sz_c"))
+    val corpusToks = spark.read.parquet(toksPath(path))
+      .select(col("id").as("corpus_id"), col("toks").as("toks_c"))
+    corpusBands
+      .join(broadcast(probeBands), Seq("band", "band_key"))
+      .filter(col("sz_p") >= col("sz_c") * threshold && col("sz_c") >= col("sz_p") * threshold)
+      .select(col("probe_id"), col("corpus_id"))
+      .distinct()
+      .join(broadcast(probeToks), Seq("probe_id"))
+      .join(corpusToks, Seq("corpus_id"))
+      .withColumn("__i", IntersectCount.column(col("toks_p"), col("toks_c")).cast("double"))
+      .withColumn("jaccard", col("__i") / (size(col("toks_p")) + size(col("toks_c")) - col("__i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("probe_id")).distinct()
+      .collect().map(_.getLong(0))
+  }
+
   /** Rewrite the index with replay-duplicate rows collapsed (an
     * at-least-once writer appends the same id twice; see class doc). */
   def compact(spark: SparkSession, path: String): Unit = {

@@ -293,7 +293,8 @@ object StreamPipeline {
   def dedupOnIngest(docsStream: DataFrame, corpusPath: String, checkpoint: String,
                     threshold: Double = 0.8,
                     trigger: Trigger = Trigger.ProcessingTime("1 minute"),
-                    indexPath: Option[String] = None): StreamingQuery =
+                    indexPath: Option[String] = None,
+                    microGate: Int = 100000): StreamingQuery =
     docsStream.writeStream
       .outputMode("append")
       .trigger(trigger)
@@ -301,14 +302,6 @@ object StreamPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val toks = graft.functions.TextAnalysis.wordTokens(org.apache.spark.sql.functions.col("text"))
-        // batch-internal collapse: exact + near dup pairs within the
-        // batch resolve to the min doc_id per connected pair group
-        // (single-batch volumes are small; pairwise is the honest form)
-        val (sets, setPairs) = graft.functions.NearDup.minHashSetPairs(
-          batch, "doc_id", toks, numHashes = 128, bands = 32, threshold = threshold)
-        val assigned = graft.operators.ConnectedComponents.dedupAssignmentBySets(sets, setPairs)
-        val batchSurvivors = batch.join(
-          assigned.filter(col("is_canonical")).select(col("doc_id")), Seq("doc_id"), "left_semi")
         val hconf = spark.sparkContext.hadoopConfiguration
         val corpusExists = {
           val p = new org.apache.hadoop.fs.Path(corpusPath)
@@ -324,6 +317,92 @@ object StreamPipeline {
             graft.functions.BandIndex.build(spark.read.parquet(corpusPath), "doc_id", toks, ix)
         }
         val indexed = indexPath.filter(ix => graft.functions.BandIndex.exists(spark, ix))
+
+        // ---- regime gate (the BpeTrain/CC pattern): ONE distributed
+        // prep pass hashes every doc's tokens; a micro-batch under the
+        // gate continues on the driver (MicroDedup — identical
+        // arithmetic, none of the ~6 fixed-latency jobs the
+        // distributed batch-internal stage pays), and the collect is
+        // bounded BY the gate, never by the stream. A trigger bounds
+        // batches by construction, so streaming ingest lives in this
+        // regime; the distributed body below is the over-gate
+        // fallback and the correctness reference (StreamingSpec runs
+        // both and pins identical corpus contents).
+        // the prep projection also computes the 128-hash signature and
+        // its 32 band keys IN the distributed pass — the one
+        // compute-heavy term (38M hash ops at 10k docs), which would
+        // otherwise run single-threaded on the driver
+        val f = org.apache.spark.sql.functions
+        // a MemoryStream/file micro-batch often arrives as ONE
+        // partition — without the repartition the 128-hash signature
+        // pass runs on a single core
+        val prepped = batch.repartition(spark.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+          f.array_sort(f.transform(f.array_distinct(toks), tk => f.xxhash64(tk))).as("toks"))
+          .withColumn("__sig", graft.functions.MinHashSig.column(col("toks"), 128))
+          .select(col("doc_id"), col("toks"),
+            f.array((0 until 32).map(b =>
+              f.xxhash64(f.slice(col("__sig"), b * 4 + 1, 4))): _*).as("bands"))
+        def dbg[A](label: String)(x: => A): A =
+          if (sys.env.contains("SPARK_GRAFT_DEDUP_DEBUG")) {
+            val t0 = System.nanoTime()
+            val r = x
+            println(f"[dedup-dbg] $label%-22s ${(System.nanoTime() - t0) / 1e6}%8.1f ms")
+            r
+          } else x
+        val collected = dbg("prep+collect")(prepped.limit(microGate + 1).collect())
+        if (collected.length <= microGate) {
+          import spark.implicits._
+          val docs = collected.map(r =>
+            (r.getLong(0), r.getSeq[Long](1).toArray, r.getSeq[Long](2).toArray))
+          val micro = dbg("MicroDedup.run")(graft.functions.MicroDedup.run(
+            docs, threshold = threshold, maxBucketSize = 4096))
+          val dupIds: Set[Long] = indexed match {
+            case Some(ix) =>
+              dbg("probeDupIds")(graft.functions.BandIndex.probeDupIdsPrepped(
+                spark, ix, micro.survivors, threshold = threshold).toSet)
+            case None if corpusExists =>
+              val survivorIds = micro.survivors.map(_.id).toSeq.toDF("doc_id")
+              val dups = graft.functions.NearDup.minHashProbePairs(
+                spark.read.parquet(corpusPath),
+                batch.join(broadcast(survivorIds), Seq("doc_id"), "left_semi"),
+                "doc_id", toks, threshold = threshold)
+              val ids = dups.select(col("probe_id")).distinct()
+                .collect().map(_.getLong(0)).toSet
+              dups.unpersist(blocking = false)
+              ids
+            case None => Set.empty
+          }
+          val novelSurvivors = micro.survivors.filterNot(s => dupIds(s.id))
+          val novelIds = novelSurvivors.map(_.id).toSeq.toDF("doc_id")
+          // corpus append and index append write to independent paths
+          // — run the actions concurrently (both must COMPLETE before
+          // the batch commits, so the at-least-once story is unchanged)
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val wCorpus = Future {
+            batch.join(broadcast(novelIds), Seq("doc_id"), "left_semi")
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(corpusPath)
+          }
+          val wIndex = Future {
+            indexPath.foreach { ix =>
+              val mode = if (graft.functions.BandIndex.exists(spark, ix)) "append" else "overwrite"
+              graft.functions.BandIndex.writePrepped(spark, novelSurvivors, ix, mode)
+            }
+          }
+          dbg("writes (corpus||index)") {
+            Await.result(wCorpus, scala.concurrent.duration.Duration.Inf)
+            Await.result(wIndex, scala.concurrent.duration.Duration.Inf)
+          }
+        } else {
+        // ---- distributed fallback: batch-internal collapse via LSH
+        // set pairs + connected components, min doc_id per group
+        val (sets, setPairs) = graft.functions.NearDup.minHashSetPairs(
+          batch, "doc_id", toks, numHashes = 128, bands = 32, threshold = threshold)
+        val assigned = graft.operators.ConnectedComponents.dedupAssignmentBySets(sets, setPairs)
+        val batchSurvivors = batch.join(
+          assigned.filter(col("is_canonical")).select(col("doc_id")), Seq("doc_id"), "left_semi")
         val dupsOpt = indexed match {
           case Some(ix) =>
             Some(graft.functions.BandIndex.probePairs(
@@ -357,6 +436,7 @@ object StreamPipeline {
         sets.unpersist(blocking = false)
         setPairs.unpersist(blocking = false)
         novelOut.unpersist(blocking = false)
+        }
         ()
       }
       .start()

@@ -77,6 +77,45 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("dedup-on-ingest: micro (driver) and distributed regimes admit identical corpora") {
+    // microGate=0 forces every batch through the distributed
+    // fallback; the default gate takes the MicroDedup driver kernel.
+    // Same stream -> same admitted doc set AND same index contents
+    // (band/toks rows up to row order).
+    val words = (0 until 10).map(i => s"word$i")
+    val batches = Seq(
+      Seq((1L, words.mkString(" ")),
+        (2L, words.mkString(" ")), // exact dup of 1
+        (3L, "entirely different content here"),
+        (4L, "")), // empty doc: tokenless edge
+      Seq((10L, (words.take(9) :+ "fresh").mkString(" ")), // near-dup of 1
+        (11L, "completely unrelated novel document body"),
+        (12L, "completely unrelated novel document body")), // exact dup of 11
+      Seq((20L, (words.take(9) :+ "another").mkString(" ")), // near-dup of 1
+        (21L, "third thing wholly distinct from all others")))
+    def drive(gate: Int): (Seq[Long], Long) = {
+      val dir = Files.createTempDirectory(s"graft_dedup_regime$gate").toString
+      val stream = MemoryStream[(Long, String)](spark)
+      val q = StreamPipeline.dedupOnIngest(
+        stream.toDF().toDF("doc_id", "text"), s"$dir/corpus", s"$dir/ck",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+        indexPath = Some(s"$dir/index"), microGate = gate)
+      try {
+        batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      val ids = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val bandRows = spark.read.parquet(s"$dir/index/bands")
+        .select("band", "band_key", "id", "sz").distinct().count()
+      (ids, bandRows)
+    }
+    val (microIds, microBands) = drive(100000)
+    val (distIds, distBands) = drive(0)
+    assert(microIds == distIds, s"admitted sets differ: micro=$microIds dist=$distIds")
+    assert(microBands == distBands, "index band rows differ between regimes")
+    spark.catalog.clearCache()
+  }
+
   test("dedup-on-ingest bootstraps the band index from a PRE-EXISTING corpus") {
     // The failure this pins: with indexPath set over a standing corpus
     // and no index yet, the index must be built from the CORPUS before
