@@ -240,6 +240,33 @@ object VersionedTable {
       overwrite = true, extra = batchId.map(b => "batchId" -> b.toString).toMap)
   }
 
+  /** [[mergeCommit]] through [[MergeUpsert.upsertEvolve]]: the
+    * schema-drift-tolerant MERGE a long-lived warehouse table needs —
+    * an ADDED source column extends the table (old rows read NULL), a
+    * DROPPED one keeps target values, a retype fails fast. Same
+    * batch-stamp idempotence; the version header records the evolved
+    * schema, so time travel serves each version in the schema it was
+    * committed with. */
+  def mergeCommitEvolve(spark: SparkSession, root: String, source: DataFrame,
+                        keys: Seq[String], loadTs: java.sql.Timestamp,
+                        batchId: Option[Long] = None): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    latestVersion(conf, root).foreach { head =>
+      if (batchId.exists(b => readHeader(conf, root, head).get("batchId").contains(b.toString)))
+        return head
+    }
+    val stampedSource = source.withColumn("last_updated",
+      org.apache.spark.sql.functions.lit(loadTs))
+    val target = latestVersion(conf, root) match {
+      case Some(v) => read(spark, root, Some(v))
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          stampedSource.schema)
+    }
+    commit(spark, root, MergeUpsert.upsertEvolve(target, stampedSource, keys),
+      overwrite = true, extra = batchId.map(b => "batchId" -> b.toString).toMap)
+  }
+
   /** Delete every row matching `condition` as a NEW version (action
     * "delete") — the GDPR-shaped maintenance op: the head version no
     * longer serves the rows, every retained older version still does

@@ -188,17 +188,27 @@ object StreamPipeline {
   def runVersioned(cleaned: DataFrame, tableRoot: String, checkpoint: String,
                    keys: Seq[String], orderCol: String,
                    trigger: Trigger = Trigger.ProcessingTime("1 minute"),
-                   loadTsOf: Long => java.sql.Timestamp = b => new java.sql.Timestamp(b)): StreamingQuery =
+                   loadTsOf: Long => java.sql.Timestamp = b => new java.sql.Timestamp(b),
+                   evolve: Boolean = false): StreamingQuery =
     cleaned.writeStream
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val deduped = graft.operators.Dedup.keepLast(batch, keys, Seq(col(orderCol)))
-        graft.batch.VersionedTable.mergeCommit(
-          batch.sparkSession, tableRoot, deduped, keys,
-          loadTsOf(batchId), // default: batch-derived, so replays stamp identically
-          batchId = Some(batchId))
+        // evolve=true: a restarted producer with an ADDED column keeps
+        // merging (warehouse ADD COLUMN semantics) instead of failing
+        // the exact-schema require — upstream drift is an operating
+        // condition on a long-lived stream
+        if (evolve)
+          graft.batch.VersionedTable.mergeCommitEvolve(
+            batch.sparkSession, tableRoot, deduped, keys,
+            loadTsOf(batchId), batchId = Some(batchId))
+        else
+          graft.batch.VersionedTable.mergeCommit(
+            batch.sparkSession, tableRoot, deduped, keys,
+            loadTsOf(batchId), // default: batch-derived, so replays stamp identically
+            batchId = Some(batchId))
         ()
       }
       .start()

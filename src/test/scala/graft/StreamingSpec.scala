@@ -406,6 +406,76 @@ class StreamingSpec extends SparkSpec {
     assert(v2 == Map("A" -> 10.0, "B" -> 20.0), s"got $v2")
   }
 
+  test("versioned sink lifecycle: schema evolution + keyed delete mid-stream + restart, every version serves") {
+    // A real warehouse table sees all three on ONE table across
+    // restarts: upstream adds a column (operating condition, not an
+    // error), a GDPR keyed delete lands between batches, and the
+    // stream resumes from its checkpoint. Every committed version
+    // must keep serving in the schema it was committed with.
+    val srcDir = Files.createTempDirectory("graft_evsrc").toString
+    val tableRoot = Files.createTempDirectory("graft_evtab").toString
+    val ckpt = Files.createTempDirectory("graft_evckpt").toString
+    def writeDoc(name: String, json: String): Unit =
+      Files.write(java.nio.file.Paths.get(srcDir, name), json.getBytes)
+    def start(ddl: String) = StreamPipeline.runVersioned(
+      spark.readStream.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        .option("maxFilesPerTrigger", "1").json(srcDir),
+      tableRoot, ckpt, keys = Seq("symbol"), orderCol = "ts",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0), evolve = true)
+    val conf = spark.sparkContext.hadoopConfiguration
+
+    // phase 1: two batches under the v1 producer schema (each file
+    // written while the query is live — deterministic batch order)
+    writeDoc("b0.json", """{"symbol":"AAA","price":10.0,"ts":1}""")
+    val q1 = start("symbol STRING, price DOUBLE, ts LONG")
+    try {
+      q1.processAllAvailable()
+      writeDoc("b1.json", """{"symbol":"BBB","price":20.0,"ts":2}""")
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val phase1 = graft.batch.VersionedTable.versions(conf, tableRoot)
+    assert(phase1.size == 2, s"one version per batch, got $phase1")
+
+    // mid-stream keyed delete (right-to-be-forgotten): BBB leaves the
+    // head as a NEW version; history keeps serving it until vacuum
+    graft.batch.VersionedTable.deleteKeys(spark, tableRoot, Seq("symbol"),
+      Seq("BBB").toDF("symbol"))
+    assert(graft.batch.VersionedTable.read(spark, tableRoot)
+      .select($"symbol").as[String].collect().toSeq == Seq("AAA"))
+
+    // phase 2: restart with the EVOLVED producer schema (added venue)
+    writeDoc("b2.json", """{"symbol":"AAA","price":11.0,"ts":3,"venue":"X"}""")
+    val q2 = start("symbol STRING, price DOUBLE, ts LONG, venue STRING")
+    try {
+      q2.processAllAvailable()
+      writeDoc("b3.json", """{"symbol":"CCC","price":30.0,"ts":4,"venue":"Y"}""")
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val vs = graft.batch.VersionedTable.versions(conf, tableRoot)
+    assert(vs.size == 5, s"2 merges + delete + 2 evolved merges, got $vs")
+
+    // head: evolved schema, delete respected, old row reads null venue
+    val head = graft.batch.VersionedTable.read(spark, tableRoot)
+    assert(head.columns.contains("venue"))
+    val now = head.select($"symbol", $"price", $"venue")
+      .as[(String, Double, Option[String])].collect()
+      .map { case (s, p, v) => s -> ((p, v)) }.toMap
+    assert(now.keySet == Set("AAA", "CCC") &&
+      now("AAA") == (11.0, Some("X")) && now("CCC") == (30.0, Some("Y")), s"got $now")
+
+    // time travel: each version serves in ITS schema
+    def stateAt(v: Long): Map[String, Double] =
+      graft.batch.VersionedTable.read(spark, tableRoot, Some(v))
+        .select($"symbol", $"price").as[(String, Double)].collect().toMap
+    assert(stateAt(vs(0)) == Map("AAA" -> 10.0))
+    assert(stateAt(vs(1)) == Map("AAA" -> 10.0, "BBB" -> 20.0))
+    assert(stateAt(vs(2)) == Map("AAA" -> 10.0), "delete version must drop BBB")
+    assert(!graft.batch.VersionedTable.read(spark, tableRoot, Some(vs(2)))
+      .columns.contains("venue"), "pre-evolution versions keep the old schema")
+    assert(stateAt(vs(3)) == Map("AAA" -> 11.0))
+    assert(stateAt(vs(4)) == Map("AAA" -> 11.0, "CCC" -> 30.0))
+  }
+
   test("anomaly alerts: only the history-deviant tick fires, stats match batch") {
     val bucketDir = Files.createTempDirectory("graft_anom_buckets").toString
     val alertDir = Files.createTempDirectory("graft_anom_alerts").toString + "/out"
