@@ -214,6 +214,10 @@ object ScaleProbe {
     // populations — and the per-cluster pair quadratic — stay FLAT;
     // the n x k assignment stays map-side against broadcast centroids
     time("q137_semdedup_growk") { q("q137_semdedup_growk") }
+    // q138 composes the same learned clustering into IVF serving: the
+    // probe cost is queries x k (broadcast centroids) and the scan is
+    // nprobe buckets x flat population — corpus-size-free serving
+    time("q138_ivf_growk") { q("q138_ivf_growk") }
     // TPC-H finishers: q131/q133/q134's supply relations are
     // (part, supp)-pair aggregates — dim-x-dim sized at any fact
     // volume once the partial agg collapses the scan; q135 feeds two

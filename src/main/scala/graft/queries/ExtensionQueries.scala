@@ -409,6 +409,33 @@ object ExtensionQueries {
         count(lit(1)).as("n_dups"))
   }
 
+  // q138 — GROWING-K IVF ANN: the q45 nprobe-2 serving flow with the
+  // coarse quantizer LEARNED from the corpus (q137's 2-round Lloyd,
+  // k = ceil(n/100)) instead of the testdata's label clusters — the
+  // composition that makes the IVF family corpus-scale-honest: the
+  // bucket count grows with the data, bucket populations stay flat,
+  // and a query still scans nprobe buckets = O(nprobe * targetPop)
+  // candidates at ANY corpus size. Serving centroids are the means of
+  // the FINAL partition (standard IVF practice; the oracle replays
+  // them as a third centroid recomputation over a2). Scale shape:
+  // clustering is the q137 kernel path (one map pass per round);
+  // serving is probeBuckets' broadcast-centroid argmax + a
+  // bucket-pruned scan + the BoundedTopK partial-agg top-k.
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val targetPop = 100L
+    val n = e.count()
+    val k = math.max(1L, (n + targetPop - 1) / targetPop)
+    val asg = Similarity.lloydIterate(
+      e.withColumn("b0", col("vec_id") % k), "vec_id", "embedding", "b0", iters = 2)
+    val labeled = e.join(asg.select(col("id").as("vec_id"), col("bucket")), Seq("vec_id"))
+    val scored = Similarity.ivfScore(labeled.filter(col("vec_id") < 10), labeled,
+      "vec_id", "embedding", "bucket", nprobe = 2)
+      .withColumn("cos_r", r4(col("cos"))).drop("cos")
+    Similarity.topK(scored, 5, col("cos_r"))
+      .select(col("query_id"), col("bucket"), col("neighbor_id"), col("rnk"), col("cos_r"))
+  }
+
   // q106 — BPE TOKENIZER TRAINING: 12 merge rounds of the iterative
   // highest-frequency-pair loop over the word-type table (the
   // vocabulary-sized collapse of the corpus — the only thing the loop
@@ -502,6 +529,7 @@ object ExtensionQueries {
     "q39_embed_neardup_lsh" -> q39 _,
     "q130_semantic_dedup" -> q130 _,
     "q137_semdedup_growk" -> q137 _,
+    "q138_ivf_growk" -> q138 _,
     "q36_chunks" -> q36 _,
     "q37_ivf_topk" -> q37 _,
     "q45_ivf_nprobe2" -> q45 _,
@@ -530,6 +558,51 @@ object ExtensionQueries {
     "q104_pq_topk" -> q104 _,
     "q118_ivfpq_topk" -> q118 _
   )
+
+  /** Shared WITH-prefix replaying the growing-k Lloyd blocking
+    * (q137/q138): seed assignment vec_id % ceil(n/100), then two
+    * rounds of per-dim-mean centroids + 1e-4-rounded-cosine
+    * reassignment (min-bucket tiebreak). Ends at `a2 (vec_id, v,
+    * bucket)` — the final partition. MATERIALIZED: each round is
+    * referenced several times. */
+  private def growKLloydCtes: String =
+    """WITH e AS MATERIALIZED (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |), kk AS (
+      |  SELECT greatest(ceil(count(*) / 100.0)::BIGINT, 1) AS k FROM e
+      |), a0 AS MATERIALIZED (
+      |  SELECT vec_id, v, vec_id % (SELECT k FROM kk) AS bucket FROM e
+      |), x1 AS (
+      |  SELECT bucket, u.i AS dim, avg(w.v[u.i]) AS m
+      |  FROM a0 w, LATERAL (SELECT unnest(generate_series(1, len(w.v))) AS i) u
+      |  GROUP BY 1, 2
+      |), c1 AS MATERIALIZED (
+      |  SELECT bucket, list(m ORDER BY dim) AS centroid FROM x1 GROUP BY 1
+      |), s1 AS (
+      |  SELECT e.vec_id, e.v, c1.bucket,
+      |    floor((list_dot_product(e.v, c1.centroid)
+      |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c1.centroid, c1.centroid))))*10000 + 0.5)/10000 AS simr
+      |  FROM e CROSS JOIN c1
+      |), a1 AS MATERIALIZED (
+      |  SELECT vec_id, v, bucket FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY simr DESC, bucket) AS rn FROM s1)
+      |  WHERE rn = 1
+      |), x2 AS (
+      |  SELECT bucket, u.i AS dim, avg(w.v[u.i]) AS m
+      |  FROM a1 w, LATERAL (SELECT unnest(generate_series(1, len(w.v))) AS i) u
+      |  GROUP BY 1, 2
+      |), c2 AS MATERIALIZED (
+      |  SELECT bucket, list(m ORDER BY dim) AS centroid FROM x2 GROUP BY 1
+      |), s2 AS (
+      |  SELECT e.vec_id, e.v, c2.bucket,
+      |    floor((list_dot_product(e.v, c2.centroid)
+      |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c2.centroid, c2.centroid))))*10000 + 0.5)/10000 AS simr
+      |  FROM e CROSS JOIN c2
+      |), a2 AS MATERIALIZED (
+      |  SELECT vec_id, v, bucket FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY simr DESC, bucket) AS rn FROM s2)
+      |  WHERE rn = 1
+      |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q106_bpe_train" -> bpeOracleSql(12),
@@ -560,44 +633,30 @@ object ExtensionQueries {
         |  floor((list_dot_product(a.v, b.v)/(a.nn*b.nn))*10000 + 0.5)/10000 AS cos
         |FROM cand c JOIN n a ON c.id_a = a.id JOIN n b ON c.id_b = b.id
         |WHERE list_dot_product(a.v, b.v)/(a.nn*b.nn) >= 0.3""".stripMargin,
+    "q138_ivf_growk" ->
+      s"""$growKLloydCtes, c3x AS (
+        |  SELECT bucket, u.i AS dim, avg(w.v[u.i]) AS m
+        |  FROM a2 w, LATERAL (SELECT unnest(generate_series(1, len(w.v))) AS i) u
+        |  GROUP BY 1, 2
+        |), cent AS (SELECT bucket, list(m ORDER BY dim) AS centroid FROM c3x GROUP BY 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |asn AS (
+        |  SELECT query_id, bucket, qv,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY
+        |      floor((list_dot_product(qv, centroid)/(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(centroid, centroid))))*10000 + 0.5)/10000 DESC,
+        |      bucket) AS rn
+        |  FROM q, cent
+        |), sc AS (
+        |  SELECT a.query_id, a.bucket, m.vec_id AS neighbor_id,
+        |    floor((list_dot_product(a.qv, m.v)/(sqrt(list_dot_product(a.qv, a.qv))*sqrt(list_dot_product(m.v, m.v))))*10000 + 0.5)/10000 AS cos_r
+        |  FROM asn a JOIN a2 m ON m.bucket = a.bucket AND m.vec_id <> a.query_id
+        |  WHERE a.rn <= 2
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rnk FROM sc
+        |)
+        |SELECT query_id, bucket, neighbor_id, rnk::BIGINT AS rnk, cos_r FROM r WHERE rnk <= 5""".stripMargin,
     "q137_semdedup_growk" ->
-      """WITH e AS MATERIALIZED (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        |), kk AS (
-        |  SELECT greatest(ceil(count(*) / 100.0)::BIGINT, 1) AS k FROM e
-        |), a0 AS MATERIALIZED (
-        |  SELECT vec_id, v, vec_id % (SELECT k FROM kk) AS bucket FROM e
-        |), x1 AS (
-        |  SELECT bucket, u.i AS dim, avg(w.v[u.i]) AS m
-        |  FROM a0 w, LATERAL (SELECT unnest(generate_series(1, len(w.v))) AS i) u
-        |  GROUP BY 1, 2
-        |), c1 AS MATERIALIZED (
-        |  SELECT bucket, list(m ORDER BY dim) AS centroid FROM x1 GROUP BY 1
-        |), s1 AS (
-        |  SELECT e.vec_id, e.v, c1.bucket,
-        |    floor((list_dot_product(e.v, c1.centroid)
-        |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c1.centroid, c1.centroid))))*10000 + 0.5)/10000 AS simr
-        |  FROM e CROSS JOIN c1
-        |), a1 AS MATERIALIZED (
-        |  SELECT vec_id, v, bucket FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY simr DESC, bucket) AS rn FROM s1)
-        |  WHERE rn = 1
-        |), x2 AS (
-        |  SELECT bucket, u.i AS dim, avg(w.v[u.i]) AS m
-        |  FROM a1 w, LATERAL (SELECT unnest(generate_series(1, len(w.v))) AS i) u
-        |  GROUP BY 1, 2
-        |), c2 AS MATERIALIZED (
-        |  SELECT bucket, list(m ORDER BY dim) AS centroid FROM x2 GROUP BY 1
-        |), s2 AS (
-        |  SELECT e.vec_id, e.v, c2.bucket,
-        |    floor((list_dot_product(e.v, c2.centroid)
-        |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c2.centroid, c2.centroid))))*10000 + 0.5)/10000 AS simr
-        |  FROM e CROSS JOIN c2
-        |), a2 AS MATERIALIZED (
-        |  SELECT vec_id, v, bucket FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY simr DESC, bucket) AS rn FROM s2)
-        |  WHERE rn = 1
-        |), m2 AS (
+      s"""$growKLloydCtes, m2 AS (
         |  SELECT vec_id, bucket, v, sqrt(list_dot_product(v, v)) AS nn FROM a2
         |), p AS (
         |  SELECT pa.bucket, pa.vec_id AS i, pb.vec_id AS j,
