@@ -130,6 +130,50 @@ class FunctionsSpec extends SparkSpec {
     kernel.unpersist(); joined.unpersist()
   }
 
+  test("MicroDedup survivors equal the distributed setPairs+CC survivors on a random near-dup corpus") {
+    // 300 docs over a 40-word vocab: dense near-dups, exact dups, and
+    // transitive CHAINS (a~b~c with a!~c) — the regime where a
+    // single-hop dup pointer would diverge from connected components
+    // and only an exact union-find replication agrees.
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 4000).map(i => s"w$i")
+    // 100 chains of (a, b, c): b = a + one word (j 10/11 = 0.91),
+    // c = b with one of a's words swapped for a new one — c~b at
+    // 10/12 = 0.83 but c~a at only 9/12 = 0.75: the link is strictly
+    // transitive. Expected survivors: exactly the 100 chain minima.
+    val docs = (0 until 100).flatMap { g =>
+      val a = rnd.shuffle(vocab).take(10)
+      val x = s"x$g"
+      val z = s"z$g"
+      val b = a :+ x
+      val c = (a.drop(1) :+ x) :+ z
+      Seq((g * 3L, a.mkString(" ")), (g * 3L + 1, b.mkString(" ")), (g * 3L + 2, c.mkString(" ")))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val toks = TextAnalysis.wordTokens(col("text"))
+    val (sets, setPairs) = NearDup.minHashSetPairs(df, "doc_id", toks,
+      numHashes = 128, bands = 32, threshold = 0.8)
+    val distSurvivors = graft.operators.ConnectedComponents
+      .dedupAssignmentBySets(sets, setPairs)
+      .filter(col("is_canonical")).select("doc_id").as[Long].collect().toSet
+    // the micro path's exact prep projection (dedupOnIngest's)
+    val prepped = df.select(col("doc_id"),
+        array_sort(transform(array_distinct(toks), tk => xxhash64(tk))).as("toks"))
+      .withColumn("__sig", graft.functions.MinHashSig.column(col("toks"), 128))
+      .select(col("doc_id"), col("toks"),
+        array((0 until 32).map(b => xxhash64(slice(col("__sig"), b * 4 + 1, 4))): _*).as("bands"))
+      .collect()
+    val micro = graft.functions.MicroDedup.run(
+      prepped.map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getSeq[Long](2).toArray)),
+      threshold = 0.8, maxBucketSize = 4096)
+    assert(micro.survivors.map(_.id).toSet == distSurvivors,
+      "micro survivors must equal distributed survivors")
+    // the chains really collapsed, to their minima (transitively:
+    // c joins only through b)
+    assert(micro.survivors.map(_.id).toSet == (0 until 100).map(_ * 3L).toSet)
+    sets.unpersist(); setPairs.unpersist()
+  }
+
   test("cosine top-k matches a driver-side brute force on sf0.001") {
     val e = graft.core.Tables.embeddings(spark, sf())
     val topk = Similarity.cosineTopK(e.filter($"vec_id" < 3), e, "vec_id", "embedding", 4)
