@@ -361,6 +361,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"supplier gate should be a semi join:\n$p")
   }
 
+  test("q137/q138 growing-k: no cartesian product anywhere; bucket joins are hash joins") {
+    // the clustering itself runs eagerly (kernel map pass, spec-pinned
+    // in FunctionsSpec); what the FINAL plan must never show is a
+    // cartesian pair scan — the within-cluster join and the IVF bucket
+    // scan both key on the learned bucket id
+    for (name <- Seq("q137_semdedup_growk", "q138_ivf_growk")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name went cartesian:\n$p")
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+        s"$name: bucket join is not a keyed join:\n$p")
+    }
+  }
+
   test("q110 corr matrix: the pair join runs on the volume-independent bin aggregate") {
     val p = plan("q110_corr_matrix")
     // the (type, minute) pre-aggregate must sit BELOW the self-join —
