@@ -256,6 +256,9 @@ object ScaleProbe {
       time("q98_kmv_by_key") { q("q98_kmv_by_key") }
       time("q93_grouped_quantiles") { q("q93_grouped_quantiles") }
       time("q96_inverted_index") { q("q96_inverted_index") }
+      // q139: one histogram shuffle (|langs| rows) + a broadcast-rate
+      // map-side filter — the rebalance is a single corpus pass
+      time("q139_lang_rebalance") { q("q139_lang_rebalance") }
     }
     spark.stop()
   }

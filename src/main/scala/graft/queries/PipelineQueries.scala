@@ -207,6 +207,35 @@ object PipelineQueries {
       .filter(col("cum_tokens") - col("n_tokens") < budget)
   }
 
+  // q139 — LANGUAGE-MIXTURE REBALANCING: resample the corpus to a
+  // BALANCED per-language mix where the rates are DERIVED from the
+  // corpus itself — the composition q74/q94 stop short of: q74 takes
+  // a given budget, q94 a given rate formula; a real pretraining-mix
+  // build first MEASURES the distribution (here over the LEARNED
+  // language, q25's lang-id, not a trusted label), derives
+  // keep-rate(lang) = min(1, (N/|langs|)/N_lang), and then applies
+  // the q94 primitive (deterministic unit-hash Bernoulli, pure
+  // map-side). Scale shape: one partial-agg shuffle for the language
+  // histogram (|langs| rows), a 1-row total, both broadcast back onto
+  // the scan — the filter itself never shuffles. Two corpus passes
+  // total (the histogram must exist before the filter can run); each
+  // is map-side and scan-bound at any volume. The filter compares the
+  // EXACT rate (two IEEE divisions both engines replay); r4 only
+  // rounds the REPORTED rate.
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    val langed = docs(s, dir).select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("pred_lang"))
+    val counts = langed.groupBy(col("pred_lang")).agg(count(lit(1)).as("n_lang"))
+    val totals = counts.agg(sum(col("n_lang")).as("n_total"), count(lit(1)).as("n_langs"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .withColumn("rate", least(lit(1d),
+        col("n_total").cast("double") / col("n_langs") / col("n_lang")))
+      .select(col("pred_lang"), col("n_lang"), col("rate"))
+    langed.join(broadcast(rates), Seq("pred_lang"))
+      .filter(graft.functions.Sampling.unitHash(col("doc_id")) < col("rate"))
+      .select(col("doc_id"), col("pred_lang"), col("n_lang"), r4(col("rate")).as("rate"))
+  }
+
   // q94 — WEIGHTED DETERMINISTIC SAMPLING: each doc keeps with
   // probability equal to its source's target rate (src0 -> 5% ...
   // src19 -> 100%), decided by comparing the doc's multiplicative-
@@ -313,7 +342,8 @@ object PipelineQueries {
     "q71_kmeans_step" -> q71 _,
     "q72_cluster_exemplars" -> q72 _,
     "q73_winnow_fps" -> q73 _,
-    "q74_mixture_sample" -> q74 _
+    "q74_mixture_sample" -> q74 _,
+    "q139_lang_rebalance" -> q139 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -422,6 +452,40 @@ object PipelineQueries {
         |  UNION ALL SELECT 'in_set(l_returnflag)', v_set_rf, n FROM s
         |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', v_uni, n FROM u
         |)""".stripMargin,
+    "q139_lang_rebalance" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, zh,
+        |    len(list_filter(toks, x -> list_contains(['the','a','is','and','of'], x))) AS en,
+        |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS de,
+        |    len(list_filter(toks, x -> list_contains(['le','la','les','et','est'], x))) AS fr,
+        |    len(list_filter(toks, x -> list_contains(['el','los','las','y','es'], x))) AS es
+        |  FROM t
+        |), p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN zh > 0 THEN 'zh'
+        |         WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+        |         WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+        |         WHEN fr >= es AND fr > 0 THEN 'fr'
+        |         WHEN es > 0 THEN 'es'
+        |         ELSE 'und' END AS pred_lang
+        |  FROM h
+        |), c AS (
+        |  SELECT pred_lang, count(*)::BIGINT AS n_lang FROM p GROUP BY 1
+        |), tt AS (
+        |  SELECT sum(n_lang)::BIGINT AS n_total, count(*)::BIGINT AS n_langs FROM c
+        |), r AS (
+        |  SELECT pred_lang, n_lang,
+        |    least(1.0::DOUBLE, n_total::DOUBLE / n_langs / n_lang) AS rate
+        |  FROM c CROSS JOIN tt
+        |)
+        |SELECT p.doc_id, p.pred_lang, r.n_lang,
+        |  floor(r.rate * 10000 + 0.5) / 10000 AS rate
+        |FROM p JOIN r USING (pred_lang)
+        |WHERE ((p.doc_id * 2654435761) % 4294967296)::DOUBLE / 4294967296.0 < r.rate""".stripMargin,
     "q94_weighted_sample" ->
       """SELECT doc_id, source,
         |  (substr(source, 4)::INT + 1)::DOUBLE / 20.0::DOUBLE AS rate
