@@ -259,6 +259,8 @@ object ScaleProbe {
       // q139: one histogram shuffle (|langs| rows) + a broadcast-rate
       // map-side filter — the rebalance is a single corpus pass
       time("q139_lang_rebalance") { q("q139_lang_rebalance") }
+      // q140: two-level prefix offsets + a bounded map-side explode
+      time("q140_seq_pack") { q("q140_seq_pack") }
     }
     spark.stop()
   }

@@ -207,6 +207,41 @@ object PipelineQueries {
       .filter(col("cum_tokens") - col("n_tokens") < budget)
   }
 
+  // q140 — SEQUENCE PACKING (concat-and-chunk): lay the corpus's
+  // token stream end to end in doc_id order and cut it into
+  // fixed-length training sequences of L=2048 — the GPT-style
+  // pretraining prep that q70's whole-doc sharding stops short of: a
+  // doc whose span crosses a cut boundary contributes to EVERY
+  // sequence it overlaps (one row per (doc, seq) with the exact token
+  // count landing there), which is what an attention-mask builder
+  // consumes. Scale shape: the global token offset is the q70
+  // two-level prefix sum (per-bucket totals -> |buckets|-row
+  // exclusive window -> broadcast back; no global sort, no
+  // single-task window); the boundary fan-out is a map-side
+  // sequence() explode bounded by ceil(n_tokens/L)+1 per doc.
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    val seqLen = 2048L
+    val bucketWidth = 256L
+    val d = docs(s, dir).select(col("doc_id"),
+      size(TextAnalysis.wordTokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val b = d.withColumn("bkt", floor(col("doc_id") / bucketWidth).cast("long"))
+    val offs = b.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("bt"))
+      .withColumn("off", coalesce(sum(col("bt")).over(
+        Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("off"))
+    b.join(broadcast(offs), Seq("bkt"))
+      .withColumn("end_tok", col("off") + sum(col("n_tokens")).over(
+        Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("start_tok", col("end_tok") - col("n_tokens"))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"start_tok DIV $seqLen"), expr(s"(end_tok - 1) DIV $seqLen"))))
+      .select(col("doc_id"), col("n_tokens"), col("seq_id"),
+        (least(col("end_tok"), (col("seq_id") + 1) * seqLen)
+          - greatest(col("start_tok"), col("seq_id") * seqLen)).as("n_in_seq"))
+  }
+
   // q139 — LANGUAGE-MIXTURE REBALANCING: resample the corpus to a
   // BALANCED per-language mix where the rates are DERIVED from the
   // corpus itself — the composition q74/q94 stop short of: q74 takes
@@ -343,7 +378,8 @@ object PipelineQueries {
     "q72_cluster_exemplars" -> q72 _,
     "q73_winnow_fps" -> q73 _,
     "q74_mixture_sample" -> q74 _,
-    "q139_lang_rebalance" -> q139 _
+    "q139_lang_rebalance" -> q139 _,
+    "q140_seq_pack" -> q140 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -452,6 +488,24 @@ object PipelineQueries {
         |  UNION ALL SELECT 'in_set(l_returnflag)', v_set_rf, n FROM s
         |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', v_uni, n FROM u
         |)""".stripMargin,
+    "q140_seq_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens
+        |  FROM documents
+        |), nz AS (
+        |  SELECT doc_id, n_tokens,
+        |    (sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS end_tok
+        |  FROM d WHERE n_tokens > 0
+        |), sp AS (
+        |  SELECT doc_id, n_tokens, end_tok, end_tok - n_tokens AS start_tok FROM nz
+        |)
+        |SELECT sp.doc_id, sp.n_tokens, g.seq_id,
+        |  (least(sp.end_tok, (g.seq_id + 1) * 2048)
+        |    - greatest(sp.start_tok, g.seq_id * 2048))::BIGINT AS n_in_seq
+        |FROM sp, LATERAL (
+        |  SELECT unnest(generate_series(sp.start_tok // 2048, (sp.end_tok - 1) // 2048)) AS seq_id
+        |) g""".stripMargin,
     "q139_lang_rebalance" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
