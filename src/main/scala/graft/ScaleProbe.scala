@@ -218,6 +218,11 @@ object ScaleProbe {
     // probe cost is queries x k (broadcast centroids) and the scan is
     // nprobe buckets x flat population — corpus-size-free serving
     time("q138_ivf_growk") { q("q138_ivf_growk") }
+    // q139: one |langs|-row histogram shuffle + a broadcast-rate
+    // map-side filter over two scan-bound corpus passes; q140: the
+    // q70 two-level prefix offsets + a bounded map-side explode
+    time("q139_lang_rebalance") { q("q139_lang_rebalance") }
+    time("q140_seq_pack") { q("q140_seq_pack") }
     // TPC-H finishers: q131/q133/q134's supply relations are
     // (part, supp)-pair aggregates — dim-x-dim sized at any fact
     // volume once the partial agg collapses the scan; q135 feeds two
@@ -256,11 +261,6 @@ object ScaleProbe {
       time("q98_kmv_by_key") { q("q98_kmv_by_key") }
       time("q93_grouped_quantiles") { q("q93_grouped_quantiles") }
       time("q96_inverted_index") { q("q96_inverted_index") }
-      // q139: one histogram shuffle (|langs| rows) + a broadcast-rate
-      // map-side filter — the rebalance is a single corpus pass
-      time("q139_lang_rebalance") { q("q139_lang_rebalance") }
-      // q140: two-level prefix offsets + a bounded map-side explode
-      time("q140_seq_pack") { q("q140_seq_pack") }
     }
     spark.stop()
   }
