@@ -223,6 +223,9 @@ object ScaleProbe {
     // q70 two-level prefix offsets + a bounded map-side explode
     time("q139_lang_rebalance") { q("q139_lang_rebalance") }
     time("q140_seq_pack") { q("q140_seq_pack") }
+    // q141: one bigram->slot partial-agg shuffle builds the 4096-row
+    // model; raw-pool scoring is a broadcast join + per-doc aggregate
+    time("q141_dsir_importance") { q("q141_dsir_importance") }
     // TPC-H finishers: q131/q133/q134's supply relations are
     // (part, supp)-pair aggregates — dim-x-dim sized at any fact
     // volume once the partial agg collapses the scan; q135 feeds two

@@ -230,7 +230,58 @@ object CurationQueries {
         r4(col("n_boiler").cast("double") / col("n_grams")).as("boiler_ratio"))
   }
 
+  // q141 — DSIR-STYLE IMPORTANCE SCORING (Xie et al. 2023,
+  // arXiv:2302.03169): score every raw-pool document by how
+  // target-like its hashed-bigram bag is — the data-selection method
+  // between heuristic gates (q69) and trained classifiers. The
+  // "target" distribution is the src0 slice, the raw pool everything
+  // else; features are bigrams hashed into B=4096 buckets (md5-15
+  // long -> one affine slot — both engine-portable); each
+  // distribution gets add-1-smoothed bucket probabilities and the
+  // per-doc score is the summed log-likelihood ratio
+  // sum_f c_f(doc) * [log2 p_t(f) - log2 p_r(f)], kept EXACT as
+  // integer micro-log2 units (the q81 fixed-point-transcendental
+  // rule: quantize each log once, sum integers — partition-order
+  // free). keep = score > 0 (more target-like than raw-like).
+  // Scale shape: one bigram->slot partial-agg shuffle builds the
+  // 4096-row model, which BROADCASTS back onto the per-doc slot
+  // counts — raw-pool scoring is one aggregate per doc, linear at
+  // any corpus size, exactly how DSIR selects from 100 TB pools.
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    val nB = 4096L
+    val words = col("words")
+    val idx = when(size(words) >= 2, sequence(lit(1), size(words) - lit(1)))
+      .otherwise(array().cast("array<int>"))
+    val slots = docs(s, dir)
+      .select(col("doc_id"), (col("source") === "src0").as("is_t"),
+        TextAnalysis.wordTokens(col("text")).as("words"))
+      .select(col("doc_id"), col("is_t"), explode(
+        transform(idx, i => concat_ws(" ", slice(words, i, lit(2))))).as("bg"))
+      .select(col("doc_id"), col("is_t"),
+        // pre-mod by P: the md5-15 key is up to 2^60 and the affine
+        // multiply would overflow BIGINT (DuckDB errors, Spark wraps)
+        graft.functions.Sketches.slot(
+          graft.functions.NearDup.md5TokenHash(col("bg")) % graft.functions.Sketches.P,
+          0, nB).as("slot"))
+    val model = slots.groupBy(col("slot")).agg(
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("is_t"), 1L).otherwise(0L)).as("cr"))
+    val totals = model.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    def qlog2(x: Column): Column =
+      floor(log2(x) * lit(1e6) + lit(0.5)).cast("long")
+    val lam = model.crossJoin(broadcast(totals))
+      .select(col("slot"),
+        (qlog2((col("ct") + 1).cast("double") / (col("tt") + nB).cast("double"))
+          - qlog2((col("cr") + 1).cast("double") / (col("tr") + nB).cast("double"))).as("lam_fp"))
+    slots.filter(!col("is_t"))
+      .join(broadcast(lam), Seq("slot"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lam_fp")).as("score_fp"))
+      .withColumn("keep", col("score_fp") > 0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_dsir_importance" -> q141 _,
     "q91_boilerplate" -> q91 _,
     "q66_incremental_neardup" -> q66 _,
     "q60_contamination" -> q60 _,
@@ -243,6 +294,37 @@ object CurationQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q141_dsir_importance" ->
+      """WITH base AS (
+        |  SELECT doc_id, source = 'src0' AS is_t,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, is_t, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+        |  FROM base WHERE len(w) >= 2
+        |), sl AS (
+        |  SELECT doc_id, is_t,
+        |    (((('0x' || substr(md5(bg), 1, 15))::BIGINT % 2147483647) * 1299721 + 7) % 2147483647) % 4096 AS slot
+        |  FROM bg
+        |), model AS (
+        |  SELECT slot,
+        |    sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS ct,
+        |    sum(CASE WHEN is_t THEN 0 ELSE 1 END)::BIGINT AS cr
+        |  FROM sl GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(ct)::BIGINT AS tt, sum(cr)::BIGINT AS tr FROM model
+        |), lam AS (
+        |  SELECT slot,
+        |    floor(log2((ct + 1)::DOUBLE / (tt + 4096)::DOUBLE) * 1e6 + 0.5)::BIGINT
+        |      - floor(log2((cr + 1)::DOUBLE / (tr + 4096)::DOUBLE) * 1e6 + 0.5)::BIGINT AS lam_fp
+        |  FROM model CROSS JOIN tot
+        |)
+        |SELECT s.doc_id, count(*)::BIGINT AS n_bigrams,
+        |  sum(l.lam_fp)::BIGINT AS score_fp,
+        |  sum(l.lam_fp) > 0 AS keep
+        |FROM sl s JOIN lam l USING (slot)
+        |WHERE NOT s.is_t
+        |GROUP BY 1""".stripMargin,
     "q91_boilerplate" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
