@@ -173,6 +173,31 @@ class ChunkedFrameSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("running max: seeded-random corpora (duplicate ts, negatives, scattered nulls) stay exact") {
+    import spark.implicits._
+    for (seed <- Seq(7, 23, 91)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 800).map { i =>
+        (i.toLong,
+          s"k${rnd.nextInt(4)}",
+          // duplicate timestamps ACROSS keys and within keys: the
+          // (ts, event_id) order prefix must disambiguate
+          new java.sql.Timestamp(1704067200000L + rnd.nextInt(50) * 3600000L + rnd.nextInt(3) * 1000L),
+          if (rnd.nextInt(10) == 0) None else Some(rnd.nextDouble() * 200 - 100))
+      }
+      val ev = rows.toDF("event_id", "event_type", "ts", "value")
+      val run = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val a = ev.select(col("event_id"), col("event_type"),
+        max(col("value")).over(run).as("peak"))
+      val b = ChunkedFrame.withRunningMax(ev, "event_type",
+        date_trunc("hour", col("ts")), Seq("ts", "event_id"), "value", "peak")
+        .select(a.columns.map(col): _*)
+      assert(a.count() == b.count())
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, s"seed $seed diverged")
+    }
+  }
+
   test("running max never partitions a window by the bare key") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_id"), col("event_type"), col("ts"), col("value"))

@@ -474,6 +474,17 @@ class StreamingSpec extends SparkSpec {
       .columns.contains("venue"), "pre-evolution versions keep the old schema")
     assert(stateAt(vs(3)) == Map("AAA" -> 11.0))
     assert(stateAt(vs(4)) == Map("AAA" -> 11.0, "CCC" -> 30.0))
+
+    // vacuum completes the GDPR story: retain the last 2 versions and
+    // BBB's bytes actually leave disk — the pre-delete versions stop
+    // serving, the head still does, exactly once more
+    val reclaimed = graft.batch.VersionedTable.vacuum(spark, tableRoot, retainLast = 2)
+    assert(reclaimed.nonEmpty, "vacuum must reclaim the dropped versions' files")
+    assert(graft.batch.VersionedTable.versions(conf, tableRoot) == vs.takeRight(2))
+    intercept[Exception] {
+      graft.batch.VersionedTable.read(spark, tableRoot, Some(vs(1))).collect()
+    }
+    assert(stateAt(vs(4)) == Map("AAA" -> 11.0, "CCC" -> 30.0))
   }
 
   test("anomaly alerts: only the history-deviant tick fires, stats match batch") {
