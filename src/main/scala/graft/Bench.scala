@@ -152,9 +152,14 @@ object Bench {
     // get head-truncated (BENCH_r03/r04 recorded parsed:null). Short
     // qNN keys (BASELINE.md's own naming) at millisecond precision
     // keep the line under ~1k chars with room to grow.
-    val qs = results.map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+    // centisecond precision on the compact line: at 140 queries the
+    // line is ~1.8k chars and the split lines + sbt's [success] must
+    // also fit the driver's ~2k tail — full precision lives in
+    // BENCH_FULL above
+    def r2c(v: Double): Double = math.floor(v * 100d + 0.5d) / 100d
+    val qs = results.map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + r2c(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r2c(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // Split lines AFTER the compact line so they sit inside the
     // driver's archived tail (they are short; the parseable compact
     // line above still leads the window).
