@@ -61,6 +61,9 @@ final class CentroidBook(val buckets: Array[Long],
                          val cents: Array[Array[Double]],
                          val norms: Array[Double]) extends Serializable {
   require(buckets.nonEmpty, "empty centroid book")
+  // the packed (bucket, sim) long needs non-negative buckets; a
+  // negative label would alias another bucket's packing
+  require(buckets.head >= 0, s"bucket ids must be non-negative, got ${buckets.head}")
 
   /** argmax of rounded cosine (lowest-bucket tiebreak), packed as
     * `bucket * 100000 + (floor(sim*1e4 + 0.5) + 10000)`. Scanning in
