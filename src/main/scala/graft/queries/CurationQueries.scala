@@ -247,40 +247,94 @@ object CurationQueries {
   // 4096-row model, which BROADCASTS back onto the per-doc slot
   // counts — raw-pool scoring is one aggregate per doc, linear at
   // any corpus size, exactly how DSIR selects from 100 TB pools.
+  // Shared machinery lives in [[graft.functions.Dsir]] (one code path
+  // with the streaming ingest gate, StreamPipeline.importanceGate).
   private def q141(s: SparkSession, dir: String): DataFrame = {
-    val nB = 4096L
-    val words = col("words")
-    val idx = when(size(words) >= 2, sequence(lit(1), size(words) - lit(1)))
-      .otherwise(array().cast("array<int>"))
-    val slots = docs(s, dir)
-      .select(col("doc_id"), (col("source") === "src0").as("is_t"),
-        TextAnalysis.wordTokens(col("text")).as("words"))
-      .select(col("doc_id"), col("is_t"), explode(
-        transform(idx, i => concat_ws(" ", slice(words, i, lit(2))))).as("bg"))
-      .select(col("doc_id"), col("is_t"),
-        // pre-mod by P: the md5-15 key is up to 2^60 and the affine
-        // multiply would overflow BIGINT (DuckDB errors, Spark wraps)
-        graft.functions.Sketches.slot(
-          graft.functions.NearDup.md5TokenHash(col("bg")) % graft.functions.Sketches.P,
-          0, nB).as("slot"))
-    val model = slots.groupBy(col("slot")).agg(
-        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
-        sum(when(!col("is_t"), 1L).otherwise(0L)).as("cr"))
-    val totals = model.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
-    def qlog2(x: Column): Column =
-      floor(log2(x) * lit(1e6) + lit(0.5)).cast("long")
-    val lam = model.crossJoin(broadcast(totals))
-      .select(col("slot"),
-        (qlog2((col("ct") + 1).cast("double") / (col("tt") + nB).cast("double"))
-          - qlog2((col("cr") + 1).cast("double") / (col("tr") + nB).cast("double"))).as("lam_fp"))
-    slots.filter(!col("is_t"))
-      .join(broadcast(lam), Seq("slot"))
+    import graft.functions.Dsir
+    val base = docs(s, dir)
+      .select(col("doc_id"), (col("source") === "src0").as("is_t"), col("text"))
+    val slots = Dsir.slots(base, col("doc_id"), col("text"), keep = Seq("is_t"))
+    val lam = Dsir.model(slots)
+    Dsir.score(slots.filter(!col("is_t")), lam)
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  // q142 — BLOCK-LEVEL EXACT-SUBSTRING DEDUP WITH RECONSTRUCTION (the
+  // remove-and-rebuild step q65 stops short of; the aligned-block
+  // practical form of Lee et al. 2021, arXiv:2107.06499 "Deduplicating
+  // Training Data Makes Language Models Better"): every 64-char
+  // aligned block of every document (INCLUDING the sub-64 tail, so
+  // unique docs reconstruct losslessly) is fingerprinted; for each
+  // distinct block content exactly ONE occurrence survives — the
+  // first in (doc_id, offset) order — and each document is rebuilt
+  // from its surviving blocks in offset order. Output is the cleaned
+  // corpus's shape: per doc, blocks before/after and the md5 of the
+  // reconstructed text (text itself stays out of the result set).
+  // Scale shape: the block stream is map-side (explode + md5, no
+  // text retained past the fingerprint); ONE corpus-wide partial-agg
+  // shuffle keyed on the fingerprint computes each content's first
+  // occurrence (min of a packed (doc_id, offset) long — no sort);
+  // the survivors join is the same fp key (exchange reuse), the
+  // kept-offsets aggregate is doc-keyed, and the rebuild slices the
+  // original text map-side from the kept offsets — blocks never
+  // carry their text through any exchange. Exactly the shuffle
+  // economy a suffix-array dedup pass has at 100 TB, at aligned-block
+  // granularity.
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val nBlocks = floor((length(col("text")) + lit(63)) / lit(64)).cast("int")
+    val blocks = d
+      .select(col("doc_id"), col("text"),
+        explode(when(nBlocks >= 1, sequence(lit(0), nBlocks - 1))
+          .otherwise(array().cast("array<int>"))).as("k"))
+      .select(col("doc_id"), col("k"),
+        md5(call_function("substring", col("text"),
+          (col("k") * 64 + 1).cast("int"), lit(64))).as("fp"))
+      .withColumn("pk", col("doc_id") * lit(1000000L) + col("k"))
+    val firsts = blocks.groupBy(col("fp")).agg(min(col("pk")).as("mpk"))
+    val kept = blocks.join(firsts, Seq("fp"))
+      .filter(col("pk") === col("mpk"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("lam_fp")).as("score_fp"))
-      .withColumn("keep", col("score_fp") > 0)
+      .agg(sort_array(collect_list(col("k"))).as("ks"), count(lit(1)).as("n_kept"))
+    d.join(kept, Seq("doc_id"), "left")
+      .withColumn("clean", concat_ws("", expr(
+        "transform(coalesce(ks, cast(array() as array<int>)), k -> substring(text, k*64+1, 64))")))
+      .select(col("doc_id"),
+        floor((length(col("text")) + lit(63)) / lit(64)).cast("long").as("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        length(col("clean")).cast("long").as("clean_len"),
+        md5(col("clean")).as("clean_fp"))
+  }
+
+  // q146 — WORD-ENTROPY QUALITY SIGNAL: per-document Shannon entropy
+  // of the word distribution, the information-theoretic repetition
+  // gate that complements q64's heuristics (dup-2-gram fraction and
+  // top-word mass are blunt; entropy collapses smoothly toward 0 as a
+  // doc degenerates into repeats and peaks at log2(n) for all-distinct
+  // text). Kept EXACT cross-engine via the q81/q141 fixed-point-
+  // transcendental rule: H = log2(n) - (1/n)·Σ c·log2(c) is computed
+  // as integer micro-log2 units — each log quantized ONCE, then only
+  // integer multiply/sum (partition-order free); the single closing
+  // division to bits happens on integers both engines hold exactly.
+  // Scale shape: one (doc, word) partial-agg shuffle then a doc-keyed
+  // aggregate — same two-level economy as q64's top-word pass; no
+  // per-doc O(n²) array scans, so megabyte documents cost O(words).
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    def qlog2(x: Column): Column = floor(log2(x) * lit(1e6) + lit(0.5)).cast("long")
+    docs(s, dir)
+      .select(col("doc_id"), explode(TextAnalysis.wordTokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * qlog2(col("c").cast("double"))).as("s_fp"))
+      .withColumn("h_fp", qlog2(col("n_words").cast("double")) * col("n_words") - col("s_fp"))
+      .select(col("doc_id"), col("n_words"), col("h_fp"),
+        r4(col("h_fp").cast("double") / (col("n_words").cast("double") * lit(1e6))).as("h_bits"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_block_dedup" -> q142 _,
+    "q146_word_entropy" -> q146 _,
     "q141_dsir_importance" -> q141 _,
     "q91_boilerplate" -> q91 _,
     "q66_incremental_neardup" -> q66 _,
@@ -294,6 +348,44 @@ object CurationQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q142_block_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, ((length(text) + 63) // 64)::BIGINT AS nb FROM documents
+        |), blk AS (
+        |  SELECT doc_id, k,
+        |    substr(text, (k*64+1)::INT, 64) AS btxt,
+        |    md5(substr(text, (k*64+1)::INT, 64)) AS fp,
+        |    doc_id*1000000 + k AS pk
+        |  FROM d, unnest(range(0, nb)) AS t(k)
+        |), f AS (
+        |  SELECT fp, min(pk) AS mpk FROM blk GROUP BY 1
+        |), rec AS (
+        |  SELECT b.doc_id, count(*)::BIGINT AS n_kept,
+        |    string_agg(b.btxt, '' ORDER BY b.k) AS clean
+        |  FROM blk b JOIN f ON b.fp = f.fp AND b.pk = f.mpk
+        |  GROUP BY 1
+        |)
+        |SELECT d.doc_id, d.nb AS n_blocks,
+        |  coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+        |  length(coalesce(r.clean, ''))::BIGINT AS clean_len,
+        |  md5(coalesce(r.clean, '')) AS clean_fp
+        |FROM d LEFT JOIN rec r USING (doc_id)""".stripMargin,
+    "q146_word_entropy" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, w, count(*)::BIGINT AS c FROM w GROUP BY 1, 2
+        |), a AS (
+        |  SELECT doc_id, sum(c)::BIGINT AS n_words,
+        |    sum(c * floor(log2(c::DOUBLE) * 1e6 + 0.5)::BIGINT)::BIGINT AS s_fp
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT doc_id, n_words,
+        |  (floor(log2(n_words::DOUBLE) * 1e6 + 0.5)::BIGINT * n_words - s_fp)::BIGINT AS h_fp,
+        |  floor((floor(log2(n_words::DOUBLE) * 1e6 + 0.5)::BIGINT * n_words - s_fp)::DOUBLE
+        |    / (n_words::DOUBLE * 1e6) * 10000 + 0.5)/10000 AS h_bits
+        |FROM a""".stripMargin,
     "q141_dsir_importance" ->
       """WITH base AS (
         |  SELECT doc_id, source = 'src0' AS is_t,

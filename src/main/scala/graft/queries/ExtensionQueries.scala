@@ -131,6 +131,49 @@ object ExtensionQueries {
     Similarity.topK(scored, 5, col("cos_r"))
   }
 
+  // q144 — INT8 SCALAR-QUANTIZED SIMILARITY SERVING (SQ8 — the other
+  // standard vector-compression family next to PQ/q104: FAISS's
+  // ScalarQuantizer, 4x smaller than float32 with near-exact recall):
+  // every embedding is quantized per-vector symmetric int8 — scale =
+  // max|x|/127, code = clamp(round(x/scale)) — and top-5 cosine is
+  // served over the DEQUANTIZED vectors, with each served neighbor
+  // audited against the exact-float top-5 (`exact_hit`: the recall
+  // readout a quantization rollout gates on). Every arithmetic step
+  // is replayable: round-half-up via floor(x+0.5) (no libm rounding
+  // modes), the per-vector max and divisions IEEE-exact, and the
+  // dot/norm path is q28's already-pinned left-fold. Scale shape:
+  // quantization is a pure map pass (at 100 TB the int8 codes are
+  // what lands in the vector store — the 4x scan saving is the
+  // point); serving is the q28 broadcast-queries + BoundedTopK
+  // partial-agg shape twice (quantized + exact audit), no extra
+  // shuffles beyond the two per-query top-k aggregations.
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val dq = e.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("scale",
+        aggregate(col("v"), lit(0d), (a, x) => greatest(a, abs(x))) / lit(127d))
+      .withColumn("embedding", when(col("scale") === lit(0d),
+          transform(col("v"), _ => lit(0d)))
+        .otherwise(transform(col("v"), x =>
+          greatest(lit(-127d), least(lit(127d), floor(x / col("scale") + lit(0.5))))
+            * col("scale"))))
+      .select(col("vec_id"), col("embedding"))
+    val served = {
+      val scored = Similarity.scoreAll(dq.filter(col("vec_id") < 10), dq, "vec_id", "embedding")
+        .withColumn("cos_r", r4(col("cos"))).drop("cos")
+      Similarity.topK(scored, 5, col("cos_r"))
+    }
+    val exact = {
+      val scored = Similarity.scoreAll(e.filter(col("vec_id") < 10), e, "vec_id", "embedding")
+        .withColumn("cos_r", r4(col("cos"))).drop("cos")
+      Similarity.topK(scored, 5, col("cos_r"))
+        .select(col("query_id"), col("neighbor_id"), lit(true).as("exact_hit"))
+    }
+    served.join(exact, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("exact_hit", coalesce(col("exact_hit"), lit(false)))
+  }
+
   // q124 — HARD-NEGATIVE MINING (contrastive-training data op): per
   // query, the top-k most-similar candidates BELOW the positive band
   // (cos < 0.95). Near-duplicates and true positives would poison a
@@ -548,6 +591,7 @@ object ExtensionQueries {
     "q26_token_count" -> q26 _,
     "q27_fingerprint" -> q27 _,
     "q28_cosine_topk" -> q28 _,
+    "q144_sq8_topk" -> q144 _,
     "q124_hard_negatives" -> q124 _,
     "q29_ann_bucketed" -> q29 _,
     "q30_multimodal_meta" -> q30 _,
@@ -941,6 +985,37 @@ object ExtensionQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rnk FROM f
         |)
         |SELECT query_id, neighbor_id, cos_r, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "q144_sq8_topk" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), sc AS (
+        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e
+        |), dq AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+        |         ELSE list_transform(v, x -> greatest(-127.0, least(127.0, floor(x / scale + 0.5))) * scale)
+        |    END AS v
+        |  FROM sc
+        |), sd AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    floor(list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))*10000 + 0.5)/10000 AS cos_r
+        |  FROM dq c, (SELECT * FROM dq WHERE vec_id < 10) q WHERE q.vec_id <> c.vec_id
+        |), rq AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rnk FROM sd
+        |), topq AS (
+        |  SELECT query_id, neighbor_id, cos_r, rnk FROM rq WHERE rnk <= 5
+        |), se AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    floor(list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))*10000 + 0.5)/10000 AS cos_r
+        |  FROM e c, (SELECT * FROM e WHERE vec_id < 10) q WHERE q.vec_id <> c.vec_id
+        |), re AS (
+        |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rnk FROM se
+        |), tope AS (
+        |  SELECT query_id, neighbor_id FROM re WHERE rnk <= 5
+        |)
+        |SELECT t.query_id, t.neighbor_id, t.cos_r, t.rnk,
+        |  (te.neighbor_id IS NOT NULL) AS exact_hit
+        |FROM topq t LEFT JOIN tope te USING (query_id, neighbor_id)""".stripMargin,
     "q28_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),

@@ -271,6 +271,61 @@ object PipelineQueries {
       .select(col("doc_id"), col("pred_lang"), col("n_lang"), r4(col("rate")).as("rate"))
   }
 
+  // q143 — TEMPERATURE-SCALED MIXTURE SAMPLING (the α-sampling of
+  // multilingual pretraining, XLM-R / mT5 recipe): up-weight small
+  // sources relative to proportional sampling by flattening the
+  // source distribution with exponent α. At α = 1/2 the per-doc
+  // keep-rate normalized so the SMALLEST source keeps everything is
+  // rate(src) = sqrt(n_min / n_src) — and because IEEE sqrt and
+  // division are correctly rounded, the rate is BITWISE identical
+  // across engines (the reason α = 1/2 is the declared setting: a
+  // pow(q, α-1) rate would hang cross-engine equality on libm
+  // last-ulp agreement; the q81 rule — transcendental once, then
+  // exact — specializes here to "use the algebraic exponent").
+  // Completes the mixture family: q74 budget-given, q94 rate-given,
+  // q139 balance-derived, q143 temperature-derived. Scale shape:
+  // identical to q139 — one |sources|-row histogram broadcast back
+  // onto the scan, the keep decision a pure map-side deterministic
+  // Bernoulli (q94 primitive); the filter never shuffles.
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    val counts = docs(s, dir).groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val minc = counts.agg(min(col("n_src")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(minc))
+      .withColumn("rate", sqrt(col("n_min").cast("double") / col("n_src").cast("double")))
+      .select(col("source"), col("n_src"), col("rate"))
+    docs(s, dir).select(col("doc_id"), col("source"))
+      .join(broadcast(rates), Seq("source"))
+      .filter(graft.functions.Sampling.unitHash(col("doc_id")) < col("rate"))
+      .select(col("doc_id"), col("source"), col("n_src"), r4(col("rate")).as("rate"))
+  }
+
+  // q145 — DETERMINISTIC EPOCH SHUFFLE (training-order assignment):
+  // each epoch permutes the corpus by a seeded multiplicative hash
+  // and every doc gets its GLOBAL position in that permutation plus
+  // a round-robin shard — the reader-side ordering a pretraining run
+  // consumes (shuffled each epoch, reproducible across restarts, no
+  // rand()). The position comes from ChunkedFrame.globalRank keyed
+  // on the epoch with the hash's high bits as the chunk: parallelism
+  // scales with volume/chunkWidth, not epoch count — a bare
+  // row_number() OVER (PARTITION BY epoch ORDER BY h) would sort
+  // each epoch's entire corpus in ONE task (the q108/q109 ceiling,
+  // which is exactly what this query exists to avoid at 100 TB).
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    // seed folds into the id BEFORE the multiply: h = ((id + seed)·A)
+    // mod 2^32. Adding the seed AFTER the multiply would be a pure
+    // additive shift mod 2^32 — order-preserving except at the single
+    // wrap point, i.e. every epoch would replay the SAME permutation
+    // (CorpusOpsSpec caught exactly that on the first cut).
+    val d = docs(s, dir).select(col("doc_id"))
+      .withColumn("epoch", explode(array(lit(1), lit(2))))
+      .withColumn("h", pmod((col("doc_id") + col("epoch") * lit(1000003L)) * lit(2654435761L),
+        lit(4294967296L)))
+    graft.operators.ChunkedFrame.globalRank(
+        d, "epoch", (col("h") / lit(16777216L)).cast("long"), Seq("h", "doc_id"))
+      .select(col("epoch"), col("doc_id"), col("__g").as("pos"),
+        (col("__g") % 8).as("shard"))
+  }
+
   // q94 — WEIGHTED DETERMINISTIC SAMPLING: each doc keeps with
   // probability equal to its source's target rate (src0 -> 5% ...
   // src19 -> 100%), decided by comparing the doc's multiplicative-
@@ -379,7 +434,9 @@ object PipelineQueries {
     "q73_winnow_fps" -> q73 _,
     "q74_mixture_sample" -> q74 _,
     "q139_lang_rebalance" -> q139 _,
-    "q140_seq_pack" -> q140 _
+    "q140_seq_pack" -> q140 _,
+    "q143_temp_mixture" -> q143 _,
+    "q145_epoch_shuffle" -> q145 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -540,6 +597,30 @@ object PipelineQueries {
         |  floor(r.rate * 10000 + 0.5) / 10000 AS rate
         |FROM p JOIN r USING (pred_lang)
         |WHERE ((p.doc_id * 2654435761) % 4294967296)::DOUBLE / 4294967296.0 < r.rate""".stripMargin,
+    "q143_temp_mixture" ->
+      """WITH c AS (
+        |  SELECT source, count(*)::BIGINT AS n_src FROM documents GROUP BY 1
+        |), m AS (
+        |  SELECT min(n_src) AS n_min FROM c
+        |), r AS (
+        |  SELECT source, n_src, sqrt(n_min::DOUBLE / n_src::DOUBLE) AS rate
+        |  FROM c CROSS JOIN m
+        |)
+        |SELECT d.doc_id, d.source, r.n_src,
+        |  floor(r.rate * 10000 + 0.5)/10000 AS rate
+        |FROM documents d JOIN r USING (source)
+        |WHERE ((d.doc_id * 2654435761) % 4294967296)::DOUBLE / 4294967296.0 < r.rate""".stripMargin,
+    "q145_epoch_shuffle" ->
+      """WITH d AS (
+        |  SELECT doc_id, epoch,
+        |    ((doc_id + epoch * 1000003) * 2654435761) % 4294967296 AS h
+        |  FROM documents, unnest([1, 2]) AS t(epoch)
+        |), p AS (
+        |  SELECT epoch, doc_id,
+        |    (row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) - 1)::BIGINT AS pos
+        |  FROM d
+        |)
+        |SELECT epoch, doc_id, pos, (pos % 8)::BIGINT AS shard FROM p""".stripMargin,
     "q94_weighted_sample" ->
       """SELECT doc_id, source,
         |  (substr(source, 4)::INT + 1)::DOUBLE / 20.0::DOUBLE AS rate

@@ -491,6 +491,47 @@ object StreamPipeline {
       }
       .start()
 
+  /** STREAMING IMPORTANCE GATE (the live form of q141's DSIR batch
+    * scoring, one code path — [[graft.functions.Dsir]]): every
+    * micro-batch's documents are scored against a PRE-TRAINED
+    * (slot → lam_fp) importance model and routed — target-like docs
+    * (summed log-likelihood ratio > 0) to `keepPath`, the rest to
+    * `flaggedPath` (audit trail, never a silent drop; docs too short
+    * to produce a bigram score 0 and flag). The model is `nSlots`
+    * rows regardless of training-corpus size and broadcasts, so the
+    * per-batch cost is a map-side slot lookup per bigram plus one
+    * per-doc aggregate — O(batch) at any standing-corpus size,
+    * exactly how a DSIR-selected ingest keeps pace with a firehose.
+    * Both writes stamp batch_id for at-least-once replay dedup
+    * (readBuckets contract). Scores ride along (`score_fp`,
+    * `n_bigrams`) so downstream re-thresholding needs no re-scan. */
+  def importanceGate(docsStream: DataFrame, lamModel: DataFrame,
+                     keepPath: String, flaggedPath: String, checkpoint: String,
+                     trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    docsStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val d = graft.functions.Dsir
+        val scored = d.score(d.slots(batch, col("doc_id"), col("text")), lamModel)
+          .withColumnRenamed("id", "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val routed = batch
+          .join(scored, Seq("doc_id"), "left")
+          .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+          .withColumn("score_fp", coalesce(col("score_fp"), lit(0L)))
+          .withColumn("keep", coalesce(col("keep"), lit(false)))
+          .withColumn("batch_id", lit(batchId))
+        routed.filter(col("keep")).drop("keep")
+          .write.mode("append").parquet(keepPath)
+        routed.filter(!col("keep")).drop("keep")
+          .write.mode("append").parquet(flaggedPath)
+        scored.unpersist(blocking = false)
+        ()
+      }
+      .start()
+
   /** STREAMING DISTRIBUTION-DRIFT GATE: the live form of the q122
     * batch gate — every micro-batch's value distribution is checked
     * against a REFERENCE SNAPSHOT

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Invariants for the corpus-ops additions q142–q146 that the DuckDB
+  * hash oracle doesn't express naturally: reconstruction fidelity,
+  * permutation properties, entropy bounds, quantized-serving shape.
+  * Runs on sf0.001 plus synthetic pin corpora through the SAME query
+  * entry points (the queries read any dir with a documents table).
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(name: String, dir: String = sf()) =
+    SparkEntry.queries(name)(spark, dir)
+  private def docs = spark.read.parquet(s"${sf()}/documents.parquet")
+
+  test("q142: exactly one survivor per distinct block; doc 0 reconstructs losslessly") {
+    val out = q("q142_block_dedup").cache()
+    // independent distinct-block count: total kept across the corpus
+    // must equal the number of distinct block contents
+    val nDistinct = docs.filter(length($"text") > 0)
+      .select(explode(expr(
+        "transform(sequence(0, cast((length(text)+63) div 64 as int) - 1, 1), k -> substring(text, k*64+1, 64))")).as("b"))
+      .agg(countDistinct($"b")).as[Long].head()
+    val totKept = out.agg(sum($"n_kept")).as[Long].head()
+    assert(totKept == nDistinct, s"kept=$totKept distinct=$nDistinct")
+    // the minimum doc_id owns the first occurrence of every block it
+    // has: full reconstruction, byte-identical
+    val want = docs.filter($"doc_id" === 0).select(md5($"text")).as[String].head()
+    val r0 = out.filter($"doc_id" === 0)
+      .select($"clean_fp", $"n_kept", $"n_blocks").head()
+    assert(r0.getString(0) == want && r0.getLong(1) == r0.getLong(2))
+    out.unpersist()
+  }
+
+  test("q142: corpus with globally unique blocks reconstructs every doc losslessly") {
+    val dir = Files.createTempDirectory("graft_q142").toString
+    Seq(
+      (0L, ('a' to 'z').mkString * 10),
+      (1L, ('A' to 'Z').mkString * 7),
+      (2L, "0123456789" * 13)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val srcs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", md5($"text").as("want"))
+    val bad = q("q142_block_dedup", dir).join(srcs, Seq("doc_id"))
+      .filter($"clean_fp" =!= $"want" || $"n_kept" =!= $"n_blocks")
+    assert(bad.isEmpty)
+  }
+
+  test("q143: the smallest source keeps every doc at rate 1.0") {
+    val out = q("q143_temp_mixture").cache()
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+    val nMin = counts.agg(min($"n")).as[Long].head()
+    val minSources = counts.filter($"n" === nMin).select($"source").as[String].collect().toSet
+    val keptMin = out.filter($"source".isin(minSources.toSeq: _*))
+      .groupBy($"source").agg(count(lit(1)).as("kept"), min($"rate").as("r"))
+    assert(keptMin.filter($"kept" =!= nMin || $"r" =!= 1.0).isEmpty,
+      "smallest source must keep all docs at rate exactly 1.0")
+    // rates decrease as sources grow (temperature flattening, not inversion)
+    val rates = out.select($"source", $"n_src", $"rate").distinct()
+      .orderBy($"n_src", $"source").collect()
+    rates.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(2) >= b.getDouble(2), s"rate must be non-increasing in n_src: $a $b")
+    case _ => ()
+    }
+    out.unpersist()
+  }
+
+  test("q145: per-epoch positions are a permutation; epochs differ; == the bare-window form") {
+    val out = q("q145_epoch_shuffle").cache()
+    val n = docs.count()
+    val agg = out.groupBy($"epoch")
+      .agg(countDistinct($"pos").as("d"), min($"pos").as("mn"), max($"pos").as("mx"))
+    assert(agg.filter($"d" =!= n || $"mn" =!= 0 || $"mx" =!= (n - 1)).isEmpty)
+    val moved = out.filter($"epoch" === 1).select($"doc_id", $"pos".as("p1"))
+      .join(out.filter($"epoch" === 2).select($"doc_id", $"pos".as("p2")), "doc_id")
+      .filter($"p1" =!= $"p2").count()
+    assert(moved > 0, "epochs must permute differently")
+    // chunked two-level rank must equal the single-task window exactly
+    val d = docs.select($"doc_id")
+      .withColumn("epoch", explode(array(lit(1), lit(2))))
+      .withColumn("h", pmod(($"doc_id" + $"epoch" * lit(1000003L)) * lit(2654435761L),
+        lit(4294967296L)))
+    val direct = d
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"epoch").orderBy($"h", $"doc_id")).cast("long") - 1)
+      .select($"epoch", $"doc_id", $"pos", ($"pos" % 8).as("shard"))
+    assert(out.exceptAll(direct).isEmpty && direct.exceptAll(out).isEmpty)
+    out.unpersist()
+  }
+
+  test("q146: entropy bounded by [0, log2(n_words)]; degenerate corpora pin exactly") {
+    val out = q("q146_word_entropy")
+    assert(out.filter($"h_fp" < 0).isEmpty)
+    assert(out.filter($"h_bits" > log2($"n_words".cast("double")) + lit(1e-4)).isEmpty)
+    val dir = Files.createTempDirectory("graft_q146").toString
+    Seq((0L, "same same same same"), (1L, "a b c d")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val pins = q("q146_word_entropy", dir)
+      .select($"doc_id", $"h_bits").as[(Long, Double)].collect().toMap
+    assert(pins(0L) == 0.0, "all-same-word doc has zero entropy")
+    assert(pins(1L) == 2.0, "4 distinct words = exactly 2 bits")
+  }
+
+  test("q144: five served rows per query, ranks 1..5, audit hits present") {
+    val out = q("q144_sq8_topk").cache()
+    assert(out.groupBy($"query_id").count().filter($"count" =!= 5).isEmpty)
+    assert(out.filter($"rnk" < 1 || $"rnk" > 5).isEmpty)
+    // SQ8 at 64 dims is near-exact: the audit must find agreement
+    assert(out.filter($"exact_hit").count() > 0)
+    out.unpersist()
+  }
+}

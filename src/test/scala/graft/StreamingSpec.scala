@@ -213,6 +213,46 @@ class StreamingSpec extends SparkSpec {
     assert(flagged == Seq(2L), s"flagged=$flagged")
   }
 
+  test("streaming importance gate routes by the batch DSIR score (one code path)") {
+    val dir = Files.createTempDirectory("graft_imp_gate").toString
+    val d = graft.functions.Dsir
+    // target corpus speaks (alpha, beta); raw corpus (zeta, eta)
+    val train = Seq(
+      (100L, true, "alpha beta alpha beta alpha beta gamma"),
+      (101L, true, "beta alpha beta alpha delta"),
+      (200L, false, "zeta eta zeta eta theta"),
+      (201L, false, "eta zeta eta zeta iota")).toDF("doc_id", "is_t", "text")
+    val lam = d.model(d.slots(train, col("doc_id"), col("text"), keep = Seq("is_t"))).cache()
+    val docs = Seq(
+      (1L, "alpha beta alpha beta"), // target-like -> keep
+      (2L, "zeta eta zeta eta"),     // raw-like -> flag
+      (3L, "solo"),                  // featureless -> score 0, flag
+      (4L, "beta alpha beta"))       // target-like -> keep
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = StreamPipeline.importanceGate(
+      stream.toDF().toDF("doc_id", "text"), lam,
+      s"$dir/keep", s"$dir/flagged", s"$dir/ck",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      stream.addData(docs.take(2))
+      q.processAllAvailable()
+      stream.addData(docs.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(s"$dir/keep")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val batchKeep = d.score(
+        d.slots(docs.toDF("doc_id", "text"), col("doc_id"), col("text")), lam)
+      .filter(col("keep")).select(col("id")).as[Long].collect().sorted.toSeq
+    assert(kept == batchKeep, s"stream kept=$kept batch kept=$batchKeep")
+    assert(kept == Seq(1L, 4L), s"kept=$kept")
+    val flagged = spark.read.parquet(s"$dir/flagged")
+    assert(flagged.select("doc_id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    // the featureless doc carries an explicit zero score, not a null
+    assert(flagged.filter($"doc_id" === 3L).select("score_fp").as[Long].head() == 0L)
+    lam.unpersist()
+  }
+
   test("streaming bucket partials + derived windows == batch sliding windows") {
     val ticks = TickSource.ticks(spark, 400, startEpochSec = base, intervalSec = 2).collect().toSeq
     val stream = MemoryStream[RawTick](spark)
