@@ -332,7 +332,28 @@ object CurationQueries {
         r4(col("h_fp").cast("double") / (col("n_words").cast("double") * lit(1e6))).as("h_bits"))
   }
 
+  // q147 — PER-SOURCE VOCABULARY STATISTICS: token count, vocabulary
+  // size, hapax legomena (words seen once), type-token ratio and
+  // hapax fraction — the lexical-diversity readout (Heaps/Zipf
+  // regime check) a corpus audit runs per feed: a scraped mirror or
+  // template farm shows collapsed TTR; an OCR-noise feed shows an
+  // inflated hapax fraction. Scale shape: one (source, word)
+  // partial-agg shuffle then a |sources|-row aggregate — distinct
+  // counting rides the first aggregate's keys, never an Expand over
+  // raw token rows. Ratios are integer-ratio doubles (exact).
+  private def q147(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"), explode(TextAnalysis.wordTokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+        r4(col("vocab").cast("double") / col("n_tokens")).as("ttr"),
+        r4(col("hapax").cast("double") / col("vocab")).as("hapax_frac"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_vocab_stats" -> q147 _,
     "q142_block_dedup" -> q142 _,
     "q146_word_entropy" -> q146 _,
     "q141_dsir_importance" -> q141 _,
@@ -348,6 +369,18 @@ object CurationQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q147_vocab_stats" ->
+      """WITH w AS (
+        |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, w, count(*)::BIGINT AS c FROM w GROUP BY 1, 2
+        |)
+        |SELECT source, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab,
+        |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax,
+        |  floor(count(*)::DOUBLE / sum(c) * 10000 + 0.5)/10000 AS ttr,
+        |  floor(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) * 10000 + 0.5)/10000 AS hapax_frac
+        |FROM c GROUP BY 1""".stripMargin,
     "q142_block_dedup" ->
       """WITH d AS (
         |  SELECT doc_id, text, ((length(text) + 63) // 64)::BIGINT AS nb FROM documents

@@ -44,6 +44,54 @@ object ExtensionQueries {
       numHashes = 128, bands = 32, threshold = 0.8)
       .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
 
+  // q148 — CONTAINMENT SCORING over the near-dup pair set: Jaccard
+  // under-reports asymmetric duplication (a short doc wholly quoted
+  // inside a long one scores low), so each surfaced pair also gets
+  // both directed containments |A∩B|/|A| and |A∩B|/|B| — the signal
+  // that separates "mutual near-dup" from "A quotes B". The
+  // intersection size is RECOVERED from the verified pair's exact
+  // jaccard and the two set sizes (i = j·(|A|+|B|)/(1+j), an integer
+  // — rounded to kill the last-ulp float error), so the pair stream
+  // is never re-verified: one broadcast-size join against the per-doc
+  // size table on each side. Same LSH-equals-brute-force contract as
+  // q22 (the pair SET is identical; this query adds columns).
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    val pairs = NearDup.minHashPairs(docs(s, dir), "doc_id", TextAnalysis.wordTokens(col("text")),
+      numHashes = 128, bands = 32, threshold = 0.8)
+    val sizes = docs(s, dir).select(col("doc_id"),
+      size(array_distinct(TextAnalysis.wordTokens(col("text")))).cast("long").as("n"))
+    pairs
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("inter", floor(
+        col("jaccard") * (col("n_a") + col("n_b")) / (col("jaccard") + 1) + lit(0.5)).cast("long"))
+      .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"),
+        col("n_a"), col("n_b"),
+        r4(col("inter").cast("double") / col("n_a")).as("contain_ab"),
+        r4(col("inter").cast("double") / col("n_b")).as("contain_ba"))
+  }
+
+  // q149 — CROSS-SOURCE LEAKAGE MATRIX: the near-dup pair set rolled
+  // up by (source, source) — the provenance view a curation run reads
+  // before deciding which feed to trust (mass on the diagonal =
+  // within-source re-posts; off-diagonal = scraped mirrors/leakage
+  // between feeds). Pure composition: the q22 pair stream joined to
+  // the doc→source map on each side (at 100 TB the map rides the
+  // existing doc-keyed shuffles), normalized so source_a <= source_b,
+  // then a |sources|²-bounded aggregate.
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    val pairs = NearDup.minHashPairs(docs(s, dir), "doc_id", TextAnalysis.wordTokens(col("text")),
+      numHashes = 128, bands = 32, threshold = 0.8)
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("s_a")), Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("s_b")), Seq("id_b"))
+      .select(least(col("s_a"), col("s_b")).as("source_a"),
+        greatest(col("s_a"), col("s_b")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   // q47 — MinHash+LSH over 3-gram word SHINGLES (the standard
   // near-dup unit: word-order rewrites don't survive shingle
   // jaccard). Same strict brute-force equality oracle as q22.
@@ -585,6 +633,8 @@ object ExtensionQueries {
     "q20_dedup_hash" -> q20 _,
     "q21_jaccard_pairs" -> q21 _,
     "q22_minhash_pairs" -> q22 _,
+    "q148_containment" -> q148 _,
+    "q149_leakage_matrix" -> q149 _,
     "q23_simhash_pairs" -> q23 _,
     "q24_text_quality" -> q24 _,
     "q25_lang_id" -> q25 _,
@@ -892,6 +942,34 @@ object ExtensionQueries {
         |)
         |SELECT id_a, id_b, floor(jaccard*10000 + 0.5)/10000 AS jaccard
         |FROM p WHERE jaccard >= 0.8""".stripMargin,
+    "q148_containment" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
+        |  FROM documents
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.toks, b.toks))::BIGINT AS i,
+        |    len(a.toks)::BIGINT AS n_a, len(b.toks)::BIGINT AS n_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |), j AS (
+        |  SELECT id_a, id_b, i::DOUBLE / (n_a + n_b - i) AS jaccard, n_a, n_b, i FROM p
+        |)
+        |SELECT id_a, id_b, floor(jaccard*10000 + 0.5)/10000 AS jaccard, n_a, n_b,
+        |  floor(i::DOUBLE / n_a * 10000 + 0.5)/10000 AS contain_ab,
+        |  floor(i::DOUBLE / n_b * 10000 + 0.5)/10000 AS contain_ba
+        |FROM j WHERE jaccard >= 0.8""".stripMargin,
+    "q149_leakage_matrix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
+        |  FROM documents
+        |), p AS (
+        |  SELECT least(a.source, b.source) AS source_a,
+        |         greatest(a.source, b.source) AS source_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+        |      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+        |)
+        |SELECT source_a, source_b, count(*)::BIGINT AS n_pairs FROM p GROUP BY 1, 2""".stripMargin,
     "q22_minhash_pairs" ->
       """WITH d AS (
         |  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
