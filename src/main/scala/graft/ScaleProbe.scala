@@ -233,6 +233,29 @@ object ScaleProbe {
     // profit rollup whose LIKE-pruned part dim gates the fact early
     // q136's two medians are rank selections over globalRank — the
     // keys x value-buckets shape; no per-key sort at any volume
+    // q142 under VERBATIM replication is the adversarial regime by
+    // design: every block gains reps-1 identical copies, so the
+    // fp-keyed first-occurrence aggregate carries reps-x rows into
+    // one shuffle and all but one copy of everything dedups away —
+    // the reconstruction join then touches only surviving offsets
+    time("q142_block_dedup") { q("q142_block_dedup") }
+    // q143/q146/q147: histogram-broadcast filter and two-level word
+    // aggregates — scan-bound, shuffle bounded by (source|doc, word)
+    time("q143_temp_mixture") { q("q143_temp_mixture") }
+    time("q146_word_entropy") { q("q146_word_entropy") }
+    time("q147_vocab_stats") { q("q147_vocab_stats") }
+    // q145: the epoch-shuffle permutation through globalRank — the
+    // whole point is surviving volume growth without a per-epoch
+    // single-task sort (chunk count grows with the corpus)
+    time("q145_epoch_shuffle") { q("q145_epoch_shuffle") }
+    // q144: SQ8 quantization is a map pass over the replicated
+    // vectors; both serving top-ks are broadcast-queries partial aggs
+    time("q144_sq8_topk") { q("q144_sq8_topk") }
+    // q148/q149 ride the q22 pair machinery: SALTED corpus (verbatim
+    // replication squares the true pair count — an output-cardinality
+    // fact, same regime note as q47/q59)
+    time("q148_containment") { SparkEntry.queries("q148_containment")(spark, dstS) }
+    time("q149_leakage_matrix") { SparkEntry.queries("q149_leakage_matrix")(spark, dstS) }
     time("q136_mad_outliers") { q("q136_mad_outliers") }
     time("q131_tpch_q2") { q("q131_tpch_q2") }
     time("q132_tpch_q9") { q("q132_tpch_q9") }

@@ -144,7 +144,32 @@ object StreamBench {
     val dedupLine = report("dedup_on_ingest", dedupLats, docRows,
       s""","index_mb":${dirSizeMb(s"$dir/bandindex")},"corpus_mb":${dirSizeMb(s"$dir/corpus")}""")
 
-    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine}")
+    // ---- 4. DSIR importance gate: every batch scored against a
+    // standing 4096-slot model (broadcast; the model size is
+    // corpus-independent so the per-batch cost is pure batch work).
+    val dsir = graft.functions.Dsir
+    val lam = dsir.model(dsir.slots(
+        ((0 until 2000).map(i => (i.toLong, true, text(i))) ++
+         (0 until 2000).map(i => (2000L + i, false, text(5000000L + i))))
+          .toDF("doc_id", "is_t", "text"),
+        col("doc_id"), col("text"), keep = Seq("is_t")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lam.count()
+    val docs2 = MemoryStream[(Long, String)](spark)
+    val qImp = StreamPipeline.importanceGate(docs2.toDF().toDF("doc_id", "text"), lam,
+      s"$dir/imp_keep", s"$dir/imp_flag", s"$dir/ckpt_imp",
+      trigger = Trigger.ProcessingTime(0))
+    def genImp(b: Int): Seq[(Long, String)] =
+      (0 until docRows).map { i =>
+        val id = b.toLong * docRows + i
+        (id, text(if (i % 2 == 0) id else 5000000L + id))
+      }
+    val impLats = timeBatches(docs2, qImp, batches, genImp)
+    qImp.stop()
+    val impLine = report("importance_gate", impLats, docRows,
+      s""","keep_mb":${dirSizeMb(s"$dir/imp_keep")},"flag_mb":${dirSizeMb(s"$dir/imp_flag")}""")
+
+    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine}")
     spark.stop()
   }
 }
