@@ -61,6 +61,17 @@ object Dsir {
           - qlog2((col("cr") + 1).cast("double") / (col("tr") + nSlots).cast("double"))).as("lam_fp"))
   }
 
+  /** Model + scores in one pass economy: the feature stream feeds the
+    * model build AND the raw-pool scoring, so materialize it once
+    * (MEMORY_AND_DISK — slot rows are (id, flag, long), far smaller
+    * than the text they came from) instead of paying the
+    * explode+md5 bigram pass twice. Same persist-working-tables
+    * contract as NearDup; Bench/callers clear cache when done. */
+  def modelAndScore(slotStream: DataFrame, nSlots: Long = defaultSlots): DataFrame = {
+    val s = slotStream.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    score(s.filter(!col("is_t")), model(s, nSlots))
+  }
+
   /** Score a feature stream against a (slot, lam_fp) model: per doc,
     * the bigram count, the exact integer score, and the keep verdict
     * (more target-like than raw-like). The model joins broadcast —

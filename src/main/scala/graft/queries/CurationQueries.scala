@@ -253,9 +253,7 @@ object CurationQueries {
     import graft.functions.Dsir
     val base = docs(s, dir)
       .select(col("doc_id"), (col("source") === "src0").as("is_t"), col("text"))
-    val slots = Dsir.slots(base, col("doc_id"), col("text"), keep = Seq("is_t"))
-    val lam = Dsir.model(slots)
-    Dsir.score(slots.filter(!col("is_t")), lam)
+    Dsir.modelAndScore(Dsir.slots(base, col("doc_id"), col("text"), keep = Seq("is_t")))
       .withColumnRenamed("id", "doc_id")
   }
 
