@@ -244,6 +244,12 @@ object ScaleProbe {
     time("q143_temp_mixture") { q("q143_temp_mixture") }
     time("q146_word_entropy") { q("q146_word_entropy") }
     time("q147_vocab_stats") { q("q147_vocab_stats") }
+    // q150: the (source, word) aggregate collapses the scan; the
+    // word-total join is vocab-sized, the output |sources| rows
+    time("q150_source_kl") { q("q150_source_kl") }
+    // q151: eval side broadcasts (tiny by construction); corpus
+    // touched once map-side; the ≥τ-hit aggregate is the only shuffle
+    time("q151_semantic_decontam") { q("q151_semantic_decontam") }
     // q145: the epoch-shuffle permutation through globalRank — the
     // whole point is surviving volume growth without a per-epoch
     // single-task sort (chunk count grows with the corpus)

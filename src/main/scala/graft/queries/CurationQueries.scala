@@ -350,7 +350,42 @@ object CurationQueries {
         r4(col("vocab").cast("double") / col("n_tokens")).as("ttr"),
         r4(col("hapax").cast("double") / col("vocab")).as("hapax_frac"))
 
+  // q150 — PER-SOURCE KL DIVERGENCE from the corpus word
+  // distribution: KL(p_src ‖ p_corpus) in bits/token — the
+  // domain-shift readout that ranks feeds by how far their unigram
+  // distribution sits from the mixture (the distributional
+  // complement of q141's per-DOC importance score; support(p_src) ⊆
+  // support(p_corpus) so no smoothing is needed). Exact cross-engine
+  // via the q81/q141/q146 fixed-point rule: each log2 quantized once
+  // to integer micro-log2 units, every downstream op integer until
+  // the single closing division. Scale shape: ONE (source, word)
+  // partial-agg shuffle; source totals and corpus word totals both
+  // DERIVE from that table (q63's derive-don't-rescan rule), the
+  // word-total join stays vocab-sized, and the final aggregate is
+  // |sources| rows.
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    def qlog2(x: Column): Column = floor(log2(x) * lit(1e6) + lit(0.5)).cast("long")
+    val sw = docs(s, dir)
+      .select(col("source"), explode(TextAnalysis.wordTokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val srcTot = sw.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
+    val wTot = sw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+    val nTot = wTot.agg(sum(col("c_w")).as("n"))
+    sw.join(broadcast(srcTot), Seq("source"))
+      .join(wTot, Seq("w"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("term_fp", col("c_sw") *
+        (qlog2(col("c_sw").cast("double") / col("n_s").cast("double"))
+          - qlog2(col("c_w").cast("double") / col("n").cast("double"))))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"), sum(col("term_fp")).as("kl_fp"))
+      .select(col("source"), col("n_tokens"), col("kl_fp"),
+        r4(col("kl_fp").cast("double") / (col("n_tokens").cast("double") * lit(1e6))).as("kl_bits"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_source_kl" -> q150 _,
     "q147_vocab_stats" -> q147 _,
     "q142_block_dedup" -> q142 _,
     "q146_word_entropy" -> q146 _,
@@ -367,6 +402,28 @@ object CurationQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q150_source_kl" ->
+      """WITH w AS (
+        |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  FROM documents
+        |), sw AS (
+        |  SELECT source, w, count(*)::BIGINT AS c_sw FROM w GROUP BY 1, 2
+        |), st AS (
+        |  SELECT source, sum(c_sw)::BIGINT AS n_s FROM sw GROUP BY 1
+        |), wt AS (
+        |  SELECT w, sum(c_sw)::BIGINT AS c_w FROM sw GROUP BY 1
+        |), nt AS (
+        |  SELECT sum(c_w)::BIGINT AS n FROM wt
+        |), t AS (
+        |  SELECT sw.source,
+        |    c_sw * (floor(log2(c_sw::DOUBLE / n_s::DOUBLE) * 1e6 + 0.5)::BIGINT
+        |      - floor(log2(c_w::DOUBLE / n::DOUBLE) * 1e6 + 0.5)::BIGINT) AS term_fp,
+        |    n_s
+        |  FROM sw JOIN st USING (source) JOIN wt USING (w) CROSS JOIN nt
+        |)
+        |SELECT source, max(n_s)::BIGINT AS n_tokens, sum(term_fp)::BIGINT AS kl_fp,
+        |  floor(sum(term_fp)::DOUBLE / (max(n_s)::DOUBLE * 1e6) * 10000 + 0.5)/10000 AS kl_bits
+        |FROM t GROUP BY 1""".stripMargin,
     "q147_vocab_stats" ->
       """WITH w AS (
         |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w

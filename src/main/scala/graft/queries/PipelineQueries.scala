@@ -271,6 +271,33 @@ object PipelineQueries {
       .select(col("doc_id"), col("pred_lang"), col("n_lang"), r4(col("rate")).as("rate"))
   }
 
+  // q151 — SEMANTIC DECONTAMINATION (the embedding-space complement
+  // of q60/q68's n-gram rule): corpus vectors too close in cosine to
+  // ANY held-out eval vector are flagged — paraphrased benchmark
+  // leakage that shares no 8-gram survives the lexical gate but not
+  // this one. Every 10th vec_id plays the eval set (q66's split
+  // convention). Output per flagged corpus vector: hit count and the
+  // closest eval vector (max cos, min eval id on ties — min_by on a
+  // (-cos, id) struct, no window sort). Scale shape: eval sets are
+  // tiny by construction, so the eval side BROADCASTS and the corpus
+  // is touched once map-side (q28's scorer); the only shuffle is the
+  // per-corpus-vector aggregate of the ≥τ hits. At real volume the
+  // scorer swaps for IVF/PQ serving (q118/q138) unchanged.
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val evalSet = e.filter(col("vec_id") % 10 === 0)
+    val corpus = e.filter(col("vec_id") % 10 =!= 0)
+    Similarity.scoreAll(evalSet, corpus, "vec_id", "embedding")
+      .withColumn("cos_r", r4(col("cos"))).drop("cos")
+      .filter(col("cos_r") >= lit(0.3))
+      .groupBy(col("neighbor_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        min_by(struct(col("query_id"), col("cos_r")),
+          struct((-col("cos_r")).as("nc"), col("query_id"))).as("t"))
+      .select(col("neighbor_id").as("corpus_id"), col("n_hits"),
+        col("t.query_id").as("eval_id"), col("t.cos_r").as("cos"))
+  }
+
   // q143 — TEMPERATURE-SCALED MIXTURE SAMPLING (the α-sampling of
   // multilingual pretraining, XLM-R / mT5 recipe): up-weight small
   // sources relative to proportional sampling by flattening the
@@ -436,7 +463,8 @@ object PipelineQueries {
     "q139_lang_rebalance" -> q139 _,
     "q140_seq_pack" -> q140 _,
     "q143_temp_mixture" -> q143 _,
-    "q145_epoch_shuffle" -> q145 _
+    "q145_epoch_shuffle" -> q145 _,
+    "q151_semantic_decontam" -> q151 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -597,6 +625,25 @@ object PipelineQueries {
         |  floor(r.rate * 10000 + 0.5) / 10000 AS rate
         |FROM p JOIN r USING (pred_lang)
         |WHERE ((p.doc_id * 2654435761) % 4294967296)::DOUBLE / 4294967296.0 < r.rate""".stripMargin,
+    "q151_semantic_decontam" ->
+      """WITH q AS (
+        |  SELECT vec_id AS eval_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 10 = 0
+        |), c AS (
+        |  SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id % 10 <> 0
+        |), s AS (
+        |  SELECT corpus_id, eval_id,
+        |    floor(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))*10000 + 0.5)/10000 AS cos_r
+        |  FROM c, q
+        |), f AS (
+        |  SELECT * FROM s WHERE cos_r >= 0.3
+        |), r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY corpus_id ORDER BY cos_r DESC, eval_id) AS rn,
+        |    count(*) OVER (PARTITION BY corpus_id) AS n_hits
+        |  FROM f
+        |)
+        |SELECT corpus_id, n_hits::BIGINT AS n_hits, eval_id, cos_r AS cos
+        |FROM r WHERE rn = 1""".stripMargin,
     "q143_temp_mixture" ->
       """WITH c AS (
         |  SELECT source, count(*)::BIGINT AS n_src FROM documents GROUP BY 1
