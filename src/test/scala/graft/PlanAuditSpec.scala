@@ -383,4 +383,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.indexOf("HashAggregate", joinIdx) >= 0,
       s"no pre-aggregate under the pair join (raw x raw self-join):\n$p")
   }
+
+  test("q143 temperature mixture: the keep filter never shuffles the corpus") {
+    // the histogram arm aggregates; the FILTER arm must be scan ->
+    // broadcast-join -> filter with no Exchange between scan and
+    // filter — i.e. every Exchange in the plan feeds the tiny
+    // rate table, none sits above the second corpus scan
+    val p = plan("q143_temp_mixture")
+    assert(p.contains("BroadcastHashJoin"), s"rate table not broadcast:\n$p")
+    // the filtered scan side must not be exchanged: a shuffle of the
+    // corpus would show as Exchange hashpartitioning(doc_id/source
+    // ...) directly above a FileScan on the probe side of the BHJ
+    val bhj = p.indexOf("BroadcastHashJoin")
+    val streamSide = p.substring(bhj)
+    assert(!streamSide.split("BroadcastExchange")(0).contains("Exchange hashpartitioning"),
+      s"corpus shuffled before the keep filter:\n$p")
+  }
+
+  test("q151 semantic decontam: eval side broadcasts, corpus is never exchanged before scoring") {
+    val p = plan("q151_semantic_decontam")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"eval set not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"scorer went cartesian (corpus x eval shuffle):\n$p")
+  }
+
+  test("q150 source KL: totals derive from the (source, word) aggregate — exactly one corpus scan pays the explode") {
+    val p = plan("q150_source_kl")
+    // the persisted (source, word) aggregate must back the derived
+    // totals (>=2 InMemoryTableScans: the sw probe side + at least
+    // one totals arm). FileScan counts are not assertable here: the
+    // plan STRING prints each InMemoryRelation's cached plan inline,
+    // so the one real scan appears once per cache consumer.
+    val mem = "InMemoryTableScan".r.findAllIn(p).size
+    assert(mem >= 2, s"derived totals re-scan the corpus instead of the cached aggregate:\n$p")
+  }
+
+  test("q142 block dedup: first-occurrence is a partial min aggregate, not a window sort") {
+    val p = plan("q142_block_dedup")
+    assert(!p.contains("Window "), s"per-fp window crept in:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg on the fp shuffle:\n$p")
+  }
 }
