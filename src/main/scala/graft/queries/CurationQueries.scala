@@ -278,28 +278,14 @@ object CurationQueries {
   // carry their text through any exchange. Exactly the shuffle
   // economy a suffix-array dedup pass has at 100 TB, at aligned-block
   // granularity.
+  // Machinery lives in [[graft.operators.BlockDedup]] (one code path
+  // with the streaming ingest form, blockDedupOnIngest).
   private def q142(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(col("doc_id"), col("text"))
-    val nBlocks = floor((length(col("text")) + lit(63)) / lit(64)).cast("int")
-    val blocks = d
-      .select(col("doc_id"), col("text"),
-        explode(when(nBlocks >= 1, sequence(lit(0), nBlocks - 1))
-          .otherwise(array().cast("array<int>"))).as("k"))
-      .select(col("doc_id"), col("k"),
-        md5(call_function("substring", col("text"),
-          (col("k") * 64 + 1).cast("int"), lit(64))).as("fp"))
-      .withColumn("pk", col("doc_id") * lit(1000000L) + col("k"))
-    val firsts = blocks.groupBy(col("fp")).agg(min(col("pk")).as("mpk"))
-    val kept = blocks.join(firsts, Seq("fp"))
-      .filter(col("pk") === col("mpk"))
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("k"))).as("ks"), count(lit(1)).as("n_kept"))
-    d.join(kept, Seq("doc_id"), "left")
-      .withColumn("clean", concat_ws("", expr(
-        "transform(coalesce(ks, cast(array() as array<int>)), k -> substring(text, k*64+1, 64))")))
-      .select(col("doc_id"),
-        floor((length(col("text")) + lit(63)) / lit(64)).cast("long").as("n_blocks"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+    import graft.operators.BlockDedup
+    val d = docs(s, dir)
+    val blk = BlockDedup.blocks(d, col("doc_id"), col("text"))
+    BlockDedup.rebuild(d, col("doc_id"), col("text"), BlockDedup.keptOffsets(blk))
+      .select(col("id").as("doc_id"), col("n_blocks"), col("n_kept"),
         length(col("clean")).cast("long").as("clean_len"),
         md5(col("clean")).as("clean_fp"))
   }

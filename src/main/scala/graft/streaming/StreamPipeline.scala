@@ -491,6 +491,61 @@ object StreamPipeline {
       }
       .start()
 
+  /** STREAMING BLOCK-LEVEL DEDUP (the live form of q142's
+    * exact-substring dedup, one code path —
+    * [[graft.operators.BlockDedup]]): every micro-batch's documents
+    * are rebuilt with only the blocks whose content has never been
+    * seen — not in an earlier batch (the persistent fingerprint
+    * store) and not earlier in THIS batch (the within-batch
+    * first-occurrence rule). Cleaned docs append to `cleanPath`;
+    * newly-seen fingerprints append to `storePath`. Both writes stamp
+    * batch_id (at-least-once replay dedups on read — readBuckets
+    * contract; the store is consumed through `distinct()`).
+    *
+    * When batches arrive in increasing-id order the result is
+    * BITWISE the batch q142 rule on the accumulated corpus (the
+    * store holds each content's first arrival = its global min pk) —
+    * spec-pinned. Per batch the cost is the batch's block stream
+    * (map-side) + one anti-join against the store + the fp-keyed
+    * within-batch min: O(batch + store-probe), exactly how a corpus
+    * ingest strips boilerplate copies without re-scanning history. */
+  def blockDedupOnIngest(docsStream: DataFrame, storePath: String, cleanPath: String,
+                         checkpoint: String,
+                         trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    docsStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val bd = graft.operators.BlockDedup
+        val blk = bd.blocks(batch, col("doc_id"), col("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val storeExists = {
+          val p = new org.apache.hadoop.fs.Path(storePath)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+        }
+        // occurrences whose content the store has already seen drop
+        // before the within-batch rule runs (their first occurrence
+        // was in an earlier batch)
+        val novel =
+          if (storeExists)
+            blk.join(spark.read.parquet(storePath).select(col("fp")).distinct(),
+              Seq("fp"), "left_anti")
+          else blk
+        val cleaned = bd.rebuild(batch, col("doc_id"), col("text"), bd.keptOffsets(novel))
+          .select(col("id").as("doc_id"), col("clean").as("text_clean"),
+            col("n_blocks"), col("n_kept"))
+          .withColumn("batch_id", lit(batchId))
+        cleaned.write.mode("append").parquet(cleanPath)
+        novel.select(col("fp")).distinct()
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(storePath)
+        blk.unpersist(blocking = false)
+        ()
+      }
+      .start()
+
   /** STREAMING IMPORTANCE GATE (the live form of q141's DSIR batch
     * scoring, one code path — [[graft.functions.Dsir]]): every
     * micro-batch's documents are scored against a PRE-TRAINED

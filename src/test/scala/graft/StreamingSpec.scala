@@ -213,6 +213,44 @@ class StreamingSpec extends SparkSpec {
     assert(flagged == Seq(2L), s"flagged=$flagged")
   }
 
+  test("streaming block dedup == batch q142 rule on the accumulated corpus") {
+    val dir = Files.createTempDirectory("graft_block_dedup").toString
+    val bd = graft.operators.BlockDedup
+    def blk64(c: Char) = c.toString * 64
+    val (a, b, c64, d64, e30) = (blk64('a'), blk64('b'), blk64('c'), blk64('d'), "e" * 30)
+    val batch1 = Seq((1L, a + b), (2L, a + c64))          // A dups within the batch
+    val batch2 = Seq((3L, b + d64),                        // B seen in batch 1 -> store drop
+                     (4L, e30),                            // sub-64 tail, novel
+                     (5L, d64 + d64))                      // D first seen at doc 3 THIS batch
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = StreamPipeline.blockDedupOnIngest(
+      stream.toDF().toDF("doc_id", "text"),
+      s"$dir/fps", s"$dir/clean", s"$dir/ck",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      stream.addData(batch1); q.processAllAvailable()
+      stream.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/clean")
+      .select($"doc_id", $"text_clean")
+    // designed expectations
+    val got = streamed.as[(Long, String)].collect().toMap
+    assert(got(1L) == a + b && got(2L) == c64 && got(3L) == d64 &&
+      got(4L) == e30 && got(5L) == "", s"got=$got")
+    // bitwise == the batch rule on the accumulated corpus (ids arrive
+    // in increasing order, so first-arrival IS the global min pk)
+    val union = (batch1 ++ batch2).toDF("doc_id", "text")
+    val batchClean = bd.rebuild(union, col("doc_id"), col("text"),
+        bd.keptOffsets(bd.blocks(union, col("doc_id"), col("text"))))
+      .select($"id".as("doc_id"), $"clean".as("text_clean"))
+    assert(streamed.exceptAll(batchClean).isEmpty && batchClean.exceptAll(streamed).isEmpty)
+    // the store holds exactly the distinct block contents of the corpus
+    val storeFps = spark.read.parquet(s"$dir/fps").select($"fp").distinct().count()
+    val wantFps = bd.blocks(union, col("doc_id"), col("text"))
+      .select($"fp").distinct().count()
+    assert(storeFps == wantFps, s"store=$storeFps want=$wantFps")
+  }
+
   test("streaming importance gate routes by the batch DSIR score (one code path)") {
     val dir = Files.createTempDirectory("graft_imp_gate").toString
     val d = graft.functions.Dsir
