@@ -169,7 +169,37 @@ object StreamBench {
     val impLine = report("importance_gate", impLats, docRows,
       s""","keep_mb":${dirSizeMb(s"$dir/imp_keep")},"flag_mb":${dirSizeMb(s"$dir/imp_flag")}""")
 
-    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine}")
+    // ---- 5. block-level dedup on ingest: docs are 8 x 64-char
+    // blocks; ~30% of each batch's blocks repeat earlier content
+    // (template/boilerplate regime), so the store grows sublinearly
+    // while every batch pays a full store anti-join probe.
+    val docs3 = MemoryStream[(Long, String)](spark)
+    val qBlk = StreamPipeline.blockDedupOnIngest(docs3.toDF().toDF("doc_id", "text"),
+      s"$dir/blk_fps", s"$dir/blk_clean", s"$dir/ckpt_blk",
+      trigger = Trigger.ProcessingTime(0))
+    def block(seed: Long): String = {
+      val r = new StringBuilder(64)
+      var x = seed * 6364136223846793005L + 1442695040888963407L
+      while (r.length < 64) { x = x * 6364136223846793005L + 1442695040888963407L
+        r += ('a' + math.floorMod(x, 26)).toChar }
+      r.toString
+    }
+    def genBlockDocs(b: Int): Seq[(Long, String)] =
+      (0 until docRows).map { i =>
+        val id = b.toLong * docRows + i
+        val body = (0 until 8).map { j =>
+          // 30% of blocks draw from a small shared pool (dups), the
+          // rest are novel per (doc, j)
+          if ((i + j) % 10 < 3) block((i + j) % 97) else block(id * 8 + j)
+        }.mkString
+        (id, body)
+      }
+    val blkLats = timeBatches(docs3, qBlk, batches, genBlockDocs)
+    qBlk.stop()
+    val blkLine = report("block_dedup_ingest", blkLats, docRows,
+      s""","store_mb":${dirSizeMb(s"$dir/blk_fps")},"clean_mb":${dirSizeMb(s"$dir/blk_clean")}""")
+
+    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine}")
     spark.stop()
   }
 }
