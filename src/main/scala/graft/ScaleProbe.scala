@@ -244,6 +244,10 @@ object ScaleProbe {
     time("q143_temp_mixture") { q("q143_temp_mixture") }
     time("q146_word_entropy") { q("q146_word_entropy") }
     time("q147_vocab_stats") { q("q147_vocab_stats") }
+    // q152: the composed build — the corpus-sized shuffles are the
+    // content-hash dedup aggregate, the bigram->slot aggregate, and
+    // the packing's bucket windows; models/rates broadcast
+    time("q152_training_build") { q("q152_training_build") }
     // q150: the (source, word) aggregate collapses the scan; the
     // word-total join is vocab-sized, the output |sources| rows
     time("q150_source_kl") { q("q150_source_kl") }

@@ -219,13 +219,11 @@ object PipelineQueries {
   // exclusive window -> broadcast back; no global sort, no
   // single-task window); the boundary fan-out is a map-side
   // sequence() explode bounded by ceil(n_tokens/L)+1 per doc.
-  private def q140(s: SparkSession, dir: String): DataFrame = {
-    val seqLen = 2048L
-    val bucketWidth = 256L
-    val d = docs(s, dir).select(col("doc_id"),
-      size(TextAnalysis.wordTokens(col("text"))).cast("long").as("n_tokens"))
-      .filter(col("n_tokens") > 0)
-    val b = d.withColumn("bkt", floor(col("doc_id") / bucketWidth).cast("long"))
+  /** The q140 packing core over any (doc_id, n_tokens) frame — also
+    * the last stage of the composed training build (q152). */
+  private[queries] def packSequences(d: DataFrame, seqLen: Long, bucketWidth: Long): DataFrame = {
+    val b = d.filter(col("n_tokens") > 0)
+      .withColumn("bkt", floor(col("doc_id") / bucketWidth).cast("long"))
     val offs = b.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("bt"))
       .withColumn("off", coalesce(sum(col("bt")).over(
         Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -240,6 +238,49 @@ object PipelineQueries {
       .select(col("doc_id"), col("n_tokens"), col("seq_id"),
         (least(col("end_tok"), (col("seq_id") + 1) * seqLen)
           - greatest(col("start_tok"), col("seq_id") * seqLen)).as("n_in_seq"))
+  }
+
+  private def q140(s: SparkSession, dir: String): DataFrame =
+    packSequences(docs(s, dir).select(col("doc_id"),
+      size(TextAnalysis.wordTokens(col("text"))).cast("long").as("n_tokens")),
+      seqLen = 2048L, bucketWidth = 256L)
+
+  // q152 — THE COMPOSED TRAINING-DATA BUILD: raw corpus → exact dedup
+  // (q20's min-id-per-content-hash rule) → quality gate (≥20 tokens)
+  // → DSIR importance selection (q141: src0 is the target; raw-pool
+  // docs keep iff their summed log-likelihood ratio > 0; target docs
+  // ride through) → temperature-scaled mixture (q143's α=1/2 sqrt
+  // rates, derived from the SURVIVOR histogram) → L=2048 sequence
+  // packing (q140). Every stage is an already-oracled primitive; the
+  // point of declaring the COMPOSITION is that it runs as ONE
+  // Catalyst plan — the optimizer sees dedup survivors feed the
+  // model build, prunes columns across stage boundaries, and the
+  // only corpus-sized shuffles are the content-hash aggregate, the
+  // bigram→slot aggregate, and the packing's bucket windows: the
+  // end-to-end shape a 100 TB pretraining build actually runs,
+  // not five separate jobs materializing intermediate tables.
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Dsir, Sampling}
+    val d0 = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+    val firsts = d0.groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+    val d2 = d0.join(firsts.select(col("doc_id")), Seq("doc_id"))
+      .withColumn("n_tokens", size(TextAnalysis.wordTokens(col("text"))).cast("long"))
+      .filter(col("n_tokens") >= 20)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scored = Dsir.modelAndScore(Dsir.slots(
+      d2.select(col("doc_id"), (col("source") === "src0").as("is_t"), col("text")),
+      col("doc_id"), col("text"), keep = Seq("is_t")))
+    val d3 = d2.filter(col("source") === "src0")
+      .unionByName(d2.join(
+        scored.filter(col("keep")).select(col("id").as("doc_id")), Seq("doc_id"), "left_semi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = d3.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val rates = counts.crossJoin(broadcast(counts.agg(min(col("n_src")).as("n_min"))))
+      .withColumn("rate", sqrt(col("n_min").cast("double") / col("n_src").cast("double")))
+      .select(col("source"), col("rate"))
+    val d4 = d3.join(broadcast(rates), Seq("source"))
+      .filter(Sampling.unitHash(col("doc_id")) < col("rate"))
+    packSequences(d4.select(col("doc_id"), col("n_tokens")), seqLen = 2048L, bucketWidth = 256L)
   }
 
   // q139 — LANGUAGE-MIXTURE REBALANCING: resample the corpus to a
@@ -464,7 +505,8 @@ object PipelineQueries {
     "q140_seq_pack" -> q140 _,
     "q143_temp_mixture" -> q143 _,
     "q145_epoch_shuffle" -> q145 _,
-    "q151_semantic_decontam" -> q151 _
+    "q151_semantic_decontam" -> q151 _,
+    "q152_training_build" -> q152 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -625,6 +667,67 @@ object PipelineQueries {
         |  floor(r.rate * 10000 + 0.5) / 10000 AS rate
         |FROM p JOIN r USING (pred_lang)
         |WHERE ((p.doc_id * 2654435761) % 4294967296)::DOUBLE / 4294967296.0 < r.rate""".stripMargin,
+    "q152_training_build" ->
+      """WITH f AS (
+        |  SELECT md5(text) AS h, min(doc_id) AS keep_id FROM documents GROUP BY 1
+        |), d2 AS (
+        |  SELECT d.doc_id, d.source, d.text,
+        |    len(regexp_extract_all(lower(d.text), '[a-z0-9]+'))::BIGINT AS n_tokens
+        |  FROM documents d JOIN f ON d.doc_id = f.keep_id
+        |  WHERE len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) >= 20
+        |), base AS (
+        |  SELECT doc_id, source = 'src0' AS is_t,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |  FROM d2
+        |), bg AS (
+        |  SELECT doc_id, is_t, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+        |  FROM base WHERE len(w) >= 2
+        |), sl AS (
+        |  SELECT doc_id, is_t,
+        |    (((('0x' || substr(md5(bg), 1, 15))::BIGINT % 2147483647) * 1299721 + 7) % 2147483647) % 4096 AS slot
+        |  FROM bg
+        |), model AS (
+        |  SELECT slot,
+        |    sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS ct,
+        |    sum(CASE WHEN is_t THEN 0 ELSE 1 END)::BIGINT AS cr
+        |  FROM sl GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(ct)::BIGINT AS tt, sum(cr)::BIGINT AS tr FROM model
+        |), lam AS (
+        |  SELECT slot,
+        |    floor(log2((ct + 1)::DOUBLE / (tt + 4096)::DOUBLE) * 1e6 + 0.5)::BIGINT
+        |      - floor(log2((cr + 1)::DOUBLE / (tr + 4096)::DOUBLE) * 1e6 + 0.5)::BIGINT AS lam_fp
+        |  FROM model CROSS JOIN tot
+        |), sc AS (
+        |  SELECT s.doc_id FROM sl s JOIN lam l USING (slot)
+        |  WHERE NOT s.is_t GROUP BY 1 HAVING sum(l.lam_fp) > 0
+        |), d3 AS (
+        |  SELECT doc_id, source, n_tokens FROM d2 WHERE source = 'src0'
+        |  UNION ALL
+        |  SELECT d2.doc_id, d2.source, d2.n_tokens FROM d2 JOIN sc USING (doc_id)
+        |), c AS (
+        |  SELECT source, count(*)::BIGINT AS n_src FROM d3 GROUP BY 1
+        |), m AS (
+        |  SELECT min(n_src) AS n_min FROM c
+        |), r AS (
+        |  SELECT source, sqrt(n_min::DOUBLE / n_src::DOUBLE) AS rate FROM c CROSS JOIN m
+        |), d4 AS (
+        |  SELECT d3.doc_id, d3.n_tokens FROM d3 JOIN r USING (source)
+        |  WHERE ((d3.doc_id * 2654435761) % 4294967296)::DOUBLE / 4294967296.0 < r.rate
+        |), nz AS (
+        |  SELECT doc_id, n_tokens,
+        |    (sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS end_tok
+        |  FROM d4 WHERE n_tokens > 0
+        |), sp AS (
+        |  SELECT doc_id, n_tokens, end_tok, end_tok - n_tokens AS start_tok FROM nz
+        |)
+        |SELECT sp.doc_id, sp.n_tokens, g.seq_id,
+        |  (least(sp.end_tok, (g.seq_id + 1) * 2048)
+        |    - greatest(sp.start_tok, g.seq_id * 2048))::BIGINT AS n_in_seq
+        |FROM sp, LATERAL (
+        |  SELECT unnest(generate_series(sp.start_tok // 2048, (sp.end_tok - 1) // 2048)) AS seq_id
+        |) g""".stripMargin,
     "q151_semantic_decontam" ->
       """WITH q AS (
         |  SELECT vec_id AS eval_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 10 = 0

@@ -51,6 +51,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("BlockDedup: randomized differential vs in-memory first-occurrence reference") {
+    val rnd = new scala.util.Random(42)
+    val bd = graft.operators.BlockDedup
+    for (trial <- 1 to 3) {
+      // near-degenerate alphabet + verbatim doc copies: real dedup
+      // pressure, including empty docs and sub-64 tails
+      val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+      val corpus = (0L until 40L).map { id =>
+        val t =
+          if (texts.nonEmpty && rnd.nextDouble() < 0.3) texts(rnd.nextInt(texts.size))
+          else (0 until rnd.nextInt(300)).map(_ => if (rnd.nextDouble() < 0.8) 'a' else 'b').mkString
+        texts += t
+        (id, t)
+      }
+      val seen = scala.collection.mutable.Set[String]()
+      val want = corpus.map { case (id, text) =>
+        id -> text.grouped(64).filter(b => seen.add(b)).mkString
+      }.toMap
+      val df = corpus.toDF("doc_id", "text")
+      val got = bd.rebuild(df, col("doc_id"), col("text"),
+          bd.keptOffsets(bd.blocks(df, col("doc_id"), col("text"))))
+        .select($"id", $"clean").as[(Long, String)].collect().toMap
+      assert(got == want, s"trial $trial mismatch: ${got.toSeq.diff(want.toSeq).take(3)}")
+    }
+  }
+
   test("q143: the smallest source keeps every doc at rate 1.0") {
     val out = q("q143_temp_mixture").cache()
     val counts = docs.groupBy($"source").agg(count(lit(1)).as("n"))
