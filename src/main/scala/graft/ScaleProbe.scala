@@ -244,6 +244,10 @@ object ScaleProbe {
     time("q143_temp_mixture") { q("q143_temp_mixture") }
     time("q146_word_entropy") { q("q146_word_entropy") }
     time("q147_vocab_stats") { q("q147_vocab_stats") }
+    // q153: the lag window keys on (instrument, DAY) — replication
+    // fattens partitions only because replica ts are FIXED; real
+    // volume growth adds days (key cardinality grows with span)
+    time("q153_realized_vol") { q("q153_realized_vol") }
     // q152: the composed build — the corpus-sized shuffles are the
     // content-hash dedup aggregate, the bigram->slot aggregate, and
     // the packing's bucket windows; models/rates broadcast

@@ -214,7 +214,35 @@ object MarketQueries {
             (lit(1d) + col("sg").cast("double") / col("sl").cast("double"))))
           .otherwise(lit(100d)).as("rsi"))
 
+  // q153 — DAILY REALIZED VOLATILITY: per (instrument, day), the sum
+  // of squared intraday log returns and its square root — the
+  // standard RV estimator high-frequency risk systems compute nightly
+  // (Andersen & Bollerslev realized-variance construction). Returns
+  // are micro-log2 integers: each price's log2 is quantized ONCE
+  // (the q81 fixed-point-transcendental rule) so the return is an
+  // integer difference, RV an exact integer sum — partition- and
+  // frame-order free; the single closing sqrt is IEEE-exact on both
+  // engines. Scale shape: the lag runs per (instrument, DAY) — the
+  // q125 TWAP precedent: key cardinality grows with the data span, so
+  // partition size is bounded by ticks/day/instrument at any corpus
+  // size (unlike the all-history-per-key shape q109 had to escape).
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    def qlog2(x: Column): Column = floor(log2(x) * lit(1e6) + lit(0.5)).cast("long")
+    val w = Window.partitionBy(col("event_type"), col("day")).orderBy(col("ts"), col("event_id"))
+    ev(s, dir)
+      .filter(col("value") > 0)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("lv", qlog2(col("value")))
+      .withColumn("prev", lag("lv", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("r_fp", col("lv") - col("prev"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_returns"), sum(col("r_fp") * col("r_fp")).as("rv_fp"))
+      .withColumn("vol", r4(sqrt(col("rv_fp").cast("double")) / lit(1e6)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_realized_vol" -> q153 _,
     "q126_vwap" -> q126 _,
     "q129_rsi" -> q129 _,
     "q125_twap" -> q125 _,
@@ -224,6 +252,21 @@ object MarketQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q153_realized_vol" ->
+      """WITH e AS (
+        |  SELECT event_id, ts::TIMESTAMP AS ts, event_type, value
+        |  FROM events WHERE value > 0
+        |), l AS (
+        |  SELECT event_type, ts::DATE AS day,
+        |    floor(log2(value) * 1e6 + 0.5)::BIGINT AS lv,
+        |    lag(floor(log2(value) * 1e6 + 0.5)::BIGINT) OVER (
+        |      PARTITION BY event_type, ts::DATE ORDER BY ts, event_id) AS prev
+        |  FROM e
+        |)
+        |SELECT event_type, day, count(*)::BIGINT AS n_returns,
+        |  sum((lv - prev) * (lv - prev))::BIGINT AS rv_fp,
+        |  floor(sqrt(sum((lv - prev) * (lv - prev))::DOUBLE) / 1e6 * 10000 + 0.5)/10000 AS vol
+        |FROM l WHERE prev IS NOT NULL GROUP BY 1, 2""".stripMargin,
     "q126_vwap" ->
       """WITH e AS (
         |  SELECT event_type, date_trunc('day', ts::TIMESTAMP) AS day,
