@@ -244,6 +244,9 @@ object ScaleProbe {
     time("q143_temp_mixture") { q("q143_temp_mixture") }
     time("q146_word_entropy") { q("q146_word_entropy") }
     time("q147_vocab_stats") { q("q147_vocab_stats") }
+    // q154: runningMax + two globalRanks, all chunked — the five-key
+    // feed keeps volume-wide parallelism through all three passes
+    time("q154_drawdown_episodes") { q("q154_drawdown_episodes") }
     // q153: the lag window keys on (instrument, DAY) — replication
     // fattens partitions only because replica ts are FIXED; real
     // volume growth adds days (key cardinality grows with span)

@@ -241,7 +241,39 @@ object MarketQueries {
       .withColumn("vol", r4(sqrt(col("rv_fp").cast("double")) / lit(1e6)))
   }
 
+  // q154 — DRAWDOWN EPISODES (time under water): contiguous runs of
+  // rows below the running peak, per instrument — start/end, length,
+  // and maximum relative depth of every underwater episode (the
+  // recovery-time readout next to q109's per-row drawdown). The
+  // classic gaps-and-islands identity (island = global position −
+  // position among underwater rows) runs ENTIRELY on ChunkedFrame
+  // primitives: withRunningMax for the peak and globalRank twice for
+  // the two positions — zero bare per-key windows, so the five-key
+  // event feed never serializes into five tasks at any volume (the
+  // exact q108/q109 ceiling this family exists to avoid). The
+  // 0-based/1-based rank offset between engines cancels in the
+  // island DIFFERENCE. Depth compares/divides doubles (no sums), so
+  // results are order-free without a decimal detour.
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    val cf = graft.operators.ChunkedFrame
+    val hour = date_trunc("hour", col("ts"))
+    val base = ev(s, dir).select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val peaked = cf.withRunningMax(base, "event_type", hour,
+      Seq("ts", "event_id"), "value", "peak")
+    val ranked = cf.globalRank(peaked, "event_type", hour, Seq("ts", "event_id"))
+      .withColumnRenamed("__g", "g_all")
+    val under = ranked.filter(col("value") < col("peak"))
+    cf.globalRank(under, "event_type", hour, Seq("ts", "event_id"))
+      .withColumn("island", col("g_all") - col("__g"))
+      .groupBy(col("event_type"), col("island"))
+      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+        count(lit(1)).as("n_rows"),
+        r4(max((col("peak") - col("value")) / col("peak"))).as("max_dd"))
+      .drop("island")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_drawdown_episodes" -> q154 _,
     "q153_realized_vol" -> q153 _,
     "q126_vwap" -> q126 _,
     "q129_rsi" -> q129 _,
@@ -252,6 +284,24 @@ object MarketQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q154_drawdown_episodes" ->
+      """WITH e AS (
+        |  SELECT event_id, ts::TIMESTAMP AS ts, event_type, value FROM events
+        |), p AS (
+        |  SELECT *,
+        |    max(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS g_all
+        |  FROM e
+        |), u AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS g_under
+        |  FROM p WHERE value < peak
+        |)
+        |SELECT event_type, min(ts) AS start_ts, max(ts) AS end_ts,
+        |  count(*)::BIGINT AS n_rows,
+        |  floor(max((peak - value) / peak) * 10000 + 0.5)/10000 AS max_dd
+        |FROM u GROUP BY event_type, g_all - g_under""".stripMargin,
     "q153_realized_vol" ->
       """WITH e AS (
         |  SELECT event_id, ts::TIMESTAMP AS ts, event_type, value
