@@ -384,6 +384,21 @@ class PlanAuditSpec extends SparkSpec {
       s"no pre-aggregate under the pair join (raw x raw self-join):\n$p")
   }
 
+  test("q154 drawdown episodes: every window partitions on (key, chunk), never the bare key") {
+    // runningMax + two globalRanks: all per-row windows must carry
+    // the __chunk/__p_chunk/__o_chunk composite so the five-key feed
+    // never collapses to five tasks
+    val p = plan("q154_drawdown_episodes")
+    val rowSpecs = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition(event_type")).toSeq
+    assert(rowSpecs.nonEmpty, s"no windows found:\n$p")
+    rowSpecs.foreach { l =>
+      assert(l.contains("chunk") || l.contains("__p_") || l.contains("__o_"),
+        s"bare event_type window crept in:\n$l")
+    }
+    assert(p.contains("BroadcastHashJoin"), s"offset tables should broadcast:\n$p")
+  }
+
   test("q143 temperature mixture: the keep filter never shuffles the corpus") {
     // the histogram arm aggregates; the FILTER arm must be scan ->
     // broadcast-join -> filter with no Exchange between scan and
