@@ -162,6 +162,36 @@ object BandIndex {
     graft.batch.AtomicSwap.swapInto(conf, bandsPath(path) + ".compact", bandsPath(path))
   }
 
+  /** GDPR-shaped delete: drop `ids` from both index tables (rewrite +
+    * atomic swap, the compact mechanics). After removal the index
+    * serves as if the docs were never indexed — their signatures stop
+    * suppressing future near-dups and no probe can surface them as
+    * corpus candidates — and the deleted ids' TOKEN ARRAYS physically
+    * leave disk with the rewrite (the erasure requirement a tombstone
+    * doesn't meet; the VersionedTable.deleteWhere contract, applied
+    * to the derived index). Takes the delete set as a DataFrame so a
+    * large erasure batch anti-joins instead of riding the driver. */
+  def removeIds(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val del = ids.select(col(ids.columns.head).cast("long").as("id"))
+    for (sub <- Seq(toksPath(path), bandsPath(path))) {
+      val orig = spark.read.parquet(sub)
+      // the USING anti-join moves `id` first — re-select the original
+      // column order so the rewritten table is byte-compatible with a
+      // fresh build
+      orig.join(del, Seq("id"), "left_anti")
+        .select(orig.columns.map(col).toSeq: _*)
+        .write.mode("overwrite").parquet(sub + ".rm")
+      graft.batch.AtomicSwap.swapInto(conf, sub + ".rm", sub)
+    }
+  }
+
+  /** Seq convenience for small erasure sets. */
+  def removeIds(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    removeIds(spark, path, ids.toDF("id"))
+  }
+
   /** Near-dup pairs between `probe` and the INDEXED corpus — same
     * output contract as [[NearDup.minHashProbePairs]] (probe_id,
     * corpus_id, jaccard; persisted + materialized, caller unpersists)

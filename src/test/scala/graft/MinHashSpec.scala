@@ -25,6 +25,35 @@ class MinHashSpec extends SparkSpec {
     (df, expectPairs)
   }
 
+  test("BandIndex.removeIds: erased docs stop suppressing dups, leave disk, index == fresh build") {
+    val bi = graft.functions.BandIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_bandrm").toString
+    val shared = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, shared),                                       // the doc to erase
+      (2L, (1 to 30).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    bi.build(corpus, "doc_id", TextAnalysis.wordTokens(col("text")), dir)
+    val probe = Seq((100L, shared + " extra")).toDF("doc_id", "text") // j = 30/31
+    val before = bi.probePairs(spark, dir, probe, "doc_id", TextAnalysis.wordTokens(col("text")))
+    assert(before.select("corpus_id").as[Long].collect().toSeq == Seq(1L))
+    before.unpersist()
+    bi.removeIds(spark, dir, Seq(1L))
+    val after = bi.probePairs(spark, dir, probe, "doc_id", TextAnalysis.wordTokens(col("text")))
+    assert(after.isEmpty, "erased doc still surfaces as a corpus candidate")
+    after.unpersist()
+    // data erasure, not a tombstone: no row with id 1 in either table
+    assert(spark.read.parquet(s"$dir/toks").filter($"id" === 1L).isEmpty)
+    assert(spark.read.parquet(s"$dir/bands").filter($"id" === 1L).isEmpty)
+    // the rewritten index is EXACTLY a fresh build without the doc
+    val fresh = java.nio.file.Files.createTempDirectory("graft_bandrm2").toString
+    bi.build(corpus.filter($"doc_id" =!= 1L), "doc_id", TextAnalysis.wordTokens(col("text")), fresh)
+    for (sub <- Seq("toks", "bands")) {
+      val a = spark.read.parquet(s"$dir/$sub")
+      val b = spark.read.parquet(s"$fresh/$sub")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, s"$sub differs from fresh build")
+    }
+  }
+
   test("planted near-dups at j>=0.9: recall >= 95%") {
     val (df, want) = planted()
     val got = NearDup.minHashPairs(df, "doc_id", TextAnalysis.wordTokens(col("text")),
