@@ -794,6 +794,23 @@ object StreamPipeline {
       spark.read.parquet(indexPath), Seq("id", "m"), Seq(col("batch_id")))
       .drop("batch_id")
 
+  /** GDPR erasure from the streamed code index: rewrite the parquet
+    * store without `ids` (anti-join + atomic swap — the
+    * [[graft.functions.BandIndex.removeIds]] mechanics). The raw
+    * vector corpus is erased separately (VersionedTable.deleteWhere
+    * when versioned); this removes the DERIVED codes so no ADC scan
+    * can shortlist the vectors again — a vector store's equivalent of
+    * purging a search index after a source-table delete. */
+  def removeFromCodeIndex(spark: SparkSession, indexPath: String, ids: DataFrame): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val del = ids.select(col(ids.columns.head).cast("long").as("id"))
+    val orig = spark.read.parquet(indexPath)
+    orig.join(del, Seq("id"), "left_anti")
+      .select(orig.columns.map(col).toSeq: _*)
+      .write.mode("overwrite").parquet(indexPath + ".rm")
+    graft.batch.AtomicSwap.swapInto(conf, indexPath + ".rm", indexPath)
+  }
+
   /** ONLINE PQ SERVING: the compressed-index complement of
     * [[similarityServe]] — each micro-batch of query embeddings is
     * answered by ADC against a PREBUILT (codes, book) index

@@ -357,6 +357,31 @@ class StreamingSketchSpec extends SparkSpec {
       s"shifted corpus must trigger retrain (base $baseErr, shifted $shiftErr)")
   }
 
+  test("removeFromCodeIndex: erased vectors leave the store and can never be shortlisted") {
+    import graft.functions.ProductQuant
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqrm").toString
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (codesDf, book) = ProductQuant.buildIndex(e, "vec_id", "embedding", 16, 64, 4, 1)
+    codesDf.withColumn("batch_id", lit(-1L)).write.mode("overwrite").parquet(s"$dir/index")
+    val n = e.count()
+
+    graft.streaming.StreamPipeline.removeFromCodeIndex(spark, s"$dir/index",
+      Seq(7L).toDF("vec_id"))
+    val index = graft.streaming.StreamPipeline.readCodeIndex(spark, s"$dir/index")
+    assert(index.filter($"id" === 7L).isEmpty, "erased vector's codes must leave disk")
+    assert(index.count() == (n - 1) * 16)
+
+    // serving with vector 7's own embedding as the query: the erased
+    // id can never be shortlisted again (its codes are gone), even
+    // though its nearest neighbor would trivially be itself
+    val q7 = e.filter($"vec_id" === 7L)
+    val corpus = e.filter($"vec_id" =!= 7L)
+    val served = ProductQuant.serveRerankTopK(q7, corpus, index, book,
+      "vec_id", "embedding", 16, 64, shortlist = 25, k = 5)
+    assert(served.filter($"neighbor_id" === 7L).isEmpty)
+    assert(served.count() == 5, "serving still returns a full top-k from the survivors")
+  }
+
   test("streaming CMS: foreachBatch-maintained cells equal the batch sketch after 3 batches") {
     val stream = MemoryStream[Long](spark)
     var acc: Option[DataFrame] = None
