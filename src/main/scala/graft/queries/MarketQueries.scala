@@ -272,7 +272,34 @@ object MarketQueries {
       .drop("island")
   }
 
+  // q155 — INTRADAY VOLATILITY SEASONALITY: mean and max absolute
+  // log return by (instrument, hour-of-day) — the U-shape profile
+  // (open/close volatility concentration) that drives intraday risk
+  // limits and execution scheduling. Same exact micro-log2 return
+  // construction as q153 (quantize each price's log2 once, integer
+  // differences after), same span-bounded (instrument, day) lag; the
+  // mean closes as one integer-ratio division. Output is
+  // |instruments| x 24 rows from one partial-agg shuffle.
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    def qlog2(x: Column): Column = floor(log2(x) * lit(1e6) + lit(0.5)).cast("long")
+    val w = Window.partitionBy(col("event_type"), col("day")).orderBy(col("ts"), col("event_id"))
+    ev(s, dir)
+      .filter(col("value") > 0)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("lv", qlog2(col("value")))
+      .withColumn("prev", lag("lv", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("hod", hour(col("ts")))
+      .withColumn("ar", abs(col("lv") - col("prev")))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n_returns"), sum(col("ar")).as("sa_fp"), max(col("ar")).as("max_fp"))
+      .select(col("event_type"), col("hod"), col("n_returns"),
+        r4(col("sa_fp").cast("double") / (col("n_returns").cast("double") * lit(1e6))).as("mean_abs_ret"),
+        r4(col("max_fp").cast("double") / lit(1e6)).as("max_abs_ret"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_intraday_seasonality" -> q155 _,
     "q154_drawdown_episodes" -> q154 _,
     "q153_realized_vol" -> q153 _,
     "q126_vwap" -> q126 _,
@@ -284,6 +311,24 @@ object MarketQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q155_intraday_seasonality" ->
+      """WITH e AS (
+        |  SELECT event_id, ts::TIMESTAMP AS ts, event_type, value
+        |  FROM events WHERE value > 0
+        |), l AS (
+        |  SELECT event_type, ts,
+        |    floor(log2(value) * 1e6 + 0.5)::BIGINT AS lv,
+        |    lag(floor(log2(value) * 1e6 + 0.5)::BIGINT) OVER (
+        |      PARTITION BY event_type, ts::DATE ORDER BY ts, event_id) AS prev
+        |  FROM e
+        |), r AS (
+        |  SELECT event_type, hour(ts) AS hod, abs(lv - prev) AS ar
+        |  FROM l WHERE prev IS NOT NULL
+        |)
+        |SELECT event_type, hod, count(*)::BIGINT AS n_returns,
+        |  floor(sum(ar)::DOUBLE / (count(*)::DOUBLE * 1e6) * 10000 + 0.5)/10000 AS mean_abs_ret,
+        |  floor(max(ar)::DOUBLE / 1e6 * 10000 + 0.5)/10000 AS max_abs_ret
+        |FROM r GROUP BY 1, 2""".stripMargin,
     "q154_drawdown_episodes" ->
       """WITH e AS (
         |  SELECT event_id, ts::TIMESTAMP AS ts, event_type, value FROM events
