@@ -244,6 +244,9 @@ object ScaleProbe {
     time("q143_temp_mixture") { q("q143_temp_mixture") }
     time("q146_word_entropy") { q("q146_word_entropy") }
     time("q147_vocab_stats") { q("q147_vocab_stats") }
+    // q156: lag-diff (halo 1) + running sum, both chunked over the
+    // five-key feed — the unbounded-sum sibling's scale exercise
+    time("q156_obv") { q("q156_obv") }
     // q154: runningMax + two globalRanks, all chunked — the five-key
     // feed keeps volume-wide parallelism through all three passes
     time("q154_drawdown_episodes") { q("q154_drawdown_episodes") }

@@ -211,6 +211,48 @@ object ChunkedFrame {
       .drop(s"__p_$keyCol", "__p_chunk", "__pm", "__lm", "__chunk")
   }
 
+  /** Adds `outCol` — the RUNNING sum of `valCol` per `keyCol` under
+    * `orderCols`, equal to `sum(valCol) over (partitionBy(key)
+    * orderBy(order) rowsBetween(unboundedPreceding, currentRow))` bit
+    * for bit — the promised sum sibling of [[withRunningMax]], same
+    * chunk decomposition (running sum splits exactly at chunk
+    * boundaries), same volume-wide parallelism on low-cardinality
+    * keys. Pass an EXACT-typed column (integer/long/decimal): the
+    * whole point of the split evaluation is that partial sums
+    * reassociate, which floating point does not guarantee.
+    *
+    * Null semantics match the window: `sum` ignores nulls, so a row
+    * whose entire per-key prefix is null gets null; once any prefix
+    * value exists the running sum is the sum of the non-null prefix
+    * (the when-guard below — a bare `__ls + __ps` would null out any
+    * row whose own CHUNK hadn't seen a value yet). */
+  def withRunningSum(df: DataFrame, keyCol: String, chunk: Column,
+                     orderCols: Seq[String], valCol: String,
+                     outCol: String): DataFrame = {
+    val k = col(keyCol)
+    val v = col(valCol)
+    val withChunk = df.withColumn("__chunk", chunk)
+
+    val wLocal = Window.partitionBy(k, col("__chunk"))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = withChunk.withColumn("__ls", sum(v).over(wLocal))
+
+    val wPrev = Window.partitionBy(col(s"__p_$keyCol")).orderBy(col("__p_chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prior = withChunk.groupBy(k.as(s"__p_$keyCol"), col("__chunk").as("__p_chunk"))
+      .agg(sum(v).as("__cs"))
+      .withColumn("__ps", sum(col("__cs")).over(wPrev))
+      .drop("__cs")
+
+    local.join(broadcast(prior),
+        k === col(s"__p_$keyCol") && col("__chunk") === col("__p_chunk"))
+      .withColumn(outCol,
+        when(col("__ls").isNull && col("__ps").isNull, lit(null))
+          .otherwise(coalesce(col("__ls"), lit(0)) + coalesce(col("__ps"), lit(0))))
+      .drop(s"__p_$keyCol", "__p_chunk", "__ps", "__ls", "__chunk")
+  }
+
   /** Adds `sg`, `sl`, `n_d` — the gain sum, loss sum, and non-null
     * diff count over the trailing `width+1`-diff frame of the
     * first-difference series of `valCol` (a decimal column): the

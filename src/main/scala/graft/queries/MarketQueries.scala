@@ -298,7 +298,35 @@ object MarketQueries {
         r4(col("max_fp").cast("double") / lit(1e6)).as("max_abs_ret"))
   }
 
+  // q156 — ON-BALANCE VOLUME (Granville's OBV): per instrument, the
+  // running sum of signed volume (+vol on an uptick, −vol on a
+  // downtick, 0 flat/first) — the classic accumulation/distribution
+  // indicator, and the query that exercises BOTH unbounded
+  // ChunkedFrame siblings end to end: the tick sign needs lag-1
+  // (withTrailingEval, halo 1) and the accumulation needs the
+  // running SUM (withRunningSum — exact long arithmetic, so the
+  // chunk-split partial sums reassociate bit for bit). Volume is the
+  // props JSON `k` field (the q126 precedent). Zero bare per-key
+  // windows: the five-instrument feed keeps volume-wide parallelism
+  // through both passes.
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    val cf = graft.operators.ChunkedFrame
+    val hour = date_trunc("hour", col("ts"))
+    val base = ev(s, dir).select(col("event_id"), col("ts"), col("event_type"), col("value"),
+      get_json_object(col("props"), "$.k").cast("long").as("vol"))
+    val flowed = cf.withTrailingEval(base, "event_type", hour,
+        Seq("ts", "event_id"), haloWidth = 1) { (d, w) =>
+      d.withColumn("__df", col("value") - lag(col("value"), 1).over(w))
+        .withColumn("flow", when(col("__df") > 0, col("vol"))
+          .when(col("__df") < 0, -col("vol")).otherwise(lit(0L)))
+        .drop("__df")
+    }
+    cf.withRunningSum(flowed, "event_type", hour, Seq("ts", "event_id"), "flow", "obv")
+      .select(col("event_id"), col("event_type"), col("obv"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_obv" -> q156 _,
     "q155_intraday_seasonality" -> q155 _,
     "q154_drawdown_episodes" -> q154 _,
     "q153_realized_vol" -> q153 _,
@@ -311,6 +339,25 @@ object MarketQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q156_obv" ->
+      """WITH e AS (
+        |  SELECT event_id, ts::TIMESTAMP AS ts, event_type, value,
+        |    json_extract_string(props, '$.k')::BIGINT AS vol
+        |  FROM events
+        |), f AS (
+        |  SELECT event_id, ts, event_type,
+        |    value - lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS df,
+        |    vol
+        |  FROM e
+        |), g AS (
+        |  SELECT event_id, ts, event_type,
+        |    CASE WHEN df > 0 THEN vol WHEN df < 0 THEN -vol ELSE 0 END AS flow
+        |  FROM f
+        |)
+        |SELECT event_id, event_type,
+        |  (sum(flow) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS obv
+        |FROM g""".stripMargin,
     "q155_intraday_seasonality" ->
       """WITH e AS (
         |  SELECT event_id, ts::TIMESTAMP AS ts, event_type, value

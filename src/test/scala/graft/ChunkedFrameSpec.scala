@@ -150,6 +150,37 @@ class ChunkedFrameSpec extends SparkSpec {
       "chunked running max must be bit-identical to the direct window")
   }
 
+  test("chunked running sum equals the direct unbounded window (dense, sparse, null prefixes)") {
+    // dense: real events, exact long values (json k field)
+    val evd = Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("event_id"), col("event_type"), col("ts"),
+        get_json_object(col("props"), "$.k").cast("long").as("v"))
+    val run = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val a = evd.select(col("event_id"), col("event_type"), sum(col("v")).over(run).as("rs"))
+    val b = ChunkedFrame.withRunningSum(evd, "event_type",
+      date_trunc("hour", col("ts")), Seq("ts", "event_id"), "v", "rs")
+      .select(a.columns.map(col): _*)
+    assert(a.count() == b.count() && a.count() > 0)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "chunked running sum must be bit-identical to the direct window")
+    // sparse chunks + leading null runs + an all-null mid-chunk: the
+    // when-guard must reproduce sum()'s ignore-nulls semantics
+    val evs = spark.range(0, 300).select(
+      col("id").as("event_id"),
+      (col("id") % 3).cast("string").as("event_type"),
+      (lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).cast("long")
+        + col("id") * 3600).cast("timestamp").as("ts"),
+      when(col("id") < 30 || col("id").between(150, 170), lit(null).cast("long"))
+        .otherwise((col("id") * 37 % 100) - 50).as("v"))
+    val a2 = evs.select(col("event_id"), col("event_type"), sum(col("v")).over(run).as("rs"))
+    val b2 = ChunkedFrame.withRunningSum(evs, "event_type",
+      date_trunc("hour", col("ts")), Seq("ts", "event_id"), "v", "rs")
+      .select(a2.columns.map(col): _*)
+    assert(a2.count() == b2.count())
+    assert(a2.exceptAll(b2).isEmpty && b2.exceptAll(a2).isEmpty)
+  }
+
   test("running max: sparse chunks, ties, and null prefixes compose exactly") {
     // 1 row/hour-chunk (every prefix crosses chunk boundaries), value
     // ties across chunks, and a leading all-null run per key — the
