@@ -22,6 +22,12 @@ object MarketQueries {
 
   private def ev(s: SparkSession, dir: String) = Tables.events(s, dir)
 
+  /** Micro-log2 fixed point: each price's log2 quantized ONCE to
+    * integer micro-units (the q81 fixed-point-transcendental rule), so
+    * downstream differences/sums are exact integers — partition- and
+    * frame-order free — and both engines agree bitwise. */
+  private def qlog2(x: Column): Column = floor(log2(x) * lit(1e6) + lit(0.5)).cast("long")
+
   // q108 — BOLLINGER BANDS: trailing 20-row mean / sample stddev per
   // event_type, the first BOUNDED window frame in the battery (every
   // prior frame is unbounded-preceding). Variance comes from exact
@@ -227,7 +233,6 @@ object MarketQueries {
   // partition size is bounded by ticks/day/instrument at any corpus
   // size (unlike the all-history-per-key shape q109 had to escape).
   private def q153(s: SparkSession, dir: String): DataFrame = {
-    def qlog2(x: Column): Column = floor(log2(x) * lit(1e6) + lit(0.5)).cast("long")
     val w = Window.partitionBy(col("event_type"), col("day")).orderBy(col("ts"), col("event_id"))
     ev(s, dir)
       .filter(col("value") > 0)
@@ -281,7 +286,6 @@ object MarketQueries {
   // mean closes as one integer-ratio division. Output is
   // |instruments| x 24 rows from one partial-agg shuffle.
   private def q155(s: SparkSession, dir: String): DataFrame = {
-    def qlog2(x: Column): Column = floor(log2(x) * lit(1e6) + lit(0.5)).cast("long")
     val w = Window.partitionBy(col("event_type"), col("day")).orderBy(col("ts"), col("event_id"))
     ev(s, dir)
       .filter(col("value") > 0)
@@ -325,7 +329,134 @@ object MarketQueries {
       .select(col("event_id"), col("event_type"), col("obv"))
   }
 
+  // q157 — PARKINSON RANGE VOLATILITY per (instrument, day): the
+  // high-low range estimator (Parkinson 1980) — sigma =
+  // ln(H/L) / (2*sqrt(ln 2)) — which extracts ~5x more efficiency per
+  // day than close-to-close because the intraday EXTREMES carry the
+  // information; the companion estimator to q153's sum-of-squared
+  // intraday returns (RV needs every tick, Parkinson needs two numbers
+  // per day — the 100 TB trade is real: this one aggregates to
+  // |instruments| x |days| rows in ONE partial-agg shuffle). hi/lo are
+  // exact max/min (order-free); each extreme's log2 is quantized ONCE
+  // to micro-units (the q153/q155 rule) so the range is an integer
+  // difference, and the closing constant sqrt(ln 2)/2 is one IEEE
+  // sqrt of the shared ln-2 double literal — the identical op
+  // sequence on both engines.
+  private def q157(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .filter(col("value") > 0)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(max(col("value")).as("hi"), min(col("value")).as("lo"),
+        count(lit(1)).as("n_ticks"))
+      .withColumn("d_fp", qlog2(col("hi")) - qlog2(col("lo")))
+      .select(col("event_type"), col("day"), col("n_ticks"), col("hi"), col("lo"),
+        r4(col("d_fp").cast("double") / lit(1e6) * sqrt(lit(0.6931471805599453)) / lit(2d))
+          .as("park_vol"))
+
+  // q158 — AMIHUD ILLIQUIDITY per instrument: mean over days of
+  // |daily log return| / dollar volume (Amihud 2002) — the standard
+  // price-impact-per-traded-dollar proxy liquidity desks and academic
+  // factor pipelines compute from daily data. Open/close are the
+  // first/last tick of each (instrument, day) under the total
+  // (ts, event_id) order — selected with arg-min/max over the
+  // partition row_number, NOT distinct-on (the engine-portable
+  // deterministic-survivor rule); the return is an exact micro-log2
+  // integer difference; dollar volume is an exact decimal sum of
+  // price x size (the q126 JSON-props size field). Each day's
+  // illiquidity ratio (scaled to per-million-dollar units) is ONE
+  // IEEE division both engines replay bitwise, then quantized to
+  // integer micro-units BEFORE the cross-day mean — the
+  // fixed-point-before-reaggregation rule that keeps the final
+  // per-instrument mean an exact integer ratio. Scale shape: one
+  // (instrument, day) window for rn (span-bounded partitions — the
+  // q125/q153 precedent), one partial-agg shuffle, then a 5-row
+  // rollup; nothing scales with tick volume past the first pass.
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("day")).orderBy(col("ts"), col("event_id"))
+    val daily = ev(s, dir)
+      .filter(col("value") > 0)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("lv", qlog2(col("value")))
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        min_by(col("lv"), col("rn")).as("open_lv"),
+        max_by(col("lv"), col("rn")).as("close_lv"),
+        sum(col("value").cast("decimal(18,4)") * col("k")).as("dvol"),
+        count(lit(1)).as("n_ticks"))
+      .filter(col("dvol") > 0)
+      .withColumn("ret_fp", abs(col("close_lv") - col("open_lv")))
+      .withColumn("iq",
+        floor(col("ret_fp").cast("double") / lit(1e6) / col("dvol").cast("double")
+          * lit(1e6) * lit(1e6) + lit(0.5)).cast("long"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        r4(sum(col("iq")).cast("double") / (count(lit(1)).cast("double") * lit(1e6)))
+          .as("mean_illiq"),
+        r4(max(col("iq")).cast("double") / lit(1e6)).as("max_illiq"))
+  }
+
+  // q159 — ROLLING 20-DAY BETA/CORRELATION vs the equal-weight market:
+  // each instrument's trailing regression slope against the
+  // cross-sectional mean return — the hedge-ratio/market-sensitivity
+  // readout (next to q110's full-history pairwise matrix, this is the
+  // time-VARYING form risk systems actually chart). Daily
+  // close-to-close returns in exact micro-log2 integers; the market
+  // return is the per-day cross-instrument mean quantized once to an
+  // integer (floor(avg + 0.5) — beta/corr are invariant to the shared
+  // 1e-6 scale); all five trailing sums (x, y, x², y², xy) are exact
+  // integer window sums, closed by one double formula per row. Scale
+  // shape: every window here runs on DAY-GRAIN rows — |instruments| x
+  // |days| = volume-independent (the feed's span is fixed; at 100x the
+  // tick count grows, the day grid does not — the q110 bin-grid
+  // argument), so bare per-key windows are the RIGHT plan: the
+  // volume-sized work is exactly one (instrument, day) partial-agg
+  // pass, and everything after fits on one executor at any corpus
+  // size.
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("day")).orderBy(col("ts"), col("event_id"))
+    val closes = ev(s, dir)
+      .filter(col("value") > 0)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("lv", qlog2(col("value")))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max_by(col("lv"), col("rn")).as("close_lv"))
+    val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val rets = closes
+      .withColumn("prev", lag(col("close_lv"), 1).over(wd))
+      .filter(col("prev").isNotNull)
+      .withColumn("r_fp", col("close_lv") - col("prev"))
+      .select(col("event_type"), col("day"), col("r_fp"))
+    val mkt = rets.groupBy(col("day"))
+      .agg(floor(sum(col("r_fp")).cast("double") / count(lit(1)).cast("double") + lit(0.5))
+        .cast("long").as("m_fp"))
+    val wf = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-19, Window.currentRow)
+    val sums = rets.join(mkt, Seq("day"))
+      .withColumn("n_w", count(lit(1)).over(wf))
+      .withColumn("sx", sum(col("m_fp")).over(wf))
+      .withColumn("sy", sum(col("r_fp")).over(wf))
+      .withColumn("sxx", sum(col("m_fp") * col("m_fp")).over(wf))
+      .withColumn("syy", sum(col("r_fp") * col("r_fp")).over(wf))
+      .withColumn("sxy", sum(col("m_fp") * col("r_fp")).over(wf))
+      .filter(col("n_w") === 20)
+    def d(c: Column) = c.cast("double")
+    val n = d(col("n_w"))
+    val num  = n * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val denB = n * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val denC = sqrt(n * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+      sqrt(n * d(col("syy")) - d(col("sy")) * d(col("sy")))
+    sums.select(col("event_type"), col("day"),
+      when(denB =!= 0, r4(num / denB)).as("beta"),
+      when(denC > 0, r4(num / denC)).as("corr_r"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_parkinson_vol" -> q157 _,
+    "q158_amihud_illiq" -> q158 _,
+    "q159_rolling_beta" -> q159 _,
     "q156_obv" -> q156 _,
     "q155_intraday_seasonality" -> q155 _,
     "q154_drawdown_episodes" -> q154 _,
@@ -339,6 +470,84 @@ object MarketQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q157_parkinson_vol" ->
+      """WITH d AS (
+        |  SELECT event_type, ts::TIMESTAMP::DATE AS day,
+        |    max(value) AS hi, min(value) AS lo, count(*)::BIGINT AS n_ticks
+        |  FROM events WHERE value > 0 GROUP BY 1, 2
+        |)
+        |SELECT event_type, day, n_ticks, hi, lo,
+        |  floor((floor(log2(hi)*1e6 + 0.5)::BIGINT - floor(log2(lo)*1e6 + 0.5)::BIGINT)::DOUBLE
+        |    / 1e6 * sqrt(0.6931471805599453) / 2 * 10000 + 0.5)/10000 AS park_vol
+        |FROM d""".stripMargin,
+    "q158_amihud_illiq" ->
+      """WITH e AS (
+        |  SELECT event_type, ts::TIMESTAMP AS ts, event_id,
+        |    ts::TIMESTAMP::DATE AS day,
+        |    floor(log2(value)*1e6 + 0.5)::BIGINT AS lv,
+        |    value::DECIMAL(18,4) AS vd,
+        |    json_extract_string(props, '$.k')::BIGINT AS k
+        |  FROM events WHERE value > 0
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS rn
+        |  FROM e
+        |), d AS (
+        |  SELECT event_type, day,
+        |    arg_min(lv, rn) AS open_lv, arg_max(lv, rn) AS close_lv,
+        |    sum(vd * k) AS dvol, count(*) AS n_ticks
+        |  FROM r GROUP BY 1, 2
+        |), q AS (
+        |  SELECT event_type,
+        |    floor(abs(close_lv - open_lv)::DOUBLE / 1e6 / dvol::DOUBLE * 1e6 * 1e6 + 0.5)::BIGINT AS iq
+        |  FROM d WHERE dvol > 0
+        |)
+        |SELECT event_type, count(*)::BIGINT AS n_days,
+        |  floor(sum(iq)::DOUBLE / (count(*)::DOUBLE * 1e6) * 10000 + 0.5)/10000 AS mean_illiq,
+        |  floor(max(iq)::DOUBLE / 1e6 * 10000 + 0.5)/10000 AS max_illiq
+        |FROM q GROUP BY 1""".stripMargin,
+    "q159_rolling_beta" ->
+      """WITH e AS (
+        |  SELECT event_type, ts::TIMESTAMP AS ts, event_id,
+        |    ts::TIMESTAMP::DATE AS day,
+        |    floor(log2(value)*1e6 + 0.5)::BIGINT AS lv
+        |  FROM events WHERE value > 0
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS rn
+        |  FROM e
+        |), c AS (
+        |  SELECT event_type, day, arg_max(lv, rn) AS close_lv
+        |  FROM r GROUP BY 1, 2
+        |), ret AS (
+        |  SELECT event_type, day,
+        |    close_lv - lag(close_lv) OVER (PARTITION BY event_type ORDER BY day) AS r_fp
+        |  FROM c QUALIFY r_fp IS NOT NULL
+        |), mkt AS (
+        |  SELECT day, floor(sum(r_fp)::DOUBLE / count(*)::DOUBLE + 0.5)::BIGINT AS m_fp
+        |  FROM ret GROUP BY 1
+        |), s AS (
+        |  SELECT ret.event_type, ret.day,
+        |    count(*) OVER fr AS n_w,
+        |    (sum(m_fp) OVER fr)::BIGINT AS sx,
+        |    (sum(r_fp) OVER fr)::BIGINT AS sy,
+        |    (sum(m_fp * m_fp) OVER fr)::BIGINT AS sxx,
+        |    (sum(r_fp * r_fp) OVER fr)::BIGINT AS syy,
+        |    (sum(m_fp * r_fp) OVER fr)::BIGINT AS sxy
+        |  FROM ret JOIN mkt USING (day)
+        |  WINDOW fr AS (PARTITION BY ret.event_type ORDER BY ret.day
+        |                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, day,
+        |  CASE WHEN n_w::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE != 0 THEN
+        |    floor((n_w::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |      / (n_w::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * 10000 + 0.5)/10000
+        |  END AS beta,
+        |  CASE WHEN sqrt(n_w::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |          * sqrt(n_w::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0 THEN
+        |    floor((n_w::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |      / (sqrt(n_w::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |       * sqrt(n_w::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) * 10000 + 0.5)/10000
+        |  END AS corr_r
+        |FROM s WHERE n_w = 20""".stripMargin,
     "q156_obv" ->
       """WITH e AS (
         |  SELECT event_id, ts::TIMESTAMP AS ts, event_type, value,
