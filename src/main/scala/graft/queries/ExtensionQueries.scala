@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -216,6 +216,64 @@ object ExtensionQueries {
       val scored = Similarity.scoreAll(e.filter(col("vec_id") < 10), e, "vec_id", "embedding")
         .withColumn("cos_r", r4(col("cos"))).drop("cos")
       Similarity.topK(scored, 5, col("cos_r"))
+        .select(col("query_id"), col("neighbor_id"), lit(true).as("exact_hit"))
+    }
+    served.join(exact, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("exact_hit", coalesce(col("exact_hit"), lit(false)))
+  }
+
+  // q162 — BINARY-QUANTIZED ANN (BQ: 1 bit/dim sign quantization +
+  // Hamming shortlist + exact rerank): the 32x-compression end of the
+  // vector-compression family this battery already covers at 4x (SQ8,
+  // q144) and ~8-64x (PQ, q104) — and the one modern vector stores
+  // default to for the FIRST pass, because Hamming distance over
+  // packed sign bits is a couple of XOR+POPCNT instructions per
+  // candidate (the same sign-random-projection geometry as q23/q39
+  // SimHash/SRP, here on the raw axes). Serving is two-stage: top-50
+  // shortlist by exact integer Hamming distance (deterministic
+  // (ham, neighbor_id) order), then exact-float cosine rerank to
+  // top-5, audited against the uncompressed top-5 (`exact_hit` — the
+  // recall readout a BQ rollout gates on). The 64-dim corpus packs
+  // into two 32-bit lanes of two BIGINTs (bit 63 of a single lane
+  // would overflow signed 64 on the SQL side — the two-lane split is
+  // the engine-portable packing). Scale shape: packing is one codegen
+  // map pass (at 100 TB the 16-byte codes ARE the resident index —
+  // 32x less scan than float32); the shortlist is the q28
+  // broadcast-queries + BoundedTopK partial-agg shape over integer
+  // codes only (vectors never ride the candidate exchange), and the
+  // float vectors are touched for exactly |queries| x 50 rerank rows
+  // via two id-joins.
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val ev = e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def lane(loLane: Boolean): Column = aggregate(
+      transform(col("v"), (x, i) => {
+        val inLane = if (loLane) i < 32 else i >= 32
+        val sh = if (loLane) i else i - lit(32)
+        when(inLane && (x >= lit(0d)), call_function("shiftleft", lit(1L), sh))
+          .otherwise(lit(0L))
+      }),
+      lit(0L), (a, b) => a + b)
+    val packed = ev.select(col("vec_id"), lane(loLane = true).as("lo"), lane(loLane = false).as("hi"))
+    val qb = packed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("lo").as("qlo"), col("hi").as("qhi"))
+    val scored = packed.crossJoin(broadcast(qb))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("hi").bitwiseXOR(col("qhi")))).cast("long").as("ham"))
+    val short = Similarity.topK(scored, 50, -col("ham")).drop("rnk")
+    val rr = short
+      .join(ev.select(col("vec_id").as("query_id"), col("v").as("qv")), Seq("query_id"))
+      .join(ev.select(col("vec_id").as("neighbor_id"), col("v").as("cv")), Seq("neighbor_id"))
+      .withColumn("cos_r", r4(Similarity.dot(col("qv"), col("cv"))
+        / (Similarity.l2norm(col("qv")) * Similarity.l2norm(col("cv")))))
+      .select(col("query_id"), col("neighbor_id"), col("ham"), col("cos_r"))
+    val served = Similarity.topK(rr, 5, col("cos_r"))
+    val exact = {
+      val sc = Similarity.scoreAll(e.filter(col("vec_id") < 10), e, "vec_id", "embedding")
+        .withColumn("cos_r", r4(col("cos"))).drop("cos")
+      Similarity.topK(sc, 5, col("cos_r"))
         .select(col("query_id"), col("neighbor_id"), lit(true).as("exact_hit"))
     }
     served.join(exact, Seq("query_id", "neighbor_id"), "left")
@@ -642,6 +700,7 @@ object ExtensionQueries {
     "q27_fingerprint" -> q27 _,
     "q28_cosine_topk" -> q28 _,
     "q144_sq8_topk" -> q144 _,
+    "q162_bq_hamming_topk" -> q162 _,
     "q124_hard_negatives" -> q124 _,
     "q29_ann_bucketed" -> q29 _,
     "q30_multimodal_meta" -> q30 _,
@@ -1063,6 +1122,49 @@ object ExtensionQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rnk FROM f
         |)
         |SELECT query_id, neighbor_id, cos_r, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "q162_bq_hamming_topk" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), b AS MATERIALIZED (
+        |  SELECT w.vec_id,
+        |    sum(CASE WHEN u.i <= 32 AND w.v[u.i] >= 0 THEN (1::BIGINT << (u.i - 1)) ELSE 0 END)::BIGINT AS lo,
+        |    sum(CASE WHEN u.i > 32 AND w.v[u.i] >= 0 THEN (1::BIGINT << (u.i - 33)) ELSE 0 END)::BIGINT AS hi
+        |  FROM e w, LATERAL (SELECT unnest(generate_series(1, len(w.v))) AS i) u
+        |  GROUP BY 1
+        |), sd AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    (bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)))::BIGINT AS ham
+        |  FROM b c, (SELECT * FROM b WHERE vec_id < 10) q
+        |  WHERE q.vec_id <> c.vec_id
+        |), sl AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ham, neighbor_id) AS srn
+        |  FROM sd
+        |), short AS (
+        |  SELECT query_id, neighbor_id, ham FROM sl WHERE srn <= 50
+        |), rr AS (
+        |  SELECT s.query_id, s.neighbor_id, s.ham,
+        |    floor(list_dot_product(qe.v, ce.v)
+        |      / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v)))*10000 + 0.5)/10000 AS cos_r
+        |  FROM short s
+        |  JOIN e qe ON qe.vec_id = s.query_id
+        |  JOIN e ce ON ce.vec_id = s.neighbor_id
+        |), rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rnk FROM rr
+        |), top5 AS (
+        |  SELECT query_id, neighbor_id, ham, cos_r, rnk FROM rk WHERE rnk <= 5
+        |), se AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    floor(list_dot_product(q.v, c.v)
+        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))*10000 + 0.5)/10000 AS cos_r
+        |  FROM e c, (SELECT * FROM e WHERE vec_id < 10) q WHERE q.vec_id <> c.vec_id
+        |), re AS (
+        |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rnk FROM se
+        |), tope AS (
+        |  SELECT query_id, neighbor_id FROM re WHERE rnk <= 5
+        |)
+        |SELECT t.query_id, t.neighbor_id, t.ham, t.cos_r, t.rnk,
+        |  (te.neighbor_id IS NOT NULL) AS exact_hit
+        |FROM top5 t LEFT JOIN tope te USING (query_id, neighbor_id)""".stripMargin,
     "q144_sq8_topk" ->
       """WITH e AS MATERIALIZED (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
