@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -558,6 +559,37 @@ object ExtensionQueries {
         count(lit(1)).as("n_dups"))
   }
 
+  // q160 — PROTOTYPICALITY PRUNING (the D4 recipe's second stage —
+  // Tirumala et al. 2023, arXiv:2308.12284: after SemDeDup, rank each
+  // cluster's members by similarity to the cluster centroid and DROP
+  // the most prototypical head, because near-centroid points are the
+  // cluster's redundant "template" mass while the tail carries the
+  // diversity; SSL-prototypes, Sorscher et al. 2022, is the same rule
+  // on image data). Blocking is q137's growing-k 2-round Lloyd
+  // (k = ceil(n/100) — populations stay FLAT as the corpus grows),
+  // the prototypicality score is the assignment-winning 1e-4-rounded
+  // cosine the reassignment already computed (no extra pass), and the
+  // per-cluster drop is the top 10% by (sim DESC, vec_id) rank.
+  // Scale shape: the only volume-sized work is the Lloyd kernel pass;
+  // the rank window partitions by BUCKET, whose population is pinned
+  // at ~100 by the growing-k rule — per-partition work is CONSTANT at
+  // any corpus size (the opposite of the q109 five-key shape), so the
+  // window parallelism grows with k, i.e. with the corpus.
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val targetPop = 100L
+    val n = e.count()
+    val k = math.max(1L, (n + targetPop - 1) / targetPop)
+    val asg = Similarity.lloydIterate(
+      e.withColumn("b0", col("vec_id") % k), "vec_id", "embedding", "b0", iters = 2)
+    val w = Window.partitionBy(col("bucket")).orderBy(col("sim").desc, col("id"))
+    asg
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .select(col("id").as("vec_id"), col("bucket"), col("sim").as("sim_r"),
+        col("rnk"), (col("rnk") > expr("cnt DIV 10")).as("kept"))
+  }
+
   // q138 — GROWING-K IVF ANN: the q45 nprobe-2 serving flow with the
   // coarse quantizer LEARNED from the corpus (q137's 2-round Lloyd,
   // k = ceil(n/100)) instead of the testdata's label clusters — the
@@ -701,6 +733,7 @@ object ExtensionQueries {
     "q28_cosine_topk" -> q28 _,
     "q144_sq8_topk" -> q144 _,
     "q162_bq_hamming_topk" -> q162 _,
+    "q160_prototype_prune" -> q160 _,
     "q124_hard_negatives" -> q124 _,
     "q29_ann_bucketed" -> q29 _,
     "q30_multimodal_meta" -> q30 _,
@@ -1122,6 +1155,20 @@ object ExtensionQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rnk FROM f
         |)
         |SELECT query_id, neighbor_id, cos_r, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "q160_prototype_prune" -> (growKLloydCtes +
+      """, f AS (
+        |  SELECT vec_id, bucket, simr FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY simr DESC, bucket) AS rn FROM s2)
+        |  WHERE rn = 1
+        |), r AS (
+        |  SELECT vec_id, bucket, simr,
+        |    row_number() OVER (PARTITION BY bucket ORDER BY simr DESC, vec_id) AS rnk,
+        |    count(*) OVER (PARTITION BY bucket) AS cnt
+        |  FROM f
+        |)
+        |SELECT vec_id, bucket::BIGINT AS bucket, simr AS sim_r,
+        |  rnk::BIGINT AS rnk, (rnk > cnt // 10) AS kept
+        |FROM r""".stripMargin),
     "q162_bq_hamming_topk" ->
       """WITH e AS MATERIALIZED (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
