@@ -370,7 +370,49 @@ object CurationQueries {
         r4(col("kl_fp").cast("double") / (col("n_tokens").cast("double") * lit(1e6))).as("kl_bits"))
   }
 
+  // q161 — PER-SOURCE ADAPTIVE QUALITY GATE: instead of one global
+  // quality cutoff (q69's shape), each source gets its OWN threshold —
+  // the 25th percentile of ITS quality distribution — and keeps docs
+  // at or above it. This is how production curation actually gates
+  // mixed crawls (C4/Gopher-style rules tuned per domain): a global
+  // bar would gut a low-register source entirely and pass every doc
+  // of a high-register one, destroying the mixture q62/q143 then
+  // tries to balance. The quality score is q24's exact expression,
+  // quantized ONCE to integer micro-units (the q110 mu rule) so the
+  // per-source rank, the cutoff, and the >= gate are all exact
+  // integer comparisons — no ulp-order hazard between engines' ln()
+  // at the rank boundary. The cutoff is a DISCRETE rank selection at
+  // ceil(n/4) under (quality, doc_id) — the q136 convention. Scale
+  // shape: NO per-source sort — the rank rides
+  // ChunkedFrame.globalRank (sources x quality-bucket parallelism;
+  // this feed's 10 fixed sources would otherwise serialize into 10
+  // tasks at 100x, the exact q109 ceiling); the 10-row cutoff table
+  // broadcasts back; everything else is map-side.
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ChunkedFrame
+    val toks = TextAnalysis.wordTokens(col("text"))
+    val punctRatio = TextAnalysis.punctCount(col("text")).cast("double") /
+      nullif(length(col("text")), lit(0))
+    val stopRatio = TextAnalysis.stopwordCount(toks).cast("double") /
+      nullif(size(toks), lit(0))
+    val q = TextAnalysis.qualityScore(size(toks).cast("double"), punctRatio, stopRatio)
+    val base = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        floor(q * lit(1e6) + lit(0.5)).cast("long").as("quality_fp"))
+      .filter(col("quality_fp").isNotNull)
+    val counts = base.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+    val cut = ChunkedFrame.globalRank(base, "source", expr("quality_fp DIV 1000000"),
+        Seq("quality_fp", "doc_id"))
+      .join(broadcast(counts), Seq("source"))
+      .filter(col("__g") === expr("(cnt + 3) DIV 4 - 1"))
+      .select(col("source"), col("quality_fp").as("q_cut_fp"))
+    base.join(broadcast(cut), Seq("source"))
+      .select(col("doc_id"), col("source"), col("quality_fp"), col("q_cut_fp"),
+        (col("quality_fp") >= col("q_cut_fp")).as("kept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_adaptive_quality" -> q161 _,
     "q150_source_kl" -> q150 _,
     "q147_vocab_stats" -> q147 _,
     "q142_block_dedup" -> q142 _,
@@ -388,6 +430,31 @@ object CurationQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q161_adaptive_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+        |    regexp_extract_all(text, '[.,;:!?''"()\[\]{}]') AS punct
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, source,
+        |    ln(1 + len(toks)) * (1 - len(punct)::DOUBLE / nullif(length(text), 0))
+        |      * (1 - len(list_filter(toks, x -> list_contains(['the','a','an','of','to','and','in','is','for','on','with','that','as','at','by'], x)))::DOUBLE
+        |          / nullif(len(toks), 0)) AS q
+        |  FROM t
+        |), f AS (
+        |  SELECT doc_id, source, floor(q * 1e6 + 0.5)::BIGINT AS quality_fp
+        |  FROM m WHERE q IS NOT NULL
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY quality_fp, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS cnt
+        |  FROM f
+        |), c AS (
+        |  SELECT source, quality_fp AS q_cut_fp FROM r WHERE rn = (cnt + 3) // 4
+        |)
+        |SELECT f.doc_id, f.source, f.quality_fp, c.q_cut_fp,
+        |  (f.quality_fp >= c.q_cut_fp) AS kept
+        |FROM f JOIN c USING (source)""".stripMargin,
     "q150_source_kl" ->
       """WITH w AS (
         |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
