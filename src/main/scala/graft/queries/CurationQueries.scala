@@ -411,7 +411,35 @@ object CurationQueries {
         (col("quality_fp") >= col("q_cut_fp")).as("kept"))
   }
 
+  // q163 — DOCUMENT NOVELTY SCORE: per document, the fraction of its
+  // distinct word-8-grams that appear in NO other document — the
+  // self-corpus memorization/redundancy readout (Lee et al. 2021's
+  // near-dup analysis measures exactly this overlap direction; a doc
+  // whose grams all recur elsewhere adds nothing the corpus doesn't
+  // already have, while novelty ~1.0 marks unique content worth
+  // keeping through dedup). Same 8-gram unit as q60/q114 (the
+  // contamination/decontamination convention), so the three queries
+  // gate on one shared vocabulary of evidence. The ratio is one IEEE
+  // division of exact integer counts. Scale shape: two linear
+  // shuffles — (gram -> distinct-doc count) then (doc -> gram
+  // aggregate); both partial-aggregate map-side, nothing is
+  // quadratic, and at 100 TB grams ride as xxhash64 longs (the q60
+  // note) so the exchange carries 8 bytes per gram, not strings.
+  private def q163(s: SparkSession, dir: String): DataFrame = {
+    val pairs = docs(s, dir)
+      .select(col("doc_id"),
+        explode(ngrams(TextAnalysis.wordTokens(col("text")), 8)).as("gram"))
+    val gramDocs = pairs.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"))
+    pairs.join(gramDocs, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_docs") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", r4(col("n_novel").cast("double") / col("n_grams").cast("double")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_novelty" -> q163 _,
     "q161_adaptive_quality" -> q161 _,
     "q150_source_kl" -> q150 _,
     "q147_vocab_stats" -> q147 _,
@@ -430,6 +458,21 @@ object CurationQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q163_novelty" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id, array_to_string(words[i:i+7], ' ') AS gram
+        |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(words) - 7)) AS i) u
+        |  WHERE len(words) >= 8
+        |), gd AS (
+        |  SELECT gram, count(*) AS n_docs FROM g GROUP BY 1
+        |)
+        |SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+        |  sum(CASE WHEN gd.n_docs = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+        |  floor(sum(CASE WHEN gd.n_docs = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE * 10000 + 0.5)/10000 AS novelty
+        |FROM g JOIN gd USING (gram)
+        |GROUP BY 1""".stripMargin,
     "q161_adaptive_quality" ->
       """WITH t AS (
         |  SELECT doc_id, source, text,
