@@ -223,6 +223,40 @@ object ExtensionQueries {
       .withColumn("exact_hit", coalesce(col("exact_hit"), lit(false)))
   }
 
+  // q164 — MATRYOSHKA PREFIX-DIM SERVING (MRL — Kusupati et al.,
+  // NeurIPS 2022, arXiv:2205.13147): serve top-5 cosine over only the
+  // FIRST 16 of 64 dims. MRL-trained embeddings nest their information
+  // front-loaded, so a prefix slice is itself a valid (coarser)
+  // embedding — the third compression geometry in this battery's
+  // family (q144 quantizes precision, q162 quantizes to sign bits,
+  // this one truncates dimensions: 4x less memory bandwidth AND 4x
+  // fewer multiplies per candidate, no codebook at all). Each served
+  // neighbor is audited against the full-dim exact top-5 (`exact_hit`
+  // — the recall a dimension-truncation rollout gates on; the corpus
+  // here is NOT MRL-trained, so the measured recall is the honest
+  // un-front-loaded floor). Scale shape: the slice is a pure map pass
+  // (at 100 TB the 64-byte prefixes are the resident tier, full
+  // vectors stay cold until rerank); serving is the q28 broadcast +
+  // BoundedTopK partial-agg shape on both arms.
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val pre = e.select(col("vec_id"),
+      slice(col("embedding").cast("array<double>"), 1, 16).as("embedding"))
+    val served = {
+      val sc = Similarity.scoreAll(pre.filter(col("vec_id") < 10), pre, "vec_id", "embedding")
+        .withColumn("cos_r", r4(col("cos"))).drop("cos")
+      Similarity.topK(sc, 5, col("cos_r"))
+    }
+    val exact = {
+      val sc = Similarity.scoreAll(e.filter(col("vec_id") < 10), e, "vec_id", "embedding")
+        .withColumn("cos_r", r4(col("cos"))).drop("cos")
+      Similarity.topK(sc, 5, col("cos_r"))
+        .select(col("query_id"), col("neighbor_id"), lit(true).as("exact_hit"))
+    }
+    served.join(exact, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("exact_hit", coalesce(col("exact_hit"), lit(false)))
+  }
+
   // q162 — BINARY-QUANTIZED ANN (BQ: 1 bit/dim sign quantization +
   // Hamming shortlist + exact rerank): the 32x-compression end of the
   // vector-compression family this battery already covers at 4x (SQ8,
@@ -733,6 +767,7 @@ object ExtensionQueries {
     "q28_cosine_topk" -> q28 _,
     "q144_sq8_topk" -> q144 _,
     "q162_bq_hamming_topk" -> q162 _,
+    "q164_mrl_prefix_topk" -> q164 _,
     "q160_prototype_prune" -> q160 _,
     "q124_hard_negatives" -> q124 _,
     "q29_ann_bucketed" -> q29 _,
@@ -1155,6 +1190,33 @@ object ExtensionQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rnk FROM f
         |)
         |SELECT query_id, neighbor_id, cos_r, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "q164_mrl_prefix_topk" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), p AS MATERIALIZED (
+        |  SELECT vec_id, v[1:16] AS v FROM e
+        |), sd AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    floor(list_dot_product(q.v, c.v)
+        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))*10000 + 0.5)/10000 AS cos_r
+        |  FROM p c, (SELECT * FROM p WHERE vec_id < 10) q WHERE q.vec_id <> c.vec_id
+        |), rq AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rnk FROM sd
+        |), topq AS (
+        |  SELECT query_id, neighbor_id, cos_r, rnk FROM rq WHERE rnk <= 5
+        |), se AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    floor(list_dot_product(q.v, c.v)
+        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))*10000 + 0.5)/10000 AS cos_r
+        |  FROM e c, (SELECT * FROM e WHERE vec_id < 10) q WHERE q.vec_id <> c.vec_id
+        |), re AS (
+        |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rnk FROM se
+        |), tope AS (
+        |  SELECT query_id, neighbor_id FROM re WHERE rnk <= 5
+        |)
+        |SELECT t.query_id, t.neighbor_id, t.cos_r, t.rnk,
+        |  (te.neighbor_id IS NOT NULL) AS exact_hit
+        |FROM topq t LEFT JOIN tope te USING (query_id, neighbor_id)""".stripMargin,
     "q160_prototype_prune" -> (growKLloydCtes +
       """, f AS (
         |  SELECT vec_id, bucket, simr FROM (
