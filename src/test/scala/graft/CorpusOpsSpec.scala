@@ -140,4 +140,76 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.filter($"exact_hit").count() > 0)
     out.unpersist()
   }
+
+  test("q162: Hamming distances match a JVM repack of the float signs; serving shape holds") {
+    val out = q("q162_bq_hamming_topk").cache()
+    assert(out.groupBy($"query_id").count().filter($"count" =!= 5).isEmpty)
+    assert(out.filter($"ham" < 0 || $"ham" > 64).isEmpty, "64-dim Hamming out of range")
+    // independent reference: pack sign bits per vector in plain Scala
+    // from the raw floats and recompute every served pair's distance
+    val vecs = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    def bits(v: Seq[Float]): Array[Boolean] = v.map(_ >= 0f).toArray
+    val bad = out.select($"query_id", $"neighbor_id", $"ham").as[(Long, Long, Long)]
+      .collect().filterNot { case (qid, nid, ham) =>
+        bits(vecs(qid)).zip(bits(vecs(nid))).count { case (a, b) => a != b } == ham
+      }
+    assert(bad.isEmpty, s"ham mismatch vs JVM repack: ${bad.take(3).mkString(",")}")
+    out.unpersist()
+  }
+
+  test("q164: prefix serving keeps the top-5 contract; recall floor is honest (not fabricated)") {
+    val out = q("q164_mrl_prefix_topk").cache()
+    assert(out.groupBy($"query_id").count().filter($"count" =!= 5).isEmpty)
+    assert(out.filter($"rnk" < 1 || $"rnk" > 5).isEmpty)
+    assert(out.filter(abs($"cos_r") > 1.0001).isEmpty)
+    // a query against itself prefixed is the degenerate audit: on an
+    // UN-trained corpus the prefix must not trivially reproduce the
+    // full-dim list (that would mean the audit column is broken) —
+    // and must also not be empty-handed everywhere on 500 vectors
+    val hits = out.filter($"exact_hit").count()
+    assert(hits < out.count(), "prefix serving 'perfect' on random embeddings: audit broken")
+    out.unpersist()
+  }
+
+  test("q160: per cluster, exactly floor(n/10) most-prototypical members are dropped") {
+    val out = q("q160_prototype_prune").cache()
+    val byBucket = out.groupBy($"bucket").agg(
+      count(lit(1)).as("n"),
+      sum(when(!$"kept", 1L).otherwise(0L)).as("n_drop"),
+      max(when(!$"kept", $"rnk")).as("max_drop_rnk"),
+      min(when($"kept", $"rnk")).as("min_keep_rnk"))
+    assert(byBucket.filter($"n_drop" =!= expr("n DIV 10")).isEmpty, "drop quota violated")
+    // the dropped set is exactly the rank head (most prototypical)
+    assert(byBucket.filter($"n_drop" > 0 && $"max_drop_rnk" >= $"min_keep_rnk").isEmpty,
+      "dropped rows must precede every kept row in prototypicality rank")
+    out.unpersist()
+  }
+
+  test("q161: every source keeps at least 3/4 of its docs and the cutoff row itself") {
+    val out = q("q161_adaptive_quality", sf("sf0.01")).cache()
+    val bySrc = out.groupBy($"source").agg(
+      count(lit(1)).as("n"), sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+      min($"q_cut_fp").as("cut"))
+    // kept = qq >= P25 cutoff: at least n - ceil(n/4) + 1 rows qualify
+    assert(bySrc.filter($"n_kept" < expr("n - (n + 3) DIV 4 + 1")).isEmpty, "kept fraction broken")
+    // the cutoff value comes from the source's own distribution
+    val badCut = out.filter($"quality_fp" === $"q_cut_fp" && !$"kept")
+    assert(badCut.isEmpty, "the cutoff row must be kept (>= is inclusive)")
+    out.unpersist()
+  }
+
+  test("q163: novelty pins — duplicated docs score 0, unique docs score 1") {
+    val base = q("q163_novelty")
+    assert(base.filter($"novelty" < 0 || $"novelty" > 1 || $"n_novel" > $"n_grams").isEmpty)
+    val dir = Files.createTempDirectory("graft_q163").toString
+    val shared = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val unique = (1 to 20).map(i => s"only$i").mkString(" ")
+    Seq((0L, shared), (1L, shared), (2L, unique)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val pins = q("q163_novelty", dir)
+      .select($"doc_id", $"novelty").as[(Long, Double)].collect().toMap
+    assert(pins(0L) == 0.0 && pins(1L) == 0.0, "verbatim duplicates must have zero novelty")
+    assert(pins(2L) == 1.0, "globally unique doc must have novelty 1")
+  }
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-9 market estimators (q157–q159) beyond
+  * the DuckDB hash oracle: estimator bounds, grid completeness, and
+  * the cross-sectional beta identity (the average beta against the
+  * equal-weight market must be ~1 by construction — a property the
+  * oracle replay cannot distinguish from a consistently-wrong
+  * formula on both engines).
+  */
+class MarketStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf())
+
+  test("q157: range volatility is non-negative, hi >= lo, one row per (instrument, day)") {
+    val out = q("q157_parkinson_vol").cache()
+    assert(out.filter($"park_vol" < 0 || $"hi" < $"lo").isEmpty)
+    val grid = graft.core.Tables.events(spark, sf())
+      .filter($"value" > 0)
+      .select($"event_type", to_date($"ts").as("day")).distinct().count()
+    assert(out.count() == grid, "one row per observed (instrument, day)")
+    out.unpersist()
+  }
+
+  test("q158: illiquidity is non-negative and day counts stay within the feed span") {
+    val out = q("q158_amihud_illiq").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Double]("mean_illiq") >= 0)
+      assert(r.getAs[Double]("max_illiq") >= r.getAs[Double]("mean_illiq") - 1e-9,
+        "max below mean")
+      assert(r.getAs[Long]("n_days") >= 1 && r.getAs[Long]("n_days") <= 31)
+    }
+  }
+
+  test("q159: cross-sectional mean beta ~ 1 per day; corr bounded in [-1, 1]") {
+    val out = q("q159_rolling_beta").cache()
+    assert(out.filter(abs($"corr_r") > 1.0001).isEmpty, "corr out of range")
+    // beta_i = cov(r_i, m)/var(m); averaging over i gives
+    // cov(mean_i r_i, m)/var(m) = 1 up to the 1-integer-unit market
+    // quantization (returns are ~1e5 micro-units, so the error is
+    // ~1e-5 relative). A formula that is wrong the same way on both
+    // engines would still hash-match the oracle — this identity is
+    // the independent check.
+    val off = out.groupBy($"day").agg(avg($"beta").as("ab"))
+      .filter(abs($"ab" - 1d) > 0.01)
+    assert(off.isEmpty, s"mean beta drifts from 1: ${off.collect().mkString(",")}")
+    out.unpersist()
+  }
+}

@@ -438,4 +438,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window "), s"per-fp window crept in:\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg on the fp shuffle:\n$p")
   }
+
+  test("q157 Parkinson: one partial+final aggregate pass, no window anywhere") {
+    val p = plan("q157_parkinson_vol")
+    assert(!p.contains("Window "), s"window crept into a pure-aggregate estimator:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
+  test("q158 Amihud: the tick-grain window partitions on (instrument, day), never the bare instrument") {
+    val p = plan("q158_amihud_illiq")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition(event_type")).toSeq
+    assert(specs.nonEmpty, s"no window found:\n$p")
+    specs.foreach { l =>
+      assert(l.contains("day"), s"bare event_type window (all-history per-key sort):\n$l")
+    }
+  }
+
+  test("q161 adaptive gate: rank windows carry the chunk composite; cutoff table broadcasts") {
+    val p = plan("q161_adaptive_quality")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition(source")).toSeq
+    assert(specs.nonEmpty, s"no rank window found:\n$p")
+    specs.foreach { l =>
+      assert(l.contains("chunk") || l.contains("__p_") || l.contains("__o_"),
+        s"bare source window crept in (10 fixed sources = 10 tasks at 100x):\n$l")
+    }
+    assert(p.contains("BroadcastHashJoin"), s"cutoff/count tables should broadcast:\n$p")
+  }
+
+  test("q162 BQ serving: integer-code shortlist is a partial bounded heap; vectors join after") {
+    val p = plan("q162_bq_hamming_topk")
+    assert(p.toLowerCase.contains("partial_bounded_top_k"), s"no partial heap on Hamming shortlist:\n$p")
+    assert(!p.contains("CartesianProduct"), s"candidate scan went cartesian:\n$p")
+    // the packed-code candidate pass must broadcast the query codes
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query codes not broadcast:\n$p")
+  }
+
+  test("q163 novelty: two partial-agg shuffles, no window, no cartesian") {
+    val p = plan("q163_novelty")
+    assert(!p.contains("Window "), s"window crept in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4, s"gram/doc aggregates lost partials:\n$p")
+  }
 }
