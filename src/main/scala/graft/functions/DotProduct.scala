@@ -19,6 +19,23 @@ case class DotProductExpr(left: Expression, right: Expression) extends BinaryExp
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
+  // ArrayData.getDouble on a non-double array BIT-REINTERPRETS the
+  // backing buffer (an array<long> of small integers reads as ~1e-318
+  // denormals — silently-wrong cosines, not an error). Refuse anything
+  // but array<double> at analysis time.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<double> inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
     DotProduct.eval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 

@@ -223,6 +223,46 @@ object ExtensionQueries {
       .withColumn("exact_hit", coalesce(col("exact_hit"), lit(false)))
   }
 
+  // q166 — SOURCE CENTROID SIMILARITY MATRIX: the pairwise cosine
+  // between each source's mean embedding — the embedding-space "which
+  // domains are semantically close" map that complements q150's
+  // token-space KL divergence (two sources can share vocabulary but
+  // diverge semantically, and vice versa); mixture designers read
+  // this matrix to avoid double-weighting near-identical crawls.
+  // Embeddings join to their documents' source on id (the corpus
+  // convention: vec i embeds doc i). Exactness: each component is
+  // micro-quantized ONCE (float->double is exact, then one floor —
+  // the q110 mu rule), per-(source, dim) sums are exact integers, and
+  // the mean re-quantizes once — so the centroid VECTORS are
+  // integer-valued and bitwise identical across engines before the
+  // one cosine formula. Scale shape: one (source, dim) partial-agg
+  // shuffle over the exploded corpus (|sources| x 64 rows out); the
+  // pair join runs on the |sources|-row centroid table — the q110
+  // volume-independent-matrix argument.
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    val j = emb(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .join(docs(s, dir).select(col("doc_id"), col("source")),
+        col("vec_id") === col("doc_id"))
+    val cents = j
+      .select(col("source"), posexplode(col("v")).as(Seq("dim", "x")))
+      .withColumn("qfp", floor(col("x") * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy(col("source"), col("dim"))
+      .agg(sum(col("qfp")).as("sfp"), count(lit(1)).as("n"))
+      // floor() yields LongType — cast back to double so the centroid
+      // array matches DotProduct's array<double> contract (a long
+      // array would be bit-reinterpreted by getDouble)
+      .withColumn("m", floor(col("sfp").cast("double") / col("n") + lit(0.5)).cast("double"))
+      .groupBy(col("source"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("__s"))
+      .select(col("source"), transform(col("__s"), s => s.getField("m")).as("centroid"))
+    val a = cents.select(col("source").as("source_a"), col("centroid").as("ca"))
+    val b = cents.select(col("source").as("source_b"), col("centroid").as("cb"))
+    val den = Similarity.l2norm(col("ca")) * Similarity.l2norm(col("cb"))
+    a.crossJoin(b).filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        when(den > 0, r4(Similarity.dot(col("ca"), col("cb")) / den)).as("cos_r"))
+  }
+
   // q164 — MATRYOSHKA PREFIX-DIM SERVING (MRL — Kusupati et al.,
   // NeurIPS 2022, arXiv:2205.13147): serve top-5 cosine over only the
   // FIRST 16 of 64 dims. MRL-trained embeddings nest their information
@@ -768,6 +808,7 @@ object ExtensionQueries {
     "q144_sq8_topk" -> q144 _,
     "q162_bq_hamming_topk" -> q162 _,
     "q164_mrl_prefix_topk" -> q164 _,
+    "q166_source_centroids" -> q166 _,
     "q160_prototype_prune" -> q160 _,
     "q124_hard_negatives" -> q124 _,
     "q29_ann_bucketed" -> q29 _,
@@ -1190,6 +1231,27 @@ object ExtensionQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rnk FROM f
         |)
         |SELECT query_id, neighbor_id, cos_r, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "q166_source_centroids" ->
+      """WITH j AS (
+        |  SELECT d.source, e.embedding::DOUBLE[] AS v
+        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        |), x AS (
+        |  SELECT source, u.i AS dim,
+        |    sum(floor(w.v[u.i] * 1e6 + 0.5)::BIGINT) AS sfp, count(*) AS n
+        |  FROM j w, LATERAL (SELECT unnest(generate_series(1, len(w.v))) AS i) u
+        |  GROUP BY 1, 2
+        |), c AS MATERIALIZED (
+        |  SELECT source, list(floor(sfp::DOUBLE / n + 0.5) ORDER BY dim) AS centroid
+        |  FROM x GROUP BY 1
+        |)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CASE WHEN sqrt(list_dot_product(a.centroid, a.centroid))
+        |          * sqrt(list_dot_product(b.centroid, b.centroid)) > 0 THEN
+        |    floor(list_dot_product(a.centroid, b.centroid)
+        |      / (sqrt(list_dot_product(a.centroid, a.centroid))
+        |       * sqrt(list_dot_product(b.centroid, b.centroid))) * 10000 + 0.5)/10000
+        |  END AS cos_r
+        |FROM c a JOIN c b ON a.source < b.source""".stripMargin,
     "q164_mrl_prefix_topk" ->
       """WITH e AS MATERIALIZED (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

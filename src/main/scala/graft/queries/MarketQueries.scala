@@ -453,7 +453,46 @@ object MarketQueries {
       when(denC > 0, r4(num / denC)).as("corr_r"))
   }
 
+  // q165 — GARMAN-KLASS VOLATILITY per (instrument, day): the
+  // OHLC-complete range estimator (Garman & Klass 1980) — sigma² =
+  // 0.5·ln(H/L)² − (2·ln2 − 1)·ln(C/O)² — which improves on
+  // Parkinson (q157) by correcting the range term with the open-close
+  // drift, closing out the battery's volatility-estimator family
+  // (q153 tick RV needs every tick, q157 needs hi/lo, this needs the
+  // four OHLC numbers). hi/lo are exact extrema, open/close the
+  // deterministic first/last under (ts, event_id) (the q158
+  // arg-min/max-over-row_number rule); all four log2s quantize ONCE
+  // to micro-units so both squared terms are exact-integer squares
+  // (d² ≤ (16e6)² < 2^53 — exactly representable), and the closing
+  // sqrt + ln2 scale is one shared IEEE sequence. greatest(0, ·)
+  // guards the estimator's known negative region (large drift, small
+  // range). Scale shape: one (instrument, day) window for rn + one
+  // partial-agg shuffle — the q158 span-bounded pattern; output is
+  // the fixed (instrument x day) grid at any tick volume.
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("day")).orderBy(col("ts"), col("event_id"))
+    val ln2 = lit(0.6931471805599453)
+    ev(s, dir)
+      .filter(col("value") > 0)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("lv", qlog2(col("value")))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        max(col("value")).as("hi"), min(col("value")).as("lo"),
+        min_by(col("lv"), col("rn")).as("open_lv"),
+        max_by(col("lv"), col("rn")).as("close_lv"),
+        count(lit(1)).as("n_ticks"))
+      .withColumn("dhl", (qlog2(col("hi")) - qlog2(col("lo"))).cast("double"))
+      .withColumn("dco", (col("close_lv") - col("open_lv")).cast("double"))
+      .select(col("event_type"), col("day"), col("n_ticks"),
+        r4(ln2 * lit(1e-6) * sqrt(greatest(lit(0d),
+          lit(0.5) * col("dhl") * col("dhl")
+            - (lit(2d) * ln2 - lit(1d)) * col("dco") * col("dco")))).as("gk_vol"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_garman_klass" -> q165 _,
     "q157_parkinson_vol" -> q157 _,
     "q158_amihud_illiq" -> q158 _,
     "q159_rolling_beta" -> q159 _,
@@ -470,6 +509,31 @@ object MarketQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q165_garman_klass" ->
+      """WITH e AS (
+        |  SELECT event_type, ts::TIMESTAMP AS ts, event_id, value,
+        |    ts::TIMESTAMP::DATE AS day,
+        |    floor(log2(value)*1e6 + 0.5)::BIGINT AS lv
+        |  FROM events WHERE value > 0
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS rn
+        |  FROM e
+        |), d AS (
+        |  SELECT event_type, day,
+        |    max(value) AS hi, min(value) AS lo,
+        |    arg_min(lv, rn) AS open_lv, arg_max(lv, rn) AS close_lv,
+        |    count(*)::BIGINT AS n_ticks
+        |  FROM r GROUP BY 1, 2
+        |), f AS (
+        |  SELECT event_type, day, n_ticks,
+        |    (floor(log2(hi)*1e6 + 0.5)::BIGINT - floor(log2(lo)*1e6 + 0.5)::BIGINT)::DOUBLE AS dhl,
+        |    (close_lv - open_lv)::DOUBLE AS dco
+        |  FROM d
+        |)
+        |SELECT event_type, day, n_ticks,
+        |  floor(0.6931471805599453 * 1e-6 * sqrt(greatest(0,
+        |    0.5 * dhl * dhl - (2 * 0.6931471805599453 - 1) * dco * dco)) * 10000 + 0.5)/10000 AS gk_vol
+        |FROM f""".stripMargin,
     "q157_parkinson_vol" ->
       """WITH d AS (
         |  SELECT event_type, ts::TIMESTAMP::DATE AS day,

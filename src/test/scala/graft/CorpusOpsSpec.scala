@@ -199,6 +199,15 @@ class CorpusOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q166: full strict-upper-triangle matrix, cosines bounded") {
+    val out = q("q166_source_centroids").cache()
+    val nSrc = docs.select($"source").distinct().count()
+    assert(out.count() == nSrc * (nSrc - 1) / 2, "one row per unordered source pair")
+    assert(out.filter($"source_a" >= $"source_b").isEmpty)
+    assert(out.filter(abs($"cos_r") > 1.0001).isEmpty)
+    out.unpersist()
+  }
+
   test("q163: novelty pins — duplicated docs score 0, unique docs score 1") {
     val base = q("q163_novelty")
     assert(base.filter($"novelty" < 0 || $"novelty" > 1 || $"n_novel" > $"n_grams").isEmpty)

@@ -7,6 +7,20 @@ import graft.functions.{NearDup, RollingHash, Similarity, TextAnalysis}
 class FunctionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("DotProduct refuses non-double arrays at analysis time (no silent bit-reinterpretation)") {
+    import org.apache.spark.sql.functions._
+    val longArr = Seq((1L, Seq(1L, 2L, 3L))).toDF("id", "v")
+    val ex = intercept[Exception] {
+      longArr.select(Similarity.dot(col("v"), col("v"))).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("array<double>")
+      || ex.getMessage.toLowerCase.contains("datatype_mismatch"), ex.getMessage)
+    // and the double path still evaluates exactly
+    val ok = Seq((1L, Seq(1d, 2d, 3d))).toDF("id", "v")
+      .select(Similarity.dot(col("v"), col("v"))).as[Double].head()
+    assert(ok == 14d)
+  }
+
   test("text tokens / fingerprint normalize whitespace and case") {
     val df = Seq(
       (1L, "The quick  brown fox"),

@@ -35,6 +35,15 @@ class MarketStatsSpec extends SparkSpec {
     }
   }
 
+  test("q165: GK volatility non-negative on the same grid as q157; degenerate one-tick day is 0") {
+    val out = q("q165_garman_klass").cache()
+    assert(out.filter($"gk_vol" < 0).isEmpty)
+    assert(out.count() == q("q157_parkinson_vol").count(), "same (instrument, day) grid")
+    // a day with one tick has H=L=O=C: both terms vanish exactly
+    assert(out.filter($"n_ticks" === 1 && $"gk_vol" =!= 0d).isEmpty)
+    out.unpersist()
+  }
+
   test("q159: cross-sectional mean beta ~ 1 per day; corr bounded in [-1, 1]") {
     val out = q("q159_rolling_beta").cache()
     assert(out.filter(abs($"corr_r") > 1.0001).isEmpty, "corr out of range")
