@@ -282,6 +282,19 @@ object ScaleProbe {
     time("q133_tpch_q11") { q("q133_tpch_q11") }
     time("q134_tpch_q16") { q("q134_tpch_q16") }
     time("q135_tpch_q20") { q("q135_tpch_q20") }
+    // round-9 additions: market estimators (tick-grain aggregates /
+    // span-bounded windows), vector-compression serving, and the
+    // curation analytics
+    time("q157_parkinson_vol") { q("q157_parkinson_vol") }
+    time("q158_amihud_illiq") { q("q158_amihud_illiq") }
+    time("q159_rolling_beta") { q("q159_rolling_beta") }
+    time("q165_garman_klass") { q("q165_garman_klass") }
+    time("q160_prototype_prune") { q("q160_prototype_prune") }
+    time("q161_adaptive_quality") { q("q161_adaptive_quality") }
+    time("q162_bq_hamming_topk") { q("q162_bq_hamming_topk") }
+    time("q163_novelty") { q("q163_novelty") }
+    time("q164_mrl_prefix_topk") { q("q164_mrl_prefix_topk") }
+    time("q166_source_centroids") { q("q166_source_centroids") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

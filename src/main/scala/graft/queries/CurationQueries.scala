@@ -389,26 +389,20 @@ object CurationQueries {
   // tasks at 100x, the exact q109 ceiling); the 10-row cutoff table
   // broadcasts back; everything else is map-side.
   private def q161(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.ChunkedFrame
-    val toks = TextAnalysis.wordTokens(col("text"))
-    val punctRatio = TextAnalysis.punctCount(col("text")).cast("double") /
-      nullif(length(col("text")), lit(0))
-    val stopRatio = TextAnalysis.stopwordCount(toks).cast("double") /
-      nullif(size(toks), lit(0))
-    val q = TextAnalysis.qualityScore(size(toks).cast("double"), punctRatio, stopRatio)
-    val base = docs(s, dir)
-      .select(col("doc_id"), col("source"),
-        floor(q * lit(1e6) + lit(0.5)).cast("long").as("quality_fp"))
-      .filter(col("quality_fp").isNotNull)
-    val counts = base.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
-    val cut = ChunkedFrame.globalRank(base, "source", expr("quality_fp DIV 1000000"),
-        Seq("quality_fp", "doc_id"))
-      .join(broadcast(counts), Seq("source"))
-      .filter(col("__g") === expr("(cnt + 3) DIV 4 - 1"))
-      .select(col("source"), col("quality_fp").as("q_cut_fp"))
-    base.join(broadcast(cut), Seq("source"))
+    import graft.operators.QualityGate
+    // persist the scored frame: THREE consumers follow (per-source
+    // counts, the rank selection, the final gate join) and the quality
+    // expression is the battery's heaviest per-row chain (4 regex
+    // extractions + a stopword scan) — recomputing it per consumer
+    // measured 40 s at the 10x probe vs ~19 s scored once.
+    // Scoring/cutoff/gate all live in operators.QualityGate — the ONE
+    // code path the streaming ingest gate shares (stream ≡ batch is
+    // spec-pinned on it).
+    val base = QualityGate.scored(docs(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    QualityGate.gate(base, QualityGate.cutoffs(base))
       .select(col("doc_id"), col("source"), col("quality_fp"), col("q_cut_fp"),
-        (col("quality_fp") >= col("q_cut_fp")).as("kept"))
+        col("kept"))
   }
 
   // q163 — DOCUMENT NOVELTY SCORE: per document, the fraction of its
@@ -426,15 +420,24 @@ object CurationQueries {
   // quadratic, and at 100 TB grams ride as xxhash64 longs (the q60
   // note) so the exchange carries 8 bytes per gram, not strings.
   private def q163(s: SparkSession, dir: String): DataFrame = {
+    // persisted once: two aggregations consume the exploded corpus
     val pairs = docs(s, dir)
       .select(col("doc_id"),
         explode(ngrams(TextAnalysis.wordTokens(col("text")), 8)).as("gram"))
-    val gramDocs = pairs.groupBy(col("gram"))
-      .agg(count(lit(1)).as("n_docs"))
-    pairs.join(gramDocs, Seq("gram"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("n_docs") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perDoc = pairs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    // a gram with doc-count 1 belongs to exactly one doc — min(doc_id)
+    // IS that doc, so the novel-gram ownership falls out of the same
+    // aggregate and the corpus-sized gram->doc join the first cut paid
+    // (68 s at 10x) disappears: two partial-agg shuffles total, the
+    // per-doc novel counts join doc-keyed (tiny) on the left
+    val novel = pairs.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("owner"))
+      .filter(col("n_docs") === 1)
+      .groupBy(col("owner").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
       .withColumn("novelty", r4(col("n_novel").cast("double") / col("n_grams").cast("double")))
   }
 

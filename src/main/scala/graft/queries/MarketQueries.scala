@@ -170,14 +170,18 @@ object MarketQueries {
   // (the reference parses the same shape at ingest,
   // spark_stream_processor.py's value_json path). Exact arithmetic:
   // decimal price x integer size, one double division at the end.
-  // Scale shape: get_json_object is a codegen'd per-row expression on
-  // the scan (no shuffle), then ONE partial-agg shuffle on
+  // Scale shape: the size extraction is graft's json_long_field — a
+  // zero-allocation byte scan inlined into codegen (built-in
+  // get_json_object builds a Jackson parser PER ROW; a 100x probe
+  // thread-sample showed that allocation storm costing 80-220 s vs
+  // ~3 s of aggregate work — see JsonField.scala) — then ONE
+  // partial-agg shuffle on
   // (type, day) — map-side combine reduces each task to its local
   // (type, day) partials before anything moves.
   private def q126(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)
       .withColumn("day", date_trunc("day", col("ts")))
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k", graft.functions.JsonField.longField(col("props"), "k"))
       .groupBy(col("event_type"), col("day"))
       .agg(
         sum(col("value").cast("decimal(18,4)") * col("k")).as("pv"),
@@ -317,7 +321,7 @@ object MarketQueries {
     val cf = graft.operators.ChunkedFrame
     val hour = date_trunc("hour", col("ts"))
     val base = ev(s, dir).select(col("event_id"), col("ts"), col("event_type"), col("value"),
-      get_json_object(col("props"), "$.k").cast("long").as("vol"))
+      graft.functions.JsonField.longField(col("props"), "k").as("vol"))
     val flowed = cf.withTrailingEval(base, "event_type", hour,
         Seq("ts", "event_id"), haloWidth = 1) { (d, w) =>
       d.withColumn("__df", col("value") - lag(col("value"), 1).over(w))
@@ -377,7 +381,7 @@ object MarketQueries {
       .filter(col("value") > 0)
       .withColumn("day", to_date(col("ts")))
       .withColumn("lv", qlog2(col("value")))
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k", graft.functions.JsonField.longField(col("props"), "k"))
       .withColumn("rn", row_number().over(w))
       .groupBy(col("event_type"), col("day"))
       .agg(

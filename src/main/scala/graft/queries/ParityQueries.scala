@@ -29,7 +29,7 @@ object ParityQueries {
       // P9 string->long (volume cast; engine uses long, SURVEY §1.3)
       col("user_id").cast("string").cast("long").as("vol"),
       // P12 JSON field decode
-      get_json_object(col("props"), "$.k").cast("long").as("k")
+      graft.functions.JsonField.longField(col("props"), "k").as("k")
     )
 
   // q02 — scan + filter + projection (P1/P6; pushdown-eligible).

@@ -587,6 +587,50 @@ object StreamPipeline {
       }
       .start()
 
+  /** STREAMING PER-SOURCE ADAPTIVE QUALITY GATE: the live form of the
+    * q161 batch gate — every micro-batch's documents are scored with
+    * the shared [[graft.operators.QualityGate]] expression and routed
+    * keep/flagged against PER-SOURCE thresholds learned from a
+    * reference corpus at wiring time (the P25 rank selection — a
+    * |sources|-row table, computed once and broadcast into every
+    * batch). A batch doc from a source the reference has never seen
+    * KEEPS (null cutoff): a gate with no evidence must not silently
+    * destroy a new source — it lands in the keep store with
+    * q_cut_fp null, which is exactly the signal to retrain cutoffs.
+    * Unscorable docs (no tokens) route to flagged (audit trail,
+    * never a silent drop). Per-batch cost is one map-side scoring
+    * pass + a broadcast join — O(batch) at any standing-corpus size.
+    * Scores and cutoffs ride along, and both writes stamp batch_id
+    * for at-least-once replay dedup (readBuckets contract). */
+  def adaptiveQualityGate(docsStream: DataFrame, refCorpus: DataFrame,
+                          keepPath: String, flaggedPath: String, checkpoint: String,
+                          trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery = {
+    val qg = graft.operators.QualityGate
+    // wiring-time cutoffs: |sources| rows, localCheckpoint'ed so the
+    // per-batch plans don't drag the whole reference-corpus lineage
+    val cuts = qg.cutoffs(
+      qg.scored(refCorpus).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .localCheckpoint(true)
+    docsStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val routed = batch
+          .withColumn("quality_fp", qg.scoreFp(col("text")))
+          .join(broadcast(cuts), Seq("source"), "left")
+          .withColumn("kept", col("quality_fp").isNotNull &&
+            (col("q_cut_fp").isNull || col("quality_fp") >= col("q_cut_fp")))
+          .withColumn("batch_id", lit(batchId))
+        routed.filter(col("kept")).drop("kept")
+          .write.mode("append").parquet(keepPath)
+        routed.filter(!col("kept")).drop("kept")
+          .write.mode("append").parquet(flaggedPath)
+        ()
+      }
+      .start()
+  }
+
   /** STREAMING DISTRIBUTION-DRIFT GATE: the live form of the q122
     * batch gate — every micro-batch's value distribution is checked
     * against a REFERENCE SNAPSHOT

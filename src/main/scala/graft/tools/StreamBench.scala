@@ -199,7 +199,31 @@ object StreamBench {
     val blkLine = report("block_dedup_ingest", blkLats, docRows,
       s""","store_mb":${dirSizeMb(s"$dir/blk_fps")},"clean_mb":${dirSizeMb(s"$dir/blk_clean")}""")
 
-    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine}")
+    // ---- 6. per-source adaptive quality gate: batches scored with
+    // the shared QualityGate expression and routed against standing
+    // per-source P25 cutoffs (8 sources, learned once from a 4k-doc
+    // reference at wiring time — the cutoff table is |sources| rows,
+    // broadcast, so per-batch cost is pure map-side scoring).
+    def qualText(seed: Long, noisy: Boolean): String =
+      text(seed) + (if (noisy) " !!! ??? ;;; ... ,,," else "")
+    val refCorpus = (0 until 4000).map { i =>
+      (i.toLong, s"src${i % 8}", qualText(i.toLong, noisy = i % 4 == 0))
+    }.toDF("doc_id", "source", "text")
+    val docs4 = MemoryStream[(Long, String, String)](spark)
+    val qAq = StreamPipeline.adaptiveQualityGate(docs4.toDF().toDF("doc_id", "source", "text"),
+      refCorpus, s"$dir/aq_keep", s"$dir/aq_flag", s"$dir/ckpt_aq",
+      trigger = Trigger.ProcessingTime(0))
+    def genAq(b: Int): Seq[(Long, String, String)] =
+      (0 until docRows).map { i =>
+        val id = b.toLong * docRows + i
+        (id, s"src${i % 8}", qualText(id, noisy = i % 4 == 0))
+      }
+    val aqLats = timeBatches(docs4, qAq, batches, genAq)
+    qAq.stop()
+    val aqLine = report("adaptive_quality_gate", aqLats, docRows,
+      s""","keep_mb":${dirSizeMb(s"$dir/aq_keep")},"flag_mb":${dirSizeMb(s"$dir/aq_flag")}""")
+
+    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine}")
     spark.stop()
   }
 }

@@ -21,6 +21,36 @@ class FunctionsSpec extends SparkSpec {
     assert(ok == 14d)
   }
 
+  test("JsonField.longField == get_json_object on the real feed and adversarial shapes") {
+    import org.apache.spark.sql.functions._
+    // differential on every real props blob
+    val ev = graft.core.Tables.events(spark, sf())
+    val diff = ev.select(
+        graft.functions.JsonField.longField($"props", "k").as("fast"),
+        get_json_object($"props", "$.k").cast("long").as("ref"))
+      .filter(!($"fast" <=> $"ref"))
+    assert(diff.isEmpty, "fast path diverges from get_json_object on the feed")
+    // adversarial shapes
+    val cases = Seq(
+      ("""{"k": 42}""", Some(42L)),
+      ("""{"k":-7}""", Some(-7L)),
+      ("""{ "k" : 0 , "x": 1}""", Some(0L)),
+      ("""{"kk": 5}""", None),              // key is not a prefix match
+      ("""{"x": "k", "k": 9}""", Some(9L)), // key bytes inside a string value
+      ("""{"k": 1.5}""", None),             // non-integer -> null (cast contract)
+      ("""{"k": "9"}""", None),             // quoted value -> null on this shape
+      ("""{"x": 3}""", None),
+      ("""{}""", None),
+      ("""""", None))
+    val got = cases.zipWithIndex.map { case ((j, _), i) => (i, j) }
+      .toDF("i", "j")
+      .select($"i", graft.functions.JsonField.longField($"j", "k").as("v"))
+      .collect().map(r => r.getInt(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    cases.zipWithIndex.foreach { case ((j, want), i) =>
+      assert(got(i) == want, s"case $i [$j]: got ${got(i)} want $want")
+    }
+  }
+
   test("text tokens / fingerprint normalize whitespace and case") {
     val df = Seq(
       (1L, "The quick  brown fox"),

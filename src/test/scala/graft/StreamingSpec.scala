@@ -291,6 +291,55 @@ class StreamingSpec extends SparkSpec {
     lam.unpersist()
   }
 
+  test("streaming adaptive quality gate routes by the batch q161 rule (one code path)") {
+    val dir = Files.createTempDirectory("graft_aq_gate").toString
+    val qg = graft.operators.QualityGate
+    // reference corpus: srcA speaks long clean prose, srcB short noise
+    val ref = Seq(
+      (100L, "srcA", "the quick brown fox jumps over the lazy dog again and again with delight"),
+      (101L, "srcA", "a calm clear morning by the river with birds and light wind in the trees"),
+      (102L, "srcA", "good text of reasonable length and low punctuation for the gate to like"),
+      (103L, "srcA", "plain words flow here"),
+      (200L, "srcB", "ok"),
+      (201L, "srcB", "!!! ??? ;;;"),
+      (202L, "srcB", "fine short note"),
+      (203L, "srcB", "x")).toDF("doc_id", "source", "text")
+    val docs = Seq(
+      (1L, "srcA", "the quick brown fox jumps over the lazy dog with energy and joy today"),
+      (2L, "srcA", "hm"),                    // below srcA's P25 -> flagged
+      (3L, "srcB", "fine short note again"), // above srcB's bar -> keep
+      (4L, "srcNEW", "never seen source"),   // no cutoff -> keep (audited)
+      (5L, "srcB", "... !!!"))               // unscorable/poor -> flagged
+    val stream = MemoryStream[(Long, String, String)](spark)
+    val q = StreamPipeline.adaptiveQualityGate(
+      stream.toDF().toDF("doc_id", "source", "text"), ref,
+      s"$dir/keep", s"$dir/flagged", s"$dir/ck",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      stream.addData(docs.take(2))
+      q.processAllAvailable()
+      stream.addData(docs.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(s"$dir/keep")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // batch form of the SAME rule on the same rows (known sources)
+    val batchKept = qg.gate(
+        qg.scored(docs.toDF("doc_id", "source", "text")),
+        qg.cutoffs(qg.scored(ref)))
+      .filter($"kept").select("doc_id").as[Long].collect().sorted.toSeq
+    // identical decisions (gate() keeps null-cutoff sources on both
+    // paths; the unscorable doc is absent from scored() and flagged
+    // by the stream)
+    assert(kept.toSet == batchKept.toSet, s"stream=$kept batch=$batchKept")
+    val flagged = spark.read.parquet(s"$dir/flagged")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert((kept ++ flagged).sorted == docs.map(_._1).sorted, "every doc routed exactly once")
+    // the unseen-source keep carries a null cutoff — the retrain signal
+    assert(spark.read.parquet(s"$dir/keep").filter($"doc_id" === 4L)
+      .filter($"q_cut_fp".isNull).count() == 1)
+  }
+
   test("streaming bucket partials + derived windows == batch sliding windows") {
     val ticks = TickSource.ticks(spark, 400, startEpochSec = base, intervalSec = 2).collect().toSeq
     val stream = MemoryStream[RawTick](spark)
