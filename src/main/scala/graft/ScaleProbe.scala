@@ -295,6 +295,8 @@ object ScaleProbe {
     time("q163_novelty") { q("q163_novelty") }
     time("q164_mrl_prefix_topk") { q("q164_mrl_prefix_topk") }
     time("q166_source_centroids") { q("q166_source_centroids") }
+    time("q167_order_flow") { q("q167_order_flow") }
+    time("q168_dup_profile") { q("q168_dup_profile") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

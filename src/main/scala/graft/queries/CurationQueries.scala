@@ -441,7 +441,35 @@ object CurationQueries {
       .withColumn("novelty", r4(col("n_novel").cast("double") / col("n_grams").cast("double")))
   }
 
+  // q168 — DUPLICATION PROFILE: the histogram of exact-duplicate
+  // cluster sizes (how many contents appear exactly c times, and what
+  // share of the corpus they carry) — the first chart of every dedup
+  // paper (Lee et al. 2021 fig. 1) and the number that decides whether
+  // dedup is worth running at all: a corpus where 40% of docs live in
+  // c >= 2 clusters dedups to 60%, one where the c = 1 bar holds 99%
+  // does not. Clusters come from the q20/q27 canonical fingerprint
+  // (whitespace/case-normalized md5), so the profile agrees with what
+  // the dedup pass would actually collapse. The corpus share is one
+  // exact integer ratio against a broadcast 1-row total. Scale shape:
+  // two partial-agg shuffles, the second over |distinct contents|
+  // rows; output is histogram-sized (distinct cluster sizes) at any
+  // volume.
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    val clusters = docs(s, dir)
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(count(lit(1)).as("c"))
+    val total = docs(s, dir).agg(count(lit(1)).as("n_total"))
+    clusters.groupBy(col("c").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(broadcast(total))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        r4((col("cluster_size") * col("n_clusters")).cast("double")
+          / col("n_total").cast("double")).as("corpus_share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_dup_profile" -> q168 _,
     "q163_novelty" -> q163 _,
     "q161_adaptive_quality" -> q161 _,
     "q150_source_kl" -> q150 _,
@@ -461,6 +489,18 @@ object CurationQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q168_dup_profile" ->
+      """WITH cl AS (
+        |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |    count(*) AS c
+        |  FROM documents GROUP BY 1
+        |), h AS (
+        |  SELECT c AS cluster_size, count(*)::BIGINT AS n_clusters FROM cl GROUP BY 1
+        |), t AS (SELECT count(*) AS n_total FROM documents)
+        |SELECT cluster_size, n_clusters,
+        |  (cluster_size * n_clusters)::BIGINT AS n_docs,
+        |  floor((cluster_size * n_clusters)::DOUBLE / n_total::DOUBLE * 10000 + 0.5)/10000 AS corpus_share
+        |FROM h, t""".stripMargin,
     "q163_novelty" ->
       """WITH w AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words FROM documents

@@ -495,7 +495,44 @@ object MarketQueries {
             - (lit(2d) * ln2 - lit(1d)) * col("dco") * col("dco")))).as("gk_vol"))
   }
 
+  // q167 — ORDER-FLOW IMBALANCE per (instrument, day) under the tick
+  // rule (Lee & Ready 1991's tick test): an uptick classifies the
+  // trade as buyer-initiated, a downtick seller-initiated, and a
+  // zero-tick INHERITS the last non-zero direction — the standard
+  // trade-signing convention when quote data is absent. OFI =
+  // (buyVol − sellVol)/(buyVol + sellVol) is the daily
+  // pressure-imbalance readout next to q156's running OBV. The
+  // inherited sign is last_value-ignore-nulls over the unbounded
+  // frame — exact on both engines because the sign is an INTEGER
+  // (no arithmetic accumulates); the leading unsigned run (before
+  // any price change) contributes no flow by construction. Volumes
+  // are exact integer sums of the json_long_field size; the closing
+  // ratio is one IEEE division. Scale shape: one span-bounded
+  // (instrument, day) window (the q125/q158 precedent) + one
+  // partial-agg shuffle to the day grid.
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("day")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("k", graft.functions.JsonField.longField(col("props"), "k"))
+      .withColumn("chg", col("value") - lag(col("value"), 1).over(w))
+      .withColumn("sgn_raw",
+        when(col("chg") > 0, 1).when(col("chg") < 0, -1).otherwise(lit(null).cast("int")))
+      .withColumn("sgn", last(col("sgn_raw"), ignoreNulls = true).over(wRun))
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        sum(when(col("sgn") === 1, col("k")).otherwise(0L)).as("buy_vol"),
+        sum(when(col("sgn") === -1, col("k")).otherwise(0L)).as("sell_vol"),
+        count(lit(1)).as("n_ticks"))
+      .select(col("event_type"), col("day"), col("buy_vol"), col("sell_vol"), col("n_ticks"),
+        when(col("buy_vol") + col("sell_vol") > 0,
+          r4((col("buy_vol") - col("sell_vol")).cast("double")
+            / (col("buy_vol") + col("sell_vol")).cast("double"))).as("ofi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_order_flow" -> q167 _,
     "q165_garman_klass" -> q165 _,
     "q157_parkinson_vol" -> q157 _,
     "q158_amihud_illiq" -> q158 _,
@@ -513,6 +550,33 @@ object MarketQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q167_order_flow" ->
+      """WITH e AS (
+        |  SELECT event_type, ts::TIMESTAMP AS ts, event_id, value,
+        |    ts::TIMESTAMP::DATE AS day,
+        |    json_extract_string(props, '$.k')::BIGINT AS k
+        |  FROM events
+        |), c AS (
+        |  SELECT *, value - lag(value) OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS chg
+        |  FROM e
+        |), s AS (
+        |  SELECT event_type, day, k,
+        |    last_value(CASE WHEN chg > 0 THEN 1 WHEN chg < 0 THEN -1 END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type, day ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sgn
+        |  FROM c
+        |), g AS (
+        |  SELECT event_type, day,
+        |    sum(CASE WHEN sgn = 1 THEN k ELSE 0 END)::BIGINT AS buy_vol,
+        |    sum(CASE WHEN sgn = -1 THEN k ELSE 0 END)::BIGINT AS sell_vol,
+        |    count(*)::BIGINT AS n_ticks
+        |  FROM s GROUP BY 1, 2
+        |)
+        |SELECT event_type, day, buy_vol, sell_vol, n_ticks,
+        |  CASE WHEN buy_vol + sell_vol > 0 THEN
+        |    floor((buy_vol - sell_vol)::DOUBLE / (buy_vol + sell_vol)::DOUBLE * 10000 + 0.5)/10000
+        |  END AS ofi
+        |FROM g""".stripMargin,
     "q165_garman_klass" ->
       """WITH e AS (
         |  SELECT event_type, ts::TIMESTAMP AS ts, event_id, value,

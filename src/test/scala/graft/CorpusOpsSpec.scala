@@ -208,6 +208,22 @@ class CorpusOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q168: duplication profile pins on a designed corpus; shares sum to 1") {
+    val base = q("q168_dup_profile").cache()
+    val tot = base.agg(sum($"corpus_share")).as[Double].head()
+    assert(math.abs(tot - 1.0) < 1e-3, s"shares sum to $tot")
+    base.unpersist()
+    val dir = Files.createTempDirectory("graft_q168").toString
+    Seq((0L, "same text"), (1L, "same   TEXT"), (2L, "unique one"), (3L, "unique two"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    // normalization folds doc 0/1 together: one c=2 cluster (share
+    // 0.5) and two c=1 clusters (share 0.5)
+    val got = q("q168_dup_profile", dir)
+      .select($"cluster_size", $"n_clusters", $"corpus_share")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((2L, 0.5)) && got(2L) == ((1L, 0.5)), s"profile: $got")
+  }
+
   test("q163: novelty pins — duplicated docs score 0, unique docs score 1") {
     val base = q("q163_novelty")
     assert(base.filter($"novelty" < 0 || $"novelty" > 1 || $"n_novel" > $"n_grams").isEmpty)

@@ -44,6 +44,29 @@ class MarketStatsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q167: tick-rule signing pinned on a designed feed; OFI bounded") {
+    val out = q("q167_order_flow")
+    assert(out.filter(abs($"ofi") > 1.0001).isEmpty)
+    assert(out.filter($"buy_vol" < 0 || $"sell_vol" < 0).isEmpty)
+    // designed feed: prices 10, 11, 11, 9 with sizes 5, 7, 3, 2 —
+    // tick signs: none (first), +1 (up), +1 (inherited zero-tick),
+    // -1 (down) => buy = 10, sell = 2, OFI = 8/12
+    val dir = java.nio.file.Files.createTempDirectory("graft_q167").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    Seq(
+      (1L, ts(0), 1L, "X", 10.0, """{"k": 5}"""),
+      (2L, ts(1), 1L, "X", 11.0, """{"k": 7}"""),
+      (3L, ts(2), 1L, "X", 11.0, """{"k": 3}"""),
+      (4L, ts(3), 1L, "X", 9.0, """{"k": 2}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q167_order_flow")(spark, dir).collect().head
+    assert(r.getAs[Long]("buy_vol") == 10L && r.getAs[Long]("sell_vol") == 2L,
+      s"signing broke: $r")
+    assert(math.abs(r.getAs[Double]("ofi") - math.floor(8d / 12d * 10000 + 0.5) / 10000) < 1e-12)
+  }
+
   test("q159: cross-sectional mean beta ~ 1 per day; corr bounded in [-1, 1]") {
     val out = q("q159_rolling_beta").cache()
     assert(out.filter(abs($"corr_r") > 1.0001).isEmpty, "corr out of range")
