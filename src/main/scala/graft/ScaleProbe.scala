@@ -297,6 +297,8 @@ object ScaleProbe {
     time("q166_source_centroids") { q("q166_source_centroids") }
     time("q167_order_flow") { q("q167_order_flow") }
     time("q168_dup_profile") { q("q168_dup_profile") }
+    time("q169_roll_spread") { q("q169_roll_spread") }
+    time("q170_variance_ratio") { q("q170_variance_ratio") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

@@ -531,7 +531,87 @@ object MarketQueries {
             / (col("buy_vol") + col("sell_vol")).cast("double"))).as("ofi"))
   }
 
+  // q169 — ROLL IMPLIED SPREAD per (instrument, day): Roll's 1984
+  // estimator — spread = 2·sqrt(−cov(Δp_t, Δp_{t−1})) — which reads
+  // the effective bid-ask spread OUT OF the trade prices alone: the
+  // bid-ask bounce makes consecutive price changes negatively
+  // autocorrelated, and the magnitude of that first-order serial
+  // covariance is (spread/2)². cov >= 0 (trending/no-bounce regime)
+  // → null, the estimator's documented undefined region. Exactness:
+  // prices quantize ONCE to integer ten-thousandths, so diffs and
+  // their lag-pairs are exact integers; the pair products stay in
+  // long range ((5e6)² < 2^63) and their SUMS ride decimal (a long
+  // sum overflows at ~67k ticks/day × 100x), closed by one double
+  // formula (population covariance (n·sxy − sx·sy)/n²). Scale shape:
+  // two span-bounded (instrument, day) lags + one partial-agg
+  // shuffle to the day grid — the q125/q158 precedent.
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("day")).orderBy(col("ts"), col("event_id"))
+    def d(c: Column) = c.cast("double")
+    val base = ev(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("p_fp", floor(col("value") * lit(1e4) + lit(0.5)).cast("long"))
+      .withColumn("dp", col("p_fp") - lag(col("p_fp"), 1).over(w))
+      .filter(col("dp").isNotNull)
+      .withColumn("dprev", lag(col("dp"), 1).over(w))
+      .filter(col("dprev").isNotNull)
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("dp").cast("decimal(38,0)")).as("sx"),
+        sum(col("dprev").cast("decimal(38,0)")).as("sy"),
+        sum((col("dp") * col("dprev")).cast("decimal(38,0)")).as("sxy"))
+    val n = d(col("n_pairs"))
+    val cov = (n * d(col("sxy")) - d(col("sx")) * d(col("sy"))) / (n * n)
+    base.select(col("event_type"), col("day"), col("n_pairs"),
+      r4(cov / lit(1e8)).as("cov_px2"),
+      when(cov < 0, r4(lit(2d) * sqrt(-cov) / lit(1e4))).as("roll_spread"))
+  }
+
+  // q170 — VARIANCE RATIO TEST (Lo & MacKinlay 1988, q = 5) per
+  // instrument: Var(5-day return)/(5·Var(1-day return)) — the classic
+  // random-walk diagnostic (VR ≈ 1 under a random walk; < 1 mean
+  // reversion, > 1 momentum). Daily close-to-close returns in exact
+  // micro-log2 integers (the q159 construction); the 5-day return is
+  // the exact integer sum of 5 consecutive dailies (overlapping, the
+  // paper's variant); both variances close from exact integer sums in
+  // one double formula (population form (n·sxx − sx²)/n²). Scale
+  // shape: everything after the one (instrument, day) partial agg
+  // runs on the volume-independent day grid (the q159 argument).
+  private def q170(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("day")).orderBy(col("ts"), col("event_id"))
+    val closes = ev(s, dir)
+      .filter(col("value") > 0)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("lv", qlog2(col("value")))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max_by(col("lv"), col("rn")).as("close_lv"))
+    val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val rets = closes
+      .withColumn("r1", col("close_lv") - lag(col("close_lv"), 1).over(wd))
+      .filter(col("r1").isNotNull)
+      .withColumn("n_in5", count(lit(1)).over(wd.rowsBetween(-4, Window.currentRow)))
+      .withColumn("r5", sum(col("r1")).over(wd.rowsBetween(-4, Window.currentRow)))
+    def d(c: Column) = c.cast("double")
+    def popVar(sx: Column, sxx: Column, n: Column): Column =
+      (d(n) * d(sxx) - d(sx) * d(sx)) / (d(n) * d(n))
+    val agg = rets.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n1"),
+        sum(col("r1")).as("s1x"), sum(col("r1") * col("r1")).as("s1xx"),
+        sum(when(col("n_in5") === 5, col("r5"))).as("s5x"),
+        sum(when(col("n_in5") === 5, col("r5") * col("r5"))).as("s5xx"),
+        sum(when(col("n_in5") === 5, 1L).otherwise(0L)).as("n5"))
+    val v1 = popVar(col("s1x"), col("s1xx"), col("n1"))
+    val v5 = popVar(col("s5x"), col("s5xx"), col("n5"))
+    agg.select(col("event_type"), col("n1"), col("n5"),
+      r4(v1 / lit(1e12)).as("var_1"),
+      r4(v5 / lit(1e12)).as("var_5"),
+      when(v1 > 0, r4(v5 / (lit(5d) * v1))).as("vr5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_roll_spread" -> q169 _,
+    "q170_variance_ratio" -> q170 _,
     "q167_order_flow" -> q167 _,
     "q165_garman_klass" -> q165 _,
     "q157_parkinson_vol" -> q157 _,
@@ -550,6 +630,76 @@ object MarketQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q169_roll_spread" ->
+      """WITH e AS (
+        |  SELECT event_type, ts::TIMESTAMP AS ts, event_id,
+        |    ts::TIMESTAMP::DATE AS day,
+        |    floor(value * 1e4 + 0.5)::BIGINT AS p_fp
+        |  FROM events
+        |), d1 AS (
+        |  SELECT *, p_fp - lag(p_fp) OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS dp
+        |  FROM e QUALIFY dp IS NOT NULL
+        |), d2 AS (
+        |  SELECT *, lag(dp) OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS dprev
+        |  FROM d1 QUALIFY dprev IS NOT NULL
+        |), g AS (
+        |  SELECT event_type, day, count(*)::BIGINT AS n_pairs,
+        |    sum(dp) AS sx, sum(dprev) AS sy, sum(dp * dprev) AS sxy
+        |  FROM d2 GROUP BY 1, 2
+        |)
+        |SELECT event_type, day, n_pairs,
+        |  floor((n_pairs::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |    / (n_pairs::DOUBLE * n_pairs::DOUBLE) / 1e8 * 10000 + 0.5)/10000 AS cov_px2,
+        |  CASE WHEN (n_pairs::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |    / (n_pairs::DOUBLE * n_pairs::DOUBLE) < 0 THEN
+        |    floor(2 * sqrt(-((n_pairs::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |      / (n_pairs::DOUBLE * n_pairs::DOUBLE))) / 1e4 * 10000 + 0.5)/10000
+        |  END AS roll_spread
+        |FROM g""".stripMargin,
+    "q170_variance_ratio" ->
+      """WITH e AS (
+        |  SELECT event_type, ts::TIMESTAMP AS ts, event_id,
+        |    ts::TIMESTAMP::DATE AS day,
+        |    floor(log2(value)*1e6 + 0.5)::BIGINT AS lv
+        |  FROM events WHERE value > 0
+        |), r0 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS rn
+        |  FROM e
+        |), c AS (
+        |  SELECT event_type, day, arg_max(lv, rn) AS close_lv
+        |  FROM r0 GROUP BY 1, 2
+        |), r AS (
+        |  SELECT event_type, day,
+        |    close_lv - lag(close_lv) OVER (PARTITION BY event_type ORDER BY day) AS r1
+        |  FROM c QUALIFY r1 IS NOT NULL
+        |), f AS (
+        |  SELECT event_type, r1,
+        |    count(*) OVER w5 AS n_in5,
+        |    (sum(r1) OVER w5)::BIGINT AS r5
+        |  FROM r
+        |  WINDOW w5 AS (PARTITION BY event_type ORDER BY day
+        |                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |), g AS (
+        |  SELECT event_type, count(*)::BIGINT AS n1,
+        |    sum(r1) AS s1x, sum(r1 * r1) AS s1xx,
+        |    sum(CASE WHEN n_in5 = 5 THEN r5 END) AS s5x,
+        |    sum(CASE WHEN n_in5 = 5 THEN r5 * r5 END) AS s5xx,
+        |    sum(CASE WHEN n_in5 = 5 THEN 1 ELSE 0 END)::BIGINT AS n5
+        |  FROM f GROUP BY 1
+        |)
+        |SELECT event_type, n1, n5,
+        |  floor((n1::DOUBLE * s1xx::DOUBLE - s1x::DOUBLE * s1x::DOUBLE)
+        |    / (n1::DOUBLE * n1::DOUBLE) / 1e12 * 10000 + 0.5)/10000 AS var_1,
+        |  floor((n5::DOUBLE * s5xx::DOUBLE - s5x::DOUBLE * s5x::DOUBLE)
+        |    / (n5::DOUBLE * n5::DOUBLE) / 1e12 * 10000 + 0.5)/10000 AS var_5,
+        |  CASE WHEN (n1::DOUBLE * s1xx::DOUBLE - s1x::DOUBLE * s1x::DOUBLE)
+        |    / (n1::DOUBLE * n1::DOUBLE) > 0 THEN
+        |    floor(((n5::DOUBLE * s5xx::DOUBLE - s5x::DOUBLE * s5x::DOUBLE)
+        |      / (n5::DOUBLE * n5::DOUBLE))
+        |      / (5 * ((n1::DOUBLE * s1xx::DOUBLE - s1x::DOUBLE * s1x::DOUBLE)
+        |        / (n1::DOUBLE * n1::DOUBLE))) * 10000 + 0.5)/10000
+        |  END AS vr5
+        |FROM g""".stripMargin,
     "q167_order_flow" ->
       """WITH e AS (
         |  SELECT event_type, ts::TIMESTAMP AS ts, event_id, value,

@@ -67,6 +67,36 @@ class MarketStatsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("ofi") - math.floor(8d / 12d * 10000 + 0.5) / 10000) < 1e-12)
   }
 
+  test("q169: Roll spread pinned on a pure bid-ask bounce; undefined region is null") {
+    val out = q("q169_roll_spread")
+    assert(out.filter($"roll_spread".isNotNull && $"roll_spread" < 0).isEmpty)
+    assert(out.filter($"roll_spread".isNotNull && $"cov_px2" >= 0).isEmpty,
+      "spread must be null when serial covariance is non-negative")
+    // pure alternation 10, 11, 10, 11: diffs +1, -1, +1 -> pairs
+    // cov = -1e8 (fp) -> cov_px2 = -1, spread = 2*sqrt(1e8)/1e4 = 2.0
+    val dir = java.nio.file.Files.createTempDirectory("graft_q169").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    (1 to 4).map(i => (i.toLong, ts(i), 1L, "X", if (i % 2 == 1) 10.0 else 11.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q169_roll_spread")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_pairs") == 2L)
+    assert(r.getAs[Double]("cov_px2") == -1.0, s"cov: $r")
+    assert(r.getAs[Double]("roll_spread") == 2.0, s"spread: $r")
+  }
+
+  test("q170: variance ratio — overlapping-window counts consistent, variances non-negative") {
+    val out = q("q170_variance_ratio").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n5") == r.getAs[Long]("n1") - 4,
+        "every daily return past the 4th closes a full 5-day window")
+      assert(r.getAs[Double]("var_1") >= 0 && r.getAs[Double]("var_5") >= 0)
+      assert(r.getAs[Double]("vr5") > 0)
+    }
+  }
+
   test("q159: cross-sectional mean beta ~ 1 per day; corr bounded in [-1, 1]") {
     val out = q("q159_rolling_beta").cache()
     assert(out.filter(abs($"corr_r") > 1.0001).isEmpty, "corr out of range")
