@@ -46,6 +46,8 @@ object Graft {
       exprs => GraftExtensions.ewma(exprs))
     GraftFunctionRegistry.registerTemp(spark, "interleave_bits",
       exprs => graft.functions.InterleaveBitsExpr(exprs(0), exprs(1)))
+    GraftFunctionRegistry.registerTemp(spark, "json_long_field",
+      exprs => graft.functions.JsonLongFieldExpr(exprs(0), exprs(1)))
   }
 
   /** Enable the binned range-join rewrite on a LIVE session (the

@@ -54,6 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("ewma", "ewma(array<double>, alpha) - exponentially-weighted moving average over an ordered series (per-element output)"),
       (exprs: Seq[Expression]) => GraftExtensions.ewma(exprs)))
     ext.injectFunction((
+      FunctionIdentifier("json_long_field"),
+      info("json_long_field", "json_long_field(json, key) - zero-allocation long extraction of a top-level unquoted integer field (see JsonField.scala for scope)"),
+      (exprs: Seq[Expression]) => graft.functions.JsonLongFieldExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("interleave_bits"),
       info("interleave_bits", "interleave_bits(a, b) - Morton z-value: bit j of a at position 2j, of b at 2j+1 (low 32 bits each)"),
       (exprs: Seq[Expression]) => graft.functions.InterleaveBitsExpr(exprs(0), exprs(1))))

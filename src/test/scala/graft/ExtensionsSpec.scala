@@ -26,7 +26,8 @@ class ExtensionsSpec extends SparkSpec {
           |       minhash_sig(array(xxhash64('a'), xxhash64('b')), 4) AS ms,
           |       winnow_fps('the quick brown fox jumps over it') AS wf,
           |       ewma(array(1d, 2d, 3d), 0.5) AS ew,
-          |       interleave_bits(3L, 0L) AS zb""".stripMargin).head()
+          |       interleave_bits(3L, 0L) AS zb,
+          |       json_long_field('{"k": 42}', 'k') AS jf""".stripMargin).head()
       val want = graft.functions.RollingHash.eval(
         org.apache.spark.unsafe.types.UTF8String.fromString("abc"))
       assert(r.getLong(0) == want)
@@ -37,6 +38,7 @@ class ExtensionsSpec extends SparkSpec {
       assert(r.getSeq[Long](5).nonEmpty)
       assert(r.getSeq[Double](6) == Seq(1.0, 1.5, 2.25))
       assert(r.getLong(7) == 5L)
+      assert(r.getLong(8) == 42L)
       // simhash_agg: aggregate over one hash == that hash's bit pattern
       val agg = s2.sql(
         "SELECT simhash_agg(h) AS sh FROM (SELECT xxhash64('tok') AS h)").head()
