@@ -299,6 +299,12 @@ object ScaleProbe {
     time("q168_dup_profile") { q("q168_dup_profile") }
     time("q169_roll_spread") { q("q169_roll_spread") }
     time("q170_variance_ratio") { q("q170_variance_ratio") }
+    // q163's 100 TB regime (8-byte gram hashes on both shuffles);
+    // spec-pinned identical output to the declared string-gram query
+    time("q163_novelty_hashed") {
+      queries.CurationQueries.noveltyProfile(
+        spark.read.parquet(s"$dst/documents.parquet"), hashedGrams = true)
+    }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

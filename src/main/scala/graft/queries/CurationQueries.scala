@@ -419,11 +419,20 @@ object CurationQueries {
   // aggregate); both partial-aggregate map-side, nothing is
   // quadratic, and at 100 TB grams ride as xxhash64 longs (the q60
   // note) so the exchange carries 8 bytes per gram, not strings.
-  private def q163(s: SparkSession, dir: String): DataFrame = {
+  /** q163's core with a grams-as-hashes switch: the declared query
+    * keeps STRING grams (the oracle replays them); `hashedGrams=true`
+    * is the 100 TB path (8-byte xxhash64 keys on both shuffles instead
+    * of ~50-byte strings — the q60 rule, here actually runnable), and
+    * CorpusOpsSpec pins hashed ≡ string output on the testdata (a
+    * collision would have to merge two grams ACROSS docs to change
+    * any count; at 2^-64 per pair that is a non-event below ~2^30
+    * distinct grams). */
+  private[graft] def noveltyProfile(d: DataFrame, hashedGrams: Boolean): DataFrame = {
+    val gramCol = explode(ngrams(TextAnalysis.wordTokens(col("text")), 8)).as("g0")
     // persisted once: two aggregations consume the exploded corpus
-    val pairs = docs(s, dir)
+    val pairs = d.select(col("doc_id"), gramCol)
       .select(col("doc_id"),
-        explode(ngrams(TextAnalysis.wordTokens(col("text")), 8)).as("gram"))
+        (if (hashedGrams) xxhash64(col("g0")) else col("g0")).as("gram"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perDoc = pairs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     // a gram with doc-count 1 belongs to exactly one doc — min(doc_id)
@@ -440,6 +449,9 @@ object CurationQueries {
       .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
       .withColumn("novelty", r4(col("n_novel").cast("double") / col("n_grams").cast("double")))
   }
+
+  private def q163(s: SparkSession, dir: String): DataFrame =
+    noveltyProfile(docs(s, dir), hashedGrams = false)
 
   // q168 — DUPLICATION PROFILE: the histogram of exact-duplicate
   // cluster sizes (how many contents appear exactly c times, and what
