@@ -299,10 +299,16 @@ object ScaleProbe {
     time("q168_dup_profile") { q("q168_dup_profile") }
     time("q169_roll_spread") { q("q169_roll_spread") }
     time("q170_variance_ratio") { q("q170_variance_ratio") }
-    // q163's 100 TB regime (8-byte gram hashes on both shuffles);
-    // spec-pinned identical output to the declared string-gram query
+    // q163/q114's 100 TB regime (8-byte gram hashes on the
+    // exchanges); spec-pinned identical output to the declared
+    // string-gram queries
     time("q163_novelty_hashed") {
       queries.CurationQueries.noveltyProfile(
+        spark.read.parquet(s"$dst/documents.parquet"), hashedGrams = true)
+    }
+    time("q114_split_decontam") { q("q114_split_decontam") }
+    time("q114_decontam_hashed") {
+      queries.CurationQueries.splitDecontam(
         spark.read.parquet(s"$dst/documents.parquet"), hashedGrams = true)
     }
 

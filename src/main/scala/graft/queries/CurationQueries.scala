@@ -41,12 +41,21 @@ object CurationQueries {
   // side, both pruned map-side to distinct (doc, gram) first. Docs
   // under 8 tokens have no grams and are out of scope on both sides
   // (q60's contract).
-  private def q114(s: SparkSession, dir: String): DataFrame = {
+  /** q114's core with the grams-as-hashes switch (the q163
+    * noveltyProfile twin): the corpus-sized train-gram distinct AND
+    * the eval-vs-train join both key on grams, and at the 100x probe
+    * string keys cost 30-50x over 8-byte xxhash64 keys on this
+    * machine (measured on q163's identical exchange). The declared
+    * query keeps strings (oracle replay); CorpusOpsSpec pins
+    * hashed ≡ string on both testdata corpora. */
+  private[graft] def splitDecontam(d0: DataFrame, hashedGrams: Boolean): DataFrame = {
     val d = graft.functions.Sampling.split(
-      docs(s, dir).select(col("doc_id"),
+      d0.select(col("doc_id"),
         TextAnalysis.wordTokens(col("text")).as("words")), col("doc_id"))
     val grams = d.select(col("doc_id"), col("split"),
-      explode(ngrams(col("words"), 8)).as("gram"))
+        explode(ngrams(col("words"), 8)).as("g0"))
+      .select(col("doc_id"), col("split"),
+        (if (hashedGrams) xxhash64(col("g0")) else col("g0")).as("gram"))
     val trainGrams = grams.filter(col("split") === "train")
       .select(col("gram")).distinct().withColumn("hit", lit(1))
     grams.filter(col("split") =!= "train")
@@ -55,6 +64,9 @@ object CurationQueries {
       .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
       .withColumn("leaked", col("n_hit") > 0)
   }
+
+  private def q114(s: SparkSession, dir: String): DataFrame =
+    splitDecontam(docs(s, dir), hashedGrams = false)
 
   private def q60(s: SparkSession, dir: String): DataFrame = {
     val grams = docs(s, dir)

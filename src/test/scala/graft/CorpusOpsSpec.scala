@@ -218,6 +218,16 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q114 hashed-gram scale path == string-gram declared path (both corpora)") {
+    for (d <- Seq(sf(), sf("sf0.01"))) {
+      val dd = spark.read.parquet(s"$d/documents.parquet")
+      val str = graft.queries.CurationQueries.splitDecontam(dd, hashedGrams = false)
+      val hsh = graft.queries.CurationQueries.splitDecontam(dd, hashedGrams = true)
+      assert(str.exceptAll(hsh).isEmpty && hsh.exceptAll(str).isEmpty,
+        s"hashed grams diverge on $d")
+    }
+  }
+
   test("q168: duplication profile pins on a designed corpus; shares sum to 1") {
     val base = q("q168_dup_profile").cache()
     val tot = base.agg(sum($"corpus_share")).as[Double].head()
