@@ -86,7 +86,67 @@ object MediaHeader {
     else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) parseJpeg(b)
     else if (b.length >= 12 && tag(b, 0) == 0x52494646 /* RIFF */ &&
              tag(b, 8) == 0x57415645 /* WAVE */) parseWav(b)
+    else if (b.length >= 12 && tag(b, 4) == 0x66747970 /* ftyp */) parseMp4(b)
     else row(Unknown)
+  }
+
+  /** MP4 / ISO-BMFF (ISO 14496-12): top-level box walk (size BE32 +
+    * 4CC) to `moov`, then children — `mvhd` v0 carries timescale
+    * (offset +20 from box start) and duration (+24); the first `trak`
+    * whose `tkhd` v0 declares a non-zero width gives the video
+    * dimensions (16.16 fixed point at +84/+88). Field mapping into
+    * the shared schema: sample_rate := mvhd timescale, n_frames :=
+    * mvhd duration (in timescale units) — duration_ms derives as
+    * n_frames·1000/sample_rate, the same closing arithmetic as WAV.
+    * Version-1 (64-bit) headers and size==1 largesize boxes are out
+    * of declared scope → unknown. The walk trusts DECLARED sizes
+    * (header-only blobs parse fully) and advances in Long (the WAV
+    * rule: an adversarial size must stop the walk, never loop it). */
+  private def parseMp4(b: Array[Byte]): InternalRow = {
+    var timescale: java.lang.Integer = null
+    var duration: java.lang.Long = null
+    var width: java.lang.Integer = null
+    var height: java.lang.Integer = null
+    var pos = 0L
+    while (pos + 8 <= b.length) {
+      val p = pos.toInt
+      val size = be32(b, p).toLong & 0xffffffffL
+      if (size < 8) return row(Unknown) // size==1 largesize: out of scope
+      if (tag(b, p + 4) == 0x6d6f6f76 /* moov */) {
+        val end = math.min(pos + size, b.length.toLong)
+        var cpos = pos + 8
+        while (cpos + 8 <= end) {
+          val c = cpos.toInt
+          val csize = be32(b, c).toLong & 0xffffffffL
+          if (csize < 8) return row(Unknown)
+          tag(b, c + 4) match {
+            case 0x6d766864 /* mvhd */ if c + 28 <= b.length && b(c + 8) == 0 =>
+              timescale = be32(b, c + 20)
+              duration = java.lang.Long.valueOf(be32(b, c + 24).toLong & 0xffffffffL)
+            case 0x7472616b /* trak */ if width == null =>
+              val tend = math.min(cpos + csize, b.length.toLong)
+              var gpos = cpos + 8
+              while (gpos + 8 <= tend && width == null) {
+                val g = gpos.toInt
+                val gsize = be32(b, g).toLong & 0xffffffffL
+                if (gsize < 8) return row(Unknown)
+                if (tag(b, g + 4) == 0x746b6864 /* tkhd */ &&
+                    g + 92 <= b.length && b(g + 8) == 0) {
+                  val w = be32(b, g + 84) >>> 16
+                  val h = be32(b, g + 88) >>> 16
+                  if (w > 0 && h > 0) { width = w; height = h }
+                }
+                gpos += gsize
+              }
+            case _ => ()
+          }
+          cpos += csize
+        }
+      }
+      pos += size
+    }
+    if (timescale == null) row(Unknown)
+    else row("mp4", width, height, sampleRate = timescale, nFrames = duration)
   }
 
   /** PNG (RFC 2083): 8-byte signature, then the IHDR chunk — length

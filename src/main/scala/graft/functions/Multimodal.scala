@@ -119,6 +119,51 @@ object Multimodal {
       when(d % 3 === 0, pngBytes).when(d % 3 === 1, jpegBytes).otherwise(wavBytes).as("bytes"))
   }
 
+  /** MP4/ISO-BMFF fixtures: a minimal-but-correct box layout per doc —
+    * ftyp(16) + moov(8 + mvhd v0 108 + trak(8 + tkhd v0 92)) with
+    * timescale / duration / width / height planted from doc_id
+    * (width/height in tkhd's 16.16 fixed point). Assembled
+    * distributed in SQL bytes like [[headerFixtures]]; the q171
+    * oracle predicts every field arithmetically, so the decode is
+    * only right if [[MediaHeader]]'s box walk actually reads the
+    * planted headers. */
+  def mp4Fixtures(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val timescale = d % 4 * 600 + 600
+    val duration = d % 9000 + 1
+    val width = d % 640 + 16
+    val height = d % 360 + 16
+    val mvhd = concat(
+      hx("0000006C"), hx("6D766864"),    // size 108, 'mvhd'
+      hx("00000000"),                    // version 0 + flags
+      hx("00000000"), hx("00000000"),    // ctime, mtime
+      beInt(timescale), beInt(duration), // timescale, duration
+      hx("00010000"), hx("0100"),        // rate 1.0, volume 1.0
+      hx("0000" + "00" * 8),             // reserved (2 + 8)
+      hx("000100000000000000000000000000000001000000000000000000000000000040000000"), // unity matrix
+      hx("00" * 24),                     // pre_defined
+      hx("00000002"))                    // next_track_ID
+    val tkhd = concat(
+      hx("0000005C"), hx("746B6864"),    // size 92, 'tkhd'
+      hx("00000007"),                    // version 0 + flags (enabled|in-movie|in-preview)
+      hx("00000000"), hx("00000000"),    // ctime, mtime
+      hx("00000001"), hx("00000000"),    // track_ID 1, reserved
+      beInt(duration),                   // duration
+      hx("00" * 8),                      // reserved
+      hx("0000"), hx("0000"), hx("0000"), hx("0000"), // layer, alt_group, volume, reserved
+      hx("000100000000000000000000000000000001000000000000000000000000000040000000"), // unity matrix
+      beShort(width), hx("0000"),        // width 16.16: integer high, fraction 0
+      beShort(height), hx("0000"))       // height 16.16
+    docs.select(
+      d.as("media_id"),
+      concat(
+        hx("00000010"), hx("66747970"), hx("69736F6D"), hx("00000200"), // ftyp isom
+        hx("000000D8"), hx("6D6F6F76"),                                 // moov size 216
+        mvhd,
+        hx("00000064"), hx("7472616B"),                                 // trak size 100
+        tkhd).as("bytes"))
+  }
+
   /** Parse container headers off the binary column —
     * [[MediaHeader.headerOf]] flattened to typed metadata columns.
     * All-codegen; touches only leading bytes of each payload. */

@@ -423,6 +423,25 @@ object ExtensionQueries {
     Multimodal.decodeHeaders(Multimodal.headerFixtures(docs(s, dir)))
       .withColumn("duration_ms", r4(col("n_frames") * lit(1000.0) / col("sample_rate")))
 
+  // q171 — MP4/ISO-BMFF VIDEO HEADER DECODE: the video leg of the
+  // multimodal family (q103 covers image/audio) — planted ftyp + moov
+  // (mvhd v0 + trak/tkhd v0) payloads assembled distributed in SQL
+  // bytes, then timescale / duration / display dimensions parsed back
+  // out by the codegen box walk. The oracle predicts every field
+  // ARITHMETICALLY from doc_id — the decode is only right if the
+  // parser actually walks the planted boxes (and MediaHeaderSpec pins
+  // the walk against an independent hand-assembled byte vector, so
+  // builder and parser can't share a compensating layout bug).
+  // duration_ms = duration·1000/timescale is the q103 closing rule.
+  // Scale shape: pure map pass over leading bytes — no shuffle at
+  // all; at 100 TB this is the metadata-extraction scan that never
+  // fetches payload bodies.
+  private def q171(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeHeaders(Multimodal.mp4Fixtures(docs(s, dir)))
+      .select(col("media_id"), col("format"), col("width"), col("height"),
+        col("sample_rate").as("timescale"), col("n_frames").as("duration_units"))
+      .withColumn("duration_ms", r4(col("duration_units") * lit(1000.0) / col("timescale")))
+
   // q104 — PRODUCT-QUANTIZATION ANN, the full serving shape: compress
   // unit vectors to 16 byte codes (16 subspaces x 256-cell codebooks
   // — 16x smaller than the raw float32 column), ADC-shortlist 25
@@ -817,6 +836,7 @@ object ExtensionQueries {
     "q31_multimodal_decode" -> q31 _,
     "q32_rolling_fp" -> q32 _,
     "q103_media_headers" -> q103 _,
+    "q171_mp4_headers" -> q171 _,
     "q104_pq_topk" -> q104 _,
     "q118_ivfpq_topk" -> q118 _
   )
@@ -1231,6 +1251,14 @@ object ExtensionQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rnk FROM f
         |)
         |SELECT query_id, neighbor_id, cos_r, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "q171_mp4_headers" ->
+      """SELECT doc_id AS media_id, 'mp4' AS format,
+        |  (doc_id % 640 + 16)::BIGINT AS width,
+        |  (doc_id % 360 + 16)::BIGINT AS height,
+        |  (doc_id % 4 * 600 + 600)::BIGINT AS timescale,
+        |  (doc_id % 9000 + 1)::BIGINT AS duration_units,
+        |  floor((doc_id % 9000 + 1) * 1000.0 / (doc_id % 4 * 600 + 600) * 10000 + 0.5)/10000 AS duration_ms
+        |FROM documents""".stripMargin,
     "q166_source_centroids" ->
       """WITH j AS (
         |  SELECT d.source, e.embedding::DOUBLE[] AS v

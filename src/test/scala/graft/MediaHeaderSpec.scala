@@ -57,6 +57,45 @@ class MediaHeaderSpec extends SparkSpec {
     assert((r.getInt(4), r.getInt(5), r.getInt(6), r.getLong(7)) == ((1, 22050, 16, 1024L)))
   }
 
+  test("MP4: hand-assembled ISO-BMFF boxes parse mvhd/tkhd; v1 and largesize degrade to unknown") {
+    // independent of Multimodal.mp4Fixtures: assembled here by hand
+    // per ISO 14496-12 so builder and parser can't share a layout bug.
+    // mvhd v0: timescale 1000, duration 30000; tkhd v0: 320x240.
+    val matrix = "00010000 00000000 00000000 00000000 00010000 00000000 00000000 00000000 40000000"
+    val mvhd = "0000006C 6D766864 00000000 00000000 00000000 000003E8 00007530" +
+      "00010000 0100 0000 0000000000000000" + matrix + "00" * 24 + "00000002"
+    val tkhd = "0000005C 746B6864 00000007 00000000 00000000 00000001 00000000 00007530" +
+      "00" * 8 + "0000 0000 0000 0000" + matrix + "01400000 00F00000"
+    val mp4 = un(
+      "00000014 66747970 69736F6D 00000200 6D703431" + // 20-byte ftyp with a compat brand
+      "000000D8 6D6F6F76" + mvhd + "00000064 7472616B" + tkhd)
+    val r = parse(mp4)
+    assert(r.getString(0) == "mp4", s"got $r")
+    assert((r.getInt(1), r.getInt(2)) == ((320, 240)), s"dims: $r")
+    assert(r.getInt(5) == 1000 && r.getLong(7) == 30000L, s"timescale/duration: $r")
+    assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(6), "unused fields NULL for mp4")
+    // version-1 mvhd (64-bit times) is out of declared scope
+    val v1 = un("00000010 66747970 69736F6D 00000200" +
+      "00000018 6D6F6F76 00000010 6D766864 01000000 00000000")
+    assert(parse(v1).getString(0) == "unknown")
+    // a size<8 box must stop the walk as unknown, never loop
+    val bad = un("00000010 66747970 69736F6D 00000200 00000001 6D6F6F76")
+    assert(parse(bad).getString(0) == "unknown")
+  }
+
+  test("MP4 planted fixtures round-trip to the arithmetic the q171 oracle predicts") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val got = Multimodal.decodeHeaders(Multimodal.mp4Fixtures(docs)).collect()
+    assert(got.length == docs.count())
+    got.foreach { r =>
+      val d = r.getLong(0)
+      assert(r.getString(1) == "mp4", s"doc $d")
+      assert(r.getLong(2) == d % 640 + 16 && r.getLong(3) == d % 360 + 16, s"doc $d dims")
+      assert(r.getLong(6) == d % 4 * 600 + 600, s"doc $d timescale")
+      assert(r.getLong(8) == d % 9000 + 1, s"doc $d duration")
+    }
+  }
+
   test("malformed payloads parse as unknown, never throw") {
     for (bad <- Seq(
       Array.empty[Byte],
