@@ -306,6 +306,7 @@ object ScaleProbe {
       queries.CurationQueries.noveltyProfile(
         spark.read.parquet(s"$dst/documents.parquet"), hashedGrams = true)
     }
+    time("q172_daily_panel") { q("q172_daily_panel") }
     time("q114_split_decontam") { q("q114_split_decontam") }
     time("q114_decontam_hashed") {
       queries.CurationQueries.splitDecontam(

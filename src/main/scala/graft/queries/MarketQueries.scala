@@ -609,7 +609,66 @@ object MarketQueries {
       when(v1 > 0, r4(v5 / (lit(5d) * v1))).as("vr5"))
   }
 
+  // q172 — THE DAILY MARKET PANEL: the nightly per-(instrument, day)
+  // report every market-data platform materializes — OHLC, VWAP,
+  // intraday log return, realized volatility (q153), Parkinson and
+  // Garman-Klass range estimators (q157/q165), tick-rule order-flow
+  // imbalance (q167) and traded volume — composed as ONE Catalyst
+  // plan: a single span-bounded (instrument, day) window pass derives
+  // rn / lagged-price / lagged-log / inherited tick sign together,
+  // and a single partial-agg shuffle produces every panel column —
+  // where running the six member queries separately pays six window
+  // sorts and six aggregations over the same 100 TB of ticks, the
+  // panel pays ONE of each (the q152 composed-training-build argument
+  // in the market domain). Each column keeps its member query's exact
+  // construction (micro-log2 integers, decimal dollar volume, integer
+  // flow), so the oracle replays the whole panel and every value
+  // agrees with its standalone query by construction.
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("day")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ln2 = lit(0.6931471805599453)
+    val base = ev(s, dir)
+      .filter(col("value") > 0)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("lv", qlog2(col("value")))
+      .withColumn("k", graft.functions.JsonField.longField(col("props"), "k"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_lv", lag(col("lv"), 1).over(w))
+      .withColumn("chg", col("value") - lag(col("value"), 1).over(w))
+      .withColumn("sgn", last(
+        when(col("chg") > 0, 1).when(col("chg") < 0, -1).otherwise(lit(null).cast("int")),
+        ignoreNulls = true).over(wRun))
+    val agg = base.groupBy(col("event_type"), col("day"))
+      .agg(
+        count(lit(1)).as("n_ticks"),
+        max(col("value")).as("hi"), min(col("value")).as("lo"),
+        min_by(col("lv"), col("rn")).as("open_lv"),
+        max_by(col("lv"), col("rn")).as("close_lv"),
+        sum(col("value").cast("decimal(18,4)") * col("k")).as("pv"),
+        sum(col("k")).as("volume"),
+        sum(when(col("prev_lv").isNotNull,
+          (col("lv") - col("prev_lv")) * (col("lv") - col("prev_lv")))).as("rv_fp"),
+        sum(when(col("sgn") === 1, col("k")).otherwise(0L)).as("buy_vol"),
+        sum(when(col("sgn") === -1, col("k")).otherwise(0L)).as("sell_vol"))
+    val dhl = (qlog2(col("hi")) - qlog2(col("lo"))).cast("double")
+    val dco = (col("close_lv") - col("open_lv")).cast("double")
+    agg.select(col("event_type"), col("day"), col("n_ticks"),
+      col("hi"), col("lo"), col("volume"),
+      when(col("volume") > 0,
+        r4(col("pv").cast("double") / col("volume").cast("double"))).as("vwap"),
+      r4(dco / lit(1e6)).as("ret_cc"),
+      r4(sqrt(coalesce(col("rv_fp"), lit(0L)).cast("double")) / lit(1e6)).as("rv"),
+      r4(dhl / lit(1e6) * sqrt(lit(0.6931471805599453)) / lit(2d)).as("park_vol"),
+      r4(ln2 * lit(1e-6) * sqrt(greatest(lit(0d),
+        lit(0.5) * dhl * dhl - (lit(2d) * ln2 - lit(1d)) * dco * dco))).as("gk_vol"),
+      when(col("buy_vol") + col("sell_vol") > 0,
+        r4((col("buy_vol") - col("sell_vol")).cast("double")
+          / (col("buy_vol") + col("sell_vol")).cast("double"))).as("ofi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_daily_panel" -> q172 _,
     "q169_roll_spread" -> q169 _,
     "q170_variance_ratio" -> q170 _,
     "q167_order_flow" -> q167 _,
@@ -630,6 +689,54 @@ object MarketQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q172_daily_panel" ->
+      """WITH e AS (
+        |  SELECT event_type, ts::TIMESTAMP AS ts, event_id, value,
+        |    ts::TIMESTAMP::DATE AS day,
+        |    floor(log2(value)*1e6 + 0.5)::BIGINT AS lv,
+        |    json_extract_string(props, '$.k')::BIGINT AS k
+        |  FROM events WHERE value > 0
+        |), win AS (
+        |  SELECT *,
+        |    row_number() OVER w AS rn,
+        |    lag(lv) OVER w AS prev_lv,
+        |    value - lag(value) OVER w AS chg
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY event_type, day ORDER BY ts, event_id)
+        |), sg AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN chg > 0 THEN 1 WHEN chg < 0 THEN -1 END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type, day ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sgn
+        |  FROM win
+        |), g AS (
+        |  SELECT event_type, day, count(*)::BIGINT AS n_ticks,
+        |    max(value) AS hi, min(value) AS lo,
+        |    arg_min(lv, rn) AS open_lv, arg_max(lv, rn) AS close_lv,
+        |    sum(value::DECIMAL(18,4) * k) AS pv,
+        |    sum(k)::BIGINT AS volume,
+        |    sum(CASE WHEN prev_lv IS NOT NULL THEN (lv - prev_lv) * (lv - prev_lv) END)::BIGINT AS rv_fp,
+        |    sum(CASE WHEN sgn = 1 THEN k ELSE 0 END)::BIGINT AS buy_vol,
+        |    sum(CASE WHEN sgn = -1 THEN k ELSE 0 END)::BIGINT AS sell_vol
+        |  FROM sg GROUP BY 1, 2
+        |), f AS (
+        |  SELECT *,
+        |    (floor(log2(hi)*1e6 + 0.5)::BIGINT - floor(log2(lo)*1e6 + 0.5)::BIGINT)::DOUBLE AS dhl,
+        |    (close_lv - open_lv)::DOUBLE AS dco
+        |  FROM g
+        |)
+        |SELECT event_type, day, n_ticks, hi, lo, volume,
+        |  CASE WHEN volume > 0 THEN
+        |    floor(pv::DOUBLE / volume::DOUBLE * 10000 + 0.5)/10000 END AS vwap,
+        |  floor(dco / 1e6 * 10000 + 0.5)/10000 AS ret_cc,
+        |  floor(sqrt(coalesce(rv_fp, 0)::DOUBLE) / 1e6 * 10000 + 0.5)/10000 AS rv,
+        |  floor(dhl / 1e6 * sqrt(0.6931471805599453) / 2 * 10000 + 0.5)/10000 AS park_vol,
+        |  floor(0.6931471805599453 * 1e-6 * sqrt(greatest(0,
+        |    0.5 * dhl * dhl - (2 * 0.6931471805599453 - 1) * dco * dco)) * 10000 + 0.5)/10000 AS gk_vol,
+        |  CASE WHEN buy_vol + sell_vol > 0 THEN
+        |    floor((buy_vol - sell_vol)::DOUBLE / (buy_vol + sell_vol)::DOUBLE * 10000 + 0.5)/10000
+        |  END AS ofi
+        |FROM f""".stripMargin,
     "q169_roll_spread" ->
       """WITH e AS (
         |  SELECT event_type, ts::TIMESTAMP AS ts, event_id,

@@ -67,6 +67,37 @@ class MarketStatsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("ofi") - math.floor(8d / 12d * 10000 + 0.5) / 10000) < 1e-12)
   }
 
+  test("q172 panel columns agree with every standalone member query") {
+    val panel = q("q172_daily_panel").cache()
+    def member(name: String) = q(name)
+    // q153 realized vol
+    val rvDiff = panel.select($"event_type", $"day", $"rv")
+      .join(member("q153_realized_vol").select($"event_type", $"day", $"vol"), Seq("event_type", "day"))
+      .filter(!($"rv" <=> $"vol")).count()
+    assert(rvDiff == 0, "rv diverges from q153")
+    // q157 Parkinson + q165 GK (same grid)
+    val pkDiff = panel.select($"event_type", $"day", $"park_vol".as("p2"))
+      .join(member("q157_parkinson_vol").select($"event_type", $"day", $"park_vol"), Seq("event_type", "day"))
+      .filter(!($"p2" <=> $"park_vol")).count()
+    assert(pkDiff == 0, "park_vol diverges from q157")
+    val gkDiff = panel.select($"event_type", $"day", $"gk_vol".as("g2"))
+      .join(member("q165_garman_klass").select($"event_type", $"day", $"gk_vol"), Seq("event_type", "day"))
+      .filter(!($"g2" <=> $"gk_vol")).count()
+    assert(gkDiff == 0, "gk_vol diverges from q165")
+    // q167 OFI (this feed has no zero prices, so the panel's value>0
+    // filter is a no-op and the members must agree exactly)
+    val ofiDiff = panel.select($"event_type", $"day", $"ofi".as("o2"))
+      .join(member("q167_order_flow").select($"event_type", $"day", $"ofi"), Seq("event_type", "day"))
+      .filter(!($"o2" <=> $"ofi")).count()
+    assert(ofiDiff == 0, "ofi diverges from q167")
+    // q126 VWAP
+    val vwDiff = panel.select($"event_type", $"day", $"vwap".as("v2"))
+      .join(member("q126_vwap").select($"event_type", $"day", $"vwap"), Seq("event_type", "day"))
+      .filter(!($"v2" <=> $"vwap")).count()
+    assert(vwDiff == 0, "vwap diverges from q126")
+    panel.unpersist()
+  }
+
   test("q169: Roll spread pinned on a pure bid-ask bounce; undefined region is null") {
     val out = q("q169_roll_spread")
     assert(out.filter($"roll_spread".isNotNull && $"roll_spread" < 0).isEmpty)

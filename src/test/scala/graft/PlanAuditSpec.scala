@@ -474,6 +474,22 @@ class PlanAuditSpec extends SparkSpec {
       s"query codes not broadcast:\n$p")
   }
 
+  test("q172 panel: one shared window pass + one aggregation — not six of each") {
+    val p = plan("q172_daily_panel")
+    // rn/lag/lag share one frame, the inherited sign adds the running
+    // frame — Spark plans both inside at most TWO Window operators
+    // over ONE sort; six standalone member queries would each pay
+    // their own
+    val wins = "Window ".r.findAllIn(p).size
+    assert(wins >= 1 && wins <= 2, s"expected 1-2 window ops, got $wins:\n$p")
+    val sorts = "Sort ".r.findAllIn(p).size
+    assert(sorts <= 2, s"window sort not shared:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+    p.linesIterator.filter(_.contains("windowspecdefinition(event_type")).foreach { l =>
+      assert(l.contains("day"), s"bare event_type window:\n$l")
+    }
+  }
+
   test("q163 novelty: two partial-agg shuffles, no window, no cartesian") {
     val p = plan("q163_novelty")
     assert(!p.contains("Window "), s"window crept in:\n$p")
