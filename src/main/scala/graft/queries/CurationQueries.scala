@@ -492,7 +492,36 @@ object CurationQueries {
           / col("n_total").cast("double")).as("corpus_share"))
   }
 
+  // q173 — QUALITY-WEIGHTED SAMPLING: keep probability rises with the
+  // doc's QUALITY QUARTILE within its source (1.0 / 0.75 / 0.5 / 0.25
+  // from top to bottom) — the softer sibling of q161's hard cutoff
+  // and the DCLM-style recipe when you want the quality signal to
+  // BIAS the mixture instead of gate it (hard thresholds discard the
+  // long tail entirely; weighted sampling keeps a calibrated sliver
+  // of every stratum, which matters for distributional robustness).
+  // Quartiles come from the same no-per-source-sort rank machinery as
+  // q161 (globalRank; (rank·4) DIV n + 1 is exact integer
+  // arithmetic), the keep decision is q94's deterministic unit-hash
+  // Bernoulli — map-side, engine-portable, no rand(). Scale shape:
+  // one scoring pass (persisted — three consumers), the rank
+  // shuffle, then a broadcast join and a map-side filter.
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{ChunkedFrame, QualityGate}
+    val base = QualityGate.scored(docs(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = base.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+    ChunkedFrame.globalRank(base, "source", expr("quality_fp DIV 1000000"),
+        Seq("quality_fp", "doc_id"))
+      .join(broadcast(counts), Seq("source"))
+      .withColumn("quartile", expr("__g * 4 DIV cnt + 1"))
+      .withColumn("rate", col("quartile").cast("double") * lit(0.25))
+      .filter(graft.functions.Sampling.unitHash(col("doc_id")) < col("rate"))
+      .select(col("doc_id"), col("source"), col("quality_fp"),
+        col("quartile"), col("rate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_quality_weighted" -> q173 _,
     "q168_dup_profile" -> q168 _,
     "q163_novelty" -> q163 _,
     "q161_adaptive_quality" -> q161 _,
@@ -513,6 +542,35 @@ object CurationQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q173_quality_weighted" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+        |    regexp_extract_all(text, '[.,;:!?''"()\[\]{}]') AS punct
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, source,
+        |    ln(1 + len(toks)) * (1 - len(punct)::DOUBLE / nullif(length(text), 0))
+        |      * (1 - len(list_filter(toks, x -> list_contains(['the','a','an','of','to','and','in','is','for','on','with','that','as','at','by'], x)))::DOUBLE
+        |          / nullif(len(toks), 0)) AS q
+        |  FROM t
+        |), f AS (
+        |  SELECT doc_id, source, floor(q * 1e6 + 0.5)::BIGINT AS quality_fp
+        |  FROM m WHERE q IS NOT NULL
+        |), n AS (
+        |  SELECT source, count(*)::BIGINT AS cnt FROM f GROUP BY 1
+        |), r AS (
+        |  SELECT f.*, row_number() OVER (PARTITION BY source ORDER BY quality_fp, doc_id) AS rn, cnt
+        |  FROM f JOIN n USING (source)
+        |), k AS (
+        |  SELECT doc_id, source, quality_fp,
+        |    ((rn - 1) * 4 // cnt + 1)::BIGINT AS quartile,
+        |    ((rn - 1) * 4 // cnt + 1)::DOUBLE * 0.25 AS rate
+        |  FROM r
+        |)
+        |SELECT doc_id, source, quality_fp, quartile, rate
+        |FROM k
+        |WHERE ((doc_id * 2654435761) % 4294967296)::DOUBLE / 4294967296.0 < rate""".stripMargin,
     "q168_dup_profile" ->
       """WITH cl AS (
         |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,

@@ -218,6 +218,23 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q173: top quartile keeps everything; rates quantized to the four strata") {
+    val out = q("q173_quality_weighted", sf("sf0.01")).cache()
+    assert(out.filter(!$"rate".isin(0.25, 0.5, 0.75, 1.0)).isEmpty)
+    assert(out.filter($"quartile" < 1 || $"quartile" > 4).isEmpty)
+    // rate 1.0 never drops: per source, the kept quartile-4 count must
+    // equal the stratum's full size cnt - ceil(3*cnt/4)
+    val scored = graft.operators.QualityGate.scored(
+      spark.read.parquet(s"${sf("sf0.01")}/documents.parquet"))
+    val sizes = scored.groupBy($"source").agg(count(lit(1)).as("cnt"))
+      .withColumn("q4_size", expr("cnt - (3 * cnt + 3) DIV 4"))
+    val kept4 = out.filter($"quartile" === 4)
+      .groupBy($"source").agg(count(lit(1)).as("kept4"))
+    assert(sizes.join(kept4, Seq("source")).filter($"kept4" =!= $"q4_size").isEmpty,
+      "a rate-1.0 doc was dropped")
+    out.unpersist()
+  }
+
   test("q114 hashed-gram scale path == string-gram declared path (both corpora)") {
     for (d <- Seq(sf(), sf("sf0.01"))) {
       val dd = spark.read.parquet(s"$d/documents.parquet")
