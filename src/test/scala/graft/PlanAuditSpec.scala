@@ -454,6 +454,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q165/q167/q169: every tick-grain window partitions on (instrument, day)") {
+    for (name <- Seq("q165_garman_klass", "q167_order_flow", "q169_roll_spread")) {
+      val p = plan(name)
+      val specs = p.linesIterator.filter(_.contains("windowspecdefinition(event_type")).toSeq
+      assert(specs.nonEmpty, s"$name: no window found:\n$p")
+      specs.foreach { l =>
+        assert(l.contains("day"), s"$name: bare event_type window:\n$l")
+      }
+    }
+  }
+
   test("q161 adaptive gate: rank windows carry the chunk composite; cutoff table broadcasts") {
     val p = plan("q161_adaptive_quality")
     val specs = p.linesIterator.filter(_.contains("windowspecdefinition(source")).toSeq
