@@ -587,6 +587,51 @@ object StreamPipeline {
       }
       .start()
 
+  /** STREAMING INCREMENTAL PANEL MAINTENANCE: the q172 daily market
+    * panel as a LIVE materialized view — each micro-batch of raw ticks
+    * appends to a day-partitioned tick store, then ONLY the
+    * (instrument, day) groups the batch touched are recomputed (a
+    * partition-pruned read of the affected days — window statistics
+    * like open/close/RV/OFI need the day's full tick set, so
+    * day-scoped recompute is the exact-and-minimal refresh unit) and
+    * MERGE-upserted into the panel table by (event_type, day) PK.
+    * Per-batch cost is O(batch + affected-days' ticks) at any
+    * standing-store size; the panel itself stays (instruments × days)
+    * rows. At-least-once replay is absorbed twice over: the store
+    * dedups on (event_id, batch_id) at read time (readBuckets
+    * contract) and the PK merge is naturally idempotent. ONE code
+    * path with batch q172 ([[graft.operators.DailyPanel.compute]]) —
+    * StreamingSpec pins stream-maintained ≡ batch-computed. */
+  def panelMaintain(ticksStream: DataFrame, tickStore: String, panelPath: String,
+                    checkpoint: String,
+                    trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    ticksStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val stamped = batch
+          .withColumn("day", to_date(col("ts")))
+          .withColumn("batch_id", lit(batchId))
+        stamped.write.mode("append").partitionBy("day").parquet(tickStore)
+        val days = stamped.select(col("day")).distinct()
+          .collect().map(_.getDate(0)) // bounded: a micro-batch spans few days
+        val affected = spark.read.parquet(tickStore)
+          .filter(col("day").isin(days.toIndexedSeq: _*)) // partition-pruned
+          .dropDuplicates("event_id", "batch_id")
+          .drop("day", "batch_id")
+        val fresh = graft.operators.DailyPanel.compute(affected)
+        val merged = (if (new java.io.File(panelPath).exists())
+            graft.operators.MergeUpsert.upsert(
+              spark.read.parquet(panelPath), fresh, Seq("event_type", "day"))
+          else fresh)
+          .localCheckpoint(true) // materialize BEFORE overwriting the path being read
+        merged.write.mode("overwrite").parquet(panelPath)
+        ()
+      }
+      .start()
+
   /** STREAMING PER-SOURCE ADAPTIVE QUALITY GATE: the live form of the
     * q161 batch gate — every micro-batch's documents are scored with
     * the shared [[graft.operators.QualityGate]] expression and routed

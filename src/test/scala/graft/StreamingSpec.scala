@@ -291,6 +291,43 @@ class StreamingSpec extends SparkSpec {
     lam.unpersist()
   }
 
+  test("streaming panel maintenance converges to the batch q172 panel (one code path)") {
+    val dir = Files.createTempDirectory("graft_panel").toString
+    def ts(day: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-02-0$day%d 10:$m%02d:00")
+    // two batches; batch 2 REVISES day 2 (late ticks) and opens day 3
+    // — the maintainer must recompute both touched days from the full
+    // store, not just the batch rows
+    val b1 = Seq(
+      (1L, ts(1, 0), 1L, "X", 10.0, """{"k": 5}"""),
+      (2L, ts(1, 5), 1L, "X", 11.0, """{"k": 3}"""),
+      (3L, ts(2, 0), 1L, "X", 9.0, """{"k": 2}"""),
+      (4L, ts(1, 2), 1L, "Y", 20.0, """{"k": 7}"""))
+    val b2 = Seq(
+      (5L, ts(2, 9), 1L, "X", 12.0, """{"k": 4}"""),
+      (6L, ts(3, 1), 1L, "Y", 21.0, """{"k": 1}"""),
+      (7L, ts(2, 4), 1L, "Y", 19.0, """{"k": 6}"""))
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)](spark)
+    val q = StreamPipeline.panelMaintain(
+      stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      s"$dir/ticks", s"$dir/panel", s"$dir/ck",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      stream.addData(b1)
+      q.processAllAvailable()
+      stream.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$dir/panel")
+    val want = graft.operators.DailyPanel.compute(
+      (b1 ++ b2).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      s"panel diverged:\ngot ${got.collect().mkString("\n")}\nwant ${want.collect().mkString("\n")}")
+    // late ticks really merged: day 2 X has both its ticks
+    assert(got.filter($"event_type" === "X" && $"day" === java.sql.Date.valueOf("2024-02-02"))
+      .select("n_ticks").as[Long].head() == 2L)
+  }
+
   test("streaming adaptive quality gate routes by the batch q161 rule (one code path)") {
     val dir = Files.createTempDirectory("graft_aq_gate").toString
     val qg = graft.operators.QualityGate
