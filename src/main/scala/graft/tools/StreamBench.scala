@@ -223,7 +223,30 @@ object StreamBench {
     val aqLine = report("adaptive_quality_gate", aqLats, docRows,
       s""","keep_mb":${dirSizeMb(s"$dir/aq_keep")},"flag_mb":${dirSizeMb(s"$dir/aq_flag")}""")
 
-    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine}")
+    // ---- 7. incremental panel maintenance: each batch of raw ticks
+    // lands in the day-partitioned store and refreshes ONLY its
+    // touched days' panel rows (batches advance event time ~100 min,
+    // so 1-2 days stay hot per batch and per-batch cost is flat as
+    // the standing store grows).
+    val tickRows = math.max(rows / 10, 1000)
+    val ticks7 = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)](spark)
+    val qPanel = StreamPipeline.panelMaintain(
+      ticks7.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      s"$dir/panel_ticks", s"$dir/panel", s"$dir/ckpt_panel",
+      trigger = Trigger.ProcessingTime(0))
+    def genPanelTicks(b: Int): Seq[(Long, java.sql.Timestamp, Long, String, Double, String)] =
+      (0 until tickRows).map { i =>
+        val id = b.toLong * tickRows + i
+        val ts = new java.sql.Timestamp((base + b * 6000L + (i % 6000)) * 1000L)
+        val price = 100.0 + ((id * 2654435761L) % 1000) / 100.0
+        (id, ts, 1L, f"S${i % 5}%02d", price, s"""{"k": ${i % 100}}""")
+      }
+    val panelLats = timeBatches(ticks7, qPanel, batches, genPanelTicks)
+    qPanel.stop()
+    val panelLine = report("panel_maintain", panelLats, tickRows,
+      s""","store_mb":${dirSizeMb(s"$dir/panel_ticks")},"panel_rows":${spark.read.parquet(s"$dir/panel").count()}""")
+
+    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine}")
     spark.stop()
   }
 }
