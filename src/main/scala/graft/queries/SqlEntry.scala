@@ -28,6 +28,10 @@ object SqlEntry {
     Tables.events(spark, dir).createOrReplaceTempView("events")
     Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
     Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    // the panel text exercises graft's json_long_field through SQL —
+    // the custom-expression surface is load-bearing here, not just
+    // demonstrated (idempotent registration)
+    graft.Graft.registerFunctions(spark)
   }
 
   /** Runs a named query through the SQL-text surface. */
@@ -36,6 +40,57 @@ object SqlEntry {
   // r4(x) = floor(x*1e4 + 0.5)/1e4, r2 at 1e2 — the same
   // engine-portable rounding the typed queries use (never round()).
   val texts: Map[String, String] = Map(
+    // q172 — the composed daily panel through SQL text, including the
+    // graft json_long_field expression (D-suffixed double literals
+    // keep every constant the same IEEE double the typed API builds —
+    // a bare 0.6931... literal would be DECIMAL and round-trip
+    // through decimal arithmetic one ulp differently)
+    "q172_daily_panel" ->
+      """WITH base AS (
+        |  SELECT *, to_date(ts) AS day,
+        |    cast(floor(log2(value) * 1e6 + 0.5D) AS bigint) AS lv,
+        |    json_long_field(props, 'k') AS k
+        |  FROM events WHERE value > 0
+        |), win AS (
+        |  SELECT *, row_number() OVER w AS rn,
+        |    lag(lv) OVER w AS prev_lv,
+        |    value - lag(value) OVER w AS chg
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY event_type, day ORDER BY ts, event_id)
+        |), sg AS (
+        |  SELECT *, last(CASE WHEN chg > 0 THEN 1 WHEN chg < 0 THEN -1 END, true)
+        |    OVER (PARTITION BY event_type, day ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sgn
+        |  FROM win
+        |), g AS (
+        |  SELECT event_type, day, count(1) AS n_ticks,
+        |    max(value) AS hi, min(value) AS lo,
+        |    min_by(lv, rn) AS open_lv, max_by(lv, rn) AS close_lv,
+        |    sum(cast(value AS decimal(18,4)) * k) AS pv,
+        |    sum(k) AS volume,
+        |    sum(CASE WHEN prev_lv IS NOT NULL THEN (lv - prev_lv) * (lv - prev_lv) END) AS rv_fp,
+        |    sum(CASE WHEN sgn = 1 THEN k ELSE 0L END) AS buy_vol,
+        |    sum(CASE WHEN sgn = -1 THEN k ELSE 0L END) AS sell_vol
+        |  FROM sg GROUP BY event_type, day
+        |), f AS (
+        |  SELECT *,
+        |    cast(cast(floor(log2(hi) * 1e6 + 0.5D) AS bigint)
+        |       - cast(floor(log2(lo) * 1e6 + 0.5D) AS bigint) AS double) AS dhl,
+        |    cast(close_lv - open_lv AS double) AS dco
+        |  FROM g
+        |)
+        |SELECT event_type, day, n_ticks, hi, lo, volume,
+        |  CASE WHEN volume > 0 THEN
+        |    floor(cast(pv AS double) / cast(volume AS double) * 10000D + 0.5D)/10000D END AS vwap,
+        |  floor(dco / 1e6 * 10000D + 0.5D)/10000D AS ret_cc,
+        |  floor(sqrt(cast(coalesce(rv_fp, 0L) AS double)) / 1e6 * 10000D + 0.5D)/10000D AS rv,
+        |  floor(dhl / 1e6 * sqrt(0.6931471805599453D) / 2D * 10000D + 0.5D)/10000D AS park_vol,
+        |  floor(0.6931471805599453D * 1e-6 * sqrt(greatest(0D,
+        |    0.5D * dhl * dhl - (2D * 0.6931471805599453D - 1D) * dco * dco)) * 10000D + 0.5D)/10000D AS gk_vol,
+        |  CASE WHEN buy_vol + sell_vol > 0 THEN
+        |    floor(cast(buy_vol - sell_vol AS double) / cast(buy_vol + sell_vol AS double) * 10000D + 0.5D)/10000D
+        |  END AS ofi
+        |FROM f""".stripMargin,
     "q06_ohlcv_daily" ->
       """WITH base AS (
         |  SELECT event_type, date_format(ts, 'yyyy-MM-dd') AS d,
