@@ -520,7 +520,39 @@ object CurationQueries {
         col("quartile"), col("rate"))
   }
 
+  // q174 — QUALITY-BASED SURVIVOR SELECTION: among exact duplicates
+  // (q27's canonical fingerprint), keep the HIGHEST-QUALITY copy
+  // instead of the min-id copy — the production dedup rule (the
+  // copies differ in formatting noise the fingerprint normalized
+  // away: stray whitespace/case; the q24 score ranks the cleanest
+  // one) vs the battery's min-id convention (q20/q67), which is the
+  // right DETERMINISM baseline but throws away the quality signal.
+  // Survivor = arg-max (quality_fp, then MIN doc_id on ties) via ONE
+  // min_by on a composite struct — exact integer comparisons (the
+  // micro-quantized score), no window, no second pass. Scale shape:
+  // scoring rides the scan map-side; one fingerprint-keyed
+  // partial-agg shuffle picks every survivor.
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QualityGate
+    val scored = docs(s, dir).select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      // unscorable docs (no tokens) sentinel at -1: the q24 score is
+      // provably >= 0 (log(1+n) >= 0, both penalty factors in [0,1]),
+      // so -1 loses to every scored copy and negates safely
+      coalesce(QualityGate.scoreFp(col("text")), lit(-1L)).as("quality_fp"))
+    scored.groupBy(col("fp"))
+      .agg(
+        min_by(struct(col("doc_id"), col("quality_fp")),
+          struct((-col("quality_fp")).as("nq"), col("doc_id"))).as("t"),
+        count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("min_id"))
+      .select(col("fp"), col("t.doc_id").as("keep_id"),
+        col("t.quality_fp").as("keep_quality_fp"),
+        col("n_copies"), (col("t.doc_id") =!= col("min_id")).as("beat_min_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_quality_survivor" -> q174 _,
     "q173_quality_weighted" -> q173 _,
     "q168_dup_profile" -> q168 _,
     "q163_novelty" -> q163 _,
@@ -542,6 +574,30 @@ object CurationQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q174_quality_survivor" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |    text,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+        |    regexp_extract_all(text, '[.,;:!?''"()\[\]{}]') AS punct
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, fp,
+        |    coalesce(floor(
+        |      ln(1 + len(toks)) * (1 - len(punct)::DOUBLE / nullif(length(text), 0))
+        |        * (1 - len(list_filter(toks, x -> list_contains(['the','a','an','of','to','and','in','is','for','on','with','that','as','at','by'], x)))::DOUBLE
+        |            / nullif(len(toks), 0)) * 1e6 + 0.5)::BIGINT, -1) AS quality_fp
+        |  FROM t
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY quality_fp DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY fp) AS n_copies,
+        |    min(doc_id) OVER (PARTITION BY fp) AS min_id
+        |  FROM m
+        |)
+        |SELECT fp, doc_id AS keep_id, quality_fp AS keep_quality_fp,
+        |  n_copies::BIGINT AS n_copies, (doc_id <> min_id) AS beat_min_id
+        |FROM r WHERE rn = 1""".stripMargin,
     "q173_quality_weighted" ->
       """WITH t AS (
         |  SELECT doc_id, source, text,

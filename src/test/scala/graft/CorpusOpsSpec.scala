@@ -218,6 +218,34 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q174: the higher-quality duplicate survives even with the larger id") {
+    val base = q("q174_quality_survivor", sf("sf0.01")).cache()
+    assert(base.filter($"n_copies" < 1).isEmpty)
+    assert(base.count() == base.select($"fp").distinct().count(), "one survivor per fp")
+    // verbatim-duplicate corpus: identical quality -> min id wins,
+    // beat_min_id must be false
+    val dir2 = Files.createTempDirectory("graft_q174b").toString
+    Seq((5L, "same text body"), (9L, "same text body"), (7L, "other"))
+      .toDF("doc_id", "text").write.parquet(s"$dir2/documents.parquet")
+    val tie = q("q174_quality_survivor", dir2)
+      .filter($"n_copies" === 2).collect().head
+    assert(tie.getAs[Long]("keep_id") == 5L && !tie.getAs[Boolean]("beat_min_id"))
+    // case-noise duplicates with different quality: lowercase copy has
+    // identical fingerprint; quality differs only via punct/len -> use
+    // whitespace noise: "a  b" vs "a b" have same tokens, same quality
+    // -> same again. Quality CAN differ on ws-noise via length(text):
+    // punct_ratio divides by raw length, so the doc with MORE raw
+    // whitespace has lower punct_ratio -> HIGHER quality
+    val dir3 = Files.createTempDirectory("graft_q174c").toString
+    Seq((3L, "hello, world of text"), (8L, "hello,   world   of   text"))
+      .toDF("doc_id", "text").write.parquet(s"$dir3/documents.parquet")
+    val r3 = q("q174_quality_survivor", dir3).collect().head
+    assert(r3.getAs[Long]("n_copies") == 2L)
+    assert(r3.getAs[Long]("keep_id") == 8L && r3.getAs[Boolean]("beat_min_id"),
+      s"padded copy (lower punct ratio) must beat the min-id copy: $r3")
+    base.unpersist()
+  }
+
   test("q173: top quartile keeps everything; rates quantized to the four strata") {
     val out = q("q173_quality_weighted", sf("sf0.01")).cache()
     assert(out.filter(!$"rate".isin(0.25, 0.5, 0.75, 1.0)).isEmpty)
