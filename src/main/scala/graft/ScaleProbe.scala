@@ -307,6 +307,8 @@ object ScaleProbe {
         spark.read.parquet(s"$dst/documents.parquet"), hashedGrams = true)
     }
     time("q172_daily_panel") { q("q172_daily_panel") }
+    time("q173_quality_weighted") { q("q173_quality_weighted") }
+    time("q174_quality_survivor") { q("q174_quality_survivor") }
     time("q114_split_decontam") { q("q114_split_decontam") }
     time("q114_decontam_hashed") {
       queries.CurationQueries.splitDecontam(
