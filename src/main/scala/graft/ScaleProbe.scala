@@ -309,6 +309,14 @@ object ScaleProbe {
     time("q172_daily_panel") { q("q172_daily_panel") }
     time("q173_quality_weighted") { q("q173_quality_weighted") }
     time("q174_quality_survivor") { q("q174_quality_survivor") }
+    // session-4 additions: day-grid statistics (volume-sized work is
+    // one close partial-agg) + two tick-grain estimators (q177 window
+    // pass + day-grid agg; q178 chunked corpus-wide volume clock)
+    time("q175_higher_moments") { q("q175_higher_moments") }
+    time("q176_return_acf") { q("q176_return_acf") }
+    time("q177_kyle_lambda") { q("q177_kyle_lambda") }
+    time("q178_vpin") { q("q178_vpin") }
+    time("q179_momentum") { q("q179_momentum") }
     time("q114_split_decontam") { q("q114_split_decontam") }
     time("q114_decontam_hashed") {
       queries.CurationQueries.splitDecontam(

@@ -627,7 +627,237 @@ object MarketQueries {
   private def q172(s: SparkSession, dir: String): DataFrame =
     graft.operators.DailyPanel.compute(ev(s, dir))
 
+  /** Daily close-to-close micro-log2 returns per instrument — the
+    * q159/q170 construction, shared by the day-grid statistics
+    * (q175/q176/q179): one span-bounded (instrument, day) window for
+    * the deterministic close, one partial-agg shuffle to the
+    * volume-independent day grid, one day-grain lag. */
+  private def dailyReturns(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("day")).orderBy(col("ts"), col("event_id"))
+    val closes = ev(s, dir)
+      .filter(col("value") > 0)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("lv", qlog2(col("value")))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max_by(col("lv"), col("rn")).as("close_lv"))
+    val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    closes
+      .withColumn("prev", lag(col("close_lv"), 1).over(wd))
+      .filter(col("prev").isNotNull)
+      .withColumn("r_fp", col("close_lv") - col("prev"))
+      .select(col("event_type"), col("day"), col("r_fp"))
+  }
+
+  // q175 — REALIZED HIGHER MOMENTS (skewness / excess kurtosis of
+  // daily returns) per instrument: the tail-risk readout next to
+  // q153's second moment — crash asymmetry (skew < 0) and fat tails
+  // (kurt > 0) are what a variance number alone cannot see. Returns
+  // are exact micro-log2 integers (the q159 construction), so the
+  // four raw power sums are exact: s1/s2 fit long on the day grid
+  // (|r| <~ 2^24, grid is volume-independent), s3/s4 ride decimal —
+  // r³ exceeds long at |r| ~ 2^21 (DuckDB mirrors with HUGEINT).
+  // Skew and kurtosis are scale-invariant, so the 1e-6 quantization
+  // scale cancels algebraically; the closing formulas are ONE shared
+  // IEEE sequence (raw→central moments), guarded on mu2 > 0 (a
+  // constant-return series has no shape to measure). Scale shape:
+  // the only volume-sized work is the (instrument, day) close
+  // partial-agg; everything after runs on the fixed day grid.
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    val r1 = col("r_fp")
+    val r2 = r1 * r1 // exact long: |r| <= ~2^24 on this feed
+    val agg = dailyReturns(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(r1).as("s1"), sum(r2).as("s2"),
+        sum(r2.cast("decimal(19,0)") * r1).as("s3"),
+        sum(r2.cast("decimal(19,0)") * r2).as("s4"))
+    def d(c: Column) = c.cast("double")
+    val n   = d(col("n_days"))
+    val rm1 = d(col("s1")) / n
+    val rm2 = d(col("s2")) / n
+    val rm3 = d(col("s3")) / n
+    val rm4 = d(col("s4")) / n
+    val mu2 = rm2 - rm1 * rm1
+    val mu3 = rm3 - lit(3d) * rm1 * rm2 + lit(2d) * rm1 * rm1 * rm1
+    val mu4 = rm4 - lit(4d) * rm1 * rm3 + lit(6d) * rm1 * rm1 * rm2 -
+      lit(3d) * rm1 * rm1 * rm1 * rm1
+    agg.select(col("event_type"), col("n_days"),
+      when(mu2 > 0, r4(sqrt(mu2) / lit(1e6))).as("vol_d"),
+      when(mu2 > 0, r4(mu3 / (sqrt(mu2) * mu2))).as("skew_d"),
+      when(mu2 > 0, r4(mu4 / (mu2 * mu2) - lit(3d))).as("kurt_x"))
+  }
+
+  // q176 — RETURN AUTOCORRELATION FUNCTION (lags 1–3) per instrument:
+  // the serial-dependence profile (momentum vs mean reversion per
+  // horizon) that q170's variance ratio summarizes — here read
+  // directly as Pearson(r_t, r_{t−k}) for k = 1..3, all three lags
+  // from ONE day-grid window pass (lag 1/2/3 computed together, then
+  // unpivoted — not three window sorts). Exact integer sums feed the
+  // q110 correlation formula; pair counts differ per lag (the grid
+  // loses k rows at lag k), so each lag carries its own n. Scale
+  // shape: the one volume-sized pass is the shared (instrument, day)
+  // close aggregation inside dailyReturns; lags/explode/aggregate all
+  // run on the volume-independent day grid.
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val lagged = dailyReturns(s, dir)
+      .withColumn("lags", array(
+        struct(lit(1).as("lag_k"), lag(col("r_fp"), 1).over(wd).as("y")),
+        struct(lit(2).as("lag_k"), lag(col("r_fp"), 2).over(wd).as("y")),
+        struct(lit(3).as("lag_k"), lag(col("r_fp"), 3).over(wd).as("y"))))
+      .select(col("event_type"), col("r_fp"), explode(col("lags")).as("l"))
+      .select(col("event_type"), col("l.lag_k").as("lag_k"),
+        col("r_fp").as("x"), col("l.y").as("y"))
+      .filter(col("y").isNotNull)
+    val agg = lagged.groupBy(col("event_type"), col("lag_k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    def d(c: Column) = c.cast("double")
+    val n   = d(col("n_pairs"))
+    val num = n * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val den = sqrt(n * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+      sqrt(n * d(col("syy")) - d(col("sy")) * d(col("sy")))
+    agg.select(col("event_type"), col("lag_k"), col("n_pairs"),
+      when(den > 0, r4(num / den)).as("acf"))
+  }
+
+  // q177 — KYLE'S LAMBDA per (instrument, day): the price-impact
+  // coefficient (Kyle 1985) — the OLS slope of the tick price change
+  // on the SIGNED tick volume, the standard "how many dollars does it
+  // cost to move the price" liquidity number (complements q158's
+  // Amihud ratio, which has no direction, and q169's Roll spread,
+  // which has no size). Composition: q169's integer ten-thousandth
+  // price diffs (y) × q167's inherited-zero-tick trade signing ×
+  // the props volume (x = sgn·k, via graft's json_long_field byte
+  // scan) — three already-pinned constructions closed by one OLS
+  // formula over exact integer sums (decimal at the shuffle: the
+  // products fit long per tick but not their 100x daily sums). r²
+  // rides along: a lambda from a flat fit is noise, and the r² column
+  // is what a desk gates on. Scale shape: one span-bounded
+  // (instrument, day) window pass (diff + sign share it), one
+  // partial-agg shuffle to the day grid.
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("day")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ticks = ev(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("k", graft.functions.JsonField.longField(col("props"), "k"))
+      .withColumn("p_fp", floor(col("value") * lit(1e4) + lit(0.5)).cast("long"))
+      .withColumn("dp", col("p_fp") - lag(col("p_fp"), 1).over(w))
+      .withColumn("chg", col("value") - lag(col("value"), 1).over(w))
+      .withColumn("sgn_raw",
+        when(col("chg") > 0, 1).when(col("chg") < 0, -1).otherwise(lit(null).cast("int")))
+      .withColumn("sgn", last(col("sgn_raw"), ignoreNulls = true).over(wRun))
+      .filter(col("dp").isNotNull && col("sgn").isNotNull)
+      .withColumn("x", col("sgn") * col("k"))
+    val agg = ticks.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_ticks"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("dp").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("dp")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("dp") * col("dp")).cast("decimal(38,0)")).as("syy"))
+    def d(c: Column) = c.cast("double")
+    val n    = d(col("n_ticks"))
+    val num  = n * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val denB = n * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val denC = (n * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+      (n * d(col("syy")) - d(col("sy")) * d(col("sy")))
+    agg.select(col("event_type"), col("day"), col("n_ticks"),
+      when(denB =!= 0, r4(num / denB / lit(1e4))).as("lambda_px"),
+      when(denC > 0, r4(num * num / denC)).as("r2_fit"))
+  }
+
+  // q178 — VPIN (volume-synchronized probability of informed trading,
+  // Easley/López de Prado/O'Hara 2012), aligned-bucket variant: trade
+  // flow is re-clocked in VOLUME time — every V = 2000 shares starts
+  // a new bucket — and toxicity is the volume-weighted order-flow
+  // imbalance across buckets, Σ|buy−sell| / Σvol. The volume clock is
+  // a corpus-wide running sum per instrument, and it evaluates
+  // through ChunkedFrame.withRunningSum (day chunks): a bare
+  // Window.partitionBy(event_type) would serialize each instrument's
+  // ENTIRE month in one task — the q109/q156 five-key ceiling.
+  // Deviation from the paper, documented: ticks are assigned whole to
+  // the bucket where they START (no intra-tick volume splitting), so
+  // bucket boundaries land on tick edges — at 100-share ticks vs
+  // V = 2000 the misalignment is <5% per bucket and the estimator is
+  // unchanged in expectation. Signing is q167's inherited-zero-tick
+  // rule. All sums are exact integers; ONE closing division. Scale
+  // shape: one (instrument, day) sign window + the chunked running
+  // sum + two partial aggs; bucket count grows with volume/V, so
+  // per-bucket work is constant and the final per-instrument table is
+  // |instruments| rows.
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("day")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val signed = ev(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("k", graft.functions.JsonField.longField(col("props"), "k"))
+      .withColumn("chg", col("value") - lag(col("value"), 1).over(w))
+      .withColumn("sgn_raw",
+        when(col("chg") > 0, 1).when(col("chg") < 0, -1).otherwise(lit(null).cast("int")))
+      .withColumn("sgn", last(col("sgn_raw"), ignoreNulls = true).over(wRun))
+      .select(col("event_type"), col("ts"), col("event_id"), col("k"), col("sgn"))
+    val clocked = graft.operators.ChunkedFrame.withRunningSum(
+      signed, keyCol = "event_type", chunk = date_trunc("day", col("ts")),
+      orderCols = Seq("ts", "event_id"), valCol = "k", outCol = "cum")
+      .withColumn("bucket", expr("(cum - k) DIV 2000"))
+    val buckets = clocked.groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("k")).as("vol"),
+        sum(when(col("sgn") === 1, col("k")).otherwise(0L)).as("buy_vol"),
+        sum(when(col("sgn") === -1, col("k")).otherwise(0L)).as("sell_vol"))
+    buckets.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("vol")).as("total_vol"),
+        sum(abs(col("buy_vol") - col("sell_vol"))).as("imb_vol"))
+      .select(col("event_type"), col("n_buckets"), col("total_vol"),
+        when(col("total_vol") > 0,
+          r4(col("imb_vol").cast("double") / col("total_vol").cast("double"))).as("vpin"))
+  }
+
+  // q179 — CROSS-SECTIONAL MOMENTUM (daily winner/loser spread): each
+  // day, instruments are ranked by their trailing 5-day return (days
+  // t−5..t−1 — the signal EXCLUDES the day being traded, the
+  // look-ahead rule every backtest must honor), and the portfolio
+  // return is winner-minus-loser on day t — the Jegadeesh-Titman
+  // momentum construction at daily horizon. Returns are exact
+  // micro-log2 integers; the trailing signal is an exact integer
+  // window sum; ranks tiebreak on (signal desc, instrument) so the
+  // portfolio is deterministic on both engines; the spread stays an
+  // integer until the final 1e-6 descale. Scale shape: everything
+  // after dailyReturns' one partial-agg pass runs on the
+  // volume-independent (day × |instruments|) grid.
+  private def q179(s: SparkSession, dir: String): DataFrame = {
+    val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val sig = dailyReturns(s, dir)
+      .withColumn("mom", sum(col("r_fp")).over(wd.rowsBetween(-5, -1)))
+      .withColumn("n_m", count(col("r_fp")).over(wd.rowsBetween(-5, -1)))
+      .filter(col("n_m") === 5)
+    val wday = Window.partitionBy(col("day")).orderBy(col("mom").desc, col("event_type"))
+    val ranked = sig
+      .withColumn("rn", row_number().over(wday))
+      .withColumn("n_day", count(lit(1)).over(Window.partitionBy(col("day"))))
+    val winner = ranked.filter(col("rn") === 1)
+      .select(col("day"), col("event_type").as("win_type"), col("r_fp").as("win_fp"))
+    val loser = ranked.filter(col("rn") === col("n_day"))
+      .select(col("day"), col("event_type").as("lose_type"), col("r_fp").as("lose_fp"))
+    winner.join(loser, Seq("day"))
+      .select(col("day"), col("win_type"), col("lose_type"),
+        r4(col("win_fp").cast("double") / lit(1e6)).as("win_ret"),
+        r4(col("lose_fp").cast("double") / lit(1e6)).as("lose_ret"),
+        r4((col("win_fp") - col("lose_fp")).cast("double") / lit(1e6)).as("spread"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_higher_moments" -> q175 _,
+    "q176_return_acf" -> q176 _,
+    "q177_kyle_lambda" -> q177 _,
+    "q178_vpin" -> q178 _,
+    "q179_momentum" -> q179 _,
     "q172_daily_panel" -> q172 _,
     "q169_roll_spread" -> q169 _,
     "q170_variance_ratio" -> q170 _,
@@ -648,7 +878,166 @@ object MarketQueries {
     "q110_corr_matrix" -> q110 _
   )
 
+  /** Shared WITH-prefix for the day-grid statistics (q175/q176/q179):
+    * the q159/q170 daily close-to-close micro-log2 return
+    * construction, ending at `r (event_type, day, r_fp)`. */
+  private def dayRetCtes: String =
+    """WITH e AS (
+      |  SELECT event_type, ts::TIMESTAMP AS ts, event_id, value,
+      |    ts::TIMESTAMP::DATE AS day,
+      |    floor(log2(value)*1e6 + 0.5)::BIGINT AS lv
+      |  FROM events WHERE value > 0
+      |), r0 AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS rn
+      |  FROM e
+      |), c AS (
+      |  SELECT event_type, day, arg_max(lv, rn) AS close_lv
+      |  FROM r0 GROUP BY 1, 2
+      |), r AS (
+      |  SELECT event_type, day,
+      |    close_lv - lag(close_lv) OVER (PARTITION BY event_type ORDER BY day) AS r_fp
+      |  FROM c QUALIFY r_fp IS NOT NULL
+      |)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q175_higher_moments" ->
+      (dayRetCtes +
+        """, m AS (
+          |  SELECT event_type, count(*)::BIGINT AS n_days,
+          |    sum(r_fp)::BIGINT AS s1, sum(r_fp*r_fp)::BIGINT AS s2,
+          |    sum((r_fp*r_fp)::HUGEINT * r_fp) AS s3,
+          |    sum((r_fp*r_fp)::HUGEINT * (r_fp*r_fp)) AS s4
+          |  FROM r GROUP BY 1
+          |), f AS (
+          |  SELECT event_type, n_days,
+          |    s1::DOUBLE / n_days::DOUBLE AS rm1,
+          |    s2::DOUBLE / n_days::DOUBLE AS rm2,
+          |    s3::DOUBLE / n_days::DOUBLE AS rm3,
+          |    s4::DOUBLE / n_days::DOUBLE AS rm4
+          |  FROM m
+          |), g AS (
+          |  SELECT event_type, n_days,
+          |    rm2 - rm1*rm1 AS mu2,
+          |    rm3 - 3*rm1*rm2 + 2*rm1*rm1*rm1 AS mu3,
+          |    rm4 - 4*rm1*rm3 + 6*rm1*rm1*rm2 - 3*rm1*rm1*rm1*rm1 AS mu4
+          |  FROM f
+          |)
+          |SELECT event_type, n_days,
+          |  CASE WHEN mu2 > 0 THEN floor(sqrt(mu2)/1e6*10000 + 0.5)/10000 END AS vol_d,
+          |  CASE WHEN mu2 > 0 THEN floor(mu3/(sqrt(mu2)*mu2)*10000 + 0.5)/10000 END AS skew_d,
+          |  CASE WHEN mu2 > 0 THEN floor((mu4/(mu2*mu2) - 3)*10000 + 0.5)/10000 END AS kurt_x
+          |FROM g""".stripMargin),
+    "q176_return_acf" ->
+      (dayRetCtes +
+        """, b AS (
+          |  SELECT event_type, day, r_fp,
+          |    lag(r_fp, 1) OVER w AS y1, lag(r_fp, 2) OVER w AS y2, lag(r_fp, 3) OVER w AS y3
+          |  FROM r WINDOW w AS (PARTITION BY event_type ORDER BY day)
+          |), l AS (
+          |  SELECT event_type, 1 AS lag_k, r_fp AS x, y1 AS y FROM b WHERE y1 IS NOT NULL
+          |  UNION ALL SELECT event_type, 2, r_fp, y2 FROM b WHERE y2 IS NOT NULL
+          |  UNION ALL SELECT event_type, 3, r_fp, y3 FROM b WHERE y3 IS NOT NULL
+          |), g AS (
+          |  SELECT event_type, lag_k, count(*)::BIGINT AS n_pairs,
+          |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy, sum(x*y)::BIGINT AS sxy,
+          |    sum(x*x)::BIGINT AS sxx, sum(y*y)::BIGINT AS syy
+          |  FROM l GROUP BY 1, 2
+          |)
+          |SELECT event_type, lag_k, n_pairs,
+          |  CASE WHEN sqrt(n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+          |         * sqrt(n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0 THEN
+          |    floor((n_pairs::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+          |      / (sqrt(n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+          |        * sqrt(n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) * 10000 + 0.5)/10000
+          |  END AS acf
+          |FROM g""".stripMargin),
+    "q177_kyle_lambda" ->
+      """WITH e AS (
+        |  SELECT event_type, ts::TIMESTAMP AS ts, event_id, value,
+        |    ts::TIMESTAMP::DATE AS day,
+        |    floor(value * 1e4 + 0.5)::BIGINT AS p_fp,
+        |    json_extract_string(props, '$.k')::BIGINT AS k
+        |  FROM events
+        |), win AS (
+        |  SELECT *,
+        |    p_fp - lag(p_fp) OVER w AS dp,
+        |    value - lag(value) OVER w AS chg
+        |  FROM e WINDOW w AS (PARTITION BY event_type, day ORDER BY ts, event_id)
+        |), sg AS (
+        |  SELECT *, last_value(CASE WHEN chg > 0 THEN 1 WHEN chg < 0 THEN -1 END IGNORE NULLS)
+        |    OVER (PARTITION BY event_type, day ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sgn
+        |  FROM win
+        |), t AS (
+        |  SELECT event_type, day, sgn * k AS x, dp FROM sg
+        |  WHERE dp IS NOT NULL AND sgn IS NOT NULL
+        |), g AS (
+        |  SELECT event_type, day, count(*)::BIGINT AS n_ticks,
+        |    sum(x::HUGEINT) AS sx, sum(dp::HUGEINT) AS sy,
+        |    sum((x*dp)::HUGEINT) AS sxy, sum((x*x)::HUGEINT) AS sxx, sum((dp*dp)::HUGEINT) AS syy
+        |  FROM t GROUP BY 1, 2
+        |)
+        |SELECT event_type, day, n_ticks,
+        |  CASE WHEN n_ticks::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE <> 0 THEN
+        |    floor((n_ticks::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |      / (n_ticks::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) / 1e4 * 10000 + 0.5)/10000
+        |  END AS lambda_px,
+        |  CASE WHEN (n_ticks::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |         * (n_ticks::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0 THEN
+        |    floor((n_ticks::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |      * (n_ticks::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |      / ((n_ticks::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |        * (n_ticks::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) * 10000 + 0.5)/10000
+        |  END AS r2_fit
+        |FROM g""".stripMargin,
+    "q178_vpin" ->
+      """WITH e AS (
+        |  SELECT event_type, ts::TIMESTAMP AS ts, event_id, value,
+        |    ts::TIMESTAMP::DATE AS day,
+        |    json_extract_string(props, '$.k')::BIGINT AS k
+        |  FROM events
+        |), win AS (
+        |  SELECT *, value - lag(value) OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS chg
+        |  FROM e
+        |), sg AS (
+        |  SELECT *, last_value(CASE WHEN chg > 0 THEN 1 WHEN chg < 0 THEN -1 END IGNORE NULLS)
+        |    OVER (PARTITION BY event_type, day ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sgn
+        |  FROM win
+        |), ck AS (
+        |  SELECT *, sum(k) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM sg
+        |), b AS (
+        |  SELECT event_type, (cum - k) // 2000 AS bucket, sum(k)::BIGINT AS vol,
+        |    sum(CASE WHEN sgn = 1 THEN k ELSE 0 END)::BIGINT AS buy_vol,
+        |    sum(CASE WHEN sgn = -1 THEN k ELSE 0 END)::BIGINT AS sell_vol
+        |  FROM ck GROUP BY 1, 2
+        |)
+        |SELECT event_type, count(*)::BIGINT AS n_buckets, sum(vol)::BIGINT AS total_vol,
+        |  CASE WHEN sum(vol) > 0 THEN
+        |    floor(sum(abs(buy_vol - sell_vol))::DOUBLE / sum(vol)::DOUBLE * 10000 + 0.5)/10000
+        |  END AS vpin
+        |FROM b GROUP BY 1""".stripMargin,
+    "q179_momentum" ->
+      (dayRetCtes +
+        """, sgn AS (
+          |  SELECT *,
+          |    sum(r_fp) OVER (PARTITION BY event_type ORDER BY day
+          |      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS mom,
+          |    count(r_fp) OVER (PARTITION BY event_type ORDER BY day
+          |      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS n_m
+          |  FROM r
+          |), rk AS (
+          |  SELECT *, row_number() OVER (PARTITION BY day ORDER BY mom DESC, event_type) AS rn,
+          |    count(*) OVER (PARTITION BY day) AS n_day
+          |  FROM sgn WHERE n_m = 5
+          |)
+          |SELECT w.day, w.event_type AS win_type, l.event_type AS lose_type,
+          |  floor(w.r_fp::DOUBLE / 1e6 * 10000 + 0.5)/10000 AS win_ret,
+          |  floor(l.r_fp::DOUBLE / 1e6 * 10000 + 0.5)/10000 AS lose_ret,
+          |  floor((w.r_fp - l.r_fp)::DOUBLE / 1e6 * 10000 + 0.5)/10000 AS spread
+          |FROM rk w JOIN rk l ON w.day = l.day AND w.rn = 1 AND l.rn = l.n_day""".stripMargin),
     "q172_daily_panel" ->
       """WITH e AS (
         |  SELECT event_type, ts::TIMESTAMP AS ts, event_id, value,

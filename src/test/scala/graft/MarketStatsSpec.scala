@@ -142,4 +142,120 @@ class MarketStatsSpec extends SparkSpec {
     assert(off.isEmpty, s"mean beta drifts from 1: ${off.collect().mkString(",")}")
     out.unpersist()
   }
+
+  /** One tick per day at alternating prices 1, 2, 1, 2, … — daily
+    * micro-log2 returns alternate exactly ±1e6, giving closed-form
+    * moments and autocorrelations. */
+  private def alternatingFeed(days: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_alt").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    (0 until days).map { d =>
+      (d.toLong, new java.sql.Timestamp(t0.getTime + d * 86400000L), 1L, "X",
+        if (d % 2 == 0) 1.0 else 2.0, """{"k": 5}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q175: alternating-return feed pins vol=1, skew=0, excess kurtosis=-2; real-feed moment bound holds") {
+    // 9 days -> 8 returns of +-1e6: mean 0, mu2 = 1e12, mu3 = 0,
+    // mu4 = 1e24 -> vol_d 1.0, skew 0.0, kurt_x exactly -2.0
+    val r = SparkEntry.queries("q175_higher_moments")(spark, alternatingFeed(9)).collect().head
+    assert(r.getAs[Long]("n_days") == 8L)
+    assert(r.getAs[Double]("vol_d") == 1.0, s"vol: $r")
+    assert(r.getAs[Double]("skew_d") == 0.0, s"skew: $r")
+    assert(r.getAs[Double]("kurt_x") == -2.0, s"kurt: $r")
+    // any real distribution satisfies kurtosis >= 1 + skew^2, i.e.
+    // excess >= skew^2 - 2 — a formula-level sanity check the oracle
+    // replay cannot provide (both engines would be wrong identically)
+    q("q175_higher_moments").collect().foreach { row =>
+      val sk = row.getAs[Double]("skew_d"); val kx = row.getAs[Double]("kurt_x")
+      assert(kx >= sk * sk - 2 - 1e-3, s"moment inequality violated: $row")
+    }
+  }
+
+  test("q176: alternating feed pins acf(1,2,3) = -1, +1, -1; real-feed pair counts and bounds") {
+    val alt = SparkEntry.queries("q176_return_acf")(spark, alternatingFeed(9))
+      .collect().map(r => r.getAs[Int]("lag_k") -> r.getAs[Double]("acf")).toMap
+    assert(alt(1) == -1.0 && alt(2) == 1.0 && alt(3) == -1.0, s"acf: $alt")
+    val out = q("q176_return_acf").cache()
+    assert(out.filter(abs($"acf") > 1.0001).isEmpty, "acf out of range")
+    // each lag k loses exactly k pairs off the per-type return count
+    val n1 = out.filter($"lag_k" === 1).select($"event_type", ($"n_pairs" + 1).as("n"))
+    val n3 = out.filter($"lag_k" === 3).select($"event_type", ($"n_pairs" + 3).as("n"))
+    assert(n1.exceptAll(n3).isEmpty, "lag-k pair counts inconsistent")
+    out.unpersist()
+  }
+
+  test("q177: designed linear-impact feed recovers lambda exactly with r2 = 1") {
+    // dp_fp = 2 * sgn * k by construction: prices 100, 100.0010 (+1,
+    // k=5), 100.0004 (-1, k=3), 100.0008 (+1, k=2) -> slope exactly 2
+    // fp-units/share -> lambda_px = 0.0002, r2_fit = 1.0
+    val dir = java.nio.file.Files.createTempDirectory("graft_q177").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    Seq(
+      (1L, ts(0), 1L, "X", 100.0000, """{"k": 9}"""),
+      (2L, ts(1), 1L, "X", 100.0010, """{"k": 5}"""),
+      (3L, ts(2), 1L, "X", 100.0004, """{"k": 3}"""),
+      (4L, ts(3), 1L, "X", 100.0008, """{"k": 2}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q177_kyle_lambda")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_ticks") == 3L)
+    assert(r.getAs[Double]("lambda_px") == 0.0002, s"lambda: $r")
+    assert(r.getAs[Double]("r2_fit") == 1.0, s"r2: $r")
+  }
+
+  test("q178: VPIN bounded in [0,1]; total volume matches the feed; single-bucket designed feed") {
+    val out = q("q178_vpin").cache()
+    assert(out.filter($"vpin" < 0 || $"vpin" > 1.0001).isEmpty)
+    val want = graft.core.Tables.events(spark, sf())
+      .groupBy($"event_type")
+      .agg(sum(graft.functions.JsonField.longField($"props", "k")).as("tv"))
+    val mism = out.join(want, Seq("event_type")).filter($"total_vol" =!= $"tv")
+    assert(mism.isEmpty, "volume clock lost volume")
+    out.unpersist()
+    // q167's designed feed fits one 2000-share bucket: vpin = |10-2|/17
+    val dir = java.nio.file.Files.createTempDirectory("graft_q178").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    Seq(
+      (1L, ts(0), 1L, "X", 10.0, """{"k": 5}"""),
+      (2L, ts(1), 1L, "X", 11.0, """{"k": 7}"""),
+      (3L, ts(2), 1L, "X", 11.0, """{"k": 3}"""),
+      (4L, ts(3), 1L, "X", 9.0, """{"k": 2}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q178_vpin")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_buckets") == 1L && r.getAs[Long]("total_vol") == 17L)
+    assert(r.getAs[Double]("vpin") == math.floor(8d / 17d * 10000 + 0.5) / 10000, s"vpin: $r")
+  }
+
+  test("q179: steady winner/loser feed pins the spread; real-feed rows are consistent") {
+    // A doubles daily, B halves: returns +-1e6 every day; return
+    // rows exist for days 2-9 and a signal day needs 5 PRIOR return
+    // rows -> days 7, 8, 9 emit, winner always A, spread exactly 2.0
+    val dir = java.nio.file.Files.createTempDirectory("graft_q179").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val rows = (0 until 9).flatMap { d =>
+      val ts = new java.sql.Timestamp(t0.getTime + d * 86400000L)
+      Seq((d * 2L, ts, 1L, "A", math.pow(2d, d), """{"k": 5}"""),
+        (d * 2L + 1, ts, 1L, "B", math.pow(2d, -d), """{"k": 5}"""))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q179_momentum")(spark, dir).collect()
+    assert(out.length == 3, s"signal days: ${out.mkString(",")}")
+    out.foreach { r =>
+      assert(r.getAs[String]("win_type") == "A" && r.getAs[String]("lose_type") == "B")
+      assert(r.getAs[Double]("spread") == 2.0, s"spread: $r")
+    }
+    q("q179_momentum").collect().foreach { r =>
+      assert(r.getAs[String]("win_type") != r.getAs[String]("lose_type"))
+      assert(math.abs(r.getAs[Double]("spread") -
+        (r.getAs[Double]("win_ret") - r.getAs[Double]("lose_ret"))) < 2e-4,
+        s"spread inconsistent with member returns: $r")
+    }
+  }
 }
