@@ -312,6 +312,7 @@ object ScaleProbe {
     // session-4 additions: day-grid statistics (volume-sized work is
     // one close partial-agg) + two tick-grain estimators (q177 window
     // pass + day-grid agg; q178 chunked corpus-wide volume clock)
+    time("q180_mmr_topk") { q("q180_mmr_topk") }
     time("q175_higher_moments") { q("q175_higher_moments") }
     time("q176_return_acf") { q("q176_return_acf") }
     time("q177_kyle_lambda") { q("q177_kyle_lambda") }

@@ -796,7 +796,73 @@ object ExtensionQueries {
        |FROM d, m""".stripMargin
   }
 
+  // q180 — MMR DIVERSIFIED TOP-K (maximal marginal relevance,
+  // Carbonell & Goldstein SIGIR 1998): serve 5 results per query that
+  // balance relevance against redundancy — pick_i maximizes
+  // λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s) with λ = 1/2 — the
+  // standard de-duplicated retrieval layer over a dense index (a
+  // plain top-5 returns near-identical neighbors; RAG context windows
+  // and search UIs both pay for that redundancy). Two-stage shape:
+  // stage 1 is q28's exact shortlist (broadcast queries + BoundedTopK
+  // partial agg, top-20 by r4-rounded cosine); stage 2 runs the
+  // greedy selection as FOUR composed shortlist-sized steps — the
+  // candidate-pair similarity table is |q|·20·19 rows, each step an
+  // anti-join + max-aggregate + deterministic argmax (mmr desc,
+  // neighbor_id) — nothing after the shortlist touches the corpus.
+  // All scores are r4-quantized before comparison, so ranks and ties
+  // are engine-portable; the mmr combine (0.5·rel − 0.5·maxsim) is
+  // one shared IEEE sequence. Scale shape: at 100 TB the shortlist
+  // stage is the only corpus scan (or its q118 IVF-PQ drop-in); the
+  // MMR refinement is O(|queries|·k²) regardless of corpus size —
+  // shortlist/vector/pair frames persist because four greedy steps
+  // re-reference them (the q141 persist-once rule).
+  private def q180(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val scored = Similarity.scoreAll(e.filter(col("vec_id") < 10), e, "vec_id", "embedding")
+      .withColumn("rel_r", r4(col("cos"))).drop("cos")
+    val shortlist = Similarity.topK(scored, 20, col("rel_r"))
+      .select(col("query_id"), col("neighbor_id"), col("rel_r"), col("rnk"))
+      .persist()
+    val vecs = shortlist
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("v")), Seq("neighbor_id"))
+      .withColumn("nrm", Similarity.l2norm(col("v")))
+      .select(col("query_id"), col("neighbor_id"), col("v"), col("nrm"))
+      .persist()
+    val pairs = vecs.select(col("query_id"), col("neighbor_id").as("a_id"),
+        col("v").as("av"), col("nrm").as("an"))
+      .join(vecs.select(col("query_id"), col("neighbor_id").as("b_id"),
+        col("v").as("bv"), col("nrm").as("bn")), Seq("query_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("query_id"), col("a_id"), col("b_id"),
+        r4(Similarity.dot(col("av"), col("bv")) / (col("an") * col("bn"))).as("sim_r"))
+      .persist()
+    val first = shortlist.filter(col("rnk") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("rel_r"),
+        lit(1).as("pick"), lit(null).cast("double").as("mmr_r"))
+    val selected = (2 to 5).foldLeft(first) { (sel, step) =>
+      val selIds = sel.select(col("query_id"), col("neighbor_id").as("b_id"))
+      val maxSim = pairs.join(selIds, Seq("query_id", "b_id"))
+        .groupBy(col("query_id"), col("a_id").as("neighbor_id"))
+        .agg(max(col("sim_r")).as("max_sim"))
+      val pick = shortlist
+        .join(sel.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_anti")
+        .join(maxSim, Seq("query_id", "neighbor_id"))
+        .withColumn("mmr_r", lit(0.5d) * col("rel_r") - lit(0.5d) * col("max_sim"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("mmr_r").desc, col("neighbor_id"))))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("rel_r"),
+          lit(step).as("pick"), col("mmr_r"))
+      sel.unionByName(pick)
+    }
+    selected.select(col("query_id"), col("pick"), col("neighbor_id"),
+      col("rel_r"), col("mmr_r"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_mmr_topk" -> q180 _,
     "q106_bpe_train" -> q106 _,
     "q107_bpe_token_counts" -> q107 _,
     "q38_embed_neardup" -> q38 _,
@@ -886,7 +952,60 @@ object ExtensionQueries {
       |  WHERE rn = 1
       |)""".stripMargin
 
+  /** q180 oracle: q28's shortlist construction, the candidate-pair
+    * cosine table, then the four greedy MMR steps unrolled as CTE
+    * blocks (each: selected-so-far union, per-candidate max
+    * similarity, mmr combine, deterministic argmax). Generated so the
+    * four steps stay textually identical. */
+  private def mmrOracleSql: String = {
+    val steps = (2 to 5).map { k =>
+      val selPrev = (1 until k).map(i => s"SELECT query_id, neighbor_id FROM s$i")
+        .mkString(" UNION ALL ")
+      s""", sel${k - 1} AS ($selPrev
+         |), m$k AS (
+         |  SELECT p.query_id, p.a_id, max(p.sim_r) AS max_sim
+         |  FROM p JOIN sel${k - 1} x ON p.query_id = x.query_id AND p.b_id = x.neighbor_id
+         |  GROUP BY 1, 2
+         |), t$k AS (
+         |  SELECT sl.query_id, sl.neighbor_id, sl.rel_r,
+         |    0.5 * sl.rel_r - 0.5 * m$k.max_sim AS mmr
+         |  FROM sl JOIN m$k ON sl.query_id = m$k.query_id AND sl.neighbor_id = m$k.a_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} y
+         |    WHERE y.query_id = sl.query_id AND y.neighbor_id = sl.neighbor_id)
+         |), s$k AS (
+         |  SELECT query_id, neighbor_id, rel_r, $k AS pick, mmr AS mmr_r FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, neighbor_id) AS rn
+         |    FROM t$k) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString
+    val out = (1 to 5).map(i => s"SELECT query_id, pick, neighbor_id, rel_r, mmr_r FROM s$i")
+      .mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+       |s AS (
+       |  SELECT query_id, neighbor_id,
+       |    floor(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))*10000 + 0.5)/10000 AS rel_r
+       |  FROM c, q WHERE query_id <> neighbor_id
+       |), sl AS MATERIALIZED (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel_r DESC, neighbor_id) AS rnk
+       |    FROM s) WHERE rnk <= 20
+       |), p AS MATERIALIZED (
+       |  SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+       |    floor(list_dot_product(av.cv, bv.cv)
+       |      / (sqrt(list_dot_product(av.cv, av.cv)) * sqrt(list_dot_product(bv.cv, bv.cv)))*10000 + 0.5)/10000 AS sim_r
+       |  FROM sl a
+       |  JOIN sl b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+       |  JOIN c av ON av.neighbor_id = a.neighbor_id
+       |  JOIN c bv ON bv.neighbor_id = b.neighbor_id
+       |), s1 AS (
+       |  SELECT query_id, neighbor_id, rel_r, 1 AS pick, NULL::DOUBLE AS mmr_r FROM sl WHERE rnk = 1
+       |)$steps
+       |$out""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q180_mmr_topk" -> mmrOracleSql,
     "q106_bpe_train" -> bpeOracleSql(12),
     "q107_bpe_token_counts" -> bpeCountOracleSql(12),
     "q39_embed_neardup_lsh" ->

@@ -302,4 +302,46 @@ class CorpusOpsSpec extends SparkSpec {
     assert(pins(0L) == 0.0 && pins(1L) == 0.0, "verbatim duplicates must have zero novelty")
     assert(pins(2L) == 1.0, "globally unique doc must have novelty 1")
   }
+
+  test("q180: MMR picks the diverse candidate over the redundant near-duplicate; real-data contract") {
+    // designed corpus: query q0 = (1, 0); A = (0.96, 0.28) and
+    // B = 2·A (sim(A,B) = 1 exactly, same relevance 0.96);
+    // C = (0.96, -0.28) equally relevant but diverse
+    // (sim(A,C) = 0.8432). Pure relevance ranks A, B, C (id
+    // tiebreak A before B); MMR step 2 scores B at
+    // 0.5·0.96 - 0.5·1.0 = -0.02 vs C at 0.5·0.96 - 0.5·0.8432 =
+    // 0.0584 -> the diverse C must be pick 2, the redundant B pick 3.
+    val dir = java.nio.file.Files.createTempDirectory("graft_q180").toString
+    Seq(
+      (0L, Seq(1.00f, 0.00f), 0),
+      (1L, Seq(0.96f, 0.28f), 0),
+      (2L, Seq(1.92f, 0.56f), 0),
+      (3L, Seq(0.96f, -0.28f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val picks = SparkEntry.queries("q180_mmr_topk")(spark, dir)
+      .filter($"query_id" === 0L).orderBy($"pick")
+      .select($"pick", $"neighbor_id").as[(Int, Long)].collect().toMap
+    assert(picks(1) == 1L, s"pick 1 must be the most relevant: $picks")
+    assert(picks(2) == 3L, s"pick 2 must be the DIVERSE candidate: $picks")
+    assert(picks(3) == 2L, s"the redundant near-dup drops to pick 3: $picks")
+    // real corpus: 5 distinct picks per query; pick 1 agrees with
+    // q28's exact rank-1; mmr scores are non-increasing in pick
+    // (each later step maximizes over a subset with a larger
+    // redundancy penalty)
+    val out = q("q180_mmr_topk").cache()
+    assert(out.groupBy($"query_id").agg(
+      countDistinct($"neighbor_id").as("d"), count(lit(1)).as("n"))
+      .filter($"d" =!= 5 || $"n" =!= 5).isEmpty)
+    val first = out.filter($"pick" === 1).select($"query_id", $"neighbor_id")
+    val q28r1 = q("q28_cosine_topk").filter($"rnk" === 1)
+      .select($"query_id", $"neighbor_id")
+    assert(first.exceptAll(q28r1).isEmpty, "pick 1 must be the exact top-1")
+    val mono = out.filter($"pick" >= 2)
+      .withColumn("prev", lag($"mmr_r", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"query_id").orderBy($"pick")))
+      .filter($"prev".isNotNull && $"mmr_r" > $"prev" + 1e-12)
+    assert(mono.isEmpty, "mmr scores must be non-increasing over picks")
+    out.unpersist()
+  }
 }
