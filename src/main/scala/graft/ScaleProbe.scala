@@ -313,6 +313,10 @@ object ScaleProbe {
     // one close partial-agg) + two tick-grain estimators (q177 window
     // pass + day-grid agg; q178 chunked corpus-wide volume clock)
     time("q180_mmr_topk") { q("q180_mmr_topk") }
+    time("q181_table_profile") { q("q181_table_profile") }
+    time("q182_sessions") { q("q182_sessions") }
+    time("q183_funnel") { q("q183_funnel") }
+    time("q184_retention") { q("q184_retention") }
     time("q175_higher_moments") { q("q175_higher_moments") }
     time("q176_return_acf") { q("q176_return_acf") }
     time("q177_kyle_lambda") { q("q177_kyle_lambda") }

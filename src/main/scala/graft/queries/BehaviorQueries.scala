@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Round-9 events-analytics surface — the behavioral queries every
+  * event pipeline (the reference's `events` stream, post-ingest) runs
+  * on top of the raw feed: data profiling, gap-based sessionization,
+  * ordered funnel conversion, and cohort retention. Oracle-checked
+  * against DuckDB under the battery's exactness discipline: counts
+  * and durations stay integers until one final r4-quantized IEEE
+  * division shared by both engines.
+  */
+object BehaviorQueries {
+
+  private def ev(s: SparkSession, dir: String) = Tables.events(s, dir)
+
+  // q181 — TABLE PROFILE: per-column row/null/exact-distinct counts
+  // over lineitem — the data-quality readout every warehouse load
+  // gates on (and the stats a cost-based optimizer or a skipping
+  // catalog is built from; see sources.StatsCatalog for the file-
+  // granular sibling). One pass: every column is stacked to (col,
+  // value-as-string) rows map-side — the string cast is injectivity-
+  // only (distinct counts survive any faithful formatting; values
+  // never surface), then ONE (col, value) partial-agg shuffle counts
+  // rows/nulls/distincts for all columns together (not one
+  // count(DISTINCT) scan per column — 11 scans of 100 TB vs one).
+  // Scale shape: the exploded stream is |cols|× the table but
+  // map-side-combines to unique values per task before the exchange;
+  // at 100 TB the exact-distinct shuffle is the honest cost — the
+  // approximate path at volume is the q93 KMV sketch per column.
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val colsN = li.schema.fieldNames.toSeq
+    val stacked = li.select(explode(array(colsN.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("e"))
+      .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
+    stacked.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("v")).as("n_distinct"))
+  }
+
+  // q182 — GAP SESSIONIZATION (30-minute inactivity): the canonical
+  // event-stream operator — consecutive events of a user belong to
+  // one session while gaps stay under the timeout; a longer gap opens
+  // a new session (the batch twin of streaming.Sessionize's
+  // event-time-timeout flatMapGroupsWithState). Islands come from the
+  // standard flag-and-running-sum: new-session flag on a >30 min gap
+  // (exact integer microsecond comparison), session id as the running
+  // flag sum. Summarized per user: session count, max session size,
+  // and the mean session duration from exact integer microsecond
+  // sums, closed by one shared IEEE division. Scale shape: per-USER
+  // windows — unlike the five-instrument tick feed (the q109
+  // hazard), user cardinality GROWS with volume (150 at sf0.01,
+  // 1500 at sf0.1), so key-partitioned sorts parallelize with the
+  // data; a single bot user dominating the feed would need the
+  // ChunkedFrame treatment (flag is lag-1-local, the id sum is
+  // withRunningSum), which this feed does not exhibit.
+  private def q182(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 1800L * 1000000L
+    val sess = ev(s, dir)
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_ev"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("dur_us"))
+    sess.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_ev")).as("total_events"),
+        max(col("n_ev")).as("max_session_events"),
+        sum(col("dur_us")).as("sum_us"))
+      .select(col("user_id"), col("n_sessions"), col("total_events"),
+        col("max_session_events"),
+        r4(col("sum_us").cast("double") / col("n_sessions").cast("double") / lit(1e6))
+          .as("avg_session_secs"))
+  }
+
+  // q183 — ORDERED FUNNEL (view → click → purchase): how many users
+  // progress through the product funnel IN ORDER — a click counts
+  // only after the user's first view, a purchase only after that
+  // qualifying click (the strict-sequence semantics; unordered
+  // "did-both" funnels overcount). Three per-user min-timestamp
+  // aggregations, each gated on the previous stage's timestamp; the
+  // four stage counts close into per-stage conversion rates. Scale
+  // shape: three partial-agg shuffles on user_id plus user-keyed
+  // joins (user cardinality scales with volume, so these are
+  // well-distributed sort-merge joins); the four scalar counts
+  // broadcast into the 4-row summary.
+  private def q183(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = e.filter(col("event_type") === "click").join(v, Seq("user_id"))
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purch"))
+    val row = e.agg(count_distinct(col("user_id")).as("n0"))
+      .crossJoin(v.agg(count(lit(1)).as("n1")))
+      .crossJoin(c.agg(count(lit(1)).as("n2")))
+      .crossJoin(p.agg(count(lit(1)).as("n3")))
+    def d(c: Column) = c.cast("double")
+    row.select(explode(array(
+        struct(lit(1).as("stage_no"), lit("any_event").as("stage"),
+          col("n0").as("n_users"),
+          lit(null).cast("double").as("pct_prev"),
+          when(col("n0") > 0, r4(d(col("n0")) / d(col("n0")))).as("pct_first")),
+        struct(lit(2).as("stage_no"), lit("view").as("stage"),
+          col("n1").as("n_users"),
+          when(col("n0") > 0, r4(d(col("n1")) / d(col("n0")))).as("pct_prev"),
+          when(col("n0") > 0, r4(d(col("n1")) / d(col("n0")))).as("pct_first")),
+        struct(lit(3).as("stage_no"), lit("click_after_view").as("stage"),
+          col("n2").as("n_users"),
+          when(col("n1") > 0, r4(d(col("n2")) / d(col("n1")))).as("pct_prev"),
+          when(col("n0") > 0, r4(d(col("n2")) / d(col("n0")))).as("pct_first")),
+        struct(lit(4).as("stage_no"), lit("purchase_after_click").as("stage"),
+          col("n3").as("n_users"),
+          when(col("n2") > 0, r4(d(col("n3")) / d(col("n2")))).as("pct_prev"),
+          when(col("n0") > 0, r4(d(col("n3")) / d(col("n0")))).as("pct_first")))).as("r"))
+      .select(col("r.stage_no").as("stage_no"), col("r.stage").as("stage"),
+        col("r.n_users").as("n_users"), col("r.pct_prev").as("pct_prev"),
+        col("r.pct_first").as("pct_first"))
+  }
+
+  // q184 — COHORT RETENTION: users are cohorted by their first-seen
+  // day, and the (cohort_day, day-offset) grid counts how many of
+  // each cohort return N days later — the standard retention
+  // triangle. Exact distinct (user, day) activity; offset-0 retention
+  // is 1.0 by construction (every cohort member is active on its
+  // first day), which the spec pins. Scale shape: one per-user min
+  // aggregation, one (user, day) distinct, one user-keyed join
+  // (well-distributed — user cardinality scales with volume), and the
+  // output is the bounded (days × days) / 2 triangle at any volume;
+  // the cohort-size table is |days| rows and broadcasts.
+  private def q184(s: SparkSession, dir: String): DataFrame = {
+    val f = ev(s, dir).select(col("user_id"), to_date(col("ts")).as("day"))
+    val first = f.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val sizes = first.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_users"))
+    f.distinct()
+      .join(first, Seq("user_id"))
+      .withColumn("offset_d", datediff(col("day"), col("cohort_day")))
+      .groupBy(col("cohort_day"), col("offset_d"))
+      .agg(count_distinct(col("user_id")).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_day"))
+      .select(col("cohort_day"), col("offset_d"), col("n_active"), col("cohort_users"),
+        r4(col("n_active").cast("double") / col("cohort_users").cast("double"))
+          .as("retention"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_table_profile" -> q181 _,
+    "q182_sessions" -> q182 _,
+    "q183_funnel" -> q183 _,
+    "q184_retention" -> q184 _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q181_table_profile" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      val stack = cols.map(c => s"SELECT '$c' AS col_name, $c::VARCHAR AS v FROM lineitem")
+        .mkString("\n  UNION ALL ")
+      s"""WITH s AS (
+         |  $stack
+         |)
+         |SELECT col_name, count(*)::BIGINT AS n_rows,
+         |  sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+         |  count(DISTINCT v)::BIGINT AS n_distinct
+         |FROM s GROUP BY 1""".stripMargin
+    },
+    "q182_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events
+        |), g AS (
+        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sid AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g
+        |), sess AS (
+        |  SELECT user_id, sid, count(*)::BIGINT AS n_ev,
+        |    epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+        |  FROM sid GROUP BY 1, 2
+        |)
+        |SELECT user_id, count(*)::BIGINT AS n_sessions,
+        |  sum(n_ev)::BIGINT AS total_events,
+        |  max(n_ev)::BIGINT AS max_session_events,
+        |  floor(sum(dur_us)::DOUBLE / count(*)::DOUBLE / 1e6 * 10000 + 0.5)/10000 AS avg_session_secs
+        |FROM sess GROUP BY 1""".stripMargin,
+    "q183_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts::TIMESTAMP) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts::TIMESTAMP) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts::TIMESTAMP > v.t_view GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts::TIMESTAMP) AS t_purch
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP > c.t_click GROUP BY 1
+        |), n AS (
+        |  SELECT (SELECT count(DISTINCT user_id) FROM events)::BIGINT AS n0,
+        |    (SELECT count(*) FROM v)::BIGINT AS n1,
+        |    (SELECT count(*) FROM c)::BIGINT AS n2,
+        |    (SELECT count(*) FROM p)::BIGINT AS n3
+        |)
+        |SELECT 1 AS stage_no, 'any_event' AS stage, n0 AS n_users,
+        |  NULL::DOUBLE AS pct_prev,
+        |  CASE WHEN n0 > 0 THEN floor(n0::DOUBLE / n0::DOUBLE * 10000 + 0.5)/10000 END AS pct_first
+        |FROM n
+        |UNION ALL SELECT 2, 'view', n1,
+        |  CASE WHEN n0 > 0 THEN floor(n1::DOUBLE / n0::DOUBLE * 10000 + 0.5)/10000 END,
+        |  CASE WHEN n0 > 0 THEN floor(n1::DOUBLE / n0::DOUBLE * 10000 + 0.5)/10000 END
+        |FROM n
+        |UNION ALL SELECT 3, 'click_after_view', n2,
+        |  CASE WHEN n1 > 0 THEN floor(n2::DOUBLE / n1::DOUBLE * 10000 + 0.5)/10000 END,
+        |  CASE WHEN n0 > 0 THEN floor(n2::DOUBLE / n0::DOUBLE * 10000 + 0.5)/10000 END
+        |FROM n
+        |UNION ALL SELECT 4, 'purchase_after_click', n3,
+        |  CASE WHEN n2 > 0 THEN floor(n3::DOUBLE / n2::DOUBLE * 10000 + 0.5)/10000 END,
+        |  CASE WHEN n0 > 0 THEN floor(n3::DOUBLE / n0::DOUBLE * 10000 + 0.5)/10000 END
+        |FROM n""".stripMargin,
+    "q184_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, ts::TIMESTAMP::DATE AS day FROM events
+        |), first AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM f GROUP BY 1
+        |), sizes AS (
+        |  SELECT cohort_day, count(*)::BIGINT AS cohort_users FROM first GROUP BY 1
+        |), act AS (
+        |  SELECT DISTINCT user_id, day FROM f
+        |), grid AS (
+        |  SELECT first.cohort_day, date_diff('day', first.cohort_day, act.day) AS offset_d,
+        |    count(DISTINCT act.user_id)::BIGINT AS n_active
+        |  FROM act JOIN first ON act.user_id = first.user_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT g.cohort_day, g.offset_d, g.n_active, s.cohort_users,
+        |  floor(g.n_active::DOUBLE / s.cohort_users::DOUBLE * 10000 + 0.5)/10000 AS retention
+        |FROM grid g JOIN sizes s ON g.cohort_day = s.cohort_day""".stripMargin
+  )
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants and designed-feed pins for the events-analytics family
+  * (q181 profile, q182 sessions, q183 funnel, q184 retention) beyond
+  * the DuckDB hash oracle — closed-form session boundaries, strict
+  * funnel ordering, and accounting identities the oracle replay
+  * cannot distinguish from a consistently-wrong construction.
+  */
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf())
+
+  private def writeEvents(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_behavior").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    dir
+  }
+  private val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+  private def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+
+  test("q181: one row per lineitem column; counts agree with direct aggregates") {
+    val out = q("q181_table_profile").collect().map(r =>
+      r.getAs[String]("col_name") -> r).toMap
+    val li = graft.core.Tables.lineitem(spark, sf())
+    assert(out.keySet == li.schema.fieldNames.toSet, "one row per column")
+    val n = li.count()
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(r.getAs[Long]("n_distinct") + r.getAs[Long]("n_null") <= n)
+    }
+    // spot-check one low-cardinality and one high-cardinality column
+    // against direct countDistinct on the TYPED values
+    assert(out("l_returnflag").getAs[Long]("n_distinct") ==
+      li.select(countDistinct($"l_returnflag")).as[Long].head)
+    assert(out("l_extendedprice").getAs[Long]("n_distinct") ==
+      li.select(countDistinct($"l_extendedprice")).as[Long].head)
+  }
+
+  test("q182: designed gaps pin session boundaries; event accounting identity on the real feed") {
+    // one user, events at +0, +10, +50, +55 min: the 40-min gap
+    // splits exactly two sessions (10 min and 5 min long)
+    val dir = writeEvents(Seq(
+      (1L, ts(0), 7L, "view", 1.0, "{}"),
+      (2L, ts(10), 7L, "view", 1.0, "{}"),
+      (3L, ts(50), 7L, "view", 1.0, "{}"),
+      (4L, ts(55), 7L, "view", 1.0, "{}")))
+    val r = SparkEntry.queries("q182_sessions")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_sessions") == 2L, s"sessions: $r")
+    assert(r.getAs[Long]("total_events") == 4L)
+    assert(r.getAs[Long]("max_session_events") == 2L)
+    assert(r.getAs[Double]("avg_session_secs") == 450.0, s"durations: $r")
+    // exactly-30-min gap does NOT split (strictly-greater semantics)
+    val dir2 = writeEvents(Seq(
+      (1L, ts(0), 7L, "view", 1.0, "{}"),
+      (2L, ts(30), 7L, "view", 1.0, "{}")))
+    assert(SparkEntry.queries("q182_sessions")(spark, dir2)
+      .collect().head.getAs[Long]("n_sessions") == 1L)
+    // real feed: sessionized events account for every event
+    val out = q("q182_sessions")
+    val total = out.agg(sum($"total_events")).as[Long].head
+    assert(total == graft.core.Tables.events(spark, sf()).count())
+  }
+
+  test("q183: strict ordering pinned on a designed feed; stage counts monotone on the real feed") {
+    // u1 completes the funnel in order; u2's click PRECEDES its first
+    // view (must not count as click_after_view); u3 views then
+    // purchases WITHOUT a qualifying click (must not count at stage 4)
+    val dir = writeEvents(Seq(
+      (1L, ts(0), 1L, "view", 1.0, "{}"),
+      (2L, ts(1), 1L, "click", 1.0, "{}"),
+      (3L, ts(2), 1L, "purchase", 1.0, "{}"),
+      (4L, ts(0), 2L, "click", 1.0, "{}"),
+      (5L, ts(1), 2L, "view", 1.0, "{}"),
+      (6L, ts(0), 3L, "view", 1.0, "{}"),
+      (7L, ts(1), 3L, "purchase", 1.0, "{}")))
+    val stages = SparkEntry.queries("q183_funnel")(spark, dir).collect()
+      .map(r => r.getAs[Int]("stage_no") -> r.getAs[Long]("n_users")).toMap
+    assert(stages(1) == 3L && stages(2) == 3L && stages(3) == 1L && stages(4) == 1L,
+      s"funnel: $stages")
+    val real = q("q183_funnel").orderBy($"stage_no").collect()
+      .map(_.getAs[Long]("n_users"))
+    assert(real.sliding(2).forall(p => p(1) <= p(0)), s"not monotone: ${real.mkString(",")}")
+  }
+
+  test("q184: offset-0 retention is 1.0 per cohort; cohort sizes partition the user base") {
+    val out = q("q184_retention").cache()
+    assert(out.filter($"offset_d" === 0 && $"retention" =!= 1.0).isEmpty,
+      "every cohort member is active on its first day")
+    assert(out.filter($"offset_d" === 0 && $"n_active" =!= $"cohort_users").isEmpty)
+    assert(out.filter($"n_active" > $"cohort_users" || $"offset_d" < 0).isEmpty)
+    val users = out.filter($"offset_d" === 0).agg(sum($"cohort_users")).as[Long].head
+    val want = graft.core.Tables.events(spark, sf())
+      .select(countDistinct($"user_id")).as[Long].head
+    assert(users == want, "cohorts must partition the distinct-user base")
+    out.unpersist()
+  }
+}
