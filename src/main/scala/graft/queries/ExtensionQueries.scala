@@ -812,23 +812,28 @@ object ExtensionQueries {
   // All scores are r4-quantized before comparison, so ranks and ties
   // are engine-portable; the mmr combine (0.5·rel − 0.5·maxsim) is
   // one shared IEEE sequence. Scale shape: at 100 TB the shortlist
-  // stage is the only corpus scan (or its q118 IVF-PQ drop-in); the
-  // MMR refinement is O(|queries|·k²) regardless of corpus size —
-  // shortlist/vector/pair frames persist because four greedy steps
-  // re-reference them (the q141 persist-once rule).
-  private def q180(s: SparkSession, dir: String): DataFrame = {
+  // stage is the only corpus scan (or its q118 IVF-PQ drop-in) and
+  // persists EAGERLY (a lazy persist inside one composed plan lets
+  // downstream references recompute the corpus scan before any block
+  // is cached — measured 79.6 s at the 100x probe); the greedy
+  // refinement runs as ONE flatMapGroups kernel over the bounded
+  // per-query groups (Similarity.mmrGreedy) — the join/window
+  // formulation schedules ~3^k recomputing micro-jobs, measured
+  // 12.1 s warm vs ~1.5 s at 100x for identical output; MmrSpec pins
+  // the two bitwise-equal.
+  private[graft] def mmrFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = emb(s, dir)
     val scored = Similarity.scoreAll(e.filter(col("vec_id") < 10), e, "vec_id", "embedding")
       .withColumn("rel_r", r4(col("cos"))).drop("cos")
     val shortlist = Similarity.topK(scored, 20, col("rel_r"))
       .select(col("query_id"), col("neighbor_id"), col("rel_r"), col("rnk"))
       .persist()
+    shortlist.count() // materialize: ends the corpus-sized lineage here
     val vecs = shortlist
       .join(e.select(col("vec_id").as("neighbor_id"),
         col("embedding").cast("array<double>").as("v")), Seq("neighbor_id"))
       .withColumn("nrm", Similarity.l2norm(col("v")))
       .select(col("query_id"), col("neighbor_id"), col("v"), col("nrm"))
-      .persist()
     val pairs = vecs.select(col("query_id"), col("neighbor_id").as("a_id"),
         col("v").as("av"), col("nrm").as("an"))
       .join(vecs.select(col("query_id"), col("neighbor_id").as("b_id"),
@@ -836,29 +841,12 @@ object ExtensionQueries {
       .filter(col("a_id") =!= col("b_id"))
       .select(col("query_id"), col("a_id"), col("b_id"),
         r4(Similarity.dot(col("av"), col("bv")) / (col("an") * col("bn"))).as("sim_r"))
-      .persist()
-    val first = shortlist.filter(col("rnk") === 1)
-      .select(col("query_id"), col("neighbor_id"), col("rel_r"),
-        lit(1).as("pick"), lit(null).cast("double").as("mmr_r"))
-    val selected = (2 to 5).foldLeft(first) { (sel, step) =>
-      val selIds = sel.select(col("query_id"), col("neighbor_id").as("b_id"))
-      val maxSim = pairs.join(selIds, Seq("query_id", "b_id"))
-        .groupBy(col("query_id"), col("a_id").as("neighbor_id"))
-        .agg(max(col("sim_r")).as("max_sim"))
-      val pick = shortlist
-        .join(sel.select(col("query_id"), col("neighbor_id")),
-          Seq("query_id", "neighbor_id"), "left_anti")
-        .join(maxSim, Seq("query_id", "neighbor_id"))
-        .withColumn("mmr_r", lit(0.5d) * col("rel_r") - lit(0.5d) * col("max_sim"))
-        .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
-          .orderBy(col("mmr_r").desc, col("neighbor_id"))))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), col("neighbor_id"), col("rel_r"),
-          lit(step).as("pick"), col("mmr_r"))
-      sel.unionByName(pick)
-    }
-    selected.select(col("query_id"), col("pick"), col("neighbor_id"),
-      col("rel_r"), col("mmr_r"))
+    (shortlist, pairs)
+  }
+
+  private def q180(s: SparkSession, dir: String): DataFrame = {
+    val (shortlist, pairs) = mmrFrames(s, dir)
+    Similarity.mmrGreedy(shortlist, pairs, k = 5, lambda = 0.5)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Similarity
+
+/** Pins Similarity.mmrGreedy (the one-pass flatMapGroups kernel) to
+  * the join/window formulation it replaced — bitwise on every column
+  * including the IEEE mmr scores — on the real corpus and on a
+  * degenerate shortlist smaller than k.
+  */
+class MmrSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kernel MMR == iterative join/window MMR bitwise (ids, picks, rel, mmr)") {
+    val (shortlist, pairs) = graft.queries.ExtensionQueries.mmrFrames(spark, sf("sf0.01"))
+    val p = pairs.persist(); p.count()
+    val kernel = Similarity.mmrGreedy(shortlist, p, k = 5, lambda = 0.5)
+    val iter = Similarity.mmrGreedyIterative(shortlist, p, k = 5, lambda = 0.5)
+    // exceptAll is exact on doubles: any 1-ulp drift in a mmr_r fails
+    assert(kernel.exceptAll(iter).isEmpty && iter.exceptAll(kernel).isEmpty,
+      "kernel and iterative MMR must agree bitwise")
+    assert(kernel.count() == 50, "10 queries x 5 picks")
+    p.unpersist(); shortlist.unpersist()
+  }
+
+  test("shortlist smaller than k: both formulations stop at the candidate count") {
+    // 3 candidates for one query -> exactly 3 picks, same in both
+    val dir = java.nio.file.Files.createTempDirectory("graft_mmr").toString
+    Seq(
+      (0L, Seq(1.00f, 0.00f), 0),
+      (1L, Seq(0.90f, 0.10f), 0),
+      (2L, Seq(0.50f, 0.50f), 0),
+      (3L, Seq(0.10f, 0.90f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val (shortlist, pairs) = graft.queries.ExtensionQueries.mmrFrames(spark, dir)
+    val p = pairs.persist(); p.count()
+    val kernel = Similarity.mmrGreedy(shortlist, p, k = 5, lambda = 0.5)
+      .filter($"query_id" === 0L)
+    val iter = Similarity.mmrGreedyIterative(shortlist, p, k = 5, lambda = 0.5)
+      .filter($"query_id" === 0L)
+    assert(kernel.count() == 3 && iter.count() == 3)
+    assert(kernel.exceptAll(iter).isEmpty && iter.exceptAll(kernel).isEmpty)
+    p.unpersist(); shortlist.unpersist()
+  }
+}
