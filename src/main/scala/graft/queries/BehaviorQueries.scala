@@ -60,16 +60,24 @@ object BehaviorQueries {
   // data; a single bot user dominating the feed would need the
   // ChunkedFrame treatment (flag is lag-1-local, the id sum is
   // withRunningSum), which this feed does not exhibit.
-  private def q182(s: SparkSession, dir: String): DataFrame = {
+  /** One per-user window pass shared by q182/q185: previous-event
+    * timestamp AND type, plus the new-session flag on a >30 min gap.
+    * The session id (running flag sum) rides the same window. */
+  private def sessionFlags(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val gapUs = 1800L * 1000000L
-    val sess = ev(s, dir)
+    ev(s, dir)
       .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .withColumn("new_s",
         when(col("prev").isNull ||
           unix_micros(col("ts")) - unix_micros(col("prev")) > gapUs, 1L).otherwise(0L))
       .withColumn("sid", sum(col("new_s"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  private def q182(s: SparkSession, dir: String): DataFrame = {
+    val sess = sessionFlags(s, dir)
       .groupBy(col("user_id"), col("sid"))
       .agg(count(lit(1)).as("n_ev"),
         (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("dur_us"))
@@ -82,6 +90,33 @@ object BehaviorQueries {
         col("max_session_events"),
         r4(col("sum_us").cast("double") / col("n_sessions").cast("double") / lit(1e6))
           .as("avg_session_secs"))
+  }
+
+  // q185 — SESSION TRANSITION MATRIX: the within-session next-event
+  // Markov model — how often does a view lead to a click, a click to
+  // a purchase, an error to an exit — the navigation-flow readout
+  // product analytics builds from the same sessionized stream (and
+  // the transition model behind Markov-chain attribution). A
+  // transition is a consecutive event pair INSIDE one session: the
+  // q182 window pass already carries the previous event's type and
+  // the new-session flag, so transitions are exactly the rows with
+  // new_s = 0 — no second window, no self-join. Counts are exact
+  // integers; the row-conditional probability closes with one r4
+  // division against the per-from-type total (a |types|²-row frame —
+  // the tiny window is volume-independent). Scale shape: ONE per-user
+  // window pass (shared with q182) + one (from, to) partial-agg
+  // shuffle; output is |types|² at any volume.
+  private def q185(s: SparkSession, dir: String): DataFrame = {
+    val trans = sessionFlags(s, dir)
+      .filter(col("new_s") === 0L)
+      .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    trans
+      .withColumn("from_total",
+        sum(col("n_trans")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        r4(col("n_trans").cast("double") / col("from_total").cast("double"))
+          .as("p_trans"))
   }
 
   // q183 — ORDERED FUNNEL (view → click → purchase): how many users
@@ -161,7 +196,8 @@ object BehaviorQueries {
     "q181_table_profile" -> q181 _,
     "q182_sessions" -> q182 _,
     "q183_funnel" -> q183 _,
-    "q184_retention" -> q184 _
+    "q184_retention" -> q184 _,
+    "q185_transitions" -> q185 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -179,6 +215,22 @@ object BehaviorQueries {
          |  count(DISTINCT v)::BIGINT AS n_distinct
          |FROM s GROUP BY 1""".stripMargin
     },
+    "q185_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts FROM events
+        |), g AS (
+        |  SELECT *, lag(event_type) OVER w AS prev_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), t AS (
+        |  SELECT prev_type AS from_type, event_type AS to_type, count(*)::BIGINT AS n_trans
+        |  FROM g WHERE new_s = 0 GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n_trans,
+        |  floor(n_trans::DOUBLE / (sum(n_trans) OVER (PARTITION BY from_type))::DOUBLE
+        |    * 10000 + 0.5)/10000 AS p_trans
+        |FROM t""".stripMargin,
     "q182_sessions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events

@@ -849,8 +849,72 @@ object ExtensionQueries {
     Similarity.mmrGreedy(shortlist, pairs, k = 5, lambda = 0.5)
   }
 
+  // q186 — TOP PRINCIPAL COMPONENT of the embedding corpus by power
+  // iteration: the mean vector, the dominant eigenvector (loadings)
+  // and its eigenvalue — the primitive behind embedding whitening /
+  // "all-but-the-top" post-processing (Mu & Viswanath, ICLR 2018:
+  // removing the top component(s) improves similarity quality) and
+  // the sanity readout (top-eigenvalue share) every embedding
+  // pipeline monitors. Exactness: components quantize ONCE to 1e-4
+  // integers; the scatter matrix M = n·Σxy − Σx·Σy is EXACT integer
+  // arithmetic (decimal sums here, HUGEINT in DuckDB — M has the
+  // same eigenvectors as the covariance, eigenvalue scaled by n²);
+  // the 10 power iterations run on the collected 64×64 matrix with
+  // FIXED-ORDER dots (ascending index — DuckDB replays them as
+  // list_dot_product over ORDER BY-built lists, the q28-pinned
+  // sequential kernel), and each normalized iterate SNAPS to the
+  // 1e-6 grid so 1-ulp accumulation differences cannot compound
+  // across iterations (the fixed-point-transcendental rule applied
+  // to an iterative solver). Scale shape: the corpus-sized work is
+  // ONE map-side pass exploding each vector's 64×64 outer product
+  // into a (i, j) partial agg (no join, no shuffle of vectors); the
+  // collected state is dim²+dim+1 values — bounded by the embedding
+  // dimension like the PQ codebooks, not by the corpus.
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    val dim = 64
+    val vf = emb(s, dir).select(
+      transform(col("embedding").cast("array<double>"),
+        x => floor(x * lit(1e4) + lit(0.5)).cast("long")).as("vf"))
+    // Gram matrix + first moments + count in ONE map-side aggregate
+    // pass (OuterProductSum) — the collected state is dim²+dim+1
+    // longs, bounded by the embedding dimension
+    val buf = vf.agg(graft.functions.OuterProductSum.column(col("vf"), dim).as("b"))
+      .collect()(0).getAs[scala.collection.Seq[Long]]("b")
+    val n = buf(dim * dim + dim)
+    val sxRows = Array.tabulate(dim)(i => buf(dim * dim + i))
+    // M_ij = n·Σ(x_i x_j) − Σx_i·Σx_j — exact in BigInt, then ONE
+    // correctly-rounded conversion to double (JLS narrowing ==
+    // DuckDB's HUGEINT::DOUBLE)
+    val m = Array.tabulate(dim, dim) { (i, j) =>
+      (BigInt(n) * BigInt(buf(i * dim + j)) - BigInt(sxRows(i)) * BigInt(sxRows(j))).toDouble
+    }
+    def dot64(a: Array[Double], b: Array[Double]): Double = {
+      var sAcc = 0d; var k = 0
+      while (k < dim) { sAcc += a(k) * b(k); k += 1 }; sAcc
+    }
+    var v = Array.fill(dim)(1d)
+    for (_ <- 1 to 10) {
+      val w = Array.tabulate(dim)(i => dot64(m(i), v))
+      val nrm = math.sqrt(dot64(w, w))
+      v = w.map(x => math.floor(x / nrm * 1e6 + 0.5) / 1e6)
+    }
+    val mv = Array.tabulate(dim)(i => dot64(m(i), v))
+    val ray = dot64(v, mv)
+    val vv = dot64(v, v)
+    val nd = n.toDouble
+    def r4d(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val eig = r4d(ray / vv / (nd * nd) / 1e8)
+    val rows = (0 until dim).map { i =>
+      (i, r4d(sxRows(i).toDouble / nd / 1e4), r4d(v(i)), eig)
+    }
+    import spark.implicits._
+    rows.toDF("dim", "mean_r", "loading_r", "eigval_r")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q180_mmr_topk" -> q180 _,
+    "q186_pca_top" -> q186 _,
     "q106_bpe_train" -> q106 _,
     "q107_bpe_token_counts" -> q107 _,
     "q38_embed_neardup" -> q38 _,
@@ -992,7 +1056,57 @@ object ExtensionQueries {
        |$out""".stripMargin
   }
 
+  /** q186 oracle: the exact-integer scatter matrix via range-indexed
+    * sums, then 10 power-iteration CTE blocks over ORDER BY-built
+    * lists — every dot is list_dot_product (the q28-pinned sequential
+    * kernel) and every iterate snaps to the 1e-6 grid, replaying the
+    * Spark driver kernel step for step. */
+  private def pcaOracleSql: String = {
+    val iters = (1 to 10).map { k =>
+      s""", w$k AS (
+         |  SELECT i, list_dot_product(row, (SELECT v FROM v${k - 1})) AS w FROM mrows
+         |), wl$k AS (
+         |  SELECT list(w ORDER BY i) AS wl FROM w$k
+         |), v$k AS (
+         |  SELECT list_transform(wl, x -> floor(x / sqrt(list_dot_product(wl, wl)) * 1e6 + 0.5)/1e6) AS v
+         |  FROM wl$k
+         |)""".stripMargin
+    }.mkString
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT list_transform(embedding::DOUBLE[], x -> floor(x*1e4 + 0.5)::BIGINT) AS vf
+       |  FROM embeddings
+       |), cnt AS (SELECT count(*)::BIGINT AS n FROM e),
+       |idx AS (SELECT i::INTEGER AS i FROM range(64) t(i)),
+       |sx AS MATERIALIZED (
+       |  SELECT ai.i AS i, sum(vf[ai.i + 1])::HUGEINT AS sx
+       |  FROM e, idx ai GROUP BY 1
+       |), pxy AS MATERIALIZED (
+       |  SELECT ai.i AS i, aj.i AS j, sum(vf[ai.i + 1] * vf[aj.i + 1])::HUGEINT AS sxy
+       |  FROM e, idx ai, idx aj GROUP BY 1, 2
+       |), mm AS (
+       |  SELECT p.i, p.j,
+       |    ((SELECT n FROM cnt)::HUGEINT * p.sxy - si.sx * sj.sx)::DOUBLE AS mij
+       |  FROM pxy p JOIN sx si ON p.i = si.i JOIN sx sj ON p.j = sj.i
+       |), mrows AS MATERIALIZED (
+       |  SELECT i, list(mij ORDER BY j) AS row FROM mm GROUP BY i
+       |), v0 AS (
+       |  SELECT (SELECT list(1.0::DOUBLE) FROM range(64)) AS v
+       |)$iters, mvf AS (
+       |  SELECT i, list_dot_product(row, (SELECT v FROM v10)) AS mv FROM mrows
+       |), ray AS (
+       |  SELECT list_dot_product((SELECT v FROM v10), (SELECT list(mv ORDER BY i) FROM mvf)) AS r,
+       |    list_dot_product((SELECT v FROM v10), (SELECT v FROM v10)) AS vv
+       |)
+       |SELECT sx.i AS dim,
+       |  floor(sx.sx::DOUBLE / (SELECT n FROM cnt)::DOUBLE / 1e4 * 10000 + 0.5)/10000 AS mean_r,
+       |  floor((SELECT v FROM v10)[sx.i + 1] * 10000 + 0.5)/10000 AS loading_r,
+       |  floor((SELECT r FROM ray) / (SELECT vv FROM ray)
+       |    / ((SELECT n FROM cnt)::DOUBLE * (SELECT n FROM cnt)::DOUBLE) / 1e8 * 10000 + 0.5)/10000 AS eigval_r
+       |FROM sx""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q186_pca_top" -> pcaOracleSql,
     "q180_mmr_topk" -> mmrOracleSql,
     "q106_bpe_train" -> bpeOracleSql(12),
     "q107_bpe_token_counts" -> bpeCountOracleSql(12),

@@ -86,6 +86,30 @@ class BehaviorSpec extends SparkSpec {
     assert(real.sliding(2).forall(p => p(1) <= p(0)), s"not monotone: ${real.mkString(",")}")
   }
 
+  test("q185: session boundary cuts transitions on a designed feed; row-probabilities sum to 1") {
+    // view -> click -> view inside one session; the 43-min gap opens
+    // a new session, so purchase contributes NO transition
+    val dir = writeEvents(Seq(
+      (1L, ts(0), 7L, "view", 1.0, "{}"),
+      (2L, ts(1), 7L, "click", 1.0, "{}"),
+      (3L, ts(2), 7L, "view", 1.0, "{}"),
+      (4L, ts(45), 7L, "purchase", 1.0, "{}")))
+    val t = SparkEntry.queries("q185_transitions")(spark, dir).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        r.getAs[Long]("n_trans")).toMap
+    assert(t == Map(("view", "click") -> 1L, ("click", "view") -> 1L), s"transitions: $t")
+    val out = q("q185_transitions").cache()
+    val sums = out.groupBy($"from_type").agg(sum($"p_trans").as("p"))
+      .filter(abs($"p" - 1d) > 25e-4) // 5 r4-rounded terms per row
+    assert(sums.isEmpty, "each from-row must be a probability distribution")
+    // transition volume identity: total transitions = events - sessions
+    val nTrans = out.agg(sum($"n_trans")).as[Long].head
+    val sess = q("q182_sessions").agg(sum($"n_sessions"), sum($"total_events"))
+      .as[(Long, Long)].head
+    assert(nTrans == sess._2 - sess._1, "transitions = events - session starts")
+    out.unpersist()
+  }
+
   test("q184: offset-0 retention is 1.0 per cohort; cohort sizes partition the user base") {
     val out = q("q184_retention").cache()
     assert(out.filter($"offset_d" === 0 && $"retention" =!= 1.0).isEmpty,

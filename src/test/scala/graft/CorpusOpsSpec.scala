@@ -303,6 +303,38 @@ class CorpusOpsSpec extends SparkSpec {
     assert(pins(2L) == 1.0, "globally unique doc must have novelty 1")
   }
 
+  test("q186: designed rank-1 corpus recovers the known axis exactly; real-data eigen invariants") {
+    // two vectors along (0.6, 0.8, 0, ...): centered projections are
+    // +-1, so the top component is exactly (0.6, 0.8, 0...) with
+    // population eigenvalue 1.0 and mean (1.2, 1.6, 0...)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q186").toString
+    def vec(scale: Float) = Seq.tabulate(64)(i =>
+      if (i == 0) 0.6f * scale else if (i == 1) 0.8f * scale else 0.0f)
+    Seq((0L, vec(1.0f), 0), (1L, vec(3.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("q186_pca_top")(spark, dir).collect()
+      .map(r => r.getAs[Int]("dim") -> r).toMap
+    assert(rows(0).getAs[Double]("loading_r") == 0.6 &&
+      rows(1).getAs[Double]("loading_r") == 0.8, s"axis: ${rows(0)}, ${rows(1)}")
+    assert(rows(2).getAs[Double]("loading_r") == 0.0)
+    assert(rows(0).getAs[Double]("eigval_r") == 1.0, s"eigval: ${rows(0)}")
+    assert(rows(0).getAs[Double]("mean_r") == 1.2 && rows(1).getAs[Double]("mean_r") == 1.6)
+    // real corpus: loadings ~unit norm (snap + r4 tolerance), and the
+    // top eigenvalue dominates every single-dimension variance — an
+    // eigen property the oracle replay cannot check independently
+    val out = q("q186_pca_top").collect()
+    val norm2 = out.map(r => { val l = r.getAs[Double]("loading_r"); l * l }).sum
+    assert(math.abs(norm2 - 1d) < 5e-3, s"loading norm^2 = $norm2")
+    val eig = out.head.getAs[Double]("eigval_r")
+    val maxVar = graft.core.Tables.embeddings(spark, sf())
+      .select(posexplode($"embedding".cast("array<double>")).as(Seq("i", "x")))
+      .groupBy($"i").agg(var_pop($"x").as("v"))
+      .agg(max($"v")).as[Double].head
+    assert(eig >= maxVar - 0.01 * math.abs(maxVar),
+      s"top eigenvalue $eig below max per-dim variance $maxVar")
+  }
+
   test("q180: MMR picks the diverse candidate over the redundant near-duplicate; real-data contract") {
     // designed corpus: query q0 = (1, 0); A = (0.96, 0.28) and
     // B = 2·A (sim(A,B) = 1 exactly, same relevance 0.96);

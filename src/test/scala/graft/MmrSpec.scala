@@ -24,6 +24,25 @@ class MmrSpec extends SparkSpec {
     p.unpersist(); shortlist.unpersist()
   }
 
+  test("OuterProductSum == explode/groupBy Gram matrix on a mixed-sign corpus") {
+    val vecs = Seq(
+      Seq(3L, -1L, 4L), Seq(-2L, 5L, 0L), Seq(7L, 7L, -7L), Seq(0L, 0L, 0L))
+    val df = vecs.toDF("vf")
+    val buf = df.agg(graft.functions.OuterProductSum.column($"vf", 3).as("b"))
+      .collect()(0).getAs[scala.collection.Seq[Long]]("b")
+    // independent reference: plain Scala sums
+    def ref(i: Int, j: Int) = vecs.map(v => v(i) * v(j)).sum
+    for (i <- 0 until 3; j <- 0 until 3)
+      assert(buf(i * 3 + j) == ref(i, j), s"outer($i,$j)")
+    for (i <- 0 until 3)
+      assert(buf(9 + i) == vecs.map(_(i)).sum, s"sx($i)")
+    assert(buf(12) == 4L, "count")
+    // repartitioned (forced merge path) agrees
+    val buf2 = df.repartition(3).agg(graft.functions.OuterProductSum.column($"vf", 3).as("b"))
+      .collect()(0).getAs[scala.collection.Seq[Long]]("b")
+    assert(buf == buf2, "merge path must agree with single-partition path")
+  }
+
   test("shortlist smaller than k: both formulations stop at the candidate count") {
     // 3 candidates for one query -> exactly 3 picks, same in both
     val dir = java.nio.file.Files.createTempDirectory("graft_mmr").toString
