@@ -870,8 +870,10 @@ object ExtensionQueries {
   // into a (i, j) partial agg (no join, no shuffle of vectors); the
   // collected state is dim²+dim+1 values — bounded by the embedding
   // dimension like the PQ codebooks, not by the corpus.
-  private def q186(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
+  /** q186's collected PCA state — (n, per-dim integer sums, snapped
+    * top component, scatter matrix M) — shared with q187's ABTT
+    * projection. ONE Gram-aggregate pass feeds everything. */
+  private[graft] def pcaState(s: SparkSession, dir: String): (Long, Array[Long], Array[Double], Array[Array[Double]]) = {
     val dim = 64
     val vf = emb(s, dir).select(
       transform(col("embedding").cast("array<double>"),
@@ -899,6 +901,17 @@ object ExtensionQueries {
       val nrm = math.sqrt(dot64(w, w))
       v = w.map(x => math.floor(x / nrm * 1e6 + 0.5) / 1e6)
     }
+    (n, sxRows, v, m)
+  }
+
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    val dim = 64
+    val (n, sxRows, v, m) = pcaState(s, dir)
+    def dot64(a: Array[Double], b: Array[Double]): Double = {
+      var sAcc = 0d; var k = 0
+      while (k < dim) { sAcc += a(k) * b(k); k += 1 }; sAcc
+    }
     val mv = Array.tabulate(dim)(i => dot64(m(i), v))
     val ray = dot64(v, mv)
     val vv = dot64(v, v)
@@ -912,9 +925,54 @@ object ExtensionQueries {
     rows.toDF("dim", "mean_r", "loading_r", "eigval_r")
   }
 
+  // q187 — ALL-BUT-THE-TOP POST-PROCESSED SERVING (Mu & Viswanath,
+  // ICLR 2018): center every embedding on the corpus mean, remove its
+  // projection on q186's top principal component, and serve top-5
+  // cosine over the post-processed vectors — the standard embedding
+  // post-processing that strips the dominant "common direction"
+  // (which encodes frequency, not meaning) and measurably improves
+  // similarity quality; each served neighbor carries an `exact_hit`
+  // audit against the RAW top-5 (the q144 recall-readout pattern —
+  // here the DIFFERENCE is the point: hits that drop out are exactly
+  // the pairs the common direction was inflating). The mean and
+  // component enter the plan as literal arrays (driver state from the
+  // ONE Gram pass, dim-bounded); centering/projection/removal are one
+  // codegen map pass (zip_with + the sequential DotProduct kernel, no
+  // UDFs); serving is the q28 broadcast + BoundedTopK shape twice.
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    val (n, sxRows, v, _) = pcaState(s, dir)
+    val nd = n.toDouble
+    val mean = sxRows.map(sx => sx.toDouble / nd / 1e4)
+    val vLit = typedlit(v.toIndexedSeq)
+    val mLit = typedlit(mean.toIndexedSeq)
+    val e = emb(s, dir)
+    val post = e.select(col("vec_id"),
+        zip_with(col("embedding").cast("array<double>"), mLit,
+          (xi, mi) => xi - mi).as("c"))
+      .withColumn("proj", Similarity.dot(col("c"), vLit))
+      .select(col("vec_id"),
+        zip_with(col("c"), vLit, (ci, vi) => ci - col("proj") * vi).as("embedding"))
+      .filter(Similarity.dot(col("embedding"), col("embedding")) > 0)
+    val served = {
+      val scored = Similarity.scoreAll(post.filter(col("vec_id") < 10), post, "vec_id", "embedding")
+        .withColumn("cos_r", r4(col("cos"))).drop("cos")
+      Similarity.topK(scored, 5, col("cos_r"))
+    }
+    val exact = {
+      val scored = Similarity.scoreAll(e.filter(col("vec_id") < 10), e, "vec_id", "embedding")
+        .withColumn("cos_r", r4(col("cos"))).drop("cos")
+      Similarity.topK(scored, 5, col("cos_r"))
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(true))
+    }
+    served.join(exact, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("neighbor_id"), col("cos_r"), col("rnk"),
+        coalesce(col("hit"), lit(false)).as("exact_hit"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q180_mmr_topk" -> q180 _,
     "q186_pca_top" -> q186 _,
+    "q187_abtt_topk" -> q187 _,
     "q106_bpe_train" -> q106 _,
     "q107_bpe_token_counts" -> q107 _,
     "q38_embed_neardup" -> q38 _,
@@ -1061,7 +1119,10 @@ object ExtensionQueries {
     * lists — every dot is list_dot_product (the q28-pinned sequential
     * kernel) and every iterate snaps to the 1e-6 grid, replaying the
     * Spark driver kernel step for step. */
-  private def pcaOracleSql: String = {
+  /** Shared WITH-prefix: the exact-integer scatter matrix and the 10
+    * power-iteration blocks, ending at `v10 (v)` — the snapped top
+    * component. Used by q186 (loadings/eigenvalue) and q187 (ABTT). */
+  private def pcaCtes: String = {
     val iters = (1 to 10).map { k =>
       s""", w$k AS (
          |  SELECT i, list_dot_product(row, (SELECT v FROM v${k - 1})) AS w FROM mrows
@@ -1077,6 +1138,7 @@ object ExtensionQueries {
        |  FROM embeddings
        |), cnt AS (SELECT count(*)::BIGINT AS n FROM e),
        |idx AS (SELECT i::INTEGER AS i FROM range(64) t(i)),
+       |idxl AS (SELECT list(i ORDER BY i) AS l FROM idx),
        |sx AS MATERIALIZED (
        |  SELECT ai.i AS i, sum(vf[ai.i + 1])::HUGEINT AS sx
        |  FROM e, idx ai GROUP BY 1
@@ -1091,22 +1153,69 @@ object ExtensionQueries {
        |  SELECT i, list(mij ORDER BY j) AS row FROM mm GROUP BY i
        |), v0 AS (
        |  SELECT (SELECT list(1.0::DOUBLE) FROM range(64)) AS v
-       |)$iters, mvf AS (
-       |  SELECT i, list_dot_product(row, (SELECT v FROM v10)) AS mv FROM mrows
-       |), ray AS (
-       |  SELECT list_dot_product((SELECT v FROM v10), (SELECT list(mv ORDER BY i) FROM mvf)) AS r,
-       |    list_dot_product((SELECT v FROM v10), (SELECT v FROM v10)) AS vv
-       |)
-       |SELECT sx.i AS dim,
-       |  floor(sx.sx::DOUBLE / (SELECT n FROM cnt)::DOUBLE / 1e4 * 10000 + 0.5)/10000 AS mean_r,
-       |  floor((SELECT v FROM v10)[sx.i + 1] * 10000 + 0.5)/10000 AS loading_r,
-       |  floor((SELECT r FROM ray) / (SELECT vv FROM ray)
-       |    / ((SELECT n FROM cnt)::DOUBLE * (SELECT n FROM cnt)::DOUBLE) / 1e8 * 10000 + 0.5)/10000 AS eigval_r
-       |FROM sx""".stripMargin
+       |)$iters""".stripMargin
   }
+
+  private def pcaOracleSql: String =
+    pcaCtes +
+      """, mvf AS (
+        |  SELECT i, list_dot_product(row, (SELECT v FROM v10)) AS mv FROM mrows
+        |), ray AS (
+        |  SELECT list_dot_product((SELECT v FROM v10), (SELECT list(mv ORDER BY i) FROM mvf)) AS r,
+        |    list_dot_product((SELECT v FROM v10), (SELECT v FROM v10)) AS vv
+        |)
+        |SELECT sx.i AS dim,
+        |  floor(sx.sx::DOUBLE / (SELECT n FROM cnt)::DOUBLE / 1e4 * 10000 + 0.5)/10000 AS mean_r,
+        |  floor((SELECT v FROM v10)[sx.i + 1] * 10000 + 0.5)/10000 AS loading_r,
+        |  floor((SELECT r FROM ray) / (SELECT vv FROM ray)
+        |    / ((SELECT n FROM cnt)::DOUBLE * (SELECT n FROM cnt)::DOUBLE) / 1e8 * 10000 + 0.5)/10000 AS eigval_r
+        |FROM sx""".stripMargin
+
+  /** q187 oracle: the pcaCtes prefix, then centering, projection
+    * removal, and the q28 serving shape over the post-processed
+    * vectors with the raw-top-5 audit join. */
+  private def abttOracleSql: String =
+    pcaCtes +
+      """, meanl AS (
+        |  SELECT list(sx::DOUBLE / (SELECT n FROM cnt)::DOUBLE / 1e4 ORDER BY i) AS m FROM sx
+        |), raw AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+        |), cent AS (
+        |  SELECT vec_id,
+        |    list_transform(ii.il, i -> x[i + 1] - mm2.ml[i + 1]) AS cx
+        |  FROM raw, (SELECT l AS il FROM idxl) ii, (SELECT m AS ml FROM meanl) mm2
+        |), post AS (
+        |  SELECT vec_id, xp FROM (
+        |    SELECT vec_id,
+        |      list_transform(ii.il, i ->
+        |        cx[i + 1] - list_dot_product(cx, vv10.vl) * vv10.vl[i + 1]) AS xp
+        |    FROM cent, (SELECT l AS il FROM idxl) ii, (SELECT v AS vl FROM v10) vv10)
+        |  WHERE list_dot_product(xp, xp) > 0
+        |), q2 AS (SELECT vec_id AS query_id, xp AS qv FROM post WHERE vec_id < 10),
+        |c2 AS (SELECT vec_id AS neighbor_id, xp AS cv FROM post),
+        |s2 AS (
+        |  SELECT query_id, neighbor_id,
+        |    floor(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))*10000 + 0.5)/10000 AS cos_r
+        |  FROM c2, q2 WHERE query_id <> neighbor_id
+        |), r2 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rnk FROM s2
+        |), qr AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |cr AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |sr AS (
+        |  SELECT query_id, neighbor_id,
+        |    floor(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))*10000 + 0.5)/10000 AS cos_raw
+        |  FROM cr, qr WHERE query_id <> neighbor_id
+        |), rr AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rnk FROM sr
+        |), ex AS (SELECT query_id, neighbor_id FROM rr WHERE rnk <= 5)
+        |SELECT r2.query_id, r2.neighbor_id, r2.cos_r, r2.rnk,
+        |  (ex.neighbor_id IS NOT NULL) AS exact_hit
+        |FROM r2 LEFT JOIN ex ON r2.query_id = ex.query_id AND r2.neighbor_id = ex.neighbor_id
+        |WHERE r2.rnk <= 5""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q186_pca_top" -> pcaOracleSql,
+    "q187_abtt_topk" -> abttOracleSql,
     "q180_mmr_topk" -> mmrOracleSql,
     "q106_bpe_train" -> bpeOracleSql(12),
     "q107_bpe_token_counts" -> bpeCountOracleSql(12),

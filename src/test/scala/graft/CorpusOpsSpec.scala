@@ -335,6 +335,39 @@ class CorpusOpsSpec extends SparkSpec {
       s"top eigenvalue $eig below max per-dim variance $maxVar")
   }
 
+  test("q187: ABTT flips the neighbor a dominant common direction was inflating; real-data contract") {
+    // common axis e0 carries variance 100, the signal axis e1 carries
+    // 0.01: raw cosine ranks id2 (same common sign, OPPOSITE signal)
+    // first; removing the top component leaves only the signal and
+    // id1 (same signal, opposite common sign) must take rank 1
+    val dir = java.nio.file.Files.createTempDirectory("graft_q187").toString
+    def vec(a: Float, sg: Float) = Seq.tabulate(64)(i =>
+      if (i == 0) a else if (i == 1) sg else 0.0f)
+    Seq(
+      (0L, vec(10f, 0.1f), 0),
+      (1L, vec(-10f, 0.1f), 0),
+      (2L, vec(10f, -0.1f), 0),
+      (3L, vec(-10f, -0.1f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out187 = SparkEntry.queries("q187_abtt_topk")(spark, dir)
+      .filter($"query_id" === 0L).orderBy($"rnk").collect()
+    assert(out187.head.getAs[Long]("neighbor_id") == 1L,
+      s"post-ABTT rank 1 must be the same-signal vector: ${out187.mkString(",")}")
+    val raw = SparkEntry.queries("q28_cosine_topk")(spark, dir)
+      .filter($"query_id" === 0L && $"rnk" === 1).collect().head
+    assert(raw.getAs[Long]("neighbor_id") == 2L,
+      s"raw serving must pick the common-direction neighbor: $raw")
+    // real corpus: 5 picks per query, bounded scores, and the recall
+    // shift is a real readout (some hits survive, the lists move)
+    val out = q("q187_abtt_topk").cache()
+    assert(out.groupBy($"query_id").count().filter($"count" =!= 5).isEmpty)
+    assert(out.filter(abs($"cos_r") > 1.0001).isEmpty)
+    val hits = out.filter($"exact_hit").count()
+    assert(hits > 0 && hits < 50, s"recall shift degenerate: $hits/50")
+    out.unpersist()
+  }
+
   test("q180: MMR picks the diverse candidate over the redundant near-duplicate; real-data contract") {
     // designed corpus: query q0 = (1, 0); A = (0.96, 0.28) and
     // B = 2·A (sim(A,B) = 1 exactly, same relevance 0.96);
