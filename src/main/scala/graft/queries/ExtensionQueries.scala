@@ -874,44 +874,19 @@ object ExtensionQueries {
     * top component, scatter matrix M) — shared with q187's ABTT
     * projection. ONE Gram-aggregate pass feeds everything. */
   private[graft] def pcaState(s: SparkSession, dir: String): (Long, Array[Long], Array[Double], Array[Array[Double]]) = {
-    val dim = 64
-    val vf = emb(s, dir).select(
-      transform(col("embedding").cast("array<double>"),
-        x => floor(x * lit(1e4) + lit(0.5)).cast("long")).as("vf"))
     // Gram matrix + first moments + count in ONE map-side aggregate
-    // pass (OuterProductSum) — the collected state is dim²+dim+1
-    // longs, bounded by the embedding dimension
-    val buf = vf.agg(graft.functions.OuterProductSum.column(col("vf"), dim).as("b"))
-      .collect()(0).getAs[scala.collection.Seq[Long]]("b")
-    val n = buf(dim * dim + dim)
-    val sxRows = Array.tabulate(dim)(i => buf(dim * dim + i))
-    // M_ij = n·Σ(x_i x_j) − Σx_i·Σx_j — exact in BigInt, then ONE
-    // correctly-rounded conversion to double (JLS narrowing ==
-    // DuckDB's HUGEINT::DOUBLE)
-    val m = Array.tabulate(dim, dim) { (i, j) =>
-      (BigInt(n) * BigInt(buf(i * dim + j)) - BigInt(sxRows(i)) * BigInt(sxRows(j))).toDouble
-    }
-    def dot64(a: Array[Double], b: Array[Double]): Double = {
-      var sAcc = 0d; var k = 0
-      while (k < dim) { sAcc += a(k) * b(k); k += 1 }; sAcc
-    }
-    var v = Array.fill(dim)(1d)
-    for (_ <- 1 to 10) {
-      val w = Array.tabulate(dim)(i => dot64(m(i), v))
-      val nrm = math.sqrt(dot64(w, w))
-      v = w.map(x => math.floor(x / nrm * 1e6 + 0.5) / 1e6)
-    }
-    (n, sxRows, v, m)
+    // pass; the collected state is dim²+dim+1 longs, bounded by the
+    // embedding dimension. Kernel shared with the streaming
+    // incremental maintenance (functions.PowerIteration).
+    graft.functions.PowerIteration.top(
+      graft.functions.PowerIteration.gramBuffer(emb(s, dir), col("embedding"), 64), 64)
   }
 
   private def q186(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     val dim = 64
     val (n, sxRows, v, m) = pcaState(s, dir)
-    def dot64(a: Array[Double], b: Array[Double]): Double = {
-      var sAcc = 0d; var k = 0
-      while (k < dim) { sAcc += a(k) * b(k); k += 1 }; sAcc
-    }
+    import graft.functions.PowerIteration.{dotSeq => dot64}
     val mv = Array.tabulate(dim)(i => dot64(m(i), v))
     val ray = dot64(v, mv)
     val vv = dot64(v, v)

@@ -817,6 +817,66 @@ object StreamPipeline {
     }
   }
 
+  /** INCREMENTAL PCA / GRAM MAINTENANCE: the streaming half of the
+    * q186 component — each micro-batch of new embeddings folds into
+    * ONE OuterProductSum partial (dim²+dim+1 longs), which merges
+    * into the durable Gram store by plain elementwise addition (the
+    * buffer IS a mergeable sketch: Σxy, Σx, n are all sums). The top
+    * component recomputes ON DEMAND from the store through exactly
+    * the batch kernel ([[graft.functions.PowerIteration.top]]), so a
+    * maintained store serves a component BITWISE equal to a batch
+    * rebuild over the same corpus — no approximation, no decay.
+    * Idempotence: the mergeSketchBatch marker contract (the store
+    * swaps atomically WITH a `_graft_batch_<id>` marker; a replayed
+    * batch whose marker already landed is skipped instead of
+    * double-counted). Per-batch cost is O(batch·dim²) map work plus a
+    * 4161-row store rewrite — state is bounded by the embedding
+    * dimension, never by the corpus. */
+  def maintainGram(vectorStream: DataFrame, gramPath: String, checkpoint: String,
+                   vecCol: String = "embedding", dim: Int = 64,
+                   trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    vectorStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeGramBatch(batch, gramPath, vecCol, dim, batchId)
+      }
+      .start()
+
+  /** One [[maintainGram]] micro-batch: fold the batch's Gram partial
+    * into the store, idempotently per batchId. */
+  private[graft] def mergeGramBatch(batch: DataFrame, gramPath: String,
+                                    vecCol: String, dim: Int, batchId: Long): Unit = {
+    import graft.functions.{OuterProductSum, PowerIteration}
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val hp = new org.apache.hadoop.fs.Path(gramPath)
+    val fs = hp.getFileSystem(hconf)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$gramPath/_graft_batch_$batchId"))) return
+    if (batch.isEmpty) return
+    val partial = batch
+      .agg(OuterProductSum.column(PowerIteration.quantize(col(vecCol)), dim).as("b"))
+      .select(posexplode(col("b")).as(Seq("k", "v")))
+    val merged =
+      if (fs.exists(hp))
+        spark.read.parquet(gramPath).unionByName(partial)
+          .groupBy(col("k")).agg(sum(col("v")).cast("long").as("v"))
+      else partial
+    merged.coalesce(1).write.mode("overwrite").parquet(gramPath + ".tmp")
+    val marker = new org.apache.hadoop.fs.Path(s"$gramPath.tmp/_graft_batch_$batchId")
+    marker.getFileSystem(hconf).create(marker, true).close()
+    graft.batch.AtomicSwap.swapInto(hconf, gramPath + ".tmp", gramPath)
+  }
+
+  /** The maintained Gram store as the flat buffer [[graft.functions
+    * .PowerIteration.top]] consumes. */
+  def readGram(spark: SparkSession, gramPath: String, dim: Int = 64): Array[Long] = {
+    val rows = spark.read.parquet(gramPath)
+      .collect().map(r => r.getAs[Int]("k") -> r.getAs[Long]("v")).toMap
+    Array.tabulate(dim * dim + dim + 1)(k => rows.getOrElse(k, 0L))
+  }
+
   /** ONLINE SIMILARITY SERVING: a stream of query embeddings answered
     * per micro-batch with exact cosine top-k against a STATIC corpus
     * — the serving-path complement of the batch ANN queries. Each

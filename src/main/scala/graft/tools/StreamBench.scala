@@ -246,7 +246,26 @@ object StreamBench {
     val panelLine = report("panel_maintain", panelLats, tickRows,
       s""","store_mb":${dirSizeMb(s"$dir/panel_ticks")},"panel_rows":${spark.read.parquet(s"$dir/panel").count()}""")
 
-    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine}")
+    // ---- 8. incremental Gram/PCA maintenance: each batch of 64-dim
+    // embeddings folds into one OuterProductSum partial and merges
+    // into the 4161-row Gram store — per-batch cost is O(batch·dim²)
+    // map work + a fixed-size store rewrite, flat as the corpus grows.
+    val vecRows = math.max(rows / 10, 1000)
+    val vecs8 = MemoryStream[(Long, Seq[Float])](spark)
+    val qGram = StreamPipeline.maintainGram(
+      vecs8.toDF().toDF("vec_id", "embedding"),
+      s"$dir/gram", s"$dir/ckpt_gram", trigger = Trigger.ProcessingTime(0))
+    def genVecs(b: Int): Seq[(Long, Seq[Float])] =
+      (0 until vecRows).map { i =>
+        val id = b.toLong * vecRows + i
+        (id, Seq.tabulate(64)(d => (((id * 2654435761L + d * 97L) % 2000) - 1000) / 1000.0f))
+      }
+    val gramLats = timeBatches(vecs8, qGram, batches, genVecs)
+    qGram.stop()
+    val gramLine = report("gram_maintain", gramLats, vecRows,
+      s""","store_mb":${dirSizeMb(s"$dir/gram")}""")
+
+    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine}")
     spark.stop()
   }
 }

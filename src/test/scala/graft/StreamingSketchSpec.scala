@@ -405,4 +405,37 @@ class StreamingSketchSpec extends SparkSpec {
       assert(cellMap(acc.get) == expected)
     } finally q.stop()
   }
+
+  test("maintainGram: merged streaming Gram store yields the BITWISE batch PCA component; replay-idempotent") {
+    import graft.functions.PowerIteration
+    import graft.streaming.StreamPipeline
+    val dir = java.nio.file.Files.createTempDirectory("graft_gram").toString
+    val corpus = graft.core.Tables.embeddings(spark, sf("sf0.001"))
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toSeq
+    val stream = MemoryStream[(Long, Seq[Float])](spark)
+    val q = StreamPipeline.maintainGram(
+      stream.toDF().toDF("vec_id", "embedding"), s"$dir/gram", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      corpus.grouped((corpus.size + 2) / 3).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val streamed = StreamPipeline.readGram(spark, s"$dir/gram")
+      val batch = PowerIteration.gramBuffer(
+        graft.core.Tables.embeddings(spark, sf("sf0.001")), $"embedding", 64)
+      assert(streamed.toSeq == batch.toSeq,
+        "streamed merge must equal the one-pass batch buffer exactly")
+      val (n1, sx1, v1, _) = PowerIteration.top(streamed, 64)
+      val (n2, sx2, v2, _) = PowerIteration.top(batch, 64)
+      assert(n1 == n2 && sx1.toSeq == sx2.toSeq)
+      assert(v1.toSeq == v2.toSeq, "component must be bitwise equal (same kernel, same integers)")
+      // replaying the last batch (same batchId) must not double-count
+      val before = StreamPipeline.readGram(spark, s"$dir/gram").toSeq
+      val lastChunk = corpus.grouped((corpus.size + 2) / 3).toSeq.last
+      StreamPipeline.mergeGramBatch(lastChunk.toDF("vec_id", "embedding"),
+        s"$dir/gram", "embedding", 64, batchId = 2L)
+      assert(StreamPipeline.readGram(spark, s"$dir/gram").toSeq == before,
+        "marker must make the replay a no-op")
+    } finally q.stop()
+  }
 }
