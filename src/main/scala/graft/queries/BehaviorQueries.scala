@@ -60,21 +60,11 @@ object BehaviorQueries {
   // data; a single bot user dominating the feed would need the
   // ChunkedFrame treatment (flag is lag-1-local, the id sum is
   // withRunningSum), which this feed does not exhibit.
-  /** One per-user window pass shared by q182/q185: previous-event
-    * timestamp AND type, plus the new-session flag on a >30 min gap.
-    * The session id (running flag sum) rides the same window. */
-  private def sessionFlags(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val gapUs = 1800L * 1000000L
-    ev(s, dir)
-      .withColumn("prev", lag(col("ts"), 1).over(w))
-      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-      .withColumn("new_s",
-        when(col("prev").isNull ||
-          unix_micros(col("ts")) - unix_micros(col("prev")) > gapUs, 1L).otherwise(0L))
-      .withColumn("sid", sum(col("new_s"))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-  }
+  /** One per-user window pass shared by q182/q185 AND the streaming
+    * transition maintainer — delegated to operators.Transitions so
+    * stream ≡ batch is the same code, not a copy. */
+  private def sessionFlags(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Transitions.flags(ev(s, dir))
 
   private def q182(s: SparkSession, dir: String): DataFrame = {
     val sess = sessionFlags(s, dir)
@@ -107,10 +97,7 @@ object BehaviorQueries {
   // window pass (shared with q182) + one (from, to) partial-agg
   // shuffle; output is |types|² at any volume.
   private def q185(s: SparkSession, dir: String): DataFrame = {
-    val trans = sessionFlags(s, dir)
-      .filter(col("new_s") === 0L)
-      .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
-      .agg(count(lit(1)).as("n_trans"))
+    val trans = graft.operators.Transitions.counts(ev(s, dir))
     trans
       .withColumn("from_total",
         sum(col("n_trans")).over(Window.partitionBy(col("from_type"))))

@@ -877,6 +877,77 @@ object StreamPipeline {
     Array.tabulate(dim * dim + dim + 1)(k => rows.getOrElse(k, 0L))
   }
 
+  /** STREAMING TRANSITION-MATRIX MAINTENANCE: the live form of q185's
+    * session Markov model. State is TWO bounded stores: the
+    * |types|²-row transition counts (mergeable — plain addition) and
+    * a one-row-per-user carry of each user's LAST event, so a batch's
+    * transitions are computed by running operators.Transitions.counts
+    * — the exact q185 code path — over (carry ∪ batch): within-batch
+    * pairs AND the cross-batch boundary pair (carry → first event)
+    * fall out of the same window pass, and a > 30 min gap cuts
+    * either kind identically. Assumes per-user event-time-ordered
+    * arrival across batches (the watermark contract every feed here
+    * honors); an out-of-order event would need the panelMaintain
+    * touched-recompute pattern instead. Idempotence: both stores
+    * swap atomically with batch markers; counts commit BEFORE carry,
+    * so a torn crash replays against the OLD carry — identical
+    * input, counts skip on their marker, carry heals. Per-batch cost
+    * is O(batch + |users touched|); neither store grows with event
+    * volume. */
+  def transitionMaintain(eventsStream: DataFrame, countsPath: String, carryPath: String,
+                         checkpoint: String,
+                         trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    eventsStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        transitionBatch(batch, countsPath, carryPath, batchId)
+      }
+      .start()
+
+  /** One [[transitionMaintain]] micro-batch. */
+  private[graft] def transitionBatch(batch: DataFrame, countsPath: String,
+                                     carryPath: String, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).exists(hp)
+    }
+    def applied(p: String): Boolean = exists(s"$p/_graft_batch_$batchId")
+    def writeAndSwap(df: DataFrame, p: String): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(p + ".tmp")
+      val marker = new org.apache.hadoop.fs.Path(s"$p.tmp/_graft_batch_$batchId")
+      marker.getFileSystem(hconf).create(marker, true).close()
+      graft.batch.AtomicSwap.swapInto(hconf, p + ".tmp", p)
+    }
+    val cols = Seq("user_id", "ts", "event_id", "event_type").map(col)
+    val uni = (if (exists(carryPath))
+        batch.select(cols: _*).unionByName(spark.read.parquet(carryPath).select(cols: _*))
+      else batch.select(cols: _*))
+      .localCheckpoint(true) // one snapshot feeds BOTH stores (and survives the carry overwrite)
+    if (!applied(countsPath)) {
+      val fresh = graft.operators.Transitions.counts(uni)
+      val merged =
+        if (exists(countsPath))
+          spark.read.parquet(countsPath).unionByName(fresh)
+            .groupBy(col("from_type"), col("to_type"))
+            .agg(sum(col("n_trans")).cast("long").as("n_trans"))
+        else fresh
+      writeAndSwap(merged, countsPath)
+    }
+    if (!applied(carryPath)) {
+      val newCarry = uni.groupBy(col("user_id"))
+        .agg(max_by(struct(col("ts"), col("event_id"), col("event_type")),
+          struct(col("ts"), col("event_id"))).as("last"))
+        .select(col("user_id"), col("last.ts").as("ts"),
+          col("last.event_id").as("event_id"), col("last.event_type").as("event_type"))
+      writeAndSwap(newCarry, carryPath)
+    }
+  }
+
   /** ONLINE SIMILARITY SERVING: a stream of query embeddings answered
     * per micro-batch with exact cosine top-k against a STATIC corpus
     * — the serving-path complement of the batch ANN queries. Each

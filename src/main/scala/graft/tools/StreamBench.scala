@@ -265,7 +265,28 @@ object StreamBench {
     val gramLine = report("gram_maintain", gramLats, vecRows,
       s""","store_mb":${dirSizeMb(s"$dir/gram")}""")
 
-    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine}")
+    // ---- 9. transition-matrix maintenance: per batch, the q185
+    // window logic over (carry ∪ batch); state = |types|² counts +
+    // one row per user — neither grows with event volume.
+    val evRows = math.max(rows / 10, 1000)
+    val ev9 = MemoryStream[(Long, java.sql.Timestamp, Long, String)](spark)
+    val qTrans = StreamPipeline.transitionMaintain(
+      ev9.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+      s"$dir/tm_counts", s"$dir/tm_carry", s"$dir/ckpt_tm",
+      trigger = Trigger.ProcessingTime(0))
+    val evTypes = Array("view", "click", "purchase", "signup", "error")
+    def genEv(b: Int): Seq[(Long, java.sql.Timestamp, Long, String)] =
+      (0 until evRows).map { i =>
+        val id = b.toLong * evRows + i
+        val ts = new java.sql.Timestamp((base + b * 600L + (i / 500) % 600) * 1000L)
+        (id % 500, ts, id, evTypes(((id * 2654435761L) % 5).toInt.abs))
+      }
+    val transLats = timeBatches(ev9, qTrans, batches, genEv)
+    qTrans.stop()
+    val transLine = report("transition_maintain", transLats, evRows,
+      s""","carry_rows":${spark.read.parquet(s"$dir/tm_carry").count()}""")
+
+    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine}")
     spark.stop()
   }
 }

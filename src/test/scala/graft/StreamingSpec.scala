@@ -765,4 +765,65 @@ class StreamingSpec extends SparkSpec {
       assert(got == Map("A" -> 2L, "B" -> 1L), s"got $got") // A@0 once, A@60 once
     } finally q.stop()
   }
+
+  test("transitionMaintain: cross-batch boundary transitions and gap cuts equal batch q185 exactly; replay-idempotent") {
+    val dir = Files.createTempDirectory("graft_trans").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // batch 1: u7 view@0 -> click@1 (one in-batch transition);
+    //          u8 view@0 (no transition yet)
+    // batch 2: u7 view@2 (BOUNDARY click->view, 1-min gap) then
+    //          purchase@45 (43-min gap: cut); u8 click@40 (40-min
+    //          gap from its carry: cut — no boundary transition)
+    val b1 = Seq((7L, ts(0), 1L, "view"), (7L, ts(1), 2L, "click"), (8L, ts(0), 3L, "view"))
+    val b2 = Seq((7L, ts(2), 4L, "view"), (7L, ts(45), 5L, "purchase"), (8L, ts(40), 6L, "click"))
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String)](spark)
+    val q = StreamPipeline.transitionMaintain(
+      stream.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+      s"$dir/counts", s"$dir/carry", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      def countsMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+          r.getAs[Long]("n_trans")).toMap
+      val streamed = countsMap(spark.read.parquet(s"$dir/counts"))
+      assert(streamed == Map(("view", "click") -> 1L, ("click", "view") -> 1L),
+        s"streamed: $streamed")
+      // the exact q185 code path over the union feed must agree
+      val whole = (b1 ++ b2).toDF("user_id", "ts", "event_id", "event_type")
+      assert(streamed == countsMap(graft.operators.Transitions.counts(whole)))
+      // replaying batch 1 (its marker is gone after batch 2's swap,
+      // but foreachBatch only replays the LATEST batch) — replay the
+      // latest id: a no-op on both stores
+      val beforeC = spark.read.parquet(s"$dir/counts").collect().toSet
+      val beforeK = spark.read.parquet(s"$dir/carry").collect().toSet
+      StreamPipeline.transitionBatch(
+        b2.toDF("user_id", "ts", "event_id", "event_type"),
+        s"$dir/counts", s"$dir/carry", batchId = 1L)
+      assert(spark.read.parquet(s"$dir/counts").collect().toSet == beforeC)
+      assert(spark.read.parquet(s"$dir/carry").collect().toSet == beforeK)
+      // real feed: stream the sf0.001 events in 3 event-time-ordered
+      // chunks; maintained counts must equal q185's n_trans exactly
+      val ev = graft.core.Tables.events(spark, sf())
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .orderBy($"ts", $"event_id")
+        .as[(Long, java.sql.Timestamp, Long, String)].collect().toSeq
+      val dir2 = Files.createTempDirectory("graft_trans2").toString
+      val s2 = MemoryStream[(Long, java.sql.Timestamp, Long, String)](spark)
+      val q2 = StreamPipeline.transitionMaintain(
+        s2.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+        s"$dir2/counts", s"$dir2/carry", s"$dir2/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      try {
+        ev.grouped((ev.size + 2) / 3).foreach { c => s2.addData(c); q2.processAllAvailable() }
+        val got = countsMap(spark.read.parquet(s"$dir2/counts"))
+        val want = SparkEntry.queries("q185_transitions")(spark, sf()).collect()
+          .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+            r.getAs[Long]("n_trans")).toMap
+        assert(got == want, "streamed matrix must equal the declared q185 counts")
+      } finally q2.stop()
+    } finally q.stop()
+  }
 }
