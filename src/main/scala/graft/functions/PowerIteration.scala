@@ -34,6 +34,30 @@ object PowerIteration {
     while (k < a.length) { sAcc += a(k) * b(k); k += 1 }; sAcc
   }
 
+  /** 10 snapped power iterations from the all-ones start — the
+    * dominant-eigenvector kernel both engines replay step for step. */
+  def iterate(m: Array[Array[Double]], dim: Int): Array[Double] = {
+    var v = Array.fill(dim)(1d)
+    for (_ <- 1 to 10) {
+      val w = Array.tabulate(dim)(i => dotSeq(m(i), v))
+      val nrm = math.sqrt(dotSeq(w, w))
+      v = w.map(x => math.floor(x / nrm * 1e6 + 0.5) / 1e6)
+    }
+    v
+  }
+
+  /** Rayleigh quotient v·Mv / v·v — the eigenvalue in M's units. */
+  def rayleigh(m: Array[Array[Double]], v: Array[Double], dim: Int): Double = {
+    val mv = Array.tabulate(dim)(i => dotSeq(m(i), v))
+    dotSeq(v, mv) / dotSeq(v, v)
+  }
+
+  /** Hotelling deflation: M' = M − λ·v·vᵀ — removes the found
+    * component so the next [[iterate]] converges to the runner-up. */
+  def deflate(m: Array[Array[Double]], v: Array[Double], lam: Double,
+              dim: Int): Array[Array[Double]] =
+    Array.tabulate(dim, dim)((i, j) => m(i)(j) - lam * v(i) * v(j))
+
   /** (n, per-dim integer sums, snapped top component, scatter matrix)
     * from a flat Gram buffer. */
   def top(buf: Array[Long], dim: Int): (Long, Array[Long], Array[Double], Array[Array[Double]]) = {
@@ -42,12 +66,6 @@ object PowerIteration {
     val m = Array.tabulate(dim, dim) { (i, j) =>
       (BigInt(n) * BigInt(buf(i * dim + j)) - BigInt(sxRows(i)) * BigInt(sxRows(j))).toDouble
     }
-    var v = Array.fill(dim)(1d)
-    for (_ <- 1 to 10) {
-      val w = Array.tabulate(dim)(i => dotSeq(m(i), v))
-      val nrm = math.sqrt(dotSeq(w, w))
-      v = w.map(x => math.floor(x / nrm * 1e6 + 0.5) / 1e6)
-    }
-    (n, sxRows, v, m)
+    (n, sxRows, iterate(m, dim), m)
   }
 }

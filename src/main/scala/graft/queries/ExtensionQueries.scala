@@ -900,6 +900,40 @@ object ExtensionQueries {
     rows.toDF("dim", "mean_r", "loading_r", "eigval_r")
   }
 
+  // q188 — TWO-COMPONENT PCA WITH EXPLAINED-VARIANCE SHARES: the
+  // q186 component plus the runner-up by Hotelling deflation
+  // (M' = M − λ₁·v₁v₁ᵀ, then the same snapped power iterations), and
+  // per-component explained-variance shares λ_k / trace(M) — the
+  // spectrum readout (how concentrated is the embedding space?) that
+  // decides HOW MANY components ABTT should strip and whether a
+  // Matryoshka/PCA dimensionality cut is safe. Every step reuses the
+  // q186 exactness discipline: exact-integer M, fixed-order dots,
+  // snapped iterates; the deflation and the trace (the exact
+  // diagonal, summed by the same sequential kernel) are one shared
+  // IEEE sequence. Scale shape: identical to q186 — ONE corpus Gram
+  // pass; everything else is dim²-bounded driver arithmetic.
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    val dim = 64
+    import graft.functions.PowerIteration
+    import PowerIteration.dotSeq
+    val (n, _, v1, m) = pcaState(s, dir)
+    val lam1 = PowerIteration.rayleigh(m, v1, dim)
+    val m2 = PowerIteration.deflate(m, v1, lam1, dim)
+    val v2 = PowerIteration.iterate(m2, dim)
+    val lam2 = PowerIteration.rayleigh(m2, v2, dim)
+    val trace = dotSeq(Array.tabulate(dim)(i => m(i)(i)), Array.fill(dim)(1d))
+    val nd = n.toDouble
+    def r4d(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val rows =
+      (0 until dim).map(i => (1, i, r4d(v1(i)),
+        r4d(lam1 / (nd * nd) / 1e8), r4d(lam1 / trace))) ++
+      (0 until dim).map(i => (2, i, r4d(v2(i)),
+        r4d(lam2 / (nd * nd) / 1e8), r4d(lam2 / trace)))
+    import spark.implicits._
+    rows.toDF("component", "dim", "loading_r", "eigval_r", "var_share_r")
+  }
+
   // q187 — ALL-BUT-THE-TOP POST-PROCESSED SERVING (Mu & Viswanath,
   // ICLR 2018): center every embedding on the corpus mean, remove its
   // projection on q186's top principal component, and serve top-5
@@ -948,6 +982,7 @@ object ExtensionQueries {
     "q180_mmr_topk" -> q180 _,
     "q186_pca_top" -> q186 _,
     "q187_abtt_topk" -> q187 _,
+    "q188_pca_two" -> q188 _,
     "q106_bpe_train" -> q106 _,
     "q107_bpe_token_counts" -> q107 _,
     "q38_embed_neardup" -> q38 _,
@@ -1097,17 +1132,22 @@ object ExtensionQueries {
   /** Shared WITH-prefix: the exact-integer scatter matrix and the 10
     * power-iteration blocks, ending at `v10 (v)` — the snapped top
     * component. Used by q186 (loadings/eigenvalue) and q187 (ABTT). */
-  private def pcaCtes: String = {
-    val iters = (1 to 10).map { k =>
-      s""", w$k AS (
-         |  SELECT i, list_dot_product(row, (SELECT v FROM v${k - 1})) AS w FROM mrows
-         |), wl$k AS (
-         |  SELECT list(w ORDER BY i) AS wl FROM w$k
-         |), v$k AS (
+  /** The 10 snapped power-iteration CTE blocks over `rowsCte`,
+    * reading v$tag0 and ending at v${tag}10. */
+  private def powerIterBlocks(tag: String, rowsCte: String): String =
+    (1 to 10).map { k =>
+      s""", w$tag$k AS (
+         |  SELECT i, list_dot_product(row, (SELECT v FROM v$tag${k - 1})) AS w FROM $rowsCte
+         |), wl$tag$k AS (
+         |  SELECT list(w ORDER BY i) AS wl FROM w$tag$k
+         |), v$tag$k AS (
          |  SELECT list_transform(wl, x -> floor(x / sqrt(list_dot_product(wl, wl)) * 1e6 + 0.5)/1e6) AS v
-         |  FROM wl$k
+         |  FROM wl$tag$k
          |)""".stripMargin
     }.mkString
+
+  private def pcaCtes: String = {
+    val iters = powerIterBlocks("", "mrows")
     s"""WITH e AS MATERIALIZED (
        |  SELECT list_transform(embedding::DOUBLE[], x -> floor(x*1e4 + 0.5)::BIGINT) AS vf
        |  FROM embeddings
@@ -1145,6 +1185,47 @@ object ExtensionQueries {
         |  floor((SELECT r FROM ray) / (SELECT vv FROM ray)
         |    / ((SELECT n FROM cnt)::DOUBLE * (SELECT n FROM cnt)::DOUBLE) / 1e8 * 10000 + 0.5)/10000 AS eigval_r
         |FROM sx""".stripMargin
+
+  /** q188 oracle: the pcaCtes prefix, the first component's Rayleigh
+    * eigenvalue, Hotelling deflation (M − λ·v·vᵀ as per-row list
+    * transforms), a second run of the same iteration blocks, and the
+    * exact-diagonal trace for variance shares. */
+  private def pca2OracleSql: String =
+    pcaCtes +
+      """, mvf AS (
+        |  SELECT i, list_dot_product(row, (SELECT v FROM v10)) AS mv FROM mrows
+        |), lamc AS (
+        |  SELECT list_dot_product((SELECT v FROM v10), (SELECT list(mv ORDER BY i) FROM mvf))
+        |       / list_dot_product((SELECT v FROM v10), (SELECT v FROM v10)) AS lam
+        |), m2rows AS MATERIALIZED (
+        |  SELECT mr.i,
+        |    list_transform(ii.il, j -> mr.row[j + 1] - lc.lam * vv10.vl[mr.i + 1] * vv10.vl[j + 1]) AS row
+        |  FROM mrows mr, (SELECT l AS il FROM idxl) ii,
+        |       (SELECT lam FROM lamc) lc, (SELECT v AS vl FROM v10) vv10
+        |), vb0 AS (
+        |  SELECT (SELECT list(1.0::DOUBLE) FROM range(64)) AS v
+        |)""".stripMargin +
+      powerIterBlocks("b", "m2rows") +
+      """, mvf2 AS (
+        |  SELECT i, list_dot_product(row, (SELECT v FROM vb10)) AS mv FROM m2rows
+        |), lam2c AS (
+        |  SELECT list_dot_product((SELECT v FROM vb10), (SELECT list(mv ORDER BY i) FROM mvf2))
+        |       / list_dot_product((SELECT v FROM vb10), (SELECT v FROM vb10)) AS lam
+        |), trc AS (
+        |  SELECT list_dot_product((SELECT list(mij ORDER BY i) FROM mm WHERE i = j),
+        |    (SELECT list(1.0::DOUBLE) FROM range(64))) AS t
+        |)
+        |SELECT 1 AS component, ii.i AS dim,
+        |  floor(vv10.vl[ii.i + 1] * 10000 + 0.5)/10000 AS loading_r,
+        |  floor(lc.lam / ((SELECT n FROM cnt)::DOUBLE * (SELECT n FROM cnt)::DOUBLE) / 1e8 * 10000 + 0.5)/10000 AS eigval_r,
+        |  floor(lc.lam / tc.t * 10000 + 0.5)/10000 AS var_share_r
+        |FROM idx ii, (SELECT v AS vl FROM v10) vv10, (SELECT lam FROM lamc) lc, (SELECT t FROM trc) tc
+        |UNION ALL
+        |SELECT 2, ii.i,
+        |  floor(vb.vl[ii.i + 1] * 10000 + 0.5)/10000,
+        |  floor(l2.lam / ((SELECT n FROM cnt)::DOUBLE * (SELECT n FROM cnt)::DOUBLE) / 1e8 * 10000 + 0.5)/10000,
+        |  floor(l2.lam / tc.t * 10000 + 0.5)/10000
+        |FROM idx ii, (SELECT v AS vl FROM vb10) vb, (SELECT lam FROM lam2c) l2, (SELECT t FROM trc) tc""".stripMargin
 
   /** q187 oracle: the pcaCtes prefix, then centering, projection
     * removal, and the q28 serving shape over the post-processed
@@ -1191,6 +1272,7 @@ object ExtensionQueries {
   val oracleSql: Map[String, String] = Map(
     "q186_pca_top" -> pcaOracleSql,
     "q187_abtt_topk" -> abttOracleSql,
+    "q188_pca_two" -> pca2OracleSql,
     "q180_mmr_topk" -> mmrOracleSql,
     "q106_bpe_train" -> bpeOracleSql(12),
     "q107_bpe_token_counts" -> bpeCountOracleSql(12),

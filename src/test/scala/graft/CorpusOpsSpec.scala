@@ -335,6 +335,50 @@ class CorpusOpsSpec extends SparkSpec {
       s"top eigenvalue $eig below max per-dim variance $maxVar")
   }
 
+  test("q188: two-axis corpus recovers both components and exact variance shares; orthogonality on real data") {
+    // points (+-2)e0 and (+-1)e1: mean 0, population covariance
+    // diag(2, 0.5) -> comp 1 = e0 (eig 2.0, share 0.8), comp 2 = e1
+    // (eig 0.5, share 0.2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q188").toString
+    def vec(d: Int, s: Float) = Seq.tabulate(64)(i => if (i == d) s else 0.0f)
+    Seq((0L, vec(0, 2f), 0), (1L, vec(0, -2f), 0), (2L, vec(1, 1f), 0), (3L, vec(1, -1f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q188_pca_two")(spark, dir).collect()
+      .map(r => (r.getAs[Int]("component"), r.getAs[Int]("dim")) -> r).toMap
+    assert(math.abs(out((1, 0)).getAs[Double]("loading_r")) == 1.0 &&
+      out((1, 1)).getAs[Double]("loading_r") == 0.0, "component 1 must be the e0 axis")
+    assert(math.abs(out((2, 1)).getAs[Double]("loading_r")) == 1.0 &&
+      out((2, 0)).getAs[Double]("loading_r") == 0.0, "component 2 must be the e1 axis")
+    assert(out((1, 0)).getAs[Double]("eigval_r") == 2.0 &&
+      out((2, 0)).getAs[Double]("eigval_r") == 0.5, s"eigs: ${out((1, 0))}, ${out((2, 0))}")
+    assert(out((1, 0)).getAs[Double]("var_share_r") == 0.8 &&
+      out((2, 0)).getAs[Double]("var_share_r") == 0.2)
+    // real corpus: deflation must deliver a (near-)orthogonal pair
+    // with ordered positive shares summing under 1
+    val real = q("q188_pca_two").collect()
+    val l1 = real.filter(_.getAs[Int]("component") == 1).sortBy(_.getAs[Int]("dim"))
+      .map(_.getAs[Double]("loading_r"))
+    val l2 = real.filter(_.getAs[Int]("component") == 2).sortBy(_.getAs[Int]("dim"))
+      .map(_.getAs[Double]("loading_r"))
+    val dot12 = l1.zip(l2).map { case (a, b) => a * b }.sum
+    // the synthetic corpus has a near-flat spectrum (shares ~1/dim),
+    // where 10 fixed iterations converge only approximately — the
+    // residual correlation is real, deterministic, and bounded; the
+    // designed two-axis corpus above pins the exact-convergence case
+    assert(math.abs(dot12) < 0.1, s"components not near-orthogonal: $dot12")
+    val s1 = real.find(_.getAs[Int]("component") == 1).get.getAs[Double]("var_share_r")
+    val s2 = real.find(_.getAs[Int]("component") == 2).get.getAs[Double]("var_share_r")
+    // flat spectrum: the two Rayleigh quotients sit within ~1e-3 of
+    // each other, so strict ordering is not guaranteed at 10
+    // iterations — bound the inversion instead
+    assert(s1 >= s2 - 0.005 && s2 > 0 && s1 + s2 <= 1.0001, s"shares: $s1, $s2")
+    // and component 1 agrees with the declared q186 loadings bitwise
+    val q186l = q("q186_pca_top").collect().sortBy(_.getAs[Int]("dim"))
+      .map(_.getAs[Double]("loading_r"))
+    assert(l1.toSeq == q186l.toSeq, "q188 component 1 must equal q186")
+  }
+
   test("q187: ABTT flips the neighbor a dominant common direction was inflating; real-data contract") {
     // common axis e0 carries variance 100, the signal axis e1 carries
     // 0.01: raw cosine ranks id2 (same common sign, OPPOSITE signal)
