@@ -106,6 +106,55 @@ object BehaviorQueries {
           .as("p_trans"))
   }
 
+  // q189 — RFM SEGMENTATION: recency / frequency / monetary per user
+  // with discrete quartile scores (4 = best) and the composed RFM
+  // segment — the standard customer-value model every events
+  // warehouse materializes. Exactness: monetary is an exact decimal
+  // sum r2-rounded BEFORE ranking (so rank ties are engine-portable),
+  // recency is integer day arithmetic against the feed's max day,
+  // and quartiles use the q173 discrete arithmetic (rank·4 DIV n —
+  // no percentile interpolation, no ntile nondeterminism). Scale
+  // shape: one user-keyed partial agg over the events, then THREE
+  // rank passes on the |users| table via ChunkedFrame.globalRank
+  // (metric-bucket chunks — no single-task global sort even at 1e9
+  // users); the 1-row asof/count frames broadcast.
+  private def q189(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    // ONE events scan: the as-of day and the user count both derive
+    // from the per-user aggregate (max of per-user maxes, count of
+    // rows) — the |users|-row table persists eagerly because the
+    // as-of/count branches and three rank passes all re-read it
+    // (lazy, each branch re-scanned the 100x events: 14.8 s -> 3.9 s warm)
+    val users = e.groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast("decimal(18,4)")).as("mon"))
+      .persist()
+    users.count()
+    val asof = users.agg(max(col("last_day")).as("asof_day"))
+    val cnt0 = users.agg(count(lit(1)).as("n_users"))
+    val rfm = users
+      .crossJoin(broadcast(asof))
+      .crossJoin(broadcast(cnt0))
+      .withColumn("recency_days", datediff(col("asof_day"), col("last_day")))
+      .withColumn("monetary", r2(col("mon").cast("double")))
+      .withColumn("__k", lit(1))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"), col("n_users"), col("__k"))
+    def quartile(df: DataFrame, metric: String, chunk: Column, outCol: String): DataFrame =
+      graft.operators.ChunkedFrame.globalRank(df, "__k", chunk, Seq(metric, "user_id"))
+        .withColumn(outCol, expr("(__g * 4) DIV n_users + 1"))
+        .drop("__g")
+    val scored = quartile(
+      quartile(
+        quartile(rfm, "recency_days", col("recency_days"), "rq"),
+        "frequency", col("frequency"), "fq"),
+      "monetary", floor(col("monetary")), "mq")
+    scored.select(col("user_id"), col("recency_days"), col("frequency"), col("monetary"),
+      (lit(5L) - col("rq")).as("r_score"), col("fq").as("f_score"), col("mq").as("m_score"),
+      ((lit(5L) - col("rq")) * 100 + col("fq") * 10 + col("mq")).as("segment"))
+  }
+
   // q183 — ORDERED FUNNEL (view → click → purchase): how many users
   // progress through the product funnel IN ORDER — a click counts
   // only after the user's first view, a purchase only after that
@@ -184,7 +233,8 @@ object BehaviorQueries {
     "q182_sessions" -> q182 _,
     "q183_funnel" -> q183 _,
     "q184_retention" -> q184 _,
-    "q185_transitions" -> q185 _
+    "q185_transitions" -> q185 _,
+    "q189_rfm" -> q189 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -202,6 +252,32 @@ object BehaviorQueries {
          |  count(DISTINCT v)::BIGINT AS n_distinct
          |FROM s GROUP BY 1""".stripMargin
     },
+    "q189_rfm" ->
+      """WITH rfm AS (
+        |  SELECT user_id, max(ts::TIMESTAMP::DATE) AS last_day, count(*)::BIGINT AS frequency,
+        |    sum(value::DECIMAL(18,4)) AS mon
+        |  FROM events GROUP BY 1
+        |), a AS (SELECT max(last_day) AS asof_day FROM rfm),
+        |n AS (SELECT count(*)::BIGINT AS n_users FROM rfm),
+        |b AS (
+        |  SELECT user_id, date_diff('day', last_day, (SELECT asof_day FROM a)) AS recency_days,
+        |    frequency, floor(mon::DOUBLE * 100 + 0.5)/100 AS monetary
+        |  FROM rfm
+        |), r AS (
+        |  SELECT *,
+        |    row_number() OVER (ORDER BY recency_days, user_id) AS rr,
+        |    row_number() OVER (ORDER BY frequency, user_id) AS fr,
+        |    row_number() OVER (ORDER BY monetary, user_id) AS mr
+        |  FROM b
+        |)
+        |SELECT user_id, recency_days::INTEGER AS recency_days, frequency, monetary,
+        |  5 - ((rr - 1) * 4 // (SELECT n_users FROM n) + 1) AS r_score,
+        |  (fr - 1) * 4 // (SELECT n_users FROM n) + 1 AS f_score,
+        |  (mr - 1) * 4 // (SELECT n_users FROM n) + 1 AS m_score,
+        |  (5 - ((rr - 1) * 4 // (SELECT n_users FROM n) + 1)) * 100
+        |    + ((fr - 1) * 4 // (SELECT n_users FROM n) + 1) * 10
+        |    + ((mr - 1) * 4 // (SELECT n_users FROM n) + 1) AS segment
+        |FROM r""".stripMargin,
     "q185_transitions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts FROM events

@@ -110,6 +110,36 @@ class BehaviorSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q189: four designed users land one per quartile; scores bounded and balanced on the real feed") {
+    // u1 most recent + most frequent + highest spend -> 444;
+    // u4 oldest, least, lowest -> 111 (frequencies 4, 3, 2, 1 via
+    // event counts; recency via day offsets; monetary via values)
+    val rows = (1 to 4).flatMap { u =>
+      (0 until (5 - u)).map { i =>
+        (u * 10L + i, new java.sql.Timestamp(
+          java.sql.Timestamp.valueOf("2024-01-10 10:00:00").getTime
+            - (u - 1) * 86400000L + i * 60000L),
+          u.toLong, "view", (5 - u) * 10.0, "{}")
+      }
+    }
+    val dir = writeEvents(rows)
+    val out = SparkEntry.queries("q189_rfm")(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out(1L).getAs[Long]("segment") == 444L, s"u1: ${out(1L)}")
+    assert(out(4L).getAs[Long]("segment") == 111L, s"u4: ${out(4L)}")
+    assert(out(2L).getAs[Long]("r_score") == 3L && out(3L).getAs[Long]("r_score") == 2L)
+    val real = q("q189_rfm").cache()
+    assert(real.filter($"r_score" < 1 || $"r_score" > 4 ||
+      $"f_score" < 1 || $"f_score" > 4 || $"m_score" < 1 || $"m_score" > 4).isEmpty)
+    assert(real.filter($"segment" =!=
+      $"r_score" * 100 + $"f_score" * 10 + $"m_score").isEmpty)
+    // exact rank arithmetic balances quartiles to within one user
+    val byQ = real.groupBy($"f_score").count().collect()
+      .map(r => r.getAs[Long]("count"))
+    assert(byQ.max - byQ.min <= 1, s"quartiles unbalanced: ${byQ.mkString(",")}")
+    real.unpersist()
+  }
+
   test("q184: offset-0 retention is 1.0 per cohort; cohort sizes partition the user base") {
     val out = q("q184_retention").cache()
     assert(out.filter($"offset_d" === 0 && $"retention" =!= 1.0).isEmpty,
