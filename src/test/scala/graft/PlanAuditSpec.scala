@@ -507,4 +507,59 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 4, s"gram/doc aggregates lost partials:\n$p")
   }
+
+  test("q175/q176/q179 day-grid statistics: tick-grain windows carry the day composite") {
+    // the only volume-sized sort is the (instrument, day) close
+    // window; day-grain windows afterwards are bare-key BY DESIGN
+    // (the grid is volume-independent) — what must never appear is a
+    // tick-grain window partitioned by event_type alone
+    for (q <- Seq("q175_higher_moments", "q176_return_acf", "q179_momentum")) {
+      val p = plan(q)
+      val tickWins = p.linesIterator.filter(l =>
+        l.contains("windowspecdefinition(event_type#") && l.contains("ts#")).toSeq
+      tickWins.foreach { l =>
+        assert(l.contains("day#"),
+          s"$q: tick-grain window lost the day composite:\n$l")
+      }
+    }
+  }
+
+  test("q177 Kyle / q178 VPIN: one tick-grain window pass, partial+final day aggregation") {
+    val p177 = plan("q177_kyle_lambda")
+    assert(p177.linesIterator.count(_.contains("Window")) <= 4, s"window blowup:\n$p177")
+    assert(!p177.contains("CartesianProduct"))
+    // VPIN's volume clock must run CHUNKED (day blocks), never a bare
+    // per-instrument running sum over the whole month
+    val p178 = plan("q178_vpin")
+    val runSums = p178.linesIterator.filter(l =>
+      l.contains("windowspecdefinition(event_type#") &&
+        l.contains("unboundedpreceding")).toSeq
+    runSums.foreach { l =>
+      assert(l.contains("__chunk") || l.contains("day#") || l.contains("__p_"),
+        s"q178: bare per-instrument running sum:\n$l")
+    }
+  }
+
+  test("q181 profile: ONE lineitem scan feeds all columns; q189 ranks avoid bare global windows") {
+    val p = plan("q181_table_profile")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"profile must stack columns from one scan, not scan per column:\n$p")
+    val p189 = plan("q189_rfm")
+    val bareGlobal = p189.linesIterator.filter(l =>
+      l.contains("windowspecdefinition()") ||
+        (l.contains("windowspecdefinition(") && l.contains("__k#") && !l.contains("__chunk"))).toSeq
+    assert(bareGlobal.isEmpty,
+      s"q189: rank must ride globalRank's (key, chunk) composite:\n${bareGlobal.mkString("\n")}")
+  }
+
+  test("q180 MMR / q187 ABTT: queries broadcast, no cartesian beyond the labeled score join") {
+    for (q <- Seq("q180_mmr_topk", "q187_abtt_topk")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$q: query side must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: unbroadcast cartesian:\n$p")
+      assert(p.contains("ObjectHashAggregate") || p.contains("BoundedTopK") ||
+        p.contains("bounded_top_k"), s"$q: shortlist must be the partial-heap aggregate:\n$p")
+    }
+  }
 }
