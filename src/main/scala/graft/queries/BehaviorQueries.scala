@@ -155,6 +155,46 @@ object BehaviorQueries {
       ((lit(5L) - col("rq")) * 100 + col("fq") * 10 + col("mq")).as("segment"))
   }
 
+  // q190 — SESSION CO-OCCURRENCE LIFT: the association-rules readout
+  // over the sessionized stream — for every event-type pair, how much
+  // more often do A and B share a session than independence predicts
+  // (lift = P(A,B)/(P(A)·P(B)), support = P(A,B)) — the market-basket
+  // primitive behind "users who error also churn" dashboards.
+  // Composition: q182's session ids → distinct (session, type) →
+  // a session-keyed self-join bounded by |types|² per session → exact
+  // integer counts closed by two r4 divisions. Scale shape: one
+  // per-user window pass (shared Transitions code), one distinct
+  // shuffle on (user, sid, type), a self-join whose per-session
+  // output is ≤ |types|² rows, and |types|-row presence tables
+  // broadcast back; output is the |types|² matrix at any volume.
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.operators.Transitions.flags(ev(s, dir))
+      .select(col("user_id"), col("sid"), col("event_type"))
+      .distinct()
+      .persist()
+    st.count() // referenced four times below; session-type grain only
+    val nSess = st.select(col("user_id"), col("sid")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val singles = st.groupBy(col("event_type")).agg(count(lit(1)).as("n_single"))
+    val pairs = st.select(col("user_id"), col("sid"), col("event_type").as("type_a"))
+      .join(st.select(col("user_id"), col("sid"), col("event_type").as("type_b")),
+        Seq("user_id", "sid"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    def d(c: Column) = c.cast("double")
+    pairs
+      .join(broadcast(singles.select(col("event_type").as("type_a"), col("n_single").as("n_a"))),
+        Seq("type_a"))
+      .join(broadcast(singles.select(col("event_type").as("type_b"), col("n_single").as("n_b"))),
+        Seq("type_b"))
+      .crossJoin(broadcast(nSess))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"), col("n_b"),
+        r4(d(col("n_both")) / d(col("n_sessions"))).as("support"),
+        r4(d(col("n_both")) * d(col("n_sessions")) / (d(col("n_a")) * d(col("n_b"))))
+          .as("lift"))
+  }
+
   // q183 — ORDERED FUNNEL (view → click → purchase): how many users
   // progress through the product funnel IN ORDER — a click counts
   // only after the user's first view, a purchase only after that
@@ -234,7 +274,8 @@ object BehaviorQueries {
     "q183_funnel" -> q183 _,
     "q184_retention" -> q184 _,
     "q185_transitions" -> q185 _,
-    "q189_rfm" -> q189 _
+    "q189_rfm" -> q189 _,
+    "q190_session_lift" -> q190 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -252,6 +293,36 @@ object BehaviorQueries {
          |  count(DISTINCT v)::BIGINT AS n_distinct
          |FROM s GROUP BY 1""".stripMargin
     },
+    "q190_session_lift" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts FROM events
+        |), g AS (
+        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sid AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g
+        |), st AS (
+        |  SELECT DISTINCT user_id, sid, event_type FROM sid
+        |), ns AS (
+        |  SELECT count(*)::BIGINT AS n_sessions FROM (SELECT DISTINCT user_id, sid FROM st)
+        |), singles AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_single FROM st GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*)::BIGINT AS n_both
+        |  FROM st a JOIN st b ON a.user_id = b.user_id AND a.sid = b.sid
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.type_a, p.type_b, p.n_both, sa.n_single AS n_a, sb.n_single AS n_b,
+        |  floor(p.n_both::DOUBLE / (SELECT n_sessions FROM ns)::DOUBLE * 10000 + 0.5)/10000 AS support,
+        |  floor(p.n_both::DOUBLE * (SELECT n_sessions FROM ns)::DOUBLE
+        |    / (sa.n_single::DOUBLE * sb.n_single::DOUBLE) * 10000 + 0.5)/10000 AS lift
+        |FROM pairs p
+        |JOIN singles sa ON p.type_a = sa.event_type
+        |JOIN singles sb ON p.type_b = sb.event_type""".stripMargin,
     "q189_rfm" ->
       """WITH rfm AS (
         |  SELECT user_id, max(ts::TIMESTAMP::DATE) AS last_day, count(*)::BIGINT AS frequency,

@@ -140,6 +140,29 @@ class BehaviorSpec extends SparkSpec {
     real.unpersist()
   }
 
+  test("q190: designed sessions pin counts and lift; identities on the real feed") {
+    // u1 session {view, click}; u2 session {view}; u3 session
+    // {click}: n_sessions = 3, n_view = 2, n_click = 2, n_both = 1
+    // -> support 1/3, lift 1*3/(2*2) = 0.75
+    val dir = writeEvents(Seq(
+      (1L, ts(0), 1L, "view", 1.0, "{}"),
+      (2L, ts(1), 1L, "click", 1.0, "{}"),
+      (3L, ts(0), 2L, "view", 1.0, "{}"),
+      (4L, ts(0), 3L, "click", 1.0, "{}")))
+    val r = SparkEntry.queries("q190_session_lift")(spark, dir).collect().head
+    assert(r.getAs[String]("type_a") == "click" && r.getAs[String]("type_b") == "view")
+    assert(r.getAs[Long]("n_both") == 1L && r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("support") == math.floor(1d / 3d * 10000 + 0.5) / 10000)
+    assert(r.getAs[Double]("lift") == 0.75, s"lift: $r")
+    // real feed: co-occurrence cannot exceed either single presence,
+    // and support <= min-presence share
+    val out = q("q190_session_lift").collect()
+    out.foreach { row =>
+      assert(row.getAs[Long]("n_both") <= math.min(row.getAs[Long]("n_a"), row.getAs[Long]("n_b")))
+      assert(row.getAs[Double]("support") >= 0 && row.getAs[Double]("lift") >= 0)
+    }
+  }
+
   test("q184: offset-0 retention is 1.0 per cohort; cohort sizes partition the user base") {
     val out = q("q184_retention").cache()
     assert(out.filter($"offset_d" === 0 && $"retention" =!= 1.0).isEmpty,
