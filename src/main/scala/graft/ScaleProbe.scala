@@ -323,6 +323,7 @@ object ScaleProbe {
     time("q188_pca_two") { q("q188_pca_two") }
     time("q189_rfm") { q("q189_rfm") }
     time("q190_session_lift") { q("q190_session_lift") }
+    time("q191_time_to_convert") { q("q191_time_to_convert") }
     time("q175_higher_moments") { q("q175_higher_moments") }
     time("q176_return_acf") { q("q176_return_acf") }
     time("q177_kyle_lambda") { q("q177_kyle_lambda") }

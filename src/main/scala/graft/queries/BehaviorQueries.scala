@@ -243,6 +243,49 @@ object BehaviorQueries {
         col("r.pct_first").as("pct_first"))
   }
 
+  // q191 — TIME-TO-CONVERT DISTRIBUTION: among users who complete
+  // the strict q183 funnel (purchase after the qualifying click after
+  // the first view), the latency from first view to that purchase —
+  // count, mean, and EXACT discrete median / P90 (lower-median rank
+  // selection, the q136 MAD discipline — no percentile
+  // interpolation). Durations are exact integer microseconds; the
+  // mean closes from an exact decimal sum; median/P90 are the values
+  // at ranks (n+1) DIV 2 and ceil(0.9n) under (duration, user) order
+  // — engine-portable even with tied durations. Scale shape: the
+  // q183 stage aggregations, then rank selection on the converting-
+  // users table via ChunkedFrame.globalRank (duration-bucket chunks;
+  // no single-task sort at any user count); the three 1-row frames
+  // broadcast into the single summary row.
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = e.filter(col("event_type") === "click").join(v, Seq("user_id"))
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"), min(col("t_view")).as("t_view"))
+    val p = e.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purch"), min(col("t_view")).as("t_view"))
+    val durs = p.select(col("user_id"),
+        (unix_micros(col("t_purch")) - unix_micros(col("t_view"))).as("dur_us"))
+      .withColumn("__k", lit(1))
+    val ranked = graft.operators.ChunkedFrame.globalRank(
+      durs, "__k", expr("dur_us DIV 86400000000"), Seq("dur_us", "user_id"))
+      .withColumn("rn", col("__g") + 1)
+    val cnt = durs.agg(count(lit(1)).as("n_conv"),
+      sum(col("dur_us").cast("decimal(38,0)")).as("sum_us"))
+    val med = ranked.join(broadcast(cnt), expr("rn = (n_conv + 1) DIV 2"))
+      .select(col("dur_us").as("med_us"))
+    val p90 = ranked.join(broadcast(cnt), expr("rn = (n_conv * 9 + 9) DIV 10"))
+      .select(col("dur_us").as("p90_us"))
+    cnt.crossJoin(broadcast(med)).crossJoin(broadcast(p90))
+      .select(col("n_conv"),
+        r4(col("sum_us").cast("double") / col("n_conv").cast("double") / lit(1e6))
+          .as("mean_secs"),
+        r4(col("med_us").cast("double") / lit(1e6)).as("median_secs"),
+        r4(col("p90_us").cast("double") / lit(1e6)).as("p90_secs"))
+  }
+
   // q184 — COHORT RETENTION: users are cohorted by their first-seen
   // day, and the (cohort_day, day-offset) grid counts how many of
   // each cohort return N days later — the standard retention
@@ -275,7 +318,8 @@ object BehaviorQueries {
     "q184_retention" -> q184 _,
     "q185_transitions" -> q185 _,
     "q189_rfm" -> q189 _,
-    "q190_session_lift" -> q190 _
+    "q190_session_lift" -> q190 _,
+    "q191_time_to_convert" -> q191 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -293,6 +337,29 @@ object BehaviorQueries {
          |  count(DISTINCT v)::BIGINT AS n_distinct
          |FROM s GROUP BY 1""".stripMargin
     },
+    "q191_time_to_convert" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts::TIMESTAMP) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts::TIMESTAMP) AS t_click, min(v.t_view) AS t_view
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts::TIMESTAMP > v.t_view GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts::TIMESTAMP) AS t_purch, min(c.t_view) AS t_view
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP > c.t_click GROUP BY 1
+        |), durs AS (
+        |  SELECT user_id, epoch_us(t_purch) - epoch_us(t_view) AS dur_us FROM p
+        |), rk AS (
+        |  SELECT *, row_number() OVER (ORDER BY dur_us, user_id) AS rn FROM durs
+        |), agg AS (
+        |  SELECT count(*)::BIGINT AS n_conv, sum(dur_us)::HUGEINT AS sum_us FROM durs
+        |)
+        |SELECT (SELECT n_conv FROM agg) AS n_conv,
+        |  floor((SELECT sum_us FROM agg)::DOUBLE / (SELECT n_conv FROM agg)::DOUBLE / 1e6 * 10000 + 0.5)/10000 AS mean_secs,
+        |  floor((SELECT dur_us FROM rk WHERE rn = ((SELECT n_conv FROM agg) + 1) // 2)::DOUBLE / 1e6 * 10000 + 0.5)/10000 AS median_secs,
+        |  floor((SELECT dur_us FROM rk WHERE rn = ((SELECT n_conv FROM agg) * 9 + 9) // 10)::DOUBLE / 1e6 * 10000 + 0.5)/10000 AS p90_secs""".stripMargin,
     "q190_session_lift" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts FROM events

@@ -163,6 +163,31 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("q191: designed converters pin count/median/p90; consistency with the funnel stage count") {
+    // three converting users with view->purchase latencies 10, 20,
+    // 40 min (plus a non-converter): n = 3, lower median = rank 2
+    // (20 min = 1200 s), p90 rank = ceil(2.7) = 3 (40 min), mean
+    // = 70/3 min
+    val dir = writeEvents(Seq(
+      (1L, ts(0), 1L, "view", 1.0, "{}"), (2L, ts(1), 1L, "click", 1.0, "{}"),
+      (3L, ts(10), 1L, "purchase", 1.0, "{}"),
+      (4L, ts(0), 2L, "view", 1.0, "{}"), (5L, ts(1), 2L, "click", 1.0, "{}"),
+      (6L, ts(20), 2L, "purchase", 1.0, "{}"),
+      (7L, ts(0), 3L, "view", 1.0, "{}"), (8L, ts(1), 3L, "click", 1.0, "{}"),
+      (9L, ts(40), 3L, "purchase", 1.0, "{}"),
+      (10L, ts(0), 4L, "view", 1.0, "{}")))
+    val r = SparkEntry.queries("q191_time_to_convert")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_conv") == 3L)
+    assert(r.getAs[Double]("median_secs") == 1200.0, s"median: $r")
+    assert(r.getAs[Double]("p90_secs") == 2400.0, s"p90: $r")
+    assert(r.getAs[Double]("mean_secs") == math.floor(70d / 3d * 60 * 10000 + 0.5) / 10000)
+    // real feed: converter count equals the declared funnel stage 4
+    val rr = q("q191_time_to_convert").collect().head
+    val stage4 = q("q183_funnel").filter($"stage_no" === 4).collect().head.getAs[Long]("n_users")
+    assert(rr.getAs[Long]("n_conv") == stage4, "q191 must count exactly q183's converters")
+    assert(rr.getAs[Double]("median_secs") <= rr.getAs[Double]("p90_secs"))
+  }
+
   test("q184: offset-0 retention is 1.0 per cohort; cohort sizes partition the user base") {
     val out = q("q184_retention").cache()
     assert(out.filter($"offset_d" === 0 && $"retention" =!= 1.0).isEmpty,
