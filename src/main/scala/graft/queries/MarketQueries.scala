@@ -852,7 +852,42 @@ object MarketQueries {
         r4((col("win_fp") - col("lose_fp")).cast("double") / lit(1e6)).as("spread"))
   }
 
+  // q192 — LEAD-LAG CROSS-CORRELATION MATRIX: Pearson(r_a(t−1),
+  // r_b(t)) for every ORDERED instrument pair — the price-discovery
+  // readout (does A's move today predict B's tomorrow?) that
+  // complements q110's contemporaneous matrix and q176's own-lag
+  // ACF; the asymmetry between (a, b) and (b, a) IS the signal.
+  // Pairs align on CALENDAR day (b's day = a's day + 1), so a
+  // missing day for either side drops the pair instead of silently
+  // shifting the alignment. Exact integer sums into the q110 formula.
+  // Scale shape: dailyReturns' one volume-sized partial agg; the
+  // self-join and aggregation run on the volume-independent day grid
+  // (|types|·|days| rows), output |types|² − |types| rows.
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    val rets = dailyReturns(s, dir)
+    val lead = rets.select(col("event_type").as("lead_type"),
+      date_add(col("day"), 1).as("day"), col("r_fp").as("x"))
+    val lagf = rets.select(col("event_type").as("lag_type"),
+      col("day"), col("r_fp").as("y"))
+    val agg = lead.join(lagf, Seq("day"))
+      .filter(col("lead_type") =!= col("lag_type"))
+      .groupBy(col("lead_type"), col("lag_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    def d(c: Column) = c.cast("double")
+    val n   = d(col("n_pairs"))
+    val num = n * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val den = sqrt(n * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+      sqrt(n * d(col("syy")) - d(col("sy")) * d(col("sy")))
+    agg.select(col("lead_type"), col("lag_type"), col("n_pairs"),
+      when(den > 0, r4(num / den)).as("xcorr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_lead_lag" -> q192 _,
     "q175_higher_moments" -> q175 _,
     "q176_return_acf" -> q176 _,
     "q177_kyle_lambda" -> q177 _,
@@ -900,6 +935,28 @@ object MarketQueries {
       |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q192_lead_lag" ->
+      (dayRetCtes +
+        """, lead AS (
+          |  SELECT event_type AS lead_type, day + INTERVAL 1 DAY AS day, r_fp AS x FROM r
+          |), lagf AS (
+          |  SELECT event_type AS lag_type, day, r_fp AS y FROM r
+          |), g AS (
+          |  SELECT lead_type, lag_type, count(*)::BIGINT AS n_pairs,
+          |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy, sum(x*y)::BIGINT AS sxy,
+          |    sum(x*x)::BIGINT AS sxx, sum(y*y)::BIGINT AS syy
+          |  FROM lead JOIN lagf USING (day)
+          |  WHERE lead_type <> lag_type
+          |  GROUP BY 1, 2
+          |)
+          |SELECT lead_type, lag_type, n_pairs,
+          |  CASE WHEN sqrt(n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+          |         * sqrt(n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0 THEN
+          |    floor((n_pairs::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+          |      / (sqrt(n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+          |        * sqrt(n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) * 10000 + 0.5)/10000
+          |  END AS xcorr
+          |FROM g""".stripMargin),
     "q175_higher_moments" ->
       (dayRetCtes +
         """, m AS (

@@ -232,6 +232,35 @@ class MarketStatsSpec extends SparkSpec {
     assert(r.getAs[Double]("vpin") == math.floor(8d / 17d * 10000 + 0.5) / 10000, s"vpin: $r")
   }
 
+  test("q192: a perfect one-day follower pins xcorr(A->B) = 1; asymmetry is real") {
+    // B's daily return replays A's PREVIOUS day's return (a
+    // non-periodic +-1 doubling pattern), so the (A leads, B lags)
+    // pairs are identical series -> xcorr exactly 1.0; the reverse
+    // direction correlates A with its own lag-2 — not 1.
+    val s = Seq(1, 1, -1, 1, -1, -1, 1, 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q192").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val rows = (0 to 9).flatMap { d =>
+      val ts = new java.sql.Timestamp(t0.getTime + d * 86400000L)
+      val eA = s.take(d).sum
+      // B return at day d = s(d-2): exponent = sum of s(0..d-2)
+      val eB2 = (2 to d).map(k => s(k - 2)).sum
+      Seq((d * 2L, ts, 1L, "A", math.pow(2d, eA), """{"k": 5}"""),
+        (d * 2L + 1, ts, 1L, "B", math.pow(2d, eB2), """{"k": 5}"""))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q192_lead_lag")(spark, dir).collect()
+      .map(r => (r.getAs[String]("lead_type"), r.getAs[String]("lag_type")) ->
+        r.getAs[Double]("xcorr")).toMap
+    assert(out(("A", "B")) == 1.0, s"A->B: $out")
+    assert(out(("B", "A")) != 1.0, s"B->A must differ: $out")
+    // real feed: matrix covers all ordered pairs, values bounded
+    val real = q("q192_lead_lag").collect()
+    assert(real.length == 20, "5 types -> 20 ordered pairs")
+    real.foreach(r => assert(math.abs(r.getAs[Double]("xcorr")) <= 1.0001))
+  }
+
   test("q179: steady winner/loser feed pins the spread; real-feed rows are consistent") {
     // A doubles daily, B halves: returns +-1e6 every day; return
     // rows exist for days 2-9 and a signal day needs 5 PRIOR return
