@@ -27,6 +27,20 @@ object AtomicSwap {
     if (!fs.rename(src, dst))
       throw new java.io.IOException(s"rename failed: $src -> $dst")
 
+  /** Heal a crash between swap steps 1 and 2: if `livePath` is absent
+    * but `livePath.old` survives, restore it. A merger MUST run this
+    * BEFORE probing/reading the live store — the in-swap heal happens
+    * too late for a reader that already planned "store absent →
+    * batch-only" and would swap that partial result over the restored
+    * data (silently discarding all accumulated state). Idempotent and
+    * cheap (two metadata probes) when nothing is torn. */
+  def heal(conf: Configuration, livePath: String): Unit = {
+    val live = new Path(livePath)
+    val old = new Path(livePath + ".old")
+    val fs = live.getFileSystem(conf)
+    if (fs.exists(old) && !fs.exists(live)) renameOrThrow(fs, old, live)
+  }
+
   /** Swap the directory at `tmpPath` into place at `livePath`. */
   def swapInto(conf: Configuration, tmpPath: String, livePath: String): Unit = {
     val live = new Path(livePath)

@@ -53,15 +53,18 @@ case class OuterProductSum(
       require(arr.numElements() >= dim,
         s"outer_product_sum: vector of ${arr.numElements()} elements, need $dim")
       var i = 0
+      // addExact/multiplyExact (JIT intrinsics, ~free) make the
+      // documented ~9e8-row overflow bound a loud ArithmeticException
+      // instead of a silent wrap degrading a maintained Gram store
       while (i < dim) {
         val xi = arr.getLong(i)
         val row = i * dim
         var j = 0
         while (j < dim) {
-          buf(row + j) += xi * arr.getLong(j)
+          buf(row + j) = Math.addExact(buf(row + j), Math.multiplyExact(xi, arr.getLong(j)))
           j += 1
         }
-        buf(dim * dim + i) += xi
+        buf(dim * dim + i) = Math.addExact(buf(dim * dim + i), xi)
         i += 1
       }
       buf(dim * dim + dim) += 1L
@@ -71,7 +74,7 @@ case class OuterProductSum(
 
   override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
     var k = 0
-    while (k < size) { buf(k) += other(k); k += 1 }
+    while (k < size) { buf(k) = Math.addExact(buf(k), other(k)); k += 1 }
     buf
   }
 

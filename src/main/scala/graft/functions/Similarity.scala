@@ -320,7 +320,14 @@ object Similarity {
           cands.foreach { case (id, rel, _) =>
             if (!selected.contains(id)) {
               var ms = Double.NegativeInfinity
-              selected.foreach { s => val v = sim((id, s)); if (v > ms) ms = v }
+              // a (candidate, selected) pair absent from the sim map
+              // contributes nothing (ms stays -inf) instead of killing
+              // the task — the completeness contract with mmrFrames is
+              // upstream, not assumed here
+              selected.foreach { s =>
+                val v = sim.getOrElse((id, s), Double.NegativeInfinity)
+                if (v > ms) ms = v
+              }
               val mmr = lambda * rel - (1d - lambda) * ms
               if (!found || mmr > bestMmr) {
                 found = true; bestId = id; bestRel = rel; bestMmr = mmr

@@ -32,9 +32,23 @@ object BehaviorQueries {
   // map-side-combines to unique values per task before the exchange;
   // at 100 TB the exact-distinct shuffle is the honest cost — the
   // approximate path at volume is the q93 KMV sketch per column.
+  /** THE lineitem column list both q181 sides profile — one shared
+    * constant so the Spark plan and the DuckDB oracle can never
+    * silently diverge (a renamed/added lineitem column previously
+    * produced extra/missing profile rows on one side only); the
+    * Spark side also asserts the runtime schema matches, so drift
+    * fails loudly instead of hash-mismatching downstream. */
+  private[queries] val ProfileCols: Seq[String] = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate")
+
   private def q181(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val colsN = li.schema.fieldNames.toSeq
+    require(colsN == ProfileCols,
+      s"q181: lineitem schema drifted from the shared profile column list — " +
+        s"got $colsN, oracle profiles $ProfileCols")
     val stacked = li.select(explode(array(colsN.map(c =>
         struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("e"))
       .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
@@ -53,18 +67,23 @@ object BehaviorQueries {
   // (exact integer microsecond comparison), session id as the running
   // flag sum. Summarized per user: session count, max session size,
   // and the mean session duration from exact integer microsecond
-  // sums, closed by one shared IEEE division. Scale shape: per-USER
-  // windows — unlike the five-instrument tick feed (the q109
-  // hazard), user cardinality GROWS with volume (150 at sf0.01,
-  // 1500 at sf0.1), so key-partitioned sorts parallelize with the
-  // data; a single bot user dominating the feed would need the
-  // ChunkedFrame treatment (flag is lag-1-local, the id sum is
-  // withRunningSum), which this feed does not exhibit.
-  /** One per-user window pass shared by q182/q185 AND the streaming
-    * transition maintainer — delegated to operators.Transitions so
-    * stream ≡ batch is the same code, not a copy. */
+  // sums, closed by one shared IEEE division. Scale shape: the flag
+  // pass routes through Transitions.flagsChunked (lag-1 via
+  // withTrailingEval halo, session id via withRunningSum) — tasks
+  // scale with volume/blockSize, so a single bot user carrying half
+  // the feed cannot serialize its history into one task (the q109
+  // dominant-key ceiling; bot probe recorded in BASELINE.md).
+  /** One per-user window pass shared by q182/q185/q190 AND the
+    * streaming transition maintainer — delegated to
+    * operators.Transitions so stream ≡ batch is the same code, not a
+    * copy. The batch queries route through the CHUNKED evaluation
+    * (bitwise-equal, TransitionsChunkedSpec-pinned): a dominant bot
+    * user — the realistic skew in event feeds — costs two extra
+    * shuffles instead of serializing its whole history into one
+    * task; the streaming maintainer keeps the direct window because
+    * its frames are micro-batch-sized by construction. */
   private def sessionFlags(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Transitions.flags(ev(s, dir))
+    graft.operators.Transitions.flags(ev(s, dir), chunked = true)
 
   private def q182(s: SparkSession, dir: String): DataFrame = {
     val sess = sessionFlags(s, dir)
@@ -97,7 +116,7 @@ object BehaviorQueries {
   // window pass (shared with q182) + one (from, to) partial-agg
   // shuffle; output is |types|² at any volume.
   private def q185(s: SparkSession, dir: String): DataFrame = {
-    val trans = graft.operators.Transitions.counts(ev(s, dir))
+    val trans = graft.operators.Transitions.counts(ev(s, dir), chunked = true)
     trans
       .withColumn("from_total",
         sum(col("n_trans")).over(Window.partitionBy(col("from_type"))))
@@ -168,7 +187,7 @@ object BehaviorQueries {
   // output is ≤ |types|² rows, and |types|-row presence tables
   // broadcast back; output is the |types|² matrix at any volume.
   private def q190(s: SparkSession, dir: String): DataFrame = {
-    val st = graft.operators.Transitions.flags(ev(s, dir))
+    val st = graft.operators.Transitions.flags(ev(s, dir), chunked = true)
       .select(col("user_id"), col("sid"), col("event_type"))
       .distinct()
       .persist()
@@ -324,10 +343,8 @@ object BehaviorQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q181_table_profile" -> {
-      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
-        "l_returnflag", "l_linestatus", "l_shipdate")
-      val stack = cols.map(c => s"SELECT '$c' AS col_name, $c::VARCHAR AS v FROM lineitem")
+      val stack = ProfileCols
+        .map(c => s"SELECT '$c' AS col_name, $c::VARCHAR AS v FROM lineitem")
         .mkString("\n  UNION ALL ")
       s"""WITH s AS (
          |  $stack

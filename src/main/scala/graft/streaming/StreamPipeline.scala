@@ -786,6 +786,12 @@ object StreamPipeline {
     val hconf = spark.sparkContext.hadoopConfiguration
     val cellsP = s"$sketchPath/cms"
     val bucketsP = s"$sketchPath/qbuckets"
+    // heal a torn swap BEFORE any exists()/read of the stores — a
+    // crash between AtomicSwap's live→old and tmp→live renames would
+    // otherwise read "no store", merge batch-only, and swap that over
+    // the restored .old (discarding all accumulated state)
+    graft.batch.AtomicSwap.heal(hconf, cellsP)
+    graft.batch.AtomicSwap.heal(hconf, bucketsP)
     def exists(p: String): Boolean = {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(hconf).exists(hp)
@@ -853,6 +859,8 @@ object StreamPipeline {
     val hconf = spark.sparkContext.hadoopConfiguration
     val hp = new org.apache.hadoop.fs.Path(gramPath)
     val fs = hp.getFileSystem(hconf)
+    // heal a torn swap BEFORE probing the store (see mergeSketchBatch)
+    graft.batch.AtomicSwap.heal(hconf, gramPath)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$gramPath/_graft_batch_$batchId"))) return
     if (batch.isEmpty) return
     val partial = batch
@@ -864,6 +872,17 @@ object StreamPipeline {
           .groupBy(col("k")).agg(sum(col("v")).cast("long").as("v"))
       else partial
     merged.coalesce(1).write.mode("overwrite").parquet(gramPath + ".tmp")
+    // The in-aggregate addExact catches per-batch overflow, but this
+    // store-side sum is a plain long sum that wraps silently; the
+    // documented exactness bound (OuterProductSum doc) is ~9e8 rows at
+    // the 1e-4 quantization. Gate on the merged row count BEFORE the
+    // swap: a violation fails the batch loudly and leaves the store at
+    // its last good state instead of degrading it.
+    val mergedN = spark.read.parquet(gramPath + ".tmp")
+      .filter(col("k") === dim * dim + dim).head().getAs[Long]("v")
+    require(mergedN <= 900000000L,
+      s"maintainGram: merged row count $mergedN exceeds the ~9e8 exactness bound of " +
+        "the long Gram accumulation — promote the store merge to BigInt/decimal")
     val marker = new org.apache.hadoop.fs.Path(s"$gramPath.tmp/_graft_batch_$batchId")
     marker.getFileSystem(hconf).create(marker, true).close()
     graft.batch.AtomicSwap.swapInto(hconf, gramPath + ".tmp", gramPath)
@@ -906,12 +925,24 @@ object StreamPipeline {
       }
       .start()
 
+  /** Observability for [[transitionBatch]]'s in-order-arrival
+    * assumption: cumulative count of rows that arrived with an event
+    * time strictly below their user's carried last-event timestamp.
+    * Nonzero means the maintained counts may have missed or invented
+    * a session cut relative to a q185 batch rebuild — the silent
+    * divergence is now a measurable signal (specs assert on it; an
+    * operator would alert on it). */
+  val lateTransitionRows = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** One [[transitionMaintain]] micro-batch. */
   private[graft] def transitionBatch(batch: DataFrame, countsPath: String,
                                      carryPath: String, batchId: Long): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
+    // heal torn swaps BEFORE any exists()/read (see mergeSketchBatch)
+    graft.batch.AtomicSwap.heal(hconf, countsPath)
+    graft.batch.AtomicSwap.heal(hconf, carryPath)
     def exists(p: String): Boolean = {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(hconf).exists(hp)
@@ -924,9 +955,26 @@ object StreamPipeline {
       graft.batch.AtomicSwap.swapInto(hconf, p + ".tmp", p)
     }
     val cols = Seq("user_id", "ts", "event_id", "event_type").map(col)
-    val uni = (if (exists(carryPath))
-        batch.select(cols: _*).unionByName(spark.read.parquet(carryPath).select(cols: _*))
-      else batch.select(cols: _*))
+    val uni = (if (exists(carryPath)) {
+        val carry = spark.read.parquet(carryPath).select(cols: _*)
+        val b = batch.select(cols: _*)
+        // in-order-arrival assumption made OBSERVABLE: a batch row at
+        // or before its user's carried last-event time is an
+        // event-time regression across micro-batches — the one input
+        // shape that silently diverges from a q185 batch rebuild
+        // (missed or spurious session cut). Count it, surface it.
+        val nLate = b.join(
+            carry.select(col("user_id"), col("ts").as("__carry_ts")), Seq("user_id"))
+          .filter(col("ts") < col("__carry_ts")).count()
+        if (nLate > 0) {
+          lateTransitionRows.addAndGet(nLate)
+          System.err.println(
+            s"[graft] transitionMaintain batch $batchId: $nLate event(s) arrived " +
+              "before their user's carried timestamp — maintained transition counts " +
+              "may diverge from a batch rebuild")
+        }
+        b.unionByName(carry)
+      } else batch.select(cols: _*))
       .localCheckpoint(true) // one snapshot feeds BOTH stores (and survives the carry overwrite)
     if (!applied(countsPath)) {
       val fresh = graft.operators.Transitions.counts(uni)
