@@ -164,6 +164,17 @@ object Bench {
     // driver's archived tail (they are short; the parseable compact
     // line above still leads the window).
     splitLines.foreach(println)
+    // Totals-only line LAST: at 191 queries even the compact per-query
+    // map outgrew the driver's ~2.4k-char tail window and BENCH_r09
+    // recorded parsed:null. This line is ~130 chars and final, so it
+    // always survives the tail intact and the round gate (total + the
+    // round-1 41-query subset vs BENCH_r01's 46.65 s) stays
+    // machine-checkable from the artifact alone. subset41 = the
+    // queries numbered q01–q41, BASELINE.md's cross-round yardstick.
+    val subset41 = results.collect {
+      case (k, v) if k.stripPrefix("q").takeWhile(_.isDigit).toIntOption.exists(_ <= 41) => v
+    }.sum
+    println(s"""{"metric":"total","value":${r2c(total)},"unit":"sec","n_queries":${results.size},"subset41":${r2c(subset41)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
