@@ -38,10 +38,14 @@ object BehaviorQueries {
     * produced extra/missing profile rows on one side only); the
     * Spark side also asserts the runtime schema matches, so drift
     * fails loudly instead of hash-mismatching downstream. */
-  private[queries] val ProfileCols: Seq[String] = Seq(
-    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
-    "l_returnflag", "l_linestatus", "l_shipdate")
+  private[queries] val ProfileColTypes: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "int", "l_partkey" -> "int", "l_suppkey" -> "int",
+    "l_linenumber" -> "int",
+    "l_quantity" -> "double", "l_extendedprice" -> "double",
+    "l_discount" -> "double", "l_tax" -> "double",
+    "l_returnflag" -> "str", "l_linestatus" -> "str", "l_shipdate" -> "ts")
+
+  private[queries] val ProfileCols: Seq[String] = ProfileColTypes.map(_._1)
 
   private def q181(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
@@ -56,6 +60,53 @@ object BehaviorQueries {
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
         countDistinct(col("v")).as("n_distinct"))
+  }
+
+  // q193 — APPROXIMATE TABLE PROFILE: q181's scale twin. The exact
+  // per-column distinct (q181) is the honest 100 TB cost — every
+  // unique value of every column crosses one exchange. This twin
+  // keeps the EXACT fields that are cheap at any scale (n_rows and
+  // per-column n_null come from ONE aggregate row over one scan — no
+  // explode, no value shuffle) and replaces the distinct count with a
+  // per-column KMV estimate (the q98 machinery): each column's values
+  // canonicalize to a cross-engine-stable string, hash through
+  // md5→squared-affine (replays exactly in ANSI SQL), and at most
+  // k=64 hashes per column survive to the estimate — the sketch
+  // exchange carries unique hashes capped per task, not unique
+  // values. Canonicalization is type-aware and INJECTIVE on this
+  // corpus (ints verbatim; doubles to micro-units — all money/
+  // quantity values carry ≤ 2 decimals; timestamps to epoch-µs), so
+  // n_distinct_est estimates exactly q181's distinct universe
+  // (ProfileKmvSpec bounds the error; the 100× probe in BASELINE.md
+  // records the cost ratio vs the exact pass).
+  private def canonProfile(c: String, kind: String): Column = kind match {
+    case "double" => floor(col(c) * lit(1e6) + lit(0.5)).cast("long").cast("string")
+    case "ts" => unix_micros(col(c)).cast("string")
+    case _ => col(c).cast("string")
+  }
+
+  private def q193(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    require(li.schema.fieldNames.toSeq == ProfileCols,
+      s"q193: lineitem schema drifted from the shared profile column list")
+    val nullAggs = ProfileCols.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"))
+    val one = li.agg(count(lit(1)).as("n_rows"), nullAggs: _*)
+    val counts = one.select(explode(array(ProfileCols.map(c =>
+        struct(lit(c).as("col_name"), col("n_rows"),
+          col(s"__nn_$c").as("n_null"))): _*)).as("e"))
+      .select(col("e.col_name").as("col_name"), col("e.n_rows").as("n_rows"),
+        col("e.n_null").as("n_null"))
+    val stacked = li.select(explode(array(ProfileColTypes.map { case (c, k) =>
+        struct(lit(c).as("col_name"), canonProfile(c, k).as("v")) }: _*)).as("e"))
+      .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
+      .filter(col("v").isNotNull)
+    val est = graft.functions.Sketches.kmvEstimateBy(
+      graft.functions.Sketches.kmvSketchBy(stacked, col("col_name"),
+        graft.functions.NearDup.md5TokenHash(col("v"))))
+    broadcast(counts).join(est, counts("col_name") === est("grp"))
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        r4(col("est_distinct")).as("n_distinct_est"))
   }
 
   // q182 — GAP SESSIONIZATION (30-minute inactivity): the canonical
@@ -332,6 +383,7 @@ object BehaviorQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_table_profile" -> q181 _,
+    "q193_table_profile_kmv" -> q193 _,
     "q182_sessions" -> q182 _,
     "q183_funnel" -> q183 _,
     "q184_retention" -> q184 _,
@@ -353,6 +405,40 @@ object BehaviorQueries {
          |  sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
          |  count(DISTINCT v)::BIGINT AS n_distinct
          |FROM s GROUP BY 1""".stripMargin
+    },
+    "q193_table_profile_kmv" -> {
+      val stack = ProfileColTypes.map { case (c, k) =>
+        val canon = k match {
+          case "double" => s"CAST(floor($c * 1000000.0 + 0.5) AS BIGINT)::VARCHAR"
+          case "ts" => s"epoch_us($c)::VARCHAR"
+          case _ => s"$c::VARCHAR"
+        }
+        s"SELECT '$c' AS col_name, $canon AS v FROM lineitem"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH s AS (
+         |  $stack
+         |), c AS (
+         |  SELECT col_name, count(*)::BIGINT AS n_rows,
+         |    sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null
+         |  FROM s GROUP BY 1
+         |), h AS (
+         |  SELECT DISTINCT col_name,
+         |    ((t % 2147483647) * (t % 2147483647) % 2147483647 * 1299721
+         |      + (t % 2147483647) * 7 + 1) % 2147483647 AS h
+         |  FROM (SELECT col_name, ('0x' || substr(md5(v), 1, 15))::BIGINT AS t
+         |        FROM s WHERE v IS NOT NULL)
+         |), r AS (
+         |  SELECT col_name, h,
+         |    row_number() OVER (PARTITION BY col_name ORDER BY h) AS rn FROM h
+         |), k AS (
+         |  SELECT col_name, count(*)::BIGINT AS kk, max(h)::BIGINT AS hk
+         |  FROM r WHERE rn <= 64 GROUP BY 1
+         |)
+         |SELECT c.col_name, c.n_rows, c.n_null,
+         |  floor((CASE WHEN kk < 64 THEN kk::DOUBLE
+         |         ELSE (kk - 1)::DOUBLE * 2147483647.0 / hk END)*10000 + 0.5)/10000
+         |    AS n_distinct_est
+         |FROM c JOIN k USING (col_name)""".stripMargin
     },
     "q191_time_to_convert" ->
       """WITH v AS (
