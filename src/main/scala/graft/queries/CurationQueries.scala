@@ -465,6 +465,22 @@ object CurationQueries {
   private def q163(s: SparkSession, dir: String): DataFrame =
     noveltyProfile(docs(s, dir), hashedGrams = false)
 
+  // q194/q195 — the HASHED-GRAM twins of q114/q163, DECLARED: at the
+  // 100× probe string gram keys cost 30–50× over 8-byte xxhash64 keys
+  // on the identical exchange, so the hashed variant is the one a
+  // 100 TB user must reach for — it belongs in the battery, not
+  // behind a Scala-only flag. The OUTPUT of either twin carries no
+  // hash (per-doc counts and ratios only), and hashed ≡ string output
+  // exactly unless an xxhash64 collision merges two grams ACROSS
+  // documents (2^-64 per pair — a non-event below ~2^30 distinct
+  // grams; CorpusOpsSpec pins equality on the testdata corpora), so
+  // the string twin's DuckDB oracle replays these verbatim.
+  private def q194(s: SparkSession, dir: String): DataFrame =
+    splitDecontam(docs(s, dir), hashedGrams = true)
+
+  private def q195(s: SparkSession, dir: String): DataFrame =
+    noveltyProfile(docs(s, dir), hashedGrams = true)
+
   // q168 — DUPLICATION PROFILE: the histogram of exact-duplicate
   // cluster sizes (how many contents appear exactly c times, and what
   // share of the corpus they carry) — the first chart of every dedup
@@ -566,6 +582,8 @@ object CurationQueries {
     "q66_incremental_neardup" -> q66 _,
     "q60_contamination" -> q60 _,
     "q114_split_decontam" -> q114 _,
+    "q194_decontam_hashed" -> q194 _,
+    "q195_novelty_hashed" -> q195 _,
     "q61_pii_redact" -> q61 _,
     "q62_mixture_stats" -> q62 _,
     "q63_bigram_lm" -> q63 _,
@@ -573,7 +591,7 @@ object CurationQueries {
     "q65_repeated_blocks" -> q65 _
   )
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSqlBase: Map[String, String] = Map(
     "q174_quality_survivor" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -923,5 +941,13 @@ object CurationQueries {
         |  c2::DOUBLE / (sum(c2) OVER (PARTITION BY w1))::BIGINT AS p
         |FROM c
         |ORDER BY c2 DESC, w1, w2 LIMIT 50""".stripMargin
+  )
+
+  // the hashed twins' outputs are hash-free and bitwise-identical to
+  // the string twins' (see q194/q195 header), so the string oracles
+  // replay them verbatim
+  val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    "q194_decontam_hashed" -> oracleSqlBase("q114_split_decontam"),
+    "q195_novelty_hashed" -> oracleSqlBase("q163_novelty")
   )
 }
