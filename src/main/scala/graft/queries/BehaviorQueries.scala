@@ -276,42 +276,15 @@ object BehaviorQueries {
   // joins (user cardinality scales with volume, so these are
   // well-distributed sort-merge joins); the four scalar counts
   // broadcast into the 4-row summary.
-  private def q183(s: SparkSession, dir: String): DataFrame = {
-    val e = ev(s, dir)
-    val v = e.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
-    val c = e.filter(col("event_type") === "click").join(v, Seq("user_id"))
-      .filter(col("ts") > col("t_view"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
-    val p = e.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
-      .filter(col("ts") > col("t_click"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purch"))
-    val row = e.agg(count_distinct(col("user_id")).as("n0"))
-      .crossJoin(v.agg(count(lit(1)).as("n1")))
-      .crossJoin(c.agg(count(lit(1)).as("n2")))
-      .crossJoin(p.agg(count(lit(1)).as("n3")))
-    def d(c: Column) = c.cast("double")
-    row.select(explode(array(
-        struct(lit(1).as("stage_no"), lit("any_event").as("stage"),
-          col("n0").as("n_users"),
-          lit(null).cast("double").as("pct_prev"),
-          when(col("n0") > 0, r4(d(col("n0")) / d(col("n0")))).as("pct_first")),
-        struct(lit(2).as("stage_no"), lit("view").as("stage"),
-          col("n1").as("n_users"),
-          when(col("n0") > 0, r4(d(col("n1")) / d(col("n0")))).as("pct_prev"),
-          when(col("n0") > 0, r4(d(col("n1")) / d(col("n0")))).as("pct_first")),
-        struct(lit(3).as("stage_no"), lit("click_after_view").as("stage"),
-          col("n2").as("n_users"),
-          when(col("n1") > 0, r4(d(col("n2")) / d(col("n1")))).as("pct_prev"),
-          when(col("n0") > 0, r4(d(col("n2")) / d(col("n0")))).as("pct_first")),
-        struct(lit(4).as("stage_no"), lit("purchase_after_click").as("stage"),
-          col("n3").as("n_users"),
-          when(col("n2") > 0, r4(d(col("n3")) / d(col("n2")))).as("pct_prev"),
-          when(col("n0") > 0, r4(d(col("n3")) / d(col("n0")))).as("pct_first")))).as("r"))
-      .select(col("r.stage_no").as("stage_no"), col("r.stage").as("stage"),
-        col("r.n_users").as("n_users"), col("r.pct_prev").as("pct_prev"),
-        col("r.pct_first").as("pct_first"))
-  }
+  /** Delegated to operators.Funnel (round 10): stageTimes + summary
+    * are ONE code path with the streaming maintainer
+    * (StreamPipeline.funnelMaintain), the Transitions pattern — the
+    * stream folds batches through exactly this gating, so stream ≡
+    * batch is structural. Output is unchanged: n0 = distinct users =
+    * store rows; n1/n2/n3 = stage-time counts = the old per-stage
+    * row counts. */
+  private def q183(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.summary(graft.operators.Funnel.stageTimes(ev(s, dir)))
 
   // q191 — TIME-TO-CONVERT DISTRIBUTION: among users who complete
   // the strict q183 funnel (purchase after the qualifying click after

@@ -996,6 +996,58 @@ object StreamPipeline {
     }
   }
 
+  /** STREAMING FUNNEL MAINTENANCE: the live form of q183's
+    * strict-order funnel. State is ONE user-grain store of stage
+    * times (first view, first qualifying click, first qualifying
+    * purchase, presence for everyone else) — per-user minima under
+    * the feed's event-time-ordered arrival contract, so the state is
+    * mergeable: each micro-batch replays the carried stage times AS
+    * events ([[graft.operators.Funnel.storeAsEvents]]) and runs the
+    * batch query's OWN gating pass
+    * ([[graft.operators.Funnel.stageTimes]]) over (carry ∪ batch) —
+    * one code path, stream ≡ batch structural (FunnelStreamSpec pins
+    * the 4-row summary exactly equal under any batch split, restart
+    * included). The 4-row summary reads from the store at any time
+    * via [[graft.operators.Funnel.summary]]. Idempotence and crash
+    * safety: the transitionBatch contract (batch-id marker swapped
+    * atomically WITH the store; torn swaps healed BEFORE the store is
+    * probed). Per-batch cost is O(batch + |users|); the store is
+    * user-grain and never event-grain. */
+  def funnelMaintain(eventsStream: DataFrame, storePath: String, checkpoint: String,
+                     trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    eventsStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        funnelBatch(batch, storePath, batchId)
+      }
+      .start()
+
+  /** One [[funnelMaintain]] micro-batch. */
+  private[graft] def funnelBatch(batch: DataFrame, storePath: String, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    graft.batch.AtomicSwap.heal(hconf, storePath)
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).exists(hp)
+    }
+    if (exists(s"$storePath/_graft_batch_$batchId")) return
+    val cols = Seq("user_id", "ts", "event_type").map(col)
+    val uni = (if (exists(storePath))
+        batch.select(cols: _*)
+          .unionByName(graft.operators.Funnel.storeAsEvents(spark.read.parquet(storePath)))
+      else batch.select(cols: _*))
+      .localCheckpoint(true) // 4 consumers in stageTimes; survives the store overwrite
+    val merged = graft.operators.Funnel.stageTimes(uni)
+    merged.coalesce(1).write.mode("overwrite").parquet(storePath + ".tmp")
+    val marker = new org.apache.hadoop.fs.Path(s"$storePath.tmp/_graft_batch_$batchId")
+    marker.getFileSystem(hconf).create(marker, true).close()
+    graft.batch.AtomicSwap.swapInto(hconf, storePath + ".tmp", storePath)
+  }
+
   /** ONLINE SIMILARITY SERVING: a stream of query embeddings answered
     * per micro-batch with exact cosine top-k against a STATIC corpus
     * — the serving-path complement of the batch ANN queries. Each

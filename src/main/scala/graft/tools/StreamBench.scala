@@ -286,7 +286,26 @@ object StreamBench {
     val transLine = report("transition_maintain", transLats, evRows,
       s""","carry_rows":${spark.read.parquet(s"$dir/tm_carry").count()}""")
 
-    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine}")
+    // ---- 10. funnel maintenance: per batch, the q183 gating pass
+    // over (carry-as-events ∪ batch); state = one stage-time row per
+    // user — user-grain, never event-grain.
+    val ev10 = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val qFun = StreamPipeline.funnelMaintain(
+      ev10.toDF().toDF("user_id", "ts", "event_type"),
+      s"$dir/funnel", s"$dir/ckpt_funnel", trigger = Trigger.ProcessingTime(0))
+    val funTypes = Array("view", "click", "purchase", "signup", "error")
+    def genFun(b: Int): Seq[(Long, java.sql.Timestamp, String)] =
+      (0 until evRows).map { i =>
+        val id = b.toLong * evRows + i
+        val ts = new java.sql.Timestamp((base + b * 600L + (i / 500) % 600) * 1000L)
+        (id % 500, ts, funTypes(((id * 2654435761L) % 5).toInt.abs))
+      }
+    val funLats = timeBatches(ev10, qFun, batches, genFun)
+    qFun.stop()
+    val funLine = report("funnel_maintain", funLats, evRows,
+      s""","store_rows":${spark.read.parquet(s"$dir/funnel").count()}""")
+
+    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine}")
     spark.stop()
   }
 }
