@@ -153,6 +153,47 @@ object SqlEntry {
         |  lead(value, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS next_val,
         |  lag(value, 1)  OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_val
         |FROM events""".stripMargin,
+    // q190 — the events-analytics family's text twin: gap
+    // sessionization (flag + running sum over a named window) feeding
+    // a session-grain self-join — exactly the shape a notebook user
+    // writes in SQL. The typed side evaluates the session window
+    // through the CHUNKED two-level plan; this direct-window text is
+    // bitwise equal by the TransitionsChunkedSpec pin, so the
+    // SqlEntrySpec exceptAll comparison doubles as a second
+    // chunked ≡ direct witness.
+    "q190_session_lift" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR unix_micros(ts) - unix_micros(lag(ts) OVER w) > 1800000000L
+        |      THEN 1L ELSE 0L END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sid AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g
+        |), st AS (
+        |  SELECT DISTINCT user_id, sid, event_type FROM sid
+        |), ns AS (
+        |  SELECT count(1) AS n_sessions FROM (SELECT DISTINCT user_id, sid FROM st)
+        |), singles AS (
+        |  SELECT event_type, count(1) AS n_single FROM st GROUP BY event_type
+        |), pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(1) AS n_both
+        |  FROM st a JOIN st b ON a.user_id = b.user_id AND a.sid = b.sid
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.type_a, p.type_b, p.n_both, sa.n_single AS n_a, sb.n_single AS n_b,
+        |  floor(cast(p.n_both AS double) / cast((SELECT n_sessions FROM ns) AS double)
+        |    * 10000D + 0.5D) / 10000D AS support,
+        |  floor(cast(p.n_both AS double) * cast((SELECT n_sessions FROM ns) AS double)
+        |    / (cast(sa.n_single AS double) * cast(sb.n_single AS double))
+        |    * 10000D + 0.5D) / 10000D AS lift
+        |FROM pairs p
+        |JOIN singles sa ON p.type_a = sa.event_type
+        |JOIN singles sb ON p.type_b = sb.event_type""".stripMargin,
     "q96_inverted_index" ->
       """WITH t AS (
         |  SELECT doc_id,
