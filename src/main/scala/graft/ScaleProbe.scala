@@ -23,9 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  /** Aggregated across stages between reset() calls. */
+  /** Aggregated across stages between reset() calls. `maxTask` is the
+    * longest single task — the skew/serialization witness: a
+    * dominant-key window plan can post a fine wall-clock on a small
+    * probe while one task carries half the feed; maxTask exposes the
+    * part that does NOT parallelize when volume grows. */
   private final class ShuffleMeter extends SparkListener {
     val write = new AtomicLong; val read = new AtomicLong; val spill = new AtomicLong
+    val maxTask = new AtomicLong
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val m = sc.stageInfo.taskMetrics
       if (m != null) {
@@ -34,7 +39,9 @@ object ScaleProbe {
         spill.addAndGet(m.diskBytesSpilled)
       }
     }
-    def reset(): Unit = { write.set(0); read.set(0); spill.set(0) }
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (te.taskInfo != null) maxTask.getAndUpdate(m => math.max(m, te.taskInfo.duration))
+    def reset(): Unit = { write.set(0); read.set(0); spill.set(0); maxTask.set(0) }
   }
 
   def main(args: Array[String]): Unit = {
@@ -110,7 +117,7 @@ object ScaleProbe {
         df.write.format("noop").mode("overwrite").save()
         println(f"[scale] $label@${reps}x time=${(System.nanoTime() - t) / 1e9}%.2f s " +
           f"shufW=${meter.write.get / 1e6}%.1f MB shufR=${meter.read.get / 1e6}%.1f MB " +
-          f"spill=${meter.spill.get / 1e6}%.1f MB")
+          f"spill=${meter.spill.get / 1e6}%.1f MB maxTask=${meter.maxTask.get / 1e3}%.1f s")
       }
     def q(name: String)(implicit d: String = dst) = SparkEntry.queries(name)(spark, d)
 
@@ -314,7 +321,29 @@ object ScaleProbe {
     // pass + day-grid agg; q178 chunked corpus-wide volume clock)
     time("q180_mmr_topk") { q("q180_mmr_topk") }
     time("q181_table_profile") { q("q181_table_profile") }
+    // q181's sketch twin: exact rows/nulls from one aggregate row +
+    // per-column KMV distinct — the scale path the q181 header names
+    time("q193_table_profile_kmv") { q("q193_table_profile_kmv") }
     time("q182_sessions") { q("q182_sessions") }
+    // dominant-key sessionization regime: one planted bot user
+    // carries 50% of ALL events. The direct per-user window funnels
+    // half the feed into ONE sort task; the chunked two-level plan
+    // (q182/q185/q190's route since round 10) keeps tasks
+    // volume/block-sized. Same scan, same summary aggregate — the
+    // delta is purely the window evaluation strategy.
+    def botFeed = core.Tables.events(spark, dst)
+      .withColumn("user_id",
+        when(col("event_id") % 2 === 0, lit(999999999L)).otherwise(col("user_id")))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    def botSummary(flags: org.apache.spark.sql.DataFrame) =
+      flags.groupBy(col("user_id"))
+        .agg(max(col("sid")).as("n_sessions"), count(lit(1)).as("n_ev"))
+    time("q182_bot_chunked") {
+      botSummary(graft.operators.Transitions.flags(botFeed, chunked = true))
+    }
+    time("q182_bot_direct") {
+      botSummary(graft.operators.Transitions.flags(botFeed, chunked = false))
+    }
     time("q183_funnel") { q("q183_funnel") }
     time("q184_retention") { q("q184_retention") }
     time("q185_transitions") { q("q185_transitions") }

@@ -81,6 +81,37 @@ object Funnel {
         col("r.pct_first").as("pct_first"))
   }
 
+  /** q191's closing arithmetic: among completed funnels, the first-
+    * view → purchase latency distribution — count, mean from an exact
+    * decimal sum, and exact discrete median / P90 selected by
+    * [[ChunkedFrame.globalRank]] (keys × day-buckets parallelism, no
+    * single-task sort at any user count). Serves from a maintained
+    * [[stageTimes]] store as-is: the store carries exactly the
+    * (t_view, t_purch) pairs the batch query derives. */
+  def timeToConvert(st: DataFrame): DataFrame = {
+    def r4(c: org.apache.spark.sql.Column) =
+      floor(c * lit(10000d) + lit(0.5d)) / lit(10000d)
+    val durs = st.filter(col("t_purch").isNotNull)
+      .select(col("user_id"),
+        (unix_micros(col("t_purch")) - unix_micros(col("t_view"))).as("dur_us"))
+      .withColumn("__k", lit(1))
+    val ranked = ChunkedFrame.globalRank(
+      durs, "__k", expr("dur_us DIV 86400000000"), Seq("dur_us", "user_id"))
+      .withColumn("rn", col("__g") + 1)
+    val cnt = durs.agg(count(lit(1)).as("n_conv"),
+      sum(col("dur_us").cast("decimal(38,0)")).as("sum_us"))
+    val med = ranked.join(broadcast(cnt), expr("rn = (n_conv + 1) DIV 2"))
+      .select(col("dur_us").as("med_us"))
+    val p90 = ranked.join(broadcast(cnt), expr("rn = (n_conv * 9 + 9) DIV 10"))
+      .select(col("dur_us").as("p90_us"))
+    cnt.crossJoin(broadcast(med)).crossJoin(broadcast(p90))
+      .select(col("n_conv"),
+        r4(col("sum_us").cast("double") / col("n_conv").cast("double") / lit(1e6))
+          .as("mean_secs"),
+        r4(col("med_us").cast("double") / lit(1e6)).as("median_secs"),
+        r4(col("p90_us").cast("double") / lit(1e6)).as("p90_secs"))
+  }
+
   /** A [[stageTimes]] store replayed AS events, so the maintainer can
     * run the store ∪ batch through the one shared gating pass: each
     * carried stage time becomes one event of its stage's type; a user

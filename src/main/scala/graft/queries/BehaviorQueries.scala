@@ -64,25 +64,30 @@ object BehaviorQueries {
 
   // q193 — APPROXIMATE TABLE PROFILE: q181's scale twin. The exact
   // per-column distinct (q181) is the honest 100 TB cost — every
-  // unique value of every column crosses one exchange. This twin
-  // keeps the EXACT fields that are cheap at any scale (n_rows and
-  // per-column n_null come from ONE aggregate row over one scan — no
-  // explode, no value shuffle) and replaces the distinct count with a
-  // per-column KMV estimate (the q98 machinery): each column's values
-  // canonicalize to a cross-engine-stable string, hash through
-  // md5→squared-affine (replays exactly in ANSI SQL), and at most
-  // k=64 hashes per column survive to the estimate — the sketch
-  // exchange carries unique hashes capped per task, not unique
-  // values. Canonicalization is type-aware and INJECTIVE on this
-  // corpus (ints verbatim; doubles to micro-units — all money/
-  // quantity values carry ≤ 2 decimals; timestamps to epoch-µs), so
-  // n_distinct_est estimates exactly q181's distinct universe
-  // (ProfileKmvSpec bounds the error; the 100× probe in BASELINE.md
-  // records the cost ratio vs the exact pass).
-  private def canonProfile(c: String, kind: String): Column = kind match {
-    case "double" => floor(col(c) * lit(1e6) + lit(0.5)).cast("long").cast("string")
-    case "ts" => unix_micros(col(c)).cast("string")
-    case _ => col(c).cast("string")
+  // unique value of every column crosses one exchange AS A STRING.
+  // This twin keeps the EXACT fields that are cheap at any scale
+  // (n_rows and per-column n_null come from ONE aggregate row over
+  // one scan — no explode, no value shuffle) and replaces the
+  // distinct count with a per-column KMV estimate (the q98
+  // machinery): each column canonicalizes to a BIGINT pre-hash —
+  // numeric/timestamp columns map DIRECTLY (ints verbatim; doubles to
+  // micro-units, injective on this ≤2-decimal money corpus;
+  // timestamps to epoch-µs: pure codegen arithmetic, no string, no
+  // md5), only true string columns pay the md5 detour — and feeds the
+  // squared-affine KMV hash that replays exactly in ANSI SQL. The
+  // sketch exchange then carries distinct 8-byte hashes (the q163
+  // hashed-key rule) instead of q181's unique value STRINGS, and at
+  // most k=64 per column reach the estimate. The first cut hashed the
+  // STRING rendering of every cell through md5+conv — measured 117 s
+  // vs q181's 49 s at 100×: the per-cell md5/conv dominated; the
+  // direct-BIGINT canon removes it for 9 of 11 columns.
+  // ProfileKmvSpec bounds the estimate error; the 100× probe in
+  // BASELINE.md records the cost ratio vs the exact pass.
+  private def canonProfileLong(c: String, kind: String): Column = kind match {
+    case "double" => floor(col(c) * lit(1e6) + lit(0.5)).cast("long")
+    case "ts" => unix_micros(col(c))
+    case "str" => graft.functions.NearDup.md5TokenHash(col(c))
+    case _ => col(c).cast("long")
   }
 
   private def q193(s: SparkSession, dir: String): DataFrame = {
@@ -98,12 +103,11 @@ object BehaviorQueries {
       .select(col("e.col_name").as("col_name"), col("e.n_rows").as("n_rows"),
         col("e.n_null").as("n_null"))
     val stacked = li.select(explode(array(ProfileColTypes.map { case (c, k) =>
-        struct(lit(c).as("col_name"), canonProfile(c, k).as("v")) }: _*)).as("e"))
-      .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
-      .filter(col("v").isNotNull)
+        struct(lit(c).as("col_name"), canonProfileLong(c, k).as("t")) }: _*)).as("e"))
+      .select(col("e.col_name").as("col_name"), col("e.t").as("t"))
+      .filter(col("t").isNotNull)
     val est = graft.functions.Sketches.kmvEstimateBy(
-      graft.functions.Sketches.kmvSketchBy(stacked, col("col_name"),
-        graft.functions.NearDup.md5TokenHash(col("v"))))
+      graft.functions.Sketches.kmvSketchBy(stacked, col("col_name"), col("t")))
     broadcast(counts).join(est, counts("col_name") === est("grp"))
       .select(col("col_name"), col("n_rows"), col("n_null"),
         r4(col("est_distinct")).as("n_distinct_est"))
@@ -299,35 +303,14 @@ object BehaviorQueries {
   // users table via ChunkedFrame.globalRank (duration-bucket chunks;
   // no single-task sort at any user count); the three 1-row frames
   // broadcast into the single summary row.
-  private def q191(s: SparkSession, dir: String): DataFrame = {
-    val e = ev(s, dir)
-    val v = e.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
-    val c = e.filter(col("event_type") === "click").join(v, Seq("user_id"))
-      .filter(col("ts") > col("t_view"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"), min(col("t_view")).as("t_view"))
-    val p = e.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
-      .filter(col("ts") > col("t_click"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purch"), min(col("t_view")).as("t_view"))
-    val durs = p.select(col("user_id"),
-        (unix_micros(col("t_purch")) - unix_micros(col("t_view"))).as("dur_us"))
-      .withColumn("__k", lit(1))
-    val ranked = graft.operators.ChunkedFrame.globalRank(
-      durs, "__k", expr("dur_us DIV 86400000000"), Seq("dur_us", "user_id"))
-      .withColumn("rn", col("__g") + 1)
-    val cnt = durs.agg(count(lit(1)).as("n_conv"),
-      sum(col("dur_us").cast("decimal(38,0)")).as("sum_us"))
-    val med = ranked.join(broadcast(cnt), expr("rn = (n_conv + 1) DIV 2"))
-      .select(col("dur_us").as("med_us"))
-    val p90 = ranked.join(broadcast(cnt), expr("rn = (n_conv * 9 + 9) DIV 10"))
-      .select(col("dur_us").as("p90_us"))
-    cnt.crossJoin(broadcast(med)).crossJoin(broadcast(p90))
-      .select(col("n_conv"),
-        r4(col("sum_us").cast("double") / col("n_conv").cast("double") / lit(1e6))
-          .as("mean_secs"),
-        r4(col("med_us").cast("double") / lit(1e6)).as("median_secs"),
-        r4(col("p90_us").cast("double") / lit(1e6)).as("p90_secs"))
-  }
+  /** Delegated to operators.Funnel (round 10): stageTimes' t_view for
+    * a completed user equals the old inline gating's carried min, so
+    * the latency distribution can ALSO be served straight off the
+    * funnelMaintain store at any time — one code path for batch query
+    * and stream serving (FunnelStreamSpec pins store-served ≡
+    * declared q191). */
+  private def q191(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.timeToConvert(graft.operators.Funnel.stageTimes(ev(s, dir)))
 
   // q184 — COHORT RETENTION: users are cohorted by their first-seen
   // day, and the (cohort_day, day-offset) grid counts how many of
@@ -339,20 +322,13 @@ object BehaviorQueries {
   // (well-distributed — user cardinality scales with volume), and the
   // output is the bounded (days × days) / 2 triangle at any volume;
   // the cohort-size table is |days| rows and broadcasts.
-  private def q184(s: SparkSession, dir: String): DataFrame = {
-    val f = ev(s, dir).select(col("user_id"), to_date(col("ts")).as("day"))
-    val first = f.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
-    val sizes = first.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_users"))
-    f.distinct()
-      .join(first, Seq("user_id"))
-      .withColumn("offset_d", datediff(col("day"), col("cohort_day")))
-      .groupBy(col("cohort_day"), col("offset_d"))
-      .agg(count_distinct(col("user_id")).as("n_active"))
-      .join(broadcast(sizes), Seq("cohort_day"))
-      .select(col("cohort_day"), col("offset_d"), col("n_active"), col("cohort_users"),
-        r4(col("n_active").cast("double") / col("cohort_users").cast("double"))
-          .as("retention"))
-  }
+  /** Delegated to operators.Retention (round 10): the activity set +
+    * triangle are ONE code path with the streaming maintainer
+    * (StreamPipeline.retentionMaintain) — and because the state is a
+    * distinct set + per-user min, the maintainer is correct under ANY
+    * arrival order, no ordered-feed contract needed. */
+  private def q184(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retention.triangle(graft.operators.Retention.activity(ev(s, dir)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_table_profile" -> q181 _,
@@ -380,26 +356,28 @@ object BehaviorQueries {
          |FROM s GROUP BY 1""".stripMargin
     },
     "q193_table_profile_kmv" -> {
+      // the BIGINT pre-hash per column type, mirroring canonProfileLong:
+      // numeric/timestamp directly, strings via the md5 detour
       val stack = ProfileColTypes.map { case (c, k) =>
         val canon = k match {
-          case "double" => s"CAST(floor($c * 1000000.0 + 0.5) AS BIGINT)::VARCHAR"
-          case "ts" => s"epoch_us($c)::VARCHAR"
-          case _ => s"$c::VARCHAR"
+          case "double" => s"CAST(floor($c * 1000000 + 0.5) AS BIGINT)"
+          case "ts" => s"epoch_us($c)"
+          case "str" => s"('0x' || substr(md5($c), 1, 15))::BIGINT"
+          case _ => s"$c::BIGINT"
         }
-        s"SELECT '$c' AS col_name, $canon AS v FROM lineitem"
+        s"SELECT '$c' AS col_name, $canon AS t FROM lineitem"
       }.mkString("\n  UNION ALL ")
       s"""WITH s AS (
          |  $stack
          |), c AS (
          |  SELECT col_name, count(*)::BIGINT AS n_rows,
-         |    sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null
+         |    sum(CASE WHEN t IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null
          |  FROM s GROUP BY 1
          |), h AS (
          |  SELECT DISTINCT col_name,
          |    ((t % 2147483647) * (t % 2147483647) % 2147483647 * 1299721
          |      + (t % 2147483647) * 7 + 1) % 2147483647 AS h
-         |  FROM (SELECT col_name, ('0x' || substr(md5(v), 1, 15))::BIGINT AS t
-         |        FROM s WHERE v IS NOT NULL)
+         |  FROM s WHERE t IS NOT NULL
          |), r AS (
          |  SELECT col_name, h,
          |    row_number() OVER (PARTITION BY col_name ORDER BY h) AS rn FROM h

@@ -1048,6 +1048,54 @@ object StreamPipeline {
     graft.batch.AtomicSwap.swapInto(hconf, storePath + ".tmp", storePath)
   }
 
+  /** STREAMING RETENTION MAINTENANCE: the live form of q184's cohort
+    * triangle. State is the distinct (user, day) ACTIVITY SET — set
+    * union + per-user min are fully ORDER-INSENSITIVE, so unlike the
+    * transition/funnel maintainers this one holds under ANY arrival
+    * order (late events, replays, shuffled feeds all converge;
+    * RetentionStreamSpec pins a shuffled split against batch q184).
+    * Each micro-batch folds through the batch query's own pass
+    * ([[graft.operators.Retention.activity]]) over (store-as-events ∪
+    * batch); the triangle reads from the store at any time via
+    * [[graft.operators.Retention.triangle]]. Idempotence/crash
+    * safety: the transitionBatch marker + heal contract. The store is
+    * user×active-days grain — far below event grain; the merge is one
+    * map-side-combined distinct per batch. */
+  def retentionMaintain(eventsStream: DataFrame, storePath: String, checkpoint: String,
+                        trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    eventsStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        retentionBatch(batch, storePath, batchId)
+      }
+      .start()
+
+  /** One [[retentionMaintain]] micro-batch. */
+  private[graft] def retentionBatch(batch: DataFrame, storePath: String, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    graft.batch.AtomicSwap.heal(hconf, storePath)
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).exists(hp)
+    }
+    if (exists(s"$storePath/_graft_batch_$batchId")) return
+    val cols = Seq("user_id", "ts").map(col)
+    val uni = (if (exists(storePath))
+        batch.select(cols: _*)
+          .unionByName(graft.operators.Retention.storeAsEvents(spark.read.parquet(storePath)))
+      else batch.select(cols: _*))
+      .localCheckpoint(true) // survives the store overwrite
+    val merged = graft.operators.Retention.activity(uni)
+    merged.coalesce(1).write.mode("overwrite").parquet(storePath + ".tmp")
+    val marker = new org.apache.hadoop.fs.Path(s"$storePath.tmp/_graft_batch_$batchId")
+    marker.getFileSystem(hconf).create(marker, true).close()
+    graft.batch.AtomicSwap.swapInto(hconf, storePath + ".tmp", storePath)
+  }
+
   /** ONLINE SIMILARITY SERVING: a stream of query embeddings answered
     * per micro-batch with exact cosine top-k against a STATIC corpus
     * — the serving-path complement of the batch ANN queries. Each

@@ -305,7 +305,26 @@ object StreamBench {
     val funLine = report("funnel_maintain", funLats, evRows,
       s""","store_rows":${spark.read.parquet(s"$dir/funnel").count()}""")
 
-    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine}")
+    // ---- 11. retention maintenance: the q184 activity pass over
+    // (store ∪ batch); state = distinct (user, day) — day-grain,
+    // order-insensitive (no arrival contract at all).
+    val ev11 = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val qRet = StreamPipeline.retentionMaintain(
+      ev11.toDF().toDF("user_id", "ts"),
+      s"$dir/retention", s"$dir/ckpt_retention", trigger = Trigger.ProcessingTime(0))
+    def genRet(b: Int): Seq[(Long, java.sql.Timestamp)] =
+      (0 until evRows).map { i =>
+        val id = b.toLong * evRows + i
+        // spread activity across days so the store grows in day grain
+        val ts = new java.sql.Timestamp((base + (id % 7) * 86400L + (i % 3600)) * 1000L)
+        (id % 500, ts)
+      }
+    val retLats = timeBatches(ev11, qRet, batches, genRet)
+    qRet.stop()
+    val retLine = report("retention_maintain", retLats, evRows,
+      s""","store_rows":${spark.read.parquet(s"$dir/retention").count()}""")
+
+    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine}")
     spark.stop()
   }
 }

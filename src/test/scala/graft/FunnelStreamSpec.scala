@@ -42,6 +42,13 @@ class FunnelStreamSpec extends SparkSpec {
       val batch = summarySet(SparkEntry.queries("q183_funnel")(spark, sf()))
       assert(streamed == batch,
         s"$chunks-way split: maintained funnel must equal declared q183 exactly")
+      // the SAME store serves q191's latency distribution exactly
+      val served = Funnel.timeToConvert(spark.read.parquet(s"$dir/funnel"))
+        .collect().map(_.toSeq).toSet
+      val q191 = SparkEntry.queries("q191_time_to_convert")(spark, sf())
+        .collect().map(_.toSeq).toSet
+      assert(served == q191,
+        s"$chunks-way split: store-served time-to-convert must equal declared q191")
     } finally q.stop()
   }
 
