@@ -262,6 +262,18 @@ object Sketches {
       .select(col("grp"), col("h"))
   }
 
+  /** [[kmvSketchBy]] as ONE dedup-ing bounded-heap aggregate
+    * ([[KmvMinsAgg]]): identical output set, but the exchange carries
+    * O(maps × k) longs per group instead of every unique hash — no
+    * distinct shuffle, no window. The shape to prefer when the
+    * unique-value universe is large (q193's per-column profile at
+    * volume); [[kmvSketchBy]] remains for plan-pinned callers. */
+  def kmvMinsSketchBy(df: DataFrame, group: Column, key: Column, k: Int = 64): DataFrame =
+    df.select(group.as("grp"), kmvHash(key).as("h"))
+      .groupBy(col("grp"))
+      .agg(KmvMins.column(col("h"), k).as("hs"))
+      .select(col("grp"), explode(col("hs")).as("h"))
+
   /** Per-group estimates from a [[kmvSketchBy]] table. */
   def kmvEstimateBy(sketch: DataFrame, k: Int = 64): DataFrame =
     sketch.groupBy(col("grp"))

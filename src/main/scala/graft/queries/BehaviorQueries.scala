@@ -106,8 +106,15 @@ object BehaviorQueries {
         struct(lit(c).as("col_name"), canonProfileLong(c, k).as("t")) }: _*)).as("e"))
       .select(col("e.col_name").as("col_name"), col("e.t").as("t"))
       .filter(col("t").isNotNull)
+    // kmvMinsSketchBy: the k-min build as ONE dedup-ing bounded-heap
+    // aggregate — map tasks reduce to ≤64 distinct hashes per column
+    // BEFORE the exchange, so nothing unique-value-sized is ever
+    // shuffled (the distinct+window form shipped ~15M hashes per
+    // high-cardinality column at the 100× probe). Output set is
+    // identical bit for bit (SketchSpec pin), so the oracle replay
+    // is unchanged.
     val est = graft.functions.Sketches.kmvEstimateBy(
-      graft.functions.Sketches.kmvSketchBy(stacked, col("col_name"), col("t")))
+      graft.functions.Sketches.kmvMinsSketchBy(stacked, col("col_name"), col("t")))
     broadcast(counts).join(est, counts("col_name") === est("grp"))
       .select(col("col_name"), col("n_rows"), col("n_null"),
         r4(col("est_distinct")).as("n_distinct_est"))

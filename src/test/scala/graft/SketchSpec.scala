@@ -133,6 +133,24 @@ class SketchSpec extends SparkSpec {
       s"no partial group limit in grouped KMV plan:\n$p")
   }
 
+  test("kmvMinsSketchBy ≡ kmvSketchBy bit for bit; plan is one ObjectHashAggregate") {
+    val s = graft.functions.Sketches
+    val ev = graft.core.Tables.events(spark, sf("sf0.01"))
+    val a = s.kmvSketchBy(ev, col("event_type"), col("user_id"))
+      .as[(String, Long)].collect().sorted.toSeq
+    val mins = s.kmvMinsSketchBy(ev, col("event_type"), col("user_id"))
+    val b = mins.as[(String, Long)].collect().sorted.toSeq
+    assert(a == b, "the dedup-ing bounded-heap build must produce the identical k-min set")
+    // duplicates inside a full heap must not evict (the dedupe guard):
+    // a constant column has ONE distinct hash however many rows arrive
+    val const = s.kmvMinsSketchBy(ev, col("event_type"), lit(7L))
+    assert(const.groupBy($"grp").count().select(max($"count")).as[Long].head() == 1L)
+    // no distinct exchange, no window: one hash-aggregate pair
+    val p = mins.queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate") && !p.contains("Window"),
+      s"kmv_mins must plan as a partial-agg, not distinct+window:\n$p")
+  }
+
   test("KMV set operations: planted overlap estimated within order-statistic error") {
     import graft.functions.Sketches
     // A = [0, 10000), B = [5000, 15000): union 15000, overlap 5000,
