@@ -309,10 +309,8 @@ object ScaleProbe {
     // q163/q114's 100 TB regime (8-byte gram hashes on the
     // exchanges); spec-pinned identical output to the declared
     // string-gram queries
-    time("q163_novelty_hashed") {
-      queries.CurationQueries.noveltyProfile(
-        spark.read.parquet(s"$dst/documents.parquet"), hashedGrams = true)
-    }
+    // declared as q195 since round 10; label keeps the historical name
+    time("q163_novelty_hashed=q195") { q("q195_novelty_hashed") }
     time("q172_daily_panel") { q("q172_daily_panel") }
     time("q173_quality_weighted") { q("q173_quality_weighted") }
     time("q174_quality_survivor") { q("q174_quality_survivor") }
@@ -360,10 +358,8 @@ object ScaleProbe {
     time("q178_vpin") { q("q178_vpin") }
     time("q179_momentum") { q("q179_momentum") }
     time("q114_split_decontam") { q("q114_split_decontam") }
-    time("q114_decontam_hashed") {
-      queries.CurationQueries.splitDecontam(
-        spark.read.parquet(s"$dst/documents.parquet"), hashedGrams = true)
-    }
+    // declared as q194 since round 10; label keeps the historical name
+    time("q114_decontam_hashed=q194") { q("q194_decontam_hashed") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

@@ -83,41 +83,18 @@ object BehaviorQueries {
   // direct-BIGINT canon removes it for 9 of 11 columns.
   // ProfileKmvSpec bounds the estimate error; the 100× probe in
   // BASELINE.md records the cost ratio vs the exact pass.
-  private def canonProfileLong(c: String, kind: String): Column = kind match {
-    case "double" => floor(col(c) * lit(1e6) + lit(0.5)).cast("long")
-    case "ts" => unix_micros(col(c))
-    case "str" => graft.functions.NearDup.md5TokenHash(col(c))
-    case _ => col(c).cast("long")
-  }
-
+  /** Delegated to operators.TableProfile (round 10): the per-column
+    * state — additive counters + KMV k-min sets — is exactly
+    * mergeable, so ONE code path serves this batch query AND the
+    * streaming maintainer (StreamPipeline.profileMaintain);
+    * ProfileStreamSpec pins maintained ≡ declared bitwise under any
+    * split order. */
   private def q193(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     require(li.schema.fieldNames.toSeq == ProfileCols,
       s"q193: lineitem schema drifted from the shared profile column list")
-    val nullAggs = ProfileCols.map(c =>
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"))
-    val one = li.agg(count(lit(1)).as("n_rows"), nullAggs: _*)
-    val counts = one.select(explode(array(ProfileCols.map(c =>
-        struct(lit(c).as("col_name"), col("n_rows"),
-          col(s"__nn_$c").as("n_null"))): _*)).as("e"))
-      .select(col("e.col_name").as("col_name"), col("e.n_rows").as("n_rows"),
-        col("e.n_null").as("n_null"))
-    val stacked = li.select(explode(array(ProfileColTypes.map { case (c, k) =>
-        struct(lit(c).as("col_name"), canonProfileLong(c, k).as("t")) }: _*)).as("e"))
-      .select(col("e.col_name").as("col_name"), col("e.t").as("t"))
-      .filter(col("t").isNotNull)
-    // kmvMinsSketchBy: the k-min build as ONE dedup-ing bounded-heap
-    // aggregate — map tasks reduce to ≤64 distinct hashes per column
-    // BEFORE the exchange, so nothing unique-value-sized is ever
-    // shuffled (the distinct+window form shipped ~15M hashes per
-    // high-cardinality column at the 100× probe). Output set is
-    // identical bit for bit (SketchSpec pin), so the oracle replay
-    // is unchanged.
-    val est = graft.functions.Sketches.kmvEstimateBy(
-      graft.functions.Sketches.kmvMinsSketchBy(stacked, col("col_name"), col("t")))
-    broadcast(counts).join(est, counts("col_name") === est("grp"))
-      .select(col("col_name"), col("n_rows"), col("n_null"),
-        r4(col("est_distinct")).as("n_distinct_est"))
+    graft.operators.TableProfile.profile(
+      graft.operators.TableProfile.state(li, ProfileColTypes))
   }
 
   // q182 — GAP SESSIONIZATION (30-minute inactivity): the canonical

@@ -1096,6 +1096,54 @@ object StreamPipeline {
     graft.batch.AtomicSwap.swapInto(hconf, storePath + ".tmp", storePath)
   }
 
+  /** STREAMING TABLE-PROFILE MAINTENANCE: live per-column data-quality
+    * statistics over an ingest stream — the q193 profile kept current
+    * without ever re-scanning history. State is
+    * [[graft.operators.TableProfile.state]]'s |cols|-row table
+    * (additive row/null counters + KMV k-min arrays), which merges
+    * EXACTLY (counter addition; k-min union → re-k-min, the standard
+    * KMV mergeability) — so the maintained store serves a profile
+    * BIT-IDENTICAL to a batch rebuild over the same rows, under any
+    * arrival order (ProfileStreamSpec). Per-batch cost is one batch
+    * scan + a |cols|-row array merge; the store is constant-size
+    * forever. Idempotence/crash safety: the transitionBatch marker +
+    * heal contract. Serve via
+    * [[graft.operators.TableProfile.profile]]. */
+  def profileMaintain(rowsStream: DataFrame, storePath: String, checkpoint: String,
+                      colTypes: Seq[(String, String)],
+                      trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    rowsStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        profileBatch(batch, storePath, colTypes, batchId)
+      }
+      .start()
+
+  /** One [[profileMaintain]] micro-batch. */
+  private[graft] def profileBatch(batch: DataFrame, storePath: String,
+                                  colTypes: Seq[(String, String)], batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    graft.batch.AtomicSwap.heal(hconf, storePath)
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).exists(hp)
+    }
+    if (exists(s"$storePath/_graft_batch_$batchId")) return
+    val bState = graft.operators.TableProfile.state(batch, colTypes)
+    val merged =
+      if (exists(storePath))
+        graft.operators.TableProfile.merge(spark.read.parquet(storePath), bState)
+      else bState
+    merged.coalesce(1).write.mode("overwrite").parquet(storePath + ".tmp")
+    val marker = new org.apache.hadoop.fs.Path(s"$storePath.tmp/_graft_batch_$batchId")
+    marker.getFileSystem(hconf).create(marker, true).close()
+    graft.batch.AtomicSwap.swapInto(hconf, storePath + ".tmp", storePath)
+  }
+
   /** ONLINE SIMILARITY SERVING: a stream of query embeddings answered
     * per micro-batch with exact cosine top-k against a STATIC corpus
     * — the serving-path complement of the batch ANN queries. Each

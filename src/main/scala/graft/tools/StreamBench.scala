@@ -324,7 +324,26 @@ object StreamBench {
     val retLine = report("retention_maintain", retLats, evRows,
       s""","store_rows":${spark.read.parquet(s"$dir/retention").count()}""")
 
-    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine}")
+    // ---- 12. table-profile maintenance: live per-column data-quality
+    // stats; state = |cols| rows of counters + k-min arrays, exactly
+    // mergeable — the store never grows.
+    val ev12 = MemoryStream[(Long, Double, String, java.sql.Timestamp)](spark)
+    val profCols = Seq("id" -> "int", "price" -> "double", "flag" -> "str", "ts" -> "ts")
+    val qProf = StreamPipeline.profileMaintain(
+      ev12.toDF().toDF("id", "price", "flag", "ts"),
+      s"$dir/profile", s"$dir/ckpt_profile", profCols, trigger = Trigger.ProcessingTime(0))
+    def genProf(b: Int): Seq[(Long, Double, String, java.sql.Timestamp)] =
+      (0 until evRows).map { i =>
+        val id = b.toLong * evRows + i
+        (id, ((id * 37) % 100000) / 100.0, if (id % 17 == 0) null else s"f${id % 50}",
+          new java.sql.Timestamp((base + id % 86400) * 1000L))
+      }
+    val profLats = timeBatches(ev12, qProf, batches, genProf)
+    qProf.stop()
+    val profLine = report("profile_maintain", profLats, evRows,
+      s""","store_rows":${spark.read.parquet(s"$dir/profile").count()}""")
+
+    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine}")
     spark.stop()
   }
 }
