@@ -314,6 +314,101 @@ object BehaviorQueries {
   private def q184(s: SparkSession, dir: String): DataFrame =
     graft.operators.Retention.triangle(graft.operators.Retention.activity(ev(s, dir)))
 
+  // q196 — MARKOV REMOVAL-EFFECT ATTRIBUTION: the multi-touch
+  // attribution model the q185 transition matrix exists to feed
+  // (Anderl et al. 2014's Markov graph framework). Journeys are the
+  // q182 sessions truncated at the FIRST purchase (inclusive):
+  // START → first event, consecutive kept pairs, last event → NULL
+  // for non-converting sessions; purchase absorbs into CONV with
+  // probability 1. Conversion probability is the absorption
+  // probability from START, computed by 48 fixed-order value
+  // iterations (p ← T·p with absorbing entries pinned, every iterate
+  // snapped to 1e-9 — the q186 fixed-iteration discipline, so the
+  // driver loop and the DuckDB recursive CTE produce the SAME double
+  // bit for bit). Removal effect of a state = 1 − p_removed/p_full
+  // where the removed state's incoming probability mass redirects to
+  // NULL (the standard node-removal semantics); attribution shares
+  // normalize over the four removable states in fixed order. Scale
+  // shape: the heavy work is ONE shared session-window pass (the
+  // chunked q182 route) + three bounded aggregations; the matrix is
+  // |states|² ≤ 35 cells at ANY volume — the driver-side iteration is
+  // volume-independent by construction (the q186 collected-Gram
+  // precedent).
+  private def q196(s: SparkSession, dir: String): DataFrame =
+    markovAttribution(s, ev(s, dir))
+
+  /** q196's core over any (user_id, ts, event_id, event_type) frame —
+    * exposed for the designed-feed spec. */
+  private[graft] def markovAttribution(s: SparkSession, events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = graft.operators.Transitions.flags(events, chunked = true)
+    val wSess = Window.partitionBy(col("user_id"), col("sid")).orderBy(col("ts"), col("event_id"))
+    val kept = f.withColumn("prior_p",
+        coalesce(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(wSess.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("prior_p") === 0L)
+    val withLast = kept
+      .withColumn("rnd", row_number().over(Window.partitionBy(col("user_id"), col("sid"))
+        .orderBy(col("ts").desc, col("event_id").desc)))
+      .withColumn("has_p", max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .over(Window.partitionBy(col("user_id"), col("sid"))))
+      .persist()
+    val starts = withLast.filter(col("new_s") === 1L)
+      .groupBy(col("event_type").as("t2")).agg(count(lit(1)).as("n"))
+      .select(lit("START").as("f"), col("t2"), col("n"))
+    val pairs = withLast.filter(col("new_s") === 0L)
+      .groupBy(col("prev_type").as("f"), col("event_type").as("t2"))
+      .agg(count(lit(1)).as("n"))
+    val ends = withLast.filter(col("rnd") === 1 && col("has_p") === 0L)
+      .groupBy(col("event_type").as("f")).agg(count(lit(1)).as("n"))
+      .select(col("f"), lit("NULL").as("t2"), col("n"))
+    val trans = starts.unionByName(pairs).unionByName(ends)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    withLast.unpersist()
+
+    // driver-side absorption math over the volume-independent matrix
+    val states = Vector("START", "view", "click", "signup", "error", "purchase", "NULL")
+    val transient = 0 until 5
+    def snap(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+    def r4d(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    def matrix(removed: Option[String]): Array[Array[Double]] =
+      transient.map { i =>
+        val from = states(i)
+        val tot = states.indices.map(j => trans.getOrElse((from, states(j)), 0L)).sum.toDouble
+        val row = Array.tabulate(7) { j =>
+          if (tot == 0) 0.0 else trans.getOrElse((from, states(j)), 0L).toDouble / tot
+        }
+        removed.foreach { st =>
+          val js = states.indexOf(st)
+          row(6) += row(js); row(js) = 0.0
+        }
+        row
+      }.toArray
+    def pStart(m: Array[Array[Double]]): Double = {
+      var p = Array(0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0)
+      for (_ <- 1 to 48) {
+        val np = p.clone()
+        transient.foreach { i =>
+          var acc = 0.0
+          var j = 0
+          while (j < 7) { acc += m(i)(j) * p(j); j += 1 }
+          np(i) = snap(acc)
+        }
+        p = np
+      }
+      p(0)
+    }
+    val pF = pStart(matrix(None))
+    val removable = Seq("click", "error", "signup", "view")
+    val res = removable.map { st => st -> (1.0 - pStart(matrix(Some(st))) / pF) }
+    val sumRe = res.map(_._2).sum
+    val rows = res.map { case (st, re) =>
+      (st, r4d(pF), r4d(re), r4d(re / sumRe))
+    }
+    import s.implicits._
+    rows.toDF("state", "p_conv", "removal_effect", "attribution")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_table_profile" -> q181 _,
     "q193_table_profile_kmv" -> q193 _,
@@ -323,7 +418,8 @@ object BehaviorQueries {
     "q185_transitions" -> q185 _,
     "q189_rfm" -> q189 _,
     "q190_session_lift" -> q190 _,
-    "q191_time_to_convert" -> q191 _
+    "q191_time_to_convert" -> q191 _,
+    "q196_markov_attribution" -> q196 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -374,6 +470,92 @@ object BehaviorQueries {
          |         ELSE (kk - 1)::DOUBLE * 2147483647.0 / hk END)*10000 + 0.5)/10000
          |    AS n_distinct_est
          |FROM c JOIN k USING (col_name)""".stripMargin
+    },
+    "q196_markov_attribution" -> {
+      // one recursive-CTE value iteration per scenario (full chain +
+      // each removal), mirroring the driver loop: same 48 iterations,
+      // same 1e-9 snap, list_dot_product's sequential order matching
+      // the fixed j-order summation (the q186 discipline)
+      def scenario(tag: String, removed: Option[String]): String = {
+        val cell = removed match {
+          case Some(r) =>
+            s"""CASE
+               |      WHEN ts.name = '$r' THEN 0.0
+               |      WHEN ts.name = 'NULL' THEN
+               |        coalesce((SELECT p FROM probs WHERE f = fs.name AND t2 = 'NULL'), 0.0)
+               |        + coalesce((SELECT p FROM probs WHERE f = fs.name AND t2 = '$r'), 0.0)
+               |      ELSE coalesce((SELECT p FROM probs WHERE f = fs.name AND t2 = ts.name), 0.0)
+               |    END""".stripMargin
+          case None =>
+            "coalesce((SELECT p FROM probs WHERE f = fs.name AND t2 = ts.name), 0.0)"
+        }
+        val dots = (1 to 5).map(i =>
+          s"floor(list_dot_product((SELECT m FROM mat_$tag)[$i], p)*1e9 + 0.5)/1e9")
+          .mkString(",\n    ")
+        s""", rows_$tag AS MATERIALIZED (
+           |  SELECT fs.i AS i, list($cell ORDER BY ts.i) AS row
+           |  FROM tstates fs, states ts GROUP BY fs.i, fs.name
+           |), mat_$tag AS MATERIALIZED (SELECT list(row ORDER BY i) AS m FROM rows_$tag),
+           |it_$tag(k, p) AS (
+           |  SELECT 0, [0.0,0.0,0.0,0.0,0.0,1.0,0.0]::DOUBLE[]
+           |  UNION ALL
+           |  SELECT k+1, [
+           |    $dots,
+           |    1.0, 0.0]
+           |  FROM it_$tag WHERE k < 48
+           |), p_$tag AS (SELECT p[1] AS v FROM it_$tag WHERE k = 48)""".stripMargin
+      }
+      val scen = scenario("full", None) +
+        Seq("click", "error", "signup", "view")
+          .map(s0 => scenario(s"rm_$s0", Some(s0))).mkString
+      s"""WITH RECURSIVE e AS (
+         |  SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts FROM events
+         |), g AS MATERIALIZED (
+         |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+         |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s,
+         |    lag(event_type) OVER w AS prev_type
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), sidt AS MATERIALIZED (
+         |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM g
+         |), kpt AS MATERIALIZED (
+         |  SELECT *, coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY user_id, sid ORDER BY ts, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_p
+         |  FROM sidt
+         |), kept AS MATERIALIZED (SELECT * FROM kpt WHERE prior_p = 0
+         |), lastk AS MATERIALIZED (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id, sid ORDER BY ts DESC, event_id DESC) AS rnd,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id, sid) AS has_p
+         |  FROM kept
+         |), trans AS MATERIALIZED (
+         |  SELECT 'START' AS f, event_type AS t2, count(*)::BIGINT AS n FROM kept WHERE new_s = 1 GROUP BY 2
+         |  UNION ALL
+         |  SELECT prev_type, event_type, count(*)::BIGINT FROM kept WHERE new_s = 0 GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT event_type, 'NULL', count(*)::BIGINT FROM lastk WHERE rnd = 1 AND has_p = 0 GROUP BY 1
+         |), tot AS (SELECT f, sum(n)::DOUBLE AS t FROM trans GROUP BY 1
+         |), probs AS MATERIALIZED (SELECT tr.f, tr.t2, tr.n::DOUBLE / tt.t AS p FROM trans tr JOIN tot tt USING (f)
+         |), states AS (SELECT * FROM (VALUES (0,'START'),(1,'view'),(2,'click'),(3,'signup'),(4,'error'),(5,'purchase'),(6,'NULL')) s(i, name)
+         |), tstates AS (SELECT * FROM states WHERE i <= 4)$scen,
+         |re AS (
+         |  SELECT
+         |    1 - (SELECT v FROM p_rm_click) / (SELECT v FROM p_full) AS re_click,
+         |    1 - (SELECT v FROM p_rm_error) / (SELECT v FROM p_full) AS re_error,
+         |    1 - (SELECT v FROM p_rm_signup) / (SELECT v FROM p_full) AS re_signup,
+         |    1 - (SELECT v FROM p_rm_view) / (SELECT v FROM p_full) AS re_view,
+         |    (SELECT v FROM p_full) AS pf
+         |)
+         |SELECT s.state,
+         |  floor(re.pf * 1e4 + 0.5)/1e4 AS p_conv,
+         |  floor(s.r * 1e4 + 0.5)/1e4 AS removal_effect,
+         |  floor(s.r / (re.re_click + re.re_error + re.re_signup + re.re_view) * 1e4 + 0.5)/1e4 AS attribution
+         |FROM re, LATERAL (
+         |  SELECT * FROM (VALUES
+         |    ('click', re.re_click), ('error', re.re_error),
+         |    ('signup', re.re_signup), ('view', re.re_view)) v(state, r)) s""".stripMargin
     },
     "q191_time_to_convert" ->
       """WITH v AS (

@@ -1,0 +1,63 @@
+package graft
+
+import graft.queries.BehaviorQueries
+
+/** q196 Markov removal-effect attribution: a designed 3-journey feed
+  * with hand-computable absorption probabilities pins the model
+  * exactly; the real feed pins the invariants (shares sum to 1,
+  * effects non-negative, conversion rate in (0,1)). */
+class AttributionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("designed feed: removal effects and shares match the hand-solved chain") {
+    val t0 = java.sql.Timestamp.valueOf("2024-05-01 09:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // A: view->click->purchase (converts); B: view->error (no);
+    // C: view->click (no). Chain: p(click)=1/2, p(view)=1/3,
+    // p(START)=1/3. Removing click or view kills all conversion
+    // (re=1); error/signup carry nothing (re=0) -> shares 1/2, 1/2.
+    val ev = Seq(
+      (1L, ts(0), 1L, "view"), (1L, ts(1), 2L, "click"), (1L, ts(2), 3L, "purchase"),
+      (2L, ts(0), 4L, "view"), (2L, ts(1), 5L, "error"),
+      (3L, ts(0), 6L, "view"), (3L, ts(1), 7L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = BehaviorQueries.markovAttribution(spark, ev).collect()
+      .map(r => r.getAs[String]("state") ->
+        (r.getAs[Double]("p_conv"), r.getAs[Double]("removal_effect"),
+          r.getAs[Double]("attribution"))).toMap
+    assert(got("click") == ((0.3333, 1.0, 0.5)), s"click: ${got("click")}")
+    assert(got("view") == ((0.3333, 1.0, 0.5)), s"view: ${got("view")}")
+    assert(got("error") == ((0.3333, 0.0, 0.0)))
+    assert(got("signup") == ((0.3333, 0.0, 0.0)))
+  }
+
+  test("post-purchase events are truncated out of the journey") {
+    val t0 = java.sql.Timestamp.valueOf("2024-05-01 09:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // the error AFTER the purchase must not enter the chain: with
+    // truncation the error state is untouched (re=0); without it the
+    // purchase->error edge would change the matrix.
+    val ev = Seq(
+      (1L, ts(0), 1L, "view"), (1L, ts(1), 2L, "purchase"), (1L, ts(2), 3L, "error"),
+      (2L, ts(0), 4L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = BehaviorQueries.markovAttribution(spark, ev).collect()
+      .map(r => r.getAs[String]("state") -> r.getAs[Double]("removal_effect")).toMap
+    assert(got("error") == 0.0, "post-purchase error must carry no attribution")
+    assert(got("view") == 1.0, "all conversion flows through view")
+  }
+
+  test("real feed invariants: shares sum to 1, effects in [0,1], p_conv in (0,1)") {
+    val rows = SparkEntry.queries("q196_markov_attribution")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.length == 4)
+    val shares = rows.map(_.getAs[Double]("attribution"))
+    assert(math.abs(shares.sum - 1.0) < 0.001, s"shares ${shares.toSeq}")
+    rows.foreach { r =>
+      val re = r.getAs[Double]("removal_effect")
+      assert(re >= 0.0 && re <= 1.0, s"re $re")
+      val p = r.getAs[Double]("p_conv")
+      assert(p > 0.0 && p < 1.0, s"p_conv $p")
+    }
+  }
+}
