@@ -338,33 +338,43 @@ object BehaviorQueries {
     markovAttribution(s, ev(s, dir))
 
   /** q196's core over any (user_id, ts, event_id, event_type) frame —
-    * exposed for the designed-feed spec. */
+    * exposed for the designed-feed spec.
+    *
+    * ONE (user, sid) window stage derives every per-row signal the
+    * chain needs (exclusive prior-purchase count for truncation;
+    * row_number + session count for "last row"; session has-purchase
+    * flag — all sharing the one exchange+sort, unbounded frames
+    * included), and each row emits its 0–2 transition contributions
+    * as an exploded array into ONE (from, to) partial aggregation —
+    * no persist, no multi-consumer recompute (the first cut paid
+    * three aggregations over a persisted window frame: 56 s / 980 MB
+    * at 100×). The (user, sid) partition is also the skew-safe one:
+    * sessions are 30-min-gap bounded, so even a dominant bot user's
+    * history splits across its sessions. */
   private[graft] def markovAttribution(s: SparkSession, events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val f = graft.operators.Transitions.flags(events, chunked = true)
-    val wSess = Window.partitionBy(col("user_id"), col("sid")).orderBy(col("ts"), col("event_id"))
-    val kept = f.withColumn("prior_p",
-        coalesce(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-          .over(wSess.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .filter(col("prior_p") === 0L)
-    val withLast = kept
-      .withColumn("rnd", row_number().over(Window.partitionBy(col("user_id"), col("sid"))
-        .orderBy(col("ts").desc, col("event_id").desc)))
-      .withColumn("has_p", max(when(col("event_type") === "purchase", 1L).otherwise(0L))
-        .over(Window.partitionBy(col("user_id"), col("sid"))))
-      .persist()
-    val starts = withLast.filter(col("new_s") === 1L)
-      .groupBy(col("event_type").as("t2")).agg(count(lit(1)).as("n"))
-      .select(lit("START").as("f"), col("t2"), col("n"))
-    val pairs = withLast.filter(col("new_s") === 0L)
-      .groupBy(col("prev_type").as("f"), col("event_type").as("t2"))
+    val wOrd = Window.partitionBy(col("user_id"), col("sid")).orderBy(col("ts"), col("event_id"))
+    val wAll = Window.partitionBy(col("user_id"), col("sid"))
+    val isP = when(col("event_type") === "purchase", 1L).otherwise(0L)
+    val signals = f.select(col("event_type"), col("prev_type"), col("new_s"),
+      coalesce(sum(isP).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        .as("prior_p"),
+      row_number().over(wOrd).as("rn"),
+      count(lit(1)).over(wAll).as("cnt"),
+      max(isP).over(wAll).as("has_p"))
+    val none = array().cast("array<struct<f:string,t2:string>>")
+    val contribs = signals.select(explode(concat(
+        when(col("new_s") === 1L,
+          array(struct(lit("START").as("f"), col("event_type").as("t2")))).otherwise(none),
+        when(col("new_s") === 0L && col("prior_p") === 0L,
+          array(struct(col("prev_type").as("f"), col("event_type").as("t2")))).otherwise(none),
+        when(col("rn") === col("cnt") && col("has_p") === 0L,
+          array(struct(col("event_type").as("f"), lit("NULL").as("t2")))).otherwise(none)))
+        .as("tr"))
+    val trans = contribs.groupBy(col("tr.f").as("f"), col("tr.t2").as("t2"))
       .agg(count(lit(1)).as("n"))
-    val ends = withLast.filter(col("rnd") === 1 && col("has_p") === 0L)
-      .groupBy(col("event_type").as("f")).agg(count(lit(1)).as("n"))
-      .select(col("f"), lit("NULL").as("t2"), col("n"))
-    val trans = starts.unionByName(pairs).unionByName(ends)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
-    withLast.unpersist()
 
     // driver-side absorption math over the volume-independent matrix
     val states = Vector("START", "view", "click", "signup", "error", "purchase", "NULL")
