@@ -59,18 +59,86 @@ object Transitions {
   }
 
   /** Two-level evaluation — volume-proportional tasks, immune to a
-    * dominant key. Bitwise equal to [[flagsDirect]]: the lag is
-    * exact under the halo contract, the flag is per-row arithmetic,
-    * and the running sum is over exact longs (reassociation-safe). */
+    * dominant key. Bitwise equal to [[flagsDirect]]: every derived
+    * value is integer/timestamp arithmetic, so the chunk-split
+    * evaluation reassociates exactly.
+    *
+    * FUSED single-shuffle form (round 10): the first cut composed
+    * ChunkedFrame.withTrailingEval + withRunningSum — three full-data
+    * shuffles. But lag-1 and a running sum need none of the
+    * block/halo machinery: ONE (user, hour-chunk) exchange carries
+    * everything —
+    *
+    *  1. a local window inside (user, chunk) gives the local lag
+    *     (ts + type), the local gap flag, and its local running sum;
+    *  2. a per-(user, chunk) aggregate — a chunk-count-sized table —
+    *     collects each chunk's first ts, last ts/type, and local
+    *     flag total; a lag + exclusive prefix-sum per user over THAT
+    *     table yields each chunk's true boundary (prior chunk's last
+    *     event) and its session-id offset. The aggregate arm reuses
+    *     the same exchange (ReuseExchange dedupes the identical
+    *     subtree), so the data shuffles ONCE;
+    *  3. a broadcast join on (user, chunk) closes per-row: a chunk's
+    *     first row takes its `prev` from the prior chunk's last
+    *     event; the uniform gap formula recomputes `new_s`
+    *     (identical to [[flagsDirect]]'s); and
+    *     sid = offset + local running flag sum + (first-row flag − 1)
+    *     — the last term corrects every in-chunk running sum for the
+    *     first row's locally-unknowable boundary flag.
+    *
+    * The (user, chunk) table is bounded by keys × hours (one row per
+    * NONEMPTY pair) and broadcasts; per-task work is one chunk's
+    * rows, so a 50%-volume bot splits across its hours instead of
+    * serializing (bot probe in BASELINE.md). */
   def flagsChunked(events: DataFrame): DataFrame = {
-    val hour = date_trunc("hour", col("ts"))
-    val lagged = ChunkedFrame.withTrailingEval(
-      events, "user_id", hour, Seq("ts", "event_id"), haloWidth = 1) { (d, w) =>
-      d.withColumn("prev", lag(col("ts"), 1).over(w))
-        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-    }
-    ChunkedFrame.withRunningSum(withNewSessionFlag(lagged),
-      "user_id", hour, Seq("ts", "event_id"), "new_s", "sid")
+    val k = col("user_id")
+    val withChunk = events.withColumn("__chunk", date_trunc("hour", col("ts")))
+    val wLoc = Window.partitionBy(k, col("__chunk")).orderBy(col("ts"), col("event_id"))
+
+    // 1. local lag / flag / running flag sum — keys × chunks tasks wide
+    val loc = withChunk
+      .withColumn("__lprev", lag(col("ts"), 1).over(wLoc))
+      .withColumn("__lprev_type", lag(col("event_type"), 1).over(wLoc))
+      .withColumn("__lnew",
+        when(col("__lprev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("__lprev")) > GapUs, 1L).otherwise(0L))
+      .withColumn("__lrun", sum(col("__lnew"))
+        .over(wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+    // 2. the chunk table: boundaries + offsets on chunk-count-sized data
+    val wSeq = Window.partitionBy(col("__c_user")).orderBy(col("__c_chunk"))
+    val chunks = loc.groupBy(k.as("__c_user"), col("__chunk").as("__c_chunk"))
+      .agg(
+        min(struct(col("ts"), col("event_id"))).getField("ts").as("__first_ts"),
+        max_by(struct(col("ts").as("t"), col("event_type").as("y")),
+          struct(col("ts"), col("event_id"))).as("__last"),
+        sum(col("__lnew")).as("__sum_lnew"))
+      .withColumn("__prior_ts", lag(col("__last.t"), 1).over(wSeq))
+      .withColumn("__prior_type", lag(col("__last.y"), 1).over(wSeq))
+      .withColumn("__first_new",
+        when(col("__prior_ts").isNull ||
+          unix_micros(col("__first_ts")) - unix_micros(col("__prior_ts")) > GapUs, 1L)
+          .otherwise(0L))
+      .withColumn("__off", coalesce(
+        sum(col("__sum_lnew") + col("__first_new") - lit(1L))
+          .over(wSeq.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__c_user"), col("__c_chunk"), col("__prior_ts"),
+        col("__prior_type"), col("__first_new"), col("__off"))
+
+    // 3. per-row close: boundary prev for chunk-first rows, the
+    // uniform gap formula, and the offset-corrected running sum
+    loc.join(broadcast(chunks),
+        k === col("__c_user") && col("__chunk") === col("__c_chunk"))
+      .withColumn("prev",
+        when(col("__lprev").isNull, col("__prior_ts")).otherwise(col("__lprev")))
+      .withColumn("prev_type",
+        when(col("__lprev").isNull, col("__prior_type")).otherwise(col("__lprev_type")))
+      .withColumn("new_s",
+        when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) > GapUs, 1L).otherwise(0L))
+      .withColumn("sid", col("__off") + col("__lrun") + col("__first_new") - lit(1L))
+      .drop("__chunk", "__lprev", "__lprev_type", "__lnew", "__lrun",
+        "__c_user", "__c_chunk", "__prior_ts", "__prior_type", "__first_new", "__off")
   }
 
   /** The gap flag itself — shared per-row arithmetic over the lagged
