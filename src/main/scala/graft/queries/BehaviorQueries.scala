@@ -351,72 +351,14 @@ object BehaviorQueries {
     * at 100×). The (user, sid) partition is also the skew-safe one:
     * sessions are 30-min-gap bounded, so even a dominant bot user's
     * history splits across its sessions. */
+  /** Delegated to operators.Markov (round 10): edge extraction and
+    * the absorption solve are ONE code path with the streaming
+    * maintainer (StreamPipeline.attributionMaintain) — the batch
+    * extraction is the maintainer's signal pass with zero carry rows,
+    * so stream ≡ batch is structural (AttributionStreamSpec). */
   private[graft] def markovAttribution(s: SparkSession, events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val f = graft.operators.Transitions.flags(events, chunked = true)
-    val wOrd = Window.partitionBy(col("user_id"), col("sid")).orderBy(col("ts"), col("event_id"))
-    val wAll = Window.partitionBy(col("user_id"), col("sid"))
-    val isP = when(col("event_type") === "purchase", 1L).otherwise(0L)
-    val signals = f.select(col("event_type"), col("prev_type"), col("new_s"),
-      coalesce(sum(isP).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-        .as("prior_p"),
-      row_number().over(wOrd).as("rn"),
-      count(lit(1)).over(wAll).as("cnt"),
-      max(isP).over(wAll).as("has_p"))
-    val none = array().cast("array<struct<f:string,t2:string>>")
-    val contribs = signals.select(explode(concat(
-        when(col("new_s") === 1L,
-          array(struct(lit("START").as("f"), col("event_type").as("t2")))).otherwise(none),
-        when(col("new_s") === 0L && col("prior_p") === 0L,
-          array(struct(col("prev_type").as("f"), col("event_type").as("t2")))).otherwise(none),
-        when(col("rn") === col("cnt") && col("has_p") === 0L,
-          array(struct(col("event_type").as("f"), lit("NULL").as("t2")))).otherwise(none)))
-        .as("tr"))
-    val trans = contribs.groupBy(col("tr.f").as("f"), col("tr.t2").as("t2"))
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
-
-    // driver-side absorption math over the volume-independent matrix
-    val states = Vector("START", "view", "click", "signup", "error", "purchase", "NULL")
-    val transient = 0 until 5
-    def snap(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
-    def r4d(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
-    def matrix(removed: Option[String]): Array[Array[Double]] =
-      transient.map { i =>
-        val from = states(i)
-        val tot = states.indices.map(j => trans.getOrElse((from, states(j)), 0L)).sum.toDouble
-        val row = Array.tabulate(7) { j =>
-          if (tot == 0) 0.0 else trans.getOrElse((from, states(j)), 0L).toDouble / tot
-        }
-        removed.foreach { st =>
-          val js = states.indexOf(st)
-          row(6) += row(js); row(js) = 0.0
-        }
-        row
-      }.toArray
-    def pStart(m: Array[Array[Double]]): Double = {
-      var p = Array(0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0)
-      for (_ <- 1 to 48) {
-        val np = p.clone()
-        transient.foreach { i =>
-          var acc = 0.0
-          var j = 0
-          while (j < 7) { acc += m(i)(j) * p(j); j += 1 }
-          np(i) = snap(acc)
-        }
-        p = np
-      }
-      p(0)
-    }
-    val pF = pStart(matrix(None))
-    val removable = Seq("click", "error", "signup", "view")
-    val res = removable.map { st => st -> (1.0 - pStart(matrix(Some(st))) / pF) }
-    val sumRe = res.map(_._2).sum
-    val rows = res.map { case (st, re) =>
-      (st, r4d(pF), r4d(re), r4d(re / sumRe))
-    }
-    import s.implicits._
-    rows.toDF("state", "p_conv", "removal_effect", "attribution")
+    import graft.operators.Markov
+    Markov.attributionDf(s, Markov.collectEdges(Markov.batchEdges(events, chunked = true)))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1144,6 +1144,85 @@ object StreamPipeline {
     graft.batch.AtomicSwap.swapInto(hconf, storePath + ".tmp", storePath)
   }
 
+  /** STREAMING MARKOV-ATTRIBUTION MAINTENANCE: the live form of
+    * q196's removal-effect model. TWO bounded stores — permanent edge
+    * counts (starts, pairs, CLOSED non-converting sessions' END
+    * edges: all append-only under ordered arrival, so merges are
+    * plain addition, NO retractions) and a one-row-per-user carry
+    * (last event of the open session + its has-purchase flag). The
+    * open session's END edge is PROVISIONAL and never enters the
+    * counts: [[attributionServe]] reads it from the carry at serve
+    * time, which is exactly what a batch run does by treating
+    * feed-end as session end — so the served attribution equals
+    * declared q196 bit for bit after any batch split
+    * (AttributionStreamSpec, including the designed case where a
+    * truncated post-purchase event still anchors its session's gap
+    * boundary). One code path: the per-batch extraction is
+    * [[graft.operators.Markov]]'s signal pass over (carry ∪ batch);
+    * with zero carry rows the same pass IS the batch query.
+    * Idempotence/crash safety: the transitionBatch contract (markers
+    * swap with the data, heal BEFORE reads, counts commit before
+    * carry so a torn replay reproduces identical input). Per-batch
+    * cost O(batch + |users touched|); neither store grows with event
+    * volume. */
+  def attributionMaintain(eventsStream: DataFrame, countsPath: String, carryPath: String,
+                          checkpoint: String,
+                          trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    eventsStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        attributionBatch(batch, countsPath, carryPath, batchId)
+      }
+      .start()
+
+  /** One [[attributionMaintain]] micro-batch. */
+  private[graft] def attributionBatch(batch: DataFrame, countsPath: String,
+                                      carryPath: String, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    graft.batch.AtomicSwap.heal(hconf, countsPath)
+    graft.batch.AtomicSwap.heal(hconf, carryPath)
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).exists(hp)
+    }
+    def applied(p: String): Boolean = exists(s"$p/_graft_batch_$batchId")
+    def writeAndSwap(df: DataFrame, p: String): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(p + ".tmp")
+      val marker = new org.apache.hadoop.fs.Path(s"$p.tmp/_graft_batch_$batchId")
+      marker.getFileSystem(hconf).create(marker, true).close()
+      graft.batch.AtomicSwap.swapInto(hconf, p + ".tmp", p)
+    }
+    val carry = if (exists(carryPath)) Some(spark.read.parquet(carryPath)) else None
+    val (perm, nextCarry) = graft.operators.Markov.streamEdges(carry, batch)
+    if (!applied(countsPath)) {
+      val merged =
+        if (exists(countsPath))
+          spark.read.parquet(countsPath).unionByName(perm)
+            .groupBy(col("f"), col("t2")).agg(sum(col("n")).cast("long").as("n"))
+        else perm
+      writeAndSwap(merged, countsPath)
+    }
+    if (!applied(carryPath)) writeAndSwap(nextCarry, carryPath)
+  }
+
+  /** The q196 result served from the maintained stores: permanent
+    * counts plus the carry's provisional open-session ENDs. */
+  def attributionServe(spark: SparkSession, countsPath: String, carryPath: String): org.apache.spark.sql.DataFrame = {
+    import graft.operators.Markov
+    val counts = spark.read.parquet(countsPath)
+    val open = spark.read.parquet(carryPath).filter(col("open_p") === 0L)
+      .groupBy(col("event_type").as("f"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("f"), lit("NULL").as("t2"), col("n"))
+    val all = counts.unionByName(open)
+      .groupBy(col("f"), col("t2")).agg(sum(col("n")).cast("long").as("n"))
+    Markov.attributionDf(spark, Markov.collectEdges(all))
+  }
+
   /** ONLINE SIMILARITY SERVING: a stream of query embeddings answered
     * per micro-batch with exact cosine top-k against a STATIC corpus
     * — the serving-path complement of the batch ANN queries. Each

@@ -343,7 +343,20 @@ object StreamBench {
     val profLine = report("profile_maintain", profLats, evRows,
       s""","store_rows":${spark.read.parquet(s"$dir/profile").count()}""")
 
-    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine}")
+    // ---- 13. Markov-attribution maintenance: the q196 edge
+    // extraction over (carry ∪ batch); state = bounded edge counts +
+    // one carry row per user.
+    val ev13 = MemoryStream[(Long, java.sql.Timestamp, Long, String)](spark)
+    val qAttr = StreamPipeline.attributionMaintain(
+      ev13.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+      s"$dir/attr_counts", s"$dir/attr_carry", s"$dir/ckpt_attr",
+      trigger = Trigger.ProcessingTime(0))
+    val attrLats = timeBatches(ev13, qAttr, batches, genEv)
+    qAttr.stop()
+    val attrLine = report("attribution_maintain", attrLats, evRows,
+      s""","carry_rows":${spark.read.parquet(s"$dir/attr_carry").count()}""")
+
+    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine,$attrLine}")
     spark.stop()
   }
 }
