@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** RFM segmentation (q189) — ONE code path for the batch query and
+  * the streaming maintainer (StreamPipeline.rfmMaintain).
+  *
+  * The per-user state (last active day, event count, exact decimal
+  * monetary sum) is EXACTLY mergeable — max / addition / decimal
+  * addition, all order-insensitive — so the maintained store serves
+  * segments bit-identical to a batch rebuild under ANY arrival order
+  * (RfmStreamSpec pins a shuffled split). The as-of day and user
+  * count derive from the store itself, so recency is always relative
+  * to the live feed head. State is user-grain; the serve-time
+  * quartile pass is the q173 discrete rank arithmetic over
+  * ChunkedFrame.globalRank — no single-task sort at any user count.
+  */
+object Rfm {
+
+  /** Per-user state over an event frame. The monetary sum re-casts to
+    * decimal(28,4) so successive merges keep one fixed store schema
+    * (the cast is exact within range; 1e24 capacity). */
+  def userState(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast("decimal(18,4)")).cast("decimal(28,4)").as("mon"))
+
+  /** Merge two state tables: max / sum / exact decimal sum. */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("user_id"))
+      .agg(max(col("last_day")).as("last_day"),
+        sum(col("frequency")).as("frequency"),
+        sum(col("mon")).cast("decimal(28,4)").as("mon"))
+
+  /** q189's closing logic: recency vs the store's as-of day, r2
+    * monetary, discrete quartile scores (rank·4 DIV n), and the
+    * composed RFM segment. */
+  def segment(users0: DataFrame): DataFrame = {
+    def r2(c: Column) = floor(c * lit(100d) + lit(0.5d)) / lit(100d)
+    val users = users0.persist()
+    users.count() // as-of/count branches + three rank passes re-read it
+    val asof = users.agg(max(col("last_day")).as("asof_day"))
+    val cnt0 = users.agg(count(lit(1)).as("n_users"))
+    val rfm = users
+      .crossJoin(broadcast(asof))
+      .crossJoin(broadcast(cnt0))
+      .withColumn("recency_days", datediff(col("asof_day"), col("last_day")))
+      .withColumn("monetary", r2(col("mon").cast("double")))
+      .withColumn("__k", lit(1))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"), col("n_users"), col("__k"))
+    def quartile(df: DataFrame, metric: String, chunk: Column, outCol: String): DataFrame =
+      ChunkedFrame.globalRank(df, "__k", chunk, Seq(metric, "user_id"))
+        .withColumn(outCol, expr("(__g * 4) DIV n_users + 1"))
+        .drop("__g")
+    val scored = quartile(
+      quartile(
+        quartile(rfm, "recency_days", col("recency_days"), "rq"),
+        "frequency", col("frequency"), "fq"),
+      "monetary", floor(col("monetary")), "mq")
+    val out = scored.select(col("user_id"), col("recency_days"), col("frequency"), col("monetary"),
+      (lit(5L) - col("rq")).as("r_score"), col("fq").as("f_score"), col("mq").as("m_score"),
+      ((lit(5L) - col("rq")) * 100 + col("fq") * 10 + col("mq")).as("segment"))
+    val materialized = out.localCheckpoint(true)
+    users.unpersist()
+    materialized
+  }
+}

@@ -176,42 +176,15 @@ object BehaviorQueries {
   // rank passes on the |users| table via ChunkedFrame.globalRank
   // (metric-bucket chunks — no single-task global sort even at 1e9
   // users); the 1-row asof/count frames broadcast.
-  private def q189(s: SparkSession, dir: String): DataFrame = {
-    val e = ev(s, dir)
-    // ONE events scan: the as-of day and the user count both derive
-    // from the per-user aggregate (max of per-user maxes, count of
-    // rows) — the |users|-row table persists eagerly because the
-    // as-of/count branches and three rank passes all re-read it
-    // (lazy, each branch re-scanned the 100x events: 14.8 s -> 3.9 s warm)
-    val users = e.groupBy(col("user_id"))
-      .agg(max(to_date(col("ts"))).as("last_day"),
-        count(lit(1)).as("frequency"),
-        sum(col("value").cast("decimal(18,4)")).as("mon"))
-      .persist()
-    users.count()
-    val asof = users.agg(max(col("last_day")).as("asof_day"))
-    val cnt0 = users.agg(count(lit(1)).as("n_users"))
-    val rfm = users
-      .crossJoin(broadcast(asof))
-      .crossJoin(broadcast(cnt0))
-      .withColumn("recency_days", datediff(col("asof_day"), col("last_day")))
-      .withColumn("monetary", r2(col("mon").cast("double")))
-      .withColumn("__k", lit(1))
-      .select(col("user_id"), col("recency_days"), col("frequency"),
-        col("monetary"), col("n_users"), col("__k"))
-    def quartile(df: DataFrame, metric: String, chunk: Column, outCol: String): DataFrame =
-      graft.operators.ChunkedFrame.globalRank(df, "__k", chunk, Seq(metric, "user_id"))
-        .withColumn(outCol, expr("(__g * 4) DIV n_users + 1"))
-        .drop("__g")
-    val scored = quartile(
-      quartile(
-        quartile(rfm, "recency_days", col("recency_days"), "rq"),
-        "frequency", col("frequency"), "fq"),
-      "monetary", floor(col("monetary")), "mq")
-    scored.select(col("user_id"), col("recency_days"), col("frequency"), col("monetary"),
-      (lit(5L) - col("rq")).as("r_score"), col("fq").as("f_score"), col("mq").as("m_score"),
-      ((lit(5L) - col("rq")) * 100 + col("fq") * 10 + col("mq")).as("segment"))
-  }
+  /** Delegated to operators.Rfm (round 10): the user state (max day /
+    * count / exact decimal sum) is order-insensitively mergeable, so
+    * ONE code path serves this batch query AND the streaming
+    * maintainer (StreamPipeline.rfmMaintain); RfmStreamSpec pins
+    * maintained ≡ declared bitwise under shuffled splits. The ONE-
+    * events-scan + eager-persist discipline (14.8 s -> 3.9 s at 100x)
+    * lives in Rfm.segment. */
+  private def q189(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Rfm.segment(graft.operators.Rfm.userState(ev(s, dir)))
 
   // q190 — SESSION CO-OCCURRENCE LIFT: the association-rules readout
   // over the sessionized stream — for every event-type pair, how much

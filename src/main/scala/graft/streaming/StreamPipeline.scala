@@ -1223,6 +1223,49 @@ object StreamPipeline {
     Markov.attributionDf(spark, Markov.collectEdges(all))
   }
 
+  /** STREAMING RFM MAINTENANCE: live customer-value segmentation —
+    * q189's per-user state (last active day, event count, exact
+    * decimal monetary sum) is order-insensitively mergeable
+    * (max / addition / decimal addition), so the maintained store
+    * serves segments bit-identical to a batch rebuild under ANY
+    * arrival order (RfmStreamSpec pins a shuffled split). Serve via
+    * [[graft.operators.Rfm.segment]] over the store — recency is
+    * relative to the live feed head by construction. Idempotence /
+    * crash safety: the transitionBatch marker + heal contract. The
+    * store is user-grain. */
+  def rfmMaintain(eventsStream: DataFrame, storePath: String, checkpoint: String,
+                  trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    eventsStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        rfmBatch(batch, storePath, batchId)
+      }
+      .start()
+
+  /** One [[rfmMaintain]] micro-batch. */
+  private[graft] def rfmBatch(batch: DataFrame, storePath: String, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    graft.batch.AtomicSwap.heal(hconf, storePath)
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).exists(hp)
+    }
+    if (exists(s"$storePath/_graft_batch_$batchId")) return
+    val bState = graft.operators.Rfm.userState(batch)
+    val merged =
+      if (exists(storePath))
+        graft.operators.Rfm.merge(spark.read.parquet(storePath), bState)
+      else bState
+    merged.coalesce(1).write.mode("overwrite").parquet(storePath + ".tmp")
+    val marker = new org.apache.hadoop.fs.Path(s"$storePath.tmp/_graft_batch_$batchId")
+    marker.getFileSystem(hconf).create(marker, true).close()
+    graft.batch.AtomicSwap.swapInto(hconf, storePath + ".tmp", storePath)
+  }
+
   /** ONLINE SIMILARITY SERVING: a stream of query embeddings answered
     * per micro-batch with exact cosine top-k against a STATIC corpus
     * — the serving-path complement of the batch ANN queries. Each

@@ -356,7 +356,24 @@ object StreamBench {
     val attrLine = report("attribution_maintain", attrLats, evRows,
       s""","carry_rows":${spark.read.parquet(s"$dir/attr_carry").count()}""")
 
-    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine,$attrLine}")
+    // ---- 14. RFM maintenance: per-user max/sum/decimal-sum state —
+    // order-insensitive merge, user-grain store.
+    val ev14 = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+    val qRfm = StreamPipeline.rfmMaintain(
+      ev14.toDF().toDF("user_id", "ts", "value"),
+      s"$dir/rfm", s"$dir/ckpt_rfm", trigger = Trigger.ProcessingTime(0))
+    def genRfm(b: Int): Seq[(Long, java.sql.Timestamp, Double)] =
+      (0 until evRows).map { i =>
+        val id = b.toLong * evRows + i
+        (id % 500, new java.sql.Timestamp((base + (id % 5) * 86400L + i) * 1000L),
+          ((id * 31) % 10000) / 100.0)
+      }
+    val rfmLats = timeBatches(ev14, qRfm, batches, genRfm)
+    qRfm.stop()
+    val rfmLine = report("rfm_maintain", rfmLats, evRows,
+      s""","store_rows":${spark.read.parquet(s"$dir/rfm").count()}""")
+
+    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine,$attrLine,$rfmLine}")
     spark.stop()
   }
 }
