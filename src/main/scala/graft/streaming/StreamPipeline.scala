@@ -1266,6 +1266,48 @@ object StreamPipeline {
     graft.batch.AtomicSwap.swapInto(hconf, storePath + ".tmp", storePath)
   }
 
+  /** STREAMING SESSION-SUMMARY MAINTENANCE: q182's per-user summary
+    * kept live. ONE user-grain store row holds the closed-session
+    * aggregates (count / events / max size / exact µs duration sum —
+    * merge-by-addition/max) plus the OPEN session's explicit state;
+    * each batch folds through [[graft.operators.Sessions.fold]] —
+    * the shared Transitions gap logic decides continuation vs close
+    * on a carried marker row, the closed/provisional split the
+    * attribution maintainer established. Serving
+    * ([[graft.operators.Sessions.summary]]) counts the open session
+    * exactly as a batch run counts the feed's last session, so served
+    * ≡ declared q182 bitwise under any ordered split
+    * (SessionsStreamSpec). Idempotence/crash safety: marker + heal. */
+  def sessionsMaintain(eventsStream: DataFrame, storePath: String, checkpoint: String,
+                       trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    eventsStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sessionsBatch(batch, storePath, batchId)
+      }
+      .start()
+
+  /** One [[sessionsMaintain]] micro-batch. */
+  private[graft] def sessionsBatch(batch: DataFrame, storePath: String, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    graft.batch.AtomicSwap.heal(hconf, storePath)
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).exists(hp)
+    }
+    if (exists(s"$storePath/_graft_batch_$batchId")) return
+    val store = if (exists(storePath)) Some(spark.read.parquet(storePath)) else None
+    val merged = graft.operators.Sessions.fold(store, batch)
+    merged.coalesce(1).write.mode("overwrite").parquet(storePath + ".tmp")
+    val marker = new org.apache.hadoop.fs.Path(s"$storePath.tmp/_graft_batch_$batchId")
+    marker.getFileSystem(hconf).create(marker, true).close()
+    graft.batch.AtomicSwap.swapInto(hconf, storePath + ".tmp", storePath)
+  }
+
   /** ONLINE SIMILARITY SERVING: a stream of query embeddings answered
     * per micro-batch with exact cosine top-k against a STATIC corpus
     * — the serving-path complement of the batch ANN queries. Each

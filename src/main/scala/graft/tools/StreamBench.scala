@@ -373,7 +373,23 @@ object StreamBench {
     val rfmLine = report("rfm_maintain", rfmLats, evRows,
       s""","store_rows":${spark.read.parquet(s"$dir/rfm").count()}""")
 
-    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine,$attrLine,$rfmLine}")
+    // ---- 15. session-summary maintenance: q182 served live from one
+    // user-grain closed+open store.
+    val ev15 = MemoryStream[(Long, java.sql.Timestamp, Long)](spark)
+    val qSess = StreamPipeline.sessionsMaintain(
+      ev15.toDF().toDF("user_id", "ts", "event_id"),
+      s"$dir/sessions", s"$dir/ckpt_sessions", trigger = Trigger.ProcessingTime(0))
+    def genSess(b: Int): Seq[(Long, java.sql.Timestamp, Long)] =
+      (0 until evRows).map { i =>
+        val id = b.toLong * evRows + i
+        (id % 500, new java.sql.Timestamp((base + b * 600L + (i / 500) % 600) * 1000L), id)
+      }
+    val sessLats = timeBatches(ev15, qSess, batches, genSess)
+    qSess.stop()
+    val sessLine = report("sessions_maintain", sessLats, evRows,
+      s""","store_rows":${spark.read.parquet(s"$dir/sessions").count()}""")
+
+    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine,$attrLine,$rfmLine,$sessLine}")
     spark.stop()
   }
 }
