@@ -1308,6 +1308,72 @@ object StreamPipeline {
     graft.batch.AtomicSwap.swapInto(hconf, storePath + ".tmp", storePath)
   }
 
+  /** STREAMING SESSION-LIFT MAINTENANCE: q190's association table
+    * kept live. A session's support/lift contribution depends only on
+    * its distinct type SET — final at close, ≤|types| while open — so
+    * state is a bounded closed-session count table (sess / single /
+    * pair rows, merge-by-addition) plus a per-user carry of the open
+    * session's type set and last event. Serving
+    * ([[liftServe]]) adds each open session's provisional
+    * contribution — exactly the batch run's feed-end accounting — and
+    * closes with q190's formula: served ≡ declared q190 bitwise
+    * (LiftStreamSpec). Idempotence/crash safety: marker + heal;
+    * counts commit before carry. */
+  def liftMaintain(eventsStream: DataFrame, countsPath: String, carryPath: String,
+                   checkpoint: String,
+                   trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    eventsStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        liftBatch(batch, countsPath, carryPath, batchId)
+      }
+      .start()
+
+  /** One [[liftMaintain]] micro-batch. */
+  private[graft] def liftBatch(batch: DataFrame, countsPath: String,
+                               carryPath: String, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    graft.batch.AtomicSwap.heal(hconf, countsPath)
+    graft.batch.AtomicSwap.heal(hconf, carryPath)
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).exists(hp)
+    }
+    def applied(p: String): Boolean = exists(s"$p/_graft_batch_$batchId")
+    def writeAndSwap(df: DataFrame, p: String): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(p + ".tmp")
+      val marker = new org.apache.hadoop.fs.Path(s"$p.tmp/_graft_batch_$batchId")
+      marker.getFileSystem(hconf).create(marker, true).close()
+      graft.batch.AtomicSwap.swapInto(hconf, p + ".tmp", p)
+    }
+    val carry = if (exists(carryPath)) Some(spark.read.parquet(carryPath)) else None
+    val (delta, nextCarry) = graft.operators.SessionLift.fold(carry, batch)
+    if (!applied(countsPath)) {
+      val merged =
+        if (exists(countsPath))
+          spark.read.parquet(countsPath).unionByName(delta)
+            .groupBy(col("kind"), col("k1"), col("k2"))
+            .agg(sum(col("n")).cast("long").as("n"))
+        else delta
+      writeAndSwap(merged, countsPath)
+    }
+    if (!applied(carryPath)) writeAndSwap(nextCarry, carryPath)
+  }
+
+  /** The q190 result served from the maintained stores. */
+  def liftServe(spark: SparkSession, countsPath: String, carryPath: String): DataFrame = {
+    import graft.operators.SessionLift
+    val closed = spark.read.parquet(countsPath)
+    val open = SessionLift.contributions(
+      spark.read.parquet(carryPath).select(col("open_types").as("types")))
+    SessionLift.lift(closed.unionByName(open)
+      .groupBy(col("kind"), col("k1"), col("k2")).agg(sum(col("n")).cast("long").as("n")))
+  }
+
   /** ONLINE SIMILARITY SERVING: a stream of query embeddings answered
     * per micro-batch with exact cosine top-k against a STATIC corpus
     * — the serving-path complement of the batch ANN queries. Each

@@ -389,7 +389,19 @@ object StreamBench {
     val sessLine = report("sessions_maintain", sessLats, evRows,
       s""","store_rows":${spark.read.parquet(s"$dir/sessions").count()}""")
 
-    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine,$attrLine,$rfmLine,$sessLine}")
+    // ---- 16. session-lift maintenance: bounded closed-session count
+    // table + per-user open type-set carry.
+    val ev16 = MemoryStream[(Long, java.sql.Timestamp, Long, String)](spark)
+    val qLift = StreamPipeline.liftMaintain(
+      ev16.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+      s"$dir/lift_counts", s"$dir/lift_carry", s"$dir/ckpt_lift",
+      trigger = Trigger.ProcessingTime(0))
+    val liftLats = timeBatches(ev16, qLift, batches, genEv)
+    qLift.stop()
+    val liftLine = report("lift_maintain", liftLats, evRows,
+      s""","counts_rows":${spark.read.parquet(s"$dir/lift_counts").count()}""")
+
+    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine,$attrLine,$rfmLine,$sessLine,$liftLine}")
     spark.stop()
   }
 }
