@@ -396,7 +396,15 @@ object StreamBench {
       ev16.toDF().toDF("user_id", "ts", "event_id", "event_type"),
       s"$dir/lift_counts", s"$dir/lift_carry", s"$dir/ckpt_lift",
       trigger = Trigger.ProcessingTime(0))
-    val liftLats = timeBatches(ev16, qLift, batches, genEv)
+    // 1-hour batch stride: every batch CLOSES the previous sessions,
+    // so the permanent count table is exercised, not just the carry
+    def genLift(b: Int): Seq[(Long, java.sql.Timestamp, Long, String)] =
+      (0 until evRows).map { i =>
+        val id = b.toLong * evRows + i
+        val ts = new java.sql.Timestamp((base + b * 3600L + (i / 500) % 600) * 1000L)
+        (id % 500, ts, id, evTypes(((id * 2654435761L) % 5).toInt.abs))
+      }
+    val liftLats = timeBatches(ev16, qLift, batches, genLift)
     qLift.stop()
     val liftLine = report("lift_maintain", liftLats, evRows,
       s""","counts_rows":${spark.read.parquet(s"$dir/lift_counts").count()}""")
