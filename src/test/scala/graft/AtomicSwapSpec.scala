@@ -60,4 +60,30 @@ class AtomicSwapSpec extends SparkSpec {
     assert(markerOf(s"$base2/store") == "NEW")
     assert(!new java.io.File(s"$base2/store.old").exists())
   }
+
+  test("heal() restores a torn swap BEFORE a merger reads; maintainer keeps accumulated state") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // build a transition-counts store via two maintained batches
+    val dir = Files.createTempDirectory("graft_heal_tm").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    graft.streaming.StreamPipeline.transitionBatch(
+      Seq((1L, ts(0), 1L, "view"), (1L, ts(1), 2L, "click"))
+        .toDF("user_id", "ts", "event_id", "event_type"), s"$dir/c", s"$dir/k", 0L)
+    // simulate a crash between AtomicSwap's live->old and tmp->live
+    // renames: the live counts store vanishes, .old survives
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/c").getFileSystem(conf)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/c"),
+      new org.apache.hadoop.fs.Path(s"$dir/c.old")))
+    // the replayed/next batch must NOT plan "store absent -> batch-only":
+    // heal runs first, so the view->click count survives the merge
+    graft.streaming.StreamPipeline.transitionBatch(
+      Seq((1L, ts(2), 3L, "purchase"))
+        .toDF("user_id", "ts", "event_id", "event_type"), s"$dir/c", s"$dir/k", 1L)
+    val got = spark.read.parquet(s"$dir/c").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_trans")).toMap
+    assert(got == Map(("view", "click") -> 1L, ("click", "purchase") -> 1L),
+      s"accumulated counts must survive the torn swap: $got")
+  }
 }
