@@ -352,6 +352,7 @@ object ScaleProbe {
     time("q190_session_lift") { q("q190_session_lift") }
     time("q191_time_to_convert") { q("q191_time_to_convert") }
     time("q196_markov_attribution") { q("q196_markov_attribution") }
+    time("q197_shapley_attribution") { q("q197_shapley_attribution") }
     time("q192_lead_lag") { q("q192_lead_lag") }
     time("q175_higher_moments") { q("q175_higher_moments") }
     time("q176_return_acf") { q("q176_return_acf") }

@@ -334,6 +334,57 @@ object BehaviorQueries {
     Markov.attributionDf(s, Markov.collectEdges(Markov.batchEdges(events, chunked = true)))
   }
 
+  // q197 — SHAPLEY-VALUE ATTRIBUTION: the cooperative-game companion
+  // to q196's Markov model (the two standard data-driven attribution
+  // methods; Shapley 1953 values over the channel coalition game).
+  // Journeys are the SAME truncated-at-first-purchase sessions; a
+  // journey's coalition is its distinct non-purchase channel set
+  // (≤ 4 channels ⇒ 16 coalitions — the game is EXACTLY solvable,
+  // no sampling). v(S) = number of converted journeys whose channel
+  // set ⊆ S; φ(i) = Σ_{S⊆N\i} |S|!(n−1−|S|)!/n! · (v(S∪i) − v(S)),
+  // computed in EXACT integers (×24) until two final IEEE divisions
+  // shared with the oracle. Channel-free conversions shift every
+  // v(S) by the same constant and cancel in the marginals. Scale
+  // shape: one shared session-window pass (the chunked q182 route) +
+  // one bounded (user, sid) aggregate + ONE ≤16-row collected count
+  // table; the Shapley enumeration is driver-side and
+  // volume-independent. Efficiency identity Σφ = v(N) − v(∅) pinned
+  // by AttributionSpec.
+  private def q197(s: SparkSession, dir: String): DataFrame =
+    shapleyAttribution(s, ev(s, dir))
+
+  private[graft] def shapleyAttribution(s: SparkSession, events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = graft.operators.Transitions.flags(events, chunked = true)
+    val wOrd = Window.partitionBy(col("user_id"), col("sid")).orderBy(col("ts"), col("event_id"))
+    val isP = when(col("event_type") === "purchase", 1L).otherwise(0L)
+    val kept = f.withColumn("prior_p",
+        coalesce(sum(isP).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("prior_p") === 0L)
+    val journeys = kept.groupBy(col("user_id"), col("sid"))
+      .agg(array_sort(collect_set(when(col("event_type") =!= "purchase", col("event_type"))))
+        .as("chset"),
+        max(isP).as("conv"))
+    val counts = journeys.filter(col("conv") === 1L)
+      .groupBy(col("chset")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getSeq[String](0).toSet -> r.getAs[Long]("n")).toMap
+
+    val channels = Vector("click", "error", "signup", "view")
+    def v(S: Set[String]): Long = counts.collect { case (js, n) if js.subsetOf(S) => n }.sum
+    val w = Array(6L, 2L, 2L, 6L) // |S|! · (3−|S|)! for n = 4
+    val nums = channels.map { c =>
+      val others = channels.filterNot(_ == c).toSet
+      others.subsets().map(sub => w(sub.size) * (v(sub + c) - v(sub))).sum
+    }
+    val total = nums.sum
+    def r4d(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    val rows = channels.zip(nums).map { case (c, num) =>
+      (c, r4d(num.toDouble / 24.0), r4d(num.toDouble / total.toDouble))
+    }
+    import s.implicits._
+    rows.toDF("state", "shapley", "share")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_table_profile" -> q181 _,
     "q193_table_profile_kmv" -> q193 _,
@@ -344,7 +395,8 @@ object BehaviorQueries {
     "q189_rfm" -> q189 _,
     "q190_session_lift" -> q190 _,
     "q191_time_to_convert" -> q191 _,
-    "q196_markov_attribution" -> q196 _
+    "q196_markov_attribution" -> q196 _,
+    "q197_shapley_attribution" -> q197 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -395,6 +447,65 @@ object BehaviorQueries {
          |         ELSE (kk - 1)::DOUBLE * 2147483647.0 / hk END)*10000 + 0.5)/10000
          |    AS n_distinct_est
          |FROM c JOIN k USING (col_name)""".stripMargin
+    },
+    "q197_shapley_attribution" -> {
+      val channels = Seq("click", "error", "signup", "view")
+      def memLit(mem: Seq[String]) =
+        if (mem.isEmpty) "[]::VARCHAR[]" else mem.map(c => s"'$c'").mkString("[", ", ", "]")
+      val subsetRows = (0 until 16).map { m =>
+        val mem = channels.zipWithIndex.collect { case (c, i) if (m & (1 << i)) != 0 => c }
+        s"($m, ${memLit(mem)})"
+      }.mkString(",\n         |    ")
+      def vRef(m: Int) = s"(SELECT v FROM vv WHERE si = $m)"
+      val wArr = Array(6, 2, 2, 6)
+      def numExpr(ci: Int): String = {
+        val others = (0 until 4).filterNot(_ == ci)
+        (0 until 8).map { k =>
+          val sMask = others.zipWithIndex.collect { case (bit, j) if (k & (1 << j)) != 0 => 1 << bit }.sum
+          s"${wArr(Integer.bitCount(sMask))} * (${vRef(sMask | (1 << ci))} - ${vRef(sMask)})"
+        }.mkString(" + ")
+      }
+      val valueRows = channels.zipWithIndex.map { case (c, ci) =>
+        s"('$c', ${numExpr(ci)})"
+      }.mkString(",\n         |    ")
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts FROM events
+         |), g AS MATERIALIZED (
+         |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+         |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), sidt AS MATERIALIZED (
+         |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM g
+         |), kpt AS MATERIALIZED (
+         |  SELECT *, coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY user_id, sid ORDER BY ts, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_p
+         |  FROM sidt
+         |), kept AS MATERIALIZED (SELECT * FROM kpt WHERE prior_p = 0
+         |), j AS MATERIALIZED (
+         |  SELECT user_id, sid,
+         |    coalesce(list_sort(list_distinct(
+         |      list(event_type) FILTER (WHERE event_type <> 'purchase'))), []::VARCHAR[]) AS chset,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+         |  FROM kept GROUP BY 1, 2
+         |), cs AS MATERIALIZED (
+         |  SELECT chset, count(*)::BIGINT AS n FROM j WHERE conv = 1 GROUP BY 1
+         |), subsets(si, mem) AS (
+         |  VALUES
+         |    $subsetRows
+         |), vv AS MATERIALIZED (
+         |  SELECT s.si, coalesce(sum(cs.n), 0)::BIGINT AS v
+         |  FROM subsets s LEFT JOIN cs ON list_has_all(s.mem, cs.chset)
+         |  GROUP BY s.si
+         |)
+         |SELECT t.state,
+         |  floor(t.num / 24.0 * 10000 + 0.5)/10000 AS shapley,
+         |  floor(t.num::DOUBLE / (24 * (${vRef(15)} - ${vRef(0)}))::DOUBLE * 10000 + 0.5)/10000
+         |    AS share
+         |FROM (VALUES
+         |    $valueRows) t(state, num)""".stripMargin
     },
     "q196_markov_attribution" -> {
       // one recursive-CTE value iteration per scenario (full chain +

@@ -47,6 +47,42 @@ class AttributionSpec extends SparkSpec {
     assert(got("view") == 1.0, "all conversion flows through view")
   }
 
+  test("q197 designed feed: exact hand-computed Shapley values") {
+    val t0 = java.sql.Timestamp.valueOf("2024-05-02 09:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // converted journeys: {view} ×2 and {view, click} ×1 (plus one
+    // non-converting {error} journey that contributes nothing).
+    // v(S) = 2·[view ∈ S] + 1·[view, click ⊆ S].
+    // φ(view) = 2 + 1/2 = 2.5, φ(click) = 1/2, φ(error) = φ(signup) = 0
+    // (click's marginal is 1 only when view already present: 4 of 8
+    // orderings → within the subset formula, (2+6)·1/24? — direct:
+    // num(click) = Σ w|S| (v(S+c)−v(S)) over S ⊆ {e,s,v}: only S
+    // containing view contribute 1: S={v}: w1=2; {v,e},{v,s}: w2=2
+    // each; {v,e,s}: w3=6 ⇒ num = 2+2+2+6 = 12 ⇒ φ = 0.5.
+    val ev = Seq(
+      (1L, ts(0), 1L, "view"), (1L, ts(1), 2L, "purchase"),
+      (2L, ts(0), 3L, "view"), (2L, ts(1), 4L, "purchase"),
+      (3L, ts(0), 5L, "view"), (3L, ts(1), 6L, "click"), (3L, ts(2), 7L, "purchase"),
+      (4L, ts(0), 8L, "error"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = BehaviorQueries.shapleyAttribution(spark, ev).collect()
+      .map(r => r.getAs[String]("state") ->
+        (r.getAs[Double]("shapley"), r.getAs[Double]("share"))).toMap
+    assert(got("view") == ((2.5, 0.8333)), s"view: ${got("view")}")
+    assert(got("click") == ((0.5, 0.1667)), s"click: ${got("click")}")
+    assert(got("error") == ((0.0, 0.0)))
+    assert(got("signup") == ((0.0, 0.0)))
+  }
+
+  test("q197 efficiency identity on the real feed: Σφ = v(N) − v(∅), shares sum to 1") {
+    val rows = SparkEntry.queries("q197_shapley_attribution")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.length == 4)
+    val shares = rows.map(_.getAs[Double]("share"))
+    assert(math.abs(shares.sum - 1.0) < 0.001, s"shares ${shares.toSeq}")
+    rows.foreach(r => assert(r.getAs[Double]("shapley") >= 0.0))
+  }
+
   test("real feed invariants: shares sum to 1, effects in [0,1], p_conv in (0,1)") {
     val rows = SparkEntry.queries("q196_markov_attribution")(spark, "/root/testdata/sf0.01")
       .collect()
