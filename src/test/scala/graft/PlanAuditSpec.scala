@@ -562,4 +562,23 @@ class PlanAuditSpec extends SparkSpec {
         p.contains("bounded_top_k"), s"$q: shortlist must be the partial-heap aggregate:\n$p")
     }
   }
+
+  test("fused chunked session window: chunk-table joins broadcast, no single-partition window") {
+    import org.apache.spark.sql.functions.col
+    val p = graft.operators.Transitions.flags(
+      graft.core.Tables.events(spark, sf("sf0.001")), chunked = true)
+      .queryExecution.executedPlan.toString
+    // the per-row close joins the chunk-count-sized boundary table by
+    // broadcast — a sort-merge join here would add a full-data shuffle
+    assert(p.contains("BroadcastHashJoin"), s"chunk table not broadcast:\n$p")
+    // every window partitions on (user [, chunk]) — nothing falls back
+    // to the single-partition global-window trap
+    assert(!p.contains("SinglePartition"), s"single-partition stage in chunked flags:\n$p")
+  }
+
+  test("q193 sketch arm: one object-hash aggregate pair, no distinct exchange, no window") {
+    val p = plan("q193_table_profile_kmv")
+    assert(p.contains("ObjectHashAggregate"), s"kmv_mins not object-hash-aggregated:\n$p")
+    assert(!p.contains("Window"), s"q193 must not plan a window:\n$p")
+  }
 }
