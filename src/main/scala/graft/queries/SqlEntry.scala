@@ -153,6 +153,33 @@ object SqlEntry {
         |  lead(value, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS next_val,
         |  lag(value, 1)  OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_val
         |FROM events""".stripMargin,
+    // q182 — per-user session summary as SQL text: the gap flag +
+    // running-sum islands, session grouping, and the exact-integer
+    // duration sums with one shared r4 division — bitwise equal to
+    // the typed (chunked-window) side by the TransitionsChunkedSpec
+    // pin, same as q190 below.
+    "q182_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR unix_micros(ts) - unix_micros(lag(ts) OVER w) > 1800000000L
+        |      THEN 1L ELSE 0L END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sid AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g
+        |), sess AS (
+        |  SELECT user_id, sid, count(1) AS n_ev,
+        |    unix_micros(max(ts)) - unix_micros(min(ts)) AS dur_us
+        |  FROM sid GROUP BY user_id, sid
+        |)
+        |SELECT user_id, count(1) AS n_sessions, sum(n_ev) AS total_events,
+        |  max(n_ev) AS max_session_events,
+        |  floor(cast(sum(dur_us) AS double) / cast(count(1) AS double) / 1000000D
+        |    * 10000D + 0.5D) / 10000D AS avg_session_secs
+        |FROM sess GROUP BY user_id""".stripMargin,
     // q190 — the events-analytics family's text twin: gap
     // sessionization (flag + running sum over a named window) feeding
     // a session-grain self-join — exactly the shape a notebook user
