@@ -43,28 +43,21 @@ object TableProfile {
   }
 
   /** Per-column state over `df`: (col_name, n_rows, n_null,
-    * hs: ascending array of the ≤k smallest distinct KMV hashes). */
+    * hs: ascending array of the ≤k smallest distinct KMV hashes).
+    * ONE scan, one explode, one aggregate: the row/null counters ride
+    * the same stacked stream as the sketch (n_null = rows − non-null
+    * pre-hashes; KmvMins itself skips null hashes), so the earlier
+    * two-arm form's second scan and broadcast join are gone. */
   def state(df: DataFrame, colTypes: Seq[(String, String)], k: Int = K): DataFrame = {
-    val cols = colTypes.map(_._1)
-    val nullAggs = cols.map(c =>
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"))
-    val one = df.agg(count(lit(1)).as("n_rows"), nullAggs: _*)
-    val counts = one.select(explode(array(cols.map(c =>
-        struct(lit(c).as("col_name"), col("n_rows"),
-          col(s"__nn_$c").as("n_null"))): _*)).as("e"))
-      .select(col("e.col_name").as("col_name"), col("e.n_rows").as("n_rows"),
-        col("e.n_null").as("n_null"))
     val stacked = df.select(explode(array(colTypes.map { case (c, kind) =>
         struct(lit(c).as("col_name"), canon(c, kind).as("t")) }: _*)).as("e"))
       .select(col("e.col_name").as("col_name"), col("e.t").as("t"))
-      .filter(col("t").isNotNull)
-    val sk = stacked
-      .select(col("col_name"), graft.functions.Sketches.kmvHash(col("t")).as("h"))
+    stacked
+      .select(col("col_name"), col("t"), graft.functions.Sketches.kmvHash(col("t")).as("h"))
       .groupBy(col("col_name"))
-      .agg(graft.functions.KmvMins.column(col("h"), k).as("hs"))
-    counts.join(broadcast(sk), Seq("col_name"), "left")
-      .select(col("col_name"), col("n_rows"), col("n_null"),
-        coalesce(col("hs"), array().cast("array<long>")).as("hs"))
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("t"))).as("n_null"),
+        graft.functions.KmvMins.column(col("h"), k).as("hs"))
   }
 
   /** Merge two state tables: counters add, k-min sets union →
