@@ -385,7 +385,64 @@ object BehaviorQueries {
     rows.toDF("state", "shapley", "share")
   }
 
+  // q200 — PAGERANK NAVIGATION CENTRALITY: the stationary-importance
+  // score of each event type in the session navigation graph — which
+  // states users' within-session flow concentrates on, the graph-
+  // level readout of the q185 transition matrix (Page et al. 1999
+  // with damping 0.85). The graph is the q185 count matrix (the
+  // SAME chunked one-window-pass construction); rows normalize to
+  // transition probabilities, a dangling state (no outgoing
+  // transitions) contributes its mass uniformly (the standard
+  // dangling-node patch), and the rank vector is 40 fixed-order
+  // power iterations pr ← 0.03 + 0.85·Pᵀpr with every component
+  // snapped to 1e-9 — the q186/q196 fixed-iteration discipline, so
+  // the driver loop and DuckDB's recursive CTE produce the SAME
+  // double bit for bit. Scale shape: the heavy work is ONE shared
+  // chunked session-window pass + one bounded (from, to) partial
+  // agg; the collected matrix is |types|² ≤ 25 cells at ANY volume,
+  // so the driver-side iteration is volume-independent (the q196
+  // collected-matrix precedent). States are the feed's fixed
+  // five-type contract (the q197 channel-list precedent).
+  private def q200(s: SparkSession, dir: String): DataFrame =
+    pagerankNav(s, ev(s, dir))
+
+  private[graft] val NavStates: Vector[String] =
+    Vector("click", "error", "purchase", "signup", "view")
+
+  private[graft] def pagerankNav(
+      s: SparkSession, events: DataFrame,
+      states: Vector[String] = NavStates): DataFrame = {
+    val n = states.size
+    val cnt = graft.operators.Transitions.counts(events, chunked = true)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_trans")).toMap
+    val outTot = states.map(f => states.map(t => cnt.getOrElse((f, t), 0L)).sum)
+    // p(fi)(ti) = P(fi → ti); dangling rows redistribute uniformly
+    val p = Array.tabulate(n, n) { (fi, ti) =>
+      if (outTot(fi) == 0L) 0.2
+      else cnt.getOrElse((states(fi), states(ti)), 0L).toDouble / outTot(fi).toDouble
+    }
+    var pr = Array.fill(n)(0.2)
+    var it = 0
+    while (it < 40) {
+      val next = Array.tabulate(n) { i =>
+        var dot = 0.0
+        var j = 0
+        while (j < n) { dot += p(j)(i) * pr(j); j += 1 }
+        math.floor((0.03 + 0.85 * dot) * 1e9 + 0.5) / 1e9
+      }
+      pr = next
+      it += 1
+    }
+    val rows = states.zipWithIndex.map { case (st, i) =>
+      (st, outTot(i), math.floor(pr(i) * 10000 + 0.5) / 10000)
+    }
+    import s.implicits._
+    rows.toDF("state", "out_trans", "pagerank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_pagerank_nav" -> q200 _,
     "q181_table_profile" -> q181 _,
     "q193_table_profile_kmv" -> q193 _,
     "q182_sessions" -> q182 _,
@@ -400,6 +457,53 @@ object BehaviorQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q200_pagerank_nav" -> {
+      // the q196 recursive-CTE discipline: same 40 iterations, same
+      // 1e-9 snap, list_dot_product's sequential order matching the
+      // driver loop's fixed j-order summation
+      val states = NavStates
+      val inList = states.map(s0 => s"'$s0'").mkString(", ")
+      val stateRows = states.zipWithIndex
+        .map { case (s0, i) => s"(${i + 1}, '$s0')" }.mkString(", ")
+      val dots = (1 to states.size).map(i =>
+        s"floor((0.03 + 0.85 * list_dot_product((SELECT m FROM mat)[$i], p)) * 1e9 + 0.5)/1e9")
+        .mkString(",\n         |    ")
+      val init = states.map(_ => "0.2").mkString("[", ", ", "]")
+      s"""WITH RECURSIVE e AS (
+         |  SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts FROM events
+         |), g AS (
+         |  SELECT *, lag(event_type) OVER w AS prev_type,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), cnt AS MATERIALIZED (
+         |  SELECT prev_type AS f, event_type AS t2, count(*)::BIGINT AS n
+         |  FROM g WHERE new_s = 0 AND prev_type IN ($inList) AND event_type IN ($inList)
+         |  GROUP BY 1, 2
+         |), outs AS MATERIALIZED (
+         |  SELECT f, sum(n)::BIGINT AS out_n FROM cnt GROUP BY 1
+         |), states(i, name) AS (
+         |  VALUES $stateRows
+         |), rows_m AS MATERIALIZED (
+         |  SELECT ti.i AS i, list(
+         |    CASE WHEN (SELECT out_n FROM outs WHERE f = fs.name) IS NULL THEN 0.2::DOUBLE
+         |      ELSE coalesce((SELECT n FROM cnt WHERE f = fs.name AND t2 = ti.name), 0)::DOUBLE
+         |        / (SELECT out_n FROM outs WHERE f = fs.name)::DOUBLE END
+         |    ORDER BY fs.i) AS row
+         |  FROM states ti, states fs GROUP BY ti.i
+         |), mat AS MATERIALIZED (SELECT list(row ORDER BY i) AS m FROM rows_m),
+         |it(k, p) AS (
+         |  SELECT 0, $init::DOUBLE[]
+         |  UNION ALL
+         |  SELECT k + 1, [
+         |    $dots]
+         |  FROM it WHERE k < 40
+         |)
+         |SELECT st.name AS state,
+         |  coalesce((SELECT out_n FROM outs WHERE f = st.name), 0)::BIGINT AS out_trans,
+         |  floor(fin.p[st.i] * 10000 + 0.5)/10000 AS pagerank
+         |FROM states st, (SELECT p FROM it WHERE k = 40) fin""".stripMargin
+    },
     "q181_table_profile" -> {
       val stack = ProfileCols
         .map(c => s"SELECT '$c' AS col_name, $c::VARCHAR AS v FROM lineitem")

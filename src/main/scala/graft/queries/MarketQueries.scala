@@ -627,22 +627,29 @@ object MarketQueries {
   private def q172(s: SparkSession, dir: String): DataFrame =
     graft.operators.DailyPanel.compute(ev(s, dir))
 
-  /** Daily close-to-close micro-log2 returns per instrument — the
-    * q159/q170 construction, shared by the day-grid statistics
-    * (q175/q176/q179): one span-bounded (instrument, day) window for
-    * the deterministic close, one partial-agg shuffle to the
-    * volume-independent day grid, one day-grain lag. */
-  private def dailyReturns(s: SparkSession, dir: String): DataFrame = {
+  /** Deterministic daily close in micro-log2 units per (instrument,
+    * day) — the q159/q170 construction's first half, shared by the
+    * day-grid statistics and the level-series queries (q198/q199):
+    * one span-bounded (instrument, day) window for the deterministic
+    * close, one partial-agg shuffle to the volume-independent day
+    * grid. The ONLY volume-sized work in every consumer. */
+  private def dailyCloses(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("event_type"), col("day")).orderBy(col("ts"), col("event_id"))
-    val closes = ev(s, dir)
+    ev(s, dir)
       .filter(col("value") > 0)
       .withColumn("day", to_date(col("ts")))
       .withColumn("lv", qlog2(col("value")))
       .withColumn("rn", row_number().over(w))
       .groupBy(col("event_type"), col("day"))
       .agg(max_by(col("lv"), col("rn")).as("close_lv"))
+  }
+
+  /** Daily close-to-close micro-log2 returns per instrument — the
+    * q159/q170 construction, shared by the day-grid statistics
+    * (q175/q176/q179): [[dailyCloses]] + one day-grain lag. */
+  private def dailyReturns(s: SparkSession, dir: String): DataFrame = {
     val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
-    closes
+    dailyCloses(s, dir)
       .withColumn("prev", lag(col("close_lv"), 1).over(wd))
       .filter(col("prev").isNotNull)
       .withColumn("r_fp", col("close_lv") - col("prev"))
@@ -886,7 +893,108 @@ object MarketQueries {
       when(den > 0, r4(num / den)).as("xcorr"))
   }
 
+  // q198 — PAIRS-TRADING SPREAD SCREEN: for every unordered
+  // instrument pair (a < b), the full-sample OLS hedge ratio of a's
+  // daily close log-price on b's (the Engle-Granger first stage at
+  // the screening horizon), the level correlation, the residual
+  // spread's dispersion, and the LAST common day's spread z-score —
+  // the stat-arb candidate table (|z| large = stretched pair). The
+  // trick that keeps this ONE pass: every output is a closed form of
+  // the SAME six exact integer sums (n, Σx, Σy, Σxy, Σx², Σy²) plus
+  // the arg-max-by-day levels — β, the residual mean
+  // (Σy − βΣx)/n, the residual second moment
+  // (Σy² − 2βΣxy + β²Σx²)/n, and z_last all algebraic, so no second
+  // pass over the spread series is ever materialized. Levels are
+  // micro-log2 integers (qlog2 once), so the sums are exact on the
+  // day grid and both engines close with ONE shared IEEE sequence.
+  // Scale shape: dailyCloses' one volume-sized partial agg; the
+  // pair join and aggregate run on the volume-independent day grid
+  // (|types|·|days| rows), output |types|·(|types|−1)/2 rows.
+  private def q198(s: SparkSession, dir: String): DataFrame = {
+    val cl = dailyCloses(s, dir)
+    val a = cl.select(col("event_type").as("type_a"), col("day"), col("close_lv").as("y"))
+    val b = cl.select(col("event_type").as("type_b"), col("day"), col("close_lv").as("x"))
+    val agg = a.join(b, Seq("day"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        max_by(col("x"), col("day")).as("x_last"),
+        max_by(col("y"), col("day")).as("y_last"),
+        max(col("day")).as("last_day"))
+    def d(c: Column) = c.cast("double")
+    val n     = d(col("n_days"))
+    val denB  = n * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val beta  = (n * d(col("sxy")) - d(col("sx")) * d(col("sy"))) / denB
+    val denC  = sqrt(n * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+      sqrt(n * d(col("syy")) - d(col("sy")) * d(col("sy")))
+    val corr  = (n * d(col("sxy")) - d(col("sx")) * d(col("sy"))) / denC
+    val meanE = (d(col("sy")) - beta * d(col("sx"))) / n
+    val me2   = (d(col("syy")) - lit(2d) * beta * d(col("sxy")) +
+      beta * beta * d(col("sxx"))) / n
+    val sdE   = sqrt(greatest(lit(0d), me2 - meanE * meanE))
+    val eLast = d(col("y_last")) - beta * d(col("x_last"))
+    agg.select(col("type_a"), col("type_b"), col("n_days"), col("last_day"),
+      when(denB =!= 0, r4(beta)).as("beta"),
+      when(denC > 0, r4(corr)).as("corr_px"),
+      when(denB =!= 0, r4(sdE / lit(1e6))).as("spread_sd"),
+      when(denB =!= 0 && sdE > 0, r4((eLast - meanE) / sdE)).as("z_last"))
+  }
+
+  // q199 — RISK-ADJUSTED PERFORMANCE SUMMARY (Sharpe / Sortino /
+  // Calmar) per instrument: the portfolio-grade report card over the
+  // daily series — annualized return and volatility, Sharpe
+  // (mean/sd), Sortino (mean over DOWNSIDE deviation — half the
+  // formula, twice the information when returns are skewed, q175's
+  // point), max drawdown from the running close-level peak (the q109
+  // metric at daily grain), and Calmar (return per unit of worst
+  // pain). Everything stays in micro-log2 units end to end — ratios
+  // (Sharpe/Sortino/Calmar) are unit-free so the quantization scale
+  // cancels, and the unit columns are labeled _log2 — which keeps
+  // the whole query transcendental-free after the one shared qlog2
+  // (no pow/exp whose last-ulp rounding differs between libm
+  // implementations — the q81 fixed-point rule's corollary). Sums
+  // are exact integers on the day grid: r², downside r², and the
+  // running-peak drawdown (max of integer differences). ONE day-grid
+  // window pass (lag + running max share the (instrument, day)
+  // sort), ONE aggregate. Scale shape: dailyCloses' partial agg is
+  // the only volume-sized work; the day-grid window is
+  // volume-independent (the q176/q179 precedent).
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val base = dailyCloses(s, dir)
+      .withColumn("prev", lag(col("close_lv"), 1).over(wd))
+      .withColumn("peak", max(col("close_lv"))
+        .over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("dd_fp", col("peak") - col("close_lv"))
+      .withColumn("r_fp", col("close_lv") - col("prev"))
+    val agg = base.groupBy(col("event_type"))
+      .agg(count(col("r_fp")).as("n_days"),
+        sum(col("r_fp")).as("s1"),
+        sum(col("r_fp") * col("r_fp")).as("s2"),
+        sum(when(col("r_fp") < 0, col("r_fp") * col("r_fp")).otherwise(0L)).as("sn2"),
+        max(col("dd_fp")).as("mdd_fp"))
+    def d(c: Column) = c.cast("double")
+    val n    = d(col("n_days"))
+    val mean = d(col("s1")) / n
+    val sd   = sqrt(greatest(lit(0d), d(col("s2")) / n - mean * mean))
+    val ddv  = sqrt(d(col("sn2")) / n)
+    val ann  = sqrt(lit(252d))
+    agg.select(col("event_type"), col("n_days"),
+      r4(mean * lit(252d) / lit(1e6)).as("ann_ret_log2"),
+      r4(sd * ann / lit(1e6)).as("ann_vol_log2"),
+      when(sd > 0, r4(mean / sd * ann)).as("sharpe"),
+      when(ddv > 0, r4(mean / ddv * ann)).as("sortino"),
+      r4(d(col("mdd_fp")) / lit(1e6)).as("max_dd_log2"),
+      when(col("mdd_fp") > 0, r4(mean * lit(252d) / d(col("mdd_fp")))).as("calmar"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_pairs_spread" -> q198 _,
+    "q199_risk_adjusted" -> q199 _,
     "q192_lead_lag" -> q192 _,
     "q175_higher_moments" -> q175 _,
     "q176_return_acf" -> q176 _,
@@ -935,6 +1043,84 @@ object MarketQueries {
       |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q198_pairs_spread" ->
+      (dayRetCtes +
+        """, p AS (
+          |  SELECT a.event_type AS type_a, b.event_type AS type_b, a.day,
+          |    b.close_lv AS x, a.close_lv AS y
+          |  FROM c a JOIN c b USING (day)
+          |  WHERE a.event_type < b.event_type
+          |), g AS (
+          |  SELECT type_a, type_b, count(*)::BIGINT AS n_days,
+          |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy, sum(x*y)::BIGINT AS sxy,
+          |    sum(x*x)::BIGINT AS sxx, sum(y*y)::BIGINT AS syy,
+          |    arg_max(x, day)::BIGINT AS x_last, arg_max(y, day)::BIGINT AS y_last,
+          |    max(day) AS last_day
+          |  FROM p GROUP BY 1, 2
+          |), f AS (
+          |  SELECT *,
+          |    n_days::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS den_b,
+          |    (n_days::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+          |      / (n_days::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) AS beta_d,
+          |    sqrt(n_days::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+          |      * sqrt(n_days::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) AS den_c
+          |  FROM g
+          |), f2 AS (
+          |  SELECT *,
+          |    (sy::DOUBLE - beta_d * sx::DOUBLE) / n_days::DOUBLE AS mean_e,
+          |    sqrt(greatest(0.0,
+          |      (syy::DOUBLE - 2 * beta_d * sxy::DOUBLE + beta_d * beta_d * sxx::DOUBLE)
+          |        / n_days::DOUBLE
+          |      - ((sy::DOUBLE - beta_d * sx::DOUBLE) / n_days::DOUBLE)
+          |        * ((sy::DOUBLE - beta_d * sx::DOUBLE) / n_days::DOUBLE))) AS sd_e
+          |  FROM f
+          |)
+          |SELECT type_a, type_b, n_days, last_day,
+          |  CASE WHEN den_b <> 0 THEN floor(beta_d * 10000 + 0.5)/10000 END AS beta,
+          |  CASE WHEN den_c > 0 THEN
+          |    floor((n_days::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) / den_c
+          |      * 10000 + 0.5)/10000 END AS corr_px,
+          |  CASE WHEN den_b <> 0 THEN floor(sd_e / 1e6 * 10000 + 0.5)/10000 END AS spread_sd,
+          |  CASE WHEN den_b <> 0 AND sd_e > 0 THEN
+          |    floor((y_last::DOUBLE - beta_d * x_last::DOUBLE - mean_e) / sd_e
+          |      * 10000 + 0.5)/10000 END AS z_last
+          |FROM f2""".stripMargin),
+    "q199_risk_adjusted" ->
+      (dayRetCtes +
+        """, b AS (
+          |  SELECT event_type, day, close_lv,
+          |    lag(close_lv) OVER w AS prev,
+          |    max(close_lv) OVER (PARTITION BY event_type ORDER BY day
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+          |  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY day)
+          |), g AS (
+          |  SELECT event_type,
+          |    count(close_lv - prev)::BIGINT AS n_days,
+          |    sum(close_lv - prev)::BIGINT AS s1,
+          |    sum((close_lv - prev) * (close_lv - prev))::BIGINT AS s2,
+          |    sum(CASE WHEN close_lv - prev < 0
+          |      THEN (close_lv - prev) * (close_lv - prev) ELSE 0 END)::BIGINT AS sn2,
+          |    max(peak - close_lv)::BIGINT AS mdd_fp
+          |  FROM b GROUP BY 1
+          |), f AS (
+          |  SELECT event_type, n_days, mdd_fp,
+          |    s1::DOUBLE / n_days::DOUBLE AS mean_d,
+          |    sqrt(greatest(0.0, s2::DOUBLE / n_days::DOUBLE
+          |      - (s1::DOUBLE / n_days::DOUBLE) * (s1::DOUBLE / n_days::DOUBLE))) AS sd_d,
+          |    sqrt(sn2::DOUBLE / n_days::DOUBLE) AS ddv_d
+          |  FROM g
+          |)
+          |SELECT event_type, n_days,
+          |  floor(mean_d * 252 / 1e6 * 10000 + 0.5)/10000 AS ann_ret_log2,
+          |  floor(sd_d * sqrt(252.0) / 1e6 * 10000 + 0.5)/10000 AS ann_vol_log2,
+          |  CASE WHEN sd_d > 0 THEN
+          |    floor(mean_d / sd_d * sqrt(252.0) * 10000 + 0.5)/10000 END AS sharpe,
+          |  CASE WHEN ddv_d > 0 THEN
+          |    floor(mean_d / ddv_d * sqrt(252.0) * 10000 + 0.5)/10000 END AS sortino,
+          |  floor(mdd_fp::DOUBLE / 1e6 * 10000 + 0.5)/10000 AS max_dd_log2,
+          |  CASE WHEN mdd_fp > 0 THEN
+          |    floor(mean_d * 252 / mdd_fp::DOUBLE * 10000 + 0.5)/10000 END AS calmar
+          |FROM f""".stripMargin),
     "q192_lead_lag" ->
       (dayRetCtes +
         """, lead AS (

@@ -83,6 +83,62 @@ class AttributionSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Double]("shapley") >= 0.0))
   }
 
+  test("q200 Eulerian-circuit designed feed: perfect symmetry forces uniform PageRank") {
+    val t0 = java.sql.Timestamp.valueOf("2024-05-03 09:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // an Eulerian circuit of the complete 5-state digraph: every
+    // ordered pair appears as a transition EXACTLY once, so every
+    // row of the normalized matrix is 1/4 off-diagonal — the graph
+    // is vertex-transitive and the stationary vector must be exactly
+    // uniform (0.2 each, surviving the 1e-9 snap and the final r4).
+    val walk = Seq("a", "b", "a", "c", "a", "d", "a", "e", "b", "c", "b",
+      "d", "b", "e", "c", "d", "c", "e", "d", "e", "a")
+    val names = Map("a" -> "click", "b" -> "error", "c" -> "purchase",
+      "d" -> "signup", "e" -> "view")
+    val ev = walk.zipWithIndex.map { case (s0, i) => (1L, ts(i), (i + 1).toLong, names(s0)) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val cnts = graft.operators.Transitions.counts(ev).collect()
+    assert(cnts.length == 20 && cnts.forall(_.getAs[Long]("n_trans") == 1L),
+      "walk must cover every ordered pair exactly once")
+    val out = BehaviorQueries.pagerankNav(spark, ev).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      assert(r.getAs[Long]("out_trans") == 4L)
+      assert(r.getAs[Double]("pagerank") == 0.2, s"symmetry broken: $r")
+    }
+  }
+
+  test("q200 dangling states take the uniform patch; teleport mass conserves") {
+    val t0 = java.sql.Timestamp.valueOf("2024-05-03 09:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // only click <-> view transitions exist; purchase/error/signup are
+    // dangling (out_trans 0) and must still receive teleport mass,
+    // while the connected pair strictly out-ranks them.
+    val ev = Seq((1L, ts(0), 1L, "click"), (1L, ts(1), 2L, "view"),
+      (1L, ts(2), 3L, "click"), (1L, ts(3), 4L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = BehaviorQueries.pagerankNav(spark, ev).collect()
+      .map(r => r.getAs[String]("state") -> r).toMap
+    assert(out("purchase").getAs[Long]("out_trans") == 0L)
+    assert(out("click").getAs[Long]("out_trans") == 2L)
+    val pr = out.map { case (k, r) => k -> r.getAs[Double]("pagerank") }
+    assert(math.abs(pr.values.sum - 1.0) < 5e-4, s"mass: $pr")
+    assert(pr.values.forall(_ > 0), "every state keeps teleport mass")
+    assert(pr("click") > pr("purchase") && pr("view") > pr("signup"),
+      s"connected pair must out-rank dangling states: $pr")
+  }
+
+  test("q200 real feed: 5 states, positive ranks, mass conserves") {
+    val rows = SparkEntry.queries("q200_pagerank_nav")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.length == 5)
+    assert(math.abs(rows.map(_.getAs[Double]("pagerank")).sum - 1.0) < 5e-4)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("pagerank") > 0)
+      assert(r.getAs[Long]("out_trans") > 0)
+    }
+  }
+
   test("real feed invariants: shares sum to 1, effects in [0,1], p_conv in (0,1)") {
     val rows = SparkEntry.queries("q196_markov_attribution")(spark, "/root/testdata/sf0.01")
       .collect()

@@ -287,4 +287,83 @@ class MarketStatsSpec extends SparkSpec {
         s"spread inconsistent with member returns: $r")
     }
   }
+
+  test("q198: perfectly cointegrated designed pair is exact; real-feed pair grid + bounds") {
+    // AAA's log-price is exactly 2x BBB's (prices are powers of two,
+    // so the micro-log2 quantization is exact): the OLS hedge ratio
+    // is 2.0 by algebra, levels correlate perfectly, the residual
+    // spread is identically zero, and a zero-dispersion spread has
+    // no z-score (the sd > 0 guard).
+    val dir = java.nio.file.Files.createTempDirectory("graft_q198").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val rows = (1 to 4).flatMap { d =>
+      val ts = new java.sql.Timestamp(t0.getTime + d * 86400000L)
+      Seq((d * 10L, ts, 1L, "AAA", math.pow(2d, 2d * d), """{"k": 5}"""),
+        (d * 10L + 1, ts, 1L, "BBB", math.pow(2d, d.toDouble), """{"k": 5}"""))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q198_pairs_spread")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("type_a") == "AAA" && r.getAs[String]("type_b") == "BBB")
+    assert(r.getAs[Long]("n_days") == 4L)
+    assert(r.getAs[Double]("beta") == 2.0, s"hedge ratio: $r")
+    assert(r.getAs[Double]("corr_px") == 1.0, s"level corr: $r")
+    assert(r.getAs[Double]("spread_sd") == 0.0, s"residual spread: $r")
+    assert(r.isNullAt(r.fieldIndex("z_last")), "zero-dispersion spread has no z-score")
+    // real feed: the full C(5,2) pair grid, canonical pair order, bounds
+    val real = q("q198_pairs_spread").collect()
+    assert(real.length == 10, "C(5,2) unordered pairs")
+    real.foreach { rr =>
+      assert(rr.getAs[String]("type_a") < rr.getAs[String]("type_b"))
+      assert(math.abs(rr.getAs[Double]("corr_px")) <= 1.0001)
+      assert(rr.getAs[Double]("spread_sd") >= 0)
+      assert(rr.getAs[Long]("n_days") >= 1 && rr.getAs[Long]("n_days") <= 31)
+    }
+  }
+
+  test("q199: alternating and monotone designed feeds pin every ratio + guard; real-feed bounds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q199").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    // XXX alternates 2^10 <-> 2^11 (returns ±1e6, mean 0): Sharpe,
+    // Sortino, annualized return and Calmar are all exactly 0; the
+    // running peak (2^11 from day 2) puts max drawdown at exactly
+    // 1.0 in log2; ann vol = 1e6·sqrt(252)/1e6 = sqrt(252).
+    // YYY rises 2^1..2^5 (constant +1e6 returns): zero variance,
+    // zero downside, zero drawdown -> Sharpe/Sortino/Calmar are all
+    // NULL by guard and the annualized log2 return is exactly 252.
+    val xs = Seq(10, 11, 10, 11, 10).zipWithIndex.map { case (e, d) =>
+      (d * 10L, new java.sql.Timestamp(t0.getTime + d * 86400000L), 1L, "XXX",
+        math.pow(2d, e.toDouble), """{"k": 5}""")
+    }
+    val ys = (1 to 5).map { d =>
+      (d * 10L + 1, new java.sql.Timestamp(t0.getTime + d * 86400000L), 1L, "YYY",
+        math.pow(2d, d.toDouble), """{"k": 5}""")
+    }
+    (xs ++ ys).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q199_risk_adjusted")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val x = out("XXX")
+    assert(x.getAs[Long]("n_days") == 4L)
+    assert(x.getAs[Double]("ann_ret_log2") == 0.0 && x.getAs[Double]("sharpe") == 0.0 &&
+      x.getAs[Double]("sortino") == 0.0 && x.getAs[Double]("calmar") == 0.0, s"XXX: $x")
+    assert(x.getAs[Double]("max_dd_log2") == 1.0, s"XXX drawdown: $x")
+    assert(x.getAs[Double]("ann_vol_log2") ==
+      math.floor(math.sqrt(252d) * 10000 + 0.5) / 10000, s"XXX vol: $x")
+    val y = out("YYY")
+    assert(y.getAs[Double]("ann_ret_log2") == 252.0, s"YYY ret: $y")
+    assert(y.getAs[Double]("ann_vol_log2") == 0.0 && y.getAs[Double]("max_dd_log2") == 0.0)
+    assert(y.isNullAt(y.fieldIndex("sharpe")) && y.isNullAt(y.fieldIndex("sortino")) &&
+      y.isNullAt(y.fieldIndex("calmar")), "zero-dispersion guards must yield NULL")
+    // real feed: one row per instrument, non-negative dispersion metrics
+    val real = q("q199_risk_adjusted").collect()
+    assert(real.length == 5)
+    real.foreach { r =>
+      assert(r.getAs[Double]("ann_vol_log2") >= 0)
+      assert(r.getAs[Double]("max_dd_log2") >= 0)
+      assert(r.getAs[Long]("n_days") >= 1)
+    }
+  }
 }
