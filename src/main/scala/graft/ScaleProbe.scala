@@ -362,6 +362,9 @@ object ScaleProbe {
     time("q114_split_decontam") { q("q114_split_decontam") }
     // declared as q194 since round 10; label keeps the historical name
     time("q114_decontam_hashed=q194") { q("q194_decontam_hashed") }
+    time("q198_pairs_spread") { q("q198_pairs_spread") }
+    time("q199_risk_adjusted") { q("q199_risk_adjusted") }
+    time("q200_pagerank_nav") { q("q200_pagerank_nav") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {
