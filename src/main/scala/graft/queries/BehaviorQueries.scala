@@ -411,11 +411,22 @@ object BehaviorQueries {
 
   private[graft] def pagerankNav(
       s: SparkSession, events: DataFrame,
+      states: Vector[String] = NavStates): DataFrame =
+    pagerankFromCounts(s,
+      graft.operators.Transitions.counts(events, chunked = true).collect()
+        .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+          r.getAs[Long]("n_trans")).toMap,
+      states)
+
+  /** q200's closing over an already-aggregated transition-count
+    * matrix — shared verbatim with the streaming serve
+    * (StreamPipeline.pagerankServe reads the leg-9 maintained counts
+    * store into exactly this function), so stream ≡ batch is
+    * structural once the maintained counts equal q185's. */
+  private[graft] def pagerankFromCounts(
+      s: SparkSession, cnt: Map[(String, String), Long],
       states: Vector[String] = NavStates): DataFrame = {
     val n = states.size
-    val cnt = graft.operators.Transitions.counts(events, chunked = true)
-      .collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_trans")).toMap
     val outTot = states.map(f => states.map(t => cnt.getOrElse((f, t), 0L)).sum)
     // p(fi)(ti) = P(fi → ti); dangling rows redistribute uniformly
     val p = Array.tabulate(n, n) { (fi, ti) =>

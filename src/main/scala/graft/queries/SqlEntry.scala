@@ -221,6 +221,60 @@ object SqlEntry {
         |FROM pairs p
         |JOIN singles sa ON p.type_a = sa.event_type
         |JOIN singles sb ON p.type_b = sb.event_type""".stripMargin,
+    // q199 — the risk-adjusted performance summary through SQL text:
+    // the exact typed construction (micro-log2 closes, one day-grid
+    // window pass with lag + running peak, exact integer sums, the
+    // shared IEEE closing with D-suffixed literals) so the notebook
+    // user's Sharpe agrees with the library's bitwise
+    "q199_risk_adjusted" ->
+      """WITH base AS (
+        |  SELECT event_type, to_date(ts) AS day,
+        |    cast(floor(log2(value) * 1e6 + 0.5D) AS bigint) AS lv,
+        |    ts, event_id
+        |  FROM events WHERE value > 0
+        |), rn AS (
+        |  SELECT event_type, day, lv,
+        |    row_number() OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS rn
+        |  FROM base
+        |), c AS (
+        |  SELECT event_type, day, max_by(lv, rn) AS close_lv
+        |  FROM rn GROUP BY event_type, day
+        |), w AS (
+        |  SELECT event_type, day, close_lv,
+        |    lag(close_lv) OVER (PARTITION BY event_type ORDER BY day) AS prev,
+        |    max(close_lv) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM c
+        |), g AS (
+        |  SELECT event_type,
+        |    count(close_lv - prev) AS n_days,
+        |    sum(close_lv - prev) AS s1,
+        |    sum((close_lv - prev) * (close_lv - prev)) AS s2,
+        |    sum(CASE WHEN close_lv - prev < 0
+        |      THEN (close_lv - prev) * (close_lv - prev) ELSE 0L END) AS sn2,
+        |    max(peak - close_lv) AS mdd_fp
+        |  FROM w GROUP BY event_type
+        |), f AS (
+        |  SELECT event_type, n_days, mdd_fp,
+        |    cast(s1 AS double) / cast(n_days AS double) AS mean_d,
+        |    sqrt(greatest(0D, cast(s2 AS double) / cast(n_days AS double)
+        |      - (cast(s1 AS double) / cast(n_days AS double))
+        |        * (cast(s1 AS double) / cast(n_days AS double)))) AS sd_d,
+        |    sqrt(cast(sn2 AS double) / cast(n_days AS double)) AS ddv_d
+        |  FROM g
+        |)
+        |SELECT event_type, n_days,
+        |  floor(mean_d * 252.0D / 1e6 * 10000.0D + 0.5D) / 10000.0D AS ann_ret_log2,
+        |  floor(sd_d * sqrt(252.0D) / 1e6 * 10000.0D + 0.5D) / 10000.0D AS ann_vol_log2,
+        |  CASE WHEN sd_d > 0 THEN
+        |    floor(mean_d / sd_d * sqrt(252.0D) * 10000.0D + 0.5D) / 10000.0D END AS sharpe,
+        |  CASE WHEN ddv_d > 0 THEN
+        |    floor(mean_d / ddv_d * sqrt(252.0D) * 10000.0D + 0.5D) / 10000.0D END AS sortino,
+        |  floor(cast(mdd_fp AS double) / 1e6 * 10000.0D + 0.5D) / 10000.0D AS max_dd_log2,
+        |  CASE WHEN mdd_fp > 0 THEN
+        |    floor(mean_d * 252.0D / cast(mdd_fp AS double) * 10000.0D + 0.5D) / 10000.0D
+        |  END AS calmar
+        |FROM f""".stripMargin,
     "q96_inverted_index" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -1223,6 +1223,21 @@ object StreamPipeline {
     Markov.attributionDf(spark, Markov.collectEdges(all))
   }
 
+  /** Serve q200's PageRank navigation centrality from the
+    * [[transitionMaintain]] counts store: the store IS the q185
+    * matrix (StreamingSpec pins streamed counts ≡ declared q185
+    * exactly), and the closing — row normalization, dangling patch,
+    * 40 snapped power iterations — is the SAME
+    * `BehaviorQueries.pagerankFromCounts` the declared query calls,
+    * so serve ≡ batch q200 is structural. Volume-independent: the
+    * store is ≤ |types|² rows at any feed size. */
+  def pagerankServe(spark: SparkSession, countsPath: String): org.apache.spark.sql.DataFrame = {
+    val cnt = spark.read.parquet(countsPath).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        r.getAs[Long]("n_trans")).toMap
+    graft.queries.BehaviorQueries.pagerankFromCounts(spark, cnt)
+  }
+
   /** STREAMING RFM MAINTENANCE: live customer-value segmentation —
     * q189's per-user state (last active day, event count, exact
     * decimal monetary sum) is order-insensitively mergeable

@@ -823,6 +823,15 @@ class StreamingSpec extends SparkSpec {
           .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
             r.getAs[Long]("n_trans")).toMap
         assert(got == want, "streamed matrix must equal the declared q185 counts")
+        // ...and the PageRank serve over the maintained store must be
+        // bitwise the declared q200 (shared pagerankFromCounts closing)
+        def prMap(rows: Array[org.apache.spark.sql.Row]) = rows
+          .map(r => r.getAs[String]("state") ->
+            (r.getAs[Long]("out_trans"), r.getAs[Double]("pagerank"))).toMap
+        val served = prMap(StreamPipeline.pagerankServe(spark, s"$dir2/counts").collect())
+        val declared = prMap(SparkEntry.queries("q200_pagerank_nav")(spark, sf()).collect())
+        assert(served == declared,
+          s"PageRank served from the maintained store diverges: $served vs $declared")
       } finally q2.stop()
     } finally q.stop()
   }
