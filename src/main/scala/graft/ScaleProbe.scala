@@ -365,6 +365,8 @@ object ScaleProbe {
     time("q198_pairs_spread") { q("q198_pairs_spread") }
     time("q199_risk_adjusted") { q("q199_risk_adjusted") }
     time("q200_pagerank_nav") { q("q200_pagerank_nav") }
+    time("q201_content_split") { q("q201_content_split") }
+    time("q202_budget_select") { q("q202_budget_select") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

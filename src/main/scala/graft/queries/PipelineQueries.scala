@@ -488,7 +488,70 @@ object PipelineQueries {
         count(lit(1)).as("n_rows"))
   }
 
+  // q201 — CONTENT-HASH SPLIT (dedup-safe train/val/test): split
+  // assignment hashes the CANONICAL CONTENT fingerprint (q20/q27's
+  // whitespace-normalized md5), not the doc id — so byte-identical
+  // copies of a document can NEVER straddle train and test (the
+  // classic eval-leakage bug an id-hash split like q33 commits
+  // whenever the corpus carries duplicates; `moved_docs` counts how
+  // many docs the id split would have placed differently). The 60-bit
+  // hex prefix rides as a BIGINT through q193's overflow-safe
+  // squared-affine mixer (every intermediate < 2^63 — a raw
+  // Knuth-multiply of a 60-bit key would overflow, and DuckDB BIGINT
+  // overflow is an ERROR, not a wrap). Scale shape: one map pass +
+  // one (split, fp)-keyed partial-agg shuffle of 8-byte keys (the
+  // q163 hashed-key exchange rule); output is 3 rows at any volume.
+  private def q201(s: SparkSession, dir: String): DataFrame = {
+    val P = lit(2147483647L)
+    val d0 = docs(s, dir)
+      .withColumn("fpn",
+        conv(substring(TextAnalysis.fingerprint(col("text")), 1, 15), 16, 10).cast("long"))
+    val m = col("fpn") % P
+    val hb = ((m * m % P * lit(1299721L) + m * lit(7L) + lit(1L)) % P) % 100
+    val ib = ((col("doc_id") * lit(2654435761L)) % lit(4294967296L)) % 100
+    d0.withColumn("split",
+        when(hb < 80, "train").when(hb < 90, "val").otherwise("test"))
+      .withColumn("id_split",
+        when(ib < 80, "train").when(ib < 90, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fpn")).as("n_contents"),
+        sum(col("n_chars").cast("long")).as("sum_chars"),
+        sum(when(col("id_split") =!= col("split"), 1L).otherwise(0L)).as("moved_docs"))
+  }
+
+  // q202 — TOKEN-BUDGET SELECTION: the highest-quality corpus that
+  // fits a fixed token budget — docs ranked by the shared q24/q161
+  // quality score (quality_fp desc, doc_id tiebreak), kept while the
+  // running token total stays within B = 10,000 (whole docs only; a
+  // boundary doc that would cross the budget is dropped, not split).
+  // The running total is a CORPUS-WIDE prefix sum, and it evaluates
+  // through ChunkedFrame.withRunningSum on quality-bucket chunks — a
+  // bare ORDER BY over the whole corpus would sort 100 TB in one
+  // task (the q109/q178 global-order ceiling); the two-level form
+  // keeps parallelism ∝ volume/bucket. Scale shape: the volume-sized
+  // work is the scoring scan + the chunked prefix sum; the OUTPUT is
+  // bounded by budget/min_tokens rows — volume-independent by
+  // construction (a bigger corpus selects better docs, not more).
+  private def q202(s: SparkSession, dir: String): DataFrame = {
+    val d0 = docs(s, dir).select(
+        col("doc_id"), col("source"),
+        graft.operators.QualityGate.scoreFp(col("text")).as("quality_fp"),
+        size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("quality_fp").isNotNull)
+      .withColumn("negq", -col("quality_fp"))
+      .withColumn("corpus", lit(1))
+    val run = graft.operators.ChunkedFrame.withRunningSum(
+      d0, keyCol = "corpus", chunk = expr("negq DIV 1000000"),
+      orderCols = Seq("negq", "doc_id"), valCol = "n_tokens", outCol = "cum_tokens")
+    run.filter(col("cum_tokens") <= 10000L)
+      .select(col("doc_id"), col("source"), col("quality_fp"),
+        col("n_tokens"), col("cum_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_content_split" -> q201 _,
+    "q202_budget_select" -> q202 _,
     "q136_mad_outliers" -> q136 _,
     "q122_drift_gate" -> q122 _,
     "q119_quality_checks" -> q119 _,
@@ -510,6 +573,51 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q201_content_split" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS fpn
+        |  FROM documents
+        |), s AS (
+        |  SELECT *,
+        |    ((fpn % 2147483647) * (fpn % 2147483647) % 2147483647 * 1299721
+        |      + (fpn % 2147483647) * 7 + 1) % 2147483647 % 100 AS hb,
+        |    ((doc_id * 2654435761) % 4294967296) % 100 AS ib
+        |  FROM d
+        |), t AS (
+        |  SELECT fpn, n_chars,
+        |    CASE WHEN hb < 80 THEN 'train' WHEN hb < 90 THEN 'val' ELSE 'test' END AS split,
+        |    CASE WHEN ib < 80 THEN 'train' WHEN ib < 90 THEN 'val' ELSE 'test' END AS id_split
+        |  FROM s
+        |)
+        |SELECT split, count(*)::BIGINT AS n_docs,
+        |  count(DISTINCT fpn)::BIGINT AS n_contents,
+        |  sum(n_chars)::BIGINT AS sum_chars,
+        |  sum(CASE WHEN id_split <> split THEN 1 ELSE 0 END)::BIGINT AS moved_docs
+        |FROM t GROUP BY 1""".stripMargin,
+    "q202_budget_select" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+        |    regexp_extract_all(text, '[.,;:!?''"()\[\]{}]') AS punct,
+        |    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    ln(1 + len(toks)) * (1 - len(punct)::DOUBLE / nullif(length(text), 0))
+        |      * (1 - len(list_filter(toks, x -> list_contains(['the','a','an','of','to','and','in','is','for','on','with','that','as','at','by'], x)))::DOUBLE
+        |          / nullif(len(toks), 0)) AS q
+        |  FROM t
+        |), f AS (
+        |  SELECT doc_id, source, n_tokens, floor(q * 1e6 + 0.5)::BIGINT AS quality_fp
+        |  FROM m WHERE q IS NOT NULL
+        |), r AS (
+        |  SELECT *, (sum(n_tokens) OVER (ORDER BY quality_fp DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens
+        |  FROM f
+        |)
+        |SELECT doc_id, source, quality_fp, n_tokens, cum_tokens
+        |FROM r WHERE cum_tokens <= 10000""".stripMargin,
     "q136_mad_outliers" ->
       """WITH e AS (
         |  SELECT event_id, event_type, value::DECIMAL(18,4) AS vd FROM events

@@ -303,6 +303,67 @@ class CorpusOpsSpec extends SparkSpec {
     assert(pins(2L) == 1.0, "globally unique doc must have novelty 1")
   }
 
+  test("q201: identical contents never straddle splits; whitespace noise folds in") {
+    // 10 distinct contents x 3 copies with scattered ids; the third
+    // copy carries whitespace noise the canonical fingerprint folds
+    // into the same content key
+    val dir = Files.createTempDirectory("graft_q201").toString
+    val rows = (0 until 10).flatMap { c =>
+      val body = (1 to 12).map(i => s"c${c}tok$i").mkString(" ")
+      Seq((c * 101L, body), (c * 101L + 37L, body),
+        (c * 101L + 73L, body.replace(" ", "  ")))
+    }.map { case (id, t) => (id, t, t.length.toLong) }
+    rows.toDF("doc_id", "text", "n_chars").write.parquet(s"$dir/documents.parquet")
+    val out = q("q201_content_split", dir).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == 30L)
+    // THE leakage pin: if any content straddled two splits it would be
+    // counted distinct in both and this sum would exceed 10
+    assert(out.map(_.getAs[Long]("n_contents")).sum == 10L,
+      "a content fingerprint straddled two splits")
+    // the id-hash split disagrees for some copies (fixed inputs ->
+    // deterministic): that disagreement IS the leakage q33-style
+    // id splits commit on duplicated corpora
+    assert(out.map(_.getAs[Long]("moved_docs")).sum > 0L,
+      "designed corpus should show id-split/content-split divergence")
+    // real corpus: every doc lands somewhere, content counts bounded
+    val real = q("q201_content_split").collect()
+    assert(real.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    real.foreach(r => assert(r.getAs[Long]("n_contents") <= r.getAs[Long]("n_docs")))
+  }
+
+  test("q202: independent greedy replay on a designed corpus; budget honored with whole docs") {
+    val dir = Files.createTempDirectory("graft_q202").toString
+    // 40 docs with strictly decreasing token counts 990, 980, ... of
+    // globally unique words: quality = ln(1+n) is strictly increasing
+    // in n, so the selection order IS the token-count order; the
+    // greedy keeps docs 1..10 (cum 9450) and must DROP doc 11 whole
+    // (10340 > 10000), not split it
+    val rows = (1 to 40).map { i =>
+      val n = 1000 - 10 * i
+      (i.toLong, (1 to n).map(j => s"d${i}w$j").mkString(" "), "s")
+    }
+    rows.toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    val got = q("q202_budget_select", dir)
+      .select($"doc_id", $"cum_tokens").as[(Long, Long)].collect().toMap
+    var cum = 0L
+    val want = scala.collection.mutable.Map[Long, Long]()
+    for (i <- 1 to 40) {
+      cum += (1000 - 10 * i).toLong
+      if (cum <= 10000L) want(i.toLong) = cum
+    }
+    assert(got == want.toMap, s"selection diverged: got ${got.toSeq.sorted}")
+    assert(!got.contains(11L), "the boundary doc must be dropped whole")
+    // real corpus: budget never exceeded; the running total is exactly
+    // the sum of kept token counts (prefix-sum consistency)
+    val out = q("q202_budget_select").cache()
+    assert(out.count() > 0)
+    assert(out.filter($"cum_tokens" > 10000L).isEmpty)
+    val sumKept = out.agg(sum($"n_tokens")).as[Long].head()
+    val maxCum = out.agg(max($"cum_tokens")).as[Long].head()
+    assert(sumKept == maxCum, s"prefix-sum inconsistency: $sumKept vs $maxCum")
+    out.unpersist()
+  }
+
   test("q186: designed rank-1 corpus recovers the known axis exactly; real-data eigen invariants") {
     // two vectors along (0.6, 0.8, 0, ...): centered projections are
     // +-1, so the top component is exactly (0.6, 0.8, 0...) with
