@@ -629,20 +629,17 @@ object MarketQueries {
 
   /** Deterministic daily close in micro-log2 units per (instrument,
     * day) — the q159/q170 construction's first half, shared by the
-    * day-grid statistics and the level-series queries (q198/q199):
-    * one span-bounded (instrument, day) window for the deterministic
-    * close, one partial-agg shuffle to the volume-independent day
-    * grid. The ONLY volume-sized work in every consumer. */
-  private def dailyCloses(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"), col("day")).orderBy(col("ts"), col("event_id"))
-    ev(s, dir)
-      .filter(col("value") > 0)
-      .withColumn("day", to_date(col("ts")))
-      .withColumn("lv", qlog2(col("value")))
-      .withColumn("rn", row_number().over(w))
-      .groupBy(col("event_type"), col("day"))
-      .agg(max_by(col("lv"), col("rn")).as("close_lv"))
-  }
+    * day-grid statistics and the level-series queries (q198/q199).
+    * Routed through operators.DailyCloses (round 10): the close is an
+    * arg-max over the (ts, event_id) tick order, so ONE max_by
+    * partial aggregation replaces the old row_number window — a full
+    * exchange+sort removed from EVERY day-grid consumer (same winning
+    * row, so every oracle's arg_max(lv, rn) replay is unchanged) —
+    * and the same state merges order-insensitively for the streaming
+    * serves (closesMaintain). The ONLY volume-sized work in every
+    * consumer. */
+  private def dailyCloses(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DailyCloses.closes(graft.operators.DailyCloses.state(ev(s, dir)))
 
   /** Daily close-to-close micro-log2 returns per instrument — the
     * q159/q170 construction, shared by the day-grid statistics
@@ -910,8 +907,13 @@ object MarketQueries {
   // Scale shape: dailyCloses' one volume-sized partial agg; the
   // pair join and aggregate run on the volume-independent day grid
   // (|types|·|days| rows), output |types|·(|types|−1)/2 rows.
-  private def q198(s: SparkSession, dir: String): DataFrame = {
-    val cl = dailyCloses(s, dir)
+  private def q198(s: SparkSession, dir: String): DataFrame =
+    pairsFromCloses(dailyCloses(s, dir))
+
+  /** q198's closing over any (event_type, day, close_lv) day grid —
+    * ONE code path with the streaming serve
+    * (StreamPipeline.pairsServe over the closes store). */
+  private[graft] def pairsFromCloses(cl: DataFrame): DataFrame = {
     val a = cl.select(col("event_type").as("type_a"), col("day"), col("close_lv").as("y"))
     val b = cl.select(col("event_type").as("type_b"), col("day"), col("close_lv").as("x"))
     val agg = a.join(b, Seq("day"))
@@ -963,9 +965,15 @@ object MarketQueries {
   // sort), ONE aggregate. Scale shape: dailyCloses' partial agg is
   // the only volume-sized work; the day-grid window is
   // volume-independent (the q176/q179 precedent).
-  private def q199(s: SparkSession, dir: String): DataFrame = {
+  private def q199(s: SparkSession, dir: String): DataFrame =
+    riskFromCloses(dailyCloses(s, dir))
+
+  /** q199's closing over any (event_type, day, close_lv) day grid —
+    * ONE code path with the streaming serve
+    * (StreamPipeline.riskServe over the closes store). */
+  private[graft] def riskFromCloses(cl: DataFrame): DataFrame = {
     val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
-    val base = dailyCloses(s, dir)
+    val base = cl
       .withColumn("prev", lag(col("close_lv"), 1).over(wd))
       .withColumn("peak", max(col("close_lv"))
         .over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -1223,6 +1223,65 @@ object StreamPipeline {
     Markov.attributionDf(spark, Markov.collectEdges(all))
   }
 
+  /** STREAMING DAILY-CLOSES MAINTENANCE: the live day grid under the
+    * market risk/pairs analytics. State is ONE row per (instrument,
+    * day) — the winning tick's (ts, event_id) and micro-log2 level —
+    * and the reduction (later tick wins) is associative, commutative
+    * and idempotent, so the store converges to the batch grid under
+    * ANY arrival order: late ticks, shuffled splits, replays
+    * (operators.DailyCloses; the q184/q189 order-insensitivity
+    * class — no arrival contract AT ALL). Serving closes the shared
+    * day-grid formulas over the store: [[riskServe]] = q199's
+    * Sharpe/Sortino/Calmar via MarketQueries.riskFromCloses,
+    * [[pairsServe]] = q198's pairs screen via pairsFromCloses — the
+    * live risk panel and stat-arb monitor, each a ≤ |instruments|·
+    * |days| computation at any feed volume. Idempotence/crash
+    * safety: the rfmBatch marker + heal contract. */
+  def closesMaintain(ticksStream: DataFrame, storePath: String, checkpoint: String,
+                     trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    ticksStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        closesBatch(batch, storePath, batchId)
+      }
+      .start()
+
+  /** One [[closesMaintain]] micro-batch. */
+  private[graft] def closesBatch(batch: DataFrame, storePath: String, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    graft.batch.AtomicSwap.heal(hconf, storePath)
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).exists(hp)
+    }
+    if (exists(s"$storePath/_graft_batch_$batchId")) return
+    val bState = graft.operators.DailyCloses.state(batch)
+    val merged =
+      if (exists(storePath))
+        graft.operators.DailyCloses.merge(spark.read.parquet(storePath), bState)
+      else bState
+    merged.coalesce(1).write.mode("overwrite").parquet(storePath + ".tmp")
+    val marker = new org.apache.hadoop.fs.Path(s"$storePath.tmp/_graft_batch_$batchId")
+    marker.getFileSystem(hconf).create(marker, true).close()
+    graft.batch.AtomicSwap.swapInto(hconf, storePath + ".tmp", storePath)
+  }
+
+  /** Serve q199's risk-adjusted summary from the closes store —
+    * the SAME riskFromCloses closing the declared query calls. */
+  def riskServe(spark: SparkSession, storePath: String): org.apache.spark.sql.DataFrame =
+    graft.queries.MarketQueries.riskFromCloses(
+      graft.operators.DailyCloses.closes(spark.read.parquet(storePath)))
+
+  /** Serve q198's pairs-trading screen from the closes store —
+    * the SAME pairsFromCloses closing the declared query calls. */
+  def pairsServe(spark: SparkSession, storePath: String): org.apache.spark.sql.DataFrame =
+    graft.queries.MarketQueries.pairsFromCloses(
+      graft.operators.DailyCloses.closes(spark.read.parquet(storePath)))
+
   /** Serve q200's PageRank navigation centrality from the
     * [[transitionMaintain]] counts store: the store IS the q185
     * matrix (StreamingSpec pins streamed counts ≡ declared q185

@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamPipeline
+
+/** closesMaintain: the maintained (instrument, day) close grid must
+  * serve BOTH q199's risk summary and q198's pairs screen
+  * BIT-IDENTICAL to a batch rebuild. The state reduction (later tick
+  * wins, keyed by (ts, event_id)) is associative/commutative/
+  * idempotent, so a hash-SHUFFLED split — no arrival order contract
+  * at all — must converge too, and a replayed batch is a no-op twice
+  * over (marker + idempotent max). */
+class ClosesStreamSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+
+  test("3-way interleaved split: riskServe == declared q199, pairsServe == declared q198") {
+    val ev = graft.core.Tables.events(spark, dir)
+    val p = Files.createTempDirectory("graft_cl3").toString + "/st"
+    (0 until 3).foreach { r =>
+      StreamPipeline.closesBatch(ev.filter(col("event_id") % 3 === r), p, r.toLong)
+    }
+    assert(rows(StreamPipeline.riskServe(spark, p)) ==
+      rows(SparkEntry.queries("q199_risk_adjusted")(spark, dir)),
+      "served risk summary must equal declared q199 bitwise")
+    assert(rows(StreamPipeline.pairsServe(spark, p)) ==
+      rows(SparkEntry.queries("q198_pairs_spread")(spark, dir)),
+      "served pairs screen must equal declared q198 bitwise")
+  }
+
+  test("5-way hash-shuffled split converges identically; replay is a no-op") {
+    val ev = graft.core.Tables.events(spark, dir)
+    val p = Files.createTempDirectory("graft_cl5").toString + "/st"
+    (0 until 5).foreach { r =>
+      StreamPipeline.closesBatch(
+        ev.filter(pmod(xxhash64(col("event_id")), lit(5)) === r), p, r.toLong)
+    }
+    assert(rows(StreamPipeline.riskServe(spark, p)) ==
+      rows(SparkEntry.queries("q199_risk_adjusted")(spark, dir)),
+      "shuffled split must converge to the same grid (no arrival contract)")
+    val before = spark.read.parquet(p).collect().toSet
+    StreamPipeline.closesBatch(
+      ev.filter(pmod(xxhash64(col("event_id")), lit(5)) === 4), p, 4L)
+    assert(spark.read.parquet(p).collect().toSet == before, "marker replay must be a no-op")
+    // ...and even WITHOUT the marker the merge is idempotent: replay
+    // batch 2's data under a fresh id — the max reduction absorbs it
+    StreamPipeline.closesBatch(
+      ev.filter(pmod(xxhash64(col("event_id")), lit(5)) === 2), p, 99L)
+    assert(spark.read.parquet(p).collect().toSet == before,
+      "idempotent max must absorb a duplicate delivery under a new batch id")
+  }
+
+  test("store is one row per (instrument, day) and matches the batch state") {
+    val ev = graft.core.Tables.events(spark, dir)
+    val p = Files.createTempDirectory("graft_cl1").toString + "/st"
+    StreamPipeline.closesBatch(ev, p, 0L)
+    val store = spark.read.parquet(p)
+    assert(store.groupBy(col("event_type"), col("day")).count()
+      .filter(col("count") > 1).isEmpty, "one row per (instrument, day)")
+    assert(rows(store) == rows(graft.operators.DailyCloses.state(ev)),
+      "single-batch store must equal the batch state exactly")
+  }
+}
