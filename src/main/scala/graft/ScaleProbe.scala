@@ -367,6 +367,7 @@ object ScaleProbe {
     time("q200_pagerank_nav") { q("q200_pagerank_nav") }
     time("q201_content_split") { q("q201_content_split") }
     time("q202_budget_select") { q("q202_budget_select") }
+    time("q203_ewma_backtest") { q("q203_ewma_backtest") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

@@ -1000,7 +1000,50 @@ object MarketQueries {
       when(col("mdd_fp") > 0, r4(mean * lit(252d) / d(col("mdd_fp")))).as("calmar"))
   }
 
+  // q203 — EWMA FORECAST BACKTEST: one-step-ahead forecast quality of
+  // the q82 exponential smoother (α = 0.2) on the daily close series —
+  // forecast for day t is the EWMA through day t−1, scored as MAE and
+  // RMSE against the realized close, next to the NAIVE random-walk
+  // baseline (forecast = previous close, the bar every market
+  // forecaster must beat; skill = mae_ewma/mae_naive, < 1 means the
+  // smoother helps). The recursion and both error folds run over
+  // per-instrument day-grid ARRAYS (the q82 collect shape — ~|days|
+  // elements, volume-independent after dailyCloses' one partial agg);
+  // every fold is a SEQUENTIAL left fold in array order on both
+  // engines (Spark `aggregate`, DuckDB list_reduce with a prepended
+  // 0.0 seed), so sums agree bitwise before r4 — list_sum would not
+  // (unspecified summation order, the q108 frame-evaluation lesson).
+  private def q203(s: SparkSession, dir: String): DataFrame = {
+    val base = dailyCloses(s, dir)
+      .select(col("event_type"), struct(col("day"), col("close_lv")).as("p"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+      .withColumn("xs", expr("transform(ps, p -> CAST(p.close_lv AS DOUBLE))"))
+      .withColumn("ys", graft.functions.Ewma.column(col("xs"), 0.2))
+      // k = 1..n-1 (0-based array reads): e_k = x[k] − forecast y[k−1].
+      // The size(xs) > 1 guard matters: Spark's sequence(1, 0) DESCENDS
+      // ([1, 0]) instead of being empty, so a one-day instrument would
+      // fabricate two out-of-bounds error rows without it.
+      .withColumn("es", expr("IF(size(xs) > 1, " +
+        "transform(sequence(1, size(xs) - 1), k -> xs[k] - ys[k - 1]), " +
+        "CAST(array() AS array<double>))"))
+      .withColumn("en", expr("IF(size(xs) > 1, " +
+        "transform(sequence(1, size(xs) - 1), k -> xs[k] - xs[k - 1]), " +
+        "CAST(array() AS array<double>))"))
+      .withColumn("sae", expr("aggregate(es, CAST(0.0 AS DOUBLE), (a, e) -> a + abs(e))"))
+      .withColumn("sse", expr("aggregate(es, CAST(0.0 AS DOUBLE), (a, e) -> a + e * e)"))
+      .withColumn("san", expr("aggregate(en, CAST(0.0 AS DOUBLE), (a, e) -> a + abs(e))"))
+    val nf = (size(col("xs")) - 1).cast("long")
+    val n = nf.cast("double")
+    base.select(col("event_type"), nf.as("n_fc"),
+      when(nf > 0, r4(col("sae") / n / lit(1e6))).as("mae_ewma"),
+      when(nf > 0, r4(sqrt(col("sse") / n) / lit(1e6))).as("rmse_ewma"),
+      when(nf > 0, r4(col("san") / n / lit(1e6))).as("mae_naive"),
+      when(col("san") > 0, r4(col("sae") / col("san"))).as("skill"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_ewma_backtest" -> q203 _,
     "q198_pairs_spread" -> q198 _,
     "q199_risk_adjusted" -> q199 _,
     "q192_lead_lag" -> q192 _,
@@ -1051,6 +1094,38 @@ object MarketQueries {
       |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q203_ewma_backtest" ->
+      (dayRetCtes +
+        """, s AS (
+          |  SELECT event_type, list(close_lv::DOUBLE ORDER BY day) AS xs
+          |  FROM c GROUP BY 1
+          |), yy AS (
+          |  SELECT event_type, xs,
+          |    list_transform(range(1, len(xs) + 1),
+          |      i -> list_reduce(xs[1:i], (y, x) -> 0.2 * x + 0.8 * y)) AS ys
+          |  FROM s
+          |), ee AS (
+          |  SELECT event_type, xs,
+          |    list_transform(range(1, len(xs)), k -> xs[k + 1] - ys[k]) AS es,
+          |    list_transform(range(1, len(xs)), k -> xs[k + 1] - xs[k]) AS en
+          |  FROM yy
+          |), f AS (
+          |  SELECT event_type, (len(xs) - 1)::BIGINT AS n_fc,
+          |    list_reduce(list_prepend(0.0, list_transform(es, e -> abs(e))), (a, b) -> a + b) AS sae,
+          |    list_reduce(list_prepend(0.0, list_transform(es, e -> e * e)), (a, b) -> a + b) AS sse,
+          |    list_reduce(list_prepend(0.0, list_transform(en, e -> abs(e))), (a, b) -> a + b) AS san
+          |  FROM ee
+          |)
+          |SELECT event_type, n_fc,
+          |  CASE WHEN n_fc > 0 THEN
+          |    floor(sae / n_fc::DOUBLE / 1e6 * 10000 + 0.5)/10000 END AS mae_ewma,
+          |  CASE WHEN n_fc > 0 THEN
+          |    floor(sqrt(sse / n_fc::DOUBLE) / 1e6 * 10000 + 0.5)/10000 END AS rmse_ewma,
+          |  CASE WHEN n_fc > 0 THEN
+          |    floor(san / n_fc::DOUBLE / 1e6 * 10000 + 0.5)/10000 END AS mae_naive,
+          |  CASE WHEN san > 0 THEN
+          |    floor(sae / san * 10000 + 0.5)/10000 END AS skill
+          |FROM f""".stripMargin),
     "q198_pairs_spread" ->
       (dayRetCtes +
         """, p AS (

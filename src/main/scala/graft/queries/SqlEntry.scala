@@ -7,13 +7,16 @@ import graft.core.Tables
 /** The SURVEY §3.3(b) entry point: the same queries as the typed
   * Scala API, as `spark.sql()` text over registered temp views — the
   * surface a thriftserver / Spark Connect / notebook user gets when
-  * they can't (or won't) link the Scala library. Five representative
+  * they can't (or won't) link the Scala library. Nine representative
   * shapes are covered — the OHLCV rollup (q06), the sliding-window
   * join (q09), the TPC-H Q1 pricing summary (q13), the window-function
-  * battery (q54), and the inverted index (q96) — each the EXACT
+  * battery (q54), the inverted index (q96), the composed daily panel
+  * (q172, including the custom json_long_field expression through
+  * `spark.sql`), the session summaries (q182), the session lift
+  * (q190), and the risk-adjusted summary (q199) — each the EXACT
   * semantics of its typed twin: same op sequence, same decimal
   * detours, same r4/r2 rounding, so results match bitwise
-  * (SqlEntrySpec pins text ≡ typed for all five).
+  * (SqlEntrySpec pins text ≡ typed for all nine).
   *
   * Custom graft expressions (rolling_hash, minhash_sig, …) reach this
   * surface through [[graft.GraftExtensions]] / `Graft

@@ -409,7 +409,28 @@ object StreamBench {
     val liftLine = report("lift_maintain", liftLats, evRows,
       s""","counts_rows":${spark.read.parquet(s"$dir/lift_counts").count()}""")
 
-    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine,$attrLine,$rfmLine,$sessLine,$liftLine}")
+    // ---- 17. daily-closes maintenance: one (instrument, day) row,
+    // idempotent later-tick-wins merge — the live base under the
+    // q198/q199 risk and pairs serves. 5 instruments x a rolling day
+    // per batch keeps the store day-grid-sized while every batch
+    // touches every row.
+    val ev17 = MemoryStream[(String, java.sql.Timestamp, Long, Double)](spark)
+    val qCl = StreamPipeline.closesMaintain(
+      ev17.toDF().toDF("event_type", "ts", "event_id", "value"),
+      s"$dir/closes", s"$dir/ckpt_closes", trigger = Trigger.ProcessingTime(0))
+    def genCloses(b: Int): Seq[(String, java.sql.Timestamp, Long, Double)] =
+      (0 until evRows).map { i =>
+        val id = b.toLong * evRows + i
+        (evTypes((id % 5).toInt),
+          new java.sql.Timestamp((base + b * 86400L + i) * 1000L),
+          id, 100.0 + (id % 97) / 10.0)
+      }
+    val clLats = timeBatches(ev17, qCl, batches, genCloses)
+    qCl.stop()
+    val clLine = report("closes_maintain", clLats, evRows,
+      s""","store_rows":${spark.read.parquet(s"$dir/closes").count()}""")
+
+    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine,$attrLine,$rfmLine,$sessLine,$liftLine,$clLine}")
     spark.stop()
   }
 }

@@ -288,6 +288,52 @@ class MarketStatsSpec extends SparkSpec {
     }
   }
 
+  test("q203: trend/oscillation/constant designed feeds pin the skill readout; exact Scala replay") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q203").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(d: Int) = new java.sql.Timestamp(t0.getTime + d * 86400000L)
+    // XXX: exact linear trend in log2 (2^1..2^8): the naive random
+    // walk errs exactly 1.0/day; an EWMA lags a trend, so it must
+    // LOSE (skill > 1) — the honest-readout pin. YYY: oscillation
+    // 2^4 <-> 2^5: the EWMA sits between the two levels, so it must
+    // WIN (skill < 1). ZZZ: constant — zero errors, skill NULL.
+    val rows =
+      (1 to 8).map(d => (d * 10L, ts(d), 1L, "XXX", math.pow(2d, d.toDouble), """{"k": 5}""")) ++
+      (1 to 8).map(d => (d * 10L + 1, ts(d), 1L, "YYY",
+        math.pow(2d, if (d % 2 == 1) 4d else 5d), """{"k": 5}""")) ++
+      (1 to 5).map(d => (d * 10L + 2, ts(d), 1L, "ZZZ", 8.0, """{"k": 5}"""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q203_ewma_backtest")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val x = out("XXX")
+    assert(x.getAs[Long]("n_fc") == 7L)
+    assert(x.getAs[Double]("mae_naive") == 1.0, s"trend naive err is exactly 1/day: $x")
+    assert(x.getAs[Double]("skill") > 1.0, s"EWMA must lag a trend: $x")
+    val yy = out("YYY")
+    assert(yy.getAs[Double]("skill") < 1.0, s"EWMA must beat naive on oscillation: $yy")
+    val z = out("ZZZ")
+    assert(z.getAs[Double]("mae_ewma") == 0.0 && z.getAs[Double]("mae_naive") == 0.0)
+    assert(z.isNullAt(z.fieldIndex("skill")), "constant series has no naive error to beat")
+    // exact replay of XXX in plain Scala (the same IEEE fold)
+    val xs = (1 to 8).map(d => d * 1e6)
+    val ys = xs.scanLeft(Double.NaN)((y, v) => if (y.isNaN) v else 0.2 * v + 0.8 * y).drop(1)
+    val es = (1 until 8).map(k => xs(k) - ys(k - 1))
+    val sae = es.foldLeft(0.0)((a, e) => a + math.abs(e))
+    val sse = es.foldLeft(0.0)((a, e) => a + e * e)
+    def r4d(v: Double) = math.floor(v * 10000 + 0.5) / 10000
+    assert(x.getAs[Double]("mae_ewma") == r4d(sae / 7d / 1e6), s"mae replay: $x")
+    assert(x.getAs[Double]("rmse_ewma") == r4d(math.sqrt(sse / 7d) / 1e6), s"rmse replay: $x")
+    // real feed: 5 instruments, consistent counts, positive errors
+    val real = q("q203_ewma_backtest").collect()
+    assert(real.length == 5)
+    real.foreach { r =>
+      assert(r.getAs[Long]("n_fc") >= 1)
+      assert(r.getAs[Double]("rmse_ewma") >= r.getAs[Double]("mae_ewma") - 1e-4,
+        s"RMSE must dominate MAE: $r")
+    }
+  }
+
   test("q198: perfectly cointegrated designed pair is exact; real-feed pair grid + bounds") {
     // AAA's log-price is exactly 2x BBB's (prices are powers of two,
     // so the micro-log2 quantization is exact): the OLS hedge ratio
