@@ -368,6 +368,7 @@ object ScaleProbe {
     time("q201_content_split") { q("q201_content_split") }
     time("q202_budget_select") { q("q202_budget_select") }
     time("q203_ewma_backtest") { q("q203_ewma_backtest") }
+    time("q204_session_paths") { q("q204_session_paths") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

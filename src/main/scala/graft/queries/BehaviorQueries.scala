@@ -385,6 +385,34 @@ object BehaviorQueries {
     rows.toDF("state", "shapley", "share")
   }
 
+  // q204 — SESSION PATH MINING (navigation trigrams): the most
+  // common three-step within-session journeys — the path-analysis
+  // readout product analytics layers over q185's one-step matrix
+  // (which cannot see that view→click→purchase dominates even when
+  // both its edges are individually unremarkable). Triples come from
+  // lag(1)/lag(2) over the (user, sid) session order — BOTH lags in
+  // ONE window pass sharing the q196/q197 (user, sid) partition, the
+  // skew-safe one: sessions are gap-bounded, so a dominant bot user
+  // splits across its sessions. Output is at most |types|³ = 125
+  // rows at ANY volume; support is the exact count share over all
+  // triples, r4-closed. Scale shape: the shared chunked session
+  // window + one (user, sid) window + one ≤125-row partial agg.
+  private def q204(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("ts"), col("event_id"))
+    val tri = sessionFlags(s, dir)
+      .withColumn("t1", lag(col("event_type"), 1).over(wOrd))
+      .withColumn("t2", lag(col("event_type"), 2).over(wOrd))
+      .filter(col("t2").isNotNull)
+      .groupBy(col("t2").as("step1"), col("t1").as("step2"),
+        col("event_type").as("step3"))
+      .agg(count(lit(1)).as("n_paths"))
+    tri
+      .withColumn("total", sum(col("n_paths")).over(Window.partitionBy()))
+      .select(col("step1"), col("step2"), col("step3"), col("n_paths"),
+        r4(col("n_paths").cast("double") / col("total").cast("double")).as("support"))
+  }
+
   // q200 — PAGERANK NAVIGATION CENTRALITY: the stationary-importance
   // score of each event type in the session navigation graph — which
   // states users' within-session flow concentrates on, the graph-
@@ -453,6 +481,7 @@ object BehaviorQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_session_paths" -> q204 _,
     "q200_pagerank_nav" -> q200 _,
     "q181_table_profile" -> q181 _,
     "q193_table_profile_kmv" -> q193 _,
@@ -468,6 +497,29 @@ object BehaviorQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q204_session_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts FROM events
+        |), g AS (
+        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sidt AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g
+        |), tri AS (
+        |  SELECT lag(event_type, 2) OVER ws AS step1,
+        |    lag(event_type, 1) OVER ws AS step2,
+        |    event_type AS step3
+        |  FROM sidt WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id)
+        |), c AS (
+        |  SELECT step1, step2, step3, count(*)::BIGINT AS n_paths
+        |  FROM tri WHERE step1 IS NOT NULL GROUP BY 1, 2, 3
+        |)
+        |SELECT step1, step2, step3, n_paths,
+        |  floor(n_paths::DOUBLE / (sum(n_paths) OVER ())::DOUBLE * 10000 + 0.5)/10000 AS support
+        |FROM c""".stripMargin,
     "q200_pagerank_nav" -> {
       // the q196 recursive-CTE discipline: same 40 iterations, same
       // 1e-9 snap, list_dot_product's sequential order matching the

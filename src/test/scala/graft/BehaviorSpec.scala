@@ -65,6 +65,31 @@ class BehaviorSpec extends SparkSpec {
     assert(total == graft.core.Tables.events(spark, sf()).count())
   }
 
+  test("q204: designed journeys pin the trigrams; session cuts break paths; supports sum to 1") {
+    // user 7, one session: view->click->purchase->view yields exactly
+    // the two overlapping trigrams, once each. user 8's 40-min gap
+    // before purchase cuts the session, so NO trigram may span it.
+    val dir = writeEvents(Seq(
+      (1L, ts(0), 7L, "view", 1.0, "{}"),
+      (2L, ts(1), 7L, "click", 1.0, "{}"),
+      (3L, ts(2), 7L, "purchase", 1.0, "{}"),
+      (4L, ts(3), 7L, "view", 1.0, "{}"),
+      (5L, ts(0), 8L, "view", 1.0, "{}"),
+      (6L, ts(1), 8L, "click", 1.0, "{}"),
+      (7L, ts(45), 8L, "purchase", 1.0, "{}")))
+    val got = SparkEntry.queries("q204_session_paths")(spark, dir).collect()
+      .map(r => (r.getAs[String]("step1"), r.getAs[String]("step2"),
+        r.getAs[String]("step3")) -> r.getAs[Long]("n_paths")).toMap
+    assert(got == Map(
+      ("view", "click", "purchase") -> 1L,
+      ("click", "purchase", "view") -> 1L), s"paths: $got")
+    // real feed: supports sum to 1 and every path count is positive
+    val real = q("q204_session_paths").collect()
+    assert(real.nonEmpty && real.forall(_.getAs[Long]("n_paths") > 0))
+    val supSum = real.map(_.getAs[Double]("support")).sum
+    assert(math.abs(supSum - 1.0) < real.length * 1e-4 + 1e-6, s"support mass: $supSum")
+  }
+
   test("q183: strict ordering pinned on a designed feed; stage counts monotone on the real feed") {
     // u1 completes the funnel in order; u2's click PRECEDES its first
     // view (must not count as click_after_view); u3 views then
