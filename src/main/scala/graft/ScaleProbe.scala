@@ -369,6 +369,7 @@ object ScaleProbe {
     time("q202_budget_select") { q("q202_budget_select") }
     time("q203_ewma_backtest") { q("q203_ewma_backtest") }
     time("q204_session_paths") { q("q204_session_paths") }
+    time("q205_bot_profile") { q("q205_bot_profile") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

@@ -413,6 +413,49 @@ object BehaviorQueries {
         r4(col("n_paths").cast("double") / col("total").cast("double")).as("support"))
   }
 
+  // q205 — BOT-LIKELIHOOD PROFILE: the behavioral data-quality gate —
+  // per user, the cadence statistics that separate machine traffic
+  // from human sessions: within-session inter-event gap mean and
+  // POPULATION sd (a metronome's variance is ~0 — the single
+  // strongest bot signal), the busiest-minute event rate, and the
+  // session count. `is_metronomic` applies the documented rule
+  // (sd < 1 s over ≥ 20 within-session gaps). Bots are ALSO the
+  // dominant-key hazard (the Transitions.flagsChunked rationale), so
+  // the gap rows come from the shared chunked session window. Exact
+  // arithmetic: gaps are integer µs; squared-gap sums ride
+  // decimal(38,0) (a 30-min gap squares to 3.2e18 — two of those
+  // overflow a long); the closing mean/sd is the q175 raw→central
+  // IEEE sequence. Scale shape: user cardinality grows with volume,
+  // so the per-user aggregates parallelize; one extra (user, minute)
+  // partial agg feeds the peak-rate column.
+  private def q205(s: SparkSession, dir: String): DataFrame = {
+    val f = sessionFlags(s, dir)
+    val gapUs = unix_micros(col("ts")) - unix_micros(col("prev"))
+    val inSess = when(col("new_s") === 0L, gapUs)
+    val perUser = f.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("new_s")).as("n_sessions"),
+        count(inSess).as("n_gaps"),
+        sum(inSess).as("sg"),
+        sum((inSess * inSess).cast("decimal(38,0)")).as("sg2"))
+    // the peak-rate branch needs no session flags — it aggregates the
+    // RAW events, so the (user, chunk) session window runs exactly once
+    val epm = ev(s, dir)
+      .groupBy(col("user_id"), date_trunc("minute", col("ts")).as("m"))
+      .agg(count(lit(1)).as("epm"))
+      .groupBy(col("user_id")).agg(max(col("epm")).as("epm_max"))
+    def d(c: Column) = c.cast("double")
+    val n    = d(col("n_gaps"))
+    val mean = d(col("sg")) / n
+    val sd   = sqrt(greatest(lit(0d), d(col("sg2")) / n - mean * mean))
+    perUser.join(epm, Seq("user_id"))
+      .select(col("user_id"), col("n_events"), col("n_sessions"),
+        col("n_gaps"), col("epm_max"),
+        when(col("n_gaps") > 0, r4(mean / lit(1e6))).as("mean_gap_s"),
+        when(col("n_gaps") > 0, r4(sd / lit(1e6))).as("sd_gap_s"),
+        (col("n_gaps") >= 20 && sd < lit(1e6)).as("is_metronomic"))
+  }
+
   // q200 — PAGERANK NAVIGATION CENTRALITY: the stationary-importance
   // score of each event type in the session navigation graph — which
   // states users' within-session flow concentrates on, the graph-
@@ -482,6 +525,7 @@ object BehaviorQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q204_session_paths" -> q204 _,
+    "q205_bot_profile" -> q205 _,
     "q200_pagerank_nav" -> q200 _,
     "q181_table_profile" -> q181 _,
     "q193_table_profile_kmv" -> q193 _,
@@ -497,6 +541,38 @@ object BehaviorQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q205_bot_profile" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts FROM events
+        |), g AS (
+        |  SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), u AS (
+        |  SELECT user_id, count(*)::BIGINT AS n_events,
+        |    sum(new_s)::BIGINT AS n_sessions,
+        |    count(CASE WHEN new_s = 0 THEN gap_us END)::BIGINT AS n_gaps,
+        |    sum(CASE WHEN new_s = 0 THEN gap_us END)::BIGINT AS sg,
+        |    sum(CASE WHEN new_s = 0 THEN gap_us * gap_us END::HUGEINT) AS sg2
+        |  FROM g GROUP BY 1
+        |), m AS (
+        |  SELECT user_id, max(epm)::BIGINT AS epm_max FROM (
+        |    SELECT user_id, date_trunc('minute', ts) AS mi, count(*) AS epm
+        |    FROM e GROUP BY 1, 2)
+        |  GROUP BY 1
+        |), f AS (
+        |  SELECT u.*, m.epm_max,
+        |    sg::DOUBLE / n_gaps::DOUBLE AS mean_d,
+        |    sqrt(greatest(0.0, sg2::DOUBLE / n_gaps::DOUBLE
+        |      - (sg::DOUBLE / n_gaps::DOUBLE) * (sg::DOUBLE / n_gaps::DOUBLE))) AS sd_d
+        |  FROM u JOIN m USING (user_id)
+        |)
+        |SELECT user_id, n_events, n_sessions, n_gaps, epm_max,
+        |  CASE WHEN n_gaps > 0 THEN floor(mean_d / 1e6 * 10000 + 0.5)/10000 END AS mean_gap_s,
+        |  CASE WHEN n_gaps > 0 THEN floor(sd_d / 1e6 * 10000 + 0.5)/10000 END AS sd_gap_s,
+        |  (n_gaps >= 20 AND sd_d < 1e6) AS is_metronomic
+        |FROM f""".stripMargin,
     "q204_session_paths" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts FROM events

@@ -90,6 +90,41 @@ class BehaviorSpec extends SparkSpec {
     assert(math.abs(supSum - 1.0) < real.length * 1e-4 + 1e-6, s"support mass: $supSum")
   }
 
+  test("q205: a designed metronome is flagged; varied cadence is not; peak rate pins") {
+    def atSec(sec: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-03-01 09:00:00").getTime + sec * 1000L)
+    // user 7: 25 events exactly 5 s apart -> 24 zero-variance gaps,
+    // metronomic. user 8: alternating 5 s / 65 s gaps -> mean 35 s,
+    // sd 30 s, NOT metronomic. user 9: 10 events inside one minute ->
+    // peak rate 10, but only 9 gaps (< 20) so never flagged.
+    val rows =
+      (0 until 25).map(i => ((100 + i).toLong, atSec(i * 5), 7L, "view", 1.0, "{}")) ++
+      (0 until 25).map { i =>
+        val sec = (i / 2) * 70 + (i % 2) * 5
+        ((200 + i).toLong, atSec(sec), 8L, "view", 1.0, "{}")
+      } ++
+      (0 until 10).map(i => ((300 + i).toLong, atSec(i * 6), 9L, "view", 1.0, "{}"))
+    val dir = writeEvents(rows)
+    val got = SparkEntry.queries("q205_bot_profile")(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    val u7 = got(7L)
+    assert(u7.getAs[Long]("n_gaps") == 24L && u7.getAs[Boolean]("is_metronomic"),
+      s"metronome missed: $u7")
+    assert(u7.getAs[Double]("sd_gap_s") == 0.0 && u7.getAs[Double]("mean_gap_s") == 5.0)
+    val u8 = got(8L)
+    assert(!u8.getAs[Boolean]("is_metronomic"), s"varied cadence misflagged: $u8")
+    assert(u8.getAs[Double]("mean_gap_s") == 35.0 && u8.getAs[Double]("sd_gap_s") == 30.0,
+      s"gap stats: $u8")
+    val u9 = got(9L)
+    assert(u9.getAs[Long]("epm_max") == 10L, s"peak rate: $u9")
+    assert(!u9.getAs[Boolean]("is_metronomic"), "n_gaps < 20 must never flag")
+    // real feed: one row per user, flags never fire on < 20 gaps
+    val real = q("q205_bot_profile").collect()
+    assert(real.length == graft.core.Tables.events(spark, sf())
+      .select($"user_id").distinct().count())
+    assert(real.forall(r => !r.getAs[Boolean]("is_metronomic") || r.getAs[Long]("n_gaps") >= 20))
+  }
+
   test("q183: strict ordering pinned on a designed feed; stage counts monotone on the real feed") {
     // u1 completes the funnel in order; u2's click PRECEDES its first
     // view (must not count as click_after_view); u3 views then
