@@ -397,20 +397,12 @@ object BehaviorQueries {
   // rows at ANY volume; support is the exact count share over all
   // triples, r4-closed. Scale shape: the shared chunked session
   // window + one (user, sid) window + one ≤125-row partial agg.
+  /** Delegated to operators.Paths (round 10): triple extraction and
+    * the support closing are ONE code path with the streaming
+    * maintainer (StreamPipeline.pathsMaintain / pathsServe). */
   private def q204(s: SparkSession, dir: String): DataFrame = {
-    val wOrd = Window.partitionBy(col("user_id"), col("sid"))
-      .orderBy(col("ts"), col("event_id"))
-    val tri = sessionFlags(s, dir)
-      .withColumn("t1", lag(col("event_type"), 1).over(wOrd))
-      .withColumn("t2", lag(col("event_type"), 2).over(wOrd))
-      .filter(col("t2").isNotNull)
-      .groupBy(col("t2").as("step1"), col("t1").as("step2"),
-        col("event_type").as("step3"))
-      .agg(count(lit(1)).as("n_paths"))
-    tri
-      .withColumn("total", sum(col("n_paths")).over(Window.partitionBy()))
-      .select(col("step1"), col("step2"), col("step3"), col("n_paths"),
-        r4(col("n_paths").cast("double") / col("total").cast("double")).as("support"))
+    import graft.operators.Paths
+    Paths.close(Paths.countTriples(Paths.triples(sessionFlags(s, dir))))
   }
 
   // q205 — BOT-LIKELIHOOD PROFILE: the behavioral data-quality gate —

@@ -1270,6 +1270,83 @@ object StreamPipeline {
     graft.batch.AtomicSwap.swapInto(hconf, storePath + ".tmp", storePath)
   }
 
+  /** STREAMING PATH-TRIGRAM MAINTENANCE: q204's navigation trigrams
+    * kept live. State is the ≤ |types|³-row count table plus the last
+    * TWO events per user — a trigram needs three rows, so no trigram
+    * forms entirely inside the carry and every NEW trigram in
+    * (carry ∪ batch) terminates at a batch row: incremental counting
+    * is exact under the event-time-ordered arrival contract (the
+    * transitionMaintain contract), and the explicit terminal-row
+    * provenance filter turns a contract violation into an undercount
+    * instead of a double count. ONE code path with q204
+    * (operators.Paths over the shared Transitions gap logic).
+    * Idempotence/crash safety: marker + heal; counts commit BEFORE
+    * carry. */
+  def pathsMaintain(eventsStream: DataFrame, countsPath: String, carryPath: String,
+                    checkpoint: String,
+                    trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    eventsStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        pathsBatch(batch, countsPath, carryPath, batchId)
+      }
+      .start()
+
+  /** One [[pathsMaintain]] micro-batch. */
+  private[graft] def pathsBatch(batch: DataFrame, countsPath: String,
+                                carryPath: String, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    graft.batch.AtomicSwap.heal(hconf, countsPath)
+    graft.batch.AtomicSwap.heal(hconf, carryPath)
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).exists(hp)
+    }
+    def applied(p: String): Boolean = exists(s"$p/_graft_batch_$batchId")
+    def writeAndSwap(df: DataFrame, p: String): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(p + ".tmp")
+      val marker = new org.apache.hadoop.fs.Path(s"$p.tmp/_graft_batch_$batchId")
+      marker.getFileSystem(hconf).create(marker, true).close()
+      graft.batch.AtomicSwap.swapInto(hconf, p + ".tmp", p)
+    }
+    val cols = Seq("user_id", "ts", "event_id", "event_type").map(col)
+    val uni = (if (exists(carryPath)) {
+        spark.read.parquet(carryPath).select(cols: _*).withColumn("__carried", lit(true))
+          .unionByName(batch.select(cols: _*).withColumn("__carried", lit(false)))
+      } else batch.select(cols: _*).withColumn("__carried", lit(false)))
+      .localCheckpoint(true)
+    if (!applied(countsPath)) {
+      import graft.operators.{Paths, Transitions}
+      val fresh = Paths.countTriples(
+        Paths.triples(Transitions.flags(uni)).filter(!col("__carried")))
+      val merged =
+        if (exists(countsPath))
+          spark.read.parquet(countsPath).unionByName(fresh)
+            .groupBy(col("step1"), col("step2"), col("step3"))
+            .agg(sum(col("n_paths")).cast("long").as("n_paths"))
+        else fresh
+      writeAndSwap(merged, countsPath)
+    }
+    if (!applied(carryPath)) {
+      val wLast = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val newCarry = uni
+        .withColumn("__rn", row_number().over(wLast))
+        .filter(col("__rn") <= 2)
+        .select(cols: _*)
+      writeAndSwap(newCarry, carryPath)
+    }
+  }
+
+  /** Serve q204's path mining from the maintained count table — the
+    * SAME Paths.close the declared query calls. */
+  def pathsServe(spark: SparkSession, countsPath: String): org.apache.spark.sql.DataFrame =
+    graft.operators.Paths.close(spark.read.parquet(countsPath))
+
   /** Serve q199's risk-adjusted summary from the closes store —
     * the SAME riskFromCloses closing the declared query calls. */
   def riskServe(spark: SparkSession, storePath: String): org.apache.spark.sql.DataFrame =

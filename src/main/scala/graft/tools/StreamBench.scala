@@ -430,7 +430,19 @@ object StreamBench {
     val clLine = report("closes_maintain", clLats, evRows,
       s""","store_rows":${spark.read.parquet(s"$dir/closes").count()}""")
 
-    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine,$attrLine,$rfmLine,$sessLine,$liftLine,$clLine}")
+    // ---- 18. path-trigram maintenance: <=|types|^3 count table +
+    // two-row-per-user carry; the q204 extraction over carry ∪ batch.
+    val ev18 = MemoryStream[(Long, java.sql.Timestamp, Long, String)](spark)
+    val qPaths = StreamPipeline.pathsMaintain(
+      ev18.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+      s"$dir/path_counts", s"$dir/path_carry", s"$dir/ckpt_paths",
+      trigger = Trigger.ProcessingTime(0))
+    val pathLats = timeBatches(ev18, qPaths, batches, genEv)
+    qPaths.stop()
+    val pathLine = report("paths_maintain", pathLats, evRows,
+      s""","counts_rows":${spark.read.parquet(s"$dir/path_counts").count()}""")
+
+    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine,$attrLine,$rfmLine,$sessLine,$liftLine,$clLine,$pathLine}")
     spark.stop()
   }
 }
