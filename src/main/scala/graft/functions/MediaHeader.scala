@@ -87,7 +87,40 @@ object MediaHeader {
     else if (b.length >= 12 && tag(b, 0) == 0x52494646 /* RIFF */ &&
              tag(b, 8) == 0x57415645 /* WAVE */) parseWav(b)
     else if (b.length >= 12 && tag(b, 4) == 0x66747970 /* ftyp */) parseMp4(b)
+    else if (b.length >= 8 && tag(b, 0) == 0x664c6143 /* fLaC */) parseFlac(b)
     else row(Unknown)
+  }
+
+  /** FLAC (RFC 9639): "fLaC" then metadata blocks — 1-byte header
+    * (bit 7 = last-block flag, bits 0–6 = type) + BE24 length. The
+    * spec mandates STREAMINFO (type 0) first; the walk skips
+    * non-STREAMINFO blocks anyway (robustness over trust, the MP4
+    * rule). STREAMINFO's packed 8 bytes at data offset 10: sample
+    * rate 20 bits, channels−1 3 bits, bits-per-sample−1 5 bits,
+    * total inter-channel samples 36 bits → n_frames. The cursor is
+    * Long and strictly advances (the WAV adversarial-size rule). */
+  private def parseFlac(b: Array[Byte]): InternalRow = {
+    var pos = 4L
+    while (pos + 4 <= b.length) {
+      val p = pos.toInt
+      val last = (b(p) & 0x80) != 0
+      val btype = b(p) & 0x7f
+      val len = ((b(p + 1) & 0xff) << 16) | ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+      if (btype == 0) {
+        if (p + 22 > b.length) return row(Unknown) // truncated STREAMINFO
+        val sr = ((b(p + 14) & 0xff) << 12) | ((b(p + 15) & 0xff) << 4) | ((b(p + 16) & 0xff) >> 4)
+        val ch = ((b(p + 16) >> 1) & 0x7) + 1
+        val bps = (((b(p + 16) & 1) << 4) | ((b(p + 17) & 0xff) >> 4)) + 1
+        val tot = ((b(p + 17) & 0x0fL) << 32) |
+          ((b(p + 18) & 0xffL) << 24) | ((b(p + 19) & 0xffL) << 16) |
+          ((b(p + 20) & 0xffL) << 8) | (b(p + 21) & 0xffL)
+        return row("flac", channels = ch, sampleRate = sr,
+          bitsPerSample = bps, nFrames = tot)
+      }
+      if (last) return row(Unknown) // last block reached, no STREAMINFO
+      pos += 4L + len
+    }
+    row(Unknown)
   }
 
   /** MP4 / ISO-BMFF (ISO 14496-12): top-level box walk (size BE32 +

@@ -164,6 +164,37 @@ object Multimodal {
         tkhd).as("bytes"))
   }
 
+  /** FLAC fixtures: a real "fLaC" + STREAMINFO metadata block whose
+    * bit-packed fields (RFC 9639 §8.2: sample rate 20 bits,
+    * channels−1 3 bits, bits-per-sample−1 5 bits, total samples 36
+    * bits) are assembled DISTRIBUTED from per-row arithmetic — the
+    * oracle predicts the decode output from the same arithmetic, so
+    * the test is that the SQL byte packing and the expression's bit
+    * unpacking are exact inverses. */
+  def flacFixtures(docs: DataFrame): DataFrame = {
+    // integer byte arithmetic stays in DIV/% (Column `/` is IEEE
+    // double division — wrong tool for bit packing)
+    val srE  = "(doc_id % 4 * 8000 + 16000)" // < 2^20
+    val chE  = "(doc_id % 2 + 1)"
+    val bpsE = "(doc_id % 3 * 4 + 16)"
+    val totE = "(doc_id % 100000 + 1)"       // < 2^36
+    def byte1(c: Column): Column = unhex(lpad(hex(c), 2, "0"))
+    docs.select(
+      col("doc_id").as("media_id"),
+      concat(
+        hx("664C6143"),                  // "fLaC"
+        hx("80"), hx("000022"),          // last-block | type 0, length 34
+        beShort(lit(4096)), beShort(lit(4096)), // min/max block size
+        hx("000000"), hx("000000"),      // min/max frame size (unknown)
+        byte1(expr(s"$srE DIV 4096")),                     // sr >> 12
+        byte1(expr(s"$srE DIV 16 % 256")),                 // (sr >> 4) & 0xFF
+        byte1(expr(s"$srE % 16 * 16 + ($chE - 1) * 2 + ($bpsE - 1) DIV 16")),
+        byte1(expr(s"($bpsE - 1) % 16 * 16 + $totE DIV 4294967296")),
+        beInt(expr(s"$totE % 4294967296")), // low 32 bits of total samples
+        hx("00" * 16)                    // MD5 signature (unchecked)
+      ).as("bytes"))
+  }
+
   /** Parse container headers off the binary column —
     * [[MediaHeader.headerOf]] flattened to typed metadata columns.
     * All-codegen; touches only leading bytes of each payload. */

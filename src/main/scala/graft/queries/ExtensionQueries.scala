@@ -442,6 +442,24 @@ object ExtensionQueries {
         col("sample_rate").as("timescale"), col("n_frames").as("duration_units"))
       .withColumn("duration_ms", r4(col("duration_units") * lit(1000.0) / col("timescale")))
 
+  // q206 — FLAC AUDIO HEADER DECODE (RFC 9639): the lossless-audio
+  // leg of the multimodal family — real "fLaC" + STREAMINFO payloads
+  // whose BIT-PACKED fields (20-bit sample rate, 3-bit channels−1,
+  // 5-bit bps−1, 36-bit total samples spanning a nibble + 4 bytes)
+  // are assembled distributed from per-row arithmetic and decoded by
+  // the same codegen expression that handles PNG/JPEG/WAV/MP4. The
+  // oracle predicts every field from the SAME arithmetic, so the
+  // hash match proves the SQL byte packing and the expression's bit
+  // unpacking are exact inverses — including the 36-bit n_frames
+  // straddling the byte-13 nibble boundary. duration_s closes as
+  // n_frames/sample_rate (the q103/q171 closing rule).
+  private def q206(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeHeaders(Multimodal.flacFixtures(docs(s, dir)))
+      .select(col("media_id"), col("format"), col("channels"),
+        col("sample_rate"), col("bits_per_sample"), col("n_frames"))
+      .withColumn("duration_s",
+        r4(col("n_frames").cast("double") / col("sample_rate").cast("double")))
+
   // q104 — PRODUCT-QUANTIZATION ANN, the full serving shape: compress
   // unit vectors to 16 byte codes (16 subspaces x 256-cell codebooks
   // — 16x smaller than the raw float32 column), ADC-shortlist 25
@@ -1023,6 +1041,7 @@ object ExtensionQueries {
     "q32_rolling_fp" -> q32 _,
     "q103_media_headers" -> q103 _,
     "q171_mp4_headers" -> q171 _,
+    "q206_flac_headers" -> q206 _,
     "q104_pq_topk" -> q104 _,
     "q118_ivfpq_topk" -> q118 _
   )
@@ -1638,6 +1657,15 @@ object ExtensionQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rnk FROM f
         |)
         |SELECT query_id, neighbor_id, cos_r, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "q206_flac_headers" ->
+      """SELECT doc_id AS media_id, 'flac' AS format,
+        |  (doc_id % 2 + 1)::BIGINT AS channels,
+        |  (doc_id % 4 * 8000 + 16000)::BIGINT AS sample_rate,
+        |  (doc_id % 3 * 4 + 16)::BIGINT AS bits_per_sample,
+        |  (doc_id % 100000 + 1)::BIGINT AS n_frames,
+        |  floor((doc_id % 100000 + 1)::DOUBLE / (doc_id % 4 * 8000 + 16000)::DOUBLE
+        |    * 10000 + 0.5)/10000 AS duration_s
+        |FROM documents""".stripMargin,
     "q171_mp4_headers" ->
       """SELECT doc_id AS media_id, 'mp4' AS format,
         |  (doc_id % 640 + 16)::BIGINT AS width,

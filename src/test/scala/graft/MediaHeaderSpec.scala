@@ -96,6 +96,30 @@ class MediaHeaderSpec extends SparkSpec {
     }
   }
 
+  test("FLAC: hand-assembled STREAMINFO unpacks the bit-packed fields; degradations to unknown") {
+    // sample rate 44100, stereo, 16-bit, total samples 0x123456789
+    // (exercises the 36-bit span across the byte-13 nibble):
+    // b10 = 0x0A, b11 = 0xC4, b12 = (4<<4)|(1<<1)|0 = 0x42,
+    // b13 = (15<<4)|1 = 0xF1, b14..17 = 0x23456789
+    val streaminfo = "03E8 03E8 000000 000000 0A C4 42 F1 23456789 " + "00" * 16
+    val flac = un("664C6143 80 000022 " + streaminfo)
+    val r = parse(flac)
+    assert(r.getString(0) == "flac", s"format: $r")
+    assert(r.getInt(4) == 2 && r.getInt(5) == 44100 && r.getInt(6) == 16, s"fields: $r")
+    assert(r.getLong(7) == 0x123456789L, s"36-bit total samples: $r")
+    // a VORBIS_COMMENT block ahead of STREAMINFO is skipped (the
+    // walk does not TRUST the spec's ordering mandate)
+    val reordered = un("664C6143 04 000004 DEADBEEF 80 000022 " + streaminfo)
+    val r2 = parse(reordered)
+    assert(r2.getString(0) == "flac" && r2.getInt(5) == 44100, s"skip failed: $r2")
+    // truncated STREAMINFO and a last-flag block with no STREAMINFO
+    // both degrade to unknown, never throw
+    assert(parse(un("664C6143 80 000022 03E8 03E8 000000")).getString(0) == "unknown")
+    assert(parse(un("664C6143 81 000000")).getString(0) == "unknown")
+    // adversarial declared length: strictly advancing Long cursor stops
+    assert(parse(un("664C6143 04 FFFFFF DEAD")).getString(0) == "unknown")
+  }
+
   test("malformed payloads parse as unknown, never throw") {
     for (bad <- Seq(
       Array.empty[Byte],
