@@ -1042,7 +1042,188 @@ object MarketQueries {
       when(col("san") > 0, r4(col("sae") / col("san"))).as("skill"))
   }
 
+  // q208 — SMA-CROSSOVER STRATEGY BACKTEST (5/20): the simplest
+  // systematic trading rule — long when the fast trailing mean sits
+  // above the slow one, short when below, flat on the exact tie —
+  // scored per instrument as an event-driven backtest over the daily
+  // close grid. The signal for day t reads ONLY days ≤ t−1 (frames
+  // `ROWS BETWEEN k PRECEDING AND 1 PRECEDING` — the q179 look-ahead
+  // rule made structural: the traded day cannot be in its own
+  // signal), and the mean comparison s5/5 vs s20/20 cross-multiplies
+  // to the EXACT integer test 4·s5 vs s20 — no division, no float,
+  // no tie ambiguity between engines. Strategy return = position ×
+  // close-to-close micro-log2 diff (exact integers end to end);
+  // buy-and-hold over the SAME day set is the baseline column, hit
+  // rate and position-flip count (round-trips = flips/2) read the
+  // trade quality, and the Sharpe closes from the q199 integer-sum
+  // formula. Scale shape: dailyCloses' one volume-sized partial agg,
+  // then ONE day-grid window pass (both frames + the lag share the
+  // (instrument, day) sort; the second pass for lag(pos) rides the
+  // same ordering, no re-sort) and ONE aggregate — day-grid work is
+  // volume-independent (the q176/q199 precedent).
+  private def q208(s: SparkSession, dir: String): DataFrame =
+    crossoverFromCloses(dailyCloses(s, dir))
+
+  /** q208's closing over any (event_type, day, close_lv) day grid —
+    * the q199 `riskFromCloses` sharing pattern, so a streaming serve
+    * over the closes store is the same code path. */
+  private[graft] def crossoverFromCloses(cl: DataFrame): DataFrame = {
+    val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val sig = cl
+      .withColumn("s5", sum(col("close_lv")).over(wd.rowsBetween(-5, -1)))
+      .withColumn("s20", sum(col("close_lv")).over(wd.rowsBetween(-20, -1)))
+      .withColumn("n20", count(col("close_lv")).over(wd.rowsBetween(-20, -1)))
+      .withColumn("r_fp", col("close_lv") - lag(col("close_lv"), 1).over(wd))
+      // full slow history only: n20 = 20 implies the fast window and
+      // the lag row exist too, but the r_fp guard keeps the filter's
+      // intent explicit.
+      .filter(col("n20") === 20 && col("r_fp").isNotNull)
+      .withColumn("pos",
+        when(lit(4L) * col("s5") > col("s20"), lit(1))
+          .when(lit(4L) * col("s5") < col("s20"), lit(-1))
+          .otherwise(lit(0)))
+    // lag(pos) over the FILTERED signal-complete day set: a flip is a
+    // change between consecutive traded days. Same partition order as
+    // wd, so the sort is reused.
+    val tr = sig
+      .withColumn("prev_pos", lag(col("pos"), 1).over(wd))
+      .withColumn("strat_fp", col("pos").cast("long") * col("r_fp"))
+    val agg = tr.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_days"),
+      sum(when(col("pos") =!= 0, 1L).otherwise(0L)).as("n_active"),
+      sum(when(col("prev_pos").isNotNull && col("pos") =!= col("prev_pos"), 1L)
+        .otherwise(0L)).as("n_flips"),
+      sum(col("strat_fp")).as("ss1"),
+      sum(col("strat_fp") * col("strat_fp")).as("ss2"),
+      sum(when(col("strat_fp") > 0, 1L).otherwise(0L)).as("n_hit"),
+      sum(col("r_fp")).as("bh1"))
+    def d(c: Column) = c.cast("double")
+    val n    = d(col("n_days"))
+    val mean = d(col("ss1")) / n
+    val sd   = sqrt(greatest(lit(0d), d(col("ss2")) / n - mean * mean))
+    agg.select(col("event_type"), col("n_days"), col("n_active"), col("n_flips"),
+      r4(d(col("ss1")) / lit(1e6)).as("strat_ret_log2"),
+      r4(d(col("bh1")) / lit(1e6)).as("bh_ret_log2"),
+      when(col("n_active") > 0, r4(d(col("n_hit")) / d(col("n_active")))).as("hit_rate"),
+      when(sd > 0, r4(mean / sd * sqrt(lit(252d)))).as("sharpe"))
+  }
+
+  // q210 — HOLT LINEAR-TREND FORECAST BACKTEST: the trend-aware
+  // sibling of q203 — Holt's double exponential smoother (level
+  // l_t = α·x_t + (1−α)·(l_{t−1}+b_{t−1}), trend b_t = β·(l_t−l_{t−1})
+  // + (1−β)·b_{t−1}; α=0.2 matching q203's EWMA for comparability,
+  // β=0.1; init l₁=x₁, b₁=0) scored one-step-ahead on the daily
+  // closes against BOTH baselines: the naive walk (the bar) and the
+  // q203 EWMA (the model it claims to improve on — a trending market
+  // is exactly where the level-only smoother lags). The whole
+  // recursion + error accumulation is ONE sequential 4-field-struct
+  // fold in array order (level, trend, Σ|e|, Σe²) — both engines run
+  // the SAME fold (Spark `aggregate` with a named_struct accumulator;
+  // DuckDB list_reduce over 4-element LIST states with a prepended
+  // seed, the q203 same-type trick), and every arithmetic step is
+  // written as the identical IEEE expression on both sides, so sums
+  // agree bitwise before r4. Scale shape: q203's — day-grid arrays
+  // after dailyCloses' one partial agg, volume-independent folds.
+  private def q210(s: SparkSession, dir: String): DataFrame = {
+    val base = dailyCloses(s, dir)
+      .select(col("event_type"), struct(col("day"), col("close_lv")).as("p"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+      .withColumn("xs", expr("transform(ps, p -> CAST(p.close_lv AS DOUBLE))"))
+      // Holt fold over x_2..x_n: forecast f = l + b, error BEFORE the
+      // update, then level/trend updates. The repeated (a.l + a.b) /
+      // level' subexpressions are the same IEEE value each time.
+      .withColumn("h", expr(
+        "IF(size(xs) > 1, aggregate(slice(xs, 2, size(xs) - 1), " +
+          "named_struct('l', xs[0], 'b', CAST(0.0 AS DOUBLE), " +
+          "'sae', CAST(0.0 AS DOUBLE), 'sse', CAST(0.0 AS DOUBLE)), " +
+          "(a, x) -> named_struct(" +
+          "'l', 0.2 * x + 0.8 * (a.l + a.b), " +
+          "'b', 0.1 * ((0.2 * x + 0.8 * (a.l + a.b)) - a.l) + 0.9 * a.b, " +
+          "'sae', a.sae + abs(x - (a.l + a.b)), " +
+          "'sse', a.sse + (x - (a.l + a.b)) * (x - (a.l + a.b)))), NULL)"))
+      // q203's EWMA + naive error folds on the SAME day set (t >= 2)
+      // for the three-way comparison.
+      .withColumn("ys", graft.functions.Ewma.column(col("xs"), 0.2))
+      .withColumn("es", expr("IF(size(xs) > 1, " +
+        "transform(sequence(1, size(xs) - 1), k -> xs[k] - ys[k - 1]), " +
+        "CAST(array() AS array<double>))"))
+      .withColumn("en", expr("IF(size(xs) > 1, " +
+        "transform(sequence(1, size(xs) - 1), k -> xs[k] - xs[k - 1]), " +
+        "CAST(array() AS array<double>))"))
+      .withColumn("sae_e", expr("aggregate(es, CAST(0.0 AS DOUBLE), (a, e) -> a + abs(e))"))
+      .withColumn("san", expr("aggregate(en, CAST(0.0 AS DOUBLE), (a, e) -> a + abs(e))"))
+    val nf = (size(col("xs")) - 1).cast("long")
+    val n = nf.cast("double")
+    base.select(col("event_type"), nf.as("n_fc"),
+      when(nf > 0, r4(col("h.sae") / n / lit(1e6))).as("mae_holt"),
+      when(nf > 0, r4(sqrt(col("h.sse") / n) / lit(1e6))).as("rmse_holt"),
+      when(nf > 0, r4(col("sae_e") / n / lit(1e6))).as("mae_ewma"),
+      when(nf > 0, r4(col("san") / n / lit(1e6))).as("mae_naive"),
+      when(col("san") > 0, r4(col("h.sae") / col("san"))).as("skill_vs_naive"),
+      when(col("sae_e") > 0, r4(col("h.sae") / col("sae_e"))).as("skill_vs_ewma"))
+  }
+
+  // q209 — CORRELATION RISK CLUSTERS: partition the instrument
+  // universe into co-movement groups — the connected components of
+  // the graph whose edges are instrument pairs with |Pearson ρ| of
+  // contemporaneous daily returns ≥ 0.6 (|ρ|, not ρ: a perfectly
+  // anti-correlated pair is ONE risk bet hedged, not two independent
+  // ones — the designed-feed spec pins exactly this). The readout
+  // every diversification/limits desk wants from the correlation
+  // matrix that q110/q198 only display. Construction: the q192
+  // day-aligned pair grid over [[dailyReturns]] (exact integer sums
+  // into the q110 Pearson formula, ONE shared IEEE closing sequence
+  // so both engines make the SAME edge decisions at the 0.6
+  // boundary); zero-variance instruments have no defined ρ and
+  // become singletons (den > 0 guard — pinned). Components close
+  // driver-side by union-find over the collected ≤|types|² edge
+  // list with min-member cluster ids — volume-independent, the
+  // q186/q196/q200 collected-bounded-matrix discipline; DuckDB
+  // replays with a recursive-CTE transitive closure. Scale shape:
+  // dailyCloses' one volume-sized partial agg, the day-keyed pair
+  // join on the volume-independent day grid, one |types|²-row agg.
+  private def q209(s: SparkSession, dir: String): DataFrame = {
+    val r = dailyReturns(s, dir)
+    val a = r.select(col("event_type").as("type_a"), col("day"), col("r_fp").as("x"))
+    val b = r.select(col("event_type").as("type_b"), col("day"), col("r_fp").as("y"))
+    val g = a.join(b, Seq("day")).filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    def d(c: Column) = c.cast("double")
+    val num = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val den = sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+      sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))
+    val edges = g.filter(den > 0 && abs(num / den) >= lit(0.6))
+      .select(col("type_a"), col("type_b"))
+      .collect().map(r0 => (r0.getString(0), r0.getString(1))).sorted
+    val nodes = r.select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).sorted
+    // union-find over the bounded node set (deterministic: sorted
+    // edges, min-member representative).
+    val parent = scala.collection.mutable.Map(nodes.map(t => t -> t): _*)
+    def find(t: String): String = {
+      var x = t; while (parent(x) != x) x = parent(x); x
+    }
+    edges.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) { val (lo, hi) = if (ru < rv) (ru, rv) else (rv, ru); parent(hi) = lo }
+    }
+    val cluster = nodes.map(t => t -> find(t)).toMap
+    val size = cluster.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+    val rows = nodes.map(t => (t, cluster(t), size(cluster(t))))
+    s.createDataFrame(rows.toSeq)
+      .toDF("event_type", "cluster_id", "cluster_size")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_holt_backtest" -> q210 _,
+    "q209_corr_clusters" -> q209 _,
+    "q208_sma_crossover" -> q208 _,
     "q203_ewma_backtest" -> q203 _,
     "q198_pairs_spread" -> q198 _,
     "q199_risk_adjusted" -> q199 _,
@@ -1094,6 +1275,136 @@ object MarketQueries {
       |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q210_holt_backtest" ->
+      (dayRetCtes +
+        """, s AS (
+          |  SELECT event_type, list(close_lv::DOUBLE ORDER BY day) AS xs
+          |  FROM c GROUP BY 1
+          |), hh AS (
+          |  SELECT event_type, xs,
+          |    CASE WHEN len(xs) > 1 THEN list_reduce(
+          |      list_prepend([xs[1], 0.0, 0.0, 0.0],
+          |        list_transform(xs[2:], x -> [x, 0.0, 0.0, 0.0])),
+          |      (a, e) -> [
+          |        0.2 * e[1] + 0.8 * (a[1] + a[2]),
+          |        0.1 * ((0.2 * e[1] + 0.8 * (a[1] + a[2])) - a[1]) + 0.9 * a[2],
+          |        a[3] + abs(e[1] - (a[1] + a[2])),
+          |        a[4] + (e[1] - (a[1] + a[2])) * (e[1] - (a[1] + a[2]))]) END AS h,
+          |    list_transform(range(1, len(xs) + 1),
+          |      i -> list_reduce(xs[1:i], (y, x) -> 0.2 * x + 0.8 * y)) AS ys
+          |  FROM s
+          |), ee AS (
+          |  SELECT event_type, xs, h,
+          |    list_reduce(list_prepend(0.0,
+          |      list_transform(range(1, len(xs)), k -> abs(xs[k + 1] - ys[k]))),
+          |      (a, b) -> a + b) AS sae_e,
+          |    list_reduce(list_prepend(0.0,
+          |      list_transform(range(1, len(xs)), k -> abs(xs[k + 1] - xs[k]))),
+          |      (a, b) -> a + b) AS san
+          |  FROM hh
+          |), f AS (
+          |  SELECT event_type, (len(xs) - 1)::BIGINT AS n_fc,
+          |    h[3] AS sae_h, h[4] AS sse_h, sae_e, san
+          |  FROM ee
+          |)
+          |SELECT event_type, n_fc,
+          |  CASE WHEN n_fc > 0 THEN
+          |    floor(sae_h / n_fc::DOUBLE / 1e6 * 10000 + 0.5)/10000 END AS mae_holt,
+          |  CASE WHEN n_fc > 0 THEN
+          |    floor(sqrt(sse_h / n_fc::DOUBLE) / 1e6 * 10000 + 0.5)/10000 END AS rmse_holt,
+          |  CASE WHEN n_fc > 0 THEN
+          |    floor(sae_e / n_fc::DOUBLE / 1e6 * 10000 + 0.5)/10000 END AS mae_ewma,
+          |  CASE WHEN n_fc > 0 THEN
+          |    floor(san / n_fc::DOUBLE / 1e6 * 10000 + 0.5)/10000 END AS mae_naive,
+          |  CASE WHEN san > 0 THEN
+          |    floor(sae_h / san * 10000 + 0.5)/10000 END AS skill_vs_naive,
+          |  CASE WHEN sae_e > 0 THEN
+          |    floor(sae_h / sae_e * 10000 + 0.5)/10000 END AS skill_vs_ewma
+          |FROM f""".stripMargin),
+    // transitive closure needs WITH RECURSIVE up front; DuckDB allows
+    // the non-recursive closes CTEs inside the same RECURSIVE list.
+    "q209_corr_clusters" ->
+      (dayRetCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, p AS (
+          |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+          |    a.r_fp AS x2, b.r_fp AS y2
+          |  FROM r a JOIN r b USING (day)
+          |  WHERE a.event_type < b.event_type
+          |), g AS (
+          |  SELECT type_a, type_b, count(*)::BIGINT AS n,
+          |    sum(x2)::BIGINT AS sx, sum(y2)::BIGINT AS sy,
+          |    sum(x2*y2)::BIGINT AS sxy, sum(x2*x2)::BIGINT AS sxx,
+          |    sum(y2*y2)::BIGINT AS syy
+          |  FROM p GROUP BY 1, 2
+          |), ed AS (
+          |  SELECT type_a, type_b FROM g
+          |  WHERE sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+          |      * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+          |    AND abs((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+          |      / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+          |       * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))) >= 0.6
+          |), e2 AS (
+          |  SELECT type_a AS s, type_b AS t FROM ed
+          |  UNION ALL SELECT type_b, type_a FROM ed
+          |), nodes AS (
+          |  SELECT DISTINCT event_type FROM r
+          |), reach(s, t) AS (
+          |  SELECT event_type, event_type FROM nodes
+          |  UNION
+          |  SELECT rc.s, e2.t FROM reach rc JOIN e2 ON rc.t = e2.s
+          |), cl AS (
+          |  SELECT s AS event_type, min(t) AS cluster_id FROM reach GROUP BY 1
+          |)
+          |SELECT event_type, cluster_id,
+          |  (count(*) OVER (PARTITION BY cluster_id))::BIGINT AS cluster_size
+          |FROM cl""".stripMargin),
+    "q208_sma_crossover" ->
+      (dayRetCtes +
+        """, s AS (
+          |  SELECT event_type, day, close_lv,
+          |    sum(close_lv) OVER (PARTITION BY event_type ORDER BY day
+          |      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS s5,
+          |    sum(close_lv) OVER (PARTITION BY event_type ORDER BY day
+          |      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS s20,
+          |    count(close_lv) OVER (PARTITION BY event_type ORDER BY day
+          |      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS n20,
+          |    close_lv - lag(close_lv) OVER (PARTITION BY event_type ORDER BY day) AS r_fp
+          |  FROM c
+          |), t AS (
+          |  SELECT event_type, day, r_fp,
+          |    CASE WHEN 4 * s5 > s20 THEN 1 WHEN 4 * s5 < s20 THEN -1 ELSE 0 END AS pos
+          |  FROM s WHERE n20 = 20 AND r_fp IS NOT NULL
+          |), u AS (
+          |  SELECT event_type, r_fp, pos,
+          |    lag(pos) OVER (PARTITION BY event_type ORDER BY day) AS prev_pos,
+          |    pos::BIGINT * r_fp AS strat_fp
+          |  FROM t
+          |), g AS (
+          |  SELECT event_type,
+          |    count(*)::BIGINT AS n_days,
+          |    sum(CASE WHEN pos <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_active,
+          |    sum(CASE WHEN prev_pos IS NOT NULL AND pos <> prev_pos
+          |      THEN 1 ELSE 0 END)::BIGINT AS n_flips,
+          |    sum(strat_fp)::BIGINT AS ss1,
+          |    sum(strat_fp * strat_fp)::BIGINT AS ss2,
+          |    sum(CASE WHEN strat_fp > 0 THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+          |    sum(r_fp)::BIGINT AS bh1
+          |  FROM u GROUP BY 1
+          |), f AS (
+          |  SELECT *,
+          |    ss1::DOUBLE / n_days::DOUBLE AS mean_d,
+          |    sqrt(greatest(0.0, ss2::DOUBLE / n_days::DOUBLE
+          |      - (ss1::DOUBLE / n_days::DOUBLE) * (ss1::DOUBLE / n_days::DOUBLE))) AS sd_d
+          |  FROM g
+          |)
+          |SELECT event_type, n_days, n_active, n_flips,
+          |  floor(ss1::DOUBLE / 1e6 * 10000 + 0.5)/10000 AS strat_ret_log2,
+          |  floor(bh1::DOUBLE / 1e6 * 10000 + 0.5)/10000 AS bh_ret_log2,
+          |  CASE WHEN n_active > 0 THEN
+          |    floor(n_hit::DOUBLE / n_active::DOUBLE * 10000 + 0.5)/10000 END AS hit_rate,
+          |  CASE WHEN sd_d > 0 THEN
+          |    floor(mean_d / sd_d * sqrt(252.0) * 10000 + 0.5)/10000 END AS sharpe
+          |FROM f""".stripMargin),
     "q203_ewma_backtest" ->
       (dayRetCtes +
         """, s AS (

@@ -1359,6 +1359,14 @@ object StreamPipeline {
     graft.queries.MarketQueries.pairsFromCloses(
       graft.operators.DailyCloses.closes(spark.read.parquet(storePath)))
 
+  /** Serve q208's SMA-crossover backtest from the closes store — the
+    * SAME crossoverFromCloses closing the declared query calls, so a
+    * live strategy dashboard reads today's signal and running P&L
+    * off the maintained day grid without a tick re-scan. */
+  def crossoverServe(spark: SparkSession, storePath: String): org.apache.spark.sql.DataFrame =
+    graft.queries.MarketQueries.crossoverFromCloses(
+      graft.operators.DailyCloses.closes(spark.read.parquet(storePath)))
+
   /** Serve q200's PageRank navigation centrality from the
     * [[transitionMaintain]] counts store: the store IS the q185
     * matrix (StreamingSpec pins streamed counts ≡ declared q185

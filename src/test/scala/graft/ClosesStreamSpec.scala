@@ -31,6 +31,9 @@ class ClosesStreamSpec extends SparkSpec {
     assert(rows(StreamPipeline.pairsServe(spark, p)) ==
       rows(SparkEntry.queries("q198_pairs_spread")(spark, dir)),
       "served pairs screen must equal declared q198 bitwise")
+    assert(rows(StreamPipeline.crossoverServe(spark, p)) ==
+      rows(SparkEntry.queries("q208_sma_crossover")(spark, dir)),
+      "served crossover backtest must equal declared q208 bitwise")
   }
 
   test("5-way hash-shuffled split converges identically; replay is a no-op") {

@@ -412,4 +412,157 @@ class MarketStatsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_days") >= 1)
     }
   }
+
+  test("q208: monotone feeds pin the crossover exactly; V-feed matches an independent Scala replay") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q208").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def tick(d: Int, sym: String, exp: Double, idBase: Long) =
+      (idBase + d, new java.sql.Timestamp(t0.getTime + d * 86400000L), 1L, sym,
+        math.pow(2d, exp), """{"k": 5}""")
+    // UPP rises 2^0..2^29: fast mean > slow mean on every signal day
+    // -> long throughout, strategy IS buy-and-hold; every day a hit;
+    // constant +1e6 return -> zero dispersion -> Sharpe NULL by guard.
+    // DWN falls 2^40..2^11: short throughout, strategy = -buy&hold.
+    val up = (0 until 30).map(d => tick(d, "UPP", d.toDouble, 1000L))
+    val dn = (0 until 30).map(d => tick(d, "DWN", (40 - d).toDouble, 2000L))
+    // VEE: triangle up 30 then down 30 — the signal must flip exactly
+    // once (plus possibly a flat tie day); pin the WHOLE summary row
+    // against an independent pure-Scala replay of the rule.
+    val veeExp = (0 until 60).map(d => if (d <= 30) d else 60 - d)
+    val vee = veeExp.zipWithIndex.map { case (e, d) => tick(d, "VEE", e.toDouble, 3000L) }
+    (up ++ dn ++ vee).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q208_sma_crossover")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val u = out("UPP")
+    assert(u.getAs[Long]("n_days") == 10L && u.getAs[Long]("n_active") == 10L &&
+      u.getAs[Long]("n_flips") == 0L, s"UPP: $u")
+    assert(u.getAs[Double]("strat_ret_log2") == 10.0 &&
+      u.getAs[Double]("bh_ret_log2") == 10.0 &&
+      u.getAs[Double]("hit_rate") == 1.0, s"UPP: $u")
+    assert(u.isNullAt(u.fieldIndex("sharpe")), "constant return -> zero sd -> NULL guard")
+    val w = out("DWN")
+    assert(w.getAs[Double]("strat_ret_log2") == 10.0 &&
+      w.getAs[Double]("bh_ret_log2") == -10.0 &&
+      w.getAs[Double]("hit_rate") == 1.0 && w.getAs[Long]("n_flips") == 0L, s"DWN: $w")
+    // independent replay: same rule in pure Scala over the known
+    // integer levels (2^k -> k*1e6 exactly).
+    val lv = veeExp.map(_ * 1000000L)
+    val rows = (20 until 60).map { d =>
+      val s5  = (d - 5 until d).map(lv).sum
+      val s20 = (d - 20 until d).map(lv).sum
+      val pos = java.lang.Long.signum(4L * s5 - s20)
+      (pos, lv(d) - lv(d - 1))
+    }
+    val flips = rows.sliding(2).count(p => p(1)._1 != p(0)._1)
+    val strat = rows.map { case (p, r) => p * r }
+    val nD = rows.size
+    val exp = (nD.toLong, rows.count(_._1 != 0).toLong, flips.toLong,
+      strat.sum.toDouble / 1e6, rows.map(_._2).sum.toDouble / 1e6,
+      math.floor(strat.count(_ > 0).toDouble / rows.count(_._1 != 0) * 10000 + 0.5) / 10000)
+    val v = out("VEE")
+    assert((v.getAs[Long]("n_days"), v.getAs[Long]("n_active"), v.getAs[Long]("n_flips"),
+      v.getAs[Double]("strat_ret_log2"), v.getAs[Double]("bh_ret_log2"),
+      v.getAs[Double]("hit_rate")) == exp, s"VEE: got $v want $exp")
+    assert(flips >= 1, "the triangle must actually flip the signal")
+    // real feed: bounded counters per instrument
+    q("q208_sma_crossover").collect().foreach { r =>
+      assert(r.getAs[Long]("n_active") <= r.getAs[Long]("n_days"))
+      assert(r.getAs[Long]("n_flips") <= math.max(0L, r.getAs[Long]("n_days") - 1))
+      if (!r.isNullAt(r.fieldIndex("hit_rate"))) {
+        val h = r.getAs[Double]("hit_rate"); assert(h >= 0 && h <= 1)
+      }
+    }
+  }
+
+  test("q210: Holt beats EWMA on a trend, both beat naive on oscillation; exact Scala replay of the fold") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q210").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(d: Int) = new java.sql.Timestamp(t0.getTime + d * 86400000L)
+    // TTT: 30-day exact linear trend — the trend state converges, so
+    // Holt must beat the trend-lagging EWMA. OOO: oscillation — no
+    // trend to learn, but at beta = 0.1 the damped trend term barely
+    // moves, so the structural pin is that BOTH smoothers beat the
+    // naive walk (not their mutual order, which is a coin flip at
+    // this beta — measured: Holt edges EWMA 0.5769 vs 0.5799). CCC:
+    // constant — every error 0, both skill guards NULL.
+    val rows =
+      (1 to 30).map(d => (d * 10L, ts(d), 1L, "TTT", math.pow(2d, d.toDouble), """{"k": 5}""")) ++
+      (1 to 12).map(d => (d * 10L + 1, ts(d), 1L, "OOO",
+        math.pow(2d, if (d % 2 == 1) 4d else 5d), """{"k": 5}""")) ++
+      (1 to 5).map(d => (d * 10L + 2, ts(d), 1L, "CCC", 8.0, """{"k": 5}"""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q210_holt_backtest")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val t = out("TTT")
+    assert(t.getAs[Long]("n_fc") == 29L)
+    assert(t.getAs[Double]("mae_naive") == 1.0, s"trend naive err is exactly 1/day: $t")
+    assert(t.getAs[Double]("mae_holt") < t.getAs[Double]("mae_ewma"),
+      s"the trend term must pay off on a trend: $t")
+    assert(t.getAs[Double]("skill_vs_ewma") < 1.0, s"TTT: $t")
+    val o = out("OOO")
+    assert(o.getAs[Double]("skill_vs_naive") < 1.0,
+      s"a smoother must beat the naive walk on oscillation: $o")
+    val c = out("CCC")
+    assert(c.getAs[Double]("mae_holt") == 0.0 && c.getAs[Double]("mae_naive") == 0.0)
+    assert(c.isNullAt(c.fieldIndex("skill_vs_naive")) &&
+      c.isNullAt(c.fieldIndex("skill_vs_ewma")), "zero-error guards must be NULL")
+    // exact replay of TTT's Holt fold in plain Scala (same IEEE ops)
+    val xs = (1 to 30).map(d => d * 1e6)
+    val (_, _, sae, sse) = xs.tail.foldLeft((xs.head, 0.0, 0.0, 0.0)) {
+      case ((l, b, sa, ss), x) =>
+        val l2 = 0.2 * x + 0.8 * (l + b)
+        val b2 = 0.1 * ((0.2 * x + 0.8 * (l + b)) - l) + 0.9 * b
+        (l2, b2, sa + math.abs(x - (l + b)), ss + (x - (l + b)) * (x - (l + b)))
+    }
+    def r4d(v: Double) = math.floor(v * 10000 + 0.5) / 10000
+    assert(t.getAs[Double]("mae_holt") == r4d(sae / 29d / 1e6), s"mae replay: $t")
+    assert(t.getAs[Double]("rmse_holt") == r4d(math.sqrt(sse / 29d) / 1e6), s"rmse replay: $t")
+    // real feed: counts consistent, RMSE dominates MAE
+    q("q210_holt_backtest").collect().foreach { r =>
+      assert(r.getAs[Long]("n_fc") >= 1)
+      assert(r.getAs[Double]("rmse_holt") >= r.getAs[Double]("mae_holt") - 1e-4, s"$r")
+    }
+  }
+
+  test("q209: designed feed pins clusters incl. the anti-correlated member and both singleton kinds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q209").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def tick(d: Int, sym: String, exp: Int, idBase: Long) =
+      (idBase + d, new java.sql.Timestamp(t0.getTime + d * 86400000L), 1L, sym,
+        math.pow(2d, exp.toDouble), """{"k": 5}""")
+    // AAA/BBB alternate 2^10/2^11 (returns +-1e6): rho(AAA,BBB)=+1.
+    // CCC is the MIRROR (starts at 2^11): rho(AAA,CCC)=-1 — the
+    // hedged pair must land in the SAME risk cluster (|rho|).
+    // DDD has period-4 returns (+,+,-,-): exactly orthogonal to the
+    // alternating pattern over full periods — rho 0, a singleton.
+    // EEE is constant: zero-variance, no defined rho — the den > 0
+    // guard makes it a singleton, not an edge to everything.
+    val rows = (0 until 13).flatMap { d =>
+      Seq(tick(d, "AAA", 10 + (d % 2), 1000L), tick(d, "BBB", 10 + (d % 2), 2000L),
+        tick(d, "CCC", 10 + ((d + 1) % 2), 3000L),
+        tick(d, "DDD", Seq(10, 11, 12, 11)(d % 4), 4000L), tick(d, "EEE", 10, 5000L))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q209_corr_clusters")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[String]("cluster_id"), r.getAs[Long]("cluster_size"))).toMap
+    assert(out("AAA") == ("AAA", 3L) && out("BBB") == ("AAA", 3L) &&
+      out("CCC") == ("AAA", 3L), s"co-movement cluster: $out")
+    assert(out("DDD") == ("DDD", 1L), s"orthogonal singleton: $out")
+    assert(out("EEE") == ("EEE", 1L), s"zero-variance singleton: $out")
+    // real feed: the output is a PARTITION of the instrument set with
+    // min-member representatives.
+    val real = q("q209_corr_clusters").collect()
+    assert(real.map(_.getAs[String]("event_type")).distinct.length == real.length)
+    val byCluster = real.groupBy(_.getAs[String]("cluster_id"))
+    byCluster.foreach { case (cid, m) =>
+      assert(m.exists(_.getAs[String]("event_type") == cid), "representative is a member")
+      assert(m.forall(_.getAs[Long]("cluster_size") == m.length.toLong))
+      assert(m.forall(_.getAs[String]("event_type") >= cid), "representative is the min member")
+    }
+    assert(byCluster.values.map(_.length).sum == real.length)
+  }
 }
