@@ -53,7 +53,8 @@ object MediaHeader {
     StructField("channels", IntegerType, nullable = true),
     StructField("sample_rate", IntegerType, nullable = true),
     StructField("bits_per_sample", IntegerType, nullable = true),
-    StructField("n_frames", LongType, nullable = true)))
+    StructField("n_frames", LongType, nullable = true),
+    StructField("bitrate_kbps", IntegerType, nullable = true)))
 
   /** `media_header(bytes)` as a Column. */
   def headerOf(bytes: Column): Column =
@@ -72,9 +73,10 @@ object MediaHeader {
   private def row(format: String, width: java.lang.Integer = null,
                   height: java.lang.Integer = null, bitDepth: java.lang.Integer = null,
                   channels: java.lang.Integer = null, sampleRate: java.lang.Integer = null,
-                  bitsPerSample: java.lang.Integer = null, nFrames: java.lang.Long = null): InternalRow =
+                  bitsPerSample: java.lang.Integer = null, nFrames: java.lang.Long = null,
+                  bitrateKbps: java.lang.Integer = null): InternalRow =
     new GenericInternalRow(Array[Any](UTF8String.fromString(format), width, height,
-      bitDepth, channels, sampleRate, bitsPerSample, nFrames))
+      bitDepth, channels, sampleRate, bitsPerSample, nFrames, bitrateKbps))
 
   private val Unknown = "unknown"
 
@@ -88,7 +90,53 @@ object MediaHeader {
              tag(b, 8) == 0x57415645 /* WAVE */) parseWav(b)
     else if (b.length >= 12 && tag(b, 4) == 0x66747970 /* ftyp */) parseMp4(b)
     else if (b.length >= 8 && tag(b, 0) == 0x664c6143 /* fLaC */) parseFlac(b)
+    else if (b.length >= 4 &&
+             ((b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
+              ((b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0))) parseMp3(b)
     else row(Unknown)
+  }
+
+  /** MP3 (ISO 11172-3 / 13818-3, Layer III): an optional ID3v2 tag —
+    * "ID3", version (2), flags (1), then a 28-bit SYNCSAFE size (4
+    * bytes, 7 payload bits each; a set high bit is malformed) — is
+    * skipped (footer flag adds 10 more), then the first MPEG frame
+    * header must sit immediately after: 11-bit sync, 2-bit version
+    * id (11 = MPEG1, 10 = MPEG2, 00 = MPEG2.5, 01 reserved), 2-bit
+    * layer (01 = III — other layers out of declared scope), 4-bit
+    * bitrate index resolved through the per-version Layer III kbps
+    * table (0 = free and 15 = bad → unknown), 2-bit sample-rate
+    * index into the per-version rate table (3 reserved), and the
+    * channel mode (11 = mono). No n_frames: a header alone cannot
+    * know the stream length (VBR), and guessing is not decoding. */
+  private def parseMp3(b: Array[Byte]): InternalRow = {
+    var pos = 0L
+    if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      if (b.length < 10) return row(Unknown)
+      if (((b(6) | b(7) | b(8) | b(9)) & 0x80) != 0) return row(Unknown)
+      val tagSize = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      pos = 10L + tagSize + (if ((b(5) & 0x10) != 0) 10L else 0L)
+    }
+    if (pos + 4 > b.length) return row(Unknown)
+    val p = pos.toInt
+    if ((b(p) & 0xff) != 0xff || (b(p + 1) & 0xe0) != 0xe0) return row(Unknown)
+    val verId = (b(p + 1) >> 3) & 0x3
+    val layer = (b(p + 1) >> 1) & 0x3
+    if (layer != 1 /* Layer III */ || verId == 1 /* reserved */) return row(Unknown)
+    val bIdx = (b(p + 2) >> 4) & 0xf
+    val srIdx = (b(p + 2) >> 2) & 0x3
+    if (bIdx == 0 || bIdx == 15 || srIdx == 3) return row(Unknown)
+    val mode = (b(p + 3) >> 6) & 0x3
+    val sr = verId match {
+      case 3 => Array(44100, 48000, 32000)(srIdx)
+      case 2 => Array(22050, 24000, 16000)(srIdx)
+      case _ => Array(11025, 12000, 8000)(srIdx) // MPEG2.5
+    }
+    // Layer III kbps tables; MPEG2 and 2.5 share the low-rate table.
+    val br =
+      if (verId == 3) Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)(bIdx)
+      else Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)(bIdx)
+    row("mp3", channels = if (mode == 3) 1 else 2, sampleRate = sr, bitrateKbps = br)
   }
 
   /** FLAC (RFC 9639): "fLaC" then metadata blocks — 1-byte header

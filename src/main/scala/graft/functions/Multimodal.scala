@@ -195,6 +195,35 @@ object Multimodal {
       ).as("bytes"))
   }
 
+  /** MP3 fixtures: an ID3v2 tag whose 28-bit SYNCSAFE size varies per
+    * row (doc_id % 300 filler bytes — sizes crossing the 7-bit byte
+    * boundary exercise the 7-bits-per-byte unpacking), then one MPEG
+    * Layer III frame header with per-row version (MPEG1/MPEG2),
+    * bitrate index, sample-rate index, and channel mode. The oracle
+    * predicts channels / sample rate / bitrate from the SAME
+    * arithmetic through the version-specific tables, so the hash
+    * match proves the packing and the table-driven unpacking are
+    * exact inverses. */
+  def mp3Fixtures(docs: DataFrame): DataFrame = {
+    val verE  = "(doc_id % 2)"        // 1 = MPEG1, 0 = MPEG2
+    val bIdxE = "(doc_id % 14 + 1)"   // 1..14: always a valid table row
+    val srIdxE = "(doc_id % 3)"       // 0..2: index 3 is reserved
+    val modeE = "(doc_id % 4)"        // 3 = mono
+    val tagE  = "(doc_id % 300)"      // syncsafe: 00 00 (tag DIV 128) (tag % 128)
+    def byte1(e: String): Column = unhex(lpad(hex(expr(e)), 2, "0"))
+    docs.select(
+      col("doc_id").as("media_id"),
+      concat(
+        hx("494433"), hx("0300"), hx("00"),          // "ID3" v2.3, no footer
+        hx("0000"), byte1(s"$tagE DIV 128"), byte1(s"$tagE % 128"),
+        unhex(expr(s"repeat('00', CAST($tagE AS INT))")), // tag body (skipped)
+        hx("FF"),
+        byte1(s"CASE WHEN $verE = 1 THEN 251 ELSE 243 END"), // sync|ver|layer III|prot
+        byte1(s"$bIdxE * 16 + $srIdxE * 4"),
+        byte1(s"$modeE * 64")
+      ).as("bytes"))
+  }
+
   /** Parse container headers off the binary column —
     * [[MediaHeader.headerOf]] flattened to typed metadata columns.
     * All-codegen; touches only leading bytes of each payload. */
@@ -208,6 +237,18 @@ object Multimodal {
         col("h.sample_rate").cast("long").as("sample_rate"),
         col("h.bits_per_sample").cast("long").as("bits_per_sample"),
         col("h.n_frames").as("n_frames"))
+
+  /** The MP3 projection: the fields a Layer III frame header can
+    * actually carry (channels / rate / bitrate — no n_frames: VBR
+    * makes stream length unknowable from one header). Kept separate
+    * so [[decodeHeaders]]'s column contract — which q103/q171/q206
+    * emit unprojected — stays frozen. */
+  def decodeMp3Headers(media: DataFrame): DataFrame =
+    media.withColumn("h", MediaHeader.headerOf(col("bytes")))
+      .select(col("media_id"), col("h.format").as("format"),
+        col("h.channels").cast("long").as("channels"),
+        col("h.sample_rate").cast("long").as("sample_rate"),
+        col("h.bitrate_kbps").cast("long").as("bitrate_kbps"))
 
   /** STUB decode / feature extraction — deterministic fake features
     * (byte histogram stats) in place of a real codec. Runs batched per

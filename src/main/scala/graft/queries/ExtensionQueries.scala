@@ -460,6 +460,22 @@ object ExtensionQueries {
       .withColumn("duration_s",
         r4(col("n_frames").cast("double") / col("sample_rate").cast("double")))
 
+  // q207 — MP3 FRAME HEADER DECODE (ISO 11172-3 Layer III): the
+  // lossy-audio leg completing the audio triple (WAV = raw PCM,
+  // FLAC = lossless, MP3 = lossy) — payloads carry a per-row-sized
+  // ID3v2 tag whose 28-bit SYNCSAFE length (7 payload bits per byte;
+  // sizes cross the 7-bit boundary) must be unpacked to even FIND
+  // the frame, then the frame's packed version/bitrate-index/
+  // rate-index/mode fields resolve through the version-specific
+  // Layer III tables. The oracle predicts channels, sample rate and
+  // bitrate from the same arithmetic through CASE tables, so the
+  // hash match proves syncsafe skip + table lookup are exact
+  // inverses of the fixture packing. No n_frames on purpose: one
+  // header cannot know a VBR stream's length, and guessing is not
+  // decoding (documented in the parser).
+  private def q207(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeMp3Headers(Multimodal.mp3Fixtures(docs(s, dir)))
+
   // q104 — PRODUCT-QUANTIZATION ANN, the full serving shape: compress
   // unit vectors to 16 byte codes (16 subspaces x 256-cell codebooks
   // — 16x smaller than the raw float32 column), ADC-shortlist 25
@@ -1042,6 +1058,7 @@ object ExtensionQueries {
     "q103_media_headers" -> q103 _,
     "q171_mp4_headers" -> q171 _,
     "q206_flac_headers" -> q206 _,
+    "q207_mp3_headers" -> q207 _,
     "q104_pq_topk" -> q104 _,
     "q118_ivfpq_topk" -> q118 _
   )
@@ -1665,6 +1682,18 @@ object ExtensionQueries {
         |  (doc_id % 100000 + 1)::BIGINT AS n_frames,
         |  floor((doc_id % 100000 + 1)::DOUBLE / (doc_id % 4 * 8000 + 16000)::DOUBLE
         |    * 10000 + 0.5)/10000 AS duration_s
+        |FROM documents""".stripMargin,
+    "q207_mp3_headers" ->
+      """SELECT doc_id AS media_id, 'mp3' AS format,
+        |  (CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END)::BIGINT AS channels,
+        |  (CASE WHEN doc_id % 2 = 1
+        |     THEN ([44100, 48000, 32000])[(doc_id % 3)::INT + 1]
+        |     ELSE ([22050, 24000, 16000])[(doc_id % 3)::INT + 1]
+        |   END)::BIGINT AS sample_rate,
+        |  (CASE WHEN doc_id % 2 = 1
+        |     THEN ([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320])[(doc_id % 14)::INT + 1]
+        |     ELSE ([8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160])[(doc_id % 14)::INT + 1]
+        |   END)::BIGINT AS bitrate_kbps
         |FROM documents""".stripMargin,
     "q171_mp4_headers" ->
       """SELECT doc_id AS media_id, 'mp4' AS format,

@@ -120,6 +120,34 @@ class MediaHeaderSpec extends SparkSpec {
     assert(parse(un("664C6143 04 FFFFFF DEAD")).getString(0) == "unknown")
   }
 
+  test("MP3: syncsafe ID3 skip + table-driven frame decode; degradations to unknown") {
+    // ID3v2.3 tag, syncsafe size 200 = 0x00 0x00 0x01 0x48 (crosses
+    // the 7-bit byte boundary), then MPEG1 Layer III: byte1 0xFB,
+    // byte2 0x90 = bitrate idx 9 (128 kbps) | rate idx 0 (44100),
+    // byte3 0x00 = stereo.
+    val tagged = un("494433 0300 00 00000148 " + "00" * 200 + " FFFB9000")
+    val r = parse(tagged)
+    assert(r.getString(0) == "mp3", s"format: $r")
+    assert(r.getInt(4) == 2 && r.getInt(5) == 44100 && r.getInt(8) == 128, s"fields: $r")
+    assert(r.isNullAt(6) && r.isNullAt(7), "no bps/n_frames from a lossy frame header")
+    // raw frame with no tag; MPEG2 indexes the LOW-rate table and
+    // mono mode gives one channel
+    val raw = parse(un("FFFB9000"))
+    assert(raw.getString(0) == "mp3" && raw.getInt(8) == 128, s"raw: $raw")
+    val mpeg2 = parse(un("FFF390C0"))
+    assert(mpeg2.getInt(4) == 1 && mpeg2.getInt(5) == 22050 && mpeg2.getInt(8) == 80,
+      s"MPEG2 mono: $mpeg2")
+    // footer flag (b5 = 0x10) skips 10 more bytes past the body
+    val footed = parse(un("494433 0300 10 00000000 " + "00" * 10 + " FFFB9000"))
+    assert(footed.getString(0) == "mp3" && footed.getInt(5) == 44100, s"footer: $footed")
+    // degradations: free bitrate, bad bitrate 15, reserved rate idx 3,
+    // Layer II, reserved version, malformed syncsafe (high bit set),
+    // tag shorter than its declared size
+    for (bad <- Seq("FFFB0000", "FFFBF000", "FFFB9C00", "FFFD9000", "FFEB9000",
+        "494433 0300 00 80000000 FFFB9000", "494433 0300 00 00000105 0000"))
+      assert(parse(un(bad)).getString(0) == "unknown", s"must degrade: $bad")
+  }
+
   test("malformed payloads parse as unknown, never throw") {
     for (bad <- Seq(
       Array.empty[Byte],
