@@ -1013,8 +1013,14 @@ object MarketQueries {
   // engines (Spark `aggregate`, DuckDB list_reduce with a prepended
   // 0.0 seed), so sums agree bitwise before r4 — list_sum would not
   // (unspecified summation order, the q108 frame-evaluation lesson).
-  private def q203(s: SparkSession, dir: String): DataFrame = {
-    val base = dailyCloses(s, dir)
+  private def q203(s: SparkSession, dir: String): DataFrame =
+    ewmaFromCloses(dailyCloses(s, dir))
+
+  /** q203's closing over any (event_type, day, close_lv) day grid —
+    * ONE code path with the streaming serve
+    * (StreamPipeline.ewmaServe over the closes store). */
+  private[graft] def ewmaFromCloses(cl: DataFrame): DataFrame = {
+    val base = cl
       .select(col("event_type"), struct(col("day"), col("close_lv")).as("p"))
       .groupBy(col("event_type"))
       .agg(sort_array(collect_list(col("p"))).as("ps"))
@@ -1124,8 +1130,14 @@ object MarketQueries {
   // written as the identical IEEE expression on both sides, so sums
   // agree bitwise before r4. Scale shape: q203's — day-grid arrays
   // after dailyCloses' one partial agg, volume-independent folds.
-  private def q210(s: SparkSession, dir: String): DataFrame = {
-    val base = dailyCloses(s, dir)
+  private def q210(s: SparkSession, dir: String): DataFrame =
+    holtFromCloses(dailyCloses(s, dir))
+
+  /** q210's closing over any (event_type, day, close_lv) day grid —
+    * ONE code path with the streaming serve
+    * (StreamPipeline.holtServe over the closes store). */
+  private[graft] def holtFromCloses(cl: DataFrame): DataFrame = {
+    val base = cl
       .select(col("event_type"), struct(col("day"), col("close_lv")).as("p"))
       .groupBy(col("event_type"))
       .agg(sort_array(collect_list(col("p"))).as("ps"))

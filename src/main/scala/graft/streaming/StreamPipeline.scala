@@ -1367,6 +1367,16 @@ object StreamPipeline {
     graft.queries.MarketQueries.crossoverFromCloses(
       graft.operators.DailyCloses.closes(spark.read.parquet(storePath)))
 
+  /** Serve q203's EWMA forecast backtest from the closes store. */
+  def ewmaServe(spark: SparkSession, storePath: String): org.apache.spark.sql.DataFrame =
+    graft.queries.MarketQueries.ewmaFromCloses(
+      graft.operators.DailyCloses.closes(spark.read.parquet(storePath)))
+
+  /** Serve q210's Holt trend backtest from the closes store. */
+  def holtServe(spark: SparkSession, storePath: String): org.apache.spark.sql.DataFrame =
+    graft.queries.MarketQueries.holtFromCloses(
+      graft.operators.DailyCloses.closes(spark.read.parquet(storePath)))
+
   /** Serve q200's PageRank navigation centrality from the
     * [[transitionMaintain]] counts store: the store IS the q185
     * matrix (StreamingSpec pins streamed counts ≡ declared q185

@@ -34,6 +34,12 @@ class ClosesStreamSpec extends SparkSpec {
     assert(rows(StreamPipeline.crossoverServe(spark, p)) ==
       rows(SparkEntry.queries("q208_sma_crossover")(spark, dir)),
       "served crossover backtest must equal declared q208 bitwise")
+    assert(rows(StreamPipeline.ewmaServe(spark, p)) ==
+      rows(SparkEntry.queries("q203_ewma_backtest")(spark, dir)),
+      "served EWMA backtest must equal declared q203 bitwise")
+    assert(rows(StreamPipeline.holtServe(spark, p)) ==
+      rows(SparkEntry.queries("q210_holt_backtest")(spark, dir)),
+      "served Holt backtest must equal declared q210 bitwise")
   }
 
   test("5-way hash-shuffled split converges identically; replay is a no-op") {
