@@ -370,6 +370,11 @@ object ScaleProbe {
     time("q203_ewma_backtest") { q("q203_ewma_backtest") }
     time("q204_session_paths") { q("q204_session_paths") }
     time("q205_bot_profile") { q("q205_bot_profile") }
+    time("q207_mp3_headers") { q("q207_mp3_headers") }
+    time("q208_sma_crossover") { q("q208_sma_crossover") }
+    time("q209_corr_clusters") { q("q209_corr_clusters") }
+    time("q210_holt_backtest") { q("q210_holt_backtest") }
+    time("q211_textrank") { q("q211_textrank") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

@@ -275,6 +275,78 @@ object AnalyticsQueries {
       .select(col("doc_id"), col("n_terms"), col("bm25_r"))
   }
 
+  // q211 — TEXTRANK KEYWORD CENTRALITY (Mihalcea & Tarau, EMNLP
+  // 2004): the corpus's most central keywords — PageRank over the
+  // token co-occurrence graph, where two vocabulary tokens are linked
+  // whenever they appear within 4 positions of each other inside a
+  // document. Frequency (q96's df) says "common"; centrality says
+  // "connected to everything common" — the standard unsupervised
+  // keyword extractor. Construction: the vocabulary is the top 30
+  // tokens by document frequency (term tiebreak — the q115 boundary
+  // determinism rule); co-occurrence pairs come from FOUR lead()
+  // columns in ONE per-doc window pass (positions are consecutive,
+  // so lead(k) IS "within k") emitted in both directions, making the
+  // count matrix symmetric; rows normalize to a random walk, isolated
+  // vocabulary tokens take the uniform dangling patch, and the rank
+  // closes with the q200 discipline — 40 fixed-order power
+  // iterations, damping 0.85, teleport 0.15/n, every component
+  // snapped to 1e-9 — over the collected ≤30×30 matrix, driver-side
+  // and volume-independent. DuckDB replays the WHOLE pipeline
+  // including the iterations (recursive CTE over dynamic-length
+  // lists: column dots via list_transform + list_dot_product, both
+  // order-preserving). Scale shape: one posexplode + distinct for
+  // df, one per-doc window pass (doc-sized keys — no dominant-key
+  // hazard), a 30-literal IN filter, one bounded (f, t) partial agg.
+  private def q211(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pos = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextAnalysis.wordTokens(col("text"))).as(Seq("pos", "term")))
+    val vseq = pos.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(30)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val states = vseq.map(_._1).sorted.toVector // matrix order: alphabetical
+    val dfMap = vseq.toMap
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val led = pos
+      .withColumn("t1", lead(col("term"), 1).over(w))
+      .withColumn("t2", lead(col("term"), 2).over(w))
+      .withColumn("t3", lead(col("term"), 3).over(w))
+      .withColumn("t4", lead(col("term"), 4).over(w))
+      .filter(col("term").isin(states: _*))
+    val pairs = led
+      .select(col("term").as("f"),
+        explode(array(col("t1"), col("t2"), col("t3"), col("t4"))).as("t"))
+      .filter(col("t").isNotNull && col("t").isin(states: _*))
+    val cnt = pairs.select(col("f"), col("t"))
+      .unionAll(pairs.select(col("t").as("f"), col("f").as("t")))
+      .groupBy(col("f"), col("t")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val n = states.size
+    val nD = n.toDouble
+    val outTot = states.map(f => states.map(t => cnt.getOrElse((f, t), 0L)).sum)
+    val p = Array.tabulate(n, n) { (fi, ti) =>
+      if (outTot(fi) == 0L) 1.0 / nD
+      else cnt.getOrElse((states(fi), states(ti)), 0L).toDouble / outTot(fi).toDouble
+    }
+    var pr = Array.fill(n)(1.0 / nD)
+    var it = 0
+    while (it < 40) {
+      val next = Array.tabulate(n) { i =>
+        var dot = 0.0
+        var j = 0
+        while (j < n) { dot += p(j)(i) * pr(j); j += 1 }
+        math.floor((0.15 / nD + 0.85 * dot) * 1e9 + 0.5) / 1e9
+      }
+      pr = next
+      it += 1
+    }
+    states.zipWithIndex.map { case (t, i) =>
+      (t, dfMap(t), outTot(i), math.floor(pr(i) * 10000 + 0.5) / 10000)
+    }.toDF("term", "df", "out_cooc", "textrank")
+  }
+
   // q116 — COHORT RETENTION: users grouped by first-activity week,
   // distinct actives per (cohort, week-offset) — the retention matrix
   // every product-analytics stack reports. Scale shape: one shuffle
@@ -457,6 +529,7 @@ object AnalyticsQueries {
     "q123_hybrid_rrf" -> q123 _,
     "q82_ewma" -> q82 _,
     "q115_bm25" -> q115 _,
+    "q211_textrank" -> q211 _,
     "q116_cohort_retention" -> q116 _,
     "q117_event_transitions" -> q117 _,
     "q120_gaps_islands" -> q120 _,
@@ -570,6 +643,65 @@ object AnalyticsQueries {
         |SELECT doc_id, rank_bm25, rank_tfidf, rrf_r, rnk FROM (
         |  SELECT *, row_number() OVER (ORDER BY rrf_r DESC, doc_id)::BIGINT AS rnk FROM f)
         |WHERE rnk <= 10""".stripMargin,
+    "q211_textrank" ->
+      // the q200 recursive-CTE replay generalized to a DATA-DEPENDENT
+      // node set: the matrix is a list of rows in alphabetical term
+      // order, column dots are list_transform(m, r -> r[i]) +
+      // list_dot_product (both order-preserving, matching the driver
+      // loop's fixed j-order), and init/teleport derive from len(p)
+      // so the same SQL replays any vocabulary size.
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS xs
+        |  FROM documents
+        |), pos AS MATERIALIZED (
+        |  SELECT doc_id, u.i AS pos, xs[u.i] AS term
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(xs))) AS i) u
+        |), vocab AS MATERIALIZED (
+        |  SELECT term, count(*)::BIGINT AS df FROM (
+        |    SELECT DISTINCT doc_id, term FROM pos
+        |  ) GROUP BY 1 ORDER BY df DESC, term LIMIT 30
+        |), vs AS MATERIALIZED (
+        |  SELECT term, df, row_number() OVER (ORDER BY term) AS rn FROM vocab
+        |), pr AS MATERIALIZED (
+        |  SELECT a.term AS f, b.term AS t2
+        |  FROM pos a
+        |  JOIN pos b ON a.doc_id = b.doc_id
+        |    AND b.pos BETWEEN a.pos + 1 AND a.pos + 4
+        |  JOIN vs va ON va.term = a.term
+        |  JOIN vs vb ON vb.term = b.term
+        |), cnt AS MATERIALIZED (
+        |  SELECT f, t2, count(*)::BIGINT AS n FROM (
+        |    SELECT f, t2 FROM pr UNION ALL SELECT t2, f FROM pr
+        |  ) GROUP BY 1, 2
+        |), outs AS MATERIALIZED (
+        |  SELECT f, sum(n)::BIGINT AS out_n FROM cnt GROUP BY 1
+        |), nn AS (SELECT count(*)::BIGINT AS n FROM vs),
+        |cells AS (
+        |  SELECT fs.rn AS fi, ti.rn AS ti_,
+        |    CASE WHEN o.out_n IS NULL THEN 1.0::DOUBLE / (SELECT n FROM nn)::DOUBLE
+        |      ELSE coalesce(c.n, 0)::DOUBLE / o.out_n::DOUBLE END AS v
+        |  FROM vs fs CROSS JOIN vs ti
+        |  LEFT JOIN outs o ON o.f = fs.term
+        |  LEFT JOIN cnt c ON c.f = fs.term AND c.t2 = ti.term
+        |), rows_m AS MATERIALIZED (
+        |  SELECT fi, list(v ORDER BY ti_) AS row FROM cells GROUP BY fi
+        |), mat AS MATERIALIZED (SELECT list(row ORDER BY fi) AS m FROM rows_m),
+        |it(k, p) AS (
+        |  -- lambdas lose outer bindings inside correlated scalar
+        |  -- subqueries (binder limitation), so mat/nn join in plainly
+        |  SELECT 0, list_transform(range(1, n::INT + 1),
+        |    i -> 1.0::DOUBLE / n::DOUBLE)
+        |  FROM nn
+        |  UNION ALL
+        |  SELECT k + 1, list_transform(range(1, len(p) + 1),
+        |    i -> floor((0.15::DOUBLE / len(p)::DOUBLE
+        |      + 0.85 * list_dot_product(list_transform(m, r -> r[i]), p)) * 1e9 + 0.5)/1e9)
+        |  FROM it, mat WHERE k < 40
+        |)
+        |SELECT vs.term, vs.df,
+        |  coalesce((SELECT out_n FROM outs WHERE f = vs.term), 0)::BIGINT AS out_cooc,
+        |  floor(fin.p[vs.rn::INT] * 10000 + 0.5)/10000 AS textrank
+        |FROM vs, (SELECT p FROM it WHERE k = 40) fin""".stripMargin,
     "q115_bm25" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term

@@ -37,6 +37,40 @@ class CorpusOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q211: symmetric cycle forces exactly uniform ranks; a hub outranks its leaves; mass conserves") {
+    // three-token cycle with identical pairwise coupling: by symmetry
+    // all three components run the IDENTICAL computation, and the
+    // uniform vector is the snapped fixed point -> ranks are exactly
+    // 1/3 -> r4 0.3333 each.
+    val cyc = Files.createTempDirectory("graft_q211c").toString
+    Seq((0L, "aa bb"), (1L, "bb cc"), (2L, "cc aa"))
+      .toDF("doc_id", "text").write.parquet(s"$cyc/documents.parquet")
+    val c = q("q211_textrank", cyc).collect()
+    assert(c.length == 3 && c.forall(_.getAs[Double]("textrank") == 0.3333), c.mkString(";"))
+    // star: hub hh pairs with eight distinct leaves -> strictly the
+    // most central token even though every leaf has the same in-doc
+    // frequency as hh per document.
+    val star = Files.createTempDirectory("graft_q211s").toString
+    (0 until 8).map(i => (i.toLong, s"hh leaf$i"))
+      .toDF("doc_id", "text").write.parquet(s"$star/documents.parquet")
+    val sRows = q("q211_textrank", star).collect()
+    val hub = sRows.find(_.getAs[String]("term") == "hh").get
+    assert(sRows.filter(_.getAs[String]("term") != "hh")
+      .forall(_.getAs[Double]("textrank") < hub.getAs[Double]("textrank")),
+      sRows.mkString(";"))
+    assert(hub.getAs[Long]("df") == 8L && hub.getAs[Long]("out_cooc") == 8L)
+    // real corpus: 30-token vocabulary, rank mass conserves (sum = 1
+    // up to 30 snaps + r4), every df/out_cooc consistent
+    val real = q("q211_textrank").collect()
+    assert(real.length == 30)
+    val mass = real.map(_.getAs[Double]("textrank")).sum
+    assert(math.abs(mass - 1.0) < 0.01, s"rank mass: $mass")
+    real.foreach { r =>
+      assert(r.getAs[Long]("df") >= 1 && r.getAs[Long]("out_cooc") >= 0)
+      val t = r.getAs[Double]("textrank"); assert(t > 0 && t < 1)
+    }
+  }
+
   test("q142: corpus with globally unique blocks reconstructs every doc losslessly") {
     val dir = Files.createTempDirectory("graft_q142").toString
     Seq(
