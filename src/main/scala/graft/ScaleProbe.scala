@@ -375,6 +375,7 @@ object ScaleProbe {
     time("q209_corr_clusters") { q("q209_corr_clusters") }
     time("q210_holt_backtest") { q("q210_holt_backtest") }
     time("q211_textrank") { q("q211_textrank") }
+    time("q212_benford_audit") { q("q212_benford_audit") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

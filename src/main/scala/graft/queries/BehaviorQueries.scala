@@ -420,32 +420,59 @@ object BehaviorQueries {
   // IEEE sequence. Scale shape: user cardinality grows with volume,
   // so the per-user aggregates parallelize; one extra (user, minute)
   // partial agg feeds the peak-rate column.
-  private def q205(s: SparkSession, dir: String): DataFrame = {
-    val f = sessionFlags(s, dir)
-    val gapUs = unix_micros(col("ts")) - unix_micros(col("prev"))
-    val inSess = when(col("new_s") === 0L, gapUs)
-    val perUser = f.groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("new_s")).as("n_sessions"),
-        count(inSess).as("n_gaps"),
-        sum(inSess).as("sg"),
-        sum((inSess * inSess).cast("decimal(38,0)")).as("sg2"))
-    // the peak-rate branch needs no session flags — it aggregates the
-    // RAW events, so the (user, chunk) session window runs exactly once
-    val epm = ev(s, dir)
-      .groupBy(col("user_id"), date_trunc("minute", col("ts")).as("m"))
-      .agg(count(lit(1)).as("epm"))
-      .groupBy(col("user_id")).agg(max(col("epm")).as("epm_max"))
-    def d(c: Column) = c.cast("double")
-    val n    = d(col("n_gaps"))
-    val mean = d(col("sg")) / n
-    val sd   = sqrt(greatest(lit(0d), d(col("sg2")) / n - mean * mean))
-    perUser.join(epm, Seq("user_id"))
-      .select(col("user_id"), col("n_events"), col("n_sessions"),
-        col("n_gaps"), col("epm_max"),
-        when(col("n_gaps") > 0, r4(mean / lit(1e6))).as("mean_gap_s"),
-        when(col("n_gaps") > 0, r4(sd / lit(1e6))).as("sd_gap_s"),
-        (col("n_gaps") >= 20 && sd < lit(1e6)).as("is_metronomic"))
+  /** Delegated to operators.Bots (round 10, session 3): the per-user
+    * cadence state (additive gap counters + the three-number minute-
+    * rate state) is mergeable under ordered arrival, so ONE code path
+    * serves this batch query AND the streaming maintainer
+    * (StreamPipeline.botMaintain / botServe); BotStreamSpec pins
+    * maintained ≡ declared bitwise across batch splits. */
+  private def q205(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bots.profile(graft.operators.Bots.state(ev(s, dir)))
+
+  /** Benford expectations log10(1 + 1/d), computed ONCE here and
+    * interpolated verbatim (Double.toString shortest-repr round-trips
+    * through DuckDB's parser) into the oracle SQL — one source for
+    * both engines' literals, the q212 parity rule. */
+  private[queries] val BenfordP: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> math.log10(1 + 1.0 / d))
+
+  // q212 — BENFORD FIRST-DIGIT AUDIT: the classic forensic
+  // data-quality screen — naturally occurring amounts follow
+  // P(first digit = d) = log10(1 + 1/d), and fabricated or
+  // unit-capped data does not; the chi-square distance from the
+  // Benford curve is the fraud/ingest-corruption alarm every audit
+  // pipeline runs over money columns. Exactness: amounts quantize
+  // ONCE to integer cents (floor(p·100 + 0.5) — bit-identical on
+  // both engines), the leading digit reads off the BIGINT's decimal
+  // string (no double formatting, no log10 per row), counts are
+  // exact, and the 9 chi-square parts quantize to 1e-8 INTEGERS
+  // before the total so the 9-addend sum is order-free (the q63
+  // fixed-point rule — a raw double sum of 9 parts would depend on
+  // aggregation order in the last ulp). Scale shape: one scan, one
+  // map-side-partial 9-group agg, a broadcast total; the digit frame
+  // is 9 rows at any volume.
+  private def q212(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = floor(col("l_extendedprice") * lit(100d) + lit(0.5d)).cast("long")
+    val d0 = Tables.lineitem(s, dir).select(cents.as("cents"))
+      .filter(col("cents").isNotNull)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
+    val g = d0.groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = d0.agg(count(lit(1)).as("n"))
+    val digs = BenfordP.toDF("digit", "p")
+    def dd(c: Column) = c.cast("double")
+    val j = digs.join(g, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"), col("p"))
+      .crossJoin(broadcast(tot))
+    val dev = dd(col("n_obs")) - dd(col("n")) * col("p")
+    val parts = j.withColumn("p8",
+      floor(dev * dev / (dd(col("n")) * col("p")) * lit(1e8) + lit(0.5d)).cast("long"))
+    val chi = parts.agg((sum(col("p8")).cast("double") / lit(1e8)).as("chi2"))
+    parts.crossJoin(broadcast(chi))
+      .select(col("digit"), col("n_obs"),
+        r4(dd(col("n_obs")) / dd(col("n"))).as("share_r"),
+        r4(col("p")).as("benford_r"),
+        r4(col("chi2")).as("chi2_r"))
   }
 
   // q200 — PAGERANK NAVIGATION CENTRALITY: the stationary-importance
@@ -516,6 +543,7 @@ object BehaviorQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q212_benford_audit" -> q212 _,
     "q204_session_paths" -> q204 _,
     "q205_bot_profile" -> q205 _,
     "q200_pagerank_nav" -> q200 _,
@@ -533,6 +561,34 @@ object BehaviorQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q212_benford_audit" -> {
+      // ::DOUBLE on the literal: DuckDB would otherwise bind the
+      // 17-digit constant as DECIMAL(18,17) and overflow the r4
+      // multiply; the cast reproduces the exact Scala double
+      // (shortest-repr round trip).
+      val values = BenfordP.map { case (d, p) => s"($d, $p::DOUBLE)" }.mkString(", ")
+      s"""WITH c AS (
+         |  SELECT floor(l_extendedprice * 100 + 0.5)::BIGINT AS cents FROM lineitem
+         |  WHERE l_extendedprice IS NOT NULL
+         |), d AS (
+         |  SELECT substr(cents::VARCHAR, 1, 1)::INT AS digit FROM c
+         |), g AS (
+         |  SELECT digit, count(*)::BIGINT AS n_obs FROM d GROUP BY 1
+         |), nn AS (SELECT count(*)::BIGINT AS n FROM d),
+         |digs(digit, p) AS (VALUES $values),
+         |parts AS (
+         |  SELECT digs.digit, coalesce(g.n_obs, 0)::BIGINT AS n_obs, digs.p, nn.n,
+         |    floor((coalesce(g.n_obs, 0)::DOUBLE - nn.n::DOUBLE * digs.p)
+         |        * (coalesce(g.n_obs, 0)::DOUBLE - nn.n::DOUBLE * digs.p)
+         |        / (nn.n::DOUBLE * digs.p) * 1e8 + 0.5)::BIGINT AS p8
+         |  FROM digs LEFT JOIN g USING (digit) CROSS JOIN nn
+         |), chi AS (SELECT sum(p8)::DOUBLE / 1e8 AS chi2 FROM parts)
+         |SELECT digit, n_obs,
+         |  floor(n_obs::DOUBLE / n::DOUBLE * 10000 + 0.5)/10000 AS share_r,
+         |  floor(p * 10000 + 0.5)/10000 AS benford_r,
+         |  floor(chi2 * 10000 + 0.5)/10000 AS chi2_r
+         |FROM parts CROSS JOIN chi""".stripMargin
+    },
     "q205_bot_profile" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts FROM events

@@ -1347,6 +1347,138 @@ object StreamPipeline {
   def pathsServe(spark: SparkSession, countsPath: String): org.apache.spark.sql.DataFrame =
     graft.operators.Paths.close(spark.read.parquet(countsPath))
 
+  /** STREAMING BOT-PROFILE MAINTENANCE (leg 19): q205's behavioral
+    * data-quality gate kept live — the profile a feed operator reads
+    * to throttle machine traffic WHILE it happens, not in tomorrow's
+    * batch. ONE store row per user carries the full mergeable state:
+    *
+    *  - the additive gap counters (events, sessions, within-session
+    *    gap count / Σ / Σ² in decimal) — the boundary decision
+    *    replays the SAME Transitions gap rule over (carried last
+    *    event ∪ batch), the pathsBatch carry trick with one row;
+    *  - the minute-rate triple (closed-minute max, current minute,
+    *    its count): ordered arrival means a minute never reopens, so
+    *    the busiest-minute readout needs THREE numbers per user, not
+    *    a (user, minute) table — serving takes greatest(closed, cur);
+    *  - the carried last event itself (ts/id/type for the lag).
+    *
+    * Event-time regressions against the carry are counted in
+    * [[lateBotRows]] (the lateTransitionRows contract: ordered
+    * arrival assumed, violations observable, never silent).
+    * Marker idempotence + pre-read heal + atomic swap as in every
+    * maintainer. State is ONE bounded row per user. */
+  val lateBotRows = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def botMaintain(eventsStream: DataFrame, storePath: String, checkpoint: String,
+                  trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    eventsStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        botBatch(batch, storePath, batchId)
+      }
+      .start()
+
+  /** One [[botMaintain]] micro-batch. */
+  private[graft] def botBatch(batch: DataFrame, storePath: String, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    graft.batch.AtomicSwap.heal(hconf, storePath)
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).exists(hp)
+    }
+    if (exists(s"$storePath/_graft_batch_$batchId")) return // replay: no-op
+    val store: Option[DataFrame] =
+      if (exists(storePath)) Some(spark.read.parquet(storePath).localCheckpoint(true))
+      else None
+    val evCols = Seq("user_id", "ts", "event_id", "event_type").map(col)
+    val b = batch.select(evCols: _*).localCheckpoint(true)
+    val uni = store match {
+      case Some(st) =>
+        st.select(col("user_id"), col("last_ts").as("ts"),
+            col("last_eid").as("event_id"), col("last_type").as("event_type"))
+          .withColumn("__carried", lit(true))
+          .unionByName(b.withColumn("__carried", lit(false)))
+      case None => b.withColumn("__carried", lit(false))
+    }
+    store.foreach { st =>
+      val nLate = b.join(st.select(col("user_id"), col("last_ts")), Seq("user_id"))
+        .filter(col("ts") < col("last_ts")).count()
+      if (nLate > 0) lateBotRows.addAndGet(nLate)
+    }
+    import graft.operators.{Bots, Transitions}
+    // gap-counter increments: carried rows supply the lag, never count
+    val inc = Bots.gapState(Transitions.flags(uni), !col("__carried"))
+    // minute merge: batch counts + the batch users' carried current
+    // minute; the new current is the latest minute, everything older
+    // closes into the running max
+    val bm = Bots.minuteCounts(b)
+    val mm = (store match {
+      case Some(st) =>
+        bm.unionByName(
+          st.select(col("user_id"), col("cur_m").as("m"), col("cur_epm").as("epm"))
+            .join(bm.select(col("user_id")).distinct(), Seq("user_id")))
+      case None => bm
+    }).groupBy(col("user_id"), col("m")).agg(sum(col("epm")).cast("long").as("epm"))
+    val cur = mm.groupBy(col("user_id"))
+      .agg(max_by(struct(col("m"), col("epm")), col("m")).as("c"))
+      .select(col("user_id"), col("c.m").as("cur_m"), col("c.epm").as("cur_epm"))
+    val closed = mm.join(cur, Seq("user_id"))
+      .filter(col("m") < col("cur_m"))
+      .groupBy(col("user_id")).agg(max(col("epm")).as("closed_new"))
+    val lastEv = uni.groupBy(col("user_id"))
+      .agg(max_by(struct(col("ts"), col("event_id"), col("event_type")),
+        struct(col("ts"), col("event_id"))).as("l"))
+      .select(col("user_id"), col("l.ts").as("last_ts"),
+        col("l.event_id").as("last_eid"), col("l.event_type").as("last_type"))
+    val zeroDec = lit(0).cast("decimal(38,0)")
+    val combined0 = inc.join(cur, Seq("user_id")).join(closed, Seq("user_id"), "left")
+    val combined = (store match {
+      case Some(st) => combined0.join(
+        st.select(col("user_id"), col("n_events").as("o_ne"),
+          col("n_sessions").as("o_ns"), col("n_gaps").as("o_ng"),
+          col("sg").as("o_sg"), col("sg2").as("o_sg2"),
+          col("closed_max").as("o_cm")), Seq("user_id"), "left")
+      case None => combined0
+        .withColumn("o_ne", lit(null).cast("long"))
+        .withColumn("o_ns", lit(null).cast("long"))
+        .withColumn("o_ng", lit(null).cast("long"))
+        .withColumn("o_sg", lit(null).cast("long"))
+        .withColumn("o_sg2", lit(null).cast("decimal(38,0)"))
+        .withColumn("o_cm", lit(null).cast("long"))
+    })
+      .join(lastEv, Seq("user_id"))
+      .select(col("user_id"),
+        (coalesce(col("o_ne"), lit(0L)) + col("n_events")).as("n_events"),
+        (coalesce(col("o_ns"), lit(0L)) + coalesce(col("n_sessions"), lit(0L))).as("n_sessions"),
+        (coalesce(col("o_ng"), lit(0L)) + col("n_gaps")).as("n_gaps"),
+        (coalesce(col("o_sg"), lit(0L)) + coalesce(col("sg"), lit(0L))).as("sg"),
+        (coalesce(col("o_sg2"), zeroDec) + coalesce(col("sg2"), zeroDec))
+          .cast("decimal(38,0)").as("sg2"),
+        greatest(col("o_cm"), col("closed_new")).as("closed_max"),
+        col("cur_m"), col("cur_epm"),
+        col("last_ts"), col("last_eid"), col("last_type"))
+    val untouched = store.map(
+        _.join(b.select(col("user_id")).distinct(), Seq("user_id"), "left_anti"))
+    val newStore = untouched.map(_.unionByName(combined)).getOrElse(combined)
+    newStore.coalesce(1).write.mode("overwrite").parquet(storePath + ".tmp")
+    val marker = new org.apache.hadoop.fs.Path(s"$storePath.tmp/_graft_batch_$batchId")
+    marker.getFileSystem(hconf).create(marker, true).close()
+    graft.batch.AtomicSwap.swapInto(hconf, storePath + ".tmp", storePath)
+  }
+
+  /** Serve q205's bot profile from the maintained store — the SAME
+    * Bots.profile closing the declared query calls; the busiest
+    * minute is greatest(closed-minute max, the open minute). */
+  def botServe(spark: SparkSession, storePath: String): org.apache.spark.sql.DataFrame =
+    graft.operators.Bots.profile(
+      spark.read.parquet(storePath).select(col("user_id"), col("n_events"),
+        col("n_sessions"), col("n_gaps"), col("sg"), col("sg2"),
+        greatest(col("closed_max"), col("cur_epm")).as("epm_max")))
+
   /** Serve q199's risk-adjusted summary from the closes store —
     * the SAME riskFromCloses closing the declared query calls. */
   def riskServe(spark: SparkSession, storePath: String): org.apache.spark.sql.DataFrame =

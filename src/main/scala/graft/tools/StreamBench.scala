@@ -442,7 +442,19 @@ object StreamBench {
     val pathLine = report("paths_maintain", pathLats, evRows,
       s""","counts_rows":${spark.read.parquet(s"$dir/path_counts").count()}""")
 
-    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine,$attrLine,$rfmLine,$sessLine,$liftLine,$clLine,$pathLine}")
+    // ---- 19. bot-profile maintenance: one cadence row per user
+    // (additive gap counters + the three-number minute-rate state);
+    // the q205 serve reads the store directly.
+    val ev19 = MemoryStream[(Long, java.sql.Timestamp, Long, String)](spark)
+    val qBot = StreamPipeline.botMaintain(
+      ev19.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+      s"$dir/bot_store", s"$dir/ckpt_bot", trigger = Trigger.ProcessingTime(0))
+    val botLats = timeBatches(ev19, qBot, batches, genEv)
+    qBot.stop()
+    val botLine = report("bot_maintain", botLats, evRows,
+      s""","store_rows":${spark.read.parquet(s"$dir/bot_store").count()}""")
+
+    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine,$attrLine,$rfmLine,$sessLine,$liftLine,$clLine,$pathLine,$botLine}")
     spark.stop()
   }
 }

@@ -22,6 +22,31 @@ class BehaviorSpec extends SparkSpec {
   private val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
   private def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
 
+  test("q212: single-digit corpus pins the degenerate distribution; all 9 digits always present; real-feed identities") {
+    // every amount starts with digit 7 -> share(7) = 1.0, every other
+    // digit 0 with its expected-count chi-square part intact; the
+    // statistic must scream (chi2 >> the 15.5 alpha=0.05 critical
+    // value for 8 df).
+    val dir = java.nio.file.Files.createTempDirectory("graft_q212").toString
+    (0 until 200).map(i => 700.00 + i / 100.0).toDF("l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q212_benford_audit")(spark, dir).collect()
+      .map(r => r.getAs[Int]("digit") -> r).toMap
+    assert(out.keySet == (1 to 9).toSet, "all 9 digit rows, observed or not")
+    assert(out(7).getAs[Long]("n_obs") == 200L && out(7).getAs[Double]("share_r") == 1.0)
+    assert((1 to 9).filter(_ != 7).forall(d => out(d).getAs[Long]("n_obs") == 0L))
+    assert(out(1).getAs[Double]("chi2_r") > 15.5, s"degenerate corpus must fail the test: ${out(1)}")
+    // real feed: shares sum to 1 (up to 9 r4 roundings), chi2 constant
+    // across rows and non-negative, Benford curve monotone decreasing
+    val real = q("q212_benford_audit").collect()
+    assert(real.length == 9)
+    assert(math.abs(real.map(_.getAs[Double]("share_r")).sum - 1.0) < 1e-3)
+    assert(real.map(_.getAs[Double]("chi2_r")).distinct.length == 1)
+    assert(real.forall(_.getAs[Double]("chi2_r") >= 0))
+    val curve = real.sortBy(_.getAs[Int]("digit")).map(_.getAs[Double]("benford_r"))
+    assert(curve.zip(curve.tail).forall { case (a, b) => a > b }, "Benford curve decreasing")
+  }
+
   test("q181: one row per lineitem column; counts agree with direct aggregates") {
     val out = q("q181_table_profile").collect().map(r =>
       r.getAs[String]("col_name") -> r).toMap
