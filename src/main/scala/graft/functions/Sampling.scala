@@ -13,9 +13,17 @@ object Sampling {
 
   /** Knuth multiplicative hash bucket in [0, buckets): reproducible,
     * well-mixed, and expressible in any engine with 64-bit integer
-    * arithmetic (unlike engine-specific hash functions). */
+    * arithmetic (unlike engine-specific hash functions).
+    *
+    * Overflow-PROOF, not just overflow-tolerant: the id is reduced
+    * mod 2^31 BEFORE the multiply, so every intermediate stays below
+    * 2^31 * 2654435761 < 2^63. A raw `id * 2654435761` wraps
+    * silently in Spark for ids above ~3.47e9 but ERRORS in DuckDB
+    * (BIGINT overflow) — the two engines would diverge exactly at
+    * the 100 TB id ranges this split targets. For ids < 2^31 the
+    * reduction is a no-op, so small-scale outputs are unchanged. */
   def hashBucket(id: Column, buckets: Int): Column =
-    pmod((id * lit(2654435761L)) % lit(4294967296L), lit(buckets.toLong))
+    pmod(((id % lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L), lit(buckets.toLong))
 
   /** Deterministic train/validation/test split by id hash:
     * label column with the split name. Fractions in percent. */
@@ -47,7 +55,7 @@ object Sampling {
     * multiplicative hash scaled to the unit interval. The same id
     * always draws the same number, on any engine. */
   def unitHash(id: Column): Column =
-    pmod((id * lit(2654435761L)) % lit(4294967296L), lit(4294967296L))
+    pmod(((id % lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L), lit(4294967296L))
       .cast("double") / lit(4294967296.0)
 
   /** Deterministic WEIGHTED Bernoulli sampling: keep a row iff

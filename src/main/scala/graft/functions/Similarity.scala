@@ -320,17 +320,19 @@ object Similarity {
           cands.foreach { case (id, rel, _) =>
             if (!selected.contains(id)) {
               var ms = Double.NegativeInfinity
-              // a (candidate, selected) pair absent from the sim map
-              // contributes nothing (ms stays -inf) instead of killing
-              // the task — the completeness contract with mmrFrames is
-              // upstream, not assumed here
               selected.foreach { s =>
                 val v = sim.getOrElse((id, s), Double.NegativeInfinity)
                 if (v > ms) ms = v
               }
-              val mmr = lambda * rel - (1d - lambda) * ms
-              if (!found || mmr > bestMmr) {
-                found = true; bestId = id; bestRel = rel; bestMmr = mmr
+              // a candidate with NO sim entry against the selected set
+              // is skipped for this step — the iterative formulation's
+              // inner join on maxSim drops it, and -inf would otherwise
+              // make mmr = +inf and hand it the win
+              if (ms != Double.NegativeInfinity) {
+                val mmr = lambda * rel - (1d - lambda) * ms
+                if (!found || mmr > bestMmr) {
+                  found = true; bestId = id; bestRel = rel; bestMmr = mmr
+                }
               }
             }
           }

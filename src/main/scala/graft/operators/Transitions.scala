@@ -78,7 +78,7 @@ object Transitions {
     *     event) and its session-id offset. The aggregate arm reuses
     *     the same exchange (ReuseExchange dedupes the identical
     *     subtree), so the data shuffles ONCE;
-    *  3. a broadcast join on (user, chunk) closes per-row: a chunk's
+    *  3. a join on (user, chunk) closes per-row: a chunk's
     *     first row takes its `prev` from the prior chunk's last
     *     event; the uniform gap formula recomputes `new_s`
     *     (identical to [[flagsDirect]]'s); and
@@ -87,7 +87,10 @@ object Transitions {
     *     first row's locally-unknowable boundary flag.
     *
     * The (user, chunk) table is bounded by keys × hours (one row per
-    * NONEMPTY pair) and broadcasts; per-task work is one chunk's
+    * NONEMPTY pair); the join is left un-hinted so AQE broadcasts it
+    * when it fits and falls back to a shuffled join (which only moves
+    * the chunk table — loc already carries the (user, chunk)
+    * partitioning) when it would not. Per-task work is one chunk's
     * rows, so a 50%-volume bot splits across its hours instead of
     * serializing (bot probe in BASELINE.md). */
   def flagsChunked(events: DataFrame): DataFrame = {
@@ -126,8 +129,15 @@ object Transitions {
         col("__prior_type"), col("__first_new"), col("__off"))
 
     // 3. per-row close: boundary prev for chunk-first rows, the
-    // uniform gap formula, and the offset-corrected running sum
-    loc.join(broadcast(chunks),
+    // uniform gap formula, and the offset-corrected running sum.
+    // NO broadcast hint: the chunk table is bounded by nonempty
+    // (user, hour) pairs, which approaches event grain for sparse
+    // feeds — an unconditional broadcast would hit the 8 GB ceiling
+    // at 100 TB. loc is already hash-partitioned on (user, chunk)
+    // and sorted on a (user, chunk, ts, event_id) prefix from the
+    // step-1 window, so a shuffled join moves ONLY the chunk table;
+    // AQE upgrades to broadcast at runtime when it actually fits.
+    loc.join(chunks,
         k === col("__c_user") && col("__chunk") === col("__c_chunk"))
       .withColumn("prev",
         when(col("__lprev").isNull, col("__prior_ts")).otherwise(col("__lprev")))

@@ -644,7 +644,7 @@ object CurationQueries {
         |)
         |SELECT doc_id, source, quality_fp, quartile, rate
         |FROM k
-        |WHERE ((doc_id * 2654435761) % 4294967296)::DOUBLE / 4294967296.0 < rate""".stripMargin,
+        |WHERE (((doc_id % 2147483648) * 2654435761) % 4294967296)::DOUBLE / 4294967296.0 < rate""".stripMargin,
     "q168_dup_profile" ->
       """WITH cl AS (
         |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
@@ -831,8 +831,8 @@ object CurationQueries {
     "q114_split_decontam" ->
       """WITH w AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words,
-        |    CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
-        |         WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+        |    CASE WHEN (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+        |         WHEN (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
         |         ELSE 'test' END AS split
         |  FROM documents
         |), g AS (

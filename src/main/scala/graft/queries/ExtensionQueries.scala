@@ -1420,8 +1420,8 @@ object ExtensionQueries {
         |WHERE g.k <= greatest(ceil((n_chars - 56)::DOUBLE / 200)::BIGINT - 1, 0)""".stripMargin,
     "q33_split" ->
       """SELECT doc_id,
-        |  CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
-        |       WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+        |  CASE WHEN (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+        |       WHEN (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
     "q34_quota_sample" ->

@@ -386,8 +386,8 @@ object PipelineQueries {
     // (CorpusOpsSpec caught exactly that on the first cut).
     val d = docs(s, dir).select(col("doc_id"))
       .withColumn("epoch", explode(array(lit(1), lit(2))))
-      .withColumn("h", pmod((col("doc_id") + col("epoch") * lit(1000003L)) * lit(2654435761L),
-        lit(4294967296L)))
+      .withColumn("h", pmod(((col("doc_id") + col("epoch") * lit(1000003L)) % lit(2147483648L))
+        * lit(2654435761L), lit(4294967296L)))
     graft.operators.ChunkedFrame.globalRank(
         d, "epoch", (col("h") / lit(16777216L)).cast("long"), Seq("h", "doc_id"))
       .select(col("epoch"), col("doc_id"), col("__g").as("pos"),
@@ -508,7 +508,11 @@ object PipelineQueries {
         conv(substring(TextAnalysis.fingerprint(col("text")), 1, 15), 16, 10).cast("long"))
     val m = col("fpn") % P
     val hb = ((m * m % P * lit(1299721L) + m * lit(7L) + lit(1L)) % P) % 100
-    val ib = ((col("doc_id") * lit(2654435761L)) % lit(4294967296L)) % 100
+    // doc_id reduced mod 2^31 before the multiply (same rule as fpn's
+    // mixer and Sampling.hashBucket): a raw multiply wraps in Spark
+    // but ERRORS in DuckDB once ids pass ~3.47e9 — the engines would
+    // diverge exactly at 100 TB id ranges. No-op for ids < 2^31.
+    val ib = (((col("doc_id") % lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L)) % 100
     d0.withColumn("split",
         when(hb < 80, "train").when(hb < 90, "val").otherwise("test"))
       .withColumn("id_split",
@@ -582,7 +586,7 @@ object PipelineQueries {
         |  SELECT *,
         |    ((fpn % 2147483647) * (fpn % 2147483647) % 2147483647 * 1299721
         |      + (fpn % 2147483647) * 7 + 1) % 2147483647 % 100 AS hb,
-        |    ((doc_id * 2654435761) % 4294967296) % 100 AS ib
+        |    (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 AS ib
         |  FROM d
         |), t AS (
         |  SELECT fpn, n_chars,
@@ -774,7 +778,7 @@ object PipelineQueries {
         |SELECT p.doc_id, p.pred_lang, r.n_lang,
         |  floor(r.rate * 10000 + 0.5) / 10000 AS rate
         |FROM p JOIN r USING (pred_lang)
-        |WHERE ((p.doc_id * 2654435761) % 4294967296)::DOUBLE / 4294967296.0 < r.rate""".stripMargin,
+        |WHERE (((p.doc_id % 2147483648) * 2654435761) % 4294967296)::DOUBLE / 4294967296.0 < r.rate""".stripMargin,
     "q152_training_build" ->
       """WITH f AS (
         |  SELECT md5(text) AS h, min(doc_id) AS keep_id FROM documents GROUP BY 1
@@ -821,7 +825,7 @@ object PipelineQueries {
         |  SELECT source, sqrt(n_min::DOUBLE / n_src::DOUBLE) AS rate FROM c CROSS JOIN m
         |), d4 AS (
         |  SELECT d3.doc_id, d3.n_tokens FROM d3 JOIN r USING (source)
-        |  WHERE ((d3.doc_id * 2654435761) % 4294967296)::DOUBLE / 4294967296.0 < r.rate
+        |  WHERE (((d3.doc_id % 2147483648) * 2654435761) % 4294967296)::DOUBLE / 4294967296.0 < r.rate
         |), nz AS (
         |  SELECT doc_id, n_tokens,
         |    (sum(n_tokens) OVER (ORDER BY doc_id
@@ -867,11 +871,11 @@ object PipelineQueries {
         |SELECT d.doc_id, d.source, r.n_src,
         |  floor(r.rate * 10000 + 0.5)/10000 AS rate
         |FROM documents d JOIN r USING (source)
-        |WHERE ((d.doc_id * 2654435761) % 4294967296)::DOUBLE / 4294967296.0 < r.rate""".stripMargin,
+        |WHERE (((d.doc_id % 2147483648) * 2654435761) % 4294967296)::DOUBLE / 4294967296.0 < r.rate""".stripMargin,
     "q145_epoch_shuffle" ->
       """WITH d AS (
         |  SELECT doc_id, epoch,
-        |    ((doc_id + epoch * 1000003) * 2654435761) % 4294967296 AS h
+        |    (((doc_id + epoch * 1000003) % 2147483648) * 2654435761) % 4294967296 AS h
         |  FROM documents, unnest([1, 2]) AS t(epoch)
         |), p AS (
         |  SELECT epoch, doc_id,
@@ -883,7 +887,7 @@ object PipelineQueries {
       """SELECT doc_id, source,
         |  (substr(source, 4)::INT + 1)::DOUBLE / 20.0::DOUBLE AS rate
         |FROM documents
-        |WHERE ((doc_id * 2654435761) % 4294967296)::DOUBLE / 4294967296.0
+        |WHERE (((doc_id % 2147483648) * 2654435761) % 4294967296)::DOUBLE / 4294967296.0
         |    < (substr(source, 4)::INT + 1)::DOUBLE / 20.0::DOUBLE""".stripMargin,
     "q67_dedup_corpus" ->
       """WITH RECURSIVE d AS (

@@ -962,10 +962,16 @@ object StreamPipeline {
         // or before its user's carried last-event time is an
         // event-time regression across micro-batches — the one input
         // shape that silently diverges from a q185 batch rebuild
-        // (missed or spurious session cut). Count it, surface it.
+        // (missed or spurious session cut). The comparison is on the
+        // FULL session sort key (ts, event_id), not ts alone: a row
+        // with ts equal to the carry's but a smaller event_id sorts
+        // before the marker and is just as much a violation.
         val nLate = b.join(
-            carry.select(col("user_id"), col("ts").as("__carry_ts")), Seq("user_id"))
-          .filter(col("ts") < col("__carry_ts")).count()
+            carry.select(col("user_id"), col("ts").as("__carry_ts"),
+              col("event_id").as("__carry_eid")), Seq("user_id"))
+          .filter(col("ts") < col("__carry_ts") ||
+            (col("ts") === col("__carry_ts") && col("event_id") < col("__carry_eid")))
+          .count()
         if (nLate > 0) {
           lateTransitionRows.addAndGet(nLate)
           System.err.println(
@@ -1405,8 +1411,13 @@ object StreamPipeline {
       case None => b.withColumn("__carried", lit(false))
     }
     store.foreach { st =>
-      val nLate = b.join(st.select(col("user_id"), col("last_ts")), Seq("user_id"))
-        .filter(col("ts") < col("last_ts")).count()
+      // full (ts, event_id) sort-key comparison — ts-equal rows with a
+      // smaller event_id sort before the carried marker too
+      val nLate = b.join(st.select(col("user_id"), col("last_ts"), col("last_eid")),
+          Seq("user_id"))
+        .filter(col("ts") < col("last_ts") ||
+          (col("ts") === col("last_ts") && col("event_id") < col("last_eid")))
+        .count()
       if (nLate > 0) lateBotRows.addAndGet(nLate)
     }
     import graft.operators.{Bots, Transitions}

@@ -43,6 +43,27 @@ class MmrSpec extends SparkSpec {
     assert(buf == buf2, "merge path must agree with single-partition path")
   }
 
+  test("candidate with NO sim entries is skipped, not handed +Inf (iterative inner-join semantics)") {
+    // query 9: three candidates; candidate 30 has rank 2 on relevance
+    // but appears in NO pair row — the iterative formulation's inner
+    // join on maxSim drops it every step, so it must never be picked
+    // and no mmr_r may be Infinity.
+    val shortlist = Seq(
+      (9L, 10L, 0.9, 1L), (9L, 30L, 0.8, 2L), (9L, 20L, 0.7, 3L))
+      .toDF("query_id", "neighbor_id", "rel_r", "rnk")
+    val pairs = Seq(
+      (9L, 20L, 10L, 0.4), (9L, 10L, 20L, 0.4))
+      .toDF("query_id", "a_id", "b_id", "sim_r")
+    val kernel = Similarity.mmrGreedy(shortlist, pairs, k = 3, lambda = 0.5)
+    val iter = Similarity.mmrGreedyIterative(shortlist, pairs, k = 3, lambda = 0.5)
+    assert(kernel.exceptAll(iter).isEmpty && iter.exceptAll(kernel).isEmpty,
+      "kernel must drop no-sim candidates exactly as the iterative inner join does")
+    val rows = kernel.collect()
+    assert(!rows.exists(_.getAs[Long]("neighbor_id") == 30L), "no-sim candidate never picked")
+    assert(!rows.exists(r => !r.isNullAt(r.fieldIndex("mmr_r")) &&
+      r.getAs[Double]("mmr_r").isInfinite), "no Infinity mmr scores")
+  }
+
   test("shortlist smaller than k: both formulations stop at the candidate count") {
     // 3 candidates for one query -> exactly 3 picks, same in both
     val dir = java.nio.file.Files.createTempDirectory("graft_mmr").toString

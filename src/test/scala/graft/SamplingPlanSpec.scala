@@ -20,6 +20,29 @@ class SamplingPlanSpec extends SparkSpec {
     assert(plan.contains("Partial"), s"no partial (map-side) group limit:\n$plan")
   }
 
+  test("hashBucket/unitHash: overflow-proof beyond the 64-bit wrap point, no-op reduction below 2^31") {
+    // ids straddling the old hazard: a raw id*2654435761 wraps Long
+    // for ids > ~3.47e9 (and DuckDB ERRORS on the same BIGINT
+    // overflow). The reduced form must equal exact BigInt arithmetic
+    // — what an engine with unbounded integers computes — everywhere.
+    val ids = Seq(0L, 1L, 12345L, 2147483647L, 2147483648L, 3470000000L,
+      4294967296L, 9007199254740993L, Long.MaxValue)
+    val got = ids.toDF("id")
+      .select(col("id"), Sampling.hashBucket(col("id"), 100).as("b"))
+      .as[(Long, Long)].collect().toMap
+    ids.foreach { id =>
+      val exact = (((BigInt(id) % BigInt(2147483648L)) * BigInt(2654435761L))
+        % BigInt(4294967296L)) % 100
+      assert(got(id) == exact.toLong, s"id=$id: got ${got(id)}, exact $exact")
+      assert(got(id) >= 0 && got(id) < 100, s"id=$id bucket out of range")
+    }
+    // below 2^31 the reduction is a no-op vs the historical formula
+    ids.filter(_ < 2147483648L).foreach { id =>
+      val legacy = ((BigInt(id) * BigInt(2654435761L)) % BigInt(4294967296L)) % 100
+      assert(got(id) == legacy.toLong, s"id=$id: sub-2^31 hash changed vs legacy")
+    }
+  }
+
   test("quotaPerGroup keeps exactly quota best rows per group") {
     val df = spark.range(1000).select((col("id") % 4).as("grp"), col("id").as("v"))
     val got = Sampling.quotaPerGroup(df, col("grp"), Seq(col("v").desc), 3)
