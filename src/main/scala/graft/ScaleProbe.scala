@@ -153,6 +153,13 @@ object ScaleProbe {
     // adversarial duplication regime their set-collapse absorbs
     time("q48_dedup_clusters") { q("q48_dedup_clusters") }
     time("q67_dedup_corpus") { q("q67_dedup_corpus") }
+    // the fuzzy family's cluster/survivor twins: VERBATIM replicas —
+    // the exact regime where q59's pair LISTING output goes quadratic
+    // (~30B doc pairs at 100x), but the set-granular CC stays linear:
+    // 100 byte-identical copies collapse to ONE prefix node before
+    // the LSH, and the output is one row per doc
+    time("q213_fuzzy_clusters") { q("q213_fuzzy_clusters") }
+    time("q214_fuzzy_survivors") { q("q214_fuzzy_survivors") }
     time("q86_heavy_hitters") { q("q86_heavy_hitters") }
     time("q91_boilerplate") { q("q91_boilerplate") }
     // round-7 additions. q108's window partitions on event_type — FIVE
@@ -370,6 +377,7 @@ object ScaleProbe {
     time("q203_ewma_backtest") { q("q203_ewma_backtest") }
     time("q204_session_paths") { q("q204_session_paths") }
     time("q205_bot_profile") { q("q205_bot_profile") }
+    time("q206_flac_headers") { q("q206_flac_headers") }
     time("q207_mp3_headers") { q("q207_mp3_headers") }
     time("q208_sma_crossover") { q("q208_sma_crossover") }
     time("q209_corr_clusters") { q("q209_corr_clusters") }

@@ -163,6 +163,55 @@ object NearDup {
                            maxDist: Int, prefixLen: Int = 80,
                            numHashes: Int = 96, bands: Int = 16,
                            maxBucketSize: Int = 4096): DataFrame = {
+    val (sets, setPairs) = editDistanceSetPairs(df, idCol, textCol, maxDist,
+      prefixLen, numHashes, bands, maxBucketSize)
+    // expand set pairs to doc pairs + dist-0 pairs within identical-pfx
+    // sets. THIS step is the Θ(answer-size) floor a duplicated corpus
+    // imposes on pair LISTING — clusters/survivors consumers should
+    // stay at the set grain (editDistanceSetPairs + dedupAssignmentBySets)
+    // where the output is linear in the corpus instead.
+    val members = sets.select(explode(col("ids")).as("doc"), col("set_id"))
+    val expanded = setPairs
+      .join(members.select(col("set_id").as("set_a"), col("doc").as("doc_a")).hint("shuffle_hash"), Seq("set_a"))
+      .join(members.select(col("set_id").as("set_b"), col("doc").as("doc_b")).hint("shuffle_hash"), Seq("set_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("id_a"),
+        greatest(col("doc_a"), col("doc_b")).as("id_b"), col("dist"))
+    val dupPairs = sets.filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, x -> transform(filter(ids, y -> y > x), y -> struct(x AS a, y AS b))))")).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"), lit(0L).as("dist"))
+    // materialize BEFORE releasing the working tables it reads from
+    // (same eager-handoff contract as minHashSetPairs: the returned
+    // frame is persisted; callers own unpersisting it)
+    val out = expanded.unionByName(dupPairs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    sets.unpersist(blocking = false)
+    setPairs.unpersist(blocking = false)
+    out
+  }
+
+  /** The SET-GRANULAR stage of [[editDistancePairsLsh]] — the form a
+    * clusters/survivors consumer wants at 100 TB. Returns
+    * (sets, setPairs), both persisted (callers own the lifecycle):
+    *
+    *  - sets: one node per DISTINCT normalized prefix —
+    *    (fp, set_id = min doc id, ids = sorted member doc ids, pfx,
+    *    toks); bulk duplication collapses here, BEFORE the LSH;
+    *  - setPairs: (set_a, set_b, dist) — verified banded-Levenshtein
+    *    pairs BETWEEN distinct prefixes, dist in (0, maxDist].
+    *
+    * Output is linear in distinct content (≤ LSH candidate count),
+    * never Θ(n²) in duplicate mass: a corpus of 1M copies of two
+    * near-identical docs is 2 nodes and 1 edge here, vs ~5·10¹¹
+    * expanded doc pairs from [[editDistancePairsLsh]]. Feed directly
+    * to ConnectedComponents.dedupAssignmentBySets — within-set dist-0
+    * connectivity is implied by set membership, so no dist-0 edges
+    * are needed (or emitted). */
+  def editDistanceSetPairs(df: DataFrame, idCol: String, textCol: Column,
+                           maxDist: Int, prefixLen: Int = 80,
+                           numHashes: Int = 96, bands: Int = 16,
+                           maxBucketSize: Int = 4096): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
     val base = df.select(col(idCol).as("id"), substring(textCol, 1, prefixLen).as("pfx"))
@@ -207,26 +256,11 @@ object NearDup {
       .join(pfxBySet.select(col("set_id").as("set_a"), col("pfx").as("pfx_a")).hint("shuffle_hash"), Seq("set_a"))
       .join(pfxBySet.select(col("set_id").as("set_b"), col("pfx").as("pfx_b")).hint("shuffle_hash"), Seq("set_b"))
       .select(col("set_a").as("id_a"), col("set_b").as("id_b"), col("pfx_a"), col("pfx_b"))
-    val crossSet = verifyEditDistance(candidates, maxDist)
-    // expand set pairs to doc pairs + dist-0 pairs within identical-pfx sets
-    val members = sets.select(explode(col("ids")).as("doc"), col("set_id"))
-    val expanded = crossSet
-      .join(members.select(col("set_id").as("id_a"), col("doc").as("doc_a")).hint("shuffle_hash"), Seq("id_a"))
-      .join(members.select(col("set_id").as("id_b"), col("doc").as("doc_b")).hint("shuffle_hash"), Seq("id_b"))
-      .select(least(col("doc_a"), col("doc_b")).as("id_a"),
-        greatest(col("doc_a"), col("doc_b")).as("id_b"), col("dist"))
-    val dupPairs = sets.filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        "flatten(transform(ids, x -> transform(filter(ids, y -> y > x), y -> struct(x AS a, y AS b))))")).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"), lit(0L).as("dist"))
-    // materialize BEFORE releasing the working tables it reads from
-    // (same eager-handoff contract as minHashSetPairs: the returned
-    // frame is persisted; callers own unpersisting it)
-    val out = expanded.unionByName(dupPairs)
+    val setPairs = verifyEditDistance(candidates, maxDist)
+      .select(col("id_a").as("set_a"), col("id_b").as("set_b"), col("dist"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    sets.unpersist(blocking = false)
-    out
+    setPairs.count() // materialize while the candidate machinery is live
+    (sets, setPairs)
   }
 
   /** MinHash signature: `numHashes` permutations approximated by

@@ -438,6 +438,41 @@ object AnalyticsQueries {
       "doc_id", regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
       maxDist = 10, prefixLen = 80)
 
+  // q213 — fuzzy-dedup CLUSTERS: the edit-distance family's q48.
+  // Connected components over the SET-granular verified pairs
+  // (NearDup.editDistanceSetPairs: identical prefixes collapse to one
+  // node before the LSH, banded-DP verify between distinct prefixes)
+  // → every doc assigned its cluster (min-id canonical), size,
+  // survivor flag. THIS is the scale-correct form of the q56/q59
+  // story: pair LISTING is Θ(answer-size) — q59 is the 100× sweep's
+  // only spiller because a duplicated corpus makes its OUTPUT
+  // quadratic — but cluster assignment stays at the set grain, so
+  // output is one row per doc (linear) and the CC edge list is
+  // bounded by distinct content. Oracle recomputes the components
+  // with a recursive label-propagation CTE over the brute-force
+  // levenshtein pairs (knows nothing about LSH or sets — same
+  // strict-oracle argument as q48/q59).
+  private def q213(s: SparkSession, dir: String): DataFrame = {
+    val (sets, setPairs) = graft.functions.NearDup.editDistanceSetPairs(
+      Tables.documents(s, dir),
+      "doc_id", regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+      maxDist = 10, prefixLen = 80)
+    graft.operators.ConnectedComponents.dedupAssignmentBySets(sets, setPairs)
+  }
+
+  // q214 — fuzzy-dedup SURVIVOR CORPUS: the edit-distance family's
+  // q67 — q213's clusters reduced to their min-id canonical survivor,
+  // joined back to the document table (the frame a pipeline writes
+  // out after fuzzy dedup). Same plan as q213 plus one
+  // broadcast-eligible join; output ≤ one row per doc.
+  private def q214(s: SparkSession, dir: String): DataFrame = {
+    val assigned = q213(s, dir)
+    Tables.documents(s, dir)
+      .join(assigned.filter(col("is_canonical")).select(col("doc_id"), col("cluster_size")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("cluster_size"))
+  }
+
   // q82 — per-key EWMA smoothing (alpha=0.2): the canonical
   // order-dependent recursion no windowed aggregate expresses. Scale
   // shape: one shuffle groups each user's events; sort_array +
@@ -537,6 +572,8 @@ object AnalyticsQueries {
     "q97_and_query" -> q97 _,
     "q100_funnel" -> q100 _,
     "q59_fuzzy_lsh" -> q59 _,
+    "q213_fuzzy_clusters" -> q213 _,
+    "q214_fuzzy_survivors" -> q214 _,
     "q57_tfidf_topterms" -> q57 _,
     "q58_vocab_top100" -> q58 _,
     "q51_pivot" -> q51 _,
@@ -784,6 +821,57 @@ object AnalyticsQueries {
         |  floor(unnest(vals) * 10000 + 0.5)/10000 AS value,
         |  floor(unnest(ys) * 10000 + 0.5)/10000 AS ewma
         |FROM y""".stripMargin,
+    "q213_fuzzy_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, substring(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 80) AS pfx
+        |  FROM documents
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE abs(length(a.pfx) - length(b.pfx)) <= 10
+        |    AND levenshtein(a.pfx, b.pfx) <= 10
+        |), e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b AS src, id_a AS dst FROM p
+        |), lbl(id, l) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.dst, lbl.l FROM lbl JOIN e ON lbl.id = e.src
+        |), cc AS (
+        |  SELECT id, min(l) AS cluster_id FROM lbl GROUP BY id
+        |), assigned AS (
+        |  SELECT doc_id, coalesce(cc.cluster_id, doc_id) AS cluster_id
+        |  FROM documents LEFT JOIN cc ON doc_id = cc.id
+        |), sizes AS (
+        |  SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM assigned GROUP BY 1
+        |)
+        |SELECT a.doc_id, a.cluster_id, s.cluster_size, a.doc_id = a.cluster_id AS is_canonical
+        |FROM assigned a JOIN sizes s USING (cluster_id)""".stripMargin,
+    "q214_fuzzy_survivors" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, substring(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 80) AS pfx
+        |  FROM documents
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE abs(length(a.pfx) - length(b.pfx)) <= 10
+        |    AND levenshtein(a.pfx, b.pfx) <= 10
+        |), e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b AS src, id_a AS dst FROM p
+        |), lbl(id, l) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.dst, lbl.l FROM lbl JOIN e ON lbl.id = e.src
+        |), cc AS (
+        |  SELECT id, min(l) AS cluster_id FROM lbl GROUP BY id
+        |), assigned AS (
+        |  SELECT doc_id, coalesce(cc.cluster_id, doc_id) AS cluster_id
+        |  FROM documents LEFT JOIN cc ON doc_id = cc.id
+        |), sizes AS (
+        |  SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM assigned GROUP BY 1
+        |)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars, s.cluster_size
+        |FROM documents d JOIN assigned a USING (doc_id) JOIN sizes s USING (cluster_id)
+        |WHERE d.doc_id = a.cluster_id""".stripMargin,
     "q59_fuzzy_lsh" ->
       """WITH t AS (
         |  SELECT doc_id, substring(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 80) AS pfx

@@ -7,16 +7,17 @@ import graft.core.Tables
 /** The SURVEY §3.3(b) entry point: the same queries as the typed
   * Scala API, as `spark.sql()` text over registered temp views — the
   * surface a thriftserver / Spark Connect / notebook user gets when
-  * they can't (or won't) link the Scala library. Nine representative
+  * they can't (or won't) link the Scala library. Ten representative
   * shapes are covered — the OHLCV rollup (q06), the sliding-window
   * join (q09), the TPC-H Q1 pricing summary (q13), the window-function
   * battery (q54), the inverted index (q96), the composed daily panel
   * (q172, including the custom json_long_field expression through
   * `spark.sql`), the session summaries (q182), the session lift
-  * (q190), and the risk-adjusted summary (q199) — each the EXACT
-  * semantics of its typed twin: same op sequence, same decimal
+  * (q190), the Shapley attribution (q197, the exact 16-coalition
+  * game in SQL), and the risk-adjusted summary (q199) — each the
+  * EXACT semantics of its typed twin: same op sequence, same decimal
   * detours, same r4/r2 rounding, so results match bitwise
-  * (SqlEntrySpec pins text ≡ typed for all nine).
+  * (SqlEntrySpec pins text ≡ typed for all ten).
   *
   * Custom graft expressions (rolling_hash, minhash_sig, …) reach this
   * surface through [[graft.GraftExtensions]] / `Graft
@@ -161,6 +162,82 @@ object SqlEntry {
     // duration sums with one shared r4 division — bitwise equal to
     // the typed (chunked-window) side by the TransitionsChunkedSpec
     // pin, same as q190 below.
+    // q197 — the attribution family's text twin: gap sessionization +
+    // truncate-at-first-purchase (the q182 window idiom), journey
+    // channel sets, then the EXACT 4-channel Shapley game in SQL —
+    // the 16 coalition values v(S) pivot into ONE row and the four
+    // numerators are integer expressions over it (weights |S|!(3−|S|)!
+    // ∈ {6,2,2,6}, ×24 until the two final divisions), so the text
+    // reproduces the typed driver enumeration bit for bit. The share
+    // denominator uses the efficiency identity Σφ·24 = 24·(v(N)−v(∅))
+    // — exact in integers (AttributionSpec pins it on the typed side).
+    "q197_shapley_attribution" -> {
+      val channels = Seq("click", "error", "signup", "view")
+      val subsetRows = (0 until 16).map { m =>
+        val mem = channels.zipWithIndex.collect { case (c, i) if (m & (1 << i)) != 0 => c }
+        val memLit = if (mem.isEmpty) "cast(array() AS array<string>)"
+          else mem.map(c => s"'$c'").mkString("array(", ", ", ")")
+        s"($m, $memLit)"
+      }.mkString(",\n        |      ")
+      val vCols = (0 until 16).map(m => s"max(CASE WHEN si = $m THEN v END) AS v$m")
+        .mkString(",\n        |    ")
+      val wArr = Array(6, 2, 2, 6)
+      def numExpr(ci: Int): String = {
+        val others = (0 until 4).filterNot(_ == ci)
+        (0 until 8).map { k =>
+          val sMask = others.zipWithIndex.collect { case (bit, j) if (k & (1 << j)) != 0 => 1 << bit }.sum
+          s"${wArr(Integer.bitCount(sMask))}L * (v${sMask | (1 << ci)} - v$sMask)"
+        }.mkString(" + ")
+      }
+      val stackArgs = channels.zipWithIndex
+        .map { case (c, ci) => s"'$c', ${numExpr(ci)}" }
+        .mkString(",\n        |    ")
+      s"""WITH g AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR unix_micros(ts) - unix_micros(lag(ts) OVER w) > 1800000000L
+        |      THEN 1L ELSE 0L END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sid AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g
+        |), kpt AS (
+        |  SELECT *, coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1L ELSE 0L END)
+        |    OVER (PARTITION BY user_id, sid ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS prior_p
+        |  FROM sid
+        |), j AS (
+        |  SELECT user_id, sid,
+        |    array_sort(collect_set(CASE WHEN event_type <> 'purchase' THEN event_type END)) AS chset,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1L ELSE 0L END) AS conv
+        |  FROM kpt WHERE prior_p = 0L GROUP BY user_id, sid
+        |), cs AS (
+        |  SELECT chset, count(1) AS n FROM j WHERE conv = 1L GROUP BY chset
+        |), subsets AS (
+        |  SELECT * FROM VALUES
+        |      $subsetRows
+        |    AS t(si, mem)
+        |), vv AS (
+        |  SELECT s.si, coalesce(sum(cs.n), 0L) AS v
+        |  FROM subsets s LEFT JOIN cs ON forall(cs.chset, c -> array_contains(s.mem, c))
+        |  GROUP BY s.si
+        |), vrow AS (
+        |  SELECT
+        |    $vCols
+        |  FROM vv
+        |), sel AS (
+        |  SELECT stack(4,
+        |    $stackArgs) AS (state, num),
+        |    24L * (v15 - v0) AS total
+        |  FROM vrow
+        |)
+        |SELECT state,
+        |  floor(cast(num AS double) / 24.0D * 10000D + 0.5D)/10000D AS shapley,
+        |  floor(cast(num AS double) / cast(total AS double) * 10000D + 0.5D)/10000D AS share
+        |FROM sel""".stripMargin
+    },
     "q182_sessions" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts,

@@ -66,4 +66,36 @@ class EditDistanceSpec extends SparkSpec {
     }
     got.unpersist()
   }
+
+  test("set-granular clusters == doc-granular clusters over the expanded pair list") {
+    // same planted corpus shape as above: 30 bases, a 2-edit variant
+    // each, verbatim copies of base 0 — plus a CHAIN (a-b dist 4,
+    // b-c dist 4, a-c dist 8) so transitivity is actually exercised
+    val seed = new scala.util.Random(7)
+    def randText(n: Int): String = Seq.fill(n)(('a' + seed.nextInt(26)).toChar).mkString
+    val bases = (0 until 30).map(i => (i.toLong * 10, randText(80)))
+    val variants = bases.map { case (id, t) =>
+      (id + 1, t.updated(5, 'z').updated(40, 'q').mkString)
+    }
+    val chainA = randText(80)
+    val chainB = chainA.updated(10, '0').updated(20, '1').updated(30, '2').updated(50, '3').mkString
+    val chainC = chainB.updated(12, '4').updated(22, '5').updated(32, '6').updated(52, '7').mkString
+    val extra = Seq((900L, bases(0)._2), (901L, bases(0)._2),
+      (950L, chainA), (951L, chainB), (952L, chainC))
+    val docs = (bases ++ variants ++ extra).toDF("doc_id", "text")
+    // set-granular: CC over set pairs, docs inherit via membership
+    val (sets, setPairs) = NearDup.editDistanceSetPairs(docs, "doc_id", col("text"), maxDist = 10)
+    val bySets = graft.operators.ConnectedComponents.dedupAssignmentBySets(sets, setPairs)
+    // doc-granular reference: CC over the fully expanded pair list
+    val pairs = NearDup.editDistancePairsLsh(docs, "doc_id", col("text"), maxDist = 10)
+    val byDocs = graft.operators.ConnectedComponents.dedupAssignment(
+      docs, "doc_id", pairs.select(col("id_a"), col("id_b")))
+    assert(bySets.exceptAll(byDocs).isEmpty && byDocs.exceptAll(bySets).isEmpty,
+      "set-granular and doc-granular cluster assignments must agree exactly")
+    // the chain collapsed to one cluster rooted at its min id
+    val chain = bySets.filter(col("doc_id").isin(950L, 951L, 952L))
+      .select("cluster_id").as[Long].collect().toSet
+    assert(chain == Set(950L), s"chain cluster: $chain")
+    sets.unpersist(); setPairs.unpersist(); pairs.unpersist()
+  }
 }
