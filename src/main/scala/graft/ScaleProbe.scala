@@ -383,6 +383,7 @@ object ScaleProbe {
     time("q209_corr_clusters") { q("q209_corr_clusters") }
     time("q210_holt_backtest") { q("q210_holt_backtest") }
     time("q211_textrank") { q("q211_textrank") }
+    time("q215_textrank_hashed") { q("q215_textrank_hashed") }
     time("q212_benford_audit") { q("q212_benford_audit") }
 
     // --- the broader battery (10x runs keep historical coverage) ---

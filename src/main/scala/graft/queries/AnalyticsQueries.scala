@@ -297,38 +297,84 @@ object AnalyticsQueries {
   // order-preserving). Scale shape: one posexplode + distinct for
   // df, one per-doc window pass (doc-sized keys — no dominant-key
   // hazard), a 30-literal IN filter, one bounded (f, t) partial agg.
-  private def q211(s: SparkSession, dir: String): DataFrame = {
+  private def q211(s: SparkSession, dir: String): DataFrame =
+    textRank(s, dir, hashedTerms = false)
+
+  // q215 — the HASHED-TERM twin of q211 (the q163/q194/q195 exchange
+  // rule applied to TextRank): the df distinct and the per-doc
+  // position window — q211's two volume-sized exchanges — ship
+  // 8-byte xxhash64 term keys instead of term strings; only the ≤30
+  // vocabulary terms (plus boundary-tie candidates) ever move as
+  // strings, via a broadcast-hash-filtered lookup. The OUTPUT carries
+  // term strings and is exactly q211's unless an xxhash64 collision
+  // merges two terms (2^-64 per pair; TextRankHashedSpec pins
+  // equality on the testdata corpora), so the string twin's DuckDB
+  // oracle replays verbatim.
+  private def q215(s: SparkSession, dir: String): DataFrame =
+    textRank(s, dir, hashedTerms = true)
+
+  private def textRank(s: SparkSession, dir: String, hashedTerms: Boolean): DataFrame = {
     import s.implicits._
-    val pos = Tables.documents(s, dir)
+    val posStr = Tables.documents(s, dir)
       .select(col("doc_id"),
         posexplode(graft.functions.TextAnalysis.wordTokens(col("text"))).as(Seq("pos", "term")))
-    val vseq = pos.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .orderBy(col("df").desc, col("term")).limit(30)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // vseq: the top-30 vocabulary by (df DESC, term ASC), as
+    // (term, df, key) where key drives every volume-sized exchange
+    val (vseq, pos) = if (!hashedTerms) {
+      val v = posStr.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term")).limit(30)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      (v.map { case (t, d) => (t, d, t: Any) }, posStr.withColumn("k", col("term")))
+    } else {
+      val ph = posStr.select(col("doc_id"), xxhash64(col("term")).as("th"))
+      // df per HASH (16-byte rows through both exchanges), then the
+      // exact top-30-by-(df, term) cut: the 30 largest df values give
+      // the boundary d30; every hash with df >= d30 is a candidate
+      // (ties at d30 included), and only candidates' strings are
+      // looked up — a broadcast-literal filter on the raw positions,
+      // so term strings never cross a volume-sized exchange
+      val dfh = ph.distinct().groupBy(col("th")).agg(count(lit(1)).as("df"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val top = dfh.orderBy(col("df").desc).limit(30).collect()
+      val d30 = if (top.isEmpty) 0L else top.map(_.getAs[Long]("df")).min
+      val cand = dfh.filter(col("df") >= d30)
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("df")).toMap
+      dfh.unpersist(blocking = false)
+      val candTerms = posStr
+        .filter(xxhash64(col("term")).isin(cand.keys.toSeq: _*))
+        .select(col("term"), xxhash64(col("term")).as("th")).distinct()
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val v = candTerms.map { case (t, h) => (t, cand(h), h) }
+        .sortBy { case (t, d, _) => (-d, t) }.take(30)
+      (v.map { case (t, d, h) => (t, d, h: Any) }, posStr.withColumn("k", xxhash64(col("term"))))
+    }
     val states = vseq.map(_._1).sorted.toVector // matrix order: alphabetical
-    val dfMap = vseq.toMap
+    val dfMap = vseq.map(v => (v._1, v._2)).toMap
+    val keyOf = vseq.map(v => (v._1, v._3)).toMap
+    val stateKeys = states.map(keyOf) // key literals, aligned to states
+    val keyIdx = stateKeys.zipWithIndex.toMap
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val led = pos
-      .withColumn("t1", lead(col("term"), 1).over(w))
-      .withColumn("t2", lead(col("term"), 2).over(w))
-      .withColumn("t3", lead(col("term"), 3).over(w))
-      .withColumn("t4", lead(col("term"), 4).over(w))
-      .filter(col("term").isin(states: _*))
+    val led = pos.select(col("doc_id"), col("pos"), col("k"))
+      .withColumn("t1", lead(col("k"), 1).over(w))
+      .withColumn("t2", lead(col("k"), 2).over(w))
+      .withColumn("t3", lead(col("k"), 3).over(w))
+      .withColumn("t4", lead(col("k"), 4).over(w))
+      .filter(col("k").isin(stateKeys: _*))
     val pairs = led
-      .select(col("term").as("f"),
+      .select(col("k").as("f"),
         explode(array(col("t1"), col("t2"), col("t3"), col("t4"))).as("t"))
-      .filter(col("t").isNotNull && col("t").isin(states: _*))
+      .filter(col("t").isNotNull && col("t").isin(stateKeys: _*))
     val cnt = pairs.select(col("f"), col("t"))
       .unionAll(pairs.select(col("t").as("f"), col("f").as("t")))
       .groupBy(col("f"), col("t")).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      .collect().map(r => (keyIdx(r.get(0)), keyIdx(r.get(1))) -> r.getLong(2)).toMap
     val n = states.size
     val nD = n.toDouble
-    val outTot = states.map(f => states.map(t => cnt.getOrElse((f, t), 0L)).sum)
+    val outTot = (0 until n).map(fi => (0 until n).map(ti => cnt.getOrElse((fi, ti), 0L)).sum)
     val p = Array.tabulate(n, n) { (fi, ti) =>
       if (outTot(fi) == 0L) 1.0 / nD
-      else cnt.getOrElse((states(fi), states(ti)), 0L).toDouble / outTot(fi).toDouble
+      else cnt.getOrElse((fi, ti), 0L).toDouble / outTot(fi).toDouble
     }
     var pr = Array.fill(n)(1.0 / nD)
     var it = 0
@@ -565,6 +611,7 @@ object AnalyticsQueries {
     "q82_ewma" -> q82 _,
     "q115_bm25" -> q115 _,
     "q211_textrank" -> q211 _,
+    "q215_textrank_hashed" -> q215 _,
     "q116_cohort_retention" -> q116 _,
     "q117_event_transitions" -> q117 _,
     "q120_gaps_islands" -> q120 _,
@@ -585,7 +632,7 @@ object AnalyticsQueries {
     "q56_fuzzy_editdist" -> q56 _
   )
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSqlBase: Map[String, String] = Map(
     "q127_dist_funcs_chunked" ->
       """SELECT event_id, event_type,
         |  ntile(4) OVER w AS quartile,
@@ -965,5 +1012,12 @@ object AnalyticsQueries {
         |FROM t a JOIN t b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
         |WHERE abs(length(a.pfx) - length(b.pfx)) <= 10
         |  AND levenshtein(a.pfx, b.pfx) <= 10""".stripMargin
+  )
+
+  // q215's output is exactly q211's (the hash never reaches the
+  // output — the q194/q195 declared-hashed-twin convention), so the
+  // string twin's oracle replays it verbatim.
+  val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    "q215_textrank_hashed" -> oracleSqlBase("q211_textrank")
   )
 }
