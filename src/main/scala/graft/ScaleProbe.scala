@@ -39,9 +39,39 @@ object ScaleProbe {
         spill.addAndGet(m.diskBytesSpilled)
       }
     }
+    // SPARK_GRAFT_STAGES=1: per-stage task histograms — attributes a
+    // probe's maxTask to its stage (skew audit: a hot LSH bucket shows
+    // as maxTask >> median WITHIN one shuffle stage; a scan-layout
+    // artifact shows as a scan stage whose EVERY task is long)
+    private val stageDetail = sys.env.contains("SPARK_GRAFT_STAGES")
+    private val taskDurs =
+      new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+    private val stageNames = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-      if (te.taskInfo != null) maxTask.getAndUpdate(m => math.max(m, te.taskInfo.duration))
-    def reset(): Unit = { write.set(0); read.set(0); spill.set(0); maxTask.set(0) }
+      if (te.taskInfo != null) {
+        maxTask.getAndUpdate(m => math.max(m, te.taskInfo.duration))
+        if (stageDetail)
+          taskDurs.computeIfAbsent(te.stageId, _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+            .add(te.taskInfo.duration)
+      }
+    def dumpStages(label: String): Unit = if (stageDetail) {
+      import scala.jdk.CollectionConverters._
+      taskDurs.asScala.toSeq.sortBy(_._1).foreach { case (sid, q) =>
+        val ds = q.asScala.toSeq.sorted
+        if (ds.nonEmpty && ds.last >= 1000L) { // only stages with a >=1s task
+          val name = Option(stageNames.get(sid)).getOrElse("?")
+          println(f"[stage] $label stage=$sid n=${ds.size} " +
+            f"med=${ds(ds.size / 2) / 1e3}%.1f s max=${ds.last / 1e3}%.1f s  $name")
+        }
+      }
+    }
+    def reset(): Unit = {
+      write.set(0); read.set(0); spill.set(0); maxTask.set(0)
+      taskDurs.clear(); stageNames.clear()
+    }
+    override def onStageSubmitted(ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+      if (stageDetail && ss.stageInfo != null)
+        stageNames.put(ss.stageInfo.stageId, ss.stageInfo.name.take(120))
   }
 
   def main(args: Array[String]): Unit = {
@@ -118,6 +148,7 @@ object ScaleProbe {
         println(f"[scale] $label@${reps}x time=${(System.nanoTime() - t) / 1e9}%.2f s " +
           f"shufW=${meter.write.get / 1e6}%.1f MB shufR=${meter.read.get / 1e6}%.1f MB " +
           f"spill=${meter.spill.get / 1e6}%.1f MB maxTask=${meter.maxTask.get / 1e3}%.1f s")
+        meter.dumpStages(label)
       }
     def q(name: String)(implicit d: String = dst) = SparkEntry.queries(name)(spark, d)
 

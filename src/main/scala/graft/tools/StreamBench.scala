@@ -430,6 +430,28 @@ object StreamBench {
     val clLine = report("closes_maintain", clLats, evRows,
       s""","store_rows":${spark.read.parquet(s"$dir/closes").count()}""")
 
+    // ---- 17b. the serve paths OFF the maintained closes store — the
+    // numbers a live strategy endpoint actually pays (the BENCH_ANN
+    // build/serve-split precedent): each serve is a day-grid read +
+    // fold over the store just maintained, measured end-to-end
+    // (collect) per call, p50 over repeated calls.
+    def serveLats(f: () => org.apache.spark.sql.DataFrame): Seq[Double] =
+      (0 until math.max(batches, 5)).map { _ =>
+        val t0 = System.nanoTime()
+        f().collect()
+        (System.nanoTime() - t0) / 1e6
+      }
+    val closesRows = spark.read.parquet(s"$dir/closes").count()
+    val xoLine = report("crossover_serve",
+      serveLats(() => StreamPipeline.crossoverServe(spark, s"$dir/closes")), 0,
+      s""","store_rows":$closesRows""")
+    val ewLine = report("ewma_serve",
+      serveLats(() => StreamPipeline.ewmaServe(spark, s"$dir/closes")), 0,
+      s""","store_rows":$closesRows""")
+    val hoLine = report("holt_serve",
+      serveLats(() => StreamPipeline.holtServe(spark, s"$dir/closes")), 0,
+      s""","store_rows":$closesRows""")
+
     // ---- 18. path-trigram maintenance: <=|types|^3 count table +
     // two-row-per-user carry; the q204 extraction over carry ∪ batch.
     val ev18 = MemoryStream[(Long, java.sql.Timestamp, Long, String)](spark)
@@ -454,7 +476,7 @@ object StreamBench {
     val botLine = report("bot_maintain", botLats, evRows,
       s""","store_rows":${spark.read.parquet(s"$dir/bot_store").count()}""")
 
-    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine,$attrLine,$rfmLine,$sessLine,$liftLine,$clLine,$pathLine,$botLine}")
+    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine,$attrLine,$rfmLine,$sessLine,$liftLine,$clLine,$xoLine,$ewLine,$hoLine,$pathLine,$botLine}")
     spark.stop()
   }
 }
