@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, BehaviorQueries, CurationQueries, ExtensionQueries, MarketQueries, ParityQueries, PipelineQueries, RelationalQueries, SketchQueries}
+import graft.queries.{AnalyticsQueries, BehaviorQueries, CurationQueries, ExtensionQueries, GovernQueries, MarketQueries, ParityQueries, PipelineQueries, RelationalQueries, SketchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,10 +22,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ ExtensionQueries.queries ++ AnalyticsQueries.queries ++
       CurationQueries.queries ++ PipelineQueries.queries ++ RelationalQueries.queries ++
-      SketchQueries.queries ++ MarketQueries.queries ++ BehaviorQueries.queries
+      SketchQueries.queries ++ MarketQueries.queries ++ BehaviorQueries.queries ++
+      GovernQueries.queries
 
   def oracleSql: Map[String, String] =
     ParityQueries.oracleSql ++ ExtensionQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
       CurationQueries.oracleSql ++ PipelineQueries.oracleSql ++ RelationalQueries.oracleSql ++
-      SketchQueries.oracleSql ++ MarketQueries.oracleSql ++ BehaviorQueries.oracleSql
+      SketchQueries.oracleSql ++ MarketQueries.oracleSql ++ BehaviorQueries.oracleSql ++
+      GovernQueries.oracleSql
 }

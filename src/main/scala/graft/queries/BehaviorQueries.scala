@@ -542,7 +542,127 @@ object BehaviorQueries {
     rows.toDF("state", "out_trans", "pagerank")
   }
 
+  // q224 — CUSUM CHANGE-POINT DETECTION over the daily event-volume
+  // series per event type: the classic sequential drift detector
+  // (Page 1954) every ingest-monitoring pipeline runs — two one-sided
+  // cumulative sums of the deviation from the series mean, alarmed
+  // when either crosses 5σ. Exactness: deviations are EXACT integers
+  // scaled by the day count (dev_d = D·x_d − T, so Σdev = 0 exactly
+  // and no float mean ever enters the recursion); both CUSUM folds
+  // run in integers (greatest(0, c + dev)), and the only doubles are
+  // the 5σ threshold (σ² = Σdev²/D — one shared IEEE sequence) and
+  // the final r4 normalizations — integer-vs-double comparisons land
+  // identically on both engines (exact long→double casts). The fold
+  // is ONE sequential pass in day order over the volume-independent
+  // day grid (Spark `aggregate` over a named_struct of longs, DuckDB
+  // list_reduce over 6-element BIGINT lists — the q210/q222 replay
+  // pattern). Scale shape: one (type, day) count partial agg is the
+  // only volume-sized work.
+  private def q224(s: SparkSession, dir: String): DataFrame =
+    cusumDaily(ev(s, dir))
+
+  private[graft] def cusumDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val packed = daily
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("ps"))
+      .withColumn("nd", size(col("ps")).cast("long"))
+      .withColumn("tt", expr(
+        "aggregate(ps, CAST(0 AS BIGINT), (a, p) -> a + p.x)"))
+      .withColumn("dv", expr("transform(ps, p -> nd * p.x - tt)"))
+      .withColumn("sdev2", expr(
+        "aggregate(dv, CAST(0 AS BIGINT), (a, e) -> a + e * e)"))
+      .withColumn("h",
+        lit(5d) * sqrt(col("sdev2").cast("double") / col("nd").cast("double")))
+      .withColumn("st", expr(
+        "aggregate(sequence(1, CAST(nd AS INT)), " +
+          "named_struct('cp', CAST(0 AS BIGINT), 'cn', CAST(0 AS BIGINT), " +
+          "'mxp', CAST(0 AS BIGINT), 'mxn', CAST(0 AS BIGINT), " +
+          "'al', CAST(0 AS BIGINT), 'na', CAST(0 AS BIGINT)), " +
+          "(a, k) -> named_struct(" +
+          "'cp', greatest(CAST(0 AS BIGINT), a.cp + dv[k - 1]), " +
+          "'cn', greatest(CAST(0 AS BIGINT), a.cn - dv[k - 1]), " +
+          "'mxp', greatest(a.mxp, greatest(CAST(0 AS BIGINT), a.cp + dv[k - 1])), " +
+          "'mxn', greatest(a.mxn, greatest(CAST(0 AS BIGINT), a.cn - dv[k - 1])), " +
+          "'al', IF(a.al > 0, a.al, IF(" +
+          "greatest(CAST(0 AS BIGINT), a.cp + dv[k - 1]) > h OR " +
+          "greatest(CAST(0 AS BIGINT), a.cn - dv[k - 1]) > h, CAST(k AS BIGINT), CAST(0 AS BIGINT))), " +
+          "'na', a.na + IF(" +
+          "greatest(CAST(0 AS BIGINT), a.cp + dv[k - 1]) > h OR " +
+          "greatest(CAST(0 AS BIGINT), a.cn - dv[k - 1]) > h, CAST(1 AS BIGINT), CAST(0 AS BIGINT))))"))
+    def dd(c: Column) = c.cast("double")
+    packed.select(col("event_type"), col("nd").as("n_days"), col("tt").as("n_events"),
+      r4(dd(col("tt")) / dd(col("nd"))).as("mu_r4"),
+      r4(col("h") / dd(col("nd"))).as("h_daily_r4"),
+      r4(dd(col("st.mxp")) / dd(col("nd"))).as("max_cusum_pos_r4"),
+      r4(dd(col("st.mxn")) / dd(col("nd"))).as("max_cusum_neg_r4"),
+      when(col("st.al") > 0, expr("ps[CAST(st.al AS INT) - 1].day")).as("first_alarm_day"),
+      col("st.na").as("n_alarm_days"))
+  }
+
+  // q225 — KAPLAN-MEIER SURVIVAL (signup → first purchase): the
+  // nonparametric time-to-event curve (Kaplan & Meier 1958) that
+  // q191's mean time-to-convert cannot give — WITH right-censoring:
+  // a user who signed up but never purchased is not a missing data
+  // point, they are "survived at least this long" (censored at the
+  // feed's last timestamp), and dropping them biases conversion
+  // speed optimistic. Duration = whole days from first signup to
+  // first purchase at-or-after it (exact integer µs division).
+  // Estimator: at each distinct conversion time t, S(t) multiplies
+  // by (1 − d_t/n_t) over the at-risk count n_t; the product runs as
+  // ONE sequential fold in time order (Spark `aggregate` struct,
+  // DuckDB list_reduce — same IEEE multiply sequence; at-risk
+  // arithmetic is exact small-integer double math). Scale shape: the
+  // user-grain first-signup/first-purchase aggregates are the only
+  // volume-sized work (two partial aggs + one user-grain join); the
+  // fold runs on the ≤|days|-element observed-duration grid.
+  private def q225(s: SparkSession, dir: String): DataFrame =
+    kaplanMeier(ev(s, dir))
+
+  private[graft] def kaplanMeier(e: DataFrame): DataFrame = {
+    val su = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("sts"))
+    val pu = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"))
+    val fp = su.join(pu, Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("sts"))
+      .agg(min(when(col("pts") >= col("sts"), col("pts"))).as("fpts"))
+    val mx = e.agg(max(col("ts")).as("max_ts"))
+    val ob = fp.crossJoin(broadcast(mx))
+      .withColumn("cvt", col("fpts").isNotNull)
+      .withColumn("obs_t", expr(
+        "CASE WHEN fpts IS NOT NULL THEN (unix_micros(fpts) - unix_micros(sts)) DIV 86400000000 " +
+          "ELSE (unix_micros(max_ts) - unix_micros(sts)) DIV 86400000000 END"))
+    val g = ob.groupBy(col("obs_t")).agg(
+      sum(when(col("cvt"), 1L).otherwise(0L)).as("nev"),
+      sum(when(col("cvt"), 0L).otherwise(1L)).as("ncens"))
+    val packed = g.agg(
+      sort_array(collect_list(struct(col("obs_t"), col("nev"), col("ncens")))).as("gs"),
+      sum(col("nev") + col("ncens")).as("nu"))
+      .filter(size(col("gs")) > 0)
+    packed
+      .select(col("gs"), col("nu"), explode(expr("sequence(1, size(gs))")).as("i"))
+      .withColumn("cb", expr(
+        "aggregate(slice(gs, 1, i - 1), CAST(0 AS BIGINT), (a, p) -> a + p.nev + p.ncens)"))
+      .withColumn("surv", expr(
+        "aggregate(slice(gs, 1, i), " +
+          "named_struct('r', CAST(nu AS DOUBLE), 's', CAST(1.0 AS DOUBLE)), " +
+          "(a, p) -> named_struct(" +
+          "'r', a.r - (CAST(p.nev AS DOUBLE) + CAST(p.ncens AS DOUBLE)), " +
+          "'s', IF(p.nev > 0, a.s * (1.0 - CAST(p.nev AS DOUBLE) / a.r), a.s))).s"))
+      .filter(expr("gs[i - 1].nev > 0"))
+      .select(expr("gs[i - 1].obs_t").as("t_days"),
+        (col("nu") - col("cb")).as("n_risk"),
+        expr("gs[i - 1].nev").as("n_conv"),
+        expr("gs[i - 1].ncens").as("n_cens"),
+        r4(col("surv")).as("surv_r4"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_cusum_changepoint" -> q224 _,
+    "q225_kaplan_meier" -> q225 _,
     "q212_benford_audit" -> q212 _,
     "q204_session_paths" -> q204 _,
     "q205_bot_profile" -> q205 _,
@@ -561,6 +681,92 @@ object BehaviorQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q224_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, ts::TIMESTAMP::DATE AS day, count(*)::BIGINT AS x
+        |  FROM events GROUP BY 1, 2
+        |), p AS (
+        |  SELECT event_type,
+        |    list(day ORDER BY day) AS days,
+        |    list(x ORDER BY day) AS xs,
+        |    count(*)::BIGINT AS nd, sum(x)::BIGINT AS tt
+        |  FROM daily GROUP BY 1
+        |), d AS (
+        |  SELECT *, list_transform(xs, x -> nd * x - tt) AS dv,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(xs, x -> (nd * x - tt) * (nd * x - tt))),
+        |      (a, b) -> a + b) AS sdev2
+        |  FROM p
+        |), hh AS (
+        |  SELECT *, 5 * sqrt(sdev2::DOUBLE / nd::DOUBLE) AS h FROM d
+        |), st AS (
+        |  SELECT *, list_reduce(
+        |    list_prepend([0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT],
+        |      list_transform(range(1, (nd + 1)::INT), k -> [k::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT])),
+        |    (a, e) -> [
+        |      greatest(0::BIGINT, a[1] + dv[e[1]::INT]),
+        |      greatest(0::BIGINT, a[2] - dv[e[1]::INT]),
+        |      greatest(a[3], greatest(0::BIGINT, a[1] + dv[e[1]::INT])),
+        |      greatest(a[4], greatest(0::BIGINT, a[2] - dv[e[1]::INT])),
+        |      CASE WHEN a[5] > 0 THEN a[5]
+        |        WHEN greatest(0::BIGINT, a[1] + dv[e[1]::INT]) > h
+        |          OR greatest(0::BIGINT, a[2] - dv[e[1]::INT]) > h THEN e[1] ELSE 0::BIGINT END,
+        |      a[6] + CASE WHEN greatest(0::BIGINT, a[1] + dv[e[1]::INT]) > h
+        |          OR greatest(0::BIGINT, a[2] - dv[e[1]::INT]) > h THEN 1::BIGINT ELSE 0::BIGINT END]) AS s
+        |  FROM hh
+        |)
+        |SELECT event_type, nd AS n_days, tt AS n_events,
+        |  floor(tt::DOUBLE / nd::DOUBLE * 10000 + 0.5)/10000 AS mu_r4,
+        |  floor(h / nd::DOUBLE * 10000 + 0.5)/10000 AS h_daily_r4,
+        |  floor(s[3]::DOUBLE / nd::DOUBLE * 10000 + 0.5)/10000 AS max_cusum_pos_r4,
+        |  floor(s[4]::DOUBLE / nd::DOUBLE * 10000 + 0.5)/10000 AS max_cusum_neg_r4,
+        |  CASE WHEN s[5] > 0 THEN days[s[5]::INT] END AS first_alarm_day,
+        |  s[6] AS n_alarm_days
+        |FROM st""".stripMargin,
+    "q225_kaplan_meier" ->
+      """WITH e AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, event_type FROM events
+        |), su AS (
+        |  SELECT user_id, min(ts) AS sts FROM e WHERE event_type = 'signup' GROUP BY 1
+        |), pu AS (
+        |  SELECT user_id, ts AS pts FROM e WHERE event_type = 'purchase'
+        |), fp AS (
+        |  SELECT su.user_id, su.sts,
+        |    min(CASE WHEN pu.pts >= su.sts THEN pu.pts END) AS fpts
+        |  FROM su LEFT JOIN pu ON su.user_id = pu.user_id GROUP BY 1, 2
+        |), mx AS (SELECT max(ts) AS max_ts FROM e),
+        |ob AS (
+        |  SELECT user_id, fpts IS NOT NULL AS cvt,
+        |    CASE WHEN fpts IS NOT NULL THEN (epoch_us(fpts) - epoch_us(sts)) // 86400000000
+        |         ELSE (epoch_us(max_ts) - epoch_us(sts)) // 86400000000 END AS obs_t
+        |  FROM fp CROSS JOIN mx
+        |), g AS (
+        |  SELECT obs_t,
+        |    sum(CASE WHEN cvt THEN 1 ELSE 0 END)::BIGINT AS nev,
+        |    sum(CASE WHEN cvt THEN 0 ELSE 1 END)::BIGINT AS ncens
+        |  FROM ob GROUP BY 1
+        |), p AS (
+        |  SELECT list(obs_t ORDER BY obs_t) AS tl, list(nev ORDER BY obs_t) AS nl,
+        |    list(ncens ORDER BY obs_t) AS cl, sum(nev + ncens)::BIGINT AS nu
+        |  FROM g
+        |), x AS (
+        |  SELECT tl, nl, cl, nu, unnest(range(1, len(tl) + 1)) AS i FROM p
+        |), y AS (
+        |  SELECT tl[i] AS t_days, nl[i] AS n_conv, cl[i] AS n_cens, nl[i] AS nev_i,
+        |    nu - list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, i), j -> nl[j] + cl[j])), (a, b) -> a + b) AS n_risk,
+        |    list_reduce(list_prepend([nu::DOUBLE, 1.0],
+        |      list_transform(range(1, i + 1), j -> [j::DOUBLE, 0.0])),
+        |      (a, e2) -> [
+        |        a[1] - (nl[e2[1]::INT]::DOUBLE + cl[e2[1]::INT]::DOUBLE),
+        |        CASE WHEN nl[e2[1]::INT] > 0
+        |          THEN a[2] * (1.0 - nl[e2[1]::INT]::DOUBLE / a[1])
+        |          ELSE a[2] END])[2] AS surv
+        |  FROM x
+        |)
+        |SELECT t_days, n_risk, n_conv, n_cens,
+        |  floor(surv * 10000 + 0.5)/10000 AS surv_r4
+        |FROM y WHERE nev_i > 0""".stripMargin,
     "q212_benford_audit" -> {
       // ::DOUBLE on the literal: DuckDB would otherwise bind the
       // 17-digit constant as DECIMAL(18,17) and overflow the r4

@@ -1232,7 +1232,154 @@ object MarketQueries {
       .toDF("event_type", "cluster_id", "cluster_size")
   }
 
+  // q221 — HISTORICAL VaR / CVaR (95%) per instrument: the
+  // order-statistic risk pair every desk reports — VaR is the k-th
+  // worst daily return (k = max(1, ⌈0.05·n⌉), the empirical 5%
+  // quantile, NO interpolation — an interpolated quantile would be
+  // one more engine-specific float path), CVaR (expected shortfall)
+  // the mean of those k worst days. Exactness: returns are exact
+  // micro-log2 integers, the sorted day-grid array is
+  // volume-independent, the tail sum is an exact integer fold, and
+  // the only IEEE ops are k's shared ceil(n·0.05) and the two final
+  // divisions — identical sequences on both engines. Scale shape:
+  // dailyCloses' one volume-sized partial agg; sort/slice run on
+  // |days|-element arrays per instrument.
+  private def q221(s: SparkSession, dir: String): DataFrame =
+    varCvarFromCloses(dailyCloses(s, dir))
+
+  /** q221's closing over any (event_type, day, close_lv) day grid
+    * (the q199/q203 sharing pattern). */
+  private[graft] def varCvarFromCloses(cl: DataFrame): DataFrame = {
+    val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val rets = cl
+      .withColumn("prev", lag(col("close_lv"), 1).over(wd))
+      .filter(col("prev").isNotNull)
+      .withColumn("r_fp", col("close_lv") - col("prev"))
+      .select(col("event_type"), col("day"), col("r_fp"))
+    val base = rets
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("r_fp"))).as("xs"))
+    val n = size(col("xs")).cast("long")
+    base
+      .withColumn("k_tail",
+        greatest(lit(1L), ceil(n.cast("double") * lit(0.05))))
+      .withColumn("var_fp", element_at(col("xs"), col("k_tail").cast("int")))
+      .withColumn("tail_sum", expr(
+        "aggregate(slice(xs, 1, CAST(k_tail AS INT)), CAST(0 AS BIGINT), (a, e) -> a + e)"))
+      .select(col("event_type"), n.as("n_days"), col("k_tail"),
+        r4(-col("var_fp").cast("double") / lit(1e6)).as("var95_r4"),
+        r4(-(col("tail_sum").cast("double") / col("k_tail").cast("double")) / lit(1e6))
+          .as("cvar95_r4"))
+  }
+
+  // q222 — LOCAL-LEVEL KALMAN FILTER BACKTEST: the optimal recursive
+  // estimator for a random-walk-plus-noise series (Q = 1e9 process
+  // variance, R = 1e10 observation variance in micro-log2² units,
+  // P₀ = R) scored one-step-ahead against the naive walk — the
+  // adaptive sibling of q203's fixed-α EWMA: the gain K_t =
+  // P⁻/(P⁻+R) starts high and anneals to the steady state
+  // (`gain_final` reads it out), so early observations correct the
+  // state faster. The entire predict-update recursion + error
+  // accumulation is ONE sequential 4-field fold in day order —
+  // Spark `aggregate` over a named_struct, DuckDB list_reduce over
+  // 4-element LISTs with a prepended seed (the q210 replay), every
+  // arithmetic step the same IEEE expression (the repeated
+  // (a.p + 1e9) / ((a.p + 1e9) + 1e10) subterm is the same double
+  // each time), so sums agree bitwise before r4. Scale shape: q203's
+  // — day-grid arrays after dailyCloses' one partial agg.
+  private def q222(s: SparkSession, dir: String): DataFrame =
+    kalmanFromCloses(dailyCloses(s, dir))
+
+  /** q222's closing over any (event_type, day, close_lv) day grid
+    * (the q203/q210 sharing pattern). */
+  private[graft] def kalmanFromCloses(cl: DataFrame): DataFrame = {
+    val base = cl
+      .select(col("event_type"), struct(col("day"), col("close_lv")).as("p"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+      .withColumn("xs", expr("transform(ps, p -> CAST(p.close_lv AS DOUBLE))"))
+      .withColumn("kf", expr(
+        "IF(size(xs) > 1, aggregate(slice(xs, 2, size(xs) - 1), " +
+          "named_struct('x', xs[0], 'p', CAST(1e10 AS DOUBLE), " +
+          "'sae', CAST(0.0 AS DOUBLE), 'sse', CAST(0.0 AS DOUBLE)), " +
+          "(a, y) -> named_struct(" +
+          "'x', a.x + ((a.p + 1e9) / ((a.p + 1e9) + 1e10)) * (y - a.x), " +
+          "'p', (1.0 - ((a.p + 1e9) / ((a.p + 1e9) + 1e10))) * (a.p + 1e9), " +
+          "'sae', a.sae + abs(y - a.x), " +
+          "'sse', a.sse + (y - a.x) * (y - a.x))), NULL)"))
+      .withColumn("en", expr("IF(size(xs) > 1, " +
+        "transform(sequence(1, size(xs) - 1), k -> xs[k] - xs[k - 1]), " +
+        "CAST(array() AS array<double>))"))
+      .withColumn("san", expr("aggregate(en, CAST(0.0 AS DOUBLE), (a, e) -> a + abs(e))"))
+    val nf = (size(col("xs")) - 1).cast("long")
+    val n = nf.cast("double")
+    base.select(col("event_type"), nf.as("n_fc"),
+      when(nf > 0, r4(col("kf.sae") / n / lit(1e6))).as("mae_kalman"),
+      when(nf > 0, r4(sqrt(col("kf.sse") / n) / lit(1e6))).as("rmse_kalman"),
+      when(nf > 0, r4(col("san") / n / lit(1e6))).as("mae_naive"),
+      when(col("san") > 0, r4(col("kf.sae") / col("san"))).as("skill_vs_naive"),
+      when(nf > 0, r4((col("kf.p") + lit(1e9)) / ((col("kf.p") + lit(1e9)) + lit(1e10))))
+        .as("gain_final"))
+  }
+
+  // q223 — ENGLE-GRANGER COINTEGRATION SCREEN (stage 2): q198 ships
+  // the stage-1 hedge ratio; this query asks the question that makes
+  // a pair TRADEABLE — is the residual spread mean-reverting? The
+  // readout is the residual AR(1) coefficient ρ = Σe_{t−1}e_t /
+  // Σe²_{t−1} (no intercept — stage-1 already centered the
+  // residuals): ρ near 1 means the spread random-walks (spurious
+  // regression), ρ well below 1 means shocks decay — flagged
+  // `cointegrated` when the 1e-6-quantized ρ < 0.95, an integer
+  // comparison so the boundary can't split engines. Exactness: β/α
+  // close from the SAME six exact integer level sums as q198 (one
+  // shared IEEE sequence); the residual series and both AR folds run
+  // over day-ordered arrays with sequential `aggregate`/list_reduce
+  // — bitwise-matched op order throughout. Scale shape: q198's —
+  // dailyCloses' one partial agg, the day-keyed pair join on the
+  // volume-independent day grid, |types|² output.
+  private def q223(s: SparkSession, dir: String): DataFrame =
+    cointFromCloses(dailyCloses(s, dir))
+
+  /** q223's closing over any (event_type, day, close_lv) day grid
+    * (the q198 sharing pattern). */
+  private[graft] def cointFromCloses(cl: DataFrame): DataFrame = {
+    val a = cl.select(col("event_type").as("type_a"), col("day"), col("close_lv").as("y"))
+    val b = cl.select(col("event_type").as("type_b"), col("day"), col("close_lv").as("x"))
+    val agg = a.join(b, Seq("day")).filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sort_array(collect_list(struct(col("day"), col("x"), col("y")))).as("ps"))
+    def d(c: Column) = c.cast("double")
+    val n = d(col("n_days"))
+    val denB = n * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val betaE = (n * d(col("sxy")) - d(col("sx")) * d(col("sy"))) / denB
+    val wr = agg
+      .withColumn("beta", when(denB =!= 0, betaE))
+      .withColumn("alpha", (d(col("sy")) - col("beta") * d(col("sx"))) / n)
+      .withColumn("es", expr(
+        "transform(ps, p -> CAST(p.y AS DOUBLE) - (alpha + beta * CAST(p.x AS DOUBLE)))"))
+      .withColumn("num", expr("IF(size(es) > 1, " +
+        "aggregate(sequence(1, size(es) - 1), CAST(0.0 AS DOUBLE), " +
+        "(a, k) -> a + es[k - 1] * es[k]), NULL)"))
+      .withColumn("den", expr("IF(size(es) > 1, " +
+        "aggregate(sequence(1, size(es) - 1), CAST(0.0 AS DOUBLE), " +
+        "(a, k) -> a + es[k - 1] * es[k - 1]), NULL)"))
+    val rho = col("num") / col("den")
+    wr.select(col("type_a"), col("type_b"), col("n_days"),
+      when(col("beta").isNotNull, r4(col("beta"))).as("beta_r4"),
+      when(col("alpha").isNotNull, r4(col("alpha") / lit(1e6))).as("alpha_r4"),
+      when(col("den") > 0, r4(rho)).as("rho_r4"),
+      when(col("den") > 0, floor(rho * lit(1e6) + lit(0.5d)) < lit(950000L))
+        .as("cointegrated"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_var_cvar" -> q221 _,
+    "q222_kalman_backtest" -> q222 _,
+    "q223_coint_screen" -> q223 _,
     "q210_holt_backtest" -> q210 _,
     "q209_corr_clusters" -> q209 _,
     "q208_sma_crossover" -> q208 _,
@@ -1287,6 +1434,94 @@ object MarketQueries {
       |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q221_var_cvar" ->
+      (dayRetCtes +
+        """, s AS (
+          |  SELECT event_type, list(r_fp ORDER BY r_fp) AS xs FROM r GROUP BY 1
+          |), f AS (
+          |  SELECT event_type, len(xs)::BIGINT AS n_days,
+          |    greatest(1, ceil(len(xs)::DOUBLE * 0.05)::BIGINT) AS k_tail, xs
+          |  FROM s
+          |)
+          |SELECT event_type, n_days, k_tail,
+          |  floor((-(xs[k_tail::INT]::DOUBLE)) / 1e6 * 10000 + 0.5)/10000 AS var95_r4,
+          |  floor((-(list_sum(list_slice(xs, 1, k_tail::INT))::DOUBLE / k_tail::DOUBLE)) / 1e6 * 10000 + 0.5)/10000 AS cvar95_r4
+          |FROM f""".stripMargin),
+    "q222_kalman_backtest" ->
+      (dayRetCtes +
+        """, s AS (
+          |  SELECT event_type, list(close_lv::DOUBLE ORDER BY day) AS xs
+          |  FROM c GROUP BY 1
+          |), kk AS (
+          |  SELECT event_type, xs,
+          |    CASE WHEN len(xs) > 1 THEN list_reduce(
+          |      list_prepend([xs[1], 1e10, 0.0, 0.0],
+          |        list_transform(xs[2:], x -> [x, 0.0, 0.0, 0.0])),
+          |      (a, e) -> [
+          |        a[1] + ((a[2] + 1e9) / ((a[2] + 1e9) + 1e10)) * (e[1] - a[1]),
+          |        (1.0 - ((a[2] + 1e9) / ((a[2] + 1e9) + 1e10))) * (a[2] + 1e9),
+          |        a[3] + abs(e[1] - a[1]),
+          |        a[4] + (e[1] - a[1]) * (e[1] - a[1])]) END AS kf
+          |  FROM s
+          |), ee AS (
+          |  SELECT event_type, xs, kf,
+          |    list_reduce(list_prepend(0.0,
+          |      list_transform(range(1, len(xs)), k -> abs(xs[k + 1] - xs[k]))),
+          |      (a, b) -> a + b) AS san,
+          |    (len(xs) - 1)::BIGINT AS n_fc
+          |  FROM kk
+          |)
+          |SELECT event_type, n_fc,
+          |  CASE WHEN n_fc > 0 THEN
+          |    floor(kf[3] / n_fc::DOUBLE / 1e6 * 10000 + 0.5)/10000 END AS mae_kalman,
+          |  CASE WHEN n_fc > 0 THEN
+          |    floor(sqrt(kf[4] / n_fc::DOUBLE) / 1e6 * 10000 + 0.5)/10000 END AS rmse_kalman,
+          |  CASE WHEN n_fc > 0 THEN
+          |    floor(san / n_fc::DOUBLE / 1e6 * 10000 + 0.5)/10000 END AS mae_naive,
+          |  CASE WHEN san > 0 THEN
+          |    floor(kf[3] / san * 10000 + 0.5)/10000 END AS skill_vs_naive,
+          |  CASE WHEN n_fc > 0 THEN
+          |    floor((kf[2] + 1e9) / ((kf[2] + 1e9) + 1e10) * 10000 + 0.5)/10000 END AS gain_final
+          |FROM ee""".stripMargin),
+    "q223_coint_screen" ->
+      (dayRetCtes +
+        """, ca AS (SELECT event_type AS type_a, day, close_lv AS y FROM c),
+          |cb AS (SELECT event_type AS type_b, day, close_lv AS x FROM c),
+          |j AS (SELECT * FROM ca JOIN cb USING (day) WHERE type_a < type_b),
+          |g AS (
+          |  SELECT type_a, type_b, count(*)::BIGINT AS n_days,
+          |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+          |    sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+          |    list(x::DOUBLE ORDER BY day) AS xs,
+          |    list(y::DOUBLE ORDER BY day) AS ys
+          |  FROM j GROUP BY 1, 2
+          |), f AS (
+          |  SELECT *, CASE WHEN (n_days::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) <> 0
+          |    THEN (n_days::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+          |       / (n_days::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) END AS beta
+          |  FROM g
+          |), f2 AS (
+          |  SELECT *, (sy::DOUBLE - beta * sx::DOUBLE) / n_days::DOUBLE AS alpha FROM f
+          |), resid AS (
+          |  SELECT *, list_transform(range(1, len(xs) + 1),
+          |    i -> ys[i] - (alpha + beta * xs[i])) AS es
+          |  FROM f2
+          |), rr AS (
+          |  SELECT *,
+          |    CASE WHEN len(es) > 1 THEN list_reduce(list_prepend(0.0,
+          |      list_transform(range(1, len(es)), k -> es[k] * es[k + 1])),
+          |      (a, b) -> a + b) END AS num,
+          |    CASE WHEN len(es) > 1 THEN list_reduce(list_prepend(0.0,
+          |      list_transform(range(1, len(es)), k -> es[k] * es[k])),
+          |      (a, b) -> a + b) END AS den
+          |  FROM resid
+          |)
+          |SELECT type_a, type_b, n_days,
+          |  CASE WHEN beta IS NOT NULL THEN floor(beta * 10000 + 0.5)/10000 END AS beta_r4,
+          |  CASE WHEN alpha IS NOT NULL THEN floor(alpha / 1e6 * 10000 + 0.5)/10000 END AS alpha_r4,
+          |  CASE WHEN den > 0 THEN floor(num / den * 10000 + 0.5)/10000 END AS rho_r4,
+          |  CASE WHEN den > 0 THEN floor(num / den * 1e6 + 0.5) < 950000 END AS cointegrated
+          |FROM rr""".stripMargin),
     "q210_holt_backtest" ->
       (dayRetCtes +
         """, s AS (

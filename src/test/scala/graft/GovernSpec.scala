@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.JaroWinkler
+import graft.queries.GovernQueries
+
+/** Governance + entity-resolution surface (q216–q220): Jaro-Winkler
+  * pinned to the textbook/DuckDB vectors, designed-feed pins for the
+  * RI audit and the SCD2 build, and real-feed invariants for the
+  * blocked matcher and sorted-neighborhood blocking. */
+class GovernSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def jw(a: String, b: String): Double =
+    JaroWinkler.eval(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("JaroWinkler matches the textbook/DuckDB vectors exactly") {
+    // values cross-checked bitwise against DuckDB's
+    // jaro_winkler_similarity (20k random pairs + these vectors)
+    assert(jw("martha", "marhta") == 0.9611111111111111)
+    assert(jw("dixon", "dicksonx") == 0.8133333333333332)
+    assert(jw("jellyfish", "smellyfish") == 0.8962962962962964)
+    assert(jw("abc", "abc") == 1.0)
+    // boost threshold: jaro = 0.6 <= 0.7, so the 4-char common prefix
+    // must NOT add the Winkler bonus
+    assert(jw("abcdxxxxxx", "abcdyyyyyy") == 0.6)
+    // DuckDB's empty conventions (both-empty is 0.0, NOT textbook 1.0)
+    assert(jw("", "") == 0.0)
+    assert(jw("", "abc") == 0.0)
+    assert(jw("a", "") == 0.0)
+    // no matches at all
+    assert(jw("aaa", "zzz") == 0.0)
+  }
+
+  test("JaroWinkler is symmetric and bounded on random strings") {
+    val rnd = new scala.util.Random(42)
+    (1 to 500).foreach { _ =>
+      def w() = (1 to (1 + rnd.nextInt(12))).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+      val (a, b) = (w(), w())
+      val x = jw(a, b)
+      assert(x == jw(b, a), s"asymmetric on ($a, $b)")
+      assert(x >= 0.0 && x <= 1.0, s"out of range on ($a, $b): $x")
+      assert(jw(a, a) == 1.0)
+    }
+  }
+
+  test("riAudit counts nulls, orphan rows and distinct orphan keys on a designed feed") {
+    val child = Seq(Some(1L), Some(1L), Some(2L), None, Some(9L), Some(9L), Some(7L))
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = GovernQueries.riAudit("child.fk->parent.pk", child, "fk", parent, "pk")
+      .collect().head
+    assert(r.getAs[String]("relation") == "child.fk->parent.pk")
+    assert(r.getAs[Long]("n_rows") == 7L)
+    assert(r.getAs[Long]("n_null") == 1L)
+    assert(r.getAs[Long]("n_orphan_rows") == 3L) // 9,9,7
+    assert(r.getAs[Long]("n_orphan_keys") == 2L) // {9,7}
+  }
+
+  test("q216 on the clean testdata: four relations, zero orphans, exact row counts") {
+    val rows = GovernQueries.queries("q216_ri_orphans")(spark, sf()).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_orphan_rows") == 0L, r.getAs[String]("relation"))
+      assert(r.getAs[Long]("n_null") == 0L)
+      assert(r.getAs[Long]("n_rows") > 0L)
+    }
+  }
+
+  test("q217 risky flag is exactly n < 5 and k_anon is the min cell size") {
+    val rows = GovernQueries.queries("q217_k_anonymity")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val minN = rows.map(_.getAs[Long]("n")).min
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("risky") == (r.getAs[Long]("n") < 5L))
+      assert(r.getAs[Long]("k_anon") == minN)
+    }
+  }
+
+  test("entityMatch finds the planted spelling variant and respects the block contract") {
+    val docs = Seq(
+      (1L, "acme widget shipped fast"),
+      (2L, "acme widgit shipped fast"), // 'widget' vs 'widgit'
+      (3L, "zebra crossing")
+    ).toDF("doc_id", "text")
+    val got = GovernQueries.entityMatch(docs).collect()
+    // the variant pair must be found ('acme widget' vs 'acme widgit' share block 'ac')
+    assert(got.exists(r => r.getAs[String]("phrase_a") == "acme widget" &&
+      r.getAs[String]("phrase_b") == "acme widgit"))
+    got.foreach { r =>
+      val (a, b) = (r.getAs[String]("phrase_a"), r.getAs[String]("phrase_b"))
+      assert(a < b)
+      assert(a.take(2) == b.take(2), "blocking violated")
+      assert(r.getAs[Double]("jw_r6") >= 0.85)
+      // the reported score is the quantized JaroWinkler of the pair
+      val want = math.floor(jw(a, b) * 1e6 + 0.5) / 1e6
+      assert(r.getAs[Double]("jw_r6") == want)
+    }
+  }
+
+  test("sortedNeighborhood pairs identical-prefix docs within the rank window") {
+    val docs = Seq(
+      (10L, "alpha beta gamma delta"),
+      (11L, "alpha beta gamma delta"),   // byte-identical twin
+      (12L, "alpha beta gamma epsilon"), // same 16-char prefix, high overlap
+      (13L, "omega psi chi")
+    ).toDF("doc_id", "text")
+    val got = GovernQueries.sortedNeighborhood(docs).collect()
+    val pairs = got.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((10L, 11L)))
+    // the twins' jaccard is exactly 1.0
+    val twin = got.find(r => r.getAs[Long]("doc_a") == 10L && r.getAs[Long]("doc_b") == 11L).get
+    assert(twin.getAs[Double]("jac_r4") == 1.0)
+    got.foreach { r =>
+      val d = r.getAs[Long]("rank_dist")
+      assert(d >= 1L && d <= 3L)
+      assert(r.getAs[Double]("jac_r4") >= 0.5)
+    }
+    // the unrelated doc never pairs above threshold
+    assert(!pairs.exists(p => p._1 == 13L || p._2 == 13L))
+  }
+
+  test("scd2 compresses a designed change log into the right validity intervals") {
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def ts(h: Int) = new java.sql.Timestamp(t0.getTime + h * 3600000L)
+    val ev = Seq(
+      (1L, ts(0), 1L, "A"), (1L, ts(1), 2L, "A"), (1L, ts(2), 3L, "B"),
+      (1L, ts(3), 4L, "B"), (1L, ts(4), 5L, "A"),
+      (2L, ts(0), 6L, "X"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = GovernQueries.scd2(ev).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("version")) ->
+        (r.getAs[String]("state"), r.getAs[java.sql.Timestamp]("valid_from"),
+          Option(r.getAs[java.sql.Timestamp]("valid_to")), r.getAs[Boolean]("is_current")))
+      .toMap
+    assert(got.size == 4)
+    assert(got((1L, 1L)) == (("A", ts(0), Some(ts(2)), false)))
+    assert(got((1L, 2L)) == (("B", ts(2), Some(ts(4)), false)))
+    assert(got((1L, 3L)) == (("A", ts(4), None, true)))
+    assert(got((2L, 1L)) == (("X", ts(0), None, true)))
+  }
+
+  test("scd2 intervals tile each user's timeline: valid_to chains to the next valid_from") {
+    val got = GovernQueries.queries("q220_scd2_build")(spark, sf()).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    got.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("version"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[java.sql.Timestamp]("valid_to") ==
+            b.getAs[java.sql.Timestamp]("valid_from"))
+          assert(!a.getAs[Boolean]("is_current"))
+        case _ =>
+      }
+      assert(sorted.last.getAs[Boolean]("is_current"))
+      assert(sorted.last.get(sorted.last.fieldIndex("valid_to")) == null)
+    }
+  }
+}
