@@ -78,6 +78,14 @@ object ScaleProbe {
     val reps = args.headOption.map(_.toInt).getOrElse(10)
     val only = args.drop(1).headOption.map(_.split(",").map(_.trim).toSet)
     val spark = core.GraftSession("scaleprobe", 32)
+    // SPARK_GRAFT_SPLITMB=16: shrink file-split size. The replica
+    // layout writes a handful of fat parquet files, so scan-heavy
+    // stages run ~25 uniform tasks (med ≈ max in the stage
+    // histograms — layout-bound, NOT logical skew); finer splits are
+    // what a real 100 TB layout has thousands of anyway. This knob
+    // measures that remedy without rewriting the replicas.
+    sys.env.get("SPARK_GRAFT_SPLITMB").foreach(mb =>
+      spark.conf.set("spark.sql.files.maxPartitionBytes", s"${mb}m"))
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
     val src = "/root/testdata/sf0.1"
@@ -416,6 +424,37 @@ object ScaleProbe {
     time("q211_textrank") { q("q211_textrank") }
     time("q215_textrank_hashed") { q("q215_textrank_hashed") }
     time("q212_benford_audit") { q("q212_benford_audit") }
+    // round-11 additions. q216: key-grain ⋈ key-grain audit joins
+    // (the fact side collapses in a partial agg before any join);
+    // q217 is dim-bound (customer copies verbatim — the point);
+    // q218 runs on the VERBATIM replicas: the matcher is
+    // VOCABULARY-bound (distinct bigram phrases), so 100 byte-copies
+    // of every doc must collapse in the phrase dedup and leave the
+    // block join untouched — volume-independence is the claim under
+    // measure. (The SALTED corpus is this query's blocking-key
+    // adversary, not its volume adversary: every minted salt token
+    // shares a 2-char prefix 's<digit>', so the synthetic vocabulary
+    // floods a handful of (prefix, length) cells and candidate
+    // verification goes quadratic IN THE VOCABULARY — the classic ER
+    // failure of a too-coarse blocking key, answered by extending
+    // the key (3-char prefix / phonetic key), not by volume
+    // machinery. Measured and documented in BASELINE.md round 11.)
+    // q219 runs on the SALTED corpus (content genuinely grows: the
+    // salts mint new sort keys; the rank+delta equi-join stays
+    // linear); q220's chunked SCD2 faces the fixed-150-user feed at
+    // 100x — per-user histories fatten 100x, exactly the regime the
+    // two-level plan exists for; q221-q225 are day-grid folds after
+    // one volume-sized partial agg each.
+    time("q216_ri_orphans") { q("q216_ri_orphans") }
+    time("q217_k_anonymity") { q("q217_k_anonymity") }
+    time("q218_entity_match") { q("q218_entity_match") }
+    time("q219_sorted_neighborhood") { SparkEntry.queries("q219_sorted_neighborhood")(spark, dstS) }
+    time("q220_scd2_build") { q("q220_scd2_build") }
+    time("q221_var_cvar") { q("q221_var_cvar") }
+    time("q222_kalman_backtest") { q("q222_kalman_backtest") }
+    time("q223_coint_screen") { q("q223_coint_screen") }
+    time("q224_cusum_changepoint") { q("q224_cusum_changepoint") }
+    time("q225_kaplan_meier") { q("q225_kaplan_meier") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

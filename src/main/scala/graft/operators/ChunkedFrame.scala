@@ -53,8 +53,16 @@ object ChunkedFrame {
     * window function: row_number IS `__g + 1`, and with the per-key
     * total (one partial-agg shuffle) percent_rank / cume_dist /
     * ntile are pure per-row arithmetic over (`__g`, N) — see q127. */
+  /** `broadcastOffsets = false` drops the explicit broadcast hint on
+    * the offset join: the offset table is one row per nonempty
+    * (key, chunk), which approaches EVENT grain when the key is
+    * user-cardinality and chunks are sparse (the Transitions
+    * flagsChunked advisory) — AQE then upgrades to broadcast at
+    * runtime only when it actually fits. Dim-keyed callers (event
+    * types × hours) keep the default hint. */
   def globalRank(df: DataFrame, keyCol: String, chunk: Column,
-                 orderCols: Seq[String]): DataFrame = {
+                 orderCols: Seq[String],
+                 broadcastOffsets: Boolean = true): DataFrame = {
     val ord = orderCols.map(col)
     val k = col(keyCol)
     val withChunk = df.withColumn("__chunk", chunk)
@@ -75,7 +83,7 @@ object ChunkedFrame {
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__off", coalesce(sum(col("__cnt")).over(wOffset), lit(0L)))
       .drop("__cnt")
-    ranked.join(broadcast(offsets),
+    ranked.join(if (broadcastOffsets) broadcast(offsets) else offsets,
         k === col(s"__o_$keyCol") && col("__chunk") === col("__o_chunk"))
       .withColumn("__g", col("__off") + col("__lr") - 1)
       .drop(s"__o_$keyCol", "__o_chunk", "__off", "__lr", "__chunk")
@@ -99,12 +107,13 @@ object ChunkedFrame {
     * are dropped and no body row's frame reaches past the halo. */
   def withTrailingEval(df: DataFrame, keyCol: String, chunk: Column,
                        orderCols: Seq[String], haloWidth: Int,
-                       blockSize: Int = 4096)
+                       blockSize: Int = 4096,
+                       broadcastOffsets: Boolean = true)
                       (build: (DataFrame, org.apache.spark.sql.expressions.WindowSpec) => DataFrame): DataFrame = {
     require(haloWidth >= 1 && blockSize > haloWidth,
       s"blockSize $blockSize must exceed halo width $haloWidth")
     val k = col(keyCol)
-    val indexed = globalRank(df, keyCol, chunk, orderCols)
+    val indexed = globalRank(df, keyCol, chunk, orderCols, broadcastOffsets)
 
     // 3. fixed-size blocks; a row in the last `haloWidth` of its block
     // ALSO emits a halo copy into the next block — one map-side

@@ -561,10 +561,15 @@ object BehaviorQueries {
   private def q224(s: SparkSession, dir: String): DataFrame =
     cusumDaily(ev(s, dir))
 
-  private[graft] def cusumDaily(events: DataFrame): DataFrame = {
-    val daily = events
+  private[graft] def cusumDaily(events: DataFrame): DataFrame =
+    cusumFromDaily(events
       .groupBy(col("event_type"), col("ts").cast("date").as("day"))
-      .agg(count(lit(1)).as("x"))
+      .agg(count(lit(1)).as("x")))
+
+  /** q224's closing over any (event_type, day, x) daily-count grid —
+    * ONE code path with the streaming serve
+    * (StreamPipeline.cusumServe over the leg-20 maintained counts). */
+  private[graft] def cusumFromDaily(daily: DataFrame): DataFrame = {
     val packed = daily
       .groupBy(col("event_type"))
       .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("ps"))

@@ -115,12 +115,19 @@ object GovernQueries {
       .select(explode(expr(
         "transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i + 1]))")).as("p"))
       .distinct()
+    // the candidate join is an EQUI-join on (block, length): the left
+    // side explodes its length into the ±3 tolerance band, so the
+    // planner shuffles on a compound key and a degenerate 2-char
+    // prefix (many phrases, one block) still splits across length
+    // cells — a bare-block join would funnel the whole block through
+    // one task (the q47 hot-band lesson).
     val a = phr.select(col("p").as("pa"), substring(col("p"), 1, 2).as("blk"),
       length(col("p")).as("la"))
+      .withColumn("lb", explode(expr("sequence(la - 3, la + 3)")))
     val b = phr.select(col("p").as("pb"), substring(col("p"), 1, 2).as("blk"),
       length(col("p")).as("lb"))
-    a.join(b, Seq("blk"))
-      .filter(col("pa") < col("pb") && abs(col("la") - col("lb")) <= 3)
+    a.join(b, Seq("blk", "lb"))
+      .filter(col("pa") < col("pb"))
       .withColumn("jw6",
         floor(graft.functions.JaroWinkler.column(col("pa"), col("pb")) * lit(1e6)
           + lit(0.5d)).cast("long"))
@@ -180,26 +187,58 @@ object GovernQueries {
   // [valid_from, valid_to) and an is_current flag on the open
   // interval. Exactness: pure column motion — timestamps and strings
   // carry through untouched; version numbers are exact ranks over
-  // the unique (ts, event_id) order. Scale shape: both windows (the
-  // change-detect lag and the interval lead/version rank) share ONE
-  // (user_id, ts, event_id) sort; user_id cardinality grows with
-  // volume, so per-key partitions stay bounded — a dominant-key feed
-  // (one user = half the volume) would route through the
-  // Transitions.flagsChunked two-level plan, same as q182/q205.
+  // the unique (ts, event_id) order. Scale shape: the declared plan
+  // is CHUNKED end to end (see [[scd2]]) — no task ever sorts one
+  // user's whole history, so a dominant-key feed (one user = half
+  // the volume, the q182 bot regime) stays block-parallel; the
+  // direct two-window form survives as the spec's bitwise twin.
   private def q220(s: SparkSession, dir: String): DataFrame =
     scd2(Tables.events(s, dir))
 
-  private[graft] def scd2(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    events
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("prev", lag(col("event_type"), 1).over(w))
-      .filter(col("prev").isNull || col("event_type") =!= col("prev"))
-      .withColumn("version", row_number().over(w).cast("long"))
-      .withColumn("valid_to", lead(col("ts"), 1).over(w))
-      .select(col("user_id"), col("version"), col("event_type").as("state"),
-        col("ts").as("valid_from"), col("valid_to"),
-        col("valid_to").isNull.as("is_current"))
+  /** SCD2 kernel. `chunked = true` (default, the declared plan) never
+    * sorts one user's whole history in a single task: the
+    * change-detect lag evaluates through ChunkedFrame.withTrailingEval
+    * (halo 1 — parallelism ∝ volume/block), and on the compressed
+    * change rows the version rank comes from ChunkedFrame.globalRank
+    * with `valid_to` recovered by a rank+1 self-join — a dominant-key
+    * feed (one user = half the events, the q182 bot regime) stays
+    * block-parallel end to end. `chunked = false` is the textbook
+    * two-window form, kept for the bitwise-equality spec. */
+  private[graft] def scd2(events: DataFrame, chunked: Boolean = true): DataFrame = {
+    val base = events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    if (!chunked) {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      base
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("event_type") =!= col("prev"))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("version"), col("event_type").as("state"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+    } else {
+      // user-keyed chunking: the offset tables are bounded by nonempty
+      // (user, hour) pairs — near event grain on sparse feeds — so the
+      // broadcast hint is dropped and AQE decides (the flagsChunked
+      // advisory discipline).
+      val changes = graft.operators.ChunkedFrame.withTrailingEval(
+        base, keyCol = "user_id", chunk = date_trunc("hour", col("ts")),
+        orderCols = Seq("ts", "event_id"), haloWidth = 1,
+        broadcastOffsets = false) { (df, wBase) =>
+        df.withColumn("prev", lag(col("event_type"), 1).over(wBase))
+      }.filter(col("prev").isNull || col("event_type") =!= col("prev"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val ranked = graft.operators.ChunkedFrame.globalRank(
+        changes, keyCol = "user_id", chunk = date_trunc("hour", col("ts")),
+        orderCols = Seq("ts", "event_id"), broadcastOffsets = false)
+      val nxt = ranked.select(col("user_id").as("n_user"), col("__g").as("n_g"),
+        col("ts").as("n_ts"))
+      ranked.join(nxt,
+          col("user_id") === col("n_user") && col("__g") + 1 === col("n_g"), "left")
+        .select(col("user_id"), (col("__g") + 1).as("version"),
+          col("event_type").as("state"), col("ts").as("valid_from"),
+          col("n_ts").as("valid_to"), col("n_ts").isNull.as("is_current"))
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

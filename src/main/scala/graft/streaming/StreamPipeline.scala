@@ -1520,6 +1520,24 @@ object StreamPipeline {
     graft.queries.MarketQueries.holtFromCloses(
       graft.operators.DailyCloses.closes(spark.read.parquet(storePath)))
 
+  /** Serve q221's VaR/CVaR order statistics from the closes store —
+    * the SAME varCvarFromCloses closing the declared query calls, so
+    * a live risk-limits dashboard reads today's tail numbers off the
+    * maintained day grid without a tick re-scan. */
+  def varCvarServe(spark: SparkSession, storePath: String): org.apache.spark.sql.DataFrame =
+    graft.queries.MarketQueries.varCvarFromCloses(
+      graft.operators.DailyCloses.closes(spark.read.parquet(storePath)))
+
+  /** Serve q222's Kalman one-step backtest from the closes store. */
+  def kalmanServe(spark: SparkSession, storePath: String): org.apache.spark.sql.DataFrame =
+    graft.queries.MarketQueries.kalmanFromCloses(
+      graft.operators.DailyCloses.closes(spark.read.parquet(storePath)))
+
+  /** Serve q223's cointegration screen from the closes store. */
+  def cointServe(spark: SparkSession, storePath: String): org.apache.spark.sql.DataFrame =
+    graft.queries.MarketQueries.cointFromCloses(
+      graft.operators.DailyCloses.closes(spark.read.parquet(storePath)))
+
   /** Serve q200's PageRank navigation centrality from the
     * [[transitionMaintain]] counts store: the store IS the q185
     * matrix (StreamingSpec pins streamed counts ≡ declared q185
@@ -1619,6 +1637,63 @@ object StreamPipeline {
     marker.getFileSystem(hconf).create(marker, true).close()
     graft.batch.AtomicSwap.swapInto(hconf, storePath + ".tmp", storePath)
   }
+
+  /** STREAMING DAILY-VOLUME CUSUM MAINTENANCE (leg 20): q224's
+    * change-point detector kept live. The only state a CUSUM over
+    * daily event volumes needs is the (event_type, day) count grid —
+    * merge-by-addition, bounded by |types| × |days| at any feed size
+    * — so each micro-batch folds its own counts into the store
+    * (marker-idempotent, heal-before-read, atomic swap: the lift
+    * maintainer's exactly-once discipline without a carry). Serving
+    * ([[cusumServe]]) runs q224's ENTIRE fold — deviations, both
+    * one-sided integer CUSUMs, the 5σ alarm — through the SAME
+    * `cusumFromDaily` the declared query calls, so serve ≡ batch
+    * q224 is structural once the maintained counts equal the batch
+    * grid. Ordered arrival is NOT required: addition commutes. */
+  def cusumMaintain(eventsStream: DataFrame, countsPath: String,
+                    checkpoint: String,
+                    trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    eventsStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cusumBatch(batch, countsPath, batchId)
+      }
+      .start()
+
+  /** One [[cusumMaintain]] micro-batch. */
+  private[graft] def cusumBatch(batch: DataFrame, countsPath: String,
+                                batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    graft.batch.AtomicSwap.heal(hconf, countsPath)
+    val hp = new org.apache.hadoop.fs.Path(countsPath)
+    val exists = hp.getFileSystem(hconf).exists(hp)
+    val applied = exists && hp.getFileSystem(hconf)
+      .exists(new org.apache.hadoop.fs.Path(s"$countsPath/_graft_batch_$batchId"))
+    if (applied) return
+    val delta = batch
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val merged =
+      if (exists)
+        spark.read.parquet(countsPath).unionByName(delta)
+          .groupBy(col("event_type"), col("day"))
+          .agg(sum(col("x")).cast("long").as("x"))
+      else delta
+    merged.coalesce(1).write.mode("overwrite").parquet(countsPath + ".tmp")
+    val marker = new org.apache.hadoop.fs.Path(s"$countsPath.tmp/_graft_batch_$batchId")
+    marker.getFileSystem(hconf).create(marker, true).close()
+    graft.batch.AtomicSwap.swapInto(hconf, countsPath + ".tmp", countsPath)
+  }
+
+  /** The q224 result served from the maintained daily-count store —
+    * the SAME cusumFromDaily closing the declared query calls. */
+  def cusumServe(spark: SparkSession, countsPath: String): DataFrame =
+    graft.queries.BehaviorQueries.cusumFromDaily(
+      spark.read.parquet(countsPath).select(col("event_type"), col("day"), col("x")))
 
   /** STREAMING SESSION-LIFT MAINTENANCE: q190's association table
     * kept live. A session's support/lift contribution depends only on

@@ -451,6 +451,15 @@ object StreamBench {
     val hoLine = report("holt_serve",
       serveLats(() => StreamPipeline.holtServe(spark, s"$dir/closes")), 0,
       s""","store_rows":$closesRows""")
+    val vcLine = report("var_cvar_serve",
+      serveLats(() => StreamPipeline.varCvarServe(spark, s"$dir/closes")), 0,
+      s""","store_rows":$closesRows""")
+    val kfLine = report("kalman_serve",
+      serveLats(() => StreamPipeline.kalmanServe(spark, s"$dir/closes")), 0,
+      s""","store_rows":$closesRows""")
+    val egLine = report("coint_serve",
+      serveLats(() => StreamPipeline.cointServe(spark, s"$dir/closes")), 0,
+      s""","store_rows":$closesRows""")
 
     // ---- 18. path-trigram maintenance: <=|types|^3 count table +
     // two-row-per-user carry; the q204 extraction over carry ∪ batch.
@@ -476,7 +485,19 @@ object StreamBench {
     val botLine = report("bot_maintain", botLats, evRows,
       s""","store_rows":${spark.read.parquet(s"$dir/bot_store").count()}""")
 
-    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine,$attrLine,$rfmLine,$sessLine,$liftLine,$clLine,$xoLine,$ewLine,$hoLine,$pathLine,$botLine}")
+    // ---- 20. daily-volume CUSUM maintenance: the |types| x |days|
+    // additive count grid; the q224 serve folds the store.
+    val ev20 = MemoryStream[(Long, java.sql.Timestamp, Long, String)](spark)
+    val qCusum = StreamPipeline.cusumMaintain(
+      ev20.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+      s"$dir/cusum_counts", s"$dir/ckpt_cusum",
+      trigger = Trigger.ProcessingTime(0))
+    val cusumLats = timeBatches(ev20, qCusum, batches, genEv)
+    qCusum.stop()
+    val cusumLine = report("cusum_maintain", cusumLats, evRows,
+      s""","counts_rows":${spark.read.parquet(s"$dir/cusum_counts").count()}""")
+
+    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine,$attrLine,$rfmLine,$sessLine,$liftLine,$clLine,$xoLine,$ewLine,$hoLine,$vcLine,$kfLine,$egLine,$pathLine,$botLine,$cusumLine}")
     spark.stop()
   }
 }

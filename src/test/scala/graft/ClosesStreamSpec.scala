@@ -40,6 +40,15 @@ class ClosesStreamSpec extends SparkSpec {
     assert(rows(StreamPipeline.holtServe(spark, p)) ==
       rows(SparkEntry.queries("q210_holt_backtest")(spark, dir)),
       "served Holt backtest must equal declared q210 bitwise")
+    assert(rows(StreamPipeline.varCvarServe(spark, p)) ==
+      rows(SparkEntry.queries("q221_var_cvar")(spark, dir)),
+      "served VaR/CVaR must equal declared q221 bitwise")
+    assert(rows(StreamPipeline.kalmanServe(spark, p)) ==
+      rows(SparkEntry.queries("q222_kalman_backtest")(spark, dir)),
+      "served Kalman backtest must equal declared q222 bitwise")
+    assert(rows(StreamPipeline.cointServe(spark, p)) ==
+      rows(SparkEntry.queries("q223_coint_screen")(spark, dir)),
+      "served cointegration screen must equal declared q223 bitwise")
   }
 
   test("5-way hash-shuffled split converges identically; replay is a no-op") {

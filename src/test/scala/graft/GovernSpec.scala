@@ -141,6 +141,23 @@ class GovernSpec extends SparkSpec {
     assert(got((2L, 1L)) == (("X", ts(0), None, true)))
   }
 
+  test("scd2 chunked plan is bitwise-identical to the direct two-window form") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val ev = graft.core.Tables.events(spark, sf())
+    assert(canon(GovernQueries.scd2(ev, chunked = true)) ==
+      canon(GovernQueries.scd2(ev, chunked = false)))
+    // dominant-key regime: one bot user carries half the feed — the
+    // case the chunked plan exists for must also agree exactly
+    val bot = ev.withColumn("user_id",
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("event_id") % 2 === 0,
+        org.apache.spark.sql.functions.lit(999999999L))
+        .otherwise(org.apache.spark.sql.functions.col("user_id")))
+    assert(canon(GovernQueries.scd2(bot, chunked = true)) ==
+      canon(GovernQueries.scd2(bot, chunked = false)))
+  }
+
   test("scd2 intervals tile each user's timeline: valid_to chains to the next valid_from") {
     val got = GovernQueries.queries("q220_scd2_build")(spark, sf()).collect()
       .groupBy(_.getAs[Long]("user_id"))
