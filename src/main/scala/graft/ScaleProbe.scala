@@ -455,6 +455,14 @@ object ScaleProbe {
     time("q223_coint_screen") { q("q223_coint_screen") }
     time("q224_cusum_changepoint") { q("q224_cusum_changepoint") }
     time("q225_kaplan_meier") { q("q225_kaplan_meier") }
+    // q226: the (s, p) distinct collapses verbatim fact replicas —
+    // content-bound like q218; q227: one profile partial agg +
+    // broadcast map-side filter; q228: per-customer revenue partial
+    // agg (fattens 100x per customer), ranks on the dim-bounded
+    // customer table
+    time("q226_supply_triangles") { q("q226_supply_triangles") }
+    time("q227_seasonal_anomaly") { q("q227_seasonal_anomaly") }
+    time("q228_revenue_gini") { q("q228_revenue_gini") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

@@ -665,7 +665,44 @@ object BehaviorQueries {
         r4(col("surv")).as("surv_r4"))
   }
 
+  // q227 — SEASONAL ANOMALY SCREEN: flag events whose value sits more
+  // than 3σ from their (event_type, hour-of-day) seasonal profile —
+  // the ingest-quality alarm that respects intraday seasonality
+  // (q155's point: a value normal at the open is anomalous at 3am;
+  // a global z-score can't see that). Exactness: values quantize
+  // ONCE to integer cents; per-cell moments are exact integer sums;
+  // the 3σ test cross-multiplies to |n·v − S1| > 3·√(n·S2 − S1²) —
+  // exact integer LHS against one shared IEEE RHS, so both engines
+  // make identical flag decisions (the q208 cross-multiplication
+  // rule); the reported z is one IEEE division. Scale shape: ONE
+  // partial-agg shuffle to the ≤|types|·24-cell profile, broadcast
+  // back onto a map-side filter — the scan never shuffles.
+  private def q227(s: SparkSession, dir: String): DataFrame =
+    seasonalAnomalies(ev(s, dir))
+
+  private[graft] def seasonalAnomalies(events: DataFrame): DataFrame = {
+    val base = events
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("ts"),
+        hour(col("ts")).as("hh"),
+        floor(col("value") * lit(100d) + lit(0.5d)).cast("long").as("vc"))
+    val prof = base.groupBy(col("event_type"), col("hh"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("vc")).as("s1"),
+        sum((col("vc") * col("vc")).cast("decimal(38,0)")).as("s2"))
+    def dd(c: Column) = c.cast("double")
+    val dev = col("n") * col("vc") - col("s1") // exact long
+    val den = sqrt(greatest(lit(0d),
+      dd(col("n")) * dd(col("s2")) - dd(col("s1")) * dd(col("s1"))))
+    base.join(broadcast(prof), Seq("event_type", "hh"))
+      .filter(den > 0 && abs(dev).cast("double") > lit(3d) * den)
+      .select(col("event_id"), col("event_type"), col("hh"),
+        r4(dd(col("vc")) / lit(100d)).as("value_r4"),
+        r4(dd(dev) / den).as("z_r4"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_seasonal_anomaly" -> q227 _,
     "q224_cusum_changepoint" -> q224 _,
     "q225_kaplan_meier" -> q225 _,
     "q212_benford_audit" -> q212 _,
@@ -686,6 +723,25 @@ object BehaviorQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q227_seasonal_anomaly" ->
+      """WITH b AS (
+        |  SELECT event_id, event_type, hour(ts::TIMESTAMP) AS hh,
+        |    floor(value * 100 + 0.5)::BIGINT AS vc
+        |  FROM events WHERE value IS NOT NULL
+        |), prof AS (
+        |  SELECT event_type, hh, count(*)::BIGINT AS n, sum(vc)::BIGINT AS s1,
+        |    sum(vc::HUGEINT * vc::HUGEINT) AS s2
+        |  FROM b GROUP BY 1, 2
+        |), j AS (
+        |  SELECT b.*, n, s1, s2,
+        |    n * vc - s1 AS dev,
+        |    sqrt(greatest(0.0, n::DOUBLE * s2::DOUBLE - s1::DOUBLE * s1::DOUBLE)) AS den
+        |  FROM b JOIN prof USING (event_type, hh)
+        |)
+        |SELECT event_id, event_type, hh,
+        |  floor(vc::DOUBLE / 100 * 10000 + 0.5)/10000 AS value_r4,
+        |  floor(dev::DOUBLE / den * 10000 + 0.5)/10000 AS z_r4
+        |FROM j WHERE den > 0 AND abs(dev)::DOUBLE > 3 * den""".stripMargin,
     "q224_cusum_changepoint" ->
       """WITH daily AS (
         |  SELECT event_type, ts::TIMESTAMP::DATE AS day, count(*)::BIGINT AS x

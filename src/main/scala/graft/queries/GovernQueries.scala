@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -241,7 +241,104 @@ object GovernQueries {
     }
   }
 
+  // q226 — CO-SUPPLY TRIANGLE CENSUS: triangles and local clustering
+  // coefficients of the supplier graph whose edges are pairs sharing
+  // an unusually LARGE common-part portfolio (common-parts count ≥
+  // the exact p90 of all pair counts — a RELATIVE threshold, so the
+  // query transfers across scale factors with very different overlap
+  // densities). Triangle density reads supply-base redundancy: a
+  // supplier inside many triangles is interchangeable, a high-degree
+  // low-clustering supplier is a single point of failure. Exactness:
+  // common-part counts are exact integers; the p90 threshold is an
+  // order statistic (k = ⌈0.9·n⌉-th smallest under the deterministic
+  // (c, sa, sb) order — no interpolation); the clustering coefficient
+  // is one shared IEEE division. Scale shape: the volume-sized scan
+  // collapses to distinct (supplier, part) in one partial agg (100
+  // verbatim fact replicas leave it untouched — content-bound); the
+  // per-part pair expansion is Σ_p deg(p)² — the documented hot-part
+  // hazard, degree-capped in spirit by the p90 edge cut downstream;
+  // the rank threshold rides ChunkedFrame.globalRank (chunk = the
+  // count value) over the |S|²-bounded pair table; the triangle
+  // closure is the standard oriented 3-join (a < b < c ids — each
+  // triangle counted once) on the p90-thinned edge set.
+  private def q226(s: SparkSession, dir: String): DataFrame =
+    supplyTriangles(Tables.lineitem(s, dir))
+
+  private[graft] def supplyTriangles(lineitem: DataFrame): DataFrame = {
+    val sp = lineitem.select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
+    val pairs = sp.as("a").join(sp.as("b"),
+        col("a.p") === col("b.p") && col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("sa"), col("b.s").as("sb"))
+      .agg(count(lit(1)).as("c"))
+    val ranked = graft.operators.ChunkedFrame.globalRank(
+      pairs.withColumn("__one", lit("all")), keyCol = "__one", chunk = col("c"),
+      orderCols = Seq("c", "sa", "sb"))
+    val nTab = pairs.agg(count(lit(1)).as("n"))
+    val thr = ranked.crossJoin(broadcast(nTab))
+      .filter(col("__g") === ceil(col("n").cast("double") * lit(0.9)) - 1)
+      .select(col("c").as("thr"))
+    val edges = pairs.crossJoin(broadcast(thr)).filter(col("c") >= col("thr"))
+      .select(col("sa"), col("sb"))
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e2.sa") === col("e1.sb"))
+      .join(edges.as("e3"),
+        col("e3.sa") === col("e1.sa") && col("e3.sb") === col("e2.sb"))
+      .select(col("e1.sa").as("ta"), col("e1.sb").as("tb"), col("e2.sb").as("tc"))
+    val nt = tri.select(explode(array(col("ta"), col("tb"), col("tc"))).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("t"))
+    val deg = edges.select(explode(array(col("sa"), col("sb"))).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("d"))
+    val dD = col("d").cast("double")
+    val tD = coalesce(col("t"), lit(0L)).cast("double")
+    deg.join(nt, Seq("s"), "left")
+      .select(col("s").as("s_suppkey"), col("d").as("degree"),
+        coalesce(col("t"), lit(0L)).as("n_triangles"),
+        when(col("d") > 1, r4(lit(2d) * tD / (dD * (dD - lit(1d))))).as("clust_r4"))
+  }
+
+  // q228 — REVENUE GINI CONCENTRATION per nation: the Lorenz-curve
+  // inequality coefficient of customer revenue — the concentration
+  // audit a risk/compliance desk runs next to q217's k-anonymity
+  // (one tells you a cell is small, the other that one whale IS the
+  // cell). Customers with no orders count as zero-revenue members
+  // (left join — dropping them understates concentration). Formula:
+  // over values sorted ascending with rank i, G = (2·Σi·xᵢ −
+  // (n+1)·Σx) / (n·Σx) — tie order cancels algebraically, so the
+  // deterministic (cents, custkey) sort is cosmetic. Exactness:
+  // revenue quantizes ONCE to integer cents; Σi·xᵢ rides decimal
+  // (DuckDB HUGEINT — rank×cents exceeds long at the 100× replica's
+  // fattened per-customer revenue); ONE shared IEEE closing. Scale
+  // shape: the volume-sized work is the per-customer order partial
+  // agg; ranks live on the customer-grain (dim-bounded) table.
+  private def q228(s: SparkSession, dir: String): DataFrame =
+    revenueGini(Tables.customer(s, dir), Tables.orders(s, dir))
+
+  private[graft] def revenueGini(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val rev = orders
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * lit(100d) + lit(0.5d)).cast("long")).as("cents"))
+    val cust = customer
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(rev, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_nationkey"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("cents"), col("c_custkey"))
+    val g = cust.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("cents")).as("s1"),
+        sum((col("i") * col("cents")).cast("decimal(38,0)")).as("wsum"))
+    def dd(c: Column) = c.cast("double")
+    g.select(col("c_nationkey"), col("n_cust"),
+      r4(dd(col("s1")) / lit(100d)).as("total_rev_r4"),
+      when(col("s1") > 0,
+        r4((lit(2d) * dd(col("wsum")) - (dd(col("n_cust")) + lit(1d)) * dd(col("s1"))) /
+          (dd(col("n_cust")) * dd(col("s1"))))).as("gini_r4"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_supply_triangles" -> q226 _,
+    "q228_revenue_gini" -> q228 _,
     "q216_ri_orphans" -> q216 _,
     "q217_k_anonymity" -> q217 _,
     "q218_entity_match" -> q218 _,
@@ -250,6 +347,55 @@ object GovernQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q226_supply_triangles" ->
+      """WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+        |pr AS (
+        |  SELECT a.s AS sa, b.s AS sb, count(*)::BIGINT AS c
+        |  FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2
+        |), nn AS (SELECT count(*)::BIGINT AS n FROM pr),
+        |rk AS (SELECT c, row_number() OVER (ORDER BY c, sa, sb) AS rn FROM pr),
+        |thr AS (SELECT c AS thr FROM rk, nn WHERE rn = ceil(n::DOUBLE * 0.9)::BIGINT),
+        |edges AS (SELECT sa, sb FROM pr, thr WHERE c >= thr),
+        |tri AS (
+        |  SELECT e1.sa AS ta, e1.sb AS tb, e2.sb AS tc FROM edges e1
+        |  JOIN edges e2 ON e2.sa = e1.sb
+        |  JOIN edges e3 ON e3.sa = e1.sa AND e3.sb = e2.sb
+        |), nt AS (
+        |  SELECT s, count(*)::BIGINT AS t FROM (
+        |    SELECT ta AS s FROM tri UNION ALL SELECT tb FROM tri UNION ALL SELECT tc FROM tri)
+        |  GROUP BY 1
+        |), deg AS (
+        |  SELECT s, count(*)::BIGINT AS d FROM (
+        |    SELECT sa AS s FROM edges UNION ALL SELECT sb FROM edges)
+        |  GROUP BY 1
+        |)
+        |SELECT deg.s AS s_suppkey, d AS degree, coalesce(t, 0)::BIGINT AS n_triangles,
+        |  CASE WHEN d > 1 THEN
+        |    floor(2 * coalesce(t, 0)::DOUBLE / (d::DOUBLE * (d::DOUBLE - 1)) * 10000 + 0.5)/10000
+        |  END AS clust_r4
+        |FROM deg LEFT JOIN nt ON deg.s = nt.s""".stripMargin,
+    "q228_revenue_gini" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1
+        |), cust AS (
+        |  SELECT c_custkey, c_nationkey, coalesce(cents, 0)::BIGINT AS cents
+        |  FROM customer LEFT JOIN rev ON c_custkey = o_custkey
+        |), rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY c_nationkey ORDER BY cents, c_custkey)::BIGINT AS i
+        |  FROM cust
+        |), g AS (
+        |  SELECT c_nationkey, count(*)::BIGINT AS n_cust, sum(cents)::BIGINT AS s1,
+        |    sum(i::HUGEINT * cents::HUGEINT) AS wsum
+        |  FROM rk GROUP BY 1
+        |)
+        |SELECT c_nationkey, n_cust,
+        |  floor(s1::DOUBLE / 100 * 10000 + 0.5)/10000 AS total_rev_r4,
+        |  CASE WHEN s1 > 0 THEN
+        |    floor((2 * wsum::DOUBLE - (n_cust::DOUBLE + 1) * s1::DOUBLE)
+        |      / (n_cust::DOUBLE * s1::DOUBLE) * 10000 + 0.5)/10000
+        |  END AS gini_r4
+        |FROM g""".stripMargin,
     "q216_ri_orphans" -> {
       def one(rel: String, child: String, fk: String, parent: String, pk: String) =
         s"""SELECT '$rel' AS relation,

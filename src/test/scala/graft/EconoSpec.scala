@@ -149,6 +149,35 @@ class EconoSpec extends SparkSpec {
     assert(got(4L) == ((1L, 1L, 0L, 0.0)))
   }
 
+  test("q227 seasonal anomaly: the planted 3-sigma outlier is the only flag in its cell") {
+    // 20 quiet values (100.00) + one outlier (200.00) in ONE
+    // (type, hour) cell; a second cell stays uniform (never flags)
+    val rows =
+      (1 to 20).map(i => (i.toLong, Timestamp.valueOf(s"2024-05-01 09:${10 + i}:00"), "t", 100.0)) ++
+        Seq((99L, Timestamp.valueOf("2024-05-01 09:59:00"), "t", 200.0)) ++
+        (1 to 10).map(i => (200L + i, Timestamp.valueOf(s"2024-05-01 11:${10 + i}:00"), "t", 50.0))
+    val got = BehaviorQueries.seasonalAnomalies(
+      rows.toDF("event_id", "ts", "event_type", "value")).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("event_id") == 99L)
+    assert(r.getAs[Int]("hh") == 9)
+    assert(r.getAs[Double]("value_r4") == 200.0)
+    // replay the exact integer-sum z formula
+    val vc = (1 to 20).map(_ => 10000L) :+ 20000L
+    val (n, s1) = (vc.length.toLong, vc.sum)
+    val s2 = vc.map(v => BigInt(v) * BigInt(v)).sum
+    val den = math.sqrt(n.toDouble * s2.toDouble - s1.toDouble * s1.toDouble)
+    val want = math.floor((n * 20000L - s1).toDouble / den * 10000 + 0.5) / 10000
+    assert(r.getAs[Double]("z_r4") == want)
+  }
+
+  test("q227 flags agree with a direct per-cell z-score on the real feed") {
+    val rows = BehaviorQueries.queries("q227_seasonal_anomaly")(spark, sf()).collect()
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("z_r4")) > 2.999,
+      s"flagged row must sit beyond 3 sigma: ${r}"))
+  }
+
   test("q225 survival is monotone non-increasing and risk sets shrink on the real feed") {
     val rows = BehaviorQueries.queries("q225_kaplan_meier")(spark, sf()).collect()
       .sortBy(_.getAs[Long]("t_days"))

@@ -158,6 +158,55 @@ class GovernSpec extends SparkSpec {
       canon(GovernQueries.scd2(bot, chunked = false)))
   }
 
+  test("supplyTriangles finds the planted triangle above the p90 edge cut") {
+    // suppliers 1,2,3 share 5 parts pairwise (counts 5,5,5); suppliers
+    // 4-7 share one part (6 pairs at count 1). n = 9 pairs, p90 rank
+    // k = ceil(8.1) = 9 -> threshold 5: edges are exactly the heavy
+    // triangle, each member deg 2 / 1 triangle / clustering 1.0.
+    val li = (for (sp <- 1 to 3; pt <- 101 to 105) yield (sp.toLong, pt.toLong)) ++
+      (for (sp <- 4 to 7) yield (sp.toLong, 200L))
+    val got = GovernQueries.supplyTriangles(li.toDF("l_suppkey", "l_partkey")).collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      assert(Set(1L, 2L, 3L).contains(r.getAs[Long]("s_suppkey")))
+      assert(r.getAs[Long]("degree") == 2L)
+      assert(r.getAs[Long]("n_triangles") == 1L)
+      assert(r.getAs[Double]("clust_r4") == 1.0)
+    }
+  }
+
+  test("q226 triangle counts are consistent: sum of per-node counts is divisible by 3") {
+    val rows = GovernQueries.queries("q226_supply_triangles")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val tot = rows.map(_.getAs[Long]("n_triangles")).sum
+    assert(tot % 3 == 0, s"each triangle must be counted at exactly its 3 members (sum $tot)")
+    rows.foreach { r =>
+      val d = r.getAs[Long]("degree")
+      assert(r.getAs[Long]("n_triangles") <= d * (d - 1) / 2, "triangles bounded by wedge count")
+    }
+  }
+
+  test("revenueGini: perfect equality is 0, a single whale with a zero member is 0.5") {
+    val cust = Seq((1L, 1, "x"), (2L, 1, "x"), (3L, 2, "x"), (4L, 2, "x"))
+      .toDF("c_custkey", "c_nationkey", "c_pad")
+    // nation 1: both customers 100.00; nation 2: one whale, one zero-order customer
+    val orders = Seq((10L, 1L, 100.0), (11L, 2L, 100.0), (12L, 3L, 100.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val got = GovernQueries.revenueGini(cust, orders).collect()
+      .map(r => r.getAs[Int]("c_nationkey") ->
+        (r.getAs[Long]("n_cust"), r.getAs[Double]("gini_r4"))).toMap
+    assert(got(1) == ((2L, 0.0)))
+    assert(got(2) == ((2L, 0.5)))
+  }
+
+  test("q228 gini is within [0, 1) and zero-revenue nations carry a null gini") {
+    GovernQueries.queries("q228_revenue_gini")(spark, sf()).collect().foreach { r =>
+      val g = r.getAs[Double]("gini_r4")
+      if (!r.isNullAt(r.fieldIndex("gini_r4")))
+        assert(g >= 0.0 && g < 1.0, s"gini out of range: $g")
+    }
+  }
+
   test("scd2 intervals tile each user's timeline: valid_to chains to the next valid_from") {
     val got = GovernQueries.queries("q220_scd2_build")(spark, sf()).collect()
       .groupBy(_.getAs[Long]("user_id"))
