@@ -1,0 +1,498 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Round-11 distribution-audit + sketch surface: the monitors a data
+  * platform runs CONTINUOUSLY over a 100 TB lake — drift (PSI),
+  * association (chi-square / Cramér's V), phonetic entity blocking
+  * (the "finer blocking key" fix BASELINE.md prescribes for q218's
+  * prefix blocks), HyperLogLog distinct counting (the
+  * industry-standard register sketch next to q92's KMV), and the
+  * seasonal member of the forecast-backtest family (additive
+  * Holt-Winters, completing q203 EWMA → q210 Holt → q233 HW).
+  *
+  * Exactness rules as everywhere in this battery: counts are exact
+  * integers; per-band/cell transcendental terms are quantized to
+  * fixed-point BIGINT BEFORE any cross-row sum (order-independent by
+  * construction — the BM25/q163 discipline); closing formulas are ONE
+  * shared IEEE sequence evaluated identically on both engines.
+  */
+object AuditQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  // ---------------------------------------------------------------
+  // q229 — POPULATION STABILITY INDEX (drift monitor): compare the
+  // value distribution of each event_type between the first and
+  // second half of the observed date range — THE score a feature
+  // platform alarms on (PSI < 0.1 stable, > 0.25 shifted). Bands are
+  // log2 buckets of the value (micro-log2 fixed point first, then an
+  // exact integer DIV — no raw double boundary decides a band);
+  // non-positive values pool in band -999. Laplace-smoothed shares
+  // (n + 0.5) / (N + 0.5·B) keep every band's ratio finite, so the
+  // PSI terms (p_b − p_a)·ln(p_b/p_a) ≥ 0 are defined everywhere;
+  // each term quantizes to 1e-12 fixed point BEFORE the band sum
+  // (integer — order-free), and the rounded psi closes in integer
+  // arithmetic. Scale shape: ONE partial-agg shuffle to (type, band)
+  // grain; the date-bounds row broadcasts; output is |types| rows.
+  private def q229(s: SparkSession, dir: String): DataFrame =
+    psiDrift(Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value")))
+
+  /** PSI kernel over (event_type, day, value) rows. */
+  private[graft] def psiDrift(e: DataFrame): DataFrame = {
+    val bounds = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val banded = e.crossJoin(broadcast(bounds))
+      .withColumn("late",
+        datediff(col("day"), col("d0")) >= expr("(datediff(d1, d0) + 1) DIV 2"))
+      .withColumn("lv", when(col("value") > 0,
+        floor(log2(col("value")) * lit(1e6) + lit(0.5)).cast("long")))
+      .withColumn("band", when(col("lv").isNotNull,
+        floor(col("lv").cast("double") / lit(1000000.0)).cast("long"))
+        .otherwise(lit(-999L)))
+    val cells = banded.groupBy(col("event_type"), col("band"))
+      .agg(count(when(!col("late"), lit(1))).as("na"),
+        count(when(col("late"), lit(1))).as("nb"))
+    val tot = cells.groupBy(col("event_type"))
+      .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"),
+        count(lit(1)).as("nbands"))
+    val pa = (col("na").cast("double") + lit(0.5)) /
+      (col("ta").cast("double") + lit(0.5) * col("nbands").cast("double"))
+    val pb = (col("nb").cast("double") + lit(0.5)) /
+      (col("tb").cast("double") + lit(0.5) * col("nbands").cast("double"))
+    val term = (pb - pa) * log(pb / pa) // natural log; term >= 0 always
+    cells.join(tot, Seq("event_type"))
+      .withColumn("tfp", floor(term * lit(1e12) + lit(0.5)).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(max(col("ta")).as("n_early"), max(col("tb")).as("n_late"),
+        max(col("nbands")).as("n_bands"), sum(col("tfp")).as("sfp"))
+      .select(col("event_type"), col("n_early"), col("n_late"), col("n_bands"),
+        (expr("(sfp + 500000) DIV 1000000").cast("double") / lit(1e6)).as("psi_r6"))
+  }
+
+  // ---------------------------------------------------------------
+  // q230 — CHI-SQUARE ASSOCIATION / CRAMÉR'S V: are two categorical
+  // columns independent? Tested over two relations — (event_type ×
+  // day-of-week) on the event stream (does activity mix shift by
+  // weekday?) and (market segment × order priority) on the joined
+  // orders (does segment predict priority?). Per-cell terms
+  // enter via the algebraic identity chi² = Σ_cells (O−E)²/E =
+  // Σ_observed O²/E − n, which counts UNOBSERVED (O = 0) cells —
+  // each contributes its E — without ever enumerating them (the
+  // naive observed-only sum understates chi² whenever a cell is
+  // empty; the perfect-association spec pins exactly this).
+  // Per-cell O²/E ≤ n quantizes to 1e-8 fixed point before the cell
+  // sum (order-free integer); E = rowTot·colTot/n is exact-integer
+  // product → one IEEE divide, identical both engines. Scale shape:
+  // each relation is one partial agg to CELL grain (r·c rows — the
+  // categorical domain, not the row count); margins re-aggregate the
+  // cell table; the 1-row totals broadcast. Output: 2 rows.
+  private[graft] def cramers(obs: DataFrame, rel: String): DataFrame = {
+    val cells = obs.groupBy(col("rk"), col("ck")).agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy(col("rk")).agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy(col("ck")).agg(sum(col("o")).as("ct"))
+    val dims = cells.agg(sum(col("o")).as("n"))
+      .crossJoin(rt.agg(count(lit(1)).as("r_levels")))
+      .crossJoin(ct.agg(count(lit(1)).as("c_levels")))
+    val ee = (col("rt") * col("ct")).cast("double") / col("n").cast("double")
+    val term = (col("o").cast("double") * col("o").cast("double")) / ee
+    val chi2 = col("sfp").cast("double") / lit(1e8) - col("n").cast("double")
+    cells.join(broadcast(rt), Seq("rk")).join(broadcast(ct), Seq("ck"))
+      .crossJoin(broadcast(dims))
+      .withColumn("tfp", floor(term * lit(1e8) + lit(0.5)).cast("long"))
+      .groupBy(lit(rel).as("relation"))
+      .agg(max(col("n")).as("n"), max(col("r_levels")).as("r_levels"),
+        max(col("c_levels")).as("c_levels"), sum(col("tfp")).as("sfp"))
+      .select(col("relation"), col("n"), col("r_levels"), col("c_levels"),
+        (floor(chi2 * lit(1e4) + lit(0.5)) / lit(1e4)).as("chi2_r4"),
+        (floor(sqrt(greatest(chi2, lit(0.0)) /
+          (col("n").cast("double") *
+            (least(col("r_levels"), col("c_levels")).cast("double") - lit(1.0))))
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("v_r6"))
+  }
+
+  private def q230(s: SparkSession, dir: String): DataFrame = {
+    val evObs = Tables.events(s, dir)
+      .select(col("event_type").as("rk"),
+        (dayofweek(col("ts")) - lit(1)).cast("string").as("ck"))
+    val ordObs = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("rk"), col("o_orderpriority").as("ck"))
+    cramers(evObs, "events.event_type~dow")
+      .unionByName(cramers(ordObs, "customer.mktsegment~orders.priority"))
+  }
+
+  // ---------------------------------------------------------------
+  // q231 — PHONETIC ENTITY BLOCKING: q218's fuzzy matcher with the
+  // blocking key BASELINE.md prescribes when prefix blocks go
+  // quadratic — a Soundex-style phonetic key of the phrase's first
+  // word (head letter + the first three collapsed consonant-class
+  // digits; vowels/h/w/y and digits drop as class 0). Spelling
+  // variants that a 2-char prefix separates (konnect/connect) now
+  // meet, and a vocabulary that floods one prefix (the q218 salt
+  // note) spreads across its phonetic classes. The key is built from
+  // engine-portable string ops ONLY (translate → seven per-digit run
+  // collapses → zero strip → rpad) so both engines derive the
+  // identical key; the verify threshold is the same quantized
+  // Jaro-Winkler integer as q218. Scale shape: vocabulary-bound
+  // phrase table (content growth, not row growth); candidate fan-out
+  // is Σ_blocks |block|² over (phonetic, length±3) cells.
+  private[graft] def phonKey(w: Column): Column = {
+    val d1 = translate(w, "abcdefghijklmnopqrstuvwxyz0123456789",
+      "012301200224550126230102020000000000")
+    val collapsed = (0 to 6).foldLeft(d1) { (c, d) =>
+      regexp_replace(c, s"$d{2,}", s"$d")
+    }
+    val sig = regexp_replace(collapsed.substr(lit(2), length(collapsed)), "0", "")
+    concat(upper(w.substr(1, 1)), rpad(sig.substr(1, 3), 3, "0"))
+  }
+
+  private def q231(s: SparkSession, dir: String): DataFrame =
+    phoneticMatch(docs(s, dir))
+
+  private[graft] def phoneticMatch(d: DataFrame): DataFrame = {
+    val keyed = GovernQueries.phraseVocab(d)
+      .withColumn("blk", phonKey(element_at(split(col("p"), " "), 1)))
+    val a = keyed.select(col("p").as("pa"), col("blk"), length(col("p")).as("la"))
+      .withColumn("lb", explode(expr("sequence(la - 3, la + 3)")))
+    val b = keyed.select(col("p").as("pb"), col("blk"), length(col("p")).as("lb"))
+    a.join(b, Seq("blk", "lb"))
+      .filter(col("pa") < col("pb"))
+      .withColumn("jw6",
+        floor(graft.functions.JaroWinkler.column(col("pa"), col("pb")) * lit(1e6)
+          + lit(0.5d)).cast("long"))
+      .filter(col("jw6") >= 850000L)
+      .select(col("pa").as("phrase_a"), col("pb").as("phrase_b"),
+        col("blk").as("block_key"),
+        (col("jw6").cast("double") / lit(1e6)).as("jw_r6"))
+  }
+
+  // ---------------------------------------------------------------
+  // q232 — HYPERLOGLOG DISTINCT (Flajolet et al. 2007): per-source
+  // distinct-word estimates from a 512-register HLL, audited against
+  // the exact count. The register build is the scale story: the
+  // volume-sized word stream collapses MAP-SIDE to (source, bucket)
+  // max(rho) — at most |sources|·512 rows ever cross the exchange
+  // (vs the vocabulary-sized shuffle the exact twin pays), and
+  // registers merge by max, so the sketch is embarrassingly
+  // distributable and streamable. Engine parity: the hash is the
+  // battery's md5-15 60-bit integer (identical hex → identical
+  // BIGINT both engines); bucket/remainder are integer ops; rho
+  // counts leading zeros of the 51-bit remainder via bin()-length
+  // (exact string logic, no log2); the harmonic denominator
+  // Σ 2^(-M_j) is summed as EXACT integers (1 << (52 − M), ≤ 2^61
+  // total) so no float-sum order hazard exists; the closing
+  // α·m²·2^52/S (+ linear-counting small-range correction
+  // m·ln(m/V)) is one shared IEEE sequence.
+  private def q232(s: SparkSession, dir: String): DataFrame =
+    hllDistinct(docs(s, dir))
+
+  private[graft] def hllDistinct(d: DataFrame): DataFrame = {
+    val words = d.select(col("source"),
+      explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+    val hashed = words
+      .withColumn("h", expr("CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("bucket", col("h") % 512)
+      .withColumn("wb", expr("h DIV 512"))
+      .withColumn("rho", when(col("wb") === 0, lit(52))
+        .otherwise(lit(52) - length(expr("bin(wb)"))).cast("int"))
+    val regs = hashed.groupBy(col("source"), col("bucket"))
+      .agg(max(col("rho")).as("m"))
+    val agg = regs.groupBy(col("source"))
+      .agg(count(lit(1)).as("used"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 52 - m)")).as("sp"))
+      .withColumn("v", lit(512L) - col("used"))
+      .withColumn("sfp", col("sp") + col("v") * expr("shiftleft(CAST(1 AS BIGINT), 52)"))
+    val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512.0)) *
+      lit(262144.0) * lit(4503599627370496.0) / col("sfp").cast("double")
+    val est = agg.withColumn("est",
+      when(raw <= lit(1280.0) && col("v") > 0,
+        lit(512.0) * log(lit(512.0) / col("v").cast("double")))
+        .otherwise(raw))
+    val exact = words.distinct().groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    est.join(exact, Seq("source"))
+      .select(col("source"), col("n_exact"), col("used").as("n_buckets_used"),
+        (floor(col("est") * lit(100.0) + lit(0.5)) / lit(100.0)).as("hll_est_r2"),
+        (floor(abs(col("est") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double") * lit(1e4) + lit(0.5)) / lit(1e4)).as("rel_err_r4"))
+  }
+
+  // ---------------------------------------------------------------
+  // q233 — ADDITIVE HOLT-WINTERS BACKTEST: the seasonal member of
+  // the forecast family (q203 EWMA = level, q210 Holt = level+trend,
+  // q233 = level+trend+weekly season). Initialization is the classic
+  // first-period recipe (l₀ = mean of the first 7 closes — summed in
+  // ONE written order — b₀ = 0, sᵢ = xᵢ − l₀); the recursion scores
+  // one-step-ahead forecasts f = l + b + s_slot for t = 8..n with
+  // α = 0.2, β = 0.1, γ = 0.3, against BOTH the naive walk and the
+  // SEASONAL naive (x_{t−7} — the honest bar for a weekly model).
+  // The whole recursion is ONE sequential fold in array order: Spark
+  // `aggregate` with a named_struct{l, b, s[7], sae, sse, t}
+  // accumulator, DuckDB list_reduce over 12-element LIST states with
+  // a prepended seed (the q210 same-type trick); every arithmetic
+  // step is the identical IEEE expression on both sides. Scale
+  // shape: q210's — day-grid arrays after DailyCloses' one partial
+  // agg, volume-independent folds, |types| output rows.
+  private def q233(s: SparkSession, dir: String): DataFrame =
+    holtWinters(graft.operators.DailyCloses.closes(
+      graft.operators.DailyCloses.state(Tables.events(s, dir))))
+
+  private[graft] def holtWinters(cl: DataFrame): DataFrame = {
+    val slot = "a.t % 7"
+    val lNew = s"0.2 * (x - a.s[$slot]) + 0.8 * (a.l + a.b)"
+    val fc = s"(a.l + a.b) + a.s[$slot]"
+    val base = cl
+      .select(col("event_type"), struct(col("day"), col("close_lv")).as("pr"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("pr"))).as("ps"))
+      .withColumn("xs", expr("transform(ps, p -> CAST(p.close_lv AS DOUBLE))"))
+      .withColumn("m7", expr(
+        "IF(size(xs) >= 9, ((((((xs[0] + xs[1]) + xs[2]) + xs[3]) + xs[4]) + xs[5]) + xs[6])" +
+          " / CAST(7 AS DOUBLE), CAST(NULL AS DOUBLE))"))
+      .withColumn("s0", expr(
+        "IF(size(xs) >= 9, transform(slice(xs, 1, 7), x -> x - m7), CAST(NULL AS array<double>))"))
+      .withColumn("hw", expr(
+        "IF(size(xs) >= 9, aggregate(slice(xs, 8, size(xs) - 7), " +
+          "named_struct('l', m7, 'b', CAST(0.0 AS DOUBLE), 's', s0, " +
+          "'sae', CAST(0.0 AS DOUBLE), 'sse', CAST(0.0 AS DOUBLE), 't', 7), " +
+          "(a, x) -> named_struct(" +
+          s"'l', $lNew, " +
+          s"'b', 0.1 * (($lNew) - a.l) + 0.9 * a.b, " +
+          s"'s', transform(sequence(0, 6), i -> IF(i = $slot, " +
+          s"0.3 * (x - ($lNew)) + 0.7 * a.s[i], a.s[i])), " +
+          s"'sae', a.sae + abs(x - ($fc)), " +
+          s"'sse', a.sse + (x - ($fc)) * (x - ($fc)), " +
+          "'t', a.t + 1)), NULL)"))
+      .withColumn("en", expr("IF(size(xs) >= 9, " +
+        "transform(sequence(7, size(xs) - 1), k -> xs[k] - xs[k - 1]), " +
+        "CAST(array() AS array<double>))"))
+      .withColumn("esn", expr("IF(size(xs) >= 9, " +
+        "transform(sequence(7, size(xs) - 1), k -> xs[k] - xs[k - 7]), " +
+        "CAST(array() AS array<double>))"))
+      .withColumn("san", expr("aggregate(en, CAST(0.0 AS DOUBLE), (a, e) -> a + abs(e))"))
+      .withColumn("ssn", expr("aggregate(esn, CAST(0.0 AS DOUBLE), (a, e) -> a + abs(e))"))
+    val nf = when(size(col("xs")) >= 9, (size(col("xs")) - 7).cast("long")).otherwise(lit(0L))
+    val n = nf.cast("double")
+    base.select(col("event_type"), nf.as("n_fc"),
+      when(nf > 0, r4(col("hw.sae") / n / lit(1e6))).as("mae_hw"),
+      when(nf > 0, r4(sqrt(col("hw.sse") / n) / lit(1e6))).as("rmse_hw"),
+      when(nf > 0, r4(col("san") / n / lit(1e6))).as("mae_naive"),
+      when(nf > 0, r4(col("ssn") / n / lit(1e6))).as("mae_snaive"),
+      when(col("san") > 0, r4(col("hw.sae") / col("san"))).as("skill_vs_naive"),
+      when(col("ssn") > 0, r4(col("hw.sae") / col("ssn"))).as("skill_vs_snaive"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_psi_drift" -> q229 _,
+    "q230_cramers_v" -> q230 _,
+    "q231_phonetic_match" -> q231 _,
+    "q232_hll_distinct" -> q232 _,
+    "q233_holt_winters" -> q233 _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q229_psi_drift" ->
+      """WITH e AS (
+        |  SELECT event_type, ts::TIMESTAMP::DATE AS day, value FROM events
+        |), bd AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |banded AS (
+        |  SELECT event_type,
+        |    date_diff('day', d0, day) >= (date_diff('day', d0, d1) + 1) // 2 AS late,
+        |    CASE WHEN value > 0
+        |      THEN CAST(floor(floor(log2(value) * 1e6 + 0.5)::BIGINT / 1000000.0) AS BIGINT)
+        |      ELSE -999 END AS band
+        |  FROM e, bd
+        |), cells AS (
+        |  SELECT event_type, band,
+        |    count(CASE WHEN NOT late THEN 1 END)::BIGINT AS na,
+        |    count(CASE WHEN late THEN 1 END)::BIGINT AS nb
+        |  FROM banded GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT event_type, sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb,
+        |    count(*)::BIGINT AS nbands
+        |  FROM cells GROUP BY 1
+        |), terms AS (
+        |  SELECT c.event_type, ta, tb, nbands,
+        |    floor(((nb::DOUBLE + 0.5) / (tb::DOUBLE + 0.5 * nbands::DOUBLE)
+        |         - (na::DOUBLE + 0.5) / (ta::DOUBLE + 0.5 * nbands::DOUBLE))
+        |      * ln(((nb::DOUBLE + 0.5) / (tb::DOUBLE + 0.5 * nbands::DOUBLE))
+        |          / ((na::DOUBLE + 0.5) / (ta::DOUBLE + 0.5 * nbands::DOUBLE)))
+        |      * 1e12 + 0.5)::BIGINT AS tfp
+        |  FROM cells c JOIN tot t USING (event_type)
+        |)
+        |SELECT event_type, max(ta) AS n_early, max(tb) AS n_late,
+        |  max(nbands) AS n_bands,
+        |  ((sum(tfp) + 500000) // 1000000)::DOUBLE / 1e6 AS psi_r6
+        |FROM terms GROUP BY 1""".stripMargin,
+    "q230_cramers_v" -> {
+      def one(rel: String, obs: String) =
+        s"""SELECT '$rel' AS relation, max(n) AS n, max(r_levels) AS r_levels,
+           |  max(c_levels) AS c_levels,
+           |  floor((sum(tfp)::DOUBLE / 1e8 - max(n)::DOUBLE) * 1e4 + 0.5) / 1e4 AS chi2_r4,
+           |  floor(sqrt(greatest(sum(tfp)::DOUBLE / 1e8 - max(n)::DOUBLE, 0.0)
+           |    / (max(n)::DOUBLE * (least(max(r_levels), max(c_levels))::DOUBLE - 1.0)))
+           |    * 1e6 + 0.5) / 1e6 AS v_r6
+           |FROM (
+           |  SELECT o, rt, ct, n, r_levels, c_levels,
+           |    floor((o::DOUBLE * o::DOUBLE)
+           |      / ((rt * ct)::DOUBLE / n::DOUBLE) * 1e8 + 0.5)::BIGINT AS tfp
+           |  FROM (
+           |    SELECT rk, ck, count(*)::BIGINT AS o FROM ($obs) GROUP BY 1, 2
+           |  ) cells
+           |  JOIN (SELECT rk, sum(o2)::BIGINT AS rt FROM (
+           |    SELECT rk, count(*)::BIGINT AS o2 FROM ($obs) GROUP BY 1) GROUP BY 1) r USING (rk)
+           |  JOIN (SELECT ck, sum(o3)::BIGINT AS ct FROM (
+           |    SELECT ck, count(*)::BIGINT AS o3 FROM ($obs) GROUP BY 1) GROUP BY 1) c USING (ck)
+           |  CROSS JOIN (
+           |    SELECT count(*)::BIGINT AS n,
+           |      count(DISTINCT rk)::BIGINT AS r_levels,
+           |      count(DISTINCT ck)::BIGINT AS c_levels
+           |    FROM ($obs)) d
+           |)""".stripMargin
+      one("events.event_type~dow",
+        "SELECT event_type AS rk, dayofweek(ts::TIMESTAMP)::VARCHAR AS ck FROM events") +
+        "\nUNION ALL\n" +
+        one("customer.mktsegment~orders.priority",
+          "SELECT c_mktsegment AS rk, o_orderpriority AS ck FROM orders " +
+            "JOIN customer ON o_custkey = c_custkey")
+    },
+    "q231_phonetic_match" ->
+      """WITH t AS (
+        |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), ph AS (
+        |  SELECT DISTINCT unnest(list_transform(range(1, len(ts)),
+        |    i -> ts[i] || ' ' || ts[i + 1])) AS p
+        |  FROM t WHERE len(ts) >= 2
+        |), k1 AS (
+        |  SELECT p, split_part(p, ' ', 1) AS w1 FROM ph
+        |), k2 AS (
+        |  SELECT p, w1, translate(w1, 'abcdefghijklmnopqrstuvwxyz0123456789',
+        |    '012301200224550126230102020000000000') AS d1
+        |  FROM k1
+        |), k3 AS (
+        |  SELECT p, w1,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(d1,
+        |      '0{2,}', '0', 'g'), '1{2,}', '1', 'g'), '2{2,}', '2', 'g'),
+        |      '3{2,}', '3', 'g'), '4{2,}', '4', 'g'), '5{2,}', '5', 'g'),
+        |      '6{2,}', '6', 'g') AS dc
+        |  FROM k2
+        |), k4 AS (
+        |  SELECT p,
+        |    upper(substr(w1, 1, 1)) ||
+        |      rpad(substr(replace(substr(dc, 2), '0', ''), 1, 3), 3, '0') AS blk,
+        |    len(p) AS lp
+        |  FROM k3
+        |), cand AS (
+        |  SELECT a.p AS pa, b.p AS pb, a.blk,
+        |    floor(jaro_winkler_similarity(a.p, b.p) * 1e6 + 0.5)::BIGINT AS jw6
+        |  FROM k4 a JOIN k4 b ON a.blk = b.blk
+        |  WHERE a.p < b.p AND abs(a.lp - b.lp) <= 3
+        |)
+        |SELECT pa AS phrase_a, pb AS phrase_b, blk AS block_key,
+        |  jw6::DOUBLE / 1e6 AS jw_r6
+        |FROM cand WHERE jw6 >= 850000""".stripMargin,
+    "q232_hll_distinct" ->
+      """WITH w AS (
+        |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  FROM documents
+        |), h AS (
+        |  SELECT source, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM w
+        |), reg AS (
+        |  SELECT source, h % 512 AS bucket,
+        |    max(CASE WHEN h // 512 = 0 THEN 52
+        |        ELSE 52 - length(bin(h // 512)) END)::INTEGER AS m
+        |  FROM h GROUP BY 1, 2
+        |), ag AS (
+        |  SELECT source, count(*)::BIGINT AS used,
+        |    sum((1::BIGINT << (52 - m)))::BIGINT AS sp
+        |  FROM reg GROUP BY 1
+        |), s2 AS (
+        |  SELECT source, used, 512 - used AS v,
+        |    sp + (512 - used) * (1::BIGINT << 52) AS sfp
+        |  FROM ag
+        |), es AS (
+        |  SELECT source, used, v,
+        |    CASE WHEN 0.7213 / (1.0 + 1.079 / 512.0) * 262144.0 * 4503599627370496.0
+        |             / sfp::DOUBLE <= 1280.0 AND v > 0
+        |      THEN 512.0 * ln(512.0 / v::DOUBLE)
+        |      ELSE 0.7213 / (1.0 + 1.079 / 512.0) * 262144.0 * 4503599627370496.0
+        |             / sfp::DOUBLE END AS est
+        |  FROM s2
+        |), ex AS (
+        |  SELECT source, count(*)::BIGINT AS n_exact
+        |  FROM (SELECT DISTINCT source, w FROM w) GROUP BY 1
+        |)
+        |SELECT es.source, n_exact, used AS n_buckets_used,
+        |  floor(est * 100.0 + 0.5) / 100.0 AS hll_est_r2,
+        |  floor(abs(est - n_exact::DOUBLE) / n_exact::DOUBLE * 1e4 + 0.5) / 1e4 AS rel_err_r4
+        |FROM es JOIN ex ON es.source = ex.source""".stripMargin,
+    "q233_holt_winters" -> {
+      val slot = "(CAST(a[12] AS BIGINT) % 7)"
+      val lNew = s"0.2 * (e[1] - a[$slot + 3]) + 0.8 * (a[1] + a[2])"
+      val fc = s"(a[1] + a[2]) + a[$slot + 3]"
+      val sSlots = (0 to 6).map { k =>
+        s"CASE WHEN $slot = $k THEN 0.3 * (e[1] - ($lNew)) + 0.7 * a[${k + 3}] ELSE a[${k + 3}] END"
+      }.mkString(",\n        |        ")
+      s"""WITH e AS (
+         |  SELECT event_type, ts::TIMESTAMP AS ts, event_id, value,
+         |    ts::TIMESTAMP::DATE AS day,
+         |    floor(log2(value) * 1e6 + 0.5)::BIGINT AS lv
+         |  FROM events WHERE value > 0
+         |), r0 AS (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS rn
+         |  FROM e
+         |), c AS (
+         |  SELECT event_type, day, arg_max(lv, rn) AS close_lv FROM r0 GROUP BY 1, 2
+         |), s AS (
+         |  SELECT event_type, list(close_lv::DOUBLE ORDER BY day) AS xs FROM c GROUP BY 1
+         |), m AS (
+         |  SELECT event_type, xs,
+         |    CASE WHEN len(xs) >= 9 THEN
+         |      ((((((xs[1] + xs[2]) + xs[3]) + xs[4]) + xs[5]) + xs[6]) + xs[7]) / CAST(7 AS DOUBLE)
+         |    END AS m7
+         |  FROM s
+         |), hh AS (
+         |  SELECT event_type, xs,
+         |    CASE WHEN len(xs) >= 9 THEN list_reduce(
+         |      list_prepend([m7, 0.0, xs[1] - m7, xs[2] - m7, xs[3] - m7, xs[4] - m7,
+         |          xs[5] - m7, xs[6] - m7, xs[7] - m7, 0.0, 0.0, 7.0],
+         |        list_transform(xs[8:], x ->
+         |          [x, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])),
+         |      (a, e) -> [
+         |        $lNew,
+         |        0.1 * (($lNew) - a[1]) + 0.9 * a[2],
+         |        $sSlots,
+         |        a[10] + abs(e[1] - ($fc)),
+         |        a[11] + (e[1] - ($fc)) * (e[1] - ($fc)),
+         |        a[12] + 1.0]) END AS h
+         |  FROM m
+         |), nn AS (
+         |  SELECT event_type, xs, h,
+         |    CASE WHEN len(xs) >= 9 THEN list_reduce(list_prepend(0.0,
+         |      list_transform(range(8, len(xs) + 1), k -> abs(xs[k] - xs[k - 1]))),
+         |      (a, b) -> a + b) END AS san,
+         |    CASE WHEN len(xs) >= 9 THEN list_reduce(list_prepend(0.0,
+         |      list_transform(range(8, len(xs) + 1), k -> abs(xs[k] - xs[k - 7]))),
+         |      (a, b) -> a + b) END AS ssn
+         |  FROM hh
+         |)
+         |SELECT event_type,
+         |  CASE WHEN len(xs) >= 9 THEN (len(xs) - 7)::BIGINT ELSE 0 END AS n_fc,
+         |  CASE WHEN len(xs) >= 9 THEN
+         |    floor(h[10] / (len(xs) - 7)::DOUBLE / 1e6 * 10000 + 0.5)/10000 END AS mae_hw,
+         |  CASE WHEN len(xs) >= 9 THEN
+         |    floor(sqrt(h[11] / (len(xs) - 7)::DOUBLE) / 1e6 * 10000 + 0.5)/10000 END AS rmse_hw,
+         |  CASE WHEN len(xs) >= 9 THEN
+         |    floor(san / (len(xs) - 7)::DOUBLE / 1e6 * 10000 + 0.5)/10000 END AS mae_naive,
+         |  CASE WHEN len(xs) >= 9 THEN
+         |    floor(ssn / (len(xs) - 7)::DOUBLE / 1e6 * 10000 + 0.5)/10000 END AS mae_snaive,
+         |  CASE WHEN san > 0 THEN floor(h[10] / san * 10000 + 0.5)/10000 END AS skill_vs_naive,
+         |  CASE WHEN ssn > 0 THEN floor(h[10] / ssn * 10000 + 0.5)/10000 END AS skill_vs_snaive
+         |FROM nn""".stripMargin
+    }
+  )
+}

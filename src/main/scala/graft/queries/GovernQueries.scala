@@ -108,13 +108,20 @@ object GovernQueries {
   private def q218(s: SparkSession, dir: String): DataFrame =
     entityMatch(Tables.documents(s, dir))
 
-  private[graft] def entityMatch(docs: DataFrame): DataFrame = {
-    val phr = docs
+  /** The distinct word-bigram phrase vocabulary — q218's and q231's
+    * shared candidate universe (column `p`). Vocabulary-sized: one
+    * partial-agg dedup of the exploded scan, so verbatim corpus
+    * replicas collapse before any blocking join. */
+  private[graft] def phraseVocab(docs: DataFrame): DataFrame =
+    docs
       .select(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
       .filter(size(col("ts")) >= 2)
       .select(explode(expr(
         "transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i + 1]))")).as("p"))
       .distinct()
+
+  private[graft] def entityMatch(docs: DataFrame): DataFrame = {
+    val phr = phraseVocab(docs)
     // the candidate join is an EQUI-join on (block, length): the left
     // side explodes its length into the ±3 tolerance band, so the
     // planner shuffles on a compound key and a degenerate 2-char

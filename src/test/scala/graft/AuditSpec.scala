@@ -1,0 +1,166 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.AuditQueries
+
+/** Distribution-audit + sketch surface (q229–q233): phonetic-key unit
+  * vectors (cross-checked against the identical DuckDB chain), PSI
+  * designed feeds (no-drift ≈ 0, hard shift large), Cramér's V on
+  * perfectly-associated vs independent tables, HLL accuracy on known
+  * vocabularies incl. the linear-counting branch, and a from-first-
+  * principles replay of the Holt-Winters recursion.
+  */
+class AuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- phonKey
+  test("phonetic key matches the classic Soundex vectors (shared DuckDB chain)") {
+    val got = Seq("robert", "rupert", "ashcraft", "tymczak", "pfister",
+      "honeyman", "s17", "a", "connect", "konnect")
+      .toDF("w")
+      .select(col("w"), AuditQueries.phonKey(col("w")).as("k"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // DuckDB replay of the identical translate/collapse/strip chain
+    // produced exactly these (classic Soundex agrees on the alpha ones).
+    assert(got("robert") == "R163" && got("rupert") == "R163")
+    assert(got("ashcraft") == "A226") // h separates the two 2s in this variant
+    assert(got("tymczak") == "T522")
+    assert(got("pfister") == "P236")
+    assert(got("honeyman") == "H555")
+    assert(got("s17") == "S000") // digits are class 0: the q218 salt block
+    assert(got("a") == "A000")
+    // the q218 motivation: spelling variants a 2-char prefix separates
+    // land in DIFFERENT phonetic blocks only via their head letter
+    assert(got("connect") == "C523" && got("konnect") == "K523")
+  }
+
+  test("phonetic blocking pairs spelling variants the prefix blocker separates") {
+    val docs = Seq(
+      (1L, "please konnect the red cable"),
+      (2L, "please connect the red cable"),
+      (3L, "totally unrelated words here")
+    ).toDF("doc_id", "text")
+    val m = AuditQueries.phoneticMatch(docs)
+      .select("phrase_a", "phrase_b").as[(String, String)].collect().toSet
+    // "konnect the" vs "connect the": phon(konnect)=K523 != C523 =
+    // phon(connect) — heads differ — but "please konnect"/"please
+    // connect" share block P420 and pass JW >= 0.85.
+    assert(m.contains(("please connect", "please konnect")))
+  }
+
+  // ------------------------------------------------------------- q229 PSI
+  private def psiOf(rows: Seq[(String, Date, Double)]): Map[String, Double] =
+    AuditQueries.psiDrift(rows.toDF("event_type", "day", "value"))
+      .select("event_type", "psi_r6").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("PSI: identical early/late distributions score ~0; a hard shift scores large") {
+    val d = (0 until 20).map(i => Date.valueOf(f"2024-01-${i + 1}%02d"))
+    // 'stable': same values (two log2 bands) in both halves.
+    // 'shifted': band 3 early (value 8..15), band 6 late (value 64..127).
+    val stable = (0 until 20).flatMap(i => Seq(
+      ("stable", d(i), 10.0), ("stable", d(i), 100.0)))
+    val shifted = (0 until 20).map { i =>
+      ("shifted", d(i), if (i < 10) 10.0 else 100.0)
+    }
+    val psi = psiOf(stable ++ shifted)
+    assert(psi("stable") == 0.0)
+    assert(psi("shifted") > 1.0, s"hard shift should be >> 0.25, got ${psi("shifted")}")
+  }
+
+  test("PSI: non-positive values pool in the -999 band without error") {
+    val d = Date.valueOf("2024-01-01")
+    val d2 = Date.valueOf("2024-01-02")
+    val psi = psiOf(Seq(("t", d, -5.0), ("t", d, 4.0), ("t", d2, 0.0), ("t", d2, 4.0)))
+    assert(psi.contains("t") && psi("t") >= 0.0)
+  }
+
+  // ------------------------------------------------------------- q230 Cramér's V
+  test("Cramér's V: perfect association scores 1, independence scores 0") {
+    val perfect = (0 until 200).map(i => (s"k${i % 3}", s"k${i % 3}"))
+      .toDF("rk", "ck")
+    val indep = (for { r <- 0 until 2; c <- 0 until 2; _ <- 0 until 50 }
+      yield (s"r$r", s"c$c")).toDF("rk", "ck")
+    val p = AuditQueries.cramers(perfect, "p").select("v_r6").as[Double].head()
+    val q = AuditQueries.cramers(indep, "q").select("v_r6", "chi2_r4")
+      .as[(Double, Double)].head()
+    assert(p == 1.0)
+    assert(q._1 == 0.0 && q._2 == 0.0)
+  }
+
+  // ------------------------------------------------------------- q232 HLL
+  test("HLL estimates a 2000-word vocabulary within 15% and nails the linear-counting range") {
+    // 2000 distinct words spread over 200 docs; 'the' repeats in every
+    // doc (registers are duplicate-insensitive by construction).
+    val big = (0 until 200).map { i =>
+      (s"big", "the " + (0 until 10).map(j => s"word${(i * 10 + j) % 2000}x").mkString(" "))
+    }
+    // 50 distinct words: raw estimate falls below 2.5m -> linear counting.
+    val small = Seq(("small", (0 until 50).map(j => s"tok$j").mkString(" ")))
+    val df = (big ++ small).toDF("source", "text")
+    val out = AuditQueries.hllDistinct(df)
+      .select("source", "n_exact", "hll_est_r2", "rel_err_r4")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val (nBig, estBig, errBig) = out("big")
+    assert(nBig == 2001L) // 2000 wordNx + 'the'
+    assert(errBig < 0.15, s"big-vocab rel err $errBig (est $estBig)")
+    val (nSmall, estSmall, errSmall) = out("small")
+    assert(nSmall == 50L)
+    assert(errSmall < 0.10, s"linear-counting rel err $errSmall (est $estSmall)")
+  }
+
+  // ------------------------------------------------------------- q233 Holt-Winters
+  private def closesDf(xs: Seq[Long], tpe: String = "t") =
+    xs.zipWithIndex.map { case (x, i) =>
+      (tpe, Date.valueOf(f"2024-01-${i + 1}%02d"), x)
+    }.toDF("event_type", "day", "close_lv")
+
+  test("Holt-Winters: constant series forecasts perfectly; seasonal series beats the naive walk") {
+    val const = AuditQueries.holtWinters(closesDf(Seq.fill(20)(5000000L)))
+      .select("n_fc", "mae_hw", "skill_vs_naive").collect().head
+    assert(const.getLong(0) == 13L)
+    assert(const.getDouble(1) == 0.0)
+    assert(const.isNullAt(2)) // naive error is 0 too -> skill undefined
+    // strong weekly season, 4 weeks: the seasonal model must crush the
+    // naive walk (which pays the full amplitude every step).
+    val season = (0 until 28).map(i => 5000000L + Seq(0L, 400000L, -300000L,
+      200000L, -100000L, 300000L, -500000L)(i % 7))
+    val row = AuditQueries.holtWinters(closesDf(season))
+      .select("mae_hw", "mae_naive", "skill_vs_naive").collect().head
+    assert(row.getDouble(0) < row.getDouble(1),
+      s"hw ${row.getDouble(0)} should beat naive ${row.getDouble(1)}")
+    assert(row.getDouble(2) < 0.5)
+  }
+
+  test("Holt-Winters recursion replays the textbook equations exactly") {
+    val xs = Seq(5000000L, 5400000L, 4700000L, 5200000L, 4900000L, 5300000L,
+      4500000L, 5010000L, 5410000L, 4710000L, 5210000L, 4910000L, 5310000L,
+      4510000L, 5020000L, 5420000L)
+    val got = AuditQueries.holtWinters(closesDf(xs))
+      .select("n_fc", "mae_hw", "rmse_hw").collect().head
+    // independent replay of the same recursion (same IEEE order)
+    val x = xs.map(_.toDouble)
+    val m7 = ((((((x(0) + x(1)) + x(2)) + x(3)) + x(4)) + x(5)) + x(6)) / 7.0
+    var l = m7; var b = 0.0
+    val s = Array.tabulate(7)(i => x(i) - m7)
+    var sae = 0.0; var sse = 0.0
+    for (t <- 7 until x.length) {
+      val slot = t % 7
+      val f = (l + b) + s(slot)
+      val e = x(t) - f
+      val l2 = 0.2 * (x(t) - s(slot)) + 0.8 * (l + b)
+      val b2 = 0.1 * (l2 - l) + 0.9 * b
+      s(slot) = 0.3 * (x(t) - l2) + 0.7 * s(slot)
+      sae += math.abs(e); sse += e * e
+      l = l2; b = b2
+    }
+    val n = (x.length - 7).toDouble
+    def r4(v: Double) = math.floor(v * 10000 + 0.5) / 10000
+    assert(got.getLong(0) == x.length - 7L)
+    assert(got.getDouble(1) == r4(sae / n / 1e6))
+    assert(got.getDouble(2) == r4(math.sqrt(sse / n) / 1e6))
+  }
+}
