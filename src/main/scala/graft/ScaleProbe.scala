@@ -463,6 +463,22 @@ object ScaleProbe {
     time("q226_supply_triangles") { q("q226_supply_triangles") }
     time("q227_seasonal_anomaly") { q("q227_seasonal_anomaly") }
     time("q228_revenue_gini") { q("q228_revenue_gini") }
+    // q229/q230: one partial agg each to band/cell grain (domain-
+    // bounded); q232: the register build is the probe target — at
+    // most |sources|x512 rows cross the exchange regardless of
+    // volume (the exact-distinct twin inside the same query is the
+    // contrast); q233: day-grid folds after the DailyCloses partial
+    // agg; q231 probes the VERBATIM corpus exactly like q218 (the
+    // phrase vocabulary is content-bound — 100 byte-copies collapse
+    // in the dedup; the SALTED corpus is q218's documented semantic
+    // failure regime, worse here because every salt token is
+    // class-0 → one S000 block — a blocking-key choice, not volume
+    // machinery).
+    time("q229_psi_drift") { q("q229_psi_drift") }
+    time("q230_cramers_v") { q("q230_cramers_v") }
+    time("q232_hll_distinct") { q("q232_hll_distinct") }
+    time("q233_holt_winters") { q("q233_holt_winters") }
+    time("q231_phonetic_match") { q("q231_phonetic_match") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

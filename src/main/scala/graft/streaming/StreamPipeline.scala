@@ -1353,6 +1353,166 @@ object StreamPipeline {
   def pathsServe(spark: SparkSession, countsPath: String): org.apache.spark.sql.DataFrame =
     graft.operators.Paths.close(spark.read.parquet(countsPath))
 
+  /** STREAMING SCD TYPE-2 MAINTENANCE (leg 23): q220's dimension
+    * build kept live — the change log becomes an as-of-joinable
+    * dimension WHILE it streams, instead of in tomorrow's batch
+    * rebuild. State splits exactly along the interval lifecycle:
+    *
+    *  - `dimPath` holds CLOSED intervals only (user_id, version,
+    *    state, valid_from, valid_to) — a closed interval is immutable
+    *    forever, so this store is logically append-only;
+    *  - `carryPath` holds ONE row per user: the OPEN interval
+    *    (version, state, valid_from) plus the last-seen (ts,
+    *    event_id) for the ordered-arrival check.
+    *
+    * Each micro-batch seeds per-user change detection with the
+    * carried open state (prev = coalesce(batch lag, carry state)),
+    * closes the carried interval at the user's FIRST in-batch change,
+    * appends every in-batch change that is itself already closed by a
+    * later one, and advances the carry to the LAST change + last
+    * event. Versions continue from the carried version, so the served
+    * dimension's version/valid_to chain is bitwise the batch q220's.
+    * Event-time regressions against the carry's FULL (ts, event_id)
+    * sort key are counted in [[lateScd2Rows]] (the lateTransitionRows
+    * contract: ordered arrival assumed, violations observable, never
+    * silent). Marker idempotence + pre-read heal + atomic swap; dim
+    * commits before carry (a replay between the two re-derives the
+    * same carry from the old one). Scale: per-batch work is
+    * batch-grain; both stores are user-grain or smaller per change —
+    * nothing volume-sized is ever rewritten per event. */
+  val lateScd2Rows = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def scd2Maintain(eventsStream: DataFrame, dimPath: String, carryPath: String,
+                   checkpoint: String,
+                   trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    eventsStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        scd2Batch(batch, dimPath, carryPath, batchId)
+      }
+      .start()
+
+  /** One [[scd2Maintain]] micro-batch. */
+  private[graft] def scd2Batch(batch: DataFrame, dimPath: String,
+                               carryPath: String, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    graft.batch.AtomicSwap.heal(hconf, dimPath)
+    graft.batch.AtomicSwap.heal(hconf, carryPath)
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).exists(hp)
+    }
+    def applied(p: String): Boolean = exists(s"$p/_graft_batch_$batchId")
+    def writeAndSwap(df: DataFrame, p: String): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(p + ".tmp")
+      val marker = new org.apache.hadoop.fs.Path(s"$p.tmp/_graft_batch_$batchId")
+      marker.getFileSystem(hconf).create(marker, true).close()
+      graft.batch.AtomicSwap.swapInto(hconf, p + ".tmp", p)
+    }
+    if (applied(dimPath) && applied(carryPath)) return
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val b0 = batch.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .localCheckpoint(true)
+    val carry = if (exists(carryPath)) Some(spark.read.parquet(carryPath)) else None
+    carry.foreach { c =>
+      val n = b0
+        .join(c.select(col("user_id"), col("last_ts"), col("last_event_id")), Seq("user_id"))
+        .filter(struct(col("ts"), col("event_id")) <
+          struct(col("last_ts"), col("last_event_id")))
+        .count()
+      if (n > 0) lateScd2Rows.addAndGet(n)
+    }
+    val carrySeed = carry.map(_.select(col("user_id"),
+      col("state").as("__c_state"), col("version").as("__c_version"),
+      col("valid_from").as("__c_from")))
+    val withPrev0 = b0.withColumn("__lag", lag(col("event_type"), 1).over(w))
+    val withPrev = carrySeed match {
+      case Some(cs) => withPrev0.join(cs, Seq("user_id"), "left")
+        .withColumn("__prev", coalesce(col("__lag"), col("__c_state")))
+      case None => withPrev0
+        .withColumn("__c_version", lit(null).cast("long"))
+        .withColumn("__prev", col("__lag"))
+    }
+    val changes = withPrev
+      .filter(col("__prev").isNull || col("event_type") =!= col("__prev"))
+      .withColumn("version", coalesce(col("__c_version"), lit(0L)) + row_number().over(w))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("version"), col("valid_to"))
+      .localCheckpoint(true)
+    if (!applied(dimPath)) {
+      val firstChange = changes.groupBy(col("user_id"))
+        .agg(min(struct(col("ts"), col("event_id"))).as("fc"))
+        .select(col("user_id"), col("fc.ts").as("__fc_ts"))
+      val closedCarry = carry.map(
+        _.join(firstChange, Seq("user_id"))
+          .select(col("user_id"), col("version"), col("state"),
+            col("valid_from"), col("__fc_ts").as("valid_to")))
+      val newClosed = changes.filter(col("valid_to").isNotNull)
+        .select(col("user_id"), col("version"), col("event_type").as("state"),
+          col("ts").as("valid_from"), col("valid_to"))
+      val withCarry = closedCarry.fold(newClosed)(newClosed.unionByName(_))
+      val merged =
+        if (exists(dimPath)) spark.read.parquet(dimPath).unionByName(withCarry)
+        else withCarry
+      writeAndSwap(merged, dimPath)
+    }
+    if (!applied(carryPath)) {
+      val lastEvent = b0.groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"))).as("le"))
+        .select(col("user_id"), col("le.ts").as("last_ts"),
+          col("le.event_id").as("last_event_id"))
+      val lastChange = changes.groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("version"),
+          col("event_type"))).as("lc"))
+        .select(col("user_id"), col("lc.version").as("__n_version"),
+          col("lc.event_type").as("__n_state"), col("lc.ts").as("__n_from"))
+      val fromBatch = lastEvent
+        .join(lastChange, Seq("user_id"), "left")
+        .join(carrySeed.getOrElse(
+          lastEvent.select(col("user_id")).limit(0)
+            .withColumn("__c_state", lit(null).cast("string"))
+            .withColumn("__c_version", lit(null).cast("long"))
+            .withColumn("__c_from", lit(null).cast("timestamp"))),
+          Seq("user_id"), "left")
+        .select(col("user_id"),
+          coalesce(col("__n_version"), col("__c_version")).as("version"),
+          coalesce(col("__n_state"), col("__c_state")).as("state"),
+          coalesce(col("__n_from"), col("__c_from")).as("valid_from"),
+          col("last_ts"), col("last_event_id"))
+      val untouched = carry.map(
+        _.join(b0.select(col("user_id")).distinct(), Seq("user_id"), "left_anti"))
+      val newCarry = untouched.fold(fromBatch)(fromBatch.unionByName(_))
+      writeAndSwap(newCarry, carryPath)
+    }
+  }
+
+  /** The q220 dimension served from the maintained stores: closed
+    * intervals + each user's open interval (valid_to NULL,
+    * is_current) — schema and values bitwise the declared q220's
+    * (Scd2StreamSpec). */
+  def scd2Serve(spark: SparkSession, dimPath: String, carryPath: String): DataFrame = {
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    }
+    val open = spark.read.parquet(carryPath)
+      .select(col("user_id"), col("version"), col("state"), col("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"), lit(true).as("is_current"))
+    val closedOpt =
+      if (exists(dimPath))
+        Some(spark.read.parquet(dimPath)
+          .select(col("user_id"), col("version"), col("state"), col("valid_from"),
+            col("valid_to"), lit(false).as("is_current")))
+      else None
+    closedOpt.fold(open)(_.unionByName(open))
+  }
+
   /** STREAMING BOT-PROFILE MAINTENANCE (leg 19): q205's behavioral
     * data-quality gate kept live — the profile a feed operator reads
     * to throttle machine traffic WHILE it happens, not in tomorrow's

@@ -497,7 +497,23 @@ object StreamBench {
     val cusumLine = report("cusum_maintain", cusumLats, evRows,
       s""","counts_rows":${spark.read.parquet(s"$dir/cusum_counts").count()}""")
 
-    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine,$attrLine,$rfmLine,$sessLine,$liftLine,$clLine,$xoLine,$ewLine,$hoLine,$vcLine,$kfLine,$egLine,$pathLine,$botLine,$cusumLine}")
+    // ---- 23. SCD2 dimension maintenance: closed-interval dim (one
+    // row per state CHANGE — append-only) + per-user open carry; the
+    // q220 serve unions the two stores. This feed flips types nearly
+    // every event, so dim_rows ≈ the change count — the adversarial
+    // write-amplification regime for the rewrite-per-batch store.
+    val ev23 = MemoryStream[(Long, java.sql.Timestamp, Long, String)](spark)
+    val qScd2 = StreamPipeline.scd2Maintain(
+      ev23.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+      s"$dir/scd2_dim", s"$dir/scd2_carry", s"$dir/ckpt_scd2",
+      trigger = Trigger.ProcessingTime(0))
+    val scd2Lats = timeBatches(ev23, qScd2, batches, genEv)
+    qScd2.stop()
+    val scd2Line = report("scd2_maintain", scd2Lats, evRows,
+      s""","dim_rows":${spark.read.parquet(s"$dir/scd2_dim").count()},""" +
+        s""""carry_rows":${spark.read.parquet(s"$dir/scd2_carry").count()}""")
+
+    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine,$attrLine,$rfmLine,$sessLine,$liftLine,$clLine,$xoLine,$ewLine,$hoLine,$vcLine,$kfLine,$egLine,$pathLine,$botLine,$cusumLine,$scd2Line}")
     spark.stop()
   }
 }
