@@ -154,12 +154,22 @@ object AuditQueries {
     phoneticMatch(docs(s, dir))
 
   private[graft] def phoneticMatch(d: DataFrame): DataFrame = {
+    // Phonetic classes are COARSER than 2-char prefixes for common
+    // sound patterns, so one (key, length) cell can dominate the
+    // verify stage (measured 3.4x med->max task skew at the 100x
+    // probe). The b-side salts each cell 4 ways by phrase hash and
+    // the a-side explodes all 4 salts — same candidate pairs, same
+    // output, hot cell split across 4 tasks (the q47 bucket-cap /
+    // q218 length-band discipline, one level finer).
+    val S = 4
     val keyed = GovernQueries.phraseVocab(d)
       .withColumn("blk", phonKey(element_at(split(col("p"), " "), 1)))
     val a = keyed.select(col("p").as("pa"), col("blk"), length(col("p")).as("la"))
       .withColumn("lb", explode(expr("sequence(la - 3, la + 3)")))
+      .withColumn("salt", explode(lit((0 until S).toArray)))
     val b = keyed.select(col("p").as("pb"), col("blk"), length(col("p")).as("lb"))
-    a.join(b, Seq("blk", "lb"))
+      .withColumn("salt", pmod(xxhash64(col("pb")), lit(S.toLong)).cast("int"))
+    a.join(b, Seq("blk", "lb", "salt"))
       .filter(col("pa") < col("pb"))
       .withColumn("jw6",
         floor(graft.functions.JaroWinkler.column(col("pa"), col("pb")) * lit(1e6)

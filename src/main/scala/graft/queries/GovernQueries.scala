@@ -111,7 +111,11 @@ object GovernQueries {
   /** The distinct word-bigram phrase vocabulary — q218's and q231's
     * shared candidate universe (column `p`). Vocabulary-sized: one
     * partial-agg dedup of the exploded scan, so verbatim corpus
-    * replicas collapse before any blocking join. */
+    * replicas collapse before any blocking join. PERSISTED: both
+    * consumers join the vocabulary against itself, and without the
+    * persist Catalyst plans the scan+explode+distinct subtree TWICE
+    * (measured: the two 25 s scan stages dominate the 100x probe) —
+    * at 100 TB you materialize the vocabulary once, then block. */
   private[graft] def phraseVocab(docs: DataFrame): DataFrame =
     docs
       .select(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
@@ -119,6 +123,7 @@ object GovernQueries {
       .select(explode(expr(
         "transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i + 1]))")).as("p"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private[graft] def entityMatch(docs: DataFrame): DataFrame = {
     val phr = phraseVocab(docs)
