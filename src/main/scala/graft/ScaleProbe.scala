@@ -479,6 +479,10 @@ object ScaleProbe {
     time("q232_hll_distinct") { q("q232_hll_distinct") }
     time("q233_holt_winters") { q("q233_holt_winters") }
     time("q231_phonetic_match") { q("q231_phonetic_match") }
+    // q234: two key-grain partial aggs per candidate FD; q235: the
+    // q173 rank machinery -> |sources|x10 output
+    time("q234_fd_discovery") { q("q234_fd_discovery") }
+    time("q235_quantile_norm") { q("q235_quantile_norm") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

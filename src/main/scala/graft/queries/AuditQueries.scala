@@ -295,12 +295,79 @@ object AuditQueries {
       when(col("ssn") > 0, r4(col("hw.sae") / col("ssn"))).as("skill_vs_snaive"))
   }
 
+  // ---------------------------------------------------------------
+  // q234 — FUNCTIONAL-DEPENDENCY DISCOVERY (g3 strength): for each
+  // candidate FD A→B, the fraction of rows that survive if every A
+  // keeps only its MODAL B — the classic g3 measure (Kivinen &
+  // Mannila 1995) a profiler runs to find undeclared keys, derived
+  // columns, and near-constant relationships before anyone trusts a
+  // join. 1.0 = exact FD (the PK row is the built-in sanity check);
+  // values near 1 flag "almost-FDs" whose violations are usually
+  // data bugs. Exactness: pure integer counts, ONE closing divide.
+  // Scale shape: per candidate, one partial-agg shuffle to (A, B)
+  // cell grain, a second to A grain — key-grain both, the q216
+  // discipline; output is one row per candidate FD.
+  private[graft] def fdStrength(obs: DataFrame, rel: String): DataFrame = {
+    val cells = obs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val amax = cells.groupBy(col("a"))
+      .agg(max(col("cab")).as("mx"), sum(col("cab")).as("na"), count(lit(1)).as("np"))
+    amax.agg(sum(col("na")).as("n_rows"), count(lit(1)).as("n_lhs"),
+        sum(col("np")).as("n_pairs"), sum(col("mx")).as("smx"))
+      .select(lit(rel).as("fd"), col("n_rows"), col("n_lhs"), col("n_pairs"),
+        (floor(col("smx").cast("double") / col("n_rows").cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("g3_r6"))
+  }
+
+  private def q234(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    val e = Tables.events(s, dir)
+    fdStrength(o.select(col("o_orderkey").cast("string").as("a"),
+        col("o_custkey").cast("string").as("b")), "orders.o_orderkey->o_custkey")
+      .unionByName(fdStrength(o.select(col("o_custkey").cast("string").as("a"),
+        col("o_orderpriority").as("b")), "orders.o_custkey->o_orderpriority"))
+      .unionByName(fdStrength(o.select(col("o_orderdate").cast("string").as("a"),
+        col("o_orderstatus").as("b")), "orders.o_orderdate->o_orderstatus"))
+      .unionByName(fdStrength(l.select(col("l_partkey").cast("string").as("a"),
+        col("l_suppkey").cast("string").as("b")), "lineitem.l_partkey->l_suppkey"))
+      .unionByName(fdStrength(e.select(col("user_id").cast("string").as("a"),
+        col("event_type").as("b")), "events.user_id->event_type"))
+  }
+
+  // ---------------------------------------------------------------
+  // q235 — QUANTILE-NORMALIZATION LOOKUP TABLE: the per-source
+  // decile → quality-score-range table a curation pipeline joins
+  // against to apply ONE global quality bar across sources whose raw
+  // score distributions differ (a P90 web doc and a P90 wiki doc
+  // should survive the same gate even though their absolute scores
+  // differ — the cross-source comparability problem q161 solves with
+  // per-source cutoffs, generalized to the full distribution).
+  // Decile assignment is exact integer arithmetic on the global rank
+  // ((g·10) DIV n — the q173 quartile rule), ranks ride
+  // ChunkedFrame.globalRank (sources × quality-bucket parallelism,
+  // no per-source sort task). Output: |sources| × 10 rows of pure
+  // integers — min/max score per decile IS the lookup table.
+  private def q235(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{ChunkedFrame, QualityGate}
+    val base = QualityGate.scored(docs(s, dir))
+    val counts = base.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+    ChunkedFrame.globalRank(base, "source", expr("quality_fp DIV 1000000"),
+        Seq("quality_fp", "doc_id"))
+      .join(broadcast(counts), Seq("source"))
+      .withColumn("decile", expr("__g * 10 DIV cnt"))
+      .groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("quality_fp")).as("min_q_fp"), max(col("quality_fp")).as("max_q_fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q229_psi_drift" -> q229 _,
     "q230_cramers_v" -> q230 _,
     "q231_phonetic_match" -> q231 _,
     "q232_hll_distinct" -> q232 _,
-    "q233_holt_winters" -> q233 _
+    "q233_holt_winters" -> q233 _,
+    "q234_fd_discovery" -> q234 _,
+    "q235_quantile_norm" -> q235 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -440,6 +507,49 @@ object AuditQueries {
         |  floor(est * 100.0 + 0.5) / 100.0 AS hll_est_r2,
         |  floor(abs(est - n_exact::DOUBLE) / n_exact::DOUBLE * 1e4 + 0.5) / 1e4 AS rel_err_r4
         |FROM es JOIN ex ON es.source = ex.source""".stripMargin,
+    "q234_fd_discovery" -> {
+      def one(fd: String, table: String, a: String, b: String) =
+        s"""SELECT '$fd' AS fd, sum(na)::BIGINT AS n_rows, count(*)::BIGINT AS n_lhs,
+           |  sum(np)::BIGINT AS n_pairs,
+           |  floor(sum(mx)::DOUBLE / sum(na)::DOUBLE * 1e6 + 0.5) / 1e6 AS g3_r6
+           |FROM (
+           |  SELECT a, max(cab) AS mx, sum(cab) AS na, count(*) AS np
+           |  FROM (SELECT $a AS a, $b AS b, count(*)::BIGINT AS cab
+           |        FROM $table GROUP BY 1, 2)
+           |  GROUP BY 1)""".stripMargin
+      Seq(
+        one("orders.o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"),
+        one("orders.o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+        one("orders.o_orderdate->o_orderstatus", "orders", "o_orderdate", "o_orderstatus"),
+        one("lineitem.l_partkey->l_suppkey", "lineitem", "l_partkey", "l_suppkey"),
+        one("events.user_id->event_type", "events", "user_id", "event_type")
+      ).mkString("\nUNION ALL\n")
+    },
+    "q235_quantile_norm" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+        |    regexp_extract_all(text, '[.,;:!?''"()\[\]{}]') AS punct
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, source,
+        |    ln(1 + len(toks)) * (1 - len(punct)::DOUBLE / nullif(length(text), 0))
+        |      * (1 - len(list_filter(toks, x -> list_contains(['the','a','an','of','to','and','in','is','for','on','with','that','as','at','by'], x)))::DOUBLE
+        |          / nullif(len(toks), 0)) AS q
+        |  FROM t
+        |), f AS (
+        |  SELECT doc_id, source, floor(q * 1e6 + 0.5)::BIGINT AS quality_fp
+        |  FROM m WHERE q IS NOT NULL
+        |), n AS (
+        |  SELECT source, count(*)::BIGINT AS cnt FROM f GROUP BY 1
+        |), r AS (
+        |  SELECT f.*, row_number() OVER (PARTITION BY source ORDER BY quality_fp, doc_id) - 1 AS g,
+        |    cnt
+        |  FROM f JOIN n USING (source)
+        |)
+        |SELECT source, (g * 10) // cnt AS decile, count(*)::BIGINT AS n_docs,
+        |  min(quality_fp)::BIGINT AS min_q_fp, max(quality_fp)::BIGINT AS max_q_fp
+        |FROM r GROUP BY 1, 2""".stripMargin,
     "q233_holt_winters" -> {
       val slot = "(CAST(a[12] AS BIGINT) % 7)"
       val lNew = s"0.2 * (e[1] - a[$slot + 3]) + 0.8 * (a[1] + a[2])"

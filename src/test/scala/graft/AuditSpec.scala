@@ -112,6 +112,41 @@ class AuditSpec extends SparkSpec {
     assert(errSmall < 0.10, s"linear-counting rel err $errSmall (est $estSmall)")
   }
 
+  // ------------------------------------------------------------- q234 FD discovery
+  test("FD g3: exact dependency scores 1; a 10%-violating one scores 0.9") {
+    val exact = (0 until 100).map(i => (s"k$i", s"v${i % 7}")).toDF("a", "b")
+    val g1 = AuditQueries.fdStrength(exact, "x").select("g3_r6").as[Double].head()
+    assert(g1 == 1.0)
+    // 10 lhs keys, each with 9 rows of its modal b and 1 violator
+    val noisy = (0 until 10).flatMap(i =>
+      (0 until 9).map(_ => (s"k$i", "modal")) :+ (s"k$i", "other")).toDF("a", "b")
+    val row = AuditQueries.fdStrength(noisy, "y")
+      .select("n_rows", "n_lhs", "n_pairs", "g3_r6")
+      .as[(Long, Long, Long, Double)].head()
+    assert(row == ((100L, 10L, 20L, 0.9)))
+  }
+
+  // ------------------------------------------------------------- q235 quantile norm
+  test("quantile-norm lookup: contiguous non-overlapping deciles covering each source") {
+    val rows = SparkEntry.queries("q235_quantile_norm")(spark, sf())
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("decile"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("min_q_fp"), r.getAs[Long]("max_q_fp")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, ds) =>
+      val sorted = ds.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until sorted.size.toLong),
+        s"$src: deciles must be contiguous from 0")
+      sorted.sliding(2).foreach {
+        case Array(lo, hi) =>
+          assert(lo._5 <= hi._4, s"$src: decile ranges must not overlap (score-sorted)")
+        case _ =>
+      }
+      // each decile holds floor/ceil(n/10) docs: the integer-rank rule
+      val n = sorted.map(_._3).sum
+      assert(sorted.forall(d => d._3 == n / 10 || d._3 == n / 10 + 1))
+    }
+  }
+
   // ------------------------------------------------------------- q233 Holt-Winters
   private def closesDf(xs: Seq[Long], tpe: String = "t") =
     xs.zipWithIndex.map { case (x, i) =>
