@@ -32,6 +32,10 @@ object SqlEntry {
     Tables.events(spark, dir).createOrReplaceTempView("events")
     Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
     Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier")
+    Tables.part(spark, dir).createOrReplaceTempView("part")
     // the panel text exercises graft's json_long_field through SQL —
     // the custom-expression surface is load-bearing here, not just
     // demonstrated (idempotent registration)
@@ -44,6 +48,61 @@ object SqlEntry {
   // r4(x) = floor(x*1e4 + 0.5)/1e4, r2 at 1e2 — the same
   // engine-portable rounding the typed queries use (never round()).
   val texts: Map[String, String] = Map(
+    // q216 — the RI orphan audit: the most SQL-notebook-shaped
+    // governance query in the battery (each relation is one grouped
+    // child scan LEFT JOIN the parent's distinct keys; 0L literals
+    // keep the coalesce sums BIGINT like the typed plan's)
+    "q216_ri_orphans" -> {
+      def one(rel: String, child: String, fk: String, parent: String, pk: String) =
+        s"""SELECT '$rel' AS relation,
+           |  coalesce(sum(n), 0L) AS n_rows,
+           |  coalesce(sum(CASE WHEN k IS NULL THEN n END), 0L) AS n_null,
+           |  coalesce(sum(CASE WHEN k IS NOT NULL AND pk_k IS NULL THEN n END), 0L) AS n_orphan_rows,
+           |  count(CASE WHEN k IS NOT NULL AND pk_k IS NULL THEN 1 END) AS n_orphan_keys
+           |FROM (SELECT $fk AS k, count(1) AS n FROM $child GROUP BY 1) c
+           |LEFT JOIN (SELECT DISTINCT $pk AS pk_k FROM $parent) p ON c.k = p.pk_k""".stripMargin
+      Seq(
+        one("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        one("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+        one("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        one("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey")
+      ).mkString("\nUNION ALL\n")
+    },
+    // q229 — the PSI drift monitor as notebook SQL: the fixed-point
+    // discipline survives the text surface verbatim (per-band terms
+    // floor to BIGINT before the sum; D-suffixed constants keep
+    // every literal the typed plan's IEEE double)
+    "q229_psi_drift" ->
+      """WITH e AS (SELECT event_type, to_date(ts) AS day, value FROM events),
+        |bd AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |banded AS (
+        |  SELECT event_type,
+        |    datediff(day, d0) >= (datediff(d1, d0) + 1) DIV 2 AS late,
+        |    CASE WHEN value > 0 THEN
+        |      CAST(floor(CAST(CAST(floor(log2(value) * 1e6 + 0.5D) AS BIGINT) AS DOUBLE)
+        |        / 1000000.0D) AS BIGINT)
+        |    ELSE -999L END AS band
+        |  FROM e CROSS JOIN bd
+        |), cells AS (
+        |  SELECT event_type, band,
+        |    count(CASE WHEN NOT late THEN 1 END) AS na,
+        |    count(CASE WHEN late THEN 1 END) AS nb
+        |  FROM banded GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT event_type, sum(na) AS ta, sum(nb) AS tb, count(1) AS nbands
+        |  FROM cells GROUP BY 1
+        |), terms AS (
+        |  SELECT cells.event_type, ta, tb, nbands,
+        |    CAST(floor(((CAST(nb AS DOUBLE) + 0.5D) / (CAST(tb AS DOUBLE) + 0.5D * CAST(nbands AS DOUBLE))
+        |         - (CAST(na AS DOUBLE) + 0.5D) / (CAST(ta AS DOUBLE) + 0.5D * CAST(nbands AS DOUBLE)))
+        |      * ln(((CAST(nb AS DOUBLE) + 0.5D) / (CAST(tb AS DOUBLE) + 0.5D * CAST(nbands AS DOUBLE)))
+        |          / ((CAST(na AS DOUBLE) + 0.5D) / (CAST(ta AS DOUBLE) + 0.5D * CAST(nbands AS DOUBLE))))
+        |      * 1e12 + 0.5D) AS BIGINT) AS tfp
+        |  FROM cells JOIN tot ON cells.event_type = tot.event_type
+        |)
+        |SELECT event_type, max(ta) AS n_early, max(tb) AS n_late, max(nbands) AS n_bands,
+        |  CAST((sum(tfp) + 500000L) DIV 1000000L AS DOUBLE) / 1e6 AS psi_r6
+        |FROM terms GROUP BY event_type""".stripMargin,
     // q172 — the composed daily panel through SQL text, including the
     // graft json_long_field expression (D-suffixed double literals
     // keep every constant the same IEEE double the typed API builds —
