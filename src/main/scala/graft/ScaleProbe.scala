@@ -483,6 +483,12 @@ object ScaleProbe {
     // q173 rank machinery -> |sources|x10 output
     time("q234_fd_discovery") { q("q234_fd_discovery") }
     time("q235_quantile_norm") { q("q235_quantile_norm") }
+    // q236: day-grid fold after the DailyCloses partial agg; q237:
+    // vocabulary partial agg + a 1000-row-per-source fit; q238: map
+    // pass + one source-grain partial agg
+    time("q236_garch_backtest") { q("q236_garch_backtest") }
+    time("q237_zipf_fit") { q("q237_zipf_fit") }
+    time("q238_readability") { q("q238_readability") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

@@ -360,7 +360,164 @@ object AuditQueries {
         min(col("quality_fp")).as("min_q_fp"), max(col("quality_fp")).as("max_q_fp"))
   }
 
+  // ---------------------------------------------------------------
+  // q236 — GARCH(1,1) VOLATILITY FORECAST BACKTEST: the conditional-
+  // variance member of the forecast ladder (q203/q210/q233 forecast
+  // the LEVEL; this forecasts the RISK) — σ²_t = ω + α·r²_{t−1} +
+  // β·σ²_{t−1} with α=0.1, β=0.85 and variance targeting (ω =
+  // 0.05·σ²_unconditional, so the recursion mean-reverts to the
+  // sample variance), scored one-step-ahead with the QLIKE loss
+  // (r²/σ² + ln σ² — the standard robust vol-forecast loss) against
+  // the constant-variance baseline. The unconditional seed comes
+  // from EXACT integer sums (micro-log2 return squares in decimal);
+  // the recursion is ONE sequential 3-field fold in day order (both
+  // engines run the identical IEEE sequence — the q210/q222 class);
+  // the baseline closes in EXACT integer arithmetic (Σr² / s2 +
+  // (n−1)·ln s2 — no per-day float sum at all). Scale shape: day-
+  // grid arrays after the DailyCloses partial agg.
+  private def q236(s: SparkSession, dir: String): DataFrame =
+    garchBacktest(graft.operators.DailyCloses.closes(
+      graft.operators.DailyCloses.state(Tables.events(s, dir))))
+
+  private[graft] def garchBacktest(cl: DataFrame): DataFrame = {
+    val base = cl
+      .select(col("event_type"), struct(col("day"), col("close_lv")).as("pr"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("pr"))).as("ps"))
+      .withColumn("xs", expr("transform(ps, p -> p.close_lv)"))
+      // micro-log2 integer returns, then squares summed EXACTLY
+      .withColumn("rs", expr(
+        "IF(size(xs) > 1, transform(sequence(1, size(xs) - 1), k -> xs[k] - xs[k - 1]), " +
+          "CAST(array() AS array<bigint>))"))
+      .withColumn("n_r", size(col("rs")).cast("long"))
+      .withColumn("ss2", expr(
+        "aggregate(rs, CAST(0 AS DECIMAL(38,0)), (a, r) -> a + CAST(r AS DECIMAL(38,0)) * CAST(r AS DECIMAL(38,0)))"))
+      .withColumn("s2", expr("CAST(ss2 AS DOUBLE) / CAST(n_r AS DOUBLE)"))
+      // tail squares (t >= 2) for the exact-baseline closing
+      .withColumn("ss2t", expr(
+        "aggregate(slice(rs, 2, size(rs) - 1), CAST(0 AS DECIMAL(38,0)), " +
+          "(a, r) -> a + CAST(r AS DECIMAL(38,0)) * CAST(r AS DECIMAL(38,0)))"))
+      // fold state [sigma2_prev, prev_r, qlsum] over r_2..r_n
+      .withColumn("g", expr(
+        "IF(size(rs) > 1 AND s2 > 0, aggregate(slice(rs, 2, size(rs) - 1), " +
+          "named_struct('v', s2, 'p', CAST(rs[0] AS DOUBLE), 'ql', CAST(0.0 AS DOUBLE)), " +
+          "(a, r) -> named_struct(" +
+          "'v', 0.05 * s2 + 0.1 * a.p * a.p + 0.85 * a.v, " +
+          "'p', CAST(r AS DOUBLE), " +
+          "'ql', a.ql + (CAST(r AS DOUBLE) * CAST(r AS DOUBLE)) / " +
+          "(0.05 * s2 + 0.1 * a.p * a.p + 0.85 * a.v) + " +
+          "ln(0.05 * s2 + 0.1 * a.p * a.p + 0.85 * a.v))), NULL)"))
+    val nf = when(col("n_r") > 1 && col("s2") > 0, col("n_r") - 1).otherwise(lit(0L))
+    val n = nf.cast("double")
+    val qlc = expr("CAST(ss2t AS DOUBLE)") / col("s2") + n * log(col("s2"))
+    base.select(col("event_type"), nf.as("n_fc"),
+      when(nf > 0, r4(col("g.ql") / n)).as("qlike_garch_r4"),
+      when(nf > 0, r4(qlc / n)).as("qlike_const_r4"),
+      when(nf > 0, r4(col("g.ql") / qlc)).as("vol_skill_r4"),
+      when(nf > 0, r4(sqrt(col("g.v")) / lit(1e6))).as("last_sigma_r4"))
+  }
+
+  // ---------------------------------------------------------------
+  // q237 — ZIPF LAW FIT per source: OLS of ln(freq) on ln(rank) over
+  // each source's top-1000 terms — the statistical signature of
+  // natural text (slope ≈ −1); templated/synthetic/spam corpora bend
+  // it, which is why corpus forensics fits it before training on a
+  // new source. Ranks ride ChunkedFrame.globalRank on (−tf, term) —
+  // no per-source sort task; each term's (ln rank, ln freq) pair
+  // quantizes to 1e-8 fixed point BEFORE the OLS sums (the q163
+  // discipline), and the five sums ride DECIMAL(38,0) (products of
+  // 1e8-scaled logs exceed long). Closing slope/intercept/R² is ONE
+  // shared IEEE sequence. Scale: term counting is the vocabulary
+  // partial agg; the fit reads 1000 rows per source.
+  private def q237(s: SparkSession, dir: String): DataFrame =
+    zipfFit(docs(s, dir))
+
+  private[graft] def zipfFit(corpus: DataFrame): DataFrame = {
+    val tf = corpus
+      .select(col("source"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("tf"))
+      .withColumn("neg_tf", -col("tf"))
+    val ranked = graft.operators.ChunkedFrame.globalRank(
+      tf, "source", col("neg_tf"), Seq("neg_tf", "w"))
+      .filter(col("__g") < 1000)
+      .withColumn("x8", floor(log(col("__g").cast("double") + lit(1.0)) * lit(1e8) + lit(0.5)).cast("long"))
+      .withColumn("y8", floor(log(col("tf").cast("double")) * lit(1e8) + lit(0.5)).cast("long"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val g = ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(dec(col("x8"))).as("sx"), sum(dec(col("y8"))).as("sy"),
+        sum(dec(col("x8")) * dec(col("y8"))).as("sxy"),
+        sum(dec(col("x8")) * dec(col("x8"))).as("sxx"),
+        sum(dec(col("y8")) * dec(col("y8"))).as("syy"))
+    def d(c: Column) = c.cast("double")
+    val nn = d(col("n_terms"))
+    val num = nn * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val den = nn * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val deny = nn * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    g.select(col("source"), col("n_terms"),
+      when(col("n_terms") > 1, r4(num / den)).as("zipf_slope_r4"),
+      when(col("n_terms") > 1,
+        r4((d(col("sy")) - num / den * d(col("sx"))) / nn / lit(1e8))).as("intercept_r4"),
+      when(col("n_terms") > 1 && deny > 0,
+        r4(num / den * (num / deny))).as("r2_r4"))
+  }
+
+  // ---------------------------------------------------------------
+  // q238 — READABILITY PROFILE per source (Flesch reading ease +
+  // Flesch-Kincaid grade): the classic curation signal between
+  // q24-style surface quality and q81's LM score — too-easy text is
+  // boilerplate/listicles, too-hard is OCR garbage or formula soup.
+  // All three counts are regexp_extract_all LENGTHS (words =
+  // letter runs, sentences = [.!?] runs min 1, syllables = vowel
+  // groups min 1 per word) — exact integers on both engines; each
+  // doc's scores close in ONE shared IEEE sequence and quantize to
+  // integer cents BEFORE the per-source averaging sum (order-free).
+  // The syllable count is computed FLAT, not per word: a vowel run
+  // cannot span two words (a non-letter always separates letter
+  // runs), so Σ_w max(groups(w), 1) = groups(text) + |words with no
+  // vowel| — three text-level regexps instead of a nested per-word
+  // scan (the nested form posted a 41.6 s uniform map task at the
+  // 100x probe; this one is ~7x cheaper, values identical).
+  // Scale shape: pure map pass + one source-grain partial agg.
+  private def q238(s: SparkSession, dir: String): DataFrame =
+    readability(docs(s, dir))
+
+  private[graft] def readability(d: DataFrame): DataFrame = {
+    val words = expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    val base = d
+      .withColumn("nw", size(words).cast("long"))
+      .filter(col("nw") > 0)
+      .withColumn("ns", greatest(
+        size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long"), lit(1L)))
+      .withColumn("syl",
+        size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")).cast("long")
+          + col("nw")
+          - size(expr("regexp_extract_all(lower(text), '[a-z]*[aeiouy][a-z]*', 0)")).cast("long"))
+      .withColumn("wps", col("nw").cast("double") / col("ns").cast("double"))
+      .withColumn("spw", col("syl").cast("double") / col("nw").cast("double"))
+      .withColumn("flesch_c", floor(
+        (lit(206.835) - lit(1.015) * col("wps") - lit(84.6) * col("spw"))
+          * lit(100.0) + lit(0.5)).cast("long"))
+      .withColumn("fk_c", floor(
+        (lit(0.39) * col("wps") + lit(11.8) * col("spw") - lit(15.59))
+          * lit(100.0) + lit(0.5)).cast("long"))
+    base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("flesch_c")).as("sf"), sum(col("fk_c")).as("sk"),
+        count(when(col("flesch_c") < 3000L, lit(1))).as("n_hard"))
+      .select(col("source"), col("n_docs"),
+        (floor(col("sf").cast("double") / col("n_docs").cast("double") + lit(0.5))
+          / lit(100.0)).as("mean_flesch_r2"),
+        (floor(col("sk").cast("double") / col("n_docs").cast("double") + lit(0.5))
+          / lit(100.0)).as("mean_grade_r2"),
+        col("n_hard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q236_garch_backtest" -> q236 _,
+    "q237_zipf_fit" -> q237 _,
+    "q238_readability" -> q238 _,
     "q229_psi_drift" -> q229 _,
     "q230_cramers_v" -> q230 _,
     "q231_phonetic_match" -> q231 _,
@@ -507,6 +664,123 @@ object AuditQueries {
         |  floor(est * 100.0 + 0.5) / 100.0 AS hll_est_r2,
         |  floor(abs(est - n_exact::DOUBLE) / n_exact::DOUBLE * 1e4 + 0.5) / 1e4 AS rel_err_r4
         |FROM es JOIN ex ON es.source = ex.source""".stripMargin,
+    "q236_garch_backtest" ->
+      """WITH e AS (
+        |  SELECT event_type, ts::TIMESTAMP AS ts, event_id, value,
+        |    ts::TIMESTAMP::DATE AS day,
+        |    floor(log2(value) * 1e6 + 0.5)::BIGINT AS lv
+        |  FROM events WHERE value > 0
+        |), r0 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS rn
+        |  FROM e
+        |), c AS (
+        |  SELECT event_type, day, arg_max(lv, rn) AS close_lv FROM r0 GROUP BY 1, 2
+        |), s AS (
+        |  SELECT event_type, list(close_lv ORDER BY day) AS xs FROM c GROUP BY 1
+        |), rr AS (
+        |  SELECT event_type,
+        |    CASE WHEN len(xs) > 1 THEN
+        |      list_transform(range(2, len(xs) + 1), k -> xs[k] - xs[k - 1])
+        |    ELSE CAST([] AS BIGINT[]) END AS rs
+        |  FROM s
+        |), m AS (
+        |  SELECT event_type, rs, len(rs)::BIGINT AS n_r,
+        |    list_reduce(list_prepend(0::HUGEINT,
+        |      list_transform(rs, r -> r::HUGEINT * r::HUGEINT)), (a, b) -> a + b) AS ss2,
+        |    list_reduce(list_prepend(0::HUGEINT,
+        |      list_transform(rs[2:], r -> r::HUGEINT * r::HUGEINT)), (a, b) -> a + b) AS ss2t
+        |  FROM rr
+        |), v AS (
+        |  SELECT event_type, rs, n_r, ss2t,
+        |    ss2::DOUBLE / n_r::DOUBLE AS s2
+        |  FROM m
+        |), g AS (
+        |  SELECT event_type, rs, n_r, ss2t, s2,
+        |    CASE WHEN n_r > 1 AND s2 > 0 THEN list_reduce(
+        |      list_prepend([s2, rs[1]::DOUBLE, 0.0],
+        |        list_transform(rs[2:], r -> [r::DOUBLE, 0.0, 0.0])),
+        |      (a, e) -> [
+        |        0.05 * s2 + 0.1 * a[2] * a[2] + 0.85 * a[1],
+        |        e[1],
+        |        a[3] + (e[1] * e[1]) / (0.05 * s2 + 0.1 * a[2] * a[2] + 0.85 * a[1])
+        |          + ln(0.05 * s2 + 0.1 * a[2] * a[2] + 0.85 * a[1])]) END AS h
+        |  FROM v
+        |)
+        |SELECT event_type,
+        |  CASE WHEN n_r > 1 AND s2 > 0 THEN n_r - 1 ELSE 0 END AS n_fc,
+        |  CASE WHEN n_r > 1 AND s2 > 0 THEN
+        |    floor(h[3] / (n_r - 1)::DOUBLE * 10000 + 0.5)/10000 END AS qlike_garch_r4,
+        |  CASE WHEN n_r > 1 AND s2 > 0 THEN
+        |    floor((ss2t::DOUBLE / s2 + (n_r - 1)::DOUBLE * ln(s2)) / (n_r - 1)::DOUBLE
+        |      * 10000 + 0.5)/10000 END AS qlike_const_r4,
+        |  CASE WHEN n_r > 1 AND s2 > 0 THEN
+        |    floor(h[3] / (ss2t::DOUBLE / s2 + (n_r - 1)::DOUBLE * ln(s2))
+        |      * 10000 + 0.5)/10000 END AS vol_skill_r4,
+        |  CASE WHEN n_r > 1 AND s2 > 0 THEN
+        |    floor(sqrt(h[1]) / 1e6 * 10000 + 0.5)/10000 END AS last_sigma_r4
+        |FROM g""".stripMargin,
+    "q237_zipf_fit" ->
+      """WITH tf AS (
+        |  SELECT source, w, count(*)::BIGINT AS tf
+        |  FROM (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT source, tf,
+        |    row_number() OVER (PARTITION BY source ORDER BY tf DESC, w) AS rn
+        |  FROM tf
+        |), q AS (
+        |  SELECT source,
+        |    floor(ln(rn::DOUBLE) * 1e8 + 0.5)::BIGINT AS x8,
+        |    floor(ln(tf::DOUBLE) * 1e8 + 0.5)::BIGINT AS y8
+        |  FROM r WHERE rn <= 1000
+        |), g AS (
+        |  SELECT source, count(*)::BIGINT AS n_terms,
+        |    sum(x8::HUGEINT) AS sx, sum(y8::HUGEINT) AS sy,
+        |    sum(x8::HUGEINT * y8::HUGEINT) AS sxy,
+        |    sum(x8::HUGEINT * x8::HUGEINT) AS sxx,
+        |    sum(y8::HUGEINT * y8::HUGEINT) AS syy
+        |  FROM q GROUP BY 1
+        |)
+        |SELECT source, n_terms,
+        |  CASE WHEN n_terms > 1 THEN
+        |    floor((n_terms::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |      / (n_terms::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |      * 10000 + 0.5)/10000 END AS zipf_slope_r4,
+        |  CASE WHEN n_terms > 1 THEN
+        |    floor((sy::DOUBLE - (n_terms::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |        / (n_terms::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * sx::DOUBLE)
+        |      / n_terms::DOUBLE / 1e8 * 10000 + 0.5)/10000 END AS intercept_r4,
+        |  CASE WHEN n_terms > 1
+        |    AND n_terms::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0 THEN
+        |    floor((n_terms::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |      / (n_terms::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |      * ((n_terms::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |        / (n_terms::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+        |      * 10000 + 0.5)/10000 END AS r2_r4
+        |FROM g""".stripMargin,
+    "q238_readability" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(lower(text), '[a-z]+'))::BIGINT AS nw,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS ns,
+        |    (len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      + len(regexp_extract_all(lower(text), '[a-z]+'))
+        |      - len(regexp_extract_all(lower(text), '[a-z]*[aeiouy][a-z]*')))::BIGINT AS syl
+        |  FROM documents
+        |), f AS (
+        |  SELECT source,
+        |    floor((206.835 - 1.015 * (nw::DOUBLE / ns::DOUBLE)
+        |      - 84.6 * (syl::DOUBLE / nw::DOUBLE)) * 100.0 + 0.5)::BIGINT AS flesch_c,
+        |    floor((0.39 * (nw::DOUBLE / ns::DOUBLE)
+        |      + 11.8 * (syl::DOUBLE / nw::DOUBLE) - 15.59) * 100.0 + 0.5)::BIGINT AS fk_c
+        |  FROM d WHERE nw > 0
+        |)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  floor(sum(flesch_c)::DOUBLE / count(*)::DOUBLE + 0.5) / 100.0 AS mean_flesch_r2,
+        |  floor(sum(fk_c)::DOUBLE / count(*)::DOUBLE + 0.5) / 100.0 AS mean_grade_r2,
+        |  count(CASE WHEN flesch_c < 3000 THEN 1 END)::BIGINT AS n_hard
+        |FROM f GROUP BY 1""".stripMargin,
     "q234_fd_discovery" -> {
       def one(fd: String, table: String, a: String, b: String) =
         s"""SELECT '$fd' AS fd, sum(na)::BIGINT AS n_rows, count(*)::BIGINT AS n_lhs,

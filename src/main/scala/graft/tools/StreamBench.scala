@@ -499,15 +499,23 @@ object StreamBench {
 
     // ---- 23. SCD2 dimension maintenance: closed-interval dim (one
     // row per state CHANGE — append-only) + per-user open carry; the
-    // q220 serve unions the two stores. This feed flips types nearly
-    // every event, so dim_rows ≈ the change count — the adversarial
-    // write-amplification regime for the rewrite-per-batch store.
+    // q220 serve unions the two stores. The shared genEv feed gives
+    // every user a CONSTANT type (id stride 500 ≡ 0 mod 5 — no
+    // change rows, dim stays empty), so this leg gets a flip-heavy
+    // variant: the type keys on id DIV 500, flipping every user's
+    // state on every event — dim_rows ≈ the event count, the
+    // adversarial write-amplification regime for the
+    // rewrite-per-batch closed store.
+    def genEvFlip(b: Int): Seq[(Long, java.sql.Timestamp, Long, String)] =
+      genEv(b).map { case (u, ts, id, _) =>
+        (u, ts, id, evTypes(((id / 500L) % 5L).toInt))
+      }
     val ev23 = MemoryStream[(Long, java.sql.Timestamp, Long, String)](spark)
     val qScd2 = StreamPipeline.scd2Maintain(
       ev23.toDF().toDF("user_id", "ts", "event_id", "event_type"),
       s"$dir/scd2_dim", s"$dir/scd2_carry", s"$dir/ckpt_scd2",
       trigger = Trigger.ProcessingTime(0))
-    val scd2Lats = timeBatches(ev23, qScd2, batches, genEv)
+    val scd2Lats = timeBatches(ev23, qScd2, batches, genEvFlip)
     qScd2.stop()
     val scd2Line = report("scd2_maintain", scd2Lats, evRows,
       s""","dim_rows":${spark.read.parquet(s"$dir/scd2_dim").count()},""" +

@@ -170,6 +170,76 @@ class AuditSpec extends SparkSpec {
     assert(row.getDouble(2) < 0.5)
   }
 
+  // ------------------------------------------------------------- q236 GARCH
+  test("GARCH: constant series yields no forecast; vol clustering beats the constant baseline") {
+    val const = AuditQueries.garchBacktest(closesDf(Seq.fill(15)(5000000L)))
+      .select("n_fc", "qlike_garch_r4").collect().head
+    assert(const.getLong(0) == 0L && const.isNullAt(1))
+    // volatility clustering: huge alternating returns for two weeks,
+    // tiny ones after — conditional variance tracks the regimes, the
+    // constant baseline cannot.
+    var lv = 5000000L
+    val xs = Seq(lv) ++ (0 until 30).map { i =>
+      val r = if (i < 15) 800000L else 10000L
+      lv += (if (i % 2 == 0) r else -r); lv
+    }
+    val row = AuditQueries.garchBacktest(closesDf(xs))
+      .select("n_fc", "qlike_garch_r4", "qlike_const_r4", "vol_skill_r4").collect().head
+    assert(row.getLong(0) == 29L)
+    assert(row.getDouble(1) < row.getDouble(2),
+      s"garch ${row.getDouble(1)} should beat const ${row.getDouble(2)}")
+    assert(row.getDouble(3) < 1.0)
+  }
+
+  test("GARCH recursion replays the textbook equations exactly") {
+    val xs = Seq(5000000L, 5400000L, 4700000L, 5200000L, 4900000L, 5300000L,
+      4500000L, 5010000L, 5410000L, 4710000L)
+    val got = AuditQueries.garchBacktest(closesDf(xs))
+      .select("n_fc", "qlike_garch_r4", "qlike_const_r4").collect().head
+    val rs = xs.sliding(2).map(p => (p(1) - p(0)).toDouble).toSeq
+    val s2 = rs.map(r => r * r).sum / rs.size // exact: integers below 2^53
+    var v = s2; var p = rs.head; var ql = 0.0
+    for (r <- rs.tail) {
+      val nv = 0.05 * s2 + 0.1 * p * p + 0.85 * v
+      ql += (r * r) / nv + math.log(nv)
+      v = nv; p = r
+    }
+    val n = (rs.size - 1).toDouble
+    val qlc = (rs.tail.map(r => r * r).sum / s2 + n * math.log(s2)) / n
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    assert(got.getLong(0) == rs.size - 1L)
+    assert(got.getDouble(1) == r4(ql / n))
+    assert(got.getDouble(2) == r4(qlc))
+  }
+
+  // ------------------------------------------------------------- q237 Zipf
+  test("Zipf fit: an exact power-law vocabulary scores slope -1 with perfect fit") {
+    // term r appears 2520/r times (r = 1..10): freq = C/rank exactly,
+    // so ln freq = ln C - ln rank — slope -1, R^2 = 1 by construction.
+    val counts = (1 to 10).map(r => 2520 / r)
+    val text = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(s"w${('a' + i).toChar}")
+    }.mkString(" ")
+    val out = AuditQueries.zipfFit(Seq(("z", text)).toDF("source", "text"))
+      .collect().head
+    assert(out.getAs[Long]("n_terms") == 10L)
+    assert(out.getAs[Double]("zipf_slope_r4") == -1.0)
+    assert(out.getAs[Double]("r2_r4") == 1.0)
+  }
+
+  // ------------------------------------------------------------- q238 readability
+  test("readability: hand-counted sentences/words/syllables close to the exact Flesch score") {
+    val doc = "the cat sat. the dog ran." // 6 words, 2 sentences, 6 syllables
+    val out = AuditQueries.readability(Seq(("s", doc)).toDF("source", "text"))
+      .collect().head
+    def r2c(x: Double) = math.floor(x * 100 + 0.5) / 100
+    val wps = 3.0; val spw = 1.0
+    assert(out.getAs[Long]("n_docs") == 1L)
+    assert(out.getAs[Double]("mean_flesch_r2") == r2c(206.835 - 1.015 * wps - 84.6 * spw))
+    assert(out.getAs[Double]("mean_grade_r2") == r2c(0.39 * wps + 11.8 * spw - 15.59))
+    assert(out.getAs[Long]("n_hard") == 0L)
+  }
+
   test("Holt-Winters recursion replays the textbook equations exactly") {
     val xs = Seq(5000000L, 5400000L, 4700000L, 5200000L, 4900000L, 5300000L,
       4500000L, 5010000L, 5410000L, 4710000L, 5210000L, 4910000L, 5310000L,
