@@ -1698,6 +1698,18 @@ object StreamPipeline {
     graft.queries.MarketQueries.cointFromCloses(
       graft.operators.DailyCloses.closes(spark.read.parquet(storePath)))
 
+  /** Serve q233's Holt-Winters seasonal backtest from the closes
+    * store — completes the forecast-ladder serves (EWMA, Holt, HW,
+    * GARCH) on one maintained day grid. */
+  def hwServe(spark: SparkSession, storePath: String): org.apache.spark.sql.DataFrame =
+    graft.queries.AuditQueries.holtWinters(
+      graft.operators.DailyCloses.closes(spark.read.parquet(storePath)))
+
+  /** Serve q236's GARCH volatility backtest from the closes store. */
+  def garchServe(spark: SparkSession, storePath: String): org.apache.spark.sql.DataFrame =
+    graft.queries.AuditQueries.garchBacktest(
+      graft.operators.DailyCloses.closes(spark.read.parquet(storePath)))
+
   /** Serve q200's PageRank navigation centrality from the
     * [[transitionMaintain]] counts store: the store IS the q185
     * matrix (StreamingSpec pins streamed counts ≡ declared q185

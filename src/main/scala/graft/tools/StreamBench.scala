@@ -460,6 +460,12 @@ object StreamBench {
     val egLine = report("coint_serve",
       serveLats(() => StreamPipeline.cointServe(spark, s"$dir/closes")), 0,
       s""","store_rows":$closesRows""")
+    val hwLine = report("hw_serve",
+      serveLats(() => StreamPipeline.hwServe(spark, s"$dir/closes")), 0,
+      s""","store_rows":$closesRows""")
+    val ghLine = report("garch_serve",
+      serveLats(() => StreamPipeline.garchServe(spark, s"$dir/closes")), 0,
+      s""","store_rows":$closesRows""")
 
     // ---- 18. path-trigram maintenance: <=|types|^3 count table +
     // two-row-per-user carry; the q204 extraction over carry ∪ batch.
@@ -521,7 +527,7 @@ object StreamBench {
       s""","dim_rows":${spark.read.parquet(s"$dir/scd2_dim").count()},""" +
         s""""carry_rows":${spark.read.parquet(s"$dir/scd2_carry").count()}""")
 
-    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine,$attrLine,$rfmLine,$sessLine,$liftLine,$clLine,$xoLine,$ewLine,$hoLine,$vcLine,$kfLine,$egLine,$pathLine,$botLine,$cusumLine,$scd2Line}")
+    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine,$attrLine,$rfmLine,$sessLine,$liftLine,$clLine,$xoLine,$ewLine,$hoLine,$vcLine,$kfLine,$egLine,$hwLine,$ghLine,$pathLine,$botLine,$cusumLine,$scd2Line}")
     spark.stop()
   }
 }

@@ -49,6 +49,12 @@ class ClosesStreamSpec extends SparkSpec {
     assert(rows(StreamPipeline.cointServe(spark, p)) ==
       rows(SparkEntry.queries("q223_coint_screen")(spark, dir)),
       "served cointegration screen must equal declared q223 bitwise")
+    assert(rows(StreamPipeline.hwServe(spark, p)) ==
+      rows(SparkEntry.queries("q233_holt_winters")(spark, dir)),
+      "served Holt-Winters backtest must equal declared q233 bitwise")
+    assert(rows(StreamPipeline.garchServe(spark, p)) ==
+      rows(SparkEntry.queries("q236_garch_backtest")(spark, dir)),
+      "served GARCH backtest must equal declared q236 bitwise")
   }
 
   test("5-way hash-shuffled split converges identically; replay is a no-op") {
