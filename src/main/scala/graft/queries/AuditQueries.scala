@@ -393,10 +393,15 @@ object AuditQueries {
       .withColumn("ss2", expr(
         "aggregate(rs, CAST(0 AS DECIMAL(38,0)), (a, r) -> a + CAST(r AS DECIMAL(38,0)) * CAST(r AS DECIMAL(38,0)))"))
       .withColumn("s2", expr("CAST(ss2 AS DOUBLE) / CAST(n_r AS DOUBLE)"))
-      // tail squares (t >= 2) for the exact-baseline closing
+      // tail squares (t >= 2) for the exact-baseline closing. The
+      // slice is guarded: size(rs) = 0 (a single-close instrument)
+      // would hand slice a negative length, which Spark rejects at
+      // runtime — the q210 family keeps every slice inside its
+      // size-gated IF for the same reason.
       .withColumn("ss2t", expr(
-        "aggregate(slice(rs, 2, size(rs) - 1), CAST(0 AS DECIMAL(38,0)), " +
-          "(a, r) -> a + CAST(r AS DECIMAL(38,0)) * CAST(r AS DECIMAL(38,0)))"))
+        "IF(size(rs) > 1, aggregate(slice(rs, 2, size(rs) - 1), CAST(0 AS DECIMAL(38,0)), " +
+          "(a, r) -> a + CAST(r AS DECIMAL(38,0)) * CAST(r AS DECIMAL(38,0))), " +
+          "CAST(0 AS DECIMAL(38,0)))"))
       // fold state [sigma2_prev, prev_r, qlsum] over r_2..r_n
       .withColumn("g", expr(
         "IF(size(rs) > 1 AND s2 > 0, aggregate(slice(rs, 2, size(rs) - 1), " +

@@ -175,6 +175,11 @@ class AuditSpec extends SparkSpec {
     val const = AuditQueries.garchBacktest(closesDf(Seq.fill(15)(5000000L)))
       .select("n_fc", "qlike_garch_r4").collect().head
     assert(const.getLong(0) == 0L && const.isNullAt(1))
+    // a single-close instrument has an EMPTY return array — the
+    // unguarded slice form crashed here (negative slice length)
+    val single = AuditQueries.garchBacktest(closesDf(Seq(5000000L)))
+      .select("n_fc").collect().head
+    assert(single.getLong(0) == 0L)
     // volatility clustering: huge alternating returns for two weeks,
     // tiny ones after — conditional variance tracks the regimes, the
     // constant baseline cannot.
