@@ -489,6 +489,8 @@ object ScaleProbe {
     time("q236_garch_backtest") { q("q236_garch_backtest") }
     time("q237_zipf_fit") { q("q237_zipf_fit") }
     time("q238_readability") { q("q238_readability") }
+    // q239: one user-grain partial agg, 2-row rollup
+    time("q239_ab_test") { q("q239_ab_test") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

@@ -519,7 +519,64 @@ object AuditQueries {
         col("n_hard"))
   }
 
+  // ---------------------------------------------------------------
+  // q239 — A/B TEST READOUT: the two-sample analysis every
+  // experimentation platform runs — a two-proportion z-test on user
+  // conversion (≥1 purchase) and a Welch t-test on per-user revenue
+  // (Σ value over purchase events, zero for non-purchasers), with
+  // the deterministic arm assignment user_id % 2 standing in for the
+  // platform's hash bucketing. Exactness: every input to both
+  // statistics is an exact integer (user counts, converter counts,
+  // revenue in cents summed in decimal, square-cents in decimal);
+  // each statistic closes in ONE shared IEEE sequence, and the
+  // significance call tests the quantized |z|·1e4 > 19600 integer —
+  // no raw float boundary. Scale shape: one user-grain partial agg,
+  // then a 2-row arm rollup.
+  private def q239(s: SparkSession, dir: String): DataFrame =
+    abTest(Tables.events(s, dir))
+
+  private[graft] def abTest(events: DataFrame): DataFrame = {
+    val users = events
+      .groupBy((col("user_id") % 2).as("arm"), col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", lit(1)).otherwise(lit(0))).as("conv"),
+        sum(when(col("event_type") === "purchase",
+          floor(col("value") * lit(100d) + lit(0.5d)).cast("long")).otherwise(lit(0L))
+          .cast("decimal(38,0)")).as("cents"))
+    val arms = users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).cast("long").as("c"),
+        sum(col("cents")).as("s1"),
+        sum(col("cents") * col("cents")).as("s2"))
+    val a0 = arms.filter(col("arm") === 0).select(col("n").as("n0"), col("c").as("c0"),
+      col("s1").as("s10"), col("s2").as("s20"))
+    val a1 = arms.filter(col("arm") === 1).select(col("n").as("n1"), col("c").as("c1"),
+      col("s1").as("s11"), col("s2").as("s21"))
+    def d(c: Column) = c.cast("double")
+    val joined = a0.crossJoin(broadcast(a1))
+    val p0 = d(col("c0")) / d(col("n0"))
+    val p1 = d(col("c1")) / d(col("n1"))
+    val pp = (d(col("c0")) + d(col("c1"))) / (d(col("n0")) + d(col("n1")))
+    val zConv = (p1 - p0) / sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / d(col("n0")) + lit(1.0) / d(col("n1"))))
+    // Welch t on per-user revenue cents: sample variance from exact
+    // decimal power sums, the q175 moment construction
+    val m0 = d(col("s10")) / d(col("n0"))
+    val m1 = d(col("s11")) / d(col("n1"))
+    val v0 = (d(col("s20")) - d(col("s10")) * d(col("s10")) / d(col("n0"))) /
+      (d(col("n0")) - lit(1.0))
+    val v1 = (d(col("s21")) - d(col("s11")) * d(col("s11")) / d(col("n1"))) /
+      (d(col("n1")) - lit(1.0))
+    val tRev = (m1 - m0) / sqrt(v0 / d(col("n0")) + v1 / d(col("n1")))
+    val z4 = floor(zConv * lit(1e4) + lit(0.5)).cast("long")
+    joined.select(col("n0"), col("n1"), col("c0"), col("c1"),
+      r4(p0).as("p0_r4"), r4(p1).as("p1_r4"),
+      (z4.cast("double") / lit(1e4)).as("z_conv_r4"),
+      (abs(z4) > 19600L).as("significant"),
+      r4(m0 / lit(100.0)).as("rev0_r4"), r4(m1 / lit(100.0)).as("rev1_r4"),
+      r4(tRev).as("t_rev_r4"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_ab_test" -> q239 _,
     "q236_garch_backtest" -> q236 _,
     "q237_zipf_fit" -> q237 _,
     "q238_readability" -> q238 _,
@@ -669,6 +726,45 @@ object AuditQueries {
         |  floor(est * 100.0 + 0.5) / 100.0 AS hll_est_r2,
         |  floor(abs(est - n_exact::DOUBLE) / n_exact::DOUBLE * 1e4 + 0.5) / 1e4 AS rel_err_r4
         |FROM es JOIN ex ON es.source = ex.source""".stripMargin,
+    "q239_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id % 2 AS arm, user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |        THEN floor(value * 100 + 0.5)::BIGINT ELSE 0 END)::HUGEINT AS cents
+        |  FROM events GROUP BY 1, 2
+        |), a AS (
+        |  SELECT arm, count(*)::BIGINT AS n, sum(conv)::BIGINT AS c,
+        |    sum(cents) AS s1, sum(cents * cents) AS s2
+        |  FROM u GROUP BY 1
+        |), j AS (
+        |  SELECT a0.n AS n0, a0.c AS c0, a0.s1 AS s10, a0.s2 AS s20,
+        |         a1.n AS n1, a1.c AS c1, a1.s1 AS s11, a1.s2 AS s21
+        |  FROM (SELECT * FROM a WHERE arm = 0) a0
+        |  CROSS JOIN (SELECT * FROM a WHERE arm = 1) a1
+        |), z AS (
+        |  SELECT *,
+        |    floor((c1::DOUBLE / n1::DOUBLE - c0::DOUBLE / n0::DOUBLE)
+        |      / sqrt(((c0::DOUBLE + c1::DOUBLE) / (n0::DOUBLE + n1::DOUBLE))
+        |        * (1.0 - (c0::DOUBLE + c1::DOUBLE) / (n0::DOUBLE + n1::DOUBLE))
+        |        * (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE))
+        |      * 1e4 + 0.5)::BIGINT AS z4
+        |  FROM j
+        |)
+        |SELECT n0, n1, c0, c1,
+        |  floor(c0::DOUBLE / n0::DOUBLE * 10000 + 0.5)/10000 AS p0_r4,
+        |  floor(c1::DOUBLE / n1::DOUBLE * 10000 + 0.5)/10000 AS p1_r4,
+        |  z4::DOUBLE / 1e4 AS z_conv_r4,
+        |  abs(z4) > 19600 AS significant,
+        |  floor(s10::DOUBLE / n0::DOUBLE / 100.0 * 10000 + 0.5)/10000 AS rev0_r4,
+        |  floor(s11::DOUBLE / n1::DOUBLE / 100.0 * 10000 + 0.5)/10000 AS rev1_r4,
+        |  floor((s11::DOUBLE / n1::DOUBLE - s10::DOUBLE / n0::DOUBLE)
+        |    / sqrt(((s20::DOUBLE - s10::DOUBLE * s10::DOUBLE / n0::DOUBLE) / (n0::DOUBLE - 1.0))
+        |        / n0::DOUBLE
+        |      + ((s21::DOUBLE - s11::DOUBLE * s11::DOUBLE / n1::DOUBLE) / (n1::DOUBLE - 1.0))
+        |        / n1::DOUBLE)
+        |    * 10000 + 0.5)/10000 AS t_rev_r4
+        |FROM z""".stripMargin,
     "q236_garch_backtest" ->
       """WITH e AS (
         |  SELECT event_type, ts::TIMESTAMP AS ts, event_id, value,

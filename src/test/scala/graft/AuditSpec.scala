@@ -170,6 +170,30 @@ class AuditSpec extends SparkSpec {
     assert(row.getDouble(2) < 0.5)
   }
 
+  // ------------------------------------------------------------- q239 A/B test
+  test("A/B readout: planted 25% vs 75% conversion closes to the textbook z and flags significance") {
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 09:00:00")
+    // even user_ids = arm 0 (50/200 convert @ $10), odd = arm 1
+    // (150/200 convert @ $20)
+    val rows = (0 until 200).flatMap { i =>
+      val conv0 = i < 50; val conv1 = i < 150
+      Seq(
+        (2L * i, t0, 2L * i, if (conv0) "purchase" else "view", if (conv0) 10.0 else 5.0),
+        (2L * i + 1, t0, 10000L + 2 * i, if (conv1) "purchase" else "view",
+          if (conv1) 20.0 else 5.0))
+    }.toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = AuditQueries.abTest(rows).collect().head
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    assert(got.getAs[Long]("n0") == 200L && got.getAs[Long]("n1") == 200L)
+    assert(got.getAs[Double]("p0_r4") == 0.25 && got.getAs[Double]("p1_r4") == 0.75)
+    val pp = (50.0 + 150.0) / 400.0
+    val z = (0.75 - 0.25) / math.sqrt(pp * (1.0 - pp) * (1.0 / 200 + 1.0 / 200))
+    assert(got.getAs[Double]("z_conv_r4") == math.floor(z * 1e4 + 0.5) / 1e4)
+    assert(got.getAs[Boolean]("significant"))
+    assert(got.getAs[Double]("rev0_r4") == r4(50.0 * 1000 / 200 / 100.0))
+    assert(got.getAs[Double]("t_rev_r4") > 0)
+  }
+
   // ------------------------------------------------------------- q236 GARCH
   test("GARCH: constant series yields no forecast; vol clustering beats the constant baseline") {
     val const = AuditQueries.garchBacktest(closesDf(Seq.fill(15)(5000000L)))
