@@ -42,20 +42,39 @@ object AuditQueries {
     psiDrift(Tables.events(s, dir)
       .select(col("event_type"), to_date(col("ts")).as("day"), col("value")))
 
+  /** The log2 value band — shared by the declared q229 and the
+    * streaming grid maintainer (StreamPipeline.psiMaintain): micro-
+    * log2 fixed point first, then an exact integer-domain floor — no
+    * raw double boundary decides a band. */
+  private[graft] def valueBand(value: Column): Column = {
+    val lv = when(value > 0, floor(log2(value) * lit(1e6) + lit(0.5)).cast("long"))
+    when(lv.isNotNull, floor(lv.cast("double") / lit(1000000.0)).cast("long"))
+      .otherwise(lit(-999L))
+  }
+
+  /** The additive (event_type, day, band) count grid — ≤ |types| ×
+    * |days| × |bands| rows at any volume, merge-by-addition: the
+    * state a live drift monitor maintains. */
+  private[graft] def psiGrid(e: DataFrame): DataFrame =
+    e.groupBy(col("event_type"), col("day"), valueBand(col("value")).as("band"))
+      .agg(count(lit(1)).as("x"))
+
   /** PSI kernel over (event_type, day, value) rows. */
-  private[graft] def psiDrift(e: DataFrame): DataFrame = {
-    val bounds = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-    val banded = e.crossJoin(broadcast(bounds))
+  private[graft] def psiDrift(e: DataFrame): DataFrame = psiFromGrid(psiGrid(e))
+
+  /** q229's closing over any (event_type, day, band, x) grid — ONE
+    * code path with the streaming serve (StreamPipeline.psiServe
+    * over the maintained grid store). The date split derives from
+    * the grid's own bounds, so serve ≡ batch is structural once the
+    * maintained counts equal the batch grid. */
+  private[graft] def psiFromGrid(grid: DataFrame): DataFrame = {
+    val bounds = grid.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val banded = grid.crossJoin(broadcast(bounds))
       .withColumn("late",
         datediff(col("day"), col("d0")) >= expr("(datediff(d1, d0) + 1) DIV 2"))
-      .withColumn("lv", when(col("value") > 0,
-        floor(log2(col("value")) * lit(1e6) + lit(0.5)).cast("long")))
-      .withColumn("band", when(col("lv").isNotNull,
-        floor(col("lv").cast("double") / lit(1000000.0)).cast("long"))
-        .otherwise(lit(-999L)))
     val cells = banded.groupBy(col("event_type"), col("band"))
-      .agg(count(when(!col("late"), lit(1))).as("na"),
-        count(when(col("late"), lit(1))).as("nb"))
+      .agg(coalesce(sum(when(!col("late"), col("x"))), lit(0L)).as("na"),
+        coalesce(sum(when(col("late"), col("x"))), lit(0L)).as("nb"))
     val tot = cells.groupBy(col("event_type"))
       .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"),
         count(lit(1)).as("nbands"))

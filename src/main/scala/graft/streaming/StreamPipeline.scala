@@ -1492,6 +1492,65 @@ object StreamPipeline {
     }
   }
 
+  /** STREAMING PSI DRIFT MAINTENANCE (leg 24): q229's distribution
+    * monitor kept live — the drift alarm a feature platform wants
+    * DURING ingest, not in tomorrow's batch. The only state PSI over
+    * log2 value bands needs is the additive (event_type, day, band)
+    * count grid — ≤ |types| × |days| × |bands| rows at any feed
+    * size, merge-by-addition — so each micro-batch folds its own
+    * banded counts into the store (the cusumMaintain discipline:
+    * marker-idempotent, heal-before-read, atomic swap, no carry;
+    * addition commutes so ordered arrival is NOT required). Serving
+    * ([[psiServe]]) runs q229's ENTIRE closing — date-split from the
+    * grid's own bounds, Laplace smoothing, fixed-point band terms —
+    * through the SAME `psiFromGrid` the declared query calls, so
+    * serve ≡ batch q229 is structural once the maintained grid
+    * equals the batch grid. */
+  def psiMaintain(eventsStream: DataFrame, gridPath: String, checkpoint: String,
+                  trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    eventsStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        psiBatch(batch, gridPath, batchId)
+      }
+      .start()
+
+  /** One [[psiMaintain]] micro-batch. */
+  private[graft] def psiBatch(batch: DataFrame, gridPath: String,
+                              batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    graft.batch.AtomicSwap.heal(hconf, gridPath)
+    val hp = new org.apache.hadoop.fs.Path(gridPath)
+    val exists = hp.getFileSystem(hconf).exists(hp)
+    if (exists && hp.getFileSystem(hconf)
+        .exists(new org.apache.hadoop.fs.Path(s"$gridPath/_graft_batch_$batchId"))) return
+    val delta = batch
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"),
+        graft.queries.AuditQueries.valueBand(col("value")).as("band"))
+      .agg(count(lit(1)).as("x"))
+    val merged =
+      if (exists)
+        spark.read.parquet(gridPath).unionByName(delta)
+          .groupBy(col("event_type"), col("day"), col("band"))
+          .agg(sum(col("x")).cast("long").as("x"))
+      else delta
+    merged.coalesce(1).write.mode("overwrite").parquet(gridPath + ".tmp")
+    val marker = new org.apache.hadoop.fs.Path(s"$gridPath.tmp/_graft_batch_$batchId")
+    marker.getFileSystem(hconf).create(marker, true).close()
+    graft.batch.AtomicSwap.swapInto(hconf, gridPath + ".tmp", gridPath)
+  }
+
+  /** The q229 result served from the maintained band grid — the SAME
+    * psiFromGrid closing the declared query calls. */
+  def psiServe(spark: SparkSession, gridPath: String): DataFrame =
+    graft.queries.AuditQueries.psiFromGrid(
+      spark.read.parquet(gridPath).select(col("event_type"), col("day"),
+        col("band"), col("x")))
+
   /** The q220 dimension served from the maintained stores: closed
     * intervals + each user's open interval (valid_to NULL,
     * is_current) — schema and values bitwise the declared q220's

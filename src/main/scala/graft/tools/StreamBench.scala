@@ -527,7 +527,26 @@ object StreamBench {
       s""","dim_rows":${spark.read.parquet(s"$dir/scd2_dim").count()},""" +
         s""""carry_rows":${spark.read.parquet(s"$dir/scd2_carry").count()}""")
 
-    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine,$attrLine,$rfmLine,$sessLine,$liftLine,$clLine,$xoLine,$ewLine,$hoLine,$vcLine,$kfLine,$egLine,$hwLine,$ghLine,$pathLine,$botLine,$cusumLine,$scd2Line}")
+    // ---- 24. PSI drift grid maintenance: the additive (type, day,
+    // band) count grid (each batch advances one day so the early/late
+    // split is live); the q229 serve closes over the store.
+    val ev24 = MemoryStream[(String, java.sql.Timestamp, Double)](spark)
+    val qPsi = StreamPipeline.psiMaintain(
+      ev24.toDF().toDF("event_type", "ts", "value"),
+      s"$dir/psi_grid", s"$dir/ckpt_psi", trigger = Trigger.ProcessingTime(0))
+    def genPsi(b: Int): Seq[(String, java.sql.Timestamp, Double)] =
+      (0 until evRows).map { i =>
+        val id = b.toLong * evRows + i
+        val ts = new java.sql.Timestamp((base + b * 86400L + (i / 500) % 600) * 1000L)
+        (evTypes(((id * 2654435761L) % 5).toInt.abs), ts,
+          ((id * 48271L) % 100000).toDouble / 100.0 + 0.01)
+      }
+    val psiLats = timeBatches(ev24, qPsi, batches, genPsi)
+    qPsi.stop()
+    val psiLine = report("psi_maintain", psiLats, evRows,
+      s""","grid_rows":${spark.read.parquet(s"$dir/psi_grid").count()}""")
+
+    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine,$attrLine,$rfmLine,$sessLine,$liftLine,$clLine,$xoLine,$ewLine,$hoLine,$vcLine,$kfLine,$egLine,$hwLine,$ghLine,$pathLine,$botLine,$cusumLine,$scd2Line,$psiLine}")
     spark.stop()
   }
 }

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamPipeline
+
+/** psiMaintain (leg 24): the additive (type, day, band) grid must
+  * serve q229 BIT-IDENTICAL to the declared batch under any split —
+  * including hash-shuffled (addition commutes; no arrival contract)
+  * — and replays must be no-ops.
+  */
+class PsiStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  private def declared() = rows(SparkEntry.queries("q229_psi_drift")(spark, dir))
+
+  test("3-way event-time split serves declared q229 exactly") {
+    val ev = graft.core.Tables.events(spark, dir)
+      .select($"event_type", $"ts", $"value", $"event_id")
+      .orderBy($"ts", $"event_id").drop("event_id")
+    val n = ev.count()
+    val chunks = ev.collect().grouped((n / 3 + 1).toInt).toSeq
+    val p = Files.createTempDirectory("graft_psi3").toString + "/grid"
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      StreamPipeline.psiBatch(
+        spark.createDataFrame(spark.sparkContext.parallelize(c.toSeq), ev.schema), p, i.toLong)
+    }
+    assert(rows(StreamPipeline.psiServe(spark, p)) == declared(),
+      "served PSI must equal declared q229 bitwise")
+  }
+
+  test("5-way hash-shuffled split converges identically; replay is a no-op") {
+    val ev = graft.core.Tables.events(spark, dir)
+      .select($"event_type", $"ts", $"value", $"event_id")
+    val p = Files.createTempDirectory("graft_psi5").toString + "/grid"
+    (0 until 5).foreach { r =>
+      StreamPipeline.psiBatch(
+        ev.filter(pmod(xxhash64(col("event_id")), lit(5)) === r).drop("event_id"),
+        p, r.toLong)
+    }
+    assert(rows(StreamPipeline.psiServe(spark, p)) == declared(),
+      "shuffled split must converge: addition commutes, no arrival contract")
+    val before = spark.read.parquet(p).collect().toSet
+    StreamPipeline.psiBatch(
+      ev.filter(pmod(xxhash64(col("event_id")), lit(5)) === 4).drop("event_id"), p, 4L)
+    assert(spark.read.parquet(p).collect().toSet == before,
+      "replaying the last batch must be a no-op")
+  }
+
+  test("grid store is band-grain and volume-independent, not event-grain") {
+    val p1 = Files.createTempDirectory("graft_psig1").toString + "/grid"
+    val p10 = Files.createTempDirectory("graft_psig10").toString + "/grid"
+    def grid(sf: String, p: String) = {
+      StreamPipeline.psiBatch(graft.core.Tables.events(spark, s"/root/testdata/$sf")
+        .select($"event_type", $"ts", $"value"), p, 0L)
+      spark.read.parquet(p)
+    }
+    val g1 = grid("sf0.001", p1)
+    val g10 = grid("sf0.01", p10)
+    assert(g1.groupBy("event_type", "day", "band").count()
+      .filter(col("count") > 1).isEmpty, "one row per (type, day, band)")
+    // 10x the events: the grid grows only by NEWLY OBSERVED bands
+    // (the domain saturates — measured 595 -> 1359, a 2.3x step
+    // against 10x rows) and never exceeds its domain product
+    assert(g10.count() < g1.count() * 5,
+      s"grid must grow sub-linearly: ${g1.count()} -> ${g10.count()} at 10x rows")
+    val domain = g10.select("event_type").distinct.count() *
+      g10.select("day").distinct.count() * g10.select("band").distinct.count()
+    assert(g10.count() <= domain,
+      s"grid ${g10.count()} must stay within its (type x day x band) domain $domain")
+  }
+}
