@@ -491,6 +491,9 @@ object ScaleProbe {
     time("q238_readability") { q("q238_readability") }
     // q239: one user-grain partial agg, 2-row rollup
     time("q239_ab_test") { q("q239_ab_test") }
+    // q240: the q185/q200 chunked session pass; everything after is
+    // <=|types|^2 cells
+    time("q240_nav_entropy") { q("q240_nav_entropy") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

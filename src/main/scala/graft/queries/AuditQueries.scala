@@ -594,7 +594,51 @@ object AuditQueries {
       r4(tRev).as("t_rev_r4"))
   }
 
+  // ---------------------------------------------------------------
+  // q240 — NAVIGATION ENTROPY RATE: how PREDICTABLE is each state's
+  // next step — the Shannon entropy of every row of the q185
+  // transition matrix (H_i = −Σ_j P_ij ln P_ij, reported in bits)
+  // plus the plug-in entropy RATE of the whole chain (visit-share-
+  // weighted average — the behavioral-predictability number next to
+  // q200's importance ranking: PageRank says WHERE flow concentrates,
+  // this says how DETERMINISTIC it is once there). Exactness: P_ij
+  // are exact-integer ratios; each cell's −P ln P ≥ 0 term quantizes
+  // to 1e-12 fixed point BEFORE the row sum (order-free); the
+  // overall rate weights the per-state integer sums by exact counts
+  // in DECIMAL; bits divide by the LITERAL nearest-double of ln 2
+  // (no engine's ln(2) call in the closing). Scale shape: the heavy
+  // work is the SAME chunked session pass as q185/q200; everything
+  // after is ≤ |types|² cells.
+  private def q240(s: SparkSession, dir: String): DataFrame =
+    navEntropy(Tables.events(s, dir))
+
+  private[graft] def navEntropy(events: DataFrame): DataFrame = {
+    val ln2 = 0.6931471805599453
+    val cnt = graft.operators.Transitions.counts(events, chunked = true)
+    val outs = cnt.groupBy(col("from_type")).agg(sum(col("n_trans")).as("out_n"))
+    val p = col("n_trans").cast("double") / col("out_n").cast("double")
+    val cells = cnt.join(broadcast(outs), Seq("from_type"))
+      .withColumn("tfp", floor(-(p * log(p)) * lit(1e12) + lit(0.5)).cast("long"))
+    val per = cells.groupBy(col("from_type"))
+      .agg(max(col("out_n")).as("out_trans"), count(lit(1)).as("n_next_states"),
+        sum(col("tfp")).as("sfp"))
+    val perOut = per.select(col("from_type").as("state"), col("out_trans"),
+      col("n_next_states"),
+      (floor(col("sfp").cast("double") / lit(1e12) / lit(ln2) * lit(1e6) + lit(0.5))
+        / lit(1e6)).as("h_bits_r6"))
+    val overall = per.agg(
+      sum(col("out_trans")).as("t_total"),
+      sum(col("n_next_states")).as("n_cells"),
+      sum((col("out_trans") * col("sfp")).cast("decimal(38,0)")).as("wsum"))
+      .select(lit("__overall").as("state"), col("t_total").as("out_trans"),
+        col("n_cells").as("n_next_states"),
+        (floor(col("wsum").cast("double") / col("t_total").cast("double") / lit(1e12)
+          / lit(ln2) * lit(1e6) + lit(0.5)) / lit(1e6)).as("h_bits_r6"))
+    perOut.unionByName(overall)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q240_nav_entropy" -> q240 _,
     "q239_ab_test" -> q239 _,
     "q236_garch_backtest" -> q236 _,
     "q237_zipf_fit" -> q237 _,
@@ -745,6 +789,37 @@ object AuditQueries {
         |  floor(est * 100.0 + 0.5) / 100.0 AS hll_est_r2,
         |  floor(abs(est - n_exact::DOUBLE) / n_exact::DOUBLE * 1e4 + 0.5) / 1e4 AS rel_err_r4
         |FROM es JOIN ex ON es.source = ex.source""".stripMargin,
+    "q240_nav_entropy" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts FROM events
+        |), g AS (
+        |  SELECT *, lag(event_type) OVER w AS prev_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), cnt AS (
+        |  SELECT prev_type AS f, event_type AS t2, count(*)::BIGINT AS n
+        |  FROM g WHERE new_s = 0 AND prev_type IS NOT NULL GROUP BY 1, 2
+        |), outs AS (
+        |  SELECT f, sum(n)::BIGINT AS out_n FROM cnt GROUP BY 1
+        |), cells AS (
+        |  SELECT cnt.f, out_n,
+        |    floor(-((n::DOUBLE / out_n::DOUBLE) * ln(n::DOUBLE / out_n::DOUBLE))
+        |      * 1e12 + 0.5)::BIGINT AS tfp
+        |  FROM cnt JOIN outs ON cnt.f = outs.f
+        |), per AS (
+        |  SELECT f, max(out_n)::BIGINT AS out_trans, count(*)::BIGINT AS n_next_states,
+        |    sum(tfp)::BIGINT AS sfp
+        |  FROM cells GROUP BY 1
+        |)
+        |SELECT f AS state, out_trans, n_next_states,
+        |  floor(sfp::DOUBLE / 1e12 / 0.6931471805599453 * 1e6 + 0.5) / 1e6 AS h_bits_r6
+        |FROM per
+        |UNION ALL
+        |SELECT '__overall', sum(out_trans)::BIGINT, sum(n_next_states)::BIGINT,
+        |  floor(sum(out_trans::HUGEINT * sfp::HUGEINT)::DOUBLE / sum(out_trans)::DOUBLE
+        |    / 1e12 / 0.6931471805599453 * 1e6 + 0.5) / 1e6
+        |FROM per""".stripMargin,
     "q239_ab_test" ->
       """WITH u AS (
         |  SELECT user_id % 2 AS arm, user_id,

@@ -170,6 +170,30 @@ class AuditSpec extends SparkSpec {
     assert(row.getDouble(2) < 0.5)
   }
 
+  // ------------------------------------------------------------- q240 entropy
+  test("navigation entropy: deterministic rows score 0 bits, a fair 2-way split scores exactly 1") {
+    val t0 = java.sql.Timestamp.valueOf("2024-04-01 09:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // one session: c d c e c d c e ... — from c the next state is a
+    // fair coin (H = 1 bit exactly); from d and e it is always c
+    // (H = 0); every gap is 1 min << the 30-min session cut.
+    val seq0 = (0 until 40).map { i =>
+      val tpe = if (i % 2 == 0) "c" else if (i % 4 == 1) "d" else "e"
+      (1L, ts(i), i.toLong, tpe)
+    }
+    val got = AuditQueries.navEntropy(
+      seq0.toDF("user_id", "ts", "event_id", "event_type"))
+      .collect().map(r => r.getAs[String]("state") ->
+        ((r.getAs[Long]("out_trans"), r.getAs[Double]("h_bits_r6")))).toMap
+    assert(got("c")._2 == 1.0, s"fair coin must be exactly 1 bit: ${got("c")}")
+    assert(got("d")._2 == 0.0 && got("e")._2 == 0.0)
+    // overall = visit-share-weighted mix of the per-state entropies
+    val t = got.filter(_._1 != "__overall").values.map(_._1).sum
+    val want = got.filter(_._1 != "__overall").values
+      .map { case (n, h) => n.toDouble * h }.sum / t
+    assert(math.abs(got("__overall")._2 - want) < 1e-5, s"overall: ${got("__overall")}")
+  }
+
   // ------------------------------------------------------------- q239 A/B test
   test("A/B readout: planted 25% vs 75% conversion closes to the textbook z and flags significance") {
     val t0 = java.sql.Timestamp.valueOf("2024-03-01 09:00:00")

@@ -581,4 +581,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), s"kmv_mins not object-hash-aggregated:\n$p")
     assert(!p.contains("Window"), s"q193 must not plan a window:\n$p")
   }
+
+  test("q218/q231 matchers: the shared phrase vocabulary is cache-reused, not double-scanned") {
+    // an unpersisted self-join plans the scan+explode+distinct subtree
+    // TWICE (measured: the two ~25 s scan stages dominated the 100x
+    // probe before the persist — 126 s vs 20 s on q218)
+    for (q <- Seq("q218_entity_match", "q231_phonetic_match")) {
+      val p = plan(q)
+      assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+        s"$q: phraseVocab must come from the persisted relation:\n$p")
+    }
+  }
+
+  test("q229 PSI: partial+final aggregation and a broadcast bounds row, no window") {
+    val p = plan("q229_psi_drift")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+    assert(p.contains("Broadcast"), s"date-bounds row must broadcast:\n$p")
+    assert(!p.contains("Window "), s"q229 must not plan a window:\n$p")
+  }
+
+  test("q232 HLL: register build is partial+final aggregation with a pruned scan, no window") {
+    val p = plan("q232_hll_distinct")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+    assert(!p.contains("Window "), s"q232 must not plan a window:\n$p")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.nonEmpty && !read.contains("n_chars") && !read.contains("lang"),
+      s"unpruned documents scan: $read")
+  }
+
+  test("q238 readability: zero-shuffle map pass plus one source-grain aggregation") {
+    val p = plan("q238_readability")
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"q238 must shuffle only the source-grain partials:\n$p")
+    assert(!p.contains("Window "), s"q238 must not plan a window:\n$p")
+  }
+
+  test("q239 A/B: the 1-row arm frames meet by broadcast, never a cartesian") {
+    val p = plan("q239_ab_test")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"arm rows must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian:\n$p")
+  }
 }
