@@ -494,6 +494,8 @@ object ScaleProbe {
     // q240: the q185/q200 chunked session pass; everything after is
     // <=|types|^2 cells
     time("q240_nav_entropy") { q("q240_nav_entropy") }
+    // q241: (type, cent-value) partial agg + chunked running sums
+    time("q241_ks_drift") { q("q241_ks_drift") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

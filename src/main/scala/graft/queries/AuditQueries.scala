@@ -637,7 +637,57 @@ object AuditQueries {
     perOut.unionByName(overall)
   }
 
+  // ---------------------------------------------------------------
+  // q241 — KOLMOGOROV-SMIRNOV TWO-SAMPLE DRIFT TEST: PSI's
+  // order-statistic companion — the max ECDF gap between each
+  // event_type's early-half and late-half value distributions, at
+  // cent resolution (the q227 quantization), with the classic
+  // α = 0.05 rejection bound 1.36·√((n₁+n₂)/(n₁n₂)). PSI sees bin
+  // mass move; KS sees ANY distributional change, binning-free.
+  // Exactness: the statistic is the exact integer
+  // max\|n₂·C₁(v) − n₁·C₂(v)\| over observed values (cumulative
+  // counts are integers; no float ECDF), and the rejection decision
+  // CROSS-SQUARES the bound so no sqrt enters the comparison —
+  // D² > 1.36²·(n₁+n₂)·n₁n₂ with both sides exact-integer-derived
+  // doubles. Scale shape: one partial agg to (type, cent-value)
+  // grain, then cumulative sums via ChunkedFrame.withRunningSum
+  // (type × value-band parallelism — no per-type sort task), one
+  // max rollup. Output: \|types\| rows.
+  private def q241(s: SparkSession, dir: String): DataFrame =
+    ksDrift(Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value")))
+
+  private[graft] def ksDrift(e: DataFrame): DataFrame = {
+    val bounds = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val vals = e.crossJoin(broadcast(bounds))
+      .withColumn("late",
+        datediff(col("day"), col("d0")) >= expr("(datediff(d1, d0) + 1) DIV 2"))
+      .filter(col("value").isNotNull)
+      .withColumn("vc", floor(col("value") * lit(100d) + lit(0.5d)).cast("long"))
+      .groupBy(col("event_type"), col("vc"))
+      .agg(count(when(!col("late"), lit(1))).as("a"),
+        count(when(col("late"), lit(1))).as("b"))
+    val cum1 = graft.operators.ChunkedFrame.withRunningSum(
+      vals, "event_type", expr("vc DIV 100"), Seq("vc"), "a", "ca")
+    val cum = graft.operators.ChunkedFrame.withRunningSum(
+      cum1, "event_type", expr("vc DIV 100"), Seq("vc"), "b", "cb")
+    val tot = vals.groupBy(col("event_type"))
+      .agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    val nn = (col("n_early") * col("n_late")).cast("double")
+    val dD = col("d_int").cast("double")
+    cum.join(broadcast(tot), Seq("event_type"))
+      .withColumn("dint", abs(col("nb") * col("ca") - col("na") * col("cb")))
+      .groupBy(col("event_type"))
+      .agg(max(col("na")).as("n_early"), max(col("nb")).as("n_late"),
+        max(col("dint")).as("d_int"))
+      .select(col("event_type"), col("n_early"), col("n_late"),
+        (floor(dD / nn * lit(1e6) + lit(0.5)) / lit(1e6)).as("ks_r6"),
+        (dD * dD > lit(1.8496) *
+          ((col("n_early") + col("n_late")).cast("double") * nn)).as("reject"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q241_ks_drift" -> q241 _,
     "q240_nav_entropy" -> q240 _,
     "q239_ab_test" -> q239 _,
     "q236_garch_backtest" -> q236 _,
@@ -789,6 +839,36 @@ object AuditQueries {
         |  floor(est * 100.0 + 0.5) / 100.0 AS hll_est_r2,
         |  floor(abs(est - n_exact::DOUBLE) / n_exact::DOUBLE * 1e4 + 0.5) / 1e4 AS rel_err_r4
         |FROM es JOIN ex ON es.source = ex.source""".stripMargin,
+    "q241_ks_drift" ->
+      """WITH e AS (
+        |  SELECT event_type, ts::TIMESTAMP::DATE AS day, value FROM events
+        |), bd AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |v AS (
+        |  SELECT event_type,
+        |    date_diff('day', d0, day) >= (date_diff('day', d0, d1) + 1) // 2 AS late,
+        |    floor(value * 100 + 0.5)::BIGINT AS vc
+        |  FROM e, bd WHERE value IS NOT NULL
+        |), g AS (
+        |  SELECT event_type, vc,
+        |    count(CASE WHEN NOT late THEN 1 END)::BIGINT AS a,
+        |    count(CASE WHEN late THEN 1 END)::BIGINT AS b
+        |  FROM v GROUP BY 1, 2
+        |), c AS (
+        |  SELECT *, sum(a) OVER w AS ca, sum(b) OVER w AS cb
+        |  FROM g WINDOW w AS (PARTITION BY event_type ORDER BY vc
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), t AS (
+        |  SELECT event_type, sum(a)::BIGINT AS na, sum(b)::BIGINT AS nb FROM g GROUP BY 1
+        |), d AS (
+        |  SELECT c.event_type, na, nb,
+        |    max(abs(nb * ca - na * cb))::BIGINT AS d_int
+        |  FROM c JOIN t USING (event_type) GROUP BY 1, 2, 3
+        |)
+        |SELECT event_type, na AS n_early, nb AS n_late,
+        |  floor(d_int::DOUBLE / (na * nb)::DOUBLE * 1e6 + 0.5)/1e6 AS ks_r6,
+        |  d_int::DOUBLE * d_int::DOUBLE
+        |    > 1.8496 * ((na + nb)::DOUBLE * (na * nb)::DOUBLE) AS reject
+        |FROM d""".stripMargin,
     "q240_nav_entropy" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts FROM events

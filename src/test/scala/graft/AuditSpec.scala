@@ -170,6 +170,22 @@ class AuditSpec extends SparkSpec {
     assert(row.getDouble(2) < 0.5)
   }
 
+  // ------------------------------------------------------------- q241 KS
+  test("KS drift: identical halves score 0; disjoint halves score exactly 1 and reject") {
+    val d = (0 until 20).map(i => Date.valueOf(f"2024-02-${i + 1}%02d"))
+    val same = (0 until 20).flatMap(i => Seq(
+      ("same", d(i), 10.0), ("same", d(i), 20.0)))
+    val shift = (0 until 20).flatMap { i =>
+      Seq.fill(5)(("shift", d(i), if (i < 10) 10.0 else 90.0))
+    }
+    val got = AuditQueries.ksDrift((same ++ shift)
+      .toDF("event_type", "day", "value"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Double]("ks_r6"), r.getAs[Boolean]("reject")))).toMap
+    assert(got("same") == ((0.0, false)))
+    assert(got("shift") == ((1.0, true)), s"disjoint halves: ${got("shift")}")
+  }
+
   // ------------------------------------------------------------- q240 entropy
   test("navigation entropy: deterministic rows score 0 bits, a fair 2-way split scores exactly 1") {
     val t0 = java.sql.Timestamp.valueOf("2024-04-01 09:00:00")
