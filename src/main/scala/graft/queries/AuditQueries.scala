@@ -219,17 +219,24 @@ object AuditQueries {
   private def q232(s: SparkSession, dir: String): DataFrame =
     hllDistinct(docs(s, dir))
 
-  private[graft] def hllDistinct(d: DataFrame): DataFrame = {
-    val words = d.select(col("source"),
-      explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
-    val hashed = words
+  /** The per-(source, bucket) max-rho register table from a word
+    * stream — the mergeable HLL state (max commutes/idempotent, so
+    * the same build serves batch q232 and the streaming maintainer,
+    * StreamPipeline.hllMaintain). */
+  private[graft] def hllRegisters(words: DataFrame): DataFrame =
+    words
       .withColumn("h", expr("CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)"))
       .withColumn("bucket", col("h") % 512)
       .withColumn("wb", expr("h DIV 512"))
       .withColumn("rho", when(col("wb") === 0, lit(52))
         .otherwise(lit(52) - length(expr("bin(wb)"))).cast("int"))
-    val regs = hashed.groupBy(col("source"), col("bucket"))
+      .groupBy(col("source"), col("bucket"))
       .agg(max(col("rho")).as("m"))
+
+  /** The HLL closing over any (source, bucket, m) register table —
+    * ONE code path with the streaming serve (StreamPipeline.hllServe):
+    * (source, n_buckets_used, hll_est_r2). */
+  private[graft] def hllEstimate(regs: DataFrame): DataFrame = {
     val agg = regs.groupBy(col("source"))
       .agg(count(lit(1)).as("used"),
         sum(expr("shiftleft(CAST(1 AS BIGINT), 52 - m)")).as("sp"))
@@ -237,15 +244,23 @@ object AuditQueries {
       .withColumn("sfp", col("sp") + col("v") * expr("shiftleft(CAST(1 AS BIGINT), 52)"))
     val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512.0)) *
       lit(262144.0) * lit(4503599627370496.0) / col("sfp").cast("double")
-    val est = agg.withColumn("est",
-      when(raw <= lit(1280.0) && col("v") > 0,
-        lit(512.0) * log(lit(512.0) / col("v").cast("double")))
-        .otherwise(raw))
+    agg.withColumn("__est_raw",
+        when(raw <= lit(1280.0) && col("v") > 0,
+          lit(512.0) * log(lit(512.0) / col("v").cast("double")))
+          .otherwise(raw))
+      .select(col("source"), col("used").as("n_buckets_used"),
+        (floor(col("__est_raw") * lit(100.0) + lit(0.5)) / lit(100.0)).as("hll_est_r2"),
+        col("__est_raw"))
+  }
+
+  private[graft] def hllDistinct(d: DataFrame): DataFrame = {
+    val words = d.select(col("source"),
+      explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+    val est = hllEstimate(hllRegisters(words))
     val exact = words.distinct().groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
     est.join(exact, Seq("source"))
-      .select(col("source"), col("n_exact"), col("used").as("n_buckets_used"),
-        (floor(col("est") * lit(100.0) + lit(0.5)) / lit(100.0)).as("hll_est_r2"),
-        (floor(abs(col("est") - col("n_exact").cast("double")) /
+      .select(col("source"), col("n_exact"), col("n_buckets_used"), col("hll_est_r2"),
+        (floor(abs(col("__est_raw") - col("n_exact").cast("double")) /
           col("n_exact").cast("double") * lit(1e4) + lit(0.5)) / lit(1e4)).as("rel_err_r4"))
   }
 

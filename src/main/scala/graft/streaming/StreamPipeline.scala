@@ -1551,6 +1551,63 @@ object StreamPipeline {
       spark.read.parquet(gridPath).select(col("event_type"), col("day"),
         col("band"), col("x")))
 
+  /** STREAMING HLL REGISTER MAINTENANCE (leg 25): q232's
+    * distinct-count sketch kept live — per-source cardinality
+    * telemetry DURING ingest at a fixed state budget. HLL is the
+    * canonical STREAMABLE sketch: registers merge by max, which
+    * commutes, is idempotent, and is duplicate-insensitive, so the
+    * store is ≤ |sources| × 512 rows FOREVER under any arrival
+    * order, split, or replay (no carry, no arrival contract — the
+    * strongest convergence class in the maintainer family). Each
+    * micro-batch folds its own register table (the SAME
+    * AuditQueries.hllRegisters build as declared q232) into the
+    * store by max; serving closes through the SAME hllEstimate, so
+    * serve ≡ batch q232 (estimate columns) is structural. Marker
+    * idempotence + heal + atomic swap as everywhere. */
+  def hllMaintain(docsStream: DataFrame, regPath: String, checkpoint: String,
+                  trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    docsStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        hllBatch(batch, regPath, batchId)
+      }
+      .start()
+
+  /** One [[hllMaintain]] micro-batch. */
+  private[graft] def hllBatch(batch: DataFrame, regPath: String,
+                              batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    graft.batch.AtomicSwap.heal(hconf, regPath)
+    val hp = new org.apache.hadoop.fs.Path(regPath)
+    val exists = hp.getFileSystem(hconf).exists(hp)
+    if (exists && hp.getFileSystem(hconf)
+        .exists(new org.apache.hadoop.fs.Path(s"$regPath/_graft_batch_$batchId"))) return
+    val delta = graft.queries.AuditQueries.hllRegisters(
+      batch.select(col("source"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w")))
+    val merged =
+      if (exists)
+        spark.read.parquet(regPath).unionByName(delta)
+          .groupBy(col("source"), col("bucket"))
+          .agg(max(col("m")).cast("int").as("m"))
+      else delta
+    merged.coalesce(1).write.mode("overwrite").parquet(regPath + ".tmp")
+    val marker = new org.apache.hadoop.fs.Path(s"$regPath.tmp/_graft_batch_$batchId")
+    marker.getFileSystem(hconf).create(marker, true).close()
+    graft.batch.AtomicSwap.swapInto(hconf, regPath + ".tmp", regPath)
+  }
+
+  /** The q232 estimate columns served from the maintained registers —
+    * the SAME hllEstimate closing the declared query calls. */
+  def hllServe(spark: SparkSession, regPath: String): DataFrame =
+    graft.queries.AuditQueries.hllEstimate(
+      spark.read.parquet(regPath).select(col("source"), col("bucket"), col("m")))
+      .select(col("source"), col("n_buckets_used"), col("hll_est_r2"))
+
   /** The q220 dimension served from the maintained stores: closed
     * intervals + each user's open interval (valid_to NULL,
     * is_current) — schema and values bitwise the declared q220's

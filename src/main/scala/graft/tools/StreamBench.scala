@@ -546,7 +546,24 @@ object StreamBench {
     val psiLine = report("psi_maintain", psiLats, evRows,
       s""","grid_rows":${spark.read.parquet(s"$dir/psi_grid").count()}""")
 
-    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine,$attrLine,$rfmLine,$sessLine,$liftLine,$clLine,$xoLine,$ewLine,$hoLine,$vcLine,$kfLine,$egLine,$hwLine,$ghLine,$pathLine,$botLine,$cusumLine,$scd2Line,$psiLine}")
+    // ---- 25. HLL register maintenance: per-source max-merged
+    // registers (<= |sources| x 512 rows forever); the q232 estimate
+    // serve closes over the store.
+    val d25 = MemoryStream[(Long, String, String)](spark)
+    val qHll = StreamPipeline.hllMaintain(
+      d25.toDF().toDF("doc_id", "source", "text"),
+      s"$dir/hll_regs", s"$dir/ckpt_hll", trigger = Trigger.ProcessingTime(0))
+    def genHllDocs(b: Int): Seq[(Long, String, String)] =
+      (0 until docRows).map { i =>
+        val id = b.toLong * docRows + i
+        (id, s"src${id % 8}", text(id))
+      }
+    val hllLats = timeBatches(d25, qHll, batches, genHllDocs)
+    qHll.stop()
+    val hllLine = report("hll_maintain", hllLats, docRows,
+      s""","reg_rows":${spark.read.parquet(s"$dir/hll_regs").count()}""")
+
+    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine,$attrLine,$rfmLine,$sessLine,$liftLine,$clLine,$xoLine,$ewLine,$hoLine,$vcLine,$kfLine,$egLine,$hwLine,$ghLine,$pathLine,$botLine,$cusumLine,$scd2Line,$psiLine,$hllLine}")
     spark.stop()
   }
 }
