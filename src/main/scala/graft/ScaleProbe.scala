@@ -496,6 +496,10 @@ object ScaleProbe {
     time("q240_nav_entropy") { q("q240_nav_entropy") }
     // q241: (type, cent-value) partial agg + chunked running sums
     time("q241_ks_drift") { q("q241_ks_drift") }
+    // q242: user-grain first-event agg + grid work; q243: order-grain
+    // partial agg joined key-grain to headers
+    time("q242_cohort_ltv") { q("q242_cohort_ltv") }
+    time("q243_order_recon") { q("q243_order_recon") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -701,7 +702,96 @@ object AuditQueries {
           ((col("n_early") + col("n_late")).cast("double") * nn)).as("reject"))
   }
 
+  // ---------------------------------------------------------------
+  // q242 — COHORT LTV CURVES: cumulative purchase revenue per user
+  // by (signup-week cohort, weeks-since-first-event) — the
+  // lifetime-value readout next to q184's retention counts (retention
+  // says users came back, LTV says what that was worth). Cohorts and
+  // ages are exact integer week indices off the feed's global first
+  // day (datediff DIV 7 — no timezone-dependent week truncation);
+  // revenue quantizes ONCE to cents; the cumulative sum runs over
+  // the ≤|weeks|² cohort grid, never over events. Exactness: pure
+  // integers + ONE closing divide per cell. Scale shape: one
+  // user-grain first-event agg, one (user, age) partial agg, then
+  // grid-sized work.
+  private def q242(s: SparkSession, dir: String): DataFrame =
+    cohortLtv(Tables.events(s, dir))
+
+  private[graft] def cohortLtv(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), to_date(col("ts")).as("day"),
+      col("event_type"), col("value"))
+    val d0t = e.agg(min(col("day")).as("d0"))
+    val first = e.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    val cohorts = first.crossJoin(broadcast(d0t))
+      .select(col("user_id"),
+        expr("CAST(datediff(first_day, d0) DIV 7 AS BIGINT)").as("cohort_wk"),
+        col("first_day"))
+    val sizes = cohorts.groupBy(col("cohort_wk")).agg(count(lit(1)).as("n_users"))
+    val rev = e.filter(col("event_type") === "purchase")
+      .join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_wk"),
+        expr("CAST(datediff(day, first_day) DIV 7 AS BIGINT)").as("age_wk"))
+      .agg(sum(floor(col("value") * lit(100d) + lit(0.5d)).cast("long")).as("rev_cents"))
+    // dense age axis per cohort so the cumulative curve has no holes
+    val maxAge = rev.groupBy(col("cohort_wk")).agg(max(col("age_wk")).as("mx"))
+    val grid = maxAge.select(col("cohort_wk"),
+        explode(expr("sequence(0L, mx)")).as("age_wk"))
+      .join(rev, Seq("cohort_wk", "age_wk"), "left")
+      .withColumn("rev_cents", coalesce(col("rev_cents"), lit(0L)))
+    val w = Window.partitionBy(col("cohort_wk")).orderBy(col("age_wk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.withColumn("cum_cents", sum(col("rev_cents")).over(w))
+      .join(broadcast(sizes), Seq("cohort_wk"))
+      .select(col("cohort_wk"), col("age_wk"), col("n_users"),
+        (floor(col("rev_cents").cast("double") / lit(100.0) * lit(100.0) + lit(0.5))
+          / lit(100.0)).as("week_rev_r2"),
+        (floor(col("cum_cents").cast("double") / col("n_users").cast("double")
+          + lit(0.5)) / lit(100.0)).as("ltv_per_user_r2"))
+  }
+
+  // ---------------------------------------------------------------
+  // q243 — ORDER RECONCILIATION AUDIT: does the order header's total
+  // match the sum of its lines (extendedprice·(1−discount)·(1+tax))?
+  // — the financial-close consistency check every warehouse runs
+  // between a fact and its rollup, reported as a histogram of
+  // absolute-difference buckets (exact match / ≤ $1 / ≤ $100 /
+  // larger / header with no lines). Exactness: each line's amount
+  // quantizes to cents with the identical IEEE product before the
+  // per-order integer sum; buckets are integer CASE thresholds — no
+  // float boundary. Scale shape: one order-grain partial agg on the
+  // fact, a key-grain join to headers (the q216 discipline), one
+  // bucket rollup; output ≤ 5 rows.
+  private def q243(s: SparkSession, dir: String): DataFrame =
+    orderRecon(Tables.orders(s, dir), Tables.lineitem(s, dir))
+
+  private[graft] def orderRecon(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val lines = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+        (lit(1.0) + col("l_tax")) * lit(100.0) + lit(0.5)).cast("long")).as("line_cents"))
+    val joined = orders
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * lit(100d) + lit(0.5d)).cast("long").as("hdr_cents"))
+      .join(lines, col("o_orderkey") === col("l_orderkey"), "left")
+    val bucket = when(col("line_cents").isNull, lit("no_lines"))
+      .when(col("hdr_cents") === col("line_cents"), lit("exact"))
+      .when(abs(col("hdr_cents") - col("line_cents")) <= 100L, lit("within_1"))
+      .when(abs(col("hdr_cents") - col("line_cents")) <= 10000L, lit("within_100"))
+      .otherwise(lit("large"))
+    val tot = joined.agg(count(lit(1)).as("n_orders"))
+    joined.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(abs(col("hdr_cents") - col("line_cents"))), lit(0L)).as("abs_diff_cents"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n"),
+        r4(col("n").cast("double") / col("n_orders").cast("double")).as("share_r4"),
+        (floor(col("abs_diff_cents").cast("double") / lit(100.0) * lit(100.0) + lit(0.5))
+          / lit(100.0)).as("abs_diff_r2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q242_cohort_ltv" -> q242 _,
+    "q243_order_recon" -> q243 _,
     "q241_ks_drift" -> q241 _,
     "q240_nav_entropy" -> q240 _,
     "q239_ab_test" -> q239 _,
@@ -854,6 +944,61 @@ object AuditQueries {
         |  floor(est * 100.0 + 0.5) / 100.0 AS hll_est_r2,
         |  floor(abs(est - n_exact::DOUBLE) / n_exact::DOUBLE * 1e4 + 0.5) / 1e4 AS rel_err_r4
         |FROM es JOIN ex ON es.source = ex.source""".stripMargin,
+    "q242_cohort_ltv" ->
+      """WITH e AS (
+        |  SELECT user_id, ts::TIMESTAMP::DATE AS day, event_type, value FROM events
+        |), d0t AS (SELECT min(day) AS d0 FROM e),
+        |f AS (SELECT user_id, min(day) AS first_day FROM e GROUP BY 1),
+        |c AS (
+        |  SELECT user_id, (date_diff('day', d0, first_day) // 7)::BIGINT AS cohort_wk,
+        |    first_day
+        |  FROM f, d0t
+        |), sz AS (SELECT cohort_wk, count(*)::BIGINT AS n_users FROM c GROUP BY 1),
+        |r AS (
+        |  SELECT cohort_wk, (date_diff('day', first_day, day) // 7)::BIGINT AS age_wk,
+        |    sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS rev_cents
+        |  FROM e JOIN c USING (user_id) WHERE event_type = 'purchase' GROUP BY 1, 2
+        |), mx AS (SELECT cohort_wk, max(age_wk) AS mxa FROM r GROUP BY 1),
+        |g AS (
+        |  SELECT cohort_wk, unnest(range(0, mxa + 1))::BIGINT AS age_wk FROM mx
+        |), g2 AS (
+        |  SELECT g.cohort_wk, g.age_wk, coalesce(rev_cents, 0)::BIGINT AS rev_cents
+        |  FROM g LEFT JOIN r ON g.cohort_wk = r.cohort_wk AND g.age_wk = r.age_wk
+        |), cum AS (
+        |  SELECT *, sum(rev_cents) OVER (PARTITION BY cohort_wk ORDER BY age_wk
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+        |  FROM g2
+        |)
+        |SELECT cum.cohort_wk, age_wk, n_users,
+        |  floor(rev_cents::DOUBLE / 100.0 * 100.0 + 0.5) / 100.0 AS week_rev_r2,
+        |  floor(cum_cents::DOUBLE / n_users::DOUBLE + 0.5) / 100.0 AS ltv_per_user_r2
+        |FROM cum JOIN sz ON cum.cohort_wk = sz.cohort_wk""".stripMargin,
+    "q243_order_recon" ->
+      """WITH l AS (
+        |  SELECT l_orderkey,
+        |    sum(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100.0
+        |      + 0.5)::BIGINT)::BIGINT AS line_cents
+        |  FROM lineitem GROUP BY 1
+        |), j AS (
+        |  SELECT o_orderkey, floor(o_totalprice * 100 + 0.5)::BIGINT AS hdr_cents,
+        |    line_cents
+        |  FROM orders LEFT JOIN l ON o_orderkey = l_orderkey
+        |), t AS (SELECT count(*)::BIGINT AS n_orders FROM j),
+        |b AS (
+        |  SELECT CASE WHEN line_cents IS NULL THEN 'no_lines'
+        |    WHEN hdr_cents = line_cents THEN 'exact'
+        |    WHEN abs(hdr_cents - line_cents) <= 100 THEN 'within_1'
+        |    WHEN abs(hdr_cents - line_cents) <= 10000 THEN 'within_100'
+        |    ELSE 'large' END AS bucket,
+        |    hdr_cents, line_cents
+        |  FROM j
+        |)
+        |SELECT bucket, count(*)::BIGINT AS n,
+        |  floor(count(*)::DOUBLE / (SELECT n_orders FROM t)::DOUBLE * 10000 + 0.5)/10000
+        |    AS share_r4,
+        |  floor(coalesce(sum(abs(hdr_cents - line_cents)), 0)::DOUBLE / 100.0 * 100.0
+        |    + 0.5) / 100.0 AS abs_diff_r2
+        |FROM b GROUP BY 1""".stripMargin,
     "q241_ks_drift" ->
       """WITH e AS (
         |  SELECT event_type, ts::TIMESTAMP::DATE AS day, value FROM events

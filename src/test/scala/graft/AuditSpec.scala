@@ -170,6 +170,46 @@ class AuditSpec extends SparkSpec {
     assert(row.getDouble(2) < 0.5)
   }
 
+  // ------------------------------------------------------------- q242 LTV
+  test("cohort LTV: two-user cohort accumulates exactly; weeks with no purchases fill with zero") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-05-${day + 1}%02d 10:00:00")
+    // u1/u2 first seen day 0 (cohort 0): $10 each in week 0, $20 each
+    // in week 2 (week 1 is silent -> dense zero row), u3 joins day 7
+    // (cohort 1) and never purchases.
+    val rows = Seq(
+      (1L, ts(0), "purchase", 10.0), (2L, ts(0), "purchase", 10.0),
+      (1L, ts(14), "purchase", 20.0), (2L, ts(15), "purchase", 20.0),
+      (3L, ts(7), "view", 1.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val got = AuditQueries.cohortLtv(rows).collect()
+      .map(r => (r.getAs[Long]("cohort_wk"), r.getAs[Long]("age_wk")) ->
+        ((r.getAs[Long]("n_users"), r.getAs[Double]("week_rev_r2"),
+          r.getAs[Double]("ltv_per_user_r2")))).toMap
+    assert(got((0L, 0L)) == ((2L, 20.0, 10.0)))
+    assert(got((0L, 1L)) == ((2L, 0.0, 10.0)), "silent week must appear with carried LTV")
+    assert(got((0L, 2L)) == ((2L, 40.0, 30.0)))
+    assert(!got.keySet.exists(_._1 == 1L), "purchase-free cohort has no LTV curve")
+  }
+
+  // ------------------------------------------------------------- q243 reconciliation
+  test("order reconciliation: exact, near-miss, and headless orders land in their buckets") {
+    val orders = Seq(
+      (1L, 100.0), // lines sum to exactly 100.00
+      (2L, 101.0), // lines sum to 100.50 -> 50 cents off -> within_1
+      (3L, 55.0)   // no lines
+    ).toDF("o_orderkey", "o_totalprice")
+    val lines = Seq(
+      (1L, 100.0, 0.0, 0.0),
+      (2L, 100.5, 0.0, 0.0)
+    ).toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    val got = AuditQueries.orderRecon(orders, lines).collect()
+      .map(r => r.getAs[String]("bucket") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("abs_diff_r2")))).toMap
+    assert(got("exact") == ((1L, 0.0)))
+    assert(got("within_1") == ((1L, 0.5)))
+    assert(got("no_lines")._1 == 1L)
+  }
+
   // ------------------------------------------------------------- q241 KS
   test("KS drift: identical halves score 0; disjoint halves score exactly 1 and reject") {
     val d = (0 until 20).map(i => Date.valueOf(f"2024-02-${i + 1}%02d"))
