@@ -500,6 +500,9 @@ object ScaleProbe {
     // partial agg joined key-grain to headers
     time("q242_cohort_ltv") { q("q242_cohort_ltv") }
     time("q243_order_recon") { q("q243_order_recon") }
+    // q244: one event->(user, day) distinct partial agg; x30 fan-out
+    // on the user-day grid only
+    time("q244_stickiness") { q("q244_stickiness") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

@@ -789,7 +789,38 @@ object AuditQueries {
           / lit(100.0)).as("abs_diff_r2"))
   }
 
+  // ---------------------------------------------------------------
+  // q244 — STICKINESS (DAU/MAU): the engagement ratio every product
+  // dashboard leads with — daily actives over trailing-30-day
+  // actives, per day. The MAU side is exact (no sketch): each
+  // user-day presence row CONTRIBUTES to the 30 target days it keeps
+  // the user active in — an explode over the bounded presence table
+  // (user-DAY grain, not event grain: the distinct collapses the
+  // volume first, so the ×30 fan-out multiplies users×days, never
+  // rows). Exactness: pure integer distinct counts, one closing
+  // divide. Scale shape: one event→(user, day) distinct partial
+  // agg is the only volume-sized work; everything after is
+  // users×days×30.
+  private def q244(s: SparkSession, dir: String): DataFrame =
+    stickiness(Tables.events(s, dir))
+
+  private[graft] def stickiness(events: DataFrame): DataFrame = {
+    val pres = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val bounds = pres.agg(max(col("day")).as("dmax"))
+    val mau = pres
+      .withColumn("day2", explode(expr("sequence(day, date_add(day, 29))")))
+      .crossJoin(broadcast(bounds)).filter(col("day2") <= col("dmax"))
+      .select(col("user_id"), col("day2")).distinct()
+      .groupBy(col("day2").as("day")).agg(count(lit(1)).as("mau"))
+    val dau = pres.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    mau.join(dau, Seq("day"), "left")
+      .withColumn("dau", coalesce(col("dau"), lit(0L)))
+      .select(col("day"), col("dau"), col("mau"),
+        r4(col("dau").cast("double") / col("mau").cast("double")).as("stickiness_r4"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q244_stickiness" -> q244 _,
     "q242_cohort_ltv" -> q242 _,
     "q243_order_recon" -> q243 _,
     "q241_ks_drift" -> q241 _,
@@ -944,6 +975,23 @@ object AuditQueries {
         |  floor(est * 100.0 + 0.5) / 100.0 AS hll_est_r2,
         |  floor(abs(est - n_exact::DOUBLE) / n_exact::DOUBLE * 1e4 + 0.5) / 1e4 AS rel_err_r4
         |FROM es JOIN ex ON es.source = ex.source""".stripMargin,
+    "q244_stickiness" ->
+      """WITH p AS (
+        |  SELECT DISTINCT user_id, ts::TIMESTAMP::DATE AS day FROM events
+        |), bd AS (SELECT max(day) AS dmax FROM p),
+        |t AS (
+        |  SELECT DISTINCT user_id, day2
+        |  FROM (SELECT user_id, unnest(generate_series(day, day + INTERVAL 29 DAY,
+        |          INTERVAL 1 DAY))::DATE AS day2 FROM p), bd
+        |  WHERE day2 <= dmax
+        |), mau AS (
+        |  SELECT day2 AS day, count(*)::BIGINT AS mau FROM t GROUP BY 1
+        |), dau AS (
+        |  SELECT day, count(*)::BIGINT AS dau FROM p GROUP BY 1
+        |)
+        |SELECT mau.day, coalesce(dau, 0)::BIGINT AS dau, mau,
+        |  floor(coalesce(dau, 0)::DOUBLE / mau::DOUBLE * 10000 + 0.5)/10000 AS stickiness_r4
+        |FROM mau LEFT JOIN dau ON mau.day = dau.day""".stripMargin,
     "q242_cohort_ltv" ->
       """WITH e AS (
         |  SELECT user_id, ts::TIMESTAMP::DATE AS day, event_type, value FROM events

@@ -68,6 +68,28 @@ object SqlEntry {
         one("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey")
       ).mkString("\nUNION ALL\n")
     },
+    // q234 — FD discovery as notebook SQL: the g3 strength per
+    // candidate dependency (counts only — the typed plan's
+    // string-cast grouping keys never reach the output, so grouping
+    // the raw columns is value-identical)
+    "q234_fd_discovery" -> {
+      def one(fd: String, table: String, a: String, b: String) =
+        s"""SELECT '$fd' AS fd, sum(na) AS n_rows, count(1) AS n_lhs,
+           |  sum(np) AS n_pairs,
+           |  floor(CAST(sum(mx) AS DOUBLE) / CAST(sum(na) AS DOUBLE) * 1e6 + 0.5D) / 1e6
+           |    AS g3_r6
+           |FROM (
+           |  SELECT a, max(cab) AS mx, sum(cab) AS na, count(1) AS np
+           |  FROM (SELECT $a AS a, $b AS b, count(1) AS cab FROM $table GROUP BY 1, 2)
+           |  GROUP BY a)""".stripMargin
+      Seq(
+        one("orders.o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"),
+        one("orders.o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+        one("orders.o_orderdate->o_orderstatus", "orders", "o_orderdate", "o_orderstatus"),
+        one("lineitem.l_partkey->l_suppkey", "lineitem", "l_partkey", "l_suppkey"),
+        one("events.user_id->event_type", "events", "user_id", "event_type")
+      ).mkString("\nUNION ALL\n")
+    },
     // q229 — the PSI drift monitor as notebook SQL: the fixed-point
     // discipline survives the text surface verbatim (per-band terms
     // floor to BIGINT before the sum; D-suffixed constants keep

@@ -210,6 +210,23 @@ class AuditSpec extends SparkSpec {
     assert(got("no_lines")._1 == 1L)
   }
 
+  // ------------------------------------------------------------- q244 stickiness
+  test("stickiness: daily-active user keeps DAU/MAU at 1; lapsed user dilutes the trailing window") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-06-${day + 1}%02d 10:00:00")
+    // u1 active every day 0..9; u2 active only day 0. From day 1 on:
+    // DAU = 1, MAU = 2 -> stickiness 0.5; day 0: 2/2 = 1.
+    val rows = ((0 until 10).map(d => (1L, ts(d))) :+ ((2L, ts(0))))
+      .toDF("user_id", "ts")
+    val got = AuditQueries.stickiness(rows).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        ((r.getAs[Long]("dau"), r.getAs[Long]("mau"), r.getAs[Double]("stickiness_r4"))))
+      .toMap
+    assert(got("2024-06-01") == ((2L, 2L, 1.0)))
+    assert(got("2024-06-02") == ((1L, 2L, 0.5)))
+    assert(got("2024-06-10") == ((1L, 2L, 0.5)), "u2 stays in the 30-day window")
+    assert(got.size == 10, "one row per day inside the observed range")
+  }
+
   // ------------------------------------------------------------- q241 KS
   test("KS drift: identical halves score 0; disjoint halves score exactly 1 and reject") {
     val d = (0 until 20).map(i => Date.valueOf(f"2024-02-${i + 1}%02d"))
