@@ -6,14 +6,21 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 
-/** Round-11 distribution-audit + sketch surface: the monitors a data
-  * platform runs CONTINUOUSLY over a 100 TB lake — drift (PSI),
-  * association (chi-square / Cramér's V), phonetic entity blocking
-  * (the "finer blocking key" fix BASELINE.md prescribes for q218's
-  * prefix blocks), HyperLogLog distinct counting (the
-  * industry-standard register sketch next to q92's KMV), and the
-  * seasonal member of the forecast-backtest family (additive
-  * Holt-Winters, completing q203 EWMA → q210 Holt → q233 HW).
+/** Round-11 distribution-audit + analytics surface (q229–q244): the
+  * monitors a data platform runs CONTINUOUSLY over a 100 TB lake —
+  * drift (q229 PSI, q241 Kolmogorov-Smirnov), association (q230
+  * chi-square / Cramér's V, q234 functional-dependency g3), phonetic
+  * entity blocking (q231 — the "finer blocking key" fix BASELINE.md
+  * prescribes for q218's prefix blocks), HyperLogLog distinct
+  * counting (q232 — the industry-standard register sketch next to
+  * q92's KMV, with the leg-25 streaming maintainer), the seasonal
+  * and conditional-variance members of the forecast-backtest family
+  * (q233 additive Holt-Winters, q236 GARCH(1,1) — completing q203
+  * EWMA → q210 Holt), corpus forensics (q237 Zipf fit, q238 Flesch
+  * readability, q235 quantile-normalization lookup), navigation
+  * predictability (q240 entropy rate), and the product-analytics
+  * trio (q239 A/B readout, q242 cohort LTV, q244 DAU/MAU
+  * stickiness) plus the q243 order-reconciliation audit.
   *
   * Exactness rules as everywhere in this battery: counts are exact
   * integers; per-band/cell transcendental terms are quantized to

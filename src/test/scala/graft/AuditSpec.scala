@@ -6,12 +6,15 @@ import org.apache.spark.sql.functions._
 
 import graft.queries.AuditQueries
 
-/** Distribution-audit + sketch surface (q229–q233): phonetic-key unit
-  * vectors (cross-checked against the identical DuckDB chain), PSI
-  * designed feeds (no-drift ≈ 0, hard shift large), Cramér's V on
-  * perfectly-associated vs independent tables, HLL accuracy on known
-  * vocabularies incl. the linear-counting branch, and a from-first-
-  * principles replay of the Holt-Winters recursion.
+/** Distribution-audit + analytics surface (q229–q244): phonetic-key
+  * unit vectors (cross-checked against the identical DuckDB chain),
+  * PSI/KS designed drift feeds, Cramér's V on perfectly-associated
+  * vs independent tables, HLL accuracy incl. the linear-counting
+  * branch, FD g3 and quantile-norm pins, from-first-principles
+  * replays of the Holt-Winters and GARCH recursions, an exact
+  * power-law Zipf feed, hand-counted readability, the textbook A/B
+  * z-test, entropy-rate coin flips, cohort LTV accumulation,
+  * reconciliation buckets, and DAU/MAU stickiness.
   */
 class AuditSpec extends SparkSpec {
   import spark.implicits._
