@@ -157,6 +157,12 @@ object ScaleProbe {
           f"shufW=${meter.write.get / 1e6}%.1f MB shufR=${meter.read.get / 1e6}%.1f MB " +
           f"spill=${meter.spill.get / 1e6}%.1f MB maxTask=${meter.maxTask.get / 1e3}%.1f s")
         meter.dumpStages(label)
+        // release caller-owned persists (phraseVocab et al. — queries
+        // whose RETURNED frame is lazy can't unpersist internally
+        // without losing the cache before evaluation): same isolation
+        // convention as Bench's per-query clearCache + GC.
+        spark.catalog.clearCache()
+        System.gc()
       }
     def q(name: String)(implicit d: String = dst) = SparkEntry.queries(name)(spark, d)
 

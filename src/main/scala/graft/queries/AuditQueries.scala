@@ -124,12 +124,19 @@ object AuditQueries {
     val dims = cells.agg(sum(col("o")).as("n"))
       .crossJoin(rt.agg(count(lit(1)).as("r_levels")))
       .crossJoin(ct.agg(count(lit(1)).as("c_levels")))
-    val ee = (col("rt") * col("ct")).cast("double") / col("n").cast("double")
+    // margins widen to double BEFORE the product (rt·ct is a
+    // LONG×LONG that wraps past 2^63 at ~3e9-row margins); double
+    // multiply of two exactly-representable ints rounds the same real
+    // value the old integer-product cast did, so parity is unchanged
+    // where both are defined. tfp = O²/E·1e8 itself exceeds LONG for
+    // n > ~9e10, so the fixed-point term is decimal (HUGEINT oracle).
+    val ee = col("rt").cast("double") * col("ct").cast("double") /
+      col("n").cast("double")
     val term = (col("o").cast("double") * col("o").cast("double")) / ee
     val chi2 = col("sfp").cast("double") / lit(1e8) - col("n").cast("double")
     cells.join(broadcast(rt), Seq("rk")).join(broadcast(ct), Seq("ck"))
       .crossJoin(broadcast(dims))
-      .withColumn("tfp", floor(term * lit(1e8) + lit(0.5)).cast("long"))
+      .withColumn("tfp", floor(term * lit(1e8) + lit(0.5)).cast("decimal(38,0)"))
       .groupBy(lit(rel).as("relation"))
       .agg(max(col("n")).as("n"), max(col("r_levels")).as("r_levels"),
         max(col("c_levels")).as("c_levels"), sum(col("tfp")).as("sfp"))
@@ -264,8 +271,16 @@ object AuditQueries {
   private[graft] def hllDistinct(d: DataFrame): DataFrame = {
     val words = d.select(col("source"),
       explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
-    val est = hllEstimate(hllRegisters(words))
-    val exact = words.distinct().groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    // ONE tokenize scan feeds both legs: registers are max-merged, so
+    // building them from the DISTINCT (source, word) set — the exact
+    // twin's input, vocabulary-sized — changes nothing (duplicates
+    // never move a max), and the persist makes the shared subtree
+    // materialize once instead of the two full corpus scans the stage
+    // histogram showed. Release is caller-owned (harness clearCache).
+    val dw = words.distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val est = hllEstimate(hllRegisters(dw))
+    val exact = dw.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
     est.join(exact, Seq("source"))
       .select(col("source"), col("n_exact"), col("n_buckets_used"), col("hll_est_r2"),
         (floor(abs(col("__est_raw") - col("n_exact").cast("double")) /
@@ -652,7 +667,12 @@ object AuditQueries {
     val overall = per.agg(
       sum(col("out_trans")).as("t_total"),
       sum(col("n_next_states")).as("n_cells"),
-      sum((col("out_trans") * col("sfp")).cast("decimal(38,0)")).as("wsum"))
+      // widen EACH factor before the product: out_trans·sfp is a
+      // LONG×LONG that wraps once a state has ~5-6M outgoing
+      // transitions (sfp ~ H·1e12); the oracle multiplies in HUGEINT,
+      // so the decimal widening must happen pre-multiply here too
+      sum(col("out_trans").cast("decimal(19,0)") *
+        col("sfp").cast("decimal(19,0)")).as("wsum"))
       .select(lit("__overall").as("state"), col("t_total").as("out_trans"),
         col("n_cells").as("n_next_states"),
         (floor(col("wsum").cast("double") / col("t_total").cast("double") / lit(1e12)
@@ -696,10 +716,16 @@ object AuditQueries {
       cum1, "event_type", expr("vc DIV 100"), Seq("vc"), "b", "cb")
     val tot = vals.groupBy(col("event_type"))
       .agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
-    val nn = (col("n_early") * col("n_late")).cast("double")
+    // all integer products widen to decimal BEFORE multiplying:
+    // nb·ca (and n_early·n_late) are LONG×LONG that wrap silently
+    // once each half exceeds ~3e9 rows per event_type — the oracle
+    // mirrors with HUGEINT so the exact-integer parity holds at scale
+    val d38 = (c: Column) => c.cast("decimal(19,0)")
+    val nn = (d38(col("n_early")) * d38(col("n_late"))).cast("double")
     val dD = col("d_int").cast("double")
     cum.join(broadcast(tot), Seq("event_type"))
-      .withColumn("dint", abs(col("nb") * col("ca") - col("na") * col("cb")))
+      .withColumn("dint",
+        abs(d38(col("nb")) * d38(col("ca")) - d38(col("na")) * d38(col("cb"))))
       .groupBy(col("event_type"))
       .agg(max(col("na")).as("n_early"), max(col("nb")).as("n_late"),
         max(col("dint")).as("d_int"))
@@ -890,7 +916,7 @@ object AuditQueries {
            |FROM (
            |  SELECT o, rt, ct, n, r_levels, c_levels,
            |    floor((o::DOUBLE * o::DOUBLE)
-           |      / ((rt * ct)::DOUBLE / n::DOUBLE) * 1e8 + 0.5)::BIGINT AS tfp
+           |      / (rt::DOUBLE * ct::DOUBLE / n::DOUBLE) * 1e8 + 0.5)::HUGEINT AS tfp
            |  FROM (
            |    SELECT rk, ck, count(*)::BIGINT AS o FROM ($obs) GROUP BY 1, 2
            |  ) cells
@@ -1076,13 +1102,13 @@ object AuditQueries {
         |  SELECT event_type, sum(a)::BIGINT AS na, sum(b)::BIGINT AS nb FROM g GROUP BY 1
         |), d AS (
         |  SELECT c.event_type, na, nb,
-        |    max(abs(nb * ca - na * cb))::BIGINT AS d_int
+        |    max(abs(nb::HUGEINT * ca::HUGEINT - na::HUGEINT * cb::HUGEINT)) AS d_int
         |  FROM c JOIN t USING (event_type) GROUP BY 1, 2, 3
         |)
         |SELECT event_type, na AS n_early, nb AS n_late,
-        |  floor(d_int::DOUBLE / (na * nb)::DOUBLE * 1e6 + 0.5)/1e6 AS ks_r6,
+        |  floor(d_int::DOUBLE / (na::HUGEINT * nb::HUGEINT)::DOUBLE * 1e6 + 0.5)/1e6 AS ks_r6,
         |  d_int::DOUBLE * d_int::DOUBLE
-        |    > 1.8496 * ((na + nb)::DOUBLE * (na * nb)::DOUBLE) AS reject
+        |    > 1.8496 * ((na + nb)::DOUBLE * (na::HUGEINT * nb::HUGEINT)::DOUBLE) AS reject
         |FROM d""".stripMargin,
     "q240_nav_entropy" ->
       """WITH e AS (

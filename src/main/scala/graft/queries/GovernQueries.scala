@@ -49,18 +49,52 @@ object GovernQueries {
         col("n_orphan_rows"), col("n_orphan_keys"))
   }
 
+  /** One child table's (fk-slot, key) → count grid off a SINGLE scan:
+    * each row explodes into one (slot, key) pair per audited FK, and
+    * the map-side partial agg collapses to key grain before the one
+    * exchange — so auditing k FKs of the same fact costs ONE fact
+    * scan + one key-grain shuffle, not k scans (at 100× the three
+    * separate lineitem scans were the sweep's largest avoidable
+    * constant: 51.4 s). The grid is key-grain (Σ distinct keys per
+    * FK), so the persist is sketch-sized relative to the fact;
+    * release is caller-owned via the harness clearCache convention. */
+  private[graft] def fkKeyGrid(child: DataFrame, fks: Seq[String]): DataFrame =
+    child
+      .select(explode(array(fks.zipWithIndex.map { case (fk, i) =>
+        struct(lit(i).as("f"), col(fk).cast("long").as("k"))
+      }: _*)).as("e"))
+      .select(col("e.f").as("f"), col("e.k").as("k"))
+      .groupBy(col("f"), col("k")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** [[riAudit]] over a pre-aggregated (key, n) slice instead of the
+    * raw child — the shared-scan path of q216. */
+  private[graft] def riAuditKeyed(rel: String, ck: DataFrame,
+                                  parent: DataFrame, pk: String): DataFrame = {
+    val pks = parent.select(col(pk).as("pk_k")).distinct()
+    val orphan = col("k").isNotNull && col("pk_k").isNull
+    ck.join(pks, col("k") === col("pk_k"), "left")
+      .agg(
+        coalesce(sum(col("n")), lit(0L)).as("n_rows"),
+        coalesce(sum(when(col("k").isNull, col("n"))), lit(0L)).as("n_null"),
+        coalesce(sum(when(orphan, col("n"))), lit(0L)).as("n_orphan_rows"),
+        count(when(orphan, lit(1))).as("n_orphan_keys"))
+      .select(lit(rel).as("relation"), col("n_rows"), col("n_null"),
+        col("n_orphan_rows"), col("n_orphan_keys"))
+  }
+
   private def q216(s: SparkSession, dir: String): DataFrame = {
-    def audit(rel: String, child: DataFrame, fk: String,
-              parent: DataFrame, pk: String): DataFrame =
-      riAudit(rel, child, fk, parent, pk)
+    val grid = fkKeyGrid(Tables.lineitem(s, dir),
+      Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    def slice(i: Int): DataFrame = grid.filter(col("f") === i).drop("f")
     Seq(
-      audit("lineitem.l_orderkey->orders.o_orderkey",
-        Tables.lineitem(s, dir), "l_orderkey", Tables.orders(s, dir), "o_orderkey"),
-      audit("lineitem.l_partkey->part.p_partkey",
-        Tables.lineitem(s, dir), "l_partkey", Tables.part(s, dir), "p_partkey"),
-      audit("lineitem.l_suppkey->supplier.s_suppkey",
-        Tables.lineitem(s, dir), "l_suppkey", Tables.supplier(s, dir), "s_suppkey"),
-      audit("orders.o_custkey->customer.c_custkey",
+      riAuditKeyed("lineitem.l_orderkey->orders.o_orderkey",
+        slice(0), Tables.orders(s, dir), "o_orderkey"),
+      riAuditKeyed("lineitem.l_partkey->part.p_partkey",
+        slice(1), Tables.part(s, dir), "p_partkey"),
+      riAuditKeyed("lineitem.l_suppkey->supplier.s_suppkey",
+        slice(2), Tables.supplier(s, dir), "s_suppkey"),
+      riAudit("orders.o_custkey->customer.c_custkey",
         Tables.orders(s, dir), "o_custkey", Tables.customer(s, dir), "c_custkey")
     ).reduce(_ unionByName _)
   }
@@ -115,7 +149,14 @@ object GovernQueries {
     * consumers join the vocabulary against itself, and without the
     * persist Catalyst plans the scan+explode+distinct subtree TWICE
     * (measured: the two 25 s scan stages dominate the 100x probe) —
-    * at 100 TB you materialize the vocabulary once, then block. */
+    * at 100 TB you materialize the vocabulary once, then block.
+    * CACHE OWNERSHIP: the returned match frame is lazy, so this
+    * function cannot unpersist without dropping the cache before
+    * evaluation — release is CALLER-OWNED. CacheManager dedupes
+    * identical plans (re-persisting the same vocabulary is a no-op,
+    * not a second copy), and every harness that runs these queries
+    * (Bench, Verify, VerifyMany, ScaleProbe) clears the cache after
+    * each query's action completes. */
   private[graft] def phraseVocab(docs: DataFrame): DataFrame =
     docs
       .select(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
@@ -167,11 +208,28 @@ object GovernQueries {
   private def q219(s: SparkSession, dir: String): DataFrame =
     sortedNeighborhood(Tables.documents(s, dir))
 
-  private[graft] def sortedNeighborhood(docs: DataFrame): DataFrame = {
+  // q245 — q219 with the word-set payload HASHED: the rank+delta
+  // equi-join carries arrays of 8-byte md5-15 token keys instead of
+  // word STRINGS (the q163/q194/q215 exchange rule — q219's 100×
+  // exchange was 750/910 MB of strings; nothing downstream ever needs
+  // the words back, only |∩|/|∪| counts). Hashing is md5-15 on BOTH
+  // engines, so any collision is shared and the oracle parity stays
+  // exact-integer; the output contract (pairs + counts + jaccard) is
+  // q219's, and GovernSpec pins hashed ≡ string on the test corpus.
+  private def q245(s: SparkSession, dir: String): DataFrame =
+    sortedNeighborhood(Tables.documents(s, dir), hashed = true)
+
+  private[graft] def sortedNeighborhood(docs: DataFrame,
+                                        hashed: Boolean = false): DataFrame = {
+    val wsExpr =
+      if (hashed)
+        expr("array_distinct(transform(regexp_extract_all(lower(text), '[a-z0-9]+', 0), " +
+          "w -> CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)))")
+      else expr("array_distinct(regexp_extract_all(lower(text), '[a-z0-9]+', 0))")
     val d0 = docs.select(
       col("doc_id"),
       expr("substring(regexp_replace(lower(text), '[^a-z0-9]', ''), 1, 16)").as("skey"),
-      expr("array_distinct(regexp_extract_all(lower(text), '[a-z0-9]+', 0))").as("ws"))
+      wsExpr.as("ws"))
       .withColumn("__all", lit("all"))
     val ranked = graft.operators.ChunkedFrame.globalRank(
       d0, keyCol = "__all", chunk = substring(col("skey"), 1, 1),
@@ -355,6 +413,7 @@ object GovernQueries {
     "q217_k_anonymity" -> q217 _,
     "q218_entity_match" -> q218 _,
     "q219_sorted_neighborhood" -> q219 _,
+    "q245_sorted_neighborhood_hashed" -> q245 _,
     "q220_scd2_build" -> q220 _
   )
 
@@ -454,6 +513,25 @@ object GovernQueries {
         |  SELECT doc_id,
         |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 16) AS skey,
         |    list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ws
+        |  FROM documents
+        |), r AS (
+        |  SELECT *, row_number() OVER (ORDER BY skey, doc_id) - 1 AS g FROM d
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, b.g - a.g AS rank_dist,
+        |    len(list_intersect(a.ws, b.ws))::BIGINT AS m,
+        |    (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)))::BIGINT AS u
+        |  FROM r a JOIN r b ON b.g >= a.g + 1 AND b.g <= a.g + 3
+        |  WHERE len(a.ws) > 0 AND len(b.ws) > 0
+        |)
+        |SELECT doc_a, doc_b, rank_dist, m AS n_common,
+        |  floor(m::DOUBLE / u::DOUBLE * 10000 + 0.5)/10000 AS jac_r4
+        |FROM pairs WHERE 2 * m >= u""".stripMargin,
+    "q245_sorted_neighborhood_hashed" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 16) AS skey,
+        |    list_distinct(list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |      w -> ('0x' || substr(md5(w), 1, 15))::BIGINT)) AS ws
         |  FROM documents
         |), r AS (
         |  SELECT *, row_number() OVER (ORDER BY skey, doc_id) - 1 AS g FROM d

@@ -1375,7 +1375,14 @@ object StreamPipeline {
     * Event-time regressions against the carry's FULL (ts, event_id)
     * sort key are counted in [[lateScd2Rows]] (the lateTransitionRows
     * contract: ordered arrival assumed, violations observable, never
-    * silent). Marker idempotence + pre-read heal + atomic swap; dim
+    * silent). The dim store is PHYSICALLY append-only: each batch's
+    * closed intervals land as one immutable `batch=<id>` partition
+    * directory (staged outside the live root, committed by a single
+    * atomic rename — the directory IS the idempotence marker), so
+    * per-batch dim work is batch-grain, never O(accumulated store);
+    * a rewrite-the-store merge would make a flip-heavy feed quadratic
+    * in stream length. The carry keeps the marker + atomic-swap
+    * protocol (it is a genuine one-row-per-user overwrite store). Dim
     * commits before carry (a replay between the two re-derives the
     * same carry from the old one). Scale: per-batch work is
     * batch-grain; both stores are user-grain or smaller per change —
@@ -1400,7 +1407,6 @@ object StreamPipeline {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
-    graft.batch.AtomicSwap.heal(hconf, dimPath)
     graft.batch.AtomicSwap.heal(hconf, carryPath)
     def exists(p: String): Boolean = {
       val hp = new org.apache.hadoop.fs.Path(p)
@@ -1413,7 +1419,11 @@ object StreamPipeline {
       marker.getFileSystem(hconf).create(marker, true).close()
       graft.batch.AtomicSwap.swapInto(hconf, p + ".tmp", p)
     }
-    if (applied(dimPath) && applied(carryPath)) return
+    // dim commit = the per-batch partition directory itself (closed
+    // intervals are immutable, so the store is append-only: no
+    // read-union-rewrite of accumulated history per batch)
+    val dimBatchDir = s"$dimPath/batch=$batchId"
+    if (exists(dimBatchDir) && applied(carryPath)) return
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val b0 = batch.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
@@ -1445,7 +1455,7 @@ object StreamPipeline {
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
         col("version"), col("valid_to"))
       .localCheckpoint(true)
-    if (!applied(dimPath)) {
+    if (!exists(dimBatchDir)) {
       val firstChange = changes.groupBy(col("user_id"))
         .agg(min(struct(col("ts"), col("event_id"))).as("fc"))
         .select(col("user_id"), col("fc.ts").as("__fc_ts"))
@@ -1457,10 +1467,24 @@ object StreamPipeline {
         .select(col("user_id"), col("version"), col("event_type").as("state"),
           col("ts").as("valid_from"), col("valid_to"))
       val withCarry = closedCarry.fold(newClosed)(newClosed.unionByName(_))
-      val merged =
-        if (exists(dimPath)) spark.read.parquet(dimPath).unionByName(withCarry)
-        else withCarry
-      writeAndSwap(merged, dimPath)
+      // stage OUTSIDE the live root, commit with ONE atomic rename:
+      // readers scanning dimPath never observe a partial batch
+      // directory, and a replayed batch overwrites the same staging
+      // path then finds the commit already done (idempotent). A batch
+      // that closes nothing still commits its (empty) directory so the
+      // replay check holds.
+      val fs = new org.apache.hadoop.fs.Path(dimPath).getFileSystem(hconf)
+      val stage = new org.apache.hadoop.fs.Path(s"$dimPath.tmpb_$batchId")
+      if (withCarry.isEmpty) {
+        if (fs.exists(stage)) fs.delete(stage, true)
+        fs.mkdirs(stage)
+      } else {
+        withCarry.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      }
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dimPath))
+      if (!fs.rename(stage, new org.apache.hadoop.fs.Path(dimBatchDir)))
+        throw new java.io.IOException(
+          s"scd2 dim commit rename failed: $stage -> $dimBatchDir")
     }
     if (!applied(carryPath)) {
       val lastEvent = b0.groupBy(col("user_id"))
@@ -1620,11 +1644,15 @@ object StreamPipeline {
     val open = spark.read.parquet(carryPath)
       .select(col("user_id"), col("version"), col("state"), col("valid_from"),
         lit(null).cast("timestamp").as("valid_to"), lit(true).as("is_current"))
+    // the dim root is a set of per-batch `batch=<id>` partition dirs
+    // (the explicit select drops the discovered partition column); a
+    // root holding only empty commit dirs has no schema to infer —
+    // same as absent
     val closedOpt =
       if (exists(dimPath))
-        Some(spark.read.parquet(dimPath)
+        scala.util.Try(spark.read.parquet(dimPath)
           .select(col("user_id"), col("version"), col("state"), col("valid_from"),
-            col("valid_to"), lit(false).as("is_current")))
+            col("valid_to"), lit(false).as("is_current"))).toOption
       else None
     closedOpt.fold(open)(_.unionByName(open))
   }

@@ -14,6 +14,7 @@ object VerifyMany {
     list.foreach { name =>
       graft.SparkEntry.queries(name)(spark, sfDir)
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      spark.catalog.clearCache() // caller-owned persists (phraseVocab et al.)
     }
     def esc(sql: String): String = "\"" + sql.flatMap {
       case '"'  => "\\\""

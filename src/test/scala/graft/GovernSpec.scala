@@ -121,6 +121,41 @@ class GovernSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 13L || p._2 == 13L))
   }
 
+  test("q245 hashed payload ≡ q219 string payload on the test corpus") {
+    // the 8-byte md5-15 token keys must reproduce the string-set
+    // answer row for row (collisions would be shared by the oracle,
+    // but on real vocabulary they simply don't occur)
+    def rows(name: String) =
+      GovernQueries.queries(name)(spark, sf()).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Long]("rank_dist"), r.getAs[Long]("n_common"),
+          r.getAs[Double]("jac_r4"))).toSet
+    val s219 = rows("q219_sorted_neighborhood")
+    val s245 = rows("q245_sorted_neighborhood_hashed")
+    assert(s219.nonEmpty)
+    assert(s245 == s219)
+  }
+
+  test("fkKeyGrid: one scan produces every FK's key-grain counts, nulls included") {
+    val child = Seq(
+      (Some(1L), Some(10L)), (Some(1L), Some(20L)),
+      (Some(2L), None), (None, Some(10L))
+    ).toDF("fk_a", "fk_b")
+    val grid = GovernQueries.fkKeyGrid(child, Seq("fk_a", "fk_b"))
+      .collect().map(r => (r.getAs[Int]("f"),
+        Option(r.get(1)).map(_.asInstanceOf[Long]), r.getAs[Long]("n"))).toSet
+    assert(grid == Set(
+      (0, Some(1L), 2L), (0, Some(2L), 1L), (0, None, 1L),
+      (1, Some(10L), 2L), (1, Some(20L), 1L), (1, None, 1L)))
+    // keyed audit over a slice matches the raw-child audit
+    val parent = Seq(1L).toDF("pk")
+    val slice = GovernQueries.fkKeyGrid(child, Seq("fk_a", "fk_b"))
+      .filter(org.apache.spark.sql.functions.col("f") === 0).drop("f")
+    val keyed = GovernQueries.riAuditKeyed("r", slice, parent, "pk").collect().head
+    val raw = GovernQueries.riAudit("r", child, "fk_a", parent, "pk").collect().head
+    assert(keyed.toSeq == raw.toSeq)
+  }
+
   test("scd2 compresses a designed change log into the right validity intervals") {
     val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
     def ts(h: Int) = new java.sql.Timestamp(t0.getTime + h * 3600000L)
