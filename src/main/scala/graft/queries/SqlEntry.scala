@@ -7,17 +7,20 @@ import graft.core.Tables
 /** The SURVEY §3.3(b) entry point: the same queries as the typed
   * Scala API, as `spark.sql()` text over registered temp views — the
   * surface a thriftserver / Spark Connect / notebook user gets when
-  * they can't (or won't) link the Scala library. Ten representative
-  * shapes are covered — the OHLCV rollup (q06), the sliding-window
-  * join (q09), the TPC-H Q1 pricing summary (q13), the window-function
-  * battery (q54), the inverted index (q96), the composed daily panel
-  * (q172, including the custom json_long_field expression through
-  * `spark.sql`), the session summaries (q182), the session lift
-  * (q190), the Shapley attribution (q197, the exact 16-coalition
-  * game in SQL), and the risk-adjusted summary (q199) — each the
-  * EXACT semantics of its typed twin: same op sequence, same decimal
-  * detours, same r4/r2 rounding, so results match bitwise
-  * (SqlEntrySpec pins text ≡ typed for all ten).
+  * they can't (or won't) link the Scala library. Fourteen
+  * representative shapes are covered — the OHLCV rollup (q06), the
+  * sliding-window join (q09), the TPC-H Q1 pricing summary (q13),
+  * the window-function battery (q54), the inverted index (q96), the
+  * composed daily panel (q172, including the custom json_long_field
+  * expression through `spark.sql`), the session summaries (q182),
+  * the session lift (q190), the Shapley attribution (q197, the exact
+  * 16-coalition game in SQL), the risk-adjusted summary (q199), the
+  * RI orphan audit (q216), the PSI drift monitor (q229), the FD
+  * discovery (q234), and the VaR/CVaR risk pair (q221, the
+  * econometrics family's twin) — each the EXACT semantics of its
+  * typed twin: same op sequence, same decimal detours, same r4/r2
+  * rounding, so results match bitwise (SqlEntrySpec pins text ≡
+  * typed for every key in [[texts]]).
   *
   * Custom graft expressions (rolling_hash, minhash_sig, …) reach this
   * surface through [[graft.GraftExtensions]] / `Graft
@@ -435,6 +438,45 @@ object SqlEntry {
         |  CASE WHEN mdd_fp > 0 THEN
         |    floor(mean_d * 252.0D / cast(mdd_fp AS double) * 10000.0D + 0.5D) / 10000.0D
         |  END AS calmar
+        |FROM f""".stripMargin,
+    // q221 — the econometrics family's text twin: historical VaR /
+    // CVaR as a notebook would write it — the same micro-log2 daily
+    // closes (the q199 CTE), exact integer return grid, sorted-array
+    // order statistics, and an exact integer tail fold; the only IEEE
+    // ops (k = ceil(n·0.05) and the two closing divisions) are the
+    // typed plan's, D-suffixed, in the same order, so rows match
+    // bitwise
+    "q221_var_cvar" ->
+      """WITH base AS (
+        |  SELECT event_type, to_date(ts) AS day,
+        |    cast(floor(log2(value) * 1e6 + 0.5D) AS bigint) AS lv,
+        |    ts, event_id
+        |  FROM events WHERE value > 0
+        |), rn AS (
+        |  SELECT event_type, day, lv,
+        |    row_number() OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS rn
+        |  FROM base
+        |), c AS (
+        |  SELECT event_type, day, max_by(lv, rn) AS close_lv
+        |  FROM rn GROUP BY event_type, day
+        |), r AS (
+        |  SELECT event_type,
+        |    close_lv - lag(close_lv) OVER (PARTITION BY event_type ORDER BY day) AS r_fp
+        |  FROM c
+        |), s AS (
+        |  SELECT event_type, sort_array(collect_list(r_fp)) AS xs
+        |  FROM r WHERE r_fp IS NOT NULL GROUP BY event_type
+        |), f AS (
+        |  SELECT event_type, cast(size(xs) AS bigint) AS n_days,
+        |    greatest(1L, ceil(cast(size(xs) AS double) * 0.05D)) AS k_tail, xs
+        |  FROM s
+        |)
+        |SELECT event_type, n_days, k_tail,
+        |  floor((-cast(element_at(xs, cast(k_tail AS int)) AS double)) / 1e6
+        |    * 10000.0D + 0.5D) / 10000.0D AS var95_r4,
+        |  floor((-(cast(aggregate(slice(xs, 1, cast(k_tail AS int)), 0L, (a, e) -> a + e)
+        |      AS double) / cast(k_tail AS double))) / 1e6
+        |    * 10000.0D + 0.5D) / 10000.0D AS cvar95_r4
         |FROM f""".stripMargin,
     "q96_inverted_index" ->
       """WITH t AS (
