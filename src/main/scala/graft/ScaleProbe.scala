@@ -455,6 +455,10 @@ object ScaleProbe {
     time("q217_k_anonymity") { q("q217_k_anonymity") }
     time("q218_entity_match") { q("q218_entity_match") }
     time("q219_sorted_neighborhood") { SparkEntry.queries("q219_sorted_neighborhood")(spark, dstS) }
+    // q245: q219's hashed-payload twin on the same salted corpus —
+    // the probe pair is the exchange-byte evidence (8-byte token
+    // keys vs word strings through the rank+delta join)
+    time("q245_sorted_neighborhood_hashed") { SparkEntry.queries("q245_sorted_neighborhood_hashed")(spark, dstS) }
     time("q220_scd2_build") { q("q220_scd2_build") }
     time("q221_var_cvar") { q("q221_var_cvar") }
     time("q222_kalman_backtest") { q("q222_kalman_backtest") }
