@@ -513,6 +513,17 @@ object ScaleProbe {
     // q244: one event->(user, day) distinct partial agg; x30 fan-out
     // on the user-day grid only
     time("q244_stickiness") { q("q244_stickiness") }
+    // round-12 additions. q246: one distinct (order, part) grid, the
+    // apriori item cut before the basket-bounded pair join (fan-out
+    // Σ|basket|², baskets ≤ 7 by construction); q247: day-grid array
+    // folds after the one DailyCloses partial agg; q248: everything
+    // on the (type, cent-value) / (type, deviation) DOMAIN grids with
+    // chunked running sums — no per-type sort; q249: one user-grain
+    // label agg + one (band, label)-grain partial agg
+    time("q246_basket_rules") { q("q246_basket_rules") }
+    time("q247_acf_ljungbox") { q("q247_acf_ljungbox") }
+    time("q248_mad_outliers") { q("q248_mad_outliers") }
+    time("q249_info_value") { q("q249_info_value") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

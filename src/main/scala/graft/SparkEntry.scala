@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, AuditQueries, BehaviorQueries, CurationQueries, ExtensionQueries, GovernQueries, MarketQueries, ParityQueries, PipelineQueries, RelationalQueries, SketchQueries}
+import graft.queries.{AnalyticsQueries, AuditQueries, BehaviorQueries, CurationQueries, ExtensionQueries, GovernQueries, InsightQueries, MarketQueries, ParityQueries, PipelineQueries, RelationalQueries, SketchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,11 +23,11 @@ object SparkEntry {
     ParityQueries.queries ++ ExtensionQueries.queries ++ AnalyticsQueries.queries ++
       CurationQueries.queries ++ PipelineQueries.queries ++ RelationalQueries.queries ++
       SketchQueries.queries ++ MarketQueries.queries ++ BehaviorQueries.queries ++
-      GovernQueries.queries ++ AuditQueries.queries
+      GovernQueries.queries ++ AuditQueries.queries ++ InsightQueries.queries
 
   def oracleSql: Map[String, String] =
     ParityQueries.oracleSql ++ ExtensionQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
       CurationQueries.oracleSql ++ PipelineQueries.oracleSql ++ RelationalQueries.oracleSql ++
       SketchQueries.oracleSql ++ MarketQueries.oracleSql ++ BehaviorQueries.oracleSql ++
-      GovernQueries.oracleSql ++ AuditQueries.oracleSql
+      GovernQueries.oracleSql ++ AuditQueries.oracleSql ++ InsightQueries.oracleSql
 }

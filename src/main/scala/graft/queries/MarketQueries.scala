@@ -1376,7 +1376,74 @@ object MarketQueries {
         .as("cointegrated"))
   }
 
+  // q247 — AUTOCORRELATION FUNCTION + LJUNG-BOX PORTMANTEAU: the
+  // time-series diagnostic every forecast in this battery implicitly
+  // assumes — are daily returns serially correlated at lags 1..5,
+  // and does the joint Ljung-Box Q statistic reject white noise
+  // (Box & Pierce 1970, Ljung & Box 1978)? Exactness: returns are
+  // exact micro-log2 integers; every ACF is an EXACT INTEGER ratio —
+  // multiplying the demeaned covariance through by n² clears the
+  // rational mean x̄ = s1/n, so ρ_k = B_k / (n·A) with
+  // B_k = n²·Σx_t·x_{t−k} − n·s1·(head_k + tail_k) + (n−k)·s1² and
+  // A = n·Σx² − s1², all in decimal(38,0) (HUGEINT oracle — the
+  // q175 s3/s4 discipline: n²·Σxx wraps LONG at day-grid scale), and
+  // the ONLY IEEE op per lag is the closing divide. Ljung-Box runs
+  // on the QUANTIZED ρ6 integers — each term (ρ6²·1000) DIV (n−k)
+  // is exact integer, so Q needs no float sum across lags. Scale
+  // shape: q221's — one volume-sized DailyCloses partial agg, then
+  // |types| day-grid array folds. Output: |types| rows.
+  private def q247(s: SparkSession, dir: String): DataFrame =
+    acfLjungBox(dailyReturns(s, dir))
+
+  /** q247's closing over any (event_type, day, r_fp) return grid. */
+  private[graft] def acfLjungBox(rets: DataFrame): DataFrame = {
+    val maxLag = 5
+    val base = rets
+      .select(col("event_type"), struct(col("day"), col("r_fp")).as("p"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+      .withColumn("xs", expr("transform(ps, p -> p.r_fp)"))
+      .withColumn("n", size(col("xs")).cast("long"))
+      // exact integer power sums; s1 fits long (|r| <~ 2^24 on a day
+      // grid), Σx² rides decimal like q175's s3/s4
+      .withColumn("s1", expr(
+        "aggregate(xs, CAST(0 AS BIGINT), (a, e) -> a + e)"))
+      .withColumn("sxx", expr(
+        "aggregate(xs, CAST(0 AS DECIMAL(38,0)), (a, e) -> a + CAST(e AS DECIMAL(38,0)) * CAST(e AS DECIMAL(38,0)))"))
+      .withColumn("a_den", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxx - CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0))"))
+    val withLags = (1 to maxLag).foldLeft(base) { (df, k) =>
+      df
+        .withColumn(s"cross$k", expr(
+          s"IF(n > $k, aggregate(transform(sequence($k, CAST(n - 1 AS INT)), " +
+            s"i -> xs[i] * xs[i - $k]), CAST(0 AS DECIMAL(38,0)), (a, e) -> a + e), NULL)"))
+        .withColumn(s"head$k", expr(
+          s"IF(n > $k, aggregate(slice(xs, 1, CAST(n - $k AS INT)), CAST(0 AS BIGINT), (a, e) -> a + e), NULL)"))
+        .withColumn(s"tail$k", expr(
+          s"IF(n > $k, aggregate(slice(xs, $k + 1, CAST(n - $k AS INT)), CAST(0 AS BIGINT), (a, e) -> a + e), NULL)"))
+        .withColumn(s"b$k", expr(
+          s"CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) * cross$k " +
+            s"- CAST(n AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0)) * CAST(head$k + tail$k AS DECIMAL(38,0)) " +
+            s"+ CAST(n - $k AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0))"))
+        .withColumn(s"rho$k", expr(
+          s"IF(n > $k AND a_den > 0, CAST(floor(CAST(b$k AS DOUBLE) " +
+            s"/ CAST(CAST(n AS DECIMAL(38,0)) * a_den AS DOUBLE) * 1e6 + 0.5D) AS BIGINT), NULL)"))
+    }
+    val lbS = (1 to maxLag)
+      .map(k => s"(rho$k * rho$k * 1000L) DIV (n - $k)").mkString(" + ")
+    withLags
+      .withColumn("lb_s", expr(s"IF(n > $maxLag AND a_den > 0, $lbS, NULL)"))
+      .select(
+        (Seq(col("event_type"), col("n").as("n_days")) ++
+          (1 to maxLag).map(k =>
+            (col(s"rho$k").cast("double") / lit(1e6)).as(s"acf${k}_r6")) :+
+          (floor(col("n").cast("double") * (col("n").cast("double") + lit(2.0))
+            * col("lb_s").cast("double") / lit(1e15) * lit(1e4) + lit(0.5))
+            / lit(1e4)).as("lb_q_r4")): _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q247_acf_ljungbox" -> q247 _,
     "q221_var_cvar" -> q221 _,
     "q222_kalman_backtest" -> q222 _,
     "q223_coint_screen" -> q223 _,
@@ -1434,6 +1501,57 @@ object MarketQueries {
       |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q247_acf_ljungbox" -> {
+      val lags = 1 to 5
+      val crosses = lags.map(k =>
+        s"""    CASE WHEN n > $k THEN list_reduce(list_prepend(0::HUGEINT,
+           |      list_transform(range(${k + 1}, (n + 1)::INT), t -> l[t]::HUGEINT * l[t - $k]::HUGEINT)),
+           |      (a, b) -> a + b) END AS cross$k,
+           |    CASE WHEN n > $k THEN list_sum(l[1:(n - $k)::INT])::HUGEINT END AS head$k,
+           |    CASE WHEN n > $k THEN list_sum(l[${k + 1}:n::INT])::HUGEINT END AS tail$k""".stripMargin)
+        .mkString(",\n")
+      val bs = lags.map(k =>
+        s"""    n::HUGEINT * n::HUGEINT * cross$k
+           |      - n::HUGEINT * s1::HUGEINT * (head$k + tail$k)
+           |      + (n - $k)::HUGEINT * s1::HUGEINT * s1::HUGEINT AS b$k""".stripMargin)
+        .mkString(",\n")
+      val rhos = lags.map(k =>
+        s"""    CASE WHEN n > $k AND a_den > 0 THEN
+           |      floor(b$k::DOUBLE / (n::HUGEINT * a_den)::DOUBLE * 1e6 + 0.5)::BIGINT END AS rho$k""".stripMargin)
+        .mkString(",\n")
+      val lbS = lags.map(k => s"(rho$k * rho$k * 1000) // (n - $k)").mkString(" + ")
+      val acfCols = lags.map(k => s"  rho$k::DOUBLE / 1e6 AS acf${k}_r6").mkString(",\n")
+      dayRetCtes +
+        s""", s AS (
+           |  SELECT event_type, list(r_fp ORDER BY day) AS l FROM r GROUP BY 1
+           |), m AS (
+           |  SELECT event_type, l, len(l)::BIGINT AS n,
+           |    list_sum(l)::BIGINT AS s1,
+           |    list_reduce(list_prepend(0::HUGEINT,
+           |      list_transform(l, e -> e::HUGEINT * e::HUGEINT)), (a, b) -> a + b) AS sxx
+           |  FROM s
+           |), d AS (
+           |  SELECT *, n::HUGEINT * sxx - s1::HUGEINT * s1::HUGEINT AS a_den FROM m
+           |), lg AS (
+           |  SELECT *,
+           |$crosses
+           |  FROM d
+           |), bb AS (
+           |  SELECT *,
+           |$bs
+           |  FROM lg
+           |), rr AS (
+           |  SELECT *,
+           |$rhos
+           |  FROM bb
+           |), ss AS (
+           |  SELECT *, CASE WHEN n > 5 AND a_den > 0 THEN $lbS END AS lb_s FROM rr
+           |)
+           |SELECT event_type, n AS n_days,
+           |$acfCols,
+           |  floor(n::DOUBLE * (n::DOUBLE + 2.0) * lb_s::DOUBLE / 1e15 * 1e4 + 0.5) / 1e4 AS lb_q_r4
+           |FROM ss""".stripMargin
+    },
     "q221_var_cvar" ->
       (dayRetCtes +
         """, s AS (

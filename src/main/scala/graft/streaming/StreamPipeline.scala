@@ -1475,12 +1475,10 @@ object StreamPipeline {
       // replay check holds.
       val fs = new org.apache.hadoop.fs.Path(dimPath).getFileSystem(hconf)
       val stage = new org.apache.hadoop.fs.Path(s"$dimPath.tmpb_$batchId")
-      if (withCarry.isEmpty) {
-        if (fs.exists(stage)) fs.delete(stage, true)
-        fs.mkdirs(stage)
-      } else {
-        withCarry.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      }
+      // a close-nothing batch writes an empty stage dir (_SUCCESS, no
+      // part files) — still a valid commit marker, and partition
+      // discovery skips fileless batch dirs on read
+      withCarry.coalesce(1).write.mode("overwrite").parquet(stage.toString)
       fs.mkdirs(new org.apache.hadoop.fs.Path(dimPath))
       if (!fs.rename(stage, new org.apache.hadoop.fs.Path(dimBatchDir)))
         throw new java.io.IOException(

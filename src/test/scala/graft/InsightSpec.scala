@@ -1,0 +1,160 @@
+package graft
+
+import graft.queries.{InsightQueries, MarketQueries}
+
+/** Round-12 decision-analytics surface (q246/q248/q249 + q247):
+  * designed feeds with hand-computed answers for the basket rules,
+  * the median/MAD screen, the WoE/IV screen, and the ACF/Ljung-Box
+  * diagnostic, plus real-feed invariants. */
+class InsightSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- q246 basket rules -----------------------------------------
+  test("basketRules: a planted always-together pair scores lift n/c and confidence 1") {
+    // parts 1 and 2 co-occur in all 5 of their orders; part 3 rides
+    // in every order (lift 1 against anything)
+    val li = (1L to 5L).flatMap(o => Seq((o, 1L), (o, 2L), (o, 3L))) ++
+      (6L to 10L).map(o => (o, 3L))
+    val df = li.toDF("l_orderkey", "l_partkey")
+    val got = InsightQueries.basketRules(df, minItem = 5L, minPair = 2L)
+      .collect().map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b")) -> r).toMap
+    // pair (1,2): c_a=5, c_b=5, c_ab=5, n=10 -> support .5, conf 1/1, lift 10*5/25=2
+    val p12 = got((1L, 2L))
+    assert(p12.getAs[Long]("c_ab") == 5L)
+    assert(p12.getAs[Double]("support_r6") == 0.5)
+    assert(p12.getAs[Double]("conf_a_to_b_r6") == 1.0)
+    assert(p12.getAs[Double]("conf_b_to_a_r6") == 1.0)
+    assert(p12.getAs[Double]("lift_r6") == 2.0)
+    // pair (1,3): c_ab=5, c_a=5, c_b=10 -> lift 10*5/50 = 1 (independent)
+    assert(got((1L, 3L)).getAs[Double]("lift_r6") == 1.0)
+    assert(got((1L, 3L)).getAs[Double]("conf_b_to_a_r6") == 0.5)
+  }
+
+  test("basketRules: the apriori item cut removes sub-support items before pairing") {
+    // part 9 appears twice (< minItem 5) always with part 1 — without
+    // the prune it would be the top-lift pair
+    val li = (1L to 5L).flatMap(o => Seq((o, 1L), (o, 2L))) ++
+      Seq((1L, 9L), (2L, 9L))
+    val got = InsightQueries.basketRules(li.toDF("l_orderkey", "l_partkey"),
+      minItem = 5L, minPair = 2L).collect()
+    assert(!got.exists(r => r.getAs[Long]("part_a") == 9L || r.getAs[Long]("part_b") == 9L))
+    assert(got.length == 1) // only (1,2) survives
+  }
+
+  test("q246 on testdata: deterministic top-k, lift-ordered, counts consistent") {
+    val rows = InsightQueries.queries("q246_basket_rules")(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    val lifts = rows.map(_.getAs[Double]("lift_r6"))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("c_ab") <= math.min(r.getAs[Long]("c_a"), r.getAs[Long]("c_b")))
+      assert(r.getAs[Long]("part_a") < r.getAs[Long]("part_b"))
+    }
+  }
+
+  // ---- q248 median/MAD -------------------------------------------
+  test("madOutliers: hand-computed median, MAD and the exact 3*1.4826 cut") {
+    // values (cents): 100,200,300,400,10000 -> lower median 300 (n=5,
+    // (n+1) DIV 2 = 3); deviations 200,100,0,100,9700 -> sorted
+    // 0,100,100,200,9700 -> MAD 100; cut: |vc-300|*10000 > 44478*100
+    // = 4447800 -> |vc-300| > 444.78 -> only 10000 qualifies
+    val e = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0))
+      .toDF("event_type", "value")
+    val r = InsightQueries.madOutliers(e).collect().head
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Double]("median_r2") == 3.0)
+    assert(r.getAs[Double]("mad_r2") == 1.0)
+    assert(r.getAs[Long]("n_out") == 1L)
+    assert(r.getAs[Double]("out_share_r6") == 0.2)
+  }
+
+  test("madOutliers: robust to the contamination that drags the mean (even n, ties)") {
+    // 6 values, half ties: 10,10,10,20,20,1000 -> (6+1) DIV 2 = 3 ->
+    // median 10 (cum at vc=1000 reaches 3); deviations 0,0,0,10,10,990
+    // -> MAD 0 -> cut 44478*0 = 0 -> every vc != med is an outlier
+    val e = Seq(("a", 0.1), ("a", 0.1), ("a", 0.1), ("a", 0.2), ("a", 0.2), ("a", 10.0))
+      .toDF("event_type", "value")
+    val r = InsightQueries.madOutliers(e).collect().head
+    assert(r.getAs[Double]("median_r2") == 0.1)
+    assert(r.getAs[Double]("mad_r2") == 0.0)
+    assert(r.getAs[Long]("n_out") == 3L)
+  }
+
+  // ---- q249 WoE/IV -----------------------------------------------
+  test("infoValue: a perfectly separating band gets the dominant IV share; totals add up") {
+    // good users (14 purchases) emit value 8.0 (band 3); bad users
+    // (0 purchases) emit value 1.0 (band 0)
+    val ev =
+      (1L to 2L).flatMap { u =>
+        (1 to 14).map(i => (u, "purchase", 8.0)) ++ Seq((u, "view", 8.0))
+      } ++ (3L to 4L).flatMap { u => (1 to 15).map(_ => (u, "view", 1.0)) }
+    val got = InsightQueries.infoValue(
+      ev.toDF("user_id", "event_type", "value")).collect()
+    val bands = got.filter(_.getAs[Long]("band") != -1000000L)
+    val overall = got.find(_.getAs[Long]("band") == -1000000L).get
+    assert(bands.map(_.getAs[Long]("n_good")).sum == overall.getAs[Long]("n_good"))
+    assert(bands.map(_.getAs[Long]("n_bad")).sum == overall.getAs[Long]("n_bad"))
+    val b3 = bands.find(_.getAs[Long]("band") == 3L).get
+    val b0 = bands.find(_.getAs[Long]("band") == 0L).get
+    assert(b3.getAs[Long]("n_good") == 30L && b3.getAs[Long]("n_bad") == 0L)
+    assert(b0.getAs[Long]("n_good") == 0L && b0.getAs[Long]("n_bad") == 30L)
+    assert(b3.getAs[Double]("woe_r6") > 0 && b0.getAs[Double]("woe_r6") < 0)
+    // perfect separation -> strong feature by the standard rubric
+    assert(overall.getAs[Double]("iv_term") > 0.3)
+  }
+
+  test("infoValue: identical distributions score IV ~ 0") {
+    val ev = (1L to 2L).flatMap { u =>
+      (1 to 14).map(_ => (u, "purchase", 4.0)) ++ (1 to 10).map(_ => (u, "view", 1.0))
+    } ++ (3L to 4L).flatMap { u =>
+      (1 to 14).map(_ => (u, "view", 4.0)) ++ (1 to 10).map(_ => (u, "view", 1.0))
+    }
+    val overall = InsightQueries.infoValue(ev.toDF("user_id", "event_type", "value"))
+      .collect().find(_.getAs[Long]("band") == -1000000L).get
+    assert(math.abs(overall.getAs[Double]("iv_term")) < 0.001)
+  }
+
+  // ---- q247 ACF/Ljung-Box ----------------------------------------
+  test("acfLjungBox: a period-2 alternating series scores acf1 = -1, acf2 = +1 exactly") {
+    val d0 = java.sql.Date.valueOf("2024-01-01")
+    def day(i: Int) = new java.sql.Date(d0.getTime + i * 86400000L)
+    // returns +1,-1,+1,-1,... (exactly demeaned already: mean 0 over even n)
+    val rets = (0 until 12).map(i => ("a", day(i), if (i % 2 == 0) 1L else -1L))
+      .toDF("event_type", "day", "r_fp")
+    val r = MarketQueries.acfLjungBox(rets).collect().head
+    assert(r.getAs[Long]("n_days") == 12L)
+    assert(math.abs(r.getAs[Double]("acf1_r6") - (-11.0 / 12.0)) < 1e-5)
+    assert(r.getAs[Double]("acf2_r6") > 0.8)
+    // strongly autocorrelated -> Ljung-Box rejects loudly
+    assert(r.getAs[Double]("lb_q_r4") > 15.0)
+  }
+
+  test("acfLjungBox: constant series has zero variance and null ACFs") {
+    val d0 = java.sql.Date.valueOf("2024-01-01")
+    def day(i: Int) = new java.sql.Date(d0.getTime + i * 86400000L)
+    val rets = (0 until 10).map(i => ("a", day(i), 7L))
+      .toDF("event_type", "day", "r_fp")
+    val r = MarketQueries.acfLjungBox(rets).collect().head
+    assert(r.isNullAt(r.fieldIndex("acf1_r6")))
+    assert(r.isNullAt(r.fieldIndex("lb_q_r4")))
+  }
+
+  test("acfLjungBox replays the textbook formula on a hand-fed series") {
+    val d0 = java.sql.Date.valueOf("2024-01-01")
+    def day(i: Int) = new java.sql.Date(d0.getTime + i * 86400000L)
+    val xs = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L)
+    val rets = xs.zipWithIndex.map { case (x, i) => ("a", day(i), x) }
+      .toDF("event_type", "day", "r_fp")
+    val r = MarketQueries.acfLjungBox(rets).collect().head
+    val n = xs.length
+    val mean = xs.sum.toDouble / n
+    def acf(k: Int): Double = {
+      val num = (k until n).map(t => (xs(t) - mean) * (xs(t - k) - mean)).sum
+      val den = xs.map(x => (x - mean) * (x - mean)).sum
+      num / den
+    }
+    for (k <- 1 to 5)
+      assert(math.abs(r.getAs[Double](s"acf${k}_r6") - acf(k)) < 2e-6,
+        s"lag $k: got ${r.getAs[Double](s"acf${k}_r6")} want ${acf(k)}")
+  }
+}
