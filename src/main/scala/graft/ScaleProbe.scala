@@ -524,6 +524,14 @@ object ScaleProbe {
     time("q247_acf_ljungbox") { q("q247_acf_ljungbox") }
     time("q248_mad_outliers") { q("q248_mad_outliers") }
     time("q249_info_value") { q("q249_info_value") }
+    // q250: the q241 grid + chunked running sums; q251: day-grid pair
+    // join + per-pair rank windows (day-grid rows only); q252: C(n,2)
+    // slope folds on volume-independent day arrays; q253: q249's two
+    // partial aggs + a band-domain self-join
+    time("q250_mann_whitney") { q("q250_mann_whitney") }
+    time("q251_spearman_pairs") { q("q251_spearman_pairs") }
+    time("q252_theil_sen") { q("q252_theil_sen") }
+    time("q253_stump_split") { q("q253_stump_split") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

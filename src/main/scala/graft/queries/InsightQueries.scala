@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -194,13 +195,384 @@ object InsightQueries {
     bands.unionByName(overall)
   }
 
+  // ---------------------------------------------------------------
+  // q250 — MANN-WHITNEY U RANK-SUM DRIFT TEST: the rank-based
+  // two-sample companion to q241's KS — does each event_type's LATE
+  // half tend to larger values than its EARLY half (Mann & Whitney
+  // 1947)? KS sees any distributional change; the U test targets the
+  // location shift a metric owner usually means by "drifted up".
+  // Exactness: the whole statistic is exact integer arithmetic on
+  // the (type, cent-value) grid — midranks double to stay integer
+  // (2·midrank = 2·prev + t + 1), so 2R₁ = Σ_v a_v·(2·prev_v+t_v+1)
+  // and 2U₁ = 2R₁ − n₁(n₁+1) are exact, with every product widened
+  // to decimal(38,0) (HUGEINT oracle) BEFORE multiplying (a_v·prev_v
+  // wraps LONG in the 100 TB regime — the q240/q241 lesson). The
+  // tie-corrected normal z closes in ONE shared IEEE sequence; the
+  // α = 0.05 rejection tests the QUANTIZED |z₄| > 19600, never a raw
+  // float boundary. Scale shape: q241's — one partial agg to grid
+  // grain, chunked running sums, |types| output rows.
+  private def q250(s: SparkSession, dir: String): DataFrame =
+    mannWhitney(Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value")))
+
+  private[graft] def mannWhitney(e: DataFrame): DataFrame = {
+    val bounds = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val vals = e.crossJoin(broadcast(bounds))
+      .withColumn("late",
+        datediff(col("day"), col("d0")) >= expr("(datediff(d1, d0) + 1) DIV 2"))
+      .filter(col("value").isNotNull)
+      .withColumn("vc", floor(col("value") * lit(100d) + lit(0.5d)).cast("long"))
+      .groupBy(col("event_type"), col("vc"))
+      .agg(count(when(!col("late"), lit(1))).as("a"),
+        count(when(col("late"), lit(1))).as("b"))
+      .withColumn("t", col("a") + col("b"))
+    val cum = graft.operators.ChunkedFrame.withRunningSum(
+      vals, "event_type", expr("vc DIV 100"), Seq("vc"), "t", "ct")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val per = cum
+      .withColumn("prev", col("ct") - col("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"),
+        sum(d38(col("a")) * d38(col("prev") * lit(2L) + col("t") + lit(1L)))
+          .as("r1x2"),
+        sum(d38(col("t")) * d38(col("t")) * d38(col("t")) - d38(col("t")))
+          .as("ties"))
+    val dd = (c: Column) => c.cast("double")
+    val u1x2 = col("r1x2") - d38(col("n1")) * d38(col("n1") + lit(1L))
+    val nTot = col("n1") + col("n2")
+    val num = (u1x2 - d38(col("n1")) * d38(col("n2"))).cast("double")
+    val varCore = dd(col("n1")) * dd(col("n2")) *
+      ((dd(nTot) + lit(1.0)) -
+        col("ties").cast("double") / (dd(nTot) * (dd(nTot) - lit(1.0)))) / lit(12.0)
+    val z = num / (lit(2.0) * sqrt(varCore))
+    val z4 = floor(z * lit(1e4) + lit(0.5)).cast("long")
+    per
+      .withColumn("u1", u1x2.cast("double") / lit(2.0))
+      .select(col("event_type"), col("n1").as("n_early"), col("n2").as("n_late"),
+        col("u1"),
+        when(varCore > 0, z4.cast("double") / lit(1e4)).as("z_r4"),
+        when(varCore > 0, abs(z4) > 19600L).as("reject"))
+  }
+
+  // ---------------------------------------------------------------
+  // q251 — SPEARMAN RANK CORRELATION PAIRS SCREEN: the rank-based
+  // companion to the Pearson/cointegration pair screens (q198/q223)
+  // — monotone co-movement that survives outliers and nonlinearity.
+  // Exactness: midranks DOUBLE to stay integer (2·midrank =
+  // 2·rank + ties − 1, from one rank() and one tie-count window per
+  // axis), Spearman is then the Pearson of the doubled ranks — five
+  // exact integer power sums widened to decimal (HUGEINT oracle)
+  // with ONE shared IEEE closing. Ties make the classic 6Σd²
+  // shortcut wrong, midranks keep it exact. Scale shape: returns
+  // join day-grain (the day grid is volume-independent after
+  // DailyCloses' one partial agg); the rank windows partition per
+  // PAIR over day-grid rows — never a volume-sized sort.
+  private def q251(s: SparkSession, dir: String): DataFrame =
+    spearmanPairs(MarketQueries.dailyReturns(s, dir))
+
+  private[graft] def spearmanPairs(rets: DataFrame): DataFrame = {
+    val a = rets.select(col("event_type").as("ta"), col("day"), col("r_fp").as("x"))
+    val b = rets.select(col("event_type").as("tb"), col("day"), col("r_fp").as("y"))
+    val j = a.join(b, Seq("day")).filter(col("ta") < col("tb"))
+    val wx = Window.partitionBy(col("ta"), col("tb")).orderBy(col("x"))
+    val wy = Window.partitionBy(col("ta"), col("tb")).orderBy(col("y"))
+    val twx = Window.partitionBy(col("ta"), col("tb"), col("x"))
+    val twy = Window.partitionBy(col("ta"), col("tb"), col("y"))
+    val ranked = j
+      .withColumn("rx2", lit(2L) * rank().over(wx) + count(lit(1)).over(twx) - lit(1L))
+      .withColumn("ry2", lit(2L) * rank().over(wy) + count(lit(1)).over(twy) - lit(1L))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val g = ranked.groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx2")).as("sx"), sum(col("ry2")).as("sy"),
+        sum(d38(col("rx2")) * d38(col("ry2"))).as("sxy"),
+        sum(d38(col("rx2")) * d38(col("rx2"))).as("sxx"),
+        sum(d38(col("ry2")) * d38(col("ry2"))).as("syy"))
+    val num = (d38(col("n")) * col("sxy") - d38(col("sx")) * d38(col("sy"))).cast("double")
+    val dxx = (d38(col("n")) * col("sxx") - d38(col("sx")) * d38(col("sx"))).cast("double")
+    val dyy = (d38(col("n")) * col("syy") - d38(col("sy")) * d38(col("sy"))).cast("double")
+    g.select(col("ta").as("type_a"), col("tb").as("type_b"), col("n").as("n_days"),
+      when(col("n") > 1 && dxx > 0 && dyy > 0,
+        floor(num / sqrt(dxx * dyy) * lit(1e6) + lit(0.5)) / lit(1e6))
+        .as("spearman_r6"))
+  }
+
+  // ---------------------------------------------------------------
+  // q252 — THEIL-SEN ROBUST TREND: the median of all pairwise slopes
+  // of each instrument's daily-close series (Theil 1950, Sen 1968) —
+  // the trend estimate a single flash-crash day cannot drag, next to
+  // the OLS slope it is robust AGAINST (reported alongside for the
+  // contrast). Exactness: closes are micro-log2 integers on the
+  // day-INDEX axis, so each pairwise slope is one IEEE divide of
+  // exact ints — identical doubles on both engines — and the median
+  // is the LOWER median (order statistic, no interpolation) of the
+  // sorted slope list; the OLS twin closes from exact integer power
+  // sums (decimal-widened / HUGEINT). Scale shape: the day grid is
+  // volume-independent, so the C(n,2) slope enumeration is a
+  // per-type ARRAY fold over bounded n — never a row-grain pair
+  // join. Output: |types| rows, slopes in log2-units/day.
+  private def q252(s: SparkSession, dir: String): DataFrame =
+    theilSen(graft.operators.DailyCloses.closes(
+      graft.operators.DailyCloses.state(Tables.events(s, dir))))
+
+  private[graft] def theilSen(cl: DataFrame): DataFrame = {
+    val base = cl
+      .select(col("event_type"), struct(col("day"), col("close_lv")).as("p"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+      .withColumn("xs", expr("transform(ps, p -> p.close_lv)"))
+      .withColumn("m", size(col("xs")).cast("long"))
+      .filter(col("m") >= 2)
+      .withColumn("slopes", expr(
+        "sort_array(flatten(transform(sequence(0, CAST(m - 2 AS INT)), " +
+          "i -> transform(sequence(i + 1, CAST(m - 1 AS INT)), " +
+          "j -> CAST(xs[j] - xs[i] AS DOUBLE) / CAST(j - i AS DOUBLE)))))"))
+      .withColumn("np", size(col("slopes")).cast("long"))
+      .withColumn("ts_fp", expr("element_at(slopes, CAST((np + 1) DIV 2 AS INT))"))
+      // OLS twin over the same (index, close) points: exact integer
+      // power sums, decimal-widened
+      .withColumn("st", expr(
+        "aggregate(sequence(0, CAST(m - 1 AS INT)), CAST(0 AS BIGINT), (a, i) -> a + i)"))
+      .withColumn("sy", expr(
+        "aggregate(xs, CAST(0 AS BIGINT), (a, e) -> a + e)"))
+      .withColumn("sty", expr(
+        "aggregate(sequence(0, CAST(m - 1 AS INT)), CAST(0 AS DECIMAL(38,0)), " +
+          "(a, i) -> a + CAST(i AS DECIMAL(38,0)) * CAST(xs[i] AS DECIMAL(38,0)))"))
+      .withColumn("stt", expr(
+        "aggregate(sequence(0, CAST(m - 1 AS INT)), CAST(0 AS DECIMAL(38,0)), " +
+          "(a, i) -> a + CAST(i AS DECIMAL(38,0)) * CAST(i AS DECIMAL(38,0)))"))
+    val olsNum = (expr("CAST(m AS DECIMAL(38,0)) * sty") -
+      expr("CAST(st AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))")).cast("double")
+    val olsDen = (expr("CAST(m AS DECIMAL(38,0)) * stt") -
+      expr("CAST(st AS DECIMAL(38,0)) * CAST(st AS DECIMAL(38,0))")).cast("double")
+    base.select(col("event_type"), col("m").as("n_days"), col("np").as("n_pairs"),
+      r4(col("ts_fp") / lit(1e6)).as("ts_slope_r4"),
+      when(olsDen > 0, r4(olsNum / olsDen / lit(1e6))).as("ols_slope_r4"))
+  }
+
+  // ---------------------------------------------------------------
+  // q253 — DECISION-STUMP SPLIT / INFORMATION GAIN: the one-level
+  // tree a feature platform fits first — over q249's value bands and
+  // power-buyer label, which threshold "band ≤ θ" maximizes
+  // information gain (Quinlan 1986)? The readout next to q249: IV
+  // says the feature separates, the stump says WHERE to cut it.
+  // Exactness: all counts are exact integers off the same (band,
+  // label) cells as q249; cumulative left/right splits come from a
+  // band-domain self-join (≤|bands|² ~ tiny — no window, no sort);
+  // each candidate's gain is PER-ROW double arithmetic over exact
+  // integer ratios (ln is cross-engine-safe; nothing float ever
+  // sums ACROSS rows), quantized to r6; the best row is the QUANTIZED
+  // argmax with the smallest-band tiebreak — an integer decision.
+  // Scale shape: q249's two partial aggs; everything after is
+  // band-domain. Output: one row per candidate threshold.
+  private def q253(s: SparkSession, dir: String): DataFrame =
+    stumpSplit(Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("value")))
+
+  private[graft] def stumpSplit(e: DataFrame): DataFrame = {
+    val labels = e.groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", lit(1L))
+        .otherwise(lit(0L))).as("np"))
+      .select(col("user_id"), (col("np") > 13L).as("good"))
+    val cells = e.filter(col("value").isNotNull)
+      .join(labels, Seq("user_id"))
+      .groupBy(AuditQueries.valueBand(col("value")).as("band"))
+      .agg(coalesce(sum(when(col("good"), lit(1L))), lit(0L)).as("g"),
+        coalesce(sum(when(!col("good"), lit(1L))), lit(0L)).as("b"))
+    val tot = cells.agg(sum(col("g")).as("tg"), sum(col("b")).as("tb"),
+      max(col("band")).as("maxband"))
+    // cumulative left counts by a band-domain self-join (≤|bands|²)
+    val cum = cells.select(col("band").as("thr"))
+      .join(cells, col("band") <= col("thr"))
+      .groupBy(col("thr"))
+      .agg(sum(col("g")).as("gl"), sum(col("b")).as("bl"))
+    val dd = (c: Column) => c.cast("double")
+    def h(g: Column, b: Column): Column = {
+      val n = dd(g) + dd(b)
+      val pg = dd(g) / n
+      val pb = dd(b) / n
+      when(g === 0L || b === 0L, lit(0.0))
+        .otherwise(-(pg * log(pg) + pb * log(pb)))
+    }
+    val withTot = cum.crossJoin(broadcast(tot))
+      .filter(col("thr") < col("maxband")) // right side must be non-empty
+      .withColumn("gr", col("tg") - col("gl"))
+      .withColumn("br", col("tb") - col("bl"))
+    val n = dd(col("tg")) + dd(col("tb"))
+    val nL = dd(col("gl")) + dd(col("bl"))
+    val nR = dd(col("gr")) + dd(col("br"))
+    val gain = h(col("tg"), col("tb")) -
+      (nL / n) * h(col("gl"), col("bl")) - (nR / n) * h(col("gr"), col("br"))
+    val scored = withTot
+      .withColumn("gain_r6", floor(gain * lit(1e6) + lit(0.5)) / lit(1e6))
+    val best = scored.agg(max(col("gain_r6")).as("bg"))
+    val bestThr = scored.join(broadcast(best), scored("gain_r6") === best("bg"))
+      .agg(min(col("thr")).as("bthr"))
+    scored.crossJoin(broadcast(bestThr))
+      .select(col("thr").as("band_thresh"),
+        col("gl").as("n_left_good"), col("bl").as("n_left_bad"),
+        col("gr").as("n_right_good"), col("br").as("n_right_bad"),
+        col("gain_r6"), (col("thr") === col("bthr")).as("is_best"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q246_basket_rules" -> q246 _,
     "q248_mad_outliers" -> q248 _,
-    "q249_info_value" -> q249 _
+    "q249_info_value" -> q249 _,
+    "q250_mann_whitney" -> q250 _,
+    "q251_spearman_pairs" -> q251 _,
+    "q252_theil_sen" -> q252 _,
+    "q253_stump_split" -> q253 _
   )
 
+  /** The entropy term H(g, b), mirrored textually between engines —
+    * the exact expression shape of [[stumpSplit]]'s `h`. */
+  private def hSql(g: String, b: String): String =
+    s"CASE WHEN $g = 0 OR $b = 0 THEN 0.0 ELSE " +
+      s"-(($g::DOUBLE / ($g::DOUBLE + $b::DOUBLE)) * ln($g::DOUBLE / ($g::DOUBLE + $b::DOUBLE)) " +
+      s"+ ($b::DOUBLE / ($g::DOUBLE + $b::DOUBLE)) * ln($b::DOUBLE / ($g::DOUBLE + $b::DOUBLE))) END"
+
   val oracleSql: Map[String, String] = Map(
+    "q250_mann_whitney" ->
+      """WITH e AS (
+        |  SELECT event_type, ts::TIMESTAMP::DATE AS day, value FROM events
+        |), bd AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |v AS (
+        |  SELECT event_type,
+        |    date_diff('day', d0, day) >= (date_diff('day', d0, d1) + 1) // 2 AS late,
+        |    floor(value * 100 + 0.5)::BIGINT AS vc
+        |  FROM e, bd WHERE value IS NOT NULL
+        |), g AS (
+        |  SELECT event_type, vc,
+        |    count(CASE WHEN NOT late THEN 1 END)::BIGINT AS a,
+        |    count(CASE WHEN late THEN 1 END)::BIGINT AS b,
+        |    count(*)::BIGINT AS t
+        |  FROM v GROUP BY 1, 2
+        |), cc AS (
+        |  SELECT *, (sum(t) OVER (PARTITION BY event_type ORDER BY vc
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)::HUGEINT AS prev
+        |  FROM g
+        |), per AS (
+        |  SELECT event_type, sum(a)::BIGINT AS n1, sum(b)::BIGINT AS n2,
+        |    sum(a::HUGEINT * (prev * 2 + t::HUGEINT + 1)) AS r1x2,
+        |    sum(t::HUGEINT * t::HUGEINT * t::HUGEINT - t::HUGEINT) AS ties
+        |  FROM cc GROUP BY 1
+        |), f AS (
+        |  SELECT *, r1x2 - n1::HUGEINT * (n1 + 1)::HUGEINT AS u1x2,
+        |    (n1 + n2)::BIGINT AS nt
+        |  FROM per
+        |), zz AS (
+        |  SELECT *,
+        |    (u1x2 - n1::HUGEINT * n2::HUGEINT)::DOUBLE AS num,
+        |    n1::DOUBLE * n2::DOUBLE * ((nt::DOUBLE + 1.0)
+        |      - ties::DOUBLE / (nt::DOUBLE * (nt::DOUBLE - 1.0))) / 12.0 AS varc
+        |  FROM f
+        |)
+        |SELECT event_type, n1 AS n_early, n2 AS n_late, u1x2::DOUBLE / 2.0 AS u1,
+        |  CASE WHEN varc > 0 THEN
+        |    floor(num / (2.0 * sqrt(varc)) * 1e4 + 0.5)::BIGINT::DOUBLE / 1e4 END AS z_r4,
+        |  CASE WHEN varc > 0 THEN
+        |    abs(floor(num / (2.0 * sqrt(varc)) * 1e4 + 0.5)::BIGINT) > 19600 END AS reject
+        |FROM zz""".stripMargin,
+    "q251_spearman_pairs" ->
+      (MarketQueries.dayRetCtes +
+        """, j AS (
+          |  SELECT a.event_type AS ta, b.event_type AS tb, a.day,
+          |    a.r_fp AS x, b.r_fp AS y
+          |  FROM r a JOIN r b ON a.day = b.day AND a.event_type < b.event_type
+          |), rk AS (
+          |  SELECT ta, tb,
+          |    2 * rank() OVER (PARTITION BY ta, tb ORDER BY x)
+          |      + count(*) OVER (PARTITION BY ta, tb, x) - 1 AS rx2,
+          |    2 * rank() OVER (PARTITION BY ta, tb ORDER BY y)
+          |      + count(*) OVER (PARTITION BY ta, tb, y) - 1 AS ry2
+          |  FROM j
+          |), gg AS (
+          |  SELECT ta, tb, count(*)::BIGINT AS n,
+          |    sum(rx2)::BIGINT AS sx, sum(ry2)::BIGINT AS sy,
+          |    sum(rx2::HUGEINT * ry2::HUGEINT) AS sxy,
+          |    sum(rx2::HUGEINT * rx2::HUGEINT) AS sxx,
+          |    sum(ry2::HUGEINT * ry2::HUGEINT) AS syy
+          |  FROM rk GROUP BY 1, 2
+          |)
+          |SELECT ta AS type_a, tb AS type_b, n AS n_days,
+          |  CASE WHEN n > 1
+          |    AND (n::HUGEINT * sxx - sx::HUGEINT * sx::HUGEINT)::DOUBLE > 0
+          |    AND (n::HUGEINT * syy - sy::HUGEINT * sy::HUGEINT)::DOUBLE > 0
+          |  THEN floor((n::HUGEINT * sxy - sx::HUGEINT * sy::HUGEINT)::DOUBLE
+          |    / sqrt((n::HUGEINT * sxx - sx::HUGEINT * sx::HUGEINT)::DOUBLE
+          |         * (n::HUGEINT * syy - sy::HUGEINT * sy::HUGEINT)::DOUBLE)
+          |    * 1e6 + 0.5) / 1e6 END AS spearman_r6
+          |FROM gg""".stripMargin),
+    "q252_theil_sen" ->
+      (MarketQueries.dayRetCtes +
+        """, s AS (
+          |  SELECT event_type, list(close_lv ORDER BY day) AS xs FROM c GROUP BY 1
+          |), mm AS (
+          |  SELECT event_type, xs, len(xs)::BIGINT AS m FROM s WHERE len(xs) >= 2
+          |), sl AS (
+          |  SELECT event_type, xs, m,
+          |    list_sort(flatten(list_transform(range(1, m::INT),
+          |      i -> list_transform(range(i + 1, (m + 1)::INT),
+          |        j -> (xs[j] - xs[i])::DOUBLE / (j - i)::DOUBLE)))) AS slopes
+          |  FROM mm
+          |), ff AS (
+          |  SELECT event_type, m, len(slopes)::BIGINT AS np,
+          |    slopes[((len(slopes) + 1) // 2)::INT] AS ts_fp,
+          |    list_sum(range(0, m::INT))::BIGINT AS st,
+          |    list_sum(xs)::BIGINT AS sy,
+          |    list_sum(list_transform(range(0, m::INT),
+          |      i -> i::HUGEINT * xs[i + 1]::HUGEINT)) AS sty,
+          |    list_sum(list_transform(range(0, m::INT),
+          |      i -> i::HUGEINT * i::HUGEINT)) AS stt
+          |  FROM sl
+          |)
+          |SELECT event_type, m AS n_days, np AS n_pairs,
+          |  floor(ts_fp / 1e6 * 10000 + 0.5)/10000 AS ts_slope_r4,
+          |  CASE WHEN (m::HUGEINT * stt - st::HUGEINT * st::HUGEINT)::DOUBLE > 0 THEN
+          |    floor((m::HUGEINT * sty - st::HUGEINT * sy::HUGEINT)::DOUBLE
+          |      / (m::HUGEINT * stt - st::HUGEINT * st::HUGEINT)::DOUBLE
+          |      / 1e6 * 10000 + 0.5)/10000 END AS ols_slope_r4
+          |FROM ff""".stripMargin),
+    "q253_stump_split" -> {
+      val hp = hSql("tg", "tb")
+      val hl = hSql("gl", "bl")
+      val hr = hSql("gr", "br")
+      s"""WITH lab AS (
+         |  SELECT user_id,
+         |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 13 AS good
+         |  FROM events GROUP BY 1
+         |), cells AS (
+         |  SELECT CASE WHEN value > 0
+         |      THEN CAST(floor(floor(log2(value) * 1e6 + 0.5)::BIGINT / 1000000.0) AS BIGINT)
+         |      ELSE -999 END AS band,
+         |    coalesce(sum(CASE WHEN good THEN 1 END), 0)::BIGINT AS g,
+         |    coalesce(sum(CASE WHEN NOT good THEN 1 END), 0)::BIGINT AS b
+         |  FROM events JOIN lab USING (user_id)
+         |  WHERE value IS NOT NULL GROUP BY 1
+         |), tot AS (
+         |  SELECT sum(g)::BIGINT AS tg, sum(b)::BIGINT AS tb, max(band) AS maxband
+         |  FROM cells
+         |), cum AS (
+         |  SELECT a.band AS thr, sum(c2.g)::BIGINT AS gl, sum(c2.b)::BIGINT AS bl
+         |  FROM (SELECT band FROM cells) a JOIN cells c2 ON c2.band <= a.band
+         |  GROUP BY 1
+         |), sc AS (
+         |  SELECT thr, gl, bl, tg - gl AS gr, tb - bl AS br, tg, tb
+         |  FROM cum, tot WHERE thr < maxband
+         |), scored AS (
+         |  SELECT thr, gl, bl, gr, br,
+         |    floor(($hp
+         |      - ((gl::DOUBLE + bl::DOUBLE) / (tg::DOUBLE + tb::DOUBLE)) * ($hl)
+         |      - ((gr::DOUBLE + br::DOUBLE) / (tg::DOUBLE + tb::DOUBLE)) * ($hr))
+         |      * 1e6 + 0.5) / 1e6 AS gain_r6
+         |  FROM sc
+         |), bb AS (SELECT max(gain_r6) AS bg FROM scored),
+         |bt AS (SELECT min(thr) AS bthr FROM scored, bb WHERE gain_r6 = bg)
+         |SELECT thr AS band_thresh, gl AS n_left_good, bl AS n_left_bad,
+         |  gr AS n_right_good, br AS n_right_bad, gain_r6, thr = bthr AS is_best
+         |FROM scored, bt""".stripMargin
+    },
     "q246_basket_rules" ->
       """WITH sp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |nn AS (SELECT count(DISTINCT o)::BIGINT AS n FROM sp),

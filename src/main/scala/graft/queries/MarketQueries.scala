@@ -644,7 +644,7 @@ object MarketQueries {
   /** Daily close-to-close micro-log2 returns per instrument — the
     * q159/q170 construction, shared by the day-grid statistics
     * (q175/q176/q179): [[dailyCloses]] + one day-grain lag. */
-  private def dailyReturns(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def dailyReturns(s: SparkSession, dir: String): DataFrame = {
     val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
     dailyCloses(s, dir)
       .withColumn("prev", lag(col("close_lv"), 1).over(wd))
@@ -1482,7 +1482,7 @@ object MarketQueries {
   /** Shared WITH-prefix for the day-grid statistics (q175/q176/q179):
     * the q159/q170 daily close-to-close micro-log2 return
     * construction, ending at `r (event_type, day, r_fp)`. */
-  private def dayRetCtes: String =
+  private[graft] def dayRetCtes: String =
     """WITH e AS (
       |  SELECT event_type, ts::TIMESTAMP AS ts, event_id, value,
       |    ts::TIMESTAMP::DATE AS day,

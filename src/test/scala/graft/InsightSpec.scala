@@ -114,6 +114,117 @@ class InsightSpec extends SparkSpec {
     assert(math.abs(overall.getAs[Double]("iv_term")) < 0.001)
   }
 
+  // ---- q250 Mann-Whitney -----------------------------------------
+  private def dayVals(rows: Seq[(String, Int, Double)]) = {
+    val d0 = java.sql.Date.valueOf("2024-01-01")
+    rows.map { case (t, d, v) =>
+      (t, new java.sql.Date(d0.getTime + d * 86400000L), v)
+    }.toDF("event_type", "day", "value")
+  }
+
+  test("mannWhitney: complete separation lands exactly on the textbook z and the 1.96 boundary") {
+    // early {1,2,3} vs late {4,5,6}: U1 = 0, z = -9 / (2*sqrt(5.25))
+    // = -1.96396 -> z4 = -19640, |z4| > 19600 -> reject
+    val e = dayVals(Seq(("a", 0, 0.01), ("a", 1, 0.02), ("a", 2, 0.03),
+      ("a", 3, 0.04), ("a", 4, 0.05), ("a", 5, 0.06)))
+    val r = InsightQueries.mannWhitney(e).collect().head
+    assert(r.getAs[Long]("n_early") == 3L && r.getAs[Long]("n_late") == 3L)
+    assert(r.getAs[Double]("u1") == 0.0)
+    assert(r.getAs[Double]("z_r4") == -1.964)
+    assert(r.getAs[Boolean]("reject"))
+  }
+
+  test("mannWhitney: midranks and the tie correction are exact on a designed tie") {
+    // early {1,2} late {2,3} (cents 100,200 | 200,300): R1 = 1 + 2.5
+    // -> u1 = 0.5; T = 6 -> var = 1.5 -> z = -3/(2*sqrt(1.5)) = -1.2247
+    val e = dayVals(Seq(("a", 0, 1.0), ("a", 1, 2.0), ("a", 2, 2.0), ("a", 3, 3.0)))
+    val r = InsightQueries.mannWhitney(e).collect().head
+    assert(r.getAs[Double]("u1") == 0.5)
+    assert(math.abs(r.getAs[Double]("z_r4") - (-1.2247)) < 1e-9)
+    assert(!r.getAs[Boolean]("reject"))
+  }
+
+  // ---- q251 Spearman ----------------------------------------------
+  private def retRows(rows: Seq[(String, Int, Long)]) = {
+    val d0 = java.sql.Date.valueOf("2024-01-01")
+    rows.map { case (t, d, r) =>
+      (t, new java.sql.Date(d0.getTime + d * 86400000L), r)
+    }.toDF("event_type", "day", "r_fp")
+  }
+
+  test("spearmanPairs: monotone nonlinear relation scores exactly +1, inverted -1") {
+    val rets = retRows(
+      (0 until 4).map(i => ("a", i, (i + 1).toLong)) ++
+        (0 until 4).map(i => ("b", i, math.pow(i + 1, 3).toLong)) ++
+        (0 until 4).map(i => ("c", i, -(i + 1).toLong)))
+    val got = InsightQueries.spearmanPairs(rets).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) -> r).toMap
+    assert(got(("a", "b")).getAs[Double]("spearman_r6") == 1.0)
+    assert(got(("a", "c")).getAs[Double]("spearman_r6") == -1.0)
+    assert(got(("b", "c")).getAs[Double]("spearman_r6") == -1.0)
+  }
+
+  test("spearmanPairs: outlier that wrecks Pearson leaves Spearman at 1 (rank invariance)") {
+    val rets = retRows(
+      Seq(("a", 0, 1L), ("a", 1, 2L), ("a", 2, 3L), ("a", 3, 4L),
+        ("b", 0, 10L), ("b", 1, 20L), ("b", 2, 30L), ("b", 3, 4000000L)))
+    val got = InsightQueries.spearmanPairs(rets).collect().head
+    assert(got.getAs[Double]("spearman_r6") == 1.0)
+  }
+
+  // ---- q252 Theil-Sen ----------------------------------------------
+  test("theilSen: the median slope ignores the flash-crash day OLS is dragged by") {
+    val d0 = java.sql.Date.valueOf("2024-01-01")
+    def day(i: Int) = new java.sql.Date(d0.getTime + i * 86400000L)
+    // perfect 1.0-log2/day line with one wild last day
+    val cl = Seq(0L, 1000000L, 2000000L, 3000000L, 100000000L).zipWithIndex
+      .map { case (lv, i) => ("a", day(i), lv) }
+      .toDF("event_type", "day", "close_lv")
+    val r = InsightQueries.theilSen(cl).collect().head
+    assert(r.getAs[Long]("n_days") == 5L && r.getAs[Long]("n_pairs") == 10L)
+    assert(r.getAs[Double]("ts_slope_r4") == 1.0)
+    assert(r.getAs[Double]("ols_slope_r4") > 10.0) // dragged by the outlier
+  }
+
+  test("theilSen: exact line recovers the slope exactly on both estimators") {
+    val d0 = java.sql.Date.valueOf("2024-01-01")
+    def day(i: Int) = new java.sql.Date(d0.getTime + i * 86400000L)
+    val cl = (0 until 6).map(i => ("a", day(i), i * 500000L))
+      .toDF("event_type", "day", "close_lv")
+    val r = InsightQueries.theilSen(cl).collect().head
+    assert(r.getAs[Double]("ts_slope_r4") == 0.5)
+    assert(r.getAs[Double]("ols_slope_r4") == 0.5)
+  }
+
+  // ---- q253 decision stump ----------------------------------------
+  test("stumpSplit: a perfectly separating band cut recovers the full parent entropy ln 2") {
+    // good users (14 purchases) emit band 3; bad users band 0 — the
+    // only candidate threshold (band 0) splits perfectly, so gain =
+    // H(parent) = ln 2
+    val ev =
+      (1L to 2L).flatMap { u =>
+        (1 to 14).map(_ => (u, "purchase", 8.0)) ++ Seq((u, "view", 8.0))
+      } ++ (3L to 4L).flatMap { u => (1 to 15).map(_ => (u, "view", 1.0)) }
+    val got = InsightQueries.stumpSplit(
+      ev.toDF("user_id", "event_type", "value")).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("band_thresh") == 0L)
+    assert(r.getAs[Long]("n_left_good") == 0L && r.getAs[Long]("n_left_bad") == 30L)
+    assert(r.getAs[Long]("n_right_good") == 30L && r.getAs[Long]("n_right_bad") == 0L)
+    assert(r.getAs[Double]("gain_r6") == 0.693147)
+    assert(r.getAs[Boolean]("is_best"))
+  }
+
+  test("stumpSplit on testdata: exactly one best row, gains bounded by parent entropy") {
+    val rows = InsightQueries.queries("q253_stump_split")(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    assert(rows.count(_.getAs[Boolean]("is_best")) == 1)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("gain_r6") >= -1e-6 && r.getAs[Double]("gain_r6") < 0.6932)
+    }
+  }
+
   // ---- q247 ACF/Ljung-Box ----------------------------------------
   test("acfLjungBox: a period-2 alternating series scores acf1 = -1, acf2 = +1 exactly") {
     val d0 = java.sql.Date.valueOf("2024-01-01")
