@@ -61,17 +61,57 @@ object InsightQueries {
     // (transform/filter run INTERPRETED per element — 56 s of
     // allocation churn vs the codegen join) and a persisted basket
     // table (array columns cache columnar-slow: 133 s re-read).
+    // the cell grid persists FLAT (two longs + a count — the
+    // cache-friendly shape; array caches measured 133 s re-read):
+    // rulesFromCells reads it three ways. Release is caller-owned via
+    // the harness clearCache convention.
+    rulesFromCells(
+      basketCells(lineitem)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      minItem, minPair, topK)
+  }
+
+  /** The additive (ka, kb, cnt) COUNTING-CELL grid of an order-line
+    * feed — q246's mergeable state: pair cells (both keys set),
+    * item-support cells (kb null), and the order-count sentinel (both
+    * null), all built off the one reused order-key exchange. Cells
+    * merge by ADDITION across disjoint order sets, so the same build
+    * serves batch q246 and the streaming maintainer
+    * (StreamPipeline.basketMaintain — contract there: an order's
+    * lines arrive within ONE micro-batch, the completed-basket /
+    * transactional-outbox shape). */
+  private[graft] def basketCells(lineitem: DataFrame): DataFrame = {
     val sp = lineitem
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .repartition(col("o"))
       .distinct() // clustering satisfied by hashpartitioning(o): no exchange
-    val nOrders = sp.select(col("o")).distinct().agg(count(lit(1)).as("n"))
-    val items = sp.groupBy(col("p")).agg(count(lit(1)).as("c"))
-      .filter(col("c") >= minItem)
+    val nOrders = sp.select(col("o")).distinct().agg(count(lit(1)).as("cnt"))
+      .select(lit(null).cast("long").as("ka"), lit(null).cast("long").as("kb"),
+        col("cnt"))
+    val items = sp.groupBy(col("p")).agg(count(lit(1)).as("cnt"))
+      .select(col("p").cast("long").as("ka"), lit(null).cast("long").as("kb"),
+        col("cnt"))
     val a = sp.select(col("o"), col("p").as("pa"))
     val b = sp.select(col("o"), col("p").as("pb"))
     val pairs = a.join(b, Seq("o")).filter(col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cab"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cnt"))
+      .select(col("pa").cast("long").as("ka"), col("pb").cast("long").as("kb"),
+        col("cnt"))
+    pairs.unionByName(items).unionByName(nOrders)
+  }
+
+  /** q246's closing over any (ka, kb, cnt) cell grid — ONE code path
+    * with the streaming serve (StreamPipeline.basketServe). */
+  private[graft] def rulesFromCells(cells: DataFrame,
+                                    minItem: Long = 5L, minPair: Long = 2L,
+                                    topK: Int = 100): DataFrame = {
+    val nOrders = cells.filter(col("ka").isNull && col("kb").isNull)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n"))
+    val items = cells.filter(col("ka").isNotNull && col("kb").isNull)
+      .select(col("ka").as("p"), col("cnt").as("c"))
+      .filter(col("c") >= minItem)
+    val pairs = cells.filter(col("ka").isNotNull && col("kb").isNotNull)
+      .select(col("ka").as("pa"), col("kb").as("pb"), col("cnt").as("cab"))
       .filter(col("cab") >= minPair)
     val d = (c: Column) => c.cast("double")
     val r6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
@@ -110,10 +150,21 @@ object InsightQueries {
   private def q248(s: SparkSession, dir: String): DataFrame =
     madOutliers(Tables.events(s, dir).select(col("event_type"), col("value")))
 
-  private[graft] def madOutliers(e: DataFrame): DataFrame = {
-    val g1 = e.filter(col("value").isNotNull)
+  /** The additive (event_type, cent-value) count grid — q248's
+    * mergeable state (domain-bounded, merge-by-addition, no arrival
+    * contract: the psiGrid convergence class), shared by the declared
+    * query and the streaming maintainer (StreamPipeline.madMaintain). */
+  private[graft] def madGrid(e: DataFrame): DataFrame =
+    e.filter(col("value").isNotNull)
       .withColumn("vc", floor(col("value") * lit(100d) + lit(0.5d)).cast("long"))
       .groupBy(col("event_type"), col("vc")).agg(count(lit(1)).as("x"))
+
+  private[graft] def madOutliers(e: DataFrame): DataFrame =
+    madFromGrid(madGrid(e))
+
+  /** q248's closing over any (event_type, vc, x) grid — ONE code path
+    * with the streaming serve (StreamPipeline.madServe). */
+  private[graft] def madFromGrid(g1: DataFrame): DataFrame = {
     val tot = g1.groupBy(col("event_type")).agg(sum(col("x")).as("n"))
     def lowerMedian(grid: DataFrame, vCol: String): DataFrame =
       graft.operators.ChunkedFrame.withRunningSum(

@@ -1630,6 +1630,114 @@ object StreamPipeline {
       spark.read.parquet(regPath).select(col("source"), col("bucket"), col("m")))
       .select(col("source"), col("n_buckets_used"), col("hll_est_r2"))
 
+  /** STREAMING MEDIAN/MAD MAINTENANCE (leg 26): q248's robust
+    * outlier screen kept live. The only state the median/MAD pair
+    * needs is the additive (event_type, cent-value) count grid —
+    * domain-bounded, merge-by-addition, NO arrival contract (the
+    * psiMaintain convergence class: late, split, or shuffled feeds
+    * converge to the same store). Serving runs q248's ENTIRE closing
+    * — both lower medians, the integer 3·1.4826 cut — through the
+    * SAME madFromGrid the declared query calls, so serve ≡ batch
+    * q248 is structural once the maintained grid equals the batch
+    * grid. Marker idempotence + pre-read heal + atomic swap as in
+    * every maintainer. */
+  def madMaintain(eventsStream: DataFrame, gridPath: String, checkpoint: String,
+                  trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    eventsStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        madBatch(batch, gridPath, batchId)
+      }
+      .start()
+
+  /** One [[madMaintain]] micro-batch. */
+  private[graft] def madBatch(batch: DataFrame, gridPath: String,
+                              batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    graft.batch.AtomicSwap.heal(hconf, gridPath)
+    val hp = new org.apache.hadoop.fs.Path(gridPath)
+    val exists = hp.getFileSystem(hconf).exists(hp)
+    if (exists && hp.getFileSystem(hconf)
+        .exists(new org.apache.hadoop.fs.Path(s"$gridPath/_graft_batch_$batchId"))) return
+    val delta = graft.queries.InsightQueries.madGrid(
+      batch.select(col("event_type"), col("value")))
+    val merged =
+      if (exists)
+        spark.read.parquet(gridPath).unionByName(delta)
+          .groupBy(col("event_type"), col("vc"))
+          .agg(sum(col("x")).cast("long").as("x"))
+      else delta
+    merged.coalesce(1).write.mode("overwrite").parquet(gridPath + ".tmp")
+    val marker = new org.apache.hadoop.fs.Path(s"$gridPath.tmp/_graft_batch_$batchId")
+    marker.getFileSystem(hconf).create(marker, true).close()
+    graft.batch.AtomicSwap.swapInto(hconf, gridPath + ".tmp", gridPath)
+  }
+
+  /** The q248 result served from the maintained value grid — the SAME
+    * madFromGrid closing the declared query calls. */
+  def madServe(spark: SparkSession, gridPath: String): DataFrame =
+    graft.queries.InsightQueries.madFromGrid(
+      spark.read.parquet(gridPath).select(col("event_type"), col("vc"), col("x")))
+
+  /** STREAMING BASKET-RULES MAINTENANCE (leg 27): q246's market-
+    * basket association rules kept live — the cross-sell readout a
+    * merchandiser watches DURING the day, not in tonight's batch.
+    * State is q246's additive (ka, kb) counting-cell grid (pair
+    * cells / item-support cells / order sentinel — ≤ |parts|² + parts
+    * + 1 rows at any volume, merge-by-addition). ARRIVAL CONTRACT:
+    * each order's lines arrive within ONE micro-batch (the
+    * completed-basket / transactional-outbox shape every order
+    * pipeline emits) — an order split across batches would
+    * under-count its cross-batch pairs; orders may REPLAY wholesale
+    * (marker idempotence drops the whole batch). Serving runs q246's
+    * ENTIRE closing (apriori cut, confidences, lift, top-k) through
+    * the SAME rulesFromCells the declared query calls. */
+  def basketMaintain(linesStream: DataFrame, cellsPath: String, checkpoint: String,
+                     trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    linesStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        basketBatch(batch, cellsPath, batchId)
+      }
+      .start()
+
+  /** One [[basketMaintain]] micro-batch. */
+  private[graft] def basketBatch(batch: DataFrame, cellsPath: String,
+                                 batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    graft.batch.AtomicSwap.heal(hconf, cellsPath)
+    val hp = new org.apache.hadoop.fs.Path(cellsPath)
+    val exists = hp.getFileSystem(hconf).exists(hp)
+    if (exists && hp.getFileSystem(hconf)
+        .exists(new org.apache.hadoop.fs.Path(s"$cellsPath/_graft_batch_$batchId"))) return
+    val delta = graft.queries.InsightQueries.basketCells(
+      batch.select(col("l_orderkey"), col("l_partkey")))
+    val merged =
+      if (exists)
+        spark.read.parquet(cellsPath).unionByName(delta)
+          .groupBy(col("ka"), col("kb"))
+          .agg(sum(col("cnt")).cast("long").as("cnt"))
+      else delta
+    merged.coalesce(1).write.mode("overwrite").parquet(cellsPath + ".tmp")
+    val marker = new org.apache.hadoop.fs.Path(s"$cellsPath.tmp/_graft_batch_$batchId")
+    marker.getFileSystem(hconf).create(marker, true).close()
+    graft.batch.AtomicSwap.swapInto(hconf, cellsPath + ".tmp", cellsPath)
+  }
+
+  /** The q246 rules served from the maintained cell grid — the SAME
+    * rulesFromCells closing the declared query calls. */
+  def basketServe(spark: SparkSession, cellsPath: String): DataFrame =
+    graft.queries.InsightQueries.rulesFromCells(
+      spark.read.parquet(cellsPath).select(col("ka"), col("kb"), col("cnt")))
+
   /** The q220 dimension served from the maintained stores: closed
     * intervals + each user's open interval (valid_to NULL,
     * is_current) — schema and values bitwise the declared q220's

@@ -563,7 +563,39 @@ object StreamBench {
     val hllLine = report("hll_maintain", hllLats, docRows,
       s""","reg_rows":${spark.read.parquet(s"$dir/hll_regs").count()}""")
 
-    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine,$attrLine,$rfmLine,$sessLine,$liftLine,$clLine,$xoLine,$ewLine,$hoLine,$vcLine,$kfLine,$egLine,$hwLine,$ghLine,$pathLine,$botLine,$cusumLine,$scd2Line,$psiLine,$hllLine}")
+    // ---- 26. median/MAD maintenance: the additive (type, cent)
+    // value grid (the psi convergence class); q248 serves off it.
+    val ev26 = MemoryStream[(String, java.sql.Timestamp, Double)](spark)
+    val qMad = StreamPipeline.madMaintain(
+      ev26.toDF().toDF("event_type", "ts", "value"),
+      s"$dir/mad_grid", s"$dir/ckpt_mad", trigger = Trigger.ProcessingTime(0))
+    val madLats = timeBatches(ev26, qMad, batches, genPsi)
+    qMad.stop()
+    val madLine = report("mad_maintain", madLats, evRows,
+      s""","grid_rows":${spark.read.parquet(s"$dir/mad_grid").count()}""")
+
+    // ---- 27. basket-rules maintenance: the additive (ka, kb)
+    // counting-cell grid off completed order baskets; q246 serves
+    // (apriori cut + lift + top-k) off the store.
+    val d27 = MemoryStream[(Long, Long)](spark)
+    val qBasket = StreamPipeline.basketMaintain(
+      d27.toDF().toDF("l_orderkey", "l_partkey"),
+      s"$dir/basket_cells", s"$dir/ckpt_basket", trigger = Trigger.ProcessingTime(0))
+    // completed baskets: ~evRows lines per batch over evRows/4 orders
+    // of 4 lines each, parts from a 2000-part catalog with a skewed
+    // co-occurrence pattern (consecutive part ids pair often)
+    def genBasket(b: Int): Seq[(Long, Long)] =
+      (0 until evRows).map { i =>
+        val order = b.toLong * evRows + (i / 4)
+        val part = (((order * 2654435761L) % 2000).toInt.abs + (i % 4) * 3) % 2000
+        (order, part.toLong)
+      }
+    val basketLats = timeBatches(d27, qBasket, batches, genBasket)
+    qBasket.stop()
+    val basketLine = report("basket_maintain", basketLats, evRows,
+      s""","cell_rows":${spark.read.parquet(s"$dir/basket_cells").count()}""")
+
+    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine,$attrLine,$rfmLine,$sessLine,$liftLine,$clLine,$xoLine,$ewLine,$hoLine,$vcLine,$kfLine,$egLine,$hwLine,$ghLine,$pathLine,$botLine,$cusumLine,$scd2Line,$psiLine,$hllLine,$madLine,$basketLine}")
     spark.stop()
   }
 }
