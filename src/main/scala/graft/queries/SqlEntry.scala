@@ -7,7 +7,7 @@ import graft.core.Tables
 /** The SURVEY §3.3(b) entry point: the same queries as the typed
   * Scala API, as `spark.sql()` text over registered temp views — the
   * surface a thriftserver / Spark Connect / notebook user gets when
-  * they can't (or won't) link the Scala library. Fourteen
+  * they can't (or won't) link the Scala library. Fifteen
   * representative shapes are covered — the OHLCV rollup (q06), the
   * sliding-window join (q09), the TPC-H Q1 pricing summary (q13),
   * the window-function battery (q54), the inverted index (q96), the
@@ -16,8 +16,9 @@ import graft.core.Tables
   * the session lift (q190), the Shapley attribution (q197, the exact
   * 16-coalition game in SQL), the risk-adjusted summary (q199), the
   * RI orphan audit (q216), the PSI drift monitor (q229), the FD
-  * discovery (q234), and the VaR/CVaR risk pair (q221, the
-  * econometrics family's twin) — each the EXACT semantics of its
+  * discovery (q234), the VaR/CVaR risk pair (q221, the econometrics
+  * family's twin), and the basket association rules (q246, the
+  * decision-analytics twin) — each the EXACT semantics of its
   * typed twin: same op sequence, same decimal detours, same r4/r2
   * rounding, so results match bitwise (SqlEntrySpec pins text ≡
   * typed for every key in [[texts]]).
@@ -478,6 +479,27 @@ object SqlEntry {
         |      AS double) / cast(k_tail AS double))) / 1e6
         |    * 10000.0D + 0.5D) / 10000.0D AS cvar95_r4
         |FROM f""".stripMargin,
+    // q246 — the basket-rules text twin: the decision-analytics
+    // family's most notebook-shaped query (distinct baskets, apriori
+    // HAVING cuts, one lift expression with per-factor double
+    // widening, a total-order top-100)
+    "q246_basket_rules" ->
+      """WITH sp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |nn AS (SELECT count(1) AS n FROM (SELECT DISTINCT o FROM sp)),
+        |it AS (SELECT p, count(1) AS c FROM sp GROUP BY p HAVING count(1) >= 5),
+        |pr AS (
+        |  SELECT a.p AS pa, b.p AS pb, count(1) AS cab
+        |  FROM sp a JOIN sp b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY a.p, b.p HAVING count(1) >= 2
+        |)
+        |SELECT pa AS part_a, pb AS part_b, ia.c AS c_a, ib.c AS c_b, cab AS c_ab,
+        |  floor(CAST(cab AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5D) / 1e6 AS support_r6,
+        |  floor(CAST(cab AS DOUBLE) / CAST(ia.c AS DOUBLE) * 1e6 + 0.5D) / 1e6 AS conf_a_to_b_r6,
+        |  floor(CAST(cab AS DOUBLE) / CAST(ib.c AS DOUBLE) * 1e6 + 0.5D) / 1e6 AS conf_b_to_a_r6,
+        |  floor((CAST(n AS DOUBLE) * CAST(cab AS DOUBLE))
+        |    / (CAST(ia.c AS DOUBLE) * CAST(ib.c AS DOUBLE)) * 1e6 + 0.5D) / 1e6 AS lift_r6
+        |FROM pr JOIN it ia ON ia.p = pr.pa JOIN it ib ON ib.p = pr.pb CROSS JOIN nn
+        |ORDER BY lift_r6 DESC, part_a, part_b LIMIT 100""".stripMargin,
     "q96_inverted_index" ->
       """WITH t AS (
         |  SELECT doc_id,
