@@ -61,15 +61,34 @@ object InsightQueries {
     // (transform/filter run INTERPRETED per element — 56 s of
     // allocation churn vs the codegen join) and a persisted basket
     // table (array columns cache columnar-slow: 133 s re-read).
-    // the cell grid persists FLAT (two longs + a count — the
-    // cache-friendly shape; array caches measured 133 s re-read):
-    // rulesFromCells reads it three ways. Release is caller-owned via
-    // the harness clearCache convention.
-    rulesFromCells(
-      basketCells(lineitem)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      minItem, minPair, topK)
+    // the DECLARED plan builds the three frames directly off the one
+    // reused exchange — routing the batch query through the unioned
+    // cell grid (basketCells + persist) was measured 2× slower at
+    // 100× (54 s vs 26 s: the union materialization serializes what
+    // ReuseExchange otherwise overlaps). The closing is the SAME
+    // rulesClosing the streaming serve uses, so batch ≡ serve stays
+    // structural (InsightStreamSpec pins it bitwise).
+    val sp = basketBase(lineitem)
+    val nOrders = sp.select(col("o")).distinct().agg(count(lit(1)).as("n"))
+    val items = sp.groupBy(col("p")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minItem)
+    val a = sp.select(col("o"), col("p").as("pa"))
+    val b = sp.select(col("o"), col("p").as("pb"))
+    val pairs = a.join(b, Seq("o")).filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minPair)
+    rulesClosing(pairs, items, nOrders, topK)
   }
+
+  /** The (o, p) distinct repartitioned ONCE by order key —
+    * hashpartitioning(o) satisfies the clustering of every downstream
+    * grouping and join, so Catalyst's ReuseExchange collapses the
+    * consumers' shuffles into one. */
+  private def basketBase(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .repartition(col("o"))
+      .distinct() // clustering satisfied by hashpartitioning(o): no exchange
 
   /** The additive (ka, kb, cnt) COUNTING-CELL grid of an order-line
     * feed — q246's mergeable state: pair cells (both keys set),
@@ -81,10 +100,7 @@ object InsightQueries {
     * lines arrive within ONE micro-batch, the completed-basket /
     * transactional-outbox shape). */
   private[graft] def basketCells(lineitem: DataFrame): DataFrame = {
-    val sp = lineitem
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .repartition(col("o"))
-      .distinct() // clustering satisfied by hashpartitioning(o): no exchange
+    val sp = basketBase(lineitem)
     val nOrders = sp.select(col("o")).distinct().agg(count(lit(1)).as("cnt"))
       .select(lit(null).cast("long").as("ka"), lit(null).cast("long").as("kb"),
         col("cnt"))
@@ -113,6 +129,15 @@ object InsightQueries {
     val pairs = cells.filter(col("ka").isNotNull && col("kb").isNotNull)
       .select(col("ka").as("pa"), col("kb").as("pb"), col("cnt").as("cab"))
       .filter(col("cab") >= minPair)
+    rulesClosing(pairs, items, nOrders, topK)
+  }
+
+  /** The shared metric closing over (pa, pb, cab) pairs, (p, c) item
+    * supports and the 1-row order count — identical expressions for
+    * the declared plan and the cell-grid serve, so the two paths
+    * cannot drift. */
+  private def rulesClosing(pairs: DataFrame, items: DataFrame,
+                           nOrders: DataFrame, topK: Int): DataFrame = {
     val d = (c: Column) => c.cast("double")
     val r6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
     pairs
