@@ -532,6 +532,10 @@ object ScaleProbe {
     time("q251_spearman_pairs") { q("q251_spearman_pairs") }
     time("q252_theil_sen") { q("q252_theil_sen") }
     time("q253_stump_split") { q("q253_stump_split") }
+    // q254: day-grid self-join per pair (codegen counting, bounded
+    // m²); q255: q228's customer-grain partial agg + nation rollup
+    time("q254_kendall_pairs") { q("q254_kendall_pairs") }
+    time("q255_hhi_concentration") { q("q255_hhi_concentration") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

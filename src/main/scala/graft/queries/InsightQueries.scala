@@ -491,7 +491,98 @@ object InsightQueries {
         col("gain_r6"), (col("thr") === col("bthr")).as("is_best"))
   }
 
+  // ---------------------------------------------------------------
+  // q254 — KENDALL'S TAU-B PAIRS SCREEN: the third member of the
+  // co-movement triple (q198 Pearson, q251 Spearman) — the
+  // concordance probability interpretation a risk committee actually
+  // reads ("in what share of day pairs do the two instruments move
+  // the same way?"), tie-corrected (tau-b, Kendall 1945). Exactness:
+  // EVERYTHING is exact integer counting — concordant/discordant/
+  // x-tie/y-tie pair counts from one day<day self-join per pair, n₀
+  // = m(m−1)/2 from the same join — and the closing
+  // (C−D)/√((n₀−nx)(n₀−ny)) widens each factor to decimal (HUGEINT
+  // oracle) with one IEEE sqrt+divide. Scale shape: the self-join
+  // runs on DAY-GRID rows (volume-independent after DailyCloses'
+  // one partial agg) — Σ_pairs m² pairs of a bounded m, all codegen
+  // (no interpreted lambdas: the q246 lesson). Output: |pairs| rows.
+  private def q254(s: SparkSession, dir: String): DataFrame =
+    kendallPairs(MarketQueries.dailyReturns(s, dir))
+
+  private[graft] def kendallPairs(rets: DataFrame): DataFrame = {
+    val a = rets.select(col("event_type").as("ta"), col("day"), col("r_fp").as("x"))
+    val b = rets.select(col("event_type").as("tb"), col("day"), col("r_fp").as("y"))
+    val j = a.join(b, Seq("day")).filter(col("ta") < col("tb"))
+    val l = j.select(col("ta"), col("tb"), col("day").as("d1"),
+      col("x").as("x1"), col("y").as("y1"))
+    val r = j.select(col("ta"), col("tb"), col("day").as("d2"),
+      col("x").as("x2"), col("y").as("y2"))
+    val strict = col("x1") =!= col("x2") && col("y1") =!= col("y2")
+    val same = (col("x1") < col("x2")) === (col("y1") < col("y2"))
+    val g = l.join(r, Seq("ta", "tb")).filter(col("d1") < col("d2"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n0"),
+        coalesce(sum(when(strict && same, lit(1L))), lit(0L)).as("c"),
+        coalesce(sum(when(strict && !same, lit(1L))), lit(0L)).as("d"),
+        coalesce(sum(when(col("x1") === col("x2"), lit(1L))), lit(0L)).as("nx"),
+        coalesce(sum(when(col("y1") === col("y2"), lit(1L))), lit(0L)).as("ny"))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val den = ((d38(col("n0")) - d38(col("nx"))) *
+      (d38(col("n0")) - d38(col("ny")))).cast("double")
+    g.select(col("ta").as("type_a"), col("tb").as("type_b"), col("n0").as("n_pairs"),
+      col("c").as("n_concordant"), col("d").as("n_discordant"),
+      when(den > 0,
+        floor((col("c") - col("d")).cast("double") / sqrt(den) * lit(1e6) + lit(0.5))
+          / lit(1e6)).as("tau_b_r6"))
+  }
+
+  // ---------------------------------------------------------------
+  // q255 — HERFINDAHL-HIRSCHMAN REVENUE CONCENTRATION: per nation,
+  // how concentrated is customer revenue — HHI = Σ share², the
+  // antitrust/portfolio concentration index that pairs with q228's
+  // Gini (Gini measures inequality of the whole curve, HHI weights
+  // the TOP: one dominant account moves HHI far more). Exactness:
+  // per-customer revenue quantizes ONCE to cents; HHI's numerator
+  // Σc² and denominator S² are exact decimal sums (c² wraps LONG at
+  // ~$30B accounts — HUGEINT oracle); the "concentrated" flag tests
+  // the EXACT integer inequality 4·Σc² > S² (HHI > 0.25 cleared of
+  // its divide), and the top share is one IEEE divide. Scale shape:
+  // q228's — one order-grain partial agg to customer grain, nation
+  // rollups on the customer-domain table. Output: |nations| rows.
+  private def q255(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * lit(100d) + lit(0.5d)).cast("long"))
+        .as("cents"))
+    val cust = Tables.customer(s, dir)
+      .join(rev, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_nationkey"), coalesce(col("cents"), lit(0L)).as("cents"))
+    hhi(cust)
+  }
+
+  private[graft] def hhi(cust: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val g = cust.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("cents")).as("s1"),
+        sum(d38(col("cents")) * d38(col("cents"))).as("s2"),
+        max(col("cents")).as("mx"))
+    g.select(col("c_nationkey"), col("n_cust"),
+      (floor(col("s1").cast("double") / lit(100d) * lit(1e4) + lit(0.5)) / lit(1e4))
+        .as("total_rev_r4"),
+      when(col("s1") > 0,
+        floor(col("s2").cast("double") /
+          (d38(col("s1")) * d38(col("s1"))).cast("double") * lit(1e6) + lit(0.5))
+          / lit(1e6)).as("hhi_r6"),
+      when(col("s1") > 0,
+        floor(col("mx").cast("double") / col("s1").cast("double") * lit(1e6)
+          + lit(0.5)) / lit(1e6)).as("top_share_r6"),
+      when(col("s1") > 0,
+        lit(4) * col("s2") > d38(col("s1")) * d38(col("s1"))).as("concentrated"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q254_kendall_pairs" -> q254 _,
+    "q255_hhi_concentration" -> q255 _,
     "q246_basket_rules" -> q246 _,
     "q248_mad_outliers" -> q248 _,
     "q249_info_value" -> q249 _,
@@ -509,6 +600,51 @@ object InsightQueries {
       s"+ ($b::DOUBLE / ($g::DOUBLE + $b::DOUBLE)) * ln($b::DOUBLE / ($g::DOUBLE + $b::DOUBLE))) END"
 
   val oracleSql: Map[String, String] = Map(
+    "q254_kendall_pairs" ->
+      (MarketQueries.dayRetCtes +
+        """, j AS (
+          |  SELECT a.event_type AS ta, b.event_type AS tb, a.day,
+          |    a.r_fp AS x, b.r_fp AS y
+          |  FROM r a JOIN r b ON a.day = b.day AND a.event_type < b.event_type
+          |), g AS (
+          |  SELECT l.ta, l.tb, count(*)::BIGINT AS n0,
+          |    coalesce(sum(CASE WHEN l.x <> rr.x AND l.y <> rr.y
+          |      AND ((l.x < rr.x) = (l.y < rr.y)) THEN 1 END), 0)::BIGINT AS c,
+          |    coalesce(sum(CASE WHEN l.x <> rr.x AND l.y <> rr.y
+          |      AND ((l.x < rr.x) <> (l.y < rr.y)) THEN 1 END), 0)::BIGINT AS d,
+          |    coalesce(sum(CASE WHEN l.x = rr.x THEN 1 END), 0)::BIGINT AS nx,
+          |    coalesce(sum(CASE WHEN l.y = rr.y THEN 1 END), 0)::BIGINT AS ny
+          |  FROM j l JOIN j rr ON l.ta = rr.ta AND l.tb = rr.tb AND l.day < rr.day
+          |  GROUP BY 1, 2
+          |)
+          |SELECT ta AS type_a, tb AS type_b, n0 AS n_pairs,
+          |  c AS n_concordant, d AS n_discordant,
+          |  CASE WHEN ((n0 - nx)::HUGEINT * (n0 - ny)::HUGEINT)::DOUBLE > 0 THEN
+          |    floor((c - d)::DOUBLE
+          |      / sqrt(((n0 - nx)::HUGEINT * (n0 - ny)::HUGEINT)::DOUBLE)
+          |      * 1e6 + 0.5) / 1e6 END AS tau_b_r6
+          |FROM g""".stripMargin),
+    "q255_hhi_concentration" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1
+        |), cust AS (
+        |  SELECT c_nationkey, coalesce(cents, 0)::BIGINT AS cents
+        |  FROM customer LEFT JOIN rev ON c_custkey = o_custkey
+        |), g AS (
+        |  SELECT c_nationkey, count(*)::BIGINT AS n_cust, sum(cents)::BIGINT AS s1,
+        |    sum(cents::HUGEINT * cents::HUGEINT) AS s2, max(cents)::BIGINT AS mx
+        |  FROM cust GROUP BY 1
+        |)
+        |SELECT c_nationkey, n_cust,
+        |  floor(s1::DOUBLE / 100 * 1e4 + 0.5) / 1e4 AS total_rev_r4,
+        |  CASE WHEN s1 > 0 THEN
+        |    floor(s2::DOUBLE / (s1::HUGEINT * s1::HUGEINT)::DOUBLE * 1e6 + 0.5) / 1e6
+        |  END AS hhi_r6,
+        |  CASE WHEN s1 > 0 THEN
+        |    floor(mx::DOUBLE / s1::DOUBLE * 1e6 + 0.5) / 1e6 END AS top_share_r6,
+        |  CASE WHEN s1 > 0 THEN 4 * s2 > s1::HUGEINT * s1::HUGEINT END AS concentrated
+        |FROM g""".stripMargin,
     "q250_mann_whitney" ->
       """WITH e AS (
         |  SELECT event_type, ts::TIMESTAMP::DATE AS day, value FROM events

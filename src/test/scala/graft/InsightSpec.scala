@@ -225,6 +225,47 @@ class InsightSpec extends SparkSpec {
     }
   }
 
+  // ---- q254 Kendall tau-b ----------------------------------------
+  test("kendallPairs: monotone = +1, inverted = -1, and the tie-corrected textbook value") {
+    val rets = retRows(
+      (0 until 4).map(i => ("a", i, (i + 1).toLong)) ++
+        (0 until 4).map(i => ("b", i, ((i + 1) * (i + 1)).toLong)) ++
+        (0 until 4).map(i => ("c", i, -(i + 1).toLong)))
+    val got = InsightQueries.kendallPairs(rets).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) -> r).toMap
+    assert(got(("a", "b")).getAs[Double]("tau_b_r6") == 1.0)
+    assert(got(("a", "c")).getAs[Double]("tau_b_r6") == -1.0)
+    // designed tie: x = (1,1,2), y = (5,6,7) -> C=2, D=0, nx=1, ny=0,
+    // tau_b = 2/sqrt(2*3) = 0.8164965... -> r6 0.816497
+    val tied = retRows(Seq(("x", 0, 1L), ("x", 1, 1L), ("x", 2, 2L),
+      ("y", 0, 5L), ("y", 1, 6L), ("y", 2, 7L)))
+    val t = InsightQueries.kendallPairs(tied).collect().head
+    assert(t.getAs[Long]("n_pairs") == 3L)
+    assert(t.getAs[Long]("n_concordant") == 2L && t.getAs[Long]("n_discordant") == 0L)
+    assert(t.getAs[Double]("tau_b_r6") == 0.816497)
+  }
+
+  test("kendallPairs: a constant series has no defined tau (zero denominator)") {
+    val rets = retRows(Seq(("a", 0, 7L), ("a", 1, 7L), ("a", 2, 7L),
+      ("b", 0, 1L), ("b", 1, 2L), ("b", 2, 3L)))
+    val t = InsightQueries.kendallPairs(rets).collect().head
+    assert(t.isNullAt(t.fieldIndex("tau_b_r6")))
+  }
+
+  // ---- q255 HHI ----------------------------------------------------
+  test("hhi: duopoly scores 0.5 and the 0.25 boundary is an exact integer decision") {
+    val cust = Seq((1L, 100L), (1L, 100L),
+      (2L, 25L), (2L, 25L), (2L, 25L), (2L, 25L)).toDF("c_nationkey", "cents")
+    val got = InsightQueries.hhi(cust).collect()
+      .map(r => r.getAs[Long]("c_nationkey") -> r).toMap
+    assert(got(1L).getAs[Double]("hhi_r6") == 0.5)
+    assert(got(1L).getAs[Boolean]("concentrated"))
+    // four equal shares: HHI exactly 0.25 -> 4*s2 == s1^2, NOT >
+    assert(got(2L).getAs[Double]("hhi_r6") == 0.25)
+    assert(!got(2L).getAs[Boolean]("concentrated"))
+    assert(got(2L).getAs[Double]("top_share_r6") == 0.25)
+  }
+
   // ---- q247 ACF/Ljung-Box ----------------------------------------
   test("acfLjungBox: a period-2 alternating series scores acf1 = -1, acf2 = +1 exactly") {
     val d0 = java.sql.Date.valueOf("2024-01-01")
