@@ -622,4 +622,44 @@ class PlanAuditSpec extends SparkSpec {
       s"arm rows must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian:\n$p")
   }
+
+  test("q246 basket rules: the order-key exchange is runtime-reused, never a cartesian") {
+    // AQE dedupes identical exchanges at STAGE MATERIALIZATION, so the
+    // reuse marker only appears in the final adaptive plan — run the
+    // query, then audit (the static plan prints one Exchange per
+    // consumer even though only one materializes)
+    val df = SparkEntry.queries("q246_basket_rules")(spark, sf("sf0.001"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"order-key exchange must be runtime-reused across consumers:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian:\n$p")
+  }
+
+  test("q248/q250 grid statistics: no per-type window over the value grid, partial+final aggregation") {
+    for (q <- Seq("q248_mad_outliers", "q250_mann_whitney")) {
+      val p = plan(q)
+      // running sums come from ChunkedFrame's BANDED windows — every
+      // sum-window must partition by (type, __chunk), never by the
+      // bare type (which would single-task each type's whole grid)
+      val sumWindows = "Window \\[sum[^\\n]*".r.findAllIn(p).toSeq
+      assert(sumWindows.nonEmpty, s"$q: expected ChunkedFrame running sums:\n$p")
+      sumWindows.foreach(w => assert(w.contains("__chunk") || w.contains("__p_"),
+        s"$q: un-banded running-sum window (single-task per type):\n$w"))
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$q: no partial agg:\n$p")
+    }
+  }
+
+  test("q254 Kendall: the pair self-join is an equi-join on the pair key, never a cartesian") {
+    val p = plan("q254_kendall_pairs")
+    assert(!p.contains("CartesianProduct"), s"pair counting must equi-join on (ta, tb):\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
+  test("q255 HHI: customer-grain partial aggregation, no window, no cartesian") {
+    val p = plan("q255_hhi_concentration")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+    assert(!p.contains("Window "), s"q255 must not plan a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian:\n$p")
+  }
 }
