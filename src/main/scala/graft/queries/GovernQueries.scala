@@ -397,7 +397,11 @@ object GovernQueries {
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_cust"),
         sum(col("cents")).as("s1"),
-        sum((col("i") * col("cents")).cast("decimal(38,0)")).as("wsum"))
+        // widen EACH factor before the product (the q240/q241 class):
+        // rank·cents is volume-scale × value-scale and wraps LONG at
+        // ~1e9 customers; the oracle multiplies in HUGEINT
+        sum(col("i").cast("decimal(19,0)") *
+          col("cents").cast("decimal(19,0)")).as("wsum"))
     def dd(c: Column) = c.cast("double")
     g.select(col("c_nationkey"), col("n_cust"),
       r4(dd(col("s1")) / lit(100d)).as("total_rev_r4"),
