@@ -536,6 +536,8 @@ object ScaleProbe {
     // m²); q255: q228's customer-grain partial agg + nation rollup
     time("q254_kendall_pairs") { q("q254_kendall_pairs") }
     time("q255_hhi_concentration") { q("q255_hhi_concentration") }
+    // q256: q247's lag frame + per-row Durbin-Levinson columns
+    time("q256_pacf") { q("q256_pacf") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

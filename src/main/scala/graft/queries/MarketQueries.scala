@@ -1398,6 +1398,24 @@ object MarketQueries {
   /** q247's closing over any (event_type, day, r_fp) return grid. */
   private[graft] def acfLjungBox(rets: DataFrame): DataFrame = {
     val maxLag = 5
+    val withLags = acfLagFrame(rets, maxLag)
+    val lbS = (1 to maxLag)
+      .map(k => s"(rho$k * rho$k * 1000L) DIV (n - $k)").mkString(" + ")
+    withLags
+      .withColumn("lb_s", expr(s"IF(n > $maxLag AND a_den > 0, $lbS, NULL)"))
+      .select(
+        (Seq(col("event_type"), col("n").as("n_days")) ++
+          (1 to maxLag).map(k =>
+            (col(s"rho$k").cast("double") / lit(1e6)).as(s"acf${k}_r6")) :+
+          (floor(col("n").cast("double") * (col("n").cast("double") + lit(2.0))
+            * col("lb_s").cast("double") / lit(1e15) * lit(1e4) + lit(0.5))
+            / lit(1e4)).as("lb_q_r4")): _*)
+  }
+
+  /** q247/q256's shared per-type lag frame: n, a_den and the
+    * quantized ρ6 integers rho1..rho{maxLag} off exact-integer
+    * n²-cleared covariances. */
+  private[graft] def acfLagFrame(rets: DataFrame, maxLag: Int): DataFrame = {
     val base = rets
       .select(col("event_type"), struct(col("day"), col("r_fp")).as("p"))
       .groupBy(col("event_type"))
@@ -1429,20 +1447,67 @@ object MarketQueries {
           s"IF(n > $k AND a_den > 0, CAST(floor(CAST(b$k AS DOUBLE) " +
             s"/ CAST(CAST(n AS DECIMAL(38,0)) * a_den AS DOUBLE) * 1e6 + 0.5D) AS BIGINT), NULL)"))
     }
-    val lbS = (1 to maxLag)
-      .map(k => s"(rho$k * rho$k * 1000L) DIV (n - $k)").mkString(" + ")
     withLags
-      .withColumn("lb_s", expr(s"IF(n > $maxLag AND a_den > 0, $lbS, NULL)"))
-      .select(
-        (Seq(col("event_type"), col("n").as("n_days")) ++
-          (1 to maxLag).map(k =>
-            (col(s"rho$k").cast("double") / lit(1e6)).as(s"acf${k}_r6")) :+
-          (floor(col("n").cast("double") * (col("n").cast("double") + lit(2.0))
-            * col("lb_s").cast("double") / lit(1e15) * lit(1e4) + lit(0.5))
-            / lit(1e4)).as("lb_q_r4")): _*)
+  }
+
+  // q256 — PARTIAL AUTOCORRELATION (Durbin-Levinson): q247's ACF
+  // answers "is there serial correlation"; the PACF answers WHICH AR
+  // ORDER explains it — the lag-k coefficient with lags 1..k−1
+  // partialled out, THE readout an analyst boxes against the ACF to
+  // pick AR vs MA signatures (Box & Jenkins 1970). Exactness: the
+  // recursion's INPUTS are the QUANTIZED ρ6 integers (identical on
+  // both engines by q247's exact-integer construction), and
+  // Durbin-Levinson is then pure PER-ROW IEEE arithmetic unrolled in
+  // one fixed expression order (each φ_{k,j} is its own column,
+  // mirrored textually in the oracle) — nothing float ever sums
+  // across rows, so rows match bitwise before the final r6. Scale
+  // shape: q247's — one DailyCloses partial agg, |types| rows of
+  // day-grid folds.
+  private def q256(s: SparkSession, dir: String): DataFrame =
+    pacf(dailyReturns(s, dir))
+
+  private[graft] def pacf(rets: DataFrame): DataFrame = {
+    val base = acfLagFrame(rets, 5)
+    val withR = (1 to 5).foldLeft(base)((df, k) =>
+      df.withColumn(s"r$k", col(s"rho$k").cast("double") / lit(1e6)))
+    // Durbin-Levinson unrolled; every intermediate is a named column
+    // so the evaluation order is pinned on both engines
+    val dl = withR
+      .withColumn("p11", col("r1"))
+      .withColumn("den2", lit(1.0) - col("p11") * col("r1"))
+      .withColumn("p22",
+        when(col("den2") =!= 0.0, (col("r2") - col("p11") * col("r1")) / col("den2")))
+      .withColumn("p21", col("p11") - col("p22") * col("p11"))
+      .withColumn("den3",
+        lit(1.0) - (col("p21") * col("r1") + col("p22") * col("r2")))
+      .withColumn("p33", when(col("den3") =!= 0.0,
+        (col("r3") - (col("p21") * col("r2") + col("p22") * col("r1"))) / col("den3")))
+      .withColumn("p31", col("p21") - col("p33") * col("p22"))
+      .withColumn("p32", col("p22") - col("p33") * col("p21"))
+      .withColumn("den4",
+        lit(1.0) - (col("p31") * col("r1") + col("p32") * col("r2")
+          + col("p33") * col("r3")))
+      .withColumn("p44", when(col("den4") =!= 0.0,
+        (col("r4") - (col("p31") * col("r3") + col("p32") * col("r2")
+          + col("p33") * col("r1"))) / col("den4")))
+      .withColumn("p41", col("p31") - col("p44") * col("p33"))
+      .withColumn("p42", col("p32") - col("p44") * col("p32"))
+      .withColumn("p43", col("p33") - col("p44") * col("p31"))
+      .withColumn("den5",
+        lit(1.0) - (col("p41") * col("r1") + col("p42") * col("r2")
+          + col("p43") * col("r3") + col("p44") * col("r4")))
+      .withColumn("p55", when(col("den5") =!= 0.0,
+        (col("r5") - (col("p41") * col("r4") + col("p42") * col("r3")
+          + col("p43") * col("r2") + col("p44") * col("r1"))) / col("den5")))
+    val r6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    dl.select(col("event_type"), col("n").as("n_days"),
+      r6(col("p11")).as("pacf1_r6"), r6(col("p22")).as("pacf2_r6"),
+      r6(col("p33")).as("pacf3_r6"), r6(col("p44")).as("pacf4_r6"),
+      r6(col("p55")).as("pacf5_r6"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q256_pacf" -> q256 _,
     "q247_acf_ljungbox" -> q247 _,
     "q221_var_cvar" -> q221 _,
     "q222_kalman_backtest" -> q222 _,
@@ -1500,7 +1565,82 @@ object MarketQueries {
       |  FROM c QUALIFY r_fp IS NOT NULL
       |)""".stripMargin
 
+  /** The q247/q256 shared oracle prefix: dayRetCtes + the exact-
+    * integer lag CTE chain ending at `rr` (event_type, n, a_den,
+    * rho1..rho5 — quantized ρ6 BIGINTs). */
+  private def acfOracleCtes: String = {
+    val lags = 1 to 5
+    val crosses = lags.map(k =>
+      s"""    CASE WHEN n > $k THEN list_reduce(list_prepend(0::HUGEINT,
+         |      list_transform(range(${k + 1}, (n + 1)::INT), t -> l[t]::HUGEINT * l[t - $k]::HUGEINT)),
+         |      (a, b) -> a + b) END AS cross$k,
+         |    CASE WHEN n > $k THEN list_sum(l[1:(n - $k)::INT])::HUGEINT END AS head$k,
+         |    CASE WHEN n > $k THEN list_sum(l[${k + 1}:n::INT])::HUGEINT END AS tail$k""".stripMargin)
+      .mkString(",\n")
+    val bs = lags.map(k =>
+      s"""    n::HUGEINT * n::HUGEINT * cross$k
+         |      - n::HUGEINT * s1::HUGEINT * (head$k + tail$k)
+         |      + (n - $k)::HUGEINT * s1::HUGEINT * s1::HUGEINT AS b$k""".stripMargin)
+      .mkString(",\n")
+    val rhos = lags.map(k =>
+      s"""    CASE WHEN n > $k AND a_den > 0 THEN
+         |      floor(b$k::DOUBLE / (n::HUGEINT * a_den)::DOUBLE * 1e6 + 0.5)::BIGINT END AS rho$k""".stripMargin)
+      .mkString(",\n")
+    dayRetCtes +
+      s""", s AS (
+         |  SELECT event_type, list(r_fp ORDER BY day) AS l FROM r GROUP BY 1
+         |), m AS (
+         |  SELECT event_type, l, len(l)::BIGINT AS n,
+         |    list_sum(l)::BIGINT AS s1,
+         |    list_reduce(list_prepend(0::HUGEINT,
+         |      list_transform(l, e -> e::HUGEINT * e::HUGEINT)), (a, b) -> a + b) AS sxx
+         |  FROM s
+         |), d AS (
+         |  SELECT *, n::HUGEINT * sxx - s1::HUGEINT * s1::HUGEINT AS a_den FROM m
+         |), lg AS (
+         |  SELECT *,
+         |$crosses
+         |  FROM d
+         |), bb AS (
+         |  SELECT *,
+         |$bs
+         |  FROM lg
+         |), rr AS (
+         |  SELECT *,
+         |$rhos
+         |  FROM bb
+         |)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q256_pacf" ->
+      (acfOracleCtes +
+        """, rv AS (
+          |  SELECT event_type, n,
+          |    rho1::DOUBLE / 1e6 AS r1, rho2::DOUBLE / 1e6 AS r2,
+          |    rho3::DOUBLE / 1e6 AS r3, rho4::DOUBLE / 1e6 AS r4,
+          |    rho5::DOUBLE / 1e6 AS r5
+          |  FROM rr
+          |), e1 AS (SELECT *, r1 AS p11 FROM rv
+          |), e2 AS (SELECT *, 1.0 - p11 * r1 AS den2 FROM e1
+          |), e3 AS (SELECT *, CASE WHEN den2 <> 0.0 THEN (r2 - p11 * r1) / den2 END AS p22 FROM e2
+          |), e4 AS (SELECT *, p11 - p22 * p11 AS p21 FROM e3
+          |), e5 AS (SELECT *, 1.0 - (p21 * r1 + p22 * r2) AS den3 FROM e4
+          |), e6 AS (SELECT *, CASE WHEN den3 <> 0.0 THEN (r3 - (p21 * r2 + p22 * r1)) / den3 END AS p33 FROM e5
+          |), e7 AS (SELECT *, p21 - p33 * p22 AS p31, p22 - p33 * p21 AS p32 FROM e6
+          |), e8 AS (SELECT *, 1.0 - (p31 * r1 + p32 * r2 + p33 * r3) AS den4 FROM e7
+          |), e9 AS (SELECT *, CASE WHEN den4 <> 0.0 THEN (r4 - (p31 * r3 + p32 * r2 + p33 * r1)) / den4 END AS p44 FROM e8
+          |), e10 AS (SELECT *, p31 - p44 * p33 AS p41, p32 - p44 * p32 AS p42, p33 - p44 * p31 AS p43 FROM e9
+          |), e11 AS (SELECT *, 1.0 - (p41 * r1 + p42 * r2 + p43 * r3 + p44 * r4) AS den5 FROM e10
+          |), e12 AS (SELECT *, CASE WHEN den5 <> 0.0 THEN (r5 - (p41 * r4 + p42 * r3 + p43 * r2 + p44 * r1)) / den5 END AS p55 FROM e11
+          |)
+          |SELECT event_type, n AS n_days,
+          |  floor(p11 * 1e6 + 0.5) / 1e6 AS pacf1_r6,
+          |  floor(p22 * 1e6 + 0.5) / 1e6 AS pacf2_r6,
+          |  floor(p33 * 1e6 + 0.5) / 1e6 AS pacf3_r6,
+          |  floor(p44 * 1e6 + 0.5) / 1e6 AS pacf4_r6,
+          |  floor(p55 * 1e6 + 0.5) / 1e6 AS pacf5_r6
+          |FROM e12""".stripMargin),
     "q247_acf_ljungbox" -> {
       val lags = 1 to 5
       val crosses = lags.map(k =>

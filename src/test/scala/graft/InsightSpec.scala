@@ -281,6 +281,48 @@ class InsightSpec extends SparkSpec {
     assert(r.getAs[Double]("lb_q_r4") > 15.0)
   }
 
+  test("pacf: lag-1 PACF equals lag-1 ACF, and the Durbin-Levinson recursion replays exactly") {
+    def q4(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val acf = MarketQueries.acfLjungBox(
+      MarketQueries.dailyReturns(spark, sf("sf0.01"))).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (1 to 5).map(k => r.getAs[Double](s"acf${k}_r6"))).toMap
+    val got = MarketQueries.pacf(
+      MarketQueries.dailyReturns(spark, sf("sf0.01"))).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val Seq(r1, r2, r3, r4, r5) = acf(t)
+      // the same unrolled recursion, same operation order
+      val p11 = r1
+      val den2 = 1.0 - p11 * r1
+      val p22 = (r2 - p11 * r1) / den2
+      val p21 = p11 - p22 * p11
+      val den3 = 1.0 - (p21 * r1 + p22 * r2)
+      val p33 = (r3 - (p21 * r2 + p22 * r1)) / den3
+      val p31 = p21 - p33 * p22; val p32 = p22 - p33 * p21
+      val den4 = 1.0 - (p31 * r1 + p32 * r2 + p33 * r3)
+      val p44 = (r4 - (p31 * r3 + p32 * r2 + p33 * r1)) / den4
+      val p41 = p31 - p44 * p33; val p42 = p32 - p44 * p32; val p43 = p33 - p44 * p31
+      val den5 = 1.0 - (p41 * r1 + p42 * r2 + p43 * r3 + p44 * r4)
+      val p55 = (r5 - (p41 * r4 + p42 * r3 + p43 * r2 + p44 * r1)) / den5
+      assert(r.getAs[Double]("pacf1_r6") == q4(p11), s"$t pacf1")
+      assert(r.getAs[Double]("pacf2_r6") == q4(p22), s"$t pacf2")
+      assert(r.getAs[Double]("pacf3_r6") == q4(p33), s"$t pacf3")
+      assert(r.getAs[Double]("pacf4_r6") == q4(p44), s"$t pacf4")
+      assert(r.getAs[Double]("pacf5_r6") == q4(p55), s"$t pacf5")
+    }
+  }
+
+  test("pacf: constant series (undefined ACF) yields null PACFs") {
+    val d0 = java.sql.Date.valueOf("2024-01-01")
+    def day(i: Int) = new java.sql.Date(d0.getTime + i * 86400000L)
+    val rets = (0 until 10).map(i => ("a", day(i), 7L))
+      .toDF("event_type", "day", "r_fp")
+    val r = MarketQueries.pacf(rets).collect().head
+    (1 to 5).foreach(k => assert(r.isNullAt(r.fieldIndex(s"pacf${k}_r6"))))
+  }
+
   test("acfLjungBox: constant series has zero variance and null ACFs") {
     val d0 = java.sql.Date.valueOf("2024-01-01")
     def day(i: Int) = new java.sql.Date(d0.getTime + i * 86400000L)
