@@ -29,10 +29,12 @@ object InsightQueries {
   // and lift over the order baskets, the apriori 2-itemset readout
   // (Agrawal & Srikant 1994) every retailer starts from. The scale
   // story is the apriori PRUNE: items below support 5 are cut BEFORE
-  // any pairing (frequent-item join, not a filter after the blowup),
-  // and pairs form by an equi-join on the order key, so the fan-out
-  // is Σ_orders |basket|² — baskets are small by construction (a
-  // TPC-H order has ≤ 7 lines), never corpus-quadratic. Exactness:
+  // any pairing (a broadcast frequent-item semi-join into the
+  // baskets, not a filter after the blowup), and pairs form by an
+  // equi-join on the order key, so the fan-out is
+  // Σ_orders |frequent-basket|² — baskets are small by construction
+  // (a TPC-H order has ≤ 7 lines) and a singleton-heavy vocabulary
+  // prunes to near-nothing, never corpus-quadratic. Exactness:
   // all counts are exact integers off ONE distinct (order, part)
   // grid; support/confidence are single IEEE divides of exact ints;
   // lift widens EACH factor to double before multiplying (n·c_ab and
@@ -72,8 +74,21 @@ object InsightQueries {
     val nOrders = sp.select(col("o")).distinct().agg(count(lit(1)).as("n"))
     val items = sp.groupBy(col("p")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= minItem)
-    val a = sp.select(col("o"), col("p").as("pa"))
-    val b = sp.select(col("o"), col("p").as("pb"))
+    // the apriori prune, applied BEFORE pairing: a broadcast semi-join
+    // cuts every infrequent item out of the baskets ahead of the
+    // self-join, so the fan-out is Σ|frequent-basket|², not Σ|basket|²
+    // — on a singleton-heavy retail vocabulary that is the whole
+    // game (InsightStreamSpec measures the cut on a planted feed).
+    // Result-identical by construction: rulesClosing inner-joins
+    // pairs to the frequent-item supports on BOTH keys, so any pair
+    // touching an infrequent item is dropped downstream anyway. The
+    // broadcast preserves hashpartitioning(o) on the probe side
+    // (frequent-item dictionaries are support-thresholded — the
+    // classic apriori assumption that they fit one node; TPC-H 100×
+    // is ~2M parts ≈ 16 MB).
+    val spF = sp.join(broadcast(items.select(col("p"))), Seq("p"), "left_semi")
+    val a = spF.select(col("o"), col("p").as("pa"))
+    val b = spF.select(col("o"), col("p").as("pb"))
     val pairs = a.join(b, Seq("o")).filter(col("pa") < col("pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cab"))
       .filter(col("cab") >= minPair)
@@ -98,7 +113,17 @@ object InsightQueries {
     * serves batch q246 and the streaming maintainer
     * (StreamPipeline.basketMaintain — contract there: an order's
     * lines arrive within ONE micro-batch, the completed-basket /
-    * transactional-outbox shape). */
+    * transactional-outbox shape).
+    *
+    * DELIBERATELY UNPRUNED, unlike [[basketRules]]' pre-pair
+    * semi-join: cells merge additively across batches, and an item
+    * below the support threshold in THIS batch may be frequent
+    * globally once later batches land — a per-batch apriori prune
+    * would silently drop its pair counts forever. The prune is
+    * applied where it is sound: at SERVE time, by [[rulesFromCells]]'
+    * thresholds over the accumulated grid. The per-batch fan-out
+    * stays Σ|batch-basket|² — bounded by the micro-batch, not the
+    * corpus, which is the quantity that matters for a maintainer. */
   private[graft] def basketCells(lineitem: DataFrame): DataFrame = {
     val sp = basketBase(lineitem)
     val nOrders = sp.select(col("o")).distinct().agg(count(lit(1)).as("cnt"))

@@ -1414,14 +1414,36 @@ object MarketQueries {
 
   /** q247/q256's shared per-type lag frame: n, a_den and the
     * quantized ρ6 integers rho1..rho{maxLag} off exact-integer
-    * n²-cleared covariances. */
+    * n²-cleared covariances.
+    *
+    * GRAIN CONTRACT: the input must be DAY-GRID (or coarser) — one
+    * row per (event_type, day), the q221/DailyCloses argument, so the
+    * per-type `collect_list` is |days|-bounded (30 years of days is
+    * ~11k longs ≈ 88 KB; even minute-grain decades stay ≤ ~42 MB). A
+    * caller feeding TICK-grain rows would build per-type arrays the
+    * size of the volume; the guard below fails any per-type series
+    * longer than [[AcfMaxSeriesLen]] with a grain-contract message
+    * before the O(n·lag) folds run (a wrong-grain feed dies loudly,
+    * not as an inscrutable executor OOM). Per-factor decimal widening
+    * in cross_k mirrors sxx and
+    * the oracle's HUGEINT discipline (micro-log2 products sit just
+    * under Long.Max — correct today, but only by ~2×; widen-before-
+    * multiply is the battery's rule, not a per-site judgement call). */
+  private[graft] val AcfMaxSeriesLen = 4000000
+
   private[graft] def acfLagFrame(rets: DataFrame, maxLag: Int): DataFrame = {
     val base = rets
       .select(col("event_type"), struct(col("day"), col("r_fp")).as("p"))
       .groupBy(col("event_type"))
       .agg(sort_array(collect_list(col("p"))).as("ps"))
       .withColumn("xs", expr("transform(ps, p -> p.r_fp)"))
-      .withColumn("n", size(col("xs")).cast("long"))
+      .withColumn("n",
+        when(size(col("ps")) <= lit(AcfMaxSeriesLen), size(col("ps")).cast("long"))
+          .otherwise(raise_error(concat(lit(
+            s"acfLagFrame: per-type series exceeds $AcfMaxSeriesLen rows — " +
+              "input must be day-grid (one row per (event_type, day)), " +
+              "not tick-grain; got "), size(col("ps")).cast("string"),
+            lit(" rows for type "), col("event_type"))).cast("long")))
       // exact integer power sums; s1 fits long (|r| <~ 2^24 on a day
       // grid), Σx² rides decimal like q175's s3/s4
       .withColumn("s1", expr(
@@ -1434,7 +1456,8 @@ object MarketQueries {
       df
         .withColumn(s"cross$k", expr(
           s"IF(n > $k, aggregate(transform(sequence($k, CAST(n - 1 AS INT)), " +
-            s"i -> xs[i] * xs[i - $k]), CAST(0 AS DECIMAL(38,0)), (a, e) -> a + e), NULL)"))
+            s"i -> CAST(xs[i] AS DECIMAL(38,0)) * CAST(xs[i - $k] AS DECIMAL(38,0))), " +
+            s"CAST(0 AS DECIMAL(38,0)), (a, e) -> a + e), NULL)"))
         .withColumn(s"head$k", expr(
           s"IF(n > $k, aggregate(slice(xs, 1, CAST(n - $k AS INT)), CAST(0 AS BIGINT), (a, e) -> a + e), NULL)"))
         .withColumn(s"tail$k", expr(

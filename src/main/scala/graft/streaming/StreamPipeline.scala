@@ -1408,6 +1408,42 @@ object StreamPipeline {
     val spark = batch.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     graft.batch.AtomicSwap.heal(hconf, carryPath)
+    // The append-only layout (per-batch `batch=<id>` dirs) is NOT
+    // compatible with stores written by the pre-round-12 flat swap
+    // protocol (part files directly in the root): partition discovery
+    // over a mixed root fails or reads garbage. Fail FAST with a
+    // migration hint instead of corrupting — and sweep staging dirs
+    // (`<root>.tmpb_<id>` siblings) abandoned by a crash between
+    // write and rename; each is fully rewritten before its rename, so
+    // deleting one is always safe.
+    locally {
+      val root = new org.apache.hadoop.fs.Path(dimPath)
+      val fs = root.getFileSystem(hconf)
+      if (fs.exists(root)) {
+        val legacy = fs.listStatus(root).iterator.find { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        legacy.foreach { st =>
+          throw new IllegalStateException(
+            s"scd2 dim store at $dimPath holds root-level data file " +
+              s"'${st.getPath.getName}' — a legacy flat-layout store. The " +
+              "append-only maintainer cannot extend it in place; move the " +
+              "legacy files into a batch=legacy/ subdirectory (their rows " +
+              "are plain closed intervals, schema-compatible) or point the " +
+              "maintainer at a fresh dimPath.")
+        }
+      }
+      val parent = root.getParent
+      if (parent != null && fs.exists(parent)) {
+        val stalePrefix = root.getName + ".tmpb_"
+        fs.listStatus(parent).iterator.foreach { st =>
+          if (st.isDirectory && st.getPath.getName.startsWith(stalePrefix) &&
+            st.getPath.getName != s"${root.getName}.tmpb_$batchId")
+            fs.delete(st.getPath, true)
+        }
+      }
+    }
     def exists(p: String): Boolean = {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(hconf).exists(hp)
@@ -1751,16 +1787,45 @@ object StreamPipeline {
       .select(col("user_id"), col("version"), col("state"), col("valid_from"),
         lit(null).cast("timestamp").as("valid_to"), lit(true).as("is_current"))
     // the dim root is a set of per-batch `batch=<id>` partition dirs
-    // (the explicit select drops the discovered partition column); a
-    // root holding only empty commit dirs has no schema to infer —
-    // same as absent
+    // (the explicit select drops the discovered partition column). A
+    // root holding only empty commit dirs (close-nothing batches) has
+    // no schema to infer — same as absent. That case is detected by
+    // LISTING the batch dirs for data files, NOT by swallowing the
+    // read's exception: a Try(...).toOption there would also eat
+    // corruption / permission / transient-IO failures and silently
+    // serve a dimension with ALL closed intervals missing. Any
+    // exception from the actual parquet read propagates.
     val closedOpt =
-      if (exists(dimPath))
-        scala.util.Try(spark.read.parquet(dimPath)
+      if (exists(dimPath) && dimHasDataFiles(spark, dimPath))
+        Some(spark.read.parquet(dimPath)
           .select(col("user_id"), col("version"), col("state"), col("valid_from"),
-            col("valid_to"), lit(false).as("is_current"))).toOption
+            col("valid_to"), lit(false).as("is_current")))
       else None
     closedOpt.fold(open)(_.unionByName(open))
+  }
+
+  /** True iff any `batch=<id>` partition dir under the dim root holds
+    * a data file (a non-hidden file — `_SUCCESS`/`.crc` don't count).
+    * Pure listing: cheap (per-batch dirs hold ≤1 part file by
+    * construction) and never masks a read failure. Throws on a
+    * root-level data file (a legacy flat-layout store) — serving
+    * open-only from one would silently drop all its closed intervals. */
+  private def dimHasDataFiles(spark: SparkSession, dimPath: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(dimPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).iterator.exists { st =>
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+        throw new IllegalStateException(
+          s"scd2 dim store at $dimPath holds root-level data file '$n' — a " +
+            "legacy flat-layout store; move its files into batch=legacy/ or " +
+            "use a fresh dimPath (see scd2Batch).")
+      st.isDirectory && n.startsWith("batch=") &&
+        fs.listStatus(st.getPath).iterator.exists { f =>
+          val fn = f.getPath.getName
+          f.isFile && !fn.startsWith("_") && !fn.startsWith(".")
+        }
+    }
   }
 
   /** STREAMING BOT-PROFILE MAINTENANCE (leg 19): q205's behavioral

@@ -83,6 +83,70 @@ class Scd2StreamSpec extends SparkSpec {
         Option(r.getAs[java.sql.Timestamp]("valid_to")), r.getAs[Boolean]("is_current"))).toSet)
   }
 
+  test("serve: close-nothing batches (empty commit dirs) serve open-only; corruption and legacy stores fail loudly") {
+    val t0 = java.sql.Timestamp.valueOf("2024-07-01 10:00:00")
+    val base = Files.createTempDirectory("graft_scd2_fallback").toString
+    val (dim, carry) = (base + "/dim", base + "/carry")
+    // one single-event user: the dim commit is an EMPTY batch dir
+    // (nothing closes), the carry holds the one open interval
+    StreamPipeline.scd2Batch(Seq(
+      (1L, t0, 1L, "view")
+    ).toDF("user_id", "ts", "event_id", "event_type"), dim, carry, 0L)
+    val served = StreamPipeline.scd2Serve(spark, dim, carry).collect()
+    assert(served.length == 1 && served.head.getAs[Boolean]("is_current"),
+      "a dim root of empty commit dirs must serve open-only, not fail")
+    // a corrupted batch data file must PROPAGATE from the read — the
+    // old Try(...).toOption would have silently served open-only with
+    // every closed interval missing
+    StreamPipeline.scd2Batch(Seq(
+      (1L, new java.sql.Timestamp(t0.getTime + 60000L), 2L, "click")
+    ).toDF("user_id", "ts", "event_id", "event_type"), dim, carry, 1L)
+    val part = Files.list(java.nio.file.Paths.get(dim, "batch=1")).iterator()
+    var corrupted = false
+    while (part.hasNext) {
+      val f = part.next()
+      if (f.getFileName.toString.endsWith(".parquet")) {
+        Files.write(f, "not parquet".getBytes); corrupted = true
+      }
+    }
+    assert(corrupted)
+    intercept[Exception] {
+      StreamPipeline.scd2Serve(spark, dim, carry).collect()
+    }
+    // a legacy flat-layout store (root-level part files) is refused by
+    // both the maintainer and the serve, with a migration hint
+    val legacyBase = Files.createTempDirectory("graft_scd2_legacy").toString
+    val (ldim, lcarry) = (legacyBase + "/dim", legacyBase + "/carry")
+    Seq((9L, 1L, "view", t0, t0)).toDF(
+      "user_id", "version", "state", "valid_from", "valid_to")
+      .coalesce(1).write.parquet(ldim)
+    val batch = Seq((9L, t0, 1L, "view")).toDF("user_id", "ts", "event_id", "event_type")
+    val e1 = intercept[IllegalStateException] {
+      StreamPipeline.scd2Batch(batch, ldim, lcarry, 0L)
+    }
+    assert(e1.getMessage.contains("legacy flat-layout"))
+    Seq((9L, 1L, "view", t0)).toDF("user_id", "version", "state", "valid_from")
+      .coalesce(1).write.parquet(lcarry)
+    val e2 = intercept[IllegalStateException] {
+      StreamPipeline.scd2Serve(spark, ldim, lcarry).collect()
+    }
+    assert(e2.getMessage.contains("legacy flat-layout"))
+  }
+
+  test("stale .tmpb_ staging dirs abandoned by a crash are swept on the next batch") {
+    val t0 = java.sql.Timestamp.valueOf("2024-07-01 10:00:00")
+    val base = Files.createTempDirectory("graft_scd2_sweep").toString
+    val (dim, carry) = (base + "/dim", base + "/carry")
+    Files.createDirectories(java.nio.file.Paths.get(s"$dim.tmpb_7"))
+    Files.write(java.nio.file.Paths.get(s"$dim.tmpb_7/part-junk.parquet"), "x".getBytes)
+    StreamPipeline.scd2Batch(Seq(
+      (1L, t0, 1L, "view")
+    ).toDF("user_id", "ts", "event_id", "event_type"), dim, carry, 0L)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dim.tmpb_7")),
+      "abandoned staging dir must be swept")
+    assert(StreamPipeline.scd2Serve(spark, dim, carry).count() == 1L)
+  }
+
   test("event-time regressions against the carry are counted, not silent") {
     val t0 = java.sql.Timestamp.valueOf("2024-07-01 10:00:00")
     def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
