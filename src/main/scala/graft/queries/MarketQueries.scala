@@ -192,6 +192,60 @@ object MarketQueries {
           r4(col("pv").cast("double") / col("volume").cast("double"))).as("vwap"),
         col("volume"), col("n_rows"))
 
+  // q128 — STOCHASTIC OSCILLATOR %K-14 / %D-3 per instrument: where
+  // TODAY'S close sits inside the last 14 days' high-low range
+  // (Lane's %K), smoothed by a 3-day SMA (%D) — the overbought/
+  // oversold companion every charting package draws next to q129's
+  // RSI. Exactness: prices quantize ONCE to the cent grid; the daily
+  // (hi, lo, close) triple is exact integer (close by max struct
+  // (ts, event_id) — the DailyCloses tie-break, arg_max(vc, rn) in
+  // the oracle); %K is a pure integer rounded ratio
+  // k_fp = (2·(c−l)·10⁶ + (h−l)) DIV (2·(h−l))  [= floor(x+0.5)]
+  // and %D averages THREE k_fp integers as (2·Σ + 3) DIV 6 — no
+  // float ever crosses rows, the only IEEE op is the final /1e4
+  // display divide. Cents are domain-bounded (price magnitude, not
+  // volume), so the LONG products hold at any corpus size. Flat
+  // 14-day windows (h = l) have no %K by convention (NULL, as on
+  // every charting package); %D requires three CONSECUTIVE defined
+  // %K rows (both counts pinned — Spark window sums skip NULLs, so
+  // an unguarded sum would fabricate a %D from two values). Rows
+  // emit only with a full 14-day frame (warm-up undefined, the q129
+  // rule). Scale shape: ONE volume-sized partial agg to the
+  // (instrument, day) grid, then 14-row/3-row windows over day-grid
+  // rows partitioned by instrument — |days| per type (the
+  // q221/DailyCloses argument), never a volume-sized sort.
+  private def q128(s: SparkSession, dir: String): DataFrame =
+    stochastic(ev(s, dir))
+
+  /** q128's closing over any (event_type, ts, event_id, value) feed. */
+  private[graft] def stochastic(e: DataFrame): DataFrame = {
+    val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val w14 = wd.rowsBetween(-13, 0)
+    val w3 = wd.rowsBetween(-2, 0)
+    e
+      .filter(col("value").isNotNull)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("vc", floor(col("value") * lit(100d) + lit(0.5d)).cast("long"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(col("vc")).as("hi"), min(col("vc")).as("lo"),
+        max(struct(col("ts"), col("event_id"), col("vc")))
+          .getField("vc").as("close_c"))
+      .withColumn("h14", max(col("hi")).over(w14))
+      .withColumn("l14", min(col("lo")).over(w14))
+      .withColumn("nw", count(lit(1)).over(w14))
+      .filter(col("nw") === 14)
+      .withColumn("k_fp", when(col("h14") > col("l14"),
+        expr("(2 * (close_c - l14) * 1000000 + (h14 - l14)) DIV (2 * (h14 - l14))")))
+      .withColumn("sum3", sum(col("k_fp")).over(w3))
+      .withColumn("nk3", count(col("k_fp")).over(w3))
+      .withColumn("nr3", count(lit(1)).over(w3))
+      .select(col("event_type"), col("day"), col("close_c"),
+        col("h14").as("h14_c"), col("l14").as("l14_c"),
+        (col("k_fp").cast("double") / lit(1e4)).as("pct_k_r4"),
+        when(col("nk3") === 3 && col("nr3") === 3,
+          expr("(2 * sum3 + 3) DIV 6").cast("double") / lit(1e4)).as("pct_d_r4"))
+  }
+
   // q129 — RSI-14 (Cutler's SMA variant) per instrument: the
   // overbought/oversold oscillator. Cutler's form uses simple moving
   // averages of gains/losses — unlike Wilder's recursive smoothing it
@@ -1560,6 +1614,7 @@ object MarketQueries {
     "q154_drawdown_episodes" -> q154 _,
     "q153_realized_vol" -> q153 _,
     "q126_vwap" -> q126 _,
+    "q128_stochastic_osc" -> q128 _,
     "q129_rsi" -> q129 _,
     "q125_twap" -> q125 _,
     "q108_rolling_bands" -> q108 _,
@@ -2534,6 +2589,43 @@ object MarketQueries {
         |  END AS vwap,
         |  sum(k)::BIGINT AS volume, count(*) AS n_rows
         |FROM e GROUP BY 1, 2""".stripMargin,
+    "q128_stochastic_osc" ->
+      """WITH e AS (
+        |  SELECT event_type, ts::TIMESTAMP AS ts, event_id,
+        |    ts::TIMESTAMP::DATE AS day,
+        |    floor(value * 100.0 + 0.5)::BIGINT AS vc
+        |  FROM events WHERE value IS NOT NULL
+        |), r0 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS rn
+        |  FROM e
+        |), d AS (
+        |  SELECT event_type, day, max(vc) AS hi, min(vc) AS lo,
+        |    arg_max(vc, rn) AS close_c
+        |  FROM r0 GROUP BY 1, 2
+        |), w AS (
+        |  SELECT event_type, day, close_c,
+        |    max(hi) OVER w14 AS h14, min(lo) OVER w14 AS l14,
+        |    count(*) OVER w14 AS nw
+        |  FROM d WINDOW w14 AS (PARTITION BY event_type ORDER BY day
+        |                        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |), k AS (
+        |  SELECT event_type, day, close_c, h14, l14,
+        |    CASE WHEN h14 > l14 THEN
+        |      (2 * (close_c - l14) * 1000000 + (h14 - l14)) // (2 * (h14 - l14))
+        |    END AS k_fp
+        |  FROM w WHERE nw = 14
+        |), s AS (
+        |  SELECT *, sum(k_fp) OVER w3 AS sum3,
+        |    count(k_fp) OVER w3 AS nk3, count(*) OVER w3 AS nr3
+        |  FROM k WINDOW w3 AS (PARTITION BY event_type ORDER BY day
+        |                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, day, close_c, h14 AS h14_c, l14 AS l14_c,
+        |  k_fp::DOUBLE / 1e4 AS pct_k_r4,
+        |  CASE WHEN nk3 = 3 AND nr3 = 3 THEN
+        |    ((2 * sum3 + 3) // 6)::DOUBLE / 1e4
+        |  END AS pct_d_r4
+        |FROM s""".stripMargin,
     "q129_rsi" ->
       """WITH e AS (
         |  SELECT event_id, event_type, ts::TIMESTAMP AS ts,

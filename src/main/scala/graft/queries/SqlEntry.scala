@@ -7,7 +7,7 @@ import graft.core.Tables
 /** The SURVEY §3.3(b) entry point: the same queries as the typed
   * Scala API, as `spark.sql()` text over registered temp views — the
   * surface a thriftserver / Spark Connect / notebook user gets when
-  * they can't (or won't) link the Scala library. Fifteen
+  * they can't (or won't) link the Scala library. Sixteen
   * representative shapes are covered — the OHLCV rollup (q06), the
   * sliding-window join (q09), the TPC-H Q1 pricing summary (q13),
   * the window-function battery (q54), the inverted index (q96), the
@@ -17,8 +17,10 @@ import graft.core.Tables
   * 16-coalition game in SQL), the risk-adjusted summary (q199), the
   * RI orphan audit (q216), the PSI drift monitor (q229), the FD
   * discovery (q234), the VaR/CVaR risk pair (q221, the econometrics
-  * family's twin), and the basket association rules (q246, the
-  * decision-analytics twin) — each the EXACT semantics of its
+  * family's twin), the basket association rules (q246, the
+  * decision-analytics twin, pre-pair apriori prune included), and the
+  * Mann-Whitney U drift test (q250, the rank-statistics family's
+  * twin) — each the EXACT semantics of its
   * typed twin: same op sequence, same decimal detours, same r4/r2
   * rounding, so results match bitwise (SqlEntrySpec pins text ≡
   * typed for every key in [[texts]]).
@@ -487,9 +489,10 @@ object SqlEntry {
       """WITH sp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |nn AS (SELECT count(1) AS n FROM (SELECT DISTINCT o FROM sp)),
         |it AS (SELECT p, count(1) AS c FROM sp GROUP BY p HAVING count(1) >= 5),
+        |spf AS (SELECT o, p FROM sp WHERE p IN (SELECT p FROM it)),
         |pr AS (
         |  SELECT a.p AS pa, b.p AS pb, count(1) AS cab
-        |  FROM sp a JOIN sp b ON a.o = b.o AND a.p < b.p
+        |  FROM spf a JOIN spf b ON a.o = b.o AND a.p < b.p
         |  GROUP BY a.p, b.p HAVING count(1) >= 2
         |)
         |SELECT pa AS part_a, pb AS part_b, ia.c AS c_a, ib.c AS c_b, cab AS c_ab,
@@ -500,6 +503,62 @@ object SqlEntry {
         |    / (CAST(ia.c AS DOUBLE) * CAST(ib.c AS DOUBLE)) * 1e6 + 0.5D) / 1e6 AS lift_r6
         |FROM pr JOIN it ia ON ia.p = pr.pa JOIN it ib ON ib.p = pr.pb CROSS JOIN nn
         |ORDER BY lift_r6 DESC, part_a, part_b LIMIT 100""".stripMargin,
+    // q250 — the rank-statistics family's text twin: Mann-Whitney U
+    // as a notebook writes it — the exact-integer midrank construction
+    // (2·midrank = 2·prev + t + 1 on the (type, cent) grid, one
+    // running-count window), every product widened to DECIMAL(38,0)
+    // BEFORE multiplying like the typed plan, and the tie-corrected z
+    // closing in the SAME D-suffixed IEEE sequence, so rows match
+    // bitwise (the plain window running sum is integer arithmetic —
+    // value-identical to the typed plan's chunk-banded one)
+    "q250_mann_whitney" ->
+      """WITH e AS (
+        |  SELECT event_type, to_date(ts) AS day, value FROM events
+        |), bounds AS (
+        |  SELECT min(day) AS d0, max(day) AS d1 FROM e
+        |), v AS (
+        |  SELECT event_type,
+        |    datediff(day, d0) >= (datediff(d1, d0) + 1) DIV 2 AS late,
+        |    cast(floor(value * 100.0D + 0.5D) AS bigint) AS vc
+        |  FROM e CROSS JOIN bounds WHERE value IS NOT NULL
+        |), g AS (
+        |  SELECT event_type, vc,
+        |    count(CASE WHEN NOT late THEN 1 END) AS a,
+        |    count(CASE WHEN late THEN 1 END) AS b
+        |  FROM v GROUP BY event_type, vc
+        |), cum AS (
+        |  SELECT event_type, vc, a, b, a + b AS t,
+        |    sum(a + b) OVER (PARTITION BY event_type ORDER BY vc
+        |      ROWS UNBOUNDED PRECEDING) AS ct
+        |  FROM g
+        |), per AS (
+        |  SELECT event_type, sum(a) AS n1, sum(b) AS n2,
+        |    sum(CAST(a AS DECIMAL(38,0))
+        |      * CAST((ct - t) * 2 + t + 1 AS DECIMAL(38,0))) AS r1x2,
+        |    sum(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))
+        |      * CAST(t AS DECIMAL(38,0)) - CAST(t AS DECIMAL(38,0))) AS ties
+        |  FROM cum GROUP BY event_type
+        |), f AS (
+        |  SELECT event_type, n1, n2,
+        |    r1x2 - CAST(n1 AS DECIMAL(38,0)) * CAST(n1 + 1 AS DECIMAL(38,0)) AS u1x2,
+        |    CAST(r1x2 - CAST(n1 AS DECIMAL(38,0)) * CAST(n1 + 1 AS DECIMAL(38,0))
+        |      - CAST(n1 AS DECIMAL(38,0)) * CAST(n2 AS DECIMAL(38,0)) AS DOUBLE) AS num,
+        |    CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |      * ((CAST(n1 + n2 AS DOUBLE) + 1.0D)
+        |        - CAST(ties AS DOUBLE)
+        |          / (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0D)))
+        |      / 12.0D AS var_core
+        |  FROM per
+        |), zq AS (
+        |  SELECT event_type, n1, n2, u1x2, var_core,
+        |    cast(floor(num / (2.0D * sqrt(var_core)) * 1e4 + 0.5D) AS bigint) AS z4
+        |  FROM f
+        |)
+        |SELECT event_type, n1 AS n_early, n2 AS n_late,
+        |  CAST(u1x2 AS DOUBLE) / 2.0D AS u1,
+        |  CASE WHEN var_core > 0 THEN cast(z4 AS double) / 1e4 END AS z_r4,
+        |  CASE WHEN var_core > 0 THEN abs(z4) > 19600L END AS reject
+        |FROM zq""".stripMargin,
     "q96_inverted_index" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -41,6 +41,42 @@ class InsightSpec extends SparkSpec {
     assert(got.length == 1) // only (1,2) survives
   }
 
+  test("basketRules: heavy singleton-laden baskets — pre-pair prune cuts the fan-out, result identical to the unpruned cell path") {
+    import org.apache.spark.sql.functions._
+    // the retail shape TPC-H never exercises: 300 orders of 40 lines
+    // each — 5 lines from an 8-part frequent vocabulary, 35 lines of
+    // order-unique singleton parts (support 1 < minItem). Without the
+    // pre-pair semi-join the self-join fans out sum |basket|^2 =
+    // 300*40^2 = 480k rows; with it, sum |frequent-basket|^2 =
+    // 300*5^2 = 7.5k — a 64x cut that grows with basket size.
+    val li = (1L to 300L).flatMap { o =>
+      val freq = (0 until 5).map(i => (o, (o + i) % 8 + 1))
+      val singles = (0 until 35).map(i => (o, 1000L + o * 35L + i))
+      freq ++ singles
+    }
+    val df = li.toDF("l_orderkey", "l_partkey")
+    val pruned = InsightQueries.basketRules(df, minItem = 5L, minPair = 2L)
+      .collect().map(_.toSeq)
+    // the cell path is DELIBERATELY unpruned (additive merge): same
+    // closing thresholds must give the identical rules
+    val viaCells = InsightQueries.rulesFromCells(
+      InsightQueries.basketCells(df), minItem = 5L, minPair = 2L)
+      .collect().map(_.toSeq)
+    assert(pruned.toSeq == viaCells.toSeq,
+      "pruned batch path and unpruned cell path must agree bitwise (order included)")
+    // measure the fan-out cut the prune buys: per-order basket sizes
+    // squared, before vs after the frequent-item semi-join
+    val sp = df.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val items = sp.groupBy("p").agg(count(lit(1)).as("c")).filter(col("c") >= 5L)
+    val spF = sp.join(items.select("p"), Seq("p"), "left_semi")
+    def fanOut(g: org.apache.spark.sql.DataFrame): Long =
+      g.groupBy("o").agg(count(lit(1)).as("sz"))
+        .agg(sum(col("sz") * col("sz"))).head().getLong(0)
+    val (fanAll, fanPruned) = (fanOut(sp), fanOut(spF))
+    assert(fanAll >= 480000L && fanPruned <= 7500L,
+      s"fan-out must collapse: all=$fanAll pruned=$fanPruned")
+  }
+
   test("q246 on testdata: deterministic top-k, lift-ordered, counts consistent") {
     val rows = InsightQueries.queries("q246_basket_rules")(spark, sf("sf0.01")).collect()
     assert(rows.nonEmpty && rows.length <= 100)

@@ -565,4 +565,44 @@ class MarketStatsSpec extends SparkSpec {
     }
     assert(byCluster.values.map(_.length).sum == real.length)
   }
+
+  test("q128: designed feed pins %K/%D exactly — flat window NULL, warm-up gate, 3-defined-%K guard, last-tick close") {
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 12:00:00")
+    def ts(day: Int, sec: Int = 0) =
+      new java.sql.Timestamp(t0.getTime + day * 86400000L + sec * 1000L)
+    // days 0..13 flat at 10.00 (full 14-frame, h14 = l14 -> %K NULL);
+    // day 14 spikes to 12.00 (%K = 100), day 15 at 11.00 (%K = 50),
+    // day 16 prints 11.80 then CLOSES 10.50 (%K = 25 off the close,
+    // not the high); %D defined only at day 16 (first 3 defined %K)
+    val rows = (0 to 13).map(d => ("X", ts(d), d.toLong, 10.00)) ++ Seq(
+      ("X", ts(14), 14L, 12.00), ("X", ts(15), 15L, 11.00),
+      ("X", ts(16, 10), 16L, 11.80), ("X", ts(16, 20), 17L, 10.50))
+    val out = graft.queries.MarketQueries.stochastic(
+      rows.toDF("event_type", "ts", "event_id", "value"))
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString -> r).toMap
+    assert(out.size == 4, "rows emit only from the first full 14-day frame")
+    val d13 = out("2024-03-14")
+    assert(d13.isNullAt(d13.fieldIndex("pct_k_r4")), "flat 14-day window has no %K")
+    assert(out("2024-03-15").getAs[Double]("pct_k_r4") == 100.0)
+    assert(out("2024-03-16").getAs[Double]("pct_k_r4") == 50.0)
+    val d16 = out("2024-03-17")
+    assert(d16.getAs[Long]("close_c") == 1050L, "close is the LAST tick of the day")
+    assert(d16.getAs[Long]("h14_c") == 1200L && d16.getAs[Long]("l14_c") == 1000L)
+    assert(d16.getAs[Double]("pct_k_r4") == 25.0)
+    assert(d16.getAs[Double]("pct_d_r4") == 58.3333,
+      "%D = round((100 + 50 + 25)/3 scaled) = 58.3333")
+    assert(out("2024-03-15").isNullAt(out("2024-03-15").fieldIndex("pct_d_r4")) &&
+      out("2024-03-16").isNullAt(out("2024-03-16").fieldIndex("pct_d_r4")),
+      "%D needs three CONSECUTIVE defined %K rows (the NULL %K breaks the run)")
+  }
+
+  test("q128 on testdata: %K/%D in [0, 100], close inside [l14, h14], one row per emitted (instrument, day)") {
+    val out = q("q128_stochastic_osc").cache()
+    assert(out.filter($"pct_k_r4" < 0 || $"pct_k_r4" > 100 ||
+      $"pct_d_r4" < 0 || $"pct_d_r4" > 100).isEmpty)
+    assert(out.filter($"close_c" < $"l14_c" || $"close_c" > $"h14_c").isEmpty)
+    assert(out.groupBy($"event_type", $"day").count().filter($"count" > 1).isEmpty)
+    assert(out.count() > 0)
+    out.unpersist()
+  }
 }
