@@ -410,7 +410,79 @@ object GovernQueries {
           (dd(col("n_cust")) * dd(col("s1"))))).as("gini_r4"))
   }
 
+  // ---------------------------------------------------------------
+  // q262 — LORENZ DECILE TABLE + TOP-1% CONCENTRATION: the curve
+  // BEHIND q228's Gini coefficient, tabulated — each global customer-
+  // revenue decile's member count, revenue mass, share, and
+  // cumulative share, plus the top-1% whale bucket (id 101) every
+  // concentration review actually asks about ("what fraction do the
+  // top 1% carry?"). Zero-revenue customers count as members (q228's
+  // left-join rule — dropping them understates concentration).
+  // Exactness: revenue quantizes ONCE to integer cents; decile
+  // boundaries are pure integer ranks k_d = (n·d) DIV 10 (top-1%
+  // start = n − ⌈n/100⌉, also integer); a bucket's members and mass
+  // come from rank-range overlaps max(0, min(ct, hi) − max(prev, lo))
+  // on the (cents, count) GRID — tie order is irrelevant because
+  // every occupant of a cell has the SAME cents value — with count ×
+  // cents widened PER FACTOR to decimal (HUGEINT oracle). The only
+  // IEEE ops are the closing share divides. Scale shape: the
+  // volume-sized work is the per-customer order partial agg; the
+  // rank machinery runs on the domain-bounded revenue-cents grid
+  // via ChunkedFrame banded running counts (value-band parallelism,
+  // never a customer-grain sort task); the bucket dim is 11
+  // broadcast rows and the cumulative window is over 11 bucket rows.
+  // Output: 11 rows.
+  private def q262(s: SparkSession, dir: String): DataFrame =
+    lorenzDeciles(Tables.customer(s, dir), Tables.orders(s, dir))
+
+  private[graft] def lorenzDeciles(customer: DataFrame,
+                                   orders: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    def dd(c: Column) = c.cast("double")
+    val rev = orders
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * lit(100d) + lit(0.5d)).cast("long"))
+        .as("cents"))
+    val cust = customer.select(col("c_custkey"))
+      .join(rev, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("cents"), lit(0L)).as("cents"))
+    val grid = cust.groupBy(col("cents")).agg(count(lit(1)).as("x"))
+      .withColumn("g", lit(1))
+    val tot = grid.agg(sum(col("x")).as("n"),
+      sum(d38(col("x")) * d38(col("cents"))).as("mass"))
+    val cum = graft.operators.ChunkedFrame.withRunningSum(
+      grid, "g", expr("cents DIV 100000"), Seq("cents"), "x", "ct")
+      .withColumn("prev", col("ct") - col("x"))
+    val buckets = customer.sparkSession.range(1, 12)
+      .select(when(col("id") === 11, lit(101L)).otherwise(col("id"))
+        .cast("long").as("bucket"))
+    val ranged = cum.crossJoin(broadcast(tot)).crossJoin(broadcast(buckets))
+      .withColumn("lo", when(col("bucket") === 101L,
+        col("n") - expr("(n + 99) DIV 100")).otherwise(expr("(n * (bucket - 1)) DIV 10")))
+      .withColumn("hi", when(col("bucket") === 101L, col("n"))
+        .otherwise(expr("(n * bucket) DIV 10")))
+      .withColumn("occ", greatest(lit(0L),
+        least(col("ct"), col("hi")) - greatest(col("prev"), col("lo"))))
+    val perBucket = ranged.groupBy(col("bucket"))
+      .agg(max(col("n")).as("n"), max(col("mass")).as("mass"),
+        sum(col("occ")).as("n_members"),
+        coalesce(sum(d38(col("occ")) * d38(col("cents"))), lit(0L).cast("decimal(38,0)"))
+          .as("mass_d"))
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .withColumn("cum_mass", sum(when(col("bucket") <= 10L, col("mass_d"))).over(wCum))
+      .select(col("bucket"), col("n_members"),
+        r2(dd(col("mass_d")) / lit(100d)).as("rev_r2"),
+        (floor(dd(col("mass_d")) / dd(col("mass")) * lit(1e6) + lit(0.5))
+          / lit(1e6)).as("share_r6"),
+        when(col("bucket") <= 10L,
+          floor(dd(col("cum_mass")) / dd(col("mass")) * lit(1e6) + lit(0.5))
+            / lit(1e6)).as("cum_share_r6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q262_lorenz_deciles" -> q262 _,
     "q226_supply_triangles" -> q226 _,
     "q228_revenue_gini" -> q228 _,
     "q216_ri_orphans" -> q216 _,
@@ -422,6 +494,49 @@ object GovernQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q262_lorenz_deciles" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1
+        |), cust AS (
+        |  SELECT coalesce(cents, 0) AS cents
+        |  FROM customer LEFT JOIN rev ON c_custkey = o_custkey
+        |), g AS (SELECT cents, count(*)::BIGINT AS x FROM cust GROUP BY 1),
+        |t AS (SELECT sum(x)::BIGINT AS n, sum(x::HUGEINT * cents) AS mass FROM g),
+        |c1 AS (
+        |  SELECT *, (sum(x) OVER (ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS ct
+        |  FROM g
+        |), b AS (
+        |  SELECT unnest(generate_series(1, 10))::BIGINT AS bucket
+        |  UNION ALL SELECT 101::BIGINT
+        |), d AS (
+        |  SELECT bucket,
+        |    CASE WHEN bucket = 101 THEN n - (n + 99) // 100
+        |         ELSE (n * (bucket - 1)) // 10 END AS lo,
+        |    CASE WHEN bucket = 101 THEN n ELSE (n * bucket) // 10 END AS hi,
+        |    n, mass
+        |  FROM b CROSS JOIN t
+        |), occ AS (
+        |  SELECT bucket, any_value(n) AS n, any_value(mass) AS mass,
+        |    sum(greatest(0, least(ct, hi) - greatest(ct - x, lo)))::BIGINT AS n_members,
+        |    coalesce(sum(greatest(0, least(ct, hi) - greatest(ct - x, lo))::HUGEINT
+        |      * cents), 0) AS mass_d
+        |  FROM d CROSS JOIN c1
+        |  GROUP BY bucket
+        |), fin AS (
+        |  SELECT *, sum(CASE WHEN bucket <= 10 THEN mass_d END)
+        |    OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS cum_mass
+        |  FROM occ
+        |)
+        |SELECT bucket, n_members,
+        |  floor(mass_d::DOUBLE / 100 * 100 + 0.5)/100 AS rev_r2,
+        |  floor(mass_d::DOUBLE / mass::DOUBLE * 1e6 + 0.5)/1e6 AS share_r6,
+        |  CASE WHEN bucket <= 10 THEN
+        |    floor(cum_mass::DOUBLE / mass::DOUBLE * 1e6 + 0.5)/1e6
+        |  END AS cum_share_r6
+        |FROM fin""".stripMargin,
     "q226_supply_triangles" ->
       """WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
         |pr AS (

@@ -244,6 +244,66 @@ object InsightQueries {
   }
 
   // ---------------------------------------------------------------
+  // q260 — TRIMMED / WINSORIZED MEAN AUDIT: each event_type's raw
+  // mean next to its 5% trimmed mean (drop the k smallest and k
+  // largest, k = ⌊0.05·n⌋) and 5% winsorized mean (clamp them to the
+  // order statistics x₍ₖ₊₁₎ / x₍ₙ₋ₖ₎, Tukey's robustification) — the
+  // single number that says HOW MUCH of q248's outlier mass actually
+  // moves the location estimate (MAD says the tails are heavy; the
+  // trimmed-vs-raw gap says whether your dashboards should care).
+  // Exactness: everything is exact integer arithmetic on q248's
+  // (type, cent-value) grid — the kept mass of a cell is a pure
+  // rank-range overlap max(0, min(ct, n−k) − max(prev, k)), the two
+  // clamp values are lower order statistics (smallest vc whose
+  // running count reaches the rank — the q248 lower-median rule,
+  // interpolation-free), and the three sums widen cell-count ×
+  // cents PER FACTOR to decimal(38,0) (HUGEINT oracle — count is
+  // volume-scale, cents value-scale; the q240/q241 class). The only
+  // IEEE ops are the three closing divides. Scale shape: q248's —
+  // one partial agg to the domain-bounded grid, ChunkedFrame banded
+  // running counts (type × value-band parallelism, no per-type sort
+  // task), |types| output rows. The grid is the SAME additive store
+  // madMaintain keeps live, so the streaming serve is free
+  // (StreamPipeline.trimmedServe — one store, two serves).
+  private def q260(s: SparkSession, dir: String): DataFrame =
+    trimmedFromGrid(madGrid(
+      Tables.events(s, dir).select(col("event_type"), col("value"))))
+
+  /** q260's closing over any (event_type, vc, x) grid — ONE code path
+    * with the streaming serve (StreamPipeline.trimmedServe). */
+  private[graft] def trimmedFromGrid(g1: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val tot = g1.groupBy(col("event_type")).agg(sum(col("x")).as("n"))
+    val cum = graft.operators.ChunkedFrame.withRunningSum(
+      g1, "event_type", expr("vc DIV 100"), Seq("vc"), "x", "ct")
+      .join(broadcast(tot), Seq("event_type"))
+      .withColumn("k", expr("(n * 5) DIV 100"))
+      .withColumn("prev", col("ct") - col("x"))
+    val kept = cum.withColumn("keep", greatest(lit(0L),
+      least(col("ct"), col("n") - col("k")) - greatest(col("prev"), col("k"))))
+    val pLo = cum.filter(col("ct") >= col("k") + lit(1L))
+      .groupBy(col("event_type")).agg(min(col("vc")).as("p_lo"))
+    val pHi = cum.filter(col("ct") >= col("n") - col("k"))
+      .groupBy(col("event_type")).agg(min(col("vc")).as("p_hi"))
+    val sums = kept.groupBy(col("event_type")).agg(
+      sum(d38(col("x")) * d38(col("vc"))).as("s_all"),
+      sum(d38(col("keep")) * d38(col("vc"))).as("s_trim"))
+    def dd(c: Column) = c.cast("double")
+    val sWins = col("s_trim") + d38(col("k")) * d38(col("p_lo")) +
+      d38(col("k")) * d38(col("p_hi"))
+    tot.join(sums, Seq("event_type"))
+      .join(broadcast(pLo), Seq("event_type"))
+      .join(broadcast(pHi), Seq("event_type"))
+      .withColumn("k", expr("(n * 5) DIV 100"))
+      .select(col("event_type"), col("n"), col("k").as("n_trim_each"),
+        r4(dd(col("s_all")) / dd(col("n")) / lit(100d)).as("mean_r4"),
+        when(col("n") - lit(2L) * col("k") > 0,
+          r4(dd(col("s_trim")) / dd(col("n") - lit(2L) * col("k")) / lit(100d)))
+          .as("trimmed_r4"),
+        r4(dd(sWins) / dd(col("n")) / lit(100d)).as("winsor_r4"))
+  }
+
+  // ---------------------------------------------------------------
   // q249 — WEIGHT OF EVIDENCE / INFORMATION VALUE: the
   // credit-scoring feature screen (Siddiqi 2006) — how well does the
   // event-value band separate POWER-BUYER traffic (users with > 13
@@ -611,6 +671,7 @@ object InsightQueries {
     "q246_basket_rules" -> q246 _,
     "q248_mad_outliers" -> q248 _,
     "q249_info_value" -> q249 _,
+    "q260_trimmed_means" -> q260 _,
     "q250_mann_whitney" -> q250 _,
     "q251_spearman_pairs" -> q251 _,
     "q252_theil_sen" -> q252 _,
@@ -863,6 +924,34 @@ object InsightQueries {
         |  floor(n_out::DOUBLE / n::DOUBLE * 1e6 + 0.5)/1e6 AS out_share_r6
         |FROM t JOIN med USING (event_type) JOIN mad USING (event_type)
         |  JOIN o USING (event_type)""".stripMargin,
+    "q260_trimmed_means" ->
+      """WITH v AS (
+        |  SELECT event_type, floor(value * 100 + 0.5)::BIGINT AS vc
+        |  FROM events WHERE value IS NOT NULL
+        |), g AS (SELECT event_type, vc, count(*)::BIGINT AS x FROM v GROUP BY 1, 2),
+        |t AS (SELECT event_type, sum(x)::BIGINT AS n FROM g GROUP BY 1),
+        |c1 AS (
+        |  SELECT *, (sum(x) OVER (PARTITION BY event_type ORDER BY vc
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS ct
+        |  FROM g
+        |), cc AS (
+        |  SELECT c1.event_type, vc, x, ct, n, (n * 5) // 100 AS k, ct - x AS prev
+        |  FROM c1 JOIN t USING (event_type)
+        |), kept AS (
+        |  SELECT event_type, n, k,
+        |    sum(x::HUGEINT * vc) AS s_all,
+        |    sum(greatest(0, least(ct, n - k) - greatest(prev, k))::HUGEINT * vc) AS s_trim
+        |  FROM cc GROUP BY 1, 2, 3
+        |), plo AS (SELECT event_type, min(vc) AS p_lo FROM cc WHERE ct >= k + 1 GROUP BY 1),
+        |phi AS (SELECT event_type, min(vc) AS p_hi FROM cc WHERE ct >= n - k GROUP BY 1)
+        |SELECT event_type, n, k AS n_trim_each,
+        |  floor(s_all::DOUBLE / n::DOUBLE / 100 * 10000 + 0.5)/10000 AS mean_r4,
+        |  CASE WHEN n - 2*k > 0 THEN
+        |    floor(s_trim::DOUBLE / (n - 2*k)::DOUBLE / 100 * 10000 + 0.5)/10000
+        |  END AS trimmed_r4,
+        |  floor((s_trim + k::HUGEINT * p_lo + k::HUGEINT * p_hi)::DOUBLE
+        |    / n::DOUBLE / 100 * 10000 + 0.5)/10000 AS winsor_r4
+        |FROM kept JOIN plo USING (event_type) JOIN phi USING (event_type)""".stripMargin,
     "q249_info_value" ->
       """WITH lab AS (
         |  SELECT user_id,

@@ -1583,7 +1583,164 @@ object MarketQueries {
       r6(col("p55")).as("pacf5_r6"))
   }
 
+  // ---------------------------------------------------------------
+  // q257 — JARQUE-BERA NORMALITY TEST: the joint skewness/kurtosis
+  // normality check (Jarque & Bera 1980) on daily returns — the
+  // formal decision q175's higher moments only describe; every
+  // parametric risk number downstream (q199's Sharpe, q221's
+  // variance-based bands) silently assumes it. Exactness: the raw
+  // power sums are q175's EXACT integers (s1/s2 long, s3/s4 decimal
+  // / HUGEINT); skew g1 and excess kurtosis g2 close in q175's
+  // EXACT IEEE sequence and quantize to 1e4 fixed point; JB then
+  // needs NO float at all — jb_fp = n·(4·g1₄² + g2₄²) is exact
+  // integer (decimal-widened per factor), jb = jb_fp / 24e8, and the
+  // α = 0.05 decision compares jb_fp against the exact integer
+  // boundary 14379516000 (= χ²₂(0.95) = 5.991465 cleared of both
+  // denominators), never a float boundary. Scale shape: q175's — one
+  // volume-sized DailyCloses partial agg, then |types| day-grid
+  // rows. Output: |types| rows.
+  private def q257(s: SparkSession, dir: String): DataFrame =
+    jarqueBera(dailyReturns(s, dir))
+
+  private[graft] def jarqueBera(rets: DataFrame): DataFrame = {
+    val r1c = col("r_fp")
+    val r2c = r1c * r1c // exact long: |r| <= ~2^24 on a day grid
+    val agg = rets
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(r1c).as("s1"), sum(r2c).as("s2"),
+        sum(r2c.cast("decimal(19,0)") * r1c).as("s3"),
+        sum(r2c.cast("decimal(19,0)") * r2c).as("s4"))
+    def d(c: Column) = c.cast("double")
+    val n   = d(col("n_days"))
+    val rm1 = d(col("s1")) / n
+    val rm2 = d(col("s2")) / n
+    val rm3 = d(col("s3")) / n
+    val rm4 = d(col("s4")) / n
+    val mu2 = rm2 - rm1 * rm1
+    val mu3 = rm3 - lit(3d) * rm1 * rm2 + lit(2d) * rm1 * rm1 * rm1
+    val mu4 = rm4 - lit(4d) * rm1 * rm3 + lit(6d) * rm1 * rm1 * rm2 -
+      lit(3d) * rm1 * rm1 * rm1 * rm1
+    val g1q = floor(mu3 / (sqrt(mu2) * mu2) * lit(1e4) + lit(0.5)).cast("long")
+    val g2q = floor((mu4 / (mu2 * mu2) - lit(3d)) * lit(1e4) + lit(0.5)).cast("long")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val jbFp = d38(col("n_days")) *
+      (lit(4L).cast("decimal(38,0)") * d38(col("g1q")) * d38(col("g1q")) +
+        d38(col("g2q")) * d38(col("g2q")))
+    agg
+      .withColumn("g1q", when(mu2 > 0, g1q))
+      .withColumn("g2q", when(mu2 > 0, g2q))
+      .withColumn("jb_fp", jbFp)
+      .select(col("event_type"), col("n_days"),
+        (col("g1q").cast("double") / lit(1e4)).as("skew_r4"),
+        (col("g2q").cast("double") / lit(1e4)).as("kurt_x_r4"),
+        (floor(col("jb_fp").cast("double") / lit(24e8) * lit(1e4) + lit(0.5))
+          / lit(1e4)).as("jb_r4"),
+        (col("jb_fp") > lit(14379516000L)).as("reject"))
+  }
+
+  // ---------------------------------------------------------------
+  // q258 — WALD-WOLFOWITZ RUNS TEST: are the SIGNS of daily returns
+  // randomly ordered (Wald & Wolfowitz 1940)? Too few runs means
+  // sign momentum, too many means flip-flopping mean reversion — the
+  // nonparametric companion to q176's magnitude-weighted ACF (a
+  // handful of huge days can hide sign structure from Pearson;
+  // the runs count cannot be dragged). Exactness: signs and the run
+  // count are exact integers off the micro-log2 return grid
+  // (zero-return days drop, the textbook convention); n₊, n₋, R are
+  // exact; the normal z closes in ONE shared IEEE sequence and the
+  // α = 0.05 decision tests the QUANTIZED |z₄| > 19600. Scale
+  // shape: one DailyCloses partial agg, a day-grid lag per type,
+  // |types| output rows.
+  private def q258(s: SparkSession, dir: String): DataFrame =
+    runsTest(dailyReturns(s, dir))
+
+  private[graft] def runsTest(rets: DataFrame): DataFrame = {
+    val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val per = rets
+      .filter(col("r_fp") =!= 0L)
+      .withColumn("sgn", when(col("r_fp") > 0, lit(1)).otherwise(lit(-1)))
+      .withColumn("prev", lag(col("sgn"), 1).over(wd))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("sgn") === 1, lit(1L)).otherwise(lit(0L))).as("n_pos"),
+        sum(when(col("sgn") === -1, lit(1L)).otherwise(lit(0L))).as("n_neg"),
+        sum(when(col("prev").isNull || col("sgn") =!= col("prev"), lit(1L))
+          .otherwise(lit(0L))).as("n_runs"))
+    def d(c: Column) = c.cast("double")
+    val nT = d(col("n_pos")) + d(col("n_neg"))
+    val m2 = lit(2d) * d(col("n_pos")) * d(col("n_neg"))
+    val mu = m2 / nT + lit(1d)
+    val vr = m2 * (m2 - nT) / (nT * nT * (nT - lit(1d)))
+    val z4 = floor((d(col("n_runs")) - mu) / sqrt(vr) * lit(1e4) + lit(0.5))
+      .cast("long")
+    // nT > 1 guards the 0/0 = NaN case explicitly: Spark orders NaN
+    // ABOVE every number, so a bare vr > 0 would pass it
+    val ok = (nT > lit(1d)) && (vr > 0)
+    per.select(col("event_type"), col("n_pos"), col("n_neg"), col("n_runs"),
+      when(ok, z4.cast("double") / lit(1e4)).as("z_r4"),
+      when(ok, abs(z4) > 19600L).as("reject"))
+  }
+
+  // ---------------------------------------------------------------
+  // q259 — MANN-KENDALL TREND TEST: is there ANY monotone trend in
+  // each instrument's daily closes (Mann 1945, Kendall 1975) — the
+  // nonparametric decision next to q252's Theil-Sen slope ESTIMATE
+  // (the pair every hydrology/quality handbook ships together: MK
+  // says whether, Theil-Sen says how steep). Exactness: S =
+  // Σ_{i<j} sgn(x_j − x_i) is an exact integer fold over the sorted
+  // day-grid close array (q252's C(n,2) enumeration — sgn terms,
+  // not slopes); the tie-corrected variance numerator
+  // n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) is exact decimal (HUGEINT
+  // oracle — n³-order at day-grid scale); the normal z (with the
+  // ±1 continuity correction) closes in ONE shared IEEE sequence
+  // and the decision tests the QUANTIZED |z₄| > 19600. Scale shape:
+  // q252's — the day grid is volume-independent, so the C(n,2) fold
+  // is per-type array work over bounded n (the acfLagFrame grain
+  // argument); tie counts come from a (type, close) grid agg, never
+  // a window. Output: |types| rows.
+  private def q259(s: SparkSession, dir: String): DataFrame =
+    mannKendall(graft.operators.DailyCloses.closes(
+      graft.operators.DailyCloses.state(Tables.events(s, dir))))
+
+  private[graft] def mannKendall(cl: DataFrame): DataFrame = {
+    val base = cl
+      .select(col("event_type"), struct(col("day"), col("close_lv")).as("p"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+      .withColumn("xs", expr("transform(ps, p -> p.close_lv)"))
+      .withColumn("m", size(col("xs")).cast("long"))
+      .filter(col("m") >= 2)
+      .withColumn("s_stat", expr(
+        "aggregate(flatten(transform(sequence(0, CAST(m - 2 AS INT)), " +
+          "i -> transform(sequence(i + 1, CAST(m - 1 AS INT)), " +
+          "j -> CAST(CASE WHEN xs[j] > xs[i] THEN 1 " +
+          "WHEN xs[j] < xs[i] THEN -1 ELSE 0 END AS BIGINT)))), " +
+          "CAST(0 AS BIGINT), (a, e) -> a + e)"))
+    val ties = cl
+      .groupBy(col("event_type"), col("close_lv"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t").cast("decimal(38,0)") * (col("t") - lit(1L)) *
+        (lit(2L) * col("t") + lit(5L))).as("tie_term"))
+    val joined = base.join(ties, Seq("event_type"))
+      .withColumn("var_num", expr(
+        "CAST(m AS DECIMAL(38,0)) * CAST(m - 1 AS DECIMAL(38,0)) " +
+          "* CAST(2 * m + 5 AS DECIMAL(38,0)) - tie_term"))
+    def d(c: Column) = c.cast("double")
+    val varS = d(col("var_num")) / lit(18d)
+    val zNum = when(col("s_stat") > 0, d(col("s_stat")) - lit(1d))
+      .when(col("s_stat") < 0, d(col("s_stat")) + lit(1d))
+      .otherwise(lit(0d))
+    val z4 = floor(zNum / sqrt(varS) * lit(1e4) + lit(0.5)).cast("long")
+    joined.select(col("event_type"), col("m").as("n_days"), col("s_stat"),
+      when(varS > 0, z4.cast("double") / lit(1e4)).as("z_r4"),
+      when(varS > 0, abs(z4) > 19600L).as("reject"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q257_jarque_bera" -> q257 _,
+    "q258_runs_test" -> q258 _,
+    "q259_mann_kendall" -> q259 _,
     "q256_pacf" -> q256 _,
     "q247_acf_ljungbox" -> q247 _,
     "q221_var_cvar" -> q221 _,
@@ -1691,6 +1848,115 @@ object MarketQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q257_jarque_bera" ->
+      (dayRetCtes +
+        """, m AS (
+          |  SELECT event_type, count(*)::BIGINT AS n_days,
+          |    sum(r_fp)::BIGINT AS s1, sum(r_fp*r_fp)::BIGINT AS s2,
+          |    sum((r_fp*r_fp)::HUGEINT * r_fp) AS s3,
+          |    sum((r_fp*r_fp)::HUGEINT * (r_fp*r_fp)) AS s4
+          |  FROM r GROUP BY 1
+          |), f AS (
+          |  SELECT event_type, n_days,
+          |    s1::DOUBLE / n_days::DOUBLE AS rm1,
+          |    s2::DOUBLE / n_days::DOUBLE AS rm2,
+          |    s3::DOUBLE / n_days::DOUBLE AS rm3,
+          |    s4::DOUBLE / n_days::DOUBLE AS rm4
+          |  FROM m
+          |), g AS (
+          |  SELECT event_type, n_days,
+          |    rm2 - rm1*rm1 AS mu2,
+          |    rm3 - 3*rm1*rm2 + 2*rm1*rm1*rm1 AS mu3,
+          |    rm4 - 4*rm1*rm3 + 6*rm1*rm1*rm2 - 3*rm1*rm1*rm1*rm1 AS mu4
+          |  FROM f
+          |), q AS (
+          |  SELECT event_type, n_days,
+          |    CASE WHEN mu2 > 0 THEN
+          |      floor(mu3/(sqrt(mu2)*mu2)*1e4 + 0.5)::BIGINT END AS g1q,
+          |    CASE WHEN mu2 > 0 THEN
+          |      floor((mu4/(mu2*mu2) - 3)*1e4 + 0.5)::BIGINT END AS g2q
+          |  FROM g
+          |), jb AS (
+          |  SELECT event_type, n_days, g1q, g2q,
+          |    n_days::HUGEINT * (4::HUGEINT * g1q * g1q + g2q::HUGEINT * g2q) AS jb_fp
+          |  FROM q
+          |)
+          |SELECT event_type, n_days,
+          |  g1q::DOUBLE / 1e4 AS skew_r4,
+          |  g2q::DOUBLE / 1e4 AS kurt_x_r4,
+          |  floor(jb_fp::DOUBLE / 24e8 * 1e4 + 0.5) / 1e4 AS jb_r4,
+          |  jb_fp > 14379516000::HUGEINT AS reject
+          |FROM jb""".stripMargin),
+    "q258_runs_test" ->
+      (dayRetCtes +
+        """, sg AS (
+          |  SELECT event_type, day,
+          |    CASE WHEN r_fp > 0 THEN 1 ELSE -1 END AS sgn
+          |  FROM r WHERE r_fp <> 0
+          |), lgd AS (
+          |  SELECT event_type, sgn,
+          |    lag(sgn) OVER (PARTITION BY event_type ORDER BY day) AS prev
+          |  FROM sg
+          |), g AS (
+          |  SELECT event_type,
+          |    sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+          |    sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)::BIGINT AS n_neg,
+          |    sum(CASE WHEN prev IS NULL OR sgn <> prev THEN 1 ELSE 0 END)::BIGINT AS n_runs
+          |  FROM lgd GROUP BY 1
+          |), f AS (
+          |  SELECT event_type, n_pos, n_neg, n_runs,
+          |    n_pos::DOUBLE + n_neg::DOUBLE AS nt,
+          |    2.0 * n_pos::DOUBLE * n_neg::DOUBLE AS m2
+          |  FROM g
+          |), v AS (
+          |  SELECT *, m2 / nt + 1.0 AS mu,
+          |    m2 * (m2 - nt) / (nt * nt * (nt - 1.0)) AS vr
+          |  FROM f
+          |), z AS (
+          |  SELECT *, CASE WHEN nt > 1 AND vr > 0 THEN
+          |    floor((n_runs::DOUBLE - mu) / sqrt(vr) * 1e4 + 0.5)::BIGINT END AS z4
+          |  FROM v
+          |)
+          |SELECT event_type, n_pos, n_neg, n_runs,
+          |  CASE WHEN nt > 1 AND vr > 0 THEN z4::DOUBLE / 1e4 END AS z_r4,
+          |  CASE WHEN nt > 1 AND vr > 0 THEN abs(z4) > 19600 END AS reject
+          |FROM z""".stripMargin),
+    "q259_mann_kendall" ->
+      (dayRetCtes +
+        """, cls AS (
+          |  SELECT event_type, list(close_lv ORDER BY day) AS l,
+          |    count(*)::BIGINT AS m
+          |  FROM c GROUP BY 1 HAVING count(*) >= 2
+          |), st AS (
+          |  SELECT event_type, m,
+          |    list_sum(flatten(list_transform(range(1, m::INT),
+          |      i -> list_transform(range(i + 1, (m + 1)::INT),
+          |        j -> CASE WHEN l[j] > l[i] THEN 1
+          |             WHEN l[j] < l[i] THEN -1 ELSE 0 END))))::BIGINT AS s_stat
+          |  FROM cls
+          |), tt AS (
+          |  SELECT event_type, sum(t::HUGEINT * (t - 1) * (2 * t + 5)) AS tie_term
+          |  FROM (SELECT event_type, close_lv, count(*)::BIGINT AS t
+          |        FROM c GROUP BY 1, 2)
+          |  GROUP BY 1
+          |), j AS (
+          |  SELECT st.event_type, m, s_stat,
+          |    m::HUGEINT * (m - 1)::HUGEINT * (2 * m + 5)::HUGEINT - tie_term AS var_num
+          |  FROM st JOIN tt ON st.event_type = tt.event_type
+          |), z AS (
+          |  SELECT event_type, m, s_stat, var_num::DOUBLE / 18.0 AS vars,
+          |    CASE WHEN s_stat > 0 THEN s_stat::DOUBLE - 1.0
+          |         WHEN s_stat < 0 THEN s_stat::DOUBLE + 1.0 ELSE 0.0 END AS znum
+          |  FROM j
+          |), q AS (
+          |  SELECT *, CASE WHEN vars > 0 THEN
+          |    floor(znum / sqrt(vars) * 1e4 + 0.5)::BIGINT END AS z4
+          |  FROM z
+          |)
+          |SELECT event_type, m AS n_days, s_stat,
+          |  CASE WHEN vars > 0 THEN z4::DOUBLE / 1e4 END AS z_r4,
+          |  CASE WHEN vars > 0 THEN abs(z4) > 19600 END AS reject
+          |FROM q""".stripMargin),
     "q256_pacf" ->
       (acfOracleCtes +
         """, rv AS (

@@ -1719,6 +1719,14 @@ object StreamPipeline {
     graft.queries.InsightQueries.madFromGrid(
       spark.read.parquet(gridPath).select(col("event_type"), col("vc"), col("x")))
 
+  /** The q260 trimmed/winsorized means served from the SAME
+    * madMaintain grid — one store, two serves: the (type, cent) count
+    * grid is sufficient state for every rank-range statistic, so the
+    * robust-location readout costs no extra maintainer. */
+  def trimmedServe(spark: SparkSession, gridPath: String): DataFrame =
+    graft.queries.InsightQueries.trimmedFromGrid(
+      spark.read.parquet(gridPath).select(col("event_type"), col("vc"), col("x")))
+
   /** STREAMING BASKET-RULES MAINTENANCE (leg 27): q246's market-
     * basket association rules kept live — the cross-sell readout a
     * merchandiser watches DURING the day, not in tonight's batch.

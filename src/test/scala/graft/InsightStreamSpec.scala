@@ -52,6 +52,20 @@ class InsightStreamSpec extends SparkSpec {
     assert(g.agg(sum("x")).head().getLong(0) == n, "grid mass must equal event count")
   }
 
+  test("trimmedServe: the SAME madMaintain grid serves declared q260 exactly (one store, two serves)") {
+    val ev = graft.core.Tables.events(spark, dir)
+      .select($"event_type", $"value", $"event_id")
+    val p = Files.createTempDirectory("graft_trim").toString + "/grid"
+    (0 until 3).foreach { r =>
+      StreamPipeline.madBatch(
+        ev.filter(pmod(xxhash64(col("event_id")), lit(3)) === r).drop("event_id"),
+        p, r.toLong)
+    }
+    val declared = rows(SparkEntry.queries("q260_trimmed_means")(spark, dir))
+    assert(rows(StreamPipeline.trimmedServe(spark, p)) == declared,
+      "served trimmed/winsorized means must equal declared q260 bitwise")
+  }
+
   test("basketMaintain: order-complete splits serve declared q246 exactly; replay no-op") {
     val li = graft.core.Tables.lineitem(spark, dir)
       .select($"l_orderkey", $"l_partkey")
