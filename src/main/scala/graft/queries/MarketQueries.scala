@@ -1737,7 +1737,97 @@ object MarketQueries {
       when(varS > 0, abs(z4) > 19600L).as("reject"))
   }
 
+  // ---------------------------------------------------------------
+  // q261 — HURST EXPONENT (rescaled-range): is each instrument's
+  // return series trending (H > 0.5), mean-reverting (H < 0.5), or a
+  // random walk (H ≈ 0.5) — Hurst's R/S analysis (Hurst 1951,
+  // Mandelbrot & Wallis 1969): chop the day-grid series into blocks
+  // of m ∈ {4, 8, 16, 32}, per block take the range of cumulative
+  // mean-deviations over the standard deviation, average per size,
+  // and read H as the log2(R/S)-vs-log2(m) regression slope.
+  // Exactness: per block, the deviation range and variance clear the
+  // rational mean by the m²-multiply trick — dev_i = m·prefix_i −
+  // i·sum and snum = m·Σx² − sum² are EXACT integers (decimal-
+  // widened; block sums fit long at |r| ≲ 2²⁴ but the discipline is
+  // widen-before-multiply) — so R/S = rnum/√snum is one sqrt+divide
+  // of exact ints PER BLOCK, quantized to 1e6 fixed point BEFORE the
+  // cross-block mean (integer (2Σ+nb) DIV 2nb — no float ever sums
+  // across blocks); log2 of the quantized mean re-quantizes (the
+  // q81 fixed-point-transcendental rule), and the closing slope is
+  // ONE IEEE divide of exact integer regression sums over the exact
+  // u-grid {2,3,4,5}. Degenerate blocks (zero variance) drop;
+  // sizes need ≥1 surviving block and the slope ≥2 surviving sizes.
+  // Scale shape: q247's — one volume-sized DailyCloses partial agg,
+  // then |types| day-grid array folds (AcfMaxSeriesLen-class bound:
+  // the O(n·m) prefix recomputation is day-grid work, volume-
+  // independent). Output: |types| rows.
+  private def q261(s: SparkSession, dir: String): DataFrame =
+    hurstRs(dailyReturns(s, dir))
+
+  private[graft] val HurstSizes = Seq(4, 8, 16, 32)
+
+  private[graft] def hurstRs(rets: DataFrame): DataFrame = {
+    // per-block rs6 list for size m, built from inlined exact-integer
+    // folds (prefix sums recomputed per index — O(n·m) total over the
+    // volume-independent day grid)
+    def rs6List(m: Int): String = {
+      val blk = s"slice(xs, b * $m + 1, $m)"
+      val s0 = s"aggregate($blk, CAST(0 AS BIGINT), (a, e) -> a + e)"
+      val sxx = s"aggregate($blk, CAST(0 AS DECIMAL(38,0)), " +
+        s"(a, e) -> a + CAST(e AS DECIMAL(38,0)) * CAST(e AS DECIMAL(38,0)))"
+      val devs = s"transform(sequence(1, $m), i -> " +
+        s"CAST($m AS BIGINT) * aggregate(slice(xs, b * $m + 1, i), " +
+        s"CAST(0 AS BIGINT), (a, e) -> a + e) - CAST(i AS BIGINT) * ($s0))"
+      val rnum = s"(array_max($devs) - array_min($devs))"
+      val snum = s"(CAST($m AS DECIMAL(38,0)) * ($sxx) " +
+        s"- CAST($s0 AS DECIMAL(38,0)) * CAST($s0 AS DECIMAL(38,0)))"
+      s"IF(n >= $m, filter(transform(sequence(0, CAST(n DIV $m - 1 AS INT)), " +
+        s"b -> IF($snum > 0, CAST(floor(CAST($rnum AS DOUBLE) " +
+        s"/ sqrt(CAST($snum AS DOUBLE)) * 1e6 + 0.5) AS BIGINT), NULL)), " +
+        s"x -> x IS NOT NULL), NULL)"
+    }
+    val base = rets
+      .select(col("event_type"), struct(col("day"), col("r_fp")).as("p"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+      .withColumn("xs", expr("transform(ps, p -> p.r_fp)"))
+      .withColumn("n", size(col("xs")).cast("long"))
+    val withSizes = HurstSizes.foldLeft(base) { (df, m) =>
+      df
+        .withColumn(s"lst$m", expr(rs6List(m)))
+        .withColumn(s"rsm$m", expr(
+          s"IF(lst$m IS NOT NULL AND size(lst$m) > 0, " +
+            s"(2 * aggregate(lst$m, CAST(0 AS BIGINT), (a, e) -> a + e) " +
+            s"+ size(lst$m)) DIV (2 * size(lst$m)), NULL)"))
+        .withColumn(s"l6_$m", expr(
+          s"IF(rsm$m > 0, CAST(floor(log2(CAST(rsm$m AS DOUBLE) / 1e6) " +
+            s"* 1e6 + 0.5) AS BIGINT), NULL)"))
+    }
+    // regression of v = l6/1e6 on the exact u-grid log2 m = {2,3,4,5}:
+    // integer sums over the surviving sizes, ONE closing divide
+    val us = HurstSizes.map(m => m -> (31 - Integer.numberOfLeadingZeros(m))).toMap
+    def term(f: Int => String): String =
+      HurstSizes.map(m => s"IF(l6_$m IS NOT NULL, ${f(m)}, CAST(0 AS BIGINT))")
+        .mkString("(", " + ", ")")
+    val withSums = withSizes
+      .withColumn("kk", expr(term(_ => "CAST(1 AS BIGINT)")))
+      .withColumn("su", expr(term(m => s"CAST(${us(m)} AS BIGINT)")))
+      .withColumn("suu", expr(term(m => s"CAST(${us(m) * us(m)} AS BIGINT)")))
+      .withColumn("sv", expr(term(m => s"l6_$m")))
+      .withColumn("suv", expr(term(m => s"CAST(${us(m)} AS BIGINT) * l6_$m")))
+      .withColumn("den", col("kk") * col("suu") - col("su") * col("su"))
+      .withColumn("num", col("kk") * col("suv") - col("su") * col("sv"))
+    withSums.select(
+      (Seq(col("event_type"), col("n").as("n_days"), col("kk").as("n_sizes")) ++
+        HurstSizes.map(m =>
+          (col(s"rsm$m").cast("double") / lit(1e6)).as(s"rs${m}_r6")) :+
+        when(col("kk") >= 2 && col("den") > 0,
+          r4(col("num").cast("double") / (col("den").cast("double") * lit(1e6))))
+          .as("hurst_r4")): _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q261_hurst_rs" -> q261 _,
     "q257_jarque_bera" -> q257 _,
     "q258_runs_test" -> q258 _,
     "q259_mann_kendall" -> q259 _,
@@ -1847,7 +1937,72 @@ object MarketQueries {
          |)""".stripMargin
   }
 
+  /** q261's oracle: the same exact-integer per-block folds in DuckDB
+    * list algebra (1-indexed slices, HUGEINT where Spark widens to
+    * decimal), per-block sqrt/divide then fixed-point quantization
+    * BEFORE any cross-block mean — textually mirrored IEEE order. */
+  private def hurstOracle: String = {
+    val sizes = HurstSizes
+    def rsCte(m: Int): String = {
+      val blk = s"l[(b*$m+1):(b*$m+$m)]"
+      val s0 = s"list_sum($blk)::BIGINT"
+      val sxx = s"list_sum(list_transform($blk, e -> e::HUGEINT * e))"
+      val devs = s"list_transform(range(1, $m + 1), i -> " +
+        s"$m::BIGINT * list_sum(l[(b*$m+1):(b*$m+i)])::BIGINT - i::BIGINT * ($s0))"
+      val rnum = s"(list_max($devs) - list_min($devs))"
+      val snum = s"($m::HUGEINT * ($sxx) - ($s0)::HUGEINT * ($s0))"
+      s"CASE WHEN n >= $m THEN list_filter(list_transform(range(0, (n // $m)::INT), " +
+        s"b -> CASE WHEN $snum > 0 THEN floor(($rnum)::DOUBLE " +
+        s"/ sqrt(($snum)::DOUBLE) * 1e6 + 0.5)::BIGINT END), " +
+        s"x -> x IS NOT NULL) END AS lst$m"
+    }
+    def us(m: Int) = 31 - Integer.numberOfLeadingZeros(m)
+    def term(f: Int => String): String =
+      sizes.map(m => s"CASE WHEN l6_$m IS NOT NULL THEN ${f(m)} ELSE 0 END")
+        .mkString("(", " + ", ")::BIGINT")
+    dayRetCtes +
+      s""", s AS (
+         |  SELECT event_type, list(r_fp ORDER BY day) AS l,
+         |    count(*)::BIGINT AS n
+         |  FROM r GROUP BY 1
+         |), b AS (
+         |  SELECT event_type, n,
+         |    ${sizes.map(rsCte).mkString(",\n    ")}
+         |  FROM s
+         |), rm AS (
+         |  SELECT event_type, n,
+         |    ${sizes.map(m =>
+               s"CASE WHEN lst$m IS NOT NULL AND len(lst$m) > 0 THEN " +
+                 s"(2 * list_sum(lst$m)::BIGINT + len(lst$m)) // (2 * len(lst$m)) " +
+                 s"END AS rsm$m").mkString(",\n    ")}
+         |  FROM b
+         |), lq AS (
+         |  SELECT event_type, n,
+         |    ${sizes.map(m => s"rsm$m").mkString(", ")},
+         |    ${sizes.map(m =>
+               s"CASE WHEN rsm$m > 0 THEN floor(log2(rsm$m::DOUBLE / 1e6) " +
+                 s"* 1e6 + 0.5)::BIGINT END AS l6_$m").mkString(",\n    ")}
+         |  FROM rm
+         |), f AS (
+         |  SELECT event_type, n, ${sizes.map(m => s"rsm$m").mkString(", ")},
+         |    ${term(_ => "1")} AS kk,
+         |    ${term(m => s"${us(m)}")} AS su,
+         |    ${term(m => s"${us(m) * us(m)}")} AS suu,
+         |    ${term(m => s"l6_$m")} AS sv,
+         |    ${term(m => s"${us(m)} * l6_$m")} AS suv
+         |  FROM lq
+         |)
+         |SELECT event_type, n AS n_days, kk AS n_sizes,
+         |  ${sizes.map(m => s"rsm$m::DOUBLE / 1e6 AS rs${m}_r6").mkString(",\n  ")},
+         |  CASE WHEN kk >= 2 AND kk * suu - su * su > 0 THEN
+         |    floor((kk * suv - su * sv)::DOUBLE
+         |      / ((kk * suu - su * su)::DOUBLE * 1e6) * 10000 + 0.5)/10000
+         |  END AS hurst_r4
+         |FROM f""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q261_hurst_rs" -> hurstOracle,
     "q257_jarque_bera" ->
       (dayRetCtes +
         """, m AS (

@@ -99,6 +99,49 @@ class DiagnosticsSpec extends SparkSpec {
     }
   }
 
+  // ---- q261 Hurst R/S ----------------------------------------------
+  test("q261: alternating returns pin R/S = 1 at every size (H = 0); a linear ramp reads H ~ 1; constant series degenerates") {
+    // ±1 alternating, even blocks: block sum 0, devs = m*{1,0,...},
+    // range m, variance m^2 -> R/S = 1 exactly at every size -> all
+    // log2 points 0 -> slope exactly 0
+    val alt = (0 until 64).map(i => ("A", day(i), if (i % 2 == 0) 1L else -1L))
+      .toDF("event_type", "day", "r_fp")
+    val a = MarketQueries.hurstRs(alt).collect().head
+    assert(a.getAs[Long]("n_sizes") == 4L)
+    Seq("rs4_r6", "rs8_r6", "rs16_r6", "rs32_r6").foreach(c =>
+      assert(a.getAs[Double](c) == 1.0, s"$c must be exactly 1"))
+    assert(a.getAs[Double]("hurst_r4") == 0.0)
+    // a pure ramp: every block is a shifted 1..m ramp, R/S grows ~ m
+    // (R = m^2/8, S = sqrt((m^2-1)/12)) -> slope ~ 1
+    val ramp = (0 until 64).map(i => ("R", day(i), (i + 1).toLong))
+      .toDF("event_type", "day", "r_fp")
+    val r = MarketQueries.hurstRs(ramp).collect().head
+    assert(math.abs(r.getAs[Double]("rs4_r6") - 1.788854) < 1e-6,
+      "rs(4) = 2/sqrt(1.25) quantized")
+    assert(r.getAs[Double]("hurst_r4") > 0.9 && r.getAs[Double]("hurst_r4") < 1.05)
+    // constant returns: every block has zero variance -> no surviving
+    // size, no H
+    val flat = (0 until 64).map(i => ("F", day(i), 5L))
+      .toDF("event_type", "day", "r_fp")
+    val f = MarketQueries.hurstRs(flat).collect().head
+    assert(f.getAs[Long]("n_sizes") == 0L)
+    assert(f.isNullAt(f.fieldIndex("hurst_r4")))
+  }
+
+  test("q261 on testdata: rs positive per surviving size, H in a sane band when defined") {
+    val out = q("q261_hurst_rs").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      Seq("rs4_r6", "rs8_r6", "rs16_r6", "rs32_r6").foreach { c =>
+        if (!r.isNullAt(r.fieldIndex(c))) assert(r.getAs[Double](c) > 0.0)
+      }
+      if (!r.isNullAt(r.fieldIndex("hurst_r4"))) {
+        val h = r.getAs[Double]("hurst_r4")
+        assert(h > -0.5 && h < 1.5)
+      }
+    }
+  }
+
   // ---- q260 trimmed/winsorized means -------------------------------
   test("q260: a planted outlier moves the raw mean but neither robust mean (hand-computed)") {
     // values 1..19 plus one 100: n = 20, k = 1 -> trim drops {1, 100}
