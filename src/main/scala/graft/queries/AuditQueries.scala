@@ -852,7 +852,122 @@ object AuditQueries {
         r4(col("dau").cast("double") / col("mau").cast("double")).as("stickiness_r4"))
   }
 
+  // ---------------------------------------------------------------
+  // q264 — JENSEN-SHANNON DRIFT: q229's early-vs-late distribution
+  // comparison scored with the JS divergence (Lin 1991) instead of
+  // PSI — the BOUNDED, symmetric member of the drift family (PSI
+  // explodes when a band empties on one side; JS is capped at 1 bit
+  // and is the square of a true metric), so one alarm threshold
+  // works across features with wildly different band occupancy.
+  // Exactness: counts ride q229's EXACT additive (type, day, band)
+  // grid — the SAME psiGrid the streaming maintainer keeps, so the
+  // live serve (StreamPipeline.jsServe) is a second closing over the
+  // ONE maintained store (the trimmedServe pattern). Shares use
+  // q229's Laplace smoothing; each band's term
+  // ½p·log2(p/m) + ½q·log2(q/m) (m = (p+q)/2, ≥ 0 per band by
+  // convexity) quantizes to 1e-12 fixed point BEFORE the band sum
+  // (integer — order-free), and js_r6 closes in integer arithmetic.
+  // Scale shape: q229's — one partial-agg shuffle to (type, day,
+  // band) grain, |types| output rows.
+  private def q264(s: SparkSession, dir: String): DataFrame =
+    jsDrift(Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value")))
+
+  private[graft] def jsDrift(e: DataFrame): DataFrame = jsFromGrid(psiGrid(e))
+
+  /** q264's closing over any (event_type, day, band, x) grid — ONE
+    * code path with the streaming serve (StreamPipeline.jsServe over
+    * the SAME maintained grid store psiServe reads). */
+  private[graft] def jsFromGrid(grid: DataFrame): DataFrame = {
+    val bounds = grid.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val banded = grid.crossJoin(broadcast(bounds))
+      .withColumn("late",
+        datediff(col("day"), col("d0")) >= expr("(datediff(d1, d0) + 1) DIV 2"))
+    val cells = banded.groupBy(col("event_type"), col("band"))
+      .agg(coalesce(sum(when(!col("late"), col("x"))), lit(0L)).as("na"),
+        coalesce(sum(when(col("late"), col("x"))), lit(0L)).as("nb"))
+    val tot = cells.groupBy(col("event_type"))
+      .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"),
+        count(lit(1)).as("nbands"))
+    val pa = (col("na").cast("double") + lit(0.5)) /
+      (col("ta").cast("double") + lit(0.5) * col("nbands").cast("double"))
+    val pb = (col("nb").cast("double") + lit(0.5)) /
+      (col("tb").cast("double") + lit(0.5) * col("nbands").cast("double"))
+    val m = (pa + pb) / lit(2.0)
+    val term = lit(0.5) * pa * log2(pa / m) + lit(0.5) * pb * log2(pb / m)
+    cells.join(tot, Seq("event_type"))
+      .withColumn("tfp", floor(term * lit(1e12) + lit(0.5)).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(max(col("ta")).as("n_early"), max(col("tb")).as("n_late"),
+        max(col("nbands")).as("n_bands"), sum(col("tfp")).as("sfp"))
+      .select(col("event_type"), col("n_early"), col("n_late"), col("n_bands"),
+        (expr("(sfp + 500000) DIV 1000000").cast("double") / lit(1e6)).as("js_r6"))
+  }
+
+  // ---------------------------------------------------------------
+  // q265 — MUTUAL INFORMATION + G-TEST: how many BITS does one
+  // categorical column carry about another — the information-theoretic
+  // strength score next to q230's Cramér's V (V says "associated",
+  // MI says how much you LEARN; the G statistic 2·Σo·ln(o/e) is the
+  // likelihood-ratio χ² with df = (r−1)(c−1), the test every
+  // log-linear-model text recommends over Pearson's χ² for sparse
+  // tables). Same two relations as q230. Exactness: all counts are
+  // exact integers off ONE (rk, ck) cell grid; margins and n widen
+  // to double per factor (the q230 rule); each cell's MI term
+  // (o/n)·log2(n·o/(rt·ct)) quantizes to 1e-12 fixed point and each
+  // G term o·ln(n·o/(rt·ct)) to 1e-6 fixed point (decimal — o·ln(…)
+  // is volume-scale) BEFORE the cell sums; totals clamp at 0 (MI and
+  // G are ≥ 0 mathematically; quantization could leave a −ε) and
+  // close in integer arithmetic. The α = 0.05 decision joins the
+  // shared 40-row χ²(0.95) literal table (StatTables) on df — an
+  // integer compare of the QUANTIZED g4, NULL past df 40. Scale
+  // shape: q230's — one partial-agg shuffle to cell grain, broadcast
+  // margins, 2 output rows.
+  private def q265(s: SparkSession, dir: String): DataFrame = {
+    val evObs = Tables.events(s, dir)
+      .select(col("event_type").as("rk"),
+        (dayofweek(col("ts")) - lit(1)).cast("string").as("ck"))
+    val ordObs = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("rk"), col("o_orderstatus").as("ck"))
+    mutualInfo(evObs, "events.event_type~dow")
+      .unionByName(mutualInfo(ordObs, "orders.priority~status"))
+  }
+
+  private[graft] def mutualInfo(obs: DataFrame, rel: String): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val cells = obs.groupBy(col("rk"), col("ck")).agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy(col("rk")).agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy(col("ck")).agg(sum(col("o")).as("ct"))
+    val dims = cells.agg(sum(col("o")).as("n"))
+      .crossJoin(rt.agg(count(lit(1)).as("r_levels")))
+      .crossJoin(ct.agg(count(lit(1)).as("c_levels")))
+    val ratio = dd(col("n")) * dd(col("o")) / (dd(col("rt")) * dd(col("ct")))
+    val miTerm = dd(col("o")) / dd(col("n")) * log2(ratio)
+    val gTerm = dd(col("o")) * log(ratio)
+    val agg = cells.join(broadcast(rt), Seq("rk")).join(broadcast(ct), Seq("ck"))
+      .crossJoin(broadcast(dims))
+      .withColumn("mfp", floor(miTerm * lit(1e12) + lit(0.5)).cast("decimal(38,0)"))
+      .withColumn("gfp", floor(gTerm * lit(1e6) + lit(0.5)).cast("decimal(38,0)"))
+      .groupBy(lit(rel).as("relation"))
+      .agg(max(col("n")).as("n"), max(col("r_levels")).as("r_levels"),
+        max(col("c_levels")).as("c_levels"),
+        greatest(sum(col("mfp")), lit(0L).cast("decimal(38,0)")).as("smi"),
+        greatest(sum(col("gfp")), lit(0L).cast("decimal(38,0)")).as("sg"))
+      .withColumn("df", (col("r_levels") - lit(1L)) * (col("c_levels") - lit(1L)))
+    val g4 = floor(lit(2.0) * (dd(col("sg")) / lit(1e6)) * lit(1e4) + lit(0.5))
+      .cast("long")
+    agg.join(StatTables.chi2Frame(obs.sparkSession), Seq("df"), "left")
+      .select(col("relation"), col("n"), col("r_levels"), col("c_levels"),
+        (expr("(smi + 500000) DIV 1000000").cast("double") / lit(1e6))
+          .as("mi_bits_r6"),
+        (g4.cast("double") / lit(1e4)).as("g_r4"),
+        col("df"),
+        when(col("q95x1e4").isNotNull, g4 > col("q95x1e4")).as("reject"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q264_js_drift" -> q264 _,
+    "q265_mutual_info" -> q265 _,
     "q244_stickiness" -> q244 _,
     "q242_cohort_ltv" -> q242 _,
     "q243_order_recon" -> q243 _,
@@ -872,6 +987,84 @@ object AuditQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q264_js_drift" ->
+      """WITH e AS (
+        |  SELECT event_type, ts::TIMESTAMP::DATE AS day, value FROM events
+        |), bd AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |banded AS (
+        |  SELECT event_type,
+        |    date_diff('day', d0, day) >= (date_diff('day', d0, d1) + 1) // 2 AS late,
+        |    CASE WHEN value > 0
+        |      THEN CAST(floor(floor(log2(value) * 1e6 + 0.5)::BIGINT / 1000000.0) AS BIGINT)
+        |      ELSE -999 END AS band
+        |  FROM e, bd
+        |), cells AS (
+        |  SELECT event_type, band,
+        |    count(CASE WHEN NOT late THEN 1 END)::BIGINT AS na,
+        |    count(CASE WHEN late THEN 1 END)::BIGINT AS nb
+        |  FROM banded GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT event_type, sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb,
+        |    count(*)::BIGINT AS nbands
+        |  FROM cells GROUP BY 1
+        |), shares AS (
+        |  SELECT c.event_type, ta, tb, nbands,
+        |    (na::DOUBLE + 0.5) / (ta::DOUBLE + 0.5 * nbands::DOUBLE) AS pa,
+        |    (nb::DOUBLE + 0.5) / (tb::DOUBLE + 0.5 * nbands::DOUBLE) AS pb
+        |  FROM cells c JOIN tot t USING (event_type)
+        |), terms AS (
+        |  SELECT event_type, ta, tb, nbands,
+        |    floor((0.5 * pa * log2(pa / ((pa + pb) / 2.0))
+        |         + 0.5 * pb * log2(pb / ((pa + pb) / 2.0))) * 1e12 + 0.5)::BIGINT AS tfp
+        |  FROM shares
+        |)
+        |SELECT event_type, max(ta) AS n_early, max(tb) AS n_late,
+        |  max(nbands) AS n_bands,
+        |  ((sum(tfp) + 500000) // 1000000)::DOUBLE / 1e6 AS js_r6
+        |FROM terms GROUP BY 1""".stripMargin,
+    "q265_mutual_info" -> {
+      def one(rel: String, obs: String) =
+        s"""SELECT '$rel' AS relation, n, r_levels, c_levels,
+           |  ((greatest(smi, 0) + 500000) // 1000000)::DOUBLE / 1e6 AS mi_bits_r6,
+           |  floor(2.0 * (greatest(sg, 0)::DOUBLE / 1e6) * 1e4 + 0.5)::BIGINT::DOUBLE
+           |    / 1e4 AS g_r4,
+           |  z.df AS df,
+           |  CASE WHEN q95x1e4 IS NOT NULL THEN
+           |    floor(2.0 * (greatest(sg, 0)::DOUBLE / 1e6) * 1e4 + 0.5)::BIGINT
+           |      > q95x1e4 END AS reject
+           |FROM (
+           |  SELECT max(n)::BIGINT AS n, max(r_levels)::BIGINT AS r_levels,
+           |    max(c_levels)::BIGINT AS c_levels,
+           |    (max(r_levels) - 1)::BIGINT * (max(c_levels) - 1)::BIGINT AS df,
+           |    sum(mfp) AS smi, sum(gfp) AS sg
+           |  FROM (
+           |    SELECT o, rt, ct, n, r_levels, c_levels,
+           |      floor((o::DOUBLE / n::DOUBLE
+           |          * log2(n::DOUBLE * o::DOUBLE / (rt::DOUBLE * ct::DOUBLE)))
+           |        * 1e12 + 0.5)::HUGEINT AS mfp,
+           |      floor((o::DOUBLE
+           |          * ln(n::DOUBLE * o::DOUBLE / (rt::DOUBLE * ct::DOUBLE)))
+           |        * 1e6 + 0.5)::HUGEINT AS gfp
+           |    FROM (
+           |      SELECT rk, ck, count(*)::BIGINT AS o FROM ($obs) GROUP BY 1, 2
+           |    ) cells
+           |    JOIN (SELECT rk, count(*)::BIGINT AS rt FROM ($obs) GROUP BY 1) r
+           |      USING (rk)
+           |    JOIN (SELECT ck, count(*)::BIGINT AS ct FROM ($obs) GROUP BY 1) c
+           |      USING (ck)
+           |    CROSS JOIN (
+           |      SELECT count(*)::BIGINT AS n,
+           |        count(DISTINCT rk)::BIGINT AS r_levels,
+           |        count(DISTINCT ck)::BIGINT AS c_levels
+           |      FROM ($obs)) d
+           |  )
+           |) z LEFT JOIN ${StatTables.chi2ValuesSql} ON chi2.df = z.df""".stripMargin
+      one("events.event_type~dow",
+        "SELECT event_type AS rk, dayofweek(ts::TIMESTAMP)::VARCHAR AS ck FROM events") +
+        "\nUNION ALL\n" +
+        one("orders.priority~status",
+          "SELECT o_orderpriority AS rk, o_orderstatus AS ck FROM orders")
+    },
     "q229_psi_drift" ->
       """WITH e AS (
         |  SELECT event_type, ts::TIMESTAMP::DATE AS day, value FROM events

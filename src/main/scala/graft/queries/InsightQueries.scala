@@ -665,7 +665,138 @@ object InsightQueries {
         lit(4) * col("s2") > d38(col("s1")) * d38(col("s1"))).as("concentrated"))
   }
 
+  // ---------------------------------------------------------------
+  // q263 — KRUSKAL-WALLIS H: do the k GROUPS of a categorical column
+  // draw their values from the same distribution (Kruskal & Wallis
+  // 1952) — the k-sample generalization of q250's two-sample U test,
+  // run over two relations: event values across event_types (do the
+  // instruments trade in the same price regime?) and order totals
+  // across order priorities (does priority correlate with basket
+  // size? TPC-H says no — a designed negative). Exactness: q250's
+  // doubled-midrank machinery on the GLOBAL (value-cent) grid —
+  // 2·midrank = 2·prev + t + 1 from one domain-bounded running sum
+  // (ChunkedFrame — value-band parallelism, no global sort task);
+  // per-group 2R_g = Σ_v a_gv·(2·prev_v+t_v+1) is exact decimal
+  // (HUGEINT oracle, per-factor widening). The closing uses the
+  // DEVIATION form H = 3/(N(N+1))·Σ_g e_g²/n_g with
+  // e_g = 2R_g − n_g(N+1) exact decimal — each group's term is ONE
+  // IEEE expression quantized to 1e6 fixed point BEFORE the k-row
+  // sum (the q230 cell discipline); the tie correction
+  // 1 − Σ(t³−t)/(N³−N) and the α = 0.05 decision against the shared
+  // χ²(0.95) literal table (StatTables, df = k−1, NULL past 40)
+  // close in one mirrored sequence on the QUANTIZED h4. Scale
+  // shape: one partial agg to (group, cent) grain, a domain-bounded
+  // grid join, k-row closing; 2 output rows.
+  private def q263(s: SparkSession, dir: String): DataFrame = {
+    val evObs = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type").as("gk"),
+        floor(col("value") * lit(100d) + lit(0.5d)).cast("long").as("vc"))
+    val ordObs = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("gk"),
+        floor(col("o_totalprice") * lit(100d) + lit(0.5d)).cast("long").as("vc"))
+    kruskalWallis(evObs, "events.value~event_type")
+      .unionByName(kruskalWallis(ordObs, "orders.totalprice~priority"))
+  }
+
+  private[graft] def kruskalWallis(obs: DataFrame, rel: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val cells = obs.groupBy(col("gk"), col("vc")).agg(count(lit(1)).as("a"))
+    val tv = cells.groupBy(col("vc")).agg(sum(col("a")).as("t"))
+      .withColumn("g", lit(1))
+    val cum = graft.operators.ChunkedFrame.withRunningSum(
+      tv, "g", expr("vc DIV 100"), Seq("vc"), "t", "ct")
+      .withColumn("prev", col("ct") - col("t"))
+    val ties = cum.agg(
+      sum(d38(col("t")) * d38(col("t")) * d38(col("t")) - d38(col("t")))
+        .as("ties"))
+    val per = cells
+      .join(cum.select(col("vc"), col("t"), col("prev")), Seq("vc"))
+      .groupBy(col("gk"))
+      .agg(sum(col("a")).as("n"),
+        sum(d38(col("a")) * d38(col("prev") * lit(2L) + col("t") + lit(1L)))
+          .as("r2"))
+    val glob = per.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"))
+    val eg = col("r2") - d38(col("n")) * d38(col("nn") + lit(1L))
+    val term = dd(eg) * dd(eg) / dd(col("n"))
+    val agg = per.crossJoin(broadcast(glob))
+      .withColumn("tfp", floor(term * lit(1e6) + lit(0.5)).cast("decimal(38,0)"))
+      .groupBy(lit(rel).as("relation"))
+      .agg(max(col("k")).as("k_groups"), max(col("nn")).as("n"),
+        sum(col("tfp")).as("sfp"))
+      .crossJoin(broadcast(ties))
+      .withColumn("df", col("k_groups") - lit(1L))
+    val h = lit(3.0) * (dd(col("sfp")) / lit(1e6)) /
+      (dd(col("n")) * (dd(col("n")) + lit(1.0)))
+    val corr = lit(1.0) - dd(col("ties")) /
+      (dd(col("n")) * dd(col("n")) * dd(col("n")) - dd(col("n")))
+    val h4 = floor(h / corr * lit(1e4) + lit(0.5)).cast("long")
+    agg.join(StatTables.chi2Frame(obs.sparkSession), Seq("df"), "left")
+      .select(col("relation"), col("k_groups"), col("n"),
+        when(col("n") > 1 && corr > 0, h4.cast("double") / lit(1e4)).as("h_r4"),
+        when(col("n") > 1 && corr > 0 && col("q95x1e4").isNotNull,
+          h4 > col("q95x1e4")).as("reject"))
+  }
+
+  // ---------------------------------------------------------------
+  // q266 — FRIEDMAN TEST: across the days where EVERY instrument has
+  // a close (complete blocks), do the instruments keep the same
+  // within-day ORDERING of closes (Friedman 1937) — the blocked
+  // companion to q263 (KW pools all rows; Friedman ranks WITHIN each
+  // day, so a level difference between instruments doesn't mask a
+  // day-by-day pattern). Exactness: doubled midranks within each
+  // complete day (2·rank + ties − 1, the q251 windows — partitioned
+  // per DAY over k rows, never a volume-sized sort); the
+  // tie-corrected statistic is the pure ratio of two EXACT decimal
+  // sums, Q = (k−1)·Σ_g (2R_g − n(k+1))² / Σ_ij (2r_ij − (k+1))²
+  // (the doubling cancels — both sides carry the same ×4), closed by
+  // ONE IEEE divide; the α = 0.05 decision tests the QUANTIZED q4
+  // against the shared χ²(0.95) table at df = k−1. Scale shape: the
+  // day grid is volume-independent after DailyCloses' one partial
+  // agg (the q221 argument); rank windows are k-row per day; one
+  // |types|-row closing. Output: 1 row.
+  private def q266(s: SparkSession, dir: String): DataFrame =
+    friedman(graft.operators.DailyCloses.closes(
+      graft.operators.DailyCloses.state(Tables.events(s, dir))))
+
+  private[graft] def friedman(cl: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val kk = cl.agg(countDistinct(col("event_type")).as("k"))
+    val dayCnt = cl.groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+    val complete = cl.join(dayCnt, Seq("day")).crossJoin(broadcast(kk))
+      .filter(col("cnt") === col("k"))
+    val wv = Window.partitionBy(col("day")).orderBy(col("close_lv"))
+    val tw = Window.partitionBy(col("day"), col("close_lv"))
+    val ranked = complete.withColumn("r2",
+      lit(2L) * rank().over(wv) + count(lit(1)).over(tw) - lit(1L))
+    val den = ranked.agg(
+      sum(d38(col("r2") - col("k") - lit(1L)) *
+        d38(col("r2") - col("k") - lit(1L))).as("den"))
+    val per = ranked.groupBy(col("event_type"), col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("r2")).as("rs2"))
+    val e2 = col("rs2") - d38(col("n")) * d38(col("k") + lit(1L))
+    val agg = per
+      .withColumn("sq", e2 * e2)
+      .groupBy(lit(1).as("g"))
+      .agg(max(col("k")).as("k_types"), max(col("n")).as("n_days"),
+        sum(col("sq")).as("num0"))
+      .crossJoin(broadcast(den))
+      .withColumn("df", col("k_types") - lit(1L))
+    val q = d38(col("k_types") - lit(1L)).cast("double") * dd(col("num0")) /
+      dd(col("den"))
+    val q4 = floor(q * lit(1e4) + lit(0.5)).cast("long")
+    agg.join(StatTables.chi2Frame(cl.sparkSession), Seq("df"), "left")
+      .select(col("k_types"), col("n_days"),
+        when(col("den").isNotNull && dd(col("den")) > 0,
+          q4.cast("double") / lit(1e4)).as("q_r4"),
+        when(col("den").isNotNull && dd(col("den")) > 0 &&
+          col("q95x1e4").isNotNull, q4 > col("q95x1e4")).as("reject"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q263_kruskal_wallis" -> q263 _,
+    "q266_friedman" -> q266 _,
     "q254_kendall_pairs" -> q254 _,
     "q255_hhi_concentration" -> q255 _,
     "q246_basket_rules" -> q246 _,
@@ -686,6 +817,89 @@ object InsightQueries {
       s"+ ($b::DOUBLE / ($g::DOUBLE + $b::DOUBLE)) * ln($b::DOUBLE / ($g::DOUBLE + $b::DOUBLE))) END"
 
   val oracleSql: Map[String, String] = Map(
+    "q263_kruskal_wallis" -> {
+      def one(rel: String, obs: String) =
+        s"""SELECT '$rel' AS relation, k_groups, n,
+           |  CASE WHEN n > 1 AND corr > 0 THEN
+           |    floor(h / corr * 1e4 + 0.5)::BIGINT::DOUBLE / 1e4 END AS h_r4,
+           |  CASE WHEN n > 1 AND corr > 0 AND q95x1e4 IS NOT NULL THEN
+           |    floor(h / corr * 1e4 + 0.5)::BIGINT > q95x1e4 END AS reject
+           |FROM (
+           |  SELECT k_groups, n,
+           |    3.0 * (sfp::DOUBLE / 1e6) / (n::DOUBLE * (n::DOUBLE + 1.0)) AS h,
+           |    1.0 - ties::DOUBLE
+           |      / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE) AS corr
+           |  FROM (
+           |    SELECT count(*)::BIGINT AS k_groups, sum(ng)::BIGINT AS n,
+           |      sum(floor(((r2 - ng::HUGEINT * (nn + 1)::HUGEINT)::DOUBLE
+           |           * (r2 - ng::HUGEINT * (nn + 1)::HUGEINT)::DOUBLE
+           |           / ng::DOUBLE) * 1e6 + 0.5)::HUGEINT) AS sfp
+           |    FROM (
+           |      SELECT gk, sum(a)::BIGINT AS ng,
+           |        sum(a::HUGEINT * (prev * 2 + t::HUGEINT + 1)) AS r2
+           |      FROM (
+           |        SELECT gk, vc, count(*)::BIGINT AS a FROM ($obs) GROUP BY 1, 2
+           |      ) cells
+           |      JOIN (
+           |        SELECT vc, t, (sum(t) OVER (ORDER BY vc ROWS BETWEEN
+           |          UNBOUNDED PRECEDING AND CURRENT ROW) - t)::HUGEINT AS prev
+           |        FROM (SELECT vc, count(*)::BIGINT AS t FROM ($obs) GROUP BY 1)
+           |      ) cum USING (vc)
+           |      GROUP BY 1
+           |    ) per
+           |    CROSS JOIN (SELECT count(*)::BIGINT AS nn FROM ($obs)) gl
+           |  ) s1
+           |  CROSS JOIN (
+           |    SELECT sum(t::HUGEINT * t::HUGEINT * t::HUGEINT - t::HUGEINT) AS ties
+           |    FROM (SELECT vc, count(*)::BIGINT AS t FROM ($obs) GROUP BY 1)
+           |  ) tq
+           |) z
+           |LEFT JOIN ${StatTables.chi2ValuesSql} ON chi2.df = z.k_groups - 1"""
+          .stripMargin
+      one("events.value~event_type",
+        "SELECT event_type AS gk, floor(value * 100 + 0.5)::BIGINT AS vc " +
+          "FROM events WHERE value IS NOT NULL") +
+        "\nUNION ALL\n" +
+        one("orders.totalprice~priority",
+          "SELECT o_orderpriority AS gk, " +
+            "floor(o_totalprice * 100 + 0.5)::BIGINT AS vc FROM orders")
+    },
+    "q266_friedman" ->
+      (MarketQueries.dayRetCtes +
+        """, kk AS (SELECT count(DISTINCT event_type)::BIGINT AS k FROM c),
+          |dc AS (SELECT day, count(*)::BIGINT AS cnt FROM c GROUP BY 1),
+          |cb AS (
+          |  SELECT c.event_type, c.day, c.close_lv, k
+          |  FROM c JOIN dc USING (day) CROSS JOIN kk WHERE cnt = k
+          |), rk AS (
+          |  SELECT event_type, k,
+          |    2 * rank() OVER (PARTITION BY day ORDER BY close_lv)
+          |      + count(*) OVER (PARTITION BY day, close_lv) - 1 AS r2
+          |  FROM cb
+          |), dn AS (
+          |  SELECT sum((r2 - k - 1)::HUGEINT * (r2 - k - 1)::HUGEINT) AS den
+          |  FROM rk
+          |), pt AS (
+          |  SELECT event_type, max(k)::BIGINT AS k, count(*)::BIGINT AS n,
+          |    sum(r2)::BIGINT AS rs2
+          |  FROM rk GROUP BY 1
+          |), ag AS (
+          |  SELECT max(k)::BIGINT AS k_types, max(n)::BIGINT AS n_days,
+          |    sum((rs2 - n::HUGEINT * (k + 1)::HUGEINT)
+          |      * (rs2 - n::HUGEINT * (k + 1)::HUGEINT)) AS num0
+          |  FROM pt
+          |)
+          |SELECT k_types, n_days,
+          |  CASE WHEN den IS NOT NULL AND den::DOUBLE > 0 THEN
+          |    floor(((k_types - 1)::HUGEINT)::DOUBLE * num0::DOUBLE / den::DOUBLE
+          |      * 1e4 + 0.5)::BIGINT::DOUBLE / 1e4 END AS q_r4,
+          |  CASE WHEN den IS NOT NULL AND den::DOUBLE > 0
+          |      AND q95x1e4 IS NOT NULL THEN
+          |    floor(((k_types - 1)::HUGEINT)::DOUBLE * num0::DOUBLE / den::DOUBLE
+          |      * 1e4 + 0.5)::BIGINT > q95x1e4 END AS reject
+          |FROM ag CROSS JOIN dn
+          |LEFT JOIN """.stripMargin + StatTables.chi2ValuesSql +
+        " ON chi2.df = ag.k_types - 1"),
     "q254_kendall_pairs" ->
       (MarketQueries.dayRetCtes +
         """, j AS (

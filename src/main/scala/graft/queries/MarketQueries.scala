@@ -698,10 +698,16 @@ object MarketQueries {
   /** Daily close-to-close micro-log2 returns per instrument — the
     * q159/q170 construction, shared by the day-grid statistics
     * (q175/q176/q179): [[dailyCloses]] + one day-grain lag. */
-  private[graft] def dailyReturns(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def dailyReturns(s: SparkSession, dir: String): DataFrame =
+    returnsFromCloses(dailyCloses(s, dir))
+
+  /** The same day-grain lag over ANY (event_type, day, close_lv)
+    * frame — the closes-store serves (StreamPipeline.jbServe et al.)
+    * re-derive returns from the maintained grid through THIS exact
+    * code path, so serve ≡ declared is structural. */
+  private[graft] def returnsFromCloses(cl: DataFrame): DataFrame = {
     val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
-    dailyCloses(s, dir)
-      .withColumn("prev", lag(col("close_lv"), 1).over(wd))
+    cl.withColumn("prev", lag(col("close_lv"), 1).over(wd))
       .filter(col("prev").isNotNull)
       .withColumn("r_fp", col("close_lv") - col("prev"))
       .select(col("event_type"), col("day"), col("r_fp"))

@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.broadcast
+
+/** Shared fixed-point statistical lookup tables.
+  *
+  * The hypothesis-test queries (q263 Kruskal-Wallis, q265 mutual-
+  * information G-test, q266 Friedman) close with a χ² decision whose
+  * degrees of freedom depend on the DATA (number of groups / levels),
+  * so the critical value cannot be a single literal the way q250's
+  * 1.96 or q257's χ²₂ boundary is. Both engines join the SAME
+  * 40-row literal table of χ²(0.95) quantiles in 1e4 fixed point
+  * (textbook values; e.g. df=2 → 59915 is the 5.9915 every χ² table
+  * prints), so the decision compares a QUANTIZED statistic against
+  * an integer — never a float boundary, and never an engine-local
+  * quantile routine. df > 40 yields a NULL decision (documented: at
+  * 40+ degrees of freedom a χ² screen should be a normal
+  * approximation anyway — emit the statistic, let the caller judge).
+  */
+object StatTables {
+
+  /** χ²(0.95) quantile × 1e4, index 0 = df 1 … index 39 = df 40. */
+  val Chi2Q95x1e4: Vector[Long] = Vector(
+    38415L, 59915L, 78147L, 94877L, 110705L, 125916L, 140671L, 155073L,
+    169190L, 183070L, 196751L, 210261L, 223620L, 236848L, 249958L, 262962L,
+    275871L, 288693L, 301435L, 314104L, 326706L, 339244L, 351725L, 364150L,
+    376525L, 388851L, 401133L, 413371L, 425570L, 437730L, 449853L, 461943L,
+    473999L, 486024L, 498018L, 509985L, 521923L, 533835L, 545722L, 557585L)
+
+  /** The table as a 40-row broadcast frame (df, q95x1e4). */
+  def chi2Frame(s: SparkSession): DataFrame = {
+    import s.implicits._
+    broadcast(Chi2Q95x1e4.zipWithIndex
+      .map { case (q, i) => (i + 1L, q) }.toDF("df", "q95x1e4"))
+  }
+
+  /** The same table as a DuckDB VALUES list: `(VALUES (1, 38415),
+    * …) AS chi2(df, q95x1e4)`. */
+  def chi2ValuesSql: String =
+    Chi2Q95x1e4.zipWithIndex
+      .map { case (q, i) => s"(${i + 1}, ${q})" }
+      .mkString("(VALUES ", ", ", ") AS chi2(df, q95x1e4)")
+}

@@ -1609,6 +1609,15 @@ object StreamPipeline {
       spark.read.parquet(gridPath).select(col("event_type"), col("day"),
         col("band"), col("x")))
 
+  /** Serve q264's Jensen-Shannon drift from the SAME maintained
+    * (type, day, band) grid psiServe reads — one store, two drift
+    * scores (the trimmedServe pattern): the closing is the SAME
+    * AuditQueries.jsFromGrid the declared query calls. */
+  def jsServe(spark: SparkSession, gridPath: String): DataFrame =
+    graft.queries.AuditQueries.jsFromGrid(
+      spark.read.parquet(gridPath).select(col("event_type"), col("day"),
+        col("band"), col("x")))
+
   /** STREAMING HLL REGISTER MAINTENANCE (leg 25): q232's
     * distinct-count sketch kept live — per-source cardinality
     * telemetry DURING ingest at a fixed state budget. HLL is the
@@ -2032,6 +2041,37 @@ object StreamPipeline {
   def garchServe(spark: SparkSession, storePath: String): org.apache.spark.sql.DataFrame =
     graft.queries.AuditQueries.garchBacktest(
       graft.operators.DailyCloses.closes(spark.read.parquet(storePath)))
+
+  private def closesOf(spark: SparkSession, storePath: String) =
+    graft.operators.DailyCloses.closes(spark.read.parquet(storePath))
+
+  /** Serve q257's Jarque-Bera normality decisions from the closes
+    * store — returns re-derive through the SAME returnsFromCloses
+    * lag the declared query uses, then the SAME jarqueBera closing,
+    * so a live risk dashboard reads today's normality verdicts off
+    * the maintained day grid without a tick re-scan. */
+  def jbServe(spark: SparkSession, storePath: String): org.apache.spark.sql.DataFrame =
+    graft.queries.MarketQueries.jarqueBera(
+      graft.queries.MarketQueries.returnsFromCloses(closesOf(spark, storePath)))
+
+  /** Serve q258's runs-test sign-randomness decisions from the
+    * closes store. */
+  def runsServe(spark: SparkSession, storePath: String): org.apache.spark.sql.DataFrame =
+    graft.queries.MarketQueries.runsTest(
+      graft.queries.MarketQueries.returnsFromCloses(closesOf(spark, storePath)))
+
+  /** Serve q259's Mann-Kendall trend decisions from the closes
+    * store (mannKendall closes directly over the day-grid closes). */
+  def mannKendallServe(spark: SparkSession, storePath: String): org.apache.spark.sql.DataFrame =
+    graft.queries.MarketQueries.mannKendall(closesOf(spark, storePath))
+
+  /** Serve q261's Hurst rescaled-range exponents from the closes
+    * store — completes the round-13 diagnostics serves (JB, runs,
+    * MK, Hurst) on the ONE maintained day grid the forecast ladder
+    * already rides. */
+  def hurstServe(spark: SparkSession, storePath: String): org.apache.spark.sql.DataFrame =
+    graft.queries.MarketQueries.hurstRs(
+      graft.queries.MarketQueries.returnsFromCloses(closesOf(spark, storePath)))
 
   /** Serve q200's PageRank navigation centrality from the
     * [[transitionMaintain]] counts store: the store IS the q185

@@ -55,6 +55,18 @@ class ClosesStreamSpec extends SparkSpec {
     assert(rows(StreamPipeline.garchServe(spark, p)) ==
       rows(SparkEntry.queries("q236_garch_backtest")(spark, dir)),
       "served GARCH backtest must equal declared q236 bitwise")
+    assert(rows(StreamPipeline.jbServe(spark, p)) ==
+      rows(SparkEntry.queries("q257_jarque_bera")(spark, dir)),
+      "served Jarque-Bera must equal declared q257 bitwise")
+    assert(rows(StreamPipeline.runsServe(spark, p)) ==
+      rows(SparkEntry.queries("q258_runs_test")(spark, dir)),
+      "served runs test must equal declared q258 bitwise")
+    assert(rows(StreamPipeline.mannKendallServe(spark, p)) ==
+      rows(SparkEntry.queries("q259_mann_kendall")(spark, dir)),
+      "served Mann-Kendall must equal declared q259 bitwise")
+    assert(rows(StreamPipeline.hurstServe(spark, p)) ==
+      rows(SparkEntry.queries("q261_hurst_rs")(spark, dir)),
+      "served Hurst exponent must equal declared q261 bitwise")
   }
 
   test("5-way hash-shuffled split converges identically; replay is a no-op") {

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{AuditQueries, InsightQueries, StatTables}
+
+/** Round-13 cross-group decision family (q263 Kruskal-Wallis,
+  * q264 Jensen-Shannon drift, q265 mutual information / G-test,
+  * q266 Friedman): designed feeds with hand-computed textbook
+  * answers, plus the boundary/degenerate regimes the closings guard.
+  */
+class CrossGroupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- q263 Kruskal-Wallis ---------------------------------------
+  test("kruskalWallis: three disjoint groups give the textbook H = 12.5 and reject") {
+    // groups of 5 at cents 1-5, 11-15, 21-25: ranks 1-5/6-10/11-15,
+    // H = 12/(15*16) * (15^2+40^2+65^2)/5 - 3*16 = 60.5 - 48 = 12.5
+    val obs = ((1L to 5L).map(("a", _)) ++ (11L to 15L).map(("b", _)) ++
+      (21L to 25L).map(("c", _))).toDF("gk", "vc")
+    val r = InsightQueries.kruskalWallis(obs, "t").collect()(0)
+    assert(r.getAs[Long]("k_groups") == 3L && r.getAs[Long]("n") == 15L)
+    assert(r.getAs[Double]("h_r4") == 12.5)
+    assert(r.getAs[Boolean]("reject")) // chi2_2(0.95) = 5.9915 < 12.5
+  }
+
+  test("kruskalWallis: identical group distributions give H = 0, no reject") {
+    // each group is the multiset {10, 20, 30}: every mean rank equal,
+    // so every deviation term is 0 regardless of the tie correction
+    val obs = Seq("a", "b", "c")
+      .flatMap(g => Seq(10L, 20L, 30L).map((g, _))).toDF("gk", "vc")
+    val r = InsightQueries.kruskalWallis(obs, "t").collect()(0)
+    assert(r.getAs[Double]("h_r4") == 0.0)
+    assert(!r.getAs[Boolean]("reject"))
+  }
+
+  test("kruskalWallis: all values tied makes the correction 0 and the statistic null") {
+    val obs = Seq(("a", 7L), ("a", 7L), ("b", 7L), ("b", 7L)).toDF("gk", "vc")
+    val r = InsightQueries.kruskalWallis(obs, "t").collect()(0)
+    assert(r.isNullAt(r.fieldIndex("h_r4")) && r.isNullAt(r.fieldIndex("reject")))
+  }
+
+  // ---- q266 Friedman ----------------------------------------------
+  test("friedman: a perfectly consistent within-day ordering gives Q = n(k-1) and rejects") {
+    // 3 instruments, 4 complete days, A > B > C every day:
+    // Q = n(k-1) = 8 > chi2_2(0.95) = 5.9915
+    val cl = (1 to 4).flatMap(d =>
+      Seq(("A", s"d$d", 30L), ("B", s"d$d", 20L), ("C", s"d$d", 10L)))
+      .toDF("event_type", "day", "close_lv")
+    val r = InsightQueries.friedman(cl).collect()(0)
+    assert(r.getAs[Long]("k_types") == 3L && r.getAs[Long]("n_days") == 4L)
+    assert(r.getAs[Double]("q_r4") == 8.0)
+    assert(r.getAs[Boolean]("reject"))
+  }
+
+  test("friedman: incomplete days are dropped; all-tied days zero the denominator -> null") {
+    // day d5 misses C (incomplete -> dropped), so the stats match the
+    // 4 complete days exactly
+    val cl = ((1 to 4).flatMap(d =>
+      Seq(("A", s"d$d", 30L), ("B", s"d$d", 20L), ("C", s"d$d", 10L))) ++
+      Seq(("A", "d5", 99L), ("B", "d5", 98L)))
+      .toDF("event_type", "day", "close_lv")
+    val r = InsightQueries.friedman(cl).collect()(0)
+    assert(r.getAs[Long]("n_days") == 4L && r.getAs[Double]("q_r4") == 8.0)
+    // every close ties within every day: den = 0 -> Q undefined
+    val flat = (1 to 3).flatMap(d =>
+      Seq(("A", s"d$d", 5L), ("B", s"d$d", 5L))).toDF("event_type", "day", "close_lv")
+    val fr = InsightQueries.friedman(flat).collect()(0)
+    assert(fr.isNullAt(fr.fieldIndex("q_r4")) && fr.isNullAt(fr.fieldIndex("reject")))
+  }
+
+  // ---- q264 Jensen-Shannon ---------------------------------------
+  private def jsOf(rows: Seq[(String, String, Double)]) =
+    AuditQueries.jsDrift(rows.toDF("event_type", "d", "value")
+      .select(col("event_type"), to_date(col("d")).as("day"), col("value")))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        r.getAs[Double]("js_r6")).toMap
+
+  test("jsDrift: identical early/late distributions score 0; disjoint supports near 1 bit") {
+    val pattern = Seq(1.0, 2.0, 4.0, 8.0)
+    val same = (1 to 10).flatMap(d => pattern.map(v => ("x", f"2024-01-$d%02d", v))) ++
+      (11 to 20).flatMap(d => pattern.map(v => ("x", f"2024-01-$d%02d", v)))
+    assert(jsOf(same)("x") == 0.0)
+    // early all at band 0, late all at band 10: JS -> 1 bit (smoothing keeps it under)
+    val disj = (1 to 10).flatMap(d => (1 to 20).map(_ => ("x", f"2024-01-$d%02d", 1.5))) ++
+      (11 to 20).flatMap(d => (1 to 20).map(_ => ("x", f"2024-01-$d%02d", 1500.0)))
+    assert(jsOf(disj)("x") > 0.9 && jsOf(disj)("x") <= 1.0)
+  }
+
+  test("jsDrift: the score is symmetric in the two halves") {
+    def feed(flip: Boolean) = (1 to 10).flatMap { d =>
+      val (early, late) = (Seq(1.0, 1.0, 2.0), Seq(4.0, 8.0, 8.0))
+      val vs = if ((d <= 5) != flip) early else late
+      vs.map(v => ("x", f"2024-01-$d%02d", v))
+    }
+    assert(jsOf(feed(false))("x") == jsOf(feed(true))("x"))
+  }
+
+  // ---- q265 mutual information ------------------------------------
+  test("mutualInfo: an exactly independent table scores 0 bits, G = 0, no reject") {
+    val obs = (for { r <- Seq("a", "b"); c <- Seq("x", "y"); _ <- 1 to 25 }
+      yield (r, c)).toDF("rk", "ck")
+    val m = AuditQueries.mutualInfo(obs, "t").collect()(0)
+    assert(m.getAs[Double]("mi_bits_r6") == 0.0)
+    assert(m.getAs[Double]("g_r4") == 0.0)
+    assert(m.getAs[Long]("df") == 1L)
+    assert(!m.getAs[Boolean]("reject"))
+  }
+
+  test("mutualInfo: a deterministic 4-level mapping scores exactly 2 bits and rejects") {
+    // rk = ck uniform over 4 levels: MI = log2(4) = 2 bits;
+    // G = 2 * 4 * 10 * ln 4 = 110.90355 -> quantizes to 110.9036,
+    // far past chi2_9(0.95) = 16.919
+    val obs = (for { l <- Seq("a", "b", "c", "d"); _ <- 1 to 10 }
+      yield (l, l)).toDF("rk", "ck")
+    val m = AuditQueries.mutualInfo(obs, "t").collect()(0)
+    assert(m.getAs[Double]("mi_bits_r6") == 2.0)
+    assert(m.getAs[Long]("df") == 9L)
+    assert(math.abs(m.getAs[Double]("g_r4") - 110.9036) < 1e-9)
+    assert(m.getAs[Boolean]("reject"))
+  }
+
+  test("mutualInfo: df past the 40-row chi2 table yields a NULL decision, score intact") {
+    // 41 x 2 deterministic-ish grid: df = 40*1 = 40 is the last row;
+    // 42 levels -> df 41 -> null reject
+    val obs42 = (for { i <- 1 to 42; _ <- 1 to 3 }
+      yield (s"r$i", if (i % 2 == 0) "x" else "y")).toDF("rk", "ck")
+    val m = AuditQueries.mutualInfo(obs42, "t").collect()(0)
+    assert(m.getAs[Long]("df") == 41L)
+    assert(m.isNullAt(m.fieldIndex("reject")))
+    assert(!m.isNullAt(m.fieldIndex("mi_bits_r6")))
+  }
+
+  // ---- the shared chi2 table ---------------------------------------
+  test("chi2 table: 40 rows, strictly increasing, textbook anchors") {
+    assert(StatTables.Chi2Q95x1e4.size == 40)
+    assert(StatTables.Chi2Q95x1e4.sliding(2).forall(p => p(0) < p(1)))
+    assert(StatTables.Chi2Q95x1e4(0) == 38415L)  // 3.8415
+    assert(StatTables.Chi2Q95x1e4(1) == 59915L)  // 5.9915
+    assert(StatTables.Chi2Q95x1e4(9) == 183070L) // 18.3070
+  }
+}

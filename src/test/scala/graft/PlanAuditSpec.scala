@@ -662,4 +662,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window "), s"q255 must not plan a window:\n$p")
     assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian:\n$p")
   }
+
+  test("q263 KW: running sums stay chunk-banded, chi2/totals broadcast, no cartesian") {
+    val p = plan("q263_kruskal_wallis")
+    val sumWindows = "Window \\[sum[^\\n]*".r.findAllIn(p).toSeq
+    assert(sumWindows.nonEmpty, s"expected ChunkedFrame running sums:\n$p")
+    sumWindows.foreach(w => assert(w.contains("__chunk") || w.contains("__p_"),
+      s"un-banded running-sum window (single global sort task):\n$w"))
+    assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
+  test("q264 JS: grid-grain aggregation only — no window, no cartesian (q229's shape)") {
+    val p = plan("q264_js_drift")
+    assert(!p.contains("Window "), s"q264 must not plan a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
+  test("q265 MI: margins meet the cell grid by broadcast, no window, no cartesian") {
+    val p = plan("q265_mutual_info")
+    assert(p.contains("BroadcastHashJoin"), s"margins must broadcast:\n$p")
+    assert(!p.contains("Window "), s"q265 must not plan a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian:\n$p")
+  }
+
+  test("q266 Friedman: rank windows partition by DAY (k rows each), never unpartitioned") {
+    val p = plan("q266_friedman")
+    val windows = "Window \\[[^\\n]*".r.findAllIn(p).toSeq
+    assert(windows.nonEmpty, s"expected within-day rank windows:\n$p")
+    windows.foreach(w => assert(w.contains("day#") || w.contains("windowspecdefinition(day"),
+      s"rank window not partitioned by day (global sort task):\n$w"))
+    assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian:\n$p")
+  }
 }

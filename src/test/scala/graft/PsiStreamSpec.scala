@@ -34,6 +34,9 @@ class PsiStreamSpec extends SparkSpec {
     }
     assert(rows(StreamPipeline.psiServe(spark, p)) == declared(),
       "served PSI must equal declared q229 bitwise")
+    assert(rows(StreamPipeline.jsServe(spark, p)) ==
+      rows(SparkEntry.queries("q264_js_drift")(spark, dir)),
+      "served JS divergence must equal declared q264 bitwise (one store, two serves)")
   }
 
   test("5-way hash-shuffled split converges identically; replay is a no-op") {
