@@ -538,6 +538,30 @@ object ScaleProbe {
     time("q255_hhi_concentration") { q("q255_hhi_concentration") }
     // q256: q247's lag frame + per-row Durbin-Levinson columns
     time("q256_pacf") { q("q256_pacf") }
+    // round-13 additions. q128/q257/q258/q261: one DailyCloses
+    // partial agg then day-grid windows/folds per instrument (volume-
+    // independent after the first shuffle); q259: q252's C(n,2) fold
+    // on day arrays + a (type, close) grid agg for ties; q260: q248's
+    // (type, cent) grid + chunked running counts; q262: q228's
+    // customer-grain revenue agg, then the cents-grid rank machinery;
+    // q263: global value-grid midranks (chunk-banded running sum) +
+    // k-row closing; q264: q229's band-grid shape; q265: two cell-
+    // grain partial aggs with broadcast margins; q266: within-day
+    // k-row rank windows over the day grid
+    time("q128_stochastic_osc") { q("q128_stochastic_osc") }
+    time("q257_jarque_bera") { q("q257_jarque_bera") }
+    time("q258_runs_test") { q("q258_runs_test") }
+    time("q259_mann_kendall") { q("q259_mann_kendall") }
+    time("q260_trimmed_means") { q("q260_trimmed_means") }
+    time("q261_hurst_rs") { q("q261_hurst_rs") }
+    time("q262_lorenz_deciles") { q("q262_lorenz_deciles") }
+    time("q263_kruskal_wallis") { q("q263_kruskal_wallis") }
+    time("q264_js_drift") { q("q264_js_drift") }
+    time("q265_mutual_info") { q("q265_mutual_info") }
+    time("q266_friedman") { q("q266_friedman") }
+    // q267: q266's complete-day blocks on SIGN counts — two day-grid
+    // grain aggs after the one DailyCloses partial agg
+    time("q267_cochran_q") { q("q267_cochran_q") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

@@ -794,9 +794,59 @@ object InsightQueries {
           col("q95x1e4").isNotNull, q4 > col("q95x1e4")).as("reject"))
   }
 
+  // ---------------------------------------------------------------
+  // q267 — COCHRAN'S Q: across the days where EVERY instrument has a
+  // return (complete blocks), do the instruments share the same
+  // up-day RATE (Cochran 1950) — the binary companion to q266
+  // (Friedman ranks the magnitudes; Cochran's Q needs only the SIGN,
+  // so a few huge days can't drag it) and the k-sample extension of
+  // what q258 tests within one instrument. Exactness: the whole
+  // statistic is exact integer arithmetic on day-grid counts —
+  // Q = (k−1)·(k·ΣC_j² − (ΣC_j)²) / (k·ΣR_i − ΣR_i²) with C_j the
+  // per-instrument up-count and R_i the per-day up-count, both
+  // decimal-widened per factor (HUGEINT oracle); ONE IEEE divide,
+  // the α = 0.05 decision on the QUANTIZED q4 against the shared
+  // χ²(0.95) table at df = k−1. All-up/all-down days contribute
+  // nothing to either sum and a degenerate denominator (every
+  // complete day unanimous) yields NULL. Scale shape: the day grid
+  // is volume-independent after DailyCloses' one partial agg; two
+  // grid-grain aggregations, 1 output row.
+  private def q267(s: SparkSession, dir: String): DataFrame =
+    cochranQ(MarketQueries.dailyReturns(s, dir))
+
+  private[graft] def cochranQ(rets: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val kk = rets.agg(countDistinct(col("event_type")).as("k"))
+    val dayCnt = rets.groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+    val complete = rets.join(dayCnt, Seq("day")).crossJoin(broadcast(kk))
+      .filter(col("cnt") === col("k"))
+      .withColumn("up", when(col("r_fp") > 0, lit(1L)).otherwise(lit(0L)))
+    val cj = complete.groupBy(col("event_type"), col("k"))
+      .agg(sum(col("up")).as("c"), count(lit(1)).as("n"))
+    val ri = complete.groupBy(col("day")).agg(sum(col("up")).as("r0"))
+    val cAgg = cj.groupBy(lit(1).as("g"))
+      .agg(max(col("k")).as("k_types"), max(col("n")).as("n_days"),
+        sum(col("c")).as("sc"), sum(d38(col("c")) * d38(col("c"))).as("sc2"))
+    val rAgg = ri.agg(sum(col("r0")).as("sr"),
+      sum(d38(col("r0")) * d38(col("r0"))).as("sr2"))
+    val agg = cAgg.crossJoin(broadcast(rAgg))
+      .withColumn("df", col("k_types") - lit(1L))
+    val num = d38(col("k_types") - lit(1L)) *
+      (d38(col("k_types")) * col("sc2") - d38(col("sc")) * d38(col("sc")))
+    val den = d38(col("k_types")) * d38(col("sr")) - col("sr2")
+    val q4 = floor(dd(num) / dd(den) * lit(1e4) + lit(0.5)).cast("long")
+    agg.join(StatTables.chi2Frame(rets.sparkSession), Seq("df"), "left")
+      .select(col("k_types"), col("n_days"), col("sc").as("n_up"),
+        when(dd(den) > 0, q4.cast("double") / lit(1e4)).as("q_r4"),
+        when(dd(den) > 0 && col("q95x1e4").isNotNull,
+          q4 > col("q95x1e4")).as("reject"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q263_kruskal_wallis" -> q263 _,
     "q266_friedman" -> q266 _,
+    "q267_cochran_q" -> q267 _,
     "q254_kendall_pairs" -> q254 _,
     "q255_hhi_concentration" -> q255 _,
     "q246_basket_rules" -> q246 _,
@@ -900,6 +950,42 @@ object InsightQueries {
           |FROM ag CROSS JOIN dn
           |LEFT JOIN """.stripMargin + StatTables.chi2ValuesSql +
         " ON chi2.df = ag.k_types - 1"),
+    "q267_cochran_q" ->
+      (MarketQueries.dayRetCtes +
+        """, kk AS (SELECT count(DISTINCT event_type)::BIGINT AS k FROM r),
+          |dc AS (SELECT day, count(*)::BIGINT AS cnt FROM r GROUP BY 1),
+          |cb AS (
+          |  SELECT r.event_type, r.day, k,
+          |    (CASE WHEN r.r_fp > 0 THEN 1 ELSE 0 END)::BIGINT AS up
+          |  FROM r JOIN dc USING (day) CROSS JOIN kk WHERE cnt = k
+          |), cj AS (
+          |  SELECT event_type, max(k)::BIGINT AS k, sum(up)::BIGINT AS c,
+          |    count(*)::BIGINT AS n
+          |  FROM cb GROUP BY 1
+          |), ri AS (SELECT day, sum(up)::BIGINT AS r0 FROM cb GROUP BY 1),
+          |ca AS (
+          |  SELECT max(k)::BIGINT AS k_types, max(n)::BIGINT AS n_days,
+          |    sum(c)::BIGINT AS sc, sum(c::HUGEINT * c::HUGEINT) AS sc2
+          |  FROM cj
+          |), ra AS (
+          |  SELECT sum(r0)::BIGINT AS sr, sum(r0::HUGEINT * r0::HUGEINT) AS sr2
+          |  FROM ri
+          |), zz AS (
+          |  SELECT k_types, n_days, sc,
+          |    ((k_types - 1)::HUGEINT
+          |      * (k_types::HUGEINT * sc2 - sc::HUGEINT * sc::HUGEINT)) AS num,
+          |    (k_types::HUGEINT * sr::HUGEINT - sr2) AS den
+          |  FROM ca CROSS JOIN ra
+          |)
+          |SELECT k_types, n_days, sc AS n_up,
+          |  CASE WHEN den::DOUBLE > 0 THEN
+          |    floor(num::DOUBLE / den::DOUBLE * 1e4 + 0.5)::BIGINT::DOUBLE / 1e4
+          |  END AS q_r4,
+          |  CASE WHEN den::DOUBLE > 0 AND q95x1e4 IS NOT NULL THEN
+          |    floor(num::DOUBLE / den::DOUBLE * 1e4 + 0.5)::BIGINT > q95x1e4
+          |  END AS reject
+          |FROM zz LEFT JOIN """.stripMargin + StatTables.chi2ValuesSql +
+        " ON chi2.df = zz.k_types - 1"),
     "q254_kendall_pairs" ->
       (MarketQueries.dayRetCtes +
         """, j AS (

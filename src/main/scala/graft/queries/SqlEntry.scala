@@ -7,7 +7,7 @@ import graft.core.Tables
 /** The SURVEY §3.3(b) entry point: the same queries as the typed
   * Scala API, as `spark.sql()` text over registered temp views — the
   * surface a thriftserver / Spark Connect / notebook user gets when
-  * they can't (or won't) link the Scala library. Sixteen
+  * they can't (or won't) link the Scala library. Seventeen
   * representative shapes are covered — the OHLCV rollup (q06), the
   * sliding-window join (q09), the TPC-H Q1 pricing summary (q13),
   * the window-function battery (q54), the inverted index (q96), the
@@ -18,9 +18,11 @@ import graft.core.Tables
   * RI orphan audit (q216), the PSI drift monitor (q229), the FD
   * discovery (q234), the VaR/CVaR risk pair (q221, the econometrics
   * family's twin), the basket association rules (q246, the
-  * decision-analytics twin, pre-pair apriori prune included), and the
+  * decision-analytics twin, pre-pair apriori prune included), the
   * Mann-Whitney U drift test (q250, the rank-statistics family's
-  * twin) — each the EXACT semantics of its
+  * twin), and the Kruskal-Wallis k-sample test (q263, the
+  * cross-group family's twin — the shared χ² literal table inlined
+  * as VALUES) — each the EXACT semantics of its
   * typed twin: same op sequence, same decimal detours, same r4/r2
   * rounding, so results match bitwise (SqlEntrySpec pins text ≡
   * typed for every key in [[texts]]).
@@ -53,7 +55,79 @@ object SqlEntry {
 
   // r4(x) = floor(x*1e4 + 0.5)/1e4, r2 at 1e2 — the same
   // engine-portable rounding the typed queries use (never round()).
+
+  /** StatTables.Chi2Q95x1e4 as a Spark-SQL VALUES relation — the
+    * q263 twin joins the SAME 40-row literal the typed plan
+    * broadcasts (L suffixes keep both columns BIGINT). */
+  private def chi2Values: String =
+    StatTables.Chi2Q95x1e4.zipWithIndex
+      .map { case (q, i) => s"(${i + 1}L, ${q}L)" }
+      .mkString("VALUES ", ", ", " AS t(df, q95x1e4)")
+
   val texts: Map[String, String] = Map(
+    // q263 — the cross-group family's text twin: Kruskal-Wallis as a
+    // notebook writes it — the q250 midrank construction on the
+    // GLOBAL value grid (a plain running-count window — integer
+    // arithmetic, value-identical to the typed plan's chunk-banded
+    // sum), the deviation-form H with per-group terms quantized to
+    // DECIMAL BEFORE the k-row sum, and the chi2(0.95) decision
+    // joining the SAME 40-row literal table (StatTables) inlined as
+    // VALUES — bitwise ≡ the typed q263 across both relations
+    "q263_kruskal_wallis" -> {
+      def blk(p: String, obs: String) =
+        s"""${p}cells AS (SELECT gk, vc, count(1) AS a FROM ($obs) GROUP BY gk, vc),
+           |${p}tv AS (SELECT vc, sum(a) AS t FROM ${p}cells GROUP BY vc),
+           |${p}cum AS (
+           |  SELECT vc, t,
+           |    sum(t) OVER (ORDER BY vc ROWS UNBOUNDED PRECEDING) - t AS prev
+           |  FROM ${p}tv
+           |),
+           |${p}per AS (
+           |  SELECT gk, sum(a) AS ng,
+           |    sum(CAST(a AS DECIMAL(38,0)) * CAST(prev * 2 + t + 1 AS DECIMAL(38,0))) AS r2
+           |  FROM ${p}cells JOIN ${p}cum USING (vc) GROUP BY gk
+           |),
+           |${p}glob AS (SELECT count(1) AS k, sum(ng) AS nn FROM ${p}per),
+           |${p}tq AS (
+           |  SELECT sum(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))
+           |    * CAST(t AS DECIMAL(38,0)) - CAST(t AS DECIMAL(38,0))) AS ties
+           |  FROM ${p}tv
+           |),
+           |${p}s1 AS (
+           |  SELECT max(k) AS k_groups, max(nn) AS n, sum(tfp) AS sfp
+           |  FROM (
+           |    SELECT k, nn,
+           |      cast(floor(
+           |        CAST(r2 - CAST(ng AS DECIMAL(38,0)) * CAST(nn + 1 AS DECIMAL(38,0)) AS DOUBLE)
+           |        * CAST(r2 - CAST(ng AS DECIMAL(38,0)) * CAST(nn + 1 AS DECIMAL(38,0)) AS DOUBLE)
+           |        / CAST(ng AS DOUBLE) * 1e6 + 0.5D) AS DECIMAL(38,0)) AS tfp
+           |    FROM ${p}per CROSS JOIN ${p}glob
+           |  )
+           |),
+           |${p}z AS (
+           |  SELECT k_groups, n, ties,
+           |    3.0D * (CAST(sfp AS DOUBLE) / 1e6)
+           |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0D)) AS h,
+           |    1.0D - CAST(ties AS DOUBLE)
+           |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+           |        - CAST(n AS DOUBLE)) AS corr
+           |  FROM ${p}s1 CROSS JOIN ${p}tq
+           |)""".stripMargin
+      def body(p: String, rel: String) =
+        s"""SELECT '$rel' AS relation, k_groups, n,
+           |  CASE WHEN n > 1 AND corr > 0
+           |    THEN cast(cast(floor(h / corr * 1e4 + 0.5D) AS BIGINT) AS DOUBLE) / 1e4 END AS h_r4,
+           |  CASE WHEN n > 1 AND corr > 0 AND q95x1e4 IS NOT NULL
+           |    THEN cast(floor(h / corr * 1e4 + 0.5D) AS BIGINT) > q95x1e4 END AS reject
+           |FROM ${p}z LEFT JOIN chi2 ON chi2.df = ${p}z.k_groups - 1""".stripMargin
+      "WITH chi2 AS (SELECT * FROM " + chi2Values + "),\n" +
+        blk("e1", "SELECT event_type AS gk, cast(floor(value * 100.0D + 0.5D) AS BIGINT) AS vc " +
+          "FROM events WHERE value IS NOT NULL") + ",\n" +
+        blk("o1", "SELECT o_orderpriority AS gk, " +
+          "cast(floor(o_totalprice * 100.0D + 0.5D) AS BIGINT) AS vc FROM orders") + "\n" +
+        body("e1", "events.value~event_type") + "\nUNION ALL\n" +
+        body("o1", "orders.totalprice~priority")
+    },
     // q216 — the RI orphan audit: the most SQL-notebook-shaped
     // governance query in the battery (each relation is one grouped
     // child scan LEFT JOIN the parent's distinct keys; 0L literals

@@ -466,6 +466,19 @@ object StreamBench {
     val ghLine = report("garch_serve",
       serveLats(() => StreamPipeline.garchServe(spark, s"$dir/closes")), 0,
       s""","store_rows":$closesRows""")
+    // round-13 diagnostics serves — same store, four more closings
+    val jbLine = report("jb_serve",
+      serveLats(() => StreamPipeline.jbServe(spark, s"$dir/closes")), 0,
+      s""","store_rows":$closesRows""")
+    val runsLine = report("runs_serve",
+      serveLats(() => StreamPipeline.runsServe(spark, s"$dir/closes")), 0,
+      s""","store_rows":$closesRows""")
+    val mkLine = report("mann_kendall_serve",
+      serveLats(() => StreamPipeline.mannKendallServe(spark, s"$dir/closes")), 0,
+      s""","store_rows":$closesRows""")
+    val hurstLine = report("hurst_serve",
+      serveLats(() => StreamPipeline.hurstServe(spark, s"$dir/closes")), 0,
+      s""","store_rows":$closesRows""")
 
     // ---- 18. path-trigram maintenance: <=|types|^3 count table +
     // two-row-per-user carry; the q204 extraction over carry ∪ batch.
@@ -545,6 +558,10 @@ object StreamBench {
     qPsi.stop()
     val psiLine = report("psi_maintain", psiLats, evRows,
       s""","grid_rows":${spark.read.parquet(s"$dir/psi_grid").count()}""")
+    // q264's JS divergence is a second closing over the SAME grid
+    val jsLine = report("js_serve",
+      serveLats(() => StreamPipeline.jsServe(spark, s"$dir/psi_grid")), 0,
+      s""","grid_rows":${spark.read.parquet(s"$dir/psi_grid").count()}""")
 
     // ---- 25. HLL register maintenance: per-source max-merged
     // registers (<= |sources| x 512 rows forever); the q232 estimate
@@ -573,6 +590,11 @@ object StreamBench {
     qMad.stop()
     val madLine = report("mad_maintain", madLats, evRows,
       s""","grid_rows":${spark.read.parquet(s"$dir/mad_grid").count()}""")
+    // q260's trimmed/winsorized means are a second closing over the
+    // SAME grid
+    val trimmedLine = report("trimmed_serve",
+      serveLats(() => StreamPipeline.trimmedServe(spark, s"$dir/mad_grid")), 0,
+      s""","grid_rows":${spark.read.parquet(s"$dir/mad_grid").count()}""")
 
     // ---- 27. basket-rules maintenance: the additive (ka, kb)
     // counting-cell grid off completed order baskets; q246 serves
@@ -595,7 +617,7 @@ object StreamBench {
     val basketLine = report("basket_maintain", basketLats, evRows,
       s""","cell_rows":${spark.read.parquet(s"$dir/basket_cells").count()}""")
 
-    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine,$attrLine,$rfmLine,$sessLine,$liftLine,$clLine,$xoLine,$ewLine,$hoLine,$vcLine,$kfLine,$egLine,$hwLine,$ghLine,$pathLine,$botLine,$cusumLine,$scd2Line,$psiLine,$hllLine,$madLine,$basketLine}")
+    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine,$attrLine,$rfmLine,$sessLine,$liftLine,$clLine,$xoLine,$ewLine,$hoLine,$vcLine,$kfLine,$egLine,$hwLine,$ghLine,$jbLine,$runsLine,$mkLine,$hurstLine,$pathLine,$botLine,$cusumLine,$scd2Line,$psiLine,$jsLine,$hllLine,$madLine,$trimmedLine,$basketLine}")
     spark.stop()
   }
 }

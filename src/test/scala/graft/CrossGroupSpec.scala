@@ -69,6 +69,37 @@ class CrossGroupSpec extends SparkSpec {
     assert(fr.isNullAt(fr.fieldIndex("q_r4")) && fr.isNullAt(fr.fieldIndex("reject")))
   }
 
+  // ---- q267 Cochran's Q -------------------------------------------
+  test("cochranQ: hand case Q = 6.0 sits just past the chi2_2 boundary and rejects") {
+    // A up all 4 days (C=4), B never (0), C up 2 (2); R = (2,2,1,1):
+    // Q = (k-1)(k*SC2 - SC^2)/(k*SR - SR2) = 2*(3*20-36)/(3*6-10) = 48/8 = 6
+    // q4 = 60000 > 59915 (chi2_2(0.95) = 5.9915) -> reject by 0.0085
+    val rets = Seq(
+      ("A", "d1", 1L), ("A", "d2", 1L), ("A", "d3", 1L), ("A", "d4", 1L),
+      ("B", "d1", -1L), ("B", "d2", -1L), ("B", "d3", -1L), ("B", "d4", -1L),
+      ("C", "d1", 1L), ("C", "d2", 1L), ("C", "d3", -1L), ("C", "d4", -1L))
+      .toDF("event_type", "day", "r_fp")
+    val r = InsightQueries.cochranQ(rets).collect()(0)
+    assert(r.getAs[Long]("k_types") == 3L && r.getAs[Long]("n_days") == 4L)
+    assert(r.getAs[Long]("n_up") == 6L)
+    assert(r.getAs[Double]("q_r4") == 6.0)
+    assert(r.getAs[Boolean]("reject"))
+  }
+
+  test("cochranQ: equal up-rates give Q = 0; unanimous days alone null the statistic") {
+    val eq = (1 to 4).flatMap(d => Seq(("A", s"d$d", if (d <= 2) 1L else -1L),
+      ("B", s"d$d", if (d <= 2) 1L else -1L))).toDF("event_type", "day", "r_fp")
+    val r = InsightQueries.cochranQ(eq).collect()(0)
+    // every day unanimous (both up or both down): den = k*SR - SR2 =
+    // 2*4 - (4+4) = 0 -> NULL even though the rates are equal
+    assert(r.isNullAt(r.fieldIndex("q_r4")))
+    // break one day's unanimity: Q defined, equal C_j -> Q = 0
+    val eq2 = eq.union(Seq(("A", "d5", 1L), ("B", "d5", -1L),
+      ("A", "d6", -1L), ("B", "d6", 1L)).toDF("event_type", "day", "r_fp"))
+    val r2 = InsightQueries.cochranQ(eq2).collect()(0)
+    assert(r2.getAs[Double]("q_r4") == 0.0 && !r2.getAs[Boolean]("reject"))
+  }
+
   // ---- q264 Jensen-Shannon ---------------------------------------
   private def jsOf(rows: Seq[(String, String, Double)]) =
     AuditQueries.jsDrift(rows.toDF("event_type", "d", "value")
