@@ -74,7 +74,7 @@ object InsightQueries {
     val nOrders = sp.select(col("o")).distinct().agg(count(lit(1)).as("n"))
     val items = sp.groupBy(col("p")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= minItem)
-    // the apriori prune, applied BEFORE pairing: a broadcast semi-join
+    // the apriori prune, applied BEFORE pairing: a broadcast join
     // cuts every infrequent item out of the baskets ahead of the
     // self-join, so the fan-out is Σ|frequent-basket|², not Σ|basket|²
     // — on a singleton-heavy retail vocabulary that is the whole
@@ -85,8 +85,16 @@ object InsightQueries {
     // broadcast preserves hashpartitioning(o) on the probe side
     // (frequent-item dictionaries are support-thresholded — the
     // classic apriori assumption that they fit one node; TPC-H 100×
-    // is ~2M parts ≈ 16 MB).
-    val spF = sp.join(broadcast(items.select(col("p"))), Seq("p"), "left_semi")
+    // is ~2M parts ≈ 16 MB). Deliberately an INNER join on the
+    // UNIQUE key set, not LEFT SEMI (identical result): Catalyst's
+    // PushDownLeftSemiAntiJoin pushes a semi THROUGH the distinct
+    // aggregate and the order-key exchange down to the raw scans,
+    // which re-probes the broadcast at LINE grain on BOTH pair
+    // sides, splits the shared subtree, and cost 26→69 s at the
+    // 100× probe (golden-plan diff caught it); the inner join has
+    // no such pushdown rule, so the prune runs exactly once at
+    // basket grain ON TOP of the one reused exchange.
+    val spF = sp.join(broadcast(items.select(col("p"))), Seq("p"))
     val a = spF.select(col("o"), col("p").as("pa"))
     val b = spF.select(col("o"), col("p").as("pb"))
     val pairs = a.join(b, Seq("o")).filter(col("pa") < col("pb"))
@@ -685,8 +693,14 @@ object InsightQueries {
   // 1 − Σ(t³−t)/(N³−N) and the α = 0.05 decision against the shared
   // χ²(0.95) literal table (StatTables, df = k−1, NULL past 40)
   // close in one mirrored sequence on the QUANTIZED h4. Scale
-  // shape: one partial agg to (group, cent) grain, a domain-bounded
-  // grid join, k-row closing; 2 output rows.
+  // shape: one partial agg to (group, cent) grain, a vc-grain join,
+  // k-row closing; 2 output rows. Grid-grain caveat (100× probe):
+  // the EVENTS relation's cent grid is domain-bounded (tick prices),
+  // but ORDER TOTALS are near-unique cents, so that relation's grid
+  // is row-scale — the work stays LINEAR (partial agg + vc join +
+  // chunk-banded running sums, 312 MB shuffle / zero spill /
+  // maxTask 2.2 s at 100×, no global sort task), it just doesn't
+  // collapse the way a bounded domain does.
   private def q263(s: SparkSession, dir: String): DataFrame = {
     val evObs = Tables.events(s, dir).filter(col("value").isNotNull)
       .select(col("event_type").as("gk"),
