@@ -562,6 +562,9 @@ object ScaleProbe {
     // q267: q266's complete-day blocks on SIGN counts — two day-grid
     // grain aggs after the one DailyCloses partial agg
     time("q267_cochran_q") { q("q267_cochran_q") }
+    // q268: q250's grid + TWO chunk-banded running sums (pooled +
+    // early), broadcast per-type totals, one IEEE term per cell
+    time("q268_anderson_darling") { q("q268_anderson_darling") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

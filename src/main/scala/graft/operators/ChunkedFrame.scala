@@ -237,29 +237,45 @@ object ChunkedFrame {
     * row whose own CHUNK hadn't seen a value yet). */
   def withRunningSum(df: DataFrame, keyCol: String, chunk: Column,
                      orderCols: Seq[String], valCol: String,
-                     outCol: String): DataFrame = {
+                     outCol: String): DataFrame =
+    withRunningSums(df, keyCol, chunk, orderCols, Seq(valCol -> outCol))
+
+  /** N running sums in ONE banding pass — same local windows, ONE
+    * chunk-summary aggregate, one broadcast join (q268 needs the
+    * pooled AND the early cumulative together; two sequential
+    * [[withRunningSum]] calls would re-window and re-join the whole
+    * grid a second time). Single-pair calls compile to the exact
+    * plan the old single-column body produced. */
+  def withRunningSums(df: DataFrame, keyCol: String, chunk: Column,
+                      orderCols: Seq[String],
+                      sums: Seq[(String, String)]): DataFrame = {
     val k = col(keyCol)
-    val v = col(valCol)
     val withChunk = df.withColumn("__chunk", chunk)
 
     val wLocal = Window.partitionBy(k, col("__chunk"))
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = withChunk.withColumn("__ls", sum(v).over(wLocal))
+    val local = sums.zipWithIndex.foldLeft(withChunk) {
+      case (d, ((v, _), i)) => d.withColumn(s"__ls$i", sum(col(v)).over(wLocal))
+    }
 
     val wPrev = Window.partitionBy(col(s"__p_$keyCol")).orderBy(col("__p_chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val prior = withChunk.groupBy(k.as(s"__p_$keyCol"), col("__chunk").as("__p_chunk"))
-      .agg(sum(v).as("__cs"))
-      .withColumn("__ps", sum(col("__cs")).over(wPrev))
-      .drop("__cs")
+    val csAggs = sums.zipWithIndex.map { case ((v, _), i) => sum(col(v)).as(s"__cs$i") }
+    val prior0 = withChunk.groupBy(k.as(s"__p_$keyCol"), col("__chunk").as("__p_chunk"))
+      .agg(csAggs.head, csAggs.tail: _*)
+    val prior = sums.indices.foldLeft(prior0) { (d, i) =>
+      d.withColumn(s"__ps$i", sum(col(s"__cs$i")).over(wPrev))
+    }.drop(sums.indices.map(i => s"__cs$i"): _*)
 
-    local.join(broadcast(prior),
-        k === col(s"__p_$keyCol") && col("__chunk") === col("__p_chunk"))
-      .withColumn(outCol,
-        when(col("__ls").isNull && col("__ps").isNull, lit(null))
-          .otherwise(coalesce(col("__ls"), lit(0)) + coalesce(col("__ps"), lit(0))))
-      .drop(s"__p_$keyCol", "__p_chunk", "__ps", "__ls", "__chunk")
+    val joined = local.join(broadcast(prior),
+      k === col(s"__p_$keyCol") && col("__chunk") === col("__p_chunk"))
+    sums.zipWithIndex.foldLeft(joined) { case (d, ((_, out), i)) =>
+      d.withColumn(out,
+        when(col(s"__ls$i").isNull && col(s"__ps$i").isNull, lit(null))
+          .otherwise(coalesce(col(s"__ls$i"), lit(0)) + coalesce(col(s"__ps$i"), lit(0))))
+    }.drop(Seq(s"__p_$keyCol", "__p_chunk", "__chunk") ++
+      sums.indices.flatMap(i => Seq(s"__ps$i", s"__ls$i")): _*)
   }
 
   /** Adds `sg`, `sl`, `n_d` — the gain sum, loss sum, and non-null

@@ -905,6 +905,86 @@ object AuditQueries {
   }
 
   // ---------------------------------------------------------------
+  // q268 — TWO-SAMPLE ANDERSON-DARLING DRIFT (tie-adjusted A²akN,
+  // Scholz & Stephens 1987): the TAIL-SENSITIVE member that completes
+  // the drift kit — PSI (q229) sees band mass, KS (q241) the single
+  // largest ECDF gap, MWU (q250) a location shift, JS (q264) a
+  // bounded symmetric score; AD up-weights the distribution's tails
+  // by 1/(B(N−B)), which is exactly where risk lives and exactly
+  // where KS is least powerful. Same early/late split as q250.
+  // Exactness: on the (type, cent) grid the tie-adjusted statistic is
+  // a sum of EXACT-INTEGER ratios — doubling clears the half-counts
+  // (2B_j = 2·cum − l, 2M_ij = 2·cum_i − a_ij), and the paper's /4
+  // in numerator and denominator cancels:
+  //   term_ij = l_j·(N·m2_ij − n_i·b2_j)² / (den4_j·n_i·N),
+  //   den4_j = b2_j(2N − b2_j) − N·l_j
+  // with every product decimal-widened per factor (HUGEINT oracle);
+  // the square alone would exceed decimal(38) at the 100 TB regime,
+  // so each cell's term is ONE IEEE expression (the q230/q263 cell
+  // discipline) quantized to 1e-13 fixed point BEFORE the grid sum —
+  // the grid is domain-bounded (≤ ~1e6 cells/type), so the worst-case
+  // quantization error ≤ 1e-7 stays below the r6 display. A
+  // perfectly mirrored split gives EXACTLY 0 (N·m2 − n·b2 cancels
+  // cell-by-cell — spec-pinned); E[A²] = 1 under H₀, so this is a
+  // score like PSI/JS, not a fixed-boundary decision. Scale shape:
+  // q250's — one partial agg to grid grain, then BOTH cumulatives
+  // (pooled and early) from ONE chunk-banded pass
+  // (ChunkedFrame.withRunningSums — a second sequential pass re-
+  // windowed the grid and measured 35 vs 14 s at 100×), |types|
+  // output rows.
+  private def q268(s: SparkSession, dir: String): DataFrame =
+    andersonDarling(Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value")))
+
+  private[graft] def andersonDarling(e: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val bounds = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val vals = e.crossJoin(broadcast(bounds))
+      .withColumn("late",
+        datediff(col("day"), col("d0")) >= expr("(datediff(d1, d0) + 1) DIV 2"))
+      .filter(col("value").isNotNull)
+      .withColumn("vc", floor(col("value") * lit(100d) + lit(0.5d)).cast("long"))
+      .groupBy(col("event_type"), col("vc"))
+      .agg(count(when(!col("late"), lit(1))).as("a"),
+        count(when(col("late"), lit(1))).as("b"))
+      .withColumn("l", col("a") + col("b"))
+    val cumA = graft.operators.ChunkedFrame.withRunningSums(
+      vals, "event_type", expr("vc DIV 100"), Seq("vc"),
+      Seq("l" -> "ct", "a" -> "ca"))
+    val tot = vals.groupBy(col("event_type"))
+      .agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"))
+    val g = cumA.join(broadcast(tot), Seq("event_type"))
+      .withColumn("nn", col("n1") + col("n2"))
+      .withColumn("b2", lit(2L) * col("ct") - col("l"))
+      .withColumn("m2a", lit(2L) * col("ca") - col("a"))
+      .withColumn("m2b", lit(2L) * (col("ct") - col("ca")) - col("b"))
+      .withColumn("den4",
+        d38(col("b2")) * d38(lit(2L) * col("nn") - col("b2")) -
+          d38(col("nn")) * d38(col("l")))
+      .withColumn("e1a",
+        d38(col("nn")) * d38(col("m2a")) - d38(col("n1")) * d38(col("b2")))
+      .withColumn("e1b",
+        d38(col("nn")) * d38(col("m2b")) - d38(col("n2")) * d38(col("b2")))
+    val termA = dd(col("l")) * dd(col("e1a")) * dd(col("e1a")) /
+      (dd(col("den4")) * dd(col("n1")) * dd(col("nn")))
+    val termB = dd(col("l")) * dd(col("e1b")) * dd(col("e1b")) /
+      (dd(col("den4")) * dd(col("n2")) * dd(col("nn")))
+    val per = g
+      .withColumn("tfp",
+        when(dd(col("den4")) > 0 && col("n1") > 0 && col("n2") > 0,
+          floor((termA + termB) * lit(1e13) + lit(0.5)).cast("decimal(38,0)"))
+          .otherwise(lit(0L).cast("decimal(38,0)")))
+      .groupBy(col("event_type"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(col("nn")).as("nn"), sum(col("tfp")).as("sfp"))
+    val a2 = dd(col("nn") - lit(1L)) / dd(col("nn")) * (dd(col("sfp")) / lit(1e13))
+    per.select(col("event_type"), col("n1").as("n_early"), col("n2").as("n_late"),
+      when(col("n1") > 0 && col("n2") > 0,
+        floor(a2 * lit(1e6) + lit(0.5)) / lit(1e6)).as("ad_r6"))
+  }
+
+  // ---------------------------------------------------------------
   // q265 — MUTUAL INFORMATION + G-TEST: how many BITS does one
   // categorical column carry about another — the information-theoretic
   // strength score next to q230's Cramér's V (V says "associated",
@@ -968,6 +1048,7 @@ object AuditQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q264_js_drift" -> q264 _,
     "q265_mutual_info" -> q265 _,
+    "q268_anderson_darling" -> q268 _,
     "q244_stickiness" -> q244 _,
     "q242_cohort_ltv" -> q242 _,
     "q243_order_recon" -> q243 _,
@@ -987,6 +1068,57 @@ object AuditQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q268_anderson_darling" ->
+      """WITH e AS (
+        |  SELECT event_type, ts::TIMESTAMP::DATE AS day, value FROM events
+        |), bd AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |v AS (
+        |  SELECT event_type,
+        |    date_diff('day', d0, day) >= (date_diff('day', d0, d1) + 1) // 2 AS late,
+        |    floor(value * 100 + 0.5)::BIGINT AS vc
+        |  FROM e, bd WHERE value IS NOT NULL
+        |), g AS (
+        |  SELECT event_type, vc,
+        |    count(CASE WHEN NOT late THEN 1 END)::BIGINT AS a,
+        |    count(CASE WHEN late THEN 1 END)::BIGINT AS b,
+        |    count(*)::BIGINT AS l
+        |  FROM v GROUP BY 1, 2
+        |), c AS (
+        |  SELECT *,
+        |    (sum(l) OVER w)::BIGINT AS ct, (sum(a) OVER w)::BIGINT AS ca
+        |  FROM g
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY vc
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), t AS (
+        |  SELECT event_type, sum(a)::BIGINT AS n1, sum(b)::BIGINT AS n2
+        |  FROM g GROUP BY 1
+        |), z AS (
+        |  SELECT c.event_type, n1, n2, (n1 + n2)::BIGINT AS nn, l, a, b, ct, ca,
+        |    (2 * ct - l)::BIGINT AS b2,
+        |    (2 * ca - a)::BIGINT AS m2a,
+        |    (2 * (ct - ca) - b)::BIGINT AS m2b
+        |  FROM c JOIN t USING (event_type)
+        |), w2 AS (
+        |  SELECT *,
+        |    (b2::HUGEINT * (2 * nn - b2)::HUGEINT - nn::HUGEINT * l::HUGEINT) AS den4,
+        |    (nn::HUGEINT * m2a::HUGEINT - n1::HUGEINT * b2::HUGEINT) AS e1a,
+        |    (nn::HUGEINT * m2b::HUGEINT - n2::HUGEINT * b2::HUGEINT) AS e1b
+        |  FROM z
+        |), terms AS (
+        |  SELECT event_type, n1, n2, nn,
+        |    CASE WHEN den4::DOUBLE > 0 AND n1 > 0 AND n2 > 0 THEN
+        |      floor((l::DOUBLE * e1a::DOUBLE * e1a::DOUBLE
+        |          / (den4::DOUBLE * n1::DOUBLE * nn::DOUBLE)
+        |        + l::DOUBLE * e1b::DOUBLE * e1b::DOUBLE
+        |          / (den4::DOUBLE * n2::DOUBLE * nn::DOUBLE)) * 1e13 + 0.5)::HUGEINT
+        |    ELSE 0::HUGEINT END AS tfp
+        |  FROM w2
+        |)
+        |SELECT event_type, max(n1) AS n_early, max(n2) AS n_late,
+        |  CASE WHEN max(n1) > 0 AND max(n2) > 0 THEN
+        |    floor((max(nn) - 1)::DOUBLE / max(nn)::DOUBLE
+        |      * (sum(tfp)::DOUBLE / 1e13) * 1e6 + 0.5) / 1e6 END AS ad_r6
+        |FROM terms GROUP BY 1""".stripMargin,
     "q264_js_drift" ->
       """WITH e AS (
         |  SELECT event_type, ts::TIMESTAMP::DATE AS day, value FROM events

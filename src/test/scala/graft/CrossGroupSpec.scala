@@ -127,6 +127,31 @@ class CrossGroupSpec extends SparkSpec {
     assert(jsOf(feed(false))("x") == jsOf(feed(true))("x"))
   }
 
+  // ---- q268 Anderson-Darling ---------------------------------------
+  private def adOf(early: Seq[Double], late: Seq[Double]): Double = {
+    val rows = early.map(v => ("x", "2024-01-01", v)) ++
+      late.map(v => ("x", "2024-01-04", v))
+    val df = rows.toDF("event_type", "d", "value")
+      .select(col("event_type"), to_date(col("d")).as("day"), col("value"))
+    val r = AuditQueries.andersonDarling(df).collect()(0)
+    if (r.isNullAt(r.fieldIndex("ad_r6"))) Double.NaN else r.getAs[Double]("ad_r6")
+  }
+
+  test("andersonDarling: textbook A2akN values (exact-rational reference, r6-quantized)") {
+    // reference values computed from Scholz & Stephens 1987 eq. 6 in
+    // exact rational arithmetic:
+    //   {1..5} vs {3..7}    -> 1.8551219512...  -> 1.855122
+    //   {1..5} vs {6..10}   -> 4.0145207796...  -> 4.014521
+    //   {1,1,2,2} vs {1,2,2,2} (heavy ties) -> 7/15 = 0.4666... -> 0.466667
+    assert(adOf(Seq(1, 2, 3, 4, 5), Seq(3, 4, 5, 6, 7)) == 1.855122)
+    assert(adOf(Seq(1, 2, 3, 4, 5), Seq(6, 7, 8, 9, 10)) == 4.014521)
+    assert(adOf(Seq(1, 1, 2, 2), Seq(1, 2, 2, 2)) == 0.466667)
+  }
+
+  test("andersonDarling: a perfectly mirrored split is EXACTLY 0 (integer cancellation)") {
+    assert(adOf(Seq(1, 2, 3), Seq(1, 2, 3)) == 0.0)
+  }
+
   // ---- q265 mutual information ------------------------------------
   test("mutualInfo: an exactly independent table scores 0 bits, G = 0, no reject") {
     val obs = (for { r <- Seq("a", "b"); c <- Seq("x", "y"); _ <- 1 to 25 }
