@@ -45,7 +45,12 @@ class GoldenPlanSpec extends SparkSpec {
     "q248_mad_outliers",
     "q187_abtt_topk",
     "q91_boilerplate",
-    "q56_fuzzy_editdist")
+    "q56_fuzzy_editdist",
+    // round-13 additions with non-trivial plans: the global-grid
+    // rank statistic (the probe's shuffle outlier) and the drift
+    // score whose one-pass running sums the snapshot protects
+    "q263_kruskal_wallis",
+    "q268_anderson_darling")
 
   private def label(p: SparkPlan): String = p match {
     case j: BaseJoinExec =>
