@@ -565,6 +565,8 @@ object ScaleProbe {
     // q268: q250's grid + TWO chunk-banded running sums (pooled +
     // early), broadcast per-type totals, one IEEE term per cell
     time("q268_anderson_darling") { q("q268_anderson_darling") }
+    // q269: q230's cell grid + broadcast margins, <=20 output rows
+    time("q269_assoc_residuals") { q("q269_assoc_residuals") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

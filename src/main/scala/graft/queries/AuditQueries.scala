@@ -1045,10 +1045,60 @@ object AuditQueries {
         when(col("q95x1e4").isNotNull, g4 > col("q95x1e4")).as("reject"))
   }
 
+  // ---------------------------------------------------------------
+  // q269 — ASSOCIATION RESIDUAL DRILL-DOWN: WHICH cells drive the
+  // association — the adjusted standardized Pearson residuals
+  // (Haberman 1973) r_ij = (o−e)/√(e(1−p_r)(1−p_c)), the number every
+  // analyst reads right after q230 says "associated" and q265 says
+  // "this many bits" (|r| > 2 ≈ a cell off its independence
+  // expectation at the 5% level). Same two relations; top-10 cells
+  // per relation by |r|. Exactness: counts/margins exact integers,
+  // e and r close in ONE mirrored IEEE sequence (margins widened per
+  // factor — the q230 rule), r quantizes to 1e4 BEFORE the top-k cut
+  // and the cut orders by (|r₄|, rk, ck) — a total order, so the
+  // selected set is deterministic; degenerate margins (a level
+  // holding ALL rows) are excluded by the same guard in both
+  // engines. Scale shape: q230's — one partial agg to cell grain,
+  // broadcast margins, ≤ 20 output rows.
+  private def q269(s: SparkSession, dir: String): DataFrame = {
+    val evObs = Tables.events(s, dir)
+      .select(col("event_type").as("rk"),
+        (dayofweek(col("ts")) - lit(1)).cast("string").as("ck"))
+    val ordObs = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("rk"), col("o_orderpriority").as("ck"))
+    assocResiduals(evObs, "events.event_type~dow")
+      .unionByName(assocResiduals(ordObs, "customer.mktsegment~orders.priority"))
+  }
+
+  private[graft] def assocResiduals(obs: DataFrame, rel: String,
+                                    k: Int = 10): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val cells = obs.groupBy(col("rk"), col("ck")).agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy(col("rk")).agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy(col("ck")).agg(sum(col("o")).as("ct"))
+    val nn = cells.agg(sum(col("o")).as("n"))
+    val e = dd(col("rt")) * dd(col("ct")) / dd(col("n"))
+    val resid = (dd(col("o")) - e) /
+      sqrt(e * (lit(1.0) - dd(col("rt")) / dd(col("n"))) *
+        (lit(1.0) - dd(col("ct")) / dd(col("n"))))
+    val r4 = floor(resid * lit(1e4) + lit(0.5)).cast("long")
+    cells.join(broadcast(rt), Seq("rk")).join(broadcast(ct), Seq("ck"))
+      .crossJoin(broadcast(nn))
+      .filter(col("rt") < col("n") && col("ct") < col("n"))
+      .withColumn("resid4", r4)
+      .orderBy(abs(col("resid4")).desc, col("rk"), col("ck"))
+      .limit(k)
+      .select(lit(rel).as("relation"), col("rk"), col("ck"), col("o"),
+        (floor(e * lit(1e2) + lit(0.5)) / lit(1e2)).as("expected_r2"),
+        (col("resid4").cast("double") / lit(1e4)).as("resid_r4"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q264_js_drift" -> q264 _,
     "q265_mutual_info" -> q265 _,
     "q268_anderson_darling" -> q268 _,
+    "q269_assoc_residuals" -> q269 _,
     "q244_stickiness" -> q244 _,
     "q242_cohort_ltv" -> q242 _,
     "q243_order_recon" -> q243 _,
@@ -1068,6 +1118,37 @@ object AuditQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q269_assoc_residuals" -> {
+      def one(rel: String, obs: String) =
+        s"""(SELECT relation, rk, ck, o, expected_r2,
+           |  resid4::DOUBLE / 1e4 AS resid_r4
+           |FROM (
+           |  SELECT '$rel' AS relation, rk, ck, o,
+           |    floor(rt::DOUBLE * ct::DOUBLE / n::DOUBLE * 1e2 + 0.5) / 1e2
+           |      AS expected_r2,
+           |    floor((o::DOUBLE - rt::DOUBLE * ct::DOUBLE / n::DOUBLE)
+           |      / sqrt((rt::DOUBLE * ct::DOUBLE / n::DOUBLE)
+           |        * (1.0 - rt::DOUBLE / n::DOUBLE)
+           |        * (1.0 - ct::DOUBLE / n::DOUBLE))
+           |      * 1e4 + 0.5)::BIGINT AS resid4
+           |  FROM (
+           |    SELECT rk, ck, o, rt, ct, n FROM
+           |      (SELECT rk, ck, count(*)::BIGINT AS o FROM ($obs) GROUP BY 1, 2) cells
+           |      JOIN (SELECT rk, count(*)::BIGINT AS rt FROM ($obs) GROUP BY 1) r
+           |        USING (rk)
+           |      JOIN (SELECT ck, count(*)::BIGINT AS ct FROM ($obs) GROUP BY 1) c
+           |        USING (ck)
+           |      CROSS JOIN (SELECT count(*)::BIGINT AS n FROM ($obs)) d
+           |    WHERE rt < n AND ct < n
+           |  )
+           |) ORDER BY abs(resid4) DESC, rk, ck LIMIT 10)""".stripMargin
+      one("events.event_type~dow",
+        "SELECT event_type AS rk, dayofweek(ts::TIMESTAMP)::VARCHAR AS ck FROM events") +
+        "\nUNION ALL\n" +
+        one("customer.mktsegment~orders.priority",
+          "SELECT c_mktsegment AS rk, o_orderpriority AS ck FROM orders " +
+            "JOIN customer ON o_custkey = c_custkey")
+    },
     "q268_anderson_darling" ->
       """WITH e AS (
         |  SELECT event_type, ts::TIMESTAMP::DATE AS day, value FROM events

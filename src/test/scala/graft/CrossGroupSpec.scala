@@ -187,6 +187,28 @@ class CrossGroupSpec extends SparkSpec {
     assert(!m.isNullAt(m.fieldIndex("mi_bits_r6")))
   }
 
+  // ---- q269 association residuals ----------------------------------
+  test("assocResiduals: symmetric 2x2 gives +-10/sqrt(5) = +-4.4721 exactly; independence gives 0") {
+    // counts 30/10/10/30: every e = 20, every adjustment (1-.5)(1-.5)
+    // -> r = +-10/sqrt(5) = +-4.47213..., r4-quantized to +-4.4721
+    val obs = (Seq.fill(30)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(30)(("b", "y"))).toDF("rk", "ck")
+    val rows = AuditQueries.assocResiduals(obs, "t").collect()
+    assert(rows.length == 4)
+    val m = rows.map(r => (r.getAs[String]("rk"), r.getAs[String]("ck")) ->
+      r.getAs[Double]("resid_r4")).toMap
+    assert(m(("a", "x")) == 4.4721 && m(("b", "y")) == 4.4721)
+    assert(m(("a", "y")) == -4.4721 && m(("b", "x")) == -4.4721)
+    assert(rows.forall(r => r.getAs[Double]("expected_r2") == 20.0))
+    // ties in |r4| break by (rk, ck) — the total order the top-k cut needs
+    assert(rows.map(r => (r.getAs[String]("rk"), r.getAs[String]("ck"))).toSeq ==
+      Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")))
+    val ind = (for { r <- Seq("a", "b"); c <- Seq("x", "y"); _ <- 1 to 25 }
+      yield (r, c)).toDF("rk", "ck")
+    assert(AuditQueries.assocResiduals(ind, "t").collect()
+      .forall(_.getAs[Double]("resid_r4") == 0.0))
+  }
+
   // ---- the shared chi2 table ---------------------------------------
   test("chi2 table: 40 rows, strictly increasing, textbook anchors") {
     assert(StatTables.Chi2Q95x1e4.size == 40)
