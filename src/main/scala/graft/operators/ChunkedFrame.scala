@@ -249,6 +249,8 @@ object ChunkedFrame {
   def withRunningSums(df: DataFrame, keyCol: String, chunk: Column,
                       orderCols: Seq[String],
                       sums: Seq[(String, String)]): DataFrame = {
+    require(sums.nonEmpty,
+      "withRunningSums needs at least one (valCol, outCol) pair")
     val k = col(keyCol)
     val withChunk = df.withColumn("__chunk", chunk)
 

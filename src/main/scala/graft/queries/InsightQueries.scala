@@ -485,12 +485,9 @@ object InsightQueries {
       graft.operators.DailyCloses.state(Tables.events(s, dir))))
 
   private[graft] def theilSen(cl: DataFrame): DataFrame = {
-    val base = cl
-      .select(col("event_type"), struct(col("day"), col("close_lv")).as("p"))
-      .groupBy(col("event_type"))
-      .agg(sort_array(collect_list(col("p"))).as("ps"))
-      .withColumn("xs", expr("transform(ps, p -> p.close_lv)"))
-      .withColumn("m", size(col("xs")).cast("long"))
+    val base = graft.operators.DayGrid
+      .series(cl, "event_type", "day", "close_lv", "theilSen")
+      .withColumnRenamed("n", "m")
       .filter(col("m") >= 2)
       .withColumn("slopes", expr(
         "sort_array(flatten(transform(sequence(0, CAST(m - 2 AS INT)), " +
@@ -778,8 +775,16 @@ object InsightQueries {
     val dd = (c: Column) => c.cast("double")
     val kk = cl.agg(countDistinct(col("event_type")).as("k"))
     val dayCnt = cl.groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+    // cnt > k is impossible on a day grid (≤ one row per (type, day));
+    // a tick-grain feed trips it on the first busy day — loud grain
+    // failure, not a silently-empty complete-block set (DayGrid rule)
     val complete = cl.join(dayCnt, Seq("day")).crossJoin(broadcast(kk))
-      .filter(col("cnt") === col("k"))
+      .filter(when(col("cnt") <= col("k"), col("cnt") === col("k"))
+        .otherwise(raise_error(concat(lit("friedman: day "),
+          col("day").cast("string"), lit(" has "), col("cnt").cast("string"),
+          lit(" rows for "), col("k").cast("string"),
+          lit(" instruments — input must be day-grid (one row per " +
+            "(event_type, day)), not tick-grain"))).cast("boolean")))
     val wv = Window.partitionBy(col("day")).orderBy(col("close_lv"))
     val tw = Window.partitionBy(col("day"), col("close_lv"))
     val ranked = complete.withColumn("r2",
@@ -833,8 +838,14 @@ object InsightQueries {
     val dd = (c: Column) => c.cast("double")
     val kk = rets.agg(countDistinct(col("event_type")).as("k"))
     val dayCnt = rets.groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+    // same loud grain guard as friedman: cnt > k ⇒ not a day grid
     val complete = rets.join(dayCnt, Seq("day")).crossJoin(broadcast(kk))
-      .filter(col("cnt") === col("k"))
+      .filter(when(col("cnt") <= col("k"), col("cnt") === col("k"))
+        .otherwise(raise_error(concat(lit("cochranQ: day "),
+          col("day").cast("string"), lit(" has "), col("cnt").cast("string"),
+          lit(" rows for "), col("k").cast("string"),
+          lit(" instruments — input must be day-grid (one row per " +
+            "(event_type, day)), not tick-grain"))).cast("boolean")))
       .withColumn("up", when(col("r_fp") > 0, lit(1L)).otherwise(lit(0L)))
     val cj = complete.groupBy(col("event_type"), col("k"))
       .agg(sum(col("up")).as("c"), count(lit(1)).as("n"))

@@ -1489,21 +1489,11 @@ object MarketQueries {
     * the oracle's HUGEINT discipline (micro-log2 products sit just
     * under Long.Max — correct today, but only by ~2×; widen-before-
     * multiply is the battery's rule, not a per-site judgement call). */
-  private[graft] val AcfMaxSeriesLen = 4000000
+  private[graft] val AcfMaxSeriesLen = graft.operators.DayGrid.MaxSeriesLen
 
   private[graft] def acfLagFrame(rets: DataFrame, maxLag: Int): DataFrame = {
-    val base = rets
-      .select(col("event_type"), struct(col("day"), col("r_fp")).as("p"))
-      .groupBy(col("event_type"))
-      .agg(sort_array(collect_list(col("p"))).as("ps"))
-      .withColumn("xs", expr("transform(ps, p -> p.r_fp)"))
-      .withColumn("n",
-        when(size(col("ps")) <= lit(AcfMaxSeriesLen), size(col("ps")).cast("long"))
-          .otherwise(raise_error(concat(lit(
-            s"acfLagFrame: per-type series exceeds $AcfMaxSeriesLen rows — " +
-              "input must be day-grid (one row per (event_type, day)), " +
-              "not tick-grain; got "), size(col("ps")).cast("string"),
-            lit(" rows for type "), col("event_type"))).cast("long")))
+    val base = graft.operators.DayGrid
+      .series(rets, "event_type", "day", "r_fp", "acfLagFrame")
       // exact integer power sums; s1 fits long (|r| <~ 2^24 on a day
       // grid), Σx² rides decimal like q175's s3/s4
       .withColumn("s1", expr(
@@ -1709,12 +1699,9 @@ object MarketQueries {
       graft.operators.DailyCloses.state(Tables.events(s, dir))))
 
   private[graft] def mannKendall(cl: DataFrame): DataFrame = {
-    val base = cl
-      .select(col("event_type"), struct(col("day"), col("close_lv")).as("p"))
-      .groupBy(col("event_type"))
-      .agg(sort_array(collect_list(col("p"))).as("ps"))
-      .withColumn("xs", expr("transform(ps, p -> p.close_lv)"))
-      .withColumn("m", size(col("xs")).cast("long"))
+    val base = graft.operators.DayGrid
+      .series(cl, "event_type", "day", "close_lv", "mannKendall")
+      .withColumnRenamed("n", "m")
       .filter(col("m") >= 2)
       .withColumn("s_stat", expr(
         "aggregate(flatten(transform(sequence(0, CAST(m - 2 AS INT)), " +
@@ -1792,12 +1779,8 @@ object MarketQueries {
         s"/ sqrt(CAST($snum AS DOUBLE)) * 1e6 + 0.5) AS BIGINT), NULL)), " +
         s"x -> x IS NOT NULL), NULL)"
     }
-    val base = rets
-      .select(col("event_type"), struct(col("day"), col("r_fp")).as("p"))
-      .groupBy(col("event_type"))
-      .agg(sort_array(collect_list(col("p"))).as("ps"))
-      .withColumn("xs", expr("transform(ps, p -> p.r_fp)"))
-      .withColumn("n", size(col("xs")).cast("long"))
+    val base = graft.operators.DayGrid
+      .series(rets, "event_type", "day", "r_fp", "hurstRs")
     val withSizes = HurstSizes.foldLeft(base) { (df, m) =>
       df
         .withColumn(s"lst$m", expr(rs6List(m)))

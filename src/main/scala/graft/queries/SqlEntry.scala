@@ -7,7 +7,7 @@ import graft.core.Tables
 /** The SURVEY §3.3(b) entry point: the same queries as the typed
   * Scala API, as `spark.sql()` text over registered temp views — the
   * surface a thriftserver / Spark Connect / notebook user gets when
-  * they can't (or won't) link the Scala library. Seventeen
+  * they can't (or won't) link the Scala library. Eighteen
   * representative shapes are covered — the OHLCV rollup (q06), the
   * sliding-window join (q09), the TPC-H Q1 pricing summary (q13),
   * the window-function battery (q54), the inverted index (q96), the
@@ -20,9 +20,10 @@ import graft.core.Tables
   * family's twin), the basket association rules (q246, the
   * decision-analytics twin, pre-pair apriori prune included), the
   * Mann-Whitney U drift test (q250, the rank-statistics family's
-  * twin), and the Kruskal-Wallis k-sample test (q263, the
+  * twin), the Kruskal-Wallis k-sample test (q263, the
   * cross-group family's twin — the shared χ² literal table inlined
-  * as VALUES) — each the EXACT semantics of its
+  * as VALUES), and the two-sample Anderson-Darling drift score
+  * (q268, the drift kit's twin) — each the EXACT semantics of its
   * typed twin: same op sequence, same decimal detours, same r4/r2
   * rounding, so results match bitwise (SqlEntrySpec pins text ≡
   * typed for every key in [[texts]]).
@@ -633,6 +634,76 @@ object SqlEntry {
         |  CASE WHEN var_core > 0 THEN cast(z4 AS double) / 1e4 END AS z_r4,
         |  CASE WHEN var_core > 0 THEN abs(z4) > 19600L END AS reject
         |FROM zq""".stripMargin,
+    // q268 — the drift kit's text twin: two-sample Anderson-Darling
+    // (Scholz & Stephens 1987 A²akN, ties via the midrank form) as a
+    // notebook writes it — the SAME (type, cent) grid as q250, BOTH
+    // cumulatives (pooled ct and early ca) from plain running-sum
+    // windows (integer arithmetic — value-identical to the typed
+    // plan's one fused ChunkedFrame.withRunningSums pass), every
+    // product DECIMAL(38,0)-widened per factor BEFORE multiplying,
+    // each cell's term ONE D-suffixed IEEE expression quantized to
+    // 1e13 fixed point BEFORE the grid sum, and the (nn−1)/nn closing
+    // in the same IEEE order — bitwise ≡ the typed q268
+    "q268_anderson_darling" ->
+      """WITH e AS (
+        |  SELECT event_type, to_date(ts) AS day, value FROM events
+        |), bounds AS (
+        |  SELECT min(day) AS d0, max(day) AS d1 FROM e
+        |), v AS (
+        |  SELECT event_type,
+        |    datediff(day, d0) >= (datediff(d1, d0) + 1) DIV 2 AS late,
+        |    cast(floor(value * 100.0D + 0.5D) AS bigint) AS vc
+        |  FROM e CROSS JOIN bounds WHERE value IS NOT NULL
+        |), g AS (
+        |  SELECT event_type, vc,
+        |    count(CASE WHEN NOT late THEN 1 END) AS a,
+        |    count(CASE WHEN late THEN 1 END) AS b
+        |  FROM v GROUP BY event_type, vc
+        |), cum AS (
+        |  SELECT event_type, vc, a, b, a + b AS l,
+        |    sum(a + b) OVER (PARTITION BY event_type ORDER BY vc
+        |      ROWS UNBOUNDED PRECEDING) AS ct,
+        |    sum(a) OVER (PARTITION BY event_type ORDER BY vc
+        |      ROWS UNBOUNDED PRECEDING) AS ca
+        |  FROM g
+        |), tot AS (
+        |  SELECT event_type, sum(a) AS n1, sum(b) AS n2 FROM g GROUP BY event_type
+        |), cell AS (
+        |  SELECT event_type, l, a, b, ct, ca, n1, n2, n1 + n2 AS nn,
+        |    2 * ct - l AS b2,
+        |    2 * ca - a AS m2a,
+        |    2 * (ct - ca) - b AS m2b
+        |  FROM cum JOIN tot USING (event_type)
+        |), wide AS (
+        |  SELECT event_type, l, n1, n2, nn,
+        |    CAST(b2 AS DECIMAL(38,0)) * CAST(2 * nn - b2 AS DECIMAL(38,0))
+        |      - CAST(nn AS DECIMAL(38,0)) * CAST(l AS DECIMAL(38,0)) AS den4,
+        |    CAST(nn AS DECIMAL(38,0)) * CAST(m2a AS DECIMAL(38,0))
+        |      - CAST(n1 AS DECIMAL(38,0)) * CAST(b2 AS DECIMAL(38,0)) AS e1a,
+        |    CAST(nn AS DECIMAL(38,0)) * CAST(m2b AS DECIMAL(38,0))
+        |      - CAST(n2 AS DECIMAL(38,0)) * CAST(b2 AS DECIMAL(38,0)) AS e1b
+        |  FROM cell
+        |), term AS (
+        |  SELECT event_type, n1, n2, nn,
+        |    CASE WHEN CAST(den4 AS DOUBLE) > 0 AND n1 > 0 AND n2 > 0 THEN
+        |      cast(floor((
+        |        CAST(l AS DOUBLE) * CAST(e1a AS DOUBLE) * CAST(e1a AS DOUBLE)
+        |          / (CAST(den4 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(nn AS DOUBLE))
+        |        + CAST(l AS DOUBLE) * CAST(e1b AS DOUBLE) * CAST(e1b AS DOUBLE)
+        |          / (CAST(den4 AS DOUBLE) * CAST(n2 AS DOUBLE) * CAST(nn AS DOUBLE))
+        |      ) * 1e13 + 0.5D) AS DECIMAL(38,0))
+        |    ELSE CAST(0 AS DECIMAL(38,0)) END AS tfp
+        |  FROM wide
+        |), per AS (
+        |  SELECT event_type, max(n1) AS n1, max(n2) AS n2, max(nn) AS nn,
+        |    sum(tfp) AS sfp
+        |  FROM term GROUP BY event_type
+        |)
+        |SELECT event_type, n1 AS n_early, n2 AS n_late,
+        |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |    floor(CAST(nn - 1 AS DOUBLE) / CAST(nn AS DOUBLE)
+        |      * (CAST(sfp AS DOUBLE) / 1e13) * 1e6 + 0.5D) / 1e6 END AS ad_r6
+        |FROM per""".stripMargin,
     "q96_inverted_index" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -28,12 +28,23 @@ object StatTables {
     376525L, 388851L, 401133L, 413371L, 425570L, 437730L, 449853L, 461943L,
     473999L, 486024L, 498018L, 509985L, 521923L, 533835L, 545722L, 557585L)
 
+  /** The table rows, built once (q263/q265/q266/q267 each call
+    * [[chi2Frame]] per query build). */
+  private val chi2Rows: Seq[(Long, Long)] =
+    Chi2Q95x1e4.zipWithIndex.map { case (q, i) => (i + 1L, q) }
+
+  /** Per-session memo of the literal frame — weak keys so a retired
+    * test session doesn't pin its DataFrame. */
+  private val chi2Memo =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, DataFrame]())
+
   /** The table as a 40-row broadcast frame (df, q95x1e4). */
-  def chi2Frame(s: SparkSession): DataFrame = {
-    import s.implicits._
-    broadcast(Chi2Q95x1e4.zipWithIndex
-      .map { case (q, i) => (i + 1L, q) }.toDF("df", "q95x1e4"))
-  }
+  def chi2Frame(s: SparkSession): DataFrame =
+    broadcast(chi2Memo.computeIfAbsent(s, s2 => {
+      import s2.implicits._
+      chi2Rows.toDF("df", "q95x1e4")
+    }))
 
   /** The same table as a DuckDB VALUES list: `(VALUES (1, 38415),
     * …) AS chi2(df, q95x1e4)`. */

@@ -40,6 +40,18 @@ class CrossGroupSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("h_r4")) && r.isNullAt(r.fieldIndex("reject")))
   }
 
+  test("kruskalWallis: df past the 40-row chi2 table yields a NULL decision, statistic intact") {
+    // 42 groups -> df 41, past the StatTables bound: h_r4 still
+    // reported, reject NULL (the documented normal-approximation
+    // handoff) — the q265 over-bound pin, applied to this consumer
+    val obs = (1 to 42).flatMap(i =>
+      Seq((s"g$i", i * 10L), (s"g$i", i * 10L + 1L))).toDF("gk", "vc")
+    val r = InsightQueries.kruskalWallis(obs, "t").collect()(0)
+    assert(r.getAs[Long]("k_groups") == 42L)
+    assert(!r.isNullAt(r.fieldIndex("h_r4")))
+    assert(r.isNullAt(r.fieldIndex("reject")))
+  }
+
   // ---- q266 Friedman ----------------------------------------------
   test("friedman: a perfectly consistent within-day ordering gives Q = n(k-1) and rejects") {
     // 3 instruments, 4 complete days, A > B > C every day:
@@ -67,6 +79,19 @@ class CrossGroupSpec extends SparkSpec {
       Seq(("A", s"d$d", 5L), ("B", s"d$d", 5L))).toDF("event_type", "day", "close_lv")
     val fr = InsightQueries.friedman(flat).collect()(0)
     assert(fr.isNullAt(fr.fieldIndex("q_r4")) && fr.isNullAt(fr.fieldIndex("reject")))
+  }
+
+  test("friedman: df past the 40-row chi2 table yields a NULL decision, statistic intact") {
+    // 42 instruments with a consistent within-day ordering over 2
+    // complete days -> df 41, past the StatTables bound: q_r4 still
+    // reported (= n(k-1) = 82 for the perfectly consistent ordering),
+    // reject NULL
+    val cl = (1 to 2).flatMap(d => (1 to 42).map(i =>
+      (s"I$i", s"d$d", 100L - i))).toDF("event_type", "day", "close_lv")
+    val r = InsightQueries.friedman(cl).collect()(0)
+    assert(r.getAs[Long]("k_types") == 42L && r.getAs[Long]("n_days") == 2L)
+    assert(r.getAs[Double]("q_r4") == 82.0)
+    assert(r.isNullAt(r.fieldIndex("reject")))
   }
 
   // ---- q267 Cochran's Q -------------------------------------------
