@@ -50,7 +50,19 @@ class GoldenPlanSpec extends SparkSpec {
     // rank statistic (the probe's shuffle outlier) and the drift
     // score whose one-pass running sums the snapshot protects
     "q263_kruskal_wallis",
-    "q268_anderson_darling")
+    "q268_anderson_darling",
+    // round-14 additions: the next expense tier from the round-13
+    // quiet bench (2.3-3.8 s each) — RFM's triple-agg + ntile grid,
+    // the fuzzy dedup pair (clusters + survivors share the LSH
+    // candidate plan; a silent re-plan doubles BOTH), IVF-PQ's
+    // probe-prune + rerank join, and the table profile's one-scan
+    // multi-aggregate (refresh protocol: GOLDEN_UPDATE=1 after a
+    // DELIBERATE plan change, commit the diff with the reason)
+    "q189_rfm",
+    "q213_fuzzy_clusters",
+    "q214_fuzzy_survivors",
+    "q118_ivfpq_topk",
+    "q181_table_profile")
 
   private def label(p: SparkPlan): String = p match {
     case j: BaseJoinExec =>
