@@ -8,39 +8,6 @@ object Bench {
   private def run(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
-  // ---- host-speed canary (round-13 Next #1) -----------------------
-  // The round-13 battery inflated 1.42x UNIFORMLY across untouched
-  // queries (golden plans + shuffle bytes unchanged) — a host-state
-  // signature the bench artifact itself could not adjudicate. This
-  // fixed-work calibration pins the host's speed INSIDE the artifact:
-  // ns_per_op is a deterministic single-thread xorshift spin (pure
-  // register work — no memory, no allocation, so it measures CPU
-  // clock, not cache state), and allcore_ratio is the wall-clock of
-  // <threads> concurrent identical spins over the single-thread wall
-  // (~1.0 when every core runs at full speed; >1.3 means the host is
-  // in a throttled / oversubscribed all-core regime and the battery's
-  // wall-clock numbers are inflated by roughly that factor).
-  @volatile private var canarySink: Long = 0L
-  private def spin(ops: Long): Long = {
-    var x = 0x9E3779B97F4A7C15L
-    var i = 0L
-    while (i < ops) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
-    x
-  }
-  private val CanaryOps = 400000000L // ~0.4-0.8 s single-thread
-  /** (ns_per_op single-thread, allcore wall / single wall). */
-  private def canary(threads: Int): (Double, Double) = {
-    canarySink ^= spin(CanaryOps / 8) // JIT warm
-    val t0 = System.nanoTime()
-    canarySink ^= spin(CanaryOps)
-    val single = (System.nanoTime() - t0).toDouble
-    val ts = (1 to threads).map(_ => new Thread(() => { canarySink ^= spin(CanaryOps) }))
-    val t1 = System.nanoTime()
-    ts.foreach(_.start()); ts.foreach(_.join())
-    val all = (System.nanoTime() - t1).toDouble
-    (single / CanaryOps, all / single)
-  }
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -67,11 +34,12 @@ object Bench {
     // the single such plan in the battery — but a bench subset that
     // includes q90 is measuring the post-enablement session, same as
     // the full run.
-    // pre-battery host calibration; printed now (for quiet-run logs)
-    // AND re-printed compactly at the end, inside the driver's ~2k
-    // archived tail, next to the post-battery reading
+    // pre-battery host calibration (HostCanary — round-13 Next #1);
+    // printed now (for quiet-run logs) AND re-printed compactly at
+    // the end, inside the driver's ~2k archived tail, next to the
+    // post-battery reading
     val nThreads = cpus.toInt
-    val (preNs, preRatio) = canary(nThreads)
+    val (preNs, preRatio) = HostCanary.measure(nThreads)
     println(f"""BENCH_HOST_PRE {"ns_per_op":$preNs%.3f,"allcore_ratio":$preRatio%.2f,"threads":$nThreads}""")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val results = SparkEntry.queries
@@ -215,7 +183,7 @@ object Bench {
     }.sum
     // post-battery calibration + the combined canary line directly
     // before the final totals line so both sit in the archived tail
-    val (postNs, postRatio) = canary(nThreads)
+    val (postNs, postRatio) = HostCanary.measure(nThreads)
     println(f"""BENCH_HOST {"pre_ns_per_op":$preNs%.3f,"pre_allcore_ratio":$preRatio%.2f,"post_ns_per_op":$postNs%.3f,"post_allcore_ratio":$postRatio%.2f,"threads":$nThreads}""")
     println(s"""{"metric":"total","value":${r2c(total)},"unit":"sec","n_queries":${results.size},"subset41":${r2c(subset41)},"sf":"$sfDir"}""")
     spark.stop()

@@ -145,6 +145,10 @@ object ScaleProbe {
     }
     }
     println(f"[scale] replicate x$reps ${(System.nanoTime() - t0) / 1e9}%.1f s reused=$reuse")
+    // host calibration next to every probe row (round-13 Next #2:
+    // PROBE100 wall-clocks are only comparable across rounds with the
+    // host state pinned alongside them)
+    println("[scale] " + HostCanary.line("PROBE_HOST", 32))
 
     // noop sink: full materialization, no column pruning of the
     // aggregates under measurement (same action as Bench)
@@ -567,6 +571,20 @@ object ScaleProbe {
     time("q268_anderson_darling") { q("q268_anderson_darling") }
     // q269: q230's cell grid + broadcast margins, <=20 output rows
     time("q269_assoc_residuals") { q("q269_assoc_residuals") }
+    // round-14 additions. q270: one partial agg to the 9-digit domain
+    // per relation (map-side combine does ~all the work); q271: one
+    // DailyCloses partial agg then per-type value-grid + day-grid
+    // windows (rank-count identity — NO C(n,2) fold); q272: q268's
+    // grid + the SAME one fused running-sums pass; q273: one partial
+    // agg to group grain (count + two power sums), k-row closing
+    time("q270_benford") { q("q270_benford") }
+    time("q271_pettitt") { q("q271_pettitt") }
+    time("q272_cvm_drift") { q("q272_cvm_drift") }
+    time("q273_bartlett") { q("q273_bartlett") }
+    // q274/q275: one DailyCloses partial agg then per-type day-grid
+    // lag/lead windows + one grid-grain agg each
+    time("q274_von_neumann") { q("q274_von_neumann") }
+    time("q275_turning_points") { q("q275_turning_points") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

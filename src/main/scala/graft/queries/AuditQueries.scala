@@ -1094,7 +1094,131 @@ object AuditQueries {
         (col("resid4").cast("double") / lit(1e4)).as("resid_r4"))
   }
 
+  // ---------------------------------------------------------------
+  // q270 — BENFORD FIRST-DIGIT AUDIT: does each monetary column's
+  // first significant digit follow log10(1 + 1/d) (Newcomb 1881,
+  // Benford 1938) — THE forensic-accounting screen for fabricated or
+  // truncated amounts, run over orders.totalprice and events.value.
+  // Exactness: the digit comes from the STRING head of the exact
+  // cent-quantized amount (no float log10 anywhere near the binning);
+  // counts are exact integers over the 9-digit domain (absent digits
+  // materialize with o = 0 via the literal digit table); the Benford
+  // expectation is the shared 1e-12 fixed-point LITERAL table
+  // (StatTables.BenfordP1e12 ≡ the VALUES list in the oracle — no
+  // engine-local log10); each digit's χ² term (o−e)²/e is ONE IEEE
+  // expression quantized to 1e-6 fixed point BEFORE the 9-row sum,
+  // and the α = 0.05 decision tests the QUANTIZED chi24 against the
+  // FIXED df = 8 boundary 155073 (Chi2Q95x1e4(7) — the df is a
+  // property of the 9-digit domain, not the data, so no table join).
+  // Scale shape: ONE partial agg to digit grain per relation (9
+  // cells), broadcast total, 18 output rows. Volume-independent
+  // after the scan by construction.
+  private def q270(s: SparkSession, dir: String): DataFrame = {
+    val ordAmt = Tables.orders(s, dir)
+      .filter(col("o_totalprice").isNotNull)
+      .select(floor(col("o_totalprice") * lit(100d) + lit(0.5d))
+        .cast("long").as("vc"))
+    val evAmt = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(floor(col("value") * lit(100d) + lit(0.5d))
+        .cast("long").as("vc"))
+    benford(ordAmt, "orders.totalprice")
+      .unionByName(benford(evAmt, "events.value"))
+  }
+
+  private[graft] def benford(amt: DataFrame, rel: String): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val cells = amt.filter(col("vc") > 0)
+      .withColumn("digit",
+        expr("CAST(substring(CAST(vc AS STRING), 1, 1) AS INT)"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("o0"))
+    val dom = StatTables.benfordFrame(amt.sparkSession)
+      .join(cells, Seq("digit"), "left")
+      .withColumn("o", coalesce(col("o0"), lit(0L)))
+    val tot = dom.agg(sum(col("o")).as("n"))
+    val e = dd(col("n")) * (dd(col("p12")) / lit(1e12))
+    val term = (dd(col("o")) - e) * (dd(col("o")) - e) / e
+    val withT = dom.crossJoin(broadcast(tot))
+      .withColumn("tfp", when(col("n") > 0,
+        floor(term * lit(1e6) + lit(0.5)).cast("decimal(38,0)")))
+    val chi = withT.agg(max(col("n")).as("n"), sum(col("tfp")).as("sfp"))
+      .withColumn("chi24",
+        floor(dd(col("sfp")) / lit(1e6) * lit(1e4) + lit(0.5)).cast("long"))
+    withT.crossJoin(broadcast(chi.select(col("chi24"))))
+      .select(lit(rel).as("relation"), col("digit"), col("o").as("n_d"),
+        when(col("n") > 0,
+          floor(dd(col("o")) / dd(col("n")) * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("share_r6"),
+        (expr("(p12 + 500000) DIV 1000000").cast("double") / lit(1e6))
+          .as("benford_r6"),
+        (col("chi24").cast("double") / lit(1e4)).as("chi2_r4"),
+        (col("chi24") > lit(StatTables.Chi2Q95x1e4(7))).as("reject"))
+  }
+
+  // ---------------------------------------------------------------
+  // q272 — CRAMÉR–VON MISES TWO-SAMPLE DRIFT: the L²-of-ECDF-gap
+  // companion completing the drift trio — q241's KS reads the MAX
+  // gap (one crossing point decides), q268's AD weights the tails,
+  // CvM integrates the WHOLE squared gap (Cramér 1928, von Mises
+  // 1931; two-sample form Anderson 1962): T = Σ_v l_v·d_v² /
+  // (n₁·n₂·N²) with d_v = n₂·ca_v − n₁·cb_v over the SAME (type,
+  // cent) grid and the SAME one fused ChunkedFrame.withRunningSums
+  // pass as q268 (pooled ct and early ca together — cb = ct − ca).
+  // Exactness: d_v is exact (every product decimal-widened per
+  // factor — the square alone would exceed decimal(38) at the
+  // 100 TB regime, so each cell's term is ONE IEEE expression
+  // quantized to 1e-13 fixed point BEFORE the grid sum, the q268
+  // discipline); a perfectly mirrored split gives EXACTLY 0 (d_v
+  // cancels cell-by-cell — spec-pinned). E[T] ≈ (1 + 1/N)/6 under
+  // H₀ — a score like PSI/JS/AD, not a fixed-boundary decision.
+  // Scale shape: q268's — one partial agg to grid grain, one
+  // chunk-banded pass, |types| output rows.
+  private def q272(s: SparkSession, dir: String): DataFrame =
+    cramerVonMises(Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value")))
+
+  private[graft] def cramerVonMises(e: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val bounds = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val vals = e.crossJoin(broadcast(bounds))
+      .withColumn("late",
+        datediff(col("day"), col("d0")) >= expr("(datediff(d1, d0) + 1) DIV 2"))
+      .filter(col("value").isNotNull)
+      .withColumn("vc", floor(col("value") * lit(100d) + lit(0.5d)).cast("long"))
+      .groupBy(col("event_type"), col("vc"))
+      .agg(count(when(!col("late"), lit(1))).as("a"),
+        count(when(col("late"), lit(1))).as("b"))
+      .withColumn("l", col("a") + col("b"))
+    val cumA = graft.operators.ChunkedFrame.withRunningSums(
+      vals, "event_type", expr("vc DIV 100"), Seq("vc"),
+      Seq("l" -> "ct", "a" -> "ca"))
+    val tot = vals.groupBy(col("event_type"))
+      .agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"))
+    val g = cumA.join(broadcast(tot), Seq("event_type"))
+      .withColumn("nn", col("n1") + col("n2"))
+      .withColumn("cb", col("ct") - col("ca"))
+      .withColumn("dv",
+        d38(col("n2")) * d38(col("ca")) - d38(col("n1")) * d38(col("cb")))
+    val term = dd(col("l")) * dd(col("dv")) * dd(col("dv")) /
+      (dd(col("n1")) * dd(col("n2")) * dd(col("nn")) * dd(col("nn")))
+    val per = g
+      .withColumn("tfp",
+        when(col("n1") > 0 && col("n2") > 0,
+          floor(term * lit(1e13) + lit(0.5)).cast("decimal(38,0)"))
+          .otherwise(lit(0L).cast("decimal(38,0)")))
+      .groupBy(col("event_type"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(col("tfp")).as("sfp"))
+    per.select(col("event_type"), col("n1").as("n_early"), col("n2").as("n_late"),
+      when(col("n1") > 0 && col("n2") > 0,
+        floor(dd(col("sfp")) / lit(1e13) * lit(1e6) + lit(0.5)) / lit(1e6))
+        .as("cvm_r6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q270_benford" -> q270 _,
+    "q272_cvm_drift" -> q272 _,
     "q264_js_drift" -> q264 _,
     "q265_mutual_info" -> q265 _,
     "q268_anderson_darling" -> q268 _,
@@ -1118,6 +1242,85 @@ object AuditQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q270_benford" -> {
+      def one(rel: String, src: String) =
+        s"""SELECT '$rel' AS relation, digit, o AS n_d,
+           |  CASE WHEN n > 0 THEN
+           |    floor(o::DOUBLE / n::DOUBLE * 1e6 + 0.5) / 1e6 END AS share_r6,
+           |  ((p12 + 500000) // 1000000)::DOUBLE / 1e6 AS benford_r6,
+           |  chi24::DOUBLE / 1e4 AS chi2_r4,
+           |  chi24 > 155073 AS reject
+           |FROM (
+           |  SELECT digit, p12, o, n,
+           |    floor(sum(CASE WHEN n > 0 THEN
+           |        floor((o::DOUBLE - n::DOUBLE * (p12::DOUBLE / 1e12))
+           |          * (o::DOUBLE - n::DOUBLE * (p12::DOUBLE / 1e12))
+           |          / (n::DOUBLE * (p12::DOUBLE / 1e12)) * 1e6 + 0.5)::HUGEINT END)
+           |      OVER ()::DOUBLE / 1e6 * 1e4 + 0.5)::BIGINT AS chi24
+           |  FROM (
+           |    SELECT digit, p12, coalesce(o, 0)::BIGINT AS o,
+           |      sum(coalesce(o, 0)::BIGINT) OVER () AS n
+           |    FROM ${StatTables.benfordValuesSql}
+           |    LEFT JOIN (
+           |      SELECT CAST(substring(vc::VARCHAR, 1, 1) AS INT) AS digit,
+           |        count(*)::BIGINT AS o
+           |      FROM ($src) WHERE vc > 0 GROUP BY 1
+           |    ) c USING (digit)
+           |  )
+           |)""".stripMargin
+      one("orders.totalprice",
+        "SELECT floor(o_totalprice * 100 + 0.5)::BIGINT AS vc FROM orders " +
+          "WHERE o_totalprice IS NOT NULL") +
+        "\nUNION ALL\n" +
+        one("events.value",
+          "SELECT floor(value * 100 + 0.5)::BIGINT AS vc FROM events " +
+            "WHERE value IS NOT NULL")
+    },
+    "q272_cvm_drift" ->
+      """WITH e AS (
+        |  SELECT event_type, ts::TIMESTAMP::DATE AS day, value FROM events
+        |), bd AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |v AS (
+        |  SELECT event_type,
+        |    date_diff('day', d0, day) >= (date_diff('day', d0, d1) + 1) // 2 AS late,
+        |    floor(value * 100 + 0.5)::BIGINT AS vc
+        |  FROM e, bd WHERE value IS NOT NULL
+        |), g AS (
+        |  SELECT event_type, vc,
+        |    count(CASE WHEN NOT late THEN 1 END)::BIGINT AS a,
+        |    count(CASE WHEN late THEN 1 END)::BIGINT AS b,
+        |    count(*)::BIGINT AS l
+        |  FROM v GROUP BY 1, 2
+        |), c AS (
+        |  SELECT *,
+        |    (sum(l) OVER w)::BIGINT AS ct, (sum(a) OVER w)::BIGINT AS ca
+        |  FROM g
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY vc
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), t AS (
+        |  SELECT event_type, sum(a)::BIGINT AS n1, sum(b)::BIGINT AS n2
+        |  FROM g GROUP BY 1
+        |), z AS (
+        |  SELECT c.event_type, n1, n2, (n1 + n2)::BIGINT AS nn, l,
+        |    (ct - ca)::BIGINT AS cb, ca
+        |  FROM c JOIN t USING (event_type)
+        |), w2 AS (
+        |  SELECT *,
+        |    (n2::HUGEINT * ca::HUGEINT - n1::HUGEINT * cb::HUGEINT) AS dv
+        |  FROM z
+        |), terms AS (
+        |  SELECT event_type, n1, n2, nn,
+        |    CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |      floor((l::DOUBLE * dv::DOUBLE * dv::DOUBLE
+        |        / (n1::DOUBLE * n2::DOUBLE * nn::DOUBLE * nn::DOUBLE))
+        |        * 1e13 + 0.5)::HUGEINT
+        |    ELSE 0::HUGEINT END AS tfp
+        |  FROM w2
+        |)
+        |SELECT event_type, max(n1) AS n_early, max(n2) AS n_late,
+        |  CASE WHEN max(n1) > 0 AND max(n2) > 0 THEN
+        |    floor(sum(tfp)::DOUBLE / 1e13 * 1e6 + 0.5) / 1e6 END AS cvm_r6
+        |FROM terms GROUP BY 1""".stripMargin,
     "q269_assoc_residuals" -> {
       def one(rel: String, obs: String) =
         s"""(SELECT relation, rk, ck, o, expected_r2,

@@ -868,7 +868,73 @@ object InsightQueries {
           q4 > col("q95x1e4")).as("reject"))
   }
 
+  // ---------------------------------------------------------------
+  // q273 — BARTLETT VARIANCE-HOMOGENEITY TEST: do the event types
+  // share ONE value variance (Bartlett 1937) — the dispersion
+  // companion to q263 (KW compares locations; Bartlett compares
+  // SPREADS — the ANOVA precondition every stats text checks first):
+  // χ² = [(N−k)·ln(Sp²) − Σᵢ(nᵢ−1)·ln(Sᵢ²)] / C with
+  // C = 1 + (Σᵢ 1/(nᵢ−1) − 1/(N−k)) / (3(k−1)), df = k−1.
+  // Exactness: per-group variance numerators nᵢ·Σx² − (Σx)² are
+  // EXACT decimals off cent-quantized values (every product widened
+  // per factor — HUGEINT oracle); the three cross-group sums are
+  // quantized BEFORE summing ((nᵢ−1)Sᵢ² to integer cents² — wq; the
+  // ln terms to 1e-6 fixed point; the 1/(nᵢ−1) reciprocals to 1e-12)
+  // so no float ever sums across groups; the closing
+  // ((N−k)·ln(Sp²) − slt/1e6)/C is ONE shared IEEE sequence and the
+  // α = 0.05 decision joins the shared χ²(0.95) literal table on the
+  // DATA-DEPENDENT df = k−1 (integer compare of the QUANTIZED b₄,
+  // NULL past df 40 — the q263/q265/q266 contract). A zero-variance
+  // group NULLs the statistic (ln undefined — Bartlett requires
+  // positive variances). Scale shape: ONE partial agg to group grain
+  // (count + two power sums — map-side combine does almost all the
+  // work), k-row closing. Output: 1 row.
+  private def q273(s: SparkSession, dir: String): DataFrame = {
+    val evObs = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type").as("gk"),
+        floor(col("value") * lit(100d) + lit(0.5d)).cast("long").as("vc"))
+    bartlett(evObs, "events.value~event_type")
+  }
+
+  private[graft] def bartlett(obs: DataFrame, rel: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val per = obs.groupBy(col("gk")).agg(count(lit(1)).as("ni"),
+        sum(d38(col("vc"))).as("s1"),
+        sum(d38(col("vc")) * d38(col("vc"))).as("s2"))
+      .filter(col("ni") >= 2)
+    val num = d38(col("ni")) * col("s2") - col("s1") * col("s1")
+    val wi = dd(num) / dd(col("ni")) // (ni−1)·Si², exact-rational → IEEE
+    val si2 = dd(num) / (dd(col("ni")) * (dd(col("ni")) - lit(1.0)))
+    val g = per
+      .withColumn("wq", floor(wi + lit(0.5)).cast("decimal(38,0)"))
+      .withColumn("lt", when(si2 > 0,
+        floor((dd(col("ni")) - lit(1.0)) * log(si2) * lit(1e6) + lit(0.5))
+          .cast("decimal(38,0)")))
+      .withColumn("iv",
+        floor(lit(1e12) / (dd(col("ni")) - lit(1.0)) + lit(0.5)).cast("long"))
+    val agg = g.groupBy(lit(rel).as("relation"))
+      .agg(count(lit(1)).as("k_groups"), sum(col("ni")).as("n"),
+        sum(col("wq")).as("sw"), sum(col("lt")).as("slt"),
+        count(col("lt")).as("nlt"), sum(col("iv")).as("siv"))
+      .withColumn("df", col("k_groups") - lit(1L))
+    val nk = dd(col("n") - col("k_groups"))
+    val sp2 = dd(col("sw")) / nk
+    val chi2num = nk * log(sp2) - dd(col("slt")) / lit(1e6)
+    val cc = lit(1.0) + (dd(col("siv")) / lit(1e12) - lit(1.0) / nk) /
+      (lit(3.0) * (dd(col("k_groups")) - lit(1.0)))
+    val valid = col("k_groups") >= 2 && col("nlt") === col("k_groups") &&
+      dd(col("sw")) > 0
+    val b4 = floor(chi2num / cc * lit(1e4) + lit(0.5)).cast("long")
+    agg.join(StatTables.chi2Frame(obs.sparkSession), Seq("df"), "left")
+      .select(col("relation"), col("k_groups"), col("n"),
+        when(valid, b4.cast("double") / lit(1e4)).as("b_r4"),
+        when(valid && col("q95x1e4").isNotNull, b4 > col("q95x1e4"))
+          .as("reject"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q273_bartlett" -> q273 _,
     "q263_kruskal_wallis" -> q263 _,
     "q266_friedman" -> q266 _,
     "q267_cochran_q" -> q267 _,
@@ -892,6 +958,46 @@ object InsightQueries {
       s"+ ($b::DOUBLE / ($g::DOUBLE + $b::DOUBLE)) * ln($b::DOUBLE / ($g::DOUBLE + $b::DOUBLE))) END"
 
   val oracleSql: Map[String, String] = Map(
+    "q273_bartlett" ->
+      (s"""WITH obs AS (
+         |  SELECT event_type AS gk, floor(value * 100 + 0.5)::BIGINT AS vc
+         |  FROM events WHERE value IS NOT NULL
+         |), per AS (
+         |  SELECT gk, count(*)::BIGINT AS ni, sum(vc::HUGEINT) AS s1,
+         |    sum(vc::HUGEINT * vc::HUGEINT) AS s2
+         |  FROM obs GROUP BY 1 HAVING count(*) >= 2
+         |), g AS (
+         |  SELECT gk, ni, (ni::HUGEINT * s2 - s1 * s1) AS num FROM per
+         |), g2 AS (
+         |  SELECT gk, ni,
+         |    floor(num::DOUBLE / ni::DOUBLE + 0.5)::HUGEINT AS wq,
+         |    CASE WHEN num::DOUBLE / (ni::DOUBLE * (ni::DOUBLE - 1.0)) > 0 THEN
+         |      floor((ni::DOUBLE - 1.0)
+         |        * ln(num::DOUBLE / (ni::DOUBLE * (ni::DOUBLE - 1.0)))
+         |        * 1e6 + 0.5)::HUGEINT END AS lt,
+         |    floor(1e12 / (ni::DOUBLE - 1.0) + 0.5)::BIGINT AS iv
+         |  FROM g
+         |), agg AS (
+         |  SELECT count(*)::BIGINT AS k_groups, sum(ni)::BIGINT AS n,
+         |    sum(wq) AS sw, sum(lt) AS slt, count(lt)::BIGINT AS nlt,
+         |    sum(iv)::HUGEINT AS siv
+         |  FROM g2
+         |), z AS (
+         |  SELECT k_groups, n, sw, slt, nlt, siv, k_groups - 1 AS df,
+         |    ((n - k_groups)::DOUBLE * ln(sw::DOUBLE / (n - k_groups)::DOUBLE)
+         |        - slt::DOUBLE / 1e6)
+         |      / (1.0 + (siv::DOUBLE / 1e12 - 1.0 / (n - k_groups)::DOUBLE)
+         |        / (3.0 * (k_groups::DOUBLE - 1.0))) AS b
+         |  FROM agg
+         |)
+         |SELECT 'events.value~event_type' AS relation, k_groups, n,
+         |  CASE WHEN k_groups >= 2 AND nlt = k_groups AND sw::DOUBLE > 0 THEN
+         |    floor(b * 1e4 + 0.5)::BIGINT::DOUBLE / 1e4 END AS b_r4,
+         |  CASE WHEN k_groups >= 2 AND nlt = k_groups AND sw::DOUBLE > 0
+         |      AND q95x1e4 IS NOT NULL THEN
+         |    floor(b * 1e4 + 0.5)::BIGINT > q95x1e4 END AS reject
+         |FROM z LEFT JOIN """.stripMargin + StatTables.chi2ValuesSql +
+        " ON chi2.df = z.df"),
     "q263_kruskal_wallis" -> {
       def one(rel: String, obs: String) =
         s"""SELECT '$rel' AS relation, k_groups, n,

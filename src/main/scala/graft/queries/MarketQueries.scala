@@ -1731,6 +1731,154 @@ object MarketQueries {
   }
 
   // ---------------------------------------------------------------
+  // q274 — VON NEUMANN RATIO TEST: is each instrument's daily return
+  // series serially independent — the mean-square-successive-
+  // difference test (von Neumann 1941), the OTHER classical
+  // randomness check next to q258's runs test (runs sees only SIGNS;
+  // VN sees magnitudes — a series alternating +1/−100 passes runs
+  // and fails VN) and the decision q176's lag-1 ACF only describes:
+  // VN = Σ(x_{t+1}−x_t)² / Σ(x−x̄)², E[VN] → 2 under independence
+  // (VN < 2 ⇒ positive autocorrelation, > 2 ⇒ alternation), z =
+  // (VN−2)/√(4(n−2)/(n²−1)). Exactness: the successive-difference
+  // sum and the variance numerator n·Σx² − (Σx)² are EXACT decimals
+  // off micro-log2 integer returns (every product widened per
+  // factor); VN = n·num/den is ONE IEEE sequence shared by both
+  // engines, the α = 0.05 decision tests the QUANTIZED |z₄| > 19600.
+  // Scale shape: one DailyCloses partial agg, then per-type day-grid
+  // lag window + one grid-grain agg (volume-independent — the q221
+  // argument). Output: |types| rows.
+  private def q274(s: SparkSession, dir: String): DataFrame =
+    vonNeumann(dailyReturns(s, dir))
+
+  private[graft] def vonNeumann(rets: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val withDiff = rets
+      .withColumn("prev", lag(col("r_fp"), 1).over(wd))
+      .withColumn("dsq", when(col("prev").isNotNull,
+        d38(col("r_fp") - col("prev")) * d38(col("r_fp") - col("prev"))))
+    val per = withDiff.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"), sum(d38(col("r_fp"))).as("s1"),
+        sum(d38(col("r_fp")) * d38(col("r_fp"))).as("s2"),
+        sum(col("dsq")).as("num"))
+      .filter(col("n") >= 3)
+    val den = d38(col("n")) * col("s2") - col("s1") * col("s1")
+    val vn = dd(col("n")) * dd(col("num")) / dd(den)
+    val z = (vn - lit(2.0)) / sqrt(lit(4.0) * (dd(col("n")) - lit(2.0)) /
+      (dd(col("n")) * dd(col("n")) - lit(1.0)))
+    val vn4 = floor(vn * lit(1e4) + lit(0.5)).cast("long")
+    val z4 = floor(z * lit(1e4) + lit(0.5)).cast("long")
+    per.select(col("event_type"), col("n").as("n_days"),
+      when(dd(den) > 0, vn4.cast("double") / lit(1e4)).as("vn_r4"),
+      when(dd(den) > 0, z4.cast("double") / lit(1e4)).as("z_r4"),
+      when(dd(den) > 0, abs(z4) > 19600L).as("reject"))
+  }
+
+  // ---------------------------------------------------------------
+  // q275 — TURNING-POINTS TEST: does each instrument's daily close
+  // series have the LOCAL-EXTREMUM density of a random sequence
+  // (Kendall's turning-points / peaks-and-troughs test — Kendall &
+  // Stuart; Bienaymé 1874 expectation): an interior day is a turning
+  // point when it is a STRICT local max or min, T counts them,
+  // E[T] = 2(n−2)/3, Var[T] = (16n−29)/90, z = (T−E)/√Var. The
+  // sequence-shape companion to q258 (runs: signs of CHANGES) and
+  // q274 (magnitudes of changes) — a smooth trend has too FEW
+  // turning points, over-differenced noise too MANY. Exactness: T is
+  // an exact integer off lag/lead compares (ties are NOT turning
+  // points — the strict-product convention, identical in both
+  // engines); E, Var, z close in ONE IEEE sequence; decision on the
+  // QUANTIZED |z₄| > 19600. Scale shape: one DailyCloses partial
+  // agg, per-type day-grid lag/lead window, one grid-grain agg.
+  // Output: |types| rows.
+  private def q275(s: SparkSession, dir: String): DataFrame =
+    turningPoints(dailyCloses(s, dir))
+
+  private[graft] def turningPoints(cl: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val t = cl
+      .withColumn("p", lag(col("close_lv"), 1).over(wd))
+      .withColumn("f", lead(col("close_lv"), 1).over(wd))
+      .withColumn("tp", when(col("p").isNotNull && col("f").isNotNull &&
+        d38(col("close_lv") - col("p")) * d38(col("close_lv") - col("f")) > 0,
+        lit(1L)).otherwise(lit(0L)))
+    val per = t.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("tp")).as("tt"))
+      .filter(col("n") >= 3)
+    val nd = dd(col("n"))
+    val e = lit(2.0) * (nd - lit(2.0)) / lit(3.0)
+    val v = (lit(16.0) * nd - lit(29.0)) / lit(90.0)
+    val z = (dd(col("tt")) - e) / sqrt(v)
+    val z4 = floor(z * lit(1e4) + lit(0.5)).cast("long")
+    per.select(col("event_type"), col("n").as("n_days"),
+      col("tt").as("t_stat"), (z4.cast("double") / lit(1e4)).as("z_r4"),
+      (abs(z4) > 19600L).as("reject"))
+  }
+
+  // ---------------------------------------------------------------
+  // q271 — PETTITT CHANGE-POINT TEST: WHERE did each instrument's
+  // close level shift — the rank-based single-change-point locator
+  // (Pettitt 1979) every hydrology handbook ships NEXT to
+  // Mann-Kendall (q259 says whether there's a monotone trend; Pettitt
+  // says where the level broke): U_t = Σ_{i≤t, j>t} sgn(x_j − x_i),
+  // K = max_t |U_t| over t = 1..n−1, change day = the FIRST day
+  // attaining K, p ≈ min(1, 2·exp(−6K²/(n³+n²))). Exactness: U_t is
+  // exact integer via the RANK-COUNT identity — U_t = U_{t−1} + s_t
+  // with s_t = #{j: x_j > x_t} − #{j: x_j < x_t}, and s_t reads off
+  // the (type, close) value grid's running counts (gt = n − ct,
+  // lt = prev), so there is NO O(n²) sign fold at all (sharper than
+  // q259's C(n,2) enumeration — the same statistic family at
+  // O(grid + n) per type); K and n close into p in ONE IEEE sequence,
+  // the α = 0.05 decision tests the QUANTIZED p₄ < 500, and the
+  // argmax day is the deterministic (max |U|, min day) order — a
+  // join-back, not an engine-local arg_max. Scale shape: one
+  // volume-sized DailyCloses partial agg, then value-grid + day-grid
+  // windows both partitioned per type over |days|-bounded rows
+  // (volume-independent — the q221 argument). Output: |types| rows.
+  private def q271(s: SparkSession, dir: String): DataFrame =
+    pettitt(dailyCloses(s, dir))
+
+  private[graft] def pettitt(cl: DataFrame): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val nDf = cl.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+    val grid = cl.groupBy(col("event_type"), col("close_lv"))
+      .agg(count(lit(1)).as("t"))
+    val wv = Window.partitionBy(col("event_type")).orderBy(col("close_lv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.withColumn("ct", sum(col("t")).over(wv))
+      .withColumn("prev", col("ct") - col("t"))
+    val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wrn = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val ut = cl
+      .join(cum.select(col("event_type"), col("close_lv"), col("ct"), col("prev")),
+        Seq("event_type", "close_lv"))
+      .join(nDf, Seq("event_type"))
+      .withColumn("s", (col("n") - col("ct")) - col("prev"))
+      .withColumn("u", sum(col("s")).over(wd))
+      .withColumn("rn", row_number().over(wrn))
+      .filter(col("rn") < col("n"))
+    val per = ut.groupBy(col("event_type"), col("n"))
+      .agg(max(abs(col("u"))).as("k_stat"))
+    val cd = ut.join(per.select(col("event_type"), col("k_stat")),
+        Seq("event_type"))
+      .filter(abs(col("u")) === col("k_stat"))
+      .groupBy(col("event_type")).agg(min(col("day")).as("change_day"))
+    val nd = dd(col("n"))
+    val p = least(lit(1.0), lit(2.0) * exp(lit(-6.0) * dd(col("k_stat")) *
+      dd(col("k_stat")) / (nd * nd * nd + nd * nd)))
+    val p4 = floor(p * lit(1e4) + lit(0.5)).cast("long")
+    per.join(cd, Seq("event_type"))
+      .select(col("event_type"), col("n").as("n_days"), col("k_stat"),
+        col("change_day"),
+        (p4.cast("double") / lit(1e4)).as("p_r4"),
+        (p4 < 500L).as("reject"))
+  }
+
+  // ---------------------------------------------------------------
   // q261 — HURST EXPONENT (rescaled-range): is each instrument's
   // return series trending (H > 0.5), mean-reverting (H < 0.5), or a
   // random walk (H ≈ 0.5) — Hurst's R/S analysis (Hurst 1951,
@@ -1816,6 +1964,9 @@ object MarketQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q274_von_neumann" -> q274 _,
+    "q275_turning_points" -> q275 _,
+    "q271_pettitt" -> q271 _,
     "q261_hurst_rs" -> q261 _,
     "q257_jarque_bera" -> q257 _,
     "q258_runs_test" -> q258 _,
@@ -1991,6 +2142,103 @@ object MarketQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q274_von_neumann" ->
+      (dayRetCtes +
+        """, d AS (
+          |  SELECT event_type, r_fp,
+          |    r_fp - lag(r_fp) OVER (PARTITION BY event_type ORDER BY day) AS df
+          |  FROM r
+          |), per AS (
+          |  SELECT event_type, count(*)::BIGINT AS n,
+          |    sum(r_fp::HUGEINT) AS s1,
+          |    sum(r_fp::HUGEINT * r_fp::HUGEINT) AS s2,
+          |    sum(df::HUGEINT * df::HUGEINT) AS num
+          |  FROM d GROUP BY 1 HAVING count(*) >= 3
+          |), z AS (
+          |  SELECT event_type, n,
+          |    (n::HUGEINT * s2 - s1 * s1) AS den,
+          |    n::DOUBLE * num::DOUBLE / (n::HUGEINT * s2 - s1 * s1)::DOUBLE AS vn
+          |  FROM per
+          |), q AS (
+          |  SELECT event_type, n, den, vn,
+          |    (vn - 2.0) / sqrt(4.0 * (n::DOUBLE - 2.0)
+          |      / (n::DOUBLE * n::DOUBLE - 1.0)) AS zv
+          |  FROM z
+          |)
+          |SELECT event_type, n AS n_days,
+          |  CASE WHEN den::DOUBLE > 0 THEN
+          |    floor(vn * 1e4 + 0.5)::BIGINT::DOUBLE / 1e4 END AS vn_r4,
+          |  CASE WHEN den::DOUBLE > 0 THEN
+          |    floor(zv * 1e4 + 0.5)::BIGINT::DOUBLE / 1e4 END AS z_r4,
+          |  CASE WHEN den::DOUBLE > 0 THEN
+          |    abs(floor(zv * 1e4 + 0.5)::BIGINT) > 19600 END AS reject
+          |FROM q""".stripMargin),
+    "q275_turning_points" ->
+      (dayRetCtes +
+        """, tp AS (
+          |  SELECT event_type,
+          |    CASE WHEN lag(close_lv) OVER w IS NOT NULL
+          |        AND lead(close_lv) OVER w IS NOT NULL
+          |        AND (close_lv - lag(close_lv) OVER w)::HUGEINT
+          |          * (close_lv - lead(close_lv) OVER w)::HUGEINT > 0
+          |      THEN 1 ELSE 0 END::BIGINT AS t
+          |  FROM c
+          |  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+          |), per AS (
+          |  SELECT event_type, count(*)::BIGINT AS n, sum(t)::BIGINT AS tt
+          |  FROM tp GROUP BY 1 HAVING count(*) >= 3
+          |), z AS (
+          |  SELECT event_type, n, tt,
+          |    (tt::DOUBLE - 2.0 * (n::DOUBLE - 2.0) / 3.0)
+          |      / sqrt((16.0 * n::DOUBLE - 29.0) / 90.0) AS zv
+          |  FROM per
+          |)
+          |SELECT event_type, n AS n_days, tt AS t_stat,
+          |  floor(zv * 1e4 + 0.5)::BIGINT::DOUBLE / 1e4 AS z_r4,
+          |  abs(floor(zv * 1e4 + 0.5)::BIGINT) > 19600 AS reject
+          |FROM z""".stripMargin),
+    "q271_pettitt" ->
+      (dayRetCtes +
+        """, nn AS (
+          |  SELECT event_type, count(*)::BIGINT AS n FROM c
+          |  GROUP BY 1 HAVING count(*) >= 2
+          |), vg AS (
+          |  SELECT event_type, close_lv, count(*)::BIGINT AS t
+          |  FROM c GROUP BY 1, 2
+          |), vc AS (
+          |  SELECT *, (sum(t) OVER (PARTITION BY event_type ORDER BY close_lv
+          |    ROWS UNBOUNDED PRECEDING))::BIGINT AS ct
+          |  FROM vg
+          |), r1 AS (
+          |  SELECT c.event_type, c.day, n, ((n - ct) - (ct - t))::BIGINT AS s
+          |  FROM c
+          |  JOIN vc ON c.event_type = vc.event_type AND c.close_lv = vc.close_lv
+          |  JOIN nn ON c.event_type = nn.event_type
+          |), uu AS (
+          |  SELECT event_type, day, n,
+          |    (sum(s) OVER (PARTITION BY event_type ORDER BY day
+          |      ROWS UNBOUNDED PRECEDING))::BIGINT AS u,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+          |  FROM r1
+          |), ut AS (SELECT * FROM uu WHERE rn < n),
+          |per AS (
+          |  SELECT event_type, max(n)::BIGINT AS n, max(abs(u))::BIGINT AS k
+          |  FROM ut GROUP BY 1
+          |), cd AS (
+          |  SELECT ut.event_type, min(day) AS change_day
+          |  FROM ut JOIN per ON ut.event_type = per.event_type
+          |    AND abs(ut.u) = per.k
+          |  GROUP BY 1
+          |), z AS (
+          |  SELECT per.event_type, n, k, change_day,
+          |    least(1.0, 2.0 * exp(-6.0 * k::DOUBLE * k::DOUBLE
+          |      / (n::DOUBLE * n::DOUBLE * n::DOUBLE + n::DOUBLE * n::DOUBLE))) AS p
+          |  FROM per JOIN cd ON per.event_type = cd.event_type
+          |)
+          |SELECT event_type, n AS n_days, k AS k_stat, change_day,
+          |  floor(p * 1e4 + 0.5)::BIGINT::DOUBLE / 1e4 AS p_r4,
+          |  floor(p * 1e4 + 0.5)::BIGINT < 500 AS reject
+          |FROM z""".stripMargin),
     "q261_hurst_rs" -> hurstOracle,
     "q257_jarque_bera" ->
       (dayRetCtes +

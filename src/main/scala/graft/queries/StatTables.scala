@@ -52,4 +52,27 @@ object StatTables {
     Chi2Q95x1e4.zipWithIndex
       .map { case (q, i) => s"(${i + 1}, ${q})" }
       .mkString("(VALUES ", ", ", ") AS chi2(df, q95x1e4)")
+
+  /** Benford first-significant-digit probabilities log10(1 + 1/d)
+    * × 1e12, d = 1..9 (Newcomb 1881, Benford 1938) — the q270 audit's
+    * expectation, a LITERAL shared by both engines so the decision
+    * never depends on a libm log10 agreeing bit-for-bit. Sums to
+    * 1e12 + 1 (rounding); the χ² terms use each digit's own literal,
+    * so the off-by-one never enters a shared denominator. */
+  val BenfordP1e12: Vector[Long] = Vector(
+    301029995664L, 176091259056L, 124938736608L, 96910013008L,
+    79181246048L, 66946789631L, 57991946978L, 51152522447L, 45757490561L)
+
+  /** Benford table as a 9-row broadcast frame (digit, p12). */
+  def benfordFrame(s: SparkSession): DataFrame = {
+    import s.implicits._
+    broadcast(BenfordP1e12.zipWithIndex
+      .map { case (p, i) => (i + 1, p) }.toDF("digit", "p12"))
+  }
+
+  /** The same as a DuckDB VALUES list `… AS ben(digit, p12)`. */
+  def benfordValuesSql: String =
+    BenfordP1e12.zipWithIndex
+      .map { case (p, i) => s"(${i + 1}, ${p})" }
+      .mkString("(VALUES ", ", ", ") AS ben(digit, p12)")
 }

@@ -4,10 +4,13 @@ import org.apache.spark.sql.functions._
 
 import graft.queries.{AuditQueries, InsightQueries, StatTables}
 
-/** Round-13 cross-group decision family (q263 Kruskal-Wallis,
-  * q264 Jensen-Shannon drift, q265 mutual information / G-test,
-  * q266 Friedman): designed feeds with hand-computed textbook
-  * answers, plus the boundary/degenerate regimes the closings guard.
+/** Cross-group / drift decision families (round 13: q263
+  * Kruskal-Wallis, q264 Jensen-Shannon, q265 mutual information /
+  * G-test, q266 Friedman, q267 Cochran's Q, q268 Anderson-Darling,
+  * q269 residual drill-down; round 14: q270 Benford, q272
+  * Cramér–von Mises, q273 Bartlett): designed feeds with
+  * hand-computed textbook answers, plus the boundary/degenerate
+  * regimes the closings guard.
   */
 class CrossGroupSpec extends SparkSpec {
   import spark.implicits._
@@ -241,5 +244,106 @@ class CrossGroupSpec extends SparkSpec {
     assert(StatTables.Chi2Q95x1e4(0) == 38415L)  // 3.8415
     assert(StatTables.Chi2Q95x1e4(1) == 59915L)  // 5.9915
     assert(StatTables.Chi2Q95x1e4(9) == 183070L) // 18.3070
+  }
+
+  // ---- q270 Benford first-digit audit -------------------------------
+  private def benOf(cents: Seq[Long]) =
+    AuditQueries.benford(cents.toDF("vc"), "t").collect()
+      .map(r => r.getAs[Int]("digit") -> r).toMap
+
+  test("benford: a log-uniform sample keeps H0; a uniform-digit sample rejects") {
+    // vc = 10^(i/100), i = 0..299 — three exact decades of log-uniform
+    // mass, the distribution Benford's law IS; chi2 stays far under
+    // the df-8 boundary 15.5073
+    val logu = (0 until 300).map(i => math.pow(10d, i / 100d).round)
+    val lu = benOf(logu)
+    assert(lu.size == 9, "all nine digits materialize")
+    assert(!lu(1).getAs[Boolean]("reject"))
+    assert(lu(1).getAs[Double]("chi2_r4") < 15.5073)
+    // 100 values per first digit: uniform digits are maximally
+    // non-Benford at this n — rejects decisively
+    val unif = (1L to 9L).flatMap(d => (0 until 100).map(_ => d * 100L))
+    val uf = benOf(unif)
+    assert(uf(1).getAs[Boolean]("reject"))
+    assert(uf.values.forall(_.getAs[Long]("n_d") == 100L))
+    // the expectation column IS the shared literal: digit 1 = 0.30103
+    assert(uf(1).getAs[Double]("benford_r6") == 0.30103)
+    assert(uf(9).getAs[Double]("benford_r6") == 0.045757)
+  }
+
+  test("benford: absent digits materialize with n_d = 0 and still carry the chi2") {
+    // only digits 1 and 2 present: rows for 3..9 must exist at 0
+    val two = benOf(Seq.fill(50)(10L) ++ Seq.fill(30)(20L))
+    assert(two.size == 9)
+    assert((3 to 9).forall(d => two(d).getAs[Long]("n_d") == 0L))
+    assert(two(1).getAs[Long]("n_d") == 50L)
+    val chis = two.values.map(_.getAs[Double]("chi2_r4")).toSet
+    assert(chis.size == 1, "one relation-level chi2, replicated per digit row")
+    assert(two(1).getAs[Boolean]("reject"))
+    // shares sum to 1 at r6 resolution
+    assert(math.abs(two.values.map(_.getAs[Double]("share_r6")).sum - 1.0) < 1e-4)
+  }
+
+  // ---- q272 Cramér–von Mises ----------------------------------------
+  private def cvmOf(early: Seq[Double], late: Seq[Double]): Double = {
+    val rows = early.map(v => ("x", "2024-01-01", v)) ++
+      late.map(v => ("x", "2024-01-04", v))
+    val df = rows.toDF("event_type", "d", "value")
+      .select(col("event_type"), to_date(col("d")).as("day"), col("value"))
+    val r = AuditQueries.cramerVonMises(df).collect()(0)
+    if (r.isNullAt(r.fieldIndex("cvm_r6"))) Double.NaN else r.getAs[Double]("cvm_r6")
+  }
+
+  test("cramerVonMises: mirrored split is EXACTLY 0; disjoint {1,2}|{3,4} gives 0.375 by hand") {
+    assert(cvmOf(Seq(5.0, 7.0, 9.0), Seq(5.0, 7.0, 9.0)) == 0.0,
+      "identical halves cancel cell-by-cell in exact integers")
+    // grid walk: d_v = 2,4,2,0 over the four cells, T = sum l*d^2 /
+    // (n1*n2*N^2) = (4+16+4+0)/(2*2*16) = 24/64 = 0.375
+    assert(cvmOf(Seq(1.0, 2.0), Seq(3.0, 4.0)) == 0.375)
+    // one-sided feeds carry no score
+    assert(cvmOf(Seq(1.0, 2.0), Seq.empty).isNaN)
+  }
+
+  test("cramerVonMises: agrees with AD on direction over the real feed, bounded by ~N") {
+    val out = SparkEntry.queries("q272_cvm_drift")(spark, sf("sf0.001")).collect()
+    assert(out.nonEmpty)
+    out.filterNot(r => r.isNullAt(r.fieldIndex("cvm_r6"))).foreach { r =>
+      assert(r.getAs[Double]("cvm_r6") >= 0.0)
+    }
+  }
+
+  // ---- q273 Bartlett variance homogeneity ---------------------------
+  private def bartOf(groups: Seq[(String, Seq[Long])]) = {
+    val obs = groups.flatMap { case (g, vs) => vs.map((g, _)) }.toDF("gk", "vc")
+    InsightQueries.bartlett(obs, "t").collect()(0)
+  }
+
+  test("bartlett: hand case {1,2,3} vs {2,4,6} gives b = 0.7141, keeps H0") {
+    // num1 = 3*14-36 = 6 (S1^2 = 1, ln = 0); num2 = 3*56-144 = 24
+    // (S2^2 = 4); sw = 2+8 = 10, sp2 = 2.5; lt2 = floor(2*ln(4)*1e6+0.5)
+    // = 2772589; chi2num = 4*ln(2.5) - 2.772589; C = 1.25 -> b4 = 7141
+    val r = bartOf(Seq("a" -> Seq(1L, 2L, 3L), "b" -> Seq(2L, 4L, 6L)))
+    assert(r.getAs[Long]("k_groups") == 2L && r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Double]("b_r4") == 0.7141)
+    assert(!r.getAs[Boolean]("reject")) // df 1 boundary 3.8415
+  }
+
+  test("bartlett: identical variances give exactly 0; a 1e4x variance gap rejects; zero variance nulls") {
+    val eq = bartOf(Seq("a" -> Seq(1L, 2L, 3L), "b" -> Seq(11L, 12L, 13L)))
+    assert(eq.getAs[Double]("b_r4") == 0.0 && !eq.getAs[Boolean]("reject"))
+    val gap = bartOf(Seq("a" -> (1L to 10L),
+      "b" -> (1L to 10L).map(_ * 100L)))
+    assert(gap.getAs[Boolean]("reject"))
+    val degen = bartOf(Seq("a" -> Seq(5L, 5L), "b" -> Seq(1L, 2L)))
+    assert(degen.isNullAt(degen.fieldIndex("b_r4")))
+    assert(degen.isNullAt(degen.fieldIndex("reject")))
+  }
+
+  test("bartlett: df past the 40-row chi2 table yields a NULL decision, statistic intact") {
+    // 42 groups of {g, g+1, g+2} -> df 41: b_r4 reported, reject NULL
+    val r = bartOf((1 to 42).map(i => s"g$i" -> Seq(i * 10L, i * 10L + 1L, i * 10L + 2L)))
+    assert(r.getAs[Long]("k_groups") == 42L)
+    assert(!r.isNullAt(r.fieldIndex("b_r4")))
+    assert(r.isNullAt(r.fieldIndex("reject")))
   }
 }

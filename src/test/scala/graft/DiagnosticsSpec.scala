@@ -214,4 +214,106 @@ class DiagnosticsSpec extends SparkSpec {
     val nCust = graft.core.Tables.customer(spark, sf()).count()
     assert(dec.map(_.getAs[Long]("n_members")).sum == nCust)
   }
+
+  // ---- q271 Pettitt change point ------------------------------------
+  private def pett(rows: Seq[(String, java.sql.Date, Long)]) =
+    MarketQueries.pettitt(rows.toDF("event_type", "day", "close_lv"))
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+
+  test("pettitt: a clean level shift pins K = n1*n2 and the last pre-shift day") {
+    // 5 low days then 5 high: U_t = 5t up to t=5 then 5(10-t) —
+    // K = 25 at t = 5, change day = day(4); p = min(1, 2e^{-3750/1100})
+    // = 0.0662 >= 0.05 -> n = 10 is too small to reject
+    val shift = (0 until 5).map(i => ("S", day(i), 10L)) ++
+      (5 until 10).map(i => ("S", day(i), 20L))
+    val s = pett(shift)("S")
+    assert(s.getAs[Long]("k_stat") == 25L)
+    assert(s.getAs[java.sql.Date]("change_day") == day(4))
+    val p = math.min(1.0, 2.0 * math.exp(-6.0 * 25.0 * 25.0 / (1000.0 + 100.0)))
+    assert(s.getAs[Double]("p_r4") == math.floor(p * 1e4 + 0.5) / 1e4)
+    assert(!s.getAs[Boolean]("reject"))
+    // 20+20 days: K = 400, p ~ 8.8e-7 -> reject, same change-day rule
+    val big = (0 until 20).map(i => ("B", day(i), 10L)) ++
+      (20 until 40).map(i => ("B", day(i), 20L))
+    val b = pett(big)("B")
+    assert(b.getAs[Long]("k_stat") == 400L)
+    assert(b.getAs[java.sql.Date]("change_day") == day(19))
+    assert(b.getAs[Boolean]("reject"))
+  }
+
+  test("pettitt: a flat series has K = 0, p = 1, first day as the deterministic argmax") {
+    val flat = (0 until 6).map(i => ("F", day(i), 7L))
+    val f = pett(flat)("F")
+    assert(f.getAs[Long]("k_stat") == 0L)
+    assert(f.getAs[Double]("p_r4") == 1.0)
+    assert(!f.getAs[Boolean]("reject"))
+    assert(f.getAs[java.sql.Date]("change_day") == day(0))
+  }
+
+  test("q271 on testdata: K bounded by C(n,2), change day inside the observed range") {
+    val out = q("q271_pettitt").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_days")
+      val k = r.getAs[Long]("k_stat")
+      assert(k >= 0 && k <= n * (n - 1) / 2)
+      assert(!r.isNullAt(r.fieldIndex("change_day")))
+      val p = r.getAs[Double]("p_r4")
+      assert(p >= 0.0 && p <= 1.0)
+      assert(r.getAs[Boolean]("reject") == (p < 0.05) ||
+        math.abs(p - 0.05) < 1e-9)
+    }
+  }
+
+  // ---- q274 von Neumann ratio ---------------------------------------
+  private def vnOf(rets: Seq[Long]) = {
+    val rows = rets.zipWithIndex.map { case (r, i) => ("V", day(i), r) }
+    MarketQueries.vonNeumann(rows.toDF("event_type", "day", "r_fp"))
+      .collect().head
+  }
+
+  test("vonNeumann: hand cases — alternating 3.6 rejects high, trend 0.1091 rejects low, balanced keeps") {
+    // +-1 alternating, n = 10: num = 9*4 = 36, den = 10*10 = 100,
+    // VN = 10*36/100 = 3.6; z = 1.6/sqrt(32/99) = 2.8142 -> reject
+    val alt = vnOf((0 until 10).map(i => if (i % 2 == 0) 1L else -1L))
+    assert(alt.getAs[Double]("vn_r4") == 3.6)
+    assert(alt.getAs[Boolean]("reject"))
+    assert(alt.getAs[Double]("z_r4") > 0)
+    // 1..10 ramp: num = 9, den = 10*385 - 55^2 = 825, VN = 90/825
+    val ramp = vnOf((1L to 10L))
+    assert(ramp.getAs[Double]("vn_r4") == 0.1091)
+    assert(ramp.getAs[Boolean]("reject"))
+    assert(ramp.getAs[Double]("z_r4") < 0)
+    // ++--++--++: num = 160/... VN = 10*16/96 = 1.6667 -> keep
+    val bal = vnOf(Seq(1L, 1L, -1L, -1L, 1L, 1L, -1L, -1L, 1L, 1L))
+    assert(bal.getAs[Double]("vn_r4") == 1.6667)
+    assert(!bal.getAs[Boolean]("reject"))
+  }
+
+  test("vonNeumann: a constant series has zero variance -> NULL statistic") {
+    val f = vnOf(Seq.fill(8)(3L))
+    assert(f.isNullAt(f.fieldIndex("vn_r4")) && f.isNullAt(f.fieldIndex("reject")))
+  }
+
+  // ---- q275 turning points ------------------------------------------
+  private def tpOf(closes: Seq[Long]) = {
+    val rows = closes.zipWithIndex.map { case (c, i) => ("T", day(i), c) }
+    MarketQueries.turningPoints(rows.toDF("event_type", "day", "close_lv"))
+      .collect().head
+  }
+
+  test("turningPoints: alternating = n-2 rejects high, monotone = 0 rejects low, ties are not turns") {
+    // n = 10 alternating: every interior point is a strict extremum,
+    // T = 8; E = 16/3, Var = 131/90, z = (8 - 5.3333)/1.2065 = 2.2103
+    val alt = tpOf((0 until 10).map(i => if (i % 2 == 0) 10L else 20L))
+    assert(alt.getAs[Long]("t_stat") == 8L)
+    assert(alt.getAs[Boolean]("reject"))
+    // strictly increasing: T = 0, z strongly negative
+    val mono = tpOf((1L to 10L).map(_ * 10L))
+    assert(mono.getAs[Long]("t_stat") == 0L)
+    assert(mono.getAs[Boolean]("reject") && mono.getAs[Double]("z_r4") < 0)
+    // a flat plateau inside a rise: tie products are 0, not turns
+    val tie = tpOf(Seq(10L, 20L, 20L, 30L, 25L, 40L))
+    assert(tie.getAs[Long]("t_stat") == 2L, "only the strict 30-peak and 25-trough count")
+  }
 }
