@@ -7,7 +7,7 @@ import graft.core.Tables
 /** The SURVEY §3.3(b) entry point: the same queries as the typed
   * Scala API, as `spark.sql()` text over registered temp views — the
   * surface a thriftserver / Spark Connect / notebook user gets when
-  * they can't (or won't) link the Scala library. Eighteen
+  * they can't (or won't) link the Scala library. Nineteen
   * representative shapes are covered — the OHLCV rollup (q06), the
   * sliding-window join (q09), the TPC-H Q1 pricing summary (q13),
   * the window-function battery (q54), the inverted index (q96), the
@@ -22,8 +22,10 @@ import graft.core.Tables
   * Mann-Whitney U drift test (q250, the rank-statistics family's
   * twin), the Kruskal-Wallis k-sample test (q263, the
   * cross-group family's twin — the shared χ² literal table inlined
-  * as VALUES), and the two-sample Anderson-Darling drift score
-  * (q268, the drift kit's twin) — each the EXACT semantics of its
+  * as VALUES), the two-sample Anderson-Darling drift score
+  * (q268, the drift kit's twin), and the Benford first-digit audit
+  * (q270, the governance/audit family's twin — the 9-row literal
+  * expectation inlined as VALUES) — each the EXACT semantics of its
   * typed twin: same op sequence, same decimal detours, same r4/r2
   * rounding, so results match bitwise (SqlEntrySpec pins text ≡
   * typed for every key in [[texts]]).
@@ -64,6 +66,14 @@ object SqlEntry {
     StatTables.Chi2Q95x1e4.zipWithIndex
       .map { case (q, i) => s"(${i + 1}L, ${q}L)" }
       .mkString("VALUES ", ", ", " AS t(df, q95x1e4)")
+
+  /** StatTables.BenfordP1e12 as a Spark-SQL VALUES relation — the
+    * q270 twin joins the SAME 9-row literal expectation the typed
+    * plan broadcasts (digit INT, p12 BIGINT). */
+  private def benfordValues: String =
+    StatTables.BenfordP1e12.zipWithIndex
+      .map { case (p, i) => s"(${i + 1}, ${p}L)" }
+      .mkString("VALUES ", ", ", " AS t(digit, p12)")
 
   val texts: Map[String, String] = Map(
     // q263 — the cross-group family's text twin: Kruskal-Wallis as a
@@ -704,6 +714,55 @@ object SqlEntry {
         |    floor(CAST(nn - 1 AS DOUBLE) / CAST(nn AS DOUBLE)
         |      * (CAST(sfp AS DOUBLE) / 1e13) * 1e6 + 0.5D) / 1e6 END AS ad_r6
         |FROM per""".stripMargin,
+    // q270 — the governance/audit family's text twin: the Benford
+    // first-digit screen as a notebook writes it — digit from the
+    // STRING head of the exact cent amount, the 9-row literal
+    // expectation inlined as VALUES (the SAME StatTables.BenfordP1e12
+    // the typed plan broadcasts), per-digit χ² terms quantized to
+    // DECIMAL before the window sum, decision at the fixed df-8
+    // boundary 155073 — bitwise ≡ the typed q270 across both relations
+    "q270_benford" -> {
+      def one(rel: String, src: String) =
+        s"""SELECT '$rel' AS relation, digit, o AS n_d,
+           |  CASE WHEN n > 0 THEN
+           |    floor(CAST(o AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5D) / 1e6
+           |  END AS share_r6,
+           |  CAST((p12 + 500000) DIV 1000000 AS DOUBLE) / 1e6 AS benford_r6,
+           |  CAST(chi24 AS DOUBLE) / 1e4 AS chi2_r4,
+           |  chi24 > 155073L AS reject
+           |FROM (
+           |  SELECT digit, p12, o, n,
+           |    cast(floor(CAST(sum(tfp) OVER () AS DOUBLE) / 1e6 * 1e4 + 0.5D)
+           |      AS BIGINT) AS chi24
+           |  FROM (
+           |    SELECT digit, p12, o, n,
+           |      CASE WHEN n > 0 THEN cast(floor(
+           |        (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(p12 AS DOUBLE) / 1e12))
+           |        * (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(p12 AS DOUBLE) / 1e12))
+           |        / (CAST(n AS DOUBLE) * (CAST(p12 AS DOUBLE) / 1e12))
+           |        * 1e6 + 0.5D) AS DECIMAL(38,0)) END AS tfp
+           |    FROM (
+           |      SELECT digit, p12, o, sum(o) OVER () AS n
+           |      FROM (
+           |        SELECT b.digit, b.p12, coalesce(c.o0, CAST(0 AS BIGINT)) AS o
+           |        FROM ($benfordValues) b
+           |        LEFT JOIN (
+           |          SELECT CAST(substring(CAST(vc AS STRING), 1, 1) AS INT) AS digit,
+           |            count(1) AS o0
+           |          FROM ($src) WHERE vc > 0 GROUP BY 1
+           |        ) c ON b.digit = c.digit
+           |      )
+           |    )
+           |  )
+           |)""".stripMargin
+      one("orders.totalprice",
+        "SELECT cast(floor(o_totalprice * 100.0D + 0.5D) AS bigint) AS vc " +
+          "FROM orders WHERE o_totalprice IS NOT NULL") +
+        "\nUNION ALL\n" +
+        one("events.value",
+          "SELECT cast(floor(value * 100.0D + 0.5D) AS bigint) AS vc " +
+            "FROM events WHERE value IS NOT NULL")
+    },
     "q96_inverted_index" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -2073,6 +2073,26 @@ object StreamPipeline {
     graft.queries.MarketQueries.hurstRs(
       graft.queries.MarketQueries.returnsFromCloses(closesOf(spark, storePath)))
 
+  /** Serve q271's Pettitt change-point readout from the closes store
+    * (pettitt closes directly over the day-grid closes — the
+    * mannKendallServe pairing: MK says whether the level trends,
+    * Pettitt says where it broke). */
+  def pettittServe(spark: SparkSession, storePath: String): org.apache.spark.sql.DataFrame =
+    graft.queries.MarketQueries.pettitt(closesOf(spark, storePath))
+
+  /** Serve q274's von Neumann ratio decisions from the closes store
+    * (returns re-derive through the shared returnsFromCloses lag). */
+  def vonNeumannServe(spark: SparkSession, storePath: String): org.apache.spark.sql.DataFrame =
+    graft.queries.MarketQueries.vonNeumann(
+      graft.queries.MarketQueries.returnsFromCloses(closesOf(spark, storePath)))
+
+  /** Serve q275's turning-points decisions from the closes store —
+    * with [[pettittServe]] and [[vonNeumannServe]], every round-14
+    * day-grid diagnostic has a live serving path over the ONE
+    * maintained grid (no new maintainer state). */
+  def turningPointsServe(spark: SparkSession, storePath: String): org.apache.spark.sql.DataFrame =
+    graft.queries.MarketQueries.turningPoints(closesOf(spark, storePath))
+
   /** Serve q200's PageRank navigation centrality from the
     * [[transitionMaintain]] counts store: the store IS the q185
     * matrix (StreamingSpec pins streamed counts ≡ declared q185

@@ -79,6 +79,12 @@ class ClosesRestartSpec extends SparkSpec {
       graft.queries.MarketQueries.mannKendall(cl), "mannKendallServe")
     bit(StreamPipeline.hurstServe(spark, s"$dir/closes"),
       graft.queries.MarketQueries.hurstRs(rets), "hurstServe")
+    bit(StreamPipeline.pettittServe(spark, s"$dir/closes"),
+      graft.queries.MarketQueries.pettitt(cl), "pettittServe")
+    bit(StreamPipeline.vonNeumannServe(spark, s"$dir/closes"),
+      graft.queries.MarketQueries.vonNeumann(rets), "vonNeumannServe")
+    bit(StreamPipeline.turningPointsServe(spark, s"$dir/closes"),
+      graft.queries.MarketQueries.turningPoints(cl), "turningPointsServe")
     // exactly-once fold evidence independent of the closings: one row
     // per (instrument, day), and the store equals the batch state
     val store = spark.read.parquet(s"$dir/closes")

@@ -67,6 +67,15 @@ class ClosesStreamSpec extends SparkSpec {
     assert(rows(StreamPipeline.hurstServe(spark, p)) ==
       rows(SparkEntry.queries("q261_hurst_rs")(spark, dir)),
       "served Hurst exponent must equal declared q261 bitwise")
+    assert(rows(StreamPipeline.pettittServe(spark, p)) ==
+      rows(SparkEntry.queries("q271_pettitt")(spark, dir)),
+      "served Pettitt change point must equal declared q271 bitwise")
+    assert(rows(StreamPipeline.vonNeumannServe(spark, p)) ==
+      rows(SparkEntry.queries("q274_von_neumann")(spark, dir)),
+      "served von Neumann ratio must equal declared q274 bitwise")
+    assert(rows(StreamPipeline.turningPointsServe(spark, p)) ==
+      rows(SparkEntry.queries("q275_turning_points")(spark, dir)),
+      "served turning points must equal declared q275 bitwise")
   }
 
   test("5-way hash-shuffled split converges identically; replay is a no-op") {
