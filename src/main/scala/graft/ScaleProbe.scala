@@ -585,6 +585,9 @@ object ScaleProbe {
     // lag/lead windows + one grid-grain agg each
     time("q274_von_neumann") { q("q274_von_neumann") }
     time("q275_turning_points") { q("q275_turning_points") }
+    // q276: hurstRs-class O(n·l) day-grid array folds after the one
+    // DailyCloses partial agg
+    time("q276_kpss") { q("q276_kpss") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

@@ -1731,6 +1731,68 @@ object MarketQueries {
   }
 
   // ---------------------------------------------------------------
+  // q276 — KPSS LEVEL-STATIONARITY TEST: is each instrument's close
+  // LEVEL stationary around a constant (Kwiatkowski, Phillips,
+  // Schmidt & Shin 1992) — the stationarity decision completing the
+  // day-grid ladder (q259 trend, q271 change point, q261 long
+  // memory): η = n⁻² Σ S_t² / σ̂²_lr with S_t the partial sums of the
+  // demeaned series and σ̂²_lr the Bartlett-kernel long-run variance
+  // at lag l = min(n−1, ⌊4(n/100)^¼⌋); reject level stationarity at
+  // 5% when η > 0.4630 (the paper's Table 1 critical value — a FIXED
+  // literal boundary, no table join). Exactness: the n-multiply
+  // demeaning trick makes EVERYTHING exact until one closing divide —
+  // y_t = n·x_t − Σx is exact decimal, the partial-sum square sum
+  // ΣS'² rides ONE O(n) fold carrying (cum, Σcum²), γ'_j = Σ y_t
+  // y_{t−j} are exact decimal lag folds, and the Bartlett weights
+  // (1 − j/(l+1)) clear their denominator into the SINGLE rational
+  // D' = (l+1)γ'₀ + 2Σ_j (l+1−j)γ'_j, so η = ΣS'²·(l+1)/(n·D') is
+  // ONE IEEE division of exact integers (the powers of n cancel:
+  // ΣS_t²/n² = ΣS'²/n⁴, σ̂² = D'/((l+1)n³)); the decision tests the
+  // QUANTIZED η₄ > 4630. The lag rule's (n/100)^¼ computes as
+  // sqrt(sqrt(·)) — two correctly-rounded IEEE ops, identical in
+  // both engines. A constant series (D' = 0) yields NULL. Scale
+  // shape: one DailyCloses partial agg, then |types| day-grid array
+  // folds (O(n·l) — the hurstRs class, DayGrid-guarded, volume-
+  // independent). Output: |types| rows.
+  private def q276(s: SparkSession, dir: String): DataFrame =
+    kpss(dailyCloses(s, dir))
+
+  private[graft] def kpss(cl: DataFrame): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val base = graft.operators.DayGrid
+      .series(cl, "event_type", "day", "close_lv", "kpss")
+      .filter(col("n") >= 2)
+      .withColumn("sx", expr(
+        "aggregate(xs, CAST(0 AS BIGINT), (a, e) -> a + e)"))
+      .withColumn("ys", expr(
+        "transform(xs, x -> CAST(n AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)) " +
+          "- CAST(sx AS DECIMAL(38,0)))"))
+      .withColumn("ssq", expr(
+        "aggregate(ys, named_struct('c', CAST(0 AS DECIMAL(38,0)), " +
+          "'s', CAST(0 AS DECIMAL(38,0))), " +
+          "(a, y) -> named_struct('c', a.c + y, 's', a.s + (a.c + y) * (a.c + y)), " +
+          "a -> a.s)"))
+      .withColumn("l", least(
+        expr("CAST(floor(4.0 * sqrt(sqrt(CAST(n AS DOUBLE) / 100.0))) AS INT)"),
+        (col("n") - lit(1L)).cast("int")))
+      .withColumn("g0", expr(
+        "aggregate(ys, CAST(0 AS DECIMAL(38,0)), (a, y) -> a + y * y)"))
+      .withColumn("dsum", expr(
+        "IF(l >= 1, aggregate(sequence(1, l), CAST(0 AS DECIMAL(38,0)), " +
+          "(a, j) -> a + CAST(l + 1 - j AS DECIMAL(38,0)) * " +
+          "aggregate(sequence(j + 1, CAST(n AS INT)), CAST(0 AS DECIMAL(38,0)), " +
+          "(b, t) -> b + ys[t - 1] * ys[t - 1 - j])), CAST(0 AS DECIMAL(38,0)))"))
+      .withColumn("dprime", expr(
+        "CAST(l + 1 AS DECIMAL(38,0)) * g0 + CAST(2 AS DECIMAL(38,0)) * dsum"))
+    val eta = dd(col("ssq")) * (dd(col("l")) + lit(1.0)) /
+      (dd(col("n")) * dd(col("dprime")))
+    val eta4 = floor(eta * lit(1e4) + lit(0.5)).cast("long")
+    base.select(col("event_type"), col("n").as("n_days"), col("l").as("lag_l"),
+      when(dd(col("dprime")) > 0, eta4.cast("double") / lit(1e4)).as("eta_r4"),
+      when(dd(col("dprime")) > 0, eta4 > 4630L).as("reject"))
+  }
+
+  // ---------------------------------------------------------------
   // q274 — VON NEUMANN RATIO TEST: is each instrument's daily return
   // series serially independent — the mean-square-successive-
   // difference test (von Neumann 1941), the OTHER classical
@@ -1964,6 +2026,7 @@ object MarketQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q276_kpss" -> q276 _,
     "q274_von_neumann" -> q274 _,
     "q275_turning_points" -> q275 _,
     "q271_pettitt" -> q271 _,
@@ -2142,6 +2205,62 @@ object MarketQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q276_kpss" ->
+      (dayRetCtes +
+        """, nsx AS (
+          |  SELECT event_type, count(*)::BIGINT AS n,
+          |    list_reduce(list_prepend(0::HUGEINT,
+          |      list(close_lv::HUGEINT)), (a, b) -> a + b) AS sx
+          |  FROM c GROUP BY 1 HAVING count(*) >= 2
+          |), yr AS (
+          |  SELECT c.event_type, c.day,
+          |    (n::HUGEINT * close_lv::HUGEINT - sx) AS y
+          |  FROM c JOIN nsx ON c.event_type = nsx.event_type
+          |), sp AS (
+          |  SELECT event_type,
+          |    (sum(y) OVER (PARTITION BY event_type ORDER BY day
+          |      ROWS UNBOUNDED PRECEDING))::HUGEINT AS s
+          |  FROM yr
+          |), ssqt AS (
+          |  SELECT event_type, sum(s * s) AS ssq FROM sp GROUP BY 1
+          |), cls AS (
+          |  SELECT event_type, list(close_lv ORDER BY day) AS xs,
+          |    count(*)::BIGINT AS n
+          |  FROM c GROUP BY 1 HAVING count(*) >= 2
+          |), a1 AS (
+          |  SELECT cls.event_type, cls.n,
+          |    list_transform(xs, x -> cls.n::HUGEINT * x::HUGEINT - nsx.sx) AS ys,
+          |    least(CAST(floor(4.0 * sqrt(sqrt(cls.n::DOUBLE / 100.0))) AS INT),
+          |      (cls.n - 1)::INT) AS l
+          |  FROM cls JOIN nsx ON cls.event_type = nsx.event_type
+          |), a2 AS (
+          |  SELECT event_type, n, ys, l,
+          |    list_reduce(list_prepend(0::HUGEINT,
+          |      list_transform(ys, y -> y * y)), (a, b) -> a + b) AS g0,
+          |    CASE WHEN l >= 1 THEN list_reduce(list_prepend(0::HUGEINT,
+          |      list_transform(range(1, (l + 1)::INT), j ->
+          |        (l + 1 - j)::HUGEINT * list_reduce(list_prepend(0::HUGEINT,
+          |          list_transform(range((j + 1)::INT, (n + 1)::INT),
+          |            t -> ys[t] * ys[t - j])), (a, b) -> a + b))),
+          |      (a, b) -> a + b) ELSE 0::HUGEINT END AS dsum
+          |  FROM a1
+          |), a3 AS (
+          |  SELECT a2.event_type, n, l,
+          |    ((l + 1)::HUGEINT * g0 + 2::HUGEINT * dsum) AS dprime,
+          |    ssq
+          |  FROM a2 JOIN ssqt ON a2.event_type = ssqt.event_type
+          |), z AS (
+          |  SELECT event_type, n, l, dprime,
+          |    ssq::DOUBLE * (l::DOUBLE + 1.0)
+          |      / (n::DOUBLE * dprime::DOUBLE) AS eta
+          |  FROM a3
+          |)
+          |SELECT event_type, n AS n_days, l AS lag_l,
+          |  CASE WHEN dprime::DOUBLE > 0 THEN
+          |    floor(eta * 1e4 + 0.5)::BIGINT::DOUBLE / 1e4 END AS eta_r4,
+          |  CASE WHEN dprime::DOUBLE > 0 THEN
+          |    floor(eta * 1e4 + 0.5)::BIGINT > 4630 END AS reject
+          |FROM z""".stripMargin),
     "q274_von_neumann" ->
       (dayRetCtes +
         """, d AS (

@@ -2086,12 +2086,17 @@ object StreamPipeline {
     graft.queries.MarketQueries.vonNeumann(
       graft.queries.MarketQueries.returnsFromCloses(closesOf(spark, storePath)))
 
-  /** Serve q275's turning-points decisions from the closes store —
-    * with [[pettittServe]] and [[vonNeumannServe]], every round-14
-    * day-grid diagnostic has a live serving path over the ONE
-    * maintained grid (no new maintainer state). */
+  /** Serve q275's turning-points decisions from the closes store. */
   def turningPointsServe(spark: SparkSession, storePath: String): org.apache.spark.sql.DataFrame =
     graft.queries.MarketQueries.turningPoints(closesOf(spark, storePath))
+
+  /** Serve q276's KPSS level-stationarity decisions from the closes
+    * store — with [[pettittServe]], [[vonNeumannServe]] and
+    * [[turningPointsServe]], every round-14 day-grid diagnostic has
+    * a live serving path over the ONE maintained grid (no new
+    * maintainer state). */
+  def kpssServe(spark: SparkSession, storePath: String): org.apache.spark.sql.DataFrame =
+    graft.queries.MarketQueries.kpss(closesOf(spark, storePath))
 
   /** Serve q200's PageRank navigation centrality from the
     * [[transitionMaintain]] counts store: the store IS the q185

@@ -479,6 +479,19 @@ object StreamBench {
     val hurstLine = report("hurst_serve",
       serveLats(() => StreamPipeline.hurstServe(spark, s"$dir/closes")), 0,
       s""","store_rows":$closesRows""")
+    // round-14 diagnostics serves — same store, four more closings
+    val pettittLine = report("pettitt_serve",
+      serveLats(() => StreamPipeline.pettittServe(spark, s"$dir/closes")), 0,
+      s""","store_rows":$closesRows""")
+    val vnLine = report("von_neumann_serve",
+      serveLats(() => StreamPipeline.vonNeumannServe(spark, s"$dir/closes")), 0,
+      s""","store_rows":$closesRows""")
+    val tpLine = report("turning_points_serve",
+      serveLats(() => StreamPipeline.turningPointsServe(spark, s"$dir/closes")), 0,
+      s""","store_rows":$closesRows""")
+    val kpssLine = report("kpss_serve",
+      serveLats(() => StreamPipeline.kpssServe(spark, s"$dir/closes")), 0,
+      s""","store_rows":$closesRows""")
 
     // ---- 18. path-trigram maintenance: <=|types|^3 count table +
     // two-row-per-user carry; the q204 extraction over carry ∪ batch.
@@ -617,7 +630,7 @@ object StreamBench {
     val basketLine = report("basket_maintain", basketLats, evRows,
       s""","cell_rows":${spark.read.parquet(s"$dir/basket_cells").count()}""")
 
-    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine,$attrLine,$rfmLine,$sessLine,$liftLine,$clLine,$xoLine,$ewLine,$hoLine,$vcLine,$kfLine,$egLine,$hwLine,$ghLine,$jbLine,$runsLine,$mkLine,$hurstLine,$pathLine,$botLine,$cusumLine,$scd2Line,$psiLine,$jsLine,$hllLine,$madLine,$trimmedLine,$basketLine}")
+    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine,$attrLine,$rfmLine,$sessLine,$liftLine,$clLine,$xoLine,$ewLine,$hoLine,$vcLine,$kfLine,$egLine,$hwLine,$ghLine,$jbLine,$runsLine,$mkLine,$hurstLine,$pettittLine,$vnLine,$tpLine,$kpssLine,$pathLine,$botLine,$cusumLine,$scd2Line,$psiLine,$jsLine,$hllLine,$madLine,$trimmedLine,$basketLine}")
     spark.stop()
   }
 }

@@ -85,6 +85,8 @@ class ClosesRestartSpec extends SparkSpec {
       graft.queries.MarketQueries.vonNeumann(rets), "vonNeumannServe")
     bit(StreamPipeline.turningPointsServe(spark, s"$dir/closes"),
       graft.queries.MarketQueries.turningPoints(cl), "turningPointsServe")
+    bit(StreamPipeline.kpssServe(spark, s"$dir/closes"),
+      graft.queries.MarketQueries.kpss(cl), "kpssServe")
     // exactly-once fold evidence independent of the closings: one row
     // per (instrument, day), and the store equals the batch state
     val store = spark.read.parquet(s"$dir/closes")

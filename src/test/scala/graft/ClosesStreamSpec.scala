@@ -76,6 +76,9 @@ class ClosesStreamSpec extends SparkSpec {
     assert(rows(StreamPipeline.turningPointsServe(spark, p)) ==
       rows(SparkEntry.queries("q275_turning_points")(spark, dir)),
       "served turning points must equal declared q275 bitwise")
+    assert(rows(StreamPipeline.kpssServe(spark, p)) ==
+      rows(SparkEntry.queries("q276_kpss")(spark, dir)),
+      "served KPSS must equal declared q276 bitwise")
   }
 
   test("5-way hash-shuffled split converges identically; replay is a no-op") {

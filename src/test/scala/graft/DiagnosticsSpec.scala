@@ -295,6 +295,35 @@ class DiagnosticsSpec extends SparkSpec {
     assert(f.isNullAt(f.fieldIndex("vn_r4")) && f.isNullAt(f.fieldIndex("reject")))
   }
 
+  // ---- q276 KPSS level stationarity -----------------------------------
+  private def kpssOf(closes: Seq[Long]) = {
+    val rows = closes.zipWithIndex.map { case (c, i) => ("K", day(i), c) }
+    MarketQueries.kpss(rows.toDF("event_type", "day", "close_lv"))
+      .collect().head
+  }
+
+  test("kpss: hand case [1,2,3,4] gives exactly 0.34; a long trend rejects; alternation keeps") {
+    // n=4, S=10, y=[-6,-2,2,6], cums [-6,-8,-6,0] -> ssq = 136;
+    // l = min(3, floor(4*(0.04)^0.25)) = 1; g0 = 80, dsum = 1*20 = 20,
+    // D' = 2*80 + 2*20 = 200; eta = 136*2/(4*200) = 0.34 exactly
+    val h = kpssOf(Seq(1L, 2L, 3L, 4L))
+    assert(h.getAs[Long]("n_days") == 4L && h.getAs[Int]("lag_l") == 1)
+    assert(h.getAs[Double]("eta_r4") == 0.34)
+    assert(!h.getAs[Boolean]("reject"))
+    // a deterministic 100-day ramp: partial sums grow ~n^2, eta >> 0.463
+    val ramp = kpssOf((1L to 100L).map(_ * 1000L))
+    assert(ramp.getAs[Boolean]("reject"), "a level trend must reject level stationarity")
+    // stationary alternation around a constant level: eta far under
+    val alt = kpssOf((0 until 20).map(i => if (i % 2 == 0) 1000L else 2000L))
+    assert(!alt.getAs[Boolean]("reject"))
+    assert(alt.getAs[Double]("eta_r4") < 0.4630)
+  }
+
+  test("kpss: a constant series has zero long-run variance -> NULL statistic") {
+    val f = kpssOf(Seq.fill(10)(7L))
+    assert(f.isNullAt(f.fieldIndex("eta_r4")) && f.isNullAt(f.fieldIndex("reject")))
+  }
+
   // ---- q275 turning points ------------------------------------------
   private def tpOf(closes: Seq[Long]) = {
     val rows = closes.zipWithIndex.map { case (c, i) => ("T", day(i), c) }
