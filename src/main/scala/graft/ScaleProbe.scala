@@ -586,8 +586,9 @@ object ScaleProbe {
     time("q274_von_neumann") { q("q274_von_neumann") }
     time("q275_turning_points") { q("q275_turning_points") }
     // q276: hurstRs-class O(n·l) day-grid array folds after the one
-    // DailyCloses partial agg
+    // DailyCloses partial agg; q277: the q274 lag-window shape
     time("q276_kpss") { q("q276_kpss") }
+    time("q277_dickey_fuller") { q("q277_dickey_fuller") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

@@ -1793,6 +1793,58 @@ object MarketQueries {
   }
 
   // ---------------------------------------------------------------
+  // q277 — DICKEY-FULLER UNIT-ROOT TEST: does each instrument's close
+  // level carry a unit root (Dickey & Fuller 1979, the τ_μ
+  // constant-only form) — the classic COMPLEMENT to q276 KPSS (DF's
+  // null is "unit root", KPSS's null is "stationary"; read together
+  // they split series into stationary / unit-root / inconclusive —
+  // the pairing every unit-root survey prescribes): regress
+  // Δx_t = α + ρ·x_{t−1} + ε over the m = n−1 day pairs and test
+  // τ = ρ̂/se(ρ̂) against the asymptotic 5% τ_μ critical value −2.86.
+  // Exactness: the five regression sums are EXACT decimals off
+  // micro-log2 integer closes (every product widened per factor), the
+  // centered forms Sxx = mΣx²−(Σx)², Syy, Sxy are exact decimals, and
+  // the whole statistic collapses to ONE IEEE expression
+  // τ = Sxy·√(m−2)/√(Sxx·Syy − Sxy²) (the intercept and residual
+  // variance algebra cancel into the Cauchy-Schwarz gap — no ρ̂
+  // round-trip); the decision tests the QUANTIZED τ₄ < −28600. A
+  // perfect fit (Sxy² = Sxx·Syy) or constant series NULLs. Scale
+  // shape: one DailyCloses partial agg, per-type day-grid lag window,
+  // one grid-grain agg (the q274 shape). Output: |types| rows.
+  private def q277(s: SparkSession, dir: String): DataFrame =
+    dickeyFuller(dailyCloses(s, dir))
+
+  private[graft] def dickeyFuller(cl: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val pairs = cl
+      .withColumn("xp", lag(col("close_lv"), 1).over(wd))
+      .filter(col("xp").isNotNull)
+      .withColumn("dy", col("close_lv") - col("xp"))
+    val per = pairs.groupBy(col("event_type")).agg(
+        count(lit(1)).as("m"),
+        sum(d38(col("xp"))).as("sx"),
+        sum(d38(col("xp")) * d38(col("xp"))).as("sxx0"),
+        sum(d38(col("dy"))).as("sy"),
+        sum(d38(col("dy")) * d38(col("dy"))).as("syy0"),
+        sum(d38(col("xp")) * d38(col("dy"))).as("sxy0"))
+      .filter(col("m") >= 3)
+    val sxx = d38(col("m")) * col("sxx0") - col("sx") * col("sx")
+    val syy = d38(col("m")) * col("syy0") - col("sy") * col("sy")
+    val sxy = d38(col("m")) * col("sxy0") - col("sx") * col("sy")
+    val gap = dd(sxx) * dd(syy) - dd(sxy) * dd(sxy)
+    val tau = dd(sxy) * sqrt(dd(col("m")) - lit(2.0)) / sqrt(gap)
+    val rho = dd(sxy) / dd(sxx)
+    val tau4 = floor(tau * lit(1e4) + lit(0.5)).cast("long")
+    per.select(col("event_type"), (col("m") + lit(1L)).as("n_days"),
+      when(dd(sxx) > 0, floor(rho * lit(1e6) + lit(0.5)) / lit(1e6))
+        .as("rho_r6"),
+      when(gap > 0, tau4.cast("double") / lit(1e4)).as("tau_r4"),
+      when(gap > 0, tau4 < -28600L).as("reject_unit_root"))
+  }
+
+  // ---------------------------------------------------------------
   // q274 — VON NEUMANN RATIO TEST: is each instrument's daily return
   // series serially independent — the mean-square-successive-
   // difference test (von Neumann 1941), the OTHER classical
@@ -2026,6 +2078,7 @@ object MarketQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q277_dickey_fuller" -> q277 _,
     "q276_kpss" -> q276 _,
     "q274_von_neumann" -> q274 _,
     "q275_turning_points" -> q275 _,
@@ -2205,6 +2258,41 @@ object MarketQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q277_dickey_fuller" ->
+      (dayRetCtes +
+        """, dfp AS (
+          |  SELECT event_type, close_lv,
+          |    lag(close_lv) OVER (PARTITION BY event_type ORDER BY day) AS xp
+          |  FROM c QUALIFY xp IS NOT NULL
+          |), per AS (
+          |  SELECT event_type, count(*)::BIGINT AS m,
+          |    sum(xp::HUGEINT) AS sx,
+          |    sum(xp::HUGEINT * xp::HUGEINT) AS sxx0,
+          |    sum((close_lv - xp)::HUGEINT) AS sy,
+          |    sum((close_lv - xp)::HUGEINT * (close_lv - xp)::HUGEINT) AS syy0,
+          |    sum(xp::HUGEINT * (close_lv - xp)::HUGEINT) AS sxy0
+          |  FROM dfp GROUP BY 1 HAVING count(*) >= 3
+          |), s AS (
+          |  SELECT event_type, m,
+          |    (m::HUGEINT * sxx0 - sx * sx) AS sxx,
+          |    (m::HUGEINT * syy0 - sy * sy) AS syy,
+          |    (m::HUGEINT * sxy0 - sx * sy) AS sxy
+          |  FROM per
+          |), z AS (
+          |  SELECT event_type, m, sxx, syy, sxy,
+          |    sxx::DOUBLE * syy::DOUBLE - sxy::DOUBLE * sxy::DOUBLE AS gap,
+          |    sxy::DOUBLE * sqrt(m::DOUBLE - 2.0)
+          |      / sqrt(sxx::DOUBLE * syy::DOUBLE - sxy::DOUBLE * sxy::DOUBLE) AS tau
+          |  FROM s
+          |)
+          |SELECT event_type, m + 1 AS n_days,
+          |  CASE WHEN sxx::DOUBLE > 0 THEN
+          |    floor(sxy::DOUBLE / sxx::DOUBLE * 1e6 + 0.5) / 1e6 END AS rho_r6,
+          |  CASE WHEN gap > 0 THEN
+          |    floor(tau * 1e4 + 0.5)::BIGINT::DOUBLE / 1e4 END AS tau_r4,
+          |  CASE WHEN gap > 0 THEN
+          |    floor(tau * 1e4 + 0.5)::BIGINT < -28600 END AS reject_unit_root
+          |FROM z""".stripMargin),
     "q276_kpss" ->
       (dayRetCtes +
         """, nsx AS (

@@ -2098,6 +2098,11 @@ object StreamPipeline {
   def kpssServe(spark: SparkSession, storePath: String): org.apache.spark.sql.DataFrame =
     graft.queries.MarketQueries.kpss(closesOf(spark, storePath))
 
+  /** Serve q277's Dickey-Fuller unit-root decisions from the closes
+    * store (the KPSS complement — both read off the ONE grid). */
+  def dickeyFullerServe(spark: SparkSession, storePath: String): org.apache.spark.sql.DataFrame =
+    graft.queries.MarketQueries.dickeyFuller(closesOf(spark, storePath))
+
   /** Serve q200's PageRank navigation centrality from the
     * [[transitionMaintain]] counts store: the store IS the q185
     * matrix (StreamingSpec pins streamed counts ≡ declared q185

@@ -87,6 +87,8 @@ class ClosesRestartSpec extends SparkSpec {
       graft.queries.MarketQueries.turningPoints(cl), "turningPointsServe")
     bit(StreamPipeline.kpssServe(spark, s"$dir/closes"),
       graft.queries.MarketQueries.kpss(cl), "kpssServe")
+    bit(StreamPipeline.dickeyFullerServe(spark, s"$dir/closes"),
+      graft.queries.MarketQueries.dickeyFuller(cl), "dickeyFullerServe")
     // exactly-once fold evidence independent of the closings: one row
     // per (instrument, day), and the store equals the batch state
     val store = spark.read.parquet(s"$dir/closes")

@@ -79,6 +79,9 @@ class ClosesStreamSpec extends SparkSpec {
     assert(rows(StreamPipeline.kpssServe(spark, p)) ==
       rows(SparkEntry.queries("q276_kpss")(spark, dir)),
       "served KPSS must equal declared q276 bitwise")
+    assert(rows(StreamPipeline.dickeyFullerServe(spark, p)) ==
+      rows(SparkEntry.queries("q277_dickey_fuller")(spark, dir)),
+      "served Dickey-Fuller must equal declared q277 bitwise")
   }
 
   test("5-way hash-shuffled split converges identically; replay is a no-op") {

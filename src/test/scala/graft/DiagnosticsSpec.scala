@@ -324,6 +324,43 @@ class DiagnosticsSpec extends SparkSpec {
     assert(f.isNullAt(f.fieldIndex("eta_r4")) && f.isNullAt(f.fieldIndex("reject")))
   }
 
+  // ---- q277 Dickey-Fuller ---------------------------------------------
+  private def dfOf(closes: Seq[Long]) = {
+    val rows = closes.zipWithIndex.map { case (c, i) => ("D", day(i), c) }
+    MarketQueries.dickeyFuller(rows.toDF("event_type", "day", "close_lv"))
+      .collect().head
+  }
+
+  test("dickeyFuller: hand case [4,1,3,2] gives rho = -1.642857, tau = -13.2791, rejects the unit root") {
+    // pairs (x_{t-1}, dx): (4,-3),(1,2),(3,-1): m=3, Sxx=14, Syy=38,
+    // Sxy=-23; tau = -23*sqrt(1)/sqrt(532-529) = -23/sqrt(3)
+    val h = dfOf(Seq(4L, 1L, 3L, 2L))
+    assert(h.getAs[Long]("n_days") == 4L)
+    assert(h.getAs[Double]("rho_r6") == -1.642857)
+    assert(h.getAs[Double]("tau_r4") == -13.2791)
+    assert(h.getAs[Boolean]("reject_unit_root"))
+  }
+
+  test("dickeyFuller: a deterministic ramp is a PERFECT fit (gap 0) -> NULL; flat series NULL") {
+    // dy constant -> Syy's centered form is 0 and Cauchy-Schwarz is
+    // tight: the regression has no residual, tau undefined
+    val ramp = dfOf((1L to 30L).map(_ * 10L))
+    assert(ramp.isNullAt(ramp.fieldIndex("tau_r4")))
+    assert(ramp.isNullAt(ramp.fieldIndex("reject_unit_root")))
+    val flat = dfOf(Seq.fill(10)(5L))
+    assert(flat.isNullAt(flat.fieldIndex("tau_r4")))
+  }
+
+  test("q277 on testdata: decision agrees with the quantized boundary; KPSS/DF read together") {
+    val out = q("q277_dickey_fuller").collect()
+    assert(out.nonEmpty)
+    out.filterNot(r => r.isNullAt(r.fieldIndex("tau_r4"))).foreach { r =>
+      val t = r.getAs[Double]("tau_r4")
+      assert(r.getAs[Boolean]("reject_unit_root") == (t < -2.86) ||
+        math.abs(t + 2.86) < 1e-9)
+    }
+  }
+
   // ---- q275 turning points ------------------------------------------
   private def tpOf(closes: Seq[Long]) = {
     val rows = closes.zipWithIndex.map { case (c, i) => ("T", day(i), c) }
