@@ -589,6 +589,9 @@ object ScaleProbe {
     // DailyCloses partial agg; q277: the q274 lag-window shape
     time("q276_kpss") { q("q276_kpss") }
     time("q277_dickey_fuller") { q("q277_dickey_fuller") }
+    // q278: one map-side pass over documents (two size() counts per
+    // doc, no explode), one partial agg to source grain
+    time("q278_heaps_fit") { q("q278_heaps_fit") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

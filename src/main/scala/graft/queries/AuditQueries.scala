@@ -526,6 +526,56 @@ object AuditQueries {
   }
 
   // ---------------------------------------------------------------
+  // q278 — HEAPS/HERDAN LAW FIT: how fast does each source's
+  // vocabulary grow with document length — V ≈ K·mᵝ (Herdan 1960,
+  // Heaps 1978), the corpus-forensics companion to q237's Zipf fit
+  // (Zipf reads the FREQUENCY profile of one vocabulary; Heaps reads
+  // vocabulary GROWTH — natural text sits at β ≈ 0.5–0.8, template/
+  // boilerplate text collapses toward 0, random-token soup toward 1):
+  // per document, m = tokens and v = distinct tokens (the SAME
+  // [a-z0-9]+ tokenizer as q96/q237); β̂ is the OLS slope of ln v on
+  // ln m across each source's documents. Exactness: q237's exact
+  // discipline verbatim — per-doc ln's quantize to 1e-8 fixed point
+  // BEFORE the regression sums (order-free integer sums, decimal-
+  // widened per factor), the slope/intercept/r² close in ONE shared
+  // IEEE sequence. Single-token docs (m < 2) drop — ln m = 0 makes
+  // x degenerate. Scale shape: ONE map-side pass computes both
+  // per-doc counts (no explode — size() of the match array), one
+  // partial agg to source grain, |sources| output rows. Output:
+  // source, n_docs, herdan_beta_r4, ln_k_r4, r2_r4.
+  private def q278(s: SparkSession, dir: String): DataFrame =
+    heapsFit(docs(s, dir))
+
+  private[graft] def heapsFit(corpus: DataFrame): DataFrame = {
+    val per = corpus.select(col("source"),
+        expr("size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))")
+          .cast("long").as("m"),
+        expr("size(array_distinct(regexp_extract_all(lower(text), '[a-z0-9]+', 0)))")
+          .cast("long").as("v"))
+      .filter(col("m") >= 2 && col("v") >= 1)
+      .withColumn("x8", floor(log(col("m").cast("double")) * lit(1e8) + lit(0.5)).cast("long"))
+      .withColumn("y8", floor(log(col("v").cast("double")) * lit(1e8) + lit(0.5)).cast("long"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val g = per.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(dec(col("x8"))).as("sx"), sum(dec(col("y8"))).as("sy"),
+        sum(dec(col("x8")) * dec(col("y8"))).as("sxy"),
+        sum(dec(col("x8")) * dec(col("x8"))).as("sxx"),
+        sum(dec(col("y8")) * dec(col("y8"))).as("syy"))
+    def d(c: Column) = c.cast("double")
+    val nn = d(col("n_docs"))
+    val num = nn * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val den = nn * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val deny = nn * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    g.select(col("source"), col("n_docs"),
+      when(col("n_docs") > 1 && den > 0, r4(num / den)).as("herdan_beta_r4"),
+      when(col("n_docs") > 1 && den > 0,
+        r4((d(col("sy")) - num / den * d(col("sx"))) / nn / lit(1e8))).as("ln_k_r4"),
+      when(col("n_docs") > 1 && den > 0 && deny > 0,
+        r4(num / den * (num / deny))).as("r2_r4"))
+  }
+
+  // ---------------------------------------------------------------
   // q238 — READABILITY PROFILE per source (Flesch reading ease +
   // Flesch-Kincaid grade): the classic curation signal between
   // q24-style surface quality and q81's LM score — too-easy text is
@@ -1219,6 +1269,7 @@ object AuditQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q270_benford" -> q270 _,
     "q272_cvm_drift" -> q272 _,
+    "q278_heaps_fit" -> q278 _,
     "q264_js_drift" -> q264 _,
     "q265_mutual_info" -> q265 _,
     "q268_anderson_darling" -> q268 _,
@@ -1242,6 +1293,45 @@ object AuditQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q278_heaps_fit" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS m,
+        |    len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))::BIGINT AS v
+        |  FROM documents
+        |), f AS (
+        |  SELECT source,
+        |    floor(ln(m::DOUBLE) * 1e8 + 0.5)::BIGINT AS x8,
+        |    floor(ln(v::DOUBLE) * 1e8 + 0.5)::BIGINT AS y8
+        |  FROM per WHERE m >= 2 AND v >= 1
+        |), g AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(x8::HUGEINT) AS sx, sum(y8::HUGEINT) AS sy,
+        |    sum(x8::HUGEINT * y8::HUGEINT) AS sxy,
+        |    sum(x8::HUGEINT * x8::HUGEINT) AS sxx,
+        |    sum(y8::HUGEINT * y8::HUGEINT) AS syy
+        |  FROM f GROUP BY 1
+        |)
+        |SELECT source, n_docs,
+        |  CASE WHEN n_docs > 1
+        |    AND n_docs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0 THEN
+        |    floor((n_docs::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |      / (n_docs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |      * 10000 + 0.5)/10000 END AS herdan_beta_r4,
+        |  CASE WHEN n_docs > 1
+        |    AND n_docs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0 THEN
+        |    floor((sy::DOUBLE - (n_docs::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |        / (n_docs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * sx::DOUBLE)
+        |      / n_docs::DOUBLE / 1e8 * 10000 + 0.5)/10000 END AS ln_k_r4,
+        |  CASE WHEN n_docs > 1
+        |    AND n_docs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+        |    AND n_docs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0 THEN
+        |    floor((n_docs::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |      / (n_docs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |      * ((n_docs::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |        / (n_docs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+        |      * 10000 + 0.5)/10000 END AS r2_r4
+        |FROM g""".stripMargin,
     "q270_benford" -> {
       def one(rel: String, src: String) =
         s"""SELECT '$rel' AS relation, digit, o AS n_d,

@@ -356,6 +356,36 @@ class AuditSpec extends SparkSpec {
     assert(out.getAs[Double]("r2_r4") == 1.0)
   }
 
+  // ------------------------------------------------------------- q278 Heaps fit
+  test("heapsFit: exact square-root vocabulary growth pins beta = 0.5, r2 = 1; flat vocab pins beta = 0") {
+    // (m, v) = (4,2), (16,4), (64,8): ln-colinear with slope exactly
+    // 1/2 — the quantized regression recovers it at r4
+    val sqrtDocs = Seq(
+      ("p", "a b a b"),
+      ("p", Seq.fill(4)("a b c d").mkString(" ")),
+      ("p", Seq.fill(8)("a b c d e f g h").mkString(" ")))
+    val p = AuditQueries.heapsFit(sqrtDocs.toDF("source", "text")).collect().head
+    assert(p.getAs[Long]("n_docs") == 3L)
+    assert(p.getAs[Double]("herdan_beta_r4") == 0.5)
+    assert(p.getAs[Double]("r2_r4") == 1.0)
+    // constant vocabulary at any length: beta = 0, ln K = ln 3
+    val flatDocs = Seq(
+      ("f", "x y z x"),
+      ("f", Seq.fill(4)("x y z x").mkString(" ")),
+      ("f", Seq.fill(16)("x y z x").mkString(" ")))
+    val f = AuditQueries.heapsFit(flatDocs.toDF("source", "text")).collect().head
+    assert(f.getAs[Double]("herdan_beta_r4") == 0.0)
+    assert(f.getAs[Double]("ln_k_r4") == math.floor(math.log(3.0) * 1e4 + 0.5) / 1e4)
+    // a single-doc source cannot support a fit -> NULLs
+    val one = AuditQueries.heapsFit(Seq(("o", "a b c")).toDF("source", "text"))
+      .collect().head
+    assert(one.isNullAt(one.fieldIndex("herdan_beta_r4")))
+    // all docs the same length: zero x-variance -> NULLs
+    val same = AuditQueries.heapsFit(Seq(("s", "a b c d"), ("s", "a a b b"))
+      .toDF("source", "text")).collect().head
+    assert(same.isNullAt(same.fieldIndex("herdan_beta_r4")))
+  }
+
   // ------------------------------------------------------------- q238 readability
   test("readability: hand-counted sentences/words/syllables close to the exact Flesch score") {
     val doc = "the cat sat. the dog ran." // 6 words, 2 sentences, 6 syllables
