@@ -38,7 +38,11 @@ object Bench {
     // printed now (for quiet-run logs) AND re-printed compactly at
     // the end, inside the driver's ~2k archived tail, next to the
     // post-battery reading
-    val nThreads = cpus.toInt
+    // toIntOption: SPARK_GRAFT_CPUS may be non-numeric ("*" for
+    // local[*]) — the canary thread count falls back to the real
+    // core count rather than crashing the bench at startup.
+    val nThreads = cpus.toIntOption
+      .getOrElse(Runtime.getRuntime.availableProcessors)
     val (preNs, preRatio) = HostCanary.measure(nThreads)
     println(f"""BENCH_HOST_PRE {"ns_per_op":$preNs%.3f,"allcore_ratio":$preRatio%.2f,"threads":$nThreads}""")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)

@@ -148,7 +148,12 @@ object ScaleProbe {
     // host calibration next to every probe row (round-13 Next #2:
     // PROBE100 wall-clocks are only comparable across rounds with the
     // host state pinned alongside them)
-    println("[scale] " + HostCanary.line("PROBE_HOST", 32))
+    // thread count = the REAL core count (not a hardcoded 32): on any
+    // other host a fixed 32 conflates core count with throttling in
+    // allcore_ratio; the count is printed inside the line so readers
+    // know what the ratio was measured against.
+    val probeCanaryThreads = Runtime.getRuntime.availableProcessors
+    println("[scale] " + HostCanary.line("PROBE_HOST", probeCanaryThreads))
 
     // noop sink: full materialization, no column pruning of the
     // aggregates under measurement (same action as Bench)

@@ -978,19 +978,24 @@ object InsightQueries {
          |    floor(1e12 / (ni::DOUBLE - 1.0) + 0.5)::BIGINT AS iv
          |  FROM g
          |), agg AS (
-         |  SELECT count(*)::BIGINT AS k_groups, sum(ni)::BIGINT AS n,
+         |  -- GROUP BY the literal relation (not a global aggregate):
+         |  -- when no group reaches ni >= 2, BOTH engines emit zero
+         |  -- rows — the engine side groups by lit(rel) the same way
+         |  -- (round-14 advice: degenerate all-singleton parity).
+         |  SELECT 'events.value~event_type' AS relation,
+         |    count(*)::BIGINT AS k_groups, sum(ni)::BIGINT AS n,
          |    sum(wq) AS sw, sum(lt) AS slt, count(lt)::BIGINT AS nlt,
          |    sum(iv)::HUGEINT AS siv
-         |  FROM g2
+         |  FROM g2 GROUP BY 1
          |), z AS (
-         |  SELECT k_groups, n, sw, slt, nlt, siv, k_groups - 1 AS df,
+         |  SELECT relation, k_groups, n, sw, slt, nlt, siv, k_groups - 1 AS df,
          |    ((n - k_groups)::DOUBLE * ln(sw::DOUBLE / (n - k_groups)::DOUBLE)
          |        - slt::DOUBLE / 1e6)
          |      / (1.0 + (siv::DOUBLE / 1e12 - 1.0 / (n - k_groups)::DOUBLE)
          |        / (3.0 * (k_groups::DOUBLE - 1.0))) AS b
          |  FROM agg
          |)
-         |SELECT 'events.value~event_type' AS relation, k_groups, n,
+         |SELECT relation, k_groups, n,
          |  CASE WHEN k_groups >= 2 AND nlt = k_groups AND sw::DOUBLE > 0 THEN
          |    floor(b * 1e4 + 0.5)::BIGINT::DOUBLE / 1e4 END AS b_r4,
          |  CASE WHEN k_groups >= 2 AND nlt = k_groups AND sw::DOUBLE > 0

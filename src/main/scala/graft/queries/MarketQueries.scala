@@ -1079,12 +1079,17 @@ object MarketQueries {
   /** q203's closing over any (event_type, day, close_lv) day grid —
     * ONE code path with the streaming serve
     * (StreamPipeline.ewmaServe over the closes store). */
-  private[graft] def ewmaFromCloses(cl: DataFrame): DataFrame = {
-    val base = cl
-      .select(col("event_type"), struct(col("day"), col("close_lv")).as("p"))
-      .groupBy(col("event_type"))
-      .agg(sort_array(collect_list(col("p"))).as("ps"))
-      .withColumn("xs", expr("transform(ps, p -> CAST(p.close_lv AS DOUBLE))"))
+  private[graft] def ewmaFromCloses(
+      cl: DataFrame,
+      maxLen: Int = graft.operators.DayGrid.MaxSeriesLen): DataFrame = {
+    // Day-grid array via the SHARED guarded entry point (round-14
+    // Next #2): a wrong-grain (tick-level) feed dies with the grain-
+    // contract message before the fold builds a volume-sized array.
+    // The fold itself is O(n), so the hazard here is task-memory, not
+    // an n² burn — but the guard is the same contract either way.
+    val base = graft.operators.DayGrid
+      .series(cl, "event_type", "day", "close_lv", "ewmaFromCloses", maxLen)
+      .withColumn("xs", expr("transform(xs, x -> CAST(x AS DOUBLE))"))
       .withColumn("ys", graft.functions.Ewma.column(col("xs"), 0.2))
       // k = 1..n-1 (0-based array reads): e_k = x[k] − forecast y[k−1].
       // The size(xs) > 1 guard matters: Spark's sequence(1, 0) DESCENDS
@@ -1099,7 +1104,9 @@ object MarketQueries {
       .withColumn("sae", expr("aggregate(es, CAST(0.0 AS DOUBLE), (a, e) -> a + abs(e))"))
       .withColumn("sse", expr("aggregate(es, CAST(0.0 AS DOUBLE), (a, e) -> a + e * e)"))
       .withColumn("san", expr("aggregate(en, CAST(0.0 AS DOUBLE), (a, e) -> a + abs(e))"))
-    val nf = (size(col("xs")) - 1).cast("long")
+    // n_fc reads DayGrid's GUARDED n, so the grain guard sits on the
+    // output's evaluation path (the DayGridSpec wiring contract).
+    val nf = col("n") - lit(1L)
     val n = nf.cast("double")
     base.select(col("event_type"), nf.as("n_fc"),
       when(nf > 0, r4(col("sae") / n / lit(1e6))).as("mae_ewma"),
@@ -1132,7 +1139,13 @@ object MarketQueries {
 
   /** q208's closing over any (event_type, day, close_lv) day grid —
     * the q199 `riskFromCloses` sharing pattern, so a streaming serve
-    * over the closes store is the same code path. */
+    * over the closes store is the same code path.
+    *
+    * Grain note (round-14 Next #2 audit): this is the ONE closes
+    * backtest with NO per-key array — the signal is bounded-frame
+    * window functions (`ROWS BETWEEN 20 PRECEDING`) plus one partial
+    * agg, so a wrong-grain feed degrades to a linear windowed scan,
+    * never a task-memory array. Nothing for DayGrid to guard. */
   private[graft] def crossoverFromCloses(cl: DataFrame): DataFrame = {
     val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
     val sig = cl
@@ -1197,11 +1210,10 @@ object MarketQueries {
     * ONE code path with the streaming serve
     * (StreamPipeline.holtServe over the closes store). */
   private[graft] def holtFromCloses(cl: DataFrame): DataFrame = {
-    val base = cl
-      .select(col("event_type"), struct(col("day"), col("close_lv")).as("p"))
-      .groupBy(col("event_type"))
-      .agg(sort_array(collect_list(col("p"))).as("ps"))
-      .withColumn("xs", expr("transform(ps, p -> CAST(p.close_lv AS DOUBLE))"))
+    // Guarded day-grid array (round-14 Next #2) — see ewmaFromCloses.
+    val base = graft.operators.DayGrid
+      .series(cl, "event_type", "day", "close_lv", "holtFromCloses")
+      .withColumn("xs", expr("transform(xs, x -> CAST(x AS DOUBLE))"))
       // Holt fold over x_2..x_n: forecast f = l + b, error BEFORE the
       // update, then level/trend updates. The repeated (a.l + a.b) /
       // level' subexpressions are the same IEEE value each time.
@@ -1225,7 +1237,8 @@ object MarketQueries {
         "CAST(array() AS array<double>))"))
       .withColumn("sae_e", expr("aggregate(es, CAST(0.0 AS DOUBLE), (a, e) -> a + abs(e))"))
       .withColumn("san", expr("aggregate(en, CAST(0.0 AS DOUBLE), (a, e) -> a + abs(e))"))
-    val nf = (size(col("xs")) - 1).cast("long")
+    // n_fc reads DayGrid's GUARDED n (the ewmaFromCloses wiring).
+    val nf = col("n") - lit(1L)
     val n = nf.cast("double")
     base.select(col("event_type"), nf.as("n_fc"),
       when(nf > 0, r4(col("h.sae") / n / lit(1e6))).as("mae_holt"),
@@ -1319,7 +1332,12 @@ object MarketQueries {
     val base = rets
       .groupBy(col("event_type"))
       .agg(sort_array(collect_list(col("r_fp"))).as("xs"))
-    val n = size(col("xs")).cast("long")
+    // VALUE-sorted array (order statistics), so DayGrid.series' day-
+    // sorted shape doesn't fit — but the grain guard does: n is the
+    // guarded size (round-14 Next #2), read by k_tail and n_days, so
+    // a tick-grain feed dies loudly before the tail fold.
+    val n = graft.operators.DayGrid
+      .guardedSize("varCvarFromCloses", col("event_type"), col("xs"))
     base
       .withColumn("k_tail",
         greatest(lit(1L), ceil(n.cast("double") * lit(0.05))))
@@ -1353,11 +1371,10 @@ object MarketQueries {
   /** q222's closing over any (event_type, day, close_lv) day grid
     * (the q203/q210 sharing pattern). */
   private[graft] def kalmanFromCloses(cl: DataFrame): DataFrame = {
-    val base = cl
-      .select(col("event_type"), struct(col("day"), col("close_lv")).as("p"))
-      .groupBy(col("event_type"))
-      .agg(sort_array(collect_list(col("p"))).as("ps"))
-      .withColumn("xs", expr("transform(ps, p -> CAST(p.close_lv AS DOUBLE))"))
+    // Guarded day-grid array (round-14 Next #2) — see ewmaFromCloses.
+    val base = graft.operators.DayGrid
+      .series(cl, "event_type", "day", "close_lv", "kalmanFromCloses")
+      .withColumn("xs", expr("transform(xs, x -> CAST(x AS DOUBLE))"))
       .withColumn("kf", expr(
         "IF(size(xs) > 1, aggregate(slice(xs, 2, size(xs) - 1), " +
           "named_struct('x', xs[0], 'p', CAST(1e10 AS DOUBLE), " +
@@ -1371,7 +1388,8 @@ object MarketQueries {
         "transform(sequence(1, size(xs) - 1), k -> xs[k] - xs[k - 1]), " +
         "CAST(array() AS array<double>))"))
       .withColumn("san", expr("aggregate(en, CAST(0.0 AS DOUBLE), (a, e) -> a + abs(e))"))
-    val nf = (size(col("xs")) - 1).cast("long")
+    // n_fc reads DayGrid's GUARDED n (the ewmaFromCloses wiring).
+    val nf = col("n") - lit(1L)
     val n = nf.cast("double")
     base.select(col("event_type"), nf.as("n_fc"),
       when(nf > 0, r4(col("kf.sae") / n / lit(1e6))).as("mae_kalman"),
@@ -1428,7 +1446,13 @@ object MarketQueries {
         "aggregate(sequence(1, size(es) - 1), CAST(0.0 AS DOUBLE), " +
         "(a, k) -> a + es[k - 1] * es[k - 1]), NULL)"))
     val rho = col("num") / col("den")
-    wr.select(col("type_a"), col("type_b"), col("n_days"),
+    // n_days is re-read as the GUARDED size of the collected residual
+    // series (same value — count and collect_list run over the same
+    // group), so a tick-grain pair feed trips the DayGrid grain
+    // contract before the AR folds run (round-14 Next #2).
+    val guardedDays = graft.operators.DayGrid.guardedSize("cointFromCloses",
+      concat(col("type_a"), lit("|"), col("type_b")), col("ps"))
+    wr.select(col("type_a"), col("type_b"), guardedDays.as("n_days"),
       when(col("beta").isNotNull, r4(col("beta"))).as("beta_r4"),
       when(col("alpha").isNotNull, r4(col("alpha") / lit(1e6))).as("alpha_r4"),
       when(col("den") > 0, r4(rho)).as("rho_r4"),

@@ -33,18 +33,27 @@ object StatTables {
   private val chi2Rows: Seq[(Long, Long)] =
     Chi2Q95x1e4.zipWithIndex.map { case (q, i) => (i + 1L, q) }
 
-  /** Per-session memo of the literal frame — weak keys so a retired
-    * test session doesn't pin its DataFrame. */
+  /** Per-session memo of the literal frame — weak keys AND a weak
+    * VALUE: the DataFrame strongly references its SparkSession, so a
+    * strong value would defeat the weak key (the classic WeakHashMap
+    * value→key leak) and pin every retired session. A cleared value
+    * just rebuilds the 40-row local frame — the memo is an
+    * allocation-churn saver, not a correctness cache. */
   private val chi2Memo =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, DataFrame]())
+      new java.util.WeakHashMap[SparkSession,
+        java.lang.ref.WeakReference[DataFrame]]())
 
   /** The table as a 40-row broadcast frame (df, q95x1e4). */
-  def chi2Frame(s: SparkSession): DataFrame =
-    broadcast(chi2Memo.computeIfAbsent(s, s2 => {
-      import s2.implicits._
-      chi2Rows.toDF("df", "q95x1e4")
-    }))
+  def chi2Frame(s: SparkSession): DataFrame = {
+    val cached = Option(chi2Memo.get(s)).flatMap(r => Option(r.get))
+    broadcast(cached.getOrElse {
+      import s.implicits._
+      val built = chi2Rows.toDF("df", "q95x1e4")
+      chi2Memo.put(s, new java.lang.ref.WeakReference(built))
+      built
+    })
+  }
 
   /** The same table as a DuckDB VALUES list: `(VALUES (1, 38415),
     * …) AS chi2(df, q95x1e4)`. */

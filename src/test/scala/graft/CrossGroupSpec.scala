@@ -339,6 +339,15 @@ class CrossGroupSpec extends SparkSpec {
     assert(degen.isNullAt(degen.fieldIndex("reject")))
   }
 
+  test("bartlett: all-singleton input (no group reaches ni >= 2) emits ZERO rows") {
+    // The engine groups by lit(rel), so an input where every group is
+    // filtered by the ni >= 2 gate produces an empty frame — and the
+    // oracle now GROUPs BY the literal relation too (round-14 advice),
+    // so both engines emit zero rows in this degenerate regime.
+    val obs = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("gk", "vc")
+    assert(InsightQueries.bartlett(obs, "t").count() == 0L)
+  }
+
   test("bartlett: df past the 40-row chi2 table yields a NULL decision, statistic intact") {
     // 42 groups of {g, g+1, g+2} -> df 41: b_r4 reported, reject NULL
     val r = bartOf((1 to 42).map(i => s"g$i" -> Seq(i * 10L, i * 10L + 1L, i * 10L + 2L)))

@@ -63,6 +63,23 @@ class DayGridSpec extends SparkSpec {
     assert(r.getAs[Long]("s_stat") == 10L) // C(5,2) pairs, all ascending
   }
 
+  test("ewmaFromCloses: the closes-backtest family routes through the guard (over-bound dies loudly)") {
+    // round-14 Next #2: the six closes backtests now build their
+    // per-key arrays through DayGrid (series or guardedSize); pin the
+    // wiring through one real backtest path — an over-limit feed must
+    // trip the grain contract BEFORE the EWMA fold, and the guarded n
+    // must sit on the output's evaluation path (n_fc reads it).
+    val tick = (0 until 12).map(i => ("A", day(i), 100L + i))
+      .toDF("event_type", "day", "close_lv")
+    val e = intercept[Exception] {
+      graft.queries.MarketQueries.ewmaFromCloses(tick, maxLen = 10).collect()
+    }
+    val msg = chain(e)
+    assert(msg.contains("ewmaFromCloses: per-key series exceeds 10 rows"),
+      s"expected the grain-contract failure, got: $msg")
+    assert(msg.contains("12 rows for key A"))
+  }
+
   test("friedman: a day with more rows than instruments dies with the grain message") {
     val bad = Seq(("A", "d1", 10L), ("A", "d1", 11L), ("B", "d1", 20L),
       ("A", "d2", 12L), ("B", "d2", 21L)).toDF("event_type", "day", "close_lv")
