@@ -1,4 +1,5 @@
-// quick single-query timing
+// quick single-query timing, canary-stamped (one query per JVM — the
+// round-14 Next #1 adjudication harness for quiet-bench outliers)
 package graft
 
 object QBench {
@@ -6,13 +7,23 @@ object QBench {
     val spark = core.GraftSession("qbench", 32)
     val name = args(0); val dir = args(1)
     val fn = SparkEntry.queries(name)
-    // run twice: first includes JVM/scan warmup, second is the steady
-    // state; noop sink so pruning can't delete the measured work
-    (1 to 2).foreach { i =>
+    // host calibration BEFORE and AFTER, same as Bench/ScaleProbe —
+    // a slow-clock window shows up in the stamp, not as a mystery
+    println("[qbench] " + HostCanary.line("QBENCH_HOST_PRE",
+      Runtime.getRuntime.availableProcessors))
+    // run 1 includes JVM/scan warmup; runs 2-3 are steady state and
+    // MIN is the reported figure (the Bench min-of-n discipline);
+    // noop sink so pruning can't delete the measured work
+    val times = (1 to 3).map { i =>
       val t0 = System.nanoTime()
       fn(spark, dir).write.format("noop").mode("overwrite").save()
-      println(f"[qbench] $name run$i time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[qbench] $name run$i time=$s%.2f s")
+      s
     }
+    println("[qbench] " + HostCanary.line("QBENCH_HOST_POST",
+      Runtime.getRuntime.availableProcessors))
+    println(f"[qbench] $name min_steady=${times.drop(1).min}%.2f s")
     spark.stop()
   }
 }

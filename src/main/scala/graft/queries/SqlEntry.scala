@@ -7,7 +7,7 @@ import graft.core.Tables
 /** The SURVEY §3.3(b) entry point: the same queries as the typed
   * Scala API, as `spark.sql()` text over registered temp views — the
   * surface a thriftserver / Spark Connect / notebook user gets when
-  * they can't (or won't) link the Scala library. Nineteen
+  * they can't (or won't) link the Scala library. Twenty
   * representative shapes are covered — the OHLCV rollup (q06), the
   * sliding-window join (q09), the TPC-H Q1 pricing summary (q13),
   * the window-function battery (q54), the inverted index (q96), the
@@ -23,9 +23,11 @@ import graft.core.Tables
   * twin), the Kruskal-Wallis k-sample test (q263, the
   * cross-group family's twin — the shared χ² literal table inlined
   * as VALUES), the two-sample Anderson-Darling drift score
-  * (q268, the drift kit's twin), and the Benford first-digit audit
+  * (q268, the drift kit's twin), the Benford first-digit audit
   * (q270, the governance/audit family's twin — the 9-row literal
-  * expectation inlined as VALUES) — each the EXACT semantics of its
+  * expectation inlined as VALUES), and the Bartlett variance-
+  * homogeneity test (q273, the dispersion twin — quantized
+  * cross-group sums + the χ² VALUES join) — each the EXACT semantics of its
   * typed twin: same op sequence, same decimal detours, same r4/r2
   * rounding, so results match bitwise (SqlEntrySpec pins text ≡
   * typed for every key in [[texts]]).
@@ -763,6 +765,61 @@ object SqlEntry {
           "SELECT cast(floor(value * 100.0D + 0.5D) AS bigint) AS vc " +
             "FROM events WHERE value IS NOT NULL")
     },
+    // q273 — the Bartlett variance-homogeneity test as a notebook
+    // writes it (SQL twin #20): per-group exact decimal variance
+    // numerators, the three cross-group sums quantized BEFORE summing
+    // (wq to integer cents², ln terms to 1e-6, reciprocals to 1e-12 —
+    // no float ever sums across groups), ONE closing IEEE sequence,
+    // and the α = 0.05 decision joining the SAME 40-row χ² literal
+    // table the typed plan broadcasts — bitwise ≡ the typed q273.
+    "q273_bartlett" ->
+      ("""WITH chi2 AS (SELECT * FROM """ + chi2Values + """),
+        |obs AS (
+        |  SELECT event_type AS gk,
+        |    cast(floor(value * 100.0D + 0.5D) AS BIGINT) AS vc
+        |  FROM events WHERE value IS NOT NULL
+        |), per AS (
+        |  SELECT gk, count(1) AS ni,
+        |    sum(CAST(vc AS DECIMAL(38,0))) AS s1,
+        |    sum(CAST(vc AS DECIMAL(38,0)) * CAST(vc AS DECIMAL(38,0))) AS s2
+        |  FROM obs GROUP BY gk HAVING count(1) >= 2
+        |), g AS (
+        |  SELECT ni, CAST(ni AS DECIMAL(38,0)) * s2 - s1 * s1 AS num FROM per
+        |), g2 AS (
+        |  SELECT ni,
+        |    CAST(floor(CAST(num AS DOUBLE) / CAST(ni AS DOUBLE) + 0.5D)
+        |      AS DECIMAL(38,0)) AS wq,
+        |    CASE WHEN CAST(num AS DOUBLE)
+        |        / (CAST(ni AS DOUBLE) * (CAST(ni AS DOUBLE) - 1.0D)) > 0.0D THEN
+        |      CAST(floor((CAST(ni AS DOUBLE) - 1.0D)
+        |        * ln(CAST(num AS DOUBLE)
+        |          / (CAST(ni AS DOUBLE) * (CAST(ni AS DOUBLE) - 1.0D)))
+        |        * 1e6 + 0.5D) AS DECIMAL(38,0)) END AS lt,
+        |    cast(floor(1e12 / (CAST(ni AS DOUBLE) - 1.0D) + 0.5D) AS BIGINT) AS iv
+        |  FROM g
+        |), agg AS (
+        |  SELECT 'events.value~event_type' AS relation,
+        |    count(1) AS k_groups, sum(ni) AS n, sum(wq) AS sw,
+        |    sum(lt) AS slt, count(lt) AS nlt, sum(iv) AS siv
+        |  FROM g2 GROUP BY 1
+        |), z AS (
+        |  SELECT relation, k_groups, n, nlt, sw, k_groups - 1 AS df,
+        |    cast(floor(
+        |      (CAST(n - k_groups AS DOUBLE)
+        |          * ln(CAST(sw AS DOUBLE) / CAST(n - k_groups AS DOUBLE))
+        |        - CAST(slt AS DOUBLE) / 1e6)
+        |      / (1.0D + (CAST(siv AS DOUBLE) / 1e12
+        |          - 1.0D / CAST(n - k_groups AS DOUBLE))
+        |        / (3.0D * (CAST(k_groups AS DOUBLE) - 1.0D)))
+        |      * 1e4 + 0.5D) AS BIGINT) AS b4
+        |  FROM agg
+        |)
+        |SELECT relation, k_groups, n,
+        |  CASE WHEN k_groups >= 2 AND nlt = k_groups AND CAST(sw AS DOUBLE) > 0.0D
+        |    THEN CAST(b4 AS DOUBLE) / 1e4 END AS b_r4,
+        |  CASE WHEN k_groups >= 2 AND nlt = k_groups AND CAST(sw AS DOUBLE) > 0.0D
+        |      AND q95x1e4 IS NOT NULL THEN b4 > q95x1e4 END AS reject
+        |FROM z LEFT JOIN chi2 ON chi2.df = z.df""").stripMargin,
     "q96_inverted_index" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -347,8 +347,11 @@ class DiagnosticsSpec extends SparkSpec {
     val ramp = dfOf((1L to 30L).map(_ * 10L))
     assert(ramp.isNullAt(ramp.fieldIndex("tau_r4")))
     assert(ramp.isNullAt(ramp.fieldIndex("reject_unit_root")))
+    // sxx = 0 on a constant series (every lag equals the mean): the
+    // documented NULL contract, spec-locked (round-14 Next #8)
     val flat = dfOf(Seq.fill(10)(5L))
     assert(flat.isNullAt(flat.fieldIndex("tau_r4")))
+    assert(flat.isNullAt(flat.fieldIndex("reject_unit_root")))
   }
 
   test("q277 on testdata: decision agrees with the quantized boundary; KPSS/DF read together") {

@@ -62,7 +62,14 @@ class GoldenPlanSpec extends SparkSpec {
     "q213_fuzzy_clusters",
     "q214_fuzzy_survivors",
     "q118_ivfpq_topk",
-    "q181_table_profile")
+    "q181_table_profile",
+    // round-15 additions (round-14 Next #1): the two quiet-bench
+    // outliers that re-measured clean (isolated canary-stamped runs
+    // collapsed q129 4.01→1.50 s and q67 3.09→1.24 s, ≤1.25× their
+    // r13 values) — pinned so the NEXT unexplained swing diffs a
+    // plan file instead of re-running the adjudication
+    "q129_rsi",
+    "q67_dedup_corpus")
 
   private def label(p: SparkPlan): String = p match {
     case j: BaseJoinExec =>
