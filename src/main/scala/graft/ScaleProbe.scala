@@ -597,6 +597,25 @@ object ScaleProbe {
     // q278: one map-side pass over documents (two size() counts per
     // doc, no explode), one partial agg to source grain
     time("q278_heaps_fit") { q("q278_heaps_fit") }
+    // round-15 additions. q281: q247's shape (one DailyCloses partial
+    // agg, |types| day-grid array folds over r²); q282: the q263
+    // kruskal closing over the volume-independent day-grid returns
+    time("q281_arch_lm") { q("q281_arch_lm") }
+    time("q282_weekday_effect") { q("q282_weekday_effect") }
+    // q279: ONE partial agg to the (gk, vc) cell grid per relation,
+    // then grid-bounded chunk-banded running counts + a k-row close;
+    // q283: ONE partial agg to the value grid (customer grain for
+    // orders), then the same chunk-banded pass — no global window
+    time("q279_mood_median") { q("q279_mood_median") }
+    time("q283_gini") { q("q283_gini") }
+    // q280: q279's cell grid + per-group chunk-banded medians, exact
+    // |dev| power sums on the grid, k-row close; q284: one partial
+    // agg to (type, day) triples then per-type |d|-grid windows
+    time("q280_brown_forsythe") { q("q280_brown_forsythe") }
+    time("q284_wilcoxon_ampm") { q("q284_wilcoxon_ampm") }
+    // q285: one partial agg to (gi, vc) cells, the fused 5-column
+    // chunk-banded running-sums pass, grid-grain + k-row closings
+    time("q285_jonckheere") { q("q285_jonckheere") }
 
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {

@@ -933,7 +933,318 @@ object InsightQueries {
           .as("reject"))
   }
 
+  // ---------------------------------------------------------------
+  // q279 — MOOD'S MEDIAN TEST: do the groups share ONE median — the
+  // bluntest, most outlier-proof of the k-sample location tests
+  // (Mood 1950; Brown & Mood 1951): dichotomize every observation at
+  // the GLOBAL median and χ²-test the k×2 (group × above/not-above)
+  // contingency table, df = k−1. The robustness complement to q263
+  // (KW uses full ranks — more power; Mood survives arbitrary tail
+  // corruption because only the side of the median enters). It is
+  // also this battery's only k-sample test whose statistic needs NO
+  // per-observation ranks — the whole table reads off the (gk, vc)
+  // cell grid. Exactness: the global LOWER median is an exact order
+  // statistic off the value grid's chunk-banded running counts (the
+  // q248 discipline — min vc with cum ≥ (N+1) DIV 2); every count is
+  // an exact integer; the χ² cell deviation D = a·N − nᵢ·C widens
+  // per-factor to decimal (HUGEINT oracle), and each group's two-cell
+  // term closes in ONE shared IEEE sequence ((D/N)²/E per cell)
+  // quantized to 1e-6 BEFORE the k-row sum — no float ever sums
+  // across groups (the q273 rule); the final χ²·1e4 is the pure
+  // integer (s6 + 50) DIV 100, decided against the shared χ²(0.95)
+  // literal table on the data-dependent df = k−1 (NULL past df 40).
+  // Degenerate parity: grouping BY the literal relation on both
+  // engines, so an empty feed emits zero rows (the q273 lesson,
+  // baked in). Scale shape: ONE volume-sized partial agg to the
+  // (gk, vc) cell grid; everything after is grid-bounded (the value
+  // grid rides ChunkedFrame — no global single-partition window).
+  // Output: 1 row per relation × 2 relations.
+  private def q279(s: SparkSession, dir: String): DataFrame = {
+    val evObs = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type").as("gk"),
+        floor(col("value") * lit(100d) + lit(0.5d)).cast("long").as("vc"))
+    val ordObs = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("gk"),
+        floor(col("o_totalprice") * lit(100d) + lit(0.5d)).cast("long").as("vc"))
+    moodMedian(evObs, "events.value~event_type")
+      .unionByName(moodMedian(ordObs, "orders.totalprice~priority"))
+  }
+
+  private[graft] def moodMedian(obs: DataFrame, rel: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val cells = obs.groupBy(col("gk"), col("vc")).agg(count(lit(1)).as("a"))
+    val tv = cells.groupBy(col("vc")).agg(sum(col("a")).as("t"))
+      .withColumn("g", lit(1))
+    val cum = graft.operators.ChunkedFrame.withRunningSum(
+      tv, "g", expr("vc DIV 100"), Seq("vc"), "t", "ct")
+    val tot = tv.groupBy(lit(1).as("g")).agg(sum(col("t")).as("nn"))
+    // lower median = min vc with cum ≥ (N+1) DIV 2 — integer DIV on
+    // both engines, no float position arithmetic
+    val med = cum.join(broadcast(tot), Seq("g"))
+      .filter(expr("ct >= (nn + 1) DIV 2"))
+      .groupBy(lit(1).as("g")).agg(min(col("vc")).as("med"))
+    val per = cells.crossJoin(broadcast(med.select(col("med"))))
+      .groupBy(col("gk")).agg(sum(col("a")).as("ni"),
+        sum(when(col("vc") > col("med"), col("a")).otherwise(lit(0L))).as("ai"))
+    val glob = per.groupBy(lit(1).as("g"))
+      .agg(count(lit(1)).as("k_groups"), sum(col("ni")).as("n"),
+        sum(col("ai")).as("c1"))
+    val j = per.crossJoin(broadcast(glob.drop("g")))
+      .withColumn("bi", col("ni") - col("ai"))
+      .withColumn("c2", col("n") - col("c1"))
+      .withColumn("da", d38(col("ai")) * d38(col("n")) - d38(col("ni")) * d38(col("c1")))
+      .withColumn("db", d38(col("bi")) * d38(col("n")) - d38(col("ni")) * d38(col("c2")))
+    // per-group two-cell term, ONE shared IEEE sequence, quantized
+    // to 1e-6 fixed point BEFORE the cross-group sum
+    val term = (dd(col("da")) / dd(col("n"))) * (dd(col("da")) / dd(col("n"))) /
+      (dd(col("ni")) * dd(col("c1")) / dd(col("n"))) +
+      (dd(col("db")) / dd(col("n"))) * (dd(col("db")) / dd(col("n"))) /
+        (dd(col("ni")) * dd(col("c2")) / dd(col("n")))
+    val g = j.withColumn("t6", when(col("c1") > 0 && col("c2") > 0,
+      floor(term * lit(1e6) + lit(0.5)).cast("decimal(38,0)")))
+    val agg = g.groupBy(lit(rel).as("relation"))
+      .agg(max(col("k_groups")).as("k_groups"), max(col("n")).as("n"),
+        max(col("c1")).as("n_above"), sum(col("t6")).as("s6"),
+        count(col("t6")).as("nt"))
+      .withColumn("df", col("k_groups") - lit(1L))
+    val q4 = expr("(CAST(s6 AS BIGINT) + 50) DIV 100")
+    val valid = col("k_groups") >= 2 && col("nt") === col("k_groups")
+    agg.join(StatTables.chi2Frame(obs.sparkSession), Seq("df"), "left")
+      .select(col("relation"), col("k_groups"), col("n"), col("n_above"),
+        when(valid, q4.cast("double") / lit(1e4)).as("chi2_r4"),
+        when(valid && col("q95x1e4").isNotNull, q4 > col("q95x1e4"))
+          .as("reject"))
+  }
+
+  // ---------------------------------------------------------------
+  // q280 — BROWN-FORSYTHE (median-centered Levene) SPREAD TEST: the
+  // ROBUST companion to q273 — Bartlett's χ² is exquisitely sensitive
+  // to non-normal tails (its own α blows up under kurtosis), so every
+  // stats text pairs it with Levene's F on absolute deviations, in
+  // the Brown & Forsythe (1974) median-centered form that keeps the
+  // size honest under skew. Construction: per-group LOWER MEDIAN
+  // (exact order statistic off the per-group value grid's
+  // chunk-banded running counts — the q248/q279 discipline), then
+  // z = |vc − med_g| is an EXACT integer and the one-way ANOVA on z
+  // closes from exact power sums: between = Σ_g (D_g/N)²/n_g with
+  // D_g = N·S_g − n_g·S (the q279 per-factor-widened deviation,
+  // (D/N)² in IEEE to keep the square inside double range), within =
+  // Σ_g (n_g·Q_g − S_g²)/n_g — BOTH quantized per group to 1e-6
+  // BEFORE their cross-group sums (the q273 rule). Decision: as
+  // N → ∞, (k−1)·F(k−1, N−k) → χ²(k−1), so the α = 0.05 call tests
+  // the quantized (k−1)·W against the SAME shared χ²(0.95) literal
+  // table on df = k−1 (documented asymptote — at this battery's N
+  // the F and χ² boundaries agree to 3 decimals; NULL past df 40).
+  // Scale shape: ONE volume-sized partial agg to the (gk, vc) cell
+  // grid; medians, sums, and the k-row closing are all grid-bounded.
+  // Output: 1 row per relation × 2 relations.
+  private def q280(s: SparkSession, dir: String): DataFrame = {
+    val evObs = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type").as("gk"),
+        floor(col("value") * lit(100d) + lit(0.5d)).cast("long").as("vc"))
+    val ordObs = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("gk"),
+        floor(col("o_totalprice") * lit(100d) + lit(0.5d)).cast("long").as("vc"))
+    brownForsythe(evObs, "events.value~event_type")
+      .unionByName(brownForsythe(ordObs, "orders.totalprice~priority"))
+  }
+
+  private[graft] def brownForsythe(obs: DataFrame, rel: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val cells = obs.groupBy(col("gk"), col("vc")).agg(count(lit(1)).as("a"))
+    // per-group lower median off chunk-banded running counts
+    val cum = graft.operators.ChunkedFrame.withRunningSum(
+      cells, "gk", expr("vc DIV 100"), Seq("vc"), "a", "ct")
+    val nPer = cells.groupBy(col("gk")).agg(sum(col("a")).as("ng"))
+    val med = cum.join(broadcast(nPer), Seq("gk"))
+      .filter(expr("ct >= (ng + 1) DIV 2"))
+      .groupBy(col("gk")).agg(min(col("vc")).as("med"))
+    // exact |deviation| power sums, still on the CELL grid
+    val per = cells.join(broadcast(med), Seq("gk"))
+      .withColumn("z", abs(col("vc") - col("med")))
+      .groupBy(col("gk")).agg(sum(col("a")).as("ni"),
+        sum(d38(col("a")) * d38(col("z"))).as("s1"),
+        sum(d38(col("a")) * d38(col("z")) * d38(col("z"))).as("q1"))
+    val glob = per.groupBy(lit(1).as("g"))
+      .agg(count(lit(1)).as("k_groups"), sum(col("ni")).as("n"),
+        sum(col("s1")).as("s"))
+    val j = per.crossJoin(broadcast(glob.drop("g")))
+      .withColumn("dg", d38(col("n")) * col("s1") - d38(col("ni")) * col("s"))
+      // between term (D/N)²/n_g and within term (n_g·Q−S²)/n_g, each
+      // ONE shared IEEE sequence quantized to 1e-6 before the k-sum.
+      // The quantizer is CAST(x AS DECIMAL(38,0)) — NOT floor(x+0.5):
+      // Spark's floor(double) returns LONG and these cents²-scaled
+      // terms pass 2⁶³ at sf0.01 already (wt·1e6 ≈ 1.5e23 for
+      // orders); the non-ANSI double→decimal cast is HALF_UP, which
+      // IS floor(x+0.5) for x ≥ 0, on a 38-digit carrier. The oracle
+      // keeps floor(x+0.5)::HUGEINT — identical for non-negatives.
+      .withColumn("bt6", ((dd(col("dg")) / dd(col("n"))) *
+        (dd(col("dg")) / dd(col("n"))) / dd(col("ni")) * lit(1e6))
+        .cast("decimal(38,0)"))
+      .withColumn("wt6", (dd(d38(col("ni")) * col("q1") - col("s1") * col("s1")) /
+        dd(col("ni")) * lit(1e6)).cast("decimal(38,0)"))
+    val agg = j.groupBy(lit(rel).as("relation"))
+      .agg(max(col("k_groups")).as("k_groups"), max(col("n")).as("n"),
+        sum(col("bt6")).as("b6"), sum(col("wt6")).as("w6"))
+      .withColumn("df", col("k_groups") - lit(1L))
+    // W = ((N−k)/(k−1)) · between/within; the α call tests the
+    // quantized (k−1)·W = (N−k)·between/within against χ²(k−1)
+    val w = (dd(col("n")) - dd(col("k_groups"))) / (dd(col("k_groups")) - lit(1.0)) *
+      (dd(col("b6")) / dd(col("w6")))
+    val kw4 = floor((dd(col("n")) - dd(col("k_groups"))) *
+      (dd(col("b6")) / dd(col("w6"))) * lit(1e4) + lit(0.5)).cast("long")
+    val valid = col("k_groups") >= 2 && dd(col("w6")) > 0 &&
+      col("n") > col("k_groups")
+    agg.join(StatTables.chi2Frame(obs.sparkSession), Seq("df"), "left")
+      .select(col("relation"), col("k_groups"), col("n"),
+        when(valid, r4(w)).as("w_r4"),
+        when(valid && col("q95x1e4").isNotNull, kw4 > col("q95x1e4"))
+          .as("reject"))
+  }
+
+  // ---------------------------------------------------------------
+  // q285 — JONCKHEERE-TERPSTRA ORDERED-TREND TEST: does the value
+  // distribution shift MONOTONICALLY across ORDERED groups — the
+  // question q263/q279 cannot ask (they test "any difference"; JT
+  // tests "difference in the stated order", with far more power when
+  // the order is real — Terpstra 1952, Jonckheere 1954). Here: does
+  // order value trend across the five TPC-H priorities 1-URGENT →
+  // 5-LOW (a FIXED five-slot domain, so the group unroll is plan-
+  // time constant — the q197 Shapley fixed-coalition precedent).
+  // Construction: J* = Σ_{i<j} [#(xᵢ<yⱼ) + ½#(xᵢ=yⱼ)] collapses
+  // EXACTLY onto the global value grid — per value v with per-group
+  // cell counts c_j and exclusive below-counts B_j, 4J* accumulates
+  // 4·Σ_j c_j·(B₁+…+B_{j−1}) + (t² − Σc²) per grid row (the tie term
+  // is 2·Σ_{i<j}c_ic_j — always even), so 4J* is an EXACT decimal
+  // with NO pair enumeration (the q283/q271 grid-identity move); the
+  // per-group below-counts ride ONE fused chunk-banded running-sums
+  // pass (ChunkedFrame.withRunningSums — the q268 API). The normal
+  // approximation uses the FULL tie-corrected variance (Hollander &
+  // Wolfe): three terms from exact integer tie/group cubics (decimal
+  // / HUGEINT; the cross product fn3·ft3 would pass 10³⁸, so the two
+  // exact factors close in IEEE), z = (4J* − (N²−Σn²)) / (4σ), and
+  // the α = 0.05 ONE-SIDED calls test the quantized z₄ against
+  // ±16449 in each direction. Scale shape: ONE volume-sized partial
+  // agg to (gi, vc) cells; grid-bounded running sums; two k-row/
+  // grid-grain closings. Output: 1 row.
+  private def q285(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.orders(s, dir).select(
+      substring(col("o_orderpriority"), 1, 1).cast("int").as("gi"),
+      floor(col("o_totalprice") * lit(100d) + lit(0.5d)).cast("long").as("vc"))
+    jonckheere(obs, "orders.totalprice~priority_order", 5)
+  }
+
+  /** JT over `obs(gi, vc)` with group indexes 1..k known at plan
+    * time (fixed-domain unroll). */
+  private[graft] def jonckheere(obs: DataFrame, rel: String, k: Int): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val cells = obs.groupBy(col("gi"), col("vc")).agg(count(lit(1)).as("a"))
+    val gridCols = (1 to k).map(i =>
+      sum(when(col("gi") === i, col("a")).otherwise(lit(0L))).as(s"c$i")) :+
+      sum(col("a")).as("t")
+    val grid = cells.groupBy(col("vc"))
+      .agg(gridCols.head, gridCols.tail: _*)
+      .withColumn("g", lit(1))
+    val cum = graft.operators.ChunkedFrame.withRunningSums(
+      grid, "g", expr("vc DIV 100"), Seq("vc"),
+      (1 to k).map(i => s"c$i" -> s"ct$i"))
+    val pre = (2 to k).map { j =>
+      val below = (1 until j).map(i => col(s"ct$i") - col(s"c$i")).reduce(_ + _)
+      d38(col(s"c$j")) * d38(below)
+    }.reduce(_ + _)
+    val eq2 = d38(col("t")) * d38(col("t")) -
+      (1 to k).map(i => d38(col(s"c$i")) * d38(col(s"c$i"))).reduce(_ + _)
+    val withJ = cum
+      .withColumn("j4v", lit(4).cast("decimal(38,0)") * pre + eq2)
+      .withColumn("t21",
+        d38(col("t")) * d38(col("t") - 1) * d38(lit(2) * col("t") + 5))
+      .withColumn("t3", d38(col("t")) * d38(col("t") - 1) * d38(col("t") - 2))
+      .withColumn("t2", d38(col("t")) * d38(col("t") - 1))
+    val gridAgg = withJ.groupBy(lit(rel).as("relation"))
+      .agg(sum(col("j4v")).as("j4"), sum(col("t21")).as("ft21"),
+        sum(col("t3")).as("ft3"), sum(col("t2")).as("ft2"))
+    val per = cells.groupBy(col("gi")).agg(sum(col("a")).as("ni"))
+    val gAgg = per.groupBy(lit(rel).as("relation"))
+      .agg(count(lit(1)).as("k_groups"), sum(col("ni")).as("n"),
+        sum(d38(col("ni")) * d38(col("ni"))).as("sn2"),
+        sum(d38(col("ni")) * d38(col("ni") - 1) * d38(lit(2) * col("ni") + 5))
+          .as("fn21"),
+        sum(d38(col("ni")) * d38(col("ni") - 1) * d38(col("ni") - 2)).as("fn3"),
+        sum(d38(col("ni")) * d38(col("ni") - 1)).as("fn2"))
+    val jn = gridAgg.join(gAgg, Seq("relation"))
+    val nD = dd(col("n"))
+    val aT = d38(col("n")) * d38(col("n") - 1) * d38(lit(2) * col("n") + 5) -
+      col("fn21") - col("ft21")
+    val varJ = dd(aT) / lit(72.0) +
+      dd(col("fn3")) * dd(col("ft3")) /
+        (lit(36.0) * nD * (nD - lit(1.0)) * (nD - lit(2.0))) +
+      dd(col("fn2")) * dd(col("ft2")) / (lit(8.0) * nD * (nD - lit(1.0)))
+    val mu4 = d38(col("n")) * d38(col("n")) - col("sn2")
+    val z = (dd(col("j4")) - dd(mu4)) / (lit(4.0) * sqrt(varJ))
+    val z4c = floor(z * lit(1e4) + lit(0.5)).cast("long")
+    val valid = col("k_groups") >= 2 && col("n") >= 3 && varJ > 0
+    jn.select(col("relation"), col("k_groups"), col("n"),
+      when(valid, z4c.cast("double") / lit(1e4)).as("z_r4"),
+      when(valid, z4c > lit(16449L)).as("inc_trend"),
+      when(valid, z4c < lit(-16449L)).as("dec_trend"))
+  }
+
+  // ---------------------------------------------------------------
+  // q283 — GINI COEFFICIENT (mean-absolute-difference form): HOW
+  // UNEQUAL is the distribution — the inequality readout q255's HHI
+  // only proxies (HHI is share-of-squares; Gini is the Lorenz-curve
+  // area every economics text defines, Gini 1912): G = Δ/(2μ) with
+  // Δ the mean absolute pairwise difference. Exactness: on the value
+  // grid (v, c) sorted ascending, Σ_{i<j}|xᵢ−xⱼ| = Σ_v c_v·(v·Cₚ −
+  // Sₚ) with Cₚ/Sₚ the EXCLUSIVE running count/value-sum — an EXACT
+  // integer in one grid pass (ties contribute zero by construction),
+  // so G = T/(n·S) is ONE IEEE divide of exact decimals, quantized
+  // r6. No per-pair enumeration ever happens — the C(n,2) sum
+  // collapses onto the grid exactly (the q271 rank-count-identity
+  // move applied to L1 differences). Scale shape: ONE volume-sized
+  // partial agg to the value grid (customer-revenue grain for the
+  // orders relation — the q255 shape — and raw n_chars for
+  // documents), then chunk-banded running sums — no global window,
+  // no join wider than the grid. Output: 1 row per relation.
+  private def q283(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * lit(100d) + lit(0.5d)).cast("long"))
+        .as("vc"))
+      .select(col("vc"))
+    val chars = Tables.documents(s, dir).select(col("n_chars").as("vc"))
+    giniMd(rev, "customer.revenue")
+      .unionByName(giniMd(chars, "documents.n_chars"))
+  }
+
+  private[graft] def giniMd(vals: DataFrame, rel: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val tv = vals.groupBy(col("vc")).agg(count(lit(1)).as("c"))
+      .withColumn("cv", d38(col("vc")) * d38(col("c")))
+      .withColumn("g", lit(1))
+    val cum = graft.operators.ChunkedFrame.withRunningSums(
+      tv, "g", expr("vc DIV 100"), Seq("vc"), Seq("c" -> "ct", "cv" -> "cs"))
+      .withColumn("pc", col("ct") - col("c"))
+      .withColumn("ps", col("cs") - col("cv"))
+      .withColumn("pt", d38(col("c")) *
+        (d38(col("vc")) * d38(col("pc")) - d38(col("ps"))))
+    val agg = cum.groupBy(lit(rel).as("relation"))
+      .agg(sum(col("c")).as("n"), sum(col("cv")).as("s"), sum(col("pt")).as("t"))
+    agg.select(col("relation"), col("n"),
+      when(dd(col("s")) > 0 && col("n") >= 2,
+        floor(dd(col("t")) / (dd(col("n")) * dd(col("s"))) * lit(1e6) + lit(0.5))
+          / lit(1e6)).as("gini_r6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q279_mood_median" -> q279 _,
+    "q280_brown_forsythe" -> q280 _,
+    "q283_gini" -> q283 _,
+    "q285_jonckheere" -> q285 _,
     "q273_bartlett" -> q273 _,
     "q263_kruskal_wallis" -> q263 _,
     "q266_friedman" -> q266 _,
@@ -958,6 +1269,215 @@ object InsightQueries {
       s"+ ($b::DOUBLE / ($g::DOUBLE + $b::DOUBLE)) * ln($b::DOUBLE / ($g::DOUBLE + $b::DOUBLE))) END"
 
   val oracleSql: Map[String, String] = Map(
+    "q279_mood_median" -> {
+      // per-relation CTE block (the q263-twin prefix pattern): cell
+      // grid -> global lower median -> k x 2 table -> quantized
+      // per-group terms -> literal-relation aggregate (GROUP BY the
+      // literal so an empty feed emits ZERO rows on both engines)
+      def blk(p: String, rel: String, obs: String) =
+        s"""${p}cells AS (SELECT gk, vc, count(*)::BIGINT AS a FROM ($obs) GROUP BY 1, 2),
+           |${p}tv AS (SELECT vc, sum(a)::BIGINT AS t FROM ${p}cells GROUP BY 1),
+           |${p}tot AS (SELECT sum(t)::BIGINT AS nn FROM ${p}tv),
+           |${p}med AS (
+           |  SELECT min(vc) AS med FROM (
+           |    SELECT vc, sum(t) OVER (ORDER BY vc ROWS UNBOUNDED PRECEDING) AS ct
+           |    FROM ${p}tv) c CROSS JOIN ${p}tot WHERE ct >= (nn + 1) // 2),
+           |${p}per AS (
+           |  SELECT gk, sum(a)::BIGINT AS ni,
+           |    sum(CASE WHEN vc > med THEN a ELSE 0 END)::BIGINT AS ai
+           |  FROM ${p}cells CROSS JOIN ${p}med GROUP BY 1),
+           |${p}glob AS (
+           |  SELECT count(*)::BIGINT AS k_groups, sum(ni)::BIGINT AS n,
+           |    sum(ai)::BIGINT AS c1 FROM ${p}per),
+           |${p}terms AS (
+           |  SELECT k_groups, n, c1,
+           |    CASE WHEN c1 > 0 AND (n - c1) > 0 THEN
+           |      floor(((da::DOUBLE / n::DOUBLE) * (da::DOUBLE / n::DOUBLE)
+           |          / (ni::DOUBLE * c1::DOUBLE / n::DOUBLE)
+           |        + (db::DOUBLE / n::DOUBLE) * (db::DOUBLE / n::DOUBLE)
+           |          / (ni::DOUBLE * (n - c1)::DOUBLE / n::DOUBLE)) * 1e6 + 0.5)::HUGEINT
+           |    END AS t6
+           |  FROM (
+           |    SELECT ni, ai, k_groups, n, c1,
+           |      ai::HUGEINT * n::HUGEINT - ni::HUGEINT * c1::HUGEINT AS da,
+           |      (ni - ai)::HUGEINT * n::HUGEINT - ni::HUGEINT * (n - c1)::HUGEINT AS db
+           |    FROM ${p}per CROSS JOIN ${p}glob) j),
+           |${p}agg AS (
+           |  SELECT '$rel' AS relation, max(k_groups) AS k_groups,
+           |    max(n) AS n, max(c1) AS n_above,
+           |    sum(t6) AS s6, count(t6)::BIGINT AS nt
+           |  FROM ${p}terms GROUP BY 1)""".stripMargin
+      def body(p: String) =
+        s"""SELECT relation, k_groups, n, n_above,
+           |  CASE WHEN k_groups >= 2 AND nt = k_groups THEN
+           |    ((s6 + 50) // 100)::BIGINT::DOUBLE / 1e4 END AS chi2_r4,
+           |  CASE WHEN k_groups >= 2 AND nt = k_groups AND q95x1e4 IS NOT NULL THEN
+           |    ((s6 + 50) // 100)::BIGINT > q95x1e4 END AS reject
+           |FROM ${p}agg LEFT JOIN ${StatTables.chi2ValuesSql}
+           |  ON chi2.df = ${p}agg.k_groups - 1""".stripMargin
+      "WITH " +
+        blk("e1", "events.value~event_type",
+          "SELECT event_type AS gk, floor(value * 100 + 0.5)::BIGINT AS vc " +
+            "FROM events WHERE value IS NOT NULL") + ",\n" +
+        blk("o1", "orders.totalprice~priority",
+          "SELECT o_orderpriority AS gk, " +
+            "floor(o_totalprice * 100 + 0.5)::BIGINT AS vc FROM orders") + "\n" +
+        body("e1") + "\nUNION ALL\n" + body("o1")
+    },
+    "q280_brown_forsythe" -> {
+      def blk(p: String, rel: String, obs: String) =
+        s"""${p}cells AS (SELECT gk, vc, count(*)::BIGINT AS a FROM ($obs) GROUP BY 1, 2),
+           |${p}cum AS (
+           |  SELECT gk, vc, a, sum(a) OVER (PARTITION BY gk ORDER BY vc
+           |    ROWS UNBOUNDED PRECEDING) AS ct
+           |  FROM ${p}cells),
+           |${p}np AS (SELECT gk, sum(a)::BIGINT AS ng FROM ${p}cells GROUP BY 1),
+           |${p}med AS (
+           |  SELECT gk, min(vc) AS med FROM ${p}cum JOIN ${p}np USING (gk)
+           |  WHERE ct >= (ng + 1) // 2 GROUP BY 1),
+           |${p}per AS (
+           |  SELECT gk, sum(a)::BIGINT AS ni,
+           |    sum(a::HUGEINT * abs(vc - med)::HUGEINT) AS s1,
+           |    sum(a::HUGEINT * abs(vc - med)::HUGEINT * abs(vc - med)::HUGEINT) AS q1
+           |  FROM ${p}cells JOIN ${p}med USING (gk) GROUP BY 1),
+           |${p}glob AS (
+           |  SELECT count(*)::BIGINT AS k_groups, sum(ni)::BIGINT AS n,
+           |    sum(s1)::HUGEINT AS s FROM ${p}per),
+           |${p}terms AS (
+           |  SELECT k_groups, n,
+           |    floor((dg::DOUBLE / n::DOUBLE) * (dg::DOUBLE / n::DOUBLE)
+           |      / ni::DOUBLE * 1e6 + 0.5)::HUGEINT AS bt6,
+           |    floor((ni::HUGEINT * q1 - s1 * s1)::DOUBLE / ni::DOUBLE * 1e6
+           |      + 0.5)::HUGEINT AS wt6
+           |  FROM (
+           |    SELECT ni, s1, q1, k_groups, n,
+           |      n::HUGEINT * s1 - ni::HUGEINT * s AS dg
+           |    FROM ${p}per CROSS JOIN ${p}glob) j),
+           |${p}agg AS (
+           |  SELECT '$rel' AS relation, max(k_groups) AS k_groups,
+           |    max(n) AS n, sum(bt6) AS b6, sum(wt6) AS w6
+           |  FROM ${p}terms GROUP BY 1)""".stripMargin
+      def body(p: String) =
+        s"""SELECT relation, k_groups, n,
+           |  CASE WHEN k_groups >= 2 AND w6::DOUBLE > 0 AND n > k_groups THEN
+           |    floor((n::DOUBLE - k_groups::DOUBLE) / (k_groups::DOUBLE - 1.0)
+           |      * (b6::DOUBLE / w6::DOUBLE) * 1e4 + 0.5)::BIGINT::DOUBLE / 1e4
+           |  END AS w_r4,
+           |  CASE WHEN k_groups >= 2 AND w6::DOUBLE > 0 AND n > k_groups
+           |      AND q95x1e4 IS NOT NULL THEN
+           |    floor((n::DOUBLE - k_groups::DOUBLE) * (b6::DOUBLE / w6::DOUBLE)
+           |      * 1e4 + 0.5)::BIGINT > q95x1e4 END AS reject
+           |FROM ${p}agg LEFT JOIN ${StatTables.chi2ValuesSql}
+           |  ON chi2.df = ${p}agg.k_groups - 1""".stripMargin
+      "WITH " +
+        blk("e2", "events.value~event_type",
+          "SELECT event_type AS gk, floor(value * 100 + 0.5)::BIGINT AS vc " +
+            "FROM events WHERE value IS NOT NULL") + ",\n" +
+        blk("o2", "orders.totalprice~priority",
+          "SELECT o_orderpriority AS gk, " +
+            "floor(o_totalprice * 100 + 0.5)::BIGINT AS vc FROM orders") + "\n" +
+        body("e2") + "\nUNION ALL\n" + body("o2")
+    },
+    "q285_jonckheere" ->
+      """WITH obs AS (
+        |  SELECT substring(o_orderpriority, 1, 1)::INT AS gi,
+        |    floor(o_totalprice * 100 + 0.5)::BIGINT AS vc
+        |  FROM orders
+        |), cells AS (
+        |  SELECT gi, vc, count(*)::BIGINT AS a FROM obs GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT vc,
+        |    sum(CASE WHEN gi = 1 THEN a ELSE 0 END)::BIGINT AS c1,
+        |    sum(CASE WHEN gi = 2 THEN a ELSE 0 END)::BIGINT AS c2,
+        |    sum(CASE WHEN gi = 3 THEN a ELSE 0 END)::BIGINT AS c3,
+        |    sum(CASE WHEN gi = 4 THEN a ELSE 0 END)::BIGINT AS c4,
+        |    sum(CASE WHEN gi = 5 THEN a ELSE 0 END)::BIGINT AS c5,
+        |    sum(a)::BIGINT AS t
+        |  FROM cells GROUP BY 1
+        |), cum AS (
+        |  SELECT *,
+        |    sum(c1) OVER w AS ct1, sum(c2) OVER w AS ct2,
+        |    sum(c3) OVER w AS ct3, sum(c4) OVER w AS ct4,
+        |    sum(c5) OVER w AS ct5
+        |  FROM grid WINDOW w AS (ORDER BY vc ROWS UNBOUNDED PRECEDING)
+        |), jr AS (
+        |  SELECT
+        |    4::HUGEINT * (
+        |      c2::HUGEINT * (ct1 - c1)::HUGEINT
+        |      + c3::HUGEINT * ((ct1 - c1) + (ct2 - c2))::HUGEINT
+        |      + c4::HUGEINT * ((ct1 - c1) + (ct2 - c2) + (ct3 - c3))::HUGEINT
+        |      + c5::HUGEINT * ((ct1 - c1) + (ct2 - c2) + (ct3 - c3) + (ct4 - c4))::HUGEINT)
+        |    + (t::HUGEINT * t::HUGEINT
+        |      - (c1::HUGEINT * c1 + c2::HUGEINT * c2 + c3::HUGEINT * c3
+        |        + c4::HUGEINT * c4 + c5::HUGEINT * c5)) AS j4v,
+        |    t::HUGEINT * (t - 1)::HUGEINT * (2 * t + 5)::HUGEINT AS t21,
+        |    t::HUGEINT * (t - 1)::HUGEINT * (t - 2)::HUGEINT AS t3,
+        |    t::HUGEINT * (t - 1)::HUGEINT AS t2
+        |  FROM cum
+        |), ga AS (
+        |  SELECT 'orders.totalprice~priority_order' AS relation,
+        |    sum(j4v) AS j4, sum(t21) AS ft21, sum(t3) AS ft3, sum(t2) AS ft2
+        |  FROM jr GROUP BY 1
+        |), per AS (
+        |  SELECT gi, sum(a)::BIGINT AS ni FROM cells GROUP BY 1
+        |), gg AS (
+        |  SELECT 'orders.totalprice~priority_order' AS relation,
+        |    count(*)::BIGINT AS k_groups, sum(ni)::BIGINT AS n,
+        |    sum(ni::HUGEINT * ni::HUGEINT) AS sn2,
+        |    sum(ni::HUGEINT * (ni - 1)::HUGEINT * (2 * ni + 5)::HUGEINT) AS fn21,
+        |    sum(ni::HUGEINT * (ni - 1)::HUGEINT * (ni - 2)::HUGEINT) AS fn3,
+        |    sum(ni::HUGEINT * (ni - 1)::HUGEINT) AS fn2
+        |  FROM per GROUP BY 1
+        |), z AS (
+        |  SELECT relation, k_groups, n,
+        |    (n::HUGEINT * (n - 1)::HUGEINT * (2 * n + 5)::HUGEINT - fn21 - ft21)::DOUBLE
+        |        / 72.0
+        |      + fn3::DOUBLE * ft3::DOUBLE
+        |        / (36.0 * n::DOUBLE * (n::DOUBLE - 1.0) * (n::DOUBLE - 2.0))
+        |      + fn2::DOUBLE * ft2::DOUBLE / (8.0 * n::DOUBLE * (n::DOUBLE - 1.0)) AS vr,
+        |    (j4::DOUBLE - (n::HUGEINT * n::HUGEINT - sn2)::DOUBLE) AS num4
+        |  FROM ga JOIN gg USING (relation)
+        |)
+        |SELECT relation, k_groups, n,
+        |  CASE WHEN k_groups >= 2 AND n >= 3 AND vr > 0 THEN
+        |    floor(num4 / (4.0 * sqrt(vr)) * 1e4 + 0.5)::BIGINT::DOUBLE / 1e4
+        |  END AS z_r4,
+        |  CASE WHEN k_groups >= 2 AND n >= 3 AND vr > 0 THEN
+        |    floor(num4 / (4.0 * sqrt(vr)) * 1e4 + 0.5)::BIGINT > 16449
+        |  END AS inc_trend,
+        |  CASE WHEN k_groups >= 2 AND n >= 3 AND vr > 0 THEN
+        |    floor(num4 / (4.0 * sqrt(vr)) * 1e4 + 0.5)::BIGINT < -16449
+        |  END AS dec_trend
+        |FROM z""".stripMargin,
+    "q283_gini" -> {
+      def one(rel: String, src: String) =
+        s"""SELECT relation, n,
+           |  CASE WHEN s::DOUBLE > 0 AND n >= 2 THEN
+           |    floor(t::DOUBLE / (n::DOUBLE * s::DOUBLE) * 1e6 + 0.5)::BIGINT::DOUBLE / 1e6
+           |  END AS gini_r6
+           |FROM (
+           |  SELECT '$rel' AS relation, sum(c)::BIGINT AS n,
+           |    sum(cv)::HUGEINT AS s, sum(pt)::HUGEINT AS t
+           |  FROM (
+           |    SELECT c, cv,
+           |      c::HUGEINT * (vc::HUGEINT * (ct - c)::HUGEINT - (cs - cv)) AS pt
+           |    FROM (
+           |      SELECT vc, c, cv,
+           |        sum(c) OVER w AS ct,
+           |        sum(cv) OVER w AS cs
+           |      FROM (SELECT vc, count(*)::BIGINT AS c,
+           |              vc::HUGEINT * count(*)::HUGEINT AS cv
+           |            FROM ($src) GROUP BY 1)
+           |      WINDOW w AS (ORDER BY vc ROWS UNBOUNDED PRECEDING)
+           |    )
+           |  ) GROUP BY 1
+           |)""".stripMargin
+      one("customer.revenue",
+        "SELECT sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS vc " +
+          "FROM orders GROUP BY o_custkey") +
+        "\nUNION ALL\n" +
+        one("documents.n_chars", "SELECT n_chars AS vc FROM documents")
+    },
     "q273_bartlett" ->
       (s"""WITH obs AS (
          |  SELECT event_type AS gk, floor(value * 100 + 0.5)::BIGINT AS vc

@@ -1496,6 +1496,124 @@ object MarketQueries {
             / lit(1e4)).as("lb_q_r4")): _*)
   }
 
+  // ---------------------------------------------------------------
+  // q281 — ARCH EFFECT (McLeod-Li): does VOLATILITY cluster — the
+  // Ljung-Box portmanteau of q247 applied to SQUARED daily returns
+  // at lags 1..5 (McLeod & Li 1983), the standard pre-test before
+  // any conditional-variance fit: returns can be serially flat while
+  // their squares are strongly autocorrelated — the ARCH signature
+  // (Engle 1982). Machinery: EXACTLY q247's exact-integer lag frame
+  // fed r² (|r| ≲ 2²⁴ on a day grid, so r² ≲ 2⁴⁸ fits the long
+  // element; the frame's SUMS ride decimal since this round — the
+  // widen-before-multiply rule applied at the sum), so every ρ is an
+  // exact integer ratio quantized at 1e-6 and the LB fold is
+  // integer. The one new motion vs q247: an α = 0.05 decision — the
+  // df is STRUCTURAL (always 5 lags), so the χ²(0.95) boundary is
+  // the FIXED literal 11.0705 (the q270 fixed-boundary style, no
+  // table join) against the quantized LB integer. Scale shape:
+  // q247's — one volume-sized DailyCloses partial agg, then |types|
+  // day-grid array folds. Output: |types| rows.
+  private def q281(s: SparkSession, dir: String): DataFrame =
+    archLm(dailyReturns(s, dir))
+
+  /** q281's closing over any (event_type, day, r_fp) return grid —
+    * ONE code path with the streaming serve
+    * (StreamPipeline.archServe over the closes store). */
+  private[graft] def archLm(rets: DataFrame): DataFrame =
+    acfLjungBox(rets.select(col("event_type"), col("day"),
+      (col("r_fp") * col("r_fp")).as("r_fp")))
+      .withColumn("reject_arch",
+        when(col("lb_q_r4").isNotNull,
+          floor(col("lb_q_r4") * lit(1e4) + lit(0.5d)).cast("long") > lit(110705L)))
+
+  // ---------------------------------------------------------------
+  // q282 — WEEKDAY (DAY-OF-WEEK) EFFECT: do daily returns differ by
+  // calendar weekday — the classic "Monday effect" seasonality screen
+  // (French 1980), asked distribution-free: Kruskal-Wallis across the
+  // seven weekday groups, POOLED across instruments (micro-log2
+  // returns are unit-comparable by construction). gk is the exact
+  // integer epoch-day mod 7 — identical arithmetic on both engines
+  // (no locale-dependent weekday function crosses the oracle
+  // boundary). Machinery: ONE code path with q263 — the shared
+  // [[InsightQueries.kruskalWallis]] closing (global midranks via
+  // chunk-banded running counts, per-group terms quantized before
+  // the k-row sum, χ² table join on df = k−1). Scale shape: the
+  // day-grid RETURNS feed is volume-independent after dailyCloses'
+  // one partial agg, and the KW grid is (weekday × cents)-bounded.
+  // Output: 1 row.
+  private def q282(s: SparkSession, dir: String): DataFrame = {
+    val obs = dailyReturns(s, dir).select(
+      (datediff(col("day"), lit("1970-01-01")) % 7).cast("long").as("gk"),
+      col("r_fp").as("vc"))
+    InsightQueries.kruskalWallis(obs, "returns~weekday")
+  }
+
+  // ---------------------------------------------------------------
+  // q284 — INTRADAY MOMENTUM (Wilcoxon signed-rank, AM vs PM): does
+  // the afternoon move systematically differ from the morning move —
+  // the paired, distribution-free sibling of q250's two-sample test
+  // (Wilcoxon 1945), asked per instrument over the natural intraday
+  // pairing: for each (type, day), d = PM move − AM move =
+  // (close − mid) − (mid − open) = close + open − 2·mid, with open
+  // the day's first tick, close its last, and mid the last PRE-NOON
+  // tick (all by the deterministic (ts, event_id) total order —
+  // days with no AM tick drop, zero-d days drop per the standard
+  // zero-exclusion). |d| midranks come DOUBLED off the per-type
+  // (|d|) value grid's running counts (2R = 2·prev + t + 1 — the
+  // q250 exact-integer move), so 2W⁺ is an exact integer; the
+  // tie-corrected normal approximation closes in ONE IEEE sequence:
+  // z = (2W⁺ − n(n+1)/2) / √(v12/12) with v12 = 2n(n+1)(2n+1) −
+  // Σ(t³−t) EXACT in decimal (HUGEINT oracle — n³ wraps long at
+  // minute-grain day counts), two-sided α = 0.05 on the quantized
+  // z₄ (|z₄| > 19600). Scale shape: ONE volume-sized partial agg to
+  // (type, day) triples, then |types|×|days|-bounded grids and
+  // per-type windows. Output: |types| rows.
+  private def q284(s: SparkSession, dir: String): DataFrame =
+    wilcoxonAmPm(Tables.events(s, dir).filter(col("value").isNotNull))
+
+  private[graft] def wilcoxonAmPm(ev: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val t = ev
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("vc", floor(col("value") * lit(100d) + lit(0.5d)).cast("long"))
+      .withColumn("am", hour(col("ts")) < 12)
+    val per = t.groupBy(col("event_type"), col("day")).agg(
+      min(struct(col("ts"), col("event_id"), col("vc"))).getField("vc").as("open_lv"),
+      max(struct(col("ts"), col("event_id"), col("vc"))).getField("vc").as("close_lv"),
+      max(when(col("am"), struct(col("ts"), col("event_id"), col("vc"))))
+        .getField("vc").as("mid_lv"))
+      .filter(col("mid_lv").isNotNull)
+      .withColumn("d", col("close_lv") + col("open_lv") - lit(2L) * col("mid_lv"))
+      .filter(col("d") =!= 0)
+      .withColumn("ad", abs(col("d")))
+    val cells = per.groupBy(col("event_type"), col("ad")).agg(
+      count(lit(1)).as("t"),
+      sum(when(col("d") > 0, 1L).otherwise(0L)).as("tp"))
+    val wv = Window.partitionBy(col("event_type")).orderBy(col("ad"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells.withColumn("ct", sum(col("t")).over(wv))
+      .withColumn("prev", col("ct") - col("t"))
+      // doubled midrank per positive-d member of the tie cell; the
+      // factors stay ≤ 3n so the long product is day-grid safe
+      .withColumn("w2c", col("tp") * (lit(2L) * col("prev") + col("t") + lit(1L)))
+      .withColumn("tie3", d38(col("t")) * d38(col("t")) * d38(col("t")) - d38(col("t")))
+    val agg = cum.groupBy(col("event_type")).agg(
+      sum(col("t")).as("n"), sum(col("tp")).as("n_pos"),
+      sum(col("w2c")).as("w2"), sum(col("tie3")).as("ties3"))
+      .filter(col("n") >= 2)
+    val nd = d38(col("n"))
+    val v12 = lit(2).cast("decimal(38,0)") * nd * (nd + lit(1)) *
+      (lit(2).cast("decimal(38,0)") * nd + lit(1)) - col("ties3")
+    val mu2 = expr("(n * (n + 1)) DIV 2")
+    val z = (dd(col("w2")) - dd(mu2)) / sqrt(dd(v12) / lit(12.0))
+    val z4 = floor(z * lit(1e4) + lit(0.5)).cast("long")
+    agg.withColumn("v12", v12)
+      .select(col("event_type"), col("n").as("n_eff"), col("n_pos"),
+        when(dd(col("v12")) > 0, z4.cast("double") / lit(1e4)).as("z_r4"),
+        when(dd(col("v12")) > 0, abs(z4) > lit(19600L)).as("reject_sym"))
+  }
+
   /** q247/q256's shared per-type lag frame: n, a_den and the
     * quantized ρ6 integers rho1..rho{maxLag} off exact-integer
     * n²-cleared covariances.
@@ -1518,10 +1636,13 @@ object MarketQueries {
   private[graft] def acfLagFrame(rets: DataFrame, maxLag: Int): DataFrame = {
     val base = graft.operators.DayGrid
       .series(rets, "event_type", "day", "r_fp", "acfLagFrame")
-      // exact integer power sums; s1 fits long (|r| <~ 2^24 on a day
-      // grid), Σx² rides decimal like q175's s3/s4
+      // exact integer power sums; s1 rides decimal since round 15 —
+      // q281 feeds SQUARED returns through this frame (elements up to
+      // ~2^48), where a BIGINT day-grid sum keeps only ~3x headroom;
+      // same exact values, wider carrier (the widen-before-multiply
+      // rule applied to the sum). Σx² rides decimal like q175's s3/s4
       .withColumn("s1", expr(
-        "aggregate(xs, CAST(0 AS BIGINT), (a, e) -> a + e)"))
+        "aggregate(xs, CAST(0 AS DECIMAL(38,0)), (a, e) -> a + CAST(e AS DECIMAL(38,0)))"))
       .withColumn("sxx", expr(
         "aggregate(xs, CAST(0 AS DECIMAL(38,0)), (a, e) -> a + CAST(e AS DECIMAL(38,0)) * CAST(e AS DECIMAL(38,0)))"))
       .withColumn("a_den", expr(
@@ -1533,9 +1654,9 @@ object MarketQueries {
             s"i -> CAST(xs[i] AS DECIMAL(38,0)) * CAST(xs[i - $k] AS DECIMAL(38,0))), " +
             s"CAST(0 AS DECIMAL(38,0)), (a, e) -> a + e), NULL)"))
         .withColumn(s"head$k", expr(
-          s"IF(n > $k, aggregate(slice(xs, 1, CAST(n - $k AS INT)), CAST(0 AS BIGINT), (a, e) -> a + e), NULL)"))
+          s"IF(n > $k, aggregate(slice(xs, 1, CAST(n - $k AS INT)), CAST(0 AS DECIMAL(38,0)), (a, e) -> a + CAST(e AS DECIMAL(38,0))), NULL)"))
         .withColumn(s"tail$k", expr(
-          s"IF(n > $k, aggregate(slice(xs, $k + 1, CAST(n - $k AS INT)), CAST(0 AS BIGINT), (a, e) -> a + e), NULL)"))
+          s"IF(n > $k, aggregate(slice(xs, $k + 1, CAST(n - $k AS INT)), CAST(0 AS DECIMAL(38,0)), (a, e) -> a + CAST(e AS DECIMAL(38,0))), NULL)"))
         .withColumn(s"b$k", expr(
           s"CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) * cross$k " +
             s"- CAST(n AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0)) * CAST(head$k + tail$k AS DECIMAL(38,0)) " +
@@ -2113,6 +2234,9 @@ object MarketQueries {
     "q259_mann_kendall" -> q259 _,
     "q256_pacf" -> q256 _,
     "q247_acf_ljungbox" -> q247 _,
+    "q281_arch_lm" -> q281 _,
+    "q282_weekday_effect" -> q282 _,
+    "q284_wilcoxon_ampm" -> q284 _,
     "q221_var_cvar" -> q221 _,
     "q222_kalman_backtest" -> q222 _,
     "q223_coint_screen" -> q223 _,
@@ -2169,6 +2293,62 @@ object MarketQueries {
       |    close_lv - lag(close_lv) OVER (PARTITION BY event_type ORDER BY day) AS r_fp
       |  FROM c QUALIFY r_fp IS NOT NULL
       |)""".stripMargin
+
+  /** The q247/q281 shared Ljung-Box oracle: the exact-integer lag
+    * CTE chain over `list($listExpr ORDER BY day)` — q247 feeds the
+    * returns, q281 the SQUARED returns (McLeod-Li); `extraCols`
+    * appends decision columns to the closing SELECT. */
+  private def acfLjungBoxOracle(listExpr: String, extraCols: String = ""): String = {
+    val lags = 1 to 5
+    val crosses = lags.map(k =>
+      s"""    CASE WHEN n > $k THEN list_reduce(list_prepend(0::HUGEINT,
+         |      list_transform(range(${k + 1}, (n + 1)::INT), t -> l[t]::HUGEINT * l[t - $k]::HUGEINT)),
+         |      (a, b) -> a + b) END AS cross$k,
+         |    CASE WHEN n > $k THEN list_sum(l[1:(n - $k)::INT])::HUGEINT END AS head$k,
+         |    CASE WHEN n > $k THEN list_sum(l[${k + 1}:n::INT])::HUGEINT END AS tail$k""".stripMargin)
+      .mkString(",\n")
+    val bs = lags.map(k =>
+      s"""    n::HUGEINT * n::HUGEINT * cross$k
+         |      - n::HUGEINT * s1::HUGEINT * (head$k + tail$k)
+         |      + (n - $k)::HUGEINT * s1::HUGEINT * s1::HUGEINT AS b$k""".stripMargin)
+      .mkString(",\n")
+    val rhos = lags.map(k =>
+      s"""    CASE WHEN n > $k AND a_den > 0 THEN
+         |      floor(b$k::DOUBLE / (n::HUGEINT * a_den)::DOUBLE * 1e6 + 0.5)::BIGINT END AS rho$k""".stripMargin)
+      .mkString(",\n")
+    val lbS = lags.map(k => s"(rho$k * rho$k * 1000) // (n - $k)").mkString(" + ")
+    val acfCols = lags.map(k => s"  rho$k::DOUBLE / 1e6 AS acf${k}_r6").mkString(",\n")
+    dayRetCtes +
+      s""", s AS (
+         |  SELECT event_type, list($listExpr ORDER BY day) AS l FROM r GROUP BY 1
+         |), m AS (
+         |  SELECT event_type, l, len(l)::BIGINT AS n,
+         |    list_sum(l)::HUGEINT AS s1,
+         |    list_reduce(list_prepend(0::HUGEINT,
+         |      list_transform(l, e -> e::HUGEINT * e::HUGEINT)), (a, b) -> a + b) AS sxx
+         |  FROM s
+         |), d AS (
+         |  SELECT *, n::HUGEINT * sxx - s1::HUGEINT * s1::HUGEINT AS a_den FROM m
+         |), lg AS (
+         |  SELECT *,
+         |$crosses
+         |  FROM d
+         |), bb AS (
+         |  SELECT *,
+         |$bs
+         |  FROM lg
+         |), rr AS (
+         |  SELECT *,
+         |$rhos
+         |  FROM bb
+         |), ss AS (
+         |  SELECT *, CASE WHEN n > 5 AND a_den > 0 THEN $lbS END AS lb_s FROM rr
+         |)
+         |SELECT event_type, n AS n_days,
+         |$acfCols,
+         |  floor(n::DOUBLE * (n::DOUBLE + 2.0) * lb_s::DOUBLE / 1e15 * 1e4 + 0.5) / 1e4 AS lb_q_r4$extraCols
+         |FROM ss""".stripMargin
+  }
 
   /** The q247/q256 shared oracle prefix: dayRetCtes + the exact-
     * integer lag CTE chain ending at `rr` (event_type, n, a_den,
@@ -2608,56 +2788,107 @@ object MarketQueries {
           |  floor(p44 * 1e6 + 0.5) / 1e6 AS pacf4_r6,
           |  floor(p55 * 1e6 + 0.5) / 1e6 AS pacf5_r6
           |FROM e12""".stripMargin),
-    "q247_acf_ljungbox" -> {
-      val lags = 1 to 5
-      val crosses = lags.map(k =>
-        s"""    CASE WHEN n > $k THEN list_reduce(list_prepend(0::HUGEINT,
-           |      list_transform(range(${k + 1}, (n + 1)::INT), t -> l[t]::HUGEINT * l[t - $k]::HUGEINT)),
-           |      (a, b) -> a + b) END AS cross$k,
-           |    CASE WHEN n > $k THEN list_sum(l[1:(n - $k)::INT])::HUGEINT END AS head$k,
-           |    CASE WHEN n > $k THEN list_sum(l[${k + 1}:n::INT])::HUGEINT END AS tail$k""".stripMargin)
-        .mkString(",\n")
-      val bs = lags.map(k =>
-        s"""    n::HUGEINT * n::HUGEINT * cross$k
-           |      - n::HUGEINT * s1::HUGEINT * (head$k + tail$k)
-           |      + (n - $k)::HUGEINT * s1::HUGEINT * s1::HUGEINT AS b$k""".stripMargin)
-        .mkString(",\n")
-      val rhos = lags.map(k =>
-        s"""    CASE WHEN n > $k AND a_den > 0 THEN
-           |      floor(b$k::DOUBLE / (n::HUGEINT * a_den)::DOUBLE * 1e6 + 0.5)::BIGINT END AS rho$k""".stripMargin)
-        .mkString(",\n")
-      val lbS = lags.map(k => s"(rho$k * rho$k * 1000) // (n - $k)").mkString(" + ")
-      val acfCols = lags.map(k => s"  rho$k::DOUBLE / 1e6 AS acf${k}_r6").mkString(",\n")
+    "q247_acf_ljungbox" -> acfLjungBoxOracle("r_fp"),
+    // q281's oracle = q247's generator fed r², plus the fixed-df=5
+    // decision recomputed from the SAME quantized LB integer
+    "q281_arch_lm" -> acfLjungBoxOracle("r_fp * r_fp",
+      """,
+        |  CASE WHEN lb_s IS NOT NULL THEN
+        |    floor(n::DOUBLE * (n::DOUBLE + 2.0) * lb_s::DOUBLE / 1e15 * 1e4 + 0.5)::BIGINT > 110705
+        |  END AS reject_arch""".stripMargin),
+    "q284_wilcoxon_ampm" ->
+      """WITH e AS (
+        |  SELECT event_type, ts::TIMESTAMP AS ts, event_id,
+        |    ts::TIMESTAMP::DATE AS day,
+        |    floor(value * 100 + 0.5)::BIGINT AS vc,
+        |    extract(hour FROM ts::TIMESTAMP) < 12 AS am
+        |  FROM events WHERE value IS NOT NULL
+        |), r0 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS rn
+        |  FROM e
+        |), p AS (
+        |  SELECT event_type, day,
+        |    arg_min(vc, rn) AS open_lv,
+        |    arg_max(vc, rn) AS close_lv,
+        |    arg_max(vc, rn) FILTER (WHERE am) AS mid_lv
+        |  FROM r0 GROUP BY 1, 2
+        |), dd AS (
+        |  SELECT event_type, d, abs(d) AS ad FROM (
+        |    SELECT event_type, close_lv + open_lv - 2 * mid_lv AS d
+        |    FROM p WHERE mid_lv IS NOT NULL
+        |  ) WHERE d != 0
+        |), cells AS (
+        |  SELECT event_type, ad, count(*)::BIGINT AS t,
+        |    sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS tp
+        |  FROM dd GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT event_type, ad, t, tp,
+        |    sum(t) OVER (PARTITION BY event_type ORDER BY ad
+        |      ROWS UNBOUNDED PRECEDING) AS ct
+        |  FROM cells
+        |), agg AS (
+        |  SELECT event_type, sum(t)::BIGINT AS n, sum(tp)::BIGINT AS n_pos,
+        |    sum(tp * (2 * (ct - t) + t + 1))::BIGINT AS w2,
+        |    sum(t::HUGEINT * t::HUGEINT * t::HUGEINT - t::HUGEINT) AS ties3
+        |  FROM cum GROUP BY 1 HAVING sum(t) >= 2
+        |), z AS (
+        |  SELECT event_type, n, n_pos,
+        |    (2::HUGEINT * n::HUGEINT * (n + 1)::HUGEINT
+        |      * (2::HUGEINT * n::HUGEINT + 1) - ties3) AS v12,
+        |    (w2::DOUBLE - ((n * (n + 1)) // 2)::DOUBLE)
+        |      / sqrt((2::HUGEINT * n::HUGEINT * (n + 1)::HUGEINT
+        |        * (2::HUGEINT * n::HUGEINT + 1) - ties3)::DOUBLE / 12.0) AS zz
+        |  FROM agg
+        |)
+        |SELECT event_type, n AS n_eff, n_pos,
+        |  CASE WHEN v12::DOUBLE > 0 THEN
+        |    floor(zz * 1e4 + 0.5)::BIGINT::DOUBLE / 1e4 END AS z_r4,
+        |  CASE WHEN v12::DOUBLE > 0 THEN
+        |    abs(floor(zz * 1e4 + 0.5)::BIGINT) > 19600 END AS reject_sym
+        |FROM z""".stripMargin,
+    "q282_weekday_effect" -> {
+      // the q263 kruskal closing over the day-grid returns, grouped
+      // by the exact integer epoch-day mod 7
+      val obs = "SELECT (day - DATE '1970-01-01') % 7 AS gk, r_fp AS vc FROM r"
       dayRetCtes +
-        s""", s AS (
-           |  SELECT event_type, list(r_fp ORDER BY day) AS l FROM r GROUP BY 1
-           |), m AS (
-           |  SELECT event_type, l, len(l)::BIGINT AS n,
-           |    list_sum(l)::BIGINT AS s1,
-           |    list_reduce(list_prepend(0::HUGEINT,
-           |      list_transform(l, e -> e::HUGEINT * e::HUGEINT)), (a, b) -> a + b) AS sxx
-           |  FROM s
-           |), d AS (
-           |  SELECT *, n::HUGEINT * sxx - s1::HUGEINT * s1::HUGEINT AS a_den FROM m
-           |), lg AS (
-           |  SELECT *,
-           |$crosses
-           |  FROM d
-           |), bb AS (
-           |  SELECT *,
-           |$bs
-           |  FROM lg
-           |), rr AS (
-           |  SELECT *,
-           |$rhos
-           |  FROM bb
-           |), ss AS (
-           |  SELECT *, CASE WHEN n > 5 AND a_den > 0 THEN $lbS END AS lb_s FROM rr
-           |)
-           |SELECT event_type, n AS n_days,
-           |$acfCols,
-           |  floor(n::DOUBLE * (n::DOUBLE + 2.0) * lb_s::DOUBLE / 1e15 * 1e4 + 0.5) / 1e4 AS lb_q_r4
-           |FROM ss""".stripMargin
+        s"""
+           |SELECT 'returns~weekday' AS relation, k_groups, n,
+           |  CASE WHEN n > 1 AND corr > 0 THEN
+           |    floor(h / corr * 1e4 + 0.5)::BIGINT::DOUBLE / 1e4 END AS h_r4,
+           |  CASE WHEN n > 1 AND corr > 0 AND q95x1e4 IS NOT NULL THEN
+           |    floor(h / corr * 1e4 + 0.5)::BIGINT > q95x1e4 END AS reject
+           |FROM (
+           |  SELECT k_groups, n,
+           |    3.0 * (sfp::DOUBLE / 1e6) / (n::DOUBLE * (n::DOUBLE + 1.0)) AS h,
+           |    1.0 - ties::DOUBLE
+           |      / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE) AS corr
+           |  FROM (
+           |    SELECT count(*)::BIGINT AS k_groups, sum(ng)::BIGINT AS n,
+           |      sum(floor(((r2 - ng::HUGEINT * (nn + 1)::HUGEINT)::DOUBLE
+           |           * (r2 - ng::HUGEINT * (nn + 1)::HUGEINT)::DOUBLE
+           |           / ng::DOUBLE) * 1e6 + 0.5)::HUGEINT) AS sfp
+           |    FROM (
+           |      SELECT gk, sum(a)::BIGINT AS ng,
+           |        sum(a::HUGEINT * (prev * 2 + t::HUGEINT + 1)) AS r2
+           |      FROM (
+           |        SELECT gk, vc, count(*)::BIGINT AS a FROM ($obs) GROUP BY 1, 2
+           |      ) cells
+           |      JOIN (
+           |        SELECT vc, t, (sum(t) OVER (ORDER BY vc ROWS BETWEEN
+           |          UNBOUNDED PRECEDING AND CURRENT ROW) - t)::HUGEINT AS prev
+           |        FROM (SELECT vc, count(*)::BIGINT AS t FROM ($obs) GROUP BY 1)
+           |      ) cum USING (vc)
+           |      GROUP BY 1
+           |    ) per
+           |    CROSS JOIN (SELECT count(*)::BIGINT AS nn FROM ($obs)) gl
+           |  ) s1
+           |  CROSS JOIN (
+           |    SELECT sum(t::HUGEINT * t::HUGEINT * t::HUGEINT - t::HUGEINT) AS ties
+           |    FROM (SELECT vc, count(*)::BIGINT AS t FROM ($obs) GROUP BY 1)
+           |  ) tq
+           |) z
+           |LEFT JOIN ${StatTables.chi2ValuesSql} ON chi2.df = z.k_groups - 1"""
+          .stripMargin
     },
     "q221_var_cvar" ->
       (dayRetCtes +

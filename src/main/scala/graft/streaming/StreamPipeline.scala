@@ -2103,6 +2103,14 @@ object StreamPipeline {
   def dickeyFullerServe(spark: SparkSession, storePath: String): org.apache.spark.sql.DataFrame =
     graft.queries.MarketQueries.dickeyFuller(closesOf(spark, storePath))
 
+  /** Serve q281's ARCH (McLeod-Li) volatility-clustering decisions
+    * from the closes store (returns re-derive through the shared
+    * returnsFromCloses lag — the vonNeumannServe pairing: vN asks if
+    * LEVELS are serially random, this asks if their VOLATILITY is). */
+  def archServe(spark: SparkSession, storePath: String): org.apache.spark.sql.DataFrame =
+    graft.queries.MarketQueries.archLm(
+      graft.queries.MarketQueries.returnsFromCloses(closesOf(spark, storePath)))
+
   /** Serve q200's PageRank navigation centrality from the
     * [[transitionMaintain]] counts store: the store IS the q185
     * matrix (StreamingSpec pins streamed counts ≡ declared q185

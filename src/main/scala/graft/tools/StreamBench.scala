@@ -495,6 +495,10 @@ object StreamBench {
     val dfLine = report("dickey_fuller_serve",
       serveLats(() => StreamPipeline.dickeyFullerServe(spark, s"$dir/closes")), 0,
       s""","store_rows":$closesRows""")
+    // round-15 diagnostics serve — same store, one more closing
+    val archLine = report("arch_serve",
+      serveLats(() => StreamPipeline.archServe(spark, s"$dir/closes")), 0,
+      s""","store_rows":$closesRows""")
 
     // ---- 18. path-trigram maintenance: <=|types|^3 count table +
     // two-row-per-user carry; the q204 extraction over carry ∪ batch.
@@ -633,7 +637,7 @@ object StreamBench {
     val basketLine = report("basket_maintain", basketLats, evRows,
       s""","cell_rows":${spark.read.parquet(s"$dir/basket_cells").count()}""")
 
-    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine,$attrLine,$rfmLine,$sessLine,$liftLine,$clLine,$xoLine,$ewLine,$hoLine,$vcLine,$kfLine,$egLine,$hwLine,$ghLine,$jbLine,$runsLine,$mkLine,$hurstLine,$pettittLine,$vnLine,$tpLine,$kpssLine,$dfLine,$pathLine,$botLine,$cusumLine,$scd2Line,$psiLine,$jsLine,$hllLine,$madLine,$trimmedLine,$basketLine}")
+    println(s"STREAM_BENCH {$runLine,$alertLine,$dedupLine,$impLine,$blkLine,$aqLine,$panelLine,$gramLine,$transLine,$funLine,$retLine,$profLine,$attrLine,$rfmLine,$sessLine,$liftLine,$clLine,$xoLine,$ewLine,$hoLine,$vcLine,$kfLine,$egLine,$hwLine,$ghLine,$jbLine,$runsLine,$mkLine,$hurstLine,$pettittLine,$vnLine,$tpLine,$kpssLine,$dfLine,$archLine,$pathLine,$botLine,$cusumLine,$scd2Line,$psiLine,$jsLine,$hllLine,$madLine,$trimmedLine,$basketLine}")
     spark.stop()
   }
 }

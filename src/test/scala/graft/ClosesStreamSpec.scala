@@ -82,6 +82,9 @@ class ClosesStreamSpec extends SparkSpec {
     assert(rows(StreamPipeline.dickeyFullerServe(spark, p)) ==
       rows(SparkEntry.queries("q277_dickey_fuller")(spark, dir)),
       "served Dickey-Fuller must equal declared q277 bitwise")
+    assert(rows(StreamPipeline.archServe(spark, p)) ==
+      rows(SparkEntry.queries("q281_arch_lm")(spark, dir)),
+      "served ARCH/McLeod-Li must equal declared q281 bitwise")
   }
 
   test("5-way hash-shuffled split converges identically; replay is a no-op") {

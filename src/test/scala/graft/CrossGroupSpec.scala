@@ -339,6 +339,93 @@ class CrossGroupSpec extends SparkSpec {
     assert(degen.isNullAt(degen.fieldIndex("reject")))
   }
 
+  // ---- q285 Jonckheere-Terpstra ordered trend -------------------------
+  private def jtOf(groups: Seq[(Int, Seq[Long])], k: Int) = {
+    val obs = groups.flatMap { case (g, vs) => vs.map((g, _)) }.toDF("gi", "vc")
+    InsightQueries.jonckheere(obs, "t", k).collect().head
+  }
+
+  test("jonckheere: a perfectly ordered 3-group case gives z = 6/sqrt(6.3333) = 2.3842, trend up") {
+    // {1,2} < {3,4} < {5,6}: J = 12 (max), mu = 6, no ties ->
+    // var = (6*5*17 - 3*2*1*9)/72 = 456/72
+    val r = jtOf(Seq(1 -> Seq(1L, 2L), 2 -> Seq(3L, 4L), 3 -> Seq(5L, 6L)), 3)
+    assert(r.getAs[Long]("k_groups") == 3L && r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Double]("z_r4") == 2.3842)
+    assert(r.getAs[Boolean]("inc_trend") && !r.getAs[Boolean]("dec_trend"))
+  }
+
+  test("jonckheere: the tie-corrected variance replays the hand case z = 1 exactly") {
+    // g1 = {1,1}, g2 = {1,2}: J* = 2 + 2/2 = 3 (4J* = 12), mu4 = 8,
+    // A = 156-36-66 = 54, fn3 = 0, term3 = 4*6/(8*4*3) -> var = 1.0
+    val r = jtOf(Seq(1 -> Seq(1L, 1L), 2 -> Seq(1L, 2L)), 2)
+    assert(r.getAs[Double]("z_r4") == 1.0)
+    assert(!r.getAs[Boolean]("inc_trend"))
+    // and the reversed order flips the sign exactly
+    val d = jtOf(Seq(1 -> Seq(1L, 2L), 2 -> Seq(1L, 1L)), 2)
+    assert(d.getAs[Double]("z_r4") == -1.0)
+  }
+
+  test("jonckheere: a strong decreasing trend fires dec_trend") {
+    val r = jtOf(Seq(1 -> (20L to 29L), 2 -> (10L to 19L), 3 -> (0L to 9L)), 3)
+    assert(r.getAs[Boolean]("dec_trend") && r.getAs[Double]("z_r4") < -1.6449)
+  }
+
+  // ---- q280 Brown-Forsythe spread test -------------------------------
+  private def bfOf(groups: Seq[(String, Seq[Long])]) = {
+    val obs = groups.flatMap { case (g, vs) => vs.map((g, _)) }.toDF("gk", "vc")
+    InsightQueries.brownForsythe(obs, "t").collect()(0)
+  }
+
+  test("brownForsythe: identical spreads give W = 0; a constant-vs-wide pair gives W = 25 exactly") {
+    val eq = bfOf(Seq("a" -> Seq(1L, 2L, 3L), "b" -> Seq(11L, 12L, 13L)))
+    assert(eq.getAs[Double]("w_r4") == 0.0 && !eq.getAs[Boolean]("reject"))
+    // a: ten constants (zero spread); b: 0,10,..,90 (median 40,
+    // S_z=250, Q_z=8500): between = 3125, within = 2250,
+    // W = 18 * 3125/2250 = 25.0 EXACTLY (b6/w6 = 25/18)
+    val gap = bfOf(Seq("a" -> Seq.fill(10)(5L),
+      "b" -> (0 until 10).map(_ * 10L)))
+    assert(gap.getAs[Double]("w_r4") == 25.0)
+    assert(gap.getAs[Boolean]("reject")) // (k-1)W = 250000 > 38415
+  }
+
+  test("brownForsythe: all-constant groups have zero within-spread -> NULL statistic") {
+    val d = bfOf(Seq("a" -> Seq(5L, 5L, 5L), "b" -> Seq(9L, 9L, 9L)))
+    assert(d.isNullAt(d.fieldIndex("w_r4")) && d.isNullAt(d.fieldIndex("reject")))
+  }
+
+  // ---- q279 Mood's median test --------------------------------------
+  private def moodOf(groups: Seq[(String, Seq[Long])]) = {
+    val obs = groups.flatMap { case (g, vs) => vs.map((g, _)) }.toDF("gk", "vc")
+    InsightQueries.moodMedian(obs, "t").collect()
+  }
+
+  test("mood: perfect separation gives chi2 = N = 6 exactly and rejects") {
+    // {1,2,3} vs {10,11,12}: N=6, lower median 3, all of b above ->
+    // the 2x2 perfect-separation identity chi2 = N
+    val r = moodOf(Seq("a" -> Seq(1L, 2L, 3L), "b" -> Seq(10L, 11L, 12L))).head
+    assert(r.getAs[Long]("k_groups") == 2L && r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Long]("n_above") == 3L)
+    assert(r.getAs[Double]("chi2_r4") == 6.0)
+    assert(r.getAs[Boolean]("reject")) // df 1 boundary 3.8415
+  }
+
+  test("mood: tie-heavy hand case lands on the exact quantized cell sum; zero-above nulls") {
+    // a={1,1,2}, b={1,2,2}: median 1, a_above=1, b_above=2 ->
+    // per-group term 1/3 each, s6 = 666666, chi2_r4 = 0.6667
+    val r = moodOf(Seq("a" -> Seq(1L, 1L, 2L), "b" -> Seq(1L, 2L, 2L))).head
+    assert(r.getAs[Double]("chi2_r4") == 0.6667)
+    assert(!r.getAs[Boolean]("reject"))
+    // all values equal: nothing sits above the median -> c1 = 0,
+    // every term undefined -> NULL statistic and decision
+    val d = moodOf(Seq("a" -> Seq(5L, 5L), "b" -> Seq(5L, 5L))).head
+    assert(d.isNullAt(d.fieldIndex("chi2_r4")) && d.isNullAt(d.fieldIndex("reject")))
+  }
+
+  test("mood: empty input emits ZERO rows (the bartlett degenerate-parity contract)") {
+    val obs = Seq.empty[(String, Long)].toDF("gk", "vc")
+    assert(InsightQueries.moodMedian(obs, "t").count() == 0L)
+  }
+
   test("bartlett: all-singleton input (no group reaches ni >= 2) emits ZERO rows") {
     // The engine groups by lit(rel), so an input where every group is
     // filtered by the ni >= 2 gate produces an empty frame — and the

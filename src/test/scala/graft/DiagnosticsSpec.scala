@@ -385,4 +385,53 @@ class DiagnosticsSpec extends SparkSpec {
     val tie = tpOf(Seq(10L, 20L, 20L, 30L, 25L, 40L))
     assert(tie.getAs[Long]("t_stat") == 2L, "only the strict 30-peak and 25-trough count")
   }
+
+  // ---- q284 Wilcoxon signed-rank AM/PM ---------------------------------
+  private def ampmTicks(typ: String, dayIdx: Int,
+                        ticks: Seq[(Int, Double)]): Seq[(String, java.sql.Timestamp, Long, Double)] = {
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime +
+      dayIdx * 86400000L
+    ticks.zipWithIndex.map { case ((h, v), i) =>
+      (typ, new java.sql.Timestamp(base + h * 3600000L), dayIdx * 100L + i, v)
+    }
+  }
+
+  test("wilcoxonAmPm: hand-built AM/PM days give the exact doubled-rank z; zero and AM-less days drop") {
+    // d(day) = close + open - 2*mid in cents: days with d = +1,-2,+3,-4,+5
+    // -> 2W+ = 18, mu2 = 15, v12 = 660, z = 3/sqrt(55) = 0.4045
+    val ds = Seq(1, -2, 3, -4, 5)
+    val rows = ds.zipWithIndex.flatMap { case (d, i) =>
+      ampmTicks("A", i, Seq(9 -> 10.00, 11 -> 10.00, 15 -> (10.00 + d / 100.0)))
+    } ++
+      ampmTicks("A", 5, Seq(9 -> 10.00, 11 -> 10.00, 15 -> 10.00)) ++ // d = 0 drops
+      ampmTicks("A", 6, Seq(13 -> 10.00, 15 -> 12.00)) ++             // no AM tick drops
+      // type B: ties in |d| = {+1, +1, -1} -> 2W+ = 8, mu2 = 6,
+      // v12 = 168 - 24 = 144, z = 2/12 * ... = 2/sqrt(12) = 0.5774
+      Seq(1, 1, -1).zipWithIndex.flatMap { case (d, i) =>
+        ampmTicks("B", i, Seq(9 -> 10.00, 11 -> 10.00, 15 -> (10.00 + d / 100.0)))
+      }
+    val ev = rows.toDF("event_type", "ts", "event_id", "value")
+    val got = MarketQueries.wilcoxonAmPm(ev).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val a = got("A")
+    assert(a.getAs[Long]("n_eff") == 5L && a.getAs[Long]("n_pos") == 3L)
+    assert(a.getAs[Double]("z_r4") == 0.4045)
+    assert(!a.getAs[Boolean]("reject_sym"))
+    val b = got("B")
+    assert(b.getAs[Long]("n_eff") == 3L && b.getAs[Long]("n_pos") == 2L)
+    assert(b.getAs[Double]("z_r4") == 0.5774)
+    assert(!b.getAs[Boolean]("reject_sym"))
+  }
+
+  test("wilcoxonAmPm: a one-sided PM drift rejects symmetry") {
+    // 12 days, d strictly positive and distinct -> 2W+ = n(n+1),
+    // z = sqrt(3n(n+1)/(2n+1)) = sqrt(468/25) = 4.3267 > 1.96
+    val rows = (0 until 12).flatMap { i =>
+      ampmTicks("C", i, Seq(9 -> 10.00, 11 -> 10.00, 15 -> (10.01 + i / 100.0)))
+    }
+    val c = MarketQueries.wilcoxonAmPm(rows.toDF("event_type", "ts", "event_id", "value"))
+      .collect().head
+    assert(c.getAs[Long]("n_pos") == 12L)
+    assert(c.getAs[Boolean]("reject_sym") && c.getAs[Double]("z_r4") > 1.96)
+  }
 }

@@ -317,6 +317,70 @@ class InsightSpec extends SparkSpec {
     assert(r.getAs[Double]("lb_q_r4") > 15.0)
   }
 
+  // ---- q283 Gini coefficient ----------------------------------------
+  test("giniMd: equality gives 0, one-holder gives (n-1)/n, the 1..4 textbook case gives 0.25") {
+    def g(vs: Seq[Long]) = InsightQueries
+      .giniMd(vs.toDF("vc"), "t").collect().head
+    assert(g(Seq(5L, 5L, 5L, 5L)).getAs[Double]("gini_r6") == 0.0)
+    // {0,0,0,10}: all value in one hand -> G = (n-1)/n = 0.75
+    assert(g(Seq(0L, 0L, 0L, 10L)).getAs[Double]("gini_r6") == 0.75)
+    // {1,2,3,4}: sum |xi-xj| over pairs = 10, n*S = 40 -> 0.25
+    assert(g(Seq(1L, 2L, 3L, 4L)).getAs[Double]("gini_r6") == 0.25)
+    // ties contribute zero to the pair sum: {1,1,3,3} -> 8/32 = 0.25
+    assert(g(Seq(1L, 1L, 3L, 3L)).getAs[Double]("gini_r6") == 0.25)
+    // degenerate: all zeros -> S = 0 -> NULL
+    val z = g(Seq(0L, 0L, 0L))
+    assert(z.isNullAt(z.fieldIndex("gini_r6")))
+  }
+
+  // ---- q281 ARCH effect (McLeod-Li) --------------------------------
+  test("archLm: constant-magnitude returns have NO arch effect (null), block volatility rejects") {
+    val d0 = java.sql.Date.valueOf("2024-01-01")
+    def day(i: Int) = new java.sql.Date(d0.getTime + i * 86400000L)
+    // q247's alternating anchor: returns +1,-1,... — STRONGLY serially
+    // correlated (q247 rejects on it) but |r| is constant, so the
+    // SQUARES have zero variance: a_den = 0, ACFs of r² null, no ARCH
+    // verdict — the two tests answer different questions by design
+    val alt = (0 until 12).map(i => ("a", day(i), if (i % 2 == 0) 1L else -1L))
+      .toDF("event_type", "day", "r_fp")
+    val r0 = MarketQueries.archLm(alt).collect().head
+    assert(r0.isNullAt(r0.fieldIndex("acf1_r6")))
+    assert(r0.isNullAt(r0.fieldIndex("reject_arch")))
+    // volatility CLUSTERS: blocks of |r|=5 then |r|=1 (signs alternate
+    // so the return level is noise) — squares 25,25,25,25,1,1,1,1,...
+    // are block-autocorrelated, the ARCH signature
+    val blocks = (0 until 40).map { i =>
+      val mag = if ((i / 4) % 2 == 0) 5L else 1L
+      ("a", day(i), if (i % 2 == 0) mag else -mag)
+    }.toDF("event_type", "day", "r_fp")
+    val r1 = MarketQueries.archLm(blocks).collect().head
+    assert(r1.getAs[Double]("acf1_r6") > 0.3,
+      s"block volatility must autocorrelate squares, got ${r1.getAs[Double]("acf1_r6")}")
+    assert(r1.getAs[Boolean]("reject_arch"))
+    // the fixed df=5 boundary: lb must exceed 11.0705 for the reject
+    assert(r1.getAs[Double]("lb_q_r4") > 11.0705)
+  }
+
+  // ---- q282 weekday effect ----------------------------------------
+  test("weekday effect: a planted Friday jump rejects; a weekday-free ramp keeps H0") {
+    val d0 = java.time.LocalDate.of(2024, 1, 1) // a Monday
+    def day(i: Int) = java.sql.Date.valueOf(d0.plusDays(i.toLong))
+    def wk(i: Int) = (java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.of(1970, 1, 1), d0.plusDays(i.toLong)) % 7).toString
+    // 10 full weeks; Fridays return +1000+i (distinct), others i
+    // (distinct, small) — the Friday group's ranks are the top decile
+    val jump = (0 until 70).map(i =>
+      (wk(i), if (d0.plusDays(i.toLong).getDayOfWeek.getValue == 5) 1000L + i
+       else i.toLong)).toDF("gk", "vc")
+    val r1 = InsightQueries.kruskalWallis(jump, "t").collect().head
+    assert(r1.getAs[Long]("k_groups") == 7L)
+    assert(r1.getAs[Boolean]("reject"))
+    // a monotone ramp spreads ranks evenly across weekdays: no effect
+    val ramp = (0 until 70).map(i => (wk(i), i.toLong)).toDF("gk", "vc")
+    val r2 = InsightQueries.kruskalWallis(ramp, "t").collect().head
+    assert(!r2.getAs[Boolean]("reject"))
+  }
+
   test("pacf: lag-1 PACF equals lag-1 ACF, and the Durbin-Levinson recursion replays exactly") {
     def q4(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
     val acf = MarketQueries.acfLjungBox(
