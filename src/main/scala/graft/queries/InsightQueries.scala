@@ -907,7 +907,16 @@ object InsightQueries {
     val wi = dd(num) / dd(col("ni")) // (ni−1)·Si², exact-rational → IEEE
     val si2 = dd(num) / (dd(col("ni")) * (dd(col("ni")) - lit(1.0)))
     val g = per
-      .withColumn("wq", floor(wi + lit(0.5)).cast("decimal(38,0)"))
+      // wq's quantizer is CAST(wi AS DECIMAL(38,0)) — HALF_UP, which
+      // IS floor(x+0.5) for the non-negative wi — NOT floor(wi+0.5):
+      // Spark's floor(double) returns LONG and wi (cents²·rows)
+      // passes 2⁶³ in the 100 TB regime (the q280 lesson; the oracle
+      // keeps floor(x+0.5)::HUGEINT — identical values). lt keeps the
+      // long floor: it is SIGNED (ln of a sub-unit variance), where
+      // the half-up cast diverges at exact negative halves, and its
+      // magnitude bound (ni−1)·|ln si2|·1e6 stays inside long at any
+      // realistic grouping.
+      .withColumn("wq", wi.cast("decimal(38,0)"))
       .withColumn("lt", when(si2 > 0,
         floor((dd(col("ni")) - lit(1.0)) * log(si2) * lit(1e6) + lit(0.5))
           .cast("decimal(38,0)")))

@@ -7,7 +7,7 @@ import graft.core.Tables
 /** The SURVEY §3.3(b) entry point: the same queries as the typed
   * Scala API, as `spark.sql()` text over registered temp views — the
   * surface a thriftserver / Spark Connect / notebook user gets when
-  * they can't (or won't) link the Scala library. Twenty
+  * they can't (or won't) link the Scala library. Twenty-one
   * representative shapes are covered — the OHLCV rollup (q06), the
   * sliding-window join (q09), the TPC-H Q1 pricing summary (q13),
   * the window-function battery (q54), the inverted index (q96), the
@@ -25,9 +25,11 @@ import graft.core.Tables
   * as VALUES), the two-sample Anderson-Darling drift score
   * (q268, the drift kit's twin), the Benford first-digit audit
   * (q270, the governance/audit family's twin — the 9-row literal
-  * expectation inlined as VALUES), and the Bartlett variance-
+  * expectation inlined as VALUES), the Bartlett variance-
   * homogeneity test (q273, the dispersion twin — quantized
-  * cross-group sums + the χ² VALUES join) — each the EXACT semantics of its
+  * cross-group sums + the χ² VALUES join), and Mood's median test
+  * (q279 — the global-median k×2 table, both relations) — each the
+  * EXACT semantics of its
   * typed twin: same op sequence, same decimal detours, same r4/r2
   * rounding, so results match bitwise (SqlEntrySpec pins text ≡
   * typed for every key in [[texts]]).
@@ -787,7 +789,7 @@ object SqlEntry {
         |  SELECT ni, CAST(ni AS DECIMAL(38,0)) * s2 - s1 * s1 AS num FROM per
         |), g2 AS (
         |  SELECT ni,
-        |    CAST(floor(CAST(num AS DOUBLE) / CAST(ni AS DOUBLE) + 0.5D)
+        |    CAST(CAST(num AS DOUBLE) / CAST(ni AS DOUBLE)
         |      AS DECIMAL(38,0)) AS wq,
         |    CASE WHEN CAST(num AS DOUBLE)
         |        / (CAST(ni AS DOUBLE) * (CAST(ni AS DOUBLE) - 1.0D)) > 0.0D THEN
@@ -820,6 +822,66 @@ object SqlEntry {
         |  CASE WHEN k_groups >= 2 AND nlt = k_groups AND CAST(sw AS DOUBLE) > 0.0D
         |      AND q95x1e4 IS NOT NULL THEN b4 > q95x1e4 END AS reject
         |FROM z LEFT JOIN chi2 ON chi2.df = z.df""").stripMargin,
+    // q279 — Mood's median test as a notebook writes it (SQL twin
+    // #21): global lower median via a running-count window, the k×2
+    // table off the cell grid, per-group (D/N)²/E terms quantized
+    // to 1e-6 before the k-row sum, integer (s6+50) DIV 100 closing,
+    // χ² VALUES join — bitwise ≡ the typed q279 on both relations.
+    "q279_mood_median" -> {
+      def blk(p: String, rel: String, obs: String) =
+        s"""${p}cells AS (SELECT gk, vc, count(1) AS a FROM ($obs) GROUP BY gk, vc),
+           |${p}tv AS (SELECT vc, sum(a) AS t FROM ${p}cells GROUP BY vc),
+           |${p}tot AS (SELECT sum(t) AS nn FROM ${p}tv),
+           |${p}med AS (
+           |  SELECT min(vc) AS med FROM (
+           |    SELECT vc, sum(t) OVER (ORDER BY vc ROWS UNBOUNDED PRECEDING) AS ct
+           |    FROM ${p}tv) c CROSS JOIN ${p}tot WHERE ct >= (nn + 1) DIV 2),
+           |${p}per AS (
+           |  SELECT gk, sum(a) AS ni,
+           |    sum(CASE WHEN vc > med THEN a ELSE 0L END) AS ai
+           |  FROM ${p}cells CROSS JOIN ${p}med GROUP BY gk),
+           |${p}gl AS (
+           |  SELECT count(1) AS k_groups, sum(ni) AS n, sum(ai) AS c1 FROM ${p}per),
+           |${p}terms AS (
+           |  SELECT k_groups, n, c1,
+           |    CASE WHEN c1 > 0 AND (n - c1) > 0 THEN
+           |      CAST(floor(((CAST(da AS DOUBLE) / CAST(n AS DOUBLE))
+           |          * (CAST(da AS DOUBLE) / CAST(n AS DOUBLE))
+           |          / (CAST(ni AS DOUBLE) * CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE))
+           |        + (CAST(db AS DOUBLE) / CAST(n AS DOUBLE))
+           |          * (CAST(db AS DOUBLE) / CAST(n AS DOUBLE))
+           |          / (CAST(ni AS DOUBLE) * CAST(n - c1 AS DOUBLE) / CAST(n AS DOUBLE)))
+           |        * 1e6 + 0.5D) AS DECIMAL(38,0))
+           |    END AS t6
+           |  FROM (
+           |    SELECT ni, ai, k_groups, n, c1,
+           |      CAST(ai AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+           |        - CAST(ni AS DECIMAL(38,0)) * CAST(c1 AS DECIMAL(38,0)) AS da,
+           |      CAST(ni - ai AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+           |        - CAST(ni AS DECIMAL(38,0)) * CAST(n - c1 AS DECIMAL(38,0)) AS db
+           |    FROM ${p}per CROSS JOIN ${p}gl) j),
+           |${p}agg AS (
+           |  SELECT '$rel' AS relation, max(k_groups) AS k_groups,
+           |    max(n) AS n, max(c1) AS n_above,
+           |    sum(t6) AS s6, count(t6) AS nt
+           |  FROM ${p}terms GROUP BY 1)""".stripMargin
+      def body(p: String) =
+        s"""SELECT relation, k_groups, n, n_above,
+           |  CASE WHEN k_groups >= 2 AND nt = k_groups THEN
+           |    CAST((CAST(s6 AS BIGINT) + 50) DIV 100 AS DOUBLE) / 1e4 END AS chi2_r4,
+           |  CASE WHEN k_groups >= 2 AND nt = k_groups AND q95x1e4 IS NOT NULL THEN
+           |    (CAST(s6 AS BIGINT) + 50) DIV 100 > q95x1e4 END AS reject
+           |FROM ${p}agg LEFT JOIN chi2 ON chi2.df = ${p}agg.k_groups - 1"""
+          .stripMargin
+      "WITH chi2 AS (SELECT * FROM " + chi2Values + "),\n" +
+        blk("e3", "events.value~event_type",
+          "SELECT event_type AS gk, cast(floor(value * 100.0D + 0.5D) AS BIGINT) AS vc " +
+            "FROM events WHERE value IS NOT NULL") + ",\n" +
+        blk("o3", "orders.totalprice~priority",
+          "SELECT o_orderpriority AS gk, " +
+            "cast(floor(o_totalprice * 100.0D + 0.5D) AS BIGINT) AS vc FROM orders") + "\n" +
+        body("e3") + "\nUNION ALL\n" + body("o3")
+    },
     "q96_inverted_index" ->
       """WITH t AS (
         |  SELECT doc_id,
