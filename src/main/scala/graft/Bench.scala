@@ -197,8 +197,14 @@ object Bench {
     // Approximate (wall-clock isn't 100% clock-bound) — BASELINE.md
     // records BOTH, compares raw to raw within a round and normalized
     // across rounds.
-    val subset41Norm = subset41 * (0.8 / preNs)
-    println(s"""{"metric":"total","value":${r2c(total)},"unit":"sec","n_queries":${results.size},"subset41":${r2c(subset41)},"subset41_normalized":${r2c(subset41Norm)},"sf":"$sfDir"}""")
+    // A degenerate canary (0 or NaN ns/op — e.g. a clock source the
+    // sandbox virtualizes away) must not poison the JSON artifact
+    // with Infinity/NaN: emit null and let BASELINE.md fall back to
+    // the raw subset (round-15 advice).
+    val subset41NormJson =
+      if (preNs > 0 && !preNs.isNaN) r2c(subset41 * (0.8 / preNs)).toString
+      else "null"
+    println(s"""{"metric":"total","value":${r2c(total)},"unit":"sec","n_queries":${results.size},"subset41":${r2c(subset41)},"subset41_normalized":$subset41NormJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -39,6 +39,37 @@ import org.apache.spark.sql.functions._
   */
 object ChunkedFrame {
 
+  /** Loud-failure bound on a single (key, chunk) band — the DayGrid
+    * move one level down (round-15 Next #2). Chunk grain is meant to
+    * be hour/day-of-order per key, so per-band rows are bounded by
+    * ticks per (key, hour); nothing in the machinery itself bounds
+    * them, and the q129@1000× probe showed a density-only replica
+    * silently growing bands to ~½M rows (maxTask 113 s) — a genuinely
+    * hot chunk (one instrument × market-open hour) at 100 TB would
+    * keep going into multi-GB single-task sorts. 4M rows ≈ ~120 MB of
+    * band per task: survivable, and well past any sane chunk grain —
+    * the same loud-not-OOM philosophy (and bound) as
+    * [[DayGrid.MaxSeriesLen]]. */
+  val MaxChunkRows: Int = 4000000
+
+  /** The guarded chunk-offset wrapper: `okExpr` when the band holds
+    * ≤ `maxLen` rows, a loud grain-contract `raise_error` otherwise.
+    * Lives in the chunk-summary (broadcast-side) projection, which
+    * every output row of the band joins through — so an oversized
+    * band dies at evaluation with a message naming the band, not as
+    * an inscrutable executor OOM inside the local-rank sort. */
+  private def guardedBand(caller: String, key: Column, chunk: Column,
+                          cnt: Column, okExpr: Column,
+                          outType: org.apache.spark.sql.types.DataType,
+                          maxLen: Int): Column =
+    when(cnt <= lit(maxLen.toLong), okExpr)
+      .otherwise(raise_error(concat(lit(
+        s"$caller: a single (key, chunk) band exceeds $maxLen rows — " +
+          "the chunk column must bucket each key's order domain " +
+          "(hour/day grain), not collapse it; got "),
+        cnt.cast("string"), lit(" rows for key "), key.cast("string"),
+        lit(" chunk "), chunk.cast("string"))).cast(outType))
+
   /** Adds `__g` — the exact 0-based global rank of each row within
     * `keyCol` under `orderCols` — WITHOUT ever sorting a key's whole
     * history in one task (steps 1–2 of the class doc): a local rank
@@ -62,7 +93,8 @@ object ChunkedFrame {
     * types × hours) keep the default hint. */
   def globalRank(df: DataFrame, keyCol: String, chunk: Column,
                  orderCols: Seq[String],
-                 broadcastOffsets: Boolean = true): DataFrame = {
+                 broadcastOffsets: Boolean = true,
+                 maxChunkRows: Int = MaxChunkRows): DataFrame = {
     val ord = orderCols.map(col)
     val k = col(keyCol)
     val withChunk = df.withColumn("__chunk", chunk)
@@ -79,9 +111,16 @@ object ChunkedFrame {
     // rank window twice.
     val wOffset = Window.partitionBy(col(s"__o_$keyCol")).orderBy(col("__o_chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // the hot-chunk guard rides the offset every body row adds to its
+    // local rank: a band past `maxChunkRows` raises at evaluation
+    // (round-15 Next #2 — loud, with the band named, instead of a
+    // silent multi-GB local-rank sort task)
     val offsets = withChunk.groupBy(k.as(s"__o_$keyCol"), col("__chunk").as("__o_chunk"))
       .agg(count(lit(1)).as("__cnt"))
-      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOffset), lit(0L)))
+      .withColumn("__off", guardedBand("ChunkedFrame.globalRank",
+        col(s"__o_$keyCol"), col("__o_chunk"), col("__cnt"),
+        coalesce(sum(col("__cnt")).over(wOffset), lit(0L)),
+        org.apache.spark.sql.types.LongType, maxChunkRows))
       .drop("__cnt")
     ranked.join(if (broadcastOffsets) broadcast(offsets) else offsets,
         k === col(s"__o_$keyCol") && col("__chunk") === col("__o_chunk"))
@@ -108,12 +147,14 @@ object ChunkedFrame {
   def withTrailingEval(df: DataFrame, keyCol: String, chunk: Column,
                        orderCols: Seq[String], haloWidth: Int,
                        blockSize: Int = 4096,
-                       broadcastOffsets: Boolean = true)
+                       broadcastOffsets: Boolean = true,
+                       maxChunkRows: Int = MaxChunkRows)
                       (build: (DataFrame, org.apache.spark.sql.expressions.WindowSpec) => DataFrame): DataFrame = {
     require(haloWidth >= 1 && blockSize > haloWidth,
       s"blockSize $blockSize must exceed halo width $haloWidth")
     val k = col(keyCol)
-    val indexed = globalRank(df, keyCol, chunk, orderCols, broadcastOffsets)
+    val indexed = globalRank(df, keyCol, chunk, orderCols, broadcastOffsets,
+      maxChunkRows)
 
     // 3. fixed-size blocks; a row in the last `haloWidth` of its block
     // ALSO emits a halo copy into the next block — one map-side
@@ -148,8 +189,10 @@ object ChunkedFrame {
     * that share order-column values must share a chunk. */
   def withTrailingDecimalSums(df: DataFrame, keyCol: String, chunk: Column,
                               orderCols: Seq[String], valCol: String,
-                              width: Int, blockSize: Int = 4096): DataFrame =
-    withTrailingEval(df, keyCol, chunk, orderCols, width, blockSize) { (d, w) =>
+                              width: Int, blockSize: Int = 4096,
+                              maxChunkRows: Int = MaxChunkRows): DataFrame =
+    withTrailingEval(df, keyCol, chunk, orderCols, width, blockSize,
+      maxChunkRows = maxChunkRows) { (d, w) =>
       val wFrame = w.rowsBetween(-width, Window.currentRow)
       val v = col(valCol)
       d.select(col("*"),
@@ -192,7 +235,8 @@ object ChunkedFrame {
     * contract as every entry point here. */
   def withRunningMax(df: DataFrame, keyCol: String, chunk: Column,
                      orderCols: Seq[String], valCol: String,
-                     outCol: String): DataFrame = {
+                     outCol: String,
+                     maxChunkRows: Int = MaxChunkRows): DataFrame = {
     val k = col(keyCol)
     val v = col(valCol)
     val withChunk = df.withColumn("__chunk", chunk)
@@ -209,9 +253,12 @@ object ChunkedFrame {
     val wPrev = Window.partitionBy(col(s"__p_$keyCol")).orderBy(col("__p_chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val prior = withChunk.groupBy(k.as(s"__p_$keyCol"), col("__chunk").as("__p_chunk"))
-      .agg(max(v).as("__cm"))
-      .withColumn("__pm", max(col("__cm")).over(wPrev))
-      .drop("__cm")
+      .agg(max(v).as("__cm"), count(lit(1)).as("__cc"))
+      .withColumn("__pm", guardedBand("ChunkedFrame.withRunningMax",
+        col(s"__p_$keyCol"), col("__p_chunk"), col("__cc"),
+        max(col("__cm")).over(wPrev),
+        df.schema(valCol).dataType, maxChunkRows))
+      .drop("__cm", "__cc")
 
     // 3. per-row combine; greatest skips the null first-chunk prefix
     local.join(broadcast(prior),
@@ -237,8 +284,10 @@ object ChunkedFrame {
     * row whose own CHUNK hadn't seen a value yet). */
   def withRunningSum(df: DataFrame, keyCol: String, chunk: Column,
                      orderCols: Seq[String], valCol: String,
-                     outCol: String): DataFrame =
-    withRunningSums(df, keyCol, chunk, orderCols, Seq(valCol -> outCol))
+                     outCol: String,
+                     maxChunkRows: Int = MaxChunkRows): DataFrame =
+    withRunningSums(df, keyCol, chunk, orderCols, Seq(valCol -> outCol),
+      maxChunkRows)
 
   /** N running sums in ONE banding pass — same local windows, ONE
     * chunk-summary aggregate, one broadcast join (q268 needs the
@@ -248,7 +297,8 @@ object ChunkedFrame {
     * plan the old single-column body produced. */
   def withRunningSums(df: DataFrame, keyCol: String, chunk: Column,
                       orderCols: Seq[String],
-                      sums: Seq[(String, String)]): DataFrame = {
+                      sums: Seq[(String, String)],
+                      maxChunkRows: Int = MaxChunkRows): DataFrame = {
     require(sums.nonEmpty,
       "withRunningSums needs at least one (valCol, outCol) pair")
     val k = col(keyCol)
@@ -263,12 +313,20 @@ object ChunkedFrame {
 
     val wPrev = Window.partitionBy(col(s"__p_$keyCol")).orderBy(col("__p_chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val csAggs = sums.zipWithIndex.map { case ((v, _), i) => sum(col(v)).as(s"__cs$i") }
+    // chunk sums + the band row count the hot-chunk guard reads
+    val csAggs = sums.zipWithIndex.map { case ((v, _), i) => sum(col(v)).as(s"__cs$i") } :+
+      count(lit(1)).as("__cc")
     val prior0 = withChunk.groupBy(k.as(s"__p_$keyCol"), col("__chunk").as("__p_chunk"))
       .agg(csAggs.head, csAggs.tail: _*)
+    // every out column's final expression reads its __ps band prefix,
+    // so guarding EACH prefix puts the loud bound on every consumer's
+    // evaluation path even after downstream column pruning
     val prior = sums.indices.foldLeft(prior0) { (d, i) =>
-      d.withColumn(s"__ps$i", sum(col(s"__cs$i")).over(wPrev))
-    }.drop(sums.indices.map(i => s"__cs$i"): _*)
+      d.withColumn(s"__ps$i", guardedBand("ChunkedFrame.withRunningSums",
+        col(s"__p_$keyCol"), col("__p_chunk"), col("__cc"),
+        sum(col(s"__cs$i")).over(wPrev),
+        prior0.schema(s"__cs$i").dataType, maxChunkRows))
+    }.drop("__cc" +: sums.indices.map(i => s"__cs$i"): _*)
 
     val joined = local.join(broadcast(prior),
       k === col(s"__p_$keyCol") && col("__chunk") === col("__p_chunk"))
@@ -295,8 +353,10 @@ object ChunkedFrame {
     * so their diff is null in both plans and `n_d` excludes it. */
   def withTrailingGainLossSums(df: DataFrame, keyCol: String, chunk: Column,
                                orderCols: Seq[String], valCol: String,
-                               width: Int, blockSize: Int = 4096): DataFrame =
-    withTrailingEval(df, keyCol, chunk, orderCols, width + 1, blockSize) { (d, w) =>
+                               width: Int, blockSize: Int = 4096,
+                               maxChunkRows: Int = MaxChunkRows): DataFrame =
+    withTrailingEval(df, keyCol, chunk, orderCols, width + 1, blockSize,
+      maxChunkRows = maxChunkRows) { (d, w) =>
       val fr = w.rowsBetween(-width, Window.currentRow)
       val diffed = d.withColumn("__df", col(valCol) - lag(col(valCol), 1).over(w))
       diffed.select(col("*"),

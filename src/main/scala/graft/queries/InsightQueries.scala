@@ -770,7 +770,30 @@ object InsightQueries {
     friedman(graft.operators.DailyCloses.closes(
       graft.operators.DailyCloses.state(Tables.events(s, dir))))
 
-  private[graft] def friedman(cl: DataFrame): DataFrame = {
+  // ---------------------------------------------------------------
+  // q288 — KENDALL'S W (COEFFICIENT OF CONCORDANCE): HOW STRONGLY do
+  // the instruments agree on their daily price ORDERING — the [0, 1]
+  // effect-size companion to q266's Friedman decision (Kendall &
+  // Babington Smith 1939): Friedman says "the rankings are not
+  // exchangeable", W says how far toward perfect lockstep they sit
+  // (the q290 significant-vs-big distinction, applied to the two-way
+  // layout). One identity links them — Q = n(k−1)·W — so the engine
+  // closes W from the SAME complete-block doubled-midrank aggregate
+  // (exact decimal num0/den off the day-grid grid, ONE shared IEEE
+  // sequence, one extra divide), quantized r6, with q266's χ² call
+  // carried alongside as the significance gate. Scale shape: q266's
+  // — day-grid blocks after DailyCloses' one partial agg. Output:
+  // 1 row.
+  private def q288(s: SparkSession, dir: String): DataFrame =
+    kendallW(graft.operators.DailyCloses.closes(
+      graft.operators.DailyCloses.state(Tables.events(s, dir))))
+
+  /** The shared Friedman construction through its closing aggregate
+    * (k_types, n_days, num0, den, df) — q266 closes it as the χ²
+    * statistic, q288 re-expresses the SAME aggregate as Kendall's W
+    * (the two are the one identity Q = n(k−1)·W; Kendall & Babington
+    * Smith 1939). */
+  private def friedmanAgg(cl: DataFrame): DataFrame = {
     val d38 = (c: Column) => c.cast("decimal(38,0)")
     val dd = (c: Column) => c.cast("double")
     val kk = cl.agg(countDistinct(col("event_type")).as("k"))
@@ -802,6 +825,13 @@ object InsightQueries {
         sum(col("sq")).as("num0"))
       .crossJoin(broadcast(den))
       .withColumn("df", col("k_types") - lit(1L))
+    agg
+  }
+
+  private[graft] def friedman(cl: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val agg = friedmanAgg(cl)
     val q = d38(col("k_types") - lit(1L)).cast("double") * dd(col("num0")) /
       dd(col("den"))
     val q4 = floor(q * lit(1e4) + lit(0.5)).cast("long")
@@ -811,6 +841,31 @@ object InsightQueries {
           q4.cast("double") / lit(1e4)).as("q_r4"),
         when(col("den").isNotNull && dd(col("den")) > 0 &&
           col("q95x1e4").isNotNull, q4 > col("q95x1e4")).as("reject"))
+  }
+
+  /** q288's closing: Kendall's coefficient of concordance W over the
+    * SAME Friedman aggregate — W = Q/(n(k−1)) under the tie-general
+    * Q, the [0, 1] agreement readout (0 = no agreement across days,
+    * 1 = the instruments rank identically every day). The same raw
+    * IEEE q sequence as [[friedman]], one extra divide, quantized r6;
+    * the α = 0.05 call is by construction the SAME decision as q266's
+    * (W > 0 "significant concordance" ⟺ Friedman rejects). */
+  private[graft] def kendallW(cl: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val agg = friedmanAgg(cl)
+    val q = d38(col("k_types") - lit(1L)).cast("double") * dd(col("num0")) /
+      dd(col("den"))
+    val q4 = floor(q * lit(1e4) + lit(0.5)).cast("long")
+    val w = q / (dd(col("n_days")) * (dd(col("k_types")) - lit(1.0)))
+    val w6 = floor(w * lit(1e6) + lit(0.5)).cast("long")
+    val valid = col("den").isNotNull && dd(col("den")) > 0 &&
+      col("n_days") > 0 && col("k_types") >= 2
+    agg.join(StatTables.chi2Frame(cl.sparkSession), Seq("df"), "left")
+      .select(col("k_types"), col("n_days"),
+        when(valid, w6.cast("double") / lit(1e6)).as("w_r6"),
+        when(valid && col("q95x1e4").isNotNull, q4 > col("q95x1e4"))
+          .as("reject"))
   }
 
   // ---------------------------------------------------------------
@@ -896,6 +951,24 @@ object InsightQueries {
     bartlett(evObs, "events.value~event_type")
   }
 
+  /** floor(x + 0.5) on a decimal(38,0) carrier, bitwise ≡ the DuckDB
+    * oracle's floor(x + 0.5)::HUGEINT for EVERY double x (round-15
+    * advice: the previous HALF_UP double→decimal CAST diverges from
+    * floor(x+0.5) when the IEEE add crosses an integer — frac(x)
+    * within half an ulp below 0.5, or odd integer-valued doubles in
+    * [2^52, 2^53) tying to even). Two regimes: below 2^52 the long
+    * carrier of Spark's floor(double) is safe and the IEEE add+floor
+    * is the oracle's own arithmetic; at/above 2^52 every double is
+    * integral, so y = x + 0.5 (the SAME IEEE add both engines
+    * perform, including the ties-to-even bump of odd integers in
+    * [2^52, 2^53)) is itself integral and the double→decimal cast of
+    * y is exact — no rounding left to disagree on. */
+  private[graft] def floorHalf38(x: Column): Column = {
+    val y = x + lit(0.5d)
+    when(x < lit(4.503599627370496e15), floor(y).cast("decimal(38,0)"))
+      .otherwise(y.cast("decimal(38,0)"))
+  }
+
   private[graft] def bartlett(obs: DataFrame, rel: String): DataFrame = {
     val d38 = (c: Column) => c.cast("decimal(38,0)")
     val dd = (c: Column) => c.cast("double")
@@ -907,16 +980,15 @@ object InsightQueries {
     val wi = dd(num) / dd(col("ni")) // (ni−1)·Si², exact-rational → IEEE
     val si2 = dd(num) / (dd(col("ni")) * (dd(col("ni")) - lit(1.0)))
     val g = per
-      // wq's quantizer is CAST(wi AS DECIMAL(38,0)) — HALF_UP, which
-      // IS floor(x+0.5) for the non-negative wi — NOT floor(wi+0.5):
-      // Spark's floor(double) returns LONG and wi (cents²·rows)
-      // passes 2⁶³ in the 100 TB regime (the q280 lesson; the oracle
-      // keeps floor(x+0.5)::HUGEINT — identical values). lt keeps the
-      // long floor: it is SIGNED (ln of a sub-unit variance), where
-      // the half-up cast diverges at exact negative halves, and its
-      // magnitude bound (ni−1)·|ln si2|·1e6 stays inside long at any
-      // realistic grouping.
-      .withColumn("wq", wi.cast("decimal(38,0)"))
+      // wq's quantizer is floorHalf38 — the two-regime floor(wi+0.5)
+      // on a decimal(38,0) carrier that is bitwise ≡ the oracle's
+      // floor(x+0.5)::HUGEINT in every regime (wi — cents²·rows —
+      // passes 2⁶³ in the 100 TB regime, so a bare long floor can't
+      // carry it; the previous HALF_UP cast agreed with the oracle
+      // only away from IEEE boundary cases — round-15 advice). lt
+      // keeps the long floor: its magnitude bound (ni−1)·|ln si2|·1e6
+      // stays inside long at any realistic grouping.
+      .withColumn("wq", floorHalf38(wi))
       .withColumn("lt", when(si2 > 0,
         floor((dd(col("ni")) - lit(1.0)) * log(si2) * lit(1e6) + lit(0.5))
           .cast("decimal(38,0)")))
@@ -1017,7 +1089,11 @@ object InsightQueries {
         max(col("c1")).as("n_above"), sum(col("t6")).as("s6"),
         count(col("t6")).as("nt"))
       .withColumn("df", col("k_groups") - lit(1L))
-    val q4 = expr("(CAST(s6 AS BIGINT) + 50) DIV 100")
+    // (s6 + 50) DIV 100 runs on the decimal(38,0) carrier — Spark's
+    // IntegralDivide divides in decimal and only the QUOTIENT lands
+    // in long, mirroring the oracle's HUGEINT // then ::BIGINT order
+    // (round-15 advice: casting s6 first gave 100× less headroom).
+    val q4 = expr("(s6 + 50) DIV 100")
     val valid = col("k_groups") >= 2 && col("nt") === col("k_groups")
     agg.join(StatTables.chi2Frame(obs.sparkSession), Seq("df"), "left")
       .select(col("relation"), col("k_groups"), col("n"), col("n_above"),
@@ -1083,17 +1159,17 @@ object InsightQueries {
       .withColumn("dg", d38(col("n")) * col("s1") - d38(col("ni")) * col("s"))
       // between term (D/N)²/n_g and within term (n_g·Q−S²)/n_g, each
       // ONE shared IEEE sequence quantized to 1e-6 before the k-sum.
-      // The quantizer is CAST(x AS DECIMAL(38,0)) — NOT floor(x+0.5):
-      // Spark's floor(double) returns LONG and these cents²-scaled
-      // terms pass 2⁶³ at sf0.01 already (wt·1e6 ≈ 1.5e23 for
-      // orders); the non-ANSI double→decimal cast is HALF_UP, which
-      // IS floor(x+0.5) for x ≥ 0, on a 38-digit carrier. The oracle
-      // keeps floor(x+0.5)::HUGEINT — identical for non-negatives.
-      .withColumn("bt6", ((dd(col("dg")) / dd(col("n"))) *
-        (dd(col("dg")) / dd(col("n"))) / dd(col("ni")) * lit(1e6))
-        .cast("decimal(38,0)"))
-      .withColumn("wt6", (dd(d38(col("ni")) * col("q1") - col("s1") * col("s1")) /
-        dd(col("ni")) * lit(1e6)).cast("decimal(38,0)"))
+      // The quantizer is floorHalf38 — floor(x+0.5) on a decimal
+      // carrier (these cents²-scaled terms pass 2⁶³ at sf0.01
+      // already, wt·1e6 ≈ 1.5e23 for orders, so a bare long floor
+      // can't carry them), bitwise ≡ the oracle's
+      // floor(x+0.5)::HUGEINT in every IEEE regime (round-15 advice
+      // replaced the boundary-divergent HALF_UP cast).
+      .withColumn("bt6", floorHalf38((dd(col("dg")) / dd(col("n"))) *
+        (dd(col("dg")) / dd(col("n"))) / dd(col("ni")) * lit(1e6)))
+      .withColumn("wt6", floorHalf38(
+        dd(d38(col("ni")) * col("q1") - col("s1") * col("s1")) /
+          dd(col("ni")) * lit(1e6)))
     val agg = j.groupBy(lit(rel).as("relation"))
       .agg(max(col("k_groups")).as("k_groups"), max(col("n")).as("n"),
         sum(col("bt6")).as("b6"), sum(col("wt6")).as("w6"))
@@ -1202,6 +1278,232 @@ object InsightQueries {
   }
 
   // ---------------------------------------------------------------
+  // q286 — ANSARI-BRADLEY SCALE DRIFT TEST: did each event_type's
+  // late half become more (or less) DISPERSED than its early half —
+  // the rank-based two-sample SCALE companion to q250's location
+  // test (Ansari & Bradley 1960; the same early/late split, the same
+  // grid). A location shift says "the metric moved"; a scale shift
+  // says "the metric got noisier" — variance drift that q250 cannot
+  // see (its U statistic is location-only) and Levene-style tests
+  // only ask k-sample-wise (q280). Construction: rank the pooled
+  // sample from BOTH ends (score = min(rank, N+1−rank)); tied
+  // observations take the AVERAGE of the scores their rank range
+  // covers (Hollander & Wolfe). DOUBLED score-range sums stay exact:
+  // with h = (N+1) DIV 2, 2·S(x) = Σ_{r≤x} 2·min(r, N+1−r) is the
+  // closed form x(x+1) below h and 2h(h+1) + 2(x−h)(N+1) − x(x+1)
+  // above it — pure integers off the grid's chunk-banded running
+  // counts, so each tie group's doubled score-range sum num2_v =
+  // 2S(hi) − 2S(prev) is exact decimal. The per-row terms
+  // a_v·num2_v/t_v (sample-1 score mass) and num2_v²/t_v (the score
+  // power sum the conditional variance needs) are rationals with
+  // per-row denominators, so each closes in ONE shared IEEE sequence
+  // quantized to 1e-6 via floorHalf38 BEFORE the cross-row sum (the
+  // q273 rule; Σnum2_v = 2·ΣA needs no quantizer — it is exact).
+  // Close: E[AB] = n1·ΣA/N, Var[AB] = n1n2(N·ΣA² − (ΣA)²)/(N²(N−1))
+  // (the permutation-conditional moments over the realized scores —
+  // exact under ties), z two-sided at the quantized |z₄| > 19600.
+  // Decimal headroom: the worst single-row num2²/t·1e6 is
+  // t·(N+1)²·1e6 ≤ N³·1e6 — inside decimal(38) to N ≈ 2×10¹⁰ per
+  // type; the dispersed-grid regime (t_v ≪ N) stays orders below
+  // (the q285 fn3·ft3 headroom note's discipline). Scale shape:
+  // q250's — one volume-sized partial agg to the (type, cents) grid,
+  // chunk-banded running counts, |types| output rows.
+  private def q286(s: SparkSession, dir: String): DataFrame =
+    ansariBradley(Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value")))
+
+  private[graft] def ansariBradley(e: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val bounds = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val vals = e.crossJoin(broadcast(bounds))
+      .withColumn("late",
+        datediff(col("day"), col("d0")) >= expr("(datediff(d1, d0) + 1) DIV 2"))
+      .filter(col("value").isNotNull)
+      .withColumn("vc", floor(col("value") * lit(100d) + lit(0.5d)).cast("long"))
+      .groupBy(col("event_type"), col("vc"))
+      .agg(count(when(!col("late"), lit(1))).as("a"),
+        count(when(col("late"), lit(1))).as("b"))
+      .withColumn("t", col("a") + col("b"))
+    val cum = graft.operators.ChunkedFrame.withRunningSum(
+      vals, "event_type", expr("vc DIV 100"), Seq("vc"), "t", "ct")
+    val nPer = vals.groupBy(col("event_type"))
+      .agg((sum(col("t"))).as("nn"), sum(col("a")).as("n1"),
+        sum(col("b")).as("n2"), count(lit(1)).as("n_cells"))
+    // doubled both-ends score-range prefix 2S(x) at h = (N+1) DIV 2
+    def s2(x: Column, nn: Column, h: Column): Column =
+      when(x <= h, d38(x) * d38(x + lit(1L)))
+        .otherwise(lit(2L).cast("decimal(38,0)") * d38(h) * d38(h + lit(1L)) +
+          lit(2L).cast("decimal(38,0)") * d38(x - h) * d38(nn + lit(1L)) -
+          d38(x) * d38(x + lit(1L)))
+    val rows = cum.join(broadcast(nPer), Seq("event_type"))
+      .withColumn("h", expr("(nn + 1) DIV 2"))
+      .withColumn("num2",
+        s2(col("ct"), col("nn"), col("h")) -
+          s2(col("ct") - col("t"), col("nn"), col("h")))
+      // per-row rational terms: ONE IEEE sequence each, 1e-6 fixed
+      // point via the two-regime floor(x+0.5) quantizer
+      .withColumn("ab6", floorHalf38(
+        dd(col("a")) * dd(col("num2")) / dd(col("t")) * lit(1e6)))
+      .withColumn("sq6", floorHalf38(
+        dd(col("num2")) * dd(col("num2")) / dd(col("t")) * lit(1e6)))
+    val per = rows.groupBy(col("event_type"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(col("nn")).as("nn"), max(col("n_cells")).as("n_cells"),
+        sum(col("num2")).as("sn2"), sum(col("ab6")).as("sab6"),
+        sum(col("sq6")).as("ssq6"))
+    // AB = sab6/2e6; ΣA = sn2/2; ΣA² = ssq6/4e6 (doubled-score scale)
+    val nD = dd(col("nn"))
+    val ab = dd(col("sab6")) / lit(2e6)
+    val sa = dd(col("sn2")) / lit(2.0)
+    val sa2 = dd(col("ssq6")) / lit(4e6)
+    val vr = dd(col("n1")) * dd(col("n2")) * (nD * sa2 - sa * sa) /
+      (nD * nD * (nD - lit(1.0)))
+    val z = (ab - dd(col("n1")) * sa / nD) / sqrt(vr)
+    val z4 = floor(z * lit(1e4) + lit(0.5)).cast("long")
+    val valid = col("n1") > 0 && col("n2") > 0 && col("n_cells") >= 2 && vr > 0
+    per.select(col("event_type"), col("n1").as("n_early"), col("n2").as("n_late"),
+      when(valid, floorHalf38(ab * lit(1e4)).cast("double") /
+        lit(1e4)).as("ab_r4"),
+      when(valid, z4.cast("double") / lit(1e4)).as("z_r4"),
+      when(valid, abs(z4) > 19600L).as("reject"))
+  }
+
+  // ---------------------------------------------------------------
+  // q287 — DUNN'S POST-HOC PAIRWISE TEST: WHICH groups differ, once
+  // an omnibus k-sample screen (q263 KW / q279 Mood) has said "some
+  // do" — the standard rank-based follow-up (Dunn 1964): for every
+  // pair (i, j), z = (R̄ᵢ − R̄ⱼ) / σᵢⱼ with the GLOBAL midranks the
+  // omnibus already used and σᵢⱼ² = (N(N+1)/12 − ΣT/(12(N−1)))·
+  // (1/nᵢ + 1/nⱼ) (tie-corrected), each |z| tested at the
+  // Bonferroni-corrected two-sided level 0.05/m, m = k(k−1)/2.
+  // The critical value depends on the DATA (m) — the same reason the
+  // χ² table exists — so both engines join the shared 45-row
+  // Φ⁻¹(1−0.025/m)·1e4 literal (StatTables.ZBonf975x1e4; NULL past
+  // m = 45, where familywise control should yield to FDR).
+  // Exactness: doubled midranks keep every rank sum an exact decimal
+  // off the global value grid's chunk-banded running counts (2R̄ᵢ =
+  // r2sᵢ/nᵢ with r2s = Σ aᵥ(2·prevᵥ + tᵥ + 1) — the q250/q263
+  // machinery); the tie sum Σ(t³−t) is exact decimal; each pair's z
+  // closes in ONE shared IEEE sequence and the decision compares the
+  // QUANTIZED |z₄| against the integer table entry. Scale shape: ONE
+  // volume-sized partial agg to the (gk, vc) cell grid; the pairwise
+  // self-join is k-row × k-row (dim-sized). Output: k(k−1)/2 rows
+  // per relation × 2 relations.
+  private def q287(s: SparkSession, dir: String): DataFrame = {
+    val evObs = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type").as("gk"),
+        floor(col("value") * lit(100d) + lit(0.5d)).cast("long").as("vc"))
+    val ordObs = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("gk"),
+        floor(col("o_totalprice") * lit(100d) + lit(0.5d)).cast("long").as("vc"))
+    dunn(evObs, "events.value~event_type")
+      .unionByName(dunn(ordObs, "orders.totalprice~priority"))
+  }
+
+  private[graft] def dunn(obs: DataFrame, rel: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val cells = obs.groupBy(col("gk"), col("vc")).agg(count(lit(1)).as("a"))
+    val tv = cells.groupBy(col("vc")).agg(sum(col("a")).as("t"))
+      .withColumn("g", lit(1))
+    val cum = graft.operators.ChunkedFrame.withRunningSum(
+      tv, "g", expr("vc DIV 100"), Seq("vc"), "t", "ct")
+    val per = cells
+      .join(cum.select(col("vc"), col("t"), (col("ct") - col("t")).as("prev")),
+        Seq("vc"))
+      .groupBy(col("gk"))
+      .agg(sum(col("a")).as("ni"),
+        sum(d38(col("a")) * d38(col("prev") * lit(2L) + col("t") + lit(1L)))
+          .as("r2s"))
+    val glob = cum.groupBy(lit(1).as("g"))
+      .agg(sum(col("t")).as("n"),
+        sum(d38(col("t")) * d38(col("t")) * d38(col("t")) - d38(col("t")))
+          .as("tt"))
+    val kCnt = per.groupBy(lit(1).as("g")).agg(count(lit(1)).as("k_groups"))
+    val a = per.select(col("gk").as("type_a"), col("ni").as("na"),
+      col("r2s").as("ra"))
+    val b = per.select(col("gk").as("type_b"), col("ni").as("nb"),
+      col("r2s").as("rb"))
+    val pairs = a.crossJoin(b).filter(col("type_a") < col("type_b"))
+      .crossJoin(broadcast(glob.drop("g")))
+      .crossJoin(broadcast(kCnt.drop("g")))
+      .withColumn("m", expr("k_groups * (k_groups - 1) DIV 2"))
+    val nD = dd(col("n"))
+    val sig2 = (nD * (nD + lit(1.0)) / lit(12.0) -
+      dd(col("tt")) / (lit(12.0) * (nD - lit(1.0)))) *
+      (lit(1.0) / dd(col("na")) + lit(1.0) / dd(col("nb")))
+    val diff = dd(col("ra")) / (lit(2.0) * dd(col("na"))) -
+      dd(col("rb")) / (lit(2.0) * dd(col("nb")))
+    val z = diff / sqrt(sig2)
+    val z4 = floor(z * lit(1e4) + lit(0.5)).cast("long")
+    val valid = col("n") > 1 && sig2 > 0
+    pairs.join(StatTables.zbonfFrame(obs.sparkSession), Seq("m"), "left")
+      .select(lit(rel).as("relation"), col("type_a"), col("type_b"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        when(valid, z4.cast("double") / lit(1e4)).as("z_r4"),
+        when(valid && col("zcrit4").isNotNull, abs(z4) > col("zcrit4"))
+          .as("reject"))
+  }
+
+  // ---------------------------------------------------------------
+  // q290 — CLIFF'S DELTA / VARGHA-DELANEY EFFECT SIZE: HOW BIG is
+  // the early→late shift q250's U test only calls significant — at
+  // 100 TB row counts EVERYTHING is "significant", and the standard
+  // remedy (Cliff 1993; Vargha & Delaney 2000) is the ordinal effect
+  // size δ = P(late > early) − P(late < early) and its companion
+  // A = P(late > early) + ½P(late = early) = (δ+1)/2 (the identity
+  // holds EXACTLY under ties since gt + lt + eq = n₁n₂). Exactness:
+  // the pair counts collapse onto the value grid — gt = Σᵥ bᵥ·(caᵥ −
+  // aᵥ) (late at v × early strictly below) and lt = n₁n₂ − Σᵥ bᵥ·caᵥ
+  // off the SAME inclusive early running count, both exact decimals
+  // from one fused two-column chunk-banded pass (the q268 API) — so
+  // δ is ONE IEEE divide of exact integers, quantized r6, and the
+  // magnitude label is an INTEGER compare on the quantized |δ₆|
+  // against the Romano et al. (2006) thresholds 0.147/0.33/0.474 —
+  // never a float boundary. Scale shape: q250's — one volume-sized
+  // partial agg to the (type, cents) grid, |types| output rows.
+  private def q290(s: SparkSession, dir: String): DataFrame =
+    cliffsDelta(Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value")))
+
+  private[graft] def cliffsDelta(e: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val bounds = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val vals = e.crossJoin(broadcast(bounds))
+      .withColumn("late",
+        datediff(col("day"), col("d0")) >= expr("(datediff(d1, d0) + 1) DIV 2"))
+      .filter(col("value").isNotNull)
+      .withColumn("vc", floor(col("value") * lit(100d) + lit(0.5d)).cast("long"))
+      .groupBy(col("event_type"), col("vc"))
+      .agg(count(when(!col("late"), lit(1))).as("a"),
+        count(when(col("late"), lit(1))).as("b"))
+      .withColumn("t", col("a") + col("b"))
+    val cum = graft.operators.ChunkedFrame.withRunningSums(
+      vals, "event_type", expr("vc DIV 100"), Seq("vc"),
+      Seq("t" -> "ct", "a" -> "ca"))
+    val per = cum.groupBy(col("event_type"))
+      .agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"),
+        sum(d38(col("b")) * d38(col("ca") - col("a"))).as("sgt"),
+        sum(d38(col("b")) * d38(col("ca"))).as("sbca"))
+    val n12 = d38(col("n1")) * d38(col("n2"))
+    val lt = n12 - col("sbca")
+    val delta = dd(col("sgt") - lt) / dd(n12)
+    val d6 = floor(delta * lit(1e6) + lit(0.5)).cast("long")
+    val valid = col("n1") > 0 && col("n2") > 0
+    per.select(col("event_type"), col("n1").as("n_early"), col("n2").as("n_late"),
+      when(valid, d6.cast("double") / lit(1e6)).as("delta_r6"),
+      when(valid, floor((delta + lit(1.0)) / lit(2.0) * lit(1e6) + lit(0.5))
+        .cast("long").cast("double") / lit(1e6)).as("vda_r6"),
+      when(valid,
+        when(abs(d6) < 147000L, lit("negligible"))
+          .when(abs(d6) < 330000L, lit("small"))
+          .when(abs(d6) < 474000L, lit("medium"))
+          .otherwise(lit("large"))).as("magnitude"))
+  }
+
+  // ---------------------------------------------------------------
   // q283 — GINI COEFFICIENT (mean-absolute-difference form): HOW
   // UNEQUAL is the distribution — the inequality readout q255's HHI
   // only proxies (HHI is share-of-squares; Gini is the Lorenz-curve
@@ -1253,6 +1555,10 @@ object InsightQueries {
     "q279_mood_median" -> q279 _,
     "q280_brown_forsythe" -> q280 _,
     "q283_gini" -> q283 _,
+    "q286_ansari_bradley" -> q286 _,
+    "q287_dunn_posthoc" -> q287 _,
+    "q288_kendall_w" -> q288 _,
+    "q290_cliffs_delta" -> q290 _,
     "q285_jonckheere" -> q285 _,
     "q273_bartlett" -> q273 _,
     "q263_kruskal_wallis" -> q263 _,
@@ -1387,6 +1693,164 @@ object InsightQueries {
             "floor(o_totalprice * 100 + 0.5)::BIGINT AS vc FROM orders") + "\n" +
         body("e2") + "\nUNION ALL\n" + body("o2")
     },
+    "q286_ansari_bradley" ->
+      """WITH e AS (
+        |  SELECT event_type, ts::TIMESTAMP::DATE AS day, value FROM events
+        |), bd AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |v AS (
+        |  SELECT event_type,
+        |    date_diff('day', d0, day) >= (date_diff('day', d0, d1) + 1) // 2 AS late,
+        |    floor(value * 100 + 0.5)::BIGINT AS vc
+        |  FROM e, bd WHERE value IS NOT NULL
+        |), g AS (
+        |  SELECT event_type, vc,
+        |    count(CASE WHEN NOT late THEN 1 END)::BIGINT AS a,
+        |    count(CASE WHEN late THEN 1 END)::BIGINT AS b,
+        |    count(*)::BIGINT AS t
+        |  FROM v GROUP BY 1, 2
+        |), np AS (
+        |  SELECT event_type, sum(t)::BIGINT AS nn, sum(a)::BIGINT AS n1,
+        |    sum(b)::BIGINT AS n2, count(*)::BIGINT AS n_cells
+        |  FROM g GROUP BY 1
+        |), cc AS (
+        |  SELECT g.*, (sum(t) OVER (PARTITION BY event_type ORDER BY vc
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS ct
+        |  FROM g
+        |), r_ AS (
+        |  SELECT cc.event_type, a, t, ct, nn, n1, n2, n_cells,
+        |    (nn + 1) // 2 AS h
+        |  FROM cc JOIN np USING (event_type)
+        |), s2 AS (
+        |  SELECT *,
+        |    (CASE WHEN ct <= h THEN ct::HUGEINT * (ct + 1)::HUGEINT
+        |      ELSE 2::HUGEINT * h::HUGEINT * (h + 1)::HUGEINT
+        |        + 2::HUGEINT * (ct - h)::HUGEINT * (nn + 1)::HUGEINT
+        |        - ct::HUGEINT * (ct + 1)::HUGEINT END)
+        |    - (CASE WHEN (ct - t) <= h
+        |        THEN (ct - t)::HUGEINT * (ct - t + 1)::HUGEINT
+        |      ELSE 2::HUGEINT * h::HUGEINT * (h + 1)::HUGEINT
+        |        + 2::HUGEINT * (ct - t - h)::HUGEINT * (nn + 1)::HUGEINT
+        |        - (ct - t)::HUGEINT * (ct - t + 1)::HUGEINT END) AS num2
+        |  FROM r_
+        |), q AS (
+        |  SELECT event_type, n1, n2, nn, n_cells, sum(num2) AS sn2,
+        |    sum(floor(a::DOUBLE * num2::DOUBLE / t::DOUBLE * 1e6 + 0.5)::HUGEINT)
+        |      AS sab6,
+        |    sum(floor(num2::DOUBLE * num2::DOUBLE / t::DOUBLE * 1e6 + 0.5)::HUGEINT)
+        |      AS ssq6
+        |  FROM s2 GROUP BY 1, 2, 3, 4, 5
+        |), zz AS (
+        |  SELECT *, sab6::DOUBLE / 2e6 AS ab, sn2::DOUBLE / 2.0 AS sa,
+        |    ssq6::DOUBLE / 4e6 AS sa2
+        |  FROM q
+        |), z2_ AS (
+        |  SELECT *,
+        |    n1::DOUBLE * n2::DOUBLE * (nn::DOUBLE * sa2 - sa * sa)
+        |      / (nn::DOUBLE * nn::DOUBLE * (nn::DOUBLE - 1.0)) AS vr
+        |  FROM zz
+        |)
+        |SELECT event_type, n1 AS n_early, n2 AS n_late,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND n_cells >= 2 AND vr > 0 THEN
+        |    floor(ab * 1e4 + 0.5)::HUGEINT::DOUBLE / 1e4 END AS ab_r4,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND n_cells >= 2 AND vr > 0 THEN
+        |    floor((ab - n1::DOUBLE * sa / nn::DOUBLE) / sqrt(vr) * 1e4
+        |      + 0.5)::BIGINT::DOUBLE / 1e4 END AS z_r4,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND n_cells >= 2 AND vr > 0 THEN
+        |    abs(floor((ab - n1::DOUBLE * sa / nn::DOUBLE) / sqrt(vr) * 1e4
+        |      + 0.5)::BIGINT) > 19600 END AS reject
+        |FROM z2_""".stripMargin,
+    "q287_dunn_posthoc" -> {
+      def blk(p: String, rel: String, obs: String) =
+        s"""${p}cells AS (SELECT gk, vc, count(*)::BIGINT AS a FROM ($obs) GROUP BY 1, 2),
+           |${p}tv AS (SELECT vc, sum(a)::BIGINT AS t FROM ${p}cells GROUP BY 1),
+           |${p}cum AS (
+           |  SELECT vc, t, (sum(t) OVER (ORDER BY vc ROWS UNBOUNDED PRECEDING)
+           |    - t)::HUGEINT AS prev
+           |  FROM ${p}tv),
+           |${p}per AS (
+           |  SELECT gk, sum(a)::BIGINT AS ni,
+           |    sum(a::HUGEINT * (prev * 2 + t::HUGEINT + 1)) AS r2s
+           |  FROM ${p}cells JOIN ${p}cum USING (vc) GROUP BY 1),
+           |${p}glob AS (
+           |  SELECT sum(t)::BIGINT AS n,
+           |    sum(t::HUGEINT * t::HUGEINT * t::HUGEINT - t::HUGEINT) AS tt
+           |  FROM ${p}tv),
+           |${p}kc AS (SELECT count(*)::BIGINT AS k_groups FROM ${p}per),
+           |${p}pairs AS (
+           |  SELECT '$rel' AS relation, a.gk AS type_a, b.gk AS type_b,
+           |    a.ni AS na, b.ni AS nb, a.r2s AS ra, b.r2s AS rb,
+           |    n, tt, k_groups * (k_groups - 1) // 2 AS m
+           |  FROM ${p}per a CROSS JOIN ${p}per b
+           |    CROSS JOIN ${p}glob CROSS JOIN ${p}kc
+           |  WHERE a.gk < b.gk),
+           |${p}zz AS (
+           |  SELECT relation, type_a, type_b, na, nb, n, m,
+           |    (n::DOUBLE * (n::DOUBLE + 1.0) / 12.0
+           |      - tt::DOUBLE / (12.0 * (n::DOUBLE - 1.0)))
+           |      * (1.0 / na::DOUBLE + 1.0 / nb::DOUBLE) AS sig2,
+           |    ra::DOUBLE / (2.0 * na::DOUBLE)
+           |      - rb::DOUBLE / (2.0 * nb::DOUBLE) AS diff
+           |  FROM ${p}pairs)""".stripMargin
+      def body(p: String) =
+        s"""SELECT relation, type_a, type_b, na AS n_a, nb AS n_b,
+           |  CASE WHEN n > 1 AND sig2 > 0 THEN
+           |    floor(diff / sqrt(sig2) * 1e4 + 0.5)::BIGINT::DOUBLE / 1e4
+           |  END AS z_r4,
+           |  CASE WHEN n > 1 AND sig2 > 0 AND zcrit4 IS NOT NULL THEN
+           |    abs(floor(diff / sqrt(sig2) * 1e4 + 0.5)::BIGINT) > zcrit4
+           |  END AS reject
+           |FROM ${p}zz LEFT JOIN ${StatTables.zbonfValuesSql}
+           |  ON zb.m = ${p}zz.m""".stripMargin
+      "WITH " +
+        blk("e5", "events.value~event_type",
+          "SELECT event_type AS gk, floor(value * 100 + 0.5)::BIGINT AS vc " +
+            "FROM events WHERE value IS NOT NULL") + ",\n" +
+        blk("o5", "orders.totalprice~priority",
+          "SELECT o_orderpriority AS gk, " +
+            "floor(o_totalprice * 100 + 0.5)::BIGINT AS vc FROM orders") + "\n" +
+        body("e5") + "\nUNION ALL\n" + body("o5")
+    },
+    "q290_cliffs_delta" ->
+      """WITH e AS (
+        |  SELECT event_type, ts::TIMESTAMP::DATE AS day, value FROM events
+        |), bd AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |v AS (
+        |  SELECT event_type,
+        |    date_diff('day', d0, day) >= (date_diff('day', d0, d1) + 1) // 2 AS late,
+        |    floor(value * 100 + 0.5)::BIGINT AS vc
+        |  FROM e, bd WHERE value IS NOT NULL
+        |), g AS (
+        |  SELECT event_type, vc,
+        |    count(CASE WHEN NOT late THEN 1 END)::BIGINT AS a,
+        |    count(CASE WHEN late THEN 1 END)::BIGINT AS b
+        |  FROM v GROUP BY 1, 2
+        |), cc AS (
+        |  SELECT g.*, (sum(a) OVER (PARTITION BY event_type ORDER BY vc
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS ca
+        |  FROM g
+        |), per AS (
+        |  SELECT event_type, sum(a)::BIGINT AS n1, sum(b)::BIGINT AS n2,
+        |    sum(b::HUGEINT * (ca - a)::HUGEINT) AS sgt,
+        |    sum(b::HUGEINT * ca::HUGEINT) AS sbca
+        |  FROM cc GROUP BY 1
+        |), dd_ AS (
+        |  SELECT *,
+        |    (sgt - (n1::HUGEINT * n2::HUGEINT - sbca))::DOUBLE
+        |      / (n1::HUGEINT * n2::HUGEINT)::DOUBLE AS delta
+        |  FROM per
+        |)
+        |SELECT event_type, n1 AS n_early, n2 AS n_late,
+        |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |    floor(delta * 1e6 + 0.5)::BIGINT::DOUBLE / 1e6 END AS delta_r6,
+        |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |    floor((delta + 1.0) / 2.0 * 1e6 + 0.5)::BIGINT::DOUBLE / 1e6
+        |  END AS vda_r6,
+        |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |    CASE WHEN abs(floor(delta * 1e6 + 0.5)::BIGINT) < 147000 THEN 'negligible'
+        |      WHEN abs(floor(delta * 1e6 + 0.5)::BIGINT) < 330000 THEN 'small'
+        |      WHEN abs(floor(delta * 1e6 + 0.5)::BIGINT) < 474000 THEN 'medium'
+        |      ELSE 'large' END END AS magnitude
+        |FROM dd_""".stripMargin,
     "q285_jonckheere" ->
       """WITH obs AS (
         |  SELECT substring(o_orderpriority, 1, 1)::INT AS gi,
@@ -1610,6 +2074,44 @@ object InsightQueries {
           |      * 1e4 + 0.5)::BIGINT::DOUBLE / 1e4 END AS q_r4,
           |  CASE WHEN den IS NOT NULL AND den::DOUBLE > 0
           |      AND q95x1e4 IS NOT NULL THEN
+          |    floor(((k_types - 1)::HUGEINT)::DOUBLE * num0::DOUBLE / den::DOUBLE
+          |      * 1e4 + 0.5)::BIGINT > q95x1e4 END AS reject
+          |FROM ag CROSS JOIN dn
+          |LEFT JOIN """.stripMargin + StatTables.chi2ValuesSql +
+        " ON chi2.df = ag.k_types - 1"),
+    "q288_kendall_w" ->
+      (MarketQueries.dayRetCtes +
+        """, kk AS (SELECT count(DISTINCT event_type)::BIGINT AS k FROM c),
+          |dc AS (SELECT day, count(*)::BIGINT AS cnt FROM c GROUP BY 1),
+          |cb AS (
+          |  SELECT c.event_type, c.day, c.close_lv, k
+          |  FROM c JOIN dc USING (day) CROSS JOIN kk WHERE cnt = k
+          |), rk AS (
+          |  SELECT event_type, k,
+          |    2 * rank() OVER (PARTITION BY day ORDER BY close_lv)
+          |      + count(*) OVER (PARTITION BY day, close_lv) - 1 AS r2
+          |  FROM cb
+          |), dn AS (
+          |  SELECT sum((r2 - k - 1)::HUGEINT * (r2 - k - 1)::HUGEINT) AS den
+          |  FROM rk
+          |), pt AS (
+          |  SELECT event_type, max(k)::BIGINT AS k, count(*)::BIGINT AS n,
+          |    sum(r2)::BIGINT AS rs2
+          |  FROM rk GROUP BY 1
+          |), ag AS (
+          |  SELECT max(k)::BIGINT AS k_types, max(n)::BIGINT AS n_days,
+          |    sum((rs2 - n::HUGEINT * (k + 1)::HUGEINT)
+          |      * (rs2 - n::HUGEINT * (k + 1)::HUGEINT)) AS num0
+          |  FROM pt
+          |)
+          |SELECT k_types, n_days,
+          |  CASE WHEN den IS NOT NULL AND den::DOUBLE > 0 AND n_days > 0
+          |      AND k_types >= 2 THEN
+          |    floor(((k_types - 1)::HUGEINT)::DOUBLE * num0::DOUBLE / den::DOUBLE
+          |      / (n_days::DOUBLE * (k_types::DOUBLE - 1.0))
+          |      * 1e6 + 0.5)::BIGINT::DOUBLE / 1e6 END AS w_r6,
+          |  CASE WHEN den IS NOT NULL AND den::DOUBLE > 0 AND n_days > 0
+          |      AND k_types >= 2 AND q95x1e4 IS NOT NULL THEN
           |    floor(((k_types - 1)::HUGEINT)::DOUBLE * num0::DOUBLE / den::DOUBLE
           |      * 1e4 + 0.5)::BIGINT > q95x1e4 END AS reject
           |FROM ag CROSS JOIN dn

@@ -1781,6 +1781,93 @@ object MarketQueries {
   }
 
   // ---------------------------------------------------------------
+  // q289 — D'AGOSTINO K² NORMALITY TEST: the finite-sample companion
+  // to q257's Jarque-Bera — JB's χ²₂ approximation is notoriously
+  // oversized below a few thousand observations, so the standard
+  // omnibus alternative (D'Agostino 1970 skewness transform;
+  // Anscombe & Glynn 1983 kurtosis transform; D'Agostino, Belanger &
+  // D'Agostino 1990) normalizes g1 and b2 SEPARATELY with their
+  // exact finite-n null moments before squaring: K² = Z(g1)² +
+  // Z(b2)² ~ χ²₂ holds at the n a day grid actually has. Exactness:
+  // the moment base is q257's — exact integer/decimal power sums
+  // s1..s4, the SAME IEEE central-moment sequence — then both
+  // transforms are ONE shared IEEE sequence (sqrt/ln/cbrt exist with
+  // identical IEEE semantics on both engines), each z quantized to
+  // 1e4 fixed point, and K²·1e8 = z1q² + z2q² is an EXACT integer
+  // (decimal-widened per factor: z·1e4 can pass 2³¹·√n at extreme
+  // drift) compared against the exact integer boundary 599150000
+  // (= χ²₂(0.95) in the shared table's 1e4 grain, cleared of the
+  // quantizers — the q257 fixed-boundary style, df structural at 2).
+  // Validity: n ≥ 20 (Anscombe's own floor; it also guarantees
+  // W² > 1 so ln W > 0 — below it the transform itself is
+  // undefined) and mu2 > 0. Scale shape: q257's — one volume-sized
+  // DailyCloses partial agg, |types| day-grid rows. Output: |types|
+  // rows.
+  private def q289(s: SparkSession, dir: String): DataFrame =
+    dagostinoK2(dailyReturns(s, dir))
+
+  private[graft] def dagostinoK2(rets: DataFrame): DataFrame = {
+    val r1c = col("r_fp")
+    val r2c = r1c * r1c
+    val agg = rets.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(r1c).as("s1"), sum(r2c).as("s2"),
+        sum(r2c.cast("decimal(19,0)") * r1c).as("s3"),
+        sum(r2c.cast("decimal(19,0)") * r2c).as("s4"))
+    def d(c: Column) = c.cast("double")
+    val n   = d(col("n_days"))
+    val rm1 = d(col("s1")) / n
+    val rm2 = d(col("s2")) / n
+    val rm3 = d(col("s3")) / n
+    val rm4 = d(col("s4")) / n
+    val mu2 = rm2 - rm1 * rm1
+    val mu3 = rm3 - lit(3d) * rm1 * rm2 + lit(2d) * rm1 * rm1 * rm1
+    val mu4 = rm4 - lit(4d) * rm1 * rm3 + lit(6d) * rm1 * rm1 * rm2 -
+      lit(3d) * rm1 * rm1 * rm1 * rm1
+    val g1 = mu3 / (sqrt(mu2) * mu2)
+    val b2 = mu4 / (mu2 * mu2)
+    // D'Agostino (1970): Z(g1) via the Johnson SU fit
+    val y = g1 * sqrt((n + lit(1d)) * (n + lit(3d)) / (lit(6d) * (n - lit(2d))))
+    val beta2 = lit(3d) * (n * n + lit(27d) * n - lit(70d)) * (n + lit(1d)) *
+      (n + lit(3d)) /
+      ((n - lit(2d)) * (n + lit(5d)) * (n + lit(7d)) * (n + lit(9d)))
+    val w2 = sqrt(lit(2d) * (beta2 - lit(1d))) - lit(1d)
+    val dlt = lit(1d) / sqrt(log(sqrt(w2)))
+    val ya = y / sqrt(lit(2d) / (w2 - lit(1d)))
+    val z1 = dlt * log(ya + sqrt(ya * ya + lit(1d)))
+    // Anscombe & Glynn (1983): Z(b2) via the Wilson-Hilferty cube root
+    val eb2 = lit(3d) * (n - lit(1d)) / (n + lit(1d))
+    val vb2 = lit(24d) * n * (n - lit(2d)) * (n - lit(3d)) /
+      ((n + lit(1d)) * (n + lit(1d)) * (n + lit(3d)) * (n + lit(5d)))
+    val x = (b2 - eb2) / sqrt(vb2)
+    val sb1 = lit(6d) * (n * n - lit(5d) * n + lit(2d)) /
+      ((n + lit(7d)) * (n + lit(9d))) *
+      sqrt(lit(6d) * (n + lit(3d)) * (n + lit(5d)) /
+        (n * (n - lit(2d)) * (n - lit(3d))))
+    val aA = lit(6d) + lit(8d) / sb1 *
+      (lit(2d) / sb1 + sqrt(lit(1d) + lit(4d) / (sb1 * sb1)))
+    val z2 = ((lit(1d) - lit(2d) / (lit(9d) * aA)) -
+      cbrt((lit(1d) - lit(2d) / aA) /
+        (lit(1d) + x * sqrt(lit(2d) / (aA - lit(4d)))))) /
+      sqrt(lit(2d) / (lit(9d) * aA))
+    val valid = col("n_days") >= 20 && mu2 > 0
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val k2fp = d38(col("z1q")) * d38(col("z1q")) +
+      d38(col("z2q")) * d38(col("z2q"))
+    agg
+      .withColumn("z1q", when(valid,
+        floor(z1 * lit(1e4) + lit(0.5)).cast("long")))
+      .withColumn("z2q", when(valid,
+        floor(z2 * lit(1e4) + lit(0.5)).cast("long")))
+      .select(col("event_type"), col("n_days"),
+        (col("z1q").cast("double") / lit(1e4)).as("z_skew_r4"),
+        (col("z2q").cast("double") / lit(1e4)).as("z_kurt_r4"),
+        (floor(k2fp.cast("double") / lit(1e4) + lit(0.5)).cast("long")
+          .cast("double") / lit(1e4)).as("k2_r4"),
+        (k2fp > lit(599150000L)).as("reject"))
+  }
+
+  // ---------------------------------------------------------------
   // q258 — WALD-WOLFOWITZ RUNS TEST: are the SIGNS of daily returns
   // randomly ordered (Wald & Wolfowitz 1940)? Too few runs means
   // sign momentum, too many means flip-flopping mean reversion — the
@@ -2231,6 +2318,7 @@ object MarketQueries {
     "q261_hurst_rs" -> q261 _,
     "q257_jarque_bera" -> q257 _,
     "q258_runs_test" -> q258 _,
+    "q289_dagostino_k2" -> q289 _,
     "q259_mann_kendall" -> q259 _,
     "q256_pacf" -> q256 _,
     "q247_acf_ljungbox" -> q247 _,
@@ -2690,6 +2778,77 @@ object MarketQueries {
           |  floor(jb_fp::DOUBLE / 24e8 * 1e4 + 0.5) / 1e4 AS jb_r4,
           |  jb_fp > 14379516000::HUGEINT AS reject
           |FROM jb""".stripMargin),
+    "q289_dagostino_k2" ->
+      (dayRetCtes +
+        """, m AS (
+          |  SELECT event_type, count(*)::BIGINT AS n_days,
+          |    sum(r_fp)::BIGINT AS s1, sum(r_fp*r_fp)::BIGINT AS s2,
+          |    sum((r_fp*r_fp)::HUGEINT * r_fp) AS s3,
+          |    sum((r_fp*r_fp)::HUGEINT * (r_fp*r_fp)) AS s4
+          |  FROM r GROUP BY 1
+          |), f AS (
+          |  SELECT event_type, n_days,
+          |    s1::DOUBLE / n_days::DOUBLE AS rm1,
+          |    s2::DOUBLE / n_days::DOUBLE AS rm2,
+          |    s3::DOUBLE / n_days::DOUBLE AS rm3,
+          |    s4::DOUBLE / n_days::DOUBLE AS rm4
+          |  FROM m
+          |), g AS (
+          |  SELECT event_type, n_days,
+          |    rm2 - rm1*rm1 AS mu2,
+          |    rm3 - 3*rm1*rm2 + 2*rm1*rm1*rm1 AS mu3,
+          |    rm4 - 4*rm1*rm3 + 6*rm1*rm1*rm2 - 3*rm1*rm1*rm1*rm1 AS mu4
+          |  FROM f
+          |), t1 AS (
+          |  SELECT event_type, n_days, mu2,
+          |    mu3 / (sqrt(mu2) * mu2) AS g1, mu4 / (mu2 * mu2) AS b2,
+          |    n_days::DOUBLE AS n
+          |  FROM g
+          |), t2 AS (
+          |  SELECT *,
+          |    g1 * sqrt((n + 1.0) * (n + 3.0) / (6.0 * (n - 2.0))) AS y,
+          |    sqrt(2.0 * (3.0 * (n*n + 27.0*n - 70.0) * (n + 1.0) * (n + 3.0)
+          |      / ((n - 2.0) * (n + 5.0) * (n + 7.0) * (n + 9.0)) - 1.0))
+          |      - 1.0 AS w2,
+          |    3.0 * (n - 1.0) / (n + 1.0) AS eb2,
+          |    24.0 * n * (n - 2.0) * (n - 3.0)
+          |      / ((n + 1.0) * (n + 1.0) * (n + 3.0) * (n + 5.0)) AS vb2,
+          |    6.0 * (n*n - 5.0*n + 2.0) / ((n + 7.0) * (n + 9.0))
+          |      * sqrt(6.0 * (n + 3.0) * (n + 5.0)
+          |        / (n * (n - 2.0) * (n - 3.0))) AS sb1
+          |  FROM t1
+          |), t3 AS (
+          |  SELECT *,
+          |    1.0 / sqrt(ln(sqrt(w2))) AS dlt,
+          |    y / sqrt(2.0 / (w2 - 1.0)) AS ya,
+          |    (b2 - eb2) / sqrt(vb2) AS x,
+          |    6.0 + 8.0 / sb1 * (2.0 / sb1 + sqrt(1.0 + 4.0 / (sb1 * sb1))) AS aa
+          |  FROM t2
+          |), t4 AS (
+          |  SELECT event_type, n_days, mu2,
+          |    dlt * ln(ya + sqrt(ya * ya + 1.0)) AS z1,
+          |    ((1.0 - 2.0 / (9.0 * aa)) - cbrt((1.0 - 2.0 / aa)
+          |      / (1.0 + x * sqrt(2.0 / (aa - 4.0)))))
+          |      / sqrt(2.0 / (9.0 * aa)) AS z2
+          |  FROM t3
+          |), qq AS (
+          |  SELECT event_type, n_days,
+          |    CASE WHEN n_days >= 20 AND mu2 > 0 THEN
+          |      floor(z1 * 1e4 + 0.5)::BIGINT END AS z1q,
+          |    CASE WHEN n_days >= 20 AND mu2 > 0 THEN
+          |      floor(z2 * 1e4 + 0.5)::BIGINT END AS z2q
+          |  FROM t4
+          |), kk AS (
+          |  SELECT event_type, n_days, z1q, z2q,
+          |    z1q::HUGEINT * z1q + z2q::HUGEINT * z2q AS k2fp
+          |  FROM qq
+          |)
+          |SELECT event_type, n_days,
+          |  z1q::DOUBLE / 1e4 AS z_skew_r4,
+          |  z2q::DOUBLE / 1e4 AS z_kurt_r4,
+          |  floor(k2fp::DOUBLE / 1e4 + 0.5)::BIGINT::DOUBLE / 1e4 AS k2_r4,
+          |  k2fp > 599150000 AS reject
+          |FROM kk""".stripMargin),
     "q258_runs_test" ->
       (dayRetCtes +
         """, sg AS (

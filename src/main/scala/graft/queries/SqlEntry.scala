@@ -7,7 +7,7 @@ import graft.core.Tables
 /** The SURVEY §3.3(b) entry point: the same queries as the typed
   * Scala API, as `spark.sql()` text over registered temp views — the
   * surface a thriftserver / Spark Connect / notebook user gets when
-  * they can't (or won't) link the Scala library. Twenty-one
+  * they can't (or won't) link the Scala library. Twenty-two
   * representative shapes are covered — the OHLCV rollup (q06), the
   * sliding-window join (q09), the TPC-H Q1 pricing summary (q13),
   * the window-function battery (q54), the inverted index (q96), the
@@ -27,8 +27,11 @@ import graft.core.Tables
   * (q270, the governance/audit family's twin — the 9-row literal
   * expectation inlined as VALUES), the Bartlett variance-
   * homogeneity test (q273, the dispersion twin — quantized
-  * cross-group sums + the χ² VALUES join), and Mood's median test
-  * (q279 — the global-median k×2 table, both relations) — each the
+  * cross-group sums + the χ² VALUES join), Mood's median test
+  * (q279 — the global-median k×2 table, both relations), and the
+  * Brown-Forsythe robust spread test (q280 — per-group running-count
+  * medians, exact |dev| power sums, the two-regime floor(x+0.5)
+  * decimal quantizer, both relations) — each the
   * EXACT semantics of its
   * typed twin: same op sequence, same decimal detours, same r4/r2
   * rounding, so results match bitwise (SqlEntrySpec pins text ≡
@@ -788,9 +791,17 @@ object SqlEntry {
         |), g AS (
         |  SELECT ni, CAST(ni AS DECIMAL(38,0)) * s2 - s1 * s1 AS num FROM per
         |), g2 AS (
+        |  -- wq: the two-regime floor(x+0.5) quantizer on a decimal
+        |  -- carrier (InsightQueries.floorHalf38) — below 2^52 the
+        |  -- IEEE add+floor on a long carrier, above it the double is
+        |  -- integral and the decimal cast of x+0.5 is exact
         |  SELECT ni,
-        |    CAST(CAST(num AS DOUBLE) / CAST(ni AS DOUBLE)
-        |      AS DECIMAL(38,0)) AS wq,
+        |    CASE WHEN CAST(num AS DOUBLE) / CAST(ni AS DOUBLE)
+        |        < 4503599627370496.0D
+        |      THEN CAST(floor(CAST(num AS DOUBLE) / CAST(ni AS DOUBLE) + 0.5D)
+        |        AS DECIMAL(38,0))
+        |      ELSE CAST(CAST(num AS DOUBLE) / CAST(ni AS DOUBLE) + 0.5D
+        |        AS DECIMAL(38,0)) END AS wq,
         |    CASE WHEN CAST(num AS DOUBLE)
         |        / (CAST(ni AS DOUBLE) * (CAST(ni AS DOUBLE) - 1.0D)) > 0.0D THEN
         |      CAST(floor((CAST(ni AS DOUBLE) - 1.0D)
@@ -868,9 +879,9 @@ object SqlEntry {
       def body(p: String) =
         s"""SELECT relation, k_groups, n, n_above,
            |  CASE WHEN k_groups >= 2 AND nt = k_groups THEN
-           |    CAST((CAST(s6 AS BIGINT) + 50) DIV 100 AS DOUBLE) / 1e4 END AS chi2_r4,
+           |    CAST((s6 + 50) DIV 100 AS DOUBLE) / 1e4 END AS chi2_r4,
            |  CASE WHEN k_groups >= 2 AND nt = k_groups AND q95x1e4 IS NOT NULL THEN
-           |    (CAST(s6 AS BIGINT) + 50) DIV 100 > q95x1e4 END AS reject
+           |    (s6 + 50) DIV 100 > q95x1e4 END AS reject
            |FROM ${p}agg LEFT JOIN chi2 ON chi2.df = ${p}agg.k_groups - 1"""
           .stripMargin
       "WITH chi2 AS (SELECT * FROM " + chi2Values + "),\n" +
@@ -881,6 +892,83 @@ object SqlEntry {
           "SELECT o_orderpriority AS gk, " +
             "cast(floor(o_totalprice * 100.0D + 0.5D) AS BIGINT) AS vc FROM orders") + "\n" +
         body("e3") + "\nUNION ALL\n" + body("o3")
+    },
+    // q280 — Brown-Forsythe robust spread test as a notebook writes
+    // it (SQL twin #22): per-group lower medians off running-count
+    // windows (the typed plan's chunk-banded running counts are
+    // integer-exact, so the window twin is bitwise), exact |dev|
+    // power sums on the cell grid, between/within terms through the
+    // SAME two-regime floor(x+0.5)-on-decimal quantizer as the typed
+    // floorHalf38, (k−1)·W vs the χ² VALUES table — bitwise ≡ the
+    // typed q280 on both relations.
+    "q280_brown_forsythe" -> {
+      def blk(p: String, rel: String, obs: String) =
+        s"""${p}cells AS (SELECT gk, vc, count(1) AS a FROM ($obs) GROUP BY gk, vc),
+           |${p}cum AS (
+           |  SELECT gk, vc, a, sum(a) OVER (PARTITION BY gk ORDER BY vc
+           |    ROWS UNBOUNDED PRECEDING) AS ct
+           |  FROM ${p}cells),
+           |${p}np AS (SELECT gk, sum(a) AS ng FROM ${p}cells GROUP BY gk),
+           |${p}med AS (
+           |  SELECT gk, min(vc) AS med FROM ${p}cum JOIN ${p}np USING (gk)
+           |  WHERE ct >= (ng + 1) DIV 2 GROUP BY gk),
+           |${p}per AS (
+           |  SELECT gk, sum(a) AS ni,
+           |    sum(CAST(a AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0))) AS s1,
+           |    sum(CAST(a AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0))
+           |      * CAST(z AS DECIMAL(38,0))) AS q1
+           |  FROM (SELECT gk, a, abs(vc - med) AS z
+           |        FROM ${p}cells JOIN ${p}med USING (gk)) zc
+           |  GROUP BY gk),
+           |${p}gl AS (
+           |  SELECT count(1) AS k_groups, sum(ni) AS n, sum(s1) AS s FROM ${p}per),
+           |${p}terms AS (
+           |  SELECT k_groups, n,
+           |    CASE WHEN bx < 4503599627370496.0D
+           |      THEN CAST(floor(bx + 0.5D) AS DECIMAL(38,0))
+           |      ELSE CAST(bx + 0.5D AS DECIMAL(38,0)) END AS bt6,
+           |    CASE WHEN wx < 4503599627370496.0D
+           |      THEN CAST(floor(wx + 0.5D) AS DECIMAL(38,0))
+           |      ELSE CAST(wx + 0.5D AS DECIMAL(38,0)) END AS wt6
+           |  FROM (
+           |    SELECT k_groups, n,
+           |      CAST(dg AS DOUBLE) / CAST(n AS DOUBLE)
+           |        * (CAST(dg AS DOUBLE) / CAST(n AS DOUBLE))
+           |        / CAST(ni AS DOUBLE) * 1e6 AS bx,
+           |      CAST(CAST(ni AS DECIMAL(38,0)) * q1 - s1 * s1 AS DOUBLE)
+           |        / CAST(ni AS DOUBLE) * 1e6 AS wx
+           |    FROM (
+           |      SELECT ni, s1, q1, k_groups, n,
+           |        CAST(n AS DECIMAL(38,0)) * s1
+           |          - CAST(ni AS DECIMAL(38,0)) * s AS dg
+           |      FROM ${p}per CROSS JOIN ${p}gl) j) t),
+           |${p}agg AS (
+           |  SELECT '$rel' AS relation, max(k_groups) AS k_groups,
+           |    max(n) AS n, sum(bt6) AS b6, sum(wt6) AS w6
+           |  FROM ${p}terms GROUP BY 1)""".stripMargin
+      def body(p: String) =
+        s"""SELECT relation, k_groups, n,
+           |  CASE WHEN k_groups >= 2 AND CAST(w6 AS DOUBLE) > 0.0D
+           |      AND n > k_groups THEN
+           |    floor((CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE))
+           |        / (CAST(k_groups AS DOUBLE) - 1.0D)
+           |      * (CAST(b6 AS DOUBLE) / CAST(w6 AS DOUBLE))
+           |      * 10000.0D + 0.5D) / 10000.0D END AS w_r4,
+           |  CASE WHEN k_groups >= 2 AND CAST(w6 AS DOUBLE) > 0.0D
+           |      AND n > k_groups AND q95x1e4 IS NOT NULL THEN
+           |    floor((CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE))
+           |      * (CAST(b6 AS DOUBLE) / CAST(w6 AS DOUBLE))
+           |      * 1e4 + 0.5D) > q95x1e4 END AS reject
+           |FROM ${p}agg LEFT JOIN chi2 ON chi2.df = ${p}agg.k_groups - 1"""
+          .stripMargin
+      "WITH chi2 AS (SELECT * FROM " + chi2Values + "),\n" +
+        blk("e4", "events.value~event_type",
+          "SELECT event_type AS gk, cast(floor(value * 100.0D + 0.5D) AS BIGINT) AS vc " +
+            "FROM events WHERE value IS NOT NULL") + ",\n" +
+        blk("o4", "orders.totalprice~priority",
+          "SELECT o_orderpriority AS gk, " +
+            "cast(floor(o_totalprice * 100.0D + 0.5D) AS BIGINT) AS vc FROM orders") + "\n" +
+        body("e4") + "\nUNION ALL\n" + body("o4")
     },
     "q96_inverted_index" ->
       """WITH t AS (

@@ -62,6 +62,37 @@ object StatTables {
       .map { case (q, i) => s"(${i + 1}, ${q})" }
       .mkString("(VALUES ", ", ", ") AS chi2(df, q95x1e4)")
 
+  /** Bonferroni-corrected two-sided normal critical values for a
+    * family of m pairwise comparisons at family α = 0.05:
+    * Φ⁻¹(1 − 0.025/m) × 1e4, index 0 = m 1 … index 44 = m 45
+    * (covers k ≤ 10 groups; k(k−1)/2 ≤ 45). The q287 Dunn post-hoc
+    * needs a critical value at a DATA-dependent per-comparison level
+    * — the same reason the χ² table above exists — so both engines
+    * join this literal (m=1 → 19600 is the familiar 1.96; m=10 →
+    * 28070 is the 2.807 every Bonferroni table prints). m > 45
+    * yields a NULL decision (documented: post-hoc screens past 10
+    * groups should control FDR, not familywise error). */
+  val ZBonf975x1e4: Vector[Long] = Vector(
+    19600L, 22414L, 23940L, 24977L, 25758L, 26383L, 26901L, 27344L,
+    27729L, 28070L, 28376L, 28653L, 28905L, 29137L, 29352L, 29552L,
+    29738L, 29913L, 30078L, 30233L, 30381L, 30521L, 30654L, 30781L,
+    30902L, 31019L, 31130L, 31237L, 31340L, 31440L, 31536L, 31628L,
+    31718L, 31804L, 31888L, 31970L, 32048L, 32125L, 32200L, 32272L,
+    32343L, 32412L, 32479L, 32544L, 32608L)
+
+  /** Bonferroni table as a 45-row broadcast frame (m, zcrit4). */
+  def zbonfFrame(s: SparkSession): DataFrame = {
+    import s.implicits._
+    broadcast(ZBonf975x1e4.zipWithIndex
+      .map { case (z, i) => (i + 1L, z) }.toDF("m", "zcrit4"))
+  }
+
+  /** The same as a DuckDB VALUES list `… AS zb(m, zcrit4)`. */
+  def zbonfValuesSql: String =
+    ZBonf975x1e4.zipWithIndex
+      .map { case (z, i) => s"(${i + 1}, ${z})" }
+      .mkString("(VALUES ", ", ", ") AS zb(m, zcrit4)")
+
   /** Benford first-significant-digit probabilities log10(1 + 1/d)
     * × 1e12, d = 1..9 (Newcomb 1881, Benford 1938) — the q270 audit's
     * expectation, a LITERAL shared by both engines so the decision

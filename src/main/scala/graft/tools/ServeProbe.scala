@@ -40,7 +40,10 @@ object ServeProbe {
       "dickey_fuller_serve" -> (() => StreamPipeline.dickeyFullerServe(spark, s"$dir/closes")),
       "von_neumann_serve" -> (() => StreamPipeline.vonNeumannServe(spark, s"$dir/closes")),
       "turning_points_serve" -> (() => StreamPipeline.turningPointsServe(spark, s"$dir/closes")),
-      "mann_kendall_serve" -> (() => StreamPipeline.mannKendallServe(spark, s"$dir/closes")))
+      "mann_kendall_serve" -> (() => StreamPipeline.mannKendallServe(spark, s"$dir/closes")),
+      // round-15 Next #4: the 4.7x max/p50 outlier of STREAMBENCH_r15
+      "garch_serve" -> (() => StreamPipeline.garchServe(spark, s"$dir/closes")),
+      "arch_serve" -> (() => StreamPipeline.archServe(spark, s"$dir/closes")))
     val f = serves(name)
 
     println("[serveprobe] " + graft.HostCanary.line("SERVE_HOST_PRE",

@@ -259,4 +259,58 @@ class ChunkedFrameSpec extends SparkSpec {
         s"window partitions by bare key:\n$l")
     }
   }
+
+  private def chain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
+  test("hot-chunk guard: a band past maxChunkRows dies loudly on every entry point") {
+    // round-15 Next #2 (the DayGrid move one level down): a chunk
+    // expression that collapses a key's order domain — here lit(1) —
+    // grows one (key, chunk) band without bound; each entry point
+    // must fail with the band named, BEFORE the local-rank sort
+    // becomes a silent multi-GB task. 10 rows, bound 5.
+    val df = (1 to 10).map(i => ("a", i.toLong, i.toLong)).toDF("k", "ts", "v")
+      .withColumn("vd", col("v").cast("decimal(18,4)"))
+    def boom(caller: String)(f: => Unit): Unit = {
+      val msg = chain(intercept[Exception](f))
+      assert(msg.contains(s"$caller: a single (key, chunk) band exceeds 5 rows"),
+        s"expected the $caller band-contract failure, got: $msg")
+      assert(msg.contains("10 rows for key a"), s"band not named: $msg")
+    }
+    boom("ChunkedFrame.globalRank") {
+      ChunkedFrame.globalRank(df, "k", lit(1), Seq("ts"),
+        maxChunkRows = 5).collect()
+    }
+    boom("ChunkedFrame.globalRank") { // the trailing-frame family rides globalRank
+      ChunkedFrame.withTrailingDecimalSums(df, "k", lit(1), Seq("ts"), "vd",
+        width = 3, maxChunkRows = 5).collect()
+    }
+    boom("ChunkedFrame.globalRank") {
+      ChunkedFrame.withTrailingGainLossSums(df, "k", lit(1), Seq("ts"), "vd",
+        width = 3, maxChunkRows = 5).collect()
+    }
+    boom("ChunkedFrame.withRunningSums") {
+      ChunkedFrame.withRunningSum(df, "k", lit(1), Seq("ts"), "v", "rs",
+        maxChunkRows = 5).collect()
+    }
+    boom("ChunkedFrame.withRunningMax") {
+      ChunkedFrame.withRunningMax(df, "k", lit(1), Seq("ts"), "v", "rm",
+        maxChunkRows = 5).collect()
+    }
+  }
+
+  test("hot-chunk guard: at exactly the bound every value is untouched") {
+    // the guard is when()-wrapped around the band prefix each output
+    // row reads — at cnt == bound it must pass through bit-identically
+    val df = (1 to 10).map(i => ("a", i.toLong, i.toLong)).toDF("k", "ts", "v")
+    val rs = ChunkedFrame.withRunningSum(df, "k", lit(1), Seq("ts"), "v", "rs",
+        maxChunkRows = 10)
+      .orderBy("ts").select("rs").as[Long].collect()
+    assert(rs.toSeq == (1 to 10).map(i => i.toLong * (i + 1) / 2))
+    val g = ChunkedFrame.globalRank(df, "k", lit(1), Seq("ts"),
+        maxChunkRows = 10)
+      .orderBy("ts").select("__g").as[Long].collect()
+    assert(g.toSeq == (0L until 10L))
+  }
 }

@@ -370,6 +370,80 @@ class CrossGroupSpec extends SparkSpec {
     assert(r.getAs[Boolean]("dec_trend") && r.getAs[Double]("z_r4") < -1.6449)
   }
 
+  test("jonckheere: degenerate contracts — empty feed zero rows, one group NULL, all-tied NULL") {
+    // empty feed → the literal-relation groupBy emits ZERO rows on
+    // both engines (the q273/q279 degenerate-parity contract)
+    val empty = Seq.empty[(Int, Long)].toDF("gi", "vc")
+    assert(InsightQueries.jonckheere(empty, "t", 5).collect().isEmpty)
+    // every observation in ONE group of the 5-slot domain →
+    // k_groups = 1 → a present row whose verdicts are all NULL
+    val one = jtOf(Seq(1 -> Seq(1L, 2L, 3L, 4L)), 5)
+    assert(one.getAs[Long]("k_groups") == 1L && one.getAs[Long]("n") == 4L)
+    assert(one.isNullAt(one.fieldIndex("z_r4")) &&
+      one.isNullAt(one.fieldIndex("inc_trend")) &&
+      one.isNullAt(one.fieldIndex("dec_trend")))
+    // an all-tied two-group feed: the Hollander-Wolfe tie correction
+    // cancels the variance EXACTLY at n1 = n2 = 2 (term1 = −36/72,
+    // term3 = +48/96, both exact in IEEE) → varJ = 0 → NULL, and the
+    // guard never divides by it
+    val tied = jtOf(Seq(1 -> Seq(7L, 7L), 2 -> Seq(7L, 7L)), 2)
+    assert(tied.getAs[Long]("k_groups") == 2L)
+    assert(tied.isNullAt(tied.fieldIndex("z_r4")) &&
+      tied.isNullAt(tied.fieldIndex("inc_trend")))
+  }
+
+  // ---- q287 Dunn post-hoc ----------------------------------------
+  private def dunnOf(groups: Seq[(String, Seq[Long])]) = {
+    val obs = groups.flatMap { case (g, vs) => vs.map((g, _)) }.toDF("gk", "vc")
+    InsightQueries.dunn(obs, "t").collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) -> r)
+      .toMap
+  }
+
+  test("dunn: the q263 textbook three-group case gives the exact pairwise z's and Bonferroni calls") {
+    // groups of 5 at cents 1-5 / 11-15 / 21-25 (q263's H = 12.5
+    // feed): mean ranks 3/8/13, sigma_ij = sqrt(20 * 0.4) = 2.8284;
+    // adjacent pairs z = -5/2.8284 = -1.7678 < zcrit(m=3) = 2.3940
+    // -> keep, outer pair z = -3.5355 -> reject
+    val g = dunnOf(Seq("a" -> (1L to 5L), "b" -> (11L to 15L),
+      "c" -> (21L to 25L)))
+    assert(g.size == 3)
+    assert(g(("a", "b")).getAs[Double]("z_r4") == -1.7678)
+    assert(!g(("a", "b")).getAs[Boolean]("reject"))
+    assert(g(("b", "c")).getAs[Double]("z_r4") == -1.7678)
+    assert(g(("a", "c")).getAs[Double]("z_r4") == -3.5355)
+    assert(g(("a", "c")).getAs[Boolean]("reject"))
+  }
+
+  test("dunn: degenerate contracts — one group or an empty feed emit zero pair rows") {
+    assert(dunnOf(Seq("a" -> (1L to 9L))).isEmpty)
+    val empty = Seq.empty[(String, Long)].toDF("gk", "vc")
+    assert(InsightQueries.dunn(empty, "t").collect().isEmpty)
+  }
+
+  // ---- q288 Kendall's W ------------------------------------------
+  test("kendallW: lockstep rankings give W = 1 and reject; a latin square gives W = 0") {
+    // 3 instruments, 5 complete days, A > B > C every day: perfect
+    // concordance, W = 1, Q = n(k-1) = 10 > 5.9915
+    val lock = (1 to 5).flatMap(d =>
+      Seq(("A", s"d$d", 30L), ("B", s"d$d", 20L), ("C", s"d$d", 10L)))
+      .toDF("event_type", "day", "close_lv")
+    val r = InsightQueries.kendallW(lock).collect().head
+    assert(r.getAs[Long]("k_types") == 3L && r.getAs[Long]("n_days") == 5L)
+    assert(r.getAs[Double]("w_r6") == 1.0)
+    assert(r.getAs[Boolean]("reject"))
+    // latin-square rotation: every instrument's rank sum is equal ->
+    // zero concordance, W = 0, keep
+    val rot = Seq(
+      ("A", "d1", 10L), ("B", "d1", 20L), ("C", "d1", 30L),
+      ("A", "d2", 30L), ("B", "d2", 10L), ("C", "d2", 20L),
+      ("A", "d3", 20L), ("B", "d3", 30L), ("C", "d3", 10L))
+      .toDF("event_type", "day", "close_lv")
+    val r0 = InsightQueries.kendallW(rot).collect().head
+    assert(r0.getAs[Double]("w_r6") == 0.0)
+    assert(!r0.getAs[Boolean]("reject"))
+  }
+
   // ---- q280 Brown-Forsythe spread test -------------------------------
   private def bfOf(groups: Seq[(String, Seq[Long])]) = {
     val obs = groups.flatMap { case (g, vs) => vs.map((g, _)) }.toDF("gk", "vc")

@@ -69,7 +69,14 @@ class GoldenPlanSpec extends SparkSpec {
     // r13 values) — pinned so the NEXT unexplained swing diffs a
     // plan file instead of re-running the adjudication
     "q129_rsi",
-    "q67_dedup_corpus")
+    "q67_dedup_corpus",
+    // round-16 addition (round-15 Next #1): the battery's #1 expense
+    // in the r15 quiet close (3.88 s vs 1.2 s in the r13/r14
+    // drivers) and its ONE query whose entire point is plan-time
+    // file pruning — the snapshot pins the pruned file COUNT
+    // (files=N on the multi-root scan), so a silent prune regression
+    // diffs a plan file instead of hiding inside host noise
+    "q121_stats_pruned_scan")
 
   private def label(p: SparkPlan): String = p match {
     case j: BaseJoinExec =>
@@ -85,10 +92,22 @@ class GoldenPlanSpec extends SparkSpec {
     case f: org.apache.spark.sql.execution.FileSourceScanExec =>
       // nodeName is "Scan parquet " for path-based reads — pin the
       // TABLE being scanned via the location root (basename only, so
-      // the snapshot is sf-dir-independent)
-      val tbl = f.relation.location.rootPaths.headOption
-        .map(_.getName.stripSuffix(".parquet")).getOrElse("?")
-      s"Scan $tbl"
+      // the snapshot is sf-dir-independent). A MULTI-root scan is a
+      // pruned explicit-file-list read (StatsCatalog.prunedRead):
+      // part-file names carry write UUIDs, so pin the parent layout
+      // dir + the FILE COUNT instead — the count IS the pruning
+      // proof (round-15 Next #1: q121's golden plan must assert how
+      // many of the 16 range-clustered files survive).
+      val roots = f.relation.location.rootPaths
+      if (roots.length > 1 || roots.headOption.exists(_.getName.startsWith("part-"))) {
+        val parent = roots.head.getParent.getName
+          .replaceAll("_sf[0-9.]+$", "")
+        s"Scan $parent files=${roots.length}"
+      } else {
+        val tbl = roots.headOption
+          .map(_.getName.stripSuffix(".parquet")).getOrElse("?")
+        s"Scan ${tbl.replaceAll("_sf[0-9.]+$", "")}"
+      }
     case _ =>
       val n = p.nodeName
       if (n.startsWith("InMemoryTableScan") || n.startsWith("InMemoryRelation"))

@@ -180,6 +180,106 @@ class InsightSpec extends SparkSpec {
     assert(!r.getAs[Boolean]("reject"))
   }
 
+  // ---- q286 Ansari-Bradley ----------------------------------------
+  test("ansariBradley: symmetric interleave gives z = 0; the textbook tie case z = 1 exactly") {
+    // early {1,3} late {2,4} (cents): scores 1,2,2,1 from both ends,
+    // AB = 1 + 2 = 3 = E -> z = 0
+    val e = dayVals(Seq(("a", 0, 0.01), ("a", 1, 0.03),
+      ("a", 2, 0.02), ("a", 3, 0.04)))
+    val r = InsightQueries.ansariBradley(e).collect().head
+    assert(r.getAs[Long]("n_early") == 2L && r.getAs[Long]("n_late") == 2L)
+    assert(r.getAs[Double]("ab_r4") == 3.0)
+    assert(r.getAs[Double]("z_r4") == 0.0)
+    assert(!r.getAs[Boolean]("reject"))
+    // early {1,1} late {1,2}: the rank-1..3 tie at cents 1 averages
+    // scores (1+2+2)/3 = 5/3, AB = 2*(5/3) = 3.3333; E = 3,
+    // Var = 1/9 (through the 1e-6 per-row quantizer) -> z = 1.0
+    val t = dayVals(Seq(("a", 0, 0.01), ("a", 1, 0.01),
+      ("a", 2, 0.01), ("a", 3, 0.02)))
+    val rt = InsightQueries.ansariBradley(t).collect().head
+    assert(rt.getAs[Double]("ab_r4") == 3.3333)
+    assert(rt.getAs[Double]("z_r4") == 1.0)
+  }
+
+  test("ansariBradley: late tails vs early core rejects with z > 0; a one-cell grid answers NULL") {
+    // early: 9 obs at the median value; late: 8 obs at the extremes
+    // (4 low, 4 high) -> early holds ALL the large both-end scores,
+    // AB = 61 vs E = 42.88, z = 4.0 -> scale drift, reject
+    val rows = (0 until 9).map(i => ("a", i % 2, 0.50)) ++
+      (0 until 4).map(i => ("a", 2 + i % 2, 0.01)) ++
+      (0 until 4).map(i => ("a", 2 + i % 2, 1.00))
+    val r = InsightQueries.ansariBradley(dayVals(rows)).collect().head
+    assert(r.getAs[Double]("z_r4") > 1.96, s"got ${r.getAs[Double]("z_r4")}")
+    assert(r.getAs[Boolean]("reject"))
+    // every observation identical -> one grid cell, zero score
+    // spread -> NULL verdicts (never a 0/0 z)
+    val c = dayVals(Seq(("a", 0, 0.05), ("a", 1, 0.05),
+      ("a", 2, 0.05), ("a", 3, 0.05)))
+    val rc = InsightQueries.ansariBradley(c).collect().head
+    assert(rc.isNullAt(rc.fieldIndex("z_r4")) &&
+      rc.isNullAt(rc.fieldIndex("reject")))
+  }
+
+  // ---- q290 Cliff's delta -----------------------------------------
+  test("cliffsDelta: separation, overlap, and tie cases land on the exact textbook values") {
+    // complete separation: delta 1, A 1, large
+    val sep = dayVals(Seq(("a", 0, 0.01), ("a", 1, 0.02),
+      ("a", 2, 0.03), ("a", 3, 0.04)))
+    val r1 = InsightQueries.cliffsDelta(sep).collect().head
+    assert(r1.getAs[Double]("delta_r6") == 1.0 &&
+      r1.getAs[Double]("vda_r6") == 1.0 &&
+      r1.getAs[String]("magnitude") == "large")
+    // interleaved early {1,3} late {2,4}: gt = 3, lt = 1 ->
+    // delta 0.5 (> 0.474 -> large), A = 0.75
+    val mix = dayVals(Seq(("a", 0, 0.01), ("a", 1, 0.03),
+      ("a", 2, 0.02), ("a", 3, 0.04)))
+    val r2 = InsightQueries.cliffsDelta(mix).collect().head
+    assert(r2.getAs[Double]("delta_r6") == 0.5 &&
+      r2.getAs[Double]("vda_r6") == 0.75 &&
+      r2.getAs[String]("magnitude") == "large")
+    // identical distributions (ties count half into A): delta 0,
+    // A 0.5, negligible
+    val eq = dayVals(Seq(("a", 0, 0.01), ("a", 1, 0.02),
+      ("a", 2, 0.01), ("a", 3, 0.02)))
+    val r3 = InsightQueries.cliffsDelta(eq).collect().head
+    assert(r3.getAs[Double]("delta_r6") == 0.0 &&
+      r3.getAs[Double]("vda_r6") == 0.5 &&
+      r3.getAs[String]("magnitude") == "negligible")
+  }
+
+  // ---- q289 D'Agostino K² ------------------------------------------
+  test("dagostinoK2: symmetric spread scores z_skew = 0 and keeps; gross right skew rejects") {
+    // +-1..12 micro-units: g1 = 0 exactly -> z_skew 0; the flat
+    // spread is platykurtic (z_kurt -2.2354) but K2 = 4.997 < 5.9915
+    val sym = retRows((1 to 12).flatMap(i =>
+      Seq(("a", 2 * i, i.toLong), ("a", 2 * i + 1, -i.toLong))))
+    val r = MarketQueries.dagostinoK2(sym).collect().head
+    assert(r.getAs[Long]("n_days") == 24L)
+    assert(r.getAs[Double]("z_skew_r4") == 0.0)
+    assert(r.getAs[Double]("z_kurt_r4") == -2.2354)
+    assert(r.getAs[Double]("k2_r4") == 4.997)
+    assert(!r.getAs[Boolean]("reject"))
+    // 20x1, 3x2, 1x100: the transforms push both z's past 5 -> reject
+    val sk = retRows(((0 until 20).map(i => ("a", i, 1L)) ++
+      (0 until 3).map(i => ("a", 20 + i, 2L)) :+ ("a", 23, 100L)))
+    val rs = MarketQueries.dagostinoK2(sk).collect().head
+    assert(rs.getAs[Double]("z_skew_r4") == 5.9148)
+    assert(rs.getAs[Double]("z_kurt_r4") == 5.0005)
+    assert(rs.getAs[Double]("k2_r4") == 59.9899)
+    assert(rs.getAs[Boolean]("reject"))
+  }
+
+  test("dagostinoK2: n < 20 and zero-variance series answer NULL (the transform's own floor)") {
+    val few = retRows((0 until 19).map(i => ("a", i, (i % 5).toLong)))
+    val r = MarketQueries.dagostinoK2(few).collect().head
+    assert(r.isNullAt(r.fieldIndex("z_skew_r4")) &&
+      r.isNullAt(r.fieldIndex("k2_r4")) && r.isNullAt(r.fieldIndex("reject")))
+    val flat = retRows((0 until 25).map(i => ("a", i, 7L)))
+    val rf = MarketQueries.dagostinoK2(flat).collect().head
+    assert(rf.isNullAt(rf.fieldIndex("z_skew_r4")) &&
+      rf.isNullAt(rf.fieldIndex("reject")))
+  }
+
   // ---- q251 Spearman ----------------------------------------------
   private def retRows(rows: Seq[(String, Int, Long)]) = {
     val d0 = java.sql.Date.valueOf("2024-01-01")
@@ -359,6 +459,21 @@ class InsightSpec extends SparkSpec {
     assert(r1.getAs[Boolean]("reject_arch"))
     // the fixed df=5 boundary: lb must exceed 11.0705 for the reject
     assert(r1.getAs[Double]("lb_q_r4") > 11.0705)
+  }
+
+  test("archLm: a CONSTANT price series (every return zero) answers NULL, not reject") {
+    // the round-15 documented-but-unpinned degenerate: a flat closes
+    // feed gives r = 0 every day, so r² is identically zero — zero
+    // variance in the squares, a_den = 0, and the McLeod-Li verdict
+    // must be NULL on the whole row (never a spurious keep/reject)
+    val d0 = java.sql.Date.valueOf("2024-01-01")
+    def day(i: Int) = new java.sql.Date(d0.getTime + i * 86400000L)
+    val flat = (0 until 20).map(i => ("a", day(i), 0L))
+      .toDF("event_type", "day", "r_fp")
+    val r = MarketQueries.archLm(flat).collect().head
+    assert(r.isNullAt(r.fieldIndex("acf1_r6")))
+    assert(r.isNullAt(r.fieldIndex("lb_q_r4")))
+    assert(r.isNullAt(r.fieldIndex("reject_arch")))
   }
 
   // ---- q282 weekday effect ----------------------------------------
