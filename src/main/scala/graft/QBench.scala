@@ -6,6 +6,12 @@ object QBench {
   def main(args: Array[String]): Unit = {
     val spark = core.GraftSession("qbench", 32)
     val name = args(0); val dir = args(1)
+    // optional third arg: iteration count (default 3). The r15
+    // adjudication's >=1 s members settle in 3 runs; sub-second
+    // queries are still descending the JIT curve at run3 (r16
+    // q257: 11.1 -> 2.0 -> 1.3 s), so their honest isolated floor
+    // needs a longer tail — pass 10.
+    val iters = args.lift(2).map(_.toInt).getOrElse(3)
     val fn = SparkEntry.queries(name)
     // host calibration BEFORE and AFTER, same as Bench/ScaleProbe —
     // a slow-clock window shows up in the stamp, not as a mystery
@@ -14,7 +20,7 @@ object QBench {
     // run 1 includes JVM/scan warmup; runs 2-3 are steady state and
     // MIN is the reported figure (the Bench min-of-n discipline);
     // noop sink so pruning can't delete the measured work
-    val times = (1 to 3).map { i =>
+    val times = (1 to iters).map { i =>
       val t0 = System.nanoTime()
       fn(spark, dir).write.format("noop").mode("overwrite").save()
       val s = (System.nanoTime() - t0) / 1e9

@@ -1447,6 +1447,74 @@ object InsightQueries {
   }
 
   // ---------------------------------------------------------------
+  // q291 — PAGE'S L ORDERED-ALTERNATIVE TREND TEST (two-way layout):
+  // does daily revenue trend MONOTONICALLY across the five order
+  // priorities — the Friedman-layout sibling of q285's Jonckheere
+  // (Page 1963): q266 asks "do the treatments differ at all" across
+  // blocks; Page's L = Σⱼ j·Rⱼ asks "do they differ IN THE STATED
+  // ORDER", with far more power when the order is real. Blocks are
+  // order DAYS, treatments the fixed priority slots 1-URGENT…5-LOW,
+  // the block value each (day, priority)'s exact revenue-cents sum;
+  // only complete blocks (all five priorities traded) enter — the
+  // q266 complete-block rule. Exactness: within-block doubled
+  // midranks keep every rank sum exact (2L = Σⱼ j·R2ⱼ, decimal-
+  // widened per factor); E[2L] = n·k(k+1)²/2 and Var[L] =
+  // n·k²(k+1)(k²−1)/144 are the textbook no-tie null moments
+  // (midranks + the unadjusted variance is the standard practice —
+  // revenue-cents ties across priorities within one day are
+  // measure-zero and identical on both engines either way), both
+  // closed from exactly-representable integer factors; z closes in
+  // ONE IEEE sequence and the one-sided α = 0.05 calls test the
+  // QUANTIZED z₄ against ±16449 in both directions (the q285
+  // convention). An empty complete-block set emits ZERO rows on both
+  // engines (literal-relation GROUP BY). Scale shape: ONE partial
+  // agg to the (day, priority) grid — day-grain, volume-independent
+  // after it; the rank window partitions per day over 5 rows.
+  // Output: 1 row.
+  private def q291(s: SparkSession, dir: String): DataFrame = {
+    val blocks = Tables.orders(s, dir)
+      .select(col("o_orderdate").as("day"),
+        substring(col("o_orderpriority"), 1, 1).cast("int").as("gi"),
+        floor(col("o_totalprice") * lit(100d) + lit(0.5d)).cast("long").as("vc"))
+      .groupBy(col("day"), col("gi"))
+      .agg(sum(col("vc")).as("rev"))
+    pageTrend(blocks, 5, "orders.revenue~priority_order")
+  }
+
+  /** Page's L over complete blocks of `(day, gi, rev)` with the k
+    * treatment slots 1..k known at plan time. */
+  private[graft] def pageTrend(blocks: DataFrame, k: Int,
+                               rel: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val dc = blocks.groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+    val complete = blocks.join(dc, Seq("day")).filter(col("cnt") === k)
+    val wv = Window.partitionBy(col("day")).orderBy(col("rev"))
+    val tw = Window.partitionBy(col("day"), col("rev"))
+    val ranked = complete.withColumn("r2",
+      lit(2L) * rank().over(wv) + count(lit(1)).over(tw) - lit(1L))
+    val per = ranked.groupBy(col("gi"))
+      .agg(count(lit(1)).as("n"), sum(col("r2")).as("rs2"))
+    val agg = per.groupBy(lit(rel).as("relation"))
+      .agg(max(col("n")).as("n_days"), count(lit(1)).as("k_eff"),
+        sum(d38(col("gi")) * d38(col("rs2"))).as("l2"))
+    val nD = dd(col("n_days"))
+    val kD = lit(k.toDouble)
+    val e2 = nD * kD * (kD + lit(1.0)) * (kD + lit(1.0)) / lit(2.0)
+    val sig = sqrt(nD * kD * kD * (kD + lit(1.0)) *
+      (kD * kD - lit(1.0)) / lit(144.0))
+    val z = (dd(col("l2")) - e2) / (lit(2.0) * sig)
+    val z4 = floor(z * lit(1e4) + lit(0.5)).cast("long")
+    val valid = col("k_eff") === k && col("n_days") >= 1 && sig > 0
+    agg.select(col("relation"), lit(k).cast("long").as("k_slots"),
+      col("n_days"),
+      when(valid, dd(col("l2")) / lit(2.0)).as("l_stat"),
+      when(valid, z4.cast("double") / lit(1e4)).as("z_r4"),
+      when(valid, z4 > lit(16449L)).as("inc_trend"),
+      when(valid, z4 < lit(-16449L)).as("dec_trend"))
+  }
+
+  // ---------------------------------------------------------------
   // q290 — CLIFF'S DELTA / VARGHA-DELANEY EFFECT SIZE: HOW BIG is
   // the early→late shift q250's U test only calls significant — at
   // 100 TB row counts EVERYTHING is "significant", and the standard
@@ -1559,6 +1627,7 @@ object InsightQueries {
     "q287_dunn_posthoc" -> q287 _,
     "q288_kendall_w" -> q288 _,
     "q290_cliffs_delta" -> q290 _,
+    "q291_page_trend" -> q291 _,
     "q285_jonckheere" -> q285 _,
     "q273_bartlett" -> q273 _,
     "q263_kruskal_wallis" -> q263 _,
@@ -1851,6 +1920,50 @@ object InsightQueries {
         |      WHEN abs(floor(delta * 1e6 + 0.5)::BIGINT) < 474000 THEN 'medium'
         |      ELSE 'large' END END AS magnitude
         |FROM dd_""".stripMargin,
+    "q291_page_trend" ->
+      """WITH obs AS (
+        |  SELECT o_orderdate AS day, substring(o_orderpriority, 1, 1)::INT AS gi,
+        |    floor(o_totalprice * 100 + 0.5)::BIGINT AS vc
+        |  FROM orders
+        |), blocks AS (
+        |  SELECT day, gi, sum(vc)::HUGEINT AS rev FROM obs GROUP BY 1, 2
+        |), dc AS (SELECT day, count(*)::BIGINT AS cnt FROM blocks GROUP BY 1),
+        |cb AS (
+        |  SELECT b.day, b.gi, b.rev FROM blocks b JOIN dc USING (day)
+        |  WHERE cnt = 5
+        |), rk AS (
+        |  SELECT gi,
+        |    2 * rank() OVER (PARTITION BY day ORDER BY rev)
+        |      + count(*) OVER (PARTITION BY day, rev) - 1 AS r2
+        |  FROM cb
+        |), pt AS (
+        |  SELECT gi, count(*)::BIGINT AS n, sum(r2)::BIGINT AS rs2
+        |  FROM rk GROUP BY 1
+        |), ag AS (
+        |  SELECT 'orders.revenue~priority_order' AS relation,
+        |    max(n)::BIGINT AS n_days, count(*)::BIGINT AS k_eff,
+        |    sum(gi::HUGEINT * rs2::HUGEINT) AS l2
+        |  FROM pt GROUP BY 1
+        |), zz AS (
+        |  SELECT relation, n_days, k_eff, l2,
+        |    n_days::DOUBLE * 5.0 * (5.0 + 1.0) * (5.0 + 1.0) / 2.0 AS e2,
+        |    sqrt(n_days::DOUBLE * 5.0 * 5.0 * (5.0 + 1.0)
+        |      * (5.0 * 5.0 - 1.0) / 144.0) AS sig
+        |  FROM ag
+        |)
+        |SELECT relation, 5::BIGINT AS k_slots, n_days,
+        |  CASE WHEN k_eff = 5 AND n_days >= 1 AND sig > 0 THEN
+        |    l2::DOUBLE / 2.0 END AS l_stat,
+        |  CASE WHEN k_eff = 5 AND n_days >= 1 AND sig > 0 THEN
+        |    floor((l2::DOUBLE - e2) / (2.0 * sig) * 1e4 + 0.5)::BIGINT::DOUBLE
+        |      / 1e4 END AS z_r4,
+        |  CASE WHEN k_eff = 5 AND n_days >= 1 AND sig > 0 THEN
+        |    floor((l2::DOUBLE - e2) / (2.0 * sig) * 1e4 + 0.5)::BIGINT > 16449
+        |  END AS inc_trend,
+        |  CASE WHEN k_eff = 5 AND n_days >= 1 AND sig > 0 THEN
+        |    floor((l2::DOUBLE - e2) / (2.0 * sig) * 1e4 + 0.5)::BIGINT < -16449
+        |  END AS dec_trend
+        |FROM zz""".stripMargin,
     "q285_jonckheere" ->
       """WITH obs AS (
         |  SELECT substring(o_orderpriority, 1, 1)::INT AS gi,

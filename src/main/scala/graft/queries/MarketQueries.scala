@@ -1400,6 +1400,71 @@ object MarketQueries {
         .as("gain_final"))
   }
 
+  // q292 — TABULAR CUSUM MEAN-SHIFT MONITOR: WHEN did the return
+  // level drift, asked the way a process-control desk asks it (Page
+  // 1954): the one-sided cumulative sums S⁺ₜ = max(0, S⁺ₜ₋₁ + (xₜ−μ)
+  // − k) and S⁻ₜ (mirrored) with the textbook reference value
+  // k = 0.5σ and decision interval h = 4σ — the SEQUENTIAL
+  // complement to q271's retrospective Pettitt (Pettitt locates the
+  // single best split in hindsight; CUSUM says how quickly an online
+  // monitor would have fired, how often, and how hard the drift
+  // pushed). μ and σ are the series' own exact-power-sum moments
+  // (retrospective calibration, documented — an online desk would
+  // freeze them from a reference window). Exactness: the recursion
+  // is inherently sequential, so it rides the q210/q222 replay
+  // discipline — DayGrid-guarded day-ordered arrays, Spark
+  // `aggregate` over a 7-field named_struct vs DuckDB list_reduce
+  // over 7-element LISTs with a prepended seed, bitwise-matched op
+  // order; outputs quantize r4 and the alarm counts/indices are
+  // exact by construction. Scale shape: one volume-sized DailyCloses
+  // partial agg, then |types| day-grid array folds (O(n) each).
+  // Output: |types| rows.
+  private def q292(s: SparkSession, dir: String): DataFrame =
+    cusumFromReturns(dailyReturns(s, dir))
+
+  private[graft] def cusumFromReturns(rets: DataFrame): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val stats = rets.groupBy(col("event_type").as("et2"))
+      .agg(count(lit(1)).as("nn"), sum(col("r_fp")).as("s1"),
+        sum(col("r_fp") * col("r_fp")).as("s2"))
+    val base = graft.operators.DayGrid
+      .series(rets, "event_type", "day", "r_fp", "cusumFromReturns")
+      .join(broadcast(stats), col("event_type") === col("et2"))
+      .withColumn("xs", expr("transform(xs, x -> CAST(x AS DOUBLE))"))
+      .withColumn("mu", dd(col("s1")) / dd(col("nn")))
+      .withColumn("sg", sqrt((dd(col("s2")) -
+        dd(col("s1")) * dd(col("s1")) / dd(col("nn"))) / dd(col("nn"))))
+      // state: (S+, S-, max S+, max S-, alarm count, first-alarm
+      // 1-based index or 0, position); the updated S± are recomputed
+      // where needed — SQL lambdas have no lets, and the repeated
+      // subexpression is the same IEEE value by definition
+      .withColumn("st", expr(
+        "aggregate(xs, " +
+          "named_struct('sp', CAST(0.0 AS DOUBLE), 'sn', CAST(0.0 AS DOUBLE), " +
+          "'mp', CAST(0.0 AS DOUBLE), 'mn', CAST(0.0 AS DOUBLE), " +
+          "'na', CAST(0.0 AS DOUBLE), 'fa', CAST(0.0 AS DOUBLE), " +
+          "'i', CAST(0.0 AS DOUBLE)), " +
+          "(a, x) -> named_struct(" +
+          "'sp', greatest(0.0D, a.sp + (x - mu) - 0.5D * sg), " +
+          "'sn', greatest(0.0D, a.sn - (x - mu) - 0.5D * sg), " +
+          "'mp', greatest(a.mp, greatest(0.0D, a.sp + (x - mu) - 0.5D * sg)), " +
+          "'mn', greatest(a.mn, greatest(0.0D, a.sn - (x - mu) - 0.5D * sg)), " +
+          "'na', a.na + IF(greatest(0.0D, a.sp + (x - mu) - 0.5D * sg) > 4.0D * sg " +
+          "OR greatest(0.0D, a.sn - (x - mu) - 0.5D * sg) > 4.0D * sg, 1.0D, 0.0D), " +
+          "'fa', IF(a.fa > 0.0D, a.fa, " +
+          "IF(greatest(0.0D, a.sp + (x - mu) - 0.5D * sg) > 4.0D * sg " +
+          "OR greatest(0.0D, a.sn - (x - mu) - 0.5D * sg) > 4.0D * sg, " +
+          "a.i + 1.0D, 0.0D)), " +
+          "'i', a.i + 1.0D))"))
+    val valid = col("n") >= 2 && col("sg") > 0
+    base.select(col("event_type"), col("n").as("n_days"),
+      when(valid, r4(col("st.mp") / col("sg"))).as("max_pos_r4"),
+      when(valid, r4(col("st.mn") / col("sg"))).as("max_neg_r4"),
+      when(valid, col("st.na").cast("long")).as("n_alarms"),
+      when(valid && col("st.fa") > 0, col("st.fa").cast("long"))
+        .as("first_alarm"))
+  }
+
   // q223 — ENGLE-GRANGER COINTEGRATION SCREEN (stage 2): q198 ships
   // the stage-1 hedge ratio; this query asks the question that makes
   // a pair TRADEABLE — is the residual spread mean-reverting? The
@@ -2319,6 +2384,7 @@ object MarketQueries {
     "q257_jarque_bera" -> q257 _,
     "q258_runs_test" -> q258 _,
     "q289_dagostino_k2" -> q289 _,
+    "q292_cusum" -> q292 _,
     "q259_mann_kendall" -> q259 _,
     "q256_pacf" -> q256 _,
     "q247_acf_ljungbox" -> q247 _,
@@ -2849,6 +2915,49 @@ object MarketQueries {
           |  floor(k2fp::DOUBLE / 1e4 + 0.5)::BIGINT::DOUBLE / 1e4 AS k2_r4,
           |  k2fp > 599150000 AS reject
           |FROM kk""".stripMargin),
+    "q292_cusum" ->
+      (dayRetCtes +
+        """, st AS (
+          |  SELECT event_type, count(*)::BIGINT AS nn,
+          |    sum(r_fp)::BIGINT AS s1, sum(r_fp*r_fp)::BIGINT AS s2,
+          |    list(r_fp::DOUBLE ORDER BY day) AS xs
+          |  FROM r GROUP BY 1
+          |), ms AS (
+          |  SELECT event_type, nn, xs,
+          |    s1::DOUBLE / nn::DOUBLE AS mu,
+          |    sqrt((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / nn::DOUBLE)
+          |      / nn::DOUBLE) AS sg
+          |  FROM st
+          |), fd AS (
+          |  SELECT event_type, nn, mu, sg,
+          |    list_reduce(
+          |      list_prepend([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+          |        list_transform(xs, x -> [x, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])),
+          |      (a, e) -> [
+          |        greatest(0.0, a[1] + (e[1] - mu) - 0.5 * sg),
+          |        greatest(0.0, a[2] - (e[1] - mu) - 0.5 * sg),
+          |        greatest(a[3], greatest(0.0, a[1] + (e[1] - mu) - 0.5 * sg)),
+          |        greatest(a[4], greatest(0.0, a[2] - (e[1] - mu) - 0.5 * sg)),
+          |        a[5] + CASE WHEN
+          |          greatest(0.0, a[1] + (e[1] - mu) - 0.5 * sg) > 4.0 * sg
+          |          OR greatest(0.0, a[2] - (e[1] - mu) - 0.5 * sg) > 4.0 * sg
+          |          THEN 1.0 ELSE 0.0 END,
+          |        CASE WHEN a[6] > 0.0 THEN a[6] ELSE CASE WHEN
+          |          greatest(0.0, a[1] + (e[1] - mu) - 0.5 * sg) > 4.0 * sg
+          |          OR greatest(0.0, a[2] - (e[1] - mu) - 0.5 * sg) > 4.0 * sg
+          |          THEN a[7] + 1.0 ELSE 0.0 END END,
+          |        a[7] + 1.0]) AS s
+          |  FROM ms
+          |)
+          |SELECT event_type, nn AS n_days,
+          |  CASE WHEN nn >= 2 AND sg > 0 THEN
+          |    floor(s[3] / sg * 10000 + 0.5)/10000 END AS max_pos_r4,
+          |  CASE WHEN nn >= 2 AND sg > 0 THEN
+          |    floor(s[4] / sg * 10000 + 0.5)/10000 END AS max_neg_r4,
+          |  CASE WHEN nn >= 2 AND sg > 0 THEN s[5]::BIGINT END AS n_alarms,
+          |  CASE WHEN nn >= 2 AND sg > 0 AND s[6] > 0 THEN s[6]::BIGINT
+          |  END AS first_alarm
+          |FROM fd""".stripMargin),
     "q258_runs_test" ->
       (dayRetCtes +
         """, sg AS (

@@ -421,6 +421,36 @@ class CrossGroupSpec extends SparkSpec {
     assert(InsightQueries.dunn(empty, "t").collect().isEmpty)
   }
 
+  // ---- q291 Page's L ordered trend -------------------------------
+  private def pageOf(rows: Seq[(String, Int, Long)], k: Int) =
+    InsightQueries.pageTrend(rows.toDF("day", "gi", "rev"), k, "t").collect()
+
+  test("pageTrend: the single-block hand case lands on L = 14, z = 1.4142 exactly (and mirrored)") {
+    // k = 3, one block, identity order: ranks 1,2,3 -> L = 14,
+    // E = 12, sigma = sqrt(2) -> z = 2/(2*sqrt(2)) ... = 1.4142
+    val up = pageOf(Seq(("d1", 1, 10L), ("d1", 2, 20L), ("d1", 3, 30L)), 3)
+    assert(up.length == 1)
+    assert(up(0).getAs[Double]("l_stat") == 14.0)
+    assert(up(0).getAs[Double]("z_r4") == 1.4142)
+    assert(!up(0).getAs[Boolean]("inc_trend"))
+    val dn = pageOf(Seq(("d1", 1, 30L), ("d1", 2, 20L), ("d1", 3, 10L)), 3)
+    assert(dn(0).getAs[Double]("l_stat") == 10.0)
+    assert(dn(0).getAs[Double]("z_r4") == -1.4142)
+  }
+
+  test("pageTrend: eight lockstep blocks reject upward; incomplete blocks drop; empty feed zero rows") {
+    // 8 identity blocks: L = 112, E = 96, sigma = 4 -> z = 4
+    val rows = (1 to 8).flatMap(d =>
+      Seq((s"d$d", 1, 10L), (s"d$d", 2, 20L), (s"d$d", 3, 30L))) ++
+      Seq(("dX", 1, 5L), ("dX", 2, 6L)) // incomplete -> dropped
+    val r = pageOf(rows, 3)
+    assert(r(0).getAs[Long]("n_days") == 8L)
+    assert(r(0).getAs[Double]("l_stat") == 112.0)
+    assert(r(0).getAs[Double]("z_r4") == 4.0)
+    assert(r(0).getAs[Boolean]("inc_trend") && !r(0).getAs[Boolean]("dec_trend"))
+    assert(pageOf(Seq.empty, 3).isEmpty)
+  }
+
   // ---- q288 Kendall's W ------------------------------------------
   test("kendallW: lockstep rankings give W = 1 and reject; a latin square gives W = 0") {
     // 3 instruments, 5 complete days, A > B > C every day: perfect

@@ -76,7 +76,13 @@ class GoldenPlanSpec extends SparkSpec {
     // file pruning — the snapshot pins the pruned file COUNT
     // (files=N on the multi-root scan), so a silent prune regression
     // diffs a plan file instead of hiding inside host noise
-    "q121_stats_pruned_scan")
+    "q121_stats_pruned_scan",
+    // round-16 adjudication residual: q196 is the one r15 quiet-swing
+    // member whose 10-iteration isolated floor stayed ~2.9x its
+    // r13/r14 driver value on the allcore-degraded host — no plan
+    // evidence of drift, but it had no pin; now the next swing diffs
+    // a file
+    "q196_markov_attribution")
 
   private def label(p: SparkPlan): String = p match {
     case j: BaseJoinExec =>

@@ -280,6 +280,37 @@ class InsightSpec extends SparkSpec {
       rf.isNullAt(rf.fieldIndex("reject")))
   }
 
+  // ---- q292 tabular CUSUM -----------------------------------------
+  test("cusumFromReturns: a level shift walks the textbook S-path — alarms, first index, max excursions") {
+    // 10 days at r = 0, then 10 at r = 10: mu = 5, sigma = 5 ->
+    // k = 2.5, h = 20. S- climbs 2.5/day over the low half (alarms
+    // at i = 9, 10, peak 25 = 5sigma), decays over the high half
+    // while S+ climbs symmetrically (alarms at i = 19, 20)
+    val rets = retRows((0 until 10).map(i => ("a", i, 0L)) ++
+      (10 until 20).map(i => ("a", i, 10L)))
+    val r = MarketQueries.cusumFromReturns(rets).collect().head
+    assert(r.getAs[Long]("n_days") == 20L)
+    assert(r.getAs[Double]("max_pos_r4") == 5.0)
+    assert(r.getAs[Double]("max_neg_r4") == 5.0)
+    assert(r.getAs[Long]("n_alarms") == 4L)
+    assert(r.getAs[Long]("first_alarm") == 9L)
+  }
+
+  test("cusumFromReturns: steady series never alarms; flat and single-day series answer NULL") {
+    // alternating +-1 around mu = 0, sigma = 1: |x - mu| - k = 0.5
+    // but each step flips sign, S never accumulates past 0.5 < h = 4
+    val steady = retRows((0 until 30).map(i =>
+      ("a", i, if (i % 2 == 0) 1L else -1L)))
+    val r = MarketQueries.cusumFromReturns(steady).collect().head
+    assert(r.getAs[Long]("n_alarms") == 0L)
+    assert(r.isNullAt(r.fieldIndex("first_alarm")))
+    assert(r.getAs[Double]("max_pos_r4") <= 0.5)
+    val flat = retRows((0 until 10).map(i => ("a", i, 3L)))
+    val rf = MarketQueries.cusumFromReturns(flat).collect().head
+    assert(rf.isNullAt(rf.fieldIndex("max_pos_r4")) &&
+      rf.isNullAt(rf.fieldIndex("n_alarms")))
+  }
+
   // ---- q251 Spearman ----------------------------------------------
   private def retRows(rows: Seq[(String, Int, Long)]) = {
     val d0 = java.sql.Date.valueOf("2024-01-01")
