@@ -617,6 +617,21 @@ object ScaleProbe {
     // chunk-banded running-sums pass, grid-grain + k-row closings
     time("q285_jonckheere") { q("q285_jonckheere") }
 
+    // --- round-16 additions ---
+    // q286: q250's (type, cents) grid + the closed-form both-ends
+    // score prefix — grid-bounded after ONE volume-sized partial agg
+    time("q286_ansari_bradley") { q("q286_ansari_bradley") }
+    // q287: the q263 global grid + a k-row x k-row pairwise close
+    time("q287_dunn_posthoc") { q("q287_dunn_posthoc") }
+    // q288/q289/q291/q292: day-grid shapes (volume-independent after
+    // DailyCloses'/orders' one partial agg) — probed to pin the claim
+    time("q288_kendall_w") { q("q288_kendall_w") }
+    time("q289_dagostino_k2") { q("q289_dagostino_k2") }
+    time("q291_page_trend") { q("q291_page_trend") }
+    time("q292_cusum") { q("q292_cusum") }
+    // q290: q250's grid, one fused two-column running-count pass
+    time("q290_cliffs_delta") { q("q290_cliffs_delta") }
+
     // --- the broader battery (10x runs keep historical coverage) ---
     if (reps <= 10) {
       time("q06_ohlcv_daily") { q("q06_ohlcv_daily") }
