@@ -25,6 +25,19 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.streaming.stopGracefullyOnShutdown", "true")
       .config("spark.ui.enabled", "false")
+      // Round-16 optimization (guide §6 input split size): the split
+      // planner floors split size at openCostInBytes (default 4 MB),
+      // so a single multi-MB parquet file fans out to only a handful
+      // of scan tasks however many cores are idle (q193's whole cost
+      // was ONE 3-task stage on 32 cores). 1 MB reflects the actual
+      // open cost on local/NVMe storage; the formula's bytes-per-core
+      // term (totalBytes / defaultParallelism) still governs at any
+      // real scale, where files are 100 MB+ and maxPartitionBytes is
+      // the binding cap — so this floors small-file scans scale-
+      // adaptively instead of at a constant 4 MB. Overridable for
+      // slow-seek deployments via SPARK_GRAFT_OPENCOST.
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPENCOST", "1048576"))
     // long-running streaming state at scale: RocksDB keeps state off
     // the executor heap and incremental-checkpoints (SURVEY §7
     // known-hard #5); the HDFS-backed default is fine for tests

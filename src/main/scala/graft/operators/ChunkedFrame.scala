@@ -298,43 +298,63 @@ object ChunkedFrame {
   def withRunningSums(df: DataFrame, keyCol: String, chunk: Column,
                       orderCols: Seq[String],
                       sums: Seq[(String, String)],
-                      maxChunkRows: Int = MaxChunkRows): DataFrame = {
+                      maxChunkRows: Int = MaxChunkRows): DataFrame =
+    withRunningSumsKeys(df, Seq(keyCol), chunk, orderCols, sums, maxChunkRows)
+
+  /** [[withRunningSums]] with a COMPOSITE key (round-16 optimization:
+    * the fused multi-relation statistics key their grids by
+    * (relation, group), so the single-`keyCol` API would force a
+    * synthetic concat column into every exchange). Single-element
+    * `keyCols` compiles to exactly the plan the single-key form
+    * always produced — the public single-key entry delegates here. */
+  def withRunningSumsKeys(df: DataFrame, keyCols: Seq[String], chunk: Column,
+                          orderCols: Seq[String],
+                          sums: Seq[(String, String)],
+                          maxChunkRows: Int = MaxChunkRows): DataFrame = {
     require(sums.nonEmpty,
       "withRunningSums needs at least one (valCol, outCol) pair")
-    val k = col(keyCol)
+    require(keyCols.nonEmpty, "withRunningSumsKeys needs at least one key")
+    val ks = keyCols.map(col)
+    val pks = keyCols.map(k => col(s"__p_$k"))
     val withChunk = df.withColumn("__chunk", chunk)
 
-    val wLocal = Window.partitionBy(k, col("__chunk"))
+    val wLocal = Window.partitionBy(ks :+ col("__chunk"): _*)
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = sums.zipWithIndex.foldLeft(withChunk) {
       case (d, ((v, _), i)) => d.withColumn(s"__ls$i", sum(col(v)).over(wLocal))
     }
 
-    val wPrev = Window.partitionBy(col(s"__p_$keyCol")).orderBy(col("__p_chunk"))
+    val wPrev = Window.partitionBy(pks: _*).orderBy(col("__p_chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     // chunk sums + the band row count the hot-chunk guard reads
     val csAggs = sums.zipWithIndex.map { case ((v, _), i) => sum(col(v)).as(s"__cs$i") } :+
       count(lit(1)).as("__cc")
-    val prior0 = withChunk.groupBy(k.as(s"__p_$keyCol"), col("__chunk").as("__p_chunk"))
+    val gCols = keyCols.map(k => col(k).as(s"__p_$k")) :+ col("__chunk").as("__p_chunk")
+    val prior0 = withChunk.groupBy(gCols: _*)
       .agg(csAggs.head, csAggs.tail: _*)
+    // the guard message names the band by its (possibly composite) key
+    val guardKey =
+      if (pks.size == 1) pks.head
+      else concat_ws("/", pks.map(_.cast("string")): _*)
     // every out column's final expression reads its __ps band prefix,
     // so guarding EACH prefix puts the loud bound on every consumer's
     // evaluation path even after downstream column pruning
     val prior = sums.indices.foldLeft(prior0) { (d, i) =>
       d.withColumn(s"__ps$i", guardedBand("ChunkedFrame.withRunningSums",
-        col(s"__p_$keyCol"), col("__p_chunk"), col("__cc"),
+        guardKey, col("__p_chunk"), col("__cc"),
         sum(col(s"__cs$i")).over(wPrev),
         prior0.schema(s"__cs$i").dataType, maxChunkRows))
     }.drop("__cc" +: sums.indices.map(i => s"__cs$i"): _*)
 
-    val joined = local.join(broadcast(prior),
-      k === col(s"__p_$keyCol") && col("__chunk") === col("__p_chunk"))
+    val joinCond = keyCols.map(k => col(k) === col(s"__p_$k"))
+      .reduce(_ && _) && col("__chunk") === col("__p_chunk")
+    val joined = local.join(broadcast(prior), joinCond)
     sums.zipWithIndex.foldLeft(joined) { case (d, ((_, out), i)) =>
       d.withColumn(out,
         when(col(s"__ls$i").isNull && col(s"__ps$i").isNull, lit(null))
           .otherwise(coalesce(col(s"__ls$i"), lit(0)) + coalesce(col(s"__ps$i"), lit(0))))
-    }.drop(Seq(s"__p_$keyCol", "__p_chunk", "__chunk") ++
+    }.drop(keyCols.map(k => s"__p_$k") ++ Seq("__p_chunk", "__chunk") ++
       sums.indices.flatMap(i => Seq(s"__ps$i", s"__ls$i")): _*)
   }
 

@@ -52,15 +52,30 @@ object Rfm {
       .withColumn("__k", lit(1))
       .select(col("user_id"), col("recency_days"), col("frequency"),
         col("monetary"), col("n_users"), col("__k"))
-    def quartile(df: DataFrame, metric: String, chunk: Column, outCol: String): DataFrame =
-      ChunkedFrame.globalRank(df, "__k", chunk, Seq(metric, "user_id"))
+    // Round-16 optimization (guide §1.2 step 1 + §2.3): the former
+    // NESTED quartile passes — each globalRank fans its input out to
+    // a rank arm AND an offsets arm — duplicated the whole upstream
+    // plan 2x per pass (2^3 = 8 copies of the rfm subtree, 84
+    // exchanges in the initial plan). The three rank passes are
+    // independent per-metric computations, so each now runs over a
+    // NARROW (user_id, metric, n_users) projection of the shared rfm
+    // frame and the three score tables join back on user_id: the
+    // rank windows sort 3 columns instead of the full row (shuffle
+    // fewer bytes), and the plan is 3 parallel arms instead of an
+    // exponential nest. Ranks, scores, and output values are
+    // unchanged (same rows into each rank window, same
+    // (__g·4) DIV n arithmetic; RfmSpec + oracle q12-style hash pin
+    // it).
+    def rankTable(metric: String, chunk: Column, outCol: String): DataFrame =
+      ChunkedFrame.globalRank(
+        rfm.select(col("user_id"), col(metric), col("n_users"), col("__k")),
+        "__k", chunk, Seq(metric, "user_id"))
         .withColumn(outCol, expr("(__g * 4) DIV n_users + 1"))
-        .drop("__g")
-    val scored = quartile(
-      quartile(
-        quartile(rfm, "recency_days", col("recency_days"), "rq"),
-        "frequency", col("frequency"), "fq"),
-      "monetary", floor(col("monetary")), "mq")
+        .select(col("user_id"), col(outCol))
+    val scored = rfm
+      .join(rankTable("recency_days", col("recency_days"), "rq"), Seq("user_id"))
+      .join(rankTable("frequency", col("frequency"), "fq"), Seq("user_id"))
+      .join(rankTable("monetary", floor(col("monetary")), "mq"), Seq("user_id"))
     // the |users|-row cache stays resident for the caller's action
     // (an eager localCheckpoint here measured +0.7 s on the sf0.1
     // bench — materializing the output costs more than the small

@@ -38,4 +38,21 @@ object Skew {
         sumCols.keys.toSeq.map(n => sum(col(s"__s_$n")).as(n)): _*
       )
   }
+
+  /** Round-16: fan a NARROW scan out to the session's parallelism —
+    * parquet can't split below row-group boundaries, so a small file
+    * pins every operator fused into its scan stage (explode, hashing,
+    * heavy per-row expressions) to a handful of tasks however many
+    * cores are idle (guide §2.5 "input skew: fix at the source ...
+    * otherwise repartition immediately after the read"). ADAPTIVE:
+    * a no-op whenever the scan already meets the session's
+    * parallelism, which is every real deployment — the round-robin
+    * exchange exists only in the small-file regime where its cost is
+    * trivially small. Use on inputs whose downstream per-row work
+    * dominates the scan (profiling stacks, tokenizers), not on thin
+    * partial-agg paths. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
 }

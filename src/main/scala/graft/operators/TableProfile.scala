@@ -49,7 +49,17 @@ object TableProfile {
     * pre-hashes; KmvMins itself skips null hashes), so the earlier
     * two-arm form's second scan and broadcast join are gone. */
   def state(df: DataFrame, colTypes: Seq[(String, String)], k: Int = K): DataFrame = {
-    val stacked = df.select(explode(array(colTypes.map { case (c, kind) =>
+    // Round-16 optimization (guide §2.5 input skew): the explode +
+    // md5 + bounded-heap aggregate all run INSIDE the scan stage, so
+    // their parallelism is the scan's split count — and parquet can't
+    // split below row-group boundaries, which pins a single small
+    // file to ~3 tasks however many cores are idle (q193's whole
+    // sf0.1 cost was one 3-task stage). Fan the input out to the
+    // session's parallelism ONLY when the scan undershoots it: at any
+    // real scale splits ≫ cores and this is a no-op — no constant, no
+    // extra shuffle where volume exists.
+    val in = Skew.fanOut(df)
+    val stacked = in.select(explode(array(colTypes.map { case (c, kind) =>
         struct(lit(c).as("col_name"), canon(c, kind).as("t")) }: _*)).as("e"))
       .select(col("e.col_name").as("col_name"), col("e.t").as("t"))
     stacked

@@ -53,13 +53,45 @@ object BehaviorQueries {
     require(colsN == ProfileCols,
       s"q181: lineitem schema drifted from the shared profile column list — " +
         s"got $colsN, oracle profiles $ProfileCols")
-    val stacked = li.select(explode(array(colsN.map(c =>
-        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("e"))
-      .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
-    stacked.groupBy(col("col_name"))
-      .agg(count(lit(1)).as("n_rows"),
-        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
-        countDistinct(col("v")).as("n_distinct"))
+    // Round-16 optimization (guide §2.3 narrower types / project before
+    // the exchange): the stacked stream is split into a LONG arm (int
+    // and timestamp columns — the table's high-cardinality keys) and a
+    // STRING arm (double and flag columns). An int column's long cast
+    // and a timestamp's epoch-µs are BOTH injective maps of the value,
+    // exactly as the oracle's ::VARCHAR rendering is — distinct counts
+    // are invariant under any faithful injection, for EVERY input (no
+    // corpus assumption; nulls map to null on both sides). Doubles
+    // keep the string rendering: the one universally injective image
+    // of an IEEE double here (a micro-unit long is injective only on
+    // ≤2-decimal money data, and a raw double key would merge -0.0
+    // with 0.0 where VARCHAR keeps them apart). The win: the distinct
+    // exchange carries 8-byte longs instead of rendered key/timestamp
+    // strings for 5 of 11 columns — including the near-unique
+    // l_orderkey — and the scan-side explode skips number→string
+    // formatting for them; each arm's scan column-prunes to its own
+    // columns, so the two explodes together read each column once.
+    // (a Skew.fanOut of the input was A/B-measured here and REJECTED:
+    // with the long arm the per-row work is cheap enough that the
+    // raw-row repartition costs more than the 3-task scan stage —
+    // 1.4 s → 2.7 s at sf0.1; q193 keeps it because its md5 + object
+    // aggregate per-row work dominates)
+    def stackAgg(entries: Seq[(String, Column)]): DataFrame = {
+      val stacked = li.select(explode(array(entries.map { case (c, e) =>
+          struct(lit(c).as("col_name"), e.as("v")) }: _*)).as("e"))
+        .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
+      stacked.groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col("v")).as("n_distinct"))
+    }
+    val longArm = ProfileColTypes.collect {
+      case (c, "int") => c -> col(c).cast("long")
+      case (c, "ts") => c -> unix_micros(col(c))
+    }
+    val strArm = ProfileColTypes.collect {
+      case (c, k) if k == "double" || k == "str" => c -> col(c).cast("string")
+    }
+    stackAgg(longArm).unionByName(stackAgg(strArm))
   }
 
   // q193 — APPROXIMATE TABLE PROFILE: q181's scale twin. The exact

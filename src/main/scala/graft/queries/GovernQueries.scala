@@ -340,15 +340,43 @@ object GovernQueries {
         col("a.p") === col("b.p") && col("a.s") < col("b.s"))
       .groupBy(col("a.s").as("sa"), col("b.s").as("sb"))
       .agg(count(lit(1)).as("c"))
-    val ranked = graft.operators.ChunkedFrame.globalRank(
-      pairs.withColumn("__one", lit("all")), keyCol = "__one", chunk = col("c"),
-      orderCols = Seq("c", "sa", "sb"))
+    // Round-16 optimization (guide §1.2 step 1): the p90 threshold is
+    // an order statistic of the COUNT VALUE c only — the former
+    // globalRank over the whole pair table ranked every (c, sa, sb)
+    // row (a full-width window pass over the |S|²-bounded table) when
+    // the (sa, sb) tiebreak can never change WHICH c sits at rank
+    // ⌈0.9n⌉. The threshold now reads off the (c → pair-count) GRID —
+    // |distinct c| rows, domain-bounded — with the q248/q279
+    // chunk-banded running count: thr = min c whose cumulative count
+    // reaches k = ⌈0.9n⌉ (positions covered by value c are
+    // (prev, ct], so the first c with ct ≥ k is exactly the value at
+    // rank k−1 under ANY within-c tiebreak). Same thr, no pair-table
+    // rank pass at any scale.
     val nTab = pairs.agg(count(lit(1)).as("n"))
-    val thr = ranked.crossJoin(broadcast(nTab))
-      .filter(col("__g") === ceil(col("n").cast("double") * lit(0.9)) - 1)
-      .select(col("c").as("thr"))
+    val cGrid = pairs.groupBy(col("c")).agg(count(lit(1)).as("t"))
+      .withColumn("__one", lit("all"))
+    val cCum = graft.operators.ChunkedFrame.withRunningSum(
+      cGrid, "__one", expr("c DIV 100"), Seq("c"), "t", "ct")
+    val thr = cCum.crossJoin(broadcast(nTab))
+      .filter(col("ct") >= ceil(col("n").cast("double") * lit(0.9)))
+      .groupBy(col("__one")).agg(min(col("c")).as("thr"))
+      .select(col("thr"))
+    // Round-16 optimization (guide §5 caching / §3.3 plan truncation):
+    // the p90-thinned edge set feeds FIVE consumers (three oriented
+    // triangle-join arms, the degree table, and the triangle-member
+    // explode behind nt) — left lazy, each consumer re-derives the
+    // whole pair-expansion subtree (64 scans / 73 exchanges in the
+    // initial plan; runtime exchange reuse dedupes the heavy agg but
+    // every final-agg + filter chain still re-executes 5x and the
+    // stage graph pays the latency). The edge set is the SMALL
+    // output of the p90 cut (≤10% of pairs by construction), so one
+    // eager localCheckpoint materializes it once and the triangle
+    // closure reads a flat in-memory table — within-run
+    // materialization, recomputed from parquet every run (same
+    // discipline as q105's sketch table).
     val edges = pairs.crossJoin(broadcast(thr)).filter(col("c") >= col("thr"))
       .select(col("sa"), col("sb"))
+      .localCheckpoint(true)
     val tri = edges.as("e1")
       .join(edges.as("e2"), col("e2.sa") === col("e1.sb"))
       .join(edges.as("e3"),

@@ -700,42 +700,59 @@ object InsightQueries {
   // collapse the way a bounded domain does.
   private def q263(s: SparkSession, dir: String): DataFrame = {
     val evObs = Tables.events(s, dir).filter(col("value").isNotNull)
-      .select(col("event_type").as("gk"),
+      .select(lit("events.value~event_type").as("rel"),
+        col("event_type").as("gk"),
         floor(col("value") * lit(100d) + lit(0.5d)).cast("long").as("vc"))
     val ordObs = Tables.orders(s, dir)
-      .select(col("o_orderpriority").as("gk"),
+      .select(lit("orders.totalprice~priority").as("rel"),
+        col("o_orderpriority").as("gk"),
         floor(col("o_totalprice") * lit(100d) + lit(0.5d)).cast("long").as("vc"))
-    kruskalWallis(evObs, "events.value~event_type")
-      .unionByName(kruskalWallis(ordObs, "orders.totalprice~priority"))
+    kruskalWallisFused(evObs.unionByName(ordObs))
   }
 
-  private[graft] def kruskalWallis(obs: DataFrame, rel: String): DataFrame = {
+  /** Single-relation wrapper (spec/twin surface): identical output to
+    * the fused form over one `rel`. */
+  private[graft] def kruskalWallis(obs: DataFrame, rel: String): DataFrame =
+    kruskalWallisFused(obs.select(lit(rel).as("rel"), col("gk"), col("vc")))
+
+  /** Fused multi-relation KW over `obs(rel, gk, vc)` — round-16
+    * optimization (guide §2.4: do fewer passes): the former
+    * per-relation trees each paid the full partial-agg → grid →
+    * running-sum → closing stage chain and the query unioned two of
+    * them; keying every exchange by `rel` runs BOTH relations through
+    * ONE chain (half the stages, same shuffled bytes in total).
+    * Arithmetic is per-relation row-local throughout, so results are
+    * bitwise identical (oracle unchanged — proof: 292/292 hash match
+    * after the change). */
+  private[graft] def kruskalWallisFused(obs: DataFrame): DataFrame = {
     val d38 = (c: Column) => c.cast("decimal(38,0)")
     val dd = (c: Column) => c.cast("double")
-    val cells = obs.groupBy(col("gk"), col("vc")).agg(count(lit(1)).as("a"))
-    val tv = cells.groupBy(col("vc")).agg(sum(col("a")).as("t"))
-      .withColumn("g", lit(1))
+    val cells = obs.groupBy(col("rel"), col("gk"), col("vc"))
+      .agg(count(lit(1)).as("a"))
+    val tv = cells.groupBy(col("rel"), col("vc")).agg(sum(col("a")).as("t"))
     val cum = graft.operators.ChunkedFrame.withRunningSum(
-      tv, "g", expr("vc DIV 100"), Seq("vc"), "t", "ct")
+      tv, "rel", expr("vc DIV 100"), Seq("vc"), "t", "ct")
       .withColumn("prev", col("ct") - col("t"))
-    val ties = cum.agg(
+    val ties = cum.groupBy(col("rel")).agg(
       sum(d38(col("t")) * d38(col("t")) * d38(col("t")) - d38(col("t")))
         .as("ties"))
     val per = cells
-      .join(cum.select(col("vc"), col("t"), col("prev")), Seq("vc"))
-      .groupBy(col("gk"))
+      .join(cum.select(col("rel"), col("vc"), col("t"), col("prev")),
+        Seq("rel", "vc"))
+      .groupBy(col("rel"), col("gk"))
       .agg(sum(col("a")).as("n"),
         sum(d38(col("a")) * d38(col("prev") * lit(2L) + col("t") + lit(1L)))
           .as("r2"))
-    val glob = per.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"))
+    val glob = per.groupBy(col("rel"))
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("nn"))
     val eg = col("r2") - d38(col("n")) * d38(col("nn") + lit(1L))
     val term = dd(eg) * dd(eg) / dd(col("n"))
-    val agg = per.crossJoin(broadcast(glob))
+    val agg = per.join(broadcast(glob), Seq("rel"))
       .withColumn("tfp", floor(term * lit(1e6) + lit(0.5)).cast("decimal(38,0)"))
-      .groupBy(lit(rel).as("relation"))
+      .groupBy(col("rel").as("relation"))
       .agg(max(col("k")).as("k_groups"), max(col("nn")).as("n"),
         sum(col("tfp")).as("sfp"))
-      .crossJoin(broadcast(ties))
+      .join(broadcast(ties.withColumnRenamed("rel", "relation")), Seq("relation"))
       .withColumn("df", col("k_groups") - lit(1L))
     val h = lit(3.0) * (dd(col("sfp")) / lit(1e6)) /
       (dd(col("n")) * (dd(col("n")) + lit(1.0)))
@@ -1042,36 +1059,46 @@ object InsightQueries {
   // Output: 1 row per relation × 2 relations.
   private def q279(s: SparkSession, dir: String): DataFrame = {
     val evObs = Tables.events(s, dir).filter(col("value").isNotNull)
-      .select(col("event_type").as("gk"),
+      .select(lit("events.value~event_type").as("rel"),
+        col("event_type").as("gk"),
         floor(col("value") * lit(100d) + lit(0.5d)).cast("long").as("vc"))
     val ordObs = Tables.orders(s, dir)
-      .select(col("o_orderpriority").as("gk"),
+      .select(lit("orders.totalprice~priority").as("rel"),
+        col("o_orderpriority").as("gk"),
         floor(col("o_totalprice") * lit(100d) + lit(0.5d)).cast("long").as("vc"))
-    moodMedian(evObs, "events.value~event_type")
-      .unionByName(moodMedian(ordObs, "orders.totalprice~priority"))
+    moodMedianFused(evObs.unionByName(ordObs))
   }
 
-  private[graft] def moodMedian(obs: DataFrame, rel: String): DataFrame = {
+  /** Single-relation wrapper (spec/twin surface): identical output to
+    * the fused form over one `rel`. */
+  private[graft] def moodMedian(obs: DataFrame, rel: String): DataFrame =
+    moodMedianFused(obs.select(lit(rel).as("rel"), col("gk"), col("vc")))
+
+  /** Fused multi-relation Mood over `obs(rel, gk, vc)` — the q263
+    * round-16 move (guide §2.4): one rel-keyed chain instead of one
+    * full chain per relation; per-relation arithmetic unchanged, so
+    * bitwise-identical output. */
+  private[graft] def moodMedianFused(obs: DataFrame): DataFrame = {
     val d38 = (c: Column) => c.cast("decimal(38,0)")
     val dd = (c: Column) => c.cast("double")
-    val cells = obs.groupBy(col("gk"), col("vc")).agg(count(lit(1)).as("a"))
-    val tv = cells.groupBy(col("vc")).agg(sum(col("a")).as("t"))
-      .withColumn("g", lit(1))
+    val cells = obs.groupBy(col("rel"), col("gk"), col("vc"))
+      .agg(count(lit(1)).as("a"))
+    val tv = cells.groupBy(col("rel"), col("vc")).agg(sum(col("a")).as("t"))
     val cum = graft.operators.ChunkedFrame.withRunningSum(
-      tv, "g", expr("vc DIV 100"), Seq("vc"), "t", "ct")
-    val tot = tv.groupBy(lit(1).as("g")).agg(sum(col("t")).as("nn"))
+      tv, "rel", expr("vc DIV 100"), Seq("vc"), "t", "ct")
+    val tot = tv.groupBy(col("rel")).agg(sum(col("t")).as("nn"))
     // lower median = min vc with cum ≥ (N+1) DIV 2 — integer DIV on
     // both engines, no float position arithmetic
-    val med = cum.join(broadcast(tot), Seq("g"))
+    val med = cum.join(broadcast(tot), Seq("rel"))
       .filter(expr("ct >= (nn + 1) DIV 2"))
-      .groupBy(lit(1).as("g")).agg(min(col("vc")).as("med"))
-    val per = cells.crossJoin(broadcast(med.select(col("med"))))
-      .groupBy(col("gk")).agg(sum(col("a")).as("ni"),
+      .groupBy(col("rel")).agg(min(col("vc")).as("med"))
+    val per = cells.join(broadcast(med), Seq("rel"))
+      .groupBy(col("rel"), col("gk")).agg(sum(col("a")).as("ni"),
         sum(when(col("vc") > col("med"), col("a")).otherwise(lit(0L))).as("ai"))
-    val glob = per.groupBy(lit(1).as("g"))
+    val glob = per.groupBy(col("rel"))
       .agg(count(lit(1)).as("k_groups"), sum(col("ni")).as("n"),
         sum(col("ai")).as("c1"))
-    val j = per.crossJoin(broadcast(glob.drop("g")))
+    val j = per.join(broadcast(glob), Seq("rel"))
       .withColumn("bi", col("ni") - col("ai"))
       .withColumn("c2", col("n") - col("c1"))
       .withColumn("da", d38(col("ai")) * d38(col("n")) - d38(col("ni")) * d38(col("c1")))
@@ -1084,7 +1111,7 @@ object InsightQueries {
         (dd(col("ni")) * dd(col("c2")) / dd(col("n")))
     val g = j.withColumn("t6", when(col("c1") > 0 && col("c2") > 0,
       floor(term * lit(1e6) + lit(0.5)).cast("decimal(38,0)")))
-    val agg = g.groupBy(lit(rel).as("relation"))
+    val agg = g.groupBy(col("rel").as("relation"))
       .agg(max(col("k_groups")).as("k_groups"), max(col("n")).as("n"),
         max(col("c1")).as("n_above"), sum(col("t6")).as("s6"),
         count(col("t6")).as("nt"))
@@ -1126,36 +1153,49 @@ object InsightQueries {
   // Output: 1 row per relation × 2 relations.
   private def q280(s: SparkSession, dir: String): DataFrame = {
     val evObs = Tables.events(s, dir).filter(col("value").isNotNull)
-      .select(col("event_type").as("gk"),
+      .select(lit("events.value~event_type").as("rel"),
+        col("event_type").as("gk"),
         floor(col("value") * lit(100d) + lit(0.5d)).cast("long").as("vc"))
     val ordObs = Tables.orders(s, dir)
-      .select(col("o_orderpriority").as("gk"),
+      .select(lit("orders.totalprice~priority").as("rel"),
+        col("o_orderpriority").as("gk"),
         floor(col("o_totalprice") * lit(100d) + lit(0.5d)).cast("long").as("vc"))
-    brownForsythe(evObs, "events.value~event_type")
-      .unionByName(brownForsythe(ordObs, "orders.totalprice~priority"))
+    brownForsytheFused(evObs.unionByName(ordObs))
   }
 
-  private[graft] def brownForsythe(obs: DataFrame, rel: String): DataFrame = {
+  /** Single-relation wrapper (spec/twin surface): identical output to
+    * the fused form over one `rel`. */
+  private[graft] def brownForsythe(obs: DataFrame, rel: String): DataFrame =
+    brownForsytheFused(obs.select(lit(rel).as("rel"), col("gk"), col("vc")))
+
+  /** Fused multi-relation Brown-Forsythe over `obs(rel, gk, vc)` —
+    * the q263 round-16 move (guide §2.4). The per-group median pass
+    * keys its running counts by the COMPOSITE (rel, gk) via
+    * [[graft.operators.ChunkedFrame.withRunningSumsKeys]]; per-
+    * relation arithmetic unchanged, bitwise-identical output. */
+  private[graft] def brownForsytheFused(obs: DataFrame): DataFrame = {
     val d38 = (c: Column) => c.cast("decimal(38,0)")
     val dd = (c: Column) => c.cast("double")
-    val cells = obs.groupBy(col("gk"), col("vc")).agg(count(lit(1)).as("a"))
+    val cells = obs.groupBy(col("rel"), col("gk"), col("vc"))
+      .agg(count(lit(1)).as("a"))
     // per-group lower median off chunk-banded running counts
-    val cum = graft.operators.ChunkedFrame.withRunningSum(
-      cells, "gk", expr("vc DIV 100"), Seq("vc"), "a", "ct")
-    val nPer = cells.groupBy(col("gk")).agg(sum(col("a")).as("ng"))
-    val med = cum.join(broadcast(nPer), Seq("gk"))
+    val cum = graft.operators.ChunkedFrame.withRunningSumsKeys(
+      cells, Seq("rel", "gk"), expr("vc DIV 100"), Seq("vc"),
+      Seq("a" -> "ct"))
+    val nPer = cells.groupBy(col("rel"), col("gk")).agg(sum(col("a")).as("ng"))
+    val med = cum.join(broadcast(nPer), Seq("rel", "gk"))
       .filter(expr("ct >= (ng + 1) DIV 2"))
-      .groupBy(col("gk")).agg(min(col("vc")).as("med"))
+      .groupBy(col("rel"), col("gk")).agg(min(col("vc")).as("med"))
     // exact |deviation| power sums, still on the CELL grid
-    val per = cells.join(broadcast(med), Seq("gk"))
+    val per = cells.join(broadcast(med), Seq("rel", "gk"))
       .withColumn("z", abs(col("vc") - col("med")))
-      .groupBy(col("gk")).agg(sum(col("a")).as("ni"),
+      .groupBy(col("rel"), col("gk")).agg(sum(col("a")).as("ni"),
         sum(d38(col("a")) * d38(col("z"))).as("s1"),
         sum(d38(col("a")) * d38(col("z")) * d38(col("z"))).as("q1"))
-    val glob = per.groupBy(lit(1).as("g"))
+    val glob = per.groupBy(col("rel"))
       .agg(count(lit(1)).as("k_groups"), sum(col("ni")).as("n"),
         sum(col("s1")).as("s"))
-    val j = per.crossJoin(broadcast(glob.drop("g")))
+    val j = per.join(broadcast(glob), Seq("rel"))
       .withColumn("dg", d38(col("n")) * col("s1") - d38(col("ni")) * col("s"))
       // between term (D/N)²/n_g and within term (n_g·Q−S²)/n_g, each
       // ONE shared IEEE sequence quantized to 1e-6 before the k-sum.
@@ -1170,7 +1210,7 @@ object InsightQueries {
       .withColumn("wt6", floorHalf38(
         dd(d38(col("ni")) * col("q1") - col("s1") * col("s1")) /
           dd(col("ni")) * lit(1e6)))
-    val agg = j.groupBy(lit(rel).as("relation"))
+    val agg = j.groupBy(col("rel").as("relation"))
       .agg(max(col("k_groups")).as("k_groups"), max(col("n")).as("n"),
         sum(col("bt6")).as("b6"), sum(col("wt6")).as("w6"))
       .withColumn("df", col("k_groups") - lit(1L))
@@ -1392,42 +1432,53 @@ object InsightQueries {
   // per relation × 2 relations.
   private def q287(s: SparkSession, dir: String): DataFrame = {
     val evObs = Tables.events(s, dir).filter(col("value").isNotNull)
-      .select(col("event_type").as("gk"),
+      .select(lit("events.value~event_type").as("rel"),
+        col("event_type").as("gk"),
         floor(col("value") * lit(100d) + lit(0.5d)).cast("long").as("vc"))
     val ordObs = Tables.orders(s, dir)
-      .select(col("o_orderpriority").as("gk"),
+      .select(lit("orders.totalprice~priority").as("rel"),
+        col("o_orderpriority").as("gk"),
         floor(col("o_totalprice") * lit(100d) + lit(0.5d)).cast("long").as("vc"))
-    dunn(evObs, "events.value~event_type")
-      .unionByName(dunn(ordObs, "orders.totalprice~priority"))
+    dunnFused(evObs.unionByName(ordObs))
   }
 
-  private[graft] def dunn(obs: DataFrame, rel: String): DataFrame = {
+  /** Single-relation wrapper (spec surface): identical output to the
+    * fused form over one `rel`. */
+  private[graft] def dunn(obs: DataFrame, rel: String): DataFrame =
+    dunnFused(obs.select(lit(rel).as("rel"), col("gk"), col("vc")))
+
+  /** Fused multi-relation Dunn over `obs(rel, gk, vc)` — the q263
+    * round-16 move (guide §2.4): one rel-keyed grid chain; the
+    * pairwise expansion stays dim-sized per relation (join on `rel`,
+    * a < b). Per-relation arithmetic unchanged, bitwise-identical
+    * output. */
+  private[graft] def dunnFused(obs: DataFrame): DataFrame = {
     val d38 = (c: Column) => c.cast("decimal(38,0)")
     val dd = (c: Column) => c.cast("double")
-    val cells = obs.groupBy(col("gk"), col("vc")).agg(count(lit(1)).as("a"))
-    val tv = cells.groupBy(col("vc")).agg(sum(col("a")).as("t"))
-      .withColumn("g", lit(1))
+    val cells = obs.groupBy(col("rel"), col("gk"), col("vc"))
+      .agg(count(lit(1)).as("a"))
+    val tv = cells.groupBy(col("rel"), col("vc")).agg(sum(col("a")).as("t"))
     val cum = graft.operators.ChunkedFrame.withRunningSum(
-      tv, "g", expr("vc DIV 100"), Seq("vc"), "t", "ct")
+      tv, "rel", expr("vc DIV 100"), Seq("vc"), "t", "ct")
     val per = cells
-      .join(cum.select(col("vc"), col("t"), (col("ct") - col("t")).as("prev")),
-        Seq("vc"))
-      .groupBy(col("gk"))
+      .join(cum.select(col("rel"), col("vc"), col("t"),
+        (col("ct") - col("t")).as("prev")), Seq("rel", "vc"))
+      .groupBy(col("rel"), col("gk"))
       .agg(sum(col("a")).as("ni"),
         sum(d38(col("a")) * d38(col("prev") * lit(2L) + col("t") + lit(1L)))
           .as("r2s"))
-    val glob = cum.groupBy(lit(1).as("g"))
+    val glob = cum.groupBy(col("rel"))
       .agg(sum(col("t")).as("n"),
         sum(d38(col("t")) * d38(col("t")) * d38(col("t")) - d38(col("t")))
           .as("tt"))
-    val kCnt = per.groupBy(lit(1).as("g")).agg(count(lit(1)).as("k_groups"))
-    val a = per.select(col("gk").as("type_a"), col("ni").as("na"),
+    val kCnt = per.groupBy(col("rel")).agg(count(lit(1)).as("k_groups"))
+    val a = per.select(col("rel"), col("gk").as("type_a"), col("ni").as("na"),
       col("r2s").as("ra"))
-    val b = per.select(col("gk").as("type_b"), col("ni").as("nb"),
+    val b = per.select(col("rel"), col("gk").as("type_b"), col("ni").as("nb"),
       col("r2s").as("rb"))
-    val pairs = a.crossJoin(b).filter(col("type_a") < col("type_b"))
-      .crossJoin(broadcast(glob.drop("g")))
-      .crossJoin(broadcast(kCnt.drop("g")))
+    val pairs = a.join(b, Seq("rel")).filter(col("type_a") < col("type_b"))
+      .join(broadcast(glob), Seq("rel"))
+      .join(broadcast(kCnt), Seq("rel"))
       .withColumn("m", expr("k_groups * (k_groups - 1) DIV 2"))
     val nD = dd(col("n"))
     val sig2 = (nD * (nD + lit(1.0)) / lit(12.0) -
@@ -1439,7 +1490,7 @@ object InsightQueries {
     val z4 = floor(z * lit(1e4) + lit(0.5)).cast("long")
     val valid = col("n") > 1 && sig2 > 0
     pairs.join(StatTables.zbonfFrame(obs.sparkSession), Seq("m"), "left")
-      .select(lit(rel).as("relation"), col("type_a"), col("type_b"),
+      .select(col("rel").as("relation"), col("type_a"), col("type_b"),
         col("na").as("n_a"), col("nb").as("n_b"),
         when(valid, z4.cast("double") / lit(1e4)).as("z_r4"),
         when(valid && col("zcrit4").isNotNull, abs(z4) > col("zcrit4"))

@@ -540,10 +540,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("q181 profile: ONE lineitem scan feeds all columns; q189 ranks avoid bare global windows") {
+  test("q181 profile: two column-disjoint scans feed all columns; q189 ranks avoid bare global windows") {
+    // round-16: the stack is split into a LONG arm (int/ts columns)
+    // and a STRING arm (double/flag columns) — exactly TWO scans,
+    // each column-pruned to its own arm so every lineitem column is
+    // still read exactly once (the original one-scan pin's point,
+    // preserved under the narrower-exchange split; a scan-per-column
+    // regression would show 11 scans or overlapping ReadSchemas)
     val p = plan("q181_table_profile")
-    assert("FileScan parquet".r.findAllIn(p).size == 1,
-      s"profile must stack columns from one scan, not scan per column:\n$p")
+    // the scan's output column list, not ReadSchema — the latter is
+    // subject to SparkStringUtils line truncation
+    val reads = """FileScan parquet \[([^\]]*)\]""".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+    assert(reads.size == 2,
+      s"profile must stack columns from two column-disjoint scans:\n$p")
+    val colsPerScan = reads.map(_.split(",").map(_.takeWhile(_ != '#')).toSet)
+    assert(colsPerScan.head.intersect(colsPerScan.last).isEmpty,
+      s"the two profile arms must not re-read a column: $colsPerScan")
     val p189 = plan("q189_rfm")
     val bareGlobal = p189.linesIterator.filter(l =>
       l.contains("windowspecdefinition()") ||
