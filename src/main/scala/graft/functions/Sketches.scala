@@ -133,7 +133,11 @@ object Sketches {
       .agg(map_from_entries(collect_list(struct(col("depth"), col("m")))).as("mm"))
     val est = least((0 until depth).map(d =>
       coalesce(element_at(element_at(col("mm"), d), slot(key, d, width)), lit(0L))): _*)
-    df.crossJoin(broadcast(lookup))
+    // round-16: the estimate pass pays depth x (hash + map probe) per
+    // row INSIDE the scan stage — row-group-bound on a small file; the
+    // adaptive fan-out (no-op at real scale) spreads it over the
+    // session's cores
+    graft.operators.Skew.fanOut(df).crossJoin(broadcast(lookup))
       .filter(est >= minCount)
       .groupBy(key.as("key"))
       .agg(count(lit(1)).as("true_n"))

@@ -226,7 +226,12 @@ object CurationQueries {
   // back onto the position stream, so the 100 TB side is touched
   // twice map-side and shuffled once on the final per-doc count.
   private def q91(s: SparkSession, dir: String): DataFrame = {
-    val toks = docs(s, dir)
+    // round-16: tokenize + gram explode are heavy per-row work fused
+    // into a row-group-bound scan stage (both gram consumers ran
+    // single-task); the adaptive fan-out (no-op at real scale)
+    // spreads them over the session's cores and both consumers reuse
+    // the one exchange
+    val toks = graft.operators.Skew.fanOut(docs(s, dir))
       .select(col("doc_id"), TextAnalysis.wordTokens(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
     val grams = toks.select(col("doc_id"),

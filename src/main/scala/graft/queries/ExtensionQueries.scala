@@ -767,7 +767,10 @@ object ExtensionQueries {
     val merges = graft.functions.BpeTrain.train(s, docs(s, dir), col("text"), merges = 12)
       .orderBy("step").select("sym_a", "sym_b")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-    docs(s, dir).select(col("doc_id"),
+    // round-16: the merge-apply pass is heavy per-row work fused into
+    // a row-group-bound scan stage (ran single-task); adaptive
+    // fan-out, no-op at real scale
+    graft.operators.Skew.fanOut(docs(s, dir)).select(col("doc_id"),
       aggregate(TextAnalysis.wordTokens(col("text")), lit(0),
         (acc, w) => acc + graft.functions.BpeTrain.applyMerges(w, merges))
         .cast("long").as("n_bpe_tokens"))

@@ -135,7 +135,12 @@ object ParityQueries {
   // q13 — TPC-H Q1-style pricing summary (grouped agg battery: A3's
   // avg/sum/count + stddev-free path; bench headliner).
   private def q13(s: SparkSession, dir: String): DataFrame =
-    li(s, dir)
+    // round-16: seven decimal aggregates per row run inside a scan
+    // stage that parquet row-group boundaries cap at ~3 effective
+    // tasks on the small file; the adaptive fan-out (no-op at real
+    // scale, where splits >= cores) lets the partial agg use the
+    // session's parallelism
+    graft.operators.Skew.fanOut(li(s, dir))
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(

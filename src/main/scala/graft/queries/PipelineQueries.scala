@@ -299,8 +299,14 @@ object PipelineQueries {
   // EXACT rate (two IEEE divisions both engines replay); r4 only
   // rounds the REPORTED rate.
   private def q139(s: SparkSession, dir: String): DataFrame = {
-    val langed = docs(s, dir).select(col("doc_id"),
-      TextAnalysis.langId(col("text")).as("pred_lang"))
+    // round-16: langId is heavy per-row work fused into a scan stage
+    // whose task count is row-group-bound (the documents file is ONE
+    // row group — the whole classify pass ran single-task); the
+    // adaptive fan-out (no-op at real scale) spreads it over the
+    // session's cores. Both consumers (rate table + the final join)
+    // reuse the fan-out exchange, so the scan still happens once.
+    val langed = graft.operators.Skew.fanOut(docs(s, dir))
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
     val counts = langed.groupBy(col("pred_lang")).agg(count(lit(1)).as("n_lang"))
     val totals = counts.agg(sum(col("n_lang")).as("n_total"), count(lit(1)).as("n_langs"))
     val rates = counts.crossJoin(broadcast(totals))
