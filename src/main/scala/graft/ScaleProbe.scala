@@ -105,14 +105,21 @@ object ScaleProbe {
     val reuse = sys.env.contains("SPARK_GRAFT_REUSE") &&
       new java.io.File(s"$dst/lineitem.parquet").exists()
     val t0 = System.nanoTime()
+    // SPARK_GRAFT_TABLES=events,orders — replicate only the named
+    // fact tables (round-16: a 1000x probe of one grid query needs
+    // two facts, and a 1000-branch union per unneeded table is the
+    // dominant build cost). Default: all facts, as before.
+    val wantTables = sys.env.get("SPARK_GRAFT_TABLES")
+      .map(_.split(",").map(_.trim).toSet)
+    def want(t: String) = wantTables.forall(_.contains(t))
     if (!reuse) {
-    replicate("lineitem", Seq("l_orderkey"), 100000000L)
-    replicate("orders", Seq("o_orderkey"), 100000000L) // o_custkey stays -> joins fan out per replica
-    replicate("events", Seq("event_id"), 100000000L)
+    if (want("lineitem")) replicate("lineitem", Seq("l_orderkey"), 100000000L)
+    if (want("orders")) replicate("orders", Seq("o_orderkey"), 100000000L) // o_custkey stays -> joins fan out per replica
+    if (want("events")) replicate("events", Seq("event_id"), 100000000L)
     // texts replicate VERBATIM (only ids offset): every doc gains
     // reps-1 byte-identical copies — the adversarial dedup regime
-    replicate("documents", Seq("doc_id"), 100000000L)
-    replicate("embeddings", Seq("vec_id"), 100000000L) // queries (vec_id<10) stay 10
+    if (want("documents")) replicate("documents", Seq("doc_id"), 100000000L)
+    if (want("embeddings")) replicate("embeddings", Seq("vec_id"), 100000000L) // queries (vec_id<10) stay 10
     // SALTED document corpus for the pair-LISTING queries: every 3rd
     // token is replaced by a replica-specific salt, so EVERY 3-gram
     // shingle contains a salt and cross-replica jaccard collapses to
@@ -130,7 +137,7 @@ object ScaleProbe {
     // asked, not a plan defect. (A light salt is not enough either: a
     // doc plus one appended token is still a 0.94-jaccard near-dup of
     // its source.)
-    locally {
+    if (want("documents")) {
       val base = core.Tables(spark, src, "documents")
       (0 until reps).map { r =>
         base.withColumn("doc_id", col("doc_id") + lit(r * 100000000L))
@@ -179,10 +186,12 @@ object ScaleProbe {
     time("q13_tpch_q1") { q("q13_tpch_q1") }
     time("q07_window_15m") { q("q07_window_15m") }
     // 4-way join+agg: lineitem x orders with dims from sf0.1
-    val l = spark.read.parquet(s"$dst/lineitem.parquet")
-    val o = spark.read.parquet(s"$dst/orders.parquet")
-    val cst = core.Tables.customer(spark, src)
-    val nat = core.Tables.nation(spark, src)
+    // (lazy: under SPARK_GRAFT_TABLES a skipped fact has no replica
+    // file, and an eager read here would fail the whole probe run)
+    lazy val l = spark.read.parquet(s"$dst/lineitem.parquet")
+    lazy val o = spark.read.parquet(s"$dst/orders.parquet")
+    lazy val cst = core.Tables.customer(spark, src)
+    lazy val nat = core.Tables.nation(spark, src)
     time("q14_join_agg") {
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(cst, o("o_custkey") === cst("c_custkey"))
