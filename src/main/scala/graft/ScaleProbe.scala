@@ -102,8 +102,12 @@ object ScaleProbe {
     // already on disk from a prior probe run (saves ~6 min at 100x
     // when iterating on query plans, not on the replication itself)
     val dstS = s"$dst-salted"
+    // reuse probes the WANTED fact set (under SPARK_GRAFT_TABLES the
+    // default lineitem sentinel may legitimately be absent)
+    val reuseSentinels = sys.env.get("SPARK_GRAFT_TABLES")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq("lineitem"))
     val reuse = sys.env.contains("SPARK_GRAFT_REUSE") &&
-      new java.io.File(s"$dst/lineitem.parquet").exists()
+      reuseSentinels.forall(t => new java.io.File(s"$dst/$t.parquet").exists())
     val t0 = System.nanoTime()
     // SPARK_GRAFT_TABLES=events,orders — replicate only the named
     // fact tables (round-16: a 1000x probe of one grid query needs
