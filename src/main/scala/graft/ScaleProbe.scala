@@ -172,7 +172,18 @@ object ScaleProbe {
       if (only.forall(_.exists(label.contains))) {
         meter.reset()
         val t = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
+        // r16 advice: under SPARK_GRAFT_TABLES a query whose fact was
+        // not replicated has no parquet to read — report and continue
+        // instead of killing the whole probe run on the first miss
+        try {
+          df.write.format("noop").mode("overwrite").save()
+        } catch {
+          case e: Throwable =>
+            println(s"[scale] $label@${reps}x SKIPPED (${e.getClass.getSimpleName}: " +
+              s"${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(160)})")
+            spark.catalog.clearCache(); System.gc()
+            return
+        }
         println(f"[scale] $label@${reps}x time=${(System.nanoTime() - t) / 1e9}%.2f s " +
           f"shufW=${meter.write.get / 1e6}%.1f MB shufR=${meter.read.get / 1e6}%.1f MB " +
           f"spill=${meter.spill.get / 1e6}%.1f MB maxTask=${meter.maxTask.get / 1e3}%.1f s")

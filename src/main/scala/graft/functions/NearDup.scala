@@ -259,7 +259,12 @@ object NearDup {
     val setPairs = verifyEditDistance(candidates, maxDist)
       .select(col("id_a").as("set_a"), col("id_b").as("set_b"), col("dist"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    setPairs.count() // materialize while the candidate machinery is live
+    // Round-17 (guide §2.6): no eager count here — the former
+    // materializing count() was a full extra job barrier per caller.
+    // Lazy persistence is safe: nothing is unpersisted before the
+    // caller's first action (which populates both caches), and
+    // callers that DO unpersist (editDistancePairsLsh) materialize
+    // their own output first.
     (sets, setPairs)
   }
 
@@ -373,10 +378,12 @@ object NearDup {
       .filter(col("jaccard") >= threshold)
       .select(col("set_a"), col("set_b"), col("jaccard"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize `verified` eagerly: the two RETURNED frames stay
-    // persisted (callers own unpersisting them, or
-    // spark.catalog.clearCache()); no internal caches remain.
-    verified.count()
+    // Round-17 (guide §2.6): both returned frames stay persisted but
+    // are materialized LAZILY by the caller's first action — the
+    // former eager count() was one full job barrier per caller (q22/
+    // q47/q48/q67/q148/q149/...) that computed the verify pipeline
+    // only for the next action to re-read it from cache. No internal
+    // unpersist happens before the caller acts, so nothing recomputes.
     (sets, verified)
   }
 

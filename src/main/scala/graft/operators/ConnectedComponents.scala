@@ -47,9 +47,17 @@ object ConnectedComponents {
       .select(least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nEdges = eDist.count()
-    if (nEdges <= driverMaxEdges) {
-      val out = runOnDriver(edges.sparkSession, eDist.collect().map(r => (r.getLong(0), r.getLong(1))))
+    // Round-17 (guide §2.6 driver barriers): ONE action decides the
+    // regime AND already carries the edges in the driver regime —
+    // take(limit+1) replaces the former count() + collect() pair (two
+    // sequential full jobs; every small-graph caller paid the second
+    // one just to re-read the cache). Over the threshold the take is
+    // bounded (limit rows ≈ 16 MB) and the distributed path needs no
+    // edge count — only nNodes below.
+    val limit = math.min(driverMaxEdges, Int.MaxValue - 2L).toInt
+    val sample = eDist.take(limit + 1)
+    if (sample.length <= limit) {
+      val out = runOnDriver(edges.sparkSession, sample.map(r => (r.getLong(0), r.getLong(1))))
       eDist.unpersist(blocking = false)
       return out
     }

@@ -72,10 +72,19 @@ object Rfm {
         "__k", chunk, Seq(metric, "user_id"))
         .withColumn(outCol, expr("(__g * 4) DIV n_users + 1"))
         .select(col("user_id"), col(outCol))
-    val scored = rfm
-      .join(rankTable("recency_days", col("recency_days"), "rq"), Seq("user_id"))
-      .join(rankTable("frequency", col("frequency"), "fq"), Seq("user_id"))
-      .join(rankTable("monetary", floor(col("monetary")), "mq"), Seq("user_id"))
+    // null-safe joins (r16 advice): userState's groupBy PRESERVES a
+    // null user_id group, and the pre-r16 nested-window formulation
+    // kept it; a plain equi-join here would silently drop it. <=> is
+    // still a hash-joinable equi-key, so the plan shape is unchanged.
+    // The score side renames its key (the arms share rfm's lineage —
+    // a same-name condition would be an ambiguous self-join ref).
+    def joinScore(base: DataFrame, score: DataFrame): DataFrame =
+      base.join(score.withColumnRenamed("user_id", "__uid"),
+        col("user_id") <=> col("__uid")).drop("__uid")
+    val scored = joinScore(joinScore(joinScore(rfm,
+      rankTable("recency_days", col("recency_days"), "rq")),
+      rankTable("frequency", col("frequency"), "fq")),
+      rankTable("monetary", floor(col("monetary")), "mq"))
     // the |users|-row cache stays resident for the caller's action
     // (an eager localCheckpoint here measured +0.7 s on the sf0.1
     // bench — materializing the output costs more than the small

@@ -53,6 +53,15 @@ object Skew {
     * partial-agg paths. */
   def fanOut(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    // Round-17 guard (r16 advice): `.rdd` on a plan containing an
+    // Exchange would — with AQE on — materialize every upstream query
+    // stage eagerly at plan-CONSTRUCTION time, and the repartitioned
+    // frame would recompute them at action time. fanOut exists for
+    // raw scans only; a post-exchange frame is already spread to
+    // shuffle.partitions (= session parallelism), so return it
+    // unchanged rather than probe it.
+    val exchangeFree = !df.queryExecution.sparkPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+    if (exchangeFree && df.rdd.getNumPartitions < cores) df.repartition(cores) else df
   }
 }

@@ -91,6 +91,11 @@ object BehaviorQueries {
     val strArm = ProfileColTypes.collect {
       case (c, k) if k == "double" || k == "str" => c -> col(c).cast("string")
     }
+    // exhaustiveness over kind tags (r16 advice): a column added with
+    // a NEW kind would silently vanish from the profile — the schema
+    // require above checks names only
+    require(longArm.size + strArm.size == ProfileColTypes.size,
+      s"q181: unhandled profile column kind in $ProfileColTypes")
     stackAgg(longArm).unionByName(stackAgg(strArm))
   }
 

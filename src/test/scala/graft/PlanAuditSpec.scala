@@ -554,7 +554,11 @@ class PlanAuditSpec extends SparkSpec {
       .map(_.group(1)).toSeq
     assert(reads.size == 2,
       s"profile must stack columns from two column-disjoint scans:\n$p")
-    val colsPerScan = reads.map(_.split(",").map(_.takeWhile(_ != '#')).toSet)
+    // trim each token (r16 advice): the scan's column list is
+    // comma-SPACE separated, so without trim the same column reads as
+    // "name" in one set and " name" in the other and a real overlap
+    // can false-pass the disjointness assert
+    val colsPerScan = reads.map(_.split(",").map(_.trim.takeWhile(_ != '#')).toSet)
     assert(colsPerScan.head.intersect(colsPerScan.last).isEmpty,
       s"the two profile arms must not re-read a column: $colsPerScan")
     val p189 = plan("q189_rfm")
