@@ -66,6 +66,17 @@ object NearDup {
     banded.groupBy(col("band"), col("band_key"))
       .agg(collect_list(struct(col("set_id"), col(payload))).as("ms"))
       .filter(size(col("ms")).between(2, maxBucketSize))
+      // Round-17 (guide §2.5; the verifyEditDistance precedent): the
+      // collected-bucket table is BYTE-small — AQE's size-based
+      // coalescing folds the agg's shuffle read to 1-2 partitions —
+      // but the expansion below is the family's quadratic CPU step
+      // (|bucket|² interpreted-HOF evals per bucket): measured 42 s
+      // of exec pinned on 2 tasks at sf0.1 (23 s wall on an idle
+      // 32-core session). An explicit repartition pins CPU
+      // parallelism; its exchange carries the bucket table once —
+      // bounded by the expansion's INPUT, negligible against the
+      // pair output it unblocks.
+      .repartition(banded.sparkSession.sparkContext.defaultParallelism)
       .select(explode(expr(
         "flatten(transform(ms, a -> transform(" +
           s"filter(ms, b -> b.set_id > a.set_id AND ($pairCond)), " +
@@ -451,7 +462,12 @@ object NearDup {
                    maxBucketSize: Int = 4096): DataFrame = {
     val (sets, verified) = minHashSetPairs(df, idCol, tokensCol, numHashes, bands, threshold, maxBucketSize)
 
-    // identical-set doc pairs: jaccard exactly 1.0
+    // identical-set doc pairs: jaccard exactly 1.0. (A repartition
+    // before these explodes was A/B-measured and REJECTED in r17:
+    // the doc-pair expansion re-runs per consumer action over the
+    // cached set tables, and the added exchange cost more than the
+    // parallelism bought at every SF tried; a single giant identical
+    // set is one ROW, which no repartition can split anyway.)
     val dupPairs = sets
       .filter(size(col("ids")) > 1)
       .select(explode(expr(

@@ -20,7 +20,10 @@ object PlanStats {
   def main(args: Array[String]): Unit = {
     val name = args(0); val dir = args(1)
     val iters = args.lift(2).map(_.toInt).getOrElse(2)
-    val spark = graft.core.GraftSession("planstats", 32)
+    // SPARK_GRAFT_CPUS: core-count override for the 8-vs-32 scaling
+    // adjudications (round-17) — same env the Bench contract uses
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption).getOrElse(32)
+    val spark = graft.core.GraftSession("planstats", cpus)
     val stages = new AtomicInteger
     val tasks = new AtomicInteger
     val input = new AtomicLong
