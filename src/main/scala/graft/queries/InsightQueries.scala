@@ -1471,14 +1471,27 @@ object InsightQueries {
       .agg(sum(col("t")).as("n"),
         sum(d38(col("t")) * d38(col("t")) * d38(col("t")) - d38(col("t")))
           .as("tt"))
-    val kCnt = per.groupBy(col("rel")).agg(count(lit(1)).as("k_groups"))
-    val a = per.select(col("rel"), col("gk").as("type_a"), col("ni").as("na"),
-      col("r2s").as("ra"))
-    val b = per.select(col("rel"), col("gk").as("type_b"), col("ni").as("nb"),
-      col("r2s").as("rb"))
-    val pairs = a.join(b, Seq("rel")).filter(col("type_a") < col("type_b"))
+    // Round-17 (guide §2.4 / VERDICT Next #5): the closing used to
+    // self-join `per` on rel (two exchange arms + a join) and then
+    // join a SEPARATE per-rel count aggregate — three grid-bounded
+    // passes over the same k-row-per-rel table. One collect_list per
+    // rel carries the whole group vector; the k×k pair expansion and
+    // k_groups = size(gs) fall out of the SAME row (the bucketPairs
+    // idiom; k ≤ tens, so the per-row expansion is trivially small).
+    // Pair set, per-pair values, and every downstream IEEE sequence
+    // are unchanged — only the plan shape.
+    val byRel = per.groupBy(col("rel"))
+      .agg(collect_list(struct(col("gk"), col("ni"), col("r2s"))).as("gs"))
+    val pairs = byRel
+      .select(col("rel"), size(col("gs")).cast("long").as("k_groups"),
+        explode(expr(
+          "flatten(transform(gs, a -> transform(filter(gs, b -> b.gk > a.gk), " +
+            "b -> struct(a.gk AS type_a, b.gk AS type_b, a.ni AS na, " +
+            "a.r2s AS ra, b.ni AS nb, b.r2s AS rb))))")).as("p"))
+      .select(col("rel"), col("k_groups"), col("p.type_a").as("type_a"),
+        col("p.type_b").as("type_b"), col("p.na").as("na"), col("p.ra").as("ra"),
+        col("p.nb").as("nb"), col("p.rb").as("rb"))
       .join(broadcast(glob), Seq("rel"))
-      .join(broadcast(kCnt), Seq("rel"))
       .withColumn("m", expr("k_groups * (k_groups - 1) DIV 2"))
     val nD = dd(col("n"))
     val sig2 = (nD * (nD + lit(1.0)) / lit(12.0) -
